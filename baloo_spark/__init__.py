@@ -1,0 +1,27 @@
+"""baloo_spark: a PySpark-native analytics engine with the query and
+data-processing capabilities of radujica/baloo (reference read-only at
+/root/reference), re-expressed Spark-first.
+
+The reference builds lazy Weld-IR graphs JIT-compiled per evaluate
+(``baloo/weld/pyweld/weldobject.py:142-230``); this engine builds lazy
+Spark DataFrame DAGs planned by Catalyst and executed by Tungsten
+whole-stage codegen, distributed over partitions instead of a single
+process. See SURVEY.md for the full design mapping.
+"""
+
+from .core.frame import DataFrame
+from .core.series import Series
+from .core.indexes import Index, MultiIndex, RangeIndex
+from .functions import (acos, asin, atan, cos, cosh, erf, exp, log, raw, sin,
+                        sinh, sort, sqrt, tan, tanh)
+from .io import read_csv, read_json, read_parquet
+from .session import get_session
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DataFrame", "Series", "Index", "MultiIndex", "RangeIndex",
+    "read_csv", "read_parquet", "read_json", "get_session",
+    "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "erf", "raw", "sort",
+]

@@ -1,0 +1,578 @@
+"""DataFrame: ordered collection of named columns over one Spark DF.
+
+Reference: ``baloo/core/frame.py:18`` — an OrderedDict[str -> Series]
+sharing one index. Here a single lazy pyspark DataFrame holds index
+column(s) + data columns; every operation composes onto the lazy DAG
+and Catalyst plans the whole pipeline at evaluate time (SURVEY.md §3).
+
+Unlike the reference (which re-evaluates the shared filter mask per
+column, ``series.py:288-289`` TODO), one ``evaluate()`` here is ONE
+Spark action over the whole frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.ordinal import ORD_COL, with_dense_ordinal
+from .dtypes import np_dtype_of, spark_type_of
+from .series import _AGG_FNS, _IDX, Series, _is_numeric
+
+_RESERVED = {ORD_COL, "__pid__", "__mid__"}
+
+
+class DataFrame:
+    """Columnar frame with pandas-flavored API, Spark execution.
+
+    ``DataFrame(data, index)`` accepts ``{name: ndarray|list|Series}``
+    or a pandas DataFrame (reference ctor: ``frame.py:127-146``).
+    """
+
+    def __init__(self, data=None, index=None, *, _sdf=None, _index_cols=None,
+                 _data_cols=None, _order=None):
+        if _sdf is not None:
+            self._sdf = _sdf
+            self._index_cols = list(_index_cols or [])
+            self._data_cols = list(_data_cols if _data_cols is not None else
+                                   [c for c in _sdf.columns
+                                    if c not in self._index_cols and c not in _RESERVED])
+            self._order = _order
+            return
+        import pandas as pd
+
+        from ..session import get_session
+        spark = get_session()
+        if isinstance(data, pd.DataFrame):
+            pdf = data.reset_index() if data.index.name else data.copy()
+            index_cols = [data.index.name] if data.index.name else []
+        else:
+            pdf = pd.DataFrame({k: np.asarray(getattr(v, "values", v))
+                                for k, v in (data or {}).items()})
+            index_cols = []
+        if index is not None:
+            idx_arr = np.asarray(getattr(index, "values", index))
+            name = getattr(index, "name", None) or _IDX
+            pdf[name] = idx_arr
+            index_cols = [name]
+        sdf = spark.createDataFrame(pdf)
+        sdf = with_dense_ordinal(sdf)
+        self._sdf = sdf
+        self._index_cols = index_cols or [ORD_COL]
+        self._data_cols = [c for c in pdf.columns if c not in index_cols]
+        self._order = [(ORD_COL, True)]
+
+    # ---------------------------------------------------------------- infra
+
+    @classmethod
+    def _make(cls, sdf: SparkDF, index_cols, data_cols, order=None) -> "DataFrame":
+        return cls(_sdf=sdf, _index_cols=index_cols, _data_cols=data_cols,
+                   _order=order)
+
+    @classmethod
+    def from_spark(cls, sdf: SparkDF, index_cols=None) -> "DataFrame":
+        """Wrap an existing Spark DataFrame (zero-copy, stays lazy)."""
+        index_cols = list(index_cols or [])
+        data = [c for c in sdf.columns if c not in index_cols and c not in _RESERVED]
+        return cls._make(sdf, index_cols, data, None)
+
+    @classmethod
+    def from_pandas(cls, pdf) -> "DataFrame":
+        return cls(pdf)
+
+    def _replace_sdf(self, sdf, data_cols=None, index_cols=None, order="keep"):
+        return DataFrame._make(
+            sdf,
+            self._index_cols if index_cols is None else index_cols,
+            self._data_cols if data_cols is None else data_cols,
+            self._order if order == "keep" else order,
+        )
+
+    @property
+    def columns(self) -> list:
+        return list(self._data_cols)
+
+    @property
+    def dtypes(self) -> dict:
+        sch = {f.name: f.dataType for f in self._sdf.schema.fields}
+        return {c: np_dtype_of(sch[c]) for c in self._data_cols}
+
+    @property
+    def index_names(self) -> list:
+        return [None if c in (ORD_COL, _IDX) else c for c in self._index_cols]
+
+    def to_spark(self, include_index: bool | None = None) -> SparkDF:
+        """Underlying Spark DataFrame. By default synthetic (range)
+        index columns are omitted; named indexes are included."""
+        idx = []
+        if include_index is None:
+            idx = [c for c in self._index_cols if c not in (ORD_COL, _IDX)]
+        elif include_index:
+            idx = [c for c in self._index_cols if c in self._sdf.columns]
+        cols = idx + [c for c in self._data_cols if c not in idx]
+        sdf = self._sdf.select(*cols)
+        if self._order:
+            ob = [F.col(c).asc() if a else F.col(c).desc()
+                  for c, a in self._order if c in cols]
+            # do not force a sort; order is carried only where observable
+        return sdf
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    def __repr__(self):
+        return (f"DataFrame(columns={self._data_cols}, "
+                f"index={self.index_names})")
+
+    def __str__(self):
+        return self.to_pandas().__str__()
+
+    # ----------------------------------------------------------- selection
+
+    def _check_cols(self, cols):
+        for c in cols:
+            if c not in self._data_cols:
+                raise KeyError(c)  # parity: frame.py:357-358
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            self._check_cols([key])
+            return Series._make(self._sdf, F.col(key), self._index_cols, key,
+                                self._order)
+        if isinstance(key, list):
+            self._check_cols(key)
+            return self._replace_sdf(self._sdf, data_cols=list(key))
+        if isinstance(key, Series):
+            if key._sdf is not self._sdf:
+                raise ValueError("boolean mask must derive from this frame")
+            return self._replace_sdf(self._sdf.filter(key._colexpr))
+        if isinstance(key, slice):
+            return self._slice(key)
+        raise TypeError(f"unsupported key type: {type(key)}")
+
+    def __getattr__(self, name):
+        if not name.startswith("_") and name in self.__dict__.get("_data_cols", []):
+            return self[name]
+        raise AttributeError(name)
+
+    def filter(self, mask: Series) -> "DataFrame":
+        return self[mask]
+
+    def __setitem__(self, key: str, value):
+        """Add/replace a column (frame.py:382-429). A Series from
+        another frame is ALIGNED by index via left join — missing keys
+        become NULL (reference: sentinel via weld_align,
+        weld_joins.py:289-344)."""
+        if isinstance(value, Series):
+            if value._sdf is self._sdf:
+                sdf = self._sdf.withColumn(key, value._colexpr)
+            else:
+                right, alias = value._select("__new_val__")
+                on = [c for c in self._index_cols if c in right.columns]
+                if not on:
+                    raise ValueError("cannot align series: no shared index")
+                right = right.select(*on, "__new_val__").dropDuplicates(on)
+                sdf = (self._sdf.join(right, on, "left")
+                       .withColumnRenamed("__new_val__", key))
+        elif isinstance(value, (np.ndarray, list)):
+            aligned = Series(np.asarray(value))
+            sdf_l = self._sdf
+            if ORD_COL not in sdf_l.columns:
+                sdf_l = with_dense_ordinal(sdf_l)
+            right, _ = aligned._select("__new_val__")
+            right = right.select(ORD_COL, "__new_val__")
+            sdf = sdf_l.join(right, ORD_COL, "left").withColumnRenamed(
+                "__new_val__", key)
+        else:
+            sdf = self._sdf.withColumn(key, F.lit(value))
+        data_cols = self._data_cols + ([key] if key not in self._data_cols else [])
+        self._sdf = sdf
+        self._data_cols = data_cols
+
+    # ----------------------------------------------------- arithmetic (all cols)
+
+    def _numeric_cols(self):
+        sch = {f.name: f.dataType for f in self._sdf.schema.fields}
+        return [c for c in self._data_cols if _is_numeric(sch[c])]
+
+    def _elementwise(self, other, op):
+        """Apply op to every numeric column, dropping string columns
+        (reference `_drop_str_columns`, frame.py:1309-1323)."""
+        num = self._numeric_cols()
+        sdf = self._sdf
+        for c in num:
+            sdf = sdf.withColumn(c, op(F.col(c), F.lit(other)))
+        return self._replace_sdf(sdf, data_cols=num)
+
+    def __add__(self, o): return self._elementwise(o, lambda a, b: a + b)
+    def __sub__(self, o): return self._elementwise(o, lambda a, b: a - b)
+    def __mul__(self, o): return self._elementwise(o, lambda a, b: a * b)
+    def __truediv__(self, o): return self._elementwise(o, lambda a, b: a / b)
+    def __pow__(self, o): return self._elementwise(o, lambda a, b: F.pow(a, b))
+
+    # ------------------------------------------------------ positional ops
+
+    def _ordered_sdf(self) -> SparkDF:
+        if ORD_COL in self._sdf.columns:
+            return self._sdf
+        order = [F.col(c).asc() if a else F.col(c).desc()
+                 for c, a in (self._order or []) if c in self._sdf.columns] or None
+        return with_dense_ordinal(self._sdf, order)
+
+    def _slice(self, key: slice) -> "DataFrame":
+        start, stop, step = key.start or 0, key.stop, key.step or 1
+        sdf = self._ordered_sdf()
+        cond = F.col(ORD_COL) >= start
+        if stop is not None:
+            cond = cond & (F.col(ORD_COL) < stop)
+        if step != 1:
+            cond = cond & ((F.col(ORD_COL) - start) % step == 0)
+        return DataFrame._make(sdf.filter(cond), self._index_cols,
+                               self._data_cols, self._order or [(ORD_COL, True)])
+
+    def head(self, n: int = 5) -> "DataFrame":
+        sdf = self._sdf
+        if self._order:
+            cols = [F.col(c).asc() if a else F.col(c).desc()
+                    for c, a in self._order if c in sdf.columns]
+            if cols:
+                sdf = sdf.orderBy(*cols)  # orderBy+limit => TakeOrderedAndProject
+        return self._replace_sdf(sdf.limit(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        if self._order:
+            rev = [F.col(c).desc() if a else F.col(c).asc()
+                   for c, a in self._order if c in self._sdf.columns]
+            if rev:
+                sdf = self._sdf.orderBy(*rev).limit(n)
+                return self._replace_sdf(sdf)
+        total = len(self)
+        return self._slice(slice(max(total - n, 0), None))
+
+    @property
+    def iloc(self):
+        return _FrameILoc(self)
+
+    # ------------------------------------------------------------- sorting
+
+    def sort_values(self, by, ascending: bool = True) -> "DataFrame":
+        """Multi-key sort (superset of the reference, which caps at one
+        key, frame.py:779-780). Spark executes as a range-partitioned
+        distributed sort — no single-node permutation gather."""
+        by = [by] if isinstance(by, str) else list(by)
+        for c in by:
+            if c not in self._data_cols and c not in self._index_cols:
+                raise KeyError(c)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
+        sdf = self._sdf.orderBy(*cols)
+        return DataFrame._make(sdf.drop(ORD_COL), self._index_cols, self._data_cols,
+                               list(zip(by, asc)))
+
+    def sort_index(self, ascending: bool = True) -> "DataFrame":
+        return self.sort_values(list(self._index_cols), ascending)
+
+    # -------------------------------------------------------- index moves
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        keep = [] if drop else [c for c in self._index_cols
+                                if c not in (ORD_COL,)]
+        new_data = [c if c != _IDX else "index" for c in keep] + self._data_cols
+        sdf = self._sdf
+        if _IDX in keep:
+            sdf = sdf.withColumnRenamed(_IDX, "index")
+        return DataFrame._make(sdf, [], new_data, self._order)
+
+    def set_index(self, keys) -> "DataFrame":
+        """Old index is DROPPED (reference semantics, frame.py:668-731)."""
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        self._check_cols(keys)
+        data = [c for c in self._data_cols if c not in keys]
+        drop_idx = [c for c in self._index_cols
+                    if c not in keys and c != ORD_COL and c not in data]
+        sdf = self._sdf.drop(*drop_idx) if drop_idx else self._sdf
+        return DataFrame._make(sdf, keys, data, self._order)
+
+    def rename(self, columns: dict) -> "DataFrame":
+        sdf = self._sdf
+        for old, new in columns.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        data = [columns.get(c, c) for c in self._data_cols]
+        idx = [columns.get(c, c) for c in self._index_cols]
+        order = [(columns.get(c, c), a) for c, a in self._order] if self._order else None
+        return DataFrame._make(sdf, idx, data, order)
+
+    def drop(self, columns) -> "DataFrame":
+        columns = [columns] if isinstance(columns, str) else list(columns)
+        self._check_cols(columns)  # parity: KeyError unlike silent Spark drop
+        data = [c for c in self._data_cols if c not in columns]
+        return self._replace_sdf(self._sdf.drop(*columns), data_cols=data)
+
+    # ------------------------------------------------------- missing data
+
+    def fillna(self, value) -> "DataFrame":
+        if isinstance(value, dict):
+            return self._replace_sdf(self._sdf.fillna(value))
+        return self._replace_sdf(self._sdf.fillna(value, subset=self._data_cols))
+
+    def dropna(self, subset=None) -> "DataFrame":
+        subset = list(subset) if subset is not None else list(self._data_cols)
+        return self._replace_sdf(self._sdf.dropna(subset=subset))
+
+    # -------------------------------------------------------- aggregations
+
+    def _agg_exprs(self, aggregations, cols):
+        exprs = []
+        for a in aggregations:
+            for c in cols:
+                e = _AGG_FNS[a](F.col(c).cast("double") if a != "count" else F.col(c))
+                exprs.append(e.cast("double").alias(f"{a}__{c}"))
+        return exprs
+
+    def agg(self, aggregations: list) -> "DataFrame":
+        """Column-wise multi-agg; result indexed by aggregation name
+        (frame.py:641-666). One Spark job for all (agg, col) pairs —
+        Catalyst shares the scan."""
+        cols = self._numeric_cols()
+        row_df = self._sdf.agg(*self._agg_exprs(aggregations, cols))
+        groups = ", ".join(
+            "'{a}', {vals}".format(
+                a=a, vals=", ".join(f"`{a}__{c}`" for c in cols))
+            for a in aggregations
+        )
+        names = ", ".join(["`Aggregation`"] + [f"`{c}`" for c in cols])
+        out = row_df.select(F.expr(
+            f"stack({len(aggregations)}, {groups}) as ({names})"))
+        return DataFrame._make(out, ["Aggregation"], cols, None)
+
+    def _agg_row(self, name: str) -> Series:
+        """Per-column scalar agg combined into one Series indexed by
+        column name (frame.py:594-639 / weld_combine_scalars)."""
+        cols = self._numeric_cols()
+        exprs = [(_AGG_FNS[name](F.col(c).cast("double") if name != "count"
+                                 else F.col(c))).cast("double").alias(c)
+                 for c in cols]
+        row_df = self._sdf.agg(*exprs)
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        out = row_df.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
+        return Series._make(out, F.col("__agg__"), [_IDX], name, None)
+
+    def min(self): return self._agg_row("min")
+    def max(self): return self._agg_row("max")
+    def sum(self): return self._agg_row("sum")
+    def prod(self): return self._agg_row("prod")
+    def count(self): return self._agg_row("count")
+    def mean(self): return self._agg_row("mean")
+    def var(self): return self._agg_row("var")
+    def std(self): return self._agg_row("std")
+
+    # ------------------------------------------------------------- groupby
+
+    def groupby(self, by) -> "DataFrameGroupBy":
+        from .groupby import DataFrameGroupBy
+        by = [by] if isinstance(by, str) else list(by)
+        self._check_cols(by)
+        if set(by) == set(self._data_cols):
+            raise ValueError("cannot group by all columns")  # frame.py:1092-1093
+        return DataFrameGroupBy(self, by)
+
+    # ------------------------------------------------------- dedup / unique
+
+    def drop_duplicates(self, subset=None, keep="min") -> "DataFrame":
+        """Dedup on ``subset``; non-key columns merged with
+        ``keep in {'+','*','min','max'}`` (reference dictmerger,
+        weld_ops.py:572-655; order NOT maintained, frame.py:986).
+        Extensions: keep='first'/'last' (pandas-style, needs order) and
+        keep='any' (arbitrary representative, cheapest at scale)."""
+        subset = list(subset) if subset is not None else list(self._data_cols)
+        self._check_cols(subset)
+        others = [c for c in self._data_cols if c not in subset]
+        idx_extra = [c for c in self._index_cols
+                     if c in self._sdf.columns and c not in (ORD_COL,)
+                     and c not in subset and c not in others]
+        if keep in ("first", "last"):
+            from pyspark.sql import Window
+            sdf = self._ordered_sdf()
+            w = Window.partitionBy(*subset).orderBy(
+                F.col(ORD_COL).asc() if keep == "first" else F.col(ORD_COL).desc())
+            out = (sdf.withColumn("__rn__", F.row_number().over(w))
+                   .filter(F.col("__rn__") == 1).drop("__rn__"))
+            return DataFrame._make(out, self._index_cols, self._data_cols, None)
+        if keep == "any":
+            out = self._sdf.select(*subset, *others, *idx_extra).dropDuplicates(subset)
+            return DataFrame._make(out, self._index_cols, self._data_cols, None)
+        fn = {"+": F.sum, "*": F.product, "min": F.min, "max": F.max}[keep]
+        aggs = [fn(c).alias(c) for c in others + idx_extra]
+        out = self._sdf.groupBy(*subset).agg(*aggs) if aggs else \
+            self._sdf.select(*subset).distinct()
+        idx = [c for c in self._index_cols if c in out.columns] or []
+        return DataFrame._make(out, idx, self._data_cols, None)
+
+    # ---------------------------------------------------------------- joins
+
+    def merge(self, other: "DataFrame", how: str = "inner", on=None,
+              suffixes=("_x", "_y"), algorithm: str = "merge",
+              is_on_sorted: bool = False, is_on_unique: bool = True,
+              broadcast_other: bool = False) -> "DataFrame":
+        """DB-style equi-join (frame.py:798-925).
+
+        The reference implements ONLY a single-threaded sort-merge join
+        requiring sorted unique keys (weld_joins.py:76-107); here
+        Catalyst picks broadcast-hash / shuffled-hash / sort-merge from
+        stats + AQE, with none of those preconditions. The
+        ``algorithm`` / ``is_on_sorted`` / ``is_on_unique`` hints are
+        accepted for API parity: 'hash' or ``broadcast_other`` adds a
+        broadcast hint on ``other``.
+        """
+        if how not in ("inner", "left", "right", "outer"):
+            raise ValueError(f"unsupported how: {how}")
+        if on is None:
+            on = [c for c in self._data_cols if c in other._data_cols]
+            if not on:
+                on = [c for c in self._index_cols if c in other._index_cols
+                      and c not in (ORD_COL,)]
+        on = [on] if isinstance(on, str) else list(on)
+
+        def prep(df, keep_on):
+            cols = [c for c in dict.fromkeys(
+                [*df._index_cols, *df._data_cols])
+                if c in df._sdf.columns and c != ORD_COL]
+            return df._sdf.select(*cols)
+
+        left = prep(self, on)
+        right = prep(other, on)
+        # suffix non-key collisions (frame.py:911-919, _x/_y)
+        overlap = [c for c in left.columns if c in right.columns and c not in on]
+        for c in overlap:
+            left = left.withColumnRenamed(c, c + suffixes[0])
+            right = right.withColumnRenamed(c, c + suffixes[1])
+        if algorithm == "hash" or broadcast_other:
+            right = F.broadcast(right)
+        joined = left.join(right, on, "full" if how == "outer" else how)
+        data = [c for c in joined.columns if c not in on]
+        # result indexed by the on-columns (frame.py:904-906)
+        return DataFrame._make(joined, on, data, None)
+
+    def join(self, other: "DataFrame", on=None, how: str = "left",
+             lsuffix: str = "", rsuffix: str = "") -> "DataFrame":
+        """pandas-join flavor over merge (frame.py:927-980): on=None
+        joins on same-named index columns."""
+        if on is None:
+            on = [c for c in self._index_cols if c in other._index_cols
+                  and c not in (ORD_COL,)]
+            if not on:
+                raise ValueError("no common index columns to join on")
+        suf = (lsuffix or "_x", rsuffix or "_y")
+        return self.merge(other, how=how, on=on, suffixes=suf)
+
+    # ----------------------------------------------------------- set ops
+    # (absent in the reference, SURVEY.md §2.6 — engine extensions)
+
+    def concat(self, other: "DataFrame") -> "DataFrame":
+        l = self.to_spark(include_index=True)
+        r = other.to_spark(include_index=True)
+        return DataFrame.from_spark(l.unionByName(r, allowMissingColumns=True))
+
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame.from_spark(self.to_spark().intersect(other.to_spark()))
+
+    def except_(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame.from_spark(self.to_spark().exceptAll(other.to_spark()))
+
+    # ------------------------------------------------------------ casting
+
+    def astype(self, dtype) -> "DataFrame":
+        sdf = self._sdf
+        if isinstance(dtype, dict):
+            for c, t in dtype.items():
+                self._check_cols([c])
+                sdf = sdf.withColumn(c, F.col(c).cast(spark_type_of(t)))
+        else:
+            t = spark_type_of(dtype)
+            for c in self._data_cols:
+                sdf = sdf.withColumn(c, F.col(c).cast(t))
+        return self._replace_sdf(sdf)
+
+    # ---------------------------------------------------------------- IO
+
+    def to_csv(self, filepath: str, sep: str = ",", header: bool = True,
+               index: bool = True, single_file: bool = True):
+        """CSV sink (io/csv.py:56-87). ``single_file`` collects through
+        pandas — only for small results; at scale use False for a
+        distributed write."""
+        sdf = self.to_spark(include_index=index)
+        if single_file:
+            self.to_pandas().to_csv(filepath, sep=sep, header=header, index=index)
+        else:
+            sdf.write.mode("overwrite").option("header", header).option(
+                "sep", sep).csv(filepath)
+
+    def to_parquet(self, filepath: str, partition_by=None, mode="overwrite"):
+        w = self.to_spark(include_index=True).write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*([partition_by] if isinstance(partition_by, str)
+                                else partition_by))
+        w.parquet(filepath)
+
+    # ------------------------------------------------------------ evaluate
+
+    def evaluate(self) -> "DataFrame":
+        """ONE Spark action materializing the whole frame — vs the
+        reference's per-column evaluation (frame.py:442-458)."""
+        sdf = self._sdf.persist()
+        sdf.count()
+        return self._replace_sdf(sdf)
+
+    def explain(self, mode: str = "formatted"):
+        self.to_spark().explain(mode=mode)
+
+    def to_pandas(self):
+        cols = [c for c in self._index_cols if c in self._sdf.columns
+                and c != ORD_COL] + self._data_cols
+        sdf = self._sdf
+        if self._order:
+            ob = [F.col(c).asc() if a else F.col(c).desc()
+                  for c, a in self._order if c in sdf.columns]
+            if ob:
+                sdf = sdf.orderBy(*ob)
+        pdf = sdf.select(*dict.fromkeys(cols)).toPandas()
+        idx = [c for c in self._index_cols if c in pdf.columns]
+        if idx:
+            pdf = pdf.set_index(idx if len(idx) > 1 else idx[0])
+            if idx == [_IDX]:
+                pdf.index.name = None
+        return pdf
+
+    @property
+    def values(self) -> np.ndarray:
+        return self.to_pandas().to_numpy()
+
+
+class _FrameILoc:
+    """Positional row selection on frames (core/indexing.py)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            sdf = self._df._ordered_sdf()
+            out = sdf.filter(F.col(ORD_COL) == key)
+            return DataFrame._make(out, self._df._index_cols,
+                                   self._df._data_cols, self._df._order)
+        if isinstance(key, slice):
+            return self._df._slice(key)
+        if isinstance(key, (list, np.ndarray)):
+            sdf = self._df._ordered_sdf()
+            spark = sdf.sparkSession
+            want = spark.createDataFrame(
+                [(int(i), int(p)) for p, i in enumerate(key)],
+                f"{ORD_COL} LONG, __pos__ LONG")
+            out = (sdf.join(F.broadcast(want), ORD_COL)
+                   .drop(ORD_COL).withColumnRenamed("__pos__", ORD_COL))
+            return DataFrame._make(out, self._df._index_cols,
+                                   self._df._data_cols, [(ORD_COL, True)])
+        raise TypeError(f"unsupported iloc key: {type(key)}")

@@ -1,0 +1,74 @@
+"""GroupBy: hash aggregation with grouping keys as result index.
+
+Reference: ``baloo/core/groupby.py:11-110`` + ``weld_group.py`` — the
+reference splits strategies between a single-pass dictmerger (sum/
+prod/min/max) and a collect-then-reduce groupmerger (mean/var/std/
+size). Spark's partial+final hash aggregation subsumes both: every
+agg here is a single shuffle with map-side combine, and var/std are
+single-pass (moments) already. Result order is arbitrary, matching
+the reference's hash-dict semantics (README.md:29-30).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .series import _AGG_FNS, _is_numeric
+
+
+class DataFrameGroupBy:
+    def __init__(self, df, by: list):
+        self._df = df
+        self._by = by
+
+    def _value_cols(self):
+        sch = {f.name: f.dataType for f in self._df._sdf.schema.fields}
+        return [c for c in self._df._data_cols
+                if c not in self._by and _is_numeric(sch[c])]
+
+    def _aggregate(self, names: list | str):
+        from .frame import DataFrame
+        single = isinstance(names, str)
+        names = [names] if single else list(names)
+        cols = self._value_cols()
+        exprs = []
+        for c in cols:
+            for a in names:
+                # reference casts grouped numeric aggs to f64 (weld_group.py)
+                src = F.col(c).cast("double") if a != "count" else F.col(c)
+                alias = c if single else f"{c}_{a}"
+                exprs.append(_AGG_FNS[a](src).cast("double").alias(alias))
+        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        data = [e for e in out.columns if e not in self._by]
+        # grouping keys become the index (groupby.py:56-80)
+        return DataFrame._make(out, list(self._by), data, None)
+
+    def min(self): return self._aggregate("min")
+    def max(self): return self._aggregate("max")
+    def sum(self): return self._aggregate("sum")
+    def prod(self): return self._aggregate("prod")
+    def mean(self): return self._aggregate("mean")
+    def var(self): return self._aggregate("var")
+    def std(self): return self._aggregate("std")
+    def count(self): return self._aggregate("count")
+
+    def size(self):
+        from .frame import DataFrame
+        out = self._df._sdf.groupBy(*self._by).agg(
+            F.count(F.lit(1)).alias("size"))
+        return DataFrame._make(out, list(self._by), ["size"], None)
+
+    def agg(self, aggregations) -> "DataFrame":
+        """Multi-agg: one shuffle for all (col, agg) pairs."""
+        if isinstance(aggregations, dict):
+            from .frame import DataFrame
+            exprs = []
+            for c, aggs in aggregations.items():
+                aggs = [aggs] if isinstance(aggs, str) else aggs
+                for a in aggs:
+                    src = F.col(c).cast("double") if a != "count" else F.col(c)
+                    exprs.append(_AGG_FNS[a](src).cast("double").alias(f"{c}_{a}"))
+            out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+            data = [e for e in out.columns if e not in self._by]
+            return DataFrame._make(out, list(self._by), data, None)
+        return self._aggregate(aggregations)

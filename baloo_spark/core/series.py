@@ -1,0 +1,417 @@
+"""Series: 1-D typed column backed by a lazy Spark DataFrame.
+
+Reference: ``baloo/core/series.py:17`` — a Series holds data (ndarray
+or lazy WeldObject) + index + dtype + name. Here the "lazy expression"
+is a pyspark ``Column`` over a parent Spark DataFrame; composition of
+Series operations composes Column expressions, and Catalyst fuses the
+whole pipeline at evaluate time exactly where Weld fused IR fragments
+(SURVEY.md §3).
+
+Missing data is native Spark NULL, not the reference's -999 sentinel
+(``encoders.py:101-133``); see :mod:`baloo_spark.core.dtypes` for the
+compat codec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.ordinal import ORD_COL, with_dense_ordinal
+from .dtypes import np_dtype_of, spark_type_of
+
+_VAL = "__val__"
+_IDX = "__index__"
+
+# aggregations: reference casts numeric aggs to f64 (weld_aggs.py:3,42-49)
+_AGG_FNS = {
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "prod": F.product,
+    "mean": F.avg,
+    "var": F.var_samp,      # sample variance (weld_aggs.py:113-151)
+    "std": F.stddev_samp,   # sqrt of sample var (weld_aggs.py:154-182)
+    "count": F.count,
+}
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+class Series:
+    """A named, typed 1-D column with an index.
+
+    Parameters mirror ``baloo.Series(data, index, dtype, name)``
+    (``series.py:75-101``). ``data`` may be a numpy array, list, or
+    pandas Series.
+    """
+
+    def __init__(self, data=None, index=None, dtype=None, name=None, *,
+                 _sdf=None, _col=None, _index_cols=None, _order=None):
+        if _sdf is not None:
+            self._sdf = _sdf
+            self._colexpr = _col
+            self._index_cols = list(_index_cols or [])
+            self._order = _order
+            self.name = name
+            return
+        import pandas as pd
+
+        from ..session import get_session
+        spark = get_session()
+        if isinstance(data, Series):
+            raise TypeError("Series(data=Series) not supported; use the value directly")
+        if isinstance(data, pd.Series):
+            if name is None:
+                name = data.name
+            if index is None:
+                index = data.index.to_numpy()
+            data = data.to_numpy()
+        arr = np.asarray(data)
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        pdf = pd.DataFrame({_VAL: arr})
+        index_cols = []
+        if index is not None:
+            idx_arr = np.asarray(getattr(index, "values", index))
+            pdf[_IDX] = idx_arr
+            index_cols = [_IDX]
+        sdf = spark.createDataFrame(pdf)
+        sdf = with_dense_ordinal(sdf)
+        self._sdf = sdf
+        self._colexpr = F.col(_VAL)
+        self._index_cols = index_cols or [ORD_COL]
+        self._order = [(ORD_COL, True)]
+        self.name = name
+
+    # ---------------------------------------------------------------- infra
+
+    @classmethod
+    def _make(cls, sdf, col: Column, index_cols, name, order=None) -> "Series":
+        return cls(_sdf=sdf, _col=col, _index_cols=index_cols, name=name,
+                   _order=order)
+
+    def _with_col(self, col: Column, name=None) -> "Series":
+        return Series._make(self._sdf, col, self._index_cols,
+                            name if name is not None else self.name, self._order)
+
+    def _select(self, alias=None):
+        """Project index cols + the value expression as a Spark DF."""
+        alias = alias or self.name or _VAL
+        cols = [F.col(c) for c in self._index_cols if c in self._sdf.columns]
+        return self._sdf.select(*cols, self._colexpr.alias(alias)), alias
+
+    def to_spark(self):
+        sdf, _ = self._select()
+        return sdf
+
+    @property
+    def dtype(self) -> np.dtype:
+        sdf = self._sdf.select(self._colexpr.alias("x"))
+        return np_dtype_of(sdf.schema["x"].dataType)
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return self._sdf.select(self._colexpr.alias("x")).schema["x"].dataType
+
+    def __len__(self) -> int:
+        # eager, like the reference (lazy_result.py:138-156)
+        return self._sdf.count()
+
+    def __repr__(self):
+        return f"Series(name={self.name}, dtype={self.dtype})"
+
+    def __str__(self):
+        return self.to_pandas().__str__()
+
+    # ------------------------------------------------------------ alignment
+
+    def _lift(self, other, op):
+        """Binary op vs scalar or Series; Series from another frame is
+        aligned positionally by ordinal (reference arrays are
+        positional, SURVEY.md §1.4)."""
+        if isinstance(other, Series):
+            if other._sdf is self._sdf:
+                return self._with_col(op(self._colexpr, other._colexpr))
+            left, lname = self._select("__l__")
+            right, rname = other._select("__r__")
+            if ORD_COL not in left.columns:
+                left = with_dense_ordinal(left)
+            if ORD_COL not in right.columns:
+                right = with_dense_ordinal(right)
+            right = right.select(ORD_COL, rname)
+            joined = left.join(right, ORD_COL, "inner")
+            idx = [c for c in self._index_cols if c in joined.columns]
+            return Series._make(joined, op(F.col(lname), F.col(rname)), idx,
+                                self.name, self._order)
+        if isinstance(other, (list, np.ndarray)):
+            return self._lift(Series(np.asarray(other)), op)
+        return self._with_col(op(self._colexpr, F.lit(other)))
+
+    # ----------------------------------------------------------- operators
+
+    # comparisons (generic.py:46-67 -> weld_ops.py:51-94)
+    def __lt__(self, o): return self._lift(o, lambda a, b: a < b)
+    def __le__(self, o): return self._lift(o, lambda a, b: a <= b)
+    def __gt__(self, o): return self._lift(o, lambda a, b: a > b)
+    def __ge__(self, o): return self._lift(o, lambda a, b: a >= b)
+
+    def __eq__(self, o):  # noqa: A003 - pandas-style elementwise eq
+        return self._lift(o, lambda a, b: a == b)
+
+    def __ne__(self, o):
+        return self._lift(o, lambda a, b: a != b)
+
+    __hash__ = object.__hash__
+
+    # boolean combinators (generic.py:95-104 -> weld_ops.py:232-304)
+    def __and__(self, o): return self._lift(o, lambda a, b: a & b)
+    def __or__(self, o): return self._lift(o, lambda a, b: a | b)
+    def __invert__(self): return self._with_col(~self._colexpr)
+
+    # arithmetic (generic.py:75-92 -> weld_ops.py:417-459)
+    def __add__(self, o): return self._lift(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._lift(o, lambda a, b: b + a)
+    def __sub__(self, o): return self._lift(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._lift(o, lambda a, b: b - a)
+    def __mul__(self, o): return self._lift(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._lift(o, lambda a, b: b * a)
+    def __truediv__(self, o): return self._lift(o, lambda a, b: a / b)
+    def __rtruediv__(self, o): return self._lift(o, lambda a, b: b / a)
+    def __pow__(self, o): return self._lift(o, lambda a, b: F.pow(a, b))
+    def __mod__(self, o): return self._lift(o, lambda a, b: a % b)
+    def __neg__(self): return self._with_col(-self._colexpr)
+
+    # ------------------------------------------------------- missing data
+
+    def isna(self) -> "Series":
+        """NULL test (reference: sentinel compare, generic.py:69-73)."""
+        return self._with_col(self._colexpr.isNull())
+
+    def notna(self) -> "Series":
+        return self._with_col(self._colexpr.isNotNull())
+
+    def fillna(self, value) -> "Series":
+        return self._with_col(F.coalesce(self._colexpr, F.lit(value)))
+
+    def dropna(self) -> "Series":
+        sdf, alias = self._select()
+        out = sdf.filter(F.col(alias).isNotNull())
+        return Series._make(out, F.col(alias), self._index_cols, self.name,
+                            self._order)
+
+    # ----------------------------------------------------------- selection
+
+    def __getitem__(self, key):
+        if isinstance(key, Series):
+            # boolean-mask filter (series.py:249-252)
+            if key._sdf is self._sdf:
+                sdf, alias = self._select()
+                mask_sdf = self._sdf.filter(key._colexpr)
+                return Series._make(mask_sdf, self._colexpr, self._index_cols,
+                                    self.name, self._order)
+            raise ValueError("mask must come from the same frame lineage")
+        if isinstance(key, slice):
+            return self._slice(key)
+        raise TypeError(f"unsupported key: {type(key)}")
+
+    def filter(self, mask: "Series") -> "Series":
+        return self[mask]
+
+    def _ordered_sdf(self):
+        """sdf with a dense ordinal consistent with the logical order."""
+        sdf, alias = self._select()
+        if ORD_COL in sdf.columns:
+            return sdf, alias
+        order = [F.col(c).asc() if asc else F.col(c).desc()
+                 for c, asc in (self._order or [])] or None
+        return with_dense_ordinal(sdf, order), alias
+
+    def _slice(self, key: slice) -> "Series":
+        start = key.start or 0
+        stop = key.stop
+        step = key.step or 1
+        sdf, alias = self._ordered_sdf()
+        cond = F.col(ORD_COL) >= start
+        if stop is not None:
+            cond = cond & (F.col(ORD_COL) < stop)
+        if step != 1:
+            cond = cond & ((F.col(ORD_COL) - start) % step == 0)
+        out = sdf.filter(cond)
+        return Series._make(out, F.col(alias), self._index_cols, self.name,
+                            self._order or [(ORD_COL, True)])
+
+    def head(self, n: int = 5) -> "Series":
+        sdf, alias = self._select()
+        if self._order:
+            sdf = sdf.orderBy(*[F.col(c).asc() if a else F.col(c).desc()
+                                for c, a in self._order])
+        out = sdf.limit(n)
+        return Series._make(out, F.col(alias), self._index_cols, self.name,
+                            self._order)
+
+    def tail(self, n: int = 5) -> "Series":
+        return self._slice(slice(max(len(self) - n, 0), None))
+
+    @property
+    def iloc(self):
+        return _SeriesILoc(self)
+
+    # -------------------------------------------------------- aggregations
+
+    def _agg_expr(self, name: str) -> Column:
+        if name not in _AGG_FNS:
+            raise ValueError(f"unsupported aggregation: {name}")
+        col = self._colexpr
+        dt = self.spark_type
+        if name == "count":
+            return _AGG_FNS[name](col).cast("long")
+        if _is_numeric(dt):
+            # reference casts all numeric aggs to f64 (weld_aggs.py:3)
+            col = col.cast("double")
+        out = _AGG_FNS[name](col)
+        if name in ("sum", "prod"):
+            # empty input -> merger identity (0 / 1), not NULL, matching
+            # the reference's Weld merger semantics (weld_aggs.py:32-78)
+            out = F.coalesce(out, F.lit(0.0 if name == "sum" else 1.0))
+        return out
+
+    def _agg_scalar(self, name: str):
+        row = self._sdf.agg(self._agg_expr(name).alias("v")).first()
+        return row["v"]
+
+    def min(self): return self._agg_scalar("min")
+    def max(self): return self._agg_scalar("max")
+    def sum(self): return self._agg_scalar("sum")
+    def prod(self): return self._agg_scalar("prod")
+    def count(self): return self._agg_scalar("count")
+    def mean(self): return self._agg_scalar("mean")
+    def var(self): return self._agg_scalar("var")
+    def std(self): return self._agg_scalar("std")
+
+    def agg(self, aggregations: list) -> "Series":
+        """Multiple aggregations in ONE Spark job (the reference computes
+        a shared dependency closure, weld_aggs.py:185-268; Catalyst CSE
+        gives us the same for free)."""
+        exprs = [self._agg_expr(a).cast("double").alias(a) for a in aggregations]
+        row_df = self._sdf.agg(*exprs)
+        pairs = ", ".join(f"'{a}', `{a}`" for a in aggregations)
+        out = row_df.select(
+            F.expr(f"stack({len(aggregations)}, {pairs}) as (`{_IDX}`, `__agg__`)")
+        )
+        return Series._make(out, F.col("__agg__"), [_IDX], self.name, None)
+
+    # ----------------------------------------------------------- transforms
+
+    def astype(self, dtype) -> "Series":
+        return self._with_col(self._colexpr.cast(spark_type_of(dtype)))
+
+    def unique(self) -> "Series":
+        """Distinct values; order NOT preserved (reference hash-dict
+        semantics, weld_ops.py:529-569)."""
+        sdf, alias = self._select()
+        out = sdf.select(alias).distinct()
+        return Series._make(out, F.col(alias), [], self.name, None)
+
+    def apply(self, func, mapping: dict | None = None, new_dtype=None, **kwargs):
+        """UDF surface (series.py:441-548). Modes:
+
+        1. baloo_spark function (e.g. ``bl.sqrt``) — composes a Column
+           expression, stays JVM-side;
+        2. SQL expression template string with ``{self}`` placeholder
+           (the Spark-idiomatic analogue of the reference's raw Weld IR
+           templates, series.py:475-489) — e.g. ``'{self} * 2 + 1'``;
+        3. arbitrary Python/NumPy callable — vectorized Arrow
+           ``pandas_udf`` (the analogue of ``bl.raw(np.fn)``,
+           functions/utils.py:23-60).
+        """
+        if isinstance(func, str):
+            tmpl = func
+            if mapping:
+                tmpl = tmpl.format(self="{self}", **mapping)
+            sdf, alias = self._select("__x__")
+            expr = F.expr(tmpl.format(self="`__x__`"))
+            return Series._make(sdf, expr, self._index_cols, self.name, self._order)
+        if getattr(func, "_baloo_column_fn", False):
+            return func(self, **kwargs)
+        # eager/NumPy mode -> Arrow-vectorized pandas UDF
+        from ..functions._udf import scalar_pandas_udf
+        ret_type = spark_type_of(new_dtype) if new_dtype is not None else self.spark_type
+        _udf = scalar_pandas_udf(
+            lambda s: np.asarray(func(s.to_numpy(), **kwargs)), ret_type)
+        return self._with_col(_udf(self._colexpr))
+
+    @property
+    def str(self):
+        from .strings import StringMethods
+        return StringMethods(self)
+
+    @property
+    def values(self) -> np.ndarray:
+        sdf, alias = self._select()
+        if self._order:
+            order = [c for c, _ in self._order if c in sdf.columns]
+            if order:
+                sdf = sdf.orderBy(*[F.col(c).asc() if a else F.col(c).desc()
+                                    for c, a in self._order if c in sdf.columns])
+        return np.asarray(sdf.toPandas()[alias].to_numpy())
+
+    # ------------------------------------------------------------ evaluate
+
+    def evaluate(self) -> "Series":
+        """Force computation (one Spark action) and return a
+        materialized-backed Series (reference: series.py:270-293)."""
+        sdf, alias = self._select()
+        sdf = sdf.persist()
+        sdf.count()
+        return Series._make(sdf, F.col(alias), self._index_cols, self.name,
+                            self._order)
+
+    def to_pandas(self):
+        import pandas as pd
+        sdf, alias = self._select()
+        if self._order:
+            cols = [F.col(c).asc() if a else F.col(c).desc()
+                    for c, a in self._order if c in sdf.columns]
+            if cols:
+                sdf = sdf.orderBy(*cols)
+        pdf = sdf.toPandas()
+        idx = [c for c in self._index_cols if c in pdf.columns]
+        s = pdf.set_index(idx)[alias] if idx else pdf[alias]
+        s.name = self.name
+        if idx and idx[0] in (ORD_COL, _IDX) and len(idx) == 1:
+            s.index.name = None
+        return s
+
+
+class _SeriesILoc:
+    """Positional lookup (core/indexing.py:9-54)."""
+
+    def __init__(self, sr: Series):
+        self._sr = sr
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            sdf, alias = self._sr._ordered_sdf()
+            row = sdf.filter(F.col(ORD_COL) == key).select(alias).first()
+            if row is None:
+                raise IndexError(f"iloc index {key} out of range")
+            return row[alias]
+        if isinstance(key, slice):
+            return self._sr._slice(key)
+        if isinstance(key, (list, np.ndarray)):
+            # gather by ordinal list via broadcast join (weld_ops.py:333-367)
+            sdf, alias = self._sr._ordered_sdf()
+            spark = sdf.sparkSession
+            want = spark.createDataFrame(
+                [(int(i), int(p)) for p, i in enumerate(key)],
+                f"{ORD_COL} LONG, __pos__ LONG")
+            out = (sdf.join(F.broadcast(want), ORD_COL)
+                   .drop(ORD_COL).withColumnRenamed("__pos__", ORD_COL))
+            return Series._make(out, F.col(alias), self._sr._index_cols,
+                                self._sr.name, [(ORD_COL, True)])
+        raise TypeError(f"unsupported iloc key: {type(key)}")

@@ -1,0 +1,129 @@
+"""String methods: ``sr.str.*`` accessor.
+
+Reference: ``baloo/core/strings.py`` (API) -> ``baloo/weld/weld_str.py``
+(633 LoC of hand-rolled per-byte Weld loops). Every method here is a
+built-in JVM-side Column expression (whole-stage codegen) — no Python
+in the hot path. Semantics follow the reference where they differ
+from Spark defaults (capitalize, replace-first-only, split-side,
+find with bounds, get with negative index / out-of-range -> NULL).
+
+The reference is ASCII-bytes-only (encoders.py:10-11); we operate on
+full unicode strings — a strict superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class StringMethods:
+    def __init__(self, sr):
+        self._sr = sr
+
+    def _map(self, fn, name=None):
+        return self._sr._with_col(fn(self._sr._colexpr), name)
+
+    # strings.py:12-30 -> weld_str.py:6-73
+    def lower(self):
+        return self._map(F.lower)
+
+    def upper(self):
+        return self._map(F.upper)
+
+    def capitalize(self):
+        """First char upper, rest lower (strings.py:32-40). NOT
+        F.initcap (which capitalizes every word)."""
+        return self._map(lambda c: F.concat(
+            F.upper(F.substring(c, 1, 1)),
+            F.lower(c.substr(F.lit(2), F.length(c)))))
+
+    def get(self, i: int):
+        """i-th char; negative i from the end; out-of-range -> NULL
+        (strings.py:42-56, tests/core/test_series_str.py:14-15)."""
+        def fn(c):
+            if i >= 0:
+                ch = F.substring(c, i + 1, 1)
+            else:
+                ch = c.substr(F.length(c) + i + 1, F.lit(1))
+            return F.when(F.length(c) > abs(i) - (1 if i < 0 else 0), ch) \
+                if i < 0 else F.when(F.length(c) > i, ch)
+        return self._map(fn)
+
+    def strip(self):
+        """Trim ASCII spaces both ends (strings.py:58-68)."""
+        return self._map(F.trim)
+
+    def slice(self, start: int = 0, stop: int | None = None, step: int = 1):
+        """Per-element substring with step (strings.py:70-93; no
+        negative step)."""
+        if step < 1:
+            raise ValueError("step must be >= 1")
+
+        def fn(c):
+            if stop is None:
+                sub = c.substr(F.lit(start + 1), F.length(c))
+            else:
+                sub = F.substring(c, start + 1, max(stop - start, 0))
+            if step == 1:
+                return sub
+            # stay JVM-side: split to chars, keep every step-th, rejoin
+            chars = F.filter(F.split(sub, ""), lambda x, i: (i % step) == 0)
+            return F.array_join(chars, "")
+        return self._map(fn)
+
+    def contains(self, pat: str):
+        """Literal substring test (strings.py:95-109) — no regex."""
+        return self._map(lambda c: c.contains(pat))
+
+    def startswith(self, pat: str):
+        return self._map(lambda c: c.startswith(pat))
+
+    def endswith(self, pat: str):
+        return self._map(lambda c: c.endswith(pat))
+
+    def find(self, sub: str, start: int = 0, end: int | None = None):
+        """First index of ``sub`` in [start, end), else -1
+        (strings.py:143-169)."""
+        def fn(c):
+            hay = c if end is None else F.substring(c, 1, end)
+            loc = F.locate(sub, hay, start + 1)
+            return (loc - 1).cast("long")
+        return self._map(fn)
+
+    def replace(self, pat: str, rep: str):
+        """Replace FIRST occurrence only (strings.py:171-188) — literal,
+        not regex; implemented with locate + concat to avoid regex
+        escaping entirely."""
+        def fn(c):
+            pos = F.locate(pat, c)
+            return F.when(
+                pos > 0,
+                F.concat(c.substr(F.lit(1), pos - 1),
+                         F.lit(rep),
+                         c.substr(pos + len(pat), F.length(c)))
+            ).otherwise(c)
+        return self._map(fn)
+
+    def split(self, pat: str, side: str = "left"):
+        """Split at FIRST occurrence of ``pat``; return left or right
+        part (strings.py:190-219). No match: left -> whole string,
+        right -> NULL."""
+        def fn(c):
+            pos = F.locate(pat, c)
+            if side == "left":
+                return F.when(pos > 0, c.substr(F.lit(1), pos - 1)).otherwise(c)
+            if side == "right":
+                return F.when(pos > 0, c.substr(pos + len(pat), F.length(c)))
+            raise ValueError("side must be 'left' or 'right'")
+        return self._map(fn)
+
+    # ------------------------------------------------ engine extensions
+
+    def length(self):
+        return self._map(F.length)
+
+    def regexp_extract(self, pattern: str, group: int = 0):
+        return self._map(lambda c: F.regexp_extract(c, pattern, group))
+
+    def regexp_replace(self, pattern: str, rep: str):
+        return self._map(lambda c: F.regexp_replace(c, pattern, rep))

@@ -1,0 +1,59 @@
+"""IO: sources and sinks.
+
+Reference has eager pandas-delegating CSV only (``baloo/io/csv.py``);
+we read with Spark's native distributed readers (predicate pushdown +
+column pruning reach the scan) and add parquet/json — free via Spark,
+flagged as extensions (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core.frame import DataFrame
+from ..core.dtypes import spark_type_of
+from ..session import get_session
+
+
+def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
+             names: list | None = None, usecols: list | None = None,
+             dtype=None, skiprows: int = 0, nrows: int | None = None) -> DataFrame:
+    """CSV source (reference signature, io/csv.py:6-52) via
+    ``spark.read.csv`` — distributed, schema-inferred."""
+    spark = get_session()
+    reader = spark.read.option("sep", sep).option(
+        "header", header is not None and header is not False).option(
+        "inferSchema", True)
+    sdf = reader.csv(filepath)
+    if names:
+        sdf = sdf.toDF(*names)
+    if skiprows:
+        # positional skip: the reference skips file rows; emulate via offset
+        sdf = sdf.offset(skiprows)
+    if nrows is not None:
+        sdf = sdf.limit(nrows)
+    if usecols:
+        sdf = sdf.select(*usecols)
+    if dtype:
+        if isinstance(dtype, dict):
+            for c, t in dtype.items():
+                sdf = sdf.withColumn(c, F.col(c).cast(spark_type_of(t)))
+        else:
+            t = spark_type_of(dtype)
+            sdf = sdf.select(*[F.col(c).cast(t) for c in sdf.columns])
+    return DataFrame.from_spark(sdf)
+
+
+def read_parquet(filepath: str, columns: list | None = None) -> DataFrame:
+    """Parquet source (extension; the driver's testdata format).
+    Column selection here prunes at the scan (ReadSchema)."""
+    spark = get_session()
+    sdf = spark.read.parquet(filepath)
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame.from_spark(sdf)
+
+
+def read_json(filepath: str) -> DataFrame:
+    spark = get_session()
+    return DataFrame.from_spark(spark.read.json(filepath))

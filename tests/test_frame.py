@@ -1,0 +1,120 @@
+"""DataFrame operator tests (mirrors reference tests/core/test_frame.py)."""
+
+import numpy as np
+import pytest
+
+from conftest import sorted_records
+
+
+def test_getitem_select(df_small):
+    assert df_small["a"].to_pandas().tolist() == [1, 2, 3, 4, 5]
+    sub = df_small[["a", "b"]]
+    assert sub.columns == ["a", "b"]
+    with pytest.raises(KeyError):
+        df_small["missing"]
+    with pytest.raises(KeyError):
+        df_small[["a", "missing"]]
+
+
+def test_mask_filter(df_small):
+    out = df_small[(df_small["a"] > 1) & (df_small["b"] < 5)]
+    pdf = out.to_pandas()
+    assert pdf["a"].tolist() == [2.0, 3.0, 4.0]
+    assert pdf.index.tolist() == [1, 2, 3]
+
+
+def test_setitem_scalar_and_expr(df_small):
+    df_small["d"] = df_small["a"] * 2 + 1
+    df_small["e"] = 7
+    pdf = df_small.to_pandas()
+    assert pdf["d"].tolist() == [3.0, 5.0, 7.0, 9.0, 11.0]
+    assert pdf["e"].tolist() == [7] * 5
+
+
+def test_frame_arithmetic_drops_strings(df_small):
+    out = df_small * 2
+    assert out.columns == ["a", "b"]  # str col c dropped (frame.py:1309-1323)
+    assert out.to_pandas()["a"].tolist() == [2.0, 4.0, 6.0, 8.0, 10.0]
+
+
+def test_head_tail_slice(df_small):
+    assert df_small.head(2).to_pandas()["a"].tolist() == [1.0, 2.0]
+    assert df_small.tail(2).to_pandas()["a"].tolist() == [4.0, 5.0]
+    assert df_small[1:3].to_pandas()["a"].tolist() == [2.0, 3.0]
+    assert df_small.iloc[1:3].to_pandas()["a"].tolist() == [2.0, 3.0]
+
+
+def test_sort_values(df_small):
+    out = df_small.sort_values("a", ascending=False)
+    assert out.to_pandas()["a"].tolist() == [5.0, 4.0, 3.0, 2.0, 1.0]
+    # multi-key (engine extension; reference caps at 1 key)
+    df = df_small
+    df["g"] = (df["b"] % 2 == 0).astype("int32")
+    out = df.sort_values(["g", "a"], ascending=[True, False]).to_pandas()
+    assert out["a"].tolist() == [5.0, 3.0, 1.0, 4.0, 2.0]
+
+
+def test_agg_frame(df_small):
+    out = df_small.agg(["min", "max", "sum"]).to_pandas()
+    assert out.loc["min", "a"] == 1.0
+    assert out.loc["max", "b"] == 5.0
+    assert out.loc["sum", "a"] == 15.0
+
+
+def test_column_wise_agg_row(df_small):
+    s = df_small.mean().to_pandas()
+    assert s["a"] == 3.0 and s["b"] == 3.0
+
+
+def test_rename_drop(df_small):
+    out = df_small.rename({"a": "alpha"})
+    assert "alpha" in out.columns and "a" not in out.columns
+    out2 = df_small.drop("c")
+    assert out2.columns == ["a", "b"]
+    with pytest.raises(KeyError):
+        df_small.drop("zzz")  # parity: Spark drop is silent, ours raises
+
+
+def test_reset_set_index(df_small):
+    r = df_small.reset_index()
+    assert "index" in r.columns or r.index_names == []
+    s = df_small.set_index("b")
+    assert s.index_names == ["b"]
+    assert "b" not in s.columns
+
+
+def test_fillna_dropna(bl):
+    df = bl.DataFrame({"x": [1.0, None, 3.0], "y": ["a", "b", None]})
+    assert len(df.dropna()) == 1
+    assert len(df.dropna(subset=["x"])) == 2
+    pdf = df.fillna({"x": 0.0, "y": "?"}).to_pandas()
+    assert pdf["x"].tolist() == [1.0, 0.0, 3.0]
+    assert pdf["y"].tolist() == ["a", "b", "?"]
+
+
+def test_drop_duplicates_keeps(df_dupl):
+    got = sorted_records(df_dupl.drop_duplicates(subset=["a", "b"], keep="min"))
+    assert got == sorted_records(df_dupl.to_pandas().groupby(["a", "b"], as_index=False)["c"].min())
+    got_sum = df_dupl.drop_duplicates(subset=["b"], keep="+").to_pandas()
+    got_sum = got_sum.reset_index().sort_values("b")
+    assert got_sum["c"].tolist() == [1.0, 5.0, 9.0]
+
+
+def test_astype_dict(df_small):
+    out = df_small.astype({"a": "float64", "b": "int32"})
+    assert out.dtypes["a"] == np.dtype("float64")
+    assert out.dtypes["b"] == np.dtype("int32")
+
+
+def test_set_ops(bl):
+    a = bl.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64)})
+    b = bl.DataFrame({"k": np.array([2, 3, 4], dtype=np.int64)})
+    assert sorted(a.concat(b).to_pandas()["k"].tolist()) == [1, 2, 2, 3, 3, 4]
+    assert sorted(a.intersect(b).to_pandas()["k"].tolist()) == [2, 3]
+    assert sorted(a.except_(b).to_pandas()["k"].tolist()) == [1]
+
+
+def test_evaluate_idempotent(df_small):
+    out = df_small[(df_small["a"] > 1)].evaluate()
+    assert len(out) == 4
+    assert len(out.evaluate()) == 4

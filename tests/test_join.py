@@ -1,0 +1,80 @@
+"""Join tests (mirrors reference tests/core/test_join.py:11-93 —
+partial key overlap exercising inner/left/right/outer null rows)."""
+
+import numpy as np
+
+from conftest import sorted_records
+
+
+def recs(df):
+    pdf = df.to_pandas().reset_index()
+    return sorted(pdf.to_dict("records"),
+                  key=lambda r: (r["a"] is None, str(r["a"])))
+
+
+def test_merge_inner(df1, df2):
+    out = recs(df1.merge(df2, how="inner", on="a"))
+    assert [r["a"] for r in out] == [1, 3]
+    assert [r["b_x"] for r in out] == [2.0, 4.0]
+    assert [r["b_y"] for r in out] == [3.0, 4.0]
+    assert [r["c"] for r in out] == [4, 5]
+
+
+def test_merge_left_nulls(df1, df2):
+    out = recs(df1.merge(df2, how="left", on="a"))
+    assert [r["a"] for r in out] == [0, 1, 2, 3, 4]
+    c = {r["a"]: r["c"] for r in out}
+    assert c[1] == 4 and c[3] == 5
+    assert np.isnan(c[0]) and np.isnan(c[2]) and np.isnan(c[4])
+
+
+def test_merge_right(df1, df2):
+    out = recs(df1.merge(df2, how="right", on="a"))
+    assert [r["a"] for r in out] == [1, 3, 5]
+    bx = {r["a"]: r["b_x"] for r in out}
+    assert np.isnan(bx[5])
+
+
+def test_merge_outer_coalesced_keys(df1, df2):
+    out = recs(df1.merge(df2, how="outer", on="a"))
+    assert [r["a"] for r in out] == [0, 1, 2, 3, 4, 5]
+
+
+def test_merge_suffixes(df1, df2):
+    out = df1.merge(df2, on="a", suffixes=("_l", "_r"))
+    assert "b_l" in out.columns and "b_r" in out.columns
+
+
+def test_merge_result_indexed_by_on(df1, df2):
+    out = df1.merge(df2, on="a")
+    assert out.index_names == ["a"]  # frame.py:904-906
+
+
+def test_merge_unsorted_keys(bl, df2):
+    # reference pre-sorts unsorted keys (frame.py:865-870); Catalyst
+    # needs no precondition — verify same result from permuted input
+    left = bl.DataFrame({"a": np.array([4, 0, 3, 1, 2], dtype=np.int64),
+                         "b": np.array([5, 1, 4, 2, 3], dtype=np.float32)})
+    out = recs(left.merge(df2, how="inner", on="a", is_on_sorted=False))
+    assert [r["a"] for r in out] == [1, 3]
+    assert [r["b_x"] for r in out] == [2.0, 4.0]
+
+
+def test_join_on_index(bl):
+    l = bl.DataFrame({"v": np.array([1., 2., 3.])},
+                     index=np.array([0, 1, 2], dtype=np.int64))
+    l = l.reset_index().rename({"index": "k"}).set_index("k")
+    r = bl.DataFrame({"w": np.array([10., 20.])},
+                     index=np.array([1, 2], dtype=np.int64))
+    r = r.reset_index().rename({"index": "k"}).set_index("k")
+    out = l.join(r, how="left").to_pandas().reset_index()
+    out = sorted(out.to_dict("records"), key=lambda x: x["k"])
+    assert [o["k"] for o in out] == [0, 1, 2]
+    assert np.isnan(out[0]["w"]) and out[1]["w"] == 10.0
+
+
+def test_broadcast_hint(df1, df2):
+    # algorithm='hash' maps to a broadcast hint (SURVEY §2.3)
+    out = df1.merge(df2, on="a", algorithm="hash")
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

@@ -1,0 +1,119 @@
+"""Series operator tests — golden values mirror the reference's
+tests/core/test_series.py (5-row fixtures, hand-computed expecteds)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def sr(bl):
+    return bl.Series(np.array([1, 2, 3, 4, 5], dtype=np.int64), name="x")
+
+
+def test_len(sr):
+    assert len(sr) == 5
+
+
+def test_comparisons(sr):
+    assert (sr > 3).to_pandas().tolist() == [False, False, False, True, True]
+    assert (sr <= 2).to_pandas().tolist() == [True, True, False, False, False]
+    assert (sr == 3).to_pandas().tolist() == [False, False, True, False, False]
+    assert (sr != 3).to_pandas().tolist() == [True, True, False, True, True]
+
+
+def test_bool_combinators(sr):
+    m = (sr > 1) & (sr < 5)
+    assert m.to_pandas().tolist() == [False, True, True, True, False]
+    m2 = (sr == 1) | (sr == 5)
+    assert m2.to_pandas().tolist() == [True, False, False, False, True]
+    assert (~m2).to_pandas().tolist() == [False, True, True, True, False]
+
+
+def test_filter_mask(sr):
+    out = sr[(sr > 1) & (sr < 5)]
+    assert out.to_pandas().tolist() == [2, 3, 4]
+
+
+def test_arithmetic(sr):
+    assert (sr * 2 + 1 - 23).to_pandas().tolist() == [-20, -18, -16, -14, -12]
+    assert (sr / 2).to_pandas().tolist() == [0.5, 1.0, 1.5, 2.0, 2.5]
+    assert (sr ** 2).to_pandas().tolist() == [1, 4, 9, 16, 25]
+    assert (10 - sr).to_pandas().tolist() == [9, 8, 7, 6, 5]
+
+
+def test_series_series_arithmetic_same_frame(bl):
+    df = bl.DataFrame({"a": np.array([1., 2., 3.]), "b": np.array([10., 20., 30.])})
+    out = df["a"] + df["b"]
+    assert out.to_pandas().tolist() == [11.0, 22.0, 33.0]
+
+
+def test_series_series_cross_frame_positional(bl):
+    a = bl.Series(np.array([1, 2, 3], dtype=np.int64))
+    b = bl.Series(np.array([10, 20, 30], dtype=np.int64))
+    out = (a + b).to_pandas().tolist()
+    assert sorted(out) == [11, 22, 33]
+
+
+def test_aggregations(sr):
+    assert sr.sum() == 15.0
+    assert sr.min() == 1.0
+    assert sr.max() == 5.0
+    assert sr.prod() == 120.0
+    assert sr.count() == 5
+    assert sr.mean() == 3.0
+    # sample variance (weld_aggs.py:113-151): sum((x-3)^2)/4 = 10/4
+    assert sr.var() == pytest.approx(2.5)
+    assert sr.std() == pytest.approx(np.sqrt(2.5))
+
+
+def test_multi_agg_one_job(sr):
+    out = sr.agg(["min", "max", "mean", "std"]).to_pandas()
+    assert out["min"] == 1.0
+    assert out["max"] == 5.0
+    assert out["mean"] == 3.0
+    assert out["std"] == pytest.approx(np.sqrt(2.5))
+
+
+def test_head_tail_slice_iloc(sr):
+    assert sr.head(2).to_pandas().tolist() == [1, 2]
+    assert sr.tail(2).to_pandas().tolist() == [4, 5]
+    assert sr[1:4].to_pandas().tolist() == [2, 3, 4]
+    assert sr[0:5:2].to_pandas().tolist() == [1, 3, 5]
+    assert sr.iloc[3] == 4
+    assert sorted(sr.iloc[[0, 2]].to_pandas().tolist()) == [1, 3]
+
+
+def test_astype(sr):
+    assert sr.astype("float64").dtype == np.dtype(np.float64)
+    assert sr.astype(np.float32).to_pandas().tolist() == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_unique(bl):
+    sr = bl.Series(np.array([3, 1, 2, 1, 3], dtype=np.int64))
+    assert sorted(sr.unique().to_pandas().tolist()) == [1, 2, 3]
+
+
+def test_missing(bl):
+    sr = bl.DataFrame({"x": [1.0, None, 3.0]})["x"]
+    assert sr.isna().to_pandas().tolist() == [False, True, False]
+    assert sr.notna().to_pandas().tolist() == [True, False, True]
+    assert sr.fillna(-1.0).to_pandas().tolist() == [1.0, -1.0, 3.0]
+    assert sr.dropna().to_pandas().tolist() == [1.0, 3.0]
+
+
+def test_apply_modes(bl, sr):
+    # mode 1: predefined lazy function
+    assert sr.astype("float64").apply(bl.sqrt).to_pandas().tolist() == \
+        pytest.approx([1, np.sqrt(2), np.sqrt(3), 2, np.sqrt(5)])
+    # mode 3: SQL expression template (Weld-IR template analogue)
+    assert sr.apply("{self} * 2 + 1").to_pandas().tolist() == [3, 5, 7, 9, 11]
+    # mode 5/6: eager numpy via pandas_udf
+    out = sr.apply(lambda a: a * 10, new_dtype="int64").to_pandas().tolist()
+    assert out == [10, 20, 30, 40, 50]
+
+
+def test_index_preserved_through_filter(bl):
+    sr = bl.Series(np.array([10., 20., 30.]), index=np.array([7, 8, 9]), name="v")
+    out = sr[sr > 15].to_pandas()
+    assert out.index.tolist() == [8, 9]
+    assert out.tolist() == [20.0, 30.0]

@@ -1,0 +1,62 @@
+"""String method tests — golden values mirror the reference's
+tests/core/test_series_str.py:9-43 on the same fixture strings."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def sr(bl):
+    return bl.Series(np.array(["a", "Abc", "goosfraba", "   dC  ", "secrETariat"]),
+                     name="c")
+
+
+def vals(s):
+    return s.to_pandas().tolist()
+
+
+def test_lower_upper(sr):
+    assert vals(sr.str.lower()) == ["a", "abc", "goosfraba", "   dc  ", "secretariat"]
+    assert vals(sr.str.upper()) == ["A", "ABC", "GOOSFRABA", "   DC  ", "SECRETARIAT"]
+
+
+def test_capitalize(sr):
+    # first char upper, rest lower — NOT initcap
+    assert vals(sr.str.capitalize()) == ["A", "Abc", "Goosfraba", "   dc  ", "Secretariat"]
+
+
+def test_get(sr):
+    assert vals(sr.str.get(1)) == [None, "b", "o", " ", "e"]
+    assert vals(sr.str.get(-2)) == [None, "b", "b", " ", "a"]  # negative index
+
+
+def test_strip(sr):
+    assert vals(sr.str.strip()) == ["a", "Abc", "goosfraba", "dC", "secrETariat"]
+
+
+def test_slice(sr):
+    assert vals(sr.str.slice(1, 3)) == ["", "bc", "oo", "  ", "ec"]
+    assert vals(sr.str.slice(1, 5, 2)) == ["", "b", "os", " d", "er"]
+
+
+def test_contains_startswith_endswith(sr):
+    assert vals(sr.str.contains("ab")) == [False, False, True, False, False]
+    assert vals(sr.str.startswith("go")) == [False, False, True, False, False]
+    assert vals(sr.str.endswith("t")) == [False, False, False, False, True]
+
+
+def test_find(sr):
+    assert vals(sr.str.find("a")) == [0, -1, 6, -1, 6]
+    assert vals(sr.str.find("a", 1)) == [-1, -1, 6, -1, 6]
+    assert vals(sr.str.find("a", 0, 3)) == [0, -1, -1, -1, -1]
+
+
+def test_replace_first_only(sr):
+    assert vals(sr.str.replace("a", "X")) == \
+        ["X", "Abc", "goosfrXba", "   dC  ", "secrETXriat"]
+
+
+def test_split(sr):
+    assert vals(sr.str.split("b", "left")) == \
+        ["a", "A", "goosfra", "   dC  ", "secrETariat"]
+    assert vals(sr.str.split("b", "right")) == [None, "c", "a", None, None]
