@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the point of each strategy at 100 TB):
+
+- **exact**: one hash-groupBy shuffle on a 32-char key; AQE coalesces
+  the post-shuffle partitions. The only full-data shuffle in the file.
+- **MinHash+LSH**: k permutations of murmur shingle hashes -> b bands;
+  candidate generation is groupBy(band, band_hash) — documents only
+  meet if they collide in >=1 band, so the cross-product never
+  materializes. Verification joins shingle sets for candidates only.
+- **SimHash**: 64-bit signature per doc computed in ONE groupBy over
+  exploded tokens (64 conditional sums = map-side combine friendly);
+  near-dup candidates via 4x16-bit band collisions, verified with
+  bit_count(xor) <= radius (both JVM intrinsics).
+- **n-gram Jaccard**: exact verifier, also standalone for small
+  blocks; array_intersect/array_union stay JVM-side.
+- **embedding cosine**: see similarity.py; near-dup = cos >= tau.
+
+All shingling/hashing is built-in-function only — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic permutation parameters for MinHash (fixed seeds)
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(k: int):
+    # fixed LCG so signatures are reproducible across runs/engines;
+    # params kept to 31 bits so a*h fits in a signed long even with
+    # ANSI overflow checking on (h is reduced to 31 bits too)
+    params = []
+    x = 0x243F6A8885A308D3
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x >> 16) & 0x7FFFFFFF
+        y = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (y >> 16) & 0x7FFFFFFF
+        params.append((a | 1, b))
+    return params
+
+
+def shingles(col, n: int = 3):
+    """Character n-gram shingle array (distinct), JVM-side:
+    transform(sequence(1, len-n+1), i -> substring(text, i, n))."""
+    return F.array_distinct(
+        F.expr(f"transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
+               f"i -> substring({col}, i, {n}))"))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized-text md5: one hash aggregation.
+    Returns one row per distinct content with the kept (min) id and
+    the duplicate count."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    return (df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).cast("long").alias("n_copies")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 64,
+                       n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    sig_j = min over shingles s of (a_j * h(s) + b_j) mod M61, with
+    h = xxhash64. Entirely array expressions — one narrow map stage.
+    """
+    sh = shingles(text_col, n)
+    # reduce shingle hashes to 31 bits: (31b a) * (31b h) + (31b b)
+    # stays under 2^63, overflow-safe under ANSI mode
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+
+    def _perm(a, b):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+
+    sig = F.array(*[
+        F.array_min(F.transform(hashed, _perm(a, b)))
+        for a, b in _perm_params(k)
+    ])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 64, bands: int = 16,
+                      n: int = 3, threshold: float = 0.5,
+                      verify: bool = True) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    k/bands rows per band; two docs become candidates iff a whole band
+    matches. With k=64, b=16 (r=4) the LSH S-curve crosses ~0.5 — tune
+    (k, bands) for the target threshold. ``verify`` recomputes exact
+    shingle Jaccard for candidates and filters by ``threshold``.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    band_rows = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("signature", i * r + j + 1).cast("string")
+                                for j in range(r)])).alias("bhash"))
+            for i in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    cand = (left.join(right, ["band", "bhash"])
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+    if not verify:
+        return cand
+
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    out = (cand
+           .join(sh.withColumnRenamed(id_col, "id_a")
+                 .withColumnRenamed("sh", "sh_a"), "id_a")
+           .join(sh.withColumnRenamed(id_col, "id_b")
+                 .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.4,
+                        block_col=None) -> DataFrame:
+    """Exact n-gram Jaccard similarity over document pairs.
+
+    Without ``block_col`` this is a cross join — only for bounded
+    subsets (the caller filters first). At scale pass a blocking
+    column (e.g. an LSH band or language) so the join is equi on the
+    block: pairs only form within blocks.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *([block_col] if block_col else []),
+        shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"),
+                  *([F.col(block_col).alias("__blk__")] if block_col else []),
+                  F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"),
+                  *([F.col(block_col).alias("__blk2__")] if block_col else []),
+                  F.col("sh").alias("sh_b"))
+    joined = (a.join(b, F.col("__blk__") == F.col("__blk2__"))
+              if block_col else a.crossJoin(b))
+    joined = joined.where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(0.0)
+    return (joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    One explode + one groupBy: per bit position i, sum +1/-1 of token
+    hash bit i; signature bit i set iff the sum is positive. The 64
+    conditional sums combine map-side, so the shuffle carries 64 longs
+    per doc regardless of document size.
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), "\\s+"),
+                    lambda x: x != F.lit(""))
+    tok = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    tok = tok.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else \
+            F.when(F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", radius: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= radius.
+
+    Candidates via band collision with radius+1 disjoint bit chunks:
+    by pigeonhole any pair within distance <= radius shares at least
+    one unchanged chunk. Verified with bit_count(xor) — both JVM
+    intrinsics. Larger radius => narrower chunks => more candidates;
+    keep radius small (<=8) at scale.
+    """
+    n_bands = radius + 1
+    # chunk boundaries over 64 bits, last chunk absorbs the remainder
+    base = 64 // n_bands
+    bounds = [(i * base, base if i < n_bands - 1 else 64 - (n_bands - 1) * base)
+              for i in range(n_bands)]
+    sigs = simhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), off)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"))
+            for i, (off, width) in enumerate(bounds)
+        ])).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.chunk")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (l.join(r, ["band", "chunk"])
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col("l.simhash").alias("sig_a"),
+                    F.col("r.simhash").alias("sig_b"))
+            .distinct())
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.select("id_a", "id_b", dist.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= radius))
+
+
+def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         threshold: float = 0.95,
+                         block: bool = True, planes: int = 8) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold.
+
+    ``block=True`` buckets by random-hyperplane signature first (an
+    LSH prefilter) so only same-bucket pairs are compared; near-
+    identical vectors collide with high probability. block=False is
+    the exact (quadratic) path for bounded inputs.
+    """
+    from .similarity import cosine_expr, hyperplane_sig
+    v = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    if block:
+        v = v.withColumn("__sig__", hyperplane_sig("v", planes))
+        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     F.col("__sig__").alias("sa"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     F.col("__sig__").alias("sb"))
+        joined = a.join(b, F.col("sa") == F.col("sb"))
+    else:
+        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        joined = a.crossJoin(b)
+    joined = joined.where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr("va", "vb")
+    return (joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold))

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same results contract (query_id, neighbor_id, cosine):
+
+- **brute_force_topk** — exact baseline: broadcast the (small) query
+  set against the corpus, cosine entirely in JVM expressions
+  (zip_with + aggregate), per-query top-k via a window over the
+  query partition. Scales linearly in corpus size: the corpus is
+  never shuffled, only the broadcast queries touch every partition.
+- **lsh_topk** — scale path: random-hyperplane signatures bucket the
+  corpus; each query probes buckets within Hamming distance
+  ``probe_radius`` of its own signature (multi-probe), so only a
+  corpus fraction is scored. Approximate: recall tuned by
+  planes/probe_radius.
+
+For million-dim or billion-row regimes the brute kernel can swap to a
+numpy matmul inside ``mapInPandas`` without changing the contract —
+kept JVM-side here because testdata dims (~64) favor codegen over
+Arrow transfer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed pseudo-random hyperplanes: deterministic, seedless runtime
+_PLANE_SEED = 0x5DEECE66D
+
+
+def cosine_expr(a: str, b: str):
+    """cosine(a, b) as a Column over two array<float/double> columns —
+    zip_with dot product + aggregate norms, all codegen'd."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                 f"0D, (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(0.0)
+
+
+def hyperplane_sig(vec_col: str, planes: int = 8):
+    """Random-hyperplane LSH signature (int bitmask).
+
+    Plane p's normal is a deterministic +/-1 vector derived from
+    xxhash64(dim_index, p) — no stored model, identical across runs.
+    Bit p = sign(dot(vec, plane_p)).
+    """
+    bits = []
+    for p in range(planes):
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(v, i) -> CAST(v AS DOUBLE) * (CAST(xxhash64(i, {p + 17}) % 2 AS DOUBLE) * 2 + 1)), "
+            f"0D, (acc, x) -> acc + x)")
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, cosine),
+    ties broken by neighbor_id for determinism."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   F.col(vec_col).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = c.join(q, F.col("query_id") != F.col("neighbor_id")) \
+        .select("query_id", "neighbor_id",
+                F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             planes: int = 8, probe_radius: int = 1) -> DataFrame:
+    """Approximate cosine top-k via hyperplane LSH bucketing.
+
+    The corpus is hashed once (one narrow map) and joined on bucket
+    signature; queries multi-probe all signatures within Hamming
+    distance <= probe_radius (planes+1 probes at radius 1), trading
+    recall for a ~2^planes reduction in scored candidates.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")) \
+        .withColumn("bucket", hyperplane_sig("cv", planes))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv")) \
+        .withColumn("sig", hyperplane_sig("qv", planes))
+    # multi-probe: own bucket + all single-bit flips within radius
+    probes = [F.col("sig")]
+    if probe_radius >= 1:
+        probes += [F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    scored = (q.join(c, "bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))

@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (SURVEY.md §7 step 9): language ID,
+quality scoring, token counting, document fingerprinting — each a
+pure JVM-side Column pipeline (no Python UDFs in the hot path), so at
+100 TB these run inside whole-stage codegen right after the parquet
+scan with full predicate pushdown upstream.
+
+Every function takes/returns plain Spark DataFrames so they compose
+with both the baloo_spark wrapper (via ``to_spark``/``from_spark``)
+and raw Spark pipelines. Formulas are deliberately expressible in
+ANSI SQL so the DuckDB oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed stopword lists: enough signal for n-gram-free heuristic
+# language ID and stopword-ratio quality scoring. Deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "por", "con", "para"],
+}
+
+PUNCT_CHARS = ".,!?;:"
+
+_TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _tokens(col):
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(F.trim(col), "\\s+"), lambda x: x != F.lit(""))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (letter runs,
+    digit runs, single punctuation — a regex approximation of a BPE
+    pre-tokenizer)."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(_tokens(c)).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(_TOKEN_REGEX), F.lit(0)))
+        .cast("long").alias("n_subtokens"),
+        F.length(c).cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   lang: str = "en") -> DataFrame:
+    """Heuristic document quality: length, mean token length,
+    punctuation density, stopword ratio, uppercase ratio, and a
+    composite score in [0, 1]. All ratios NULL-safe for empty docs."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    sw = STOPWORDS[lang]
+    lowered = F.transform(toks, F.lower)
+    n_stop = F.size(F.filter(lowered, lambda x: x.isin(*sw)))
+    n_punct = n_chars - F.length(F.translate(c, PUNCT_CHARS, ""))
+    n_upper = n_chars - F.length(
+        F.translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
+
+    avg_tok_len = F.when(n_tok > 0,
+                         (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0)
+
+    # composite: reward stopword presence + moderate token length,
+    # penalize punctuation soup and shouting. Clamped to [0,1].
+    score = (
+        F.lit(0.35) * F.least(stop_ratio * 3, F.lit(1.0))
+        + F.lit(0.25) * F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), 1.0).otherwise(0.0)
+        + F.lit(0.2) * F.when(punct_ratio < 0.1, 1.0).otherwise(0.0)
+        + F.lit(0.2) * F.when(upper_ratio < 0.3, 1.0).otherwise(0.0)
+    )
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per language,
+    argmax with deterministic tie-break on language code. A proper
+    n-gram model would be a broadcast lookup table + the same argmax —
+    this keeps the plumbing identical and the answer deterministic."""
+    c = F.col(text_col)
+    lowered = F.transform(_tokens(c), F.lower)
+    hit_cols = []
+    out = df
+
+    def _in(words):
+        return lambda x: x.isin(*words)
+
+    for lang, words in sorted(STOPWORDS.items()):
+        out = out.withColumn(
+            f"__hits_{lang}", F.size(F.filter(lowered, _in(words))))
+        hit_cols.append(f"__hits_{lang}")
+    best = F.greatest(*[F.col(h) for h in hit_cols])
+    pred = F.lit("und")
+    # reverse order so earlier language wins ties (deterministic)
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((F.col(f"__hits_{lang}") == best) & (best > 0),
+                      lang).otherwise(pred)
+    return out.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the canonical exact-dedup key. md5 is identical across
+    Spark and DuckDB, so the oracle replays it bit-for-bit."""
+    c = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

@@ -35,6 +35,13 @@ _DEFAULTS = {
     # relative to fact tables at every SF.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # the events testdata carries TIMESTAMP(NANOS) which the vectorized
+    # reader rejects; read as long and convert (streaming/events.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # reference semantics: numeric ops wrap/saturate silently (NumPy /
+    # Weld behavior), they don't raise — match DuckDB's non-ANSI
+    # division/overflow behavior for oracle parity too
+    "spark.sql.ansi.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }

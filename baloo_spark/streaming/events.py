@@ -1,0 +1,116 @@
+"""Structured Streaming operators over the events table.
+
+The reference has NO streaming (grep-verified, SURVEY.md §2.9) — this
+is pure extension territory. Each operator here has two faces with
+identical semantics:
+
+- a **batch** face (plain DataFrame in/out) used by the correctness
+  oracle (DuckDB replays the same SQL), and
+- a **streaming** face (readStream -> writeStream) with watermarks,
+  exercised in tests via file-source + availableNow trigger.
+
+Windowing is done on epoch-second arithmetic (floor(epoch/width))
+rather than F.window structs so batch, streaming, and the DuckDB
+oracle produce byte-identical grouping keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+                 "event_type STRING, value DOUBLE, props STRING")
+
+# raw file schema: ts is TIMESTAMP(NANOS) read as long nanos
+_RAW_SCHEMA = ("event_id LONG, ts LONG, user_id LONG, "
+               "event_type STRING, value DOUBLE, props STRING")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table. The file stores TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; with nanosAsLong it arrives as
+    long nanoseconds and is truncated to microsecond timestamps
+    (matching DuckDB, whose native resolution is micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+def _bucket(col, width_sec: int):
+    return (F.floor(F.unix_timestamp(col) / width_sec) * width_sec).cast("long")
+
+
+def windowed_agg_batch(events: DataFrame, width_sec: int = 3600) -> DataFrame:
+    """Tumbling-window counts/sums per event type (batch face)."""
+    return (events
+            .withColumn("window_start", _bucket(F.col("ts"), width_sec))
+            .groupBy("window_start", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.approx_count_distinct("user_id").cast("long")
+                 .alias("approx_users")))
+
+
+def windowed_agg_stream(spark: SparkSession, path: str,
+                        width_sec: int = 3600,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming face: file-source stream with event-time watermark.
+
+    Uses F.window (required for watermark-based state eviction) but
+    emits the same epoch-second window_start as the batch face. Late
+    rows beyond the watermark are dropped instead of growing state
+    forever — the knob that keeps this runnable on an unbounded
+    stream.
+    """
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+              .withWatermark("ts", watermark))
+    return (stream
+            .groupBy(F.window("ts", f"{width_sec} seconds").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.unix_timestamp("w.start").cast("long")
+                    .alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Session assignment per user: a new session starts when the gap
+    from the previous event exceeds ``gap_sec`` (batch face; classic
+    lag + cumulative-sum, windows partitioned BY USER so no global
+    single-partition sort).
+
+    Returns one row per session: user, session start/end, n_events,
+    total value.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = (events
+              .withColumn("__prev__", F.lag("ts").over(w))
+              .withColumn(
+                  "__new__",
+                  F.when(F.col("__prev__").isNull(), 1)
+                  .when(F.unix_timestamp("ts") - F.unix_timestamp("__prev__")
+                        > gap_sec, 1).otherwise(0))
+              .withColumn("session_seq",
+                          F.sum("__new__").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (marked.groupBy("user_id", "session_seq")
+            .agg(F.unix_timestamp(F.min("ts")).cast("long").alias("session_start"),
+                 F.unix_timestamp(F.max("ts")).cast("long").alias("session_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
+                         name: str = "stream_out") -> DataFrame:
+    """Execute a streaming DF with availableNow (process-everything-
+    then-stop) into an in-memory sink; returns the materialized
+    result. Test/dev harness — production would writeStream to a
+    table/kafka with a real trigger."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
