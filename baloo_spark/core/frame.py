@@ -40,6 +40,7 @@ class DataFrame:
                                    [c for c in _sdf.columns
                                     if c not in self._index_cols and c not in _RESERVED])
             self._order = _order
+            self._lineage = {id(_sdf)}
             return
         import pandas as pd
 
@@ -63,6 +64,7 @@ class DataFrame:
         self._index_cols = index_cols or [ORD_COL]
         self._data_cols = [c for c in pdf.columns if c not in index_cols]
         self._order = [(ORD_COL, True)]
+        self._lineage = {id(sdf)}
 
     # ---------------------------------------------------------------- infra
 
@@ -145,7 +147,10 @@ class DataFrame:
             self._check_cols(key)
             return self._replace_sdf(self._sdf, data_cols=list(key))
         if isinstance(key, Series):
-            if key._sdf is not self._sdf:
+            # accept masks built from any frame in this frame's mutation
+            # lineage: withColumn keeps prior columns, so the mask's
+            # named references still resolve on the current plan
+            if key._sdf is not self._sdf and id(key._sdf) not in self._lineage:
                 raise ValueError("boolean mask must derive from this frame")
             return self._replace_sdf(self._sdf.filter(key._colexpr))
         if isinstance(key, slice):
@@ -166,7 +171,7 @@ class DataFrame:
         become NULL (reference: sentinel via weld_align,
         weld_joins.py:289-344)."""
         if isinstance(value, Series):
-            if value._sdf is self._sdf:
+            if value._sdf is self._sdf or id(value._sdf) in self._lineage:
                 sdf = self._sdf.withColumn(key, value._colexpr)
             else:
                 right, alias = value._select("__new_val__")
@@ -190,6 +195,7 @@ class DataFrame:
         data_cols = self._data_cols + ([key] if key not in self._data_cols else [])
         self._sdf = sdf
         self._data_cols = data_cols
+        self._lineage.add(id(sdf))
 
     # ----------------------------------------------------- arithmetic (all cols)
 
@@ -467,6 +473,41 @@ class DataFrame:
                 raise ValueError("no common index columns to join on")
         suf = (lsuffix or "_x", rsuffix or "_y")
         return self.merge(other, how=how, on=on, suffixes=suf)
+
+    # ----------------------------------------------------- window functions
+    # (absent in the reference, SURVEY.md §2.9 — engine extensions)
+
+    def top_k_per_group(self, partition_by, order_by, k: int,
+                        ascending: bool = False,
+                        tie_break=None) -> "DataFrame":
+        """Top-k rows per group via row_number window — partitioned by
+        the group keys, so no single-partition global sort at scale."""
+        from pyspark.sql import Window
+        partition_by = [partition_by] if isinstance(partition_by, str) \
+            else list(partition_by)
+        order = [F.col(order_by).asc() if ascending else F.col(order_by).desc()]
+        for t in (tie_break or []):
+            order.append(F.col(t).asc())
+        w = Window.partitionBy(*partition_by).orderBy(*order)
+        out = (self._sdf.withColumn("__rank__", F.row_number().over(w))
+               .filter(F.col("__rank__") <= k))
+        return DataFrame._make(
+            out.withColumnRenamed("__rank__", "rank_in_group"),
+            self._index_cols, self._data_cols + ["rank_in_group"], None)
+
+    def with_rank(self, order_by, ascending: bool = True,
+                  method: str = "row_number", name: str = "rank") -> "DataFrame":
+        """Global ranking column. NOTE: a global window is inherently
+        single-partition; prefer top_k_per_group at scale."""
+        from pyspark.sql import Window
+        fn = {"row_number": F.row_number, "rank": F.rank,
+              "dense_rank": F.dense_rank}[method]
+        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = Window.orderBy(*[F.col(c).asc() if ascending else F.col(c).desc()
+                             for c in order_by])
+        out = self._sdf.withColumn(name, fn().over(w).cast("long"))
+        return DataFrame._make(out, self._index_cols,
+                               self._data_cols + [name], self._order)
 
     # ----------------------------------------------------------- set ops
     # (absent in the reference, SURVEY.md §2.6 — engine extensions)

@@ -34,10 +34,12 @@ class DataFrameGroupBy:
         exprs = []
         for c in cols:
             for a in names:
-                # reference casts grouped numeric aggs to f64 (weld_group.py)
+                # reference casts grouped numeric aggs to f64 (weld_group.py);
+                # count stays integral (it is a length, weld_aggs.py:6-29)
                 src = F.col(c).cast("double") if a != "count" else F.col(c)
                 alias = c if single else f"{c}_{a}"
-                exprs.append(_AGG_FNS[a](src).cast("double").alias(alias))
+                out_t = "long" if a == "count" else "double"
+                exprs.append(_AGG_FNS[a](src).cast(out_t).alias(alias))
         out = self._df._sdf.groupBy(*self._by).agg(*exprs)
         data = [e for e in out.columns if e not in self._by]
         # grouping keys become the index (groupby.py:56-80)
@@ -67,7 +69,8 @@ class DataFrameGroupBy:
                 aggs = [aggs] if isinstance(aggs, str) else aggs
                 for a in aggs:
                     src = F.col(c).cast("double") if a != "count" else F.col(c)
-                    exprs.append(_AGG_FNS[a](src).cast("double").alias(f"{c}_{a}"))
+                    out_t = "long" if a == "count" else "double"
+                    exprs.append(_AGG_FNS[a](src).cast(out_t).alias(f"{c}_{a}"))
             out = self._df._sdf.groupBy(*self._by).agg(*exprs)
             data = [e for e in out.columns if e not in self._by]
             return DataFrame._make(out, list(self._by), data, None)

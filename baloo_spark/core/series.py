@@ -333,9 +333,13 @@ class Series:
             tmpl = func
             if mapping:
                 tmpl = tmpl.format(self="{self}", **mapping)
-            sdf, alias = self._select("__x__")
-            expr = F.expr(tmpl.format(self="`__x__`"))
-            return Series._make(sdf, expr, self._index_cols, self.name, self._order)
+            # inline this Series' expression SQL so the result stays on
+            # the SAME parent frame (keeps setitem/filter lineage intact)
+            inner = str(self._colexpr)
+            if inner.startswith("Column<'") and inner.endswith("'>"):
+                inner = inner[len("Column<'"):-2]
+            expr = F.expr(tmpl.format(self=f"({inner})"))
+            return self._with_col(expr)
         if getattr(func, "_baloo_column_fn", False):
             return func(self, **kwargs)
         # eager/NumPy mode -> Arrow-vectorized pandas UDF

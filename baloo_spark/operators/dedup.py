@@ -52,6 +52,25 @@ def shingles(col, n: int = 3):
                f"i -> substring({col}, i, {n}))"))
 
 
+def word_shingles(col, n: int = 3):
+    """Word n-gram shingle array (distinct). Far more discriminative
+    than char shingles on natural text — the standard choice for
+    document-level near-dup detection: unrelated documents sharing a
+    vocabulary still share almost no word trigrams."""
+    toks = f"filter(split(trim({col}), '\\\\s+'), x -> x != '')"
+    return F.array_distinct(F.expr(
+        f"transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))"))
+
+
+def _shingle_expr(col, n: int, shingle: str):
+    if shingle == "word":
+        return word_shingles(col, n)
+    if shingle == "char":
+        return shingles(col, n)
+    raise ValueError("shingle must be 'word' or 'char'")
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized-text md5: one hash aggregation.
@@ -66,31 +85,35 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 64,
-                       n: int = 3) -> DataFrame:
+                       n: int = 3, shingle: str = "word") -> DataFrame:
     """k-permutation MinHash signature per document.
 
     sig_j = min over shingles s of (a_j * h(s) + b_j) mod M61, with
     h = xxhash64. Entirely array expressions — one narrow map stage.
     """
-    sh = shingles(text_col, n)
+    sh = _shingle_expr(text_col, n, shingle)
     # reduce shingle hashes to 31 bits: (31b a) * (31b h) + (31b b)
     # stays under 2^63, overflow-safe under ANSI mode
     hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    # materialize the hash array as its own projection FIRST: lambda
+    # subtrees defeat Catalyst CSE, so inlining `hashed` into all k
+    # transforms would re-shingle + re-hash the text k times per row
+    base = df.select(F.col(id_col), hashed.alias("__hs__"))
 
     def _perm(a, b):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
 
     sig = F.array(*[
-        F.array_min(F.transform(hashed, _perm(a, b)))
+        F.array_min(F.transform(F.col("__hs__"), _perm(a, b)))
         for a, b in _perm_params(k)
     ])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return base.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 64, bands: int = 16,
                       n: int = 3, threshold: float = 0.5,
-                      verify: bool = True) -> DataFrame:
+                      verify: bool = True, shingle: str = "word") -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
     k/bands rows per band; two docs become candidates iff a whole band
@@ -99,7 +122,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     shingle Jaccard for candidates and filters by ``threshold``.
     """
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, n)
+    sigs = minhash_signatures(df, text_col, id_col, k, n, shingle)
     band_rows = sigs.select(
         id_col,
         F.explode(F.array(*[
@@ -121,7 +144,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     if not verify:
         return cand
 
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh = df.select(F.col(id_col), _shingle_expr(text_col, n, shingle).alias("sh"))
     out = (cand
            .join(sh.withColumnRenamed(id_col, "id_a")
                  .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -137,7 +160,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.4,
-                        block_col=None) -> DataFrame:
+                        block_col=None, shingle: str = "char") -> DataFrame:
     """Exact n-gram Jaccard similarity over document pairs.
 
     Without ``block_col`` this is a cross join — only for bounded
@@ -148,7 +171,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh = df.select(
         F.col(id_col),
         *([block_col] if block_col else []),
-        shingles(text_col, n).alias("sh"))
+        _shingle_expr(text_col, n, shingle).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"),
                   *([F.col(block_col).alias("__blk__")] if block_col else []),
                   F.col("sh").alias("sh_a"))

@@ -1,0 +1,77 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_runtime", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced through a noop sink (df.write.format('noop')) so
+the FULL result is computed — a bare count() would let Catalyst prune
+the computed columns away and undercount the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# queries that represent the engine's breadth: the reference benchmark
+# pipeline shape (filter/assign/agg/groupby/join), sorts/windows, and
+# the scale-path operators (dedup/similarity/text/streaming faces)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_revenue",
+    "filter_assign_pipeline",
+    "multi_agg",
+    "groupby_var_std",
+    "merge_inner",
+    "sort_head",
+    "window_topk",
+    "unary_math",
+    "str_ops",
+    "dedup_exact",
+    "dedup_minhash",
+    "embedding_topk",
+    "text_quality",
+    "events_window",
+    "events_sessions",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from baloo_spark.session import get_session
+    import __spark_entry__ as entry
+
+    spark = get_session("baloo_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,8 @@ def test_minhash_approximates_jaccard(spark):
     mh = {(r["id_a"], r["id_b"]): r["jaccard"]
           for r in minhash_lsh_pairs(df, threshold=0.6, k=64, bands=16).collect()}
     ex = {(r["id_a"], r["id_b"]): r["jaccard"]
-          for r in ngram_jaccard_pairs(df, threshold=0.6).collect()}
+          for r in ngram_jaccard_pairs(df, threshold=0.6,
+                                       shingle="word").collect()}
     # the near-identical docs must be found; doc 100 pairs must not
     assert len(mh) > 0
     assert all(100 not in pair for pair in mh)
