@@ -56,19 +56,49 @@ def word_shingles(col, n: int = 3):
     """Word n-gram shingle array (distinct). Far more discriminative
     than char shingles on natural text — the standard choice for
     document-level near-dup detection: unrelated documents sharing a
-    vocabulary still share almost no word trigrams."""
+    vocabulary still share almost no word trigrams.
+
+    NOTE: inlines the tokenizer into the per-shingle lambda, which is
+    O(words^2) per document — prefer :func:`_shingled` (two-step
+    projection) in operator pipelines.
+    """
     toks = f"filter(split(trim({col}), '\\\\s+'), x -> x != '')"
     return F.array_distinct(F.expr(
         f"transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))"))
 
 
-def _shingle_expr(col, n: int, shingle: str):
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int,
+              shingle: str, out: str = "sh") -> DataFrame:
+    """(id, shingle-array) projection.
+
+    For word shingles the token array is materialized as its own
+    projection first: referencing the split inside the per-shingle
+    lambda would re-tokenize the text for EVERY shingle index
+    (O(words^2) per doc). Slicing a bound array attribute is O(n).
+    """
     if shingle == "word":
-        return word_shingles(col, n)
+        toks = F.filter(F.split(F.trim(F.col(text_col)), "\\s+"),
+                        lambda x: x != F.lit(""))
+        t = df.select(F.col(id_col), toks.alias("__tok__"))
+        sh = F.array_distinct(F.expr(
+            f"transform(sequence(0, greatest(size(__tok__) - {n}, 0)), "
+            f"i -> concat_ws(' ', slice(__tok__, i + 1, {n})))"))
+        return t.select(F.col(id_col), sh.alias(out))
     if shingle == "char":
-        return shingles(col, n)
+        # substring over a bound string attribute is already O(n)
+        return df.select(F.col(id_col), shingles(text_col, n).alias(out))
     raise ValueError("shingle must be 'word' or 'char'")
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread a narrow input over the cluster: small files arrive as
+    1-2 partitions, serializing all downstream compute. At 100 TB the
+    scan naturally has thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -91,14 +121,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     sig_j = min over shingles s of (a_j * h(s) + b_j) mod M61, with
     h = xxhash64. Entirely array expressions — one narrow map stage.
     """
-    sh = _shingle_expr(text_col, n, shingle)
+    shdf = _shingled(_parallelize(df), text_col, id_col, n, shingle)
     # reduce shingle hashes to 31 bits: (31b a) * (31b h) + (31b b)
-    # stays under 2^63, overflow-safe under ANSI mode
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
-    # materialize the hash array as its own projection FIRST: lambda
-    # subtrees defeat Catalyst CSE, so inlining `hashed` into all k
-    # transforms would re-shingle + re-hash the text k times per row
-    base = df.select(F.col(id_col), hashed.alias("__hs__"))
+    # stays under 2^63, overflow-safe under ANSI mode. The hash array
+    # is materialized as its own projection: lambda subtrees defeat
+    # Catalyst CSE, so inlining it into all k transforms would
+    # re-shingle + re-hash the text k times per row.
+    hashed = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    base = shdf.select(F.col(id_col), hashed.alias("__hs__"))
 
     def _perm(a, b):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
@@ -144,7 +174,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     if not verify:
         return cand
 
-    sh = df.select(F.col(id_col), _shingle_expr(text_col, n, shingle).alias("sh"))
+    sh = _shingled(df, text_col, id_col, n, shingle)
     out = (cand
            .join(sh.withColumnRenamed(id_col, "id_a")
                  .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -168,10 +198,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     column (e.g. an LSH band or language) so the join is equi on the
     block: pairs only form within blocks.
     """
-    sh = df.select(
-        F.col(id_col),
-        *([block_col] if block_col else []),
-        _shingle_expr(text_col, n, shingle).alias("sh"))
+    sh = _shingled(_parallelize(df), text_col, id_col, n, shingle)
+    if block_col:
+        sh = sh.join(df.select(F.col(id_col), F.col(block_col)), id_col)
     a = sh.select(F.col(id_col).alias("id_a"),
                   *([F.col(block_col).alias("__blk__")] if block_col else []),
                   F.col("sh").alias("sh_a"))
