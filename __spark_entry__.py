@@ -102,6 +102,85 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _q3_shipping_priority(spark, sf):
+    """3-way join + groupby + top-k: customer -> orders -> lineitem.
+    Catalyst broadcasts the filtered dims; revenue agg is one shuffle."""
+    c = _bl(spark, sf, "customer")
+    c = c[c["c_mktsegment"] == "BUILDING"].rename({"c_custkey": "o_custkey"})
+    o = _bl(spark, sf, "orders")
+    o = o[o["o_orderdate"] < "1998-01-01"]
+    li = _bl(spark, sf, "lineitem")
+    li = li[li["l_shipdate"] > "1998-01-01"].rename({"l_orderkey": "o_orderkey"})
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    j = o.merge(c, how="inner", on="o_custkey", broadcast_other=True) \
+        .reset_index().merge(li[["o_orderkey", "rev"]].reset_index(),
+                             how="inner", on="o_orderkey")
+    g = j.reset_index().groupby("o_orderkey").agg({"rev": ["sum"]})
+    top = g.reset_index().sort_values(["rev_sum", "o_orderkey"],
+                                      ascending=[False, True]).head(10)
+    return top.to_spark().select(
+        "o_orderkey", F.round("rev_sum", 2).alias("revenue"))
+
+
+_Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q5_local_supplier(spark, sf):
+    """6-way star join (region-nation-customer-orders-lineitem-
+    supplier) with the customer-nation == supplier-nation condition —
+    the broadcast-dim chain pattern: only lineitem/orders are big."""
+    r = _bl(spark, sf, "region")
+    r = r[r["r_name"] == "ASIA"].rename({"r_regionkey": "n_regionkey"})
+    n = _bl(spark, sf, "nation")
+    n = n.merge(r, how="inner", on="n_regionkey").reset_index()
+    c = _bl(spark, sf, "customer").rename(
+        {"c_nationkey": "n_nationkey", "c_custkey": "o_custkey"})
+    cn = c.merge(n[["n_nationkey", "n_name"]].reset_index(), how="inner",
+                 on="n_nationkey", broadcast_other=True).reset_index()
+    o = _bl(spark, sf, "orders")
+    o = o[o["o_orderdate"] < "1997-01-01"]
+    oc = o.merge(cn[["o_custkey", "n_nationkey", "n_name"]].reset_index(),
+                 how="inner", on="o_custkey", broadcast_other=True) \
+        .reset_index().rename({"o_orderkey": "l_orderkey"})
+    li = _bl(spark, sf, "lineitem")
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    s = _bl(spark, sf, "supplier").rename(
+        {"s_suppkey": "l_suppkey", "s_nationkey": "n_nationkey"})
+    j = li[["l_orderkey", "l_suppkey", "rev"]] \
+        .merge(oc[["l_orderkey", "n_nationkey", "n_name"]].reset_index(),
+               how="inner", on="l_orderkey")
+    j = j.reset_index().merge(s[["l_suppkey", "n_nationkey"]].reset_index(),
+                              how="inner", on=["l_suppkey", "n_nationkey"],
+                              broadcast_other=True)
+    g = j.reset_index().groupby("n_name").agg({"rev": ["sum"]})
+    return g.to_spark(include_index=True).select(
+        "n_name", F.round("rev_sum", 2).alias("revenue"))
+
+
+_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+                         AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def _q6_revenue(spark, sf):
     li = _bl(spark, sf, "lineitem")
     flt = li[(li["l_shipdate"] >= "1996-01-01")
@@ -881,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: wrap(fn) for name, fn in {
         # section 1 — reference surface
         "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_local_supplier": _q5_local_supplier,
         "q6_revenue": _q6_revenue,
         "filter_assign_pipeline": _filter_assign,
         "multi_agg": _multi_agg,
@@ -930,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_local_supplier": _Q5_SQL,
         "q6_revenue": _Q6_SQL,
         "filter_assign_pipeline": _FILTER_ASSIGN_SQL,
         "multi_agg": _MULTI_AGG_SQL,

@@ -1,0 +1,76 @@
+"""IO + pandas interop tests (reference tests/io/test_csv.py and
+tests/core/test_pandas.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_csv_round_trip(bl, tmp_path):
+    # T7 golden round-trip (tests/io/test_csv.py:13-32)
+    df = bl.DataFrame({"a": np.array([0, 1, 2], dtype=np.int64),
+                       "b": np.array([1.0, 2.0, 3.0])})
+    path = str(tmp_path / "out.csv")
+    df.to_csv(path, index=False)
+    back = bl.read_csv(path)
+    pdf = back.to_pandas().sort_values("a").reset_index(drop=True)
+    assert pdf["a"].tolist() == [0, 1, 2]
+    assert pdf["b"].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_csv_usecols_nrows(bl, tmp_path):
+    df = bl.DataFrame({"a": np.arange(10, dtype=np.int64),
+                       "b": np.arange(10, dtype=np.float64),
+                       "c": np.array([str(i) for i in range(10)])})
+    path = str(tmp_path / "u.csv")
+    df.to_csv(path, index=False)
+    back = bl.read_csv(path, usecols=["a", "c"], nrows=4)
+    assert back.columns == ["a", "c"]
+    assert len(back) == 4
+
+
+def test_parquet_round_trip(bl, tmp_path):
+    df = bl.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                       "v": np.array(["x", "y", "z"])})
+    path = str(tmp_path / "t.parquet")
+    df.to_parquet(path)
+    back = bl.read_parquet(path)
+    got = back.to_pandas().sort_values("k")
+    assert got["v"].tolist() == ["x", "y", "z"]
+
+
+def test_from_to_pandas_round_trip(bl):
+    pdf = pd.DataFrame({"x": [1.5, 2.5], "y": ["a", "b"]})
+    df = bl.DataFrame.from_pandas(pdf)
+    back = df.to_pandas()
+    assert back["x"].tolist() == [1.5, 2.5]
+    assert back["y"].tolist() == ["a", "b"]
+
+
+def test_series_pandas_round_trip(bl):
+    ps = pd.Series([3.0, 1.0, 2.0], name="v", index=[10, 11, 12])
+    sr = bl.Series(ps)
+    back = sr.to_pandas()
+    assert back.tolist() == [3.0, 1.0, 2.0]
+    assert back.index.tolist() == [10, 11, 12]
+    assert back.name == "v"
+
+
+def test_multiindex_groupby_to_pandas(bl, df_dupl):
+    out = df_dupl.groupby(["a", "b"]).sum().to_pandas()
+    assert isinstance(out.index, pd.MultiIndex)
+    assert out.index.names == ["a", "b"]
+
+
+def test_sentinel_codec(spark, bl):
+    # compat codec: NULL <-> reference sentinels (encoders.py:101-133)
+    from baloo_spark.core.dtypes import decode_sentinels, encode_sentinels
+    sdf = spark.createDataFrame(
+        [(1, None, None), (2, 5.0, "x")], "id LONG, v DOUBLE, s STRING")
+    enc = encode_sentinels(sdf).collect()
+    by_id = {r["id"]: r for r in enc}
+    assert by_id[1]["v"] == -999.0 and by_id[1]["s"] == "None"
+    dec = decode_sentinels(encode_sentinels(sdf)).collect()
+    by_id = {r["id"]: r for r in dec}
+    assert by_id[1]["v"] is None and by_id[1]["s"] is None
+    assert by_id[2]["v"] == 5.0
