@@ -719,6 +719,119 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+def _asof_join(spark, sf):
+    """As-of join (engine extension, operators/joins.py): each
+    purchase event gets the most recent prior click's value per user.
+    Oracle: DuckDB's native ASOF JOIN."""
+    from baloo_spark.operators.joins import asof_join
+    from baloo_spark.streaming.events import load_events
+    ev = load_events(spark, sf)
+    # dedupe right to one row per (user, ts) so ties are unambiguous
+    clicks = (ev.filter("event_type = 'click'")
+              .groupBy("user_id", "ts").agg(F.max("value").alias("click_value")))
+    purchases = ev.filter("event_type = 'purchase'") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    right_cols=["click_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_sec"),
+        F.round("value", 4).alias("value"),
+        F.round("click_value_right", 4).alias("last_click_value"),
+        F.unix_timestamp("matched_ts").cast("long").alias("click_ts_sec"))
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       floor(epoch(p.ts))::BIGINT AS ts_sec,
+       round(p.value, 4) AS value,
+       round(c.click_value, 4) AS last_click_value,
+       floor(epoch(c.ts))::BIGINT AS click_ts_sec
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _range_join(spark, sf):
+    """Range join (engine extension): error events within 1h AFTER a
+    purchase, per user — bucketed equi-join, not a nested loop."""
+    from baloo_spark.operators.joins import range_join
+    from baloo_spark.streaming.events import load_events
+    ev = load_events(spark, sf)
+    purchases = ev.filter("event_type = 'purchase'") \
+        .select("event_id", "user_id", "ts")
+    errors = ev.filter("event_type = 'error'") \
+        .select(F.col("event_id").alias("err_id"), "user_id", "ts")
+    out = range_join(purchases, errors, on="ts", by="user_id",
+                     lower=0, upper=3600, right_cols=["err_id"])
+    return out.select("event_id", "err_id_right", "user_id").withColumnRenamed(
+        "err_id_right", "err_id")
+
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id, e.event_id AS err_id, p.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND floor(epoch(e.ts)) - floor(epoch(p.ts)) BETWEEN 0 AND 3600
+"""
+
+
+def _rollup_qty(spark, sf):
+    li = _bl(spark, sf, "lineitem")
+    g = li.rollup(["l_returnflag", "l_linestatus"],
+                  {"l_quantity": ["sum", "count"]})
+    out = g.to_spark(include_index=True)
+    return out.select("l_returnflag", "l_linestatus",
+                      F.round("l_quantity_sum", 2).alias("sum_qty"),
+                      F.col("l_quantity_count").alias("n"))
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       count(l_quantity) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _pivot_status(spark, sf):
+    o = _bl(spark, sf, "orders")
+    p = o.pivot(index="o_orderpriority", columns="o_orderstatus",
+                values="o_totalprice", agg="count")
+    return p.to_spark(include_index=True)
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS "F",
+       count(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS "O",
+       count(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _quantiles(spark, sf):
+    o = _bl(spark, sf, "orders")
+    q = o["o_totalprice"].quantile([0.25, 0.5, 0.75])
+    out = q.to_spark()
+    return out.select(F.col("__index__").alias("q"),
+                      F.round("o_totalprice", 4).alias("value"))
+
+
+_QUANTILES_SQL = """
+SELECT '0.25' AS q, round(quantile_cont(o_totalprice, 0.25), 4) AS value FROM orders
+UNION ALL SELECT '0.5', round(quantile_cont(o_totalprice, 0.5), 4) FROM orders
+UNION ALL SELECT '0.75', round(quantile_cont(o_totalprice, 0.75), 4) FROM orders
+"""
+
+
 # =====================================================================
 # section 3 — training-data-pipeline operators
 # =====================================================================
@@ -991,6 +1104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_union": _concat_union,
         "events_window": _events_window,
         "events_sessions": _events_sessions,
+        "asof_join": _asof_join,
+        "range_join": _range_join,
+        "rollup_qty": _rollup_qty,
+        "pivot_status": _pivot_status,
+        "quantiles": _quantiles,
         # section 3 — pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1041,6 +1159,11 @@ def oracle_sql() -> dict[str, str]:
         "concat_union": _CONCAT_UNION_SQL,
         "events_window": _EVENTS_WINDOW_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
+        "asof_join": _ASOF_SQL,
+        "range_join": _RANGE_JOIN_SQL,
+        "rollup_qty": _ROLLUP_SQL,
+        "pivot_status": _PIVOT_SQL,
+        "quantiles": _QUANTILES_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,

@@ -385,6 +385,33 @@ class DataFrame:
             raise ValueError("cannot group by all columns")  # frame.py:1092-1093
         return DataFrameGroupBy(self, by)
 
+    # -------------------------------------------- multidim agg extensions
+
+    def pivot(self, index: str, columns: str, values: str,
+              agg: str = "sum") -> "DataFrame":
+        """groupBy(index).pivot(columns).agg — one shuffle; the pivot
+        column's distinct values become output columns."""
+        out = (self._sdf.groupBy(index).pivot(columns)
+               .agg(_AGG_FNS[agg](F.col(values).cast("double")
+                                  if agg != "count" else F.col(values))))
+        return DataFrame._make(out, [index],
+                               [c for c in out.columns if c != index], None)
+
+    def rollup(self, by, aggregations: dict) -> "DataFrame":
+        """Hierarchical subtotals (NULL grouping keys mark subtotal
+        rows, ANSI semantics). Same single-shuffle partial/final agg
+        as groupby."""
+        by = [by] if isinstance(by, str) else list(by)
+        exprs = []
+        for c, aggs in aggregations.items():
+            for a in ([aggs] if isinstance(aggs, str) else aggs):
+                src = F.col(c).cast("double") if a != "count" else F.col(c)
+                out_t = "long" if a == "count" else "double"
+                exprs.append(_AGG_FNS[a](src).cast(out_t).alias(f"{c}_{a}"))
+        out = self._sdf.rollup(*by).agg(*exprs)
+        return DataFrame._make(out, list(by),
+                               [c for c in out.columns if c not in by], None)
+
     # ------------------------------------------------------- dedup / unique
 
     def drop_duplicates(self, subset=None, keep="min") -> "DataFrame":

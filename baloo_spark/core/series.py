@@ -293,6 +293,32 @@ class Series:
     def var(self): return self._agg_scalar("var")
     def std(self): return self._agg_scalar("std")
 
+    def quantile(self, q) -> "Series":
+        """Exact interpolated quantiles (engine extension; matches
+        ANSI percentile_cont / DuckDB quantile_cont). For sketched
+        approximation at extreme scale use approx_quantile."""
+        qs = [q] if isinstance(q, (int, float)) else list(q)
+        exprs = [F.percentile(self._colexpr.cast("double"), F.lit(p))
+                 .alias(f"q{p}") for p in qs]
+        row_df = self._sdf.agg(*exprs)
+        pairs = ", ".join(f"'{p}', `q{p}`" for p in qs)
+        out = row_df.select(F.expr(
+            f"stack({len(qs)}, {pairs}) as (`{_IDX}`, `__q__`)"))
+        return Series._make(out, F.col("__q__"), [_IDX], self.name, None)
+
+    def median(self):
+        sdf = self._sdf.agg(F.percentile(self._colexpr.cast("double"),
+                                         F.lit(0.5)).alias("m"))
+        return sdf.first()["m"]
+
+    def approx_quantile(self, q, relative_error: float = 0.001) -> list:
+        """Sketch-based quantiles (approx_percentile) — the scale path:
+        mergeable t-digest-style sketch, no full sort."""
+        qs = [q] if isinstance(q, (int, float)) else list(q)
+        sdf, alias = self._select()
+        return sdf.approxQuantile(alias, [float(p) for p in qs],
+                                  relative_error)
+
     def agg(self, aggregations: list) -> "Series":
         """Multiple aggregations in ONE Spark job (the reference computes
         a shared dependency closure, weld_aggs.py:185-268; Catalyst CSE

@@ -104,6 +104,68 @@ def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def streaming_dedup(spark: SparkSession, path: str,
+                    keys: list | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps
+    per-key state only inside the watermark horizon, so state is
+    bounded on an unbounded stream — the streaming face of
+    operators/dedup.exact_duplicates."""
+    keys = keys or ["event_id"]
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+              .withWatermark("ts", watermark))
+    return stream.dropDuplicatesWithinWatermark(keys)
+
+
+def running_user_totals_stream(spark: SparkSession, path: str,
+                               timeout_min: int | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals, optionally with idle-timeout state eviction.
+
+    This is the extension point the reference's Weld UDF surface has
+    no analogue for (SURVEY.md §2.9): arbitrary per-key state machines
+    over an unbounded stream, Arrow-batched.
+
+    ``timeout_min``: with a processing-time timeout, idle users emit a
+    final ``closed=True`` row and their state is evicted — the knob
+    bounding state on unbounded key spaces. Use ONLY with continuous
+    triggers: under trigger(availableNow) each timeout firing starts
+    another micro-batch that re-arms the timeouts, so the drain never
+    terminates (observed empirically; default None => NoTimeout).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id LONG, n_events LONG, total_value DOUBLE, "
+                  "closed BOOLEAN")
+    state_schema = "n LONG, total DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [total], "closed": [True]})
+        else:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            state.update((n, total))
+            if timeout_min is not None:
+                state.setTimeoutDuration(timeout_min * 60 * 1000)
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [round(total, 4)],
+                                "closed": [False]})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_min is not None else GroupStateTimeout.NoTimeout)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", timeout))
+
+
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
                          name: str = "stream_out") -> DataFrame:
     """Execute a streaming DF with availableNow (process-everything-

@@ -1,0 +1,120 @@
+"""As-of / range join operator tests + stateful streaming."""
+
+import datetime as dt
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+              "value DOUBLE, props STRING")
+
+
+def test_asof_join_basic(spark):
+    from baloo_spark.operators.joins import asof_join
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=10), 7),
+         (2, base + dt.timedelta(minutes=30), 7),
+         (3, base + dt.timedelta(minutes=5), 8)],
+        "id LONG, ts TIMESTAMP, user_id LONG")
+    right = spark.createDataFrame(
+        [(base, 7, 100.0), (base + dt.timedelta(minutes=20), 7, 200.0)],
+        "ts TIMESTAMP, user_id LONG, px DOUBLE")
+    out = {r["id"]: r["px_right"]
+           for r in asof_join(left, right, on="ts", by="user_id").collect()}
+    assert out[1] == 100.0   # only t=0 quote exists at t=10
+    assert out[2] == 200.0   # t=20 quote is most recent at t=30
+    assert out[3] is None    # user 8 has no quotes -> left semantics
+
+
+def test_asof_join_inclusive_and_tolerance(spark):
+    from baloo_spark.operators.joins import asof_join
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=3600), 7),
+         (2, base + dt.timedelta(seconds=7300), 7)],
+        "id LONG, ts TIMESTAMP, user_id LONG")
+    right = spark.createDataFrame(
+        [(base + dt.timedelta(seconds=3600), 7, 1.0)],
+        "ts TIMESTAMP, user_id LONG, px DOUBLE")
+    # equal timestamps match (inclusive)
+    out = {r["id"]: r["px_right"] for r in
+           asof_join(left, right, on="ts", by="user_id").collect()}
+    assert out[1] == 1.0
+    # tolerance: 2nd row is 3700s stale > 3600 -> NULL
+    out2 = {r["id"]: r["px_right"] for r in
+            asof_join(left, right, on="ts", by="user_id",
+                      tolerance=3600).collect()}
+    assert out2[1] == 1.0 and out2[2] is None
+
+
+def test_range_join_window(spark):
+    from baloo_spark.operators.joins import range_join
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base, 7)], "id LONG, ts TIMESTAMP, user_id LONG")
+    right = spark.createDataFrame(
+        [(10, base + dt.timedelta(seconds=10), 7),
+         (11, base + dt.timedelta(seconds=3600), 7),
+         (12, base + dt.timedelta(seconds=3601), 7),
+         (13, base - dt.timedelta(seconds=1), 7),
+         (14, base + dt.timedelta(seconds=100), 99)],
+        "rid LONG, ts TIMESTAMP, user_id LONG")
+    got = sorted(r["rid_right"] for r in
+                 range_join(left, right, on="ts", by="user_id",
+                            lower=0, upper=3600,
+                            right_cols=["rid"]).collect())
+    # in-window: 10 (delta 10s), 11 (delta exactly 3600); out: 12, 13
+    # (before), 14 (other user)
+    assert got == [10, 11]
+
+
+def test_range_join_no_nested_loop(spark):
+    from baloo_spark.operators.joins import range_join
+    from baloo_spark.streaming.events import load_events
+    ev = load_events(spark, SF)
+    p = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    e = ev.filter("event_type = 'error'").select(
+        ev["event_id"].alias("err_id"), "user_id", "ts")
+    out = range_join(p, e, on="ts", by="user_id", lower=0, upper=3600,
+                     right_cols=["err_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan  # bucketed equi-join, the point
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    from baloo_spark.streaming.events import (load_events,
+                                              run_stream_to_memory,
+                                              streaming_dedup)
+    ev = load_events(spark, SF)
+    path = str(tmp_path / "dups")
+    # duplicate every event, write as the stream source
+    ev.union(ev).write.parquet(path)
+    stream = streaming_dedup(spark, path, keys=["event_id"])
+    q = (stream.writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("t_dedup").count()
+    assert got == ev.count()
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from baloo_spark.streaming.events import (load_events,
+                                              running_user_totals_stream)
+    ev = load_events(spark, SF)
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    stream = running_user_totals_stream(spark, path)
+    q = (stream.writeStream.format("memory").queryName("t_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("t_totals").collect()}
+    expect = {r["user_id"]: r["n"] for r in
+              ev.groupBy("user_id").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert {u: n for u, (n, _) in got.items()} == expect
