@@ -58,6 +58,29 @@ def hyperplane_sig(vec_col: str, planes: int = 8):
     return sig.cast("int")
 
 
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k without a corpus-sized window partition.
+
+    A single window PARTITION BY query_id gathers EVERY corpus score
+    for a query into one partition — dies at 1B rows. Phase 1 takes a
+    local top-k inside each scan partition (window over (query,
+    partition-id): bounded by that partition's rows); phase 2 ranks
+    only the surviving k x n_partitions rows per query. Results are
+    identical: a global top-k row is a top-k row of its own partition.
+    """
+    l1 = Window.partitionBy("query_id", "__pid__").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    local = (scored.withColumn("__pid__", F.spark_partition_id())
+             .withColumn("__lr__", F.row_number().over(l1))
+             .where(F.col("__lr__") <= k))
+    l2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (local.withColumn("rank", F.row_number().over(l2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
@@ -70,12 +93,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = c.join(q, F.col("query_id") != F.col("neighbor_id")) \
         .select("query_id", "neighbor_id",
                 F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine",
-                    F.col("rank").cast("long").alias("rank")))
+    return _two_phase_topk(scored, k)
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
@@ -104,9 +122,4 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
               .select("query_id", "neighbor_id",
                       F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
               .dropDuplicates(["query_id", "neighbor_id"]))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine",
-                    F.col("rank").cast("long").alias("rank")))
+    return _two_phase_topk(scored, k)

@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # the scale-path operators (dedup/similarity/text/streaming faces)
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
     "q6_revenue",
+    "asof_join",
+    "range_join",
     "filter_assign_pipeline",
     "multi_agg",
     "groupby_var_std",

@@ -1,0 +1,48 @@
+"""Empty-frame edge cases (reference tests/core/test_empty.py)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def empty(bl):
+    df = bl.DataFrame({"a": np.array([1.0, 2.0]),
+                       "b": np.array([1, 2], dtype=np.int64)})
+    return df[df["a"] > 100]
+
+
+def test_empty_len_and_pandas(empty):
+    assert len(empty) == 0
+    assert empty.to_pandas().shape[0] == 0
+
+
+def test_empty_aggs_identity(empty):
+    # sum/prod -> merger identity; count -> 0; min/max/mean -> NULL
+    assert empty["a"].sum() == 0.0
+    assert empty["a"].prod() == 1.0
+    assert empty["a"].count() == 0
+    assert empty["a"].min() is None
+    assert empty["a"].mean() is None
+
+
+def test_empty_filter_sort_head(empty):
+    out = empty[empty["b"] > 0].sort_values("a").head(5)
+    assert len(out) == 0
+
+
+def test_empty_groupby(empty):
+    assert len(empty.groupby("b").sum()) == 0
+
+
+def test_empty_merge(bl, empty):
+    other = bl.DataFrame({"b": np.array([1, 2], dtype=np.int64),
+                          "c": np.array([10.0, 20.0])})
+    assert len(empty.merge(other, on="b", how="inner")) == 0
+    assert len(other.merge(empty[["b"]], on="b", how="left")) == 2
+
+
+def test_setitem_ndarray(bl):
+    df = bl.DataFrame({"a": np.array([1.0, 2.0, 3.0])})
+    df["z"] = np.array([10, 20, 30], dtype=np.int64)
+    got = df.to_pandas().sort_values("a")
+    assert got["z"].tolist() == [10, 20, 30]
