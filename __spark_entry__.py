@@ -16,10 +16,15 @@ Sections:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# make baloo_spark importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -936,6 +941,59 @@ def _ann_lsh_topk(spark, sf):
     return lsh_topk(q, c, k=5, planes=8, probe_radius=1)
 
 
+def _ann_ivf_topk(spark, sf):
+    # approximate ANN, IVF cells — rows-only check
+    from baloo_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter("vec_id < 10")
+    c = emb.filter("vec_id >= 10")
+    return ivf_topk(q, c, k=5, n_centroids=16, n_probe=4)
+
+
+def _embedding_label_stats(spark, sf):
+    """Vector-column analytics: per-label count, mean L2 norm, mean
+    first component — array aggregation entirely in JVM exprs."""
+    emb = _t(spark, sf, "embeddings")
+    norm = F.sqrt(F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+    return (emb.select("label", norm.alias("nrm"),
+                       F.element_at("embedding", 1).cast("double").alias("c0"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("nrm"), 6).alias("avg_norm"),
+                 F.round(F.avg("c0"), 6).alias("avg_c0")))
+
+
+_EMBEDDING_LABEL_STATS_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_aggregate(
+             list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 6)
+         AS avg_norm,
+       round(avg(embedding[1]::DOUBLE), 6) AS avg_c0
+FROM embeddings GROUP BY label
+"""
+
+
+def _date_parts(spark, sf):
+    """Datetime extension (absent in the reference, SURVEY.md §1.2):
+    calendar extraction + grouping."""
+    o = _bl(spark, sf, "orders")
+    o["yr"] = o["o_orderdate"].apply("year({self})").astype("int32")
+    o["mo"] = o["o_orderdate"].apply("month({self})").astype("int32")
+    g = o[["yr", "mo", "o_totalprice"]].groupby(["yr", "mo"]) \
+        .agg({"o_totalprice": ["count", "sum"]})
+    out = g.to_spark(include_index=True)
+    return out.select("yr", "mo", F.col("o_totalprice_count").alias("n"),
+                      F.round("o_totalprice_sum", 2).alias("total"))
+
+
+_DATE_PARTS_SQL = """
+SELECT year(o_orderdate)::INTEGER AS yr, month(o_orderdate)::INTEGER AS mo,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
 def _text_quality(spark, sf):
     from baloo_spark.operators.text import quality_scores
     return quality_scores(_t(spark, sf, "documents"))
@@ -1117,6 +1175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _embedding_topk,
         "embedding_near_pairs": _embedding_near_pairs,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "embedding_label_stats": _embedding_label_stats,
+        "date_parts": _date_parts,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
         "token_counts": _token_counts,
@@ -1168,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
+        "embedding_label_stats": _EMBEDDING_LABEL_STATS_SQL,
+        "date_parts": _DATE_PARTS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,

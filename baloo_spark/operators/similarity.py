@@ -96,6 +96,48 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     return _two_phase_topk(scored, k)
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic, no training job (swap in k-means centroids without
+    changing the plan shape). Every corpus vector is assigned to its
+    nearest centroid (one broadcast pass); each query scores only the
+    ``n_probe`` nearest centroid cells, cutting scored candidates by
+    ~n_centroids/n_probe while the cell assignment shuffles the corpus
+    ONCE, reusable across query batches.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent")))
+
+    def nearest(df, vcol, rank_n, out):
+        scored = df.join(cents, F.lit(True)) \
+            .withColumn("__sim__", cosine_expr(vcol, "cent"))
+        w = Window.partitionBy(df[id_col]).orderBy(
+            F.col("__sim__").desc(), F.col("cent_id").asc())
+        return (scored.withColumn("__cr__", F.row_number().over(w))
+                .where(F.col("__cr__") <= rank_n)
+                .drop("cent", "__sim__", "__cr__")
+                .withColumnRenamed("cent_id", out))
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    c_assigned = nearest(c, "cv", 1, "cell") \
+        .withColumnRenamed(id_col, "neighbor_id")
+    q = queries.select(F.col(id_col), F.col(vec_col).alias("qv"))
+    q_probes = nearest(q, "qv", n_probe, "cell") \
+        .withColumnRenamed(id_col, "query_id")
+
+    scored = (q_probes.join(c_assigned, "cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    return _two_phase_topk(scored, k)
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              planes: int = 8, probe_radius: int = 1) -> DataFrame:

@@ -126,6 +126,20 @@ def test_brute_force_topk_exact(spark, emb):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_ivf_topk_recall_and_shape(spark, emb):
+    from baloo_spark.operators.similarity import brute_force_topk, ivf_topk
+    q = emb.filter("vec_id < 5")
+    c = emb.filter("vec_id >= 5")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, c, k=10).collect()}
+    approx = [r for r in ivf_topk(q, c, k=10, n_centroids=8,
+                                  n_probe=4).collect()]
+    assert len(approx) == 50  # 5 queries x k
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # half the cells probed -> meaningful overlap with exact top-k
+    assert len(exact & got) > 0
+
+
 def test_lsh_topk_recall(spark, emb):
     from baloo_spark.operators.similarity import brute_force_topk, lsh_topk
     q = emb.filter("vec_id < 5")
