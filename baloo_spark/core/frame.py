@@ -122,7 +122,17 @@ class DataFrame:
         return sdf
 
     def __len__(self) -> int:
-        return self._sdf.count()
+        """Eager length, cached once known (the reference tracks known
+        lengths to skip lazy len, series.py:98-99, frame.py:1214-1239)."""
+        if getattr(self, "_len_cache", None) is None:
+            self._len_cache = self._sdf.count()
+        return self._len_cache
+
+    def cache(self) -> "DataFrame":
+        """Persist the frame's plan output (reference Cache singleton
+        analogue, weld/cache.py — but scoped and explicit)."""
+        self._sdf = self._sdf.cache()
+        return self
 
     def __repr__(self):
         return (f"DataFrame(columns={self._data_cols}, "

@@ -119,8 +119,11 @@ class Series:
         return self._sdf.select(self._colexpr.alias("x")).schema["x"].dataType
 
     def __len__(self) -> int:
-        # eager, like the reference (lazy_result.py:138-156)
-        return self._sdf.count()
+        # eager, like the reference (lazy_result.py:138-156); cached
+        # once known (series.py:98-99)
+        if getattr(self, "_len_cache", None) is None:
+            self._len_cache = self._sdf.count()
+        return self._len_cache
 
     def __repr__(self):
         return f"Series(name={self.name}, dtype={self.dtype})"

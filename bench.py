@@ -57,6 +57,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
+
+    # warm the session once (JVM + file listing + parquet footers), so
+    # per-query timings measure the queries, not cluster startup; each
+    # query still pays its own codegen compile on first run
+    for t in ["lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part", "documents", "embeddings"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings = {}
     total = 0.0
     for name in HEADLINE:
