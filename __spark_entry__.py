@@ -837,6 +837,84 @@ UNION ALL SELECT '0.75', round(quantile_cont(o_totalprice, 0.75), 4) FROM orders
 """
 
 
+def _cube_qty(spark, sf):
+    li = _bl(spark, sf, "lineitem")
+    g = li.cube(["l_returnflag", "l_linestatus"], {"l_quantity": ["sum"]})
+    out = g.to_spark(include_index=True)
+    return out.select("l_returnflag", "l_linestatus",
+                      F.round("l_quantity_sum", 2).alias("sum_qty"))
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _value_counts(spark, sf):
+    o = _bl(spark, sf, "orders")
+    vc = o["o_orderpriority"].value_counts()
+    return vc.to_spark().withColumnRenamed("o_orderpriority", "priority") \
+        .withColumnRenamed("__cnt__", "count")
+
+
+_VALUE_COUNTS_SQL = """
+SELECT o_orderpriority AS priority, count(*) AS count
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _nlargest(spark, sf):
+    o = _bl(spark, sf, "orders")
+    top = o["o_totalprice"].round(2).nlargest(20)
+    return top.to_spark().select(F.col("o_totalprice").alias("price"))
+
+
+_NLARGEST_SQL = """
+SELECT round(o_totalprice, 2) AS price FROM orders
+ORDER BY o_totalprice DESC LIMIT 20
+"""
+
+
+def _describe(spark, sf):
+    li = _bl(spark, sf, "lineitem")
+    d = li[["l_quantity", "l_discount"]].describe()
+    out = d.to_spark(include_index=True)
+    return out.select("statistic",
+                      F.round("l_quantity", 4).alias("l_quantity"),
+                      F.round("l_discount", 4).alias("l_discount"))
+
+
+_DESCRIBE_SQL = """
+SELECT 'count' AS statistic, round(count(l_quantity)::DOUBLE, 4) AS l_quantity,
+       round(count(l_discount)::DOUBLE, 4) AS l_discount FROM lineitem
+UNION ALL SELECT 'mean', round(avg(l_quantity), 4), round(avg(l_discount), 4) FROM lineitem
+UNION ALL SELECT 'std', round(stddev_samp(l_quantity), 4), round(stddev_samp(l_discount), 4) FROM lineitem
+UNION ALL SELECT 'min', round(min(l_quantity), 4), round(min(l_discount), 4) FROM lineitem
+UNION ALL SELECT '25%', round(quantile_cont(l_quantity, 0.25), 4), round(quantile_cont(l_discount, 0.25), 4) FROM lineitem
+UNION ALL SELECT '50%', round(quantile_cont(l_quantity, 0.5), 4), round(quantile_cont(l_discount, 0.5), 4) FROM lineitem
+UNION ALL SELECT '75%', round(quantile_cont(l_quantity, 0.75), 4), round(quantile_cont(l_discount, 0.75), 4) FROM lineitem
+UNION ALL SELECT 'max', round(max(l_quantity), 4), round(max(l_discount), 4) FROM lineitem
+"""
+
+
+def _abs_clip_round(spark, sf):
+    li = _bl(spark, sf, "lineitem")
+    sub = li[li["l_orderkey"] < 100]
+    sub["centered"] = (sub["l_quantity"] - 25.0).abs().round(2)
+    sub["clipped"] = sub["l_discount"].clip(0.02, 0.06).round(4)
+    out = sub[["l_orderkey", "l_linenumber", "centered", "clipped"]]
+    return out.to_spark()
+
+
+_ABS_CLIP_ROUND_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_quantity - 25.0), 2) AS centered,
+       round(least(greatest(l_discount, 0.02), 0.06), 4) AS clipped
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
 # =====================================================================
 # section 3 — training-data-pipeline operators
 # =====================================================================
@@ -1167,6 +1245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_qty": _rollup_qty,
         "pivot_status": _pivot_status,
         "quantiles": _quantiles,
+        "cube_qty": _cube_qty,
+        "value_counts": _value_counts,
+        "nlargest": _nlargest,
+        "describe": _describe,
+        "abs_clip_round": _abs_clip_round,
         # section 3 — pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1225,6 +1308,11 @@ def oracle_sql() -> dict[str, str]:
         "rollup_qty": _ROLLUP_SQL,
         "pivot_status": _PIVOT_SQL,
         "quantiles": _QUANTILES_SQL,
+        "cube_qty": _CUBE_SQL,
+        "value_counts": _VALUE_COUNTS_SQL,
+        "nlargest": _NLARGEST_SQL,
+        "describe": _DESCRIBE_SQL,
+        "abs_clip_round": _ABS_CLIP_ROUND_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,

@@ -407,18 +407,57 @@ class DataFrame:
         return DataFrame._make(out, [index],
                                [c for c in out.columns if c != index], None)
 
-    def rollup(self, by, aggregations: dict) -> "DataFrame":
-        """Hierarchical subtotals (NULL grouping keys mark subtotal
-        rows, ANSI semantics). Same single-shuffle partial/final agg
-        as groupby."""
+    def cube(self, by, aggregations: dict) -> "DataFrame":
+        """All grouping-set combinations (ANSI CUBE); same shuffle
+        profile as groupby."""
         by = [by] if isinstance(by, str) else list(by)
+        exprs = self._multi_agg_exprs(aggregations)
+        out = self._sdf.cube(*by).agg(*exprs)
+        return DataFrame._make(out, list(by),
+                               [c for c in out.columns if c not in by], None)
+
+    def _multi_agg_exprs(self, aggregations: dict):
         exprs = []
         for c, aggs in aggregations.items():
             for a in ([aggs] if isinstance(aggs, str) else aggs):
                 src = F.col(c).cast("double") if a != "count" else F.col(c)
                 out_t = "long" if a == "count" else "double"
                 exprs.append(_AGG_FNS[a](src).cast(out_t).alias(f"{c}_{a}"))
-        out = self._sdf.rollup(*by).agg(*exprs)
+        return exprs
+
+    def describe(self) -> "DataFrame":
+        """Summary statistics per numeric column (count/mean/std/min/
+        25%/50%/75%/max) — one job, exact interpolated quantiles."""
+        cols = self._numeric_cols()
+        exprs = []
+        stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        for c in cols:
+            d = F.col(c).cast("double")
+            exprs += [
+                F.count(c).cast("double").alias(f"count__{c}"),
+                F.avg(d).alias(f"mean__{c}"),
+                F.stddev_samp(d).alias(f"std__{c}"),
+                F.min(d).alias(f"min__{c}"),
+                F.percentile(d, F.lit(0.25)).alias(f"25%__{c}"),
+                F.percentile(d, F.lit(0.5)).alias(f"50%__{c}"),
+                F.percentile(d, F.lit(0.75)).alias(f"75%__{c}"),
+                F.max(d).alias(f"max__{c}"),
+            ]
+        row = self._sdf.agg(*exprs)
+        groups = ", ".join(
+            "'{s}', {vals}".format(
+                s=s, vals=", ".join(f"`{s}__{c}`" for c in cols))
+            for s in stats)
+        names = ", ".join(["`statistic`"] + [f"`{c}`" for c in cols])
+        out = row.select(F.expr(f"stack({len(stats)}, {groups}) as ({names})"))
+        return DataFrame._make(out, ["statistic"], cols, None)
+
+    def rollup(self, by, aggregations: dict) -> "DataFrame":
+        """Hierarchical subtotals (NULL grouping keys mark subtotal
+        rows, ANSI semantics). Same single-shuffle partial/final agg
+        as groupby."""
+        by = [by] if isinstance(by, str) else list(by)
+        out = self._sdf.rollup(*by).agg(*self._multi_agg_exprs(aggregations))
         return DataFrame._make(out, list(by),
                                [c for c in out.columns if c not in by], None)
 

@@ -296,6 +296,44 @@ class Series:
     def var(self): return self._agg_scalar("var")
     def std(self): return self._agg_scalar("std")
 
+    def abs(self) -> "Series":
+        return self._with_col(F.abs(self._colexpr))
+
+    def round(self, decimals: int = 0) -> "Series":
+        return self._with_col(F.round(self._colexpr, decimals))
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        col = self._colexpr
+        if lower is not None:
+            col = F.greatest(col, F.lit(lower))
+        if upper is not None:
+            col = F.least(col, F.lit(upper))
+        return self._with_col(col)
+
+    def value_counts(self, ascending: bool = False) -> "Series":
+        """Distinct values with occurrence counts, ordered by count
+        (one hash-agg shuffle; values become the index)."""
+        sdf, alias = self._select()
+        out = (sdf.groupBy(alias)
+               .agg(F.count(F.lit(1)).cast("long").alias("__cnt__"))
+               .orderBy(F.col("__cnt__").asc() if ascending
+                        else F.col("__cnt__").desc()))
+        return Series._make(out, F.col("__cnt__"), [alias], "count",
+                            [("__cnt__", ascending)])
+
+    def nlargest(self, n: int = 5) -> "Series":
+        """Top-n values: distributed TakeOrdered, never a full sort."""
+        sdf, alias = self._select()
+        out = sdf.orderBy(F.col(alias).desc()).limit(n)
+        return Series._make(out, F.col(alias), self._index_cols, self.name,
+                            [(alias, False)])
+
+    def nsmallest(self, n: int = 5) -> "Series":
+        sdf, alias = self._select()
+        out = sdf.orderBy(F.col(alias).asc()).limit(n)
+        return Series._make(out, F.col(alias), self._index_cols, self.name,
+                            [(alias, True)])
+
     def quantile(self, q) -> "Series":
         """Exact interpolated quantiles (engine extension; matches
         ANSI percentile_cont / DuckDB quantile_cont). For sketched
