@@ -29,6 +29,21 @@ class DataFrame:
 
     ``DataFrame(data, index)`` accepts ``{name: ndarray|list|Series}``
     or a pandas DataFrame (reference ctor: ``frame.py:127-146``).
+
+    Usage (mirrors the reference's doctest spec, frame.py:33-123)::
+
+        df = bl.DataFrame({"a": np.arange(5, dtype=np.float64),
+                           "b": np.arange(5, dtype=np.int64)})
+        flt = df[(df["a"] > 0) & (df["b"] < 4)]     # mask filter
+        flt["c"] = flt["a"] * 2 + 1 - 23            # column assign
+        flt.agg(["min", "mean", "std"])             # multi-agg frame
+        flt.groupby("b").var()                      # keys -> index
+        flt.sort_values(["b", "a"], ascending=[True, False]).head(2)
+        left.merge(right, on="k", how="outer", suffixes=("_l", "_r"))
+        df.evaluate()                               # ONE Spark action
+
+    Everything above composes lazily onto one Spark plan; Catalyst
+    fuses it the way Weld fused the reference's IR fragments.
     """
 
     def __init__(self, data=None, index=None, *, _sdf=None, _index_cols=None,

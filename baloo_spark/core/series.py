@@ -48,6 +48,16 @@ class Series:
     Parameters mirror ``baloo.Series(data, index, dtype, name)``
     (``series.py:75-101``). ``data`` may be a numpy array, list, or
     pandas Series.
+
+    Usage (mirrors the reference's doctest spec, series.py:32-70)::
+
+        sr = bl.Series(np.arange(5, dtype=np.int64), name="x")
+        (sr * 2 + 1)[sr > 2].to_pandas()      # arith + mask filter
+        sr.agg(["min", "prod", "mean", "std"])  # one Spark job
+        sr.astype("float32").apply(bl.sqrt)     # mode-1 apply
+        sr.apply("{self} * {k}", mapping={"k": 3})  # SQL template
+        sr.apply(np.log1p, new_dtype="float64")     # Arrow pandas_udf
+        sr.str.lower(), sr.str.find("a", 1)         # str accessor
     """
 
     def __init__(self, data=None, index=None, dtype=None, name=None, *,

@@ -17,9 +17,15 @@ from ..session import get_session
 
 def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
              names: list | None = None, usecols: list | None = None,
-             dtype=None, skiprows: int = 0, nrows: int | None = None) -> DataFrame:
-    """CSV source (reference signature, io/csv.py:6-52) via
-    ``spark.read.csv`` — distributed, schema-inferred."""
+             dtype=None, converters: dict | None = None,
+             skiprows: int = 0, nrows: int | None = None) -> DataFrame:
+    """CSV source (reference signature incl. converters, io/csv.py:6-52)
+    via ``spark.read.csv`` — distributed, schema-inferred.
+
+    ``converters``: {column: callable} applied per column. Callables
+    run as Arrow-vectorized pandas UDFs over batches (the reference
+    hands them to pandas eagerly) — never per row.
+    """
     spark = get_session()
     reader = spark.read.option("sep", sep).option(
         "header", header is not None and header is not False).option(
@@ -41,6 +47,13 @@ def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
         else:
             t = spark_type_of(dtype)
             sdf = sdf.select(*[F.col(c).cast(t) for c in sdf.columns])
+    if converters:
+        from ..functions._udf import scalar_pandas_udf
+        for c, fn in converters.items():
+            field = sdf.schema[c]
+            udf = scalar_pandas_udf(
+                lambda s, _fn=fn: s.map(_fn), field.dataType)
+            sdf = sdf.withColumn(c, udf(F.col(c)))
     return DataFrame.from_spark(sdf)
 
 
