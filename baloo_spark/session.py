@@ -44,6 +44,9 @@ _DEFAULTS = {
     "spark.sql.ansi.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # managed tables (bucketing) land in /tmp, never in the repo cwd
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/baloo_spark_warehouse"),
 }
 
 

@@ -1,0 +1,81 @@
+"""Skew-salting and bucketing utilities: correctness + plan shape."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_groupby_matches_plain(spark):
+    from baloo_spark.plans.skew import salted_groupby
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {tuple(r[:1]): (round(r[1], 4), r[2]) for r in
+             li.groupBy("l_returnflag")
+             .agg({"l_quantity": "sum", "*": "count"})
+             .select("l_returnflag", "sum(l_quantity)", "count(1)").collect()}
+    salted = salted_groupby(li, "l_returnflag",
+                            {"l_quantity": ["sum", "count"]}, salt=8)
+    got = {(r["l_returnflag"],): (round(r["l_quantity_sum"], 4),
+                                  r["l_quantity_count"])
+           for r in salted.collect()}
+    assert got == plain
+
+
+def test_salted_groupby_mean(spark):
+    from baloo_spark.plans.skew import salted_groupby
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    want = {r["l_returnflag"]: round(r["m"], 6) for r in
+            li.groupBy("l_returnflag")
+            .agg({"l_quantity": "avg"})
+            .withColumnRenamed("avg(l_quantity)", "m").collect()}
+    got = {r["l_returnflag"]: round(r["l_quantity_mean"], 6) for r in
+           salted_groupby(li, "l_returnflag",
+                          {"l_quantity": ["mean"]}, salt=8).collect()}
+    assert got == want
+
+
+def test_salted_groupby_rejects_nondecomposable(spark):
+    from baloo_spark.plans.skew import salted_groupby
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    with pytest.raises(ValueError):
+        salted_groupby(li, "l_returnflag", {"l_quantity": ["var"]})
+
+
+def test_salted_join_matches_plain(spark):
+    from baloo_spark.plans.skew import salted_join
+    o = spark.read.parquet(f"{SF}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{SF}/customer.parquet") \
+        .select("c_custkey", "c_acctbal") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    plain = sorted((r["o_orderkey"], round(r["c_acctbal"], 2))
+                   for r in o.join(c, "o_custkey").collect())
+    got = sorted((r["o_orderkey"], round(r["c_acctbal"], 2))
+                 for r in salted_join(o, c, "o_custkey", salt=4).collect())
+    assert got == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from baloo_spark.plans.bucketing import bucketed_join, write_bucketed
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed(o, "b_orders", "o_custkey", buckets=8)
+    write_bucketed(c, "b_cust", "o_custkey", buckets=8)
+    # at toy scale Catalyst would (rightly) broadcast instead of using
+    # the buckets; disable broadcast to exercise the big-table path
+    # where bucketing is the win
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the whole point: both sides pre-partitioned => no shuffle
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
