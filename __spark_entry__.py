@@ -837,6 +837,28 @@ UNION ALL SELECT '0.75', round(quantile_cont(o_totalprice, 0.75), 4) FROM orders
 """
 
 
+def _json_extract(spark, sf):
+    """JSON functions over the events props column (engine extension;
+    the reference has no JSON surface, SURVEY.md §2.7)."""
+    from baloo_spark.streaming.events import load_events
+    import baloo_spark as bl
+    ev = bl.DataFrame.from_spark(load_events(spark, sf))
+    ev["k"] = ev["props"].apply("CAST(get_json_object({self}, '$.k') AS BIGINT)")
+    g = ev[["event_type", "k"]].groupby("event_type").agg({"k": ["sum", "mean"]})
+    out = g.to_spark(include_index=True)
+    return out.select("event_type",
+                      F.round("k_sum", 2).alias("k_sum"),
+                      F.round("k_mean", 4).alias("k_mean"))
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS k_sum,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_mean
+FROM events GROUP BY event_type
+"""
+
+
 def _cube_qty(spark, sf):
     li = _bl(spark, sf, "lineitem")
     g = li.cube(["l_returnflag", "l_linestatus"], {"l_quantity": ["sum"]})
@@ -1245,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_qty": _rollup_qty,
         "pivot_status": _pivot_status,
         "quantiles": _quantiles,
+        "json_extract": _json_extract,
         "cube_qty": _cube_qty,
         "value_counts": _value_counts,
         "nlargest": _nlargest,
@@ -1308,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_qty": _ROLLUP_SQL,
         "pivot_status": _PIVOT_SQL,
         "quantiles": _QUANTILES_SQL,
+        "json_extract": _JSON_EXTRACT_SQL,
         "cube_qty": _CUBE_SQL,
         "value_counts": _VALUE_COUNTS_SQL,
         "nlargest": _NLARGEST_SQL,

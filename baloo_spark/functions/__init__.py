@@ -74,6 +74,19 @@ def raw(func):
     return wrapper
 
 
+def load_cudf(path: str):
+    """Reference API parity stub (functions/utils.py:8-20): the
+    reference dynamically links C UDFs into Weld programs. The Spark
+    equivalent is a JVM UDF jar (spark.udf.registerJavaFunction) or an
+    Arrow pandas_udf wrapping a cffi/ctypes call — there is no Weld IR
+    to splice C symbols into here.
+    """
+    raise NotImplementedError(
+        "C UDF loading is Weld-specific; register a JVM UDF "
+        "(spark.udf.registerJavaFunction) or wrap the C call in raw() "
+        "as an Arrow pandas_udf instead")
+
+
 def sort(sr: Series, ascending: bool = True) -> Series:
     """Eager-style sort of a Series' values (reference ``bl.sort`` =
     ``raw(np.sort)``, functions/raw.py:6-8) — distributed orderBy, not
