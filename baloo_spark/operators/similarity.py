@@ -28,14 +28,29 @@ from pyspark.sql import functions as F
 _PLANE_SEED = 0x5DEECE66D
 
 
+def dot_expr(a: str, b: str):
+    """dot(a, b) over two array columns — zip_with + fold, codegen'd."""
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                  f"0D, (acc, v) -> acc + v)")
+
+
+def norm_expr(a: str):
+    return F.sqrt(F.expr(
+        f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+
+
 def cosine_expr(a: str, b: str):
-    """cosine(a, b) as a Column over two array<float/double> columns —
-    zip_with dot product + aggregate norms, all codegen'd."""
-    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
-                 f"0D, (acc, v) -> acc + v)")
-    na = F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
-    nb = F.sqrt(F.expr(f"aggregate({b}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(0.0)
+    """cosine(a, b) from raw vectors. For pairwise scoring prefer
+    precomputing norms per VECTOR (see ``_norm_cosine``) — this form
+    recomputes both norms per PAIR, tripling the per-pair array work."""
+    na, nb = norm_expr(a), norm_expr(b)
+    return F.when((na > 0) & (nb > 0), dot_expr(a, b) / (na * nb)).otherwise(0.0)
+
+
+def _norm_cosine(a: str, b: str, na: str, nb: str):
+    """cosine from precomputed norm columns: per-pair work is ONE dot."""
+    return F.when((F.col(na) > 0) & (F.col(nb) > 0),
+                  dot_expr(a, b) / (F.col(na) * F.col(nb))).otherwise(0.0)
 
 
 def hyperplane_sig(vec_col: str, planes: int = 8):
@@ -87,12 +102,15 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     """Exact cosine top-k: returns (query_id, neighbor_id, cosine),
     ties broken by neighbor_id for determinism."""
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("qv")))
+                                   F.col(vec_col).alias("qv"))
+                    .withColumn("qn", norm_expr("qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+                      F.col(vec_col).alias("cv")) \
+        .withColumn("cn", norm_expr("cv"))
     scored = c.join(q, F.col("query_id") != F.col("neighbor_id")) \
         .select("query_id", "neighbor_id",
-                F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
+                F.round(_norm_cosine("qv", "cv", "qn", "cn"), 6)
+                .alias("cosine"))
     return _two_phase_topk(scored, k)
 
 
@@ -130,10 +148,12 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     q_probes = nearest(q, "qv", n_probe, "cell") \
         .withColumnRenamed(id_col, "query_id")
 
-    scored = (q_probes.join(c_assigned, "cell")
+    scored = (q_probes.withColumn("qn", norm_expr("qv"))
+              .join(c_assigned.withColumn("cn", norm_expr("cv")), "cell")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
+                      F.round(_norm_cosine("qv", "cv", "qn", "cn"), 6)
+                      .alias("cosine"))
               .dropDuplicates(["query_id", "neighbor_id"]))
     return _two_phase_topk(scored, k)
 
@@ -150,9 +170,11 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv")) \
+        .withColumn("cn", norm_expr("cv")) \
         .withColumn("bucket", hyperplane_sig("cv", planes))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv")) \
+        .withColumn("qn", norm_expr("qv")) \
         .withColumn("sig", hyperplane_sig("qv", planes))
     # multi-probe: own bucket + all single-bit flips within radius
     probes = [F.col("sig")]
@@ -162,6 +184,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = (q.join(c, "bucket")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_expr("qv", "cv"), 6).alias("cosine"))
+                      F.round(_norm_cosine("qv", "cv", "qn", "cn"), 6)
+                      .alias("cosine"))
               .dropDuplicates(["query_id", "neighbor_id"]))
     return _two_phase_topk(scored, k)
