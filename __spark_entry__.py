@@ -472,6 +472,30 @@ FROM nation n FULL OUTER JOIN (
 """
 
 
+def _merge_semi_anti(spark, sf):
+    """Semi + anti joins (extension, SURVEY.md §2.3): customers WITH
+    orders over 400k vs customers WITHOUT any order."""
+    c = _bl(spark, sf, "customer").rename({"c_custkey": "o_custkey"})
+    o = _bl(spark, sf, "orders")
+    big = o[o["o_totalprice"] > 400000][["o_custkey", "o_orderkey"]]
+    semi = c.merge(big, how="semi", on="o_custkey").reset_index()
+    semi["kind"] = semi["c_name"].apply("'has_big_order'")
+    anti = c.merge(o[["o_custkey", "o_orderkey"]], how="anti",
+                   on="o_custkey").reset_index()
+    anti["kind"] = anti["c_name"].apply("'no_orders'")
+    both = semi[["o_custkey", "kind"]].concat(anti[["o_custkey", "kind"]])
+    return both.to_spark().withColumnRenamed("o_custkey", "custkey")
+
+
+_MERGE_SEMI_ANTI_SQL = """
+SELECT c_custkey AS custkey, 'has_big_order' AS kind FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+UNION ALL
+SELECT c_custkey, 'no_orders' FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
 def _setitem_align(spark, sf):
     # df[col] = other-frame Series => index-aligned left join
     # (weld_align, weld_joins.py:289-344)
@@ -1250,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_inner": _merge_inner,
         "merge_left": _merge_left,
         "merge_outer": _merge_outer,
+        "merge_semi_anti": _merge_semi_anti,
         "setitem_align": _setitem_align,
         "str_ops": _str_ops,
         "unary_math": _unary_math,
@@ -1315,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_inner": _MERGE_INNER_SQL,
         "merge_left": _MERGE_LEFT_SQL,
         "merge_outer": _MERGE_OUTER_SQL,
+        "merge_semi_anti": _MERGE_SEMI_ANTI_SQL,
         "setitem_align": _SETITEM_ALIGN_SQL,
         "str_ops": _STR_OPS_SQL,
         "unary_math": _UNARY_MATH_SQL,

@@ -523,8 +523,12 @@ class DataFrame:
         ``algorithm`` / ``is_on_sorted`` / ``is_on_unique`` hints are
         accepted for API parity: 'hash' or ``broadcast_other`` adds a
         broadcast hint on ``other``.
+
+        Extensions beyond the reference: ``how='semi'`` (keep left
+        rows with a match, no right columns) and ``how='anti'`` (keep
+        left rows without a match) — SURVEY.md §2.3.
         """
-        if how not in ("inner", "left", "right", "outer"):
+        if how not in ("inner", "left", "right", "outer", "semi", "anti"):
             raise ValueError(f"unsupported how: {how}")
         if on is None:
             on = [c for c in self._data_cols if c in other._data_cols]
@@ -548,7 +552,9 @@ class DataFrame:
             right = right.withColumnRenamed(c, c + suffixes[1])
         if algorithm == "hash" or broadcast_other:
             right = F.broadcast(right)
-        joined = left.join(right, on, "full" if how == "outer" else how)
+        spark_how = {"outer": "full", "semi": "left_semi",
+                     "anti": "left_anti"}.get(how, how)
+        joined = left.join(right, on, spark_how)
         data = [c for c in joined.columns if c not in on]
         # result indexed by the on-columns (frame.py:904-906)
         return DataFrame._make(joined, on, data, None)

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) with pandas as the oracle.
+
+The reference has NO property-based testing (SURVEY.md §5.7) — this
+is an engine upgrade: random tiny frames, engine result must equal
+pandas semantics. Example counts are kept small because every example
+runs Spark jobs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                       HealthCheck.too_slow])
+
+vals = st.lists(st.integers(min_value=-50, max_value=50),
+                min_size=1, max_size=12)
+keys = st.lists(st.integers(min_value=0, max_value=3),
+                min_size=1, max_size=12)
+
+
+def _frame(bl, k, v):
+    n = min(len(k), len(v))
+    pdf = pd.DataFrame({"k": np.array(k[:n], dtype=np.int64),
+                        "v": np.array(v[:n], dtype=np.float64)})
+    return bl.DataFrame({"k": pdf["k"].to_numpy(),
+                         "v": pdf["v"].to_numpy()}), pdf
+
+
+@given(k=keys, v=vals)
+@settings(**SETTINGS)
+def test_groupby_sum_matches_pandas(bl, k, v):
+    df, pdf = _frame(bl, k, v)
+    got = {r["k"]: r["v"] for r in
+           df.groupby("k").sum().to_pandas().reset_index().to_dict("records")}
+    want = pdf.groupby("k")["v"].sum().to_dict()
+    assert got.keys() == want.keys()
+    for key in want:
+        assert got[key] == pytest.approx(want[key])
+
+
+@given(k=keys, v=vals)
+@settings(**SETTINGS)
+def test_filter_arith_matches_pandas(bl, k, v):
+    df, pdf = _frame(bl, k, v)
+    got = df[(df["v"] > 0) & (df["k"] < 3)]
+    got_vals = sorted((got["v"] * 2 + 1).to_pandas().tolist())
+    want = sorted((pdf[(pdf["v"] > 0) & (pdf["k"] < 3)]["v"] * 2 + 1).tolist())
+    assert got_vals == pytest.approx(want)
+
+
+@given(k=keys, v=vals)
+@settings(**SETTINGS)
+def test_sort_values_matches_pandas(bl, k, v):
+    df, pdf = _frame(bl, k, v)
+    got = df.sort_values(["v", "k"], ascending=[False, True]) \
+        .to_pandas()[["k", "v"]].to_records(index=False).tolist()
+    want = pdf.sort_values(["v", "k"], ascending=[False, True]) \
+        [["k", "v"]].to_records(index=False).tolist()
+    assert got == want
+
+
+@given(k=keys, v=vals, k2=keys)
+@settings(**SETTINGS)
+def test_merge_inner_matches_pandas(bl, k, v, k2):
+    df, pdf = _frame(bl, k, v)
+    n2 = len(k2)
+    pdf2 = pd.DataFrame({"k": np.array(k2, dtype=np.int64),
+                         "w": np.arange(n2, dtype=np.float64)}) \
+        .drop_duplicates("k")  # reference requires unique keys
+    df2 = bl.DataFrame({"k": pdf2["k"].to_numpy(), "w": pdf2["w"].to_numpy()})
+    got = sorted(df.merge(df2, on="k", how="inner").to_pandas()
+                 .reset_index()[["k", "v", "w"]]
+                 .to_records(index=False).tolist())
+    want = sorted(pdf.merge(pdf2, on="k", how="inner")
+                  [["k", "v", "w"]].to_records(index=False).tolist())
+    assert got == want
+
+
+@given(s=st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=12), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_str_ops_match_pandas(bl, s):
+    sr = bl.Series(np.array(s, dtype=object), name="s")
+    got_lower = sr.str.lower().to_pandas().tolist()
+    assert got_lower == pd.Series(s).str.lower().tolist()
+    got_find = sr.str.find("a").to_pandas().tolist()
+    assert got_find == [x.find("a") for x in s]
+    got_strip = sr.str.strip().to_pandas().tolist()
+    assert got_strip == [x.strip(" ") for x in s]
