@@ -186,6 +186,65 @@ GROUP BY n_name
 """
 
 
+def _q12_priority_lines(spark, sf):
+    """TPC-H-Q12-flavored: per linestatus, high- vs low-priority line
+    counts via conditional aggregation (case-when inside agg)."""
+    li = _bl(spark, sf, "lineitem").rename({"l_orderkey": "o_orderkey"})
+    o = _bl(spark, sf, "orders")
+    j = li[["o_orderkey", "l_linestatus"]].merge(
+        o[["o_orderkey", "o_orderpriority"]], how="inner", on="o_orderkey",
+        broadcast_other=True).reset_index()
+    j["is_high"] = j["o_orderpriority"].apply(
+        "CASE WHEN {self} IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END")
+    j["is_low"] = 1 - j["is_high"]
+    g = j[["l_linestatus", "is_high", "is_low"]].groupby("l_linestatus") \
+        .agg({"is_high": ["sum"], "is_low": ["sum"]})
+    out = g.to_spark(include_index=True)
+    return out.select("l_linestatus",
+                      F.col("is_high_sum").cast("long").alias("high_count"),
+                      F.col("is_low_sum").cast("long").alias("low_count"))
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def _q14_promo_revenue(spark, sf):
+    """TPC-H-Q14-flavored: promo-type revenue share over one year —
+    conditional revenue ratio after a broadcast part join."""
+    li = _bl(spark, sf, "lineitem").rename({"l_partkey": "p_partkey"})
+    li = li[(li["l_shipdate"] >= "1997-01-01") & (li["l_shipdate"] < "1998-01-01")]
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    p = _bl(spark, sf, "part")
+    j = li[["p_partkey", "rev"]].merge(p[["p_partkey", "p_type"]],
+                                       how="inner", on="p_partkey",
+                                       broadcast_other=True).reset_index()
+    j["promo_rev"] = j["rev"] * j["p_type"].apply(
+        "CASE WHEN {self} = 'PROMO' THEN 1.0 ELSE 0.0 END")
+    g = j[["promo_rev", "rev"]].agg(["sum"]).to_spark(include_index=True)
+    return g.select(
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("rev"), 4)
+        .alias("promo_pct"))
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
 def _q6_revenue(spark, sf):
     li = _bl(spark, sf, "lineitem")
     flt = li[(li["l_shipdate"] >= "1996-01-01")
@@ -1258,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
         "q6_revenue": _q6_revenue,
+        "q12_priority_lines": _q12_priority_lines,
+        "q14_promo_revenue": _q14_promo_revenue,
         "filter_assign_pipeline": _filter_assign,
         "multi_agg": _multi_agg,
         "frame_agg_row": _frame_agg_row,
@@ -1324,6 +1385,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _Q3_SQL,
         "q5_local_supplier": _Q5_SQL,
         "q6_revenue": _Q6_SQL,
+        "q12_priority_lines": _Q12_SQL,
+        "q14_promo_revenue": _Q14_SQL,
         "filter_assign_pipeline": _FILTER_ASSIGN_SQL,
         "multi_agg": _MULTI_AGG_SQL,
         "frame_agg_row": _FRAME_AGG_ROW_SQL,

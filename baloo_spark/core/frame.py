@@ -254,6 +254,16 @@ class DataFrame:
 
     def _slice(self, key: slice) -> "DataFrame":
         start, stop, step = key.start or 0, key.stop, key.step or 1
+        if (step == 1 and stop is not None and self._order
+                and ORD_COL not in self._sdf.columns):
+            # contiguous slice over an explicit order: offset+limit is
+            # a global-limit plan — no dense-ordinal materialization
+            ob = [F.col(c).asc() if a else F.col(c).desc()
+                  for c, a in self._order if c in self._sdf.columns]
+            if ob:
+                sdf = self._sdf.orderBy(*ob).offset(start).limit(stop - start)
+                return DataFrame._make(sdf, self._index_cols,
+                                       self._data_cols, self._order)
         sdf = self._ordered_sdf()
         cond = F.col(ORD_COL) >= start
         if stop is not None:
