@@ -129,12 +129,9 @@ class DataFrame:
         elif include_index:
             idx = [c for c in self._index_cols if c in self._sdf.columns]
         cols = idx + [c for c in self._data_cols if c not in idx]
-        sdf = self._sdf.select(*cols)
-        if self._order:
-            ob = [F.col(c).asc() if a else F.col(c).desc()
-                  for c, a in self._order if c in cols]
-            # do not force a sort; order is carried only where observable
-        return sdf
+        # no forced sort here: logical order is applied only where it
+        # is observable (head/tail/slice/to_pandas), not on every export
+        return self._sdf.select(*cols)
 
     def __len__(self) -> int:
         """Eager length, cached once known (the reference tracks known
