@@ -306,6 +306,22 @@ class Series:
     def var(self): return self._agg_scalar("var")
     def std(self): return self._agg_scalar("std")
 
+    def sort_values(self, ascending: bool = True) -> "Series":
+        """Sort by value — distributed range-partitioned sort."""
+        sdf, alias = self._select()
+        out = sdf.orderBy(F.col(alias).asc() if ascending
+                          else F.col(alias).desc())
+        return Series._make(out, F.col(alias), self._index_cols, self.name,
+                            [(alias, ascending)])
+
+    def sort_index(self, ascending: bool = True) -> "Series":
+        sdf, alias = self._select()
+        idx = [c for c in self._index_cols if c in sdf.columns]
+        out = sdf.orderBy(*[F.col(c).asc() if ascending else F.col(c).desc()
+                            for c in idx])
+        return Series._make(out, F.col(alias), self._index_cols, self.name,
+                            [(c, ascending) for c in idx])
+
     def abs(self) -> "Series":
         return self._with_col(F.abs(self._colexpr))
 

@@ -102,6 +102,48 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert got == ev.count()
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode window agg with a 1h watermark: a row arriving in a
+    later micro-batch with event time far behind the watermark must be
+    DROPPED, not merged — the state-bounding contract."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import functions as SF
+
+    src = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    on_time = _mk_events(spark, [
+        (1, base, 1, "a", 1.0, ""),
+        (2, base + dt.timedelta(minutes=5), 1, "a", 1.0, ""),
+    ])
+    on_time.write.parquet(src)  # file 1: watermark advances to ~10:05-1h
+
+    stream = (spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(SF.window("ts", "10 minutes").alias("w"))
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .select(SF.unix_timestamp("w.start").cast("long").alias("ws"), "n"))
+    q = (stream.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # file 2: one row 4 hours LATE (06:00 << 10:05 - 1h watermark)
+    late = _mk_events(spark, [
+        (3, base - dt.timedelta(hours=4), 1, "a", 99.0, ""),
+        (4, base + dt.timedelta(hours=2), 1, "a", 1.0, ""),
+    ])
+    late.write.mode("append").parquet(src)
+    q2 = (stream.writeStream.format("memory").queryName("t_late2")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination()
+    rows = {r["ws"]: r["n"] for r in spark.table("t_late2").collect()}
+    late_window = int((base - dt.timedelta(hours=4)).timestamp() // 600 * 600)
+    # the 06:00 window never appears: the late row was dropped
+    assert late_window not in rows
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from baloo_spark.streaming.events import (load_events,
                                               running_user_totals_stream)
