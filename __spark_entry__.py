@@ -718,6 +718,87 @@ FROM lineitem WHERE l_orderkey < 100
 # section 2 — engine extensions (absent in the reference)
 # =====================================================================
 
+def _grouped_zscore(spark, sf):
+    """Grouped-map pandas UDF (applyInPandas): per-returnflag z-score
+    of quantity. The oracle replays it with window functions — same
+    math, declarative plan; the UDF path exists for logic SQL can't
+    express, this query proves the plumbing gives identical results."""
+    li = _bl(spark, sf, "lineitem")
+    sub = li[li["l_orderkey"] < 500][["l_returnflag", "l_orderkey",
+                                      "l_linenumber", "l_quantity"]]
+
+    def z(pdf):
+        m = pdf["l_quantity"].mean()
+        s = pdf["l_quantity"].std(ddof=1)
+        out = pdf[["l_returnflag", "l_orderkey", "l_linenumber"]].copy()
+        out["z"] = ((pdf["l_quantity"] - m) / s).round(6)
+        return out
+
+    g = sub.groupby("l_returnflag").apply(
+        z, "l_returnflag STRING, l_orderkey LONG, l_linenumber INT, z DOUBLE")
+    return g.to_spark()
+
+
+_GROUPED_ZSCORE_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       round((l_quantity - avg(l_quantity) OVER w)
+             / stddev_samp(l_quantity) OVER w, 6) AS z
+FROM lineitem WHERE l_orderkey < 500
+WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+
+def _q13_order_distribution(spark, sf):
+    """TPC-H-Q13-flavored: distribution of customers by order count
+    (left join so zero-order customers count in bucket 0)."""
+    c = _bl(spark, sf, "customer").rename({"c_custkey": "o_custkey"})
+    o = _bl(spark, sf, "orders")
+    m = c[["o_custkey"]].merge(o[["o_custkey", "o_orderkey"]], how="left",
+                               on="o_custkey")
+    per_cust = m.reset_index().groupby("o_custkey") \
+        .agg({"o_orderkey": ["count"]}).reset_index()
+    dist = per_cust.groupby("o_orderkey_count").size()
+    out = dist.to_spark(include_index=True)
+    return out.select(F.col("o_orderkey_count").alias("n_orders"),
+                      F.col("size").alias("n_customers"))
+
+
+_Q13_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+def _q10_returned_revenue(spark, sf):
+    """TPC-H-Q10-flavored: revenue from returned items per customer,
+    top 20."""
+    li = _bl(spark, sf, "lineitem")
+    ret = li[li["l_returnflag"] == "R"].rename({"l_orderkey": "o_orderkey"})
+    ret["rev"] = ret["l_extendedprice"] * (1 - ret["l_discount"])
+    o = _bl(spark, sf, "orders")
+    j = ret[["o_orderkey", "rev"]].merge(
+        o[["o_orderkey", "o_custkey"]], how="inner", on="o_orderkey")
+    g = j.reset_index().groupby("o_custkey").agg({"rev": ["sum"]})
+    top = g.reset_index().sort_values(["rev_sum", "o_custkey"],
+                                      ascending=[False, True]).head(20)
+    return top.to_spark().select("o_custkey",
+                                 F.round("rev_sum", 2).alias("returned_rev"))
+
+
+_Q10_SQL = """
+SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+       AS returned_rev
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY o_custkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_custkey
+LIMIT 20
+"""
+
+
 def _window_topk(spark, sf):
     o = _bl(spark, sf, "orders")
     top = o.top_k_per_group("o_custkey", "o_totalprice", k=2,
@@ -1319,6 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue": _q6_revenue,
         "q12_priority_lines": _q12_priority_lines,
         "q14_promo_revenue": _q14_promo_revenue,
+        "q10_returned_revenue": _q10_returned_revenue,
+        "q13_order_distribution": _q13_order_distribution,
+        "grouped_zscore": _grouped_zscore,
         "filter_assign_pipeline": _filter_assign,
         "multi_agg": _multi_agg,
         "frame_agg_row": _frame_agg_row,
@@ -1387,6 +1471,9 @@ def oracle_sql() -> dict[str, str]:
         "q6_revenue": _Q6_SQL,
         "q12_priority_lines": _Q12_SQL,
         "q14_promo_revenue": _Q14_SQL,
+        "q10_returned_revenue": _Q10_SQL,
+        "q13_order_distribution": _Q13_SQL,
+        "grouped_zscore": _GROUPED_ZSCORE_SQL,
         "filter_assign_pipeline": _FILTER_ASSIGN_SQL,
         "multi_agg": _MULTI_AGG_SQL,
         "frame_agg_row": _FRAME_AGG_ROW_SQL,

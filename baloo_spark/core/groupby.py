@@ -60,6 +60,20 @@ class DataFrameGroupBy:
             F.count(F.lit(1)).alias("size"))
         return DataFrame._make(out, list(self._by), ["size"], None)
 
+    def apply(self, func, schema) -> "DataFrame":
+        """Grouped-map UDF: ``func(pandas.DataFrame) -> pandas.DataFrame``
+        per group, Arrow-batched via applyInPandas (engine extension;
+        the closest reference analogue is the eager ``raw`` surface,
+        SURVEY.md §2.8). ``schema`` is the output schema (DDL string).
+
+        Scale: each group must fit in one executor's memory — use
+        aggregations or window functions when the per-group result is
+        expressible declaratively; this is the escape hatch.
+        """
+        from .frame import DataFrame
+        out = self._df._sdf.groupBy(*self._by).applyInPandas(func, schema)
+        return DataFrame.from_spark(out)
+
     def agg(self, aggregations) -> "DataFrame":
         """Multi-agg: one shuffle for all (col, agg) pairs."""
         if isinstance(aggregations, dict):
