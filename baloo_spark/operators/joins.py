@@ -32,6 +32,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
     ``tolerance``: optional max staleness in seconds — older right
     rows are treated as no-match (NULL), like pandas merge_asof.
+
+    Scale note: the carry-forward window partitions by ``by`` — with
+    no ``by`` keys the whole union collapses to one partition. For a
+    global as-of at scale, synthesize a coarse time-bucket key and
+    stitch bucket boundaries, or provide real partition keys.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     right_cols = right_cols or [c for c in right.columns

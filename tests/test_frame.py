@@ -114,6 +114,57 @@ def test_set_ops(bl):
     assert sorted(a.except_(b).to_pandas()["k"].tolist()) == [1]
 
 
+def test_pivot(df_small):
+    out = df_small.pivot(index="c", columns="c", values="a", agg="count")
+    pdf = out.to_pandas()
+    assert len(pdf) == 5  # 5 distinct c values
+
+
+def test_rollup_and_cube(bl, df_dupl):
+    r = df_dupl.rollup(["b"], {"c": ["sum"]}).to_pandas().reset_index()
+    # per-key rows + one grand-total row (NULL key)
+    assert len(r) == 4
+    total = r[r["b"].isna()]["c_sum"].iloc[0]
+    assert total == 15.0
+    c = df_dupl.cube(["a", "b"], {"c": ["sum"]}).to_pandas().reset_index()
+    assert len(c) > len(r)  # cube adds per-a subtotals
+
+
+def test_describe(df_small):
+    out = df_small.describe().to_pandas()
+    assert out.loc["count", "a"] == 5.0
+    assert out.loc["mean", "b"] == 3.0
+    assert out.loc["50%", "a"] == 3.0
+    assert out.loc["max", "b"] == 5.0
+
+
+def test_quantile_series(df_small):
+    q = df_small["a"].quantile([0.5]).to_pandas()
+    assert q.iloc[0] == 3.0
+    assert df_small["a"].median() == 3.0
+
+
+def test_value_counts(bl):
+    import numpy as np
+    sr = bl.Series(np.array(["x", "y", "x", "x", "z"]), name="s")
+    vc = sr.value_counts().to_pandas()
+    assert vc.iloc[0] == 3  # most frequent first
+    assert dict(zip(vc.index, vc)) == {"x": 3, "y": 1, "z": 1}
+
+
+def test_semi_anti_merge(bl):
+    import numpy as np
+    l = bl.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                      "v": np.array([1., 2., 3.])})
+    r = bl.DataFrame({"k": np.array([2, 3, 4], dtype=np.int64),
+                      "w": np.array([9., 9., 9.])})
+    semi = l.merge(r, how="semi", on="k").to_pandas().reset_index()
+    assert sorted(semi["k"].tolist()) == [2, 3]
+    assert "w" not in semi.columns  # no right columns in semi
+    anti = l.merge(r, how="anti", on="k").to_pandas().reset_index()
+    assert anti["k"].tolist() == [1]
+
+
 def test_evaluate_idempotent(df_small):
     out = df_small[(df_small["a"] > 1)].evaluate()
     assert len(out) == 4
