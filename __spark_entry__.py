@@ -245,6 +245,33 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+def _q18_large_orders(spark, sf):
+    """TPC-H-Q18-flavored: orders whose total quantity exceeds a
+    threshold (groupby + post-aggregation filter = HAVING), joined
+    back to order metadata."""
+    li = _bl(spark, sf, "lineitem").rename({"l_orderkey": "o_orderkey"})
+    per_order = li[["o_orderkey", "l_quantity"]].groupby("o_orderkey") \
+        .agg({"l_quantity": ["sum"]}).reset_index()
+    big = per_order[per_order["l_quantity_sum"] > 300]
+    o = _bl(spark, sf, "orders")
+    j = big.merge(o[["o_orderkey", "o_custkey", "o_totalprice"]],
+                  how="inner", on="o_orderkey")
+    out = j.to_spark(include_index=True)
+    return out.select("o_orderkey", "o_custkey",
+                      F.round("l_quantity_sum", 2).alias("total_qty"),
+                      F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+_Q18_SQL = """
+SELECT l_orderkey AS o_orderkey, o_custkey,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(any_value(o_totalprice), 2) AS o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_custkey
+HAVING sum(l_quantity) > 300
+"""
+
+
 def _q6_revenue(spark, sf):
     li = _bl(spark, sf, "lineitem")
     flt = li[(li["l_shipdate"] >= "1996-01-01")
@@ -1402,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14_promo_revenue,
         "q10_returned_revenue": _q10_returned_revenue,
         "q13_order_distribution": _q13_order_distribution,
+        "q18_large_orders": _q18_large_orders,
         "grouped_zscore": _grouped_zscore,
         "filter_assign_pipeline": _filter_assign,
         "multi_agg": _multi_agg,
@@ -1473,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": _Q14_SQL,
         "q10_returned_revenue": _Q10_SQL,
         "q13_order_distribution": _Q13_SQL,
+        "q18_large_orders": _Q18_SQL,
         "grouped_zscore": _GROUPED_ZSCORE_SQL,
         "filter_assign_pipeline": _FILTER_ASSIGN_SQL,
         "multi_agg": _MULTI_AGG_SQL,

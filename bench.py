@@ -27,8 +27,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue",
+    "q10_returned_revenue",
+    "q13_order_distribution",
+    "q18_large_orders",
     "asof_join",
     "range_join",
+    "grouped_zscore",
+    "quantiles",
     "filter_assign_pipeline",
     "multi_agg",
     "groupby_var_std",
