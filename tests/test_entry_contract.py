@@ -1,0 +1,54 @@
+"""Driver-contract guard: every queries() entry must build and
+analyze; a sample fully executes; oracle keys must match query keys.
+
+Full value-vs-oracle checking lives in tools/check_oracle.py (run
+explicitly); this test keeps `pytest tests/` sufficient to catch
+contract breakage (unresolved columns, bad schemas, missing keys).
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+    return e
+
+
+def test_entry_returns_rows(spark, entry):
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.schema.fields) >= 3
+
+
+def test_every_query_analyzes(spark, entry):
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, SF)
+            _ = df.schema  # forces analysis: resolution + type checks
+        except Exception as exc:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(exc).splitlines()[0][:150]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_oracle_keys_subset_of_queries(entry):
+    qs = set(entry.queries())
+    os_ = set(entry.oracle_sql())
+    assert os_ <= qs, f"oracles without queries: {sorted(os_ - qs)}"
+    # every non-oracled query is a documented approximate/UDF op
+    rows_only = qs - os_
+    assert rows_only == {"dedup_minhash", "dedup_simhash", "ann_lsh_topk",
+                         "ann_ivf_topk", "multimodal_features"}
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "merge_inner", "events_sessions",
+    "dedup_exact", "embedding_topk", "grouped_zscore",
+])
+def test_sample_queries_execute(spark, entry, name):
+    df = entry.queries()[name](spark, SF)
+    assert df.count() > 0
