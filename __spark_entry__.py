@@ -1111,6 +1111,21 @@ UNION ALL SELECT 'max', round(max(l_quantity), 4), round(max(l_discount), 4) FRO
 """
 
 
+def _nunique(spark, sf):
+    li = _bl(spark, sf, "lineitem")
+    s = li[["l_returnflag", "l_linestatus", "l_orderkey"]].nunique()
+    # the Series' value column carries its name ('nunique')
+    return s.to_spark().select(F.col("__index__").alias("column"),
+                               F.col("nunique").alias("n_distinct"))
+
+
+_NUNIQUE_SQL = """
+SELECT 'l_returnflag' AS "column", count(DISTINCT l_returnflag) AS n_distinct FROM lineitem
+UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
+UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey) FROM lineitem
+"""
+
+
 def _abs_clip_round(spark, sf):
     li = _bl(spark, sf, "lineitem")
     sub = li[li["l_orderkey"] < 100]
@@ -1471,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlargest": _nlargest,
         "describe": _describe,
         "abs_clip_round": _abs_clip_round,
+        "nunique": _nunique,
         # section 3 — pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1542,6 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "nlargest": _NLARGEST_SQL,
         "describe": _DESCRIBE_SQL,
         "abs_clip_round": _ABS_CLIP_ROUND_SQL,
+        "nunique": _NUNIQUE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,

@@ -447,6 +447,28 @@ class DataFrame:
                 exprs.append(_AGG_FNS[a](src).cast(out_t).alias(f"{c}_{a}"))
         return exprs
 
+    def sample(self, fraction: float, seed: int = 42,
+               with_replacement: bool = False) -> "DataFrame":
+        """Per-partition Bernoulli sample — no shuffle, no collect."""
+        return self._replace_sdf(
+            self._sdf.sample(with_replacement, fraction, seed), order=None)
+
+    def nunique(self, approx: bool = False) -> "Series":
+        """Distinct count per column as a Series indexed by column
+        name. ``approx=True`` uses HyperLogLog sketches
+        (approx_count_distinct) — the 100 TB path: mergeable, one pass,
+        no per-column shuffle of distinct values."""
+        from .series import _IDX
+        cols = list(self._data_cols)
+        fn = F.approx_count_distinct if approx else F.countDistinct
+        exprs = [fn(F.col(c)).cast("long").alias(c) for c in cols]
+        row = self._sdf.agg(*exprs)
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        out = row.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
+        from .series import Series as _S
+        return _S._make(out, F.col("__agg__"), [_IDX], "nunique", None)
+
     def describe(self) -> "DataFrame":
         """Summary statistics per numeric column (count/mean/std/min/
         25%/50%/75%/max) — one job, exact interpolated quantiles."""
