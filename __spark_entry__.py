@@ -745,6 +745,32 @@ FROM lineitem WHERE l_orderkey < 100
 # section 2 — engine extensions (absent in the reference)
 # =====================================================================
 
+def _running_totals(spark, sf):
+    """Running (cumulative) revenue per customer + order-gap via lag —
+    partitioned window frames (engine extension, SURVEY.md §2.9)."""
+    o = _bl(spark, sf, "orders")
+    r = o.with_running("o_totalprice", order_by="o_orderkey",
+                       partition_by="o_custkey", agg="sum",
+                       name="cum_spend")
+    r = r.with_lag("o_orderkey", order_by="o_orderkey",
+                   partition_by="o_custkey", name="prev_order")
+    out = r[["o_custkey", "o_orderkey", "cum_spend", "prev_order"]]
+    return out.to_spark().select(
+        "o_custkey", "o_orderkey",
+        F.round("cum_spend", 2).alias("cum_spend"),
+        F.col("prev_order").cast("long").alias("prev_order"))
+
+
+_RUNNING_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+         AS prev_order
+FROM orders
+"""
+
+
 def _grouped_zscore(spark, sf):
     """Grouped-map pandas UDF (applyInPandas): per-returnflag z-score
     of quantity. The oracle replays it with window functions — same
@@ -1472,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_expr": _apply_expr,
         # section 2 — extensions
         "window_topk": _window_topk,
+        "running_totals": _running_totals,
         "concat_union": _concat_union,
         "events_window": _events_window,
         "events_sessions": _events_sessions,
@@ -1544,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "dropna_subset": _DROPNA_SQL,
         "apply_expr": _APPLY_EXPR_SQL,
         "window_topk": _WINDOW_TOPK_SQL,
+        "running_totals": _RUNNING_TOTALS_SQL,
         "concat_union": _CONCAT_UNION_SQL,
         "events_window": _EVENTS_WINDOW_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,

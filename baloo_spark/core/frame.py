@@ -621,6 +621,46 @@ class DataFrame:
             out.withColumnRenamed("__rank__", "rank_in_group"),
             self._index_cols, self._data_cols + ["rank_in_group"], None)
 
+    def with_running(self, col: str, order_by, partition_by=None,
+                     agg: str = "sum", name: str | None = None) -> "DataFrame":
+        """Running aggregate (cumulative sum/min/max/count/mean) over
+        an explicit order, optionally per partition group. Partitioned
+        windows keep every group's state local — supply partition keys
+        at scale (an unpartitioned running agg is inherently a single
+        serial pass)."""
+        from pyspark.sql import Window
+        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        partition_by = ([partition_by] if isinstance(partition_by, str)
+                        else list(partition_by or []))
+        w = (Window.partitionBy(*partition_by) if partition_by
+             else Window.partitionBy(F.lit(1)))
+        w = w.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+        fn = _AGG_FNS[agg]
+        name = name or f"running_{agg}"
+        out = self._sdf.withColumn(
+            name, fn(F.col(col).cast("double") if agg != "count"
+                     else F.col(col)).over(w))
+        return DataFrame._make(out, self._index_cols,
+                               self._data_cols + [name], self._order)
+
+    def with_lag(self, col: str, order_by, partition_by=None, offset: int = 1,
+                 name: str | None = None, diff: bool = False) -> "DataFrame":
+        """Previous-row value (lag) or difference vs previous row over
+        an explicit order, optionally per partition group."""
+        from pyspark.sql import Window
+        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        partition_by = ([partition_by] if isinstance(partition_by, str)
+                        else list(partition_by or []))
+        w = (Window.partitionBy(*partition_by) if partition_by
+             else Window.partitionBy(F.lit(1)))
+        w = w.orderBy(*order_by)
+        lagged = F.lag(F.col(col), offset).over(w)
+        expr = (F.col(col) - lagged) if diff else lagged
+        name = name or (f"{col}_diff" if diff else f"{col}_lag")
+        out = self._sdf.withColumn(name, expr)
+        return DataFrame._make(out, self._index_cols,
+                               self._data_cols + [name], self._order)
+
     def with_rank(self, order_by, ascending: bool = True,
                   method: str = "row_number", name: str = "rank") -> "DataFrame":
         """Global ranking column. NOTE: a global window is inherently
