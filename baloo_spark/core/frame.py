@@ -21,7 +21,7 @@ from ..plans.ordinal import ORD_COL, with_dense_ordinal
 from .dtypes import np_dtype_of, spark_type_of
 from .series import _AGG_FNS, _IDX, Series, _is_numeric
 
-_RESERVED = {ORD_COL, "__pid__", "__mid__"}
+_RESERVED = {ORD_COL, "__pos__", "__pid__", "__mid__"}
 
 
 class DataFrame:
@@ -204,14 +204,15 @@ class DataFrame:
                 sdf = (self._sdf.join(right, on, "left")
                        .withColumnRenamed("__new_val__", key))
         elif isinstance(value, (np.ndarray, list)):
+            # positional alignment on FRESH positions (a filtered frame's
+            # ORD_COL labels are sparse; the array is dense 0..n-1)
+            from ..plans.ordinal import POS_COL
             aligned = Series(np.asarray(value))
-            sdf_l = self._sdf
-            if ORD_COL not in sdf_l.columns:
-                sdf_l = with_dense_ordinal(sdf_l)
+            sdf_l = self._ordered_sdf()
             right, _ = aligned._select("__new_val__")
-            right = right.select(ORD_COL, "__new_val__")
-            sdf = sdf_l.join(right, ORD_COL, "left").withColumnRenamed(
-                "__new_val__", key)
+            right = right.select(F.col(ORD_COL).alias(POS_COL), "__new_val__")
+            sdf = (sdf_l.join(right, POS_COL, "left").drop(POS_COL)
+                   .withColumnRenamed("__new_val__", key))
         else:
             sdf = self._sdf.withColumn(key, F.lit(value))
         data_cols = self._data_cols + ([key] if key not in self._data_cols else [])
@@ -243,13 +244,21 @@ class DataFrame:
     # ------------------------------------------------------ positional ops
 
     def _ordered_sdf(self) -> SparkDF:
-        if ORD_COL in self._sdf.columns:
-            return self._sdf
+        """sdf with a FRESH dense positional column ``__pos__``.
+
+        ORD_COL values are row LABELS (RangeIndex); after a filter
+        they are sparse — positions must be recomputed over the
+        surviving rows (ordered by the logical order, falling back to
+        the labels for ingest order)."""
+        from ..plans.ordinal import POS_COL
         order = [F.col(c).asc() if a else F.col(c).desc()
-                 for c, a in (self._order or []) if c in self._sdf.columns] or None
-        return with_dense_ordinal(self._sdf, order)
+                 for c, a in (self._order or []) if c in self._sdf.columns]
+        if not order and ORD_COL in self._sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        return with_dense_ordinal(self._sdf, order or None, name=POS_COL)
 
     def _slice(self, key: slice) -> "DataFrame":
+        from ..plans.ordinal import POS_COL
         start, stop, step = key.start or 0, key.stop, key.step or 1
         if (step == 1 and stop is not None and self._order
                 and ORD_COL not in self._sdf.columns):
@@ -262,13 +271,16 @@ class DataFrame:
                 return DataFrame._make(sdf, self._index_cols,
                                        self._data_cols, self._order)
         sdf = self._ordered_sdf()
-        cond = F.col(ORD_COL) >= start
+        cond = F.col(POS_COL) >= start
         if stop is not None:
-            cond = cond & (F.col(ORD_COL) < stop)
+            cond = cond & (F.col(POS_COL) < stop)
         if step != 1:
-            cond = cond & ((F.col(ORD_COL) - start) % step == 0)
-        return DataFrame._make(sdf.filter(cond), self._index_cols,
-                               self._data_cols, self._order or [(ORD_COL, True)])
+            cond = cond & ((F.col(POS_COL) - start) % step == 0)
+        return DataFrame._make(sdf.filter(cond).drop(POS_COL),
+                               self._index_cols, self._data_cols,
+                               self._order or ([(ORD_COL, True)]
+                                               if ORD_COL in self._sdf.columns
+                                               else None))
 
     def head(self, n: int = 5) -> "DataFrame":
         sdf = self._sdf
@@ -521,11 +533,13 @@ class DataFrame:
                      and c not in subset and c not in others]
         if keep in ("first", "last"):
             from pyspark.sql import Window
+
+            from ..plans.ordinal import POS_COL
             sdf = self._ordered_sdf()
             w = Window.partitionBy(*subset).orderBy(
-                F.col(ORD_COL).asc() if keep == "first" else F.col(ORD_COL).desc())
+                F.col(POS_COL).asc() if keep == "first" else F.col(POS_COL).desc())
             out = (sdf.withColumn("__rn__", F.row_number().over(w))
-                   .filter(F.col("__rn__") == 1).drop("__rn__"))
+                   .filter(F.col("__rn__") == 1).drop("__rn__", POS_COL))
             return DataFrame._make(out, self._index_cols, self._data_cols, None)
         if keep == "any":
             out = self._sdf.select(*subset, *others, *idx_extra).dropDuplicates(subset)
@@ -765,9 +779,10 @@ class _FrameILoc:
         self._df = df
 
     def __getitem__(self, key):
+        from ..plans.ordinal import POS_COL
         if isinstance(key, int):
             sdf = self._df._ordered_sdf()
-            out = sdf.filter(F.col(ORD_COL) == key)
+            out = sdf.filter(F.col(POS_COL) == key).drop(POS_COL)
             return DataFrame._make(out, self._df._index_cols,
                                    self._df._data_cols, self._df._order)
         if isinstance(key, slice):
@@ -777,9 +792,11 @@ class _FrameILoc:
             spark = sdf.sparkSession
             want = spark.createDataFrame(
                 [(int(i), int(p)) for p, i in enumerate(key)],
-                f"{ORD_COL} LONG, __pos__ LONG")
-            out = (sdf.join(F.broadcast(want), ORD_COL)
-                   .drop(ORD_COL).withColumnRenamed("__pos__", ORD_COL))
+                f"{POS_COL} LONG, __gather__ LONG")
+            if ORD_COL in sdf.columns:
+                sdf = sdf.drop(ORD_COL)
+            out = (sdf.join(F.broadcast(want), POS_COL)
+                   .drop(POS_COL).withColumnRenamed("__gather__", ORD_COL))
             return DataFrame._make(out, self._df._index_cols,
                                    self._df._data_cols, [(ORD_COL, True)])
         raise TypeError(f"unsupported iloc key: {type(key)}")

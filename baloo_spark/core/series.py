@@ -236,27 +236,36 @@ class Series:
         return self[mask]
 
     def _ordered_sdf(self):
-        """sdf with a dense ordinal consistent with the logical order."""
+        """sdf with a FRESH dense positional column ``__pos__``.
+
+        ORD_COL values are row LABELS (RangeIndex) — after a filter
+        they are sparse, so positions must be recomputed over the
+        current row set, ordered by the logical order (or by the
+        labels for ingest order).
+        """
+        from ..plans.ordinal import POS_COL
         sdf, alias = self._select()
-        if ORD_COL in sdf.columns:
-            return sdf, alias
         order = [F.col(c).asc() if asc else F.col(c).desc()
-                 for c, asc in (self._order or [])] or None
-        return with_dense_ordinal(sdf, order), alias
+                 for c, asc in (self._order or []) if c in sdf.columns]
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        return with_dense_ordinal(sdf, order or None, name=POS_COL), alias
 
     def _slice(self, key: slice) -> "Series":
+        from ..plans.ordinal import POS_COL
         start = key.start or 0
         stop = key.stop
         step = key.step or 1
         sdf, alias = self._ordered_sdf()
-        cond = F.col(ORD_COL) >= start
+        cond = F.col(POS_COL) >= start
         if stop is not None:
-            cond = cond & (F.col(ORD_COL) < stop)
+            cond = cond & (F.col(POS_COL) < stop)
         if step != 1:
-            cond = cond & ((F.col(ORD_COL) - start) % step == 0)
-        out = sdf.filter(cond)
+            cond = cond & ((F.col(POS_COL) - start) % step == 0)
+        out = sdf.filter(cond).drop(POS_COL)
         return Series._make(out, F.col(alias), self._index_cols, self.name,
-                            self._order or [(ORD_COL, True)])
+                            self._order or ([(ORD_COL, True)]
+                                            if ORD_COL in out.columns else None))
 
     def head(self, n: int = 5) -> "Series":
         sdf, alias = self._select()
@@ -492,9 +501,10 @@ class _SeriesILoc:
         self._sr = sr
 
     def __getitem__(self, key):
+        from ..plans.ordinal import POS_COL
         if isinstance(key, int):
             sdf, alias = self._sr._ordered_sdf()
-            row = sdf.filter(F.col(ORD_COL) == key).select(alias).first()
+            row = sdf.filter(F.col(POS_COL) == key).select(alias).first()
             if row is None:
                 raise IndexError(f"iloc index {key} out of range")
             return row[alias]
@@ -506,9 +516,10 @@ class _SeriesILoc:
             spark = sdf.sparkSession
             want = spark.createDataFrame(
                 [(int(i), int(p)) for p, i in enumerate(key)],
-                f"{ORD_COL} LONG, __pos__ LONG")
-            out = (sdf.join(F.broadcast(want), ORD_COL)
-                   .drop(ORD_COL).withColumnRenamed("__pos__", ORD_COL))
+                f"{POS_COL} LONG, __gather__ LONG")
+            sdf = sdf.drop(ORD_COL) if ORD_COL in sdf.columns else sdf
+            out = (sdf.join(F.broadcast(want), POS_COL)
+                   .drop(POS_COL).withColumnRenamed("__gather__", ORD_COL))
             return Series._make(out, F.col(alias), self._sr._index_cols,
                                 self._sr.name, [(ORD_COL, True)])
         raise TypeError(f"unsupported iloc key: {type(key)}")

@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ORD_COL = "__ord__"
+# fresh positional column for slice/iloc/tail: NEVER reuse ORD_COL
+# positions after a filter — surviving rows keep their original
+# (now sparse) ordinals, which are labels, not positions
+POS_COL = "__pos__"
 
 
 def with_dense_ordinal(sdf: DataFrame, order_by: list | None = None,

@@ -165,6 +165,35 @@ def test_semi_anti_merge(bl):
     assert anti["k"].tolist() == [1]
 
 
+def test_positional_ops_after_filter(df_small):
+    """Positions must be recomputed over surviving rows after a filter
+    — the original RangeIndex ordinals are labels, not positions."""
+    flt = df_small[df_small["a"] > 2]          # rows a=3,4,5 (labels 2,3,4)
+    assert flt[0:2].to_pandas()["a"].tolist() == [3.0, 4.0]
+    assert flt.tail(1).to_pandas()["a"].tolist() == [5.0]
+    assert flt.iloc[[0, 2]].to_pandas()["a"].tolist() == [3.0, 5.0]
+    # index labels preserved through the filter (reference semantics)
+    assert flt[0:2].to_pandas().index.tolist() == [2, 3]
+
+
+def test_series_positional_after_filter(bl):
+    import numpy as np
+    sr = bl.Series(np.array([10., 20., 30., 40., 50.]), name="v")
+    flt = sr[sr > 25]                          # 30,40,50 at labels 2,3,4
+    assert flt[0:2].to_pandas().tolist() == [30.0, 40.0]
+    assert flt.iloc[1] == 40.0
+    assert flt.tail(1).to_pandas().tolist() == [50.0]
+
+
+def test_setitem_ndarray_after_filter(bl):
+    import numpy as np
+    df = bl.DataFrame({"a": np.array([1., 2., 3., 4.])})
+    flt = df[df["a"] > 2]
+    flt["z"] = np.array([100, 200], dtype=np.int64)
+    got = flt.to_pandas().sort_values("a")
+    assert got["z"].tolist() == [100, 200]
+
+
 def test_evaluate_idempotent(df_small):
     out = df_small[(df_small["a"] > 1)].evaluate()
     assert len(out) == 4
