@@ -19,6 +19,18 @@ from .session import get_session
 
 __version__ = "0.1.0"
 
+
+def concat(frames: list) -> "DataFrame":
+    """Row-wise concatenation of frames (pandas-style top-level;
+    engine extension — the reference has no set ops, SURVEY.md §2.6).
+    Columns are matched by name; missing columns become NULL."""
+    if not frames:
+        raise ValueError("concat of empty list")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.concat(f)
+    return out
+
 __all__ = [
     "DataFrame", "Series", "Index", "MultiIndex", "RangeIndex",
     "read_csv", "read_parquet", "read_json", "get_session",

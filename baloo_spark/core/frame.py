@@ -187,6 +187,12 @@ class DataFrame:
     def filter(self, mask: Series) -> "DataFrame":
         return self[mask]
 
+    def query(self, expr: str) -> "DataFrame":
+        """Filter by a SQL boolean expression over column names —
+        the string-predicate counterpart of mask filtering (pushdown
+        still applies; Catalyst parses the expression)."""
+        return self._replace_sdf(self._sdf.filter(F.expr(expr)))
+
     def __setitem__(self, key: str, value):
         """Add/replace a column (frame.py:382-429). A Series from
         another frame is ALIGNED by index via left join — missing keys

@@ -201,6 +201,19 @@ class Series:
 
     # ------------------------------------------------------- missing data
 
+    def isin(self, values) -> "Series":
+        """Membership test against a literal list (broadcast by
+        Catalyst as an IN-set; for large value sets use a semi join
+        via DataFrame.merge(how='semi'))."""
+        return self._with_col(self._colexpr.isin(*list(values)))
+
+    def between(self, lower, upper, inclusive: bool = True) -> "Series":
+        if inclusive:
+            return self._with_col((self._colexpr >= F.lit(lower))
+                                  & (self._colexpr <= F.lit(upper)))
+        return self._with_col((self._colexpr > F.lit(lower))
+                              & (self._colexpr < F.lit(upper)))
+
     def isna(self) -> "Series":
         """NULL test (reference: sentinel compare, generic.py:69-73)."""
         return self._with_col(self._colexpr.isNull())

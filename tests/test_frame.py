@@ -165,6 +165,20 @@ def test_semi_anti_merge(bl):
     assert anti["k"].tolist() == [1]
 
 
+def test_isin_between_query(bl, df_small):
+    assert df_small["b"].isin([2, 4]).to_pandas().tolist() == \
+        [False, True, False, True, False]
+    assert df_small["a"].between(2, 4).to_pandas().tolist() == \
+        [False, True, True, True, False]
+    assert df_small["a"].between(2, 4, inclusive=False).to_pandas().tolist() == \
+        [False, False, True, False, False]
+    out = df_small.query("a > 2 AND b < 5")
+    assert out.to_pandas()["a"].tolist() == [3.0, 4.0]
+    import numpy as np
+    both = bl.concat([df_small[["a"]], df_small[["a"]]])
+    assert len(both) == 10
+
+
 def test_positional_ops_after_filter(df_small):
     """Positions must be recomputed over surviving rows after a filter
     — the original RangeIndex ordinals are labels, not positions."""
