@@ -80,6 +80,30 @@ def test_merge_inner_matches_pandas(bl, k, v, k2):
     assert got == want
 
 
+@given(k=keys, v=vals)
+@settings(**SETTINGS)
+def test_drop_duplicates_min_matches_pandas(bl, k, v):
+    df, pdf = _frame(bl, k, v)
+    got = sorted(df.drop_duplicates(subset=["k"], keep="min")
+                 .to_pandas().to_dict("records"),
+                 key=lambda r: r["k"])
+    want = pdf.groupby("k", as_index=False)["v"].min() \
+        .sort_values("k").to_dict("records")
+    assert [(r["k"], r["v"]) for r in got] == \
+        [(r["k"], r["v"]) for r in want]
+
+
+@given(k=keys, v=vals)
+@settings(**SETTINGS)
+def test_value_counts_matches_pandas(bl, k, v):
+    df, pdf = _frame(bl, k, v)
+    got = dict(zip(*[iter_ for iter_ in (
+        df["k"].value_counts().to_pandas().index.tolist(),
+        df["k"].value_counts().to_pandas().tolist())]))
+    want = pdf["k"].value_counts().to_dict()
+    assert got == want
+
+
 @given(s=st.lists(st.text(
     alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     min_size=0, max_size=12), min_size=1, max_size=8))
