@@ -166,6 +166,36 @@ def running_user_totals_stream(spark: SparkSession, path: str,
                                     "update", timeout))
 
 
+def stream_stream_join(spark: SparkSession, left_path: str,
+                       right_path: str, gap_sec: int = 3600,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: purchases joined to clicks by the
+    same user within ``gap_sec`` BEFORE the purchase.
+
+    Both sides carry watermarks and the join condition bounds event
+    time — the two requirements that let Spark expire join state on
+    an unbounded stream (unbounded stream-stream joins otherwise
+    buffer forever).
+    """
+    l = (spark.readStream.schema(EVENTS_SCHEMA).parquet(left_path)
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("l_user"),
+                 F.col("ts").alias("purchase_ts")))
+    r = (spark.readStream.schema(EVENTS_SCHEMA).parquet(right_path)
+         .withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("r_user"),
+                 F.col("ts").alias("click_ts")))
+    cond = ((F.col("l_user") == F.col("r_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts")
+               - F.expr(f"INTERVAL {gap_sec} SECONDS")))
+    return (l.join(r, cond, "inner")
+            .select("purchase_id", "click_id",
+                    F.col("l_user").alias("user_id")))
+
+
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
                          name: str = "stream_out") -> DataFrame:
     """Execute a streaming DF with availableNow (process-everything-

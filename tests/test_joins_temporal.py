@@ -144,6 +144,32 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert late_window not in rows
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from baloo_spark.streaming.events import load_events, stream_stream_join
+    import pyspark.sql.functions as F
+    ev = load_events(spark, SF)
+    lp, rp = str(tmp_path / "purch"), str(tmp_path / "clicks")
+    ev.filter("event_type = 'purchase'").write.parquet(lp)
+    ev.filter("event_type = 'click'").write.parquet(rp)
+
+    stream = stream_stream_join(spark, lp, rp, gap_sec=3600)
+    q = (stream.writeStream.format("memory").queryName("t_ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["purchase_id"], r["click_id"])
+           for r in spark.table("t_ssj").collect()}
+
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts"))
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("u2"),
+        F.col("ts").alias("cts"))
+    want = {(r["pid"], r["cid"]) for r in p.join(
+        c, (p["user_id"] == c["u2"]) & (c["cts"] <= p["pts"])
+        & (c["cts"] >= p["pts"] - F.expr("INTERVAL 3600 SECONDS"))).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_stateful_running_totals(spark, tmp_path):
     from baloo_spark.streaming.events import (load_events,
                                               running_user_totals_stream)
