@@ -208,9 +208,9 @@ def _q12_priority_lines(spark, sf):
 _Q12_SQL = """
 SELECT l_linestatus,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_count
+                THEN 0 ELSE 1 END)::BIGINT AS low_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 """
