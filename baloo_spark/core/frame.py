@@ -172,9 +172,17 @@ class DataFrame:
             # accept masks built from any frame in this frame's mutation
             # lineage: withColumn keeps prior columns, so the mask's
             # named references still resolve on the current plan
-            if key._sdf is not self._sdf and id(key._sdf) not in self._lineage:
-                raise ValueError("boolean mask must derive from this frame")
-            return self._replace_sdf(self._sdf.filter(key._colexpr))
+            if key._sdf is self._sdf or id(key._sdf) in self._lineage:
+                return self._replace_sdf(self._sdf.filter(key._colexpr))
+            # cross-frame mask: positional semantics (reference accepts
+            # any equal-length mask, weld_ops.py:97-133) — semi-join the
+            # mask's True positions against fresh dense positions here
+            from ..plans.ordinal import POS_COL
+            left = self._ordered_sdf()
+            mask_sdf, malias = key._ordered_sdf("__mask__")
+            keep = mask_sdf.filter(F.col(malias)).select(POS_COL)
+            sdf = left.join(keep, POS_COL, "left_semi").drop(POS_COL)
+            return self._replace_sdf(sdf)
         if isinstance(key, slice):
             return self._slice(key)
         raise TypeError(f"unsupported key type: {type(key)}")

@@ -150,14 +150,15 @@ class Series:
         if isinstance(other, Series):
             if other._sdf is self._sdf:
                 return self._with_col(op(self._colexpr, other._colexpr))
-            left, lname = self._select("__l__")
-            right, rname = other._select("__r__")
-            if ORD_COL not in left.columns:
-                left = with_dense_ordinal(left)
-            if ORD_COL not in right.columns:
-                right = with_dense_ordinal(right)
-            right = right.select(ORD_COL, rname)
-            joined = left.join(right, ORD_COL, "inner")
+            # Cross-frame: align POSITIONALLY (reference arrays zip by
+            # position, SURVEY.md §1.4). ORD_COL holds row LABELS which
+            # go sparse after a filter, so recompute fresh dense
+            # positions on BOTH sides and join on those.
+            from ..plans.ordinal import POS_COL
+            left, lname = self._ordered_sdf("__l__")
+            right, rname = other._ordered_sdf("__r__")
+            right = right.select(POS_COL, rname)
+            joined = left.join(right, POS_COL, "inner").drop(POS_COL)
             idx = [c for c in self._index_cols if c in joined.columns]
             return Series._make(joined, op(F.col(lname), F.col(rname)), idx,
                                 self.name, self._order)
@@ -236,11 +237,17 @@ class Series:
         if isinstance(key, Series):
             # boolean-mask filter (series.py:249-252)
             if key._sdf is self._sdf:
-                sdf, alias = self._select()
                 mask_sdf = self._sdf.filter(key._colexpr)
                 return Series._make(mask_sdf, self._colexpr, self._index_cols,
                                     self.name, self._order)
-            raise ValueError("mask must come from the same frame lineage")
+            # cross-frame mask: positional (reference weld_ops.py:97-133)
+            from ..plans.ordinal import POS_COL
+            left, alias = self._ordered_sdf()
+            mask_sdf, malias = key._ordered_sdf("__mask__")
+            keep = mask_sdf.filter(F.col(malias)).select(POS_COL)
+            out = left.join(keep, POS_COL, "left_semi").drop(POS_COL)
+            return Series._make(out, F.col(alias), self._index_cols,
+                                self.name, self._order)
         if isinstance(key, slice):
             return self._slice(key)
         raise TypeError(f"unsupported key: {type(key)}")
@@ -248,7 +255,7 @@ class Series:
     def filter(self, mask: "Series") -> "Series":
         return self[mask]
 
-    def _ordered_sdf(self):
+    def _ordered_sdf(self, alias=None):
         """sdf with a FRESH dense positional column ``__pos__``.
 
         ORD_COL values are row LABELS (RangeIndex) — after a filter
@@ -257,7 +264,7 @@ class Series:
         labels for ingest order).
         """
         from ..plans.ordinal import POS_COL
-        sdf, alias = self._select()
+        sdf, alias = self._select(alias)
         order = [F.col(c).asc() if asc else F.col(c).desc()
                  for c, asc in (self._order or []) if c in sdf.columns]
         if not order and ORD_COL in sdf.columns:

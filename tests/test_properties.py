@@ -116,3 +116,20 @@ def test_str_ops_match_pandas(bl, s):
     assert got_find == [x.find("a") for x in s]
     got_strip = sr.str.strip().to_pandas().tolist()
     assert got_strip == [x.strip(" ") for x in s]
+
+
+@given(v=vals, m=st.lists(st.booleans(), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_cross_frame_mask_matches_pandas(bl, v, m):
+    # Mask built from a DIFFERENT frame filters positionally
+    # (reference positional semantics, weld_ops.py:97-133).
+    n = min(len(v), len(m))
+    vv, mm = v[:n], m[:n]
+    df = bl.DataFrame({"v": np.array(vv, dtype=np.int64)})
+    other = bl.DataFrame({"flag": np.array(mm, dtype=np.int64)})
+    mask = other["flag"] == 1
+    got = sorted(df[mask]["v"].to_pandas().tolist())
+    want = sorted(np.array(vv)[np.array(mm)].tolist())
+    assert got == want
+    got_sr = sorted(df["v"][mask].to_pandas().tolist())
+    assert got_sr == want

@@ -54,6 +54,20 @@ def test_series_series_cross_frame_positional(bl):
     assert sorted(out) == [11, 22, 33]
 
 
+def test_cross_frame_align_after_filter(bl):
+    # Regression: after a filter, ORD_COL labels are sparse (2,3,4) —
+    # positional alignment must recompute dense positions, not join
+    # labels against the other side's 0..n-1 ordinals.
+    sr = bl.Series(np.array([10, 20, 30, 40, 50], dtype=np.int64))
+    flt = sr[sr > 20]
+    out = (flt + np.array([1, 2, 3])).to_pandas().tolist()
+    assert out == [31, 42, 53]
+    # filtered vs filtered from a different frame, both sparse
+    other = bl.Series(np.array([0, 7, 0, 8, 9], dtype=np.int64))
+    oflt = other[other > 0]
+    assert (flt + oflt).to_pandas().tolist() == [37, 48, 59]
+
+
 def test_aggregations(sr):
     assert sr.sum() == 15.0
     assert sr.min() == 1.0
