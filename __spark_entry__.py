@@ -310,94 +310,69 @@ WHERE l_quantity > 10 AND l_discount < 0.07 AND l_extendedprice < 50000
 """
 
 
-def _multi_agg(spark, sf):
-    # Series.agg(['min','prod','mean','std']) — benchmark op 2
+def _agg_rows(spark, sf):
+    """Folded eager-agg family: Series.agg(['min','prod','mean','std'])
+    (benchmark op 2, series.py:370-388) tagged 'series', plus the
+    frame column-wise agg row (frame.py:594-639) tagged 'frame'."""
     li = _bl(spark, sf, "lineitem")
     sr = li[li["l_orderkey"] < 200]["l_discount"] + 1
-    out = sr.agg(["min", "prod", "mean", "std"]).to_spark()
-    # agg Series keeps the source column's name (series.py:370-388)
-    return out.select(F.col("__index__").alias("aggregation"),
-                      F.round("l_discount", 6).alias("value"))
+    srows = sr.agg(["min", "prod", "mean", "std"]).to_spark().select(
+        F.lit("series").alias("kind"),
+        F.col("__index__").alias("label"),
+        F.round("l_discount", 6).alias("value"))
+    frows = li[["l_quantity", "l_extendedprice", "l_discount"]].mean() \
+        .to_spark().select(F.lit("frame").alias("kind"),
+                           F.col("__index__").alias("label"),
+                           F.round(F.col("mean"), 4).alias("value"))
+    return srows.unionByName(frows)
 
 
-_MULTI_AGG_SQL = """
+_AGG_ROWS_SQL = """
 WITH s AS (SELECT 1 + l_discount AS x FROM lineitem WHERE l_orderkey < 200)
-SELECT 'min' AS aggregation, round(min(x), 6) AS value FROM s
-UNION ALL SELECT 'prod', round(product(x), 6) FROM s
-UNION ALL SELECT 'mean', round(avg(x), 6) FROM s
-UNION ALL SELECT 'std', round(stddev_samp(x), 6) FROM s
+SELECT 'series' AS kind, 'min' AS label, round(min(x), 6) AS value FROM s
+UNION ALL SELECT 'series', 'prod', round(product(x), 6) FROM s
+UNION ALL SELECT 'series', 'mean', round(avg(x), 6) FROM s
+UNION ALL SELECT 'series', 'std', round(stddev_samp(x), 6) FROM s
+UNION ALL SELECT 'frame', 'l_quantity', round(avg(l_quantity), 4) FROM lineitem
+UNION ALL SELECT 'frame', 'l_extendedprice', round(avg(l_extendedprice), 4) FROM lineitem
+UNION ALL SELECT 'frame', 'l_discount', round(avg(l_discount), 4) FROM lineitem
 """
 
 
-def _frame_agg_row(spark, sf):
-    # column-wise agg row (frame.py:594-639)
+def _groupby_stats(spark, sf):
+    """Folded groupby family (one driver row evidences sum/count/mean/
+    var/std via agg-dict, groupby.py:29-55, PLUS the distinct .size()
+    path, groupby.py:57 — joined on the group keys)."""
     li = _bl(spark, sf, "lineitem")
-    out = li[["l_quantity", "l_extendedprice", "l_discount"]].mean().to_spark()
-    return out.select(F.col("__index__").alias("column"),
-                      F.round(F.col("mean"), 4).alias("mean"))
-
-
-_FRAME_AGG_ROW_SQL = """
-SELECT 'l_quantity' AS "column", round(avg(l_quantity), 4) AS mean FROM lineitem
-UNION ALL SELECT 'l_extendedprice', round(avg(l_extendedprice), 4) FROM lineitem
-UNION ALL SELECT 'l_discount', round(avg(l_discount), 4) FROM lineitem
-"""
-
-
-def _groupby_sum_mean(spark, sf):
-    li = _bl(spark, sf, "lineitem")
-    g = li.groupby(["l_returnflag", "l_linestatus"]).agg({
-        "l_quantity": ["sum", "count"],
-        "l_extendedprice": ["mean"],
-    })
-    out = g.to_spark(include_index=True)
+    keys = ["l_returnflag", "l_linestatus"]
+    g = li.groupby(keys).agg({
+        "l_quantity": ["sum", "count", "var", "std"],
+        "l_extendedprice": ["mean", "std"],
+    }).reset_index()
+    sz = li.groupby(keys).size().reset_index()
+    m = g.merge(sz, how="inner", on=keys)
+    out = m.to_spark(include_index=True)
     return out.select(
         "l_returnflag", "l_linestatus",
         F.round("l_quantity_sum", 2).alias("sum_qty"),
         F.col("l_quantity_count").alias("n_rows"),
-        F.round("l_extendedprice_mean", 4).alias("avg_price"))
+        F.round("l_extendedprice_mean", 4).alias("avg_price"),
+        F.round("l_quantity_var", 4).alias("var_qty"),
+        F.round("l_quantity_std", 4).alias("std_qty"),
+        F.round("l_extendedprice_std", 2).alias("std_price"),
+        F.col("size").alias("group_size"))
 
 
-_GROUPBY_SUM_MEAN_SQL = """
+_GROUPBY_STATS_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        count(*) AS n_rows,
-       round(avg(l_extendedprice), 4) AS avg_price
-FROM lineitem GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def _groupby_var_std(spark, sf):
-    # benchmark op 5: 2-key groupby variance (groupby.py:39-48)
-    li = _bl(spark, sf, "lineitem")
-    g = li.groupby(["l_returnflag", "l_linestatus"]).agg({
-        "l_quantity": ["var", "std"],
-        "l_extendedprice": ["std"],
-    })
-    out = g.to_spark(include_index=True)
-    return out.select(
-        "l_returnflag", "l_linestatus",
-        F.round("l_quantity_var", 4).alias("var_qty"),
-        F.round("l_quantity_std", 4).alias("std_qty"),
-        F.round("l_extendedprice_std", 2).alias("std_price"))
-
-
-_GROUPBY_VAR_STD_SQL = """
-SELECT l_returnflag, l_linestatus,
+       round(avg(l_extendedprice), 4) AS avg_price,
        round(var_samp(l_quantity), 4) AS var_qty,
        round(stddev_samp(l_quantity), 4) AS std_qty,
-       round(stddev_samp(l_extendedprice), 2) AS std_price
+       round(stddev_samp(l_extendedprice), 2) AS std_price,
+       count(*) AS group_size
 FROM lineitem GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def _groupby_size(spark, sf):
-    li = _bl(spark, sf, "lineitem")
-    return li.groupby("l_returnflag").size().to_spark(include_index=True)
-
-
-_GROUPBY_SIZE_SQL = """
-SELECT l_returnflag, count(*) AS size FROM lineitem GROUP BY l_returnflag
 """
 
 
@@ -416,68 +391,109 @@ FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey
 """
 
 
-def _sort_head(spark, sf):
-    # multi-key sort + head => TakeOrderedAndProject (frame.py:755-796)
+def _sort_nlargest(spark, sf):
+    """Folded: multi-key sort + head => TakeOrderedAndProject
+    (frame.py:755-796) tagged 'head', plus Series.nlargest tagged
+    'top' (NULL key — the Series op carries values only)."""
     o = _bl(spark, sf, "orders")
     top = o.sort_values(["o_totalprice", "o_orderkey"],
                         ascending=[False, True]).head(100)
-    return top[["o_orderkey", "o_custkey", "o_totalprice"]].to_spark()
+    head = top[["o_orderkey", "o_totalprice"]].to_spark().select(
+        F.lit("head").alias("kind"), "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"))
+    nl = _bl(spark, sf, "orders")["o_totalprice"].round(2).nlargest(20)
+    nlrows = nl.to_spark().select(
+        F.lit("top").alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").alias("price"))
+    return head.unionByName(nlrows)
 
 
-_SORT_HEAD_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+_SORT_NLARGEST_SQL = """
+SELECT 'head' AS kind, o_orderkey, round(o_totalprice, 2) AS price
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+UNION ALL
+SELECT 'top', NULL::BIGINT, round(o_totalprice, 2)
+FROM (SELECT o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 20)
 """
 
 
-def _slice_positional(spark, sf):
-    # positional slice over an explicit order (weld_ops.py:136-187)
+def _positional_ops(spark, sf):
+    """Folded positional family over an explicit order (weld_ops.py:
+    136-187, 333-367): slice [100:110], tail(10), iloc list gather,
+    and the eager iloc[int] scalar — tagged rows, one schema."""
     o = _bl(spark, sf, "orders")
-    s = o.sort_values(["o_totalprice", "o_orderkey"],
-                      ascending=[False, True])[100:110]
-    return s[["o_orderkey", "o_totalprice"]].to_spark()
+    desc = o.sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True])
+    sl = desc[100:110][["o_orderkey", "o_totalprice"]].to_spark().select(
+        F.lit("slice").alias("kind"), "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"))
+    asc = o.sort_values(["o_totalprice", "o_orderkey"],
+                        ascending=[True, True])
+    tl = asc.tail(10)[["o_orderkey", "o_totalprice"]].to_spark().select(
+        F.lit("tail").alias("kind"), "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"))
+    bykey = o.sort_values("o_orderkey")
+    il = bykey.iloc[[5, 10, 15, 20, 25]][["o_orderkey", "o_totalprice"]] \
+        .to_spark().select(F.lit("iloc").alias("kind"), "o_orderkey",
+                           F.round("o_totalprice", 2).alias("price"))
+    scalar = bykey["o_totalprice"].iloc[7]  # eager scalar, reference-style
+    sc = spark.createDataFrame([("iloc_scalar", None, round(scalar, 2))],
+                               "kind STRING, o_orderkey BIGINT, price DOUBLE")
+    return sl.unionByName(tl).unionByName(il).unionByName(sc)
 
 
-_SLICE_SQL = """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 100
+_POSITIONAL_OPS_SQL = """
+WITH bykey AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS ord
+  FROM orders
+)
+SELECT 'slice' AS kind, o_orderkey, round(o_totalprice, 2) AS price
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10 OFFSET 100)
+UNION ALL
+SELECT 'tail', o_orderkey, round(o_totalprice, 2)
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC
+      LIMIT 10)
+UNION ALL
+SELECT 'iloc', o_orderkey, round(o_totalprice, 2)
+FROM bykey WHERE ord IN (5, 10, 15, 20, 25)
+UNION ALL
+SELECT 'iloc_scalar', NULL::BIGINT, round(o_totalprice, 2)
+FROM bykey WHERE ord = 7
 """
 
 
-def _tail_sorted(spark, sf):
-    o = _bl(spark, sf, "orders")
-    t = o.sort_values(["o_totalprice", "o_orderkey"],
-                      ascending=[True, True]).tail(10)
-    return t[["o_orderkey", "o_totalprice"]].to_spark()
-
-
-_TAIL_SQL = """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
-"""
-
-
-def _iloc_gather(spark, sf):
-    # gather by ordinal list (weld_ops.py:333-367)
+def _distinct_stats(spark, sf):
+    """Folded distinct family: Series.unique (series.py:428),
+    value_counts, and frame nunique — tagged rows."""
     c = _bl(spark, sf, "customer")
-    s = c.sort_values("c_custkey")
-    out = s.iloc[[5, 10, 15, 20, 25]]
-    return out[["c_custkey", "c_name"]].to_spark()
+    uniq = c["c_mktsegment"].unique().to_spark().select(
+        F.lit("unique").alias("kind"),
+        F.col("c_mktsegment").alias("key"),
+        F.lit(None).cast("long").alias("n"))
+    vc = c["c_mktsegment"].value_counts().to_spark().select(
+        F.lit("vc").alias("kind"),
+        F.col("c_mktsegment").alias("key"),
+        F.col("count").cast("long").alias("n"))
+    nu = c[["c_mktsegment", "c_nationkey"]].nunique().to_spark().select(
+        F.lit("nunique").alias("kind"),
+        F.col("__index__").alias("key"),
+        F.col("nunique").cast("long").alias("n"))
+    return uniq.unionByName(vc).unionByName(nu)
 
 
-_ILOC_SQL = """
-SELECT c_custkey, c_name FROM (
-  SELECT *, row_number() OVER (ORDER BY c_custkey) - 1 AS ord FROM customer
-) WHERE ord IN (5, 10, 15, 20, 25)
+_DISTINCT_STATS_SQL = """
+SELECT 'unique' AS kind, c_mktsegment AS key, NULL::BIGINT AS n
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'vc', c_mktsegment, count(*) FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'nunique', 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
+UNION ALL
+SELECT 'nunique', 'c_nationkey', count(DISTINCT c_nationkey) FROM customer
 """
-
-
-def _unique_segment(spark, sf):
-    c = _bl(spark, sf, "customer")
-    return c["c_mktsegment"].unique().to_spark()
-
-
-_UNIQUE_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
 def _drop_duplicates_min(spark, sf):
@@ -497,39 +513,30 @@ FROM orders GROUP BY o_custkey
 """
 
 
-def _merge_inner(spark, sf):
-    # sort-merge-join analogue (weld_joins.py:76-107) — Catalyst picks
-    # broadcast-hash here; no sorted/unique preconditions
+def _merge_inner_left(spark, sf):
+    """Folded: inner merge (sort-merge-join analogue, weld_joins.py:
+    76-107; Catalyst picks broadcast-hash) tagged 'inner', plus a left
+    merge fabricating NULLs for missing keys (weld_ops.py:370-414)
+    tagged 'left' — one schema."""
     o = _bl(spark, sf, "orders")
     c = _bl(spark, sf, "customer").rename({"c_custkey": "o_custkey"})
-    m = o.merge(c, how="inner", on="o_custkey")
-    out = m.to_spark(include_index=True)
-    return out.select("o_custkey", "o_orderkey",
-                      F.round("o_totalprice", 2).alias("o_totalprice"),
-                      F.round("c_acctbal", 2).alias("c_acctbal"),
-                      "c_mktsegment")
-
-
-_MERGE_INNER_SQL = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-       round(c_acctbal, 2) AS c_acctbal, c_mktsegment
-FROM orders JOIN customer ON o_custkey = c_custkey
-"""
-
-
-def _merge_left(spark, sf):
-    # left join fabricating missing rows (weld_ops.py:370-414 -> NULL)
-    o = _bl(spark, sf, "orders")
-    c = _bl(spark, sf, "customer").rename({"c_custkey": "o_custkey"})
+    inner = o.merge(c, how="inner", on="o_custkey")
+    irows = inner.to_spark(include_index=True).select(
+        F.lit("inner").alias("kind"), "o_orderkey", "o_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"))
     hi = c[c["c_acctbal"] > 7000]
-    m = o.merge(hi, how="left", on="o_custkey")
-    out = m.to_spark(include_index=True)
-    return out.select("o_orderkey", "o_custkey",
-                      F.round("c_acctbal", 2).alias("c_acctbal"))
+    left = o.merge(hi, how="left", on="o_custkey")
+    lrows = left.to_spark(include_index=True).select(
+        F.lit("left").alias("kind"), "o_orderkey", "o_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"))
+    return irows.unionByName(lrows)
 
 
-_MERGE_LEFT_SQL = """
-SELECT o_orderkey, o_custkey, round(c_acctbal, 2) AS c_acctbal
+_MERGE_INNER_LEFT_SQL = """
+SELECT 'inner' AS kind, o_orderkey, o_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'left', o_orderkey, o_custkey, round(c_acctbal, 2)
 FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 7000) c
   ON o_custkey = c_custkey
 """
@@ -601,6 +608,30 @@ FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 """
 
 
+def _join_sort_index(spark, sf):
+    """pandas-flavor join on the index (on=None => shared index
+    columns, frame.py:619-629; reference frame.py:927-980) followed by
+    sort_index."""
+    n = _bl(spark, sf, "nation").set_index("n_nationkey")
+    s = _bl(spark, sf, "supplier")
+    per_nation = s[["s_nationkey", "s_acctbal"]].groupby("s_nationkey") \
+        .agg({"s_acctbal": ["sum"]}).reset_index() \
+        .rename({"s_nationkey": "n_nationkey"}).set_index("n_nationkey")
+    j = n.join(per_nation).sort_index()
+    out = j.to_spark(include_index=True)
+    return out.select("n_nationkey", "n_name",
+                      F.round("s_acctbal_sum", 2).alias("nation_bal"))
+
+
+_JOIN_SORT_INDEX_SQL = """
+SELECT n_nationkey, n_name, round(total, 2) AS nation_bal
+FROM nation LEFT JOIN (
+  SELECT s_nationkey, sum(s_acctbal) AS total
+  FROM supplier GROUP BY s_nationkey
+) s ON n_nationkey = s_nationkey
+"""
+
+
 def _str_ops(spark, sf):
     # §2.7 string methods, reference semantics (strings.py / weld_str.py)
     c = _bl(spark, sf, "customer")
@@ -616,8 +647,12 @@ def _str_ops(spark, sf):
     c["repl"] = name.str.replace("0", "X")
     c["left_part"] = name.str.split("#", "left")
     c["sliced"] = name.str.slice(0, 8)
+    c["padded"] = name.apply("concat(' ', {self}, ' ')")
+    c["stripped"] = c["padded"].str.strip()
+    c["sl_step"] = name.str.slice(0, 10, 2)
     out = c[["c_custkey", "lower", "upper", "cap", "first_ch", "has_00",
-             "sw", "ew", "pos_0", "repl", "left_part", "sliced"]]
+             "sw", "ew", "pos_0", "repl", "left_part", "sliced",
+             "stripped", "sl_step"]]
     return out.to_spark()
 
 
@@ -638,12 +673,21 @@ SELECT c_custkey,
        CASE WHEN instr(c_name, '#') > 0
             THEN substr(c_name, 1, instr(c_name, '#') - 1)
             ELSE c_name END AS left_part,
-       substr(c_name, 1, 8) AS sliced
+       substr(c_name, 1, 8) AS sliced,
+       trim(' ' || c_name || ' ') AS stripped,
+       substr(c_name, 1, 1) || substr(c_name, 3, 1) || substr(c_name, 5, 1)
+         || substr(c_name, 7, 1) || substr(c_name, 9, 1) AS sl_step
 FROM customer
 """
 
 
 def _unary_math(spark, sf):
+    """Full unary-math surface (functions/__init__.py:28-63): exp/log/
+    sqrt/sin/cos, the tan/asin/acos/atan/sinh/cosh/tanh family, erf
+    (native F.erf; oracle replays A&S 7.1.26 — max err 1.5e-7, safe at
+    round-6 for the discount domain), plus an eager-numpy `raw` column
+    via Arrow pandas_udf (apply modes 5/6)."""
+    import numpy as np
     import baloo_spark as bl
     li = _bl(spark, sf, "lineitem")
     sub = li[li["l_orderkey"] < 50]
@@ -652,12 +696,21 @@ def _unary_math(spark, sf):
     sub["s"] = bl.sqrt(sub["l_quantity"])
     sub["sn"] = bl.sin(sub["l_tax"])
     sub["co"] = bl.cos(sub["l_discount"])
-    out = sub[["l_orderkey", "l_linenumber", "e", "l", "s", "sn", "co"]] \
-        .to_spark()
+    sub["tn"] = bl.tan(sub["l_tax"])
+    sub["asn"] = bl.asin(sub["l_discount"])
+    sub["acs"] = bl.acos(sub["l_discount"])
+    sub["atn"] = bl.atan(sub["l_quantity"])
+    sub["sh"] = bl.sinh(sub["l_discount"])
+    sub["ch"] = bl.cosh(sub["l_discount"])
+    sub["th"] = bl.tanh(sub["l_discount"])
+    sub["ef"] = bl.erf(sub["l_discount"])
+    sub["rawlog"] = sub["l_quantity"].astype("float64") \
+        .apply(lambda a: np.log1p(a), new_dtype="float64")
+    cols = ["e", "l", "s", "sn", "co", "tn", "asn", "acs", "atn",
+            "sh", "ch", "th", "ef", "rawlog"]
+    out = sub[["l_orderkey", "l_linenumber"] + cols].to_spark()
     return out.select("l_orderkey", "l_linenumber",
-                      F.round("e", 6).alias("e"), F.round("l", 6).alias("l"),
-                      F.round("s", 6).alias("s"), F.round("sn", 6).alias("sn"),
-                      F.round("co", 6).alias("co"))
+                      *[F.round(c, 6).alias(c) for c in cols])
 
 
 _UNARY_MATH_SQL = """
@@ -666,78 +719,72 @@ SELECT l_orderkey, l_linenumber,
        round(ln(l_extendedprice), 6) AS l,
        round(sqrt(l_quantity), 6) AS s,
        round(sin(l_tax), 6) AS sn,
-       round(cos(l_discount), 6) AS co
-FROM lineitem WHERE l_orderkey < 50
+       round(cos(l_discount), 6) AS co,
+       round(tan(l_tax), 6) AS tn,
+       round(asin(l_discount), 6) AS asn,
+       round(acos(l_discount), 6) AS acs,
+       round(atan(l_quantity), 6) AS atn,
+       round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sh,
+       round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS ch,
+       round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS th,
+       round(1 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+                   - 0.284496736) * t + 0.254829592) * t
+                 * exp(-l_discount * l_discount), 6) AS ef,
+       round(ln(1 + l_quantity), 6) AS rawlog
+FROM (SELECT *, 1 / (1 + 0.3275911 * l_discount) AS t
+      FROM lineitem WHERE l_orderkey < 50)
 """
 
 
-def _astype_cast(spark, sf):
+def _transform_ops(spark, sf):
+    """Folded scalar-transform family: astype casts (frame.py:714),
+    apply mode 3 (SQL template standing in for raw Weld-IR templates,
+    series.py:475-489), and abs/clip/round — one pipeline."""
     li = _bl(spark, sf, "lineitem")
-    sub = li[li["l_orderkey"] < 100][["l_orderkey", "l_linenumber",
-                                      "l_quantity"]]
+    sub = li[li["l_orderkey"] < 100]
+    sub["logq"] = sub["l_quantity"].apply("round(ln({self} + 1), 6)")
+    sub["centered"] = (sub["l_quantity"] - 25.0).abs().round(2)
+    sub["clipped"] = sub["l_discount"].clip(0.02, 0.06).round(4)
+    sub = sub[["l_orderkey", "l_linenumber", "l_quantity", "logq",
+               "centered", "clipped"]]
     out = sub.astype({"l_quantity": "int64", "l_linenumber": "float64",
                       "l_orderkey": "int32"})
     return out.to_spark()
 
 
-_ASTYPE_SQL = """
+_TRANSFORM_OPS_SQL = """
 SELECT l_orderkey::INTEGER AS l_orderkey, l_linenumber::DOUBLE AS l_linenumber,
-       CAST(l_quantity AS BIGINT) AS l_quantity
+       CAST(l_quantity AS BIGINT) AS l_quantity,
+       round(ln(l_quantity + 1), 6) AS logq,
+       round(abs(l_quantity - 25.0), 2) AS centered,
+       round(least(greatest(l_discount, 0.02), 0.06), 4) AS clipped
 FROM lineitem WHERE l_orderkey < 100
 """
 
 
-def _isna_fillna(spark, sf):
-    # NULL handling (generic.py:69-73, series.py:416-439) — events has
-    # no NULLs, so both sides fabricate them identically via NULLIF
+def _missing_ops(spark, sf):
+    """Folded NULL-handling family (generic.py:69-73, series.py:
+    416-439): isna, fillna, dropna(subset) in one pipeline — events
+    has no NULLs, so both sides fabricate them identically via NULLIF."""
     from baloo_spark.streaming.events import load_events
     import baloo_spark as bl
     ev = bl.DataFrame.from_spark(load_events(spark, sf))
     ev["maybe"] = ev["event_type"].apply("nullif({self}, 'click')")
     ev["is_missing"] = ev["maybe"].isna()
     ev["filled"] = ev["maybe"].fillna("was_click")
-    out = ev[["event_id", "maybe", "is_missing", "filled"]]
-    return out.to_spark()
+    ev["maybe2"] = ev["event_type"].apply("nullif({self}, 'view')")
+    kept = ev[["event_id", "maybe", "is_missing", "filled", "maybe2"]] \
+        .dropna(subset=["maybe2"])
+    return kept.to_spark().select("event_id", "maybe", "is_missing",
+                                  "filled", "maybe2")
 
 
-_ISNA_FILLNA_SQL = """
+_MISSING_OPS_SQL = """
 SELECT event_id, nullif(event_type, 'click') AS maybe,
        nullif(event_type, 'click') IS NULL AS is_missing,
-       coalesce(nullif(event_type, 'click'), 'was_click') AS filled
-FROM events
-"""
-
-
-def _dropna_subset(spark, sf):
-    from baloo_spark.streaming.events import load_events
-    import baloo_spark as bl
-    ev = bl.DataFrame.from_spark(load_events(spark, sf))
-    ev["maybe"] = ev["event_type"].apply("nullif({self}, 'click')")
-    kept = ev[["event_id", "maybe", "value"]].dropna(subset=["maybe"])
-    return kept.to_spark().select("event_id", "maybe",
-                                  F.round("value", 4).alias("value"))
-
-
-_DROPNA_SQL = """
-SELECT event_id, nullif(event_type, 'click') AS maybe, round(value, 4) AS value
-FROM events WHERE nullif(event_type, 'click') IS NOT NULL
-"""
-
-
-def _apply_expr(spark, sf):
-    # Series.apply mode 3: SQL expression template standing in for the
-    # reference's raw Weld-IR templates (series.py:475-489)
-    li = _bl(spark, sf, "lineitem")
-    sub = li[li["l_orderkey"] < 100]
-    sub["logq"] = sub["l_quantity"].apply("ln({self} + 1)")
-    out = sub[["l_orderkey", "l_linenumber", "logq"]].to_spark()
-    return out.select("l_orderkey", "l_linenumber",
-                      F.round("logq", 6).alias("logq"))
-
-
-_APPLY_EXPR_SQL = """
-SELECT l_orderkey, l_linenumber, round(ln(l_quantity + 1), 6) AS logq
-FROM lineitem WHERE l_orderkey < 100
+       coalesce(nullif(event_type, 'click'), 'was_click') AS filled,
+       nullif(event_type, 'view') AS maybe2
+FROM events WHERE nullif(event_type, 'view') IS NOT NULL
 """
 
 
@@ -1006,20 +1053,33 @@ JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
 """
 
 
-def _rollup_qty(spark, sf):
+def _rollup_cube(spark, sf):
+    """Folded grouping-sets family: rollup tagged 'rollup' + cube
+    tagged 'cube' (frame rollup/cube — engine extensions)."""
     li = _bl(spark, sf, "lineitem")
-    g = li.rollup(["l_returnflag", "l_linestatus"],
+    r = li.rollup(["l_returnflag", "l_linestatus"],
                   {"l_quantity": ["sum", "count"]})
-    out = g.to_spark(include_index=True)
-    return out.select("l_returnflag", "l_linestatus",
-                      F.round("l_quantity_sum", 2).alias("sum_qty"),
-                      F.col("l_quantity_count").alias("n"))
+    rrows = r.to_spark(include_index=True).select(
+        F.lit("rollup").alias("kind"), "l_returnflag", "l_linestatus",
+        F.round("l_quantity_sum", 2).alias("sum_qty"),
+        F.col("l_quantity_count").alias("n"))
+    c = li.cube(["l_returnflag", "l_linestatus"],
+                {"l_quantity": ["sum", "count"]})
+    crows = c.to_spark(include_index=True).select(
+        F.lit("cube").alias("kind"), "l_returnflag", "l_linestatus",
+        F.round("l_quantity_sum", 2).alias("sum_qty"),
+        F.col("l_quantity_count").alias("n"))
+    return rrows.unionByName(crows)
 
 
-_ROLLUP_SQL = """
-SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-       count(l_quantity) AS n
+_ROLLUP_CUBE_SQL = """
+SELECT 'rollup' AS kind, l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(l_quantity) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2), count(l_quantity)
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
@@ -1039,89 +1099,66 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
-def _quantiles(spark, sf):
-    o = _bl(spark, sf, "orders")
-    q = o["o_totalprice"].quantile([0.25, 0.5, 0.75])
-    out = q.to_spark()
-    return out.select(F.col("__index__").alias("q"),
-                      F.round("o_totalprice", 4).alias("value"))
-
-
-_QUANTILES_SQL = """
-SELECT '0.25' AS q, round(quantile_cont(o_totalprice, 0.25), 4) AS value FROM orders
-UNION ALL SELECT '0.5', round(quantile_cont(o_totalprice, 0.5), 4) FROM orders
-UNION ALL SELECT '0.75', round(quantile_cont(o_totalprice, 0.75), 4) FROM orders
-"""
-
-
-def _json_extract(spark, sf):
-    """JSON functions over the events props column (engine extension;
-    the reference has no JSON surface, SURVEY.md §2.7)."""
+def _extract_ops(spark, sf):
+    """Folded extraction family: JSON functions over the events props
+    column tagged 'json', and calendar parts + grouping over orders
+    tagged 'date' (both engine extensions, SURVEY.md §2.7, §1.2)."""
     from baloo_spark.streaming.events import load_events
     import baloo_spark as bl
     ev = bl.DataFrame.from_spark(load_events(spark, sf))
     ev["k"] = ev["props"].apply("CAST(get_json_object({self}, '$.k') AS BIGINT)")
     g = ev[["event_type", "k"]].groupby("event_type").agg({"k": ["sum", "mean"]})
-    out = g.to_spark(include_index=True)
-    return out.select("event_type",
-                      F.round("k_sum", 2).alias("k_sum"),
-                      F.round("k_mean", 4).alias("k_mean"))
+    jrows = g.to_spark(include_index=True).select(
+        F.lit("json").alias("kind"),
+        F.col("event_type").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("k_sum").cast("long").alias("n"),
+        F.round("k_mean", 4).alias("v"))
+    o = _bl(spark, sf, "orders")
+    o["yr"] = o["o_orderdate"].apply("year({self})").astype("int32")
+    o["mo"] = o["o_orderdate"].apply("month({self})").astype("int32")
+    d = o[["yr", "mo", "o_totalprice"]].groupby(["yr", "mo"]) \
+        .agg({"o_totalprice": ["count", "sum"]})
+    drows = d.to_spark(include_index=True).select(
+        F.lit("date").alias("kind"),
+        F.col("yr").cast("string").alias("a"),
+        F.col("mo").cast("string").alias("b"),
+        F.col("o_totalprice_count").cast("long").alias("n"),
+        F.round("o_totalprice_sum", 2).alias("v"))
+    return jrows.unionByName(drows)
 
 
-_JSON_EXTRACT_SQL = """
-SELECT event_type,
-       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS k_sum,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_mean
+_EXTRACT_OPS_SQL = """
+SELECT 'json' AS kind, event_type AS a, NULL::VARCHAR AS b,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS v
 FROM events GROUP BY event_type
-"""
-
-
-def _cube_qty(spark, sf):
-    li = _bl(spark, sf, "lineitem")
-    g = li.cube(["l_returnflag", "l_linestatus"], {"l_quantity": ["sum"]})
-    out = g.to_spark(include_index=True)
-    return out.select("l_returnflag", "l_linestatus",
-                      F.round("l_quantity_sum", 2).alias("sum_qty"))
-
-
-_CUBE_SQL = """
-SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
-FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-def _value_counts(spark, sf):
-    o = _bl(spark, sf, "orders")
-    vc = o["o_orderpriority"].value_counts()
-    return vc.to_spark().withColumnRenamed("o_orderpriority", "priority") \
-        .withColumnRenamed("__cnt__", "count")
-
-
-_VALUE_COUNTS_SQL = """
-SELECT o_orderpriority AS priority, count(*) AS count
-FROM orders GROUP BY o_orderpriority
-"""
-
-
-def _nlargest(spark, sf):
-    o = _bl(spark, sf, "orders")
-    top = o["o_totalprice"].round(2).nlargest(20)
-    return top.to_spark().select(F.col("o_totalprice").alias("price"))
-
-
-_NLARGEST_SQL = """
-SELECT round(o_totalprice, 2) AS price FROM orders
-ORDER BY o_totalprice DESC LIMIT 20
+UNION ALL
+SELECT 'date', year(o_orderdate)::VARCHAR, month(o_orderdate)::VARCHAR,
+       count(*), round(sum(o_totalprice), 2)
+FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
 """
 
 
 def _describe(spark, sf):
+    """describe() (count/mean/std/min/quartiles/max) plus explicit
+    Series.quantile rows tagged 'q_<p>' — the quantile code path gets
+    its own evidence in the same driver row."""
     li = _bl(spark, sf, "lineitem")
     d = li[["l_quantity", "l_discount"]].describe()
-    out = d.to_spark(include_index=True)
-    return out.select("statistic",
-                      F.round("l_quantity", 4).alias("l_quantity"),
-                      F.round("l_discount", 4).alias("l_discount"))
+    base = d.to_spark(include_index=True).select(
+        "statistic",
+        F.round("l_quantity", 4).alias("l_quantity"),
+        F.round("l_discount", 4).alias("l_discount"))
+    qq = li["l_quantity"].quantile([0.1, 0.9]).to_spark() \
+        .withColumnRenamed("l_quantity", "qv")
+    qd = li["l_discount"].quantile([0.1, 0.9]).to_spark()
+    joined = qq.join(qd, "__index__")
+    qrows = joined.select(
+        F.concat(F.lit("q_"), F.col("__index__")).alias("statistic"),
+        F.round("qv", 4).alias("l_quantity"),
+        F.round("l_discount", 4).alias("l_discount"))
+    return base.unionByName(qrows)
 
 
 _DESCRIBE_SQL = """
@@ -1134,38 +1171,8 @@ UNION ALL SELECT '25%', round(quantile_cont(l_quantity, 0.25), 4), round(quantil
 UNION ALL SELECT '50%', round(quantile_cont(l_quantity, 0.5), 4), round(quantile_cont(l_discount, 0.5), 4) FROM lineitem
 UNION ALL SELECT '75%', round(quantile_cont(l_quantity, 0.75), 4), round(quantile_cont(l_discount, 0.75), 4) FROM lineitem
 UNION ALL SELECT 'max', round(max(l_quantity), 4), round(max(l_discount), 4) FROM lineitem
-"""
-
-
-def _nunique(spark, sf):
-    li = _bl(spark, sf, "lineitem")
-    s = li[["l_returnflag", "l_linestatus", "l_orderkey"]].nunique()
-    # the Series' value column carries its name ('nunique')
-    return s.to_spark().select(F.col("__index__").alias("column"),
-                               F.col("nunique").alias("n_distinct"))
-
-
-_NUNIQUE_SQL = """
-SELECT 'l_returnflag' AS "column", count(DISTINCT l_returnflag) AS n_distinct FROM lineitem
-UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
-UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey) FROM lineitem
-"""
-
-
-def _abs_clip_round(spark, sf):
-    li = _bl(spark, sf, "lineitem")
-    sub = li[li["l_orderkey"] < 100]
-    sub["centered"] = (sub["l_quantity"] - 25.0).abs().round(2)
-    sub["clipped"] = sub["l_discount"].clip(0.02, 0.06).round(4)
-    out = sub[["l_orderkey", "l_linenumber", "centered", "clipped"]]
-    return out.to_spark()
-
-
-_ABS_CLIP_ROUND_SQL = """
-SELECT l_orderkey, l_linenumber,
-       round(abs(l_quantity - 25.0), 2) AS centered,
-       round(least(greatest(l_discount, 0.02), 0.06), 4) AS clipped
-FROM lineitem WHERE l_orderkey < 100
+UNION ALL SELECT 'q_0.1', round(quantile_cont(l_quantity, 0.1), 4), round(quantile_cont(l_discount, 0.1), 4) FROM lineitem
+UNION ALL SELECT 'q_0.9', round(quantile_cont(l_quantity, 0.9), 4), round(quantile_cont(l_discount, 0.9), 4) FROM lineitem
 """
 
 
@@ -1306,32 +1313,23 @@ FROM embeddings GROUP BY label
 """
 
 
-def _date_parts(spark, sf):
-    """Datetime extension (absent in the reference, SURVEY.md §1.2):
-    calendar extraction + grouping."""
-    o = _bl(spark, sf, "orders")
-    o["yr"] = o["o_orderdate"].apply("year({self})").astype("int32")
-    o["mo"] = o["o_orderdate"].apply("month({self})").astype("int32")
-    g = o[["yr", "mo", "o_totalprice"]].groupby(["yr", "mo"]) \
-        .agg({"o_totalprice": ["count", "sum"]})
-    out = g.to_spark(include_index=True)
-    return out.select("yr", "mo", F.col("o_totalprice_count").alias("n"),
-                      F.round("o_totalprice_sum", 2).alias("total"))
+def _text_metrics(spark, sf):
+    """Folded text-analysis family (operators/text.py:39-134): quality
+    scoring, language-ID, token counting, and fingerprints — four pure
+    Column pipelines over documents, joined on doc_id into one row per
+    doc. Zero Python in the hot path; fully ANSI-replayable."""
+    from baloo_spark.operators.text import (fingerprints, language_id,
+                                            quality_scores, token_counts)
+    docs = _t(spark, sf, "documents")
+    q = quality_scores(docs)
+    l = language_id(docs)
+    t = token_counts(docs).select("doc_id", "n_subtokens",
+                                  "n_chars_measured")
+    f = fingerprints(docs)
+    return q.join(l, "doc_id").join(t, "doc_id").join(f, "doc_id")
 
 
-_DATE_PARTS_SQL = """
-SELECT year(o_orderdate)::INTEGER AS yr, month(o_orderdate)::INTEGER AS mo,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
-FROM orders GROUP BY 1, 2
-"""
-
-
-def _text_quality(spark, sf):
-    from baloo_spark.operators.text import quality_scores
-    return quality_scores(_t(spark, sf, "documents"))
-
-
-_TEXT_QUALITY_SQL = """
+_TEXT_METRICS_SQL_QUALITY = """
 WITH t AS (
   SELECT doc_id, text, length(text) AS n_chars,
          list_filter(string_split_regex(trim(text), '\\s+'),
@@ -1369,11 +1367,6 @@ FROM r
 """
 
 
-def _lang_id(spark, sf):
-    from baloo_spark.operators.text import language_id
-    return language_id(_t(spark, sf, "documents"))
-
-
 _LANG_ID_SQL = """
 WITH toks AS (
   SELECT doc_id,
@@ -1399,11 +1392,6 @@ FROM hits
 """
 
 
-def _token_counts(spark, sf):
-    from baloo_spark.operators.text import token_counts
-    return token_counts(_t(spark, sf, "documents"))
-
-
 _TOKEN_COUNTS_SQL = """
 SELECT doc_id,
        len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT
@@ -1415,15 +1403,23 @@ FROM documents
 """
 
 
-def _fingerprints(spark, sf):
-    from baloo_spark.operators.text import fingerprints
-    return fingerprints(_t(spark, sf, "documents"))
-
-
 _FINGERPRINTS_SQL = """
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
        length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))::BIGINT AS norm_len
 FROM documents
+"""
+
+# the four fragments above replay the individual operators; the driver
+# query joins them on doc_id, so the oracle does the same
+_TEXT_METRICS_SQL = f"""
+SELECT q.doc_id, q.n_tokens, q.avg_token_len, q.punct_ratio,
+       q.stopword_ratio, q.upper_ratio, q.quality_score,
+       l.lang_pred, l.lang_hits, t.n_subtokens, t.n_chars_measured,
+       f.fingerprint, f.norm_len
+FROM ({_TEXT_METRICS_SQL_QUALITY}) q
+JOIN ({_LANG_ID_SQL}) l ON q.doc_id = l.doc_id
+JOIN ({_TOKEN_COUNTS_SQL}) t ON q.doc_id = t.doc_id
+JOIN ({_FINGERPRINTS_SQL}) f ON q.doc_id = f.doc_id
 """
 
 
@@ -1460,6 +1456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
         return run
 
+    # exactly 50 queries: the driver's correctness gate checks the
+    # first 50 entries, so EVERY operator family sits in the window
+    # (redundant round-1 variants were folded into tagged/joined
+    # queries, never dropped — see each _*_ops docstring)
     return {name: wrap(fn) for name, fn in {
         # section 1 — reference surface
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1473,29 +1473,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "grouped_zscore": _grouped_zscore,
         "filter_assign_pipeline": _filter_assign,
-        "multi_agg": _multi_agg,
-        "frame_agg_row": _frame_agg_row,
-        "groupby_sum_mean": _groupby_sum_mean,
-        "groupby_var_std": _groupby_var_std,
-        "groupby_size": _groupby_size,
+        "agg_rows": _agg_rows,
+        "groupby_stats": _groupby_stats,
         "groupby_prod": _groupby_prod,
-        "sort_head": _sort_head,
-        "slice_positional": _slice_positional,
-        "tail_sorted": _tail_sorted,
-        "iloc_gather": _iloc_gather,
-        "unique_segment": _unique_segment,
+        "sort_nlargest": _sort_nlargest,
+        "positional_ops": _positional_ops,
+        "distinct_stats": _distinct_stats,
         "drop_duplicates_min": _drop_duplicates_min,
-        "merge_inner": _merge_inner,
-        "merge_left": _merge_left,
+        "merge_inner_left": _merge_inner_left,
         "merge_outer": _merge_outer,
         "merge_semi_anti": _merge_semi_anti,
         "setitem_align": _setitem_align,
+        "join_sort_index": _join_sort_index,
         "str_ops": _str_ops,
         "unary_math": _unary_math,
-        "astype_cast": _astype_cast,
-        "isna_fillna": _isna_fillna,
-        "dropna_subset": _dropna_subset,
-        "apply_expr": _apply_expr,
+        "transform_ops": _transform_ops,
+        "missing_ops": _missing_ops,
         # section 2 — extensions
         "window_topk": _window_topk,
         "running_totals": _running_totals,
@@ -1504,16 +1497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "asof_join": _asof_join,
         "range_join": _range_join,
-        "rollup_qty": _rollup_qty,
+        "rollup_cube": _rollup_cube,
         "pivot_status": _pivot_status,
-        "quantiles": _quantiles,
-        "json_extract": _json_extract,
-        "cube_qty": _cube_qty,
-        "value_counts": _value_counts,
-        "nlargest": _nlargest,
         "describe": _describe,
-        "abs_clip_round": _abs_clip_round,
-        "nunique": _nunique,
+        "extract_ops": _extract_ops,
         # section 3 — pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
@@ -1524,11 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_label_stats": _embedding_label_stats,
-        "date_parts": _date_parts,
-        "text_quality": _text_quality,
-        "lang_id": _lang_id,
-        "token_counts": _token_counts,
-        "fingerprints": _fingerprints,
+        "text_metrics": _text_metrics,
         "multimodal_stats": _multimodal_stats,
         "multimodal_features": _multimodal_features,
     }.items()}
@@ -1547,29 +1530,22 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": _Q18_SQL,
         "grouped_zscore": _GROUPED_ZSCORE_SQL,
         "filter_assign_pipeline": _FILTER_ASSIGN_SQL,
-        "multi_agg": _MULTI_AGG_SQL,
-        "frame_agg_row": _FRAME_AGG_ROW_SQL,
-        "groupby_sum_mean": _GROUPBY_SUM_MEAN_SQL,
-        "groupby_var_std": _GROUPBY_VAR_STD_SQL,
-        "groupby_size": _GROUPBY_SIZE_SQL,
+        "agg_rows": _AGG_ROWS_SQL,
+        "groupby_stats": _GROUPBY_STATS_SQL,
         "groupby_prod": _GROUPBY_PROD_SQL,
-        "sort_head": _SORT_HEAD_SQL,
-        "slice_positional": _SLICE_SQL,
-        "tail_sorted": _TAIL_SQL,
-        "iloc_gather": _ILOC_SQL,
-        "unique_segment": _UNIQUE_SQL,
+        "sort_nlargest": _SORT_NLARGEST_SQL,
+        "positional_ops": _POSITIONAL_OPS_SQL,
+        "distinct_stats": _DISTINCT_STATS_SQL,
         "drop_duplicates_min": _DROP_DUP_SQL,
-        "merge_inner": _MERGE_INNER_SQL,
-        "merge_left": _MERGE_LEFT_SQL,
+        "merge_inner_left": _MERGE_INNER_LEFT_SQL,
         "merge_outer": _MERGE_OUTER_SQL,
         "merge_semi_anti": _MERGE_SEMI_ANTI_SQL,
         "setitem_align": _SETITEM_ALIGN_SQL,
+        "join_sort_index": _JOIN_SORT_INDEX_SQL,
         "str_ops": _STR_OPS_SQL,
         "unary_math": _UNARY_MATH_SQL,
-        "astype_cast": _ASTYPE_SQL,
-        "isna_fillna": _ISNA_FILLNA_SQL,
-        "dropna_subset": _DROPNA_SQL,
-        "apply_expr": _APPLY_EXPR_SQL,
+        "transform_ops": _TRANSFORM_OPS_SQL,
+        "missing_ops": _MISSING_OPS_SQL,
         "window_topk": _WINDOW_TOPK_SQL,
         "running_totals": _RUNNING_TOTALS_SQL,
         "concat_union": _CONCAT_UNION_SQL,
@@ -1577,27 +1553,17 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
-        "rollup_qty": _ROLLUP_SQL,
+        "rollup_cube": _ROLLUP_CUBE_SQL,
         "pivot_status": _PIVOT_SQL,
-        "quantiles": _QUANTILES_SQL,
-        "json_extract": _JSON_EXTRACT_SQL,
-        "cube_qty": _CUBE_SQL,
-        "value_counts": _VALUE_COUNTS_SQL,
-        "nlargest": _NLARGEST_SQL,
         "describe": _DESCRIBE_SQL,
-        "abs_clip_round": _ABS_CLIP_ROUND_SQL,
-        "nunique": _NUNIQUE_SQL,
+        "extract_ops": _EXTRACT_OPS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "embedding_label_stats": _EMBEDDING_LABEL_STATS_SQL,
-        "date_parts": _DATE_PARTS_SQL,
-        "text_quality": _TEXT_QUALITY_SQL,
-        "lang_id": _LANG_ID_SQL,
-        "token_counts": _TOKEN_COUNTS_SQL,
-        "fingerprints": _FINGERPRINTS_SQL,
+        "text_metrics": _TEXT_METRICS_SQL,
         "multimodal_stats": _MULTIMODAL_STATS_SQL,
-        # dedup_minhash, dedup_simhash, ann_lsh_topk,
+        # dedup_minhash, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
         # multimodal_features: approximate / non-SQL — rows-only
     }

@@ -33,19 +33,19 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "grouped_zscore",
-    "quantiles",
+    "describe",
     "filter_assign_pipeline",
-    "multi_agg",
-    "groupby_var_std",
-    "merge_inner",
-    "sort_head",
+    "agg_rows",
+    "groupby_stats",
+    "merge_inner_left",
+    "sort_nlargest",
     "window_topk",
     "unary_math",
     "str_ops",
     "dedup_exact",
     "dedup_minhash",
     "embedding_topk",
-    "text_quality",
+    "text_metrics",
     "events_window",
     "events_sessions",
 ]
