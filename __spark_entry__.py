@@ -1193,8 +1193,10 @@ FROM documents GROUP BY 1
 
 
 def _dedup_jaccard(spark, sf):
+    # FULL table, no pre-filter: prefix filtering (dedup.py) keeps the
+    # join equi — exact same result set as the oracle's all-pairs scan
     from baloo_spark.operators.dedup import ngram_jaccard_pairs
-    docs = _t(spark, sf, "documents").filter("doc_id < 120")
+    docs = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.35)
 
 
@@ -1203,7 +1205,7 @@ WITH sh AS (
   SELECT doc_id,
          list_distinct([substr(text, i, 3)
                         for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
-  FROM documents WHERE doc_id < 120
+  FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE

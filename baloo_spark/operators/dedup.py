@@ -197,29 +197,60 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.4,
                         block_col=None, shingle: str = "char") -> DataFrame:
-    """Exact n-gram Jaccard similarity over document pairs.
+    """EXACT n-gram Jaccard similarity join — never a cross join.
 
-    Without ``block_col`` this is a cross join — only for bounded
-    subsets (the caller filters first). At scale pass a blocking
-    column (e.g. an LSH band or language) so the join is equi on the
-    block: pairs only form within blocks.
+    With ``block_col`` (e.g. language): equi-join within blocks.
+    Without it: prefix filtering (PPJoin-family, Xiao et al. WWW'08 /
+    Vernica et al. SIGMOD'10). Tokens get a global rarity order; each
+    doc indexes only its first ``|s| - ceil(t*|s|) + 1`` rarest
+    shingles. Any pair with Jaccard >= t provably shares a prefix
+    token, so candidates form through an equi-join on the prefix
+    token and the exact verify runs on candidates only. Same result
+    set as the all-pairs join, no cartesian product at any size.
     """
     sh = _shingled(_parallelize(df), text_col, id_col, n, shingle)
     if block_col:
         sh = sh.join(df.select(F.col(id_col), F.col(block_col)), id_col)
-    a = sh.select(F.col(id_col).alias("id_a"),
-                  *([F.col(block_col).alias("__blk__")] if block_col else []),
-                  F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"),
-                  *([F.col(block_col).alias("__blk2__")] if block_col else []),
-                  F.col("sh").alias("sh_b"))
-    joined = (a.join(b, F.col("__blk__") == F.col("__blk2__"))
-              if block_col else a.crossJoin(b))
-    joined = joined.where(F.col("id_a") < F.col("id_b"))
+        a = sh.select(F.col(id_col).alias("id_a"),
+                      F.col(block_col).alias("__blk__"),
+                      F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"),
+                      F.col(block_col).alias("__blk2__"),
+                      F.col("sh").alias("sh_b"))
+        joined = (a.join(b, F.col("__blk__") == F.col("__blk2__"))
+                  .where(F.col("id_a") < F.col("id_b")))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        jac = F.when(union > 0, inter / union).otherwise(0.0)
+        return (joined.select("id_a", "id_b",
+                              F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= threshold))
+
+    # ---- prefix-filtering path (exact, equi-join only) ----
+    tok = sh.select(F.col(id_col), F.col("sh"),
+                    F.explode("sh").alias("__tok__"))
+    freq = tok.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__tf__"))
+    ranked = tok.join(freq, "__tok__")
+    w = Window.partitionBy(id_col).orderBy(F.col("__tf__").asc(),
+                                           F.col("__tok__").asc())
+    ranked = ranked.withColumn("__pos__", F.row_number().over(w))
+    # prefix length: |s| - ceil(t*|s|) + 1 (PPJoin Lemma 1)
+    plen = (F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1)
+    pref = ranked.where(F.col("__pos__") <= plen).select(id_col, "__tok__")
+    cand = (pref.select(F.col(id_col).alias("id_a"), "__tok__")
+            .join(pref.select(F.col(id_col).alias("id_b"), "__tok__"),
+                  "__tok__")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    out = (cand
+           .join(sh.select(F.col(id_col).alias("id_a"),
+                           F.col("sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col(id_col).alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter / union).otherwise(0.0)
-    return (joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return (out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 

@@ -37,13 +37,13 @@ def test_q1_single_shuffle(spark, entry):
 
 
 def test_merge_broadcasts_small_side(spark, entry):
-    p = plan_of(entry.queries()["merge_inner"](spark, SF))
+    p = plan_of(entry.queries()["merge_inner_left"](spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
 
 
 def test_sort_head_is_topk_not_full_sort(spark, entry):
-    p = plan_of(entry.queries()["sort_head"](spark, SF))
+    p = plan_of(entry.queries()["sort_nlargest"](spark, SF))
     # orderBy().limit() must plan as distributed top-k, not global sort
     assert "TakeOrderedAndProject" in p
 
@@ -56,7 +56,7 @@ def test_sessions_window_is_user_partitioned(spark, entry):
 
 
 def test_groupby_has_partial_aggregation(spark, entry):
-    p = plan_of(entry.queries()["groupby_sum_mean"](spark, SF))
+    p = plan_of(entry.queries()["groupby_stats"](spark, SF))
     # map-side combine: HashAggregate appears before AND after exchange
     first_ex = p.index("Exchange")
     assert "HashAggregate" in p[:first_ex] or "HashAggregate" in p
@@ -82,7 +82,7 @@ def test_brute_topk_broadcasts_queries(spark):
 
 
 def test_slice_no_global_single_partition_sort(spark, entry):
-    p = plan_of(entry.queries()["slice_positional"](spark, SF))
+    p = plan_of(entry.queries()["positional_ops"](spark, SF))
     # dense-ordinal path uses range partitioning + pid-local windows,
     # never a global Window over SinglePartition
     assert "Window" not in p or "SinglePartition" not in p
@@ -94,3 +94,36 @@ def test_multimodal_stats_prune_payload(spark):
     p = plan_of(media_stats(to_media_table(docs)))
     tail = p.split("ReadSchema")[-1]
     assert "payload" not in tail[:300]
+
+
+def test_ngram_jaccard_default_has_no_cross_join(spark):
+    # prefix filtering must keep the default (no block_col) call an
+    # equi-join: a cartesian/nested-loop here is the textbook
+    # all-pairs scale-killer
+    from baloo_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(ngram_jaccard_pairs(docs, n=3, threshold=0.4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    # prefix filtering (PPJoin Lemma 1) must reproduce the all-pairs
+    # result exactly — compare against a brute-force cross join on a
+    # small slice
+    from pyspark.sql import functions as F
+    from baloo_spark.operators.dedup import ngram_jaccard_pairs, _shingled
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    sh = _shingled(docs, "text", "doc_id", 3, "char")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    allp = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) \
+        / F.size(F.array_union("sh_a", "sh_b"))
+    want = {(r["id_a"], r["id_b"]): r["j"]
+            for r in allp.select("id_a", "id_b",
+                                 F.round(jac, 6).alias("j"))
+            .where(F.col("j") >= 0.3).collect()}
+    assert got == want
