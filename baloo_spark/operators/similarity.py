@@ -114,22 +114,74 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     return _two_phase_topk(scored, k)
 
 
+def train_centroids(corpus: DataFrame, n_centroids: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_size: int = 4096, iters: int = 4) -> DataFrame:
+    """Sampled k-means centroids (cent_id, cent) for IVF.
+
+    Scale contract: training touches a BOUNDED hash-ordered sample
+    (deterministic — xxhash64(id) order, no RNG state), never the full
+    corpus. Each Lloyd iteration is one broadcast-join assignment plus
+    one groupBy with per-dimension avg aggregates — all JVM
+    expressions, no Python in the loop body. The driver only iterates
+    ``iters`` times over a ~sample_size x dim problem; the 100 TB
+    corpus is read once for the sample.
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty corpus")
+    dim = dim_row["d"]
+    sample = (corpus
+              .select(F.col(id_col).alias("__sid__"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+              .orderBy(F.xxhash64(F.col("__sid__")).asc())
+              .limit(sample_size)
+              .persist())
+    # init: n_centroids hash-spread sample vectors (pseudo-random but
+    # deterministic; avoids the correlated first-k-by-id pick)
+    cents = [r["v"] for r in sample.limit(n_centroids).collect()]
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cdf = F.broadcast(spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cent_id INT, cent ARRAY<DOUBLE>"))
+        assigned = sample.join(cdf, F.lit(True)) \
+            .withColumn("__sim__", cosine_expr("v", "cent"))
+        w = Window.partitionBy("__sid__").orderBy(
+            F.col("__sim__").desc(), F.col("cent_id").asc())
+        best = (assigned.withColumn("__r__", F.row_number().over(w))
+                .where(F.col("__r__") == 1))
+        means = (best.groupBy("cent_id")
+                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = {r["cent_id"]: [r[f"m{i}"] for i in range(dim)]
+               for r in means}
+        # empty cells keep their previous centroid
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    sample.unpersist()
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id INT, cent ARRAY<DOUBLE>")
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+             n_centroids: int = 16, n_probe: int = 4,
+             centroids: DataFrame | None = None) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning.
 
-    Centroids are the first ``n_centroids`` corpus vectors by id —
-    deterministic, no training job (swap in k-means centroids without
-    changing the plan shape). Every corpus vector is assigned to its
-    nearest centroid (one broadcast pass); each query scores only the
-    ``n_probe`` nearest centroid cells, cutting scored candidates by
+    Centroids come from :func:`train_centroids` (sampled k-means,
+    deterministic) unless a pre-trained (cent_id, cent) frame is
+    passed. Every corpus vector is assigned to its nearest centroid
+    (one broadcast pass); each query scores only the ``n_probe``
+    nearest centroid cells, cutting scored candidates by
     ~n_centroids/n_probe while the cell assignment shuffles the corpus
     ONCE, reusable across query batches.
     """
-    cents = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent")))
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, id_col)
+    cents = F.broadcast(centroids)
 
     def nearest(df, vcol, rank_n, out):
         scored = df.join(cents, F.lit(True)) \

@@ -136,8 +136,47 @@ def test_ivf_topk_recall_and_shape(spark, emb):
                                   n_probe=4).collect()]
     assert len(approx) == 50  # 5 queries x k
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
-    # half the cells probed -> meaningful overlap with exact top-k
-    assert len(exact & got) > 0
+    # the testdata embeddings are near-uniform random (top-5 neighbors
+    # share the query's label 4/50 times), so IVF recall is bounded by
+    # the probed corpus fraction — demand clearly above the 4/8-cell
+    # random baseline; everything is deterministic (trained centroids,
+    # hash-ordered sample), so this is a fixed number, not a flake
+    assert len(exact & got) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    # the claim that matters at scale: when the corpus HAS cluster
+    # structure, trained IVF centroids recover >= 0.9 of the exact
+    # top-5 while probing 4/16 cells
+    import numpy as np
+    from baloo_spark.operators.similarity import brute_force_topk, ivf_topk
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + 0.15 * rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>") \
+        .repartition(8)
+    q = df.filter("vec_id < 10")
+    c = df.filter("vec_id >= 10")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, c, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(q, c, k=5, n_centroids=16, n_probe=4).collect()}
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_train_centroids_deterministic_and_balanced(spark, emb):
+    from baloo_spark.operators.similarity import train_centroids
+    a = train_centroids(emb, 8, sample_size=256, iters=2).collect()
+    b = train_centroids(emb, 8, sample_size=256, iters=2).collect()
+    assert sorted(map(tuple, ((r["cent_id"], tuple(r["cent"])) for r in a))) \
+        == sorted(map(tuple, ((r["cent_id"], tuple(r["cent"])) for r in b)))
+    assert len(a) == 8
+    assert all(len(r["cent"]) == 64 for r in a)
 
 
 def test_lsh_topk_recall(spark, emb):
