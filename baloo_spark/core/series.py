@@ -455,13 +455,38 @@ class Series:
             tmpl = func
             if mapping:
                 tmpl = tmpl.format(self="{self}", **mapping)
-            # inline this Series' expression SQL so the result stays on
-            # the SAME parent frame (keeps setitem/filter lineage intact)
+            # Inline this Series' expression SQL so the result stays on
+            # the SAME parent frame (keeps setitem/filter lineage
+            # intact). str(Column) is not a stable PySpark API: the
+            # format is pinned by tests/test_series.py::
+            # test_column_repr_format_pinned, and reprs that are not
+            # valid SQL (composed Python arithmetic renders as
+            # "+(*(x, 2), 1)" on this PySpark) fall back to projecting
+            # the expression as a temp column and templating over THAT
+            # — same values, lineage moves to a derived plan (the
+            # positional-alignment machinery handles cross-frame use).
+            from pyspark.errors import AnalysisException, ParseException
             inner = str(self._colexpr)
             if inner.startswith("Column<'") and inner.endswith("'>"):
                 inner = inner[len("Column<'"):-2]
-            expr = F.expr(tmpl.format(self=f"({inner})"))
-            return self._with_col(expr)
+            else:
+                raise RuntimeError(
+                    "PySpark Column repr format changed "
+                    f"(got {inner[:60]!r}); Series.apply template mode "
+                    "needs updating for this PySpark version")
+            try:
+                expr = F.expr(tmpl.format(self=f"({inner})"))
+                # F.expr defers parsing until analysis on this PySpark;
+                # select() analyzes eagerly (no job) so a bad repr
+                # fails HERE, inside the try
+                self._sdf.select(expr)
+                return self._with_col(expr)
+            except (ParseException, AnalysisException):
+                tmp = "__apply_self__"
+                sdf = self._sdf.withColumn(tmp, self._colexpr)
+                expr = F.expr(tmpl.format(self=tmp))
+                return Series._make(sdf, expr, self._index_cols,
+                                    self.name, self._order)
         if getattr(func, "_baloo_column_fn", False):
             return func(self, **kwargs)
         # eager/NumPy mode -> Arrow-vectorized pandas UDF

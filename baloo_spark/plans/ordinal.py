@@ -19,9 +19,10 @@ function is needed at all for the unordered case; for the ordered
 case a window PARTITIONED BY partition id keeps every partition's
 work local (no single-partition collapse).
 
-The input is persisted while the two passes run so the partition
-layout is identical in both (Spark gives no cross-job determinism
-guarantee otherwise).
+The input is eagerly local-checkpointed so the partition layout is
+identical in both passes (Spark gives no cross-job determinism
+guarantee otherwise); checkpoint blocks free on GC, unlike persist()
+entries which sit in the CacheManager until explicitly unpersisted.
 """
 
 from __future__ import annotations
@@ -49,7 +50,14 @@ def with_dense_ordinal(sdf: DataFrame, order_by: list | None = None,
 
     sdf = sdf.withColumn("__mid__", F.monotonically_increasing_id())
     sdf = sdf.withColumn("__pid__", F.spark_partition_id())
-    sdf = sdf.persist()
+    # localCheckpoint (eager) freezes the partition layout both passes
+    # must agree on, WITHOUT registering a CacheManager entry: persist()
+    # here leaked one cached plan per positional op for the session's
+    # lifetime (never unpersisted), while checkpoint blocks are freed by
+    # the ContextCleaner when the DataFrame is garbage-collected. Not
+    # fault-tolerant to executor loss — an ephemeral positional op
+    # re-runs from source on failure, which is the right trade.
+    sdf = sdf.localCheckpoint()
 
     # Pass 1: per-partition counts -> cumulative offsets (tiny driver-side list).
     rows = sdf.groupBy("__pid__").count().collect()

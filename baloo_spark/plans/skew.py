@@ -64,7 +64,16 @@ def salted_join(left: DataFrame, right: DataFrame, on, salt: int = 8,
     over the salt range) so every (key, salt) bucket can meet. Use
     when the hot keys sit in a table too large to broadcast and AQE's
     split is insufficient.
+
+    Only 'inner' and 'left' are valid: with 'right'/'outer', every
+    UNMATCHED right row would surface once per replica (``salt``
+    duplicate rows).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "replicated-right semantics would emit unmatched right "
+            "rows once per salt replica")
     on = [on] if isinstance(on, str) else list(on)
     l = left.withColumn("__salt__", (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn(

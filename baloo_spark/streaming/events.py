@@ -197,12 +197,18 @@ def stream_stream_join(spark: SparkSession, left_path: str,
 
 
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
-                         name: str = "stream_out") -> DataFrame:
+                         name: str = "stream_out",
+                         output_mode: str = "append") -> DataFrame:
     """Execute a streaming DF with availableNow (process-everything-
     then-stop) into an in-memory sink; returns the materialized
     result. Test/dev harness — production would writeStream to a
-    table/kafka with a real trigger."""
+    table/kafka with a real trigger.
+
+    ``output_mode``: 'append' (default — the only mode the append-only
+    queries in this module support, e.g. stream_stream_join and
+    streaming_dedup), 'complete' for full-result aggregations, or
+    'update'."""
     q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)

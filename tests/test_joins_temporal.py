@@ -95,10 +95,7 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     # duplicate every event, write as the stream source
     ev.union(ev).write.parquet(path)
     stream = streaming_dedup(spark, path, keys=["event_id"])
-    q = (stream.writeStream.format("memory").queryName("t_dedup")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    got = spark.table("t_dedup").count()
+    got = run_stream_to_memory(spark, stream, "t_dedup").count()
     assert got == ev.count()
 
 

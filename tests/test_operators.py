@@ -235,7 +235,8 @@ def test_windowed_agg_stream_matches_batch(spark, tmp_path):
     batch = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
              for r in windowed_agg_batch(ev).collect()}
     stream = windowed_agg_stream(spark, path)
-    got = run_stream_to_memory(spark, stream, "t_win")
+    got = run_stream_to_memory(spark, stream, "t_win",
+                               output_mode="complete")
     out = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
            for r in got.collect()}
     assert out == batch

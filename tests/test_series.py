@@ -131,3 +131,24 @@ def test_index_preserved_through_filter(bl):
     out = sr[sr > 15].to_pandas()
     assert out.index.tolist() == [8, 9]
     assert out.tolist() == [20.0, 30.0]
+
+
+def test_column_repr_format_pinned(bl):
+    # Series.apply template mode inlines the expression SQL parsed out
+    # of str(Column) — not a stable PySpark API. If this test fails
+    # after a PySpark upgrade, update the parsing in Series.apply
+    # (core/series.py) in the same change.
+    from pyspark.sql import functions as F
+    # plain/cast/F.expr-built columns: repr wrapper is Column<'SQL'>
+    # and the payload parses back through F.expr (the inline path)
+    for c, sql in [(F.col("x"), "x"),
+                   (F.col("x").cast("double"), "CAST(x AS DOUBLE)")]:
+        r = str(c)
+        assert r == f"Column<'{sql}'>", r
+        F.expr(r[len("Column<'"):-2])
+    # composed Python arithmetic renders function-call style (NOT SQL)
+    # on this PySpark — the fallback projection path must cover it
+    assert str(F.col("x") * 2 + 1) == "Column<'+(*(x, 2), 1)'>"
+    sr = bl.Series(np.array([1.0, 4.0, 9.0]))
+    doubled = (sr * 2).apply("{self} + 1").to_pandas().tolist()
+    assert doubled == [3.0, 9.0, 19.0]
