@@ -62,17 +62,34 @@ class DataFrame:
         from ..session import get_session
         spark = get_session()
         if isinstance(data, pd.DataFrame):
-            pdf = data.reset_index() if data.index.name else data.copy()
-            index_cols = [data.index.name] if data.index.name else []
+            if isinstance(data.index, pd.MultiIndex):
+                names = [n if n is not None else f"level_{i}"
+                         for i, n in enumerate(data.index.names)]
+                pdf = data.copy()
+                pdf.index = pdf.index.set_names(names)
+                pdf = pdf.reset_index()
+                index_cols = names
+            else:
+                pdf = data.reset_index() if data.index.name else data.copy()
+                index_cols = [data.index.name] if data.index.name else []
         else:
             pdf = pd.DataFrame({k: np.asarray(getattr(v, "values", v))
                                 for k, v in (data or {}).items()})
             index_cols = []
         if index is not None:
-            idx_arr = np.asarray(getattr(index, "values", index))
-            name = getattr(index, "name", None) or _IDX
-            pdf[name] = idx_arr
-            index_cols = [name]
+            from .indexes import MultiIndex
+            if isinstance(index, MultiIndex):
+                # reference multi.py:44-59 / conftest.py:98-103: each
+                # level becomes an ordinary (Spark) column of the frame
+                names = index._level_names()
+                for n, ix in zip(names, index.values):
+                    pdf[n] = ix.values
+                index_cols = names
+            else:
+                idx_arr = np.asarray(getattr(index, "values", index))
+                name = getattr(index, "name", None) or _IDX
+                pdf[name] = idx_arr
+                index_cols = [name]
         sdf = spark.createDataFrame(pdf)
         sdf = with_dense_ordinal(sdf)
         self._sdf = sdf
@@ -119,6 +136,42 @@ class DataFrame:
     @property
     def index_names(self) -> list:
         return [None if c in (ORD_COL, _IDX) else c for c in self._index_cols]
+
+    @property
+    def index(self):
+        """Index / MultiIndex / RangeIndex view of the frame's index
+        columns (reference frame.py:125-137). Values are fetched
+        LAZILY — reading ``.values`` on the result runs one select of
+        just the index column(s); on a huge frame that is a driver
+        collect, so treat it as an explicit materialization boundary
+        (same as ``to_pandas``)."""
+        from .indexes import Index, MultiIndex, RangeIndex
+
+        def fetch(col):
+            def _f():
+                sdf = self._ordered_sdf() if self._order else self._sdf
+                from ..plans.ordinal import POS_COL
+                sdf = sdf.drop(POS_COL) if POS_COL in sdf.columns else sdf
+                return np.asarray(
+                    [r[0] for r in sdf.select(col).collect()])
+            return _f
+
+        cols = self._index_cols
+        if cols == [ORD_COL]:
+            ri = RangeIndex(getattr(self, "_len_cache", None))
+            ri._fetch = fetch(ORD_COL)
+            return ri
+        if len(cols) == 1:
+            name = None if cols[0] == _IDX else cols[0]
+            ix = Index(name=name)
+            ix._fetch = fetch(cols[0])
+            return ix
+        levels = []
+        for c in cols:
+            ix = Index(name=c)
+            ix._fetch = fetch(c)
+            levels.append(ix)
+        return MultiIndex(levels, [ix.name for ix in levels])
 
     def to_spark(self, include_index: bool | None = None) -> SparkDF:
         """Underlying Spark DataFrame. By default synthetic (range)
@@ -598,7 +651,13 @@ class DataFrame:
             cols = [c for c in dict.fromkeys(
                 [*df._index_cols, *df._data_cols])
                 if c in df._sdf.columns and c != ORD_COL]
-            return df._sdf.select(*cols)
+            out = df._sdf.select(*cols)
+            # an unnamed index surfaces as an 'index' data column in
+            # merge results (reference test_join.py:13-20: df1's
+            # anonymous index -> 'index' column)
+            if _IDX in cols and "index" not in cols:
+                out = out.withColumnRenamed(_IDX, "index")
+            return out
 
         left = prep(self, on)
         right = prep(other, on)

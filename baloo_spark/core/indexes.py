@@ -2,13 +2,16 @@
 
 Reference: ``baloo/core/indexes/`` — Index (named typed label column,
 base.py:11), RangeIndex (lazy 0..n, range.py:8), MultiIndex (list of
-Index columns, multi.py:14 — explicitly NOT pandas levels).
+Index columns, multi.py:14 — explicitly NOT pandas levels: it "merely
+groups a few columns together to act as an index").
 
 In this engine an index is metadata over ordinary Spark columns: the
-frame tracks which columns are index columns. These classes exist for
-API parity when constructing frames and for introspection; RangeIndex
-is realized lazily through the scale-safe dense-ordinal plan
-(:mod:`baloo_spark.plans.ordinal`) only when a positional op needs it.
+frame tracks which columns are index columns, and every distributed
+operation (merge-on-index, dropna, sort_index, to_pandas round-trip)
+runs on those columns inside the Spark plan. The classes here carry
+the names/values for API parity at the construction and introspection
+boundaries; values attached to a live frame are fetched lazily (one
+select of just the index columns) only when ``.values`` is read.
 """
 
 from __future__ import annotations
@@ -17,15 +20,45 @@ import numpy as np
 
 
 class Index:
+    """Named, typed label column (reference base.py:11-78)."""
+
     def __init__(self, data=None, dtype=None, name=None):
         self.name = name
         self._values = None
+        self._fetch = None  # lazy supplier attached by DataFrame.index
         if data is not None:
-            self._values = np.asarray(data, dtype=dtype)
+            self._values = np.asarray(getattr(data, "values", data),
+                                      dtype=dtype)
 
     @property
     def values(self):
+        if self._values is None and self._fetch is not None:
+            self._values = self._fetch()
         return self._values
+
+    @property
+    def dtype(self):
+        v = self.values
+        return None if v is None else v.dtype
+
+    def __len__(self):
+        v = self.values
+        return 0 if v is None else len(v)
+
+    def notna(self) -> np.ndarray:
+        import pandas as pd
+        return ~pd.isna(self.values)
+
+    def __getitem__(self, item):
+        return Index(self.values[item], name=self.name)
+
+    def to_pandas(self):
+        import pandas as pd
+        return pd.Index(self.values, name=self.name)
+
+    @classmethod
+    def from_pandas(cls, index) -> "Index":
+        return cls(np.asarray(index), name=index.name)
 
     def __repr__(self):
         return f"Index(name={self.name})"
@@ -34,7 +67,8 @@ class Index:
 class RangeIndex(Index):
     """Lazy 0..n-1 (reference weld_range, range.py:63). Never
     materialized driver-side; realized as the __ord__ column on
-    demand."""
+    demand through the scale-safe dense-ordinal plan
+    (:mod:`baloo_spark.plans.ordinal`)."""
 
     def __init__(self, stop: int | None = None, name=None):
         super().__init__(None, None, name)
@@ -42,6 +76,8 @@ class RangeIndex(Index):
 
     @property
     def values(self):
+        if self.stop is None and self._fetch is not None:
+            return self._fetch()
         if self.stop is None:
             return None
         return np.arange(self.stop)
@@ -51,13 +87,108 @@ class RangeIndex(Index):
 
 
 class MultiIndex:
-    """List of Index columns with names (multi.py:44-59)."""
+    """Group of Index columns acting together as the frame's index
+    (reference multi.py:14-59 — NOT pandas labels/levels; just named
+    columns).
+
+    Construction is a driver-side operation by definition (you hand it
+    arrays), so the levels are numpy-backed here; once attached to a
+    DataFrame via ``index=`` or ``set_index(list)`` the levels live as
+    ordinary Spark columns and all heavy operations stay distributed.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from baloo_spark.core.indexes import MultiIndex
+    >>> mi = MultiIndex([[1, 2, 3], np.array([4., 5., 6.])],
+    ...                 names=['i1', 'i2'])
+    >>> mi
+    MultiIndex(names=['i1', 'i2'])
+    >>> len(mi)
+    3
+    >>> [ix.name for ix in mi.values]
+    ['i1', 'i2']
+    """
 
     def __init__(self, data: list, names: list | None = None):
-        names = names or [None] * len(data)
-        self.indexes = [d if isinstance(d, Index) else Index(d, name=n)
-                        for d, n in zip(data, names)]
+        if names is not None and len(names) != len(data):
+            # reference multi.py:271-272
+            raise ValueError("Expected all or none of the columns to be named")
+        names = names or [getattr(d, "name", None) for d in data]
+        self.indexes = []
+        for d, n in zip(data, names):
+            ix = d if isinstance(d, Index) else Index(d, name=n)
+            if ix.name is None:
+                ix.name = n
+            self.indexes.append(ix)
+        lens = {len(ix) for ix in self.indexes if ix._values is not None}
+        if len(lens) > 1:
+            raise ValueError(f"MultiIndex levels differ in length: {lens}")
         self.names = [ix.name for ix in self.indexes]
+
+    @property
+    def values(self) -> list:
+        """List of the level Index objects (reference multi.py:61-71)."""
+        return self.indexes
+
+    @property
+    def dtypes(self) -> list:
+        return [ix.dtype for ix in self.indexes]
+
+    @property
+    def empty(self) -> bool:
+        return len(self.indexes) == 0 or all(
+            len(ix) == 0 for ix in self.indexes)
+
+    def __len__(self):
+        return 0 if not self.indexes else len(self.indexes[0])
+
+    def _level_names(self, prefix: str = "level_") -> list:
+        """Effective column names — unnamed levels get ``level_<i>``
+        (reference multi.py:143-145)."""
+        return [f"{prefix}{i}" if n is None else n
+                for i, n in enumerate(self.names)]
+
+    def __getitem__(self, item):
+        """Boolean-mask or slice selection applied to every level
+        (reference multi.py:162-193)."""
+        if isinstance(item, slice):
+            return MultiIndex([ix[item] for ix in self.indexes], self.names)
+        mask = np.asarray(getattr(item, "values", item))
+        if mask.dtype != np.bool_:
+            raise TypeError("Expected a boolean mask or slice")
+        return MultiIndex([ix[mask] for ix in self.indexes], self.names)
+
+    def dropna(self) -> "MultiIndex":
+        """Rows where EVERY level is non-null (reference
+        multi.py:213-225: AND of per-level notna)."""
+        from functools import reduce
+        mask = reduce(lambda a, b: a & b,
+                      (ix.notna() for ix in self.indexes))
+        return self[mask]
+
+    def tail(self, n: int = 5) -> "MultiIndex":
+        return self[slice(-n, None)]
+
+    @classmethod
+    def from_pandas(cls, index) -> "MultiIndex":
+        """From a pandas MultiIndex (reference multi.py:227-246)."""
+        levels = [Index(np.asarray(index.get_level_values(i)),
+                        name=index.names[i])
+                  for i in range(index.nlevels)]
+        return cls(levels, list(index.names))
+
+    def to_pandas(self):
+        """To a pandas MultiIndex (reference multi.py:248-263)."""
+        import pandas as pd
+        return pd.MultiIndex.from_arrays(
+            [ix.values for ix in self.indexes], names=self.names)
 
     def __repr__(self):
         return f"MultiIndex(names={self.names})"
+
+    def __str__(self):
+        import pandas as pd
+        return str(pd.DataFrame(
+            {n: ix.values for n, ix in
+             zip(self._level_names(), self.indexes)}))

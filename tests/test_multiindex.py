@@ -1,0 +1,177 @@
+"""MultiIndex parity with the reference.
+
+Mirrors /root/reference/tests/core/indexes/test_multi.py (construction,
+filter, slice, dropna, to_pandas) and the df2-joins-on-MultiIndex
+fixture (/root/reference/tests/conftest.py:98-103 used throughout
+tests/core/test_join.py): a frame indexed by a 2-level MultiIndex with
+a string level participates in merges — joined levels become the
+result's index, non-joined levels demote to data columns.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from baloo_spark.core.indexes import Index, MultiIndex
+
+
+@pytest.fixture(scope="module")
+def mi():
+    return MultiIndex([np.arange(1, 6, dtype=np.float32),
+                       Index(np.arange(5), np.dtype(np.int64))],
+                      names=["i1", "i2"])
+
+
+# ------------------------------------------------------- driver-side API
+
+
+def test_construction(mi):
+    assert mi.names == ["i1", "i2"]
+    assert len(mi) == 5
+    assert mi.dtypes == [np.dtype(np.float32), np.dtype(np.int64)]
+    assert not mi.empty
+
+
+def test_mismatched_names_raises():
+    with pytest.raises(ValueError):
+        MultiIndex([[1, 2], [3, 4]], names=["only_one"])
+
+
+def test_mismatched_lengths_raises():
+    with pytest.raises(ValueError):
+        MultiIndex([[1, 2, 3], [4, 5]])
+
+
+def test_filter(mi):
+    out = mi[np.array([False, True, True, False, False])]
+    assert out.values[0].values.tolist() == [2.0, 3.0]
+    assert out.values[1].values.tolist() == [1, 2]
+    assert out.names == ["i1", "i2"]
+
+
+def test_slice(mi):
+    out = mi[1:3]
+    assert out.values[0].values.tolist() == [2.0, 3.0]
+    assert out.values[1].values.tolist() == [1, 2]
+
+
+def test_dropna():
+    # reference test_multi.py:52-58 (−999 sentinel there, real NaN here)
+    m = MultiIndex([[0.0, np.nan, 2.0, np.nan],
+                    Index(np.array([1.0, np.nan, np.nan, 3.0]))])
+    out = m.dropna()
+    assert len(out) == 1
+    assert out.values[0].values.tolist() == [0.0]
+    assert out.values[1].values.tolist() == [1.0]
+
+
+def test_pandas_round_trip(mi):
+    pmi = mi.to_pandas()
+    assert isinstance(pmi, pd.MultiIndex)
+    assert list(pmi.names) == ["i1", "i2"]
+    back = MultiIndex.from_pandas(pmi)
+    assert back.names == ["i1", "i2"]
+    assert back.values[0].values.tolist() == mi.values[0].values.tolist()
+
+
+def test_unnamed_levels_get_level_names():
+    m = MultiIndex([[1, 2], [3, 4]])
+    assert m._level_names() == ["level_0", "level_1"]
+
+
+# ----------------------------------------------------- wired into frames
+
+
+@pytest.fixture(scope="module")
+def df2(bl):
+    # conftest.py:98-103 (bytes level -> str here: Spark's native string
+    # type is what a parquet/UTF-8 pipeline produces)
+    return bl.DataFrame(
+        {"b": np.arange(3, 6, dtype=np.float32), "c": np.arange(4, 7)},
+        index=MultiIndex([np.array([1, 3, 5]),
+                          Index(np.array(["abc", "def", "efgh"]))],
+                         ["a", "d"]))
+
+
+@pytest.fixture(scope="module")
+def df1(bl):
+    # conftest.py:94-95: data cols a,b over an anonymous index
+    return bl.DataFrame({"a": np.arange(5),
+                         "b": np.arange(1, 6, dtype=np.float32)},
+                        index=np.arange(2, 7))
+
+
+def test_frame_constructed_with_multiindex(df2):
+    assert df2.index_names == ["a", "d"]
+    pdf = df2.to_pandas()
+    assert isinstance(pdf.index, pd.MultiIndex)
+    assert list(pdf.index.names) == ["a", "d"]
+    assert sorted(pdf.index.tolist()) == [(1, "abc"), (3, "def"),
+                                          (5, "efgh")]
+
+
+def test_frame_index_property(bl, df2):
+    ix = df2.index
+    assert isinstance(ix, MultiIndex)
+    assert ix.names == ["a", "d"]
+    # lazy fetch happens here
+    assert sorted(ix.values[0].values.tolist()) == [1, 3, 5]
+
+
+def test_set_index_list_gives_multiindex(bl):
+    df = bl.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"],
+                       "v": [10.0, 20.0, 30.0]})
+    out = df.set_index(["x", "y"])
+    assert isinstance(out.index, MultiIndex)
+    pdf = out.to_pandas()
+    assert isinstance(pdf.index, pd.MultiIndex)
+    assert pdf.loc[(2, "b"), "v"] == 20.0
+
+
+def test_merge_on_one_level_demotes_other(df1, df2):
+    # reference test_join.py:12-20: merge on 'a' -> index becomes
+    # Index('a'); df2's other level 'd' survives as a DATA column and
+    # df1's anonymous index surfaces as the 'index' column
+    out = df1.merge(df2, on="a")
+    assert out.index_names == ["a"]
+    pdf = out.to_pandas().sort_index()
+    assert "d" in pdf.columns and "index" in pdf.columns
+    assert pdf.index.tolist() == [1, 3]
+    assert pdf["d"].tolist() == ["abc", "def"]
+    assert pdf["index"].tolist() == [3, 5]
+    assert pdf["b_x"].tolist() == [2.0, 4.0]
+    assert pdf["b_y"].tolist() == [3.0, 4.0]
+    assert pdf["c"].tolist() == [4, 5]
+
+
+def test_merge_on_two_keys_gives_multiindex(df1, df2):
+    # reference test_join.py:22-29: merge on ['a','b'] -> MultiIndex
+    out = df1.merge(df2, on=["a", "b"], is_on_sorted=True)
+    assert out.index_names == ["a", "b"]
+    assert isinstance(out.index, MultiIndex)
+    pdf = out.to_pandas()
+    assert isinstance(pdf.index, pd.MultiIndex)
+    assert pdf.index.tolist() == [(3, 4.0)]
+    assert pdf["d"].tolist() == ["def"]
+    assert pdf["c"].tolist() == [5]
+
+
+def test_merge_left_on_multiindex_level(df1, df2):
+    # reference test_join.py:31-40 shape (nulls instead of −999)
+    out = df1.merge(df2, on="a", how="left")
+    pdf = out.to_pandas().sort_index()
+    assert pdf.index.tolist() == [0, 1, 2, 3, 4]
+    assert pdf["d"].fillna("None").tolist() == \
+        ["None", "abc", "None", "def", "None"]
+
+
+def test_from_pandas_multiindex_frame(bl):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0]},
+                       index=pd.MultiIndex.from_arrays(
+                           [[1, 2, 3], ["x", "y", "z"]],
+                           names=["k1", "k2"]))
+    df = bl.DataFrame(pdf)
+    assert df.index_names == ["k1", "k2"]
+    back = df.to_pandas().sort_index()
+    assert isinstance(back.index, pd.MultiIndex)
+    assert back.loc[(2, "y"), "v"] == 2.0
