@@ -70,22 +70,30 @@ def main():
               "region", "part", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
-    timings = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
+    def run_once(name):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        return time.perf_counter() - t0
+
+    # cold = first run (pays whole-stage-codegen compile + JIT for that
+    # query's operators); warm = second run of a freshly-built plan
+    # (codegen cache hit, full recompute — noop sink caches nothing).
+    # Reported separately so round-over-round deltas are signal, not
+    # first-run compile noise. "value"/"queries" remain the cold pass,
+    # methodology-compatible with BENCH_r01.
+    cold, warm = {}, {}
+    for name in HEADLINE:
+        cold[name] = round(run_once(name), 3)
+        warm[name] = round(run_once(name), 3)
 
     print(json.dumps({
         "metric": "total_runtime",
-        "value": round(total, 3),
+        "value": round(sum(cold.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": cold,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
         "sf": sf,
     }))
 
