@@ -30,20 +30,78 @@ class DataFrame:
     ``DataFrame(data, index)`` accepts ``{name: ndarray|list|Series}``
     or a pandas DataFrame (reference ctor: ``frame.py:127-146``).
 
-    Usage (mirrors the reference's doctest spec, frame.py:33-123)::
-
-        df = bl.DataFrame({"a": np.arange(5, dtype=np.float64),
-                           "b": np.arange(5, dtype=np.int64)})
-        flt = df[(df["a"] > 0) & (df["b"] < 4)]     # mask filter
-        flt["c"] = flt["a"] * 2 + 1 - 23            # column assign
-        flt.agg(["min", "mean", "std"])             # multi-agg frame
-        flt.groupby("b").var()                      # keys -> index
-        flt.sort_values(["b", "a"], ascending=[True, False]).head(2)
-        left.merge(right, on="k", how="outer", suffixes=("_l", "_r"))
-        df.evaluate()                               # ONE Spark action
-
-    Everything above composes lazily onto one Spark plan; Catalyst
+    Everything below composes lazily onto one Spark plan; Catalyst
     fuses it the way Weld fused the reference's IR fragments.
+
+    Examples (executable — the reference runs its docstrings in CI,
+    frame.py:33-123; these run under tests/test_doctests.py):
+
+    >>> import numpy as np
+    >>> import baloo_spark as bl
+    >>> df = bl.DataFrame({"a": np.arange(5, 8), "b": [1, 0, 2]})
+    >>> df.to_pandas()
+       a  b
+    0  5  1
+    1  6  0
+    2  7  2
+    >>> print(len(df))
+    3
+    >>> (df * 2).to_pandas()
+        a  b
+    0  10  2
+    1  12  0
+    2  14  4
+    >>> df[df["b"] > 0].to_pandas()
+       a  b
+    0  5  1
+    2  7  2
+    >>> df.min().to_pandas()
+    a    5.0
+    b    0.0
+    Name: min, dtype: float64
+    >>> df.agg(["var", "count"]).to_pandas()
+                   a    b
+    Aggregation
+    var          1.0  1.0
+    count        3.0  3.0
+    >>> df.rename({"a": "c"}).columns
+    ['c', 'b']
+    >>> df.drop("a").columns
+    ['b']
+    >>> df.set_index("b").to_pandas().sort_index()
+       a
+    b
+    0  6
+    1  5
+    2  7
+    >>> df.sort_values("b").to_pandas()
+       a  b
+    0  6  0
+    1  5  1
+    2  7  2
+    >>> df2 = bl.DataFrame({"b": np.array([0, 2])})
+    >>> df.merge(df2, on="b").to_pandas().sort_index()
+       a
+    b
+    0  6
+    2  7
+    >>> df3 = bl.DataFrame({"a": [1.0, np.nan, 3.0]})
+    >>> df3.dropna().to_pandas()
+         a
+    0  1.0
+    2  3.0
+    >>> df3.fillna({"a": 15.0}).to_pandas()
+          a
+    0   1.0
+    1  15.0
+    2   3.0
+    >>> g = bl.DataFrame({"a": [0, 1, 1, 2], "b": [1, 2, 3, 4]})
+    >>> g.groupby("a").sum().to_pandas().sort_index()
+         b
+    a
+    0  1.0
+    1  5.0
+    2  4.0
     """
 
     def __init__(self, data=None, index=None, *, _sdf=None, _index_cols=None,
@@ -824,8 +882,15 @@ class DataFrame:
         self.to_spark().explain(mode=mode)
 
     def to_pandas(self):
-        cols = [c for c in self._index_cols if c in self._sdf.columns
-                and c != ORD_COL] + self._data_cols
+        # the anonymous (range) index exports as the pandas index too:
+        # after a filter it carries the SURVIVING original positions,
+        # matching Series.to_pandas and the reference's RangeIndex->
+        # Index materialization on filter (weld_ops.py:97-133). Only
+        # when the ordinal column is already materialized (constructor
+        # frames / positional ops) — scan-backed frames don't pay a
+        # global ordinal just to export, so they renumber on export.
+        cols = [c for c in self._index_cols if c in self._sdf.columns] \
+            + self._data_cols
         sdf = self._sdf
         if self._order:
             ob = [F.col(c).asc() if a else F.col(c).desc()
@@ -836,7 +901,7 @@ class DataFrame:
         idx = [c for c in self._index_cols if c in pdf.columns]
         if idx:
             pdf = pdf.set_index(idx if len(idx) > 1 else idx[0])
-            if idx == [_IDX]:
+            if idx[0] in (_IDX, ORD_COL) and len(idx) == 1:
                 pdf.index.name = None
         return pdf
 

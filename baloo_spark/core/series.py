@@ -49,15 +49,42 @@ class Series:
     (``series.py:75-101``). ``data`` may be a numpy array, list, or
     pandas Series.
 
-    Usage (mirrors the reference's doctest spec, series.py:32-70)::
+    Examples (executable — the reference runs its docstrings in CI,
+    series.py:32-70; these run under tests/test_doctests.py):
 
-        sr = bl.Series(np.arange(5, dtype=np.int64), name="x")
-        (sr * 2 + 1)[sr > 2].to_pandas()      # arith + mask filter
-        sr.agg(["min", "prod", "mean", "std"])  # one Spark job
-        sr.astype("float32").apply(bl.sqrt)     # mode-1 apply
-        sr.apply("{self} * {k}", mapping={"k": 3})  # SQL template
-        sr.apply(np.log1p, new_dtype="float64")     # Arrow pandas_udf
-        sr.str.lower(), sr.str.find("a", 1)         # str accessor
+    >>> import numpy as np
+    >>> import baloo_spark as bl
+    >>> sr = bl.Series(np.array([1.0, 4.0, 9.0]), name="x")
+    >>> sr.to_pandas()
+    0    1.0
+    1    4.0
+    2    9.0
+    Name: x, dtype: float64
+    >>> (sr * 2 + 1).to_pandas().tolist()
+    [3.0, 9.0, 19.0]
+    >>> sr[sr > 2].to_pandas().tolist()
+    [4.0, 9.0]
+    >>> print(sr.sum())
+    14.0
+    >>> sr.agg(["min", "std"]).to_pandas().round(3)
+    min    1.000
+    std    4.041
+    Name: x, dtype: float64
+    >>> sr.apply(bl.sqrt).to_pandas().tolist()
+    [1.0, 2.0, 3.0]
+    >>> sr.apply("{self} * {k}", mapping={"k": 10}).to_pandas().tolist()
+    [10.0, 40.0, 90.0]
+    >>> sr.apply(np.log1p).to_pandas().round(3).tolist()
+    [0.693, 1.609, 2.303]
+    >>> sr.astype("int64").to_pandas().tolist()
+    [1, 4, 9]
+    >>> sr.index.values.tolist()
+    [0, 1, 2]
+    >>> st = bl.Series(np.array(["a", "Bc"]))
+    >>> st.str.upper().to_pandas().tolist()
+    ['A', 'BC']
+    >>> st.str.find("c").to_pandas().tolist()
+    [-1, 1]
     """
 
     def __init__(self, data=None, index=None, dtype=None, name=None, *,
@@ -123,6 +150,34 @@ class Series:
     def dtype(self) -> np.dtype:
         sdf = self._sdf.select(self._colexpr.alias("x"))
         return np_dtype_of(sdf.schema["x"].dataType)
+
+    @property
+    def index(self):
+        """Index/RangeIndex view of the index column (reference
+        series.py:103-115). Values fetch lazily on ``.values`` access
+        — one select of just the index column (a driver collect;
+        explicit materialization boundary like ``to_pandas``)."""
+        from .indexes import Index, RangeIndex
+
+        def fetch(col):
+            def _f():
+                sdf = self._sdf
+                if self._order:
+                    ob = [F.col(c).asc() if a else F.col(c).desc()
+                          for c, a in self._order if c in sdf.columns]
+                    if ob:
+                        sdf = sdf.orderBy(*ob)
+                return np.asarray([r[0] for r in sdf.select(col).collect()])
+            return _f
+
+        cols = self._index_cols
+        if cols == [ORD_COL]:
+            ri = RangeIndex(getattr(self, "_len_cache", None))
+            ri._fetch = fetch(ORD_COL)
+            return ri
+        ix = Index(name=None if cols[0] == _IDX else cols[0])
+        ix._fetch = fetch(cols[0])
+        return ix
 
     @property
     def spark_type(self) -> T.DataType:
