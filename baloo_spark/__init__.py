@@ -12,8 +12,8 @@ process. See SURVEY.md for the full design mapping.
 from .core.frame import DataFrame
 from .core.series import Series
 from .core.indexes import Index, MultiIndex, RangeIndex
-from .functions import (acos, asin, atan, cos, cosh, erf, exp, log, raw, sin,
-                        sinh, sort, sqrt, tan, tanh)
+from .functions import (acos, asin, atan, cos, cosh, erf, exp, load_cudf,
+                        log, raw, sin, sinh, sort, sqrt, tan, tanh)
 from .io import read_csv, read_json, read_parquet
 from .session import get_session
 
@@ -35,5 +35,5 @@ __all__ = [
     "DataFrame", "Series", "Index", "MultiIndex", "RangeIndex",
     "read_csv", "read_parquet", "read_json", "get_session",
     "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
-    "sinh", "cosh", "tanh", "erf", "raw", "sort",
+    "sinh", "cosh", "tanh", "erf", "raw", "sort", "load_cudf", "concat",
 ]

@@ -131,8 +131,13 @@ class DataFrame:
                 pdf = data.reset_index() if data.index.name else data.copy()
                 index_cols = [data.index.name] if data.index.name else []
         else:
+            from .utils import check_supported_dtype, check_type
+            check_type(data, dict)
             pdf = pd.DataFrame({k: np.asarray(getattr(v, "values", v))
                                 for k, v in (data or {}).items()})
+            for c in pdf.columns:
+                check_type(c, str)
+                check_supported_dtype(pdf[c].to_numpy().dtype)
             index_cols = []
         if index is not None:
             from .indexes import MultiIndex
@@ -777,6 +782,12 @@ class DataFrame:
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
         partition_by = ([partition_by] if isinstance(partition_by, str)
                         else list(partition_by or []))
+        if not partition_by:
+            from ..plans import warn_single_partition
+            warn_single_partition(
+                "an ordered window without partition_by",
+                "Supply partition keys; an unpartitioned ordered "
+                "window is one serial pass.")
         w = (Window.partitionBy(*partition_by) if partition_by
              else Window.partitionBy(F.lit(1)))
         w = w.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
@@ -796,6 +807,12 @@ class DataFrame:
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
         partition_by = ([partition_by] if isinstance(partition_by, str)
                         else list(partition_by or []))
+        if not partition_by:
+            from ..plans import warn_single_partition
+            warn_single_partition(
+                "an ordered window without partition_by",
+                "Supply partition keys; an unpartitioned ordered "
+                "window is one serial pass.")
         w = (Window.partitionBy(*partition_by) if partition_by
              else Window.partitionBy(F.lit(1)))
         w = w.orderBy(*order_by)
@@ -811,12 +828,37 @@ class DataFrame:
         """Global ranking column. NOTE: a global window is inherently
         single-partition; prefer top_k_per_group at scale."""
         from pyspark.sql import Window
+
+        from ..plans import warn_single_partition
+        warn_single_partition(
+            "with_rank's global window",
+            "Prefer top_k_per_group(partition_by, ...) or rank within "
+            "real partition keys.")
         fn = {"row_number": F.row_number, "rank": F.rank,
               "dense_rank": F.dense_rank}[method]
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
         w = Window.orderBy(*[F.col(c).asc() if ascending else F.col(c).desc()
                              for c in order_by])
         out = self._sdf.withColumn(name, fn().over(w).cast("long"))
+        return DataFrame._make(out, self._index_cols,
+                               self._data_cols + [name], self._order)
+
+    def with_zscore(self, col: str, by, name: str = "z",
+                    ddof: int = 1, digits: int | None = None) -> "DataFrame":
+        """Grouped z-score, fully declarative: (x - mean)/std over a
+        PARTITION BY window — the JVM-native twin of the grouped-map
+        (applyInPandas) z-score proven by the ``grouped_zscore`` driver
+        query; same math, no Python in the hot path, whole-stage
+        codegen end to end. tests/test_group.py asserts the two paths
+        agree to 1e-9."""
+        from pyspark.sql import Window
+        by = [by] if isinstance(by, str) else list(by)
+        w = Window.partitionBy(*by)
+        std = (F.stddev_samp if ddof == 1 else F.stddev_pop)
+        z = ((F.col(col) - F.avg(col).over(w)) / std(col).over(w))
+        if digits is not None:
+            z = F.round(z, digits)
+        out = self._sdf.withColumn(name, z)
         return DataFrame._make(out, self._index_cols,
                                self._data_cols + [name], self._order)
 

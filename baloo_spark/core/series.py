@@ -102,6 +102,9 @@ class Series:
         spark = get_session()
         if isinstance(data, Series):
             raise TypeError("Series(data=Series) not supported; use the value directly")
+        from .utils import (check_dtype, check_supported_dtype, check_type)
+        check_type(name, str)
+        dtype = check_dtype(dtype)
         if isinstance(data, pd.Series):
             if name is None:
                 name = data.name
@@ -111,6 +114,7 @@ class Series:
         arr = np.asarray(data)
         if dtype is not None:
             arr = arr.astype(dtype)
+        check_supported_dtype(arr.dtype)
         pdf = pd.DataFrame({_VAL: arr})
         index_cols = []
         if index is not None:

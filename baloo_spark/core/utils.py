@@ -1,0 +1,63 @@
+"""Argument/type validation with reference error parity.
+
+Reference: ``baloo/core/utils.py:6-37`` (check_type / check_dtype /
+check_inner_types / check_str_or_list_str raising TypeError with
+'Expected: ...' messages) and ``utils.py:138-143`` (convert_to_numpy
+rejecting unsupported dtypes with 'dtype {} is not supported').
+
+The reference gates on Weld-encodable dtype chars
+(encoders.py:13: {h,i,l,f,d,?,S}); here the gate is what Spark/Arrow
+marshalling supports — all integer/float widths, bool, strings/bytes,
+datetime64 — and rejects complex, timedelta, void/structured dtypes
+with the same TypeError shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# numpy kind codes Spark/Arrow cannot marshal in this engine
+_UNSUPPORTED_KINDS = {"c", "m", "V"}
+
+
+def check_type(data, expected_types):
+    """None passes; otherwise TypeError (reference utils.py:6-10)."""
+    if data is not None and not isinstance(data, expected_types):
+        raise TypeError("Expected: {}".format(str(expected_types)))
+    return data
+
+
+def check_inner_types(data, expected_types):
+    if data is not None:
+        for value in data:
+            check_type(value, expected_types)
+    return data
+
+
+def check_str_or_list_str(data):
+    check_type(data, (list, str))
+    if data is not None and isinstance(data, list):
+        check_inner_types(data, str)
+    return data
+
+
+def check_dtype(data):
+    """Validate a dtype-like argument (reference utils.py:13-21);
+    bool silently maps to np.bool_."""
+    if data is None:
+        return None
+    if data is bool:
+        return np.bool_
+    try:
+        return np.dtype(data)
+    except TypeError:
+        raise TypeError(
+            "Expected a valid NumPy dtype, received: {}".format(str(data)))
+
+
+def check_supported_dtype(dtype: np.dtype) -> np.dtype:
+    """Reject dtypes the engine cannot marshal through Arrow/Spark
+    (reference convert_to_numpy, utils.py:138-143)."""
+    if dtype.kind in _UNSUPPORTED_KINDS:
+        raise TypeError("dtype {} is not supported".format(dtype))
+    return dtype

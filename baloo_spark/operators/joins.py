@@ -39,6 +39,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     stitch bucket boundaries, or provide real partition keys.
     """
     by = [by] if isinstance(by, str) else list(by or [])
+    if not by:
+        from ..plans import warn_single_partition
+        warn_single_partition(
+            "asof_join without 'by' keys",
+            "Provide partition keys, or synthesize a coarse time-"
+            "bucket key and stitch bucket boundaries.")
     right_cols = right_cols or [c for c in right.columns
                                 if c != on and c not in by]
 

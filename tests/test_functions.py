@@ -41,3 +41,46 @@ def test_sort_function(bl):
 def test_apply_expr_template_with_mapping(sr):
     out = sr.apply("{self} * {k} + {b}", mapping={"k": 2, "b": 1})
     assert out.to_pandas().tolist() == [1.2, 2.0, 3.0, 5.0]
+
+
+def test_load_cudf(bl, tmp_path):
+    # mirrors /root/reference/tests/core/test_series.py:277-288
+    # (test_cudf: udf_add over vec[i64] with a +2 scalar); compiled
+    # here instead of a checked-in .so
+    import shutil
+    import subprocess
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        pytest.skip("no C compiler in environment")
+    src = tmp_path / "udf_c.c"
+    src.write_text(
+        "#include <stdint.h>\n"
+        "void udf_add(const int64_t* in, int64_t n, int64_t* out,"
+        " int64_t scalar) {\n"
+        "  for (int64_t i = 0; i < n; i++) out[i] = in[i] + scalar;\n"
+        "}\n")
+    so = tmp_path / "udf_c.so"
+    subprocess.run([cc, "-shared", "-fPIC", "-O2", "-o", str(so), str(src)],
+                   check=True)
+    udf_add = bl.load_cudf(str(so), "udf_add")
+    sr = bl.Series(np.arange(1, 6, dtype=np.int64))
+    out = sr.apply(udf_add, scalar=2).to_pandas().tolist()
+    assert out == [3, 4, 5, 6, 7]
+
+
+def test_load_cudf_plain_dlopen(bl, tmp_path):
+    # reference behavior without func_name: just dlopen (RTLD_GLOBAL)
+    import ctypes
+    import shutil
+    import subprocess
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        pytest.skip("no C compiler in environment")
+    src = tmp_path / "noop.c"
+    src.write_text("int baloo_noop(void) { return 42; }\n")
+    so = tmp_path / "noop.so"
+    subprocess.run([cc, "-shared", "-fPIC", "-o", str(so), str(src)],
+                   check=True)
+    handle = bl.load_cudf(str(so))
+    assert isinstance(handle, ctypes.CDLL)
+    assert handle.baloo_noop() == 42

@@ -56,3 +56,43 @@ def test_groupby_agg_dict(df_dupl):
 def test_groupby_all_columns_raises(df_dupl, bl):
     with pytest.raises(ValueError):
         df_dupl.groupby(["a", "b", "c"])  # frame.py:1092-1093
+
+
+def test_with_zscore_matches_grouped_map(bl, spark):
+    # the declarative window twin must agree with the applyInPandas
+    # path (same math the grouped_zscore driver query proves vs DuckDB)
+    import numpy as np
+    rng = np.random.default_rng(7)
+    df = bl.DataFrame({
+        "g": np.repeat(["a", "b", "c"], 40),
+        "v": rng.normal(10, 3, 120),
+    })
+    native = df.with_zscore("v", by="g").to_spark() \
+        .select("g", "v", "z").toPandas()
+
+    def z(pdf):
+        out = pdf[["g", "v"]].copy()
+        out["z"] = (pdf["v"] - pdf["v"].mean()) / pdf["v"].std(ddof=1)
+        return out
+
+    udf = df.groupby("g").apply(z, "g STRING, v DOUBLE, z DOUBLE") \
+        .to_spark().toPandas()
+    lhs = native.sort_values(["g", "v"]).reset_index(drop=True)
+    rhs = udf.sort_values(["g", "v"]).reset_index(drop=True)
+    assert np.allclose(lhs["z"], rhs["z"], atol=1e-9)
+
+
+def test_single_partition_scale_warnings(bl, spark):
+    import numpy as np
+    import pytest as _pytest
+    from baloo_spark.plans import ScaleWarning
+    df = bl.DataFrame({"a": np.arange(10), "b": np.arange(10) % 3})
+    with _pytest.warns(ScaleWarning):
+        df.with_rank("a")
+    with _pytest.warns(ScaleWarning):
+        df.with_running("a", order_by="a")
+    from baloo_spark.operators.joins import asof_join
+    sdf = df.to_spark().withColumn(
+        "ts", __import__("pyspark").sql.functions.current_timestamp())
+    with _pytest.warns(ScaleWarning):
+        asof_join(sdf, sdf, on="ts")
