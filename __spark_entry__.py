@@ -1316,19 +1316,14 @@ FROM embeddings GROUP BY label
 
 
 def _text_metrics(spark, sf):
-    """Folded text-analysis family (operators/text.py:39-134): quality
-    scoring, language-ID, token counting, and fingerprints — four pure
-    Column pipelines over documents, joined on doc_id into one row per
-    doc. Zero Python in the hot path; fully ANSI-replayable."""
-    from baloo_spark.operators.text import (fingerprints, language_id,
-                                            quality_scores, token_counts)
+    """Folded text-analysis family (operators/text.py): quality
+    scoring, language-ID, token counting, and fingerprints — fused
+    into ONE projection (text_profile): a single scan of documents,
+    zero joins, whole-stage codegen end to end. Zero Python in the hot
+    path; fully ANSI-replayable."""
+    from baloo_spark.operators.text import text_profile
     docs = _t(spark, sf, "documents")
-    q = quality_scores(docs)
-    l = language_id(docs)
-    t = token_counts(docs).select("doc_id", "n_subtokens",
-                                  "n_chars_measured")
-    f = fingerprints(docs)
-    return q.join(l, "doc_id").join(t, "doc_id").join(f, "doc_id")
+    return text_profile(docs)
 
 
 _TEXT_METRICS_SQL_QUALITY = """

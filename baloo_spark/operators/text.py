@@ -121,6 +121,84 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, text_col: str = "text",
+                 lang: str = "en") -> DataFrame:
+    """All four text-analysis families — quality scoring, language ID,
+    token counts, fingerprint — in ONE projection.
+
+    Joining the per-family outputs on doc_id costs 3 joins and 4 scans
+    of the text column; every metric here is a per-row expression, so
+    the fused form is a single scan with zero shuffles — at 100 TB
+    that is the difference between one pass over the corpus and four
+    passes plus three doc_id-keyed shuffles.
+
+    The token arrays are materialized in their OWN projection first:
+    lambda subtrees (transform/filter) defeat Catalyst subexpression
+    elimination, so inlining them would re-tokenize the text once per
+    metric; a separate select computes each array once per row, and
+    CollapseProject keeps the boundary because the expressions are
+    non-cheap and multi-referenced (same pattern as the MinHash
+    two-step in operators/dedup.py)."""
+    pre = df.select(
+        "doc_id", F.col(text_col),
+        _tokens(F.col(text_col)).alias("__toks__"),
+    ).select(
+        "doc_id", F.col(text_col), F.col("__toks__"),
+        F.transform(F.col("__toks__"), F.lower).alias("__low__"),
+    )
+    c = F.col(text_col)
+    toks = F.col("__toks__")
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    lowered = F.col("__low__")
+
+    def _in(words):
+        return lambda x: x.isin(*words)
+
+    # one array pass per language; quality's stopword count REUSES the
+    # scoring language's hit count instead of a fifth pass (also keeps
+    # the codegen unit smaller — compile time is superlinear)
+    hits = {lg: F.size(F.filter(lowered, _in(words)))
+            for lg, words in sorted(STOPWORDS.items())}
+    n_stop = hits[lang]
+    n_punct = n_chars - F.length(F.translate(c, PUNCT_CHARS, ""))
+    n_upper = n_chars - F.length(
+        F.translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))
+    avg_tok_len = F.when(n_tok > 0,
+                         (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0)
+    score = (
+        F.lit(0.35) * F.least(stop_ratio * 3, F.lit(1.0))
+        + F.lit(0.25) * F.when((avg_tok_len >= 3) & (avg_tok_len <= 10), 1.0).otherwise(0.0)
+        + F.lit(0.2) * F.when(punct_ratio < 0.1, 1.0).otherwise(0.0)
+        + F.lit(0.2) * F.when(upper_ratio < 0.3, 1.0).otherwise(0.0)
+    )
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lg in sorted(STOPWORDS, reverse=True):
+        pred = F.when((hits[lg] == best) & (best > 0), lg).otherwise(pred)
+
+    norm = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
+    return pre.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(score, 4).alias("quality_score"),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_hits"),
+        F.size(F.regexp_extract_all(c, F.lit(_TOKEN_REGEX), F.lit(0)))
+        .cast("long").alias("n_subtokens"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text — the canonical exact-dedup key. md5 is identical across

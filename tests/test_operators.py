@@ -261,3 +261,23 @@ def test_sessionize(spark):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[10]) == [1, 2]  # 2-event session + 1 late event
     assert per_user[20] == [1]
+
+
+def test_text_profile_matches_joined_families(spark):
+    # the fused single-projection profile must equal the 4-way join of
+    # the individual family outputs (same metrics, one scan, no joins)
+    from baloo_spark.operators.text import (fingerprints, language_id,
+                                            quality_scores, text_profile,
+                                            token_counts)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = text_profile(docs).toPandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    joined = (quality_scores(docs)
+              .join(language_id(docs), "doc_id")
+              .join(token_counts(docs).select("doc_id", "n_subtokens",
+                                              "n_chars_measured"), "doc_id")
+              .join(fingerprints(docs), "doc_id")) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert sorted(fused.columns) == sorted(joined.columns)
+    for c in fused.columns:
+        assert fused[c].tolist() == joined[c].tolist(), c
