@@ -196,6 +196,29 @@ def stream_stream_join(spark: SparkSession, left_path: str,
                     F.col("l_user").alias("user_id")))
 
 
+def stream_to_parquet(stream_df: DataFrame, out_dir: str,
+                      checkpoint_dir: str, output_mode: str = "append",
+                      available_now: bool = True):
+    """Durable sink face: writeStream to parquet with exactly-once
+    checkpointing — the production counterpart of run_stream_to_memory.
+
+    ``available_now=True`` processes everything present then stops
+    (backfill / test mode); False leaves the query running on the
+    default micro-batch trigger (caller owns the handle). The
+    checkpoint directory carries offsets + sink commit log, so a
+    restarted query resumes exactly-once — at scale point it at
+    durable shared storage, one directory per query."""
+    q = (stream_df.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode(output_mode))
+    if available_now:
+        handle = q.trigger(availableNow=True).start()
+        handle.awaitTermination()
+        return None
+    return q.start()
+
+
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame,
                          name: str = "stream_out",
                          output_mode: str = "append") -> DataFrame:
