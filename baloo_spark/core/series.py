@@ -448,6 +448,63 @@ class Series:
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             [(alias, True)])
 
+    def idxmax(self):
+        """Index label of the maximum (eager scalar, pandas flavor;
+        engine extension). One distributed TakeOrdered(1) — ties break
+        on the smallest index, matching pandas' first-occurrence rule
+        when the index is the insertion order."""
+        return self._idx_of(ascending=False)
+
+    def idxmin(self):
+        return self._idx_of(ascending=True)
+
+    def _idx_of(self, ascending: bool):
+        idx = self._index_cols[0] if self._index_cols else None
+        sdf, alias = self._select()
+        if idx is None or idx not in sdf.columns:
+            # scan-backed / indexless frame: the label is the fresh
+            # dense position (one partition-offset two-pass, no global
+            # window — plans/ordinal.py)
+            from ..plans.ordinal import POS_COL
+            sdf, alias = self._ordered_sdf()
+            idx = POS_COL
+        val = F.col(alias).asc() if ascending else F.col(alias).desc()
+        row = sdf.orderBy(val, F.col(idx).asc()).select(idx).first()
+        return None if row is None else row[0]
+
+    def shift(self, periods: int = 1) -> "Series":
+        """Values moved by ``periods`` along the logical order, NULLs
+        at the edge (pandas flavor; engine extension). Uses an ordered
+        window over the order columns — supply a meaningful sort
+        (sort_values/sort_index) upstream; on an unordered scan this
+        falls back to the dense-ordinal order."""
+        from pyspark.sql import Window
+        sdf = self._sdf
+        order = [F.col(c).asc() if a else F.col(c).desc()
+                 for c, a in (self._order or []) if c in sdf.columns]
+        if not order:
+            from ..plans.ordinal import POS_COL, with_dense_ordinal
+            sdf = with_dense_ordinal(sdf, name=POS_COL)
+            order = [F.col(POS_COL).asc()]
+        from ..plans import warn_single_partition
+        warn_single_partition(
+            "Series.shift's global ordered window",
+            "For grouped shifts at scale use DataFrame.with_lag("
+            "partition_by=...).")
+        w = Window.orderBy(*order)
+        fn = F.lag(self._colexpr, periods) if periods >= 0 \
+            else F.lead(self._colexpr, -periods)
+        return Series._make(sdf.withColumn("__shift__", fn.over(w)),
+                            F.col("__shift__"), self._index_cols,
+                            self.name, self._order)
+
+    def diff(self, periods: int = 1) -> "Series":
+        """self - self.shift(periods) in one window pass."""
+        shifted = self.shift(periods)
+        return shifted._with_col(
+            self._colexpr.cast("double")
+            - F.col("__shift__").cast("double"))
+
     def quantile(self, q) -> "Series":
         """Exact interpolated quantiles (engine extension; matches
         ANSI percentile_cont / DuckDB quantile_cont). For sketched

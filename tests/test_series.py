@@ -152,3 +152,24 @@ def test_column_repr_format_pinned(bl):
     sr = bl.Series(np.array([1.0, 4.0, 9.0]))
     doubled = (sr * 2).apply("{self} + 1").to_pandas().tolist()
     assert doubled == [3.0, 9.0, 19.0]
+
+
+def test_idxmax_idxmin(bl):
+    sr = bl.Series(np.array([3.0, 9.0, 1.0, 9.0]),
+                   index=np.array([10, 20, 30, 40]))
+    assert sr.idxmax() == 20  # first occurrence on ties
+    assert sr.idxmin() == 30
+
+
+def test_shift_diff(bl):
+    import warnings
+    sr = bl.Series(np.array([1.0, 4.0, 9.0, 16.0]))
+    import math
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # expected ScaleWarning
+        out = sr.shift(1).to_pandas().tolist()
+        assert out[1:] == [1.0, 4.0, 9.0]
+        assert out[0] is None or math.isnan(out[0])
+        d = sr.diff(1).to_pandas().tolist()
+        assert d[1:] == [3.0, 5.0, 7.0]
+        assert sr.shift(-1).to_pandas().tolist()[:3] == [4.0, 9.0, 16.0]
