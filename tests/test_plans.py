@@ -127,3 +127,25 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
                                  F.round(jac, 6).alias("j"))
             .where(F.col("j") >= 0.3).collect()}
     assert got == want
+
+
+def test_text_profile_single_scan_no_joins(spark):
+    # the fused text profile must stay ONE scan + projections: no
+    # joins, no shuffles (the whole point of fusing the four families)
+    from baloo_spark.operators.text import text_profile
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(text_profile(docs))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "ReadSchema" in plan
+
+
+def test_ngram_jaccard_never_cartesian(spark):
+    # VERDICT r1 #3: the default must plan an equi-join, not a
+    # cartesian product / broadcast nested loop
+    from baloo_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(ngram_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
