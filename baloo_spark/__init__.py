@@ -14,7 +14,7 @@ from .core.series import Series
 from .core.indexes import Index, MultiIndex, RangeIndex
 from .functions import (acos, asin, atan, cos, cosh, erf, exp, load_cudf,
                         log, raw, sin, sinh, sort, sqrt, tan, tanh)
-from .io import read_csv, read_json, read_parquet
+from .io import read_csv, read_json, read_orc, read_parquet
 from .session import get_session
 
 __version__ = "0.1.0"
@@ -33,7 +33,7 @@ def concat(frames: list) -> "DataFrame":
 
 __all__ = [
     "DataFrame", "Series", "Index", "MultiIndex", "RangeIndex",
-    "read_csv", "read_parquet", "read_json", "get_session",
+    "read_csv", "read_parquet", "read_json", "read_orc", "get_session",
     "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "erf", "raw", "sort", "load_cudf", "concat",
 ]

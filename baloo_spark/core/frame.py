@@ -911,6 +911,27 @@ class DataFrame:
                                 else partition_by))
         w.parquet(filepath)
 
+    def to_json(self, filepath: str, mode: str = "overwrite"):
+        """JSON-lines sink (distributed; one file per partition)."""
+        self.to_spark(include_index=True).write.mode(mode).json(filepath)
+
+    def to_orc(self, filepath: str, mode: str = "overwrite"):
+        self.to_spark(include_index=True).write.mode(mode).orc(filepath)
+
+    def grouping_sets(self, sets: list, aggregations: dict) -> "DataFrame":
+        """Explicit GROUPING SETS aggregation (generalizes rollup/
+        cube): ONE shuffle computes every grouping combination, with
+        NULL in the non-grouped keys of each set. ``sets`` is a list
+        of column-name lists, e.g. ``[["a","b"], ["a"], []]``."""
+        all_keys = list(dict.fromkeys(c for s in sets for c in s))
+        grouped = self._sdf.groupingSets(
+            [[F.col(c) for c in s] for s in sets],
+            *[F.col(c) for c in all_keys])
+        out = grouped.agg(*self._multi_agg_exprs(aggregations))
+        return DataFrame._make(out, all_keys,
+                               [c for c in out.columns if c not in all_keys],
+                               None)
+
     # ------------------------------------------------------------ evaluate
 
     def evaluate(self) -> "DataFrame":

@@ -70,3 +70,13 @@ def read_parquet(filepath: str, columns: list | None = None) -> DataFrame:
 def read_json(filepath: str) -> DataFrame:
     spark = get_session()
     return DataFrame.from_spark(spark.read.json(filepath))
+
+
+def read_orc(filepath: str, columns: list | None = None) -> DataFrame:
+    """ORC source (extension; same pushdown/pruning properties as
+    parquet — column selection reaches the scan's ReadSchema)."""
+    spark = get_session()
+    sdf = spark.read.orc(filepath)
+    if columns:
+        sdf = sdf.select(*columns)
+    return DataFrame.from_spark(sdf)

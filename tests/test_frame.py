@@ -212,3 +212,28 @@ def test_evaluate_idempotent(df_small):
     out = df_small[(df_small["a"] > 1)].evaluate()
     assert len(out) == 4
     assert len(out.evaluate()) == 4
+
+
+def test_grouping_sets(bl, df_dupl):
+    out = df_dupl.grouping_sets([["a", "b"], ["a"], []],
+                                {"c": ["sum"]}).to_pandas().reset_index()
+    # each grouping combination present: (a,b) rows, (a) rollup rows
+    # with b NULL, and one grand-total row
+    grand = out[out["a"].isna() & out["b"].isna()]
+    assert len(grand) == 1
+    per_a = out[out["a"].notna() & out["b"].isna()]
+    assert set(per_a["a"]) == {0.0, 1.0, 2.0, 3.0}
+    total = df_dupl["c"].sum()
+    assert grand["c_sum"].iloc[0] == total
+    assert per_a["c_sum"].sum() == total
+
+
+def test_io_round_trips(bl, tmp_path):
+    import numpy as np
+    df = bl.DataFrame({"a": np.arange(5), "b": np.arange(5) * 1.5})
+    df.to_json(str(tmp_path / "j"))
+    back_j = bl.read_json(str(tmp_path / "j"))
+    assert sorted(back_j.to_pandas()["a"].tolist()) == [0, 1, 2, 3, 4]
+    df.to_orc(str(tmp_path / "o"))
+    back_o = bl.read_orc(str(tmp_path / "o"), columns=["a", "b"])
+    assert sorted(back_o.to_pandas()["b"].tolist()) == [0.0, 1.5, 3.0, 4.5, 6.0]
