@@ -133,3 +133,46 @@ def test_cross_frame_mask_matches_pandas(bl, v, m):
     assert got == want
     got_sr = sorted(df["v"][mask].to_pandas().tolist())
     assert got_sr == want
+
+
+@given(v=vals)
+@settings(**SETTINGS)
+def test_shift_diff_match_pandas(bl, v):
+    import warnings
+    ps = pd.Series(np.array(v, dtype=np.float64))
+    sr = bl.Series(ps.to_numpy())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # expected ScaleWarning
+        got_shift = sr.shift(1).to_pandas()
+        got_diff = sr.diff(1).to_pandas()
+    pd.testing.assert_series_equal(
+        got_shift.reset_index(drop=True), ps.shift(1),
+        check_names=False)
+    pd.testing.assert_series_equal(
+        got_diff.reset_index(drop=True), ps.diff(1),
+        check_names=False)
+
+
+@given(v=vals)
+@settings(**SETTINGS)
+def test_idxmax_idxmin_match_pandas(bl, v):
+    ps = pd.Series(np.array(v, dtype=np.float64))
+    sr = bl.Series(ps.to_numpy())
+    assert sr.idxmax() == ps.idxmax()
+    assert sr.idxmin() == ps.idxmin()
+
+
+@given(k=keys, v=vals)
+@settings(**SETTINGS)
+def test_merge_two_keys_matches_pandas(bl, k, v):
+    # 2-key merge: result indexed by both keys (MultiIndex face)
+    df, pdf = _frame(bl, k, v)
+    other_p = pdf.drop_duplicates(["k", "v"]).assign(w=1.0)
+    other = bl.DataFrame({"k": other_p["k"].to_numpy(),
+                          "v": other_p["v"].to_numpy(),
+                          "w": other_p["w"].to_numpy()})
+    got = df.merge(other, on=["k", "v"]).to_pandas().reset_index()
+    want = pdf.merge(other_p, on=["k", "v"])
+    assert len(got) == len(want)
+    assert sorted(got["w"].tolist()) == sorted(want["w"].tolist())
+    assert sorted(zip(got["k"], got["v"])) == sorted(zip(want["k"], want["v"]))
