@@ -281,3 +281,22 @@ def test_text_profile_matches_joined_families(spark):
     assert sorted(fused.columns) == sorted(joined.columns)
     for c in fused.columns:
         assert fused[c].tolist() == joined[c].tolist(), c
+
+
+def test_blas_topk_matches_jvm_topk(spark):
+    # the BLAS (mapInPandas gemm) brute-force path must return the
+    # same neighbors as the JVM-expression path, same contract
+    import numpy as np
+    from baloo_spark.operators.similarity import (brute_force_topk,
+                                                  brute_force_topk_blas)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    c = emb.filter("vec_id >= 5")
+    jvm = brute_force_topk(q, c, k=5).collect()
+    blas = brute_force_topk_blas(q, c, k=5).collect()
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in jvm}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in blas}
+    assert a.keys() == b.keys()
+    for key in a:
+        assert a[key][0] == b[key][0], (key, a[key], b[key])
+        assert abs(a[key][1] - b[key][1]) <= 2e-6
