@@ -99,23 +99,79 @@ def extract_features(media: DataFrame, batch_target: int = 1024) -> DataFrame:
     return narrow.mapInPandas(_extract, out_schema)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """=== STUB: requires an image library (PIL/opencv) ===
+def _resize_kernel_stub(payload: bytes, width: int, height: int) -> bytes:
+    """=== STUB: image resize kernel goes here ===
 
-    The Spark plumbing (schema, mapInPandas shape) matches
-    extract_features; only the kernel is unavailable here.
+    Real implementation: ``PIL.Image.open(io.BytesIO(payload))
+    .resize((width, height)).tobytes()`` — no image library in this
+    container. The fake emits exactly width*height*3 deterministic
+    bytes derived from the payload hash, so the row-shape contract
+    (RGB byte count) and downstream schema are exercised for real.
     """
-    raise NotImplementedError(
-        "resize requires an image codec library not present in this "
-        "container; plug the kernel into a mapInPandas like "
-        "extract_features")
+    h = hashlib.sha256(payload).digest()
+    need = width * height * 3
+    return (h * (need // len(h) + 1))[:need]
 
 
-def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """=== STUB: requires a video demuxer (ffmpeg) ==="""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg; plug into mapInPandas like "
-        "extract_features")
+def resize_images(media: DataFrame, width: int, height: int,
+                  batch_target: int = 256) -> DataFrame:
+    """Resize every image payload to (width, height) via mapInPandas.
+
+    Output keeps the media table shape: (media_id, payload, meta) with
+    meta.width/height rewritten and n_bytes recomputed — a resized
+    media table composes with every other operator here. Only the
+    kernel (``_resize_kernel_stub``) is fake; batching, schema, and
+    the wide-row repartition are the production plumbing.
+    """
+    def _resize(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = [_resize_kernel_stub(p, width, height)
+                   for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": out,
+                "format": pdf["format"],
+                "width": width, "height": height,
+                "n_bytes": [len(b) for b in out],
+            })
+
+    flat_schema = ("media_id long, payload binary, format string, "
+                   "width int, height int, n_bytes long")
+    narrow = media.select("media_id", "payload", F.col("meta.format")
+                          .alias("format"))
+    flat = narrow.mapInPandas(_resize, flat_schema)
+    return flat.select(
+        "media_id", "payload",
+        F.struct("format", "width", "height", "n_bytes").alias("meta"))
+
+
+def sample_frames(media: DataFrame, every_n: int = 10,
+                  frame_bytes: int = 256) -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads.
+
+    Output: (media_id, frame_idx, frame binary) — a 1-to-N mapInPandas
+    (each input row yields multiple frame rows), which is the batch
+    shape a real demuxer needs. === STUB: the demux kernel fakes
+    frames as fixed-size payload slices; real impl feeds ffmpeg the
+    payload and yields decoded frames — everything else stays. ===
+    """
+    def _sample(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(len(p) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(bytes(p[fi * frame_bytes:
+                                          (fi + 1) * frame_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return media.select("media_id", "payload").mapInPandas(
+        _sample, "media_id long, frame_idx int, frame binary")
 
 
 def media_stats(media: DataFrame) -> DataFrame:

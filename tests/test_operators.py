@@ -216,10 +216,10 @@ def test_media_stats_prunes_payload(docs):
     assert "payload" not in plan.split("ReadSchema")[-1][:400]
 
 
-def test_resize_is_stubbed(docs):
-    from baloo_spark.operators.multimodal import resize_images, to_media_table
+def test_decode_null_payload_raises():
+    from baloo_spark.operators.multimodal import _decode_stub
     with pytest.raises(NotImplementedError):
-        resize_images(to_media_table(docs), 64, 64)
+        _decode_stub(None)
 
 
 # --------------------------------------------------------------- streaming
@@ -300,3 +300,36 @@ def test_blas_topk_matches_jvm_topk(spark):
     for key in a:
         assert a[key][0] == b[key][0], (key, a[key], b[key])
         assert abs(a[key][1] - b[key][1]) <= 2e-6
+
+
+def test_resize_images_contract(spark, docs):
+    from baloo_spark.operators.multimodal import resize_images, to_media_table
+    media = to_media_table(docs.limit(20))
+    out = resize_images(media, 8, 8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["payload"]) == 8 * 8 * 3  # RGB byte contract
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+        assert r["meta"]["n_bytes"] == 192
+    # deterministic kernel: same input -> same bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in
+             resize_images(media, 8, 8).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
+    # composes: resized table still answers metadata stats
+    from baloo_spark.operators.multimodal import media_stats
+    st = media_stats(out).collect()
+    assert st[0]["avg_width"] == 8.0
+
+
+def test_sample_frames_one_to_many(spark, docs):
+    from baloo_spark.operators.multimodal import sample_frames, to_media_table
+    media = to_media_table(docs.limit(10))
+    out = sample_frames(media, every_n=2, frame_bytes=64).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert len(per) == 10  # every media yields >= 1 frame row
+    for idxs in per.values():
+        assert idxs == sorted(idxs)
+        assert all(i % 2 == 0 for i in idxs)
