@@ -686,7 +686,8 @@ class DataFrame:
     def merge(self, other: "DataFrame", how: str = "inner", on=None,
               suffixes=("_x", "_y"), algorithm: str = "merge",
               is_on_sorted: bool = False, is_on_unique: bool = True,
-              broadcast_other: bool = False) -> "DataFrame":
+              broadcast_other: bool = False, left_on=None,
+              right_on=None) -> "DataFrame":
         """DB-style equi-join (frame.py:798-925).
 
         The reference implements ONLY a single-threaded sort-merge join
@@ -698,11 +699,25 @@ class DataFrame:
         broadcast hint on ``other``.
 
         Extensions beyond the reference: ``how='semi'`` (keep left
-        rows with a match, no right columns) and ``how='anti'`` (keep
-        left rows without a match) — SURVEY.md §2.3.
+        rows with a match, no right columns), ``how='anti'`` (keep
+        left rows without a match) — SURVEY.md §2.3 — and pandas-style
+        ``left_on``/``right_on`` for differently-named keys (the right
+        keys are renamed onto the left names before the equi-join, so
+        the result is keyed by the left names).
         """
         if how not in ("inner", "left", "right", "outer", "semi", "anti"):
             raise ValueError(f"unsupported how: {how}")
+        if left_on is not None or right_on is not None:
+            if on is not None or left_on is None or right_on is None:
+                raise ValueError(
+                    "pass either on= or BOTH left_on= and right_on=")
+            left_on = [left_on] if isinstance(left_on, str) else list(left_on)
+            right_on = [right_on] if isinstance(right_on, str) \
+                else list(right_on)
+            if len(left_on) != len(right_on):
+                raise ValueError("left_on and right_on lengths differ")
+            other = other.rename(dict(zip(right_on, left_on)))
+            on = left_on
         if on is None:
             on = [c for c in self._data_cols if c in other._data_cols]
             if not on:
@@ -917,6 +932,19 @@ class DataFrame:
 
     def to_orc(self, filepath: str, mode: str = "overwrite"):
         self.to_spark(include_index=True).write.mode(mode).orc(filepath)
+
+    def melt(self, id_vars, value_vars=None, var_name: str = "variable",
+             value_name: str = "value") -> "DataFrame":
+        """Wide-to-long reshape (pandas melt; the inverse of ``pivot``)
+        via Spark's native unpivot — a narrow map, no shuffle."""
+        id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        value_vars = ([value_vars] if isinstance(value_vars, str)
+                      else list(value_vars or
+                                [c for c in self._data_cols
+                                 if c not in id_vars]))
+        self._check_cols(id_vars + value_vars)
+        out = self._sdf.unpivot(id_vars, value_vars, var_name, value_name)
+        return DataFrame._make(out, [], out.columns, None)
 
     def grouping_sets(self, sets: list, aggregations: dict) -> "DataFrame":
         """Explicit GROUPING SETS aggregation (generalizes rollup/

@@ -237,3 +237,28 @@ def test_io_round_trips(bl, tmp_path):
     df.to_orc(str(tmp_path / "o"))
     back_o = bl.read_orc(str(tmp_path / "o"), columns=["a", "b"])
     assert sorted(back_o.to_pandas()["b"].tolist()) == [0.0, 1.5, 3.0, 4.5, 6.0]
+
+
+def test_merge_left_on_right_on(bl):
+    import numpy as np
+    l = bl.DataFrame({"lk": np.array([1, 2, 3]), "v": np.array([10., 20., 30.])})
+    r = bl.DataFrame({"rk": np.array([2, 3, 4]), "w": np.array([200., 300., 400.])})
+    out = l.merge(r, left_on="lk", right_on="rk").to_pandas().reset_index()
+    assert sorted(out["lk"].tolist()) == [2, 3]
+    assert sorted(out["w"].tolist()) == [200.0, 300.0]
+    with pytest.raises(ValueError):
+        l.merge(r, on="lk", left_on="lk", right_on="rk")
+    with pytest.raises(ValueError):
+        l.merge(r, left_on="lk")
+
+
+def test_melt_inverse_of_pivot(bl):
+    import numpy as np
+    df = bl.DataFrame({"k": np.array([1, 2]),
+                       "a": np.array([10., 30.]),
+                       "b": np.array([20., 40.])})
+    out = df.melt("k").to_pandas().sort_values(["k", "variable"])
+    assert out["variable"].tolist() == ["a", "b", "a", "b"]
+    assert out["value"].tolist() == [10.0, 20.0, 30.0, 40.0]
+    only_a = df.melt("k", value_vars="a").to_pandas()
+    assert set(only_a["variable"]) == {"a"}
