@@ -350,3 +350,57 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
     cos = cosine_expr("va", "vb")
     return (joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (node, cluster) where cluster = the MIN doc id in the node's
+    component. Transitive closure — (1,2) and (2,3) put 1,2,3 in one
+    cluster even though (1,3) was never emitted as a pair.
+
+    Min-label propagation: each round every node takes the smallest
+    label among itself and its neighbors; a component's diameter
+    bounds the rounds, and near-dup components are shallow (stars/
+    short chains), so convergence is a handful of equi-join rounds.
+    Each iteration localCheckpoints the labels — iterative Spark jobs
+    otherwise stack lineage until planning dominates. The convergence
+    probe is one count per round (driver scalar, standard loop shape).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iters):
+        neigh = (edges
+                 .join(labels.select(F.col("node").alias("dst"),
+                                     F.col("label").alias("dlabel")), "dst")
+                 .groupBy("src").agg(F.min("dlabel").alias("nlabel")))
+        new_labels = (labels
+                      .join(neigh.withColumnRenamed("src", "node"),
+                            "node", "left")
+                      .select("node",
+                              F.least(F.col("label"),
+                                      F.coalesce("nlabel", "label"))
+                              .alias("label"))).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") < F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE representative (the min id) per near-duplicate
+    cluster: the end-to-end dedup a training-data pipeline actually
+    applies. Non-paired documents pass through untouched (they are
+    not in the graph at all), so the anti-join is against the LOSER
+    set only — small, broadcastable."""
+    losers = dedup_clusters(pairs).where(F.col("node") != F.col("cluster")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(F.broadcast(losers), id_col, "left_anti")

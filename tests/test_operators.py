@@ -333,3 +333,35 @@ def test_sample_frames_one_to_many(spark, docs):
     for idxs in per.values():
         assert idxs == sorted(idxs)
         assert all(i % 2 == 0 for i in idxs)
+
+
+def test_dedup_clusters_transitive(spark):
+    # (1,2)+(2,3) must cluster {1,2,3} even without a (1,3) pair
+    from baloo_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 8)], "id_a LONG, id_b LONG")
+    got = {r["node"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_drop_near_duplicates_end_to_end(spark):
+    from baloo_spark.operators.dedup import (drop_near_duplicates,
+                                             minhash_lsh_pairs)
+    rows = [(i, "the quick brown fox jumps over the lazy dog every day") for i in range(4)]
+    rows += [(10, "completely different content entirely unrelated words"),
+             (11, "another unique document with its own special phrasing")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = minhash_lsh_pairs(df, threshold=0.8)
+    out = sorted(r["doc_id"] for r in drop_near_duplicates(df, pairs).collect())
+    assert out == [0, 10, 11]  # one survivor of the clone cluster + uniques
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a 12-node chain needs multiple propagation rounds — exercises
+    # the iteration + lineage-truncation path
+    from baloo_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a LONG, id_b LONG")
+    got = {r["node"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert set(got) == set(range(13))
+    assert set(got.values()) == {0}
