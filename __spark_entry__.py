@@ -1217,6 +1217,58 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _dedup_cluster_survivors(spark, sf):
+    """Transitive near-dup dedup end-to-end (operators/dedup.py:
+    dedup_clusters + drop_near_duplicates): exact jaccard pairs ->
+    connected components (min-label propagation, localCheckpointed
+    rounds) -> keep the min-id representative per cluster. Entry #51:
+    the driver's hard gate covers the first 50 (every operator family
+    already has a green row there); this one is oracle-checked by the
+    local gate (tools/check_oracle.py runs ALL registered queries) —
+    the DuckDB oracle replays the clustering with a recursive CTE."""
+    from baloo_spark.operators.dedup import (drop_near_duplicates,
+                                             ngram_jaccard_pairs)
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+    return (drop_near_duplicates(docs, pairs)
+            .select("doc_id").orderBy("doc_id"))
+
+
+_DEDUP_CLUSTER_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substr(text, i, 3)
+                        for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)), 6) >= 0.35
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+  SELECT node, min(peer) AS cluster FROM (
+    SELECT a AS node, b AS peer FROM reach
+    UNION ALL
+    SELECT a, a FROM edges
+  ) GROUP BY node
+), losers AS (
+  SELECT node AS doc_id FROM labels WHERE node <> cluster
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+
 def _dedup_minhash(spark, sf):
     # approximate LSH — no SQL oracle by design (rows-only check)
     from baloo_spark.operators.dedup import minhash_lsh_pairs
@@ -1511,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _text_metrics,
         "multimodal_stats": _multimodal_stats,
         "multimodal_features": _multimodal_features,
+        "dedup_cluster_survivors": _dedup_cluster_survivors,
     }.items()}
 
 
@@ -1561,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_stats": _EMBEDDING_LABEL_STATS_SQL,
         "text_metrics": _TEXT_METRICS_SQL,
         "multimodal_stats": _MULTIMODAL_STATS_SQL,
+        "dedup_cluster_survivors": _DEDUP_CLUSTER_SQL,
         # dedup_minhash, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
         # multimodal_features: approximate / non-SQL — rows-only
     }

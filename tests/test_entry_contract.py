@@ -56,6 +56,13 @@ def test_sample_queries_execute(spark, entry, name):
 
 def test_all_queries_inside_driver_window(entry):
     # the driver's correctness gate records only the FIRST 50 entries
-    # of queries(); keep the dict at exactly 50 so every operator
-    # family has a hard correctness signal each round
-    assert len(entry.queries()) == 50
+    # of queries(): those 50 must stay the one-row-per-operator-family
+    # set so every family keeps a hard correctness signal each round.
+    # Entries past the window are deliberate extensions checked by the
+    # LOCAL oracle gate (tools/check_oracle.py runs all of them) and
+    # must name themselves here.
+    keys = list(entry.queries())
+    assert len(keys) >= 50
+    assert keys[49] == "multimodal_features"  # window boundary pinned
+    extras = set(keys[50:])
+    assert extras == {"dedup_cluster_survivors"}, extras
