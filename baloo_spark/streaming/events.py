@@ -104,6 +104,35 @@ def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def sessionize_stream(spark: SparkSession, path: str,
+                      gap_sec: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming face of :func:`sessionize_batch` via the native
+    ``session_window`` (merging session state per user, bounded by the
+    watermark — closed sessions emit and their state is dropped).
+
+    Boundary semantics: ``session_window`` starts a NEW session when
+    the inter-event gap is >= gap_sec (window end is exclusive), while
+    the batch face splits only when the gap is > gap_sec — events at
+    EXACTLY the gap differ. Real (microsecond) event-time data never
+    sits on that boundary; the batch-equivalence test keeps gaps away
+    from it.
+    """
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+              .withWatermark("ts", watermark))
+    return (stream
+            .groupBy("user_id",
+                     F.session_window("ts", f"{gap_sec} seconds"))
+            .agg(F.unix_timestamp(F.min("ts")).cast("long")
+                 .alias("session_start"),
+                 F.unix_timestamp(F.max("ts")).cast("long")
+                 .alias("session_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id", "session_start", "session_end",
+                    "n_events", "sum_value"))
+
+
 def streaming_dedup(spark: SparkSession, path: str,
                     keys: list | None = None,
                     watermark: str = "2 hours") -> DataFrame:

@@ -365,3 +365,24 @@ def test_dedup_clusters_long_chain(spark):
     got = {r["node"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
     assert set(got) == set(range(13))
     assert set(got.values()) == {0}
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    # native session_window streaming face == lag+cumsum batch face
+    # (complete output mode so open sessions emit too)
+    from baloo_spark.streaming.events import (load_events, run_stream_to_memory,
+                                              sessionize_batch,
+                                              sessionize_stream)
+    ev = load_events(spark, "/root/testdata/sf0.001").limit(2000)
+    path = str(tmp_path / "sess_src")
+    ev.write.parquet(path)
+    batch = {(r["user_id"], r["session_start"]):
+             (r["session_end"], r["n_events"], r["sum_value"])
+             for r in sessionize_batch(ev, gap_sec=1800).collect()}
+    stream = sessionize_stream(spark, path, gap_sec=1800)
+    got = run_stream_to_memory(spark, stream, "t_sess",
+                               output_mode="complete")
+    out = {(r["user_id"], r["session_start"]):
+           (r["session_end"], r["n_events"], r["sum_value"])
+           for r in got.collect()}
+    assert out == batch
