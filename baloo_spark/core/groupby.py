@@ -74,6 +74,32 @@ class DataFrameGroupBy:
         out = self._df._sdf.groupBy(*self._by).applyInPandas(func, schema)
         return DataFrame.from_spark(out)
 
+    def transform(self, agg: str, cols=None) -> "DataFrame":
+        """Group statistic broadcast back onto EVERY row (pandas
+        ``groupby().transform``): each selected column gains a
+        ``{col}_{agg}`` sibling holding its group's aggregate.
+        Declarative window over the group keys — no Python, and no
+        second join back to the rows (the window's partial aggregation
+        reuses the shuffle that groups the rows)."""
+        from pyspark.sql import Window
+
+        from .frame import DataFrame
+        cols = ([cols] if isinstance(cols, str)
+                else list(cols or self._value_cols()))
+        w = Window.partitionBy(*self._by)
+        sdf = self._df._sdf
+        added = []
+        for c in cols:
+            src = F.col(c).cast("double") if agg != "count" else F.col(c)
+            out_t = "long" if agg == "count" else "double"
+            name = f"{c}_{agg}"
+            sdf = sdf.withColumn(name,
+                                 _AGG_FNS[agg](src).over(w).cast(out_t))
+            added.append(name)
+        return DataFrame._make(sdf, self._df._index_cols,
+                               self._df._data_cols + added,
+                               self._df._order)
+
     def agg(self, aggregations) -> "DataFrame":
         """Multi-agg: one shuffle for all (col, agg) pairs."""
         if isinstance(aggregations, dict):

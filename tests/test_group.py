@@ -96,3 +96,16 @@ def test_single_partition_scale_warnings(bl, spark):
         "ts", __import__("pyspark").sql.functions.current_timestamp())
     with _pytest.warns(ScaleWarning):
         asof_join(sdf, sdf, on="ts")
+
+
+def test_groupby_transform_matches_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b", "b"],
+                        "v": [1.0, 3.0, 10.0, 20.0, 30.0]})
+    df = bl.DataFrame({"g": pdf["g"].to_numpy(), "v": pdf["v"].to_numpy()})
+    out = df.groupby("g").transform("mean").to_pandas()
+    want = pdf.assign(v_mean=pdf.groupby("g")["v"].transform("mean"))
+    assert out["v_mean"].tolist() == want["v_mean"].tolist()
+    # row count unchanged, original columns intact
+    assert out["v"].tolist() == pdf["v"].tolist()
