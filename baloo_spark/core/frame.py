@@ -497,9 +497,63 @@ class DataFrame:
             return self._replace_sdf(self._sdf.fillna(value))
         return self._replace_sdf(self._sdf.fillna(value, subset=self._data_cols))
 
-    def dropna(self, subset=None) -> "DataFrame":
+    def dropna(self, subset=None, how: str = "any",
+               thresh: int | None = None) -> "DataFrame":
+        """Drop rows with nulls (pandas flavor): ``how='any'`` drops a
+        row with ANY null in ``subset``, ``'all'`` only when every
+        subset column is null; ``thresh`` keeps rows with at least
+        that many non-nulls (overrides ``how``)."""
         subset = list(subset) if subset is not None else list(self._data_cols)
-        return self._replace_sdf(self._sdf.dropna(subset=subset))
+        if thresh is not None:
+            return self._replace_sdf(
+                self._sdf.dropna(thresh=thresh, subset=subset))
+        if how not in ("any", "all"):
+            raise ValueError(f"how must be 'any' or 'all', got {how!r}")
+        return self._replace_sdf(self._sdf.dropna(how=how, subset=subset))
+
+    def ffill(self, subset=None, partition_by=None) -> "DataFrame":
+        """Forward-fill nulls along the logical order (pandas ffill).
+        ``partition_by`` keeps the fill per group AND the window
+        partitioned — without it the carry-forward is one serial pass
+        (ScaleWarning), same trade as an unkeyed as-of join."""
+        return self._directional_fill(subset, partition_by, forward=True)
+
+    def bfill(self, subset=None, partition_by=None) -> "DataFrame":
+        return self._directional_fill(subset, partition_by, forward=False)
+
+    def _directional_fill(self, subset, partition_by, forward: bool):
+        from pyspark.sql import Window
+
+        from ..plans.ordinal import POS_COL, with_dense_ordinal
+        subset = list(subset) if subset is not None else list(self._data_cols)
+        partition_by = ([partition_by] if isinstance(partition_by, str)
+                        else list(partition_by or []))
+        if not partition_by:
+            from ..plans import warn_single_partition
+            warn_single_partition(
+                "ffill/bfill without partition_by",
+                "Supply group keys so each group's carry-forward stays "
+                "partition-local.")
+        sdf = self._sdf
+        order = [F.col(c).asc() if a else F.col(c).desc()
+                 for c, a in (self._order or []) if c in sdf.columns]
+        added_pos = False
+        if not order:
+            sdf = with_dense_ordinal(sdf, name=POS_COL)
+            order = [F.col(POS_COL).asc()]
+            added_pos = True
+        w = (Window.partitionBy(*partition_by) if partition_by
+             else Window.partitionBy(F.lit(1)))
+        if forward:
+            w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        else:
+            w = w.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+        fn = F.last if forward else F.first
+        for c in subset:
+            sdf = sdf.withColumn(c, fn(c, ignorenulls=True).over(w))
+        if added_pos:
+            sdf = sdf.drop(POS_COL)
+        return self._replace_sdf(sdf)
 
     # -------------------------------------------------------- aggregations
 

@@ -262,3 +262,46 @@ def test_melt_inverse_of_pivot(bl):
     assert out["value"].tolist() == [10.0, 20.0, 30.0, 40.0]
     only_a = df.melt("k", value_vars="a").to_pandas()
     assert set(only_a["variable"]) == {"a"}
+
+
+def test_dropna_how_thresh(bl):
+    import numpy as np
+    df = bl.DataFrame({"a": np.array([1.0, np.nan, np.nan]),
+                       "b": np.array([np.nan, np.nan, 3.0])})
+    assert len(df.dropna(how="any").to_pandas()) == 0
+    assert len(df.dropna(how="all").to_pandas()) == 2
+    assert len(df.dropna(thresh=1).to_pandas()) == 2
+    with pytest.raises(ValueError):
+        df.dropna(how="bogus")
+
+
+def test_ffill_bfill_match_pandas(bl):
+    import warnings
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"v": [np.nan, 1.0, np.nan, np.nan, 5.0, np.nan]})
+    df = bl.DataFrame({"v": pdf["v"].to_numpy()})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # expected ScaleWarning
+        f = df.ffill().to_pandas()["v"]
+        b = df.bfill().to_pandas()["v"]
+    pd.testing.assert_series_equal(f.reset_index(drop=True), pdf["v"].ffill(),
+                                   check_names=False)
+    pd.testing.assert_series_equal(b.reset_index(drop=True), pdf["v"].bfill(),
+                                   check_names=False)
+
+
+def test_ffill_grouped(bl):
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"g": ["x", "x", "y", "y"],
+                        "v": [1.0, np.nan, np.nan, 4.0]})
+    df = bl.DataFrame({"g": pdf["g"].to_numpy(), "v": pdf["v"].to_numpy()})
+    got = df.ffill(subset=["v"], partition_by="g").to_pandas() \
+        .sort_index()["v"]
+    want = pdf.groupby("g")["v"].ffill()
+    # x's NaN fills from x's 1.0; y's leading NaN must STAY NaN
+    # (no cross-group leakage)
+    pd.testing.assert_series_equal(got.reset_index(drop=True),
+                                   want.reset_index(drop=True),
+                                   check_names=False)
