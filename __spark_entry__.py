@@ -1193,19 +1193,29 @@ FROM documents GROUP BY 1
 
 
 def _dedup_jaccard(spark, sf):
-    # FULL table, no pre-filter: prefix filtering (dedup.py) keeps the
-    # join equi — exact same result set as the oracle's all-pairs scan
+    # FULL table, no pre-filter: prefix filtering + length filter
+    # (dedup.py) keep the join equi — exact same result set as the
+    # oracle's all-pairs scan. WORD trigrams, not char: char trigrams
+    # are a tiny low-selectivity token universe, so their "rare"
+    # prefix tokens still collide across most documents and the
+    # candidate set explodes (9.2M candidate pairs at sf0.1); word
+    # trigrams are near-unique, so candidates ~= true near-dups
+    # (the similarity-join literature tokenizes documents by words)
     from baloo_spark.operators.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, shingle="word")
 
 
 _DEDUP_JACCARD_SQL = """
-WITH sh AS (
+WITH tk AS (
   SELECT doc_id,
-         list_distinct([substr(text, i, 3)
-                        for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
   FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+  FROM tk
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -1213,7 +1223,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a, sh b
 WHERE a.doc_id < b.doc_id
   AND round(len(list_intersect(a.s, b.s))::DOUBLE
-            / len(list_distinct(a.s || b.s)), 6) >= 0.35
+            / len(list_distinct(a.s || b.s)), 6) >= 0.5
 """
 
 
@@ -1229,23 +1239,28 @@ def _dedup_cluster_survivors(spark, sf):
     from baloo_spark.operators.dedup import (drop_near_duplicates,
                                              ngram_jaccard_pairs)
     docs = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.35)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                shingle="word")
     return (drop_near_duplicates(docs, pairs)
             .select("doc_id").orderBy("doc_id"))
 
 
 _DEDUP_CLUSTER_SQL = """
-WITH RECURSIVE sh AS (
+WITH RECURSIVE tk AS (
   SELECT doc_id,
-         list_distinct([substr(text, i, 3)
-                        for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
   FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+  FROM tk
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a, sh b
   WHERE a.doc_id < b.doc_id
     AND round(len(list_intersect(a.s, b.s))::DOUBLE
-              / len(list_distinct(a.s || b.s)), 6) >= 0.35
+              / len(list_distinct(a.s || b.s)), 6) >= 0.5
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION

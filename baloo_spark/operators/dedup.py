@@ -238,11 +238,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ranked = ranked.withColumn("__pos__", F.row_number().over(w))
     # prefix length: |s| - ceil(t*|s|) + 1 (PPJoin Lemma 1)
     plen = (F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1)
-    pref = ranked.where(F.col("__pos__") <= plen).select(id_col, "__tok__")
-    cand = (pref.select(F.col(id_col).alias("id_a"), "__tok__")
-            .join(pref.select(F.col(id_col).alias("id_b"), "__tok__"),
+    pref = ranked.where(F.col("__pos__") <= plen) \
+        .select(id_col, "__tok__", F.size("sh").alias("__len__"))
+    # length filter (Lemma: jaccard >= t forces t*|a| <= |b| <= |a|/t)
+    # prunes candidates BEFORE the distinct+verify joins
+    cand = (pref.select(F.col(id_col).alias("id_a"), "__tok__",
+                        F.col("__len__").alias("__la__"))
+            .join(pref.select(F.col(id_col).alias("id_b"), "__tok__",
+                              F.col("__len__").alias("__lb__")),
                   "__tok__")
-            .where(F.col("id_a") < F.col("id_b"))
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.col("__la__") * threshold <= F.col("__lb__"))
+                   & (F.col("__lb__") * threshold <= F.col("__la__")))
             .select("id_a", "id_b").distinct())
     out = (cand
            .join(sh.select(F.col(id_col).alias("id_a"),
