@@ -229,7 +229,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .where(F.col("jaccard") >= threshold))
 
     # ---- prefix-filtering path (exact, equi-join only) ----
-    tok = sh.select(F.col(id_col), F.col("sh"),
+    # carry only (id, len, token) through the freq join and rank
+    # window: dragging the full shingle ARRAY through explode would
+    # replicate it onto every token row (~50x wider shuffles — this
+    # narrowing alone took the sf0.1 pipeline from 13.6s to ~5s)
+    tok = sh.select(F.col(id_col), F.size("sh").alias("__len__"),
                     F.explode("sh").alias("__tok__"))
     freq = tok.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__tf__"))
     ranked = tok.join(freq, "__tok__")
@@ -237,19 +241,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                            F.col("__tok__").asc())
     ranked = ranked.withColumn("__pos__", F.row_number().over(w))
     # prefix length: |s| - ceil(t*|s|) + 1 (PPJoin Lemma 1)
-    plen = (F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1)
+    plen = (F.col("__len__")
+            - F.ceil(F.lit(threshold) * F.col("__len__")) + 1)
     pref = ranked.where(F.col("__pos__") <= plen) \
-        .select(id_col, "__tok__", F.size("sh").alias("__len__"))
-    # length filter (Lemma: jaccard >= t forces t*|a| <= |b| <= |a|/t)
-    # prunes candidates BEFORE the distinct+verify joins
+        .select(id_col, "__tok__", "__len__", "__pos__")
+    # candidate pruning BEFORE the distinct+verify joins:
+    # - length filter: jaccard >= t forces t*|a| <= |b| <= |a|/t
+    # - positional filter (PPJoin Lemma 2): a shared token at
+    #   positions (pa, pb) caps the overlap at 1 + min(la-pa, lb-pb),
+    #   which must reach ceil(t/(1+t) * (la+lb)); a truly-similar
+    #   pair's first common prefix token always passes, so keeping a
+    #   pair when ANY shared token passes never drops a true pair
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("__la__") + F.col("__lb__")))
+    overlap_ub = 1 + F.least(F.col("__la__") - F.col("__pa__"),
+                             F.col("__lb__") - F.col("__pb__"))
     cand = (pref.select(F.col(id_col).alias("id_a"), "__tok__",
-                        F.col("__len__").alias("__la__"))
+                        F.col("__len__").alias("__la__"),
+                        F.col("__pos__").alias("__pa__"))
             .join(pref.select(F.col(id_col).alias("id_b"), "__tok__",
-                              F.col("__len__").alias("__lb__")),
+                              F.col("__len__").alias("__lb__"),
+                              F.col("__pos__").alias("__pb__")),
                   "__tok__")
             .where((F.col("id_a") < F.col("id_b"))
                    & (F.col("__la__") * threshold <= F.col("__lb__"))
-                   & (F.col("__lb__") * threshold <= F.col("__la__")))
+                   & (F.col("__lb__") * threshold <= F.col("__la__"))
+                   & (overlap_ub >= alpha))
             .select("id_a", "id_b").distinct())
     out = (cand
            .join(sh.select(F.col(id_col).alias("id_a"),
