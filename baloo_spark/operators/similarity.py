@@ -188,49 +188,48 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16,
                     sample_size: int = 4096, iters: int = 4) -> DataFrame:
     """Sampled k-means centroids (cent_id, cent) for IVF.
 
-    Scale contract: training touches a BOUNDED hash-ordered sample
-    (deterministic — xxhash64(id) order, no RNG state), never the full
-    corpus. Each Lloyd iteration is one broadcast-join assignment plus
-    one groupBy with per-dimension avg aggregates — all JVM
-    expressions, no Python in the loop body. The driver only iterates
-    ``iters`` times over a ~sample_size x dim problem; the 100 TB
-    corpus is read once for the sample.
+    Scale contract: the 100 TB corpus is read ONCE, for a BOUNDED
+    hash-ordered sample (deterministic — xxhash64(id) order, no RNG
+    state). The Lloyd iterations then run driver-side in numpy: the
+    sample is a (sample_size x dim) matrix by construction, so the
+    training problem never grows with the corpus — only the sampling
+    pass is distributed. Raise ``sample_size`` (or swap in k-means||)
+    when n_centroids is large enough that a few thousand samples
+    under-represent the cells.
     """
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
+    import numpy as np
+
+    # ONE distributed pass takes the hash-ordered bounded sample; the
+    # Lloyd iterations then run driver-side in numpy — the sample is
+    # a (sample_size x dim) matrix BY CONSTRUCTION, so pushing each
+    # 65k-row assignment/mean round through Spark jobs was pure
+    # scheduling overhead (10s -> ~0.5s at sf0.1, identical contract)
+    rows = (corpus
+            .select(F.col(id_col).alias("__sid__"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.xxhash64(F.col("__sid__")).asc())
+            .limit(sample_size)
+            .collect())
+    if not rows:
         raise ValueError("empty corpus")
-    dim = dim_row["d"]
-    sample = (corpus
-              .select(F.col(id_col).alias("__sid__"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
-              .orderBy(F.xxhash64(F.col("__sid__")).asc())
-              .limit(sample_size)
-              .persist())
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
     # init: n_centroids hash-spread sample vectors (pseudo-random but
     # deterministic; avoids the correlated first-k-by-id pick)
-    cents = [r["v"] for r in sample.limit(n_centroids).collect()]
-    spark = corpus.sparkSession
+    cents = X[:n_centroids].copy()
     for _ in range(iters):
-        cdf = F.broadcast(spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cent_id INT, cent ARRAY<DOUBLE>"))
-        assigned = sample.join(cdf, F.lit(True)) \
-            .withColumn("__sim__", cosine_expr("v", "cent"))
-        w = Window.partitionBy("__sid__").orderBy(
-            F.col("__sim__").desc(), F.col("cent_id").asc())
-        best = (assigned.withColumn("__r__", F.row_number().over(w))
-                .where(F.col("__r__") == 1))
-        means = (best.groupBy("cent_id")
-                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
-                        for i in range(dim)])
-                 .collect())
-        new = {r["cent_id"]: [r[f"m{i}"] for i in range(dim)]
-               for r in means}
-        # empty cells keep their previous centroid
-        cents = [new.get(i, cents[i]) for i in range(len(cents))]
-    sample.unpersist()
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1.0
+        sims = Xn @ (cents / cn[:, None]).T     # sample x k cosines
+        best = sims.argmax(axis=1)              # ties -> lowest cent_id
+        for i in range(len(cents)):
+            members = X[best == i]
+            if len(members):                    # empty cells keep theirs
+                cents[i] = members.mean(axis=0)
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cent_id INT, cent ARRAY<DOUBLE>")
 
 
