@@ -203,3 +203,35 @@ def test_stream_to_parquet_sink(spark, tmp_path):
     stream2 = streaming_dedup(spark, src, keys=["event_id"])
     stream_to_parquet(stream2, out, ckpt)  # same checkpoint -> no new data
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_stream_checkpoint_resumes_incrementally(spark, tmp_path):
+    # exactly-once across RESTARTS with new data: drain, append more
+    # source files, drain again with the same checkpoint — the second
+    # run processes ONLY the new files (no reprocessing, no loss)
+    from baloo_spark.streaming.events import (load_events, stream_to_parquet,
+                                              streaming_dedup)
+    # split by TIME: the checkpoint carries run 1's watermark, so a
+    # second batch must be event-time >= that watermark or it is
+    # (correctly) dropped as late data
+    from pyspark.sql import functions as SF
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    cut = ev.select(SF.expr("percentile(unix_timestamp(ts), 0.5)")).first()[0]
+    first = ev.filter(SF.unix_timestamp("ts") <= cut)
+    second = ev.filter(SF.unix_timestamp("ts") > cut)
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    first.write.parquet(src)
+    stream_to_parquet(streaming_dedup(spark, src, keys=["event_id"]),
+                      out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(src)
+    stream_to_parquet(streaming_dedup(spark, src, keys=["event_id"]),
+                      out, ckpt)
+    got = spark.read.parquet(out)
+    total = first.count() + second.count()
+    assert got.count() == total  # old NOT reprocessed, new all in
+    assert got.select("event_id").distinct().count() == total
