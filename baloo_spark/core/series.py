@@ -424,16 +424,45 @@ class Series:
             col = F.least(col, F.lit(upper))
         return self._with_col(col)
 
-    def value_counts(self, ascending: bool = False) -> "Series":
+    def value_counts(self, ascending: bool = False,
+                     normalize: bool = False) -> "Series":
         """Distinct values with occurrence counts, ordered by count
-        (one hash-agg shuffle; values become the index)."""
+        (one hash-agg shuffle; values become the index).
+        ``normalize=True`` returns fractions of total instead —
+        computed with a scalar subtotal, not a second pass."""
+        from pyspark.sql import Window
         sdf, alias = self._select()
-        out = (sdf.groupBy(alias)
-               .agg(F.count(F.lit(1)).cast("long").alias("__cnt__"))
-               .orderBy(F.col("__cnt__").asc() if ascending
-                        else F.col("__cnt__").desc()))
-        return Series._make(out, F.col("__cnt__"), [alias], "count",
+        cnt = F.count(F.lit(1))
+        if normalize:
+            # the subtotal window runs over the ALREADY-AGGREGATED
+            # distinct values (small), not the raw rows
+            out = (sdf.groupBy(alias).agg(cnt.alias("__n__"))
+                   .withColumn("__cnt__",
+                               F.col("__n__")
+                               / F.sum("__n__").over(Window.partitionBy()))
+                   .drop("__n__"))
+        else:
+            out = sdf.groupBy(alias).agg(cnt.cast("long").alias("__cnt__"))
+        out = out.orderBy(F.col("__cnt__").asc() if ascending
+                          else F.col("__cnt__").desc())
+        name = "proportion" if normalize else "count"
+        return Series._make(out, F.col("__cnt__"), [alias], name,
                             [("__cnt__", ascending)])
+
+    def mode(self) -> "Series":
+        """Most frequent value(s) — ALL ties returned, sorted
+        ascending (pandas semantics). Two hash aggs, no global sort
+        of the data itself."""
+        sdf, alias = self._select()
+        counts = sdf.groupBy(alias).agg(
+            F.count(F.lit(1)).alias("__cnt__"))
+        from pyspark.sql import Window
+        top = counts.withColumn(
+            "__max__", F.max("__cnt__").over(Window.partitionBy()))
+        out = (top.where(F.col("__cnt__") == F.col("__max__"))
+               .select(alias).orderBy(alias))
+        return Series._make(out, F.col(alias), [], self.name,
+                            [(alias, True)])
 
     def nlargest(self, n: int = 5) -> "Series":
         """Top-n values: distributed TakeOrdered, never a full sort."""

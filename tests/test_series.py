@@ -173,3 +173,17 @@ def test_shift_diff(bl):
         d = sr.diff(1).to_pandas().tolist()
         assert d[1:] == [3.0, 5.0, 7.0]
         assert sr.shift(-1).to_pandas().tolist()[:3] == [4.0, 9.0, 16.0]
+
+
+def test_value_counts_normalize_and_mode(bl):
+    import pandas as pd
+    vals = np.array(["a", "b", "a", "c", "a", "b"])
+    sr = bl.Series(vals, name="s")
+    norm = sr.value_counts(normalize=True).to_pandas()
+    want = pd.Series(vals).value_counts(normalize=True)
+    assert {k: round(v, 6) for k, v in norm.items()} == \
+        {k: round(v, 6) for k, v in want.items()}
+    assert sr.mode().to_pandas().tolist() == ["a"]
+    # all ties returned, ascending
+    tied = bl.Series(np.array([1, 1, 2, 2, 3]))
+    assert tied.mode().to_pandas().tolist() == [1, 2]
