@@ -102,6 +102,18 @@ class DataFrame:
     0  1.0
     1  5.0
     2  4.0
+    >>> g.groupby("a").transform("mean").to_pandas()
+       a  b  b_mean
+    0  0  1     1.0
+    1  1  2     2.5
+    2  1  3     2.5
+    3  2  4     4.0
+    >>> df.melt("b").to_pandas().sort_values(["b", "variable"]) \\
+    ...     .reset_index(drop=True)
+       b variable  value
+    0  0        a      6
+    1  1        a      5
+    2  2        a      7
     """
 
     def __init__(self, data=None, index=None, *, _sdf=None, _index_cols=None,
