@@ -341,8 +341,9 @@ UNION ALL SELECT 'frame', 'l_discount', round(avg(l_discount), 4) FROM lineitem
 
 def _groupby_stats(spark, sf):
     """Folded groupby family (one driver row evidences sum/count/mean/
-    var/std via agg-dict, groupby.py:29-55, PLUS the distinct .size()
-    path, groupby.py:57 — joined on the group keys)."""
+    var/std via agg-dict, groupby.py:29-55, the distinct .size() path,
+    groupby.py:57 — joined on the group keys — PLUS the dictmerger
+    prod path, groupby.py:29-55, tagged 'prod' in the union)."""
     li = _bl(spark, sf, "lineitem")
     keys = ["l_returnflag", "l_linestatus"]
     g = li.groupby(keys).agg({
@@ -352,7 +353,9 @@ def _groupby_stats(spark, sf):
     sz = li.groupby(keys).size().reset_index()
     m = g.merge(sz, how="inner", on=keys)
     out = m.to_spark(include_index=True)
-    return out.select(
+    stats = out.select(
+        F.lit("stats").alias("part"),
+        F.lit(None).cast("long").alias("l_orderkey"),
         "l_returnflag", "l_linestatus",
         F.round("l_quantity_sum", 2).alias("sum_qty"),
         F.col("l_quantity_count").alias("n_rows"),
@@ -360,33 +363,42 @@ def _groupby_stats(spark, sf):
         F.round("l_quantity_var", 4).alias("var_qty"),
         F.round("l_quantity_std", 4).alias("std_qty"),
         F.round("l_extendedprice_std", 2).alias("std_price"),
-        F.col("size").alias("group_size"))
+        F.col("size").alias("group_size"),
+        F.lit(None).cast("double").alias("prod_disc1"))
+    sub = li[li["l_orderkey"] < 100]
+    sub["disc1"] = sub["l_discount"] + 1
+    p = sub[["l_orderkey", "disc1"]].groupby("l_orderkey").prod()
+    prod = p.to_spark(include_index=True).select(
+        F.lit("prod").alias("part"),
+        F.col("l_orderkey").cast("long"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("double").alias("avg_price"),
+        F.lit(None).cast("double").alias("var_qty"),
+        F.lit(None).cast("double").alias("std_qty"),
+        F.lit(None).cast("double").alias("std_price"),
+        F.lit(None).cast("long").alias("group_size"),
+        F.round("disc1", 6).alias("prod_disc1"))
+    return stats.unionByName(prod)
 
 
 _GROUPBY_STATS_SQL = """
-SELECT l_returnflag, l_linestatus,
+SELECT 'stats' AS part, CAST(NULL AS BIGINT) AS l_orderkey,
+       l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        count(*) AS n_rows,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(var_samp(l_quantity), 4) AS var_qty,
        round(stddev_samp(l_quantity), 4) AS std_qty,
        round(stddev_samp(l_extendedprice), 2) AS std_price,
-       count(*) AS group_size
+       count(*) AS group_size,
+       CAST(NULL AS DOUBLE) AS prod_disc1
 FROM lineitem GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def _groupby_prod(spark, sf):
-    li = _bl(spark, sf, "lineitem")
-    sub = li[li["l_orderkey"] < 100]
-    sub["disc1"] = sub["l_discount"] + 1
-    g = sub[["l_orderkey", "disc1"]].groupby("l_orderkey").prod()
-    out = g.to_spark(include_index=True)
-    return out.select("l_orderkey", F.round("disc1", 6).alias("prod_disc1"))
-
-
-_GROUPBY_PROD_SQL = """
-SELECT l_orderkey, round(product(1 + l_discount), 6) AS prod_disc1
+UNION ALL
+SELECT 'prod', l_orderkey, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, round(product(1 + l_discount), 6)
 FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey
 """
 
@@ -1539,7 +1551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_assign_pipeline": _filter_assign,
         "agg_rows": _agg_rows,
         "groupby_stats": _groupby_stats,
-        "groupby_prod": _groupby_prod,
         "sort_nlargest": _sort_nlargest,
         "positional_ops": _positional_ops,
         "distinct_stats": _distinct_stats,
@@ -1597,7 +1608,6 @@ def oracle_sql() -> dict[str, str]:
         "filter_assign_pipeline": _FILTER_ASSIGN_SQL,
         "agg_rows": _AGG_ROWS_SQL,
         "groupby_stats": _GROUPBY_STATS_SQL,
-        "groupby_prod": _GROUPBY_PROD_SQL,
         "sort_nlargest": _SORT_NLARGEST_SQL,
         "positional_ops": _POSITIONAL_OPS_SQL,
         "distinct_stats": _DISTINCT_STATS_SQL,
