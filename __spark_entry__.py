@@ -554,32 +554,11 @@ FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 7000) c
 """
 
 
-def _merge_outer(spark, sf):
-    # outer join with coalesced keys (weld_joins.py:159-286)
-    n = _bl(spark, sf, "nation").rename({"n_nationkey": "nationkey"})
-    s = _bl(spark, sf, "supplier").rename({"s_nationkey": "nationkey"})
-    agg = s.groupby("nationkey").agg({"s_acctbal": ["sum", "count"]}) \
-        .reset_index()
-    m = n.merge(agg, how="outer", on="nationkey")
-    out = m.to_spark(include_index=True)
-    return out.select("nationkey", "n_name",
-                      F.round("s_acctbal_sum", 2).alias("total_bal"),
-                      "s_acctbal_count")
-
-
-_MERGE_OUTER_SQL = """
-SELECT COALESCE(n.n_nationkey, s.s_nationkey) AS nationkey, n.n_name,
-       round(s.total_bal, 2) AS total_bal, s.s_acctbal_count
-FROM nation n FULL OUTER JOIN (
-  SELECT s_nationkey, sum(s_acctbal) AS total_bal, count(*) AS s_acctbal_count
-  FROM supplier GROUP BY s_nationkey
-) s ON n.n_nationkey = s.s_nationkey
-"""
-
-
 def _merge_semi_anti(spark, sf):
-    """Semi + anti joins (extension, SURVEY.md §2.3): customers WITH
-    orders over 400k vs customers WITHOUT any order."""
+    """Folded join-type family: semi + anti joins (extension, SURVEY.md
+    §2.3 — customers WITH orders over 400k vs customers WITHOUT any
+    order) PLUS the full-outer merge with coalesced keys
+    (weld_joins.py:159-286), tagged 'outer'."""
     c = _bl(spark, sf, "customer").rename({"c_custkey": "o_custkey"})
     o = _bl(spark, sf, "orders")
     big = o[o["o_totalprice"] > 400000][["o_custkey", "o_orderkey"]]
@@ -589,15 +568,101 @@ def _merge_semi_anti(spark, sf):
                    on="o_custkey").reset_index()
     anti["kind"] = anti["c_name"].apply("'no_orders'")
     both = semi[["o_custkey", "kind"]].concat(anti[["o_custkey", "kind"]])
-    return both.to_spark().withColumnRenamed("o_custkey", "custkey")
+    sa = both.to_spark().select(
+        F.col("kind"),
+        F.col("o_custkey").cast("long").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("total_bal"),
+        F.lit(None).cast("long").alias("n"))
+    n = _bl(spark, sf, "nation").rename({"n_nationkey": "nationkey"})
+    s = _bl(spark, sf, "supplier").rename({"s_nationkey": "nationkey"})
+    agg = s.groupby("nationkey").agg({"s_acctbal": ["sum", "count"]}) \
+        .reset_index()
+    m = n.merge(agg, how="outer", on="nationkey")
+    outer = m.to_spark(include_index=True).select(
+        F.lit("outer").alias("kind"),
+        F.col("nationkey").cast("long").alias("key"),
+        F.col("n_name").alias("name"),
+        F.round("s_acctbal_sum", 2).alias("total_bal"),
+        F.col("s_acctbal_count").cast("long").alias("n"))
+    return sa.unionByName(outer)
 
 
 _MERGE_SEMI_ANTI_SQL = """
-SELECT c_custkey AS custkey, 'has_big_order' AS kind FROM customer
+SELECT 'has_big_order' AS kind, c_custkey AS key,
+       CAST(NULL AS VARCHAR) AS name, CAST(NULL AS DOUBLE) AS total_bal,
+       CAST(NULL AS BIGINT) AS n
+FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 UNION ALL
-SELECT c_custkey, 'no_orders' FROM customer
+SELECT 'no_orders', c_custkey, NULL, NULL, NULL FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'outer', COALESCE(nt.n_nationkey, s.s_nationkey), nt.n_name,
+       round(s.total_bal, 2), s.s_acctbal_count
+FROM nation nt FULL OUTER JOIN (
+  SELECT s_nationkey, sum(s_acctbal) AS total_bal, count(*) AS s_acctbal_count
+  FROM supplier GROUP BY s_nationkey
+) s ON nt.n_nationkey = s.s_nationkey
+"""
+
+
+def _hash_split(spark, sf):
+    """Deterministic sampling + train/test splitting (engine extension
+    for training-data pipelines, operators/sampling.py): md5-bucket
+    splits of the documents table — reproducible across runs, layouts,
+    and engines; plus a per-language stratified sample tagged
+    'stratified' and a plain 20% hash sample tagged 'sample'."""
+    from baloo_spark.operators.sampling import (hash_sample,
+                                                stratified_sample,
+                                                train_test_split)
+    docs = _t(spark, sf, "documents")
+    split = train_test_split(docs, key="doc_id", seed=42)
+    srows = (split.groupBy("split")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").alias("chars"))
+             .select(F.lit("split").alias("part"),
+                     F.col("split").alias("label"),
+                     F.col("n_docs").cast("long"),
+                     F.col("chars").cast("long")))
+    samp = hash_sample(docs, 0.2, key="doc_id", seed=7)
+    prows = samp.agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("chars")) \
+        .select(F.lit("sample").alias("part"),
+                F.lit("p20").alias("label"),
+                F.col("n_docs").cast("long"), F.col("chars").cast("long"))
+    strat = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25},
+                              key="doc_id", seed=7)
+    trows = (strat.groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").alias("chars"))
+             .select(F.lit("stratified").alias("part"),
+                     F.col("lang").alias("label"),
+                     F.col("n_docs").cast("long"),
+                     F.col("chars").cast("long")))
+    return srows.unionByName(prows).unionByName(trows)
+
+
+_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT *,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+           % 1000000 AS b42,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+           % 1000000 AS b7
+  FROM documents
+)
+SELECT 'split' AS part,
+       CASE WHEN b42 < 800000 THEN 'train'
+            WHEN b42 < 900000 THEN 'val' ELSE 'test' END AS label,
+       count(*) AS n_docs, sum(n_chars) AS chars
+FROM b GROUP BY 2
+UNION ALL
+SELECT 'sample', 'p20', count(*), sum(n_chars) FROM b WHERE b7 < 200000
+UNION ALL
+SELECT 'stratified', lang, count(*), sum(n_chars) FROM b
+WHERE b7 < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 0 END
+GROUP BY 2
 """
 
 
@@ -1556,8 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_stats": _distinct_stats,
         "drop_duplicates_min": _drop_duplicates_min,
         "merge_inner_left": _merge_inner_left,
-        "merge_outer": _merge_outer,
         "merge_semi_anti": _merge_semi_anti,
+        "hash_split": _hash_split,
         "setitem_align": _setitem_align,
         "join_sort_index": _join_sort_index,
         "str_ops": _str_ops,
@@ -1613,8 +1678,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_stats": _DISTINCT_STATS_SQL,
         "drop_duplicates_min": _DROP_DUP_SQL,
         "merge_inner_left": _MERGE_INNER_LEFT_SQL,
-        "merge_outer": _MERGE_OUTER_SQL,
         "merge_semi_anti": _MERGE_SEMI_ANTI_SQL,
+        "hash_split": _HASH_SPLIT_SQL,
         "setitem_align": _SETITEM_ALIGN_SQL,
         "join_sort_index": _JOIN_SORT_INDEX_SQL,
         "str_ops": _STR_OPS_SQL,
