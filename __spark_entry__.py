@@ -324,7 +324,14 @@ def _agg_rows(spark, sf):
         .to_spark().select(F.lit("frame").alias("kind"),
                            F.col("__index__").alias("label"),
                            F.round(F.col("mean"), 4).alias("value"))
-    return srows.unionByName(frows)
+    # idxmax/idxmin (eager argmax scalars, pandas flavor — one
+    # distributed TakeOrdered(1) each, ties on smallest index label)
+    s2 = li[li["l_orderkey"] < 200].set_index("l_orderkey")["l_extendedprice"]
+    irows = spark.createDataFrame(
+        [("idx", "idxmax", float(s2.idxmax())),
+         ("idx", "idxmin", float(s2.idxmin()))],
+        "kind STRING, label STRING, value DOUBLE")
+    return srows.unionByName(frows).unionByName(irows)
 
 
 _AGG_ROWS_SQL = """
@@ -336,6 +343,12 @@ UNION ALL SELECT 'series', 'std', round(stddev_samp(x), 6) FROM s
 UNION ALL SELECT 'frame', 'l_quantity', round(avg(l_quantity), 4) FROM lineitem
 UNION ALL SELECT 'frame', 'l_extendedprice', round(avg(l_extendedprice), 4) FROM lineitem
 UNION ALL SELECT 'frame', 'l_discount', round(avg(l_discount), 4) FROM lineitem
+UNION ALL SELECT 'idx', 'idxmax', (
+  SELECT l_orderkey FROM lineitem WHERE l_orderkey < 200
+  ORDER BY l_extendedprice DESC, l_orderkey ASC LIMIT 1)::DOUBLE
+UNION ALL SELECT 'idx', 'idxmin', (
+  SELECT l_orderkey FROM lineitem WHERE l_orderkey < 200
+  ORDER BY l_extendedprice ASC, l_orderkey ASC LIMIT 1)::DOUBLE
 """
 
 
@@ -850,18 +863,34 @@ def _missing_ops(spark, sf):
     ev["is_missing"] = ev["maybe"].isna()
     ev["filled"] = ev["maybe"].fillna("was_click")
     ev["maybe2"] = ev["event_type"].apply("nullif({self}, 'view')")
-    kept = ev[["event_id", "maybe", "is_missing", "filled", "maybe2"]] \
-        .dropna(subset=["maybe2"])
+    # grouped carry-forward/backward (ffill/bfill, frame.py): per-user
+    # last/first non-null along event time — partition-local windows
+    ev = ev.sort_values(["ts", "event_id"])
+    ev["ff"] = ev["maybe"]
+    ev["bf"] = ev["maybe"]
+    ev = ev.ffill(subset=["ff"], partition_by="user_id") \
+           .bfill(subset=["bf"], partition_by="user_id")
+    kept = ev[["event_id", "maybe", "is_missing", "filled", "maybe2",
+               "ff", "bf"]].dropna(subset=["maybe2"])
     return kept.to_spark().select("event_id", "maybe", "is_missing",
-                                  "filled", "maybe2")
+                                  "filled", "maybe2", "ff", "bf")
 
 
 _MISSING_OPS_SQL = """
-SELECT event_id, nullif(event_type, 'click') AS maybe,
-       nullif(event_type, 'click') IS NULL AS is_missing,
-       coalesce(nullif(event_type, 'click'), 'was_click') AS filled,
-       nullif(event_type, 'view') AS maybe2
-FROM events WHERE nullif(event_type, 'view') IS NOT NULL
+SELECT event_id, maybe, is_missing, filled, maybe2, ff, bf FROM (
+  SELECT event_id,
+         nullif(event_type, 'click') AS maybe,
+         nullif(event_type, 'click') IS NULL AS is_missing,
+         coalesce(nullif(event_type, 'click'), 'was_click') AS filled,
+         nullif(event_type, 'view') AS maybe2,
+         last_value(nullif(event_type, 'click') IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS ff,
+         first_value(nullif(event_type, 'click') IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
+  FROM events
+) WHERE maybe2 IS NOT NULL
 """
 
 
@@ -871,7 +900,10 @@ FROM events WHERE nullif(event_type, 'view') IS NOT NULL
 
 def _running_totals(spark, sf):
     """Running (cumulative) revenue per customer + order-gap via lag —
-    partitioned window frames (engine extension, SURVEY.md §2.9)."""
+    partitioned window frames (engine extension, SURVEY.md §2.9),
+    tagged 'win'; PLUS the pandas-flavor Series.shift/diff (global
+    ordered window — bounded subset, the ScaleWarning path) tagged
+    'diff'."""
     o = _bl(spark, sf, "orders")
     r = o.with_running("o_totalprice", order_by="o_orderkey",
                        partition_by="o_custkey", agg="sum",
@@ -879,19 +911,42 @@ def _running_totals(spark, sf):
     r = r.with_lag("o_orderkey", order_by="o_orderkey",
                    partition_by="o_custkey", name="prev_order")
     out = r[["o_custkey", "o_orderkey", "cum_spend", "prev_order"]]
-    return out.to_spark().select(
+    win = out.to_spark().select(
+        F.lit("win").alias("part"),
         "o_custkey", "o_orderkey",
         F.round("cum_spend", 2).alias("cum_spend"),
-        F.col("prev_order").cast("long").alias("prev_order"))
+        F.col("prev_order").cast("long").alias("prev_order"),
+        F.lit(None).cast("double").alias("price_diff"),
+        F.lit(None).cast("double").alias("prev_price"))
+    o2 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
+                                    "o_totalprice"]] \
+        .sort_values("o_orderkey")
+    s = o2["o_totalprice"]
+    o2["price_diff"] = s.diff()
+    o2["prev_price"] = s.shift(1)
+    diff = o2.to_spark().select(
+        F.lit("diff").alias("part"),
+        "o_custkey", "o_orderkey",
+        F.lit(None).cast("double").alias("cum_spend"),
+        F.lit(None).cast("long").alias("prev_order"),
+        F.round("price_diff", 2).alias("price_diff"),
+        F.round("prev_price", 2).alias("prev_price"))
+    return win.unionByName(diff)
 
 
 _RUNNING_TOTALS_SQL = """
-SELECT o_custkey, o_orderkey,
+SELECT 'win' AS part, o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                                      ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
        lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
-         AS prev_order
+         AS prev_order,
+       CAST(NULL AS DOUBLE) AS price_diff, CAST(NULL AS DOUBLE) AS prev_price
 FROM orders
+UNION ALL
+SELECT 'diff', o_custkey, o_orderkey, NULL, NULL,
+       round(o_totalprice - lag(o_totalprice) OVER (ORDER BY o_orderkey), 2),
+       round(lag(o_totalprice) OVER (ORDER BY o_orderkey), 2)
+FROM orders WHERE o_orderkey < 2000
 """
 
 
@@ -1146,7 +1201,14 @@ def _rollup_cube(spark, sf):
         F.lit("cube").alias("kind"), "l_returnflag", "l_linestatus",
         F.round("l_quantity_sum", 2).alias("sum_qty"),
         F.col("l_quantity_count").alias("n"))
-    return rrows.unionByName(crows)
+    g = li.grouping_sets([["l_returnflag", "l_linestatus"],
+                          ["l_linestatus"]],
+                         {"l_quantity": ["sum", "count"]})
+    grows = g.to_spark(include_index=True).select(
+        F.lit("gsets").alias("kind"), "l_returnflag", "l_linestatus",
+        F.round("l_quantity_sum", 2).alias("sum_qty"),
+        F.col("l_quantity_count").alias("n"))
+    return rrows.unionByName(crows).unionByName(grows)
 
 
 _ROLLUP_CUBE_SQL = """
@@ -1157,22 +1219,55 @@ UNION ALL
 SELECT 'cube', l_returnflag, l_linestatus,
        round(sum(l_quantity), 2), count(l_quantity)
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets', l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2), count(l_quantity)
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
 """
 
 
 def _pivot_status(spark, sf):
+    """Pivot (long-to-wide) tagged 'wide', PLUS its inverse melt
+    (native unpivot, frame.py melt — a narrow map, no shuffle) applied
+    to the pivoted frame, tagged 'long'."""
     o = _bl(spark, sf, "orders")
     p = o.pivot(index="o_orderpriority", columns="o_orderstatus",
                 values="o_totalprice", agg="count")
-    return p.to_spark(include_index=True)
+    wide = p.to_spark(include_index=True).select(
+        F.lit("wide").alias("part"), "o_orderpriority",
+        F.col("F").alias("f_cnt"), F.col("O").alias("o_cnt"),
+        F.col("P").alias("p_cnt"),
+        F.lit(None).cast("string").alias("variable"),
+        F.lit(None).cast("long").alias("value"))
+    m = p.reset_index().melt(id_vars="o_orderpriority",
+                             value_vars=["F", "O", "P"])
+    long = m.to_spark().select(
+        F.lit("long").alias("part"), "o_orderpriority",
+        F.lit(None).cast("long").alias("f_cnt"),
+        F.lit(None).cast("long").alias("o_cnt"),
+        F.lit(None).cast("long").alias("p_cnt"),
+        "variable", F.col("value").cast("long"))
+    return wide.unionByName(long)
 
 
 _PIVOT_SQL = """
-SELECT o_orderpriority,
-       count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS "F",
-       count(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS "O",
-       count(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS "P"
-FROM orders GROUP BY o_orderpriority
+WITH p AS (
+  SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS f_cnt,
+         count(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_cnt,
+         count(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS p_cnt
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT 'wide' AS part, o_orderpriority, f_cnt, o_cnt, p_cnt,
+       CAST(NULL AS VARCHAR) AS variable, CAST(NULL AS BIGINT) AS value
+FROM p
+UNION ALL
+SELECT 'long', o_orderpriority, NULL, NULL, NULL, 'F', f_cnt FROM p
+UNION ALL
+SELECT 'long', o_orderpriority, NULL, NULL, NULL, 'O', o_cnt FROM p
+UNION ALL
+SELECT 'long', o_orderpriority, NULL, NULL, NULL, 'P', p_cnt FROM p
 """
 
 

@@ -340,11 +340,23 @@ class DataFrame:
             else:
                 right, alias = value._select("__new_val__")
                 on = [c for c in self._index_cols if c in right.columns]
-                if not on:
-                    raise ValueError("cannot align series: no shared index")
-                right = right.select(*on, "__new_val__").dropDuplicates(on)
-                sdf = (self._sdf.join(right, on, "left")
-                       .withColumnRenamed("__new_val__", key))
+                if on:
+                    right = right.select(*on, "__new_val__") \
+                        .dropDuplicates(on)
+                    sdf = (self._sdf.join(right, on, "left")
+                           .withColumnRenamed("__new_val__", key))
+                else:
+                    # no shared index (scan-backed frames are
+                    # indexless): POSITIONAL alignment on fresh dense
+                    # positions of both sides — default-RangeIndex
+                    # semantics, the same machinery as Series._lift
+                    from ..plans.ordinal import POS_COL
+                    sdf_l = self._ordered_sdf()
+                    right_o, rname = value._ordered_sdf("__new_val__")
+                    right_o = right_o.select(POS_COL, rname)
+                    sdf = (sdf_l.join(right_o, POS_COL, "left")
+                           .drop(POS_COL)
+                           .withColumnRenamed(rname, key))
         elif isinstance(value, (np.ndarray, list)):
             # positional alignment on FRESH positions (a filtered frame's
             # ORD_COL labels are sparse; the array is dense 0..n-1)

@@ -323,7 +323,15 @@ class Series:
         labels for ingest order).
         """
         from ..plans.ordinal import POS_COL
-        sdf, alias = self._select(alias)
+        alias = alias or self.name or _VAL
+        # project index cols AND order cols (the logical order must
+        # survive the projection for the fresh positions to be right)
+        keep = [c for c in dict.fromkeys(
+                    list(self._index_cols)
+                    + [c for c, _ in (self._order or [])])
+                if c in self._sdf.columns and c != alias]
+        sdf = self._sdf.select(*[F.col(c) for c in keep],
+                               self._colexpr.alias(alias))
         order = [F.col(c).asc() if asc else F.col(c).desc()
                  for c, asc in (self._order or []) if c in sdf.columns]
         if not order and ORD_COL in sdf.columns:

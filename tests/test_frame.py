@@ -305,3 +305,20 @@ def test_ffill_grouped(bl):
     pd.testing.assert_series_equal(got.reset_index(drop=True),
                                    want.reset_index(drop=True),
                                    check_names=False)
+
+
+def test_setitem_series_positional_when_indexless(bl, spark):
+    # scan-backed frames have no index columns: a derived-but-new-sdf
+    # Series (e.g. shift/diff output) must align POSITIONALLY along
+    # the frame's logical order (default-RangeIndex semantics)
+    import pandas as pd
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"k": [3, 1, 2], "v": [30., 10., 20.]}))
+    df = bl.DataFrame.from_spark(sdf).sort_values("k")
+    s = df["v"]
+    df["prev"] = s.shift(1)
+    df["d"] = s.diff()
+    got = df.to_pandas().sort_values("k")
+    assert got["prev"].tolist()[1:] == [10., 20.]
+    assert pd.isna(got["prev"].tolist()[0])
+    assert got["d"].tolist()[1:] == [10., 10.]
