@@ -668,12 +668,13 @@ WITH b AS (
 SELECT 'split' AS part,
        CASE WHEN b42 < 800000 THEN 'train'
             WHEN b42 < 900000 THEN 'val' ELSE 'test' END AS label,
-       count(*) AS n_docs, sum(n_chars) AS chars
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
 FROM b GROUP BY 2
 UNION ALL
-SELECT 'sample', 'p20', count(*), sum(n_chars) FROM b WHERE b7 < 200000
+SELECT 'sample', 'p20', count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM b WHERE b7 < 200000
 UNION ALL
-SELECT 'stratified', lang, count(*), sum(n_chars) FROM b
+SELECT 'stratified', lang, count(*)::BIGINT, sum(n_chars)::BIGINT FROM b
 WHERE b7 < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 0 END
 GROUP BY 2
 """

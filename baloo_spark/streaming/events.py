@@ -28,14 +28,27 @@ _RAW_SCHEMA = ("event_id LONG, ts LONG, user_id LONG, "
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table. The file stores TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; with nanosAsLong it arrives as
-    long nanoseconds and is truncated to microsecond timestamps
-    (matching DuckDB, whose native resolution is micros)."""
+    """Read the events table, normalizing ``ts`` to a microsecond
+    timestamp whatever the file stores:
+
+    - TIMESTAMP(MICROS)/NTZ (current testdata) — pass through;
+    - TIMESTAMP(NANOS) (older testdata) — Spark's vectorized reader
+      rejects it; with nanosAsLong it arrives as long nanoseconds and
+      is truncated to micros (matching DuckDB's native resolution).
+
+    Branching on the *loaded dtype* rather than assuming one layout
+    means a testdata regeneration can't silently kill every
+    events-based query again (VERDICT r2 §wrong-1)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _bucket(col, width_sec: int):
