@@ -1458,17 +1458,68 @@ ORDER BY doc_id
 
 
 def _dedup_minhash(spark, sf):
-    # approximate LSH — no SQL oracle by design (rows-only check)
+    """MinHash+LSH near-dup pairs with a HARD value oracle.
+
+    The verified output (candidates re-scored with exact shingle
+    Jaccard, threshold 0.5) is claimed EQUAL to the all-pairs Jaccard
+    scan — i.e. LSH recall 1.0 on every >=0.5 pair. bands=32 (r=2)
+    makes a miss need both slots of all 32 bands to differ:
+    P(miss) = (1 - j^2)^32 <= 1e-4 at j = 0.5, and the whole pipeline
+    is deterministic (fixed permutation seeds), so the sf0.01 parity
+    asserted here is exactly what the driver replays. Production tunes
+    (k, bands) down the S-curve for throughput; the recall-vs-exact
+    trade is measured in tests/test_operators.py."""
     from baloo_spark.operators.dedup import minhash_lsh_pairs
     docs = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(docs, k=64, bands=16, threshold=0.5)
+    return minhash_lsh_pairs(docs, k=64, bands=32, threshold=0.5)
 
 
 def _dedup_simhash(spark, sf):
-    # approximate — rows-only check
+    """SimHash near-pairs pinned by a superset invariant the oracle
+    can replay: identical normalized text => identical token sequence
+    => identical 64-bit SimHash, so every exact-duplicate pair MUST
+    surface from the banded candidate join at Hamming distance 0. The
+    full simhash pipeline (signatures, pigeonhole bands, bit_count
+    verify at radius 3) runs for real; the inner join against the
+    fingerprint-derived pair set means one missed pair = one missing
+    row = a red driver slot. Near-pairs at distance 1..3 are exercised
+    in tests (xxhash64 isn't replayable in DuckDB).
+
+    The raw table has no exact duplicates below sf0.1, which would
+    make the invariant vacuous — so every 10th document is re-injected
+    under doc_id+1000000 (deterministic relational algebra both sides
+    replay identically), guaranteeing a non-empty pair set at any
+    sf."""
     from baloo_spark.operators.dedup import simhash_near_pairs
-    docs = _t(spark, sf, "documents")
-    return simhash_near_pairs(docs, radius=3)
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    pairs = simhash_near_pairs(aug, radius=3)
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                          "\\s+", " ")))
+    fp = aug.select(F.col("doc_id"), norm.alias("fp"))
+    exact = (fp.alias("a").join(fp.alias("b"), "fp")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    return exact.join(pairs, ["id_a", "id_b"]) \
+        .select("id_a", "id_b", "hamming")
+
+
+_DEDUP_SIMHASH_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM aug
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+"""
 
 
 def _embedding_topk(spark, sf):
@@ -1514,21 +1565,35 @@ WHERE a.vec_id < b.vec_id
 
 
 def _ann_lsh_topk(spark, sf):
-    # approximate ANN — rows-only check
+    """LSH top-k in the exhaustive-probe configuration:
+    probe_radius=planes probes all 2^planes buckets, so the result is
+    PROVABLY equal to brute-force top-k at any data scale (every
+    corpus vector lands in exactly one bucket; every bucket is
+    probed). That pins the whole LSH machinery — signature exprs,
+    bucket equi-join, candidate dedup, two-phase top-k — against the
+    exact DuckDB oracle. Production keeps planes 8-16 / radius 1-2
+    (the recall-for-candidates trade measured in
+    tests/test_operators.py); only the probe list differs."""
     from baloo_spark.operators.similarity import lsh_topk
     emb = _t(spark, sf, "embeddings")
     q = emb.filter("vec_id < 10")
     c = emb.filter("vec_id >= 10")
-    return lsh_topk(q, c, k=5, planes=8, probe_radius=1)
+    return lsh_topk(q, c, k=5, planes=4, probe_radius=4)
 
 
 def _ann_ivf_topk(spark, sf):
-    # approximate ANN, IVF cells — rows-only check
+    """IVF top-k with n_probe = n_centroids: every query probes every
+    cell, and each corpus vector sits in exactly one cell, so the
+    scored pair set is the full cross product — provably equal to
+    brute force at any scale. Pins cell training (sampled k-means),
+    assignment, probe ranking, and per-cell scoring against the exact
+    oracle; production lowers n_probe (the latency knob), measured in
+    tests/test_operators.py."""
     from baloo_spark.operators.similarity import ivf_topk
     emb = _t(spark, sf, "embeddings")
     q = emb.filter("vec_id < 10")
     c = emb.filter("vec_id >= 10")
-    return ivf_topk(q, c, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(q, c, k=5, n_centroids=16, n_probe=16)
 
 
 def _embedding_label_stats(spark, sf):
@@ -1674,12 +1739,39 @@ FROM documents
 
 
 def _multimodal_features(spark, sf):
-    # Arrow mapInPandas plumbing with stubbed codec — rows-only check
+    """Arrow mapInPandas decode plumbing with the stubbed codec.
+
+    The stub derives features from sha256(payload) (multimodal.py:
+    _decode_stub), which DuckDB can recompute from the same text bytes
+    — so the whole pipeline (payload build, Arrow batching, UDF
+    signature, feature schema) gets a HARD value oracle, not a
+    rows-only check. Emits the first 4 of FEATURE_DIM components."""
     from baloo_spark.operators.multimodal import (extract_features,
                                                   to_media_table)
     m = to_media_table(_t(spark, sf, "documents"))
     feats = extract_features(m)
-    return feats.select("media_id", F.size("feature").alias("dim"), "n_bytes")
+    return feats.select(
+        "media_id", F.size("feature").alias("dim"), "n_bytes",
+        *[F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+          for i in range(4)])
+
+
+# DuckDB sha256(VARCHAR) hashes the utf-8 bytes — identical input to
+# the stub's hashlib.sha256(payload) since payload = encode(text).
+# feature[i] = int(h[2i:2i+2]) / 65535 => hex substring parsed as int.
+_MULTIMODAL_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+)
+SELECT media_id, 16 AS dim, n_bytes::BIGINT AS n_bytes,
+       round(('0x' || substr(hx, 1, 4))::INT / 65535.0, 6) AS f0,
+       round(('0x' || substr(hx, 5, 4))::INT / 65535.0, 6) AS f1,
+       round(('0x' || substr(hx, 9, 4))::INT / 65535.0, 6) AS f2,
+       round(('0x' || substr(hx, 13, 4))::INT / 65535.0, 6) AS f3
+FROM h
+"""
 
 
 # =====================================================================
@@ -1801,6 +1893,15 @@ def oracle_sql() -> dict[str, str]:
         "text_metrics": _TEXT_METRICS_SQL,
         "multimodal_stats": _MULTIMODAL_STATS_SQL,
         "dedup_cluster_survivors": _DEDUP_CLUSTER_SQL,
-        # dedup_minhash, dedup_simhash, ann_lsh_topk, ann_ivf_topk,
-        # multimodal_features: approximate / non-SQL — rows-only
+        # previously rows-only, now oracle-backed: minhash claims
+        # full-recall parity with the exact all-pairs Jaccard scan;
+        # simhash is pinned by its exact-duplicate superset invariant;
+        # the ANN paths run in provably-exact configurations (probe
+        # everything) so brute-force SQL IS their oracle; multimodal
+        # features are sha256-derived, which DuckDB recomputes.
+        "dedup_minhash": _DEDUP_JACCARD_SQL,
+        "dedup_simhash": _DEDUP_SIMHASH_SQL,
+        "ann_lsh_topk": _EMBEDDING_TOPK_SQL,
+        "ann_ivf_topk": _EMBEDDING_TOPK_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     }

@@ -285,9 +285,18 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
     The corpus is hashed once (one narrow map) and joined on bucket
     signature; queries multi-probe all signatures within Hamming
-    distance <= probe_radius (planes+1 probes at radius 1), trading
+    distance <= probe_radius (sum of C(planes, r) probes), trading
     recall for a ~2^planes reduction in scored candidates.
+
+    ``probe_radius >= planes`` probes every bucket, making the result
+    provably identical to brute force at ANY scale — the exhaustive
+    configuration the driver's correctness slot pins against the exact
+    oracle; production uses planes 8-16 with radius 1-2 as the recall
+    knob. The probe list is per-QUERY fan-out (explode), so its size
+    is bounded at 256 combinations to keep the candidate join sane.
     """
+    from itertools import combinations
+
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv")) \
         .withColumn("cn", norm_expr("cv")) \
@@ -296,10 +305,18 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                        F.col(vec_col).alias("qv")) \
         .withColumn("qn", norm_expr("qv")) \
         .withColumn("sig", hyperplane_sig("qv", planes))
-    # multi-probe: own bucket + all single-bit flips within radius
-    probes = [F.col("sig")]
-    if probe_radius >= 1:
-        probes += [F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    # multi-probe: own bucket + every bit-flip mask within radius
+    masks = [0]
+    for r in range(1, min(probe_radius, planes) + 1):
+        for bits in combinations(range(planes), r):
+            masks.append(sum(1 << p for p in bits))
+    if len(masks) > 256:
+        raise ValueError(
+            f"{len(masks)} probe combinations (planes={planes}, "
+            f"radius={probe_radius}); cap is 256 — lower the radius "
+            f"or plane count")
+    probes = [F.col("sig").bitwiseXOR(F.lit(m)) if m else F.col("sig")
+              for m in masks]
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
     scored = (q.join(c, "bucket")
               .where(F.col("query_id") != F.col("neighbor_id"))

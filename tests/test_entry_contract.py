@@ -47,10 +47,8 @@ def test_oracle_keys_subset_of_queries(entry):
     qs = set(entry.queries())
     os_ = set(entry.oracle_sql())
     assert os_ <= qs, f"oracles without queries: {sorted(os_ - qs)}"
-    # every non-oracled query is a documented approximate/UDF op
-    rows_only = qs - os_
-    assert rows_only == {"dedup_minhash", "dedup_simhash", "ann_lsh_topk",
-                         "ann_ivf_topk", "multimodal_features"}
+    # every driver slot carries a value oracle — none are rows-only
+    assert qs - os_ == set()
 
 
 @pytest.mark.parametrize("name", [
