@@ -540,9 +540,12 @@ FROM orders GROUP BY o_custkey
 
 def _merge_inner_left(spark, sf):
     """Folded: inner merge (sort-merge-join analogue, weld_joins.py:
-    76-107; Catalyst picks broadcast-hash) tagged 'inner', plus a left
+    76-107; Catalyst picks broadcast-hash) tagged 'inner', a left
     merge fabricating NULLs for missing keys (weld_ops.py:370-414)
-    tagged 'left' — one schema."""
+    tagged 'left', and the mirrored right merge (the reference's
+    first-class right tail, weld_joins.py:41-57) tagged 'right' —
+    unmatched right keys keep the right side's key value, order
+    columns NULL — one schema."""
     o = _bl(spark, sf, "orders")
     c = _bl(spark, sf, "customer").rename({"c_custkey": "o_custkey"})
     inner = o.merge(c, how="inner", on="o_custkey")
@@ -554,7 +557,12 @@ def _merge_inner_left(spark, sf):
     lrows = left.to_spark(include_index=True).select(
         F.lit("left").alias("kind"), "o_orderkey", "o_custkey",
         F.round("c_acctbal", 2).alias("c_acctbal"))
-    return irows.unionByName(lrows)
+    right = o[["o_custkey", "o_orderkey"]].merge(hi, how="right",
+                                                 on="o_custkey")
+    rrows = right.to_spark(include_index=True).select(
+        F.lit("right").alias("kind"), "o_orderkey", "o_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"))
+    return irows.unionByName(lrows).unionByName(rrows)
 
 
 _MERGE_INNER_LEFT_SQL = """
@@ -563,6 +571,10 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 UNION ALL
 SELECT 'left', o_orderkey, o_custkey, round(c_acctbal, 2)
 FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 7000) c
+  ON o_custkey = c_custkey
+UNION ALL
+SELECT 'right', o_orderkey, c_custkey, round(c_acctbal, 2)
+FROM orders RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal > 7000) c
   ON o_custkey = c_custkey
 """
 
@@ -772,16 +784,53 @@ FROM customer
 """
 
 
+def _cudf_so():
+    """Compile (once per process, cached in tmp) the tiny C library the
+    reference's test fixture uses (tests/core/test_series.py:277-288:
+    udf_add over vec[i64] + scalar) so apply mode 4 — dynamically
+    linked C UDFs via load_cudf — gets driver-gate evidence. Local
+    mode shares the filesystem; a real cluster ships the .so with
+    spark.files. Returns None when no C compiler exists."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        return None
+    so = os.path.join(tempfile.gettempdir(), "baloo_entry_udf_add.so")
+    if not os.path.exists(so):
+        src = so[:-3] + ".c"
+        with open(src, "w") as f:
+            f.write("#include <stdint.h>\n"
+                    "void udf_add(const int64_t* in, int64_t n, "
+                    "int64_t* out, int64_t scalar) {\n"
+                    "  for (int64_t i = 0; i < n; i++) "
+                    "out[i] = in[i] + scalar;\n}\n")
+        subprocess.run([cc, "-shared", "-fPIC", "-O2", "-o", so, src],
+                       check=True)
+    return so
+
+
 def _unary_math(spark, sf):
     """Full unary-math surface (functions/__init__.py:28-63): exp/log/
     sqrt/sin/cos, the tan/asin/acos/atan/sinh/cosh/tanh family, erf
     (native F.erf; oracle replays A&S 7.1.26 — max err 1.5e-7, safe at
     round-6 for the discount domain), plus an eager-numpy `raw` column
-    via Arrow pandas_udf (apply modes 5/6)."""
+    via Arrow pandas_udf (apply modes 5/6) and a C UDF column (apply
+    mode 4, load_cudf -> ctypes over the Arrow batch's numpy buffer;
+    falls back to the same math via `raw` where no compiler exists —
+    the oracle math is identical either way)."""
     import numpy as np
     import baloo_spark as bl
     li = _bl(spark, sf, "lineitem")
     sub = li[li["l_orderkey"] < 50]
+    so = _cudf_so()
+    qi = sub["l_quantity"].astype("int64")
+    if so is not None:
+        sub["cadd"] = qi.apply(bl.load_cudf(so, "udf_add"), scalar=7)
+    else:
+        sub["cadd"] = qi.apply(bl.raw(lambda a: a + 7), new_dtype="int64")
     sub["e"] = bl.exp(sub["l_discount"])
     sub["l"] = bl.log(sub["l_extendedprice"])
     sub["s"] = bl.sqrt(sub["l_quantity"])
@@ -799,9 +848,10 @@ def _unary_math(spark, sf):
         .apply(lambda a: np.log1p(a), new_dtype="float64")
     cols = ["e", "l", "s", "sn", "co", "tn", "asn", "acs", "atn",
             "sh", "ch", "th", "ef", "rawlog"]
-    out = sub[["l_orderkey", "l_linenumber"] + cols].to_spark()
+    out = sub[["l_orderkey", "l_linenumber"] + cols + ["cadd"]].to_spark()
     return out.select("l_orderkey", "l_linenumber",
-                      *[F.round(c, 6).alias(c) for c in cols])
+                      *[F.round(c, 6).alias(c) for c in cols],
+                      F.col("cadd").cast("long").alias("cadd"))
 
 
 _UNARY_MATH_SQL = """
@@ -821,7 +871,8 @@ SELECT l_orderkey, l_linenumber,
        round(1 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
                    - 0.284496736) * t + 0.254829592) * t
                  * exp(-l_discount * l_discount), 6) AS ef,
-       round(ln(1 + l_quantity), 6) AS rawlog
+       round(ln(1 + l_quantity), 6) AS rawlog,
+       CAST(l_quantity AS BIGINT) + 7 AS cadd
 FROM (SELECT *, 1 / (1 + 0.3275911 * l_discount) AS t
       FROM lineitem WHERE l_orderkey < 50)
 """
