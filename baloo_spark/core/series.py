@@ -511,28 +511,21 @@ class Series:
 
     def shift(self, periods: int = 1) -> "Series":
         """Values moved by ``periods`` along the logical order, NULLs
-        at the edge (pandas flavor; engine extension). Uses an ordered
-        window over the order columns — supply a meaningful sort
-        (sort_values/sort_index) upstream; on an unordered scan this
-        falls back to the dense-ordinal order."""
-        from pyspark.sql import Window
+        at the edge (pandas flavor; engine extension).
+
+        Partition-safe at any scale: within-partition lag/lead plus a
+        driver-side boundary carry of n_partitions x |periods| edge
+        values (plans/ordinal.py:with_boundary_shift) — never a global
+        single-partition window. Supply a meaningful sort
+        (sort_values/sort_index) upstream; an unordered scan shifts in
+        the current layout order."""
         sdf = self._sdf
         order = [F.col(c).asc() if a else F.col(c).desc()
                  for c, a in (self._order or []) if c in sdf.columns]
-        if not order:
-            from ..plans.ordinal import POS_COL, with_dense_ordinal
-            sdf = with_dense_ordinal(sdf, name=POS_COL)
-            order = [F.col(POS_COL).asc()]
-        from ..plans import warn_single_partition
-        warn_single_partition(
-            "Series.shift's global ordered window",
-            "For grouped shifts at scale use DataFrame.with_lag("
-            "partition_by=...).")
-        w = Window.orderBy(*order)
-        fn = F.lag(self._colexpr, periods) if periods >= 0 \
-            else F.lead(self._colexpr, -periods)
-        return Series._make(sdf.withColumn("__shift__", fn.over(w)),
-                            F.col("__shift__"), self._index_cols,
+        from ..plans.ordinal import with_boundary_shift
+        out = with_boundary_shift(sdf, self._colexpr, periods,
+                                  order_by=order or None)
+        return Series._make(out, F.col("__shift__"), self._index_cols,
                             self.name, self._order)
 
     def diff(self, periods: int = 1) -> "Series":

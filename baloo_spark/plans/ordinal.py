@@ -37,6 +37,96 @@ ORD_COL = "__ord__"
 POS_COL = "__pos__"
 
 
+def with_boundary_shift(sdf: DataFrame, value_col, periods: int,
+                        order_by: list | None = None,
+                        name: str = "__shift__") -> DataFrame:
+    """Partition-safe global shift (lag/lead by ``periods``): adds
+    ``name`` holding the value ``periods`` rows earlier (positive) or
+    later (negative) in the global order, NULL past the edge.
+
+    The naive plan — ``lag() OVER (ORDER BY ...)`` with no partition —
+    collapses the table into one partition. Here the window is
+    partitioned by physical partition id (all work stays local) and
+    only the |periods| rows at each partition boundary take their
+    value from a *carry list* collected on the driver: every
+    partition's |periods| edge rows — n_partitions x |periods| scalars
+    by construction, kilobytes even at thousands of partitions — then
+    broadcast back. Two jobs, no data-sized shuffle beyond the
+    (optional) range layout, identical results to the global window.
+
+    ``order_by``: sort expressions defining the global order; None
+    keeps the current layout order (ingest order), mirroring
+    :func:`with_dense_ordinal`.
+    """
+    from pyspark.sql import types as T
+
+    if periods == 0:
+        return sdf.withColumn(name, value_col)
+    k = abs(periods)
+    if order_by:
+        n = max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
+        sdf = (sdf.repartitionByRange(n, *order_by)
+               .sortWithinPartitions(*order_by))
+    sdf = (sdf.withColumn("__sv__", value_col)
+           .withColumn("__mid__", F.monotonically_increasing_id())
+           .withColumn("__pid__", F.spark_partition_id())
+           .localCheckpoint())
+
+    fwd = periods > 0
+    w_in = Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
+    local = (F.lag("__sv__", periods).over(w_in) if fwd
+             else F.lead("__sv__", -periods).over(w_in))
+    # rows whose donor lives in another partition: the first k rows of
+    # each partition for lag, the last k for lead
+    edge_w = w_in if fwd else Window.partitionBy("__pid__") \
+        .orderBy(F.col("__mid__").desc())
+    edge_rn = F.row_number().over(edge_w)
+    # donor rows: the k rows nearest the *other* boundary
+    donor_w = Window.partitionBy("__pid__").orderBy(
+        F.col("__mid__").desc() if fwd else F.col("__mid__").asc())
+    donors = (sdf.withColumn("__drn__", F.row_number().over(donor_w))
+              .where(F.col("__drn__") <= k)
+              .select("__pid__", "__drn__", "__sv__").collect())
+    by_pid: dict = {}
+    for r in donors:
+        by_pid.setdefault(r["__pid__"], {})[r["__drn__"]] = r["__sv__"]
+
+    # walk partitions in global order, carrying the k values adjacent
+    # to each boundary; every carried value is within k rows of its own
+    # partition's edge, so the collected donors always suffice (even
+    # when partitions hold fewer than k rows)
+    carry_rows = []
+    run: list = []  # the k values just before (lag) / after (lead) the
+    #                 partition being visited, nearest-boundary-LAST
+    pid_iter = sorted(by_pid) if fwd else sorted(by_pid, reverse=True)
+    for pid in pid_iter:
+        m = len(run)
+        for r in range(1, k + 1):
+            i = m - (k - r + 1)  # r-th edge row needs the value
+            #                      k-r+1 positions beyond the boundary
+            if i >= 0:
+                carry_rows.append((int(pid), r, run[i]))
+        part = by_pid[pid]
+        # donor_rn=1 is the row nearest the boundary; run keeps
+        # nearest-boundary-last ordering
+        vals = [part[d] for d in sorted(part, reverse=True)]
+        run = (run + vals)[-k:]
+
+    sv_type = sdf.schema["__sv__"].dataType
+    carry_schema = T.StructType([
+        T.StructField("__pid__", T.IntegerType()),
+        T.StructField("__ern__", T.IntegerType()),
+        T.StructField("__cv__", sv_type)])
+    carry_df = sdf.sparkSession.createDataFrame(carry_rows, carry_schema)
+
+    out = (sdf.withColumn("__ern__", edge_rn)
+           .join(F.broadcast(carry_df), ["__pid__", "__ern__"], "left")
+           .withColumn(name, F.when(F.col("__ern__") <= k, F.col("__cv__"))
+                       .otherwise(local))
+           .drop("__pid__", "__mid__", "__ern__", "__cv__", "__sv__"))
+    return out
+
+
 def with_dense_ordinal(sdf: DataFrame, order_by: list | None = None,
                        name: str = ORD_COL) -> DataFrame:
     """Return ``sdf`` with a dense 0..n-1 long column ``name``.

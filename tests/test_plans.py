@@ -88,6 +88,18 @@ def test_slice_no_global_single_partition_sort(spark, entry):
     assert "Window" not in p or "SinglePartition" not in p
 
 
+def test_shift_no_single_partition_window(bl, spark):
+    # Series.shift uses the boundary-carry scheme (pid-local window +
+    # broadcast carry join) — never Exchange SinglePartition
+    import numpy as np
+    df = bl.DataFrame({"k": np.arange(100), "v": np.arange(100) * 1.0})
+    s = df.sort_values("k")["v"]
+    for p in (s.shift(1), s.shift(-2), s.diff(1)):
+        plan = plan_of(p._sdf)
+        assert "Exchange SinglePartition" not in plan
+        assert "Window" not in plan or "SinglePartition" not in plan
+
+
 def test_multimodal_stats_prune_payload(spark):
     from baloo_spark.operators.multimodal import media_stats, to_media_table
     docs = spark.read.parquet(f"{SF}/documents.parquet")

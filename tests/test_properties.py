@@ -138,13 +138,10 @@ def test_cross_frame_mask_matches_pandas(bl, v, m):
 @given(v=vals)
 @settings(**SETTINGS)
 def test_shift_diff_match_pandas(bl, v):
-    import warnings
     ps = pd.Series(np.array(v, dtype=np.float64))
     sr = bl.Series(ps.to_numpy())
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # expected ScaleWarning
-        got_shift = sr.shift(1).to_pandas()
-        got_diff = sr.diff(1).to_pandas()
+    got_shift = sr.shift(1).to_pandas()
+    got_diff = sr.diff(1).to_pandas()
     pd.testing.assert_series_equal(
         got_shift.reset_index(drop=True), ps.shift(1),
         check_names=False)

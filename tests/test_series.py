@@ -162,17 +162,16 @@ def test_idxmax_idxmin(bl):
 
 
 def test_shift_diff(bl):
-    import warnings
+    # partition-safe boundary-carry shift: no ScaleWarning anymore
     sr = bl.Series(np.array([1.0, 4.0, 9.0, 16.0]))
     import math
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # expected ScaleWarning
-        out = sr.shift(1).to_pandas().tolist()
-        assert out[1:] == [1.0, 4.0, 9.0]
-        assert out[0] is None or math.isnan(out[0])
-        d = sr.diff(1).to_pandas().tolist()
-        assert d[1:] == [3.0, 5.0, 7.0]
-        assert sr.shift(-1).to_pandas().tolist()[:3] == [4.0, 9.0, 16.0]
+    out = sr.shift(1).to_pandas().tolist()
+    assert out[1:] == [1.0, 4.0, 9.0]
+    assert out[0] is None or math.isnan(out[0])
+    d = sr.diff(1).to_pandas().tolist()
+    assert d[1:] == [3.0, 5.0, 7.0]
+    assert sr.shift(-1).to_pandas().tolist()[:3] == [4.0, 9.0, 16.0]
+    assert sr.shift(2).to_pandas().tolist()[2:] == [1.0, 4.0]
 
 
 def test_value_counts_normalize_and_mode(bl):
