@@ -31,6 +31,14 @@ def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
         "header", header is not None and header is not False).option(
         "inferSchema", True)
     sdf = reader.csv(filepath)
+    if header is not None and header is not False and not names:
+        # pandas parity: empty header cells (e.g. a written index
+        # column, reference tests/io/files/df1.csv) become
+        # "Unnamed: N", not Spark's "_cN" fallback
+        renames = {c: f"Unnamed: {c[2:]}" for c in sdf.columns
+                   if c.startswith("_c") and c[2:].isdigit()}
+        if renames:
+            sdf = sdf.withColumnsRenamed(renames)
     if names:
         sdf = sdf.toDF(*names)
     if skiprows:
