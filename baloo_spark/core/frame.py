@@ -231,20 +231,34 @@ class DataFrame:
                     [r[0] for r in sdf.select(col).collect()])
             return _f
 
+        from .series import Series
+
+        def backing(col, name):
+            # lazy Series over the frame's own plan: index ops
+            # (filters, arithmetic, astype) compose Columns without
+            # collecting anything driver-side. Indexed by ordinal, not
+            # by itself, so the projection never self-collides.
+            idx = [ORD_COL] if ORD_COL in self._sdf.columns else []
+            return Series._make(self._sdf, F.col(col), idx, name,
+                                self._order)
+
         cols = self._index_cols
         if cols == [ORD_COL]:
             ri = RangeIndex(getattr(self, "_len_cache", None))
             ri._fetch = fetch(ORD_COL)
+            ri._series = backing(ORD_COL, None)
             return ri
         if len(cols) == 1:
             name = None if cols[0] == _IDX else cols[0]
             ix = Index(name=name)
             ix._fetch = fetch(cols[0])
+            ix._series = backing(cols[0], name)
             return ix
         levels = []
         for c in cols:
             ix = Index(name=c)
             ix._fetch = fetch(c)
+            ix._series = backing(c, c)
             levels.append(ix)
         return MultiIndex(levels, [ix.name for ix in levels])
 

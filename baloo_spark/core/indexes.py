@@ -20,37 +20,185 @@ import numpy as np
 
 
 class Index:
-    """Named, typed label column (reference base.py:11-78)."""
+    """Named, typed label column (reference base.py:11-78).
+
+    Lazily Series-backed: construction from driver-side data is cheap
+    (a numpy array, no Spark plan yet), but every OPERATION —
+    comparison, arithmetic, ``&|~``, boolean filter, slice, ``head``/
+    ``tail``, ``astype``, ``isna``/``dropna``/``fillna`` — routes
+    through a backing lazy :class:`~baloo_spark.core.series.Series`,
+    so it composes Catalyst Column expressions exactly like Series
+    does (reference: Index shares BinaryOps/BitOps with Series,
+    base.py:11,64-103). Nothing evaluates until ``.values`` /
+    ``evaluate()``; an Index attached to a live frame operates over
+    the frame's own plan without collecting.
+    """
 
     def __init__(self, data=None, dtype=None, name=None):
         self.name = name
         self._values = None
-        self._fetch = None  # lazy supplier attached by DataFrame.index
+        self._fetch = None   # numpy supplier attached by DataFrame.index
+        self._series = None  # lazy backing Series (built on demand)
         if data is not None:
-            self._values = np.asarray(getattr(data, "values", data),
-                                      dtype=dtype)
+            from .series import Series
+            if isinstance(data, Index):
+                self._values, self._series = data._values, data._series
+                self._fetch = data._fetch
+                if name is None:
+                    self.name = data.name
+            elif isinstance(data, Series):
+                self._series = data
+                if name is None:
+                    self.name = data.name
+            else:
+                self._values = np.asarray(getattr(data, "values", data),
+                                          dtype=dtype)
+
+    # ------------------------------------------------------------ backing
+
+    @classmethod
+    def _from_series(cls, sr, name=None) -> "Index":
+        ix = cls(name=name if name is not None else sr.name)
+        ix._series = sr
+        return ix
+
+    @property
+    def _backing(self):
+        """The lazy Series this Index operates through. For a
+        raw-data Index it is built once from the held values; for a
+        frame-attached Index it is the frame's own index column (no
+        collect)."""
+        if self._series is None:
+            from .series import Series
+            vals = self.values
+            if vals is None:
+                raise ValueError("Index has no data")
+            self._series = Series(
+                vals, name=self.name if isinstance(self.name, str) else None)
+        return self._series
+
+    def _lazy(self, sr) -> "Index":
+        ix = Index._from_series(sr)
+        ix.name = self.name
+        return ix
+
+    @staticmethod
+    def _unwrap(other):
+        return other._backing if isinstance(other, Index) else other
+
+    # ------------------------------------------------------- introspection
 
     @property
     def values(self):
-        if self._values is None and self._fetch is not None:
-            self._values = self._fetch()
+        if self._values is None:
+            if self._fetch is not None:
+                self._values = self._fetch()
+            elif self._series is not None:
+                self._values = self._series.values
         return self._values
 
     @property
     def dtype(self):
+        if self._values is not None:
+            return self._values.dtype
+        if self._series is not None:
+            return self._series.dtype  # schema-only, no evaluation
         v = self.values
         return None if v is None else v.dtype
 
     def __len__(self):
+        if self._values is None and self._series is not None:
+            return len(self._series)  # count, not collect
         v = self.values
         return 0 if v is None else len(v)
 
-    def notna(self) -> np.ndarray:
-        import pandas as pd
-        return ~pd.isna(self.values)
+    @property
+    def empty(self) -> bool:
+        return len(self) == 0
+
+    def evaluate(self) -> "Index":
+        """Force computation; return a materialized Index (reference
+        base.py:180-193)."""
+        return Index(self.values, name=self.name)
+
+    # -------------------------------- lazy operators (reference BinaryOps)
+
+    # comparisons vs scalar/array/Index -> lazy boolean Index
+    def __lt__(self, o): return self._lazy(self._backing < Index._unwrap(o))
+    def __le__(self, o): return self._lazy(self._backing <= Index._unwrap(o))
+    def __gt__(self, o): return self._lazy(self._backing > Index._unwrap(o))
+    def __ge__(self, o): return self._lazy(self._backing >= Index._unwrap(o))
+
+    def __eq__(self, o):  # noqa: A003 - pandas-style elementwise eq
+        return self._lazy(self._backing == Index._unwrap(o))
+
+    def __ne__(self, o):
+        return self._lazy(self._backing != Index._unwrap(o))
+
+    __hash__ = None  # elementwise __eq__ (same stance as Series)
+
+    # bit ops (reference BitOps -> weld_array_op)
+    def __and__(self, o): return self._lazy(self._backing & Index._unwrap(o))
+    def __or__(self, o): return self._lazy(self._backing | Index._unwrap(o))
+    def __invert__(self): return self._lazy(~self._backing)
+
+    # arithmetic (reference base.py:84-103; result stays an Index)
+    def __add__(self, o): return self._lazy(self._backing + Index._unwrap(o))
+    def __radd__(self, o): return self.__add__(o)
+    def __sub__(self, o): return self._lazy(self._backing - Index._unwrap(o))
+    def __mul__(self, o): return self._lazy(self._backing * Index._unwrap(o))
+    def __rmul__(self, o): return self.__mul__(o)
+    def __truediv__(self, o):
+        return self._lazy(self._backing / Index._unwrap(o))
+    def __pow__(self, o): return self._lazy(self._backing ** Index._unwrap(o))
+    def __mod__(self, o): return self._lazy(self._backing % Index._unwrap(o))
+
+    # ------------------------------------------------- missing data / cast
+
+    def isna(self) -> "Index":
+        return self._lazy(self._backing.isna())
+
+    def notna(self) -> "Index":
+        return self._lazy(self._backing.notna())
+
+    def dropna(self) -> "Index":
+        return self._lazy(self._backing.dropna())
+
+    def fillna(self, value) -> "Index":
+        return self._lazy(self._backing.fillna(value))
+
+    def astype(self, dtype) -> "Index":
+        return self._lazy(self._backing.astype(dtype))
+
+    # ----------------------------------------------------------- selection
 
     def __getitem__(self, item):
+        from .series import Series
+        if isinstance(item, (Index, Series)):
+            # boolean-mask filter, built lazily (reference base.py:146-160)
+            mask = item._backing if isinstance(item, Index) else item
+            return self._lazy(self._backing[mask])
+        if isinstance(item, slice):
+            start, stop = item.start, item.stop
+            if (start is not None and start < 0) or \
+                    (stop is not None and stop < 0):
+                n = len(self)
+                start = None if start is None else (
+                    max(n + start, 0) if start < 0 else start)
+                stop = None if stop is None else (
+                    n + stop if stop < 0 else stop)
+                item = slice(start, stop, item.step)
+            return self._lazy(self._backing[item])
+        # numpy fancy/positional selection stays a driver-side gather
         return Index(self.values[item], name=self.name)
+
+    def head(self, n: int = 5) -> "Index":
+        return self._lazy(self._backing.head(n))
+
+    def tail(self, n: int = 5) -> "Index":
+        return self._lazy(self._backing.tail(n))
+
+    # ---------------------------------------------------------- interop
 
     def to_pandas(self):
         import pandas as pd
@@ -61,7 +209,10 @@ class Index:
         return cls(np.asarray(index), name=index.name)
 
     def __repr__(self):
-        return f"Index(name={self.name})"
+        return f"Index(name={self.name}, dtype={self.dtype})"
+
+    def __str__(self):
+        return str(self.values)
 
 
 class RangeIndex(Index):

@@ -178,9 +178,17 @@ class Series:
         if cols == [ORD_COL]:
             ri = RangeIndex(getattr(self, "_len_cache", None))
             ri._fetch = fetch(ORD_COL)
+            ri._series = Series._make(self._sdf, F.col(ORD_COL), [ORD_COL],
+                                      None, self._order)
             return ri
         ix = Index(name=None if cols[0] == _IDX else cols[0])
         ix._fetch = fetch(cols[0])
+        # lazy backing over the SAME plan: ops on the index (filters,
+        # arithmetic, astype) compose Columns without collecting.
+        # Indexed by ordinal so the projection never self-collides.
+        idx = [ORD_COL] if ORD_COL in self._sdf.columns else []
+        ix._series = Series._make(self._sdf, F.col(cols[0]), idx,
+                                  ix.name, self._order)
         return ix
 
     @property

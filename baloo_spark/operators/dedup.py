@@ -96,7 +96,17 @@ def _parallelize(df: DataFrame) -> DataFrame:
     1-2 partitions, serializing all downstream compute. At 100 TB the
     scan naturally has thousands of partitions and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # DataFrame-native width probe: file-backed plans report the files
+    # behind the scan; at 100 TB that's thousands of files and this is
+    # a no-op. Non-file relations (in-memory test frames) report none
+    # and are small by construction, so the repartition is cheap.
+    # df.rdd would answer the same question but forces a Python-RDD
+    # conversion + analysis pass per call.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

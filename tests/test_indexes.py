@@ -1,0 +1,148 @@
+"""Index parity with the reference, built lazily.
+
+Shaped after the reference's ``tests/core/indexes/test_base.py``
+(comparison, filter, slice, head/tail, arithmetic vs array and
+scalar, isna/dropna/fillna) plus laziness assertions: an operation on
+an Index must NOT materialize anything — values appear only at
+``.values`` / ``evaluate()`` time, exactly like Series.
+"""
+
+import numpy as np
+import pytest
+
+import baloo_spark as bl
+from baloo_spark.core.indexes import Index, RangeIndex
+
+
+@pytest.fixture()
+def index_i64():
+    return Index(np.arange(5), np.dtype(np.int64))
+
+
+def assert_index_equal(actual, expected):
+    # mirrors the reference's helper: evaluate both, compare values,
+    # dtype kind, length, name (test_base.py:7-22)
+    actual = actual.evaluate()
+    expected = expected.evaluate()
+    np.testing.assert_array_equal(actual.values, expected.values)
+    assert actual.dtype.kind == expected.dtype.kind
+    assert len(actual) == len(expected)
+    assert actual.name == expected.name
+
+
+def test_init_list():
+    assert_index_equal(Index([1, 2, 3]), Index(np.array([1, 2, 3])))
+
+
+def test_comparison_is_lazy(index_i64):
+    out = index_i64 < 3
+    assert out._values is None  # no evaluation happened
+    assert_index_equal(out, Index(np.array([True, True, True, False,
+                                            False])))
+
+
+def test_filter(index_i64):
+    mask = Index(np.array([False, True, True, False, False]))
+    out = index_i64[mask]
+    assert out._values is None
+    assert_index_equal(out, Index(np.array([1, 2], dtype=np.int64)))
+
+
+def test_filter_by_own_comparison(index_i64):
+    # the composed pipeline (compare -> filter) stays one lazy plan
+    out = index_i64[index_i64 < 2]
+    assert out._values is None
+    assert_index_equal(out, Index(np.array([0, 1], dtype=np.int64)))
+
+
+def test_slice(index_i64):
+    assert_index_equal(index_i64[1:3],
+                       Index(np.array([1, 2], dtype=np.int64)))
+
+
+def test_head_tail(index_i64):
+    assert_index_equal(index_i64.head(2),
+                       Index(np.array([0, 1], dtype=np.int64)))
+    assert_index_equal(index_i64.tail(2),
+                       Index(np.array([3, 4], dtype=np.int64)))
+
+
+@pytest.mark.parametrize("operation, expected", [
+    ("+", np.arange(3, 8, dtype=np.float32)),
+    ("-", np.arange(-1, 4, dtype=np.float32)),
+    ("*", np.arange(2, 11, 2, dtype=np.float32)),
+    ("/", np.array([0.5, 1, 1.5, 2, 2.5], dtype=np.float32)),
+    ("**", np.array([1, 4, 9, 16, 25], dtype=np.float32)),
+])
+def test_op_array(operation, expected):
+    data = Index(np.arange(1, 6, dtype=np.float32))
+    other = bl.Series(np.full(5, 2, dtype=np.float32))
+    actual = eval(f"data {operation} other")
+    assert isinstance(actual, Index)
+    assert actual._values is None
+    assert_index_equal(actual, Index(expected))
+
+
+@pytest.mark.parametrize("operation, expected", [
+    ("+", np.arange(3, 8, dtype=np.float32)),
+    ("-", np.arange(-1, 4, dtype=np.float32)),
+    ("*", np.arange(2, 11, 2, dtype=np.float32)),
+    ("/", np.array([0.5, 1, 1.5, 2, 2.5], dtype=np.float32)),
+    ("**", np.array([1, 4, 9, 16, 25], dtype=np.float32)),
+])
+def test_op_scalar(operation, expected):
+    ind = Index(np.arange(1, 6, dtype=np.float32))
+    actual = eval(f"ind {operation} 2")
+    assert isinstance(actual, Index)
+    assert_index_equal(actual, Index(expected))
+
+
+def test_isna_dropna_fillna():
+    ind = Index(np.array([3.0, 2.0, np.nan, 4.0, np.nan]))
+    np.testing.assert_array_equal(
+        ind.isna().values, np.array([False, False, True, False, True]))
+    np.testing.assert_array_equal(
+        ind.dropna().values, np.array([3.0, 2.0, 4.0]))
+    np.testing.assert_array_equal(
+        ind.fillna(0.0).values, np.array([3.0, 2.0, 0.0, 4.0, 0.0]))
+
+
+def test_astype(index_i64):
+    out = index_i64.astype("float64")
+    assert out._values is None
+    assert out.values.dtype == np.float64
+
+
+def test_frame_index_ops_do_not_collect(spark):
+    """An Index attached to a live frame operates over the frame's
+    own plan — comparisons/filters build lazily with no driver
+    collect (VERDICT r2 missing-4)."""
+    df = bl.DataFrame({"a": np.arange(10, 20), "b": np.arange(10)})
+    df = df.set_index("a")
+    ix = df.index
+    out = ix[ix < 15]
+    assert out._values is None  # nothing materialized yet
+    np.testing.assert_array_equal(out.values,
+                                  np.array([10, 11, 12, 13, 14]))
+
+
+def test_series_index_lazy(spark):
+    sr = bl.Series(np.array([1.0, 2.0, 3.0]),
+                   index=np.array([10, 20, 30]))
+    ix = sr.index
+    assert (ix + 1)._values is None
+    np.testing.assert_array_equal((ix + 1).values, np.array([11, 21, 31]))
+
+
+def test_range_index_backing(spark):
+    sr = bl.Series(np.array([5.0, 6.0, 7.0]))
+    ri = sr.index
+    assert isinstance(ri, RangeIndex)
+    out = ri * 2
+    np.testing.assert_array_equal(out.values, np.array([0, 2, 4]))
+
+
+def test_dtype_is_schema_only(index_i64):
+    out = index_i64.astype("int32")
+    assert out.dtype == np.int32   # read from the plan's schema
+    assert out._values is None     # ...without evaluating
