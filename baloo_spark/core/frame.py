@@ -243,6 +243,16 @@ class DataFrame:
                                 self._order)
 
         cols = self._index_cols
+        if not cols:
+            # implicit positional index (read_parquet/from_spark frames
+            # carry no index column for scale): a RangeIndex whose
+            # values realize through the dense-ordinal plan on demand
+            from ..plans.ordinal import with_dense_ordinal
+            ri = RangeIndex(getattr(self, "_len_cache", None))
+            ri._series = Series._make(with_dense_ordinal(self._sdf),
+                                      F.col(ORD_COL), [ORD_COL], None,
+                                      self._order)
+            return ri
         if cols == [ORD_COL]:
             ri = RangeIndex(getattr(self, "_len_cache", None))
             ri._fetch = fetch(ORD_COL)

@@ -216,25 +216,44 @@ class Index:
 
 
 class RangeIndex(Index):
-    """Lazy 0..n-1 (reference weld_range, range.py:63). Never
-    materialized driver-side; realized as the __ord__ column on
-    demand through the scale-safe dense-ordinal plan
-    (:mod:`baloo_spark.plans.ordinal`)."""
+    """Lazy start..stop:step (reference weld_range, range.py:43-63).
+    Never materialized driver-side; on a live frame it is realized as
+    the __ord__ column on demand through the scale-safe dense-ordinal
+    plan (:mod:`baloo_spark.plans.ordinal`). ``RangeIndex(5)`` means
+    0..4, like the reference and ``range``."""
 
-    def __init__(self, stop: int | None = None, name=None):
+    def __init__(self, start: int | None = None, stop: int | None = None,
+                 step: int = 1, name=None):
         super().__init__(None, None, name)
-        self.stop = stop
+        if stop is None:
+            start, stop = 0, start
+        if step is not None and step < 1:
+            # reference range.py:104
+            raise ValueError("Only positive steps are currently supported")
+        self.start, self.stop, self.step = start or 0, stop, step or 1
 
     @property
     def values(self):
+        if self._values is not None:
+            return self._values
         if self.stop is None and self._fetch is not None:
-            return self._fetch()
+            self._values = self._fetch()
+            return self._values
+        if self.stop is None and self._series is not None:
+            self._values = self._series.values
+            return self._values
         if self.stop is None:
             return None
-        return np.arange(self.stop)
+        return np.arange(self.start, self.stop, self.step)
+
+    def __len__(self):
+        if self.stop is not None:
+            return len(range(self.start, self.stop, self.step))
+        return super().__len__()
 
     def __repr__(self):
-        return f"RangeIndex(stop={self.stop})"
+        return (f"RangeIndex(start={self.start}, stop={self.stop}, "
+                f"step={self.step})")
 
 
 class MultiIndex:

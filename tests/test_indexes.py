@@ -142,6 +142,53 @@ def test_range_index_backing(spark):
     np.testing.assert_array_equal(out.values, np.array([0, 2, 4]))
 
 
+class TestRangeIndex:
+    """Shaped after the reference's tests/core/indexes/test_range.py."""
+
+    def test_init_single_arg(self):
+        ri = RangeIndex(5)
+        assert (ri.start, ri.stop, ri.step) == (0, 5, 1)
+        np.testing.assert_array_equal(ri.values, np.arange(5))
+
+    def test_init_negative_step(self):
+        with pytest.raises(ValueError):
+            RangeIndex(5, 0, -1)
+
+    def test_evaluate(self):
+        assert_index_equal(RangeIndex(5).evaluate(), Index(np.arange(5)))
+
+    def test_len_raw(self):
+        assert len(RangeIndex(5)) == 5
+        assert len(RangeIndex(1, 7, 2)) == 3
+
+    def test_comparison(self):
+        assert_index_equal(RangeIndex(5) < 3,
+                           Index(np.array([True, True, True, False,
+                                           False])))
+
+    def test_filter(self):
+        out = RangeIndex(5)[Index(np.array([False, True, True, False,
+                                            False]))]
+        assert_index_equal(out, Index(np.array([1, 2], dtype=np.int64)))
+
+    def test_slice_head(self):
+        assert_index_equal(RangeIndex(5)[1:3],
+                           Index(np.array([1, 2], dtype=np.int64)))
+        assert_index_equal(RangeIndex(5).head(2),
+                           Index(np.array([0, 1], dtype=np.int64)))
+
+
+def test_read_frame_implicit_range_index(spark):
+    """A file-backed frame carries no index column (by design, for
+    scale); its .index presents as a RangeIndex realized through the
+    dense-ordinal plan on demand — not an empty MultiIndex."""
+    import baloo_spark as bl
+    df = bl.read_parquet("/root/testdata/sf0.001/nation.parquet")
+    ix = df.index
+    assert isinstance(ix, RangeIndex)
+    np.testing.assert_array_equal(ix.head(3).values, np.arange(3))
+
+
 def test_dtype_is_schema_only(index_i64):
     out = index_i64.astype("int32")
     assert out.dtype == np.int32   # read from the plan's schema
