@@ -60,6 +60,8 @@ def with_boundary_shift(sdf: DataFrame, value_col, periods: int,
     """
     from pyspark.sql import types as T
 
+    if isinstance(value_col, str):
+        value_col = F.col(value_col)
     if periods == 0:
         return sdf.withColumn(name, value_col)
     k = abs(periods)

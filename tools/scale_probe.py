@@ -1,6 +1,10 @@
-"""Scaling probe: replicate lineitem in-memory and time the flagship
-aggregation at 1x/4x/16x data to show sub-linear wall-clock growth
-(partial aggregation + AQE). Output appended to SCALING.md.
+"""Scaling probe: replicate the real tables in-plan and time five
+operator families at 1x/4x/16x data to show how wall-clock grows.
+Evidence for the 100 TB design questions: does the partial agg carry
+the shuffle? does the join scale with its inputs, not its output
+skew? does top-k prune map-side? does the partition-safe shift avoid
+the single-partition collapse? does the minhash fold stay a narrow
+map? Output rewrites SCALING.md.
 
 Usage: python tools/scale_probe.py [sf_dir]
 """
@@ -13,42 +17,97 @@ import time
 sys.path.insert(0, ".")
 
 
+def replicate(df, mult):
+    m, out = 1, df
+    while m < mult:
+        out = out.union(out)
+        m *= 2
+    return out
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from pyspark.sql import functions as F
 
+    from baloo_spark.plans.ordinal import with_boundary_shift
+    from baloo_spark.operators.dedup import minhash_signatures
     from baloo_spark.session import get_session
     spark = get_session("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
 
-    def q1(df):
-        flt = df.filter(F.col("l_shipdate") <= "1998-09-02")
+    def agg_q1(m):
+        flt = replicate(li, m).filter(F.col("l_shipdate") <= "1998-09-02")
         return (flt.groupBy("l_returnflag", "l_linestatus")
                 .agg(F.sum("l_quantity"), F.avg("l_extendedprice"),
-                     F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))),
                      F.count(F.lit(1))))
 
+    def join_shuffle(m):
+        # both sides replicated: a genuine two-sided shuffle join at
+        # 16x (the orders side outgrows the broadcast threshold)
+        return (replicate(li, m).join(replicate(orders, m), F.col(
+            "l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice"), F.count(F.lit(1))))
+
+    def window_topk(m):
+        w = replicate(orders, m)
+        from pyspark.sql import Window
+        win = (Window.partitionBy("o_custkey")
+               .orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        return (w.withColumn("rk", F.row_number().over(win))
+                .filter(F.col("rk") <= 2))
+
+    def shift(m):
+        # partition-safe global shift (boundary-carry scheme): the
+        # naive lag-over-global-order plan would collapse to ONE
+        # partition and flatline at 16x
+        w = replicate(li.select("l_orderkey", "l_extendedprice"), m)
+        return with_boundary_shift(w, "l_extendedprice", 1,
+                                   order_by=None)
+
+    def minhash(m):
+        return minhash_signatures(replicate(docs, m), k=64)
+
+    families = [
+        ("agg (TPC-H q1 shape)", agg_q1,
+         "map-side partial agg carries the shuffle at 6 groups "
+         "regardless of input rows; only the scan scales"),
+        ("join lineitem⋈orders + agg", join_shuffle,
+         "hash-partitioned shuffle join: both exchanges scale with "
+         "input, partial agg keeps the final stage tiny"),
+        ("window top-k per group", window_topk,
+         "WindowGroupLimit prunes to <=2 rows per group BEFORE the "
+         "exchange - shuffle stays proportional to groups, not rows"),
+        ("global shift (boundary-carry)", shift,
+         "per-partition lag + kilobyte edge-row carry; no "
+         "single-partition collapse at any multiple"),
+        ("minhash signatures k=64", minhash,
+         "one narrow map stage (shingle fold), no shuffle at all - "
+         "scales with pure scan+CPU"),
+    ]
+
     lines = ["# Scaling probe (tools/scale_probe.py)", "",
-             f"TPC-H-Q1-style aggregation over replicated lineitem ({sf}),",
+             f"Five operator families over replicated {sf} tables,",
              "steady-state (2nd run) wall-clock on local[32]:", ""]
-    for mult in (1, 4, 16):
-        df = base
-        m = 1
-        while m < mult:
-            df = df.union(df)
-            m *= 2
-        n = df.count()
-        q1(df).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        q1(df).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        lines.append(f"- {mult}x ({n:,} rows): {dt:.2f}s")
-        print(lines[-1])
-    lines += ["",
-              "Sub-linear growth = map-side partial aggregation carrying "
-              "the shuffle at 6 groups regardless of input rows; the scan "
-              "is the only part that scales with data."]
+    for name, fn, why in families:
+        lines.append(f"## {name}")
+        lines.append("")
+        for mult in (1, 4, 16):
+            df = fn(mult)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            n = "{:,}".format(df.count()) if mult == 1 else ""
+            lines.append(f"- {mult}x: {dt:.2f}s" +
+                         (f"  (1x output = {n} rows)" if n else ""))
+            print(name, lines[-1])
+        lines += ["", f"_{why}_", ""]
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
