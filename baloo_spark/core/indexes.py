@@ -153,6 +153,16 @@ class Index:
     def __pow__(self, o): return self._lazy(self._backing ** Index._unwrap(o))
     def __mod__(self, o): return self._lazy(self._backing % Index._unwrap(o))
 
+    # ------------------------------------- aggregations (LazyArrayResult)
+
+    def min(self):
+        """Minimum label (reference lazy_result.py:116-126; eager here
+        like every Series aggregation — one Spark job)."""
+        return self._backing.min()
+
+    def max(self):
+        return self._backing.max()
+
     # ------------------------------------------------- missing data / cast
 
     def isna(self) -> "Index":

@@ -189,6 +189,12 @@ def test_read_frame_implicit_range_index(spark):
     np.testing.assert_array_equal(ix.head(3).values, np.arange(3))
 
 
+def test_min_max(index_i64):
+    # reference LazyArrayResult.min/max (lazy_result.py:116-137)
+    assert index_i64.min() == 0
+    assert index_i64.max() == 4
+
+
 def test_dtype_is_schema_only(index_i64):
     out = index_i64.astype("int32")
     assert out.dtype == np.int32   # read from the plan's schema
