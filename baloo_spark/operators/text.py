@@ -139,27 +139,36 @@ def text_profile(df: DataFrame, text_col: str = "text",
     CollapseProject keeps the boundary because the expressions are
     non-cheap and multi-referenced (same pattern as the MinHash
     two-step in operators/dedup.py)."""
+    def _in(words):
+        return lambda x: x.isin(*words)
+
+    # stage 1: tokenize once; stage 2: lowercase once; stage 3: ONE
+    # array pass per language materialized as a plain int column.
+    # Downstream, hits[lg] is referenced many times (argmax, the
+    # tie-break when-chain, stop_ratio twice via the score) — as
+    # lambda subtrees those references would each re-run the filter
+    # interpreted per row, so they must be bound to columns here.
     pre = df.select(
         "doc_id", F.col(text_col),
         _tokens(F.col(text_col)).alias("__toks__"),
     ).select(
         "doc_id", F.col(text_col), F.col("__toks__"),
         F.transform(F.col("__toks__"), F.lower).alias("__low__"),
+    ).select(
+        "doc_id", F.col(text_col), F.col("__toks__"),
+        *[F.size(F.filter(F.col("__low__"), _in(words)))
+          .alias(f"__h_{lg}")
+          for lg, words in sorted(STOPWORDS.items())],
     )
     c = F.col(text_col)
     toks = F.col("__toks__")
     n_tok = F.size(toks)
     n_chars = F.length(c)
-    lowered = F.col("__low__")
 
-    def _in(words):
-        return lambda x: x.isin(*words)
-
-    # one array pass per language; quality's stopword count REUSES the
-    # scoring language's hit count instead of a fifth pass (also keeps
-    # the codegen unit smaller — compile time is superlinear)
-    hits = {lg: F.size(F.filter(lowered, _in(words)))
-            for lg, words in sorted(STOPWORDS.items())}
+    # quality's stopword count REUSES the scoring language's hit
+    # column instead of a fifth array pass (also keeps the codegen
+    # unit smaller — compile time is superlinear)
+    hits = {lg: F.col(f"__h_{lg}") for lg in sorted(STOPWORDS)}
     n_stop = hits[lang]
     n_punct = n_chars - F.length(F.translate(c, PUNCT_CHARS, ""))
     n_upper = n_chars - F.length(
