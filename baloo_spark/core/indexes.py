@@ -32,6 +32,23 @@ class Index:
     base.py:11,64-103). Nothing evaluates until ``.values`` /
     ``evaluate()``; an Index attached to a live frame operates over
     the frame's own plan without collecting.
+
+    Examples (executable, tests/test_doctests.py):
+
+    >>> import numpy as np
+    >>> from baloo_spark.core.indexes import Index
+    >>> ix = Index(np.arange(5), np.dtype(np.int64))
+    >>> ix
+    Index(name=None, dtype=int64)
+    >>> out = ix[ix < 3] * 10     # composes lazily — no Spark job yet
+    >>> out._values is None
+    True
+    >>> out.values.tolist()       # evaluation happens here
+    [0, 10, 20]
+    >>> ix.astype('float64').dtype.name   # schema-only, no evaluation
+    'float64'
+    >>> (ix.min(), ix.max())      # aggs are f64, reference parity
+    (0.0, 4.0)
     """
 
     def __init__(self, data=None, dtype=None, name=None):

@@ -173,3 +173,28 @@ def test_merge_two_keys_matches_pandas(bl, k, v):
     assert len(got) == len(want)
     assert sorted(got["w"].tolist()) == sorted(want["w"].tolist())
     assert sorted(zip(got["k"], got["v"])) == sorted(zip(want["k"], want["v"]))
+
+
+@given(v=vals)
+@settings(**SETTINGS)
+def test_index_ops_match_pandas(bl, v):
+    # lazy Index pipeline (compare -> filter -> arithmetic) vs the
+    # same ops on a pandas Index
+    from baloo_spark.core.indexes import Index
+    arr = np.array(v, dtype=np.int64)
+    ix, pix = Index(arr), pd.Index(arr)
+    got = ((ix[ix > 0] * 2).values.tolist())
+    want = (pix[pix > 0] * 2).tolist()
+    assert sorted(got) == sorted(want)
+    assert ix.min() == pix.min() if len(pix) else True
+
+
+@given(v=vals)
+@settings(**SETTINGS)
+def test_index_slice_head_match_pandas(bl, v):
+    from baloo_spark.core.indexes import Index
+    arr = np.array(v, dtype=np.int64)
+    ix, pix = Index(arr), pd.Index(arr)
+    assert ix[1:4].values.tolist() == pix[1:4].tolist()
+    assert ix.head(2).values.tolist() == pix[:2].tolist()
+    assert ix.tail(2).values.tolist() == pix[-2:].tolist()
