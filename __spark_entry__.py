@@ -954,8 +954,8 @@ def _running_totals(spark, sf):
     """Running (cumulative) revenue per customer + order-gap via lag —
     partitioned window frames (engine extension, SURVEY.md §2.9),
     tagged 'win'; PLUS the pandas-flavor Series.shift/diff (global
-    ordered window — bounded subset, the ScaleWarning path) tagged
-    'diff'."""
+    order via the partition-safe boundary-carry scheme,
+    plans/ordinal.py) tagged 'diff'."""
     o = _bl(spark, sf, "orders")
     r = o.with_running("o_totalprice", order_by="o_orderkey",
                        partition_by="o_custkey", agg="sum",

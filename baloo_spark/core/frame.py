@@ -561,9 +561,11 @@ class DataFrame:
 
     def ffill(self, subset=None, partition_by=None) -> "DataFrame":
         """Forward-fill nulls along the logical order (pandas ffill).
-        ``partition_by`` keeps the fill per group AND the window
-        partitioned — without it the carry-forward is one serial pass
-        (ScaleWarning), same trade as an unkeyed as-of join."""
+        ``partition_by`` keeps the fill per group (one keyed shuffle);
+        without it the global carry-forward runs through the
+        partition-safe boundary-carry scheme
+        (:func:`~baloo_spark.plans.ordinal.with_last_non_null`) — no
+        single-partition collapse either way."""
         return self._directional_fill(subset, partition_by, forward=True)
 
     def bfill(self, subset=None, partition_by=None) -> "DataFrame":
@@ -572,33 +574,39 @@ class DataFrame:
     def _directional_fill(self, subset, partition_by, forward: bool):
         from pyspark.sql import Window
 
-        from ..plans.ordinal import POS_COL, with_dense_ordinal
+        from ..plans.ordinal import (POS_COL, with_dense_ordinal,
+                                     with_last_non_null)
         subset = list(subset) if subset is not None else list(self._data_cols)
         partition_by = ([partition_by] if isinstance(partition_by, str)
                         else list(partition_by or []))
-        if not partition_by:
-            from ..plans import warn_single_partition
-            warn_single_partition(
-                "ffill/bfill without partition_by",
-                "Supply group keys so each group's carry-forward stays "
-                "partition-local.")
         sdf = self._sdf
-        order = [F.col(c).asc() if a else F.col(c).desc()
-                 for c, a in (self._order or []) if c in sdf.columns]
+        pairs = [(c, a) for c, a in (self._order or [])
+                 if c in sdf.columns]
         added_pos = False
-        if not order:
+        if not pairs:
             sdf = with_dense_ordinal(sdf, name=POS_COL)
-            order = [F.col(POS_COL).asc()]
+            pairs = [(POS_COL, True)]
             added_pos = True
-        w = (Window.partitionBy(*partition_by) if partition_by
-             else Window.partitionBy(F.lit(1)))
-        if forward:
-            w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        if not partition_by:
+            # global fill: two-pass carry (partition-local windows +
+            # driver-stitched boundaries), never one partition. bfill
+            # = the same carry over the reversed order.
+            flipped = pairs if forward else [(c, not a) for c, a in pairs]
+            ob = [F.col(c).asc() if a else F.col(c).desc()
+                  for c, a in flipped]
+            sdf = with_last_non_null(sdf, {c: F.col(c) for c in subset},
+                                     ob)
         else:
-            w = w.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-        fn = F.last if forward else F.first
-        for c in subset:
-            sdf = sdf.withColumn(c, fn(c, ignorenulls=True).over(w))
+            order = [F.col(c).asc() if a else F.col(c).desc()
+                     for c, a in pairs]
+            w = Window.partitionBy(*partition_by)
+            if forward:
+                w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+            else:
+                w = w.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+            fn = F.last if forward else F.first
+            for c in subset:
+                sdf = sdf.withColumn(c, fn(c, ignorenulls=True).over(w))
         if added_pos:
             sdf = sdf.drop(POS_COL)
         return self._replace_sdf(sdf)
@@ -890,26 +898,49 @@ class DataFrame:
 
     def with_running(self, col: str, order_by, partition_by=None,
                      agg: str = "sum", name: str | None = None) -> "DataFrame":
-        """Running aggregate (cumulative sum/min/max/count/mean) over
-        an explicit order, optionally per partition group. Partitioned
-        windows keep every group's state local — supply partition keys
-        at scale (an unpartitioned running agg is inherently a single
-        serial pass)."""
+        """Running aggregate (cumulative sum/prod/min/max/count/mean/
+        var/std) over an explicit order, optionally per partition
+        group. Partitioned windows keep every group's state local;
+        with NO partition keys the running aggregate is computed as a
+        parallel prefix scan (partition-local windows + per-partition
+        totals prefix-combined on the driver,
+        :func:`~baloo_spark.plans.ordinal.with_prefix_aggs`) — every
+        ``agg`` here decomposes into associative pieces (mean =
+        running sum / running count; var/std = running moments), so
+        nothing ever collapses to one partition."""
         from pyspark.sql import Window
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
         partition_by = ([partition_by] if isinstance(partition_by, str)
                         else list(partition_by or []))
+        name = name or f"running_{agg}"
         if not partition_by:
-            from ..plans import warn_single_partition
-            warn_single_partition(
-                "an ordered window without partition_by",
-                "Supply partition keys; an unpartitioned ordered "
-                "window is one serial pass.")
-        w = (Window.partitionBy(*partition_by) if partition_by
-             else Window.partitionBy(F.lit(1)))
+            from ..plans.ordinal import with_prefix_aggs
+            v = (F.col(col) if agg == "count"
+                 else F.col(col).cast("double"))
+            if agg in ("sum", "prod", "min", "max", "count"):
+                specs = {name: (v, agg)}
+                out = with_prefix_aggs(self._sdf, specs, order_by)
+            else:
+                # mean/var/std from running moments (all prefix sums)
+                specs = {"__rs__": (v, "sum"),
+                         "__rn__": (v, "count"),
+                         "__rs2__": (v * v, "sum")}
+                out = with_prefix_aggs(self._sdf, specs, order_by)
+                n_, s_, s2 = (F.col("__rn__").cast("double"),
+                              F.col("__rs__"), F.col("__rs2__"))
+                if agg == "mean":
+                    expr = s_ / n_
+                else:
+                    var = F.when(n_ > 1,
+                                 (s2 - s_ * s_ / n_) / (n_ - 1))
+                    expr = F.sqrt(var) if agg == "std" else var
+                out = out.withColumn(name, expr) \
+                    .drop("__rs__", "__rn__", "__rs2__")
+            return DataFrame._make(out, self._index_cols,
+                                   self._data_cols + [name], self._order)
+        w = Window.partitionBy(*partition_by)
         w = w.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
         fn = _AGG_FNS[agg]
-        name = name or f"running_{agg}"
         out = self._sdf.withColumn(
             name, fn(F.col(col).cast("double") if agg != "count"
                      else F.col(col)).over(w))
@@ -919,44 +950,78 @@ class DataFrame:
     def with_lag(self, col: str, order_by, partition_by=None, offset: int = 1,
                  name: str | None = None, diff: bool = False) -> "DataFrame":
         """Previous-row value (lag) or difference vs previous row over
-        an explicit order, optionally per partition group."""
+        an explicit order, optionally per partition group. With no
+        partition keys the lag runs through the boundary-carry scheme
+        (:func:`~baloo_spark.plans.ordinal.with_boundary_shift`, same
+        machinery as Series.shift) instead of a global window."""
         from pyspark.sql import Window
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
         partition_by = ([partition_by] if isinstance(partition_by, str)
                         else list(partition_by or []))
+        name = name or (f"{col}_diff" if diff else f"{col}_lag")
         if not partition_by:
-            from ..plans import warn_single_partition
-            warn_single_partition(
-                "an ordered window without partition_by",
-                "Supply partition keys; an unpartitioned ordered "
-                "window is one serial pass.")
-        w = (Window.partitionBy(*partition_by) if partition_by
-             else Window.partitionBy(F.lit(1)))
-        w = w.orderBy(*order_by)
+            from ..plans.ordinal import with_boundary_shift
+            ob = [F.col(c).asc() if isinstance(c, str) else c
+                  for c in order_by]
+            out = with_boundary_shift(self._sdf, F.col(col), offset,
+                                      order_by=ob, name=name)
+            if diff:
+                out = out.withColumn(name, F.col(col) - F.col(name))
+            return DataFrame._make(out, self._index_cols,
+                                   self._data_cols + [name], self._order)
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
         lagged = F.lag(F.col(col), offset).over(w)
         expr = (F.col(col) - lagged) if diff else lagged
-        name = name or (f"{col}_diff" if diff else f"{col}_lag")
         out = self._sdf.withColumn(name, expr)
         return DataFrame._make(out, self._index_cols,
                                self._data_cols + [name], self._order)
 
     def with_rank(self, order_by, ascending: bool = True,
                   method: str = "row_number", name: str = "rank") -> "DataFrame":
-        """Global ranking column. NOTE: a global window is inherently
-        single-partition; prefer top_k_per_group at scale."""
+        """Global ranking column, partition-safe at every method:
+
+        - ``row_number``: the dense-ordinal two-pass scheme
+          (partition offsets, :mod:`baloo_spark.plans.ordinal`) + 1 —
+          exactly what a global ``row_number() OVER (ORDER BY)``
+          computes, minus the single-partition collapse.
+        - ``rank``: min row_number within each tie group — a window
+          partitioned BY THE ORDER VALUES (each tie group is its own
+          partition; state per group, not per table).
+        - ``dense_rank``: the tie group's ordinal among DISTINCT order
+          values (distinct << rows; ordinal over distincts, equi-join
+          back on the values).
+        """
         from pyspark.sql import Window
 
-        from ..plans import warn_single_partition
-        warn_single_partition(
-            "with_rank's global window",
-            "Prefer top_k_per_group(partition_by, ...) or rank within "
-            "real partition keys.")
-        fn = {"row_number": F.row_number, "rank": F.rank,
-              "dense_rank": F.dense_rank}[method]
+        from ..plans.ordinal import with_dense_ordinal
         order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-        w = Window.orderBy(*[F.col(c).asc() if ascending else F.col(c).desc()
-                             for c in order_by])
-        out = self._sdf.withColumn(name, fn().over(w).cast("long"))
+        ob = [F.col(c).asc() if ascending else F.col(c).desc()
+              for c in order_by]
+        if method == "row_number":
+            out = with_dense_ordinal(self._sdf, ob, name=name)
+            out = out.withColumn(name, (F.col(name) + 1).cast("long"))
+        elif method == "rank":
+            out = with_dense_ordinal(self._sdf, ob, name="__rn__")
+            w = Window.partitionBy(*[F.col(c) for c in order_by])
+            out = (out.withColumn(name,
+                                  (F.min("__rn__").over(w) + 1).cast("long"))
+                   .drop("__rn__"))
+        elif method == "dense_rank":
+            from functools import reduce
+            distinct = self._sdf.select(*order_by).distinct()
+            keyed = with_dense_ordinal(distinct, ob, name="__dr__")
+            # null-safe equality so NULL order values keep their rank
+            # group (a plain equi-join would drop those rows)
+            cond = reduce(lambda a, b: a & b,
+                          [self._sdf[c].eqNullSafe(keyed[c])
+                           for c in order_by])
+            out = self._sdf.join(keyed, cond)
+            for c in order_by:
+                out = out.drop(keyed[c])
+            out = (out.withColumn(name, (F.col("__dr__") + 1).cast("long"))
+                   .drop("__dr__"))
+        else:
+            raise ValueError(f"unknown rank method: {method}")
         return DataFrame._make(out, self._index_cols,
                                self._data_cols + [name], self._order)
 

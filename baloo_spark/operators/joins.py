@@ -33,18 +33,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     ``tolerance``: optional max staleness in seconds — older right
     rows are treated as no-match (NULL), like pandas merge_asof.
 
-    Scale note: the carry-forward window partitions by ``by`` — with
-    no ``by`` keys the whole union collapses to one partition. For a
-    global as-of at scale, synthesize a coarse time-bucket key and
-    stitch bucket boundaries, or provide real partition keys.
+    Scale: with ``by`` keys the carry-forward window partitions on
+    them (one shuffle, state per key). With NO ``by`` keys the union
+    goes through :func:`~baloo_spark.plans.ordinal.with_last_non_null`
+    — range-partitioned by time, partition-local carry windows, and a
+    one-row-per-partition boundary table prefix-carried on the driver
+    — so a global as-of never collapses to a single partition.
     """
     by = [by] if isinstance(by, str) else list(by or [])
-    if not by:
-        from ..plans import warn_single_partition
-        warn_single_partition(
-            "asof_join without 'by' keys",
-            "Provide partition keys, or synthesize a coarse time-"
-            "bucket key and stitch bucket boundaries.")
     right_cols = right_cols or [c for c in right.columns
                                 if c != on and c not in by]
 
@@ -54,17 +50,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         r = r.withColumnRenamed(c, c + suffix)
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows sort before left at equal timestamps => inclusive <=
-    w = (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))) \
-        .orderBy(F.col(on).asc(), F.col("__src__").asc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    carried = unioned
-    for c in right_cols:
-        carried = carried.withColumn(c + suffix,
-                                     F.last(c + suffix, ignorenulls=True).over(w))
-    carried = carried.withColumn(
-        "__rts__", F.last(F.when(F.col("__src__") == 0, F.col(on)),
-                          ignorenulls=True).over(w))
+    if by:
+        # right rows sort before left at equal timestamps => inclusive <=
+        w = Window.partitionBy(*by) \
+            .orderBy(F.col(on).asc(), F.col("__src__").asc()) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        carried = unioned
+        for c in right_cols:
+            carried = carried.withColumn(
+                c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
+        carried = carried.withColumn(
+            "__rts__", F.last(F.when(F.col("__src__") == 0, F.col(on)),
+                              ignorenulls=True).over(w))
+    else:
+        from ..plans.ordinal import with_last_non_null
+        exprs = {c + suffix: F.col(c + suffix) for c in right_cols}
+        exprs["__rts__"] = F.when(F.col("__src__") == 0, F.col(on))
+        carried = with_last_non_null(
+            unioned, exprs, [F.col(on).asc(), F.col("__src__").asc()])
     out = carried.filter(F.col("__src__") == 1).drop("__src__")
     if tolerance is not None:
         stale = (F.unix_timestamp(F.col(on))

@@ -174,3 +174,171 @@ def with_dense_ordinal(sdf: DataFrame, order_by: list | None = None,
         .drop("__pid__", "__mid__", "__off__")
     )
     return out
+
+
+def _range_layout(sdf: DataFrame, order_by: list | None) -> DataFrame:
+    """Shared first pass of every two-pass scheme: (optionally)
+    range-partition + sort by the order keys so partition i holds a
+    contiguous globally-ordered slice, stamp row/partition ids, and
+    freeze the layout with an eager localCheckpoint (both passes must
+    see identical partitioning; see with_dense_ordinal's note on
+    checkpoint-vs-persist)."""
+    if order_by:
+        n = max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
+        sdf = (sdf.repartitionByRange(n, *order_by)
+               .sortWithinPartitions(*order_by))
+    return (sdf.withColumn("__mid__", F.monotonically_increasing_id())
+            .withColumn("__pid__", F.spark_partition_id())
+            .localCheckpoint())
+
+
+# associative merge for driver-side prefix combining; identity is None
+# (empty/all-null partitions contribute nothing)
+_PREFIX_MERGE = {
+    "sum": lambda a, b: a + b,
+    "count": lambda a, b: a + b,
+    "prod": lambda a, b: a * b,
+    "min": min,
+    "max": max,
+}
+_PREFIX_LOCAL = {
+    "sum": F.sum, "count": F.count, "prod": F.product,
+    "min": F.min, "max": F.max,
+}
+_PREFIX_COMBINE = {
+    "sum": lambda loc, pre: loc + pre,
+    "count": lambda loc, pre: loc + pre,
+    "prod": lambda loc, pre: loc * pre,
+    "min": F.least,
+    "max": F.greatest,
+}
+
+
+def with_prefix_aggs(sdf: DataFrame, specs: dict, order_by: list | None,
+                     inclusive: bool = True) -> DataFrame:
+    """Partition-safe GLOBAL running aggregates (parallel prefix scan).
+
+    ``specs``: {out_name: (value Column/name, kind)} with kind in
+    {'sum','count','prod','min','max'} — the associative aggregates;
+    running mean/var/std compose from these (sum/sum² /count are all
+    prefix sums). For each spec the output column holds the running
+    aggregate over all rows up to (and, if ``inclusive``, including)
+    the current row in the global ``order_by`` order.
+
+    The naive plan — ``agg OVER (ORDER BY ...)`` with no partition —
+    collapses to ONE partition. Here: (1) partition-local running
+    aggregates via a pid-partitioned window, (2) per-partition TOTALS
+    (one row per partition) collected and prefix-combined on the
+    driver — n_partitions scalars, kilobytes at thousands of
+    partitions — (3) broadcast back and merged into the local scans.
+    Identical results, no data-sized single-partition stage.
+    """
+    from pyspark.sql import types as T
+
+    prepared = {}
+    for out, (col, kind) in specs.items():
+        prepared[out] = (F.col(col) if isinstance(col, str) else col, kind)
+
+    sdf = _range_layout(
+        sdf.select("*", *[c.alias(f"__v_{o}__")
+                          for o, (c, _) in prepared.items()]),
+        order_by)
+
+    w = (Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
+         .rowsBetween(Window.unboundedPreceding,
+                      0 if inclusive else -1))
+    totals = sdf.groupBy("__pid__").agg(*[
+        _PREFIX_LOCAL[kind](F.col(f"__v_{o}__")).alias(f"__t_{o}__")
+        for o, (_, kind) in prepared.items()])
+    trows = {r["__pid__"]: r for r in totals.collect()}
+
+    # exclusive prefix per partition, combined in global (range) order
+    prefix_rows, acc = [], {o: None for o in prepared}
+    for pid in sorted(trows):
+        prefix_rows.append((int(pid), *[acc[o] for o in prepared]))
+        for o, (_, kind) in prepared.items():
+            t = trows[pid][f"__t_{o}__"]
+            if t is not None:
+                acc[o] = t if acc[o] is None else \
+                    _PREFIX_MERGE[kind](acc[o], t)
+
+    fields = [T.StructField("__pid__", T.IntegerType())]
+    for o, (_, kind) in prepared.items():
+        dt = (T.LongType() if kind == "count"
+              else sdf.schema[f"__v_{o}__"].dataType)
+        fields.append(T.StructField(f"__p_{o}__", dt))
+    pre_df = sdf.sparkSession.createDataFrame(prefix_rows,
+                                              T.StructType(fields))
+
+    out = sdf.join(F.broadcast(pre_df), "__pid__")
+    for o, (_, kind) in prepared.items():
+        loc = _PREFIX_LOCAL[kind](F.col(f"__v_{o}__")).over(w)
+        pre = F.col(f"__p_{o}__")
+        if kind == "count":
+            loc = loc.cast("long")
+            merged = loc + F.coalesce(pre, F.lit(0))
+        else:
+            merged = F.when(pre.isNull(), loc).otherwise(
+                F.when(loc.isNull(), pre)
+                .otherwise(_PREFIX_COMBINE[kind](loc, pre)))
+        out = out.withColumn(o, merged)
+    drop = ["__pid__", "__mid__"] + [f"__v_{o}__" for o in prepared] \
+        + [f"__p_{o}__" for o in prepared]
+    return out.drop(*drop)
+
+
+def with_last_non_null(sdf: DataFrame, exprs: dict,
+                       order_by: list | None) -> DataFrame:
+    """Partition-safe GLOBAL carry-forward: for each {out_name: expr},
+    add the most recent non-null value of ``expr`` at or before the
+    current row in the global ``order_by`` order (the engine behind
+    global as-of joins and un-keyed ffill).
+
+    Scheme: partition-local ``last(..., ignorenulls)`` windows, plus a
+    per-partition "last non-null in this partition" table (one row per
+    partition) prefix-carried on the driver and broadcast back for
+    rows whose partition holds no earlier non-null.
+    """
+    from pyspark.sql import types as T
+
+    prepared = {o: (F.col(c) if isinstance(c, str) else c)
+                for o, c in exprs.items()}
+    sdf = _range_layout(
+        sdf.select("*", *[c.alias(f"__v_{o}__")
+                          for o, c in prepared.items()]),
+        order_by)
+
+    w = (Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+
+    # per partition: value at the max row id among non-null rows
+    lasts = sdf.groupBy("__pid__").agg(*[
+        F.max(F.when(F.col(f"__v_{o}__").isNotNull(),
+                     F.struct(F.col("__mid__").alias("m"),
+                              F.col(f"__v_{o}__").alias("v"))))
+        .alias(f"__l_{o}__")
+        for o in prepared])
+    lrows = {r["__pid__"]: r for r in lasts.collect()}
+
+    prefix_rows, acc = [], {o: None for o in prepared}
+    for pid in sorted(lrows):
+        prefix_rows.append((int(pid), *[acc[o] for o in prepared]))
+        for o in prepared:
+            s = lrows[pid][f"__l_{o}__"]
+            if s is not None and s["v"] is not None:
+                acc[o] = s["v"]
+
+    fields = [T.StructField("__pid__", T.IntegerType())]
+    for o in prepared:
+        fields.append(T.StructField(
+            f"__p_{o}__", sdf.schema[f"__v_{o}__"].dataType))
+    pre_df = sdf.sparkSession.createDataFrame(prefix_rows,
+                                              T.StructType(fields))
+
+    out = sdf.join(F.broadcast(pre_df), "__pid__")
+    for o in prepared:
+        local = F.last(F.col(f"__v_{o}__"), ignorenulls=True).over(w)
+        out = out.withColumn(o, F.coalesce(local, F.col(f"__p_{o}__")))
+    drop = ["__pid__", "__mid__"] + [f"__v_{o}__" for o in prepared] \
+        + [f"__p_{o}__" for o in prepared]
+    return out.drop(*drop)

@@ -281,8 +281,10 @@ def test_ffill_bfill_match_pandas(bl):
     import pandas as pd
     pdf = pd.DataFrame({"v": [np.nan, 1.0, np.nan, np.nan, 5.0, np.nan]})
     df = bl.DataFrame({"v": pdf["v"].to_numpy()})
+    from baloo_spark.plans import ScaleWarning
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # expected ScaleWarning
+        # global fill is partition-safe since r3 — must NOT warn
+        warnings.simplefilter("error", category=ScaleWarning)
         f = df.ffill().to_pandas()["v"]
         b = df.bfill().to_pandas()["v"]
     pd.testing.assert_series_equal(f.reset_index(drop=True), pdf["v"].ffill(),

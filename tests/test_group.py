@@ -82,20 +82,24 @@ def test_with_zscore_matches_grouped_map(bl, spark):
     assert np.allclose(lhs["z"], rhs["z"], atol=1e-9)
 
 
-def test_single_partition_scale_warnings(bl, spark):
+def test_global_ordered_ops_are_partition_safe(bl, spark):
+    """Round 3: with_rank / with_running / un-keyed asof_join no
+    longer fall back to a single-partition window (they route through
+    the plans/ordinal two-pass schemes), so none of them may emit a
+    ScaleWarning — the inverse of the r2 assertion."""
+    import warnings
+
     import numpy as np
-    import pytest as _pytest
     from baloo_spark.plans import ScaleWarning
     df = bl.DataFrame({"a": np.arange(10), "b": np.arange(10) % 3})
-    with _pytest.warns(ScaleWarning):
-        df.with_rank("a")
-    with _pytest.warns(ScaleWarning):
-        df.with_running("a", order_by="a")
     from baloo_spark.operators.joins import asof_join
     sdf = df.to_spark().withColumn(
         "ts", __import__("pyspark").sql.functions.current_timestamp())
-    with _pytest.warns(ScaleWarning):
-        asof_join(sdf, sdf, on="ts")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", category=ScaleWarning)
+        assert df.with_rank("a").to_spark().count() == 10
+        assert df.with_running("a", order_by="a").to_spark().count() == 10
+        assert asof_join(sdf, sdf, on="ts").count() == 10
 
 
 def test_groupby_transform_matches_pandas(bl):

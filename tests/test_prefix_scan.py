@@ -1,0 +1,160 @@
+"""Partition-safe global ordered ops: the two-pass prefix/carry
+schemes must equal the naive single-partition window bit-for-bit
+(modulo FP association for prod), and none of them may plan an
+`Exchange SinglePartition`.
+
+Covers the round-3 rewiring: with_running / with_lag / with_rank /
+ffill / bfill with NO partition keys, plus asof_join with NO by-keys —
+previously all ScaleWarning'd single-partition fallbacks, now
+with_prefix_aggs / with_last_non_null / with_boundary_shift /
+with_dense_ordinal compositions (plans/ordinal.py).
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.RandomState(3)
+    n = 2000
+    return pd.DataFrame({
+        "t": rng.permutation(n),
+        "v": np.where(rng.rand(n) < 0.25, np.nan, rng.randn(n)),
+        "p": 1.0 + 0.001 * rng.randn(n),   # near-1: stable product
+        "g": rng.randint(0, 7, n),
+    })
+
+
+@pytest.fixture(scope="module")
+def frame(bl, data):
+    return bl.DataFrame({c: data[c].to_numpy() for c in data})
+
+
+def _no_single_partition(sdf):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sdf.explain("formatted")
+    assert "Exchange SinglePartition" not in buf.getvalue()
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "mean",
+                                 "std", "var"])
+def test_running_global_matches_window(bl, frame, agg):
+    out = frame.with_running("v", "t", agg=agg).to_spark()
+    _no_single_partition(out)
+    got = (out.orderBy("t").select(f"running_{agg}").toPandas()
+           [f"running_{agg}"].to_numpy())
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    fmap = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+            "mean": F.avg, "std": F.stddev_samp, "var": F.var_samp}
+    want = (frame.to_spark().withColumn(
+        "w", fmap[agg](F.col("v").cast("double") if agg != "count"
+                       else F.col("v")).over(w))
+        .orderBy("t").select("w").toPandas()["w"].to_numpy())
+    npt.assert_allclose(got.astype(float), want.astype(float),
+                        rtol=1e-9, equal_nan=True)
+
+
+def test_running_global_prod(bl, frame):
+    out = frame.with_running("p", "t", agg="prod").to_spark()
+    got = (out.orderBy("t").select("running_prod").toPandas()
+           ["running_prod"].to_numpy())
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    want = (frame.to_spark().withColumn(
+        "w", F.product(F.col("p").cast("double")).over(w))
+        .orderBy("t").select("w").toPandas()["w"].to_numpy())
+    # prefix-combine multiplies in a different association order than
+    # the sequential window — equal up to FP rounding
+    npt.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_lag_global_matches_window(bl, frame):
+    out = frame.with_lag("v", "t", offset=2).to_spark()
+    _no_single_partition(out)
+    got = (out.orderBy("t").select("v_lag").toPandas()
+           ["v_lag"].to_numpy())
+    w = Window.orderBy("t")
+    want = (frame.to_spark().withColumn("w", F.lag("v", 2).over(w))
+            .orderBy("t").select("w").toPandas()["w"].to_numpy())
+    npt.assert_allclose(got, want, equal_nan=True)
+
+
+def test_lag_global_diff(bl, frame, data):
+    got = (frame.with_lag("t", "t", diff=True).to_spark()
+           .orderBy("t").select("t_diff").toPandas()["t_diff"].to_numpy())
+    want = data.sort_values("t")["t"].diff().to_numpy()
+    npt.assert_allclose(got.astype(float), want, equal_nan=True)
+
+
+@pytest.mark.parametrize("method", ["row_number", "rank", "dense_rank"])
+def test_rank_global_matches_window(bl, frame, data, method):
+    out = frame.with_rank("g", method=method, name="rk").to_spark()
+    _no_single_partition(out)
+    got = (out.orderBy("t").select("rk").toPandas()["rk"].to_numpy())
+    fn = {"row_number": F.row_number, "rank": F.rank,
+          "dense_rank": F.dense_rank}[method]
+    w = Window.orderBy(F.col("g").asc())
+    want = (frame.to_spark().withColumn("rk", fn().over(w).cast("long"))
+            .orderBy("t").select("rk").toPandas()["rk"].to_numpy())
+    if method == "row_number":
+        # ties are broken arbitrarily on BOTH sides: the multiset of
+        # row numbers within each tie group must match exactly
+        gg = data.sort_values("t")["g"].to_numpy()
+        for grp in np.unique(gg):
+            npt.assert_array_equal(np.sort(got[gg == grp]),
+                                   np.sort(want[gg == grp]))
+    else:
+        npt.assert_array_equal(got, want)
+
+
+def test_ffill_bfill_global_match_pandas(bl, frame, data):
+    got = frame.ffill(subset=["v"]).to_pandas()["v"].to_numpy()
+    npt.assert_allclose(got, data["v"].ffill().to_numpy(), equal_nan=True)
+    got = frame.bfill(subset=["v"]).to_pandas()["v"].to_numpy()
+    npt.assert_allclose(got, data["v"].bfill().to_numpy(), equal_nan=True)
+
+
+def test_asof_global_matches_single_partition(spark):
+    from baloo_spark.operators.joins import asof_join
+    from baloo_spark.streaming.events import load_events
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    left = ev.select("event_id", "ts", "user_id")
+    right = ev.select("ts", "value").withColumn("value", F.col("value") * 2)
+    got = (asof_join(left, right, on="ts").orderBy("event_id")
+           .select("event_id", "value_right", "matched_ts").toPandas())
+    l = left.withColumn("__src__", F.lit(1))
+    r = (right.withColumn("__src__", F.lit(0))
+         .withColumnRenamed("value", "value_right"))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(F.lit(1))
+         .orderBy(F.col("ts").asc(), F.col("__src__").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = (u.withColumn("value_right",
+                         F.last("value_right", ignorenulls=True).over(w))
+            .withColumn("matched_ts",
+                        F.last(F.when(F.col("__src__") == 0, F.col("ts")),
+                               ignorenulls=True).over(w))
+            .filter(F.col("__src__") == 1).orderBy("event_id")
+            .select("event_id", "value_right", "matched_ts").toPandas())
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+
+
+def test_no_scale_warnings_on_global_paths(bl, frame):
+    import warnings
+
+    from baloo_spark.plans import ScaleWarning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", category=ScaleWarning)
+        frame.with_running("v", "t").to_spark().count()
+        frame.with_lag("v", "t").to_spark().count()
+        frame.with_rank("g", name="rk").to_spark().count()
+        frame.ffill(subset=["v"]).to_spark().count()
