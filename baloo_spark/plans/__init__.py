@@ -11,9 +11,13 @@ class ScaleWarning(UserWarning):
 
 
 def warn_single_partition(what: str, alternative: str):
-    """Runtime counterpart of the docstring scale notes: global
-    windows / no-key as-of joins run correct-but-serial, so say so
-    loudly instead of only in documentation."""
+    """Runtime counterpart of the docstring scale notes. As of round
+    3 NO shipped operator calls this — every global ordered op
+    (shift/diff, running aggs, ranks, fills, un-keyed as-of) routes
+    through the two-pass partition-offset/prefix/carry schemes in
+    :mod:`baloo_spark.plans.ordinal`; tests assert the absence of
+    both the warning and ``Exchange SinglePartition`` plans. Kept for
+    future operators that genuinely cannot avoid a serial pass."""
     warnings.warn(
         f"{what} runs on a SINGLE partition — fine for small data, a "
         f"serial bottleneck at scale. {alternative}",
