@@ -73,6 +73,16 @@ def main():
     def minhash(m):
         return minhash_signatures(replicate(docs, m), k=64)
 
+    def prefix_sum(m):
+        # global running sum through the parallel prefix scan — the
+        # naive `sum() OVER (ORDER BY)` comparison is timed separately
+        # below because it cannot scale past one partition
+        from baloo_spark.plans.ordinal import with_prefix_aggs
+        w = replicate(li.select("l_orderkey", "l_extendedprice"), m)
+        return with_prefix_aggs(
+            w, {"rsum": (F.col("l_extendedprice"), "sum")},
+            [F.col("l_orderkey").asc()])
+
     families = [
         ("agg (TPC-H q1 shape)", agg_q1,
          "map-side partial agg carries the shuffle at 6 groups "
@@ -89,6 +99,9 @@ def main():
         ("minhash signatures k=64", minhash,
          "one narrow map stage (shingle fold), no shuffle at all - "
          "scales with pure scan+CPU"),
+        ("global running sum (prefix scan)", prefix_sum,
+         "partition-local scans + per-partition totals combined on "
+         "the driver; contrast with the naive global window below"),
     ]
 
     lines = ["# Scaling probe (tools/scale_probe.py)", "",
@@ -108,6 +121,31 @@ def main():
                          (f"  (1x output = {n} rows)" if n else ""))
             print(name, lines[-1])
         lines += ["", f"_{why}_", ""]
+
+    # the anti-pattern, measured once for contrast: the same running
+    # sum as a naive unpartitioned window — ALL rows through ONE task
+    from pyspark.sql import Window
+    w16 = replicate(li.select("l_orderkey", "l_extendedprice"), 16)
+    wspec = (Window.orderBy(F.col("l_orderkey").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    naive = w16.withColumn("rsum", F.sum("l_extendedprice").over(wspec))
+    naive.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    naive.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    lines += ["## the naive alternative, for contrast",
+              "",
+              f"- `sum() OVER (ORDER BY ...)` with no partition at "
+              f"16x: {dt:.2f}s — every row through ONE task. On "
+              "local[32] both plans share one machine so the wall-"
+              "clock gap is modest; the structural difference is "
+              "what matters at cluster scale: the naive window holds "
+              "ALL rows in a single task's sort buffer (OOM at real "
+              "data sizes, zero parallelism), while the prefix scan "
+              "keeps per-task state bounded by one partition and "
+              "ships n_partitions scalars to the driver.", ""]
+    print("naive global window 16x:", f"{dt:.2f}s")
+
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
