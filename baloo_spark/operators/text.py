@@ -219,3 +219,51 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
+                  top_k: int = 100, min_count: int = 1) -> DataFrame:
+    """Corpus-level n-gram frequency table: the top_k most frequent
+    word n-grams with document frequency — the vocabulary/corpus-stats
+    pass of a training-data pipeline (dedup diagnostics, stopword
+    discovery, contamination screens).
+
+    Scale shape: explode -> ONE hash aggregation (map-side combined)
+    -> TakeOrderedAndProject for the top-k. No window over the corpus,
+    no driver-side vocabulary; at 100 TB this is exactly a word-count
+    with a bounded output. Ties broken by ngram text for determinism.
+    """
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__toks__) - {n - 1}, "
+        f"0)), i -> concat_ws(' ', slice(__toks__, i, {n})))")
+    pre = df.select(F.monotonically_increasing_id().alias("__doc__"),
+                    toks.alias("__toks__"))
+    rows = pre.select("__doc__", F.explode(
+        grams if n > 1 else F.col("__toks__")).alias("ngram"))
+    agg = (rows.groupBy("ngram")
+           .agg(F.count(F.lit(1)).cast("long").alias("term_count"),
+                F.countDistinct("__doc__").cast("long").alias("doc_count"))
+           .where(F.col("term_count") >= min_count))
+    return (agg.orderBy(F.col("term_count").desc(), F.col("ngram").asc())
+            .limit(top_k))
+
+
+def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus vocabulary summary: total tokens, distinct
+    tokens (exact), type-token ratio, and hapax count (tokens seen
+    exactly once) — the standard corpus-size diagnostics.
+
+    Two hash aggregations, both map-side combined; nothing brought to
+    the driver but the single output row.
+    """
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    rows = df.select(F.explode(toks).alias("tok"))
+    per_tok = rows.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return per_tok.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("type_token_ratio"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long").alias("hapax_count"))

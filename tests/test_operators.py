@@ -386,3 +386,59 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
            (r["session_end"], r["n_events"], r["sum_value"])
            for r in got.collect()}
     assert out == batch
+
+
+def test_corpus_ngrams_matches_pandas(spark):
+    from collections import Counter
+
+    import pandas as pd
+    from baloo_spark.operators.text import corpus_ngrams
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    got = corpus_ngrams(docs, n=2, top_k=20).toPandas()
+    # pandas oracle: same tokenization (whitespace, lowercased)
+    pdf = docs.toPandas()
+    tc, dc = Counter(), Counter()
+    for t in pdf["text"]:
+        toks = [w.lower() for w in t.split()]
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        tc.update(grams)
+        dc.update(set(grams))
+    want = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["ngram"], r["term_count"]) for _, r in got.iterrows()] == want
+    for _, r in got.iterrows():
+        assert r["doc_count"] == dc[r["ngram"]]
+
+
+def test_vocabulary_stats_matches_pandas(spark):
+    from collections import Counter
+
+    from baloo_spark.operators.text import vocabulary_stats
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("text")
+    got = vocabulary_stats(docs).toPandas().iloc[0]
+    c = Counter()
+    for t in docs.toPandas()["text"]:
+        c.update(w.lower() for w in t.split())
+    assert got["total_tokens"] == sum(c.values())
+    assert got["distinct_tokens"] == len(c)
+    assert got["hapax_count"] == sum(1 for v in c.values() if v == 1)
+    assert abs(got["type_token_ratio"]
+               - round(len(c) / sum(c.values()), 6)) < 1e-9
+
+
+def test_corpus_ngrams_plan_is_agg_plus_topk(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from baloo_spark.operators.text import corpus_ngrams
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        corpus_ngrams(docs, n=1, top_k=10).explain("formatted")
+    plan = buf.getvalue()
+    # top-k must not be a full global sort, and the count must
+    # map-side combine (paired HashAggregates / ObjectHashAggregates)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
