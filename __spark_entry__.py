@@ -1339,8 +1339,10 @@ def _extract_ops(spark, sf):
         F.col("k_sum").cast("long").alias("n"),
         F.round("k_mean", 4).alias("v"))
     o = _bl(spark, sf, "orders")
+    # calendar parts via the pandas-flavor .dt accessor
+    # (core/datetimes.py); 'yr' doubles as apply-mode-3 evidence
     o["yr"] = o["o_orderdate"].apply("year({self})").astype("int32")
-    o["mo"] = o["o_orderdate"].apply("month({self})").astype("int32")
+    o["mo"] = o["o_orderdate"].dt.month().astype("int32")
     d = o[["yr", "mo", "o_totalprice"]].groupby(["yr", "mo"]) \
         .agg({"o_totalprice": ["count", "sum"]})
     drows = d.to_spark(include_index=True).select(

@@ -656,6 +656,11 @@ class Series:
         return StringMethods(self)
 
     @property
+    def dt(self):
+        from .datetimes import DatetimeMethods
+        return DatetimeMethods(self)
+
+    @property
     def values(self) -> np.ndarray:
         sdf, alias = self._select()
         if self._order:

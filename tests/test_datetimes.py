@@ -1,0 +1,54 @@
+"""sr.dt accessor parity with pandas over the real events timestamps."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ev(bl, spark):
+    from baloo_spark.streaming.events import load_events
+    sdf = load_events(spark, "/root/testdata/sf0.001").select("event_id", "ts")
+    return bl.DataFrame.from_spark(sdf)
+
+
+@pytest.fixture(scope="module")
+def pts(ev):
+    return ev.to_pandas().set_index("event_id")["ts"]
+
+
+@pytest.mark.parametrize("attr", ["year", "month", "day", "hour",
+                                  "minute", "second", "dayofweek",
+                                  "dayofyear", "quarter"])
+def test_dt_parts_match_pandas(ev, pts, attr):
+    got = np.sort(getattr(ev["ts"].dt, attr)().to_pandas().to_numpy())
+    want = np.sort(getattr(pts.dt, attr).to_numpy())
+    npt.assert_array_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_dt_week_iso(ev, pts):
+    got = np.sort(ev["ts"].dt.week().to_pandas().to_numpy())
+    want = np.sort(pts.dt.isocalendar().week.to_numpy())
+    npt.assert_array_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_dt_floor_day(ev, pts):
+    got = np.sort(ev["ts"].dt.floor("day").to_pandas().to_numpy())
+    want = np.sort(pts.dt.floor("D").to_numpy())
+    npt.assert_array_equal(got, want)
+
+
+def test_dt_strftime_and_date(ev, pts):
+    got = sorted(ev["ts"].dt.strftime("yyyy-MM").to_pandas().tolist())
+    want = sorted(pts.dt.strftime("%Y-%m").tolist())
+    assert got == want
+    got = np.sort(ev["ts"].dt.date().to_pandas().to_numpy())
+    want = np.sort(pts.dt.floor("D").dt.date.to_numpy())
+    npt.assert_array_equal(got.astype("datetime64[D]"),
+                           want.astype("datetime64[D]"))
+
+
+def test_dt_is_lazy(ev):
+    out = ev["ts"].dt.year()
+    # a Column composition, not a collected value
+    assert out._sdf is ev["ts"]._sdf
