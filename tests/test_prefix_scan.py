@@ -158,3 +158,36 @@ def test_no_scale_warnings_on_global_paths(bl, frame):
         frame.with_lag("v", "t").to_spark().count()
         frame.with_rank("g", name="rk").to_spark().count()
         frame.ffill(subset=["v"]).to_spark().count()
+
+
+def test_edge_cases(spark):
+    from baloo_spark.operators.joins import asof_join
+    from baloo_spark.plans.ordinal import (with_last_non_null,
+                                           with_prefix_aggs)
+
+    # empty input -> empty output, no crash in the driver combine
+    e = spark.createDataFrame([], "t LONG, v DOUBLE")
+    assert with_prefix_aggs(e, {"r": ("v", "sum")},
+                            [F.col("t").asc()]).count() == 0
+    assert with_last_non_null(e, {"c": F.col("v")},
+                              [F.col("t").asc()]).count() == 0
+
+    # single row
+    s = spark.createDataFrame([(1, 2.0)], "t LONG, v DOUBLE")
+    assert with_prefix_aggs(s, {"r": ("v", "sum")},
+                            [F.col("t").asc()]).first()["r"] == 2.0
+
+    # null runs: identity-skipping in the prefix combine must match
+    # the window's null semantics (null until the first value)
+    nl = spark.createDataFrame([(1, None), (2, None), (3, 5.0),
+                                (4, None)], "t LONG, v DOUBLE")
+    got = [r["r"] for r in with_prefix_aggs(
+        nl, {"r": (F.col("v"), "prod")},
+        [F.col("t").asc()]).orderBy("t").collect()]
+    assert got == [None, None, 5.0, 5.0]
+
+    # as-of against an empty right side -> all-NULL attachment
+    left = spark.createDataFrame([(1, 10)], "ts LONG, x LONG")
+    right = spark.createDataFrame([], "ts LONG, value DOUBLE")
+    row = asof_join(left, right, on="ts").first()
+    assert row["value_right"] is None and row["matched_ts"] is None
