@@ -1675,13 +1675,23 @@ FROM embeddings GROUP BY label
 
 def _text_metrics(spark, sf):
     """Folded text-analysis family (operators/text.py): quality
-    scoring, language-ID, token counting, and fingerprints — fused
-    into ONE projection (text_profile): a single scan of documents,
-    zero joins, whole-stage codegen end to end. Zero Python in the hot
-    path; fully ANSI-replayable."""
-    from baloo_spark.operators.text import text_profile
+    scoring, language-ID, token counting, fingerprints, AND the
+    Gopher-style repetition metrics (r3) — fused into ONE projection
+    (text_profile(include_repetition=True)): a single scan of
+    documents, whole-stage codegen end to end, zero Python.
+
+    r3 also folds in benchmark decontamination (contamination_check):
+    every 20th doc plays the "benchmark set"; its distinct word
+    5-grams are broadcast and each document reports its overlap — the
+    one join in the query, and it's broadcast-probed + a doc_id agg.
+    Fully ANSI-replayable."""
+    from baloo_spark.operators.text import (contamination_check,
+                                            text_profile)
     docs = _t(spark, sf, "documents")
-    return text_profile(docs)
+    prof = text_profile(docs, include_repetition=True)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    cont = contamination_check(docs, bench, n=5, threshold=0.2)
+    return prof.join(cont, "doc_id")
 
 
 _TEXT_METRICS_SQL_QUALITY = """
@@ -1764,17 +1774,111 @@ SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS finge
 FROM documents
 """
 
-# the four fragments above replay the individual operators; the driver
+# Gopher-style repetition metrics (operators/text.py
+# repetition_metrics): the oracle replays the documented definitions
+# with a different strategy (unnest + window for the top bigram) —
+# only the OUTPUT contract is shared with the Spark fold
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars, lines,
+         CASE WHEN len(toks) < 5 THEN []::VARCHAR[] ELSE
+           list_transform(range(1, len(toks) - 3),
+             i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END AS g5,
+         CASE WHEN len(toks) < 2 THEN []::VARCHAR[] ELSE
+           list_transform(range(1, len(toks)),
+             i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END AS g2
+  FROM base
+), lm AS (
+  SELECT doc_id, n_chars, g2,
+         len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS dup_lines,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS lc,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0) AS dlc,
+         coalesce(list_sum(list_transform(g5, x -> length(x))), 0) AS gc,
+         coalesce(list_sum(list_transform(list_distinct(g5),
+                                          x -> length(x))), 0) AS dgc
+  FROM g
+), topg AS (
+  SELECT doc_id, cnt, gram FROM (
+    SELECT doc_id, gram, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, gram ASC) AS rn
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM lm)
+    GROUP BY doc_id, gram)
+  WHERE rn = 1
+)
+SELECT lm.doc_id,
+       n_lines::BIGINT AS n_lines,
+       round(CASE WHEN n_lines > 0 THEN dup_lines::DOUBLE / n_lines
+                  ELSE 0.0 END, 4) AS dup_line_frac,
+       round(CASE WHEN lc > 0 THEN (lc - dlc)::DOUBLE / lc
+                  ELSE 0.0 END, 4) AS dup_line_char_frac,
+       round(CASE WHEN gc > 0 THEN (gc - dgc)::DOUBLE / gc
+                  ELSE 0.0 END, 4) AS dup_5gram_char_frac,
+       round(CASE WHEN lm.n_chars > 0 AND topg.cnt IS NOT NULL
+                  THEN (topg.cnt * length(topg.gram))::DOUBLE / lm.n_chars
+                  ELSE 0.0 END, 4) AS top_2gram_char_frac
+FROM lm LEFT JOIN topg ON lm.doc_id = topg.doc_id
+"""
+
+# benchmark decontamination (operators/text.py contamination_check):
+# benchmark = every 20th doc, exactly as the Spark query builds it
+_CONTAMINATION_SQL = """
+WITH normd AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(trim(text),
+             '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, CASE WHEN len(toks) < 5 THEN []::VARCHAR[] ELSE
+      list_distinct(list_transform(range(1, len(toks) - 3),
+        i -> array_to_string(list_slice(toks, i, i + 4), ' '))) END AS g
+  FROM normd
+), bench AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0
+), expl AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), hits AS (
+  SELECT e.doc_id, count(*) AS n_grams, count(b.gram) AS n_overlap
+  FROM expl e LEFT JOIN bench b ON e.gram = b.gram
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       round(CASE WHEN coalesce(h.n_grams, 0) > 0
+                  THEN h.n_overlap::DOUBLE / h.n_grams
+                  ELSE 0.0 END, 4) AS overlap_frac,
+       (CASE WHEN coalesce(h.n_grams, 0) > 0
+             THEN h.n_overlap::DOUBLE / h.n_grams
+             ELSE 0.0 END) >= 0.2 AS is_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+# the fragments above replay the individual operators; the driver
 # query joins them on doc_id, so the oracle does the same
 _TEXT_METRICS_SQL = f"""
 SELECT q.doc_id, q.n_tokens, q.avg_token_len, q.punct_ratio,
        q.stopword_ratio, q.upper_ratio, q.quality_score,
        l.lang_pred, l.lang_hits, t.n_subtokens, t.n_chars_measured,
-       f.fingerprint, f.norm_len
+       f.fingerprint, f.norm_len,
+       r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+       r.dup_5gram_char_frac, r.top_2gram_char_frac,
+       c.n_grams, c.n_overlap, c.overlap_frac, c.is_contaminated
 FROM ({_TEXT_METRICS_SQL_QUALITY}) q
 JOIN ({_LANG_ID_SQL}) l ON q.doc_id = l.doc_id
 JOIN ({_TOKEN_COUNTS_SQL}) t ON q.doc_id = t.doc_id
 JOIN ({_FINGERPRINTS_SQL}) f ON q.doc_id = f.doc_id
+JOIN ({_REPETITION_SQL}) r ON q.doc_id = r.doc_id
+JOIN ({_CONTAMINATION_SQL}) c ON q.doc_id = c.doc_id
 """
 
 

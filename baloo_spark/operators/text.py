@@ -122,9 +122,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def text_profile(df: DataFrame, text_col: str = "text",
-                 lang: str = "en") -> DataFrame:
+                 lang: str = "en",
+                 include_repetition: bool = False,
+                 rep_ngram: int = 5) -> DataFrame:
     """All four text-analysis families — quality scoring, language ID,
-    token counts, fingerprint — in ONE projection.
+    token counts, fingerprint — in ONE projection; with
+    ``include_repetition=True`` the :func:`repetition_metrics` columns
+    are fused into the SAME single-scan projection (the token array is
+    already bound here, so repetition adds zero extra scans or
+    shuffles).
 
     Joining the per-family outputs on doc_id costs 3 joins and 4 scans
     of the text column; every metric here is a per-row expression, so
@@ -148,14 +154,30 @@ def text_profile(df: DataFrame, text_col: str = "text",
     # tie-break when-chain, stop_ratio twice via the score) — as
     # lambda subtrees those references would each re-run the filter
     # interpreted per row, so they must be bound to columns here.
+    rep_pre = []
+    if include_repetition:
+        rep_pre = [
+            F.filter(F.transform(F.split(F.col(text_col), "\n"), F.trim),
+                     lambda x: x != F.lit("")).alias("__lines__")]
+    rep_bound = []
+    if include_repetition:
+        rep_bound = [
+            F.col("__lines__"),
+            _word_grams("__toks__", rep_ngram).alias("__gr__"),
+            _top_run(F.array_sort(_word_grams("__toks__", 2)))
+            .alias("__top__")]
     pre = df.select(
         "doc_id", F.col(text_col),
         _tokens(F.col(text_col)).alias("__toks__"),
+        *rep_pre,
     ).select(
         "doc_id", F.col(text_col), F.col("__toks__"),
         F.transform(F.col("__toks__"), F.lower).alias("__low__"),
+        *rep_bound,
     ).select(
         "doc_id", F.col(text_col), F.col("__toks__"),
+        *([F.col("__lines__"), F.col("__gr__"), F.col("__top__")]
+          if include_repetition else []),
         *[F.size(F.filter(F.col("__low__"), _in(words)))
           .alias(f"__h_{lg}")
           for lg, words in sorted(STOPWORDS.items())],
@@ -189,6 +211,29 @@ def text_profile(df: DataFrame, text_col: str = "text",
     for lg in sorted(STOPWORDS, reverse=True):
         pred = F.when((hits[lg] == best) & (best > 0), lg).otherwise(pred)
 
+    rep_cols = []
+    if include_repetition:
+        lines = F.col("__lines__")
+        dlines = F.array_distinct(lines)
+        n_lines = F.size(lines)
+        lc, dlc = _sum_len(lines), _sum_len(dlines)
+        gr = F.col("__gr__")
+        gc, dgc = _sum_len(gr), _sum_len(F.array_distinct(gr))
+        top = F.col("__top__")
+        top_chars = top["best"] * F.length(top["bestg"])
+        rep_cols = [
+            n_lines.cast("long").alias("n_lines"),
+            F.round(F.when(n_lines > 0,
+                           (n_lines - F.size(dlines)) / n_lines)
+                    .otherwise(0.0), 4).alias("dup_line_frac"),
+            F.round(F.when(lc > 0, (lc - dlc) / lc)
+                    .otherwise(0.0), 4).alias("dup_line_char_frac"),
+            F.round(F.when(gc > 0, (gc - dgc) / gc)
+                    .otherwise(0.0), 4)
+            .alias(f"dup_{rep_ngram}gram_char_frac"),
+            F.round(F.when(n_chars > 0, top_chars / n_chars)
+                    .otherwise(0.0), 4).alias("top_2gram_char_frac"),
+        ]
     norm = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
     return pre.select(
         "doc_id",
@@ -205,6 +250,7 @@ def text_profile(df: DataFrame, text_col: str = "text",
         n_chars.cast("long").alias("n_chars_measured"),
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
+        *rep_cols,
     )
 
 
@@ -219,6 +265,156 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+def _word_grams(toks_col, n: int):
+    """Word n-gram array (with repeats — repetition analysis needs the
+    multiset) over a BOUND token-array column. Binding matters: an
+    inline tokenizer inside the per-gram lambda would re-tokenize the
+    text once per gram index (O(words²) per doc)."""
+    # explicit guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so
+    # the usual greatest(..)-trick silently yields bogus grams for
+    # docs shorter than n words — emit an empty array instead
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n}))) END")
+
+
+def _sum_len(arr):
+    """Total characters across an array of strings (JVM fold)."""
+    return F.aggregate(arr, F.lit(0),
+                       lambda acc, x: acc + F.length(x))
+
+
+def _top_run(sorted_arr):
+    """(count, value) of the most frequent element of a SORTED array,
+    via a single O(n) fold over adjacent runs — no per-element
+    re-scan, no explode/shuffle. Ties break to the lexicographically
+    smallest value (strict > keeps the first max run)."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit("").alias("bestg"))
+
+    def step(acc, g):
+        run = F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        better = run > acc.best
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc.best).alias("best"),
+            F.when(better, g).otherwise(acc.bestg).alias("bestg"))
+
+    return F.aggregate(sorted_arr, zero, step)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       ngram: int = 5) -> DataFrame:
+    """Within-document repetition signals (Gopher §A1.1-style quality
+    filters for training corpora): repeated lines, repeated word
+    n-grams, and the share of text taken by the single most frequent
+    word bigram.
+
+    Definitions (documented because variants exist in the literature;
+    the DuckDB oracle replays these exactly):
+
+    - ``dup_line_frac``      = line occurrences beyond the first /
+      total non-empty lines (lines compared after trim).
+    - ``dup_line_char_frac`` = characters in those repeated
+      occurrences / characters across all lines ("beyond first"
+      weighting, as in RefinedWeb).
+    - ``dup_{n}gram_char_frac`` = same, over word ``ngram``-grams.
+    - ``top_2gram_char_frac`` = occurrences × length of the most
+      frequent word bigram / total text chars (all occurrences, as in
+      Gopher's top-n-gram fraction).
+
+    Scale shape: every metric is a per-row array expression — dedup
+    via ``array_distinct`` (O(L)), the top-bigram via array_sort + one
+    O(G) adjacent-run fold (:func:`_top_run`) — so the whole operator
+    is a single scan with zero shuffles and nothing driver-side; at
+    100 TB it pipelines behind the parquet scan like
+    :func:`text_profile`."""
+    # the top-bigram fold is bound to a struct column in its OWN
+    # projection — referencing it per field would re-run the whole
+    # O(G) fold once per extraction (lambda subtrees defeat CSE)
+    pre = df.select(
+        "doc_id", F.length(F.col(text_col)).alias("__nc__"),
+        F.filter(F.transform(F.split(F.col(text_col), "\n"), F.trim),
+                 lambda x: x != F.lit("")).alias("__lines__"),
+        _tokens(F.col(text_col)).alias("__toks__"),
+    ).select(
+        "doc_id", "__nc__", "__lines__",
+        _word_grams("__toks__", ngram).alias("__gr__"),
+        _top_run(F.array_sort(_word_grams("__toks__", 2)))
+        .alias("__top__"),
+    )
+    lines = F.col("__lines__")
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    lc, dlc = _sum_len(lines), _sum_len(dlines)
+    gr = F.col("__gr__")
+    gc, dgc = _sum_len(gr), _sum_len(F.array_distinct(gr))
+    top = F.col("__top__")
+    top_chars = top["best"] * F.length(top["bestg"])
+    nc = F.col("__nc__")
+    return pre.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(F.when(n_lines > 0,
+                       (n_lines - F.size(dlines)) / n_lines)
+                .otherwise(0.0), 4).alias("dup_line_frac"),
+        F.round(F.when(lc > 0, (lc - dlc) / lc)
+                .otherwise(0.0), 4).alias("dup_line_char_frac"),
+        F.round(F.when(gc > 0, (gc - dgc) / gc)
+                .otherwise(0.0), 4).alias(f"dup_{ngram}gram_char_frac"),
+        F.round(F.when(nc > 0, top_chars / nc)
+                .otherwise(0.0), 4).alias("top_2gram_char_frac"),
+    )
+
+
+def contamination_check(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", n: int = 5,
+                        threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    ``n``-grams with an evaluation/benchmark set — the standard
+    pre-training hygiene pass (e.g. the 13-gram overlap screens used
+    for GPT-3/Gopher eval decontamination, here parameterized).
+
+    Returns one row per input doc: distinct n-gram count, how many of
+    those appear anywhere in the benchmark, the overlap fraction, and
+    ``is_contaminated`` (fraction >= ``threshold``).
+
+    Scale shape: the benchmark set is small by definition — its
+    distinct n-grams are broadcast, so the probe side (the 100 TB
+    corpus) never shuffles for the join; the only wide exchange is the
+    per-doc count aggregation on ``doc_id``, which AQE coalesces.
+    Normalization (lowercase, whitespace-collapse) is applied to both
+    sides so cosmetic edits don't hide contamination."""
+    def grams_of(frame):
+        norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)),
+                                        "\\s+", " "))
+        toks = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+        ids = ["doc_id"] if "doc_id" in frame.columns else []
+        return (frame.select(*ids, toks.alias("__t__"))
+                .select(*ids,
+                        F.array_distinct(_word_grams("__t__", n))
+                        .alias("grams")))
+
+    bench_grams = (grams_of(benchmark)
+                   .select(F.explode("grams").alias("gram"))
+                   .distinct())
+    doc_grams = (grams_of(df)
+                 .select("doc_id", F.explode_outer("grams").alias("gram")))
+    hits = (doc_grams
+            .join(F.broadcast(bench_grams.withColumn("__hit__", F.lit(1))),
+                  "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("gram").cast("long").alias("n_grams"),
+                 F.count("__hit__").cast("long").alias("n_overlap")))
+    frac = F.when(F.col("n_grams") > 0,
+                  F.col("n_overlap") / F.col("n_grams")).otherwise(0.0)
+    return hits.select(
+        "doc_id", "n_grams", "n_overlap",
+        F.round(frac, 4).alias("overlap_frac"),
+        (frac >= threshold).alias("is_contaminated"))
 
 
 def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,

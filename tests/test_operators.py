@@ -442,3 +442,136 @@ def test_corpus_ngrams_plan_is_agg_plus_topk(spark):
     # map-side combine (paired HashAggregates / ObjectHashAggregates)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_repetition_metrics_matches_pandas(spark):
+    from collections import Counter
+
+    from baloo_spark.operators.text import repetition_metrics
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    got = (repetition_metrics(docs).toPandas()
+           .set_index("doc_id").sort_index())
+    pdf = docs.toPandas().set_index("doc_id").sort_index()
+    for doc_id, row in pdf.iterrows():
+        t = row["text"]
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip() != ""]
+        toks = t.split()
+        g5 = [" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)]
+        g2 = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        r = got.loc[doc_id]
+        assert r["n_lines"] == len(lines)
+        if lines:
+            assert abs(r["dup_line_frac"]
+                       - round((len(lines) - len(set(lines))) / len(lines),
+                               4)) < 1e-9
+            lc = sum(len(x) for x in lines)
+            dlc = sum(len(x) for x in set(lines))
+            assert abs(r["dup_line_char_frac"]
+                       - round((lc - dlc) / lc, 4)) < 1e-9
+        gc = sum(len(x) for x in g5)
+        if gc:
+            dgc = sum(len(x) for x in set(g5))
+            assert abs(r["dup_5gram_char_frac"]
+                       - round((gc - dgc) / gc, 4)) < 1e-9
+        if g2:
+            cnt = Counter(g2)
+            best = max(cnt.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+            # tie-break: max count, then lexicographically smallest
+            top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert abs(r["top_2gram_char_frac"]
+                       - round(top[1] * len(top[0]) / len(t), 4)) < 1e-9
+
+
+def test_repetition_metrics_synthetic_and_empty(spark):
+    import pandas as pd
+    from baloo_spark.operators.text import repetition_metrics
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam spam spam spam spam spam",
+                 "line a\nline a\nline b",
+                 ""]}))
+    got = (repetition_metrics(docs).toPandas()
+           .set_index("doc_id").sort_index())
+    # doc 1: every 5-gram is "spam spam spam spam spam" (2 occurrences)
+    assert got.loc[1, "dup_5gram_char_frac"] == 0.5
+    # top bigram "spam spam" occurs 5x, 9 chars, text is 29 chars
+    assert got.loc[1, "top_2gram_char_frac"] == round(45 / 29, 4)
+    assert got.loc[2, "n_lines"] == 3
+    assert got.loc[2, "dup_line_frac"] == round(1 / 3, 4)
+    # empty doc: all zeros, no NULLs
+    assert (got.loc[3] == 0).all()
+
+
+def test_repetition_metrics_plan_single_scan_no_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from baloo_spark.operators.text import repetition_metrics
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        repetition_metrics(docs).explain("formatted")
+    plan = buf.getvalue()
+    # pure per-row projection: one scan, zero exchanges ("formatted"
+    # prints each node twice — once in the tree, once in the details)
+    assert "Exchange" not in plan
+    assert "(1) Scan parquet" in plan
+    assert "(2) Scan" not in plan
+
+
+def test_contamination_check_matches_pandas(spark):
+    import pandas as pd
+    from baloo_spark.operators.text import contamination_check
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "completely unrelated content with different words entirely",
+                 "short"]}))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "text": ["quick brown fox jumps over the lazy"]}))
+    got = (contamination_check(train, bench, n=5, threshold=0.3)
+           .toPandas().set_index("doc_id").sort_index())
+    # doc 1 has 5 distinct 5-grams; bench contributes 3 of them
+    # (grams fully inside the overlap window)
+    assert got.loc[1, "n_grams"] == 5
+    assert got.loc[1, "n_overlap"] == 3
+    assert bool(got.loc[1, "is_contaminated"])
+    assert got.loc[2, "n_overlap"] == 0
+    assert not bool(got.loc[2, "is_contaminated"])
+    # doc shorter than n words still yields a row with zero grams
+    assert got.loc[3, "n_grams"] == 0
+    assert not bool(got.loc[3, "is_contaminated"])
+
+
+def test_contamination_check_normalizes_whitespace_and_case(spark):
+    import pandas as pd
+    from baloo_spark.operators.text import contamination_check
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["The  QUICK\nbrown   Fox jumps over"]}))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "text": ["the quick brown fox jumps over"]}))
+    got = contamination_check(train, bench, n=5).toPandas().iloc[0]
+    # cosmetic edits (case, whitespace, newlines) must not hide overlap
+    assert got["n_overlap"] == got["n_grams"] == 2
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+    from baloo_spark.operators.text import contamination_check
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        contamination_check(docs, bench).explain("formatted")
+    plan = buf.getvalue()
+    # the corpus side must probe a broadcast of the benchmark grams —
+    # never shuffle the 100 TB side for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
