@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "hash_sample", "train_test_split",
-           "stratified_sample"]
+           "stratified_sample", "mix_corpora"]
 
 _BUCKETS = 1_000_000  # ppm resolution for fractions
 
@@ -100,3 +100,45 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
             F.col(strata_col) == val, int(round(frac * _BUCKETS)))
     cut = cut.otherwise(0) if cut is not None else F.lit(0)
     return df.where(b < cut)
+
+
+def mix_corpora(corpora: dict, weights: dict, key: str,
+                total_rows: int | None = None, seed: int = 0,
+                source_col: str = "corpus") -> DataFrame:
+    """Deterministic weighted dataset mixture: sample each corpus so
+    the union approximates the ``weights`` proportions, tagging rows
+    with their corpus name.
+
+    ``corpora`` maps name -> DataFrame (shared schema); ``weights``
+    maps name -> target share (normalized). ``total_rows=None`` keeps
+    the LARGEST mixture consistent with the weights given each corpus'
+    size (the binding corpus is kept whole); an explicit budget
+    downsamples everything proportionally. Oversubscribed corpora
+    (target above their size) are kept whole rather than upsampled —
+    repetition policy belongs to the training loader, not the sampler.
+
+    Scale shape: one ``count()`` scalar agg per corpus (metadata-cheap
+    on parquet), then a narrow hash filter per corpus and a union —
+    no shuffle anywhere, reproducible under any partitioning via the
+    same md5 bucketing as :func:`hash_sample`.
+    """
+    if set(corpora) != set(weights):
+        raise ValueError("corpora and weights must have the same keys")
+    if not corpora:
+        raise ValueError("need at least one corpus")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {n: w / total_w for n, w in weights.items()}
+    sizes = {n: df.count() for n, df in corpora.items()}
+    # largest feasible mixture size: min over corpora of size/share
+    feasible = min(sizes[n] / shares[n] for n in corpora if shares[n] > 0)
+    target = feasible if total_rows is None else min(total_rows, feasible)
+    out = None
+    for name in sorted(corpora):
+        want = shares[name] * target
+        frac = min(want / sizes[name], 1.0) if sizes[name] else 0.0
+        piece = (hash_sample(corpora[name], frac, key, seed)
+                 .withColumn(source_col, F.lit(name)))
+        out = piece if out is None else out.unionByName(piece)
+    return out

@@ -1,0 +1,153 @@
+"""Chunking / packing / corpus-mixing operators
+(operators/chunking.py, operators/sampling.py mix_corpora)."""
+
+import pandas as pd
+import pytest
+
+from baloo_spark.operators.chunking import chunk_documents, pack_chunks
+from baloo_spark.operators.sampling import mix_corpora
+
+
+def _pandas_chunks(text, chunk_tokens, overlap):
+    toks = text.split()
+    if not toks:
+        return []
+    stride = chunk_tokens - overlap
+    out = []
+    k = 0
+    while True:
+        start = k * stride
+        out.append(" ".join(toks[start:start + chunk_tokens]))
+        if start + chunk_tokens >= len(toks):
+            break
+        k += 1
+    return out
+
+
+def test_chunk_documents_matches_pandas(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    got = (chunk_documents(docs, chunk_tokens=30, overlap=5).toPandas()
+           .sort_values(["doc_id", "chunk_seq"]).reset_index(drop=True))
+    pdf = docs.toPandas().sort_values("doc_id")
+    want_rows = []
+    for _, r in pdf.iterrows():
+        for i, c in enumerate(_pandas_chunks(r["text"], 30, 5)):
+            want_rows.append((r["doc_id"], i, c, len(c.split())))
+    want = pd.DataFrame(want_rows, columns=[
+        "doc_id", "chunk_seq", "chunk_text", "chunk_n_tokens"]) \
+        .sort_values(["doc_id", "chunk_seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f g h i j",   # 10 toks, 2 windows at c=6,o=2
+                 "a b c",                  # shorter than window: 1 chunk
+                 "",                       # empty: 0 chunks
+                 "x " * 6]}))              # exactly chunk_tokens: 1 chunk
+    got = (chunk_documents(docs, chunk_tokens=6, overlap=2).toPandas()
+           .sort_values(["doc_id", "chunk_seq"]))
+    by_doc = got.groupby("doc_id").size().to_dict()
+    assert by_doc == {1: 2, 2: 1, 4: 1}  # doc 3 dropped
+    d1 = got[got["doc_id"] == 1]["chunk_text"].tolist()
+    assert d1 == ["a b c d e f", "e f g h i j"]
+    assert got[got["doc_id"] == 2]["chunk_text"].tolist() == ["a b c"]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1],
+                                               "text": ["a"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=5, overlap=5)
+
+
+def test_chunk_documents_plan_no_shuffle(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        chunk_documents(docs).explain("formatted")
+    plan = buf.getvalue()
+    # narrow explode pipeline: zero exchanges, single scan
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode
+
+
+def test_pack_chunks_respects_budget_and_determinism(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=40)
+    packed = pack_chunks(chunks, budget_tokens=128, n_buckets=8).toPandas()
+    assert len(packed) == chunks.count()
+    # bin budgets respected (oversize chunks sit alone, none here)
+    fill = packed.groupby(["bucket", "bin_seq"])["chunk_n_tokens"].sum()
+    assert (fill <= 128).all()
+    # offsets are the running sum within each bin's fill order
+    for (_, _), grp in packed.groupby(["bucket", "bin_seq"]):
+        offs = sorted(grp["bin_offset"])
+        toks = grp.set_index("bin_offset")["chunk_n_tokens"]
+        run = 0
+        for o in offs:
+            assert o == run
+            run += int(toks[o])
+    # deterministic under repartitioning (layout independence)
+    packed2 = (pack_chunks(chunks.repartition(13), budget_tokens=128,
+                           n_buckets=8)
+               .toPandas())
+    key = ["doc_id", "chunk_seq"]
+    a = packed.sort_values(key).reset_index(drop=True)
+    b = packed2.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_chunks_oversize_chunk_gets_own_bin(spark):
+    chunks = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 1, 1],
+        "chunk_seq": [0, 1, 2],
+        "chunk_text": ["big", "a", "b"],
+        "chunk_n_tokens": [500, 10, 10]}))
+    packed = (pack_chunks(chunks, budget_tokens=100, n_buckets=1)
+              .toPandas().set_index("chunk_seq"))
+    assert packed.loc[0, "bin_seq"] != packed.loc[1, "bin_seq"]
+    # the two small chunks share a bin
+    assert packed.loc[1, "bin_seq"] == packed.loc[2, "bin_seq"]
+
+
+def test_mix_corpora_proportions_and_determinism(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    a = docs.where("doc_id % 2 = 0")   # ~250 rows
+    b = docs.where("doc_id % 2 = 1")   # ~250 rows
+    mixed = mix_corpora({"a": a, "b": b}, {"a": 3.0, "b": 1.0},
+                        key="doc_id", seed=7)
+    got = mixed.toPandas()
+    counts = got["corpus"].value_counts()
+    # binding corpus 'a' kept whole; b sampled to ~a/3
+    assert counts["a"] == a.count()
+    assert abs(counts["b"] - counts["a"] / 3) < 0.25 * counts["a"] / 3
+    # reproducible: same rows on a rerun with shuffled layout
+    again = mix_corpora({"a": a.repartition(7), "b": b.repartition(3)},
+                        {"a": 3.0, "b": 1.0}, key="doc_id", seed=7) \
+        .toPandas()
+    assert set(zip(got["doc_id"], got["corpus"])) \
+        == set(zip(again["doc_id"], again["corpus"]))
+
+
+def test_mix_corpora_budget_and_validation(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    with pytest.raises(ValueError):
+        mix_corpora({"a": docs}, {"b": 1.0}, key="doc_id")
+    with pytest.raises(ValueError):
+        mix_corpora({}, {}, key="doc_id")
+    out = mix_corpora({"a": docs, "b": docs}, {"a": 1.0, "b": 1.0},
+                      key="doc_id", total_rows=20)
+    n = out.count()
+    assert n <= 30  # ~20 requested; hash sampling is approximate
