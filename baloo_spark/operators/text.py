@@ -417,6 +417,49 @@ def contamination_check(df: DataFrame, benchmark: DataFrame,
         (frac >= threshold).alias("is_contaminated"))
 
 
+# PII patterns: deliberately simple, deterministic regexes (the
+# production knob is swapping in stricter patterns — the Spark-side
+# plumbing is identical). Order matters: longer/more-specific first so
+# e.g. an email is not half-eaten by the phone pattern.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b",
+    "phone": r"(\+?\d{1,2}[ -.])?\(?\d{3}\)?[ -.]?\d{3}[ -.]\d{4}\b",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               patterns: dict | None = None) -> DataFrame:
+    """Scrub personally-identifiable substrings, replacing each match
+    with a ``<TYPE>`` tag, and report per-type match counts — the
+    standard redaction pass before a corpus becomes training data.
+
+    Output: all input columns with ``text_col`` redacted, plus one
+    ``n_<type>`` count column per pattern and ``n_pii_total``.
+
+    Scale shape: a chain of ``regexp_replace``/``regexp_count``
+    expressions — per-row, JVM-side, single scan, no shuffle; at
+    100 TB this fuses into the same whole-stage-codegen pass as any
+    adjacent filter. Counts are computed BEFORE redaction so
+    overlapping patterns report what each one saw in the original
+    text (replacements apply in dict order)."""
+    patterns = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    counts = [F.regexp_count(c, F.lit(rx)).cast("long").alias(f"n_{name}")
+              for name, rx in patterns.items()]
+    red = c
+    for name, rx in patterns.items():
+        red = F.regexp_replace(red, rx, f"<{name.upper()}>")
+    others = [col for col in df.columns if col != text_col]
+    out = df.select(*others, red.alias(text_col), *counts)
+    total = None
+    for name in patterns:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    return out.withColumn("n_pii_total", total.cast("long"))
+
+
 def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
                   top_k: int = 100, min_count: int = 1) -> DataFrame:
     """Corpus-level n-gram frequency table: the top_k most frequent

@@ -575,3 +575,39 @@ def test_contamination_check_broadcasts_benchmark(spark):
     # never shuffle the 100 TB side for the join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_patterns_and_counts(spark):
+    import pandas as pd
+    from baloo_spark.operators.text import pii_redact
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at jo.doe+x@example.co.uk or call 555-123-4567",
+                 "server at 10.0.0.1 paid with 4111 1111 1111 1111",
+                 "nothing sensitive here"]}))
+    got = pii_redact(docs).toPandas().set_index("doc_id").sort_index()
+    assert "<EMAIL>" in got.loc[1, "text"]
+    assert "jo.doe" not in got.loc[1, "text"]
+    assert "<PHONE>" in got.loc[1, "text"]
+    assert got.loc[1, "n_email"] == 1 and got.loc[1, "n_phone"] == 1
+    assert "<IPV4>" in got.loc[2, "text"]
+    assert "<CARD>" in got.loc[2, "text"]
+    assert "4111" not in got.loc[2, "text"]
+    assert got.loc[2, "n_pii_total"] == 2
+    assert got.loc[3, "text"] == "nothing sensitive here"
+    assert got.loc[3, "n_pii_total"] == 0
+
+
+def test_pii_redact_plan_no_shuffle_no_python(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from baloo_spark.operators.text import pii_redact
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pii_redact(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
