@@ -36,7 +36,13 @@ SCOPE_NOTES = {
     "merge_inner_left": "15000 -> 30000 rows (inner AND left legs)",
     "sort_nlargest": "100 -> 120 rows (adds nlargest/nsmallest legs)",
     "describe": "3 -> 10 rows (full describe, not just 3 quantiles)",
-    "text_metrics": "query replaced by wider text profile (500 rows)",
+    "text_metrics": "query replaced by wider text profile (500 rows); "
+                    "r3 folds in Gopher-style repetition metrics "
+                    "(+5 cols in the same single-scan projection) and "
+                    "benchmark decontamination (an extra explode + "
+                    "broadcast join + doc_id agg branch) — warm time "
+                    "rises ~1.5s from that second branch's fixed "
+                    "overhead, by design",
     "unary_math": "since r2 also exercises apply modes 4-6: a C-UDF "
                   "(ctypes) column and an Arrow pandas_udf column — "
                   "the two Python-boundary columns dominate its time "
@@ -51,6 +57,16 @@ VERIFIED_NOISE = {
                    "the single exchange (map-side top-k pruning) and a "
                    "3-column pruned scan — host-load noise, no plan "
                    "change",
+    "dedup_exact": "re-timed solo at sf0.1 (r3): 0.44-0.54s warm — "
+                   "the in-bench 1.1s warm / 1.6s cold reflects "
+                   "shared-session GC/contention after 19 prior "
+                   "queries, not a plan change (still one hash-agg "
+                   "shuffle)",
+    "dedup_minhash": "re-timed solo at sf0.1 (r3): 2.1-2.5s warm, "
+                     "matching r1's 2.8s cold; the 7.6s in-bench cold "
+                     "is first-query JIT + host load on a shared box. "
+                     "Constant-factor heavy by nature (k=64 shingle "
+                     "fold), no scale hazard (band equi-join only)",
 }
 
 
