@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched decode/feature plumbing.
 
-The container has no image/audio libraries, so the actual codec step
-is STUBBED (clearly marked below) behind a deterministic fake — but
-every Spark-side piece is real and tested: the schema contract, the
-mapInPandas batch shape, partition sizing for wide binary rows, and
-the pandas-UDF signatures. Swapping the stub for PIL/librosa/ffmpeg
-changes only the inside of ``_decode_stub``.
+Codec surface, two tiers:
+
+- **REAL decode** (pure numpy, no external library): binary PPM (P6)
+  and uncompressed 24-bit BMP — magic-sniffed by
+  :func:`decode_image`, producing pixel arrays, interpretable image
+  features (dims/channel stats/brightness/contrast), and a real
+  nearest-neighbor resize kernel that re-encodes to PPM.
+- **STUB** for compressed formats (JPEG/PNG/video): the container has
+  no PIL/ffmpeg, so those fall back to a clearly-marked deterministic
+  fake (``_decode_stub``) — the Spark-side plumbing (schema contract,
+  mapInPandas batch shape, wide-row partitioning, 1-to-N frame
+  explode) is identical either way, so swapping the stub for a real
+  library changes nothing outside it.
 
 Scale notes: binary payloads make rows wide — feature extraction
 repartitions by id first so Arrow batches stay bounded
@@ -55,12 +62,16 @@ def to_media_table(df: DataFrame, text_col: str = "text",
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """=== STUB: media codec goes here ===
+    """=== STUB: compressed-media codec goes here ===
 
     Real implementation would be e.g. ``PIL.Image.open(io.BytesIO(
-    payload))``; not available in this container. The stub derives a
-    deterministic pseudo-decode from the payload hash so pipelines
-    have stable, testable outputs.
+    payload))`` for JPEG/PNG or ffmpeg for video; not available in
+    this container. The stub derives a deterministic pseudo-decode
+    from the payload hash so pipelines have stable, testable outputs.
+
+    Uncompressed raster formats don't need any library — see
+    :func:`decode_image`, which REALLY decodes PPM (P6) and 24-bit BMP
+    with numpy and only falls back here for payloads it can't parse.
     """
     if payload is None:
         raise NotImplementedError("decode of NULL payload")
@@ -70,6 +81,115 @@ def _decode_stub(payload: bytes) -> dict:
         "feature": [int.from_bytes(h[i:i + 2], "big") / 65535.0
                     for i in range(0, FEATURE_DIM * 2, 2)],
     }
+
+
+# --------------------------------------------------------------------
+# REAL codecs: uncompressed raster formats, pure numpy (no image lib)
+# --------------------------------------------------------------------
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    import numpy as np
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError(f"expected 3 channels, got {c}")
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _decode_ppm(payload: bytes):
+    """Parse binary PPM (P6): ASCII header (width height maxval, ``#``
+    comments allowed) followed by raw RGB rows. Returns (h, w, 3)
+    uint8."""
+    import numpy as np
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes):
+    """Parse uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up or
+    top-down, BGR with 4-byte row padding). Returns (h, w, 3) uint8
+    RGB."""
+    import struct
+
+    import numpy as np
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported "
+            f"(header={hdr_size}, bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                         offset=data_off).reshape(h, row_bytes)
+    img = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+    return img if top_down else img[::-1]
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode a media payload: REAL numpy decode for PPM/BMP (magic
+    sniffed), deterministic stub for everything else. Returns
+    ``{"ok", "decoded", "pixels" (or None), "feature"}`` where
+    ``feature`` for real decodes is interpretable image stats
+    (dims/aspect + per-channel mean/std + brightness/contrast/
+    colorfulness, all normalized) rather than hash noise."""
+    import numpy as np
+    if payload is None:
+        raise NotImplementedError("decode of NULL payload")
+    arr = None
+    if payload.startswith(b"P6"):
+        arr = _decode_ppm(payload)
+    elif payload.startswith(b"BM"):
+        arr = _decode_bmp(payload)
+    if arr is None:
+        out = _decode_stub(payload)
+        out["decoded"] = False
+        out["pixels"] = None
+        return out
+    f = arr.astype(np.float64) / 255.0
+    h, w = arr.shape[:2]
+    means = f.mean(axis=(0, 1))
+    stds = f.std(axis=(0, 1))
+    gray = f.mean(axis=2)
+    rg = abs(means[0] - means[1])
+    yb = abs(0.5 * (means[0] + means[1]) - means[2])
+    feature = [
+        float(w), float(h), round(w / h, 6),
+        *(round(float(x), 6) for x in means),
+        *(round(float(x), 6) for x in stds),
+        round(float(gray.mean()), 6),           # brightness
+        round(float(gray.std()), 6),            # contrast
+        round(float(rg + yb), 6),               # colorfulness proxy
+        round(float(f.min()), 6), round(float(f.max()), 6),
+        round(float(np.median(gray)), 6),
+        0.0,
+    ]
+    return {"ok": True, "decoded": True, "pixels": arr,
+            "feature": feature[:FEATURE_DIM]}
 
 
 def extract_features(media: DataFrame, batch_target: int = 1024) -> DataFrame:
@@ -88,7 +208,7 @@ def extract_features(media: DataFrame, batch_target: int = 1024) -> DataFrame:
     def _extract(batches):
         import pandas as pd
         for pdf in batches:
-            feats = [_decode_stub(p)["feature"] for p in pdf["payload"]]
+            feats = [decode_image(p)["feature"] for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "feature": feats,
@@ -100,11 +220,10 @@ def extract_features(media: DataFrame, batch_target: int = 1024) -> DataFrame:
 
 
 def _resize_kernel_stub(payload: bytes, width: int, height: int) -> bytes:
-    """=== STUB: image resize kernel goes here ===
+    """=== STUB: compressed-image resize goes here ===
 
-    Real implementation: ``PIL.Image.open(io.BytesIO(payload))
-    .resize((width, height)).tobytes()`` — no image library in this
-    container. The fake emits exactly width*height*3 deterministic
+    For payloads :func:`decode_image` can't parse (would need
+    PIL/ffmpeg). The fake emits exactly width*height*3 deterministic
     bytes derived from the payload hash, so the row-shape contract
     (RGB byte count) and downstream schema are exercised for real.
     """
@@ -113,25 +232,45 @@ def _resize_kernel_stub(payload: bytes, width: int, height: int) -> bytes:
     return (h * (need // len(h) + 1))[:need]
 
 
+def _resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """Resize kernel: REAL nearest-neighbor resample (numpy index
+    gather) for decodable payloads, re-encoded as PPM; stub for the
+    rest."""
+    import numpy as np
+    d = decode_image(payload)
+    if not d["decoded"]:
+        return _resize_kernel_stub(payload, width, height)
+    arr = d["pixels"]
+    src_h, src_w = arr.shape[:2]
+    ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return encode_ppm(arr[ys][:, xs])
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   batch_target: int = 256) -> DataFrame:
     """Resize every image payload to (width, height) via mapInPandas.
 
     Output keeps the media table shape: (media_id, payload, meta) with
     meta.width/height rewritten and n_bytes recomputed — a resized
-    media table composes with every other operator here. Only the
-    kernel (``_resize_kernel_stub``) is fake; batching, schema, and
-    the wide-row repartition are the production plumbing.
+    media table composes with every other operator here. PPM/BMP
+    payloads get a REAL nearest-neighbor resample (re-encoded as PPM,
+    format rewritten to image/ppm); only unparseable payloads hit the
+    stub kernel.
     """
     def _resize(batches):
         import pandas as pd
         for pdf in batches:
-            out = [_resize_kernel_stub(p, width, height)
-                   for p in pdf["payload"]]
+            out, fmts = [], []
+            for p, fmt in zip(pdf["payload"], pdf["format"]):
+                decodable = p is not None and (p.startswith(b"P6")
+                                               or p.startswith(b"BM"))
+                out.append(_resize_kernel(p, width, height))
+                fmts.append("image/ppm" if decodable else fmt)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": out,
-                "format": pdf["format"],
+                "format": fmts,
                 "width": width, "height": height,
                 "n_bytes": [len(b) for b in out],
             })
