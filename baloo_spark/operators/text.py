@@ -124,13 +124,18 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def text_profile(df: DataFrame, text_col: str = "text",
                  lang: str = "en",
                  include_repetition: bool = False,
-                 rep_ngram: int = 5) -> DataFrame:
+                 rep_ngram: int = 5,
+                 keep_cols: tuple = ()) -> DataFrame:
     """All four text-analysis families — quality scoring, language ID,
     token counts, fingerprint — in ONE projection; with
     ``include_repetition=True`` the :func:`repetition_metrics` columns
     are fused into the SAME single-scan projection (the token array is
     already bound here, so repetition adds zero extra scans or
-    shuffles).
+    shuffles). ``keep_cols`` passes input columns (e.g. the text
+    itself) through to the output, so downstream stages can filter on
+    profile columns and still see the document — keeping pipelines a
+    single linear projection chain instead of a profile⋈text join
+    (which on a stream would be stateful).
 
     Joining the per-family outputs on doc_id costs 3 joins and 4 scans
     of the text column; every metric here is a per-row expression, so
@@ -166,16 +171,17 @@ def text_profile(df: DataFrame, text_col: str = "text",
             _word_grams("__toks__", rep_ngram).alias("__gr__"),
             _top_run(F.array_sort(_word_grams("__toks__", 2)))
             .alias("__top__")]
+    carry = [c for c in keep_cols if c not in ("doc_id", text_col)]
     pre = df.select(
-        "doc_id", F.col(text_col),
+        "doc_id", F.col(text_col), *carry,
         _tokens(F.col(text_col)).alias("__toks__"),
         *rep_pre,
     ).select(
-        "doc_id", F.col(text_col), F.col("__toks__"),
+        "doc_id", F.col(text_col), *carry, F.col("__toks__"),
         F.transform(F.col("__toks__"), F.lower).alias("__low__"),
         *rep_bound,
     ).select(
-        "doc_id", F.col(text_col), F.col("__toks__"),
+        "doc_id", F.col(text_col), *carry, F.col("__toks__"),
         *([F.col("__lines__"), F.col("__gr__"), F.col("__top__")]
           if include_repetition else []),
         *[F.size(F.filter(F.col("__low__"), _in(words)))
@@ -251,6 +257,7 @@ def text_profile(df: DataFrame, text_col: str = "text",
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
         *rep_cols,
+        *[F.col(c) for c in keep_cols if c != "doc_id"],
     )
 
 

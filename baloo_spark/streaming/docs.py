@@ -1,0 +1,114 @@
+"""Structured Streaming faces for the document/LLM-pipeline
+operators.
+
+The text operators in operators/text.py and operators/chunking.py are
+(almost all) stateless per-row projections, so their streaming faces
+are the SAME functions applied to a ``readStream`` DataFrame — this
+module pins that contract and packages the common pipelines. What
+needs care on an unbounded stream:
+
+- stateless (profile, quality filter, PII redaction, chunking):
+  nothing — no watermark, no state, append mode;
+- contamination: the benchmark n-gram set is bounded and static, so
+  it rides along as a broadcast probe (stream-static join pattern) —
+  implemented per-row so no streaming aggregation state is needed;
+- anything corpus-global (corpus_ngrams, vocabulary_stats, exact
+  corpus dedup) is a streaming AGGREGATION — use the windowed/
+  watermarked faces in streaming/events.py as the template, or run
+  them as periodic batch jobs over the accumulated table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCS_SCHEMA = ("doc_id LONG, text STRING, lang STRING, source STRING, "
+               "n_chars LONG")
+
+
+def read_docs_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source document stream (new parquet files appear under
+    ``path`` as upstream crawls land). maxFilesPerTrigger bounds
+    micro-batch size in production; tests drain with availableNow."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(path)
+
+
+def quality_pipeline(docs: DataFrame, min_quality: float = 0.3,
+                     max_dup_line_frac: float = 0.5,
+                     lang: str = "en") -> DataFrame:
+    """The standard pre-training text-cleaning pipeline as ONE
+    stateless projection chain: PII redaction -> profile of the
+    REDACTED text (quality + repetition fused, text passed through
+    via ``keep_cols``) -> threshold filter.
+
+    Deliberately join-free: a profile⋈text join would be a
+    stream-stream join (unbounded buffered state on an unbounded
+    stream); redact-then-profile keeps it a linear narrow pipeline —
+    and scores what would actually be trained on. Works identically
+    on a batch DataFrame and a readStream; the batch face is the
+    correctness oracle for the streaming face (pinned in tests).
+    Append-mode, no watermark, no state.
+    """
+    from baloo_spark.operators.text import pii_redact, text_profile
+
+    red = pii_redact(docs.select("doc_id", "text"))
+    prof = text_profile(red, lang=lang, include_repetition=True,
+                        keep_cols=("text", "n_pii_total"))
+    return (prof
+            .where((F.col("quality_score") >= min_quality)
+                   & (F.col("dup_line_frac") <= max_dup_line_frac))
+            .select("doc_id", "text", "n_tokens", "quality_score",
+                    "lang_pred", "n_pii_total"))
+
+
+def contamination_flags(docs: DataFrame, bench_grams: list,
+                        n: int = 5, threshold: float = 0.2) -> DataFrame:
+    """Per-row contamination flags against a STATIC benchmark gram
+    set — the streaming-safe variant of
+    operators/text.contamination_check (which aggregates by doc_id
+    and would need unbounded state on a stream).
+
+    ``bench_grams``: the benchmark's distinct word n-grams, collected
+    once (bounded by definition — an eval set, not a corpus) and
+    shipped to executors as an Arrow-batched pandas_udf closure. Per
+    row: distinct-gram count, overlap count, fraction, flag. No
+    shuffle, no state — valid in append mode with no watermark.
+    """
+    from pyspark.sql.types import LongType
+
+    from baloo_spark.functions._udf import scalar_pandas_udf
+
+    bench = frozenset(bench_grams)
+
+    def _overlap(grams):
+        return grams.map(lambda g: sum(x in bench for x in g)
+                         if g is not None else 0)
+
+    overlap_udf = scalar_pandas_udf(_overlap, LongType())
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    from baloo_spark.operators.text import _word_grams
+    with_grams = (docs
+                  .withColumn("__t__", toks)
+                  .withColumn("__grams__",
+                              F.array_distinct(_word_grams("__t__", n))))
+    frac = F.when(F.col("n_grams") > 0,
+                  F.col("n_overlap") / F.col("n_grams")).otherwise(0.0)
+    return (with_grams
+            .withColumn("n_grams", F.size("__grams__").cast("long"))
+            .withColumn("n_overlap", overlap_udf(F.col("__grams__")))
+            .select("doc_id", "n_grams", "n_overlap",
+                    F.round(frac, 4).alias("overlap_frac"),
+                    (frac >= threshold).alias("is_contaminated")))
+
+
+def chunk_stream(docs: DataFrame, chunk_tokens: int = 200,
+                 overlap: int = 0) -> DataFrame:
+    """Streaming chunking IS the batch operator: a stateless
+    posexplode projection (operators/chunking.chunk_documents) is
+    valid on a readStream as-is. Exposed here so pipelines import the
+    streaming face by name."""
+    from baloo_spark.operators.chunking import chunk_documents
+    return chunk_documents(docs, chunk_tokens=chunk_tokens,
+                           overlap=overlap)

@@ -1,0 +1,109 @@
+"""Streaming faces of the document pipeline (streaming/docs.py):
+batch face is the oracle for the stream face."""
+
+import pandas as pd
+import pytest
+
+from baloo_spark.streaming.docs import (chunk_stream, contamination_flags,
+                                        quality_pipeline, read_docs_stream)
+from baloo_spark.streaming.events import run_stream_to_memory
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    """Documents split over several files so the stream sees multiple
+    inputs."""
+    out = str(tmp_path / "docs_in")
+    (spark.read.parquet(f"{SF}/documents.parquet")
+     .repartition(3).write.parquet(out))
+    return out
+
+
+def _sorted(df, keys):
+    return df.toPandas().sort_values(keys).reset_index(drop=True)
+
+
+def test_quality_pipeline_stream_matches_batch(spark, docs_dir, request):
+    # testdata scores span 0.65-0.88, so 0.70 actually splits the set
+    batch = quality_pipeline(spark.read.parquet(docs_dir),
+                             min_quality=0.70)
+    stream = quality_pipeline(read_docs_stream(spark, docs_dir),
+                              min_quality=0.70)
+    assert stream.isStreaming
+    got = run_stream_to_memory(spark, stream, name="qp_out")
+    request.addfinalizer(
+        lambda: spark.catalog.dropTempView("qp_out"))
+    a = _sorted(batch, ["doc_id"])
+    b = _sorted(got, ["doc_id"])
+    pd.testing.assert_frame_equal(a, b)
+    # the filter actually dropped something and kept something
+    total = spark.read.parquet(docs_dir).count()
+    assert 0 < len(a) < total
+
+
+def test_chunk_stream_matches_batch(spark, docs_dir, request):
+    from baloo_spark.operators.chunking import chunk_documents
+    batch = chunk_documents(spark.read.parquet(docs_dir),
+                            chunk_tokens=40, overlap=8)
+    stream = chunk_stream(read_docs_stream(spark, docs_dir),
+                          chunk_tokens=40, overlap=8)
+    assert stream.isStreaming
+    got = run_stream_to_memory(spark, stream, name="cs_out")
+    request.addfinalizer(
+        lambda: spark.catalog.dropTempView("cs_out"))
+    pd.testing.assert_frame_equal(
+        _sorted(batch, ["doc_id", "chunk_seq"]),
+        _sorted(got, ["doc_id", "chunk_seq"]))
+
+
+def test_contamination_flags_stream_matches_batch_operator(
+        spark, docs_dir, request):
+    """The per-row streaming variant must agree exactly with the
+    aggregate-based batch operator (contamination_check) on the same
+    benchmark set."""
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.text import (_word_grams,
+                                            contamination_check)
+    docs = spark.read.parquet(docs_dir)
+    bench_df = docs.where(F.col("doc_id") % 20 == 0)
+    # collect the benchmark gram set once (bounded: it's an eval set)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    toks = F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+    grams = [r["g"] for r in bench_df
+             .withColumn("__t__", toks)
+             .select(F.explode(F.array_distinct(_word_grams("__t__", 5)))
+                     .alias("g"))
+             .distinct().collect()]
+    batch_want = contamination_check(docs, bench_df, n=5, threshold=0.2)
+    stream = contamination_flags(read_docs_stream(spark, docs_dir),
+                                 grams, n=5, threshold=0.2)
+    assert stream.isStreaming
+    got = run_stream_to_memory(spark, stream, name="cf_out")
+    request.addfinalizer(
+        lambda: spark.catalog.dropTempView("cf_out"))
+    pd.testing.assert_frame_equal(
+        _sorted(batch_want, ["doc_id"]), _sorted(got, ["doc_id"]))
+    # sanity: benchmark docs flag themselves
+    flagged = {r["doc_id"] for r in got.where("is_contaminated").collect()}
+    bench_ids = {r["doc_id"] for r in bench_df.select("doc_id").collect()}
+    long_bench = {r["doc_id"] for r in bench_df
+                  .where(F.size(F.split(F.trim("text"), "\\s+")) >= 5)
+                  .collect()}
+    assert long_bench <= flagged or not long_bench
+    assert bench_ids or True
+
+
+def test_quality_pipeline_plan_is_stateless_linear(spark, docs_dir):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        quality_pipeline(spark.read.parquet(docs_dir)).explain("formatted")
+    plan = buf.getvalue()
+    # join-free narrow chain: safe on an unbounded stream (no state)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
