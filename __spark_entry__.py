@@ -951,38 +951,50 @@ SELECT event_id, maybe, is_missing, filled, maybe2, ff, bf FROM (
 # =====================================================================
 
 def _running_totals(spark, sf):
-    """Running (cumulative) revenue per customer + order-gap via lag —
-    partitioned window frames (engine extension, SURVEY.md §2.9),
-    tagged 'win'; PLUS the pandas-flavor Series.shift/diff (global
-    order via the partition-safe boundary-carry scheme,
-    plans/ordinal.py) tagged 'diff'."""
+    """Running (cumulative) revenue per customer + order-gap via lag +
+    3-order rolling mean — partitioned window frames (engine
+    extension, SURVEY.md §2.9), tagged 'win'; PLUS the pandas-flavor
+    Series.shift/diff and the GLOBAL rolling sum (both through the
+    partition-safe boundary-carry / prefix-scan schemes,
+    plans/ordinal.py — with_rolling composes rolling(i) = prefix(i) -
+    prefix(i-w)) tagged 'diff'."""
     o = _bl(spark, sf, "orders")
     r = o.with_running("o_totalprice", order_by="o_orderkey",
                        partition_by="o_custkey", agg="sum",
                        name="cum_spend")
     r = r.with_lag("o_orderkey", order_by="o_orderkey",
                    partition_by="o_custkey", name="prev_order")
-    out = r[["o_custkey", "o_orderkey", "cum_spend", "prev_order"]]
+    r = r.with_rolling("o_totalprice", 3, order_by="o_orderkey",
+                       partition_by="o_custkey", agg="mean",
+                       name="roll3_mean")
+    out = r[["o_custkey", "o_orderkey", "cum_spend", "prev_order",
+             "roll3_mean"]]
     win = out.to_spark().select(
         F.lit("win").alias("part"),
         "o_custkey", "o_orderkey",
         F.round("cum_spend", 2).alias("cum_spend"),
         F.col("prev_order").cast("long").alias("prev_order"),
+        F.round("roll3_mean", 2).alias("roll3_mean"),
         F.lit(None).cast("double").alias("price_diff"),
-        F.lit(None).cast("double").alias("prev_price"))
+        F.lit(None).cast("double").alias("prev_price"),
+        F.lit(None).cast("double").alias("roll3_sum"))
     o2 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
     s = o2["o_totalprice"]
     o2["price_diff"] = s.diff()
     o2["prev_price"] = s.shift(1)
-    diff = o2.to_spark().select(
+    o2r = o2.with_rolling("o_totalprice", 3, order_by="o_orderkey",
+                          agg="sum", name="roll3_sum")
+    diff = o2r.to_spark().select(
         F.lit("diff").alias("part"),
         "o_custkey", "o_orderkey",
         F.lit(None).cast("double").alias("cum_spend"),
         F.lit(None).cast("long").alias("prev_order"),
+        F.lit(None).cast("double").alias("roll3_mean"),
         F.round("price_diff", 2).alias("price_diff"),
-        F.round("prev_price", 2).alias("prev_price"))
+        F.round("prev_price", 2).alias("prev_price"),
+        F.round("roll3_sum", 2).alias("roll3_sum"))
     return win.unionByName(diff)
 
 
@@ -992,12 +1004,23 @@ SELECT 'win' AS part, o_custkey, o_orderkey,
                                      ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
        lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
          AS prev_order,
-       CAST(NULL AS DOUBLE) AS price_diff, CAST(NULL AS DOUBLE) AS prev_price
+       round(CASE WHEN count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 3
+                  THEN avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             END, 2) AS roll3_mean,
+       CAST(NULL AS DOUBLE) AS price_diff, CAST(NULL AS DOUBLE) AS prev_price,
+       CAST(NULL AS DOUBLE) AS roll3_sum
 FROM orders
 UNION ALL
-SELECT 'diff', o_custkey, o_orderkey, NULL, NULL,
+SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
        round(o_totalprice - lag(o_totalprice) OVER (ORDER BY o_orderkey), 2),
-       round(lag(o_totalprice) OVER (ORDER BY o_orderkey), 2)
+       round(lag(o_totalprice) OVER (ORDER BY o_orderkey), 2),
+       round(CASE WHEN count(*) OVER (ORDER BY o_orderkey
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 3
+                  THEN sum(o_totalprice) OVER (ORDER BY o_orderkey
+                                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             END, 2)
 FROM orders WHERE o_orderkey < 2000
 """
 

@@ -947,6 +947,71 @@ class DataFrame:
         return DataFrame._make(out, self._index_cols,
                                self._data_cols + [name], self._order)
 
+    def with_rolling(self, col: str, window: int, order_by,
+                     partition_by=None, agg: str = "mean",
+                     min_periods: int | None = None,
+                     name: str | None = None) -> "DataFrame":
+        """Fixed-size rolling aggregate over the trailing ``window``
+        rows (pandas ``rolling(window).agg()`` semantics: NULL until
+        ``min_periods`` — default ``window`` — non-null rows are in
+        frame).
+
+        Partitioned: one ``rowsBetween(-(window-1), 0)`` frame per
+        group, all state local. With NO partition keys the naive plan
+        is a single-partition global window; instead sum/count/mean
+        COMPOSE from the partition-safe prefix machinery —
+        ``rolling(i) = prefix(i) - prefix(i - window)`` via
+        :func:`~baloo_spark.plans.ordinal.with_prefix_aggs` +
+        :func:`~baloo_spark.plans.ordinal.with_boundary_shift` — so
+        nothing collapses. Global rolling min/max do not decompose
+        into prefixes; pass partition keys for those (ValueError
+        otherwise, with the alternative named).
+        """
+        from pyspark.sql import Window
+        if window <= 0:
+            raise ValueError(f"window must be positive, got {window}")
+        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        partition_by = ([partition_by] if isinstance(partition_by, str)
+                        else list(partition_by or []))
+        name = name or f"rolling_{agg}"
+        mp = window if min_periods is None else min_periods
+        if partition_by:
+            w = (Window.partitionBy(*partition_by).orderBy(*order_by)
+                 .rowsBetween(-(window - 1), 0))
+            fn = _AGG_FNS[agg]
+            v = F.col(col) if agg == "count" else F.col(col).cast("double")
+            expr = F.when(F.count(F.col(col)).over(w) >= mp,
+                          fn(v).over(w))
+            out = self._sdf.withColumn(name, expr)
+            return DataFrame._make(out, self._index_cols,
+                                   self._data_cols + [name], self._order)
+        if agg not in ("sum", "count", "mean"):
+            raise ValueError(
+                f"global rolling '{agg}' does not decompose into "
+                f"prefix scans; use partition_by=... (per-group "
+                f"frames) for rolling {agg}")
+        from ..plans.ordinal import with_boundary_shift, with_prefix_aggs
+        v = F.col(col).cast("double")
+        sdf = with_prefix_aggs(self._sdf,
+                               {"__ps__": (v, "sum"),
+                                "__pc__": (F.col(col), "count")},
+                               order_by)
+        # the SAME global order: prefix cols ride along the carry
+        ob = [F.col(c).asc() if isinstance(c, str) else c
+              for c in order_by]
+        sdf = with_boundary_shift(sdf, F.col("__ps__"), window,
+                                  order_by=ob, name="__psw__")
+        sdf = with_boundary_shift(sdf, F.col("__pc__"), window,
+                                  order_by=ob, name="__pcw__")
+        rsum = F.col("__ps__") - F.coalesce(F.col("__psw__"), F.lit(0.0))
+        rcnt = F.col("__pc__") - F.coalesce(F.col("__pcw__"), F.lit(0))
+        expr = {"sum": rsum, "count": rcnt,
+                "mean": rsum / rcnt}[agg]
+        out = (sdf.withColumn(name, F.when(rcnt >= mp, expr))
+               .drop("__ps__", "__pc__", "__psw__", "__pcw__"))
+        return DataFrame._make(out, self._index_cols,
+                               self._data_cols + [name], self._order)
+
     def with_lag(self, col: str, order_by, partition_by=None, offset: int = 1,
                  name: str | None = None, diff: bool = False) -> "DataFrame":
         """Previous-row value (lag) or difference vs previous row over

@@ -191,3 +191,57 @@ def test_edge_cases(spark):
     right = spark.createDataFrame([], "ts LONG, value DOUBLE")
     row = asof_join(left, right, on="ts").first()
     assert row["value_right"] is None and row["matched_ts"] is None
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "mean"])
+def test_rolling_global_matches_pandas(bl, frame, data, agg):
+    w = 5
+    out = frame.with_rolling("v", w, order_by="t", agg=agg,
+                             name="r")
+    _no_single_partition(out.to_spark())
+    got = out.to_spark().orderBy("t").select("r").toPandas()["r"]
+    ordered = data.sort_values("t")["v"]
+    roll = ordered.rolling(w, min_periods=w)
+    want = {"sum": roll.sum(), "count": roll.count(),
+            "mean": roll.mean()}[agg].reset_index(drop=True)
+    if agg == "count":
+        # pandas counts only when >= min_periods rows EXIST in frame;
+        # ours additionally nulls when non-null count < min_periods —
+        # compare where both are defined
+        want = want.where(want >= w)
+        got = got.where(got.notna())
+        npt.assert_allclose(got.fillna(-1), want.fillna(-1))
+    else:
+        npt.assert_allclose(got.to_numpy(dtype=float),
+                            want.to_numpy(dtype=float), rtol=1e-9)
+
+
+def test_rolling_partitioned_matches_pandas(bl, frame, data):
+    out = frame.with_rolling("v", 3, order_by="t", partition_by="g",
+                             agg="mean", name="r")
+    got = (out.to_spark().orderBy("g", "t").select("g", "t", "r")
+           .toPandas())
+    want = (data.sort_values(["g", "t"])
+            .assign(r=lambda d: d.groupby("g")["v"]
+                    .transform(lambda s: s.rolling(3, min_periods=3)
+                               .mean()))
+            .reset_index(drop=True))
+    npt.assert_allclose(got["r"].fillna(-9).to_numpy(),
+                        want["r"].fillna(-9).to_numpy(), rtol=1e-9)
+
+
+def test_rolling_partitioned_min_max_and_min_periods(bl, frame, data):
+    out = frame.with_rolling("v", 4, order_by="t", partition_by="g",
+                             agg="max", min_periods=2, name="r")
+    got = (out.to_spark().orderBy("g", "t").select("r")
+           .toPandas()["r"])
+    want = (data.sort_values(["g", "t"]).groupby("g")["v"]
+            .transform(lambda s: s.rolling(4, min_periods=2).max())
+            .reset_index(drop=True))
+    npt.assert_allclose(got.fillna(-9).to_numpy(),
+                        want.fillna(-9).to_numpy(), rtol=1e-9)
+
+
+def test_rolling_global_min_rejected_with_alternative(bl, frame):
+    with pytest.raises(ValueError, match="partition_by"):
+        frame.with_rolling("v", 3, order_by="t", agg="min")

@@ -83,6 +83,24 @@ def main():
             w, {"rsum": (F.col("l_extendedprice"), "sum")},
             [F.col("l_orderkey").asc()])
 
+    def profile_fused(m):
+        from baloo_spark.operators.text import text_profile
+        return text_profile(replicate(docs, m), include_repetition=True)
+
+    def chunk_pack(m):
+        from baloo_spark.operators.chunking import (chunk_documents,
+                                                    pack_chunks)
+        ch = chunk_documents(replicate(docs, m), chunk_tokens=64,
+                             overlap=8)
+        return pack_chunks(ch, budget_tokens=512, n_buckets=64)
+
+    def contamination(m):
+        from pyspark.sql import functions as F
+        from baloo_spark.operators.text import contamination_check
+        d = replicate(docs, m)
+        bench = docs.where(F.col("doc_id") % 20 == 0)  # fixed-size side
+        return contamination_check(d, bench, n=5)
+
     families = [
         ("agg (TPC-H q1 shape)", agg_q1,
          "map-side partial agg carries the shuffle at 6 groups "
@@ -102,20 +120,34 @@ def main():
         ("global running sum (prefix scan)", prefix_sum,
          "partition-local scans + per-partition totals combined on "
          "the driver; contrast with the naive global window below"),
+        ("text profile + repetition (fused)", profile_fused,
+         "single-scan projection (quality/lang-id/repetition in one "
+         "pass): zero shuffles, scales with scan+CPU only"),
+        ("chunk + pack into 512-token bins", chunk_pack,
+         "narrow posexplode then ONE shuffle on the hash-bucket key "
+         "into 64 independent Arrow-batched packers - parallelism "
+         "fixed by n_buckets, per-packer work scales with its slice"),
+        ("contamination vs fixed benchmark", contamination,
+         "benchmark gram set stays broadcast-sized while the corpus "
+         "side grows: probe-side scan + one doc_id agg scale, the "
+         "broadcast does not"),
     ]
 
     lines = ["# Scaling probe (tools/scale_probe.py)", "",
-             f"Five operator families over replicated {sf} tables,",
-             "steady-state (2nd run) wall-clock on local[32]:", ""]
+             f"Operator families over replicated {sf} tables,",
+             "steady-state (min of 3 warm runs) wall-clock on "
+             "local[32]:", ""]
     for name, fn, why in families:
         lines.append(f"## {name}")
         lines.append("")
         for mult in (1, 4, 16):
             df = fn(mult)
             df.write.format("noop").mode("overwrite").save()  # warm
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+            dt = float("inf")  # min of 3: robust to JIT/GC hiccups
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = min(dt, time.perf_counter() - t0)
             n = "{:,}".format(df.count()) if mult == 1 else ""
             lines.append(f"- {mult}x: {dt:.2f}s" +
                          (f"  (1x output = {n} rows)" if n else ""))
