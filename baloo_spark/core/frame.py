@@ -990,19 +990,19 @@ class DataFrame:
                 f"global rolling '{agg}' does not decompose into "
                 f"prefix scans; use partition_by=... (per-group "
                 f"frames) for rolling {agg}")
-        from ..plans.ordinal import with_boundary_shift, with_prefix_aggs
+        from ..plans.ordinal import with_boundary_shifts, with_prefix_aggs
         v = F.col(col).cast("double")
         sdf = with_prefix_aggs(self._sdf,
                                {"__ps__": (v, "sum"),
                                 "__pc__": (F.col(col), "count")},
                                order_by)
-        # the SAME global order: prefix cols ride along the carry
+        # the SAME global order; BOTH prefix columns shift in one
+        # shared layout/carry pass
         ob = [F.col(c).asc() if isinstance(c, str) else c
               for c in order_by]
-        sdf = with_boundary_shift(sdf, F.col("__ps__"), window,
-                                  order_by=ob, name="__psw__")
-        sdf = with_boundary_shift(sdf, F.col("__pc__"), window,
-                                  order_by=ob, name="__pcw__")
+        sdf = with_boundary_shifts(sdf, {"__psw__": F.col("__ps__"),
+                                         "__pcw__": F.col("__pc__")},
+                                   window, order_by=ob)
         rsum = F.col("__ps__") - F.coalesce(F.col("__psw__"), F.lit(0.0))
         rcnt = F.col("__pc__") - F.coalesce(F.col("__pcw__"), F.lit(0))
         expr = {"sum": rsum, "count": rcnt,

@@ -42,17 +42,30 @@ def with_boundary_shift(sdf: DataFrame, value_col, periods: int,
                         name: str = "__shift__") -> DataFrame:
     """Partition-safe global shift (lag/lead by ``periods``): adds
     ``name`` holding the value ``periods`` rows earlier (positive) or
-    later (negative) in the global order, NULL past the edge.
+    later (negative) in the global order, NULL past the edge. See
+    :func:`with_boundary_shifts` (this is its single-column face).
+    """
+    return with_boundary_shifts(sdf, {name: value_col}, periods,
+                                order_by)
+
+
+def with_boundary_shifts(sdf: DataFrame, cols: dict, periods: int,
+                         order_by: list | None = None) -> DataFrame:
+    """Partition-safe global shift of SEVERAL columns by the same
+    ``periods`` in one pass: ``cols`` maps out_name -> Column/name.
 
     The naive plan — ``lag() OVER (ORDER BY ...)`` with no partition —
     collapses the table into one partition. Here the window is
     partitioned by physical partition id (all work stays local) and
     only the |periods| rows at each partition boundary take their
     value from a *carry list* collected on the driver: every
-    partition's |periods| edge rows — n_partitions x |periods| scalars
-    by construction, kilobytes even at thousands of partitions — then
+    partition's |periods| edge rows — n_partitions x |periods| rows by
+    construction, kilobytes even at thousands of partitions — then
     broadcast back. Two jobs, no data-sized shuffle beyond the
     (optional) range layout, identical results to the global window.
+    All columns share the layout, the donor collect, and the carry
+    join — callers shifting N columns (e.g. the global rolling
+    window's prefix pair) pay ONE pass, not N.
 
     ``order_by``: sort expressions defining the global order; None
     keeps the current layout order (ingest order), mirroring
@@ -60,24 +73,26 @@ def with_boundary_shift(sdf: DataFrame, value_col, periods: int,
     """
     from pyspark.sql import types as T
 
-    if isinstance(value_col, str):
-        value_col = F.col(value_col)
+    prepared = {o: (F.col(c) if isinstance(c, str) else c)
+                for o, c in cols.items()}
     if periods == 0:
-        return sdf.withColumn(name, value_col)
+        out = sdf
+        for o, c in prepared.items():
+            out = out.withColumn(o, c)
+        return out
     k = abs(periods)
     if order_by:
         n = max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
         sdf = (sdf.repartitionByRange(n, *order_by)
                .sortWithinPartitions(*order_by))
-    sdf = (sdf.withColumn("__sv__", value_col)
+    sdf = (sdf.select("*", *[c.alias(f"__sv_{o}__")
+                             for o, c in prepared.items()])
            .withColumn("__mid__", F.monotonically_increasing_id())
            .withColumn("__pid__", F.spark_partition_id())
            .localCheckpoint())
 
     fwd = periods > 0
     w_in = Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
-    local = (F.lag("__sv__", periods).over(w_in) if fwd
-             else F.lead("__sv__", -periods).over(w_in))
     # rows whose donor lives in another partition: the first k rows of
     # each partition for lag, the last k for lead
     edge_w = w_in if fwd else Window.partitionBy("__pid__") \
@@ -88,17 +103,19 @@ def with_boundary_shift(sdf: DataFrame, value_col, periods: int,
         F.col("__mid__").desc() if fwd else F.col("__mid__").asc())
     donors = (sdf.withColumn("__drn__", F.row_number().over(donor_w))
               .where(F.col("__drn__") <= k)
-              .select("__pid__", "__drn__", "__sv__").collect())
+              .select("__pid__", "__drn__",
+                      *[f"__sv_{o}__" for o in prepared]).collect())
     by_pid: dict = {}
     for r in donors:
-        by_pid.setdefault(r["__pid__"], {})[r["__drn__"]] = r["__sv__"]
+        by_pid.setdefault(r["__pid__"], {})[r["__drn__"]] = tuple(
+            r[f"__sv_{o}__"] for o in prepared)
 
-    # walk partitions in global order, carrying the k values adjacent
-    # to each boundary; every carried value is within k rows of its own
-    # partition's edge, so the collected donors always suffice (even
-    # when partitions hold fewer than k rows)
+    # walk partitions in global order, carrying the k value-tuples
+    # adjacent to each boundary; every carried tuple is within k rows
+    # of its own partition's edge, so the collected donors always
+    # suffice (even when partitions hold fewer than k rows)
     carry_rows = []
-    run: list = []  # the k values just before (lag) / after (lead) the
+    run: list = []  # the k tuples just before (lag) / after (lead) the
     #                 partition being visited, nearest-boundary-LAST
     pid_iter = sorted(by_pid) if fwd else sorted(by_pid, reverse=True)
     for pid in pid_iter:
@@ -107,26 +124,31 @@ def with_boundary_shift(sdf: DataFrame, value_col, periods: int,
             i = m - (k - r + 1)  # r-th edge row needs the value
             #                      k-r+1 positions beyond the boundary
             if i >= 0:
-                carry_rows.append((int(pid), r, run[i]))
+                carry_rows.append((int(pid), r, *run[i]))
         part = by_pid[pid]
         # donor_rn=1 is the row nearest the boundary; run keeps
         # nearest-boundary-last ordering
         vals = [part[d] for d in sorted(part, reverse=True)]
         run = (run + vals)[-k:]
 
-    sv_type = sdf.schema["__sv__"].dataType
-    carry_schema = T.StructType([
-        T.StructField("__pid__", T.IntegerType()),
-        T.StructField("__ern__", T.IntegerType()),
-        T.StructField("__cv__", sv_type)])
+    carry_schema = T.StructType(
+        [T.StructField("__pid__", T.IntegerType()),
+         T.StructField("__ern__", T.IntegerType())]
+        + [T.StructField(f"__cv_{o}__", sdf.schema[f"__sv_{o}__"].dataType)
+           for o in prepared])
     carry_df = sdf.sparkSession.createDataFrame(carry_rows, carry_schema)
 
     out = (sdf.withColumn("__ern__", edge_rn)
-           .join(F.broadcast(carry_df), ["__pid__", "__ern__"], "left")
-           .withColumn(name, F.when(F.col("__ern__") <= k, F.col("__cv__"))
-                       .otherwise(local))
-           .drop("__pid__", "__mid__", "__ern__", "__cv__", "__sv__"))
-    return out
+           .join(F.broadcast(carry_df), ["__pid__", "__ern__"], "left"))
+    for o in prepared:
+        local = (F.lag(f"__sv_{o}__", periods).over(w_in) if fwd
+                 else F.lead(f"__sv_{o}__", -periods).over(w_in))
+        out = out.withColumn(
+            o, F.when(F.col("__ern__") <= k, F.col(f"__cv_{o}__"))
+            .otherwise(local))
+    return out.drop("__pid__", "__mid__", "__ern__",
+                    *[f"__cv_{o}__" for o in prepared],
+                    *[f"__sv_{o}__" for o in prepared])
 
 
 def with_dense_ordinal(sdf: DataFrame, order_by: list | None = None,
