@@ -218,30 +218,67 @@ GROUP BY l_linestatus
 
 def _q14_promo_revenue(spark, sf):
     """TPC-H-Q14-flavored: promo-type revenue share over one year —
-    conditional revenue ratio after a broadcast part join."""
+    conditional revenue ratio after a broadcast part join — tagged
+    'promo_pct'; PLUS (r3) a TPC-H-Q19-flavored discounted-revenue sum
+    under an OR-of-ANDs predicate (three brand/size/quantity bands,
+    adapted to the testdata's reduced part schema) tagged
+    'q19_revenue'. Q19's point is the disjunctive predicate: the part
+    side prunes at the scan (p_brand IN (...) distributes over the
+    OR), the join is broadcast, and the residual OR evaluates
+    JVM-side post-join."""
     li = _bl(spark, sf, "lineitem").rename({"l_partkey": "p_partkey"})
-    li = li[(li["l_shipdate"] >= "1997-01-01") & (li["l_shipdate"] < "1998-01-01")]
-    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    li14 = li[(li["l_shipdate"] >= "1997-01-01")
+              & (li["l_shipdate"] < "1998-01-01")]
+    li14["rev"] = li14["l_extendedprice"] * (1 - li14["l_discount"])
     p = _bl(spark, sf, "part")
-    j = li[["p_partkey", "rev"]].merge(p[["p_partkey", "p_type"]],
-                                       how="inner", on="p_partkey",
-                                       broadcast_other=True).reset_index()
+    j = li14[["p_partkey", "rev"]].merge(p[["p_partkey", "p_type"]],
+                                         how="inner", on="p_partkey",
+                                         broadcast_other=True).reset_index()
     j["promo_rev"] = j["rev"] * j["p_type"].apply(
         "CASE WHEN {self} = 'PROMO' THEN 1.0 ELSE 0.0 END")
     g = j[["promo_rev", "rev"]].agg(["sum"]).to_spark(include_index=True)
-    return g.select(
+    promo = g.select(
+        F.lit("promo_pct").alias("kind"),
         F.round(F.lit(100.0) * F.col("promo_rev") / F.col("rev"), 4)
-        .alias("promo_pct"))
+        .alias("value"))
+
+    j19 = li.merge(p[["p_partkey", "p_brand", "p_size"]], how="inner",
+                   on="p_partkey", broadcast_other=True).reset_index()
+    b = j19["p_brand"]
+    q, sz = j19["l_quantity"], j19["p_size"]
+    cond = (((b == "Brand#12") & (q >= 1) & (q <= 11)
+             & (sz >= 1) & (sz <= 5))
+            | ((b == "Brand#23") & (q >= 10) & (q <= 20)
+               & (sz >= 1) & (sz <= 10))
+            | ((b == "Brand#34") & (q >= 20) & (q <= 30)
+               & (sz >= 1) & (sz <= 15)))
+    f19 = j19[cond]
+    f19["rev"] = f19["l_extendedprice"] * (1 - f19["l_discount"])
+    g19 = f19[["rev"]].agg(["sum"]).to_spark(include_index=True)
+    q19 = g19.select(F.lit("q19_revenue").alias("kind"),
+                     F.round(F.col("rev"), 2).alias("value"))
+    return promo.unionByName(q19)
 
 
 _Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+SELECT 'promo_pct' AS kind,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS value
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
+UNION ALL
+SELECT 'q19_revenue',
+       round(sum(l_extendedprice * (1 - l_discount)), 2)
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
 """
 
 
@@ -583,7 +620,10 @@ def _merge_semi_anti(spark, sf):
     """Folded join-type family: semi + anti joins (extension, SURVEY.md
     §2.3 — customers WITH orders over 400k vs customers WITHOUT any
     order) PLUS the full-outer merge with coalesced keys
-    (weld_joins.py:159-286), tagged 'outer'."""
+    (weld_joins.py:159-286), tagged 'outer'; PLUS (r3) a
+    TPC-H-Q4-flavored leg tagged 'q4': orders from one quarter having
+    ANY big lineitem (EXISTS ⇒ semi join — dedupes multi-line matches
+    by construction), counted per order priority."""
     c = _bl(spark, sf, "customer").rename({"c_custkey": "o_custkey"})
     o = _bl(spark, sf, "orders")
     big = o[o["o_totalprice"] > 400000][["o_custkey", "o_orderkey"]]
@@ -610,7 +650,20 @@ def _merge_semi_anti(spark, sf):
         F.col("n_name").alias("name"),
         F.round("s_acctbal_sum", 2).alias("total_bal"),
         F.col("s_acctbal_count").cast("long").alias("n"))
-    return sa.unionByName(outer)
+    oq = o[(o["o_orderdate"] >= "1997-07-01")
+           & (o["o_orderdate"] < "1997-10-01")]
+    li = _bl(spark, sf, "lineitem").rename({"l_orderkey": "o_orderkey"})
+    big_li = li[li["l_quantity"] > 45][["o_orderkey"]]
+    q4 = (oq.merge(big_li, how="semi", on="o_orderkey").reset_index()
+          .groupby("o_orderpriority").agg({"o_orderkey": ["count"]})
+          .reset_index())
+    q4s = q4.to_spark().select(
+        F.lit("q4").alias("kind"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("o_orderpriority").alias("name"),
+        F.lit(None).cast("double").alias("total_bal"),
+        F.col("o_orderkey_count").cast("long").alias("n"))
+    return sa.unionByName(outer).unionByName(q4s)
 
 
 _MERGE_SEMI_ANTI_SQL = """
@@ -629,6 +682,14 @@ FROM nation nt FULL OUTER JOIN (
   SELECT s_nationkey, sum(s_acctbal) AS total_bal, count(*) AS s_acctbal_count
   FROM supplier GROUP BY s_nationkey
 ) s ON nt.n_nationkey = s.s_nationkey
+UNION ALL
+SELECT 'q4', NULL, o_orderpriority, NULL, count(*)::BIGINT
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
 """
 
 
