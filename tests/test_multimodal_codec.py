@@ -119,3 +119,71 @@ def test_resize_then_extract_composes(spark):
     feats = extract_features(small).collect()
     assert all(r["feature"][0] == 5.0 and r["feature"][1] == 5.0
                for r in feats)
+
+
+# ----------------------------------------------------------------- audio
+
+def _sine(freq, rate=8000, sec=1.0, amp=0.5):
+    t = np.arange(int(rate * sec)) / rate
+    return (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+def test_wav_roundtrip_and_features():
+    from baloo_spark.operators.multimodal import decode_audio, encode_wav
+    s = _sine(440, rate=8000, sec=0.5)
+    out = decode_audio(encode_wav(s, 8000))
+    assert out["decoded"] and out["rate"] == 8000
+    np.testing.assert_array_equal(out["samples"][:, 0], s)
+    dur, rate, ch, rms, peak, zcr = out["feature"][:6]
+    assert dur == 0.5 and rate == 8000.0 and ch == 1.0
+    # sine RMS = amp/sqrt(2); zcr = 2f/rate
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(zcr - 2 * 440 / 8000) < 0.005
+    assert abs(peak - 0.5) < 0.01
+
+
+def test_wav_stereo_and_extra_chunks():
+    from baloo_spark.operators.multimodal import decode_audio, encode_wav
+    import struct
+    st = np.stack([_sine(200), _sine(300)], axis=1)
+    raw = encode_wav(st, 8000)
+    # splice a LIST chunk between fmt and data: the walker must skip it
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    out = decode_audio(spliced)
+    assert out["decoded"]
+    np.testing.assert_array_equal(out["samples"], st)
+    assert out["feature"][2] == 2.0  # channels
+
+
+def test_non_wav_falls_back_to_stub():
+    from baloo_spark.operators.multimodal import decode_audio
+    out = decode_audio(b"\x00\x01not audio")
+    assert out["ok"] and not out["decoded"]
+
+
+def test_audio_features_spark_pipeline(spark):
+    from baloo_spark.operators.multimodal import audio_features, encode_wav
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2],
+        "payload": [encode_wav(_sine(440, sec=2.0), 8000),
+                    encode_wav(_sine(100, sec=0.25), 8000)]}))
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert got[1]["duration_sec"] == 2.0
+    assert got[2]["duration_sec"] == 0.25
+    assert abs(got[1]["zcr"] - 2 * 440 / 8000) < 0.005
+
+
+def test_sample_clips_one_to_many(spark):
+    from baloo_spark.operators.multimodal import (decode_audio, encode_wav,
+                                                  sample_clips)
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [7],
+        "payload": [encode_wav(_sine(50, rate=1000, sec=10.0), 1000)]}))
+    rows = sample_clips(media, clip_sec=1.0, every_sec=3.0).collect()
+    # 10s / 3s step -> clips at 0,3,6,9s
+    assert [r["clip_idx"] for r in sorted(rows, key=lambda r: r["clip_idx"])] \
+        == [0, 1, 2, 3]
+    first = decode_audio(bytes(rows[0]["clip"]))
+    assert first["decoded"] and len(first["samples"]) == 1000
