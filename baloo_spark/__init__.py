@@ -20,6 +20,15 @@ from .session import get_session
 __version__ = "0.1.0"
 
 
+def sql(query: str) -> "DataFrame":
+    """Run a Spark SQL query and wrap the result — the escape hatch
+    into the full SQL surface (window frames, lateral views, hints,
+    ...). Register frames as sources with ``DataFrame.to_view(name)``.
+    Lazy like everything else: Catalyst plans the query; nothing runs
+    until an action."""
+    return DataFrame.from_spark(get_session().sql(query))
+
+
 def concat(frames: list) -> "DataFrame":
     """Row-wise concatenation of frames (pandas-style top-level;
     engine extension — the reference has no set ops, SURVEY.md §2.6).
@@ -36,4 +45,5 @@ __all__ = [
     "read_csv", "read_parquet", "read_json", "read_orc", "get_session",
     "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "erf", "raw", "sort", "load_cudf", "concat",
+    "sql",
 ]

@@ -1139,6 +1139,14 @@ class DataFrame:
 
     # ---------------------------------------------------------------- IO
 
+    def to_view(self, name: str) -> None:
+        """Register this frame (index included) as a session temp view
+        so ``bl.sql(...)`` — or raw ``spark.sql`` — can query it: the
+        escape hatch into full Spark SQL for anything the pandas
+        surface doesn't express. Lazy: the view holds the plan, not
+        data."""
+        self.to_spark(include_index=True).createOrReplaceTempView(name)
+
     def to_csv(self, filepath: str, sep: str = ",", header: bool = True,
                index: bool = True, single_file: bool = True):
         """CSV sink (io/csv.py:56-87). ``single_file`` collects through

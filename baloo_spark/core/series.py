@@ -410,6 +410,33 @@ class Series:
     def var(self): return self._agg_scalar("var")
     def std(self): return self._agg_scalar("std")
 
+    def _pairwise(self, other: "Series", fn):
+        """Pairwise aggregate (corr/cov) of two columns of the SAME
+        parent frame — one JVM aggregate, no data movement. Cross-
+        frame pairs would need an index-alignment join first; require
+        the caller to do that explicitly (``df[['a']].join(...)``)."""
+        if not isinstance(other, Series):
+            raise TypeError(f"expected Series, got {type(other).__name__}")
+        if other._sdf is not self._sdf:
+            raise ValueError(
+                "corr/cov require Series from the same DataFrame; "
+                "align cross-frame Series with a join/setitem first")
+        row = self._sdf.agg(fn(self._colexpr.cast("double"),
+                               other._colexpr.cast("double"))
+                            .alias("v")).first()
+        return row["v"]
+
+    def corr(self, other: "Series"):
+        """Pearson correlation with another column of the same frame
+        (pandas ``Series.corr``; engine extension — single JVM
+        ``corr`` aggregate)."""
+        return self._pairwise(other, F.corr)
+
+    def cov(self, other: "Series"):
+        """Sample covariance with another column of the same frame
+        (pandas ``Series.cov``; engine extension)."""
+        return self._pairwise(other, F.covar_samp)
+
     def sort_values(self, ascending: bool = True) -> "Series":
         """Sort by value — distributed range-partitioned sort."""
         sdf, alias = self._select()

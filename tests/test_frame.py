@@ -324,3 +324,35 @@ def test_setitem_series_positional_when_indexless(bl, spark):
     assert got["prev"].tolist()[1:] == [10., 20.]
     assert pd.isna(got["prev"].tolist()[0])
     assert got["d"].tolist()[1:] == [10., 10.]
+
+
+def test_to_view_and_sql_roundtrip(bl):
+    df = bl.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    df.to_view("t_sql_rt")
+    out = bl.sql("SELECT k, v * 2 AS v2 FROM t_sql_rt WHERE k >= 2")
+    pdf = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert pdf["k"].tolist() == [2, 3, 4]
+    assert pdf["v2"].tolist() == [40.0, 60.0, 80.0]
+    # result is a first-class engine frame: keep composing lazily
+    again = out[out["v2"] > 40.0]
+    assert len(again.to_pandas()) == 2
+
+
+def test_series_corr_cov_match_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"a": rng.randn(500),
+                        "b": rng.randn(500)})
+    pdf["c"] = 0.7 * pdf["a"] + 0.3 * pdf["b"]
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert abs(df["a"].corr(df["c"]) - pdf["a"].corr(pdf["c"])) < 1e-9
+    assert abs(df["a"].cov(df["b"]) - pdf["a"].cov(pdf["b"])) < 1e-9
+
+
+def test_series_corr_rejects_cross_frame(bl):
+    import pytest
+    a = bl.DataFrame({"x": [1.0, 2.0]})
+    b = bl.DataFrame({"x": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="same DataFrame"):
+        a["x"].corr(b["x"])
