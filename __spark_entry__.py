@@ -942,14 +942,17 @@ FROM (SELECT *, 1 / (1 + 0.3275911 * l_discount) AS t
 def _transform_ops(spark, sf):
     """Folded scalar-transform family: astype casts (frame.py:714),
     apply mode 3 (SQL template standing in for raw Weld-IR templates,
-    series.py:475-489), and abs/clip/round — one pipeline."""
+    series.py:475-489), abs/clip/round, and (r3) interval binning via
+    Series.cut — one pipeline."""
     li = _bl(spark, sf, "lineitem")
     sub = li[li["l_orderkey"] < 100]
     sub["logq"] = sub["l_quantity"].apply("round(ln({self} + 1), 6)")
     sub["centered"] = (sub["l_quantity"] - 25.0).abs().round(2)
     sub["clipped"] = sub["l_discount"].clip(0.02, 0.06).round(4)
+    sub["qty_bin"] = sub["l_quantity"].cut(
+        [0, 10, 25, 40, 50], labels=["low", "mid", "high", "top"])
     sub = sub[["l_orderkey", "l_linenumber", "l_quantity", "logq",
-               "centered", "clipped"]]
+               "centered", "clipped", "qty_bin"]]
     out = sub.astype({"l_quantity": "int64", "l_linenumber": "float64",
                       "l_orderkey": "int32"})
     return out.to_spark()
@@ -960,7 +963,12 @@ SELECT l_orderkey::INTEGER AS l_orderkey, l_linenumber::DOUBLE AS l_linenumber,
        CAST(l_quantity AS BIGINT) AS l_quantity,
        round(ln(l_quantity + 1), 6) AS logq,
        round(abs(l_quantity - 25.0), 2) AS centered,
-       round(least(greatest(l_discount, 0.02), 0.06), 4) AS clipped
+       round(least(greatest(l_discount, 0.02), 0.06), 4) AS clipped,
+       CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 'low'
+            WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
+            WHEN l_quantity > 25 AND l_quantity <= 40 THEN 'high'
+            WHEN l_quantity > 40 AND l_quantity <= 50 THEN 'top'
+       END AS qty_bin
 FROM lineitem WHERE l_orderkey < 100
 """
 

@@ -588,6 +588,56 @@ class Series:
                                          F.lit(0.5)).alias("m"))
         return sdf.first()["m"]
 
+    def cut(self, bins: list, labels: list | None = None,
+            right: bool = True) -> "Series":
+        """Bin values into explicit intervals (pandas ``pd.cut``:
+        half-open ``(a, b]`` by default, ``[a, b)`` with
+        ``right=False``; out-of-range ⇒ NULL). Labels default to the
+        interval notation. A pure CASE expression — no shuffle, and
+        ANSI-replayable bit-for-bit."""
+        if len(bins) < 2:
+            raise ValueError("need at least 2 bin edges")
+        if labels is not None and len(labels) != len(bins) - 1:
+            raise ValueError(f"expected {len(bins) - 1} labels, got "
+                             f"{len(labels)}")
+        c = self._colexpr.cast("double")
+        expr = F.lit(None).cast("string")
+        for i in range(len(bins) - 1):
+            lo, hi = float(bins[i]), float(bins[i + 1])
+            if right:
+                cond = (c > lo) & (c <= hi)
+                lab = labels[i] if labels else f"({lo}, {hi}]"
+            else:
+                cond = (c >= lo) & (c < hi)
+                lab = labels[i] if labels else f"[{lo}, {hi})"
+            expr = F.when(cond, F.lit(lab)).otherwise(expr)
+        return self._with_col(expr, self.name)
+
+    def qcut(self, q: int, labels: list | None = None) -> "Series":
+        """Quantile-based binning (pandas ``pd.qcut``): ``q``
+        equal-frequency bins with exact interpolated edges. One tiny
+        percentile aggregate fetches the q+1 edges (scalars on the
+        driver), then binning is the same narrow CASE as :meth:`cut`
+        with the first bin closed on the left. At extreme scale swap
+        the edge computation for approx_quantile; the binning pass is
+        identical."""
+        if q < 1:
+            raise ValueError(f"q must be >= 1, got {q}")
+        ps = [i / q for i in range(q + 1)]
+        row = self._sdf.agg(*[
+            F.percentile(self._colexpr.cast("double"), F.lit(p))
+            .alias(f"e{i}") for i, p in enumerate(ps)]).first()
+        edges = [row[f"e{i}"] for i in range(q + 1)]
+        c = self._colexpr.cast("double")
+        expr = F.lit(None).cast("string")
+        for i in range(q):
+            lo, hi = edges[i], edges[i + 1]
+            cond = ((c >= lo) if i == 0 else (c > lo)) & (c <= hi)
+            lab = (labels[i] if labels
+                   else (f"[{lo}, {hi}]" if i == 0 else f"({lo}, {hi}]"))
+            expr = F.when(cond, F.lit(lab)).otherwise(expr)
+        return self._with_col(expr, self.name)
+
     def approx_quantile(self, q, relative_error: float = 0.001) -> list:
         """Sketch-based quantiles (approx_percentile) — the scale path:
         mergeable t-digest-style sketch, no full sort."""

@@ -186,3 +186,47 @@ def test_value_counts_normalize_and_mode(bl):
     # all ties returned, ascending
     tied = bl.Series(np.array([1, 1, 2, 2, 3]))
     assert tied.mode().to_pandas().tolist() == [1, 2]
+
+
+def test_cut_matches_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(11)
+    vals = rng.uniform(-5, 105, 300)
+    df = bl.DataFrame({"v": vals})
+    bins = [0, 25, 50, 75, 100]
+    labels = ["q1", "q2", "q3", "q4"]
+    got = df["v"].cut(bins, labels=labels).to_pandas()
+    want = pd.cut(pd.Series(vals), bins, labels=labels).astype(object)
+    assert [g if g is not None else None for g in got] \
+        == [w if isinstance(w, str) else None for w in want]
+    # right=False flips the closed side
+    got_l = df["v"].cut([0, 50, 100], labels=["lo", "hi"],
+                        right=False).to_pandas()
+    want_l = pd.cut(pd.Series(vals), [0, 50, 100], labels=["lo", "hi"],
+                    right=False).astype(object)
+    assert [g for g in got_l] \
+        == [w if isinstance(w, str) else None for w in want_l]
+
+
+def test_qcut_matches_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(12)
+    vals = rng.randn(1000)
+    df = bl.DataFrame({"v": vals})
+    got = df["v"].qcut(4, labels=["a", "b", "c", "d"]).to_pandas()
+    want = pd.qcut(pd.Series(vals), 4,
+                   labels=["a", "b", "c", "d"]).astype(object)
+    assert list(got) == list(want)
+
+
+def test_cut_validation(bl):
+    import pytest
+    df = bl.DataFrame({"v": [1.0]})
+    with pytest.raises(ValueError):
+        df["v"].cut([1])
+    with pytest.raises(ValueError):
+        df["v"].cut([0, 1, 2], labels=["only_one"])
+    with pytest.raises(ValueError):
+        df["v"].qcut(0)
