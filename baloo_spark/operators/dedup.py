@@ -123,6 +123,48 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).cast("long").alias("n_copies")))
 
 
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame | None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Incremental exact dedup for append-only corpora (the daily
+    crawl-update pattern): drop new documents whose normalized content
+    was already ingested in ANY previous batch, then dedupe within the
+    batch itself.
+
+    ``seen``: the historical fingerprint store — a DataFrame with a
+    ``fingerprint`` column, normally last call's second output read
+    back from parquet (None ⇒ first batch). Returns
+    ``(survivors, seen_out)``:
+
+    - ``survivors`` — one row per novel content (min ``id_col`` kept),
+      with ``fingerprint`` attached for lineage;
+    - ``seen_out`` — the updated store (old ∪ new fingerprints),
+      written back for the next increment.
+
+    Scale shape: the store is fingerprints only (32-byte md5 per
+    DISTINCT content, not per document), so at 100 TB corpus scale it
+    is ~1e9 rows of 32 bytes — a normal shuffle-join side, not a
+    broadcast. One left-anti hash join against the store + one
+    in-batch hash agg; the store update is a union the writer
+    deduplicates for free (``seen_out`` is already distinct by
+    construction).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    fps = new_docs.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+    if seen is not None:
+        fresh = fps.join(seen.select("fingerprint"), "fingerprint",
+                         "left_anti")
+    else:
+        fresh = fps
+    survivors = (fresh.groupBy("fingerprint")
+                 .agg(F.min(id_col).alias("keep_id"),
+                      F.count(F.lit(1)).cast("long").alias("n_copies")))
+    new_fps = survivors.select("fingerprint")
+    seen_out = (new_fps if seen is None
+                else seen.select("fingerprint").union(new_fps))
+    return survivors, seen_out
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 64,
                        n: int = 3, shingle: str = "word") -> DataFrame:

@@ -151,3 +151,26 @@ def test_mix_corpora_budget_and_validation(spark):
                       key="doc_id", total_rows=20)
     n = out.count()
     assert n <= 30  # ~20 requested; hash sampling is approximate
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from baloo_spark.operators.dedup import incremental_dedup
+    b1 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta", "ALPHA  beta", "gamma delta"]}))
+    s1, seen1 = incremental_dedup(b1, None)
+    got1 = {r["keep_id"]: r["n_copies"] for r in s1.collect()}
+    assert got1 == {1: 2, 3: 1}  # in-batch normalization dedupe
+    # persist the store exactly as a pipeline would
+    store = str(tmp_path / "seen")
+    seen1.write.parquet(store)
+    b2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": ["gamma delta",          # already seen in batch 1
+                 "epsilon zeta",          # novel
+                 "epsilon  ZETA"]}))      # dup of 11 within batch
+    s2, seen2 = incremental_dedup(b2, spark.read.parquet(store))
+    got2 = {r["keep_id"]: r["n_copies"] for r in s2.collect()}
+    assert got2 == {11: 2}
+    # store now covers all three distinct contents
+    assert seen2.distinct().count() == 3
