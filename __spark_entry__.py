@@ -397,7 +397,7 @@ def _groupby_stats(spark, sf):
     li = _bl(spark, sf, "lineitem")
     keys = ["l_returnflag", "l_linestatus"]
     g = li.groupby(keys).agg({
-        "l_quantity": ["sum", "count", "var", "std"],
+        "l_quantity": ["sum", "count", "var", "std", "median"],
         "l_extendedprice": ["mean", "std"],
     }).reset_index()
     sz = li.groupby(keys).size().reset_index()
@@ -413,6 +413,7 @@ def _groupby_stats(spark, sf):
         F.round("l_quantity_var", 4).alias("var_qty"),
         F.round("l_quantity_std", 4).alias("std_qty"),
         F.round("l_extendedprice_std", 2).alias("std_price"),
+        F.round("l_quantity_median", 4).alias("med_qty"),
         F.col("size").alias("group_size"),
         F.lit(None).cast("double").alias("prod_disc1"))
     sub = li[li["l_orderkey"] < 100]
@@ -424,6 +425,7 @@ def _groupby_stats(spark, sf):
         F.lit(None).cast("string").alias("l_returnflag"),
         F.lit(None).cast("string").alias("l_linestatus"),
         F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("double").alias("med_qty"),
         F.lit(None).cast("long").alias("n_rows"),
         F.lit(None).cast("double").alias("avg_price"),
         F.lit(None).cast("double").alias("var_qty"),
@@ -443,12 +445,13 @@ SELECT 'stats' AS part, CAST(NULL AS BIGINT) AS l_orderkey,
        round(var_samp(l_quantity), 4) AS var_qty,
        round(stddev_samp(l_quantity), 4) AS std_qty,
        round(stddev_samp(l_extendedprice), 2) AS std_price,
+       round(median(l_quantity), 4) AS med_qty,
        count(*) AS group_size,
        CAST(NULL AS DOUBLE) AS prod_disc1
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 UNION ALL
 SELECT 'prod', l_orderkey, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-       NULL, NULL, round(product(1 + l_discount), 6)
+       NULL, NULL, NULL, round(product(1 + l_discount), 6)
 FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey
 """
 

@@ -35,6 +35,9 @@ _AGG_FNS = {
     "var": F.var_samp,      # sample variance (weld_aggs.py:113-151)
     "std": F.stddev_samp,   # sqrt of sample var (weld_aggs.py:154-182)
     "count": F.count,
+    # exact interpolated median (engine extension; ANSI
+    # percentile_cont(0.5) — same definition as DuckDB median())
+    "median": F.median,
 }
 
 

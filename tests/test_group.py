@@ -113,3 +113,24 @@ def test_groupby_transform_matches_pandas(bl):
     assert out["v_mean"].tolist() == want["v_mean"].tolist()
     # row count unchanged, original columns intact
     assert out["v"].tolist() == pdf["v"].tolist()
+
+
+def test_groupby_quantile_median_match_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame({"g": rng.randint(0, 5, 400),
+                        "v": rng.randn(400),
+                        "w": rng.uniform(0, 10, 400)})
+    df = bl.DataFrame({c: pdf[c].to_numpy() for c in pdf})
+    got = (df.groupby("g").quantile(0.25).reset_index().to_pandas()
+           .set_index("g").sort_index())
+    want = pdf.groupby("g").quantile(0.25, interpolation="linear")
+    for g in range(5):
+        assert abs(got.loc[g, "v_p25"] - want.loc[g, "v"]) < 1e-9
+        assert abs(got.loc[g, "w_p25"] - want.loc[g, "w"]) < 1e-9
+    med = (df.groupby("g").median("v").reset_index().to_pandas()
+           .set_index("g").sort_index())
+    wmed = pdf.groupby("g")["v"].median()
+    for g in range(5):
+        assert abs(med.loc[g, "v_p50"] - wmed.loc[g]) < 1e-9
