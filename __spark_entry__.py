@@ -704,7 +704,8 @@ def _hash_split(spark, sf):
     'stratified' and a plain 20% hash sample tagged 'sample'."""
     from baloo_spark.operators.sampling import (hash_sample,
                                                 stratified_sample,
-                                                train_test_split)
+                                                train_test_split,
+                                                weighted_sample)
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, key="doc_id", seed=42)
     srows = (split.groupBy("split")
@@ -729,7 +730,17 @@ def _hash_split(spark, sf):
                      F.col("lang").alias("label"),
                      F.col("n_docs").cast("long"),
                      F.col("chars").cast("long")))
-    return srows.unionByName(prows).unionByName(trows)
+    ws = weighted_sample(
+        docs.withColumn("w", F.least(F.col("n_chars") / 1000.0,
+                                     F.lit(1.0))),
+        "w", key="doc_id", seed=5)
+    wrows = ws.agg(F.count("*").alias("n_docs"),
+                   F.sum("n_chars").alias("chars")) \
+        .select(F.lit("wsample").alias("part"),
+                F.lit("len_weighted").alias("label"),
+                F.col("n_docs").cast("long"), F.col("chars").cast("long"))
+    return (srows.unionByName(prows).unionByName(trows)
+            .unionByName(wrows))
 
 
 _HASH_SPLIT_SQL = """
@@ -753,6 +764,13 @@ UNION ALL
 SELECT 'stratified', lang, count(*)::BIGINT, sum(n_chars)::BIGINT FROM b
 WHERE b7 < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 0 END
 GROUP BY 2
+UNION ALL
+SELECT 'wsample', 'len_weighted', count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM (SELECT *,
+        ('0x' || substr(md5(doc_id::VARCHAR || ':5'), 1, 8))::BIGINT
+          % 1000000 AS b5
+      FROM documents)
+WHERE b5 < least(greatest(n_chars / 1000.0, 0.0), 1.0) * 1000000
 """
 
 

@@ -456,6 +456,33 @@ class Series:
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             [(c, ascending) for c in idx])
 
+    def map(self, mapping: dict, default=None) -> "Series":
+        """Value substitution from a dict (pandas ``Series.map``:
+        unmapped ⇒ NULL, or ``default``). Small dicts compile to a
+        CASE chain (pure codegen); big dicts become a broadcast-join
+        lookup table — same result, no driver-side row loop either
+        way."""
+        if not isinstance(mapping, dict):
+            raise TypeError("map expects a dict; for callables use "
+                            "apply()")
+        if len(mapping) <= 64:
+            expr = (F.lit(default) if default is not None
+                    else F.lit(None))
+            for k, v in mapping.items():
+                expr = F.when(self._colexpr == F.lit(k), F.lit(v)) \
+                    .otherwise(expr)
+            return self._with_col(expr, self.name)
+        spark = self._sdf.sparkSession
+        items = list(mapping.items())
+        lut = spark.createDataFrame(items, ["__mk__", "__mv__"])
+        joined = self._sdf.join(
+            F.broadcast(lut), self._colexpr == F.col("__mk__"), "left")
+        val = (F.coalesce(F.col("__mv__"), F.lit(default))
+               if default is not None else F.col("__mv__"))
+        out = joined.withColumn("__mapped__", val).drop("__mk__", "__mv__")
+        return Series._make(out, F.col("__mapped__"), self._index_cols,
+                            self.name, self._order)
+
     def abs(self) -> "Series":
         return self._with_col(F.abs(self._colexpr))
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "train_test_split",
+__all__ = ["hash_bucket", "hash_sample", "weighted_sample", "train_test_split",
            "stratified_sample", "mix_corpora"]
 
 _BUCKETS = 1_000_000  # ppm resolution for fractions
@@ -100,6 +100,19 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict,
             F.col(strata_col) == val, int(round(frac * _BUCKETS)))
     cut = cut.otherwise(0) if cut is not None else F.lit(0)
     return df.where(b < cut)
+
+
+def weighted_sample(df: DataFrame, weight, key: str,
+                    seed: int = 0) -> DataFrame:
+    """Deterministic per-row weighted Bernoulli sample: keep each row
+    with probability = its ``weight`` column/expression (clamped to
+    [0, 1]) — quality-weighted corpus downsampling, reproducible
+    under any partitioning via the same md5 bucketing as
+    :func:`hash_sample`. Narrow map+filter, no shuffle."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    cut = (F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+           * _BUCKETS)
+    return df.where(hash_bucket(key, _BUCKETS, seed) < cut)
 
 
 def mix_corpora(corpora: dict, weights: dict, key: str,

@@ -81,3 +81,44 @@ def test_sampling_plan_is_narrow(docs):
     plan = hash_sample(docs, 0.3, key="doc_id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_rate_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.sampling import weighted_sample
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "n_chars")
+    # weight rises with length; clamp path exercised via *2
+    weighted = docs.withColumn(
+        "w", F.least(F.col("n_chars") / 1000.0, F.lit(1.0)))
+    kept = weighted_sample(weighted, "w", key="doc_id", seed=3)
+    n, wsum = kept.count(), weighted.agg(F.sum("w")).first()[0]
+    # E[kept] = sum of weights; allow 3-sigma-ish slack
+    assert abs(n - wsum) < 4 * (wsum ** 0.5) + 5
+    # deterministic under repartition
+    again = weighted_sample(weighted.repartition(7), "w", key="doc_id",
+                            seed=3)
+    assert {r["doc_id"] for r in kept.collect()} \
+        == {r["doc_id"] for r in again.collect()}
+    # weight >= 1 keeps everything; <= 0 drops everything
+    assert weighted_sample(
+        weighted.withColumn("w", F.lit(5.0)), "w", "doc_id").count() \
+        == docs.count()
+    assert weighted_sample(
+        weighted.withColumn("w", F.lit(-1.0)), "w", "doc_id").count() == 0
+
+
+def test_series_map_small_and_large(bl):
+    import pandas as pd
+    df = bl.DataFrame({"k": ["a", "b", "c", "d"] * 5})
+    small = df["k"].map({"a": "A", "b": "B"}).to_pandas()
+    assert set(small[:4]) == {"A", "B", None}
+    withdef = df["k"].map({"a": "A"}, default="other").to_pandas()
+    assert set(withdef[:4]) == {"A", "other"}
+    # large dict -> broadcast-join path, same semantics
+    big = {f"k{i}": i for i in range(200)}
+    df2 = bl.DataFrame({"k": [f"k{i}" for i in range(10)] + ["zz"]})
+    out = df2["k"].map(big).to_pandas()
+    assert list(out[:10]) == list(range(10))
+    assert pd.isna(out.iloc[10])
