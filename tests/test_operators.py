@@ -613,3 +613,39 @@ def test_pii_redact_plan_no_shuffle_no_python(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_and_quantize_embeddings(spark, emb):
+    import numpy as np
+    from baloo_spark.operators.similarity import (dequantize_int8,
+                                                  normalize_embeddings,
+                                                  quantize_int8)
+    norm = normalize_embeddings(emb.limit(50))
+    rows = norm.collect()
+    for r in rows:
+        n = np.linalg.norm(r["embedding"])
+        assert abs(n - 1.0) < 1e-3  # float32 components
+    q = quantize_int8(emb.limit(50))
+    d = {r["vec_id"]: r for r in dequantize_int8(q, out_col="back")
+         .collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in emb.limit(50).collect()}
+    for vid, r in d.items():
+        a = np.array(orig[vid], dtype=np.float64)
+        b = np.array(r["back"], dtype=np.float64)
+        # per-component error bounded by half a quantization step
+        assert np.abs(a - b).max() <= r["q_scale"] * 0.5 + 1e-6
+        # storage type really is tinyint
+        assert all(-127 <= x <= 127 for x in r["q_vec"])
+
+
+def test_quantized_topk_recall(spark, emb):
+    from baloo_spark.operators.similarity import (brute_force_topk,
+                                                  quantized_topk)
+    q = emb.filter("vec_id < 5")
+    c = emb.filter("vec_id >= 5")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, c, k=10).collect()}
+    quant = {(r["query_id"], r["neighbor_id"])
+             for r in quantized_topk(q, c, k=10).collect()}
+    # int8 keeps ranking nearly intact
+    assert len(exact & quant) / len(exact) >= 0.9
