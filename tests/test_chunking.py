@@ -174,3 +174,19 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert got2 == {11: 2}
     # store now covers all three distinct contents
     assert seen2.distinct().count() == 3
+
+
+def test_pretraining_pipeline_example(spark, tmp_path):
+    import sys
+    sys.path.insert(0, "examples")
+    from pretraining_pipeline import build_corpus
+    out = build_corpus(spark, "/root/testdata/sf0.001", str(tmp_path))
+    assert 0 < out["docs_out"] < out["docs_in"]
+    assert out["chunks"] >= out["docs_out"]
+    assert set(out["splits"]) == {"train", "val", "test"}
+    total = sum(s["chunks"] for s in out["splits"].values())
+    assert total == out["chunks"]
+    # partitioned layout on disk: one dir per split
+    dirs = {p.name.split("=")[1] for p in (tmp_path / "corpus").iterdir()
+            if p.name.startswith("split=")}
+    assert dirs == {"train", "val", "test"}
