@@ -198,3 +198,69 @@ def test_index_slice_head_match_pandas(bl, v):
     assert ix[1:4].values.tolist() == pix[1:4].tolist()
     assert ix.head(2).values.tolist() == pix[:2].tolist()
     assert ix.tail(2).values.tolist() == pix[-2:].tolist()
+
+
+words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    min_size=0, max_size=30).map(" ".join)
+
+
+@given(texts=st.lists(words, min_size=1, max_size=6),
+       ct=st.integers(min_value=2, max_value=8))
+@settings(**SETTINGS)
+def test_chunking_reconstruction_property(spark, texts, ct):
+    # overlap=0 chunks concatenate back to the exact token stream, and
+    # every chunk except possibly the last is full
+    from baloo_spark.operators.chunking import chunk_documents
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = (chunk_documents(docs, chunk_tokens=ct, overlap=0).toPandas()
+           .sort_values(["doc_id", "chunk_seq"]))
+    for i, t in enumerate(texts):
+        mine = got[got["doc_id"] == i]
+        toks = t.split()
+        assert " ".join(mine["chunk_text"]).split() == toks
+        if len(toks) == 0:
+            assert len(mine) == 0
+        else:
+            sizes = mine["chunk_n_tokens"].tolist()
+            assert all(s == ct for s in sizes[:-1])
+            assert 1 <= sizes[-1] <= ct if sizes else True
+
+
+@given(v=vals, w1=st.floats(min_value=0, max_value=0.5),
+       w2=st.floats(min_value=0.5, max_value=1.0))
+@settings(**SETTINGS)
+def test_weighted_sample_monotone_property(spark, v, w1, w2):
+    # same key+seed: a higher keep-probability is a SUPERSET of a
+    # lower one (threshold semantics, not independent draws)
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(v)), "x": v}))
+    low = weighted_sample(df.withColumn("w", F.lit(float(w1))),
+                          "w", "doc_id", seed=2)
+    high = weighted_sample(df.withColumn("w", F.lit(float(w2))),
+                           "w", "doc_id", seed=2)
+    ids_low = {r["doc_id"] for r in low.collect()}
+    ids_high = {r["doc_id"] for r in high.collect()}
+    assert ids_low <= ids_high
+
+
+@given(v=vals)
+@settings(**SETTINGS)
+def test_cut_bins_partition_the_range_property(bl, v):
+    # every in-range value lands in exactly the pandas bin
+    arr = np.array(v, dtype=np.float64)
+    df = bl.DataFrame({"v": arr})
+    bins = [-51, -10, 0, 10, 51]
+    got = df["v"].cut(bins).to_pandas()
+    want = pd.cut(pd.Series(arr), bins).astype(str).tolist()
+    for g, w in zip(got, want):
+        if g is None:
+            assert w == "nan"
+        else:
+            lo, hi = g.strip("(]").split(", ")
+            assert w == f"({float(lo):g}.0, {float(hi):g}.0]" \
+                or w == f"({float(lo):g}, {float(hi):g}]"
