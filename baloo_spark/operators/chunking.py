@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "pack_chunks"]
+__all__ = ["chunk_documents", "pack_chunks", "bins_to_sequences"]
 
 
 def chunk_documents(df: DataFrame, text_col: str = "text",
@@ -135,3 +135,29 @@ def pack_chunks(chunks: DataFrame, budget_tokens: int = 2048,
 
     return (with_bucket.groupBy("__bucket__")
             .applyInPandas(pack, out_schema))
+
+
+def bins_to_sequences(packed: DataFrame, sep: str = "<|doc|>",
+                      text_col: str = "chunk_text") -> DataFrame:
+    """Materialize packed bins into model-ready training sequences:
+    one row per (bucket, bin_seq) with the member chunks joined in
+    their in-bin fill order, separator between chunks.
+
+    Order is reconstructed from ``bin_offset`` (already the token
+    offset the packer assigned), so the output is deterministic
+    without any window function: collect_list -> array_sort on
+    (offset, text) structs -> join. One hash aggregation keyed by the
+    bin id; each group is <= budget_tokens by construction, so the
+    collected arrays are bounded."""
+    member = F.struct(F.col("bin_offset").alias("o"),
+                      F.col(text_col).alias("t"),
+                      F.col("chunk_n_tokens").alias("n"))
+    agg = (packed.groupBy("bucket", "bin_seq")
+           .agg(F.array_sort(F.collect_list(member)).alias("__m__"),
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.sum("chunk_n_tokens").cast("long").alias("n_tokens")))
+    seq = F.expr(
+        f"array_join(transform(__m__, m -> m.t), '{sep}')")
+    return agg.select(
+        "bucket", "bin_seq",
+        seq.alias("sequence"), "n_chunks", "n_tokens")

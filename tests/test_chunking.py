@@ -190,3 +190,24 @@ def test_pretraining_pipeline_example(spark, tmp_path):
     dirs = {p.name.split("=")[1] for p in (tmp_path / "corpus").iterdir()
             if p.name.startswith("split=")}
     assert dirs == {"train", "val", "test"}
+
+
+def test_bins_to_sequences_order_and_budget(spark):
+    from baloo_spark.operators.chunking import (bins_to_sequences,
+                                                chunk_documents,
+                                                pack_chunks)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    packed = pack_chunks(chunk_documents(docs, chunk_tokens=40),
+                         budget_tokens=128, n_buckets=8)
+    seqs = bins_to_sequences(packed, sep=" <|doc|> ").toPandas()
+    assert len(seqs) == packed.select("bucket", "bin_seq").distinct().count()
+    assert (seqs["n_tokens"] <= 128).all()
+    # sequences reproduce the chunks in offset order
+    pk = packed.toPandas()
+    for _, row in seqs.head(5).iterrows():
+        members = (pk[(pk["bucket"] == row["bucket"])
+                      & (pk["bin_seq"] == row["bin_seq"])]
+                   .sort_values("bin_offset"))
+        assert row["sequence"] == " <|doc|> ".join(members["chunk_text"])
+        assert row["n_chunks"] == len(members)
