@@ -1139,6 +1139,33 @@ class DataFrame:
 
     # ---------------------------------------------------------------- IO
 
+    def corr(self) -> "pd.DataFrame":
+        """Pairwise Pearson correlation matrix of the numeric columns
+        (pandas ``DataFrame.corr``). All n·(n−1)/2 ``corr`` aggregates
+        run in ONE Spark job (single scan, map-side-combined moments);
+        the k×k result materializes as pandas — it is statistics-sized,
+        not data-sized."""
+        import pandas as pd
+
+        from .series import _is_numeric
+        sch = {f.name: f.dataType for f in self._sdf.schema.fields}
+        cols = [c for c in self._data_cols if _is_numeric(sch[c])]
+        exprs = [F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+                 .alias(f"{i}_{j}")
+                 for i, a in enumerate(cols)
+                 for j, b in enumerate(cols) if i < j]
+        if not exprs:
+            return pd.DataFrame(index=cols, columns=cols, dtype=float)
+        row = self._sdf.agg(*exprs).first()
+        out = pd.DataFrame(1.0, index=cols, columns=cols)
+        for i, a in enumerate(cols):
+            for j, b in enumerate(cols):
+                if i < j:
+                    v = row[f"{i}_{j}"]
+                    out.loc[a, b] = out.loc[b, a] = \
+                        float("nan") if v is None else v
+        return out
+
     def to_view(self, name: str) -> None:
         """Register this frame (index included) as a session temp view
         so ``bl.sql(...)`` — or raw ``spark.sql`` — can query it: the

@@ -101,12 +101,15 @@ def pack_chunks(chunks: DataFrame, budget_tokens: int = 2048,
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got "
                          f"{budget_tokens}")
+    from pyspark.sql import types as T
+
     with_bucket = chunks.withColumn(
         "__bucket__", hash_bucket(F.col(id_col), n_buckets, seed=0))
-    out_schema = (chunks.schema.simpleString()
-                  .removeprefix("struct<").removesuffix(">")
-                  .replace(":", " ")
-                  + ", bucket LONG, bin_seq LONG, bin_offset LONG")
+    out_schema = T.StructType(
+        list(chunks.schema.fields)
+        + [T.StructField("bucket", T.LongType()),
+           T.StructField("bin_seq", T.LongType()),
+           T.StructField("bin_offset", T.LongType())])
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([id_col, "chunk_seq"],

@@ -356,3 +356,19 @@ def test_series_corr_rejects_cross_frame(bl):
     b = bl.DataFrame({"x": [1.0, 2.0]})
     with pytest.raises(ValueError, match="same DataFrame"):
         a["x"].corr(b["x"])
+
+
+def test_frame_corr_matrix_matches_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({"a": rng.randn(300), "b": rng.randn(300),
+                        "s": ["x"] * 300})
+    pdf["c"] = 0.6 * pdf["a"] - 0.4 * pdf["b"]
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    got = df.corr()
+    want = pdf[["a", "b", "c"]].corr()
+    assert list(got.columns) == ["a", "b", "c"]  # string col excluded
+    for x in want.columns:
+        for y in want.columns:
+            assert abs(got.loc[x, y] - want.loc[x, y]) < 1e-9
