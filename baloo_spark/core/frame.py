@@ -298,6 +298,39 @@ class DataFrame:
         self._sdf = self._sdf.cache()
         return self
 
+    def unpersist(self) -> "DataFrame":
+        """Release a :meth:`cache` entry (frees executor memory;
+        no-op if not cached)."""
+        self._sdf = self._sdf.unpersist()
+        return self
+
+    def repartition(self, num_partitions: int | None = None,
+                    *cols: str) -> "DataFrame":
+        """Layout knob for cluster runs: hash-repartition by columns
+        (co-locates later joins/aggs on those keys, one shuffle now
+        instead of one per downstream op) and/or set the partition
+        count. Row values and all semantics are unchanged."""
+        if num_partitions is not None and cols:
+            out = self._sdf.repartition(num_partitions,
+                                        *[F.col(c) for c in cols])
+        elif cols:
+            out = self._sdf.repartition(*[F.col(c) for c in cols])
+        elif num_partitions is not None:
+            out = self._sdf.repartition(num_partitions)
+        else:
+            raise ValueError("repartition needs a partition count "
+                             "and/or columns")
+        return DataFrame._make(out, self._index_cols, self._data_cols,
+                               self._order)
+
+    def coalesce(self, num_partitions: int) -> "DataFrame":
+        """Shrink the partition count WITHOUT a shuffle (narrow merge
+        of co-located partitions) — the pre-write knob against
+        small-file explosions."""
+        return DataFrame._make(self._sdf.coalesce(num_partitions),
+                               self._index_cols, self._data_cols,
+                               self._order)
+
     def __repr__(self):
         return (f"DataFrame(columns={self._data_cols}, "
                 f"index={self.index_names})")

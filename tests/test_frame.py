@@ -372,3 +372,17 @@ def test_frame_corr_matrix_matches_pandas(bl):
     for x in want.columns:
         for y in want.columns:
             assert abs(got.loc[x, y] - want.loc[x, y]) < 1e-9
+
+
+def test_repartition_coalesce_preserve_semantics(bl):
+    df = bl.DataFrame({"k": list(range(40)),
+                       "v": [float(i) for i in range(40)]})
+    rp = df.repartition(8, "k")
+    assert rp.to_spark().rdd.getNumPartitions() == 8
+    assert sorted(rp.to_pandas()["v"]) == sorted(df.to_pandas()["v"])
+    co = rp.coalesce(2)
+    assert co.to_spark().rdd.getNumPartitions() == 2
+    assert sorted(co.to_pandas()["v"]) == sorted(df.to_pandas()["v"])
+    import pytest
+    with pytest.raises(ValueError):
+        df.repartition()
