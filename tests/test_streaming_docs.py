@@ -107,3 +107,19 @@ def test_quality_pipeline_plan_is_stateless_linear(spark, docs_dir):
     # join-free narrow chain: safe on an unbounded stream (no state)
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_bpe_token_counts_works_on_stream(spark, docs_dir, request):
+    # stateless apply: the batch-trained merges broadcast into the
+    # streaming face unchanged
+    from baloo_spark.operators.tokenize import bpe_token_counts, train_bpe
+    batch = spark.read.parquet(docs_dir)
+    merges = train_bpe(batch, n_merges=20)
+    want = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts(batch, merges).collect()}
+    stream = bpe_token_counts(read_docs_stream(spark, docs_dir), merges)
+    assert stream.isStreaming
+    got_df = run_stream_to_memory(spark, stream, name="bpe_out")
+    request.addfinalizer(lambda: spark.catalog.dropTempView("bpe_out"))
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in got_df.collect()}
+    assert got == want
