@@ -1504,8 +1504,12 @@ def _transform_ops(spark, sf):
     sub["clipped"] = sub["l_discount"].clip(0.02, 0.06).round(4)
     sub["qty_bin"] = sub["l_quantity"].cut(
         [0, 10, 25, 40, 50], labels=["low", "mid", "high", "top"])
+    # Series.map (r3): dict substitution compiled to a CASE chain
+    # (<=64 keys) or a broadcast LUT join — unmapped keys take default
+    sub["qty_label"] = sub["qty_bin"].map(
+        {"low": "S", "mid": "M", "high": "H"}, default="X")
     sub = sub[["l_orderkey", "l_linenumber", "l_quantity", "logq",
-               "centered", "clipped", "qty_bin"]]
+               "centered", "clipped", "qty_bin", "qty_label"]]
     out = sub.astype({"l_quantity": "int64", "l_linenumber": "float64",
                       "l_orderkey": "int32"})
     return out.to_spark()
@@ -1521,7 +1525,12 @@ SELECT l_orderkey::INTEGER AS l_orderkey, l_linenumber::DOUBLE AS l_linenumber,
             WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid'
             WHEN l_quantity > 25 AND l_quantity <= 40 THEN 'high'
             WHEN l_quantity > 40 AND l_quantity <= 50 THEN 'top'
-       END AS qty_bin
+       END AS qty_bin,
+       CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 'S'
+            WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'M'
+            WHEN l_quantity > 25 AND l_quantity <= 40 THEN 'H'
+            ELSE 'X'
+       END AS qty_label
 FROM lineitem WHERE l_orderkey < 100
 """
 
@@ -2029,7 +2038,16 @@ def _describe(spark, sf):
         F.concat(F.lit("q_"), F.col("__index__")).alias("statistic"),
         F.round("qv", 4).alias("l_quantity"),
         F.round("l_discount", 4).alias("l_discount"))
-    return base.unionByName(qrows)
+    # Series.corr / Series.cov (r3 extension) — eager scalar pairwise
+    # aggregates vs l_extendedprice, one row each
+    price = li["l_extendedprice"]
+    cc = spark.createDataFrame(
+        [("corr_vs_price", round(li["l_quantity"].corr(price), 6),
+          round(li["l_discount"].corr(price), 6)),
+         ("cov_vs_price", round(li["l_quantity"].cov(price), 4),
+          round(li["l_discount"].cov(price), 4))],
+        "statistic STRING, l_quantity DOUBLE, l_discount DOUBLE")
+    return base.unionByName(qrows).unionByName(cc)
 
 
 _DESCRIBE_SQL = """
@@ -2044,6 +2062,8 @@ UNION ALL SELECT '75%', round(quantile_cont(l_quantity, 0.75), 4), round(quantil
 UNION ALL SELECT 'max', round(max(l_quantity), 4), round(max(l_discount), 4) FROM lineitem
 UNION ALL SELECT 'q_0.1', round(quantile_cont(l_quantity, 0.1), 4), round(quantile_cont(l_discount, 0.1), 4) FROM lineitem
 UNION ALL SELECT 'q_0.9', round(quantile_cont(l_quantity, 0.9), 4), round(quantile_cont(l_discount, 0.9), 4) FROM lineitem
+UNION ALL SELECT 'corr_vs_price', round(corr(l_quantity, l_extendedprice), 6), round(corr(l_discount, l_extendedprice), 6) FROM lineitem
+UNION ALL SELECT 'cov_vs_price', round(covar_samp(l_quantity, l_extendedprice), 4), round(covar_samp(l_discount, l_extendedprice), 4) FROM lineitem
 """
 
 
@@ -2296,25 +2316,181 @@ def _ann_ivf_topk(spark, sf):
 
 def _embedding_label_stats(spark, sf):
     """Vector-column analytics: per-label count, mean L2 norm, mean
-    first component — array aggregation entirely in JVM exprs."""
+    first component — array aggregation entirely in JVM exprs. Three
+    legs over the same stats: 'raw' (the stored vectors), 'norm'
+    (after L2 normalize_embeddings — avg_norm pins to 1.0), and
+    'quant' (after int8 quantize->dequantize round-trip,
+    similarity.py — the DuckDB oracle replays the exact per-component
+    round/scale arithmetic, so the quantization error itself is
+    value-checked, not just bounded)."""
+    from baloo_spark.operators.similarity import (dequantize_int8,
+                                                  normalize_embeddings,
+                                                  quantize_int8)
     emb = _t(spark, sf, "embeddings")
-    norm = F.sqrt(F.expr(
-        "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
-    return (emb.select("label", norm.alias("nrm"),
-                       F.element_at("embedding", 1).cast("double").alias("c0"))
-            .groupBy("label")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                 F.round(F.avg("nrm"), 6).alias("avg_norm"),
-                 F.round(F.avg("c0"), 6).alias("avg_c0")))
+
+    def stats(df, tag):
+        norm = F.sqrt(F.expr("aggregate(embedding, 0D, "
+                             "(acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+        return (df.select("label", norm.alias("nrm"),
+                          F.element_at("embedding", 1).cast("double")
+                          .alias("c0"))
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.round(F.avg("nrm"), 6).alias("avg_norm"),
+                     F.round(F.avg("c0"), 6).alias("avg_c0"))
+                .select(F.lit(tag).alias("part"), "label", "n",
+                        "avg_norm", "avg_c0"))
+
+    raw = stats(emb, "raw")
+    nrm = stats(normalize_embeddings(emb), "norm")
+    qdq = stats(dequantize_int8(quantize_int8(emb),
+                                out_col="embedding"), "quant")
+    return raw.unionByName(nrm).unionByName(qdq)
 
 
 _EMBEDDING_LABEL_STATS_SQL = """
-SELECT label, count(*) AS n,
+WITH nn AS (
+  SELECT label, embedding,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+              x -> x * x), 'sum')) AS nrm,
+         list_aggregate(list_transform(embedding::DOUBLE[],
+              x -> abs(x)), 'max') AS amax
+  FROM embeddings
+), faces AS (
+  SELECT 'raw' AS part, label, embedding AS e FROM nn
+  UNION ALL
+  SELECT 'norm', label,
+         CASE WHEN nrm = 0 THEN embedding
+              ELSE list_transform(embedding,
+                   x -> ((x::DOUBLE / nrm)::FLOAT)) END
+  FROM nn
+  UNION ALL
+  SELECT 'quant', label,
+         CASE WHEN amax = 0 THEN embedding
+              ELSE list_transform(
+                   list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x / amax * 127) AS TINYINT)),
+                   q -> ((q::DOUBLE * (amax / 127.0)::FLOAT)::FLOAT))
+         END
+  FROM nn
+)
+SELECT part, label, count(*) AS n,
        round(avg(sqrt(list_aggregate(
-             list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 6)
+             list_transform(e::DOUBLE[], x -> x * x), 'sum'))), 6)
          AS avg_norm,
-       round(avg(embedding[1]::DOUBLE), 6) AS avg_c0
-FROM embeddings GROUP BY label
+       round(avg(e[1]::DOUBLE), 6) AS avg_c0
+FROM faces GROUP BY part, label
+"""
+
+
+def _doc_chunks(spark, sf):
+    """Document chunking (operators/chunking.py chunk_documents, r3):
+    64-token windows with 16-token overlap over the documents table —
+    one row per chunk with its md5 fingerprint, so the oracle value-
+    checks the EXACT chunk text (boundaries, overlap, whitespace
+    normalization), not just counts. Plan shape: per-row array
+    expression + one posexplode — zero shuffles; at 100 TB this
+    pipelines directly behind the parquet scan."""
+    from baloo_spark.operators.chunking import chunk_documents
+    d = _t(spark, sf, "documents")
+    ch = chunk_documents(d, chunk_tokens=64, overlap=16)
+    return ch.select("doc_id", "chunk_seq", "chunk_n_tokens",
+                     F.md5("chunk_text").alias("chunk_md5"))
+
+
+_DOC_CHUNKS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+), wins AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0,
+            CAST(floor((greatest(n - 64, 0) + 47) / 48) AS INT))) AS k
+  FROM base
+)
+SELECT doc_id, k::BIGINT AS chunk_seq,
+       len(tk[1 + k*48 : k*48 + 64])::BIGINT AS chunk_n_tokens,
+       md5(array_to_string(tk[1 + k*48 : k*48 + 64], ' ')) AS chunk_md5
+FROM wins
+"""
+
+
+def _corpus_vocab(spark, sf):
+    """Corpus vocabulary analytics (operators/text.py, r3):
+    corpus_ngrams top-k unigrams ('uni') and bigrams ('bi') with term
+    + document frequencies, plus the one-row vocabulary_stats summary
+    unpivoted to 'vocab' rows. Ties in the top-k are broken by ngram
+    text, so the limit is deterministic cross-engine. Plan shape:
+    explode -> ONE map-side-combined hash agg -> TakeOrdered(k); no
+    corpus-wide window, no driver-side vocabulary."""
+    from baloo_spark.operators.text import corpus_ngrams, vocabulary_stats
+    d = _t(spark, sf, "documents")
+
+    def tag(df, kind):
+        return df.select(F.lit(kind).alias("kind"), "ngram",
+                         "term_count", "doc_count",
+                         F.lit(None).cast("double").alias("value"))
+
+    uni = tag(corpus_ngrams(d, n=1, top_k=30), "uni")
+    bi = tag(corpus_ngrams(d, n=2, top_k=20), "bi")
+    vs = vocabulary_stats(d)
+    vrows = vs.select(F.explode(F.map_from_arrays(
+        F.array(F.lit("total_tokens"), F.lit("distinct_tokens"),
+                F.lit("type_token_ratio"), F.lit("hapax_count")),
+        F.array(F.col("total_tokens").cast("double"),
+                F.col("distinct_tokens").cast("double"),
+                F.col("type_token_ratio"),
+                F.col("hapax_count").cast("double"))))
+        .alias("ngram", "value")) \
+        .select(F.lit("vocab").alias("kind"), "ngram",
+                F.lit(None).cast("long").alias("term_count"),
+                F.lit(None).cast("long").alias("doc_count"), "value")
+    return uni.unionByName(bi).unionByName(vrows)
+
+
+_CORPUS_VOCAB_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text),
+             '\\s+'), x -> x <> ''), x -> lower(x)) AS tk
+  FROM documents
+), uni AS (
+  SELECT doc_id, unnest(tk) AS ngram FROM toks
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, CAST(greatest(len(tk) - 1, 0) AS INT)),
+             i -> array_to_string(tk[i : i + 1], ' '))) AS ngram
+  FROM toks
+), pertok AS (
+  SELECT ngram AS tok, count(*)::BIGINT AS cnt FROM uni GROUP BY ngram
+)
+SELECT * FROM (
+  SELECT 'uni' AS kind, ngram, count(*)::BIGINT AS term_count,
+         count(DISTINCT doc_id)::BIGINT AS doc_count,
+         NULL::DOUBLE AS value
+  FROM uni GROUP BY ngram
+  ORDER BY term_count DESC, ngram LIMIT 30)
+UNION ALL
+SELECT * FROM (
+  SELECT 'bi', ngram, count(*)::BIGINT, count(DISTINCT doc_id)::BIGINT,
+         NULL::DOUBLE
+  FROM bi GROUP BY ngram
+  ORDER BY count(*) DESC, ngram LIMIT 20)
+UNION ALL
+SELECT 'vocab', 'total_tokens', NULL, NULL, sum(cnt)::DOUBLE FROM pertok
+UNION ALL
+SELECT 'vocab', 'distinct_tokens', NULL, NULL, count(*)::DOUBLE FROM pertok
+UNION ALL
+SELECT 'vocab', 'type_token_ratio', NULL, NULL,
+       round(count(*)::DOUBLE / sum(cnt), 6) FROM pertok
+UNION ALL
+SELECT 'vocab', 'hapax_count', NULL, NULL,
+       sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE FROM pertok
 """
 
 
@@ -2653,6 +2829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_q17_thresholds": _q15_q17_thresholds,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_inactive_customers": _q22_inactive_customers,
+        # r3 LLM-pipeline folds promoted to oracle-backed slots
+        "doc_chunks": _doc_chunks,
+        "corpus_vocab": _corpus_vocab,
     }.items()}
 
 
@@ -2722,4 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_q17_thresholds": _Q15_Q17_SQL,
         "q21_waiting_suppliers": _Q21_SQL,
         "q22_inactive_customers": _Q22_SQL,
+        # r3 LLM-pipeline folds promoted to oracle-backed slots
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "corpus_vocab": _CORPUS_VOCAB_SQL,
     }
