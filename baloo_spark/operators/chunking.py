@@ -54,7 +54,8 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     stride = chunk_tokens - overlap
     toks = F.filter(F.split(F.trim(F.col(text_col)), "\\s+"),
                     lambda x: x != F.lit(""))
-    pre = df.select(F.col(id_col), toks.alias("__toks__"))
+    from ..plans.layout import spread
+    pre = spread(df).select(F.col(id_col), toks.alias("__toks__"))
     # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride);
     # integer ceil spelled floor((a + stride - 1) / stride) so the
     # whole expression stays in long arithmetic (exact in DuckDB too)

@@ -94,21 +94,11 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int,
 def _parallelize(df: DataFrame) -> DataFrame:
     """Spread a narrow input over the cluster: small files arrive as
     1-2 partitions, serializing all downstream compute. At 100 TB the
-    scan naturally has thousands of partitions and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # DataFrame-native width probe: file-backed plans report the files
-    # behind the scan; at 100 TB that's thousands of files and this is
-    # a no-op. Non-file relations (in-memory test frames) report none
-    # and are small by construction, so the repartition is cheap.
-    # df.rdd would answer the same question but forces a Python-RDD
-    # conversion + analysis pass per call.
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    scan naturally has thousands of partitions and this is a no-op.
+    (Shared implementation: plans/layout.spread — the same fix applies
+    to every expression-heavy operator family, not just dedup.)"""
+    from ..plans.layout import spread
+    return spread(df)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -410,7 +400,7 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
     the exact (quadratic) path for bounded inputs.
     """
     from .similarity import cosine_expr, hyperplane_sig
-    v = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    v = _parallelize(df).select(F.col(id_col), F.col(vec_col).alias("v"))
     if block:
         v = v.withColumn("__sig__", hyperplane_sig("v", planes))
         a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),

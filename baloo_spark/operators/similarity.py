@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 _PLANE_SEED = 0x5DEECE66D
 
 
+from ..plans.layout import spread
+
+
 def dot_expr(a: str, b: str):
     """dot(a, b) over two array columns — zip_with + fold, codegen'd."""
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
@@ -106,8 +109,8 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).alias("qv"))
                     .withColumn("qn", norm_expr("qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv")) \
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv")) \
         .withColumn("cn", norm_expr("cv"))
     scored = c.join(q, F.col("query_id") != F.col("neighbor_id")) \
         .select("query_id", "neighbor_id",
@@ -261,7 +264,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 .drop("cent", "__sim__", "__cr__")
                 .withColumnRenamed("cent_id", out))
 
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("cv"))
     c_assigned = nearest(c, "cv", 1, "cell") \
         .withColumnRenamed(id_col, "neighbor_id")
     q = queries.select(F.col(id_col), F.col(vec_col).alias("qv"))
@@ -297,7 +300,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     """
     from itertools import combinations
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv")) \
         .withColumn("cn", norm_expr("cv")) \
         .withColumn("bucket", hyperplane_sig("cv", planes))

@@ -30,6 +30,8 @@ PUNCT_CHARS = ".,!?;:"
 
 _TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+from ..plans.layout import spread  # noqa: E402 - after pattern tables
+
 
 def _tokens(col):
     """Whitespace tokens, empties removed."""
@@ -172,6 +174,7 @@ def text_profile(df: DataFrame, text_col: str = "text",
             _top_run(F.array_sort(_word_grams("__toks__", 2)))
             .alias("__top__")]
     carry = [c for c in keep_cols if c not in ("doc_id", text_col)]
+    df = spread(df)  # single-row-group files arrive as 1 partition
     pre = df.select(
         "doc_id", F.col(text_col), *carry,
         _tokens(F.col(text_col)).alias("__toks__"),
@@ -342,6 +345,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     # the top-bigram fold is bound to a struct column in its OWN
     # projection — referencing it per field would re-run the whole
     # O(G) fold once per extraction (lambda subtrees defeat CSE)
+    df = spread(df)
     pre = df.select(
         "doc_id", F.length(F.col(text_col)).alias("__nc__"),
         F.filter(F.transform(F.split(F.col(text_col), "\n"), F.trim),
@@ -405,10 +409,10 @@ def contamination_check(df: DataFrame, benchmark: DataFrame,
                         F.array_distinct(_word_grams("__t__", n))
                         .alias("grams")))
 
-    bench_grams = (grams_of(benchmark)
+    bench_grams = (grams_of(spread(benchmark))
                    .select(F.explode("grams").alias("gram"))
                    .distinct())
-    doc_grams = (grams_of(df)
+    doc_grams = (grams_of(spread(df))
                  .select("doc_id", F.explode_outer("grams").alias("gram")))
     hits = (doc_grams
             .join(F.broadcast(bench_grams.withColumn("__hit__", F.lit(1))),
@@ -452,6 +456,7 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     overlapping patterns report what each one saw in the original
     text (replacements apply in dict order)."""
     patterns = patterns or PII_PATTERNS
+    df = spread(df)
     c = F.col(text_col)
     counts = [F.regexp_count(c, F.lit(rx)).cast("long").alias(f"n_{name}")
               for name, rx in patterns.items()]
@@ -483,7 +488,7 @@ def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
     grams = F.expr(
         f"transform(sequence(1, greatest(size(__toks__) - {n - 1}, "
         f"0)), i -> concat_ws(' ', slice(__toks__, i, {n})))")
-    pre = df.select(F.monotonically_increasing_id().alias("__doc__"),
+    pre = spread(df).select(F.monotonically_increasing_id().alias("__doc__"),
                     toks.alias("__toks__"))
     rows = pre.select("__doc__", F.explode(
         grams if n > 1 else F.col("__toks__")).alias("ngram"))
@@ -504,7 +509,7 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     the driver but the single output row.
     """
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
-    rows = df.select(F.explode(toks).alias("tok"))
+    rows = spread(df).select(F.explode(toks).alias("tok"))
     per_tok = rows.groupBy("tok").agg(
         F.count(F.lit(1)).alias("cnt"))
     return per_tok.agg(

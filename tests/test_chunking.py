@@ -75,8 +75,13 @@ def test_chunk_documents_plan_no_shuffle(spark):
     with redirect_stdout(buf):
         chunk_documents(docs).explain("formatted")
     plan = buf.getvalue()
-    # narrow explode pipeline: zero exchanges, single scan
-    assert "Exchange" not in plan
+    # narrow explode pipeline: no KEYED exchange, single scan
+    # spread() (plans/layout.py) may prepend ONE RoundRobinPartitioning
+    # exchange to balance a single-row-group scan; the invariant that
+    # matters is NO KEYED exchange (hash/range) — the operator's own
+    # logic moves no data by key.
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Generate" in plan  # posexplode
 
 

@@ -104,9 +104,16 @@ def test_quality_pipeline_plan_is_stateless_linear(spark, docs_dir):
     with redirect_stdout(buf):
         quality_pipeline(spark.read.parquet(docs_dir)).explain("formatted")
     plan = buf.getvalue()
-    # join-free narrow chain: safe on an unbounded stream (no state)
+    # join-free narrow chain: safe on an unbounded stream (no state;
+    # on the actual stream spread() no-ops so even the round-robin
+    # balancing exchange below is batch-face-only)
     assert "Join" not in plan
-    assert "Exchange" not in plan
+    # spread() (plans/layout.py) may prepend ONE RoundRobinPartitioning
+    # exchange to balance a single-row-group scan; the invariant that
+    # matters is NO KEYED exchange (hash/range) — the operator's own
+    # logic moves no data by key.
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_bpe_token_counts_works_on_stream(spark, docs_dir, request):
