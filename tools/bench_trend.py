@@ -35,7 +35,9 @@ SCOPE_NOTES = {
     "groupby_stats": "6 -> 104 rows (added prod + more groups/functions)",
     "merge_inner_left": "15000 -> 30000 rows (inner AND left legs)",
     "sort_nlargest": "100 -> 120 rows (adds nlargest/nsmallest legs)",
-    "describe": "3 -> 10 rows (full describe, not just 3 quantiles)",
+    "describe": "3 -> 10 rows in r2 (full describe, not just 3 "
+                "quantiles); r3 adds corr/cov rows driven by two extra "
+                "eager scalar aggregate jobs",
     "text_metrics": "query replaced by wider text profile (500 rows); "
                     "r3 folds in Gopher-style repetition metrics "
                     "(+5 cols in the same single-scan projection) and "
