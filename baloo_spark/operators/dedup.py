@@ -176,15 +176,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # (acc[j] = min over h of (a_j*h+b_j) mod M). A k-expression
     # alternative (k x array_min(transform)) produces identical
     # signatures but a k-times-larger codegen unit (~3.5x slower
-    # first run from compile time alone).
+    # first run from compile time alone). The (a, b) permutation
+    # params ride along as ONE constant struct array so each fold
+    # step allocates a single result array — the two-zip_with form
+    # (zip a with b, then zip with acc) allocated an extra k-wide
+    # intermediate per shingle, measured ~20% slower.
     params = _perm_params(k)
-    a_arr = "array(" + ",".join(f"{a}L" for a, _ in params) + ")"
-    b_arr = "array(" + ",".join(f"{b}L" for _, b in params) + ")"
+    ab = "array(" + ",".join(f"named_struct('a', {a}L, 'b', {b}L)"
+                             for a, b in params) + ")"
     sig = F.expr(
         f"aggregate(__hs__, array_repeat({_MERSENNE}L, {k}), "
-        f"(acc, h) -> zip_with(acc, "
-        f"zip_with({a_arr}, {b_arr}, (a, b) -> (a * h + b) % {_MERSENNE}L), "
-        f"(m, v) -> least(m, v)))")
+        f"(acc, h) -> zip_with(acc, {ab}, "
+        f"(m, p) -> least(m, (p.a * h + p.b) % {_MERSENNE}L)))")
     return base.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -214,13 +217,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
 
-    left = band_rows.alias("l")
-    right = band_rows.alias("r")
-    cand = (left.join(right, ["band", "bhash"])
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+    # candidates via bucket grouping, NOT a band_rows self-join: the
+    # self-join's two sides are separate plan instances, so Spark
+    # recomputes every signature twice (no ReusedExchange under AQE —
+    # measured, and ~2x the whole stage). Grouping collects each
+    # band-collision bucket once — one shuffle, signatures computed
+    # once — and emits the i<j pairs per bucket with an array
+    # comprehension. Bucket arrays are bounded by cluster size, which
+    # is why exact-dedup runs BEFORE near-dup in the pipeline: a
+    # megacluster of byte-identical docs would otherwise quadratically
+    # blow up ANY LSH candidate generator, self-join included.
+    buckets = (band_rows.groupBy("band", "bhash")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .where(F.size("ids") > 1))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))")
+    cand = (buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
     if not verify:
         return cand
 
@@ -375,14 +390,23 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             for i, (off, width) in enumerate(bounds)
         ])).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.chunk")
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (l.join(r, ["band", "chunk"])
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.col("l.simhash").alias("sig_a"),
-                    F.col("r.simhash").alias("sig_b"))
-            .distinct())
+    # bucket grouping instead of a bands self-join — the join's two
+    # sides would recompute every signature (no ReusedExchange under
+    # AQE; same fix as minhash_lsh_pairs above). sort_array on the
+    # (id, sig) structs orders by id, so the comprehension emits
+    # id_a < id_b pairs directly.
+    buckets = (bands.groupBy("band", "chunk")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("simhash").alias("sig")))).alias("ds"))
+               .where(F.size("ds") > 1))
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "x.sig AS sig_a, y.sig AS sig_b))))")
+    cand = (buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b").distinct())
     dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cand.select("id_a", "id_b", dist.cast("long").alias("hamming"))
             .where(F.col("hamming") <= radius))
@@ -402,12 +426,22 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
     from .similarity import cosine_expr, hyperplane_sig
     v = _parallelize(df).select(F.col(id_col), F.col(vec_col).alias("v"))
     if block:
+        # bucket grouping, not a self-join on the signature: the
+        # join's two sides would recompute every hyperplane signature
+        # (no ReusedExchange under AQE — same fix as minhash/simhash)
         v = v.withColumn("__sig__", hyperplane_sig("v", planes))
-        a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                     F.col("__sig__").alias("sa"))
-        b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                     F.col("__sig__").alias("sb"))
-        joined = a.join(b, F.col("sa") == F.col("sb"))
+        buckets = (v.groupBy("__sig__")
+                   .agg(F.sort_array(F.collect_list(
+                       F.struct(F.col(id_col).alias("id"),
+                                F.col("v").alias("vec")))).alias("ds"))
+                   .where(F.size("ds") > 1))
+        pair_expr = F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x.id AS id_a, y.id AS id_b, "
+            "x.vec AS va, y.vec AS vb))))")
+        joined = (buckets.select(F.explode(pair_expr).alias("p"))
+                  .select("p.id_a", "p.id_b", "p.va", "p.vb"))
     else:
         a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
         b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
