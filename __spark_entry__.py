@@ -2383,6 +2383,67 @@ FROM faces GROUP BY part, label
 """
 
 
+def _lm_perplexity(spark, sf):
+    """CCNet-style LM quality gate (operators/lm.py, r3): train an
+    add-alpha-smoothed bigram LM on the reference slice (doc_id % 5
+    != 0), score EVERY document's perplexity under it — the standard
+    pretraining quality filter, as two count aggregations + an
+    explode + two count-table joins, all exact integer counts and
+    deterministic float math, so DuckDB replays the scores bit-for-
+    bit. Scale shape: model size is O(distinct bigrams), the unigram
+    table broadcasts, the bigram join shuffles on the pair key."""
+    from baloo_spark.operators.lm import perplexity, train_bigram_lm
+    docs = _t(spark, sf, "documents")
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0))
+    return perplexity(docs, lm, alpha=0.5)
+
+
+_LM_PERPLEXITY_SQL = """
+WITH ref AS (
+  SELECT list_transform(list_filter(string_split_regex(trim(text),
+         '\\s+'), x -> x <> ''), x -> lower(x)) AS tk
+  FROM documents WHERE doc_id % 5 <> 0
+), rp AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM ref, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+  WHERE len(tk) >= 2
+), big AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM rp GROUP BY w1, w2
+), uni AS (
+  SELECT w1, count(*)::BIGINT AS c1 FROM rp GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w)::BIGINT AS v
+  FROM (SELECT unnest(tk) AS w FROM ref)
+), dt AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text),
+             '\\s+'), x -> x <> ''), x -> lower(x)) AS tk
+  FROM documents
+), dp AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM dt, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+  WHERE len(tk) >= 2
+), sc AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c12, 0) + 0.5)
+            / (coalesce(u.c1, 0) + 0.5 * v.v)) AS lp
+  FROM dp p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u ON u.w1 = p.w1
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(-avg(lp), 6) AS avg_neg_logp,
+         round(exp(-avg(lp)), 4) AS ppl
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       a.avg_neg_logp, a.ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _doc_chunks(spark, sf):
     """Document chunking (operators/chunking.py chunk_documents, r3):
     64-token windows with 16-token overlap over the documents table —
@@ -2832,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 LLM-pipeline folds promoted to oracle-backed slots
         "doc_chunks": _doc_chunks,
         "corpus_vocab": _corpus_vocab,
+        "lm_perplexity": _lm_perplexity,
     }.items()}
 
 
@@ -2904,4 +2966,5 @@ def oracle_sql() -> dict[str, str]:
         # r3 LLM-pipeline folds promoted to oracle-backed slots
         "doc_chunks": _DOC_CHUNKS_SQL,
         "corpus_vocab": _CORPUS_VOCAB_SQL,
+        "lm_perplexity": _LM_PERPLEXITY_SQL,
     }

@@ -1,0 +1,131 @@
+"""Distributed n-gram language-model training and perplexity scoring.
+
+The CCNet / RedPajama-style quality gate: train a smoothed bigram LM
+on (a sample of) the corpus, score every document's perplexity under
+it, and filter/bucket on the score — documents that look nothing like
+the reference distribution (boilerplate, garbled encodings, keyword
+stuffing) score high. Real pipelines use a KenLM 5-gram; the bigram
+form here keeps the exact same pipeline shape (count tables, add-alpha
+smoothing, per-token log-prob join) while staying fully expressible as
+DataFrame ops — no native library, no UDFs.
+
+Scale design:
+
+- **Training** is two hash aggregations over exploded token pairs —
+  map-side combined word-count shape; the model is (distinct-bigram +
+  distinct-unigram) rows, NOT vocab^2 (unseen pairs are handled by the
+  smoothing arithmetic at score time).
+- **Scoring** is one explode + two equi-joins against the count
+  tables + one per-doc aggregation. The unigram table is broadcast
+  (vocab-sized); the bigram join shuffles on the pair key only when
+  the model outgrows the broadcast threshold — Catalyst/AQE decides.
+- Everything is exact integer counts + deterministic float math, so a
+  SQL engine can replay scores bit-stably (the DuckDB oracle does).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.layout import spread
+
+__all__ = ["BigramLM", "train_bigram_lm", "perplexity"]
+
+
+def _toks(text_col: str):
+    return F.transform(
+        F.filter(F.split(F.trim(F.col(text_col)), "\\s+"),
+                 lambda x: x != F.lit("")),
+        F.lower)
+
+
+def _pairs(toks_col: str):
+    """(w1, w2) structs for consecutive token pairs. The <2-token
+    case MUST be its own branch: Spark's sequence(1, 0) produces a
+    DESCENDING [1, 0], not an empty array, which would emit junk
+    pairs against index -1."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < 2 THEN "
+        f"array() ELSE "
+        f"transform(sequence(1, size({toks_col}) - 1), "
+        f"i -> struct({toks_col}[i - 1] AS w1, {toks_col}[i] AS w2)) END")
+
+
+@dataclass
+class BigramLM:
+    """Trained model: count tables + vocabulary size.
+
+    ``bigrams``: (w1, w2, c12) — distinct observed pairs only.
+    ``unigrams``: (w1, c1) — context counts (all positions but the
+    last of each doc, so sum(c12 | w1) == c1 exactly).
+    ``vocab_size``: distinct tokens (eager int — one tiny job).
+    """
+    bigrams: DataFrame
+    unigrams: DataFrame
+    vocab_size: int
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text") -> BigramLM:
+    """Count-table training: two map-side-combined aggregations.
+
+    The context (unigram) counts are derived FROM the bigram pairs
+    (w1 positions), not from raw tokens, so the conditional
+    probabilities normalize exactly: sum_w2 P(w2|w1) = 1 under
+    add-alpha smoothing."""
+    pre = spread(df).select(_toks(text_col).alias("__t__"))
+    pairs = pre.select(F.explode(_pairs("__t__")).alias("p")) \
+        .select("p.w1", "p.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12"))
+    unigrams = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = pre.select(F.explode("__t__").alias("w")) \
+        .agg(F.count_distinct("w").alias("v")).first()["v"]
+    return BigramLM(bigrams=bigrams, unigrams=unigrams,
+                    vocab_size=int(vocab))
+
+
+def perplexity(df: DataFrame, lm: BigramLM, text_col: str = "text",
+               id_col: str = "doc_id", alpha: float = 1.0) -> DataFrame:
+    """Per-document perplexity under ``lm`` with add-alpha smoothing:
+
+        P(w2|w1) = (c12 + alpha) / (c1 + alpha * V)
+
+    (c12 = 0 for unseen pairs, c1 = 0 for unseen contexts — both fall
+    out of the same formula, so out-of-vocabulary text degrades
+    smoothly instead of hitting zeros.)
+
+    Returns one row per document:
+    (id_col, n_bigrams, avg_neg_logp, ppl = exp(avg_neg_logp));
+    documents with fewer than 2 tokens keep a row with NULL scores.
+
+    Scale shape: explode -> LEFT join bigram counts on (w1, w2) ->
+    LEFT join context counts on w1 (broadcast: vocab-sized) -> one
+    groupBy(id_col). No correlated work, no Python.
+    """
+    v = int(lm.vocab_size)
+    pre = spread(df).select(F.col(id_col), _toks(text_col).alias("__t__"))
+    rows = pre.select(id_col, F.explode_outer(_pairs("__t__")).alias("p")) \
+        .select(id_col, "p.w1", "p.w2")
+    scored = (rows
+              .join(lm.bigrams, ["w1", "w2"], "left")
+              .join(F.broadcast(lm.unigrams), ["w1"], "left"))
+    logp = F.log((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                 / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * v)))
+    per_doc = (scored
+               .withColumn("__lp__",
+                           F.when(F.col("w1").isNull(), None)
+                           .otherwise(logp))
+               .groupBy(id_col)
+               .agg(F.count("__lp__").cast("long").alias("n_bigrams"),
+                    F.sum("__lp__").alias("__s__")))
+    avg = -F.col("__s__") / F.col("n_bigrams")
+    return per_doc.select(
+        id_col, "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, F.round(avg, 6))
+        .alias("avg_neg_logp"),
+        F.when(F.col("n_bigrams") > 0, F.round(F.exp(avg), 4))
+        .alias("ppl"))

@@ -485,9 +485,13 @@ def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
     with a bounded output. Ties broken by ngram text for determinism.
     """
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    # guard like _word_grams: sequence(1, 0) is DESCENDING [1, 0] in
+    # Spark, and slice(.., 0, n) then errors — docs shorter than n
+    # words must yield an empty gram array, not a runtime failure
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(__toks__) - {n - 1}, "
-        f"0)), i -> concat_ws(' ', slice(__toks__, i, {n})))")
+        f"CASE WHEN size(__toks__) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(__toks__) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks__, i, {n}))) END")
     pre = spread(df).select(F.monotonically_increasing_id().alias("__doc__"),
                     toks.alias("__toks__"))
     rows = pre.select("__doc__", F.explode(
