@@ -2345,7 +2345,22 @@ def _embedding_label_stats(spark, sf):
     nrm = stats(normalize_embeddings(emb), "norm")
     qdq = stats(dequantize_int8(quantize_int8(emb),
                                 out_col="embedding"), "quant")
-    return raw.unionByName(nrm).unionByName(qdq)
+    # 'kmeans' leg (r3): assign_clusters (operators/cluster.py) with
+    # the four lowest-id vectors as fixed centroids — a pure argmin
+    # projection whose squared-distance fold DuckDB replays bit-for-
+    # bit (same element order, same IEEE ops, same lowest-id
+    # tie-break), grouped to per-cluster stats. The full Lloyd loop
+    # (kmeans) is pytest-pinned in tests/test_cluster.py; this leg
+    # driver-pins the assignment kernel every iteration reuses.
+    from baloo_spark.operators.cluster import assign_clusters
+    cent_rows = (emb.where(F.col("vec_id") < 4).orderBy("vec_id")
+                 .select(F.col("embedding").cast("array<double>")
+                         .alias("c")).collect())
+    cents = [list(r["c"]) for r in cent_rows]
+    km = stats(assign_clusters(emb, cents)
+               .drop("label")  # replace the label col with the cluster
+               .withColumnRenamed("cluster", "label"), "kmeans")
+    return raw.unionByName(nrm).unionByName(qdq).unionByName(km)
 
 
 _EMBEDDING_LABEL_STATS_SQL = """
@@ -2372,6 +2387,16 @@ WITH nn AS (
                         x -> CAST(round(x / amax * 127) AS TINYINT)),
                    q -> ((q::DOUBLE * (amax / 127.0)::FLOAT)::FLOAT))
          END
+  FROM nn
+  UNION ALL
+  SELECT 'kmeans',
+         (SELECT c.vec_id::INTEGER FROM embeddings c WHERE c.vec_id < 4
+          ORDER BY list_aggregate(list_transform(
+                list_zip(c.embedding::DOUBLE[], nn.embedding::DOUBLE[]),
+                p -> (p[1] - p[2]) * (p[1] - p[2])),
+                'sum') ASC, c.vec_id ASC
+          LIMIT 1),
+         embedding
   FROM nn
 )
 SELECT part, label, count(*) AS n,

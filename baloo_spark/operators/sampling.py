@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash_bucket", "hash_sample", "weighted_sample", "train_test_split",
-           "stratified_sample", "mix_corpora"]
+           "stratified_sample", "mix_corpora", "temperature_weights"]
 
 _BUCKETS = 1_000_000  # ppm resolution for fractions
 
@@ -113,6 +113,26 @@ def weighted_sample(df: DataFrame, weight, key: str,
     cut = (F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
            * _BUCKETS)
     return df.where(hash_bucket(key, _BUCKETS, seed) < cut)
+
+
+def temperature_weights(sizes: dict, alpha: float = 0.3) -> dict:
+    """mC4/mT5-style sampling weights for :func:`mix_corpora`:
+    w_i proportional to n_i ** alpha. alpha = 1 reproduces natural
+    (size-proportional) mixing; alpha -> 0 approaches uniform; the
+    mT5 paper uses alpha = 0.3 to upweight low-resource corpora
+    without letting tiny ones dominate. Pure metadata arithmetic —
+    pass the result straight to mix_corpora(weights=...)."""
+    if not sizes:
+        raise ValueError("need at least one corpus size")
+    if any(n < 0 for n in sizes.values()):
+        raise ValueError("sizes must be non-negative")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    raw = {n: (s ** alpha if s > 0 else 0.0) for n, s in sizes.items()}
+    total = sum(raw.values())
+    if total == 0:
+        raise ValueError("all corpora are empty")
+    return {n: w / total for n, w in raw.items()}
 
 
 def mix_corpora(corpora: dict, weights: dict, key: str,
