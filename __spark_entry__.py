@@ -2839,6 +2839,225 @@ FROM h
 
 
 # =====================================================================
+# slot consolidation (r3): the driver's correctness gate records only
+# the FIRST 50 entries of queries() (window pinned by
+# tests/test_entry_contract.py), so related slots union under kind
+# tags — every leg keeps its own oracle-replayed rows, the SQLs
+# compose by wrapping the per-leg statements. Same pattern the r2
+# prod/astype folds established.
+# =====================================================================
+
+def _q2_q16_q21_supplier_shapes(spark, sf):
+    """TPC-H Q2 + Q16 + Q21 shapes in one slot (see each leg's
+    docstring above): argmin-per-group join-back ('q2'), anti-join +
+    distinct-pair counts ('q16'), double-correlated EXISTS/NOT-EXISTS
+    rewrite ('q21')."""
+    base = _q2_q16_parts_suppliers(spark, sf) \
+        .withColumnRenamed("brand", "name")
+    q21 = _q21_waiting_suppliers(spark, sf).select(
+        F.lit("q21").alias("kind"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("s_name").alias("name"),
+        F.lit(None).cast("string").alias("ptype"),
+        F.col("numwait").alias("n"),
+        F.lit(None).cast("double").alias("v"))
+    return base.unionByName(q21)
+
+
+_Q2_Q16_Q21_SQL = (
+    "SELECT kind, key, brand AS name, ptype, n, v FROM ("
+    + _Q2_Q16_SQL + ") t UNION ALL "
+    "SELECT 'q21', NULL, s_name, NULL, numwait, NULL FROM ("
+    + _Q21_SQL + ") t2")
+
+
+def _q7_q8_q9_nation_trade(spark, sf):
+    """TPC-H Q7 + Q8 + Q9 shapes in one slot: bilateral volume
+    ('q7'), market-share ratio ('q8'), multi-fact profit ('q9' —
+    nation in supp_nation, yearly profit in value)."""
+    base = _q7_q8_nation_trade(spark, sf)
+    q9 = _q9_product_profit(spark, sf).select(
+        F.lit("q9").alias("kind"),
+        F.col("nation").alias("supp_nation"),
+        F.lit(None).cast("string").alias("cust_nation"),
+        F.col("yr"), F.col("profit").alias("value"))
+    return base.unionByName(q9)
+
+
+_Q7_Q8_Q9_SQL = (
+    _Q7_Q8_SQL + " UNION ALL SELECT 'q9', nation, NULL, yr, profit "
+    "FROM (" + _Q9_SQL + ") t")
+
+
+def _q11_q15_q17_q20_q22_thresholds(spark, sf):
+    """TPC-H threshold shapes in one slot: fraction-of-global-total
+    HAVING ('q11'/'q20'), scalar-max and correlated-average
+    thresholds ('q15'/'q17'), anti-join + scalar-avg ('q22' — key
+    carries numcust, value carries the segment balance total)."""
+    base = _q11_q20_value_share(spark, sf)
+    t = _q15_q17_thresholds(spark, sf).select(
+        "kind", "key", F.lit(None).cast("string").alias("name"),
+        "value")
+    q22 = _q22_inactive_customers(spark, sf).select(
+        F.lit("q22").alias("kind"),
+        F.col("numcust").cast("long").alias("key"),
+        F.col("segment").alias("name"),
+        F.col("totacctbal").alias("value"))
+    return base.unionByName(t).unionByName(q22)
+
+
+_Q11_Q15_Q17_Q20_Q22_SQL = (
+    _Q11_Q20_SQL + " UNION ALL "
+    "SELECT kind, key, NULL::VARCHAR, value FROM ("
+    + _Q15_Q17_SQL + ") t UNION ALL "
+    "SELECT 'q22', numcust, segment, totacctbal FROM ("
+    + _Q22_SQL + ") t2")
+
+
+def _dedup_jaccard_minhash(spark, sf):
+    """Exact PPJoin n-gram Jaccard ('ppjoin') and MinHash+LSH
+    ('lsh') near-dup pairs in one slot. Both legs claim the SAME
+    value rows (the minhash configuration provably reaches recall
+    1.0 vs the exact scan — see _dedup_minhash), so the oracle
+    replays the exact all-pairs Jaccard once per kind."""
+    pp = _dedup_jaccard(spark, sf) \
+        .select(F.lit("ppjoin").alias("kind"), "*")
+    lsh = _dedup_minhash(spark, sf) \
+        .select(F.lit("lsh").alias("kind"), "*")
+    return pp.unionByName(lsh)
+
+
+_DEDUP_JM_SQL = (
+    "SELECT 'ppjoin' AS kind, * FROM (" + _DEDUP_JACCARD_SQL + ") t "
+    "UNION ALL SELECT 'lsh', * FROM (" + _DEDUP_JACCARD_SQL + ") t2")
+
+
+def _ann_topk(spark, sf):
+    """LSH ('lsh') and IVF ('ivf') ANN top-k in one slot, both in
+    their provably-exact probe-everything configurations (see the
+    per-leg docstrings), so brute-force SQL is the oracle for each."""
+    lsh = _ann_lsh_topk(spark, sf) \
+        .select(F.lit("lsh").alias("kind"), "*")
+    ivf = _ann_ivf_topk(spark, sf) \
+        .select(F.lit("ivf").alias("kind"), "*")
+    return lsh.unionByName(ivf)
+
+
+_ANN_TOPK_SQL = (
+    "SELECT 'lsh' AS kind, * FROM (" + _EMBEDDING_TOPK_SQL + ") t "
+    "UNION ALL SELECT 'ivf', * FROM (" + _EMBEDDING_TOPK_SQL + ") t2")
+
+
+def _multimodal_ops(spark, sf):
+    """Media-table stats ('stats') and the Arrow decode/feature
+    pipeline ('feat') in one slot (see per-leg docstrings)."""
+    stats = _multimodal_stats(spark, sf).select(
+        F.lit("stats").alias("kind"),
+        F.lit(None).cast("long").alias("media_id"),
+        "format",
+        F.col("n_items").cast("long").alias("n"),
+        F.col("total_bytes").cast("long").alias("n_bytes"),
+        *[F.lit(None).cast("double").alias(f"f{i}") for i in range(4)])
+    feats = _multimodal_features(spark, sf).select(
+        F.lit("feat").alias("kind"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.lit(None).cast("string").alias("format"),
+        F.col("dim").cast("long").alias("n"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "f0", "f1", "f2", "f3")
+    return stats.unionByName(feats)
+
+
+_MULTIMODAL_OPS_SQL = (
+    "SELECT 'stats' AS kind, NULL::BIGINT AS media_id, format, "
+    "n_items::BIGINT AS n, total_bytes::BIGINT AS n_bytes, "
+    "NULL::DOUBLE AS f0, NULL::DOUBLE AS f1, NULL::DOUBLE AS f2, "
+    "NULL::DOUBLE AS f3 FROM (" + _MULTIMODAL_STATS_SQL + ") t "
+    "UNION ALL SELECT 'feat', media_id, NULL, dim::BIGINT, n_bytes, "
+    "f0, f1, f2, f3 FROM (" + _MULTIMODAL_FEATURES_SQL + ") t2")
+
+
+def _reshape_ops(spark, sf):
+    """Grouping-sets family ('rollup'/'cube'/'gsets') and pivot/melt
+    ('wide'/'long') in one slot (see per-leg docstrings)."""
+    rc = _rollup_cube(spark, sf).select(
+        "kind",
+        F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+        "sum_qty", F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("f_cnt"),
+        F.lit(None).cast("long").alias("o_cnt"),
+        F.lit(None).cast("long").alias("p_cnt"),
+        F.lit(None).cast("string").alias("variable"),
+        F.lit(None).cast("long").alias("value"))
+    pv = _pivot_status(spark, sf).select(
+        F.col("part").alias("kind"),
+        F.col("o_orderpriority").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("f_cnt").cast("long"), F.col("o_cnt").cast("long"),
+        F.col("p_cnt").cast("long"),
+        "variable", F.col("value").cast("long"))
+    return rc.unionByName(pv)
+
+
+_RESHAPE_OPS_SQL = (
+    "SELECT kind, l_returnflag AS a, l_linestatus AS b, sum_qty, "
+    "n::BIGINT AS n, NULL::BIGINT AS f_cnt, NULL::BIGINT AS o_cnt, "
+    "NULL::BIGINT AS p_cnt, NULL::VARCHAR AS variable, "
+    "NULL::BIGINT AS value FROM (" + _ROLLUP_CUBE_SQL + ") t "
+    "UNION ALL SELECT part, o_orderpriority, NULL, NULL, NULL, "
+    "f_cnt::BIGINT, o_cnt::BIGINT, p_cnt::BIGINT, variable, "
+    "value::BIGINT FROM (" + _PIVOT_SQL + ") t2")
+
+
+def _doc_pipeline_stats(spark, sf):
+    """Document-pipeline slot: token-window chunking ('chunk'),
+    corpus vocabulary analytics ('uni'/'bi'/'vocab'), and the bigram
+    LM perplexity gate ('lm') — see the per-leg docstrings."""
+    ch = _doc_chunks(spark, sf).select(
+        F.lit("chunk").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.col("chunk_seq").alias("seq"),
+        F.col("chunk_n_tokens").alias("n"),
+        F.lit(None).cast("long").alias("m"),
+        F.col("chunk_md5").alias("text"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"))
+    cv = _corpus_vocab(spark, sf).select(
+        "kind",
+        F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("long").alias("seq"),
+        F.col("term_count").alias("n"),
+        F.col("doc_count").alias("m"),
+        F.col("ngram").alias("text"),
+        F.col("value").alias("v1"),
+        F.lit(None).cast("double").alias("v2"))
+    lm = _lm_perplexity(spark, sf).select(
+        F.lit("lm").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("long").alias("seq"),
+        F.col("n_bigrams").alias("n"),
+        F.lit(None).cast("long").alias("m"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("avg_neg_logp").alias("v1"),
+        F.col("ppl").alias("v2"))
+    return ch.unionByName(cv).unionByName(lm)
+
+
+_DOC_PIPELINE_SQL = (
+    "SELECT 'chunk' AS kind, doc_id AS id, chunk_seq AS seq, "
+    "chunk_n_tokens AS n, NULL::BIGINT AS m, chunk_md5 AS text, "
+    "NULL::DOUBLE AS v1, NULL::DOUBLE AS v2 FROM ("
+    + _DOC_CHUNKS_SQL + ") t "
+    "UNION ALL SELECT kind, NULL, NULL, term_count, doc_count, "
+    "ngram, value, NULL FROM (" + _CORPUS_VOCAB_SQL + ") t2 "
+    "UNION ALL SELECT 'lm', doc_id, NULL, n_bigrams, NULL, NULL, "
+    "avg_neg_logp, ppl FROM (" + _LM_PERPLEXITY_SQL + ") t3")
+
+
+# =====================================================================
 # driver contract
 # =====================================================================
 
@@ -2889,36 +3108,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "asof_join": _asof_join,
         "range_join": _range_join,
-        "rollup_cube": _rollup_cube,
-        "pivot_status": _pivot_status,
+        "reshape_ops": _reshape_ops,
         "describe": _describe,
         "extract_ops": _extract_ops,
         # section 3 — pipeline operators
         "dedup_exact": _dedup_exact,
-        "dedup_jaccard": _dedup_jaccard,
-        "dedup_minhash": _dedup_minhash,
+        "dedup_jaccard_minhash": _dedup_jaccard_minhash,
         "dedup_simhash": _dedup_simhash,
         "embedding_topk": _embedding_topk,
         "embedding_near_pairs": _embedding_near_pairs,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
+        "ann_topk": _ann_topk,
         "embedding_label_stats": _embedding_label_stats,
         "text_metrics": _text_metrics,
-        "multimodal_stats": _multimodal_stats,
-        "multimodal_features": _multimodal_features,
+        "multimodal_ops": _multimodal_ops,
         "dedup_cluster_survivors": _dedup_cluster_survivors,
-        # section 1b — remaining TPC-H shapes (r3, adapted schema)
-        "q2_q16_parts_suppliers": _q2_q16_parts_suppliers,
-        "q7_q8_nation_trade": _q7_q8_nation_trade,
-        "q9_product_profit": _q9_product_profit,
-        "q11_q20_value_share": _q11_q20_value_share,
-        "q15_q17_thresholds": _q15_q17_thresholds,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_inactive_customers": _q22_inactive_customers,
-        # r3 LLM-pipeline folds promoted to oracle-backed slots
-        "doc_chunks": _doc_chunks,
-        "corpus_vocab": _corpus_vocab,
-        "lm_perplexity": _lm_perplexity,
+        # section 1b — remaining TPC-H shapes (r3, adapted schema;
+        # consolidated so the whole suite sits in the 50-slot window)
+        "q2_q16_q21_supplier_shapes": _q2_q16_q21_supplier_shapes,
+        "q7_q8_q9_nation_trade": _q7_q8_q9_nation_trade,
+        "q11_q15_q17_q20_q22_thresholds": _q11_q15_q17_q20_q22_thresholds,
+        # r3 LLM-pipeline additions (chunking/vocab/LM in one slot)
+        "doc_pipeline_stats": _doc_pipeline_stats,
     }.items()}
 
 
@@ -2957,39 +3167,30 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
-        "rollup_cube": _ROLLUP_CUBE_SQL,
-        "pivot_status": _PIVOT_SQL,
+        "reshape_ops": _RESHAPE_OPS_SQL,
         "describe": _DESCRIBE_SQL,
         "extract_ops": _EXTRACT_OPS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
-        "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_near_pairs": _EMBEDDING_NEAR_SQL,
         "embedding_label_stats": _EMBEDDING_LABEL_STATS_SQL,
         "text_metrics": _TEXT_METRICS_SQL,
-        "multimodal_stats": _MULTIMODAL_STATS_SQL,
         "dedup_cluster_survivors": _DEDUP_CLUSTER_SQL,
-        # previously rows-only, now oracle-backed: minhash claims
-        # full-recall parity with the exact all-pairs Jaccard scan;
-        # simhash is pinned by its exact-duplicate superset invariant;
-        # the ANN paths run in provably-exact configurations (probe
-        # everything) so brute-force SQL IS their oracle; multimodal
-        # features are sha256-derived, which DuckDB recomputes.
-        "dedup_minhash": _DEDUP_JACCARD_SQL,
+        # approximate families with exact oracles: the minhash leg
+        # claims full-recall parity with the exact all-pairs Jaccard
+        # scan; simhash is pinned by its exact-duplicate superset
+        # invariant; the ANN legs run in provably-exact probe-
+        # everything configurations so brute-force SQL IS their
+        # oracle; multimodal features are sha256-derived, which
+        # DuckDB recomputes.
+        "dedup_jaccard_minhash": _DEDUP_JM_SQL,
         "dedup_simhash": _DEDUP_SIMHASH_SQL,
-        "ann_lsh_topk": _EMBEDDING_TOPK_SQL,
-        "ann_ivf_topk": _EMBEDDING_TOPK_SQL,
-        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "multimodal_ops": _MULTIMODAL_OPS_SQL,
         # section 1b — remaining TPC-H shapes (r3, adapted schema)
-        "q2_q16_parts_suppliers": _Q2_Q16_SQL,
-        "q7_q8_nation_trade": _Q7_Q8_SQL,
-        "q9_product_profit": _Q9_SQL,
-        "q11_q20_value_share": _Q11_Q20_SQL,
-        "q15_q17_thresholds": _Q15_Q17_SQL,
-        "q21_waiting_suppliers": _Q21_SQL,
-        "q22_inactive_customers": _Q22_SQL,
-        # r3 LLM-pipeline folds promoted to oracle-backed slots
-        "doc_chunks": _DOC_CHUNKS_SQL,
-        "corpus_vocab": _CORPUS_VOCAB_SQL,
-        "lm_perplexity": _LM_PERPLEXITY_SQL,
+        "q2_q16_q21_supplier_shapes": _Q2_Q16_Q21_SQL,
+        "q7_q8_q9_nation_trade": _Q7_Q8_Q9_SQL,
+        "q11_q15_q17_q20_q22_thresholds": _Q11_Q15_Q17_Q20_Q22_SQL,
+        # r3 LLM-pipeline additions
+        "doc_pipeline_stats": _DOC_PIPELINE_SQL,
     }

@@ -43,11 +43,16 @@ HEADLINE = [
     "unary_math",
     "str_ops",
     "dedup_exact",
-    "dedup_minhash",
+    "dedup_jaccard_minhash",
     "embedding_topk",
     "text_metrics",
     "events_window",
     "events_sessions",
+    # r3 additions: TPC-H completion heavies + LLM-pipeline slot
+    "q2_q16_q21_supplier_shapes",
+    "q7_q8_q9_nation_trade",
+    "q11_q15_q17_q20_q22_thresholds",
+    "doc_pipeline_stats",
 ]
 
 

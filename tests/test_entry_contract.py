@@ -68,4 +68,4 @@ def test_all_queries_inside_driver_window(entry):
     # slots together first (the r2 prod/astype pattern).
     keys = list(entry.queries())
     assert len(keys) == 50
-    assert keys[49] == "dedup_cluster_survivors"  # window boundary pinned
+    assert keys[49] == "doc_pipeline_stats"  # window boundary pinned

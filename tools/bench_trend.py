@@ -23,6 +23,9 @@ RENAMES = {
     "merge_inner": "merge_inner_left",
     "sort_head": "sort_nlargest",
     "text_quality": "text_metrics",
+    # r3 slot consolidations (same computation + extra legs under a
+    # kind tag, renamed so the whole set fits the 50-slot window)
+    "dedup_minhash": "dedup_jaccard_minhash",
 }
 
 # slots whose SCOPE widened after r1 (driver-slot consolidation: more
@@ -38,6 +41,9 @@ SCOPE_NOTES = {
     "describe": "3 -> 10 rows in r2 (full describe, not just 3 "
                 "quantiles); r3 adds corr/cov rows driven by two extra "
                 "eager scalar aggregate jobs",
+    "dedup_jaccard_minhash": "r3 consolidation: the slot now runs BOTH the "
+                "PPJoin exact-Jaccard scan and the MinHash+LSH "
+                "pipeline (r1 measured MinHash alone)",
     "text_metrics": "query replaced by wider text profile (500 rows); "
                     "r3 folds in Gopher-style repetition metrics "
                     "(+5 cols in the same single-scan projection) and "
@@ -64,7 +70,7 @@ VERIFIED_NOISE = {
                    "shared-session GC/contention after 19 prior "
                    "queries, not a plan change (still one hash-agg "
                    "shuffle)",
-    "dedup_minhash": "re-timed solo at sf0.1 (r3): 2.1-2.5s warm, "
+    "dedup_jaccard_minhash": "re-timed solo at sf0.1 (r3): 2.1-2.5s warm, "
                      "matching r1's 2.8s cold; the 7.6s in-bench cold "
                      "is first-query JIT + host load on a shared box. "
                      "Constant-factor heavy by nature (k=64 shingle "
@@ -126,11 +132,21 @@ def main(paths):
         fmt = lambda x: "—" if x is None else f"{x:.3f}"
         lines.append(f"| {q} | {fmt(b)} | {fmt(c)} | {fmt(w)} | {delta} |")
 
-    tb = sum(base_cold.values())
-    tc = sum(cur_cold.values())
-    tw = sum((cur_warm or {}).values())
-    lines.append(f"| **total** | **{tb:.3f}** | **{tc:.3f}** | "
-                 f"**{tw:.3f}** | **{(tc - tb) / tb * 100:+.0f}%** |")
+    shared = [q for q in names if q in base_cold and q in cur_cold]
+    tb = sum(base_cold[q] for q in shared)
+    tc = sum(cur_cold[q] for q in shared)
+    tw = sum(v for q, v in (cur_warm or {}).items() if q in shared)
+    lines.append(f"| **total (shared {len(shared)} queries)** | "
+                 f"**{tb:.3f}** | **{tc:.3f}** | **{tw:.3f}** | "
+                 f"**{(tc - tb) / tb * 100:+.0f}%** |")
+    new_qs = [q for q in cur_cold if q not in base_cold]
+    if new_qs:
+        nc = sum(cur_cold[q] for q in new_qs)
+        nw = sum(v for q, v in (cur_warm or {}).items() if q in new_qs)
+        lines.append(f"| **total (+{len(new_qs)} new-in-{cur_lbl})** | "
+                     f"— | **{sum(cur_cold.values()):.3f}** | "
+                     f"**{sum((cur_warm or {}).values()):.3f}** | "
+                     f"new slots add {nc:.3f}s cold / {nw:.3f}s warm |")
     lines.append("")
     unexplained = [(q, b, w) for q, b, w in flags
                    if q not in SCOPE_NOTES and q not in VERIFIED_NOISE]
