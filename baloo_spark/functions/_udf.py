@@ -18,3 +18,14 @@ def scalar_pandas_udf(func, ret_type):
         return out if isinstance(out, pd.Series) else pd.Series(out)
 
     return F.pandas_udf(ret_type)(_apply)
+
+
+def struct_pandas_udf(func, ret_type):
+    """Wrap ``func(pd.Series) -> pd.DataFrame`` as an Arrow-vectorized
+    pandas UDF returning a STRUCT column (one field per DataFrame
+    column of the given Spark struct type)."""
+
+    def _apply(s: pd.Series) -> pd.DataFrame:
+        return func(s)
+
+    return F.pandas_udf(ret_type)(_apply)

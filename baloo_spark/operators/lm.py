@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from ..plans.layout import spread
 
-__all__ = ["BigramLM", "train_bigram_lm", "perplexity"]
+__all__ = ["BigramLM", "train_bigram_lm", "perplexity",
+           "perplexity_broadcast"]
 
 
 def _toks(text_col: str):
@@ -129,3 +130,66 @@ def perplexity(df: DataFrame, lm: BigramLM, text_col: str = "text",
         .alias("avg_neg_logp"),
         F.when(F.col("n_bigrams") > 0, F.round(F.exp(avg), 4))
         .alias("ppl"))
+
+
+def perplexity_broadcast(df: DataFrame, lm: BigramLM,
+                         text_col: str = "text",
+                         id_col: str = "doc_id", alpha: float = 1.0,
+                         max_model_rows: int = 2_000_000) -> DataFrame:
+    """Stateless face of :func:`perplexity`: the count tables are
+    collected once and shipped in an Arrow-batched pandas-UDF closure
+    — the "model as artifact" pattern (a production KenLM binary is
+    exactly this: a trained file broadcast to every worker). Because
+    no join or aggregation touches the stream, this face is safe in
+    APPEND mode on an unbounded readStream with zero state, where the
+    join-based face would need an unbounded per-doc aggregation.
+
+    Guard: refuses models over ``max_model_rows`` (collecting an
+    unbounded table to the driver is the classic scale trap) — for
+    models past the broadcast budget, use the join-based
+    :func:`perplexity` as a periodic batch job instead.
+
+    Identical scores to :func:`perplexity` (same smoothing formula;
+    pinned by tests/test_lm.py).
+    """
+    import math
+
+    n_model = lm.bigrams.count()
+    if n_model > max_model_rows:
+        raise ValueError(
+            f"model has {n_model} bigrams > max_model_rows="
+            f"{max_model_rows}; use the join-based perplexity() for "
+            f"models past the broadcast budget")
+    bi = {(r["w1"], r["w2"]): r["c12"] for r in lm.bigrams.collect()}
+    uni = {r["w1"]: r["c1"] for r in lm.unigrams.collect()}
+    v = int(lm.vocab_size)
+
+    from ..functions._udf import struct_pandas_udf
+
+    def score(texts):
+        import pandas as pd
+        n_out, avg_out, ppl_out = [], [], []
+        for t in texts:
+            toks = [w.lower() for w in (t or "").split()]
+            if len(toks) < 2:
+                n_out.append(0)
+                avg_out.append(None)
+                ppl_out.append(None)
+                continue
+            s = 0.0
+            for a, b in zip(toks, toks[1:]):
+                s += math.log((bi.get((a, b), 0) + alpha)
+                              / (uni.get(a, 0) + alpha * v))
+            n = len(toks) - 1
+            avg = -s / n
+            n_out.append(n)
+            avg_out.append(round(avg, 6))
+            ppl_out.append(round(math.exp(avg), 4))
+        return pd.DataFrame({"n_bigrams": n_out,
+                             "avg_neg_logp": avg_out, "ppl": ppl_out})
+
+    udf = struct_pandas_udf(
+        score, "n_bigrams LONG, avg_neg_logp DOUBLE, ppl DOUBLE")
+    out = df.select(F.col(id_col), udf(F.col(text_col)).alias("__s__"))
+    return out.select(id_col, "__s__.n_bigrams", "__s__.avg_neg_logp",
+                      "__s__.ppl")

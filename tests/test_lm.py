@@ -107,3 +107,16 @@ def test_scoring_is_layout_independent(docs, lm):
     shuffled = sorted(map(tuple,
                           perplexity(docs.repartition(7), lm).collect()))
     assert base == shuffled
+
+
+def test_perplexity_broadcast_matches_join_face(docs, lm):
+    from baloo_spark.operators.lm import perplexity_broadcast
+    a = sorted(map(tuple, perplexity(docs, lm).collect()))
+    b = sorted(map(tuple, perplexity_broadcast(docs, lm).collect()))
+    assert a == b
+
+
+def test_perplexity_broadcast_guards_model_size(docs, lm):
+    from baloo_spark.operators.lm import perplexity_broadcast
+    with pytest.raises(ValueError, match="max_model_rows"):
+        perplexity_broadcast(docs, lm, max_model_rows=2)

@@ -130,3 +130,43 @@ def test_bpe_token_counts_works_on_stream(spark, docs_dir, request):
     request.addfinalizer(lambda: spark.catalog.dropTempView("bpe_out"))
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in got_df.collect()}
     assert got == want
+
+
+def test_perplexity_broadcast_works_on_stream(spark, docs_dir, request):
+    # the model-as-artifact face is a stateless projection, so the
+    # streaming face IS the batch function on readStream — batch
+    # result is the oracle
+    from baloo_spark.operators.lm import (perplexity_broadcast,
+                                          train_bigram_lm)
+    batch = spark.read.parquet(docs_dir)
+    lm = train_bigram_lm(batch)
+    want = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"], r["ppl"])
+            for r in perplexity_broadcast(batch, lm).collect()}
+    stream = perplexity_broadcast(read_docs_stream(spark, docs_dir), lm)
+    assert stream.isStreaming
+    got_df = run_stream_to_memory(spark, stream, name="ppl_out")
+    request.addfinalizer(lambda: spark.catalog.dropTempView("ppl_out"))
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"], r["ppl"])
+           for r in got_df.collect()}
+    assert got == want
+
+
+def test_assign_clusters_works_on_stream(spark, tmp_path, request):
+    # pure argmin projection: stream face == batch face
+    from baloo_spark.operators.cluster import assign_clusters
+    rows = [(i, [float(i % 2) * 10.0] * 4) for i in range(20)]
+    batch = spark.createDataFrame(rows,
+                                  "vec_id LONG, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "vecs")
+    batch.write.mode("overwrite").parquet(path)
+    cents = [[0.0] * 4, [10.0] * 4]
+    want = {r["vec_id"]: r["cluster"]
+            for r in assign_clusters(batch, cents).collect()}
+    stream = assign_clusters(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .parquet(path), cents)
+    assert stream.isStreaming
+    got_df = run_stream_to_memory(spark, stream, name="clus_out")
+    request.addfinalizer(lambda: spark.catalog.dropTempView("clus_out"))
+    got = {r["vec_id"]: r["cluster"] for r in got_df.collect()}
+    assert got == want
