@@ -556,6 +556,36 @@ class DataFrame:
         sdf = self._sdf.drop(*drop_idx) if drop_idx else self._sdf
         return DataFrame._make(sdf, keys, data, self._order)
 
+    def assign(self, **kwargs) -> "DataFrame":
+        """pandas ``DataFrame.assign``: a NEW frame with the given
+        columns added/replaced. Values may be Series, scalars, or
+        callables receiving the frame-so-far — evaluated left to
+        right, so later kwargs can reference earlier ones (pandas
+        semantics). The original frame is untouched (the lazy plan is
+        shared; only the wrapper state is copied).
+
+        Examples
+        --------
+        >>> import baloo_spark as bl
+        >>> df = bl.DataFrame({"a": [1.0, 2.0]})
+        >>> df.assign(b=lambda d: d["a"] * 10,
+        ...           c=lambda d: d["b"] + 1).to_pandas()
+             a     b     c
+        0  1.0  10.0  11.0
+        1  2.0  20.0  21.0
+        """
+        out = DataFrame._make(self._sdf, list(self._index_cols),
+                              list(self._data_cols), self._order)
+        for name, val in kwargs.items():
+            out[name] = val(out) if callable(val) else val
+        return out
+
+    def pipe(self, func, *args, **kwargs):
+        """pandas ``DataFrame.pipe``: apply ``func(self, *args,
+        **kwargs)`` — keeps operator chains linear when mixing engine
+        methods with free functions (e.g. the operators/ library)."""
+        return func(self, *args, **kwargs)
+
     def rename(self, columns: dict) -> "DataFrame":
         sdf = self._sdf
         for old, new in columns.items():

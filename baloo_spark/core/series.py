@@ -285,6 +285,19 @@ class Series:
         return self._with_col((self._colexpr > F.lit(lower))
                               & (self._colexpr < F.lit(upper)))
 
+    def where(self, cond: "Series", other=None) -> "Series":
+        """pandas ``Series.where``: keep values where ``cond`` holds,
+        replace the rest with ``other`` (NULL by default). ``cond``
+        from another frame aligns positionally like any binary op."""
+        repl = F.lit(other)
+        return self._lift(cond, lambda a, c: F.when(c, a).otherwise(repl))
+
+    def mask(self, cond: "Series", other=None) -> "Series":
+        """pandas ``Series.mask``: the complement of :meth:`where` —
+        replace values WHERE ``cond`` holds."""
+        repl = F.lit(other)
+        return self._lift(cond, lambda a, c: F.when(~c, a).otherwise(repl))
+
     def isna(self) -> "Series":
         """NULL test (reference: sentinel compare, generic.py:69-73)."""
         return self._with_col(self._colexpr.isNull())

@@ -386,3 +386,27 @@ def test_repartition_coalesce_preserve_semantics(bl):
     import pytest
     with pytest.raises(ValueError):
         df.repartition()
+
+
+def test_assign_and_pipe(spark):
+    import baloo_spark as bl
+    df = bl.DataFrame({"a": [1.0, 2.0, 3.0]})
+    out = df.assign(b=lambda d: d["a"] * 2, c=lambda d: d["b"] + 1)
+    assert list(out.columns) == ["a", "b", "c"]
+    pdf = out.to_pandas()
+    assert pdf["b"].tolist() == [2.0, 4.0, 6.0]
+    assert pdf["c"].tolist() == [3.0, 5.0, 7.0]
+    # original untouched
+    assert list(df.columns) == ["a"]
+    # pipe chains free functions
+    got = df.pipe(lambda d, k: d["a"].sum() + k, 10)
+    assert got == 16.0
+
+
+def test_series_where_mask(spark):
+    import baloo_spark as bl
+    df = bl.DataFrame({"a": [1.0, 5.0, 9.0]})
+    w = df["a"].where(df["a"] > 4).to_pandas()
+    assert w.isna().tolist() == [True, False, False]
+    m = df["a"].mask(df["a"] > 4, other=0.0).to_pandas()
+    assert m.tolist() == [1.0, 0.0, 0.0]
