@@ -2,9 +2,9 @@
 
 Chains the full operator surface the way a production corpus build
 would: ingest -> PII redaction + quality/repetition filtering ->
-exact + near dedup -> benchmark decontamination -> chunking ->
-context-window packing -> deterministic train/val/test split ->
-partitioned parquet.
+LM-perplexity gate (r3) -> exact + near dedup -> benchmark
+decontamination -> chunking -> context-window packing ->
+deterministic train/val/test split -> partitioned parquet.
 
 Run:  python examples/pretraining_pipeline.py [sf_dir] [out_dir]
 (defaults: /root/testdata/sf0.001, a temp dir). Prints one JSON
@@ -35,6 +35,7 @@ def build_corpus(spark, sf_dir: str, out_dir: str,
     from baloo_spark.operators.chunking import chunk_documents, pack_chunks
     from baloo_spark.operators.dedup import (exact_duplicates,
                                              minhash_lsh_pairs)
+    from baloo_spark.operators.lm import perplexity, train_bigram_lm
     from baloo_spark.operators.sampling import train_test_split
     from baloo_spark.operators.text import contamination_check
     from baloo_spark.streaming.docs import quality_pipeline
@@ -45,6 +46,20 @@ def build_corpus(spark, sf_dir: str, out_dir: str,
     # 1. redact -> profile redacted text -> quality/repetition filter
     #    (single-scan projection chain, no shuffle)
     clean = quality_pipeline(docs, min_quality=min_quality)
+
+    # 1b. LM-perplexity quality gate (CCNet-style): train a smoothed
+    #    bigram LM on the surviving docs, drop the worst 10% by
+    #    perplexity (two count aggs to train; an explode + two
+    #    count-table joins to score — the quantile threshold is one
+    #    tiny scalar job)
+    lm = train_bigram_lm(clean)
+    scores = perplexity(clean, lm, alpha=0.5)
+    cutoff = scores.where(F.col("ppl").isNotNull()) \
+        .approxQuantile("ppl", [0.9], 0.001)[0]
+    keep = scores.where(F.col("ppl").isNull()
+                        | (F.col("ppl") <= F.lit(cutoff))) \
+        .select("doc_id")
+    clean = clean.join(keep, "doc_id")
 
     # 2. exact dedup on normalized content (one hash-agg shuffle);
     #    keep the surviving doc ids
@@ -93,6 +108,7 @@ def build_corpus(spark, sf_dir: str, out_dir: str,
                   F.sum("chunk_n_tokens").alias("n_tokens")).collect()}
     return {
         "docs_in": n_raw,
+        "ppl_cutoff": round(cutoff, 2),
         "docs_out": clean.count(),
         "chunks": packed.count(),
         "bins": packed.select("bucket", "bin_seq").distinct().count(),
