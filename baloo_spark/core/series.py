@@ -613,6 +613,83 @@ class Series:
             self._colexpr.cast("double")
             - F.col("__shift__").cast("double"))
 
+    def _cumulative(self, kind: str) -> "Series":
+        sdf = self._sdf
+        order = [F.col(c).asc() if a else F.col(c).desc()
+                 for c, a in (self._order or []) if c in sdf.columns]
+        from ..plans.ordinal import with_prefix_aggs
+        v = (self._colexpr.cast("double") if kind in ("sum", "prod")
+             else self._colexpr)
+        out = with_prefix_aggs(sdf, {"__cum__": (v, kind)},
+                               order or None)
+        return Series._make(out, F.col("__cum__"), self._index_cols,
+                            self.name, self._order)
+
+    def cumsum(self) -> "Series":
+        """Cumulative sum along the logical order (pandas flavor;
+        engine extension). Partition-safe at any scale: a parallel
+        prefix scan (plans/ordinal.with_prefix_aggs), never a global
+        single-partition window — same machinery as :meth:`shift`."""
+        return self._cumulative("sum")
+
+    def cumprod(self) -> "Series":
+        return self._cumulative("prod")
+
+    def cummin(self) -> "Series":
+        return self._cumulative("min")
+
+    def cummax(self) -> "Series":
+        return self._cumulative("max")
+
+    def pct_change(self, periods: int = 1) -> "Series":
+        """Fractional change vs the value ``periods`` back along the
+        logical order: x/x.shift(periods) - 1 in one boundary-carry
+        window pass (pandas flavor; engine extension)."""
+        shifted = self.shift(periods)
+        return shifted._with_col(
+            self._colexpr.cast("double")
+            / F.col("__shift__").cast("double") - 1)
+
+    def rank(self, method: str = "min", ascending: bool = True) -> "Series":
+        """Global value rank (pandas flavor, 1-based). Methods map to
+        the partition-safe schemes of ``DataFrame.with_rank``:
+        'first' -> dense ordinal + 1 (row_number), 'min' -> min
+        ordinal within the tie group, 'dense' -> ordinal among
+        distinct values. pandas' float 'average' method is not
+        provided — use 'min'/'dense' (integer ranks) at scale."""
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        from ..plans.ordinal import with_dense_ordinal
+        sdf, alias = self._select("__rv__")
+        ob = [F.col(alias).asc() if ascending else F.col(alias).desc()]
+        if method == "first":
+            out = with_dense_ordinal(sdf, ob, name="__rank__")
+            out = out.withColumn("__rank__",
+                                 (F.col("__rank__") + 1).cast("long"))
+        elif method == "min":
+            out = with_dense_ordinal(sdf, ob, name="__rn__")
+            w = Window.partitionBy(F.col(alias))
+            out = (out.withColumn("__rank__",
+                                  (F.min("__rn__").over(w) + 1)
+                                  .cast("long"))
+                   .drop("__rn__"))
+        elif method == "dense":
+            distinct = sdf.select(alias).distinct()
+            keyed = with_dense_ordinal(distinct, ob, name="__dr__")
+            cond = sdf[alias].eqNullSafe(keyed[alias])
+            out = sdf.join(keyed, cond).drop(keyed[alias])
+            out = (out.withColumn("__rank__",
+                                  (F.col("__dr__") + 1).cast("long"))
+                   .drop("__dr__"))
+        else:
+            raise ValueError(
+                f"unsupported rank method: {method!r} "
+                f"(supported: 'min', 'first', 'dense')")
+        return Series._make(out, F.col("__rank__"), self._index_cols,
+                            self.name, self._order)
+
     def quantile(self, q) -> "Series":
         """Exact interpolated quantiles (engine extension; matches
         ANSI percentile_cont / DuckDB quantile_cont). For sketched

@@ -245,3 +245,51 @@ def test_rolling_partitioned_min_max_and_min_periods(bl, frame, data):
 def test_rolling_global_min_rejected_with_alternative(bl, frame):
     with pytest.raises(ValueError, match="partition_by"):
         frame.with_rolling("v", 3, order_by="t", agg="min")
+
+
+def test_series_cumulative_ops_match_pandas(spark):
+    import pandas as pd
+
+    import baloo_spark as bl
+    pdf = pd.DataFrame({"k": list(range(10)),
+                        "x": [3.0, 1.0, 4.0, 1.0, 5.0,
+                              9.0, 2.0, 6.0, 5.0, 3.0]})
+    df = bl.DataFrame.from_pandas(pdf).sort_values("k")
+    for op in ("cumsum", "cumprod", "cummin", "cummax"):
+        got = getattr(df["x"], op)().to_pandas().tolist()
+        want = getattr(pdf["x"], op)().tolist()
+        assert got == pytest.approx(want), op
+
+
+def test_series_cumsum_layout_independent(spark):
+    import pandas as pd
+
+    import baloo_spark as bl
+    pdf = pd.DataFrame({"k": list(range(40)),
+                        "x": [float((i * 7) % 13) for i in range(40)]})
+    base = bl.DataFrame.from_pandas(pdf).sort_values("k")
+    wide = bl.DataFrame.from_spark(
+        base.to_spark(include_index=True).repartition(8)).sort_values("k")
+    assert base["x"].cumsum().to_pandas().tolist() == \
+        pytest.approx(wide["x"].cumsum().to_pandas().tolist())
+
+
+def test_series_pct_change_and_rank(spark):
+    import pandas as pd
+
+    import baloo_spark as bl
+    pdf = pd.DataFrame({"k": list(range(6)),
+                        "x": [2.0, 4.0, 4.0, 2.0, 8.0, 1.0]})
+    df = bl.DataFrame.from_pandas(pdf).sort_values("k")
+    got = df["x"].pct_change().to_pandas().tolist()
+    want = pdf["x"].pct_change().tolist()
+    assert got[0] != got[0]  # NaN head
+    assert got[1:] == pytest.approx(want[1:])
+    ks = df.set_index("k")
+    for method in ("min", "first", "dense"):
+        rs = ks["x"].rank(method=method).to_spark()
+        got_r = sorted((r["k"], float(r["x"])) for r in rs.collect())
+        want_r = sorted(zip(pdf["k"], pdf["x"].rank(method=method)))
+        assert got_r == [(k, float(v)) for k, v in want_r], method
+    with pytest.raises(ValueError, match="rank method"):
+        df["x"].rank(method="average")
