@@ -29,6 +29,21 @@ def sql(query: str) -> "DataFrame":
     return DataFrame.from_spark(get_session().sql(query))
 
 
+def merge_asof(left: "DataFrame", right: "DataFrame", on: str,
+               by=None, tolerance: int | None = None,
+               suffix: str = "_right") -> "DataFrame":
+    """pandas-style ``pd.merge_asof`` over engine frames: for each
+    left row, attach the most recent right row with ``right.on <=
+    left.on``, matching ``by`` keys; ``tolerance`` caps staleness in
+    seconds. Thin wrapper over ``operators.joins.asof_join`` (the
+    scale path: union + keyed carry-forward window, one shuffle, no
+    range explosion)."""
+    from .operators.joins import asof_join
+    out = asof_join(left.to_spark(), right.to_spark(), on=on, by=by,
+                    tolerance=tolerance, suffix=suffix)
+    return DataFrame.from_spark(out)
+
+
 def concat(frames: list) -> "DataFrame":
     """Row-wise concatenation of frames (pandas-style top-level;
     engine extension — the reference has no set ops, SURVEY.md §2.6).
@@ -45,5 +60,5 @@ __all__ = [
     "read_csv", "read_parquet", "read_json", "read_orc", "get_session",
     "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "erf", "raw", "sort", "load_cudf", "concat",
-    "sql",
+    "sql", "merge_asof",
 ]

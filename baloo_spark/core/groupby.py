@@ -98,6 +98,40 @@ class DataFrameGroupBy:
         out = self._df._sdf.groupBy(*self._by).applyInPandas(func, schema)
         return DataFrame.from_spark(out)
 
+    def filter(self, predicate, schema=None) -> "DataFrame":
+        """Keep only rows of groups satisfying ``predicate`` (pandas
+        ``groupby().filter``). Two flavors:
+
+        - ``str``: a SQL AGGREGATE predicate evaluated per group —
+          ``gb.filter("sum(x) > 300")`` — compiled to a HAVING-style
+          rewrite: one hash aggregation over the keys + a semi join
+          back. Scale-safe (two keyed shuffles, no Python) — prefer
+          this form.
+        - callable: ``func(pandas.DataFrame) -> bool`` per group via
+          Arrow (the applyInPandas escape hatch — each group must fit
+          in one executor, like :meth:`apply`).
+        """
+        from .frame import DataFrame
+        sdf = self._df._sdf
+        if isinstance(predicate, str):
+            keep = (sdf.groupBy(*self._by)
+                    .agg(F.expr(predicate).alias("__keep__"))
+                    .where(F.col("__keep__"))
+                    .select(*self._by))
+            out = sdf.join(keep, self._by, "left_semi")
+            return DataFrame._make(out, self._df._index_cols,
+                                   self._df._data_cols, self._df._order)
+
+        import pandas as pd
+
+        def _flt(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf if predicate(pdf) else pdf.iloc[0:0]
+
+        ddl = schema or sdf.schema
+        out = sdf.groupBy(*self._by).applyInPandas(_flt, ddl)
+        return DataFrame._make(out, self._df._index_cols,
+                               self._df._data_cols, self._df._order)
+
     def transform(self, agg: str, cols=None) -> "DataFrame":
         """Group statistic broadcast back onto EVERY row (pandas
         ``groupby().transform``): each selected column gains a

@@ -134,3 +134,33 @@ def test_groupby_quantile_median_match_pandas(bl):
     wmed = pdf.groupby("g")["v"].median()
     for g in range(5):
         assert abs(med.loc[g, "v_p50"] - wmed.loc[g]) < 1e-9
+
+
+def test_groupby_filter_sql_and_callable(spark):
+    import baloo_spark as bl
+    df = bl.DataFrame({"k": ["a", "a", "b", "b", "c"],
+                       "x": [1.0, 2.0, 10.0, 20.0, 3.0]})
+    # HAVING-style string predicate: groups with sum(x) > 5
+    got = df.groupby("k").filter("sum(x) > 5").to_pandas()
+    assert sorted(got["k"].tolist()) == ["b", "b"]
+    # callable flavor (Arrow escape hatch)
+    got2 = df.groupby("k").filter(lambda g: g["x"].mean() < 5).to_pandas()
+    assert sorted(got2["k"].unique().tolist()) == ["a", "c"]
+    assert len(got2) == 3
+
+
+def test_groupby_filter_plan_is_having_rewrite(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    import baloo_spark as bl
+    df = bl.DataFrame.from_spark(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    out = df.groupby("l_orderkey").filter("sum(l_quantity) > 300")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.to_spark().explain("formatted")
+    plan = buf.getvalue()
+    # string flavor stays JVM-side: semi join + hash agg, no Python
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -235,3 +235,22 @@ def test_stream_checkpoint_resumes_incrementally(spark, tmp_path):
     total = first.count() + second.count()
     assert got.count() == total  # old NOT reprocessed, new all in
     assert got.select("event_id").distinct().count() == total
+
+
+def test_top_level_merge_asof_wrapper(spark):
+    from pyspark.sql import functions as F
+
+    import baloo_spark as bl
+    trades = bl.DataFrame.from_spark(spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 11.0), (2, 150, 20.0)],
+        "k INT, ts LONG, px DOUBLE").withColumn(
+            "ts", F.timestamp_seconds("ts")))
+    quotes = bl.DataFrame.from_spark(spark.createDataFrame(
+        [(1, 90, 9.9), (1, 180, 10.9), (2, 100, 19.9)],
+        "k INT, ts LONG, bid DOUBLE").withColumn(
+            "ts", F.timestamp_seconds("ts")))
+    out = bl.merge_asof(trades, quotes, on="ts", by="k").to_pandas()
+    got = {(r.k, r.px): r.bid_right for r in out.itertuples()}
+    assert got[(1, 10.0)] == 9.9
+    assert got[(1, 11.0)] == 10.9
+    assert got[(2, 20.0)] == 19.9
