@@ -264,3 +264,45 @@ def test_cut_bins_partition_the_range_property(bl, v):
             lo, hi = g.strip("(]").split(", ")
             assert w == f"({float(lo):g}.0, {float(hi):g}.0]" \
                 or w == f"({float(lo):g}, {float(hi):g}]"
+
+
+@given(v=vals)
+@settings(**SETTINGS)
+def test_cumulative_ops_match_pandas(bl, v):
+    pdf = pd.DataFrame({"k": np.arange(len(v), dtype=np.int64),
+                        "v": np.array(v, dtype=np.float64)})
+    df = bl.DataFrame({"k": pdf["k"].to_numpy(),
+                       "v": pdf["v"].to_numpy()}).sort_values("k")
+    for op in ("cumsum", "cummin", "cummax"):
+        got = getattr(df["v"], op)().to_pandas().tolist()
+        want = getattr(pdf["v"], op)().tolist()
+        assert got == pytest.approx(want), op
+
+
+@given(v=vals)
+@settings(**SETTINGS)
+def test_rank_min_dense_match_pandas(bl, v):
+    pdf = pd.DataFrame({"k": np.arange(len(v), dtype=np.int64),
+                        "v": np.array(v, dtype=np.float64)})
+    df = bl.DataFrame({"k": pdf["k"].to_numpy(),
+                       "v": pdf["v"].to_numpy()}) \
+        .sort_values("k").set_index("k")
+    for method in ("min", "dense"):
+        rs = df["v"].rank(method=method).to_spark()
+        got = {r["k"]: float(r["v"]) for r in rs.collect()}
+        want = pdf.set_index("k")["v"].rank(method=method).to_dict()
+        assert got == {k: float(x) for k, x in want.items()}, method
+
+
+@given(v=vals, m=st.lists(st.sampled_from(["a", "b", "c"]),
+                          min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_series_map_matches_pandas(bl, v, m):
+    n = min(len(v), len(m))
+    pdf = pd.DataFrame({"s": m[:n], "v": np.array(v[:n], np.float64)})
+    df = bl.DataFrame({"s": np.array(m[:n], dtype=object),
+                       "v": pdf["v"].to_numpy()})
+    got = sorted(df["s"].map({"a": 1.0, "b": 2.0}, default=0.0)
+                 .to_pandas().tolist())
+    want = sorted(pdf["s"].map({"a": 1.0, "b": 2.0}).fillna(0.0).tolist())
+    assert got == pytest.approx(want)
