@@ -377,6 +377,32 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_expr(text_col: str = "text"):
+    """Per-row 64-bit SimHash as ONE array-fold Column expression —
+    value-identical to :func:`simhash_signatures` (parity pinned in
+    tests), but STATELESS: the explode+groupBy face is a streaming
+    aggregation with unbounded per-doc state on a stream, while this
+    fold is a plain projection usable in append mode. (Batch keeps
+    the explode+groupBy face: its 64 conditional sums combine
+    map-side, which wins on very large documents.)
+
+    Tokenless rows fold to signature 0 (the groupBy face drops them
+    instead — filter empty docs upstream where the distinction
+    matters). shiftleft(1L, 63) wraps to the sign bit, matching the
+    batch face's -(1<<63) term.
+    """
+    toks = (f"filter(split(trim(lower({text_col})), '\\\\s+'), "
+            f"x -> x != '')")
+    sums = (f"aggregate({toks}, array_repeat(0L, 64), "
+            f"(acc, t) -> zip_with(acc, sequence(0, 63), "
+            f"(a, i) -> a + CASE WHEN (shiftright(xxhash64(t), i) & 1) "
+            f"= 1 THEN 1L ELSE -1L END))")
+    return F.expr(
+        f"aggregate(zip_with({sums}, sequence(0, 63), "
+        f"(s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, i) ELSE 0L END), "
+        f"0L, (acc, x) -> acc + x)")
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", radius: int = 3) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= radius.

@@ -112,3 +112,29 @@ def chunk_stream(docs: DataFrame, chunk_tokens: int = 200,
     from baloo_spark.operators.chunking import chunk_documents
     return chunk_documents(docs, chunk_tokens=chunk_tokens,
                            overlap=overlap)
+
+
+def near_dedup_stream(docs: DataFrame, watermark: str = "2 hours",
+                      ts_col: str | None = None) -> DataFrame:
+    """Streaming NEAR-duplicate dedup: a stateless per-row SimHash
+    fold (operators/dedup.simhash_expr) + dropDuplicatesWithinWatermark
+    on the signature — whitespace/case-normalized exact dups and
+    near-dups that collide at radius 0 drop, and per-signature state
+    is evicted at the watermark horizon, so state stays bounded on an
+    unbounded crawl feed. Radius>0 near-PAIR mining stays a periodic
+    batch job (simhash_near_pairs) over the accumulated table — a
+    banded pair join is a streaming self-join with unbounded state.
+
+    ``ts_col``: event-time column for the watermark (crawl feeds
+    usually carry an ingest timestamp); None stamps processing time —
+    the dedup horizon then counts from arrival, not crawl time.
+    """
+    from ..operators.dedup import simhash_expr
+    stamped = docs.withColumn("__sig__", simhash_expr("text"))
+    ts = ts_col or "__ingest_ts__"
+    if ts_col is None:
+        stamped = stamped.withColumn(ts, F.current_timestamp())
+    out = (stamped.withWatermark(ts, watermark)
+           .dropDuplicatesWithinWatermark(["__sig__"])
+           .drop("__sig__"))
+    return out.drop(ts) if ts_col is None else out

@@ -170,3 +170,37 @@ def test_assign_clusters_works_on_stream(spark, tmp_path, request):
     request.addfinalizer(lambda: spark.catalog.dropTempView("clus_out"))
     got = {r["vec_id"]: r["cluster"] for r in got_df.collect()}
     assert got == want
+
+
+def test_simhash_expr_matches_batch_signatures(spark, docs_dir):
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.dedup import (simhash_expr,
+                                             simhash_signatures)
+    docs = spark.read.parquet(docs_dir)
+    want = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs).collect()}
+    got = {r["doc_id"]: r["s"]
+           for r in docs.select("doc_id",
+                                simhash_expr("text").alias("s")).collect()}
+    assert got == want
+
+
+def test_near_dedup_stream_drops_signature_dups(spark, docs_dir, request):
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.dedup import simhash_expr
+    from baloo_spark.streaming.docs import near_dedup_stream
+    batch = spark.read.parquet(docs_dir)
+    # batch twin: one survivor per distinct signature
+    want = (batch.withColumn("__sig__", simhash_expr("text"))
+            .select("__sig__").distinct().count())
+    stream = near_dedup_stream(read_docs_stream(spark, docs_dir))
+    assert stream.isStreaming
+    out = run_stream_to_memory(spark, stream, name="neardedup_out")
+    request.addfinalizer(
+        lambda: spark.catalog.dropTempView("neardedup_out"))
+    kept = out.withColumn("__sig__", simhash_expr("text"))
+    assert kept.count() == want                      # one per signature
+    assert kept.select("__sig__").distinct().count() == want
+    assert set(out.columns) == set(batch.columns)    # helper cols gone
