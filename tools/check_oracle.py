@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 sys.path.insert(0, ".")
 
@@ -76,22 +77,28 @@ def main():
         if only and name not in only:
             continue
         try:
+            t0 = time.perf_counter()
             sdf = fn(spark, sf_dir)
             if name not in oracles:
                 n = sdf.count()
                 rows_only.append((name, n))
                 print(f"  ROWS-ONLY {name}: {n} rows")
                 continue
+            t_spark = time.perf_counter()
             cur = con.execute(oracles[name])
             duck_cols = [d[0] for d in cur.description]
             duck_rows = cur.fetchall()
+            t_duck = time.perf_counter()
             problems = compare(name, sdf, duck_rows, duck_cols)
+            t_cmp = time.perf_counter()
+            timing = (f"[duck {t_duck - t_spark:.1f}s, "
+                      f"spark+cmp {t_cmp - t_duck:.1f}s]")
             if problems:
                 failed.append(name)
                 print(f"  FAIL {name}: " + " | ".join(problems))
             else:
                 passed.append(name)
-                print(f"  PASS {name} ({len(duck_rows)} rows)")
+                print(f"  PASS {name} ({len(duck_rows)} rows) {timing}")
         except Exception as e:
             failed.append(name)
             msg = str(e).split(chr(10))[0][:300]
