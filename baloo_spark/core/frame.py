@@ -768,6 +768,36 @@ class DataFrame:
         return self._replace_sdf(
             self._sdf.sample(with_replacement, fraction, seed), order=None)
 
+    def duplicated(self, subset=None, keep="first") -> "Series":
+        """Boolean mask of duplicate rows (pandas flavor).
+
+        ``keep=False`` marks EVERY member of a duplicate group — a
+        pure groupBy-count + broadcast-back window, order-free and the
+        scale-safe form. ``keep='first'``/``'last'`` spare one
+        representative per group by logical position, computed with
+        the dense-ordinal machinery (no global single-partition
+        window)."""
+        subset = ([subset] if isinstance(subset, str)
+                  else list(subset or self._data_cols))
+        self._check_cols(subset)
+        from pyspark.sql import Window
+        w = Window.partitionBy(*subset)
+        if keep is False:
+            out = self._sdf.withColumn(
+                "__dup__", (F.count(F.lit(1)).over(w) > 1))
+        elif keep in ("first", "last"):
+            from ..plans.ordinal import POS_COL
+            sdf = self._ordered_sdf()
+            edge = (F.min(POS_COL).over(w) if keep == "first"
+                    else F.max(POS_COL).over(w))
+            out = sdf.withColumn("__dup__", F.col(POS_COL) != edge)                 .drop(POS_COL)
+        else:
+            raise ValueError(
+                f"keep must be 'first', 'last', or False, got {keep!r}")
+        from .series import Series
+        return Series._make(out, F.col("__dup__"), self._index_cols,
+                            None, self._order)
+
     def nunique(self, approx: bool = False) -> "Series":
         """Distinct count per column as a Series indexed by column
         name. ``approx=True`` uses HyperLogLog sketches

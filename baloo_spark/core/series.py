@@ -535,6 +535,23 @@ class Series:
         return Series._make(out, F.col("__cnt__"), [alias], name,
                             [("__cnt__", ascending)])
 
+    def nunique(self, dropna: bool = True, approx: bool = False):
+        """Distinct-value count (eager scalar, pandas flavor).
+        ``approx=True`` uses HyperLogLog++ (approx_count_distinct) —
+        the sketch path for extreme-cardinality columns where the
+        exact distinct shuffle is the bottleneck."""
+        c = self._colexpr
+        if approx:
+            expr = F.approx_count_distinct(c)
+        else:
+            expr = F.count_distinct(c)
+        row = self._sdf.agg(expr.alias("n")).first()
+        n = int(row["n"])
+        if not dropna:
+            has_null = self._sdf.where(c.isNull()).limit(1).count() > 0
+            n += int(has_null)
+        return n
+
     def mode(self) -> "Series":
         """Most frequent value(s) — ALL ties returned, sorted
         ascending (pandas semantics). Two hash aggs, no global sort

@@ -410,3 +410,21 @@ def test_series_where_mask(spark):
     assert w.isna().tolist() == [True, False, False]
     m = df["a"].mask(df["a"] > 4, other=0.0).to_pandas()
     assert m.tolist() == [1.0, 0.0, 0.0]
+
+
+def test_duplicated_and_series_nunique(spark):
+    import pandas as pd
+
+    import baloo_spark as bl
+    pdf = pd.DataFrame({"k": [0, 1, 2, 3, 4],
+                        "a": ["x", "y", "x", "z", "y"]})
+    df = bl.DataFrame({"k": pdf["k"].to_numpy(),
+                       "a": pdf["a"].to_numpy(dtype=object)}) \
+        .sort_values("k").set_index("k")
+    for keep in ("first", "last", False):
+        rs = df.duplicated(subset="a", keep=keep).to_spark()
+        got = {r["k"]: r[rs.columns[-1]] for r in rs.collect()}
+        want = pdf.set_index("k")["a"].duplicated(keep=keep).to_dict()
+        assert got == want, keep
+    assert df["a"].nunique() == 3
+    assert df["a"].nunique(approx=True) >= 2
