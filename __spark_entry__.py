@@ -353,13 +353,19 @@ def _q2_q16_parts_suppliers(spark, sf):
     hit = ps.merge(best, how="semi", on=["l_partkey", "cost"]).reset_index()
     win = hit.groupby("l_partkey").agg(
         {"l_suppkey": ["min"], "cost": ["min"]}).reset_index()
+    # UNROUNDED cost on purpose: the min unit price is a pure IEEE
+    # division, bit-identical across engines — while Spark's
+    # BigDecimal-HALF_UP round() and DuckDB's round() disagree on
+    # shortest-repr boundaries (observed: 3/2118 rows flipping the
+    # 4th decimal at sf0.1). For identical-by-construction doubles,
+    # rounding ADDS cross-engine risk instead of removing it.
     q2 = win.to_spark().select(
         F.lit("q2").alias("kind"),
         F.col("l_partkey").cast("long").alias("key"),
         F.lit(None).cast("string").alias("brand"),
         F.lit(None).cast("string").alias("ptype"),
         F.col("l_suppkey_min").cast("long").alias("n"),
-        F.round("cost_min", 4).alias("v"))
+        F.col("cost_min").alias("v"))
     # ---- Q16 leg: distinct non-complaint suppliers per brand/type
     pm = p[p["p_size"] <= 10][["p_partkey", "p_brand", "p_type"]]
     pairs = li[["l_partkey", "l_suppkey"]].drop_duplicates(keep="any")
@@ -392,7 +398,7 @@ WITH ps AS (
 )
 SELECT 'q2' AS kind, l_partkey AS key, NULL::VARCHAR AS brand,
        NULL::VARCHAR AS ptype, min(l_suppkey)::BIGINT AS n,
-       round(min(cost), 4) AS v
+       min(cost) AS v
 FROM ps JOIN (SELECT l_partkey, min(cost) AS cost FROM ps
               GROUP BY l_partkey) b USING (l_partkey, cost)
 GROUP BY l_partkey
