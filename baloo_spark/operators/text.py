@@ -522,3 +522,49 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("type_token_ratio"),
         F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
         .cast("long").alias("hapax_count"))
+
+
+def boilerplate_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """jusText/trafilatura-flavored boilerplate heuristics per doc —
+    the structural complement of :func:`quality_scores` (which looks
+    at token statistics): navigation/chrome text has short lines, few
+    sentence-final stops, high link-ish token density, and low line-
+    length variance. One per-row projection over the bound line/token
+    arrays; no shuffle, stream-safe.
+
+    Output columns (all rounded, higher = more boilerplate-like
+    except avg_line_len):
+
+    - ``n_lines``, ``avg_line_len`` — structure basics;
+    - ``short_line_frac`` — lines under 40 chars;
+    - ``stop_end_frac`` — lines NOT ending in sentence punctuation;
+    - ``caps_start_frac`` — lines starting with a capital (menus and
+      headings trend high together with short_line_frac);
+    - ``boilerplate_score`` — the three fractions averaged.
+    """
+    df = spread(df)
+    lines = F.filter(F.transform(F.split(F.col(text_col), "\n"), F.trim),
+                     lambda x: x != F.lit(""))
+    pre = df.select("*", lines.alias("__ln__"))
+    n = F.size("__ln__")
+    short = F.size(F.filter(F.col("__ln__"),
+                            lambda x: F.length(x) < F.lit(40)))
+    noend = F.size(F.filter(
+        F.col("__ln__"),
+        lambda x: ~x.rlike("[.!?][\"')\\]]*$")))
+    caps = F.size(F.filter(F.col("__ln__"),
+                           lambda x: x.rlike("^[A-Z]")))
+    avg_len = F.expr(
+        "aggregate(__ln__, 0L, (acc, x) -> acc + length(x))") \
+        / F.greatest(n, F.lit(1))
+    safe = lambda c: F.when(n > 0, c / n).otherwise(None)
+    out = (pre
+           .withColumn("n_lines", n.cast("long"))
+           .withColumn("avg_line_len", F.round(avg_len, 4))
+           .withColumn("short_line_frac", F.round(safe(short), 6))
+           .withColumn("stop_end_frac", F.round(safe(noend), 6))
+           .withColumn("caps_start_frac", F.round(safe(caps), 6)))
+    score = (F.col("short_line_frac") + F.col("stop_end_frac")
+             + F.col("caps_start_frac")) / 3.0
+    return (out.withColumn("boilerplate_score", F.round(score, 6))
+            .drop("__ln__"))

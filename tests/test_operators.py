@@ -659,3 +659,28 @@ def test_quantized_topk_recall(spark, emb):
              for r in quantized_topk(q, c, k=10).collect()}
     # int8 keeps ranking nearly intact
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_boilerplate_scores_heuristics(spark):
+    from baloo_spark.operators.text import boilerplate_scores
+    prose = ("This is a well formed paragraph with long sentences. "
+             "It continues for a while and ends with punctuation.")
+    menu = "Home\nAbout\nContact\nLogin\nRegister\nTerms"
+    df = spark.createDataFrame(
+        [(1, prose), (2, menu), (3, "")],
+        "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in boilerplate_scores(df).collect()}
+    assert got[2]["boilerplate_score"] > got[1]["boilerplate_score"]
+    assert got[2]["short_line_frac"] == 1.0
+    assert got[2]["stop_end_frac"] == 1.0
+    assert got[1]["n_lines"] == 1
+    assert got[3]["n_lines"] == 0
+    assert got[3]["boilerplate_score"] is None
+    # stream-safe: pure projection (spread no-ops on streams)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        boilerplate_scores(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "hashpartitioning" not in plan
