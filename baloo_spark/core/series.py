@@ -646,7 +646,15 @@ class Series:
         """Cumulative sum along the logical order (pandas flavor;
         engine extension). Partition-safe at any scale: a parallel
         prefix scan (plans/ordinal.with_prefix_aggs), never a global
-        single-partition window — same machinery as :meth:`shift`."""
+        single-partition window — same machinery as :meth:`shift`.
+
+        Examples
+        --------
+        >>> import baloo_spark as bl
+        >>> df = bl.DataFrame({"k": [0, 1, 2], "x": [1.0, 2.0, 3.0]})
+        >>> df.sort_values("k")["x"].cumsum().to_pandas().tolist()
+        [1.0, 3.0, 6.0]
+        """
         return self._cumulative("sum")
 
     def cumprod(self) -> "Series":

@@ -46,3 +46,20 @@ def test_setitem_ndarray(bl):
     df["z"] = np.array([10, 20, 30], dtype=np.int64)
     got = df.to_pandas().sort_values("a")
     assert got["z"].tolist() == [10, 20, 30]
+
+
+def test_new_ops_on_empty_frames(spark):
+    import baloo_spark as bl
+    from baloo_spark.operators.lm import perplexity, train_bigram_lm
+    empty_docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    lm_src = spark.createDataFrame([(1, "a b a c")],
+                                   "doc_id LONG, text STRING")
+    lm = train_bigram_lm(lm_src)
+    assert perplexity(empty_docs, lm).count() == 0
+    # cumulative / rank / duplicated on an empty engine frame
+    df = bl.DataFrame.from_spark(
+        spark.createDataFrame([], "k LONG, x DOUBLE")).sort_values("k")
+    assert df["x"].cumsum().to_pandas().tolist() == []
+    assert df["x"].rank().to_spark().count() == 0
+    assert df.duplicated(subset="x").to_spark().count() == 0
+    assert df["x"].nunique() == 0
