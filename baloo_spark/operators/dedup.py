@@ -464,22 +464,26 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
     from .similarity import cosine_expr, hyperplane_sig
     v = _parallelize(df).select(F.col(id_col), F.col(vec_col).alias("v"))
     if block:
-        # bucket grouping, not a self-join on the signature: the
-        # join's two sides would recompute every hyperplane signature
-        # (no ReusedExchange under AQE — same fix as minhash/simhash)
-        v = v.withColumn("__sig__", hyperplane_sig("v", planes))
-        buckets = (v.groupBy("__sig__")
-                   .agg(F.sort_array(F.collect_list(
-                       F.struct(F.col(id_col).alias("id"),
-                                F.col("v").alias("vec")))).alias("ds"))
-                   .where(F.size("ds") > 1))
-        pair_expr = F.expr(
-            "flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds) - i - 1), "
-            "y -> struct(x.id AS id_a, y.id AS id_b, "
-            "x.vec AS va, y.vec AS vb))))")
-        joined = (buckets.select(F.explode(pair_expr).alias("p"))
-                  .select("p.id_a", "p.id_b", "p.va", "p.vb"))
+        # signature SELF-JOIN over a checkpointed signed table — NOT
+        # the collect_list bucket grouping minhash/simhash use. Their
+        # buckets hold ids only and are bounded by cluster size (exact
+        # dedup runs first); here the bucket key is a 2^planes-value
+        # hyperplane signature, so a bucket holds ~n/2^planes FULL
+        # VECTORS — collect_list would build corpus-fraction-sized
+        # single rows (the 2 GB row limit, one task) plus an O(B^2)
+        # pair array per row. The join streams the same pairs through
+        # a hash/sort-merge join at any bucket size (AQE splits skewed
+        # signature keys). localCheckpoint materializes the signatures
+        # once so the join's two plan instances don't recompute them
+        # (the original motivation for bucket grouping, solved without
+        # the giant rows).
+        v = (v.withColumn("__sig__", hyperplane_sig("v", planes))
+             .localCheckpoint())
+        a = v.select(F.col("__sig__"),
+                     F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("__sig__"),
+                     F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        joined = a.join(b, "__sig__").drop("__sig__")
     else:
         a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
         b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
@@ -538,7 +542,13 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     cluster: the end-to-end dedup a training-data pipeline actually
     applies. Non-paired documents pass through untouched (they are
     not in the graph at all), so the anti-join is against the LOSER
-    set only — small, broadcastable."""
+    set only.
+
+    No broadcast hint on purpose: the loser set scales with the
+    corpus duplicate rate (30-50% on web crawls — billions of ids at
+    100 TB), so forcing a broadcast OOMs every executor exactly when
+    the operator matters most. A plain left_anti lets AQE broadcast
+    when the losers actually fit and shuffle-join otherwise."""
     losers = dedup_clusters(pairs).where(F.col("node") != F.col("cluster")) \
         .select(F.col("node").alias(id_col))
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")

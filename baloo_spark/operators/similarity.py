@@ -64,18 +64,26 @@ def hyperplane_sig(vec_col: str, planes: int = 8):
     Plane p's normal is a deterministic +/-1 vector derived from
     xxhash64(dim_index, p) — no stored model, identical across runs.
     Bit p = sign(dot(vec, plane_p)).
+
+    ONE fold over the vector accumulating all ``planes`` dots in a
+    k-wide array (the minhash-signature accumulator pattern,
+    dedup.py) — the per-plane form ran ``planes`` separate aggregate
+    passes over the same array, 8x the traversal work at the default
+    plane count. Addition order per plane is unchanged (ascending
+    component index), so signatures are bit-identical to the
+    per-plane form.
     """
-    bits = []
-    for p in range(planes):
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(v, i) -> CAST(v AS DOUBLE) * (CAST(xxhash64(i, {p + 17}) % 2 AS DOUBLE) * 2 + 1)), "
-            f"0D, (acc, x) -> acc + x)")
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig.cast("int")
+    p_hi = planes - 1
+    dots = (
+        f"aggregate(sequence(0, size({vec_col}) - 1), "
+        f"array_repeat(0D, {planes}), "
+        f"(acc, i) -> zip_with(acc, sequence(0, {p_hi}), "
+        f"(a, p) -> a + CAST(element_at({vec_col}, i + 1) AS DOUBLE) "
+        f"* (CAST(xxhash64(i, p + 17) % 2 AS DOUBLE) * 2 + 1)))")
+    sig = (f"aggregate(zip_with({dots}, sequence(0, {p_hi}), "
+           f"(d, p) -> IF(d > 0D, shiftleft(1, p), 0)), "
+           f"0, (acc, x) -> acc + x)")
+    return F.expr(sig).cast("int")
 
 
 def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:

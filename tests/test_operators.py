@@ -684,3 +684,78 @@ def test_boilerplate_scores_heuristics(spark):
         boilerplate_scores(df).explain("formatted")
     plan = buf.getvalue()
     assert "Join" not in plan and "hashpartitioning" not in plan
+
+
+# -------------------------------------------- r4 scale-hazard regressions
+
+def test_hyperplane_sig_fused_matches_per_plane(spark, emb):
+    """The fused single-fold signature must be bit-identical to the
+    original per-plane aggregate form (same addition order per plane)."""
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.similarity import hyperplane_sig
+    planes = 8
+    bits = []
+    for p in range(planes):
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, "
+            f"sequence(0, size(embedding) - 1), "
+            f"(v, i) -> CAST(v AS DOUBLE) * "
+            f"(CAST(xxhash64(i, {p + 17}) % 2 AS DOUBLE) * 2 + 1)), "
+            f"0D, (acc, x) -> acc + x)")
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    ref = bits[0]
+    for b in bits[1:]:
+        ref = ref + b
+    out = emb.select(hyperplane_sig("embedding", planes).alias("fused"),
+                     ref.cast("int").alias("per_plane")).collect()
+    assert len(out) > 0
+    assert all(r["fused"] == r["per_plane"] for r in out)
+
+
+def test_embedding_near_pairs_blocked_streams_pairs(spark):
+    """Blocked path: positive scaling preserves every hyperplane sign,
+    so a scaled copy is a guaranteed bucket collision; the negated
+    vector flips every bit and never becomes a candidate. Also assert
+    the plan is a JOIN on the signature, not a collect_list bucket
+    row (the 2 GB-row hazard)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from baloo_spark.operators.dedup import embedding_near_pairs
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.3, 0.8, 0.1]),
+         (2, [0.55, -0.33, 0.88, 0.11]),
+         (3, [-0.5, 0.3, -0.8, -0.1])],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = embedding_near_pairs(df, threshold=0.99, block=True)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "collect_list" not in plan
+    assert "Join" in plan
+
+
+def test_drop_near_duplicates_high_dup_rate(spark):
+    """80% of the corpus is near-duplicate losers — the regime where a
+    forced broadcast of the loser set OOMs at scale. The anti-join must
+    carry NO broadcast hint (AQE picks the strategy) and still return
+    exactly the cluster minima plus untouched singletons."""
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.dedup import drop_near_duplicates
+    docs = spark.createDataFrame([(i,) for i in range(50)],
+                                 "doc_id LONG")
+    # 10 star clusters of 5 consecutive ids -> 40 losers / 50 docs
+    pairs = spark.createDataFrame(
+        [(5 * k, 5 * k + j) for k in range(10) for j in range(1, 5)],
+        "id_a LONG, id_b LONG")
+    out = drop_near_duplicates(docs, pairs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [5 * k for k in range(10)]
