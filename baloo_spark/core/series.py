@@ -681,32 +681,53 @@ class Series:
         'first' -> dense ordinal + 1 (row_number), 'min' -> min
         ordinal within the tie group, 'dense' -> ordinal among
         distinct values. pandas' float 'average' method is not
-        provided — use 'min'/'dense' (integer ranks) at scale."""
-        from functools import reduce
+        provided — use 'min'/'dense' (integer ranks) at scale.
 
+        NULLs are left unranked (NULL rank — pandas na_option='keep'):
+        values sort nulls-LAST so non-null ranks are 1..n_non_null
+        regardless of direction. 'first' breaks ties by LOGICAL
+        position (a fresh dense positional column over the series
+        order), not physical partition layout — the ordinal alone is
+        layout-dependent under ties, so ranks would differ across
+        repartitions of the same frame."""
         from pyspark.sql import Window
 
-        from ..plans.ordinal import with_dense_ordinal
-        sdf, alias = self._select("__rv__")
-        ob = [F.col(alias).asc() if ascending else F.col(alias).desc()]
+        from ..plans.ordinal import POS_COL, with_dense_ordinal
+
+        def _val_order(alias):
+            return (F.col(alias).asc_nulls_last() if ascending
+                    else F.col(alias).desc_nulls_last())
+
         if method == "first":
+            sdf, alias = self._ordered_sdf("__rv__")
+            ob = [_val_order(alias), F.col(POS_COL).asc()]
             out = with_dense_ordinal(sdf, ob, name="__rank__")
-            out = out.withColumn("__rank__",
-                                 (F.col("__rank__") + 1).cast("long"))
+            out = out.withColumn(
+                "__rank__",
+                F.when(F.col(alias).isNotNull(),
+                       (F.col("__rank__") + 1).cast("long"))) \
+                .drop(POS_COL)
         elif method == "min":
-            out = with_dense_ordinal(sdf, ob, name="__rn__")
+            sdf, alias = self._select("__rv__")
+            out = with_dense_ordinal(sdf, [_val_order(alias)],
+                                     name="__rn__")
             w = Window.partitionBy(F.col(alias))
-            out = (out.withColumn("__rank__",
-                                  (F.min("__rn__").over(w) + 1)
-                                  .cast("long"))
+            out = (out.withColumn(
+                "__rank__",
+                F.when(F.col(alias).isNotNull(),
+                       (F.min("__rn__").over(w) + 1).cast("long")))
                    .drop("__rn__"))
         elif method == "dense":
+            sdf, alias = self._select("__rv__")
             distinct = sdf.select(alias).distinct()
-            keyed = with_dense_ordinal(distinct, ob, name="__dr__")
+            keyed = with_dense_ordinal(distinct, [_val_order(alias)],
+                                       name="__dr__")
             cond = sdf[alias].eqNullSafe(keyed[alias])
             out = sdf.join(keyed, cond).drop(keyed[alias])
-            out = (out.withColumn("__rank__",
-                                  (F.col("__dr__") + 1).cast("long"))
+            out = (out.withColumn(
+                "__rank__",
+                F.when(F.col(alias).isNotNull(),
+                       (F.col("__dr__") + 1).cast("long")))
                    .drop("__dr__"))
         else:
             raise ValueError(

@@ -230,3 +230,52 @@ def test_cut_validation(bl):
         df["v"].cut([0, 1, 2], labels=["only_one"])
     with pytest.raises(ValueError):
         df["v"].qcut(0)
+
+
+def test_rank_first_ties_break_by_logical_position(bl):
+    """method='first' must break ties by order of appearance in the
+    LOGICAL order, not physical partition layout — verified by
+    repartitioning the backing frame and demanding pandas parity."""
+    import pandas as pd
+    vals = [5.0, 1.0, 5.0, 3.0, 1.0, 5.0, 2.0, 5.0]
+    df = bl.DataFrame({"x": np.array(vals)})
+    s = df["x"]
+    s._sdf = s._sdf.repartition(7)  # scramble the physical layout
+    got = s.rank(method="first").to_pandas().tolist()
+    want = pd.Series(vals).rank(method="first").astype(int).tolist()
+    assert got == want
+    s._sdf = s._sdf.repartition(3)
+    assert s.rank(method="first").to_pandas().tolist() == want
+
+
+def test_rank_descending_first(bl):
+    import pandas as pd
+    vals = [2.0, 7.0, 2.0, 9.0, 7.0]
+    df = bl.DataFrame({"x": np.array(vals)})
+    got = df["x"].rank(method="first", ascending=False).to_pandas().tolist()
+    want = pd.Series(vals).rank(method="first",
+                                ascending=False).astype(int).tolist()
+    assert got == want
+
+
+def test_rank_leaves_nulls_unranked(bl):
+    """pandas rank leaves NaN unranked by default (na_option='keep');
+    ranks of real values must not shift under nulls."""
+    import math
+
+    import pandas as pd
+    vals = [3.0, np.nan, 1.0, 3.0, np.nan, 2.0]
+    df = bl.DataFrame({"x": np.array(vals)})
+    pds = pd.Series(vals)
+    for method in ("min", "first", "dense"):
+        for asc in (True, False):
+            got = df["x"].rank(method=method, ascending=asc) \
+                .to_pandas().tolist()
+            want = pds.rank(method=method, ascending=asc).tolist()
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                if math.isnan(w):
+                    assert g is None or (isinstance(g, float)
+                                         and math.isnan(g)), (method, asc)
+                else:
+                    assert g is not None and float(g) == w, (method, asc)
