@@ -9,10 +9,14 @@ cluster-level dedup triage.
 
 Scale design per iteration (the classic scalable k-means shape):
 
-- centroids are k x dim doubles — broadcast as a LITERAL expression
-  into the assignment projection (no join, no shuffle on the corpus);
-- assignment is an argmin over squared distances computed by array
-  expressions (JVM-side, codegen);
+- centroids are k x dim doubles — shipped to executors either as a
+  LITERAL expression (small k x dim: no join, no shuffle, pure
+  codegen) or as an Arrow pandas-UDF closure (large k x dim: a
+  ~100 MB expression string would kill the parser/codegen long before
+  the data does, while a broadcast numpy matrix plus one gemm per
+  Arrow batch is exactly what BLAS is for);
+- assignment is an argmin over squared distances — no shuffle either
+  way;
 - the update is ONE map-side-combined hash aggregation: per-cluster
   per-dimension means via dim avg() columns;
 - the driver sees only k x dim numbers per iteration (the new
@@ -24,12 +28,32 @@ driver state is O(k * dim) regardless of corpus size.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.layout import spread
 
 __all__ = ["kmeans", "assign_clusters"]
+
+# k x dim budget for the literal-expression face: past this the
+# centroid array is shipped via a pandas-UDF closure instead (the
+# "model as artifact" pattern, same as lm.perplexity_broadcast)
+MAX_LITERAL_VALUES = 16384
+
+
+def _check_finite(cents: list[list[float]]) -> None:
+    """Non-finite centroid components (NaN/inf from degenerate input)
+    would repr() into SQL that fails to parse ('infD') — or silently
+    poison every distance. Fail loudly with the coordinates."""
+    for i, c in enumerate(cents):
+        for j, x in enumerate(c):
+            if x is None or not math.isfinite(x):
+                raise ValueError(
+                    f"non-finite centroid component: cluster {i} "
+                    f"dim {j} = {x!r} — the input column has NaN/inf "
+                    f"values; clean them upstream (fillna/clip)")
 
 
 def _cents_literal(cents: list[list[float]]) -> str:
@@ -49,13 +73,56 @@ def _assign_expr(cents: list[list[float]], vec_col: str):
             .cast("int") - F.lit(1))
 
 
+def _assign_udf(cents: list[list[float]], vec_col: str):
+    """Large-k face: the centroid matrix rides in an Arrow pandas-UDF
+    closure; each batch is one (batch x dim) distance computation in
+    numpy with argmin ties to the lowest cluster id (np.argmin picks
+    the first minimum). Same contract as :func:`_assign_expr`; used
+    when k x dim exceeds ``MAX_LITERAL_VALUES`` — a literal that size
+    dies in parsing/codegen, a few-MB closure matrix does not."""
+    import numpy as np
+
+    from ..functions._udf import scalar_pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)          # k x dim
+    c_sq = (C * C).sum(axis=1)                       # k
+
+    def assign(vecs):
+        import pandas as pd
+        if len(vecs) == 0:
+            return pd.Series([], dtype="Int32")
+        X = np.stack([np.array(v, dtype=np.float64) for v in vecs])
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant
+        # per row so argmin needs only the last two terms
+        d = c_sq[None, :] - 2.0 * (np.nan_to_num(X) @ C.T)  # batch x k
+        out = pd.Series(np.argmin(d, axis=1), dtype="Int32")
+        # rows with NULL/NaN components are unassignable -> NULL,
+        # matching the literal face (null distances, null argmin)
+        bad = ~np.isfinite(X).all(axis=1)
+        if bad.any():
+            out[bad] = pd.NA
+        return out
+
+    return scalar_pandas_udf(assign, "int")(F.col(vec_col))
+
+
+def _assign_col(cents: list[list[float]], vec_col: str):
+    _check_finite(cents)
+    n_vals = len(cents) * (len(cents[0]) if cents else 0)
+    if n_vals <= MAX_LITERAL_VALUES:
+        return _assign_expr(cents, vec_col)
+    return _assign_udf(cents, vec_col)
+
+
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding",
                     out_col: str = "cluster") -> DataFrame:
     """Tag each row with its nearest centroid (squared-euclidean
     argmin, ties to the lowest cluster id). Pure projection — no
-    shuffle, safe on streams."""
-    return df.withColumn(out_col, _assign_expr(centroids, vec_col))
+    shuffle, safe on streams. Small k x dim inlines the centroids as
+    a codegen'd literal; past ``MAX_LITERAL_VALUES`` the centroid
+    matrix ships in an Arrow pandas-UDF closure instead."""
+    return df.withColumn(out_col, _assign_col(centroids, vec_col))
 
 
 def kmeans(df: DataFrame, n_clusters: int = 8,
@@ -73,10 +140,12 @@ def kmeans(df: DataFrame, n_clusters: int = 8,
     Init is deterministic: the hash-ordered bounded sample's first
     ``n_clusters`` distinct vectors (same scheme as
     similarity.train_centroids — no RNG state, layout-independent).
-    Empty clusters keep their previous centroid. Float caveat: the
-    per-cluster means sum doubles in partition order, so centroids can
-    differ in final ulps across layouts; with tol >> ulp the iteration
-    count and (for non-degenerate data) the assignment are stable.
+    Empty clusters keep their previous centroid, as does any
+    per-dimension mean that comes back NULL (a cluster whose members
+    are all-null in that dimension). Float caveat: the per-cluster
+    means sum doubles in partition order, so centroids can differ in
+    final ulps across layouts; with tol >> ulp the iteration count and
+    (for non-degenerate data) the assignment are stable.
     """
     if n_clusters <= 0:
         raise ValueError(f"n_clusters must be positive, got {n_clusters}")
@@ -84,7 +153,7 @@ def kmeans(df: DataFrame, n_clusters: int = 8,
                              F.col(vec_col).cast("array<double>")
                              .alias("__v__"))
     init_rows = (base.orderBy(F.xxhash64(F.col(id_col)).asc())
-                 .limit(sample_size)
+                 .limit(max(sample_size, n_clusters))
                  .select(F.col("__v__")).collect())
     if not init_rows:
         raise ValueError("empty corpus")
@@ -102,18 +171,30 @@ def kmeans(df: DataFrame, n_clusters: int = 8,
             f"only {len(cents)} distinct vectors in the init sample; "
             f"lower n_clusters or raise sample_size")
     dim = len(cents[0])
+    _check_finite(cents)
 
     n_iters = 0
     for _ in range(max_iters):
         assigned = base.withColumn("__c__",
-                                   _assign_expr(cents, "__v__"))
+                                   _assign_col(cents, "__v__"))
         stats = (assigned.groupBy("__c__")
                  .agg(*[F.avg(F.element_at("__v__", j + 1)).alias(f"m{j}")
                         for j in range(dim)])
                  .collect())
         new_cents = [list(c) for c in cents]       # empty cells keep theirs
         for row in stats:
-            new_cents[row["__c__"]] = [row[f"m{j}"] for j in range(dim)]
+            if row["__c__"] is None:
+                # NULL-component vectors are unassignable (null
+                # distances) — they must not crash the update
+                continue
+            # a NULL mean (all members null in dim j) keeps the
+            # previous component — None would crash the shift compare
+            # and poison the next assignment
+            new_cents[row["__c__"]] = [
+                row[f"m{j}"] if row[f"m{j}"] is not None
+                else cents[row["__c__"]][j]
+                for j in range(dim)]
+        _check_finite(new_cents)
         shift = max(
             max(abs(a - b) for a, b in zip(nc, oc))
             for nc, oc in zip(new_cents, cents))
@@ -122,5 +203,5 @@ def kmeans(df: DataFrame, n_clusters: int = 8,
         if shift <= tol:
             break
 
-    out = df.withColumn("cluster", _assign_expr(cents, vec_col))
+    out = df.withColumn("cluster", _assign_col(cents, vec_col))
     return out, cents, n_iters

@@ -112,3 +112,61 @@ def test_temperature_weights():
         temperature_weights({})
     with pytest.raises(ValueError):
         temperature_weights(sizes, alpha=-1)
+
+
+def test_assign_udf_face_matches_literal(spark, blobs, monkeypatch):
+    """Past the literal budget the centroid matrix ships in a pandas-
+    UDF closure — assignments must match the expression face."""
+    import baloo_spark.operators.cluster as cl
+    cents = [[0.0] * 4, [10.0] * 4, [-10.0] * 4]
+    lit = {r["vec_id"]: r["cluster"]
+           for r in assign_clusters(blobs, cents).collect()}
+    monkeypatch.setattr(cl, "MAX_LITERAL_VALUES", 1)
+    udf = {r["vec_id"]: r["cluster"]
+           for r in cl.assign_clusters(blobs, cents).collect()}
+    assert lit == udf
+
+
+def test_kmeans_large_k_plans_and_runs(spark):
+    """k=1024, dim=256 — the regime where the literal face's ~5 MB
+    expression string dies in parse/codegen; the UDF face must plan
+    and run."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n, dim, k = 2048, 256, 1024
+    mat = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out, cents, n_iters = kmeans(df, n_clusters=k, max_iters=1)
+    assert n_iters == 1
+    assert len(cents) == k and len(cents[0]) == dim
+    rows = out.select("cluster").collect()
+    assert len(rows) == n
+    assert all(r["cluster"] is not None and 0 <= r["cluster"] < k
+               for r in rows)
+
+
+def test_kmeans_raises_on_nonfinite(spark):
+    with pytest.raises(ValueError, match="non-finite"):
+        kmeans(spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [float("nan"), 0.0]),
+             (2, [3.0, 4.0])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>"), n_clusters=3)
+
+
+def test_assign_null_component_yields_null_cluster(spark, monkeypatch):
+    """A vector with a NULL component is unassignable: both faces must
+    emit NULL, never a spurious cluster id."""
+    import baloo_spark.operators.cluster as cl
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, None])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [[0.0, 0.0], [5.0, 5.0]]
+    lit = {r["vec_id"]: r["cluster"]
+           for r in cl.assign_clusters(df, cents).collect()}
+    assert lit[0] == 0 and lit[1] is None
+    monkeypatch.setattr(cl, "MAX_LITERAL_VALUES", 1)
+    udf = {r["vec_id"]: r["cluster"]
+           for r in cl.assign_clusters(df, cents).collect()}
+    assert udf == lit
