@@ -2053,7 +2053,55 @@ def _describe(spark, sf):
          ("cov_vs_price", round(li["l_quantity"].cov(price), 4),
           round(li["l_discount"].cov(price), 4))],
         "statistic STRING, l_quantity DOUBLE, l_discount DOUBLE")
-    return base.unionByName(qrows).unionByName(cc)
+
+    # r4: the APPROX quantile path (describe(approx=True) -> GK
+    # sketch / percentile_approx — the 100 TB face, since the exact
+    # aggregate buffers per-partition value multisets). GK picks a
+    # data element, not an interpolation, so no bit-equal DuckDB
+    # replay exists; the driver-checkable contract is the sketch's
+    # own guarantee: each approx quartile must land within the exact
+    # [p-0.01, p+0.01] quantile envelope (GK rank error at
+    # accuracy=10000 is 100x tighter). The oracle pins the flags at
+    # 1.0 — a Spark-side bounded-error assertion, hash-checked.
+    da = {r["statistic"]: r
+          for r in li[["l_quantity", "l_discount"]]
+          .describe(approx=True).to_spark(include_index=True).collect()}
+
+    def _env(col):
+        ps = [0.24, 0.26, 0.49, 0.51, 0.74, 0.76]
+        ex = li[col].quantile(ps).to_pandas()
+        return {p: float(ex[str(p)]) for p in ps}
+
+    def _ok(col):
+        env = _env(col)
+        checks = [(("25%"), 0.24, 0.26), (("50%"), 0.49, 0.51),
+                  (("75%"), 0.74, 0.76)]
+        return 1.0 if all(
+            env[lo] <= float(da[s][col]) <= env[hi]
+            for s, lo, hi in checks) else 0.0
+
+    # groupby().quantile(approx=True): per-group approx median within
+    # each group's exact [0.49, 0.51] envelope, min-folded over groups
+    def _gq_ok(col):
+        ap = {r["l_returnflag"]: float(r[f"{col}_p50"])
+              for r in li.groupby("l_returnflag")
+              .quantile(0.5, cols=[col], approx=True)
+              .to_spark(include_index=True).collect()}
+        lo = {r["l_returnflag"]: float(r[f"{col}_p49"])
+              for r in li.groupby("l_returnflag")
+              .quantile(0.49, cols=[col])
+              .to_spark(include_index=True).collect()}
+        hi = {r["l_returnflag"]: float(r[f"{col}_p51"])
+              for r in li.groupby("l_returnflag")
+              .quantile(0.51, cols=[col])
+              .to_spark(include_index=True).collect()}
+        return 1.0 if all(lo[k] <= ap[k] <= hi[k] for k in ap) else 0.0
+
+    aq = spark.createDataFrame(
+        [("approx_q_ok", _ok("l_quantity"), _ok("l_discount")),
+         ("approx_gq_ok", _gq_ok("l_quantity"), _gq_ok("l_discount"))],
+        "statistic STRING, l_quantity DOUBLE, l_discount DOUBLE")
+    return base.unionByName(qrows).unionByName(cc).unionByName(aq)
 
 
 _DESCRIBE_SQL = """
@@ -2070,6 +2118,8 @@ UNION ALL SELECT 'q_0.1', round(quantile_cont(l_quantity, 0.1), 4), round(quanti
 UNION ALL SELECT 'q_0.9', round(quantile_cont(l_quantity, 0.9), 4), round(quantile_cont(l_discount, 0.9), 4) FROM lineitem
 UNION ALL SELECT 'corr_vs_price', round(corr(l_quantity, l_extendedprice), 6), round(corr(l_discount, l_extendedprice), 6) FROM lineitem
 UNION ALL SELECT 'cov_vs_price', round(covar_samp(l_quantity, l_extendedprice), 4), round(covar_samp(l_discount, l_extendedprice), 4) FROM lineitem
+UNION ALL SELECT 'approx_q_ok', 1.0, 1.0
+UNION ALL SELECT 'approx_gq_ok', 1.0, 1.0
 """
 
 

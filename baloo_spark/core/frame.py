@@ -814,12 +814,23 @@ class DataFrame:
         from .series import Series as _S
         return _S._make(out, F.col("__agg__"), [_IDX], "nunique", None)
 
-    def describe(self) -> "DataFrame":
+    def describe(self, approx: bool = False,
+                 accuracy: int = 10000) -> "DataFrame":
         """Summary statistics per numeric column (count/mean/std/min/
-        25%/50%/75%/max) — one job, exact interpolated quantiles."""
+        25%/50%/75%/max) — one job. Quartiles are exact interpolated
+        by default; ``approx=True`` swaps in the Greenwald-Khanna
+        sketch (percentile_approx, bounded memory, rank error <=
+        1/accuracy) — the 100 TB path, since the exact aggregate
+        buffers the per-partition value multiset."""
         cols = self._numeric_cols()
         exprs = []
         stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+
+        def pct(d, p):
+            if approx:
+                return F.percentile_approx(d, F.lit(p), F.lit(accuracy))
+            return F.percentile(d, F.lit(p))
+
         for c in cols:
             d = F.col(c).cast("double")
             exprs += [
@@ -827,9 +838,9 @@ class DataFrame:
                 F.avg(d).alias(f"mean__{c}"),
                 F.stddev_samp(d).alias(f"std__{c}"),
                 F.min(d).alias(f"min__{c}"),
-                F.percentile(d, F.lit(0.25)).alias(f"25%__{c}"),
-                F.percentile(d, F.lit(0.5)).alias(f"50%__{c}"),
-                F.percentile(d, F.lit(0.75)).alias(f"75%__{c}"),
+                pct(d, 0.25).alias(f"25%__{c}"),
+                pct(d, 0.5).alias(f"50%__{c}"),
+                pct(d, 0.75).alias(f"75%__{c}"),
                 F.max(d).alias(f"max__{c}"),
             ]
         row = self._sdf.agg(*exprs)

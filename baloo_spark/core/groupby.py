@@ -60,29 +60,41 @@ class DataFrameGroupBy:
             F.count(F.lit(1)).alias("size"))
         return DataFrame._make(out, list(self._by), ["size"], None)
 
-    def quantile(self, q: float = 0.5, cols=None):
-        """Per-group exact interpolated quantile (pandas
-        ``groupby().quantile``; matches ANSI percentile_cont /
-        DuckDB quantile_cont). One hash aggregation — Spark's
-        ``percentile`` is a mergeable partial aggregate, so this
-        map-side combines like sum/mean. For sketch-based quantiles
-        at extreme cardinality use ``approx_percentile`` via
-        ``bl.sql``."""
+    def quantile(self, q: float = 0.5, cols=None, approx: bool = False,
+                 accuracy: int = 10000):
+        """Per-group quantile (pandas ``groupby().quantile``). Exact
+        interpolated by default (ANSI percentile_cont / DuckDB
+        quantile_cont) — but the exact aggregate buffers each group's
+        value multiset, so per-group quantiles over billions of rows
+        per group need ``approx=True``: the Greenwald-Khanna sketch
+        (percentile_approx) is a mergeable partial aggregate with
+        bounded (~``accuracy``-entry) state per group and rank error
+        <= 1/accuracy; it returns an actual group element (discrete,
+        not interpolated). Both faces map-side combine like sum."""
         from .frame import DataFrame
         cols = ([cols] if isinstance(cols, str)
                 else list(cols or self._value_cols()))
         # dot-free output names (v_p25): dots in column names need
         # backtick-quoting everywhere downstream
         tag = f"p{round(float(q) * 100):g}"
-        exprs = [F.percentile(F.col(c).cast("double"), F.lit(float(q)))
-                 .alias(f"{c}_{tag}") for c in cols]
+
+        def pct(c):
+            d = F.col(c).cast("double")
+            if approx:
+                return F.percentile_approx(d, F.lit(float(q)),
+                                           F.lit(accuracy))
+            return F.percentile(d, F.lit(float(q)))
+
+        exprs = [pct(c).alias(f"{c}_{tag}") for c in cols]
         out = self._df._sdf.groupBy(*self._by).agg(*exprs)
         data = [e for e in out.columns if e not in self._by]
         return DataFrame._make(out, list(self._by), data, None)
 
-    def median(self, cols=None):
-        """Per-group median (exact)."""
-        return self.quantile(0.5, cols)
+    def median(self, cols=None, approx: bool = False,
+               accuracy: int = 10000):
+        """Per-group median (exact by default; ``approx=True`` for the
+        sketch face)."""
+        return self.quantile(0.5, cols, approx=approx, accuracy=accuracy)
 
     def apply(self, func, schema) -> "DataFrame":
         """Grouped-map UDF: ``func(pandas.DataFrame) -> pandas.DataFrame``

@@ -736,23 +736,36 @@ class Series:
         return Series._make(out, F.col("__rank__"), self._index_cols,
                             self.name, self._order)
 
-    def quantile(self, q) -> "Series":
-        """Exact interpolated quantiles (engine extension; matches
-        ANSI percentile_cont / DuckDB quantile_cont). For sketched
-        approximation at extreme scale use approx_quantile."""
+    def quantile(self, q, approx: bool = False,
+                 accuracy: int = 10000) -> "Series":
+        """Quantiles (engine extension). Default is EXACT interpolated
+        (ANSI percentile_cont / DuckDB quantile_cont) — correct
+        locally, but the exact aggregate buffers the value multiset
+        per partition, so at 100 TB use ``approx=True``: Spark's
+        Greenwald-Khanna sketch (percentile_approx) — mergeable,
+        bounded memory (~``accuracy`` entries), rank error <=
+        1/accuracy, returns an actual data element (discrete, not
+        interpolated)."""
         qs = [q] if isinstance(q, (int, float)) else list(q)
-        exprs = [F.percentile(self._colexpr.cast("double"), F.lit(p))
-                 .alias(f"q{p}") for p in qs]
+        if approx:
+            exprs = [F.percentile_approx(self._colexpr.cast("double"),
+                                         F.lit(p), F.lit(accuracy))
+                     .alias(f"q{p}") for p in qs]
+        else:
+            exprs = [F.percentile(self._colexpr.cast("double"), F.lit(p))
+                     .alias(f"q{p}") for p in qs]
         row_df = self._sdf.agg(*exprs)
         pairs = ", ".join(f"'{p}', `q{p}`" for p in qs)
         out = row_df.select(F.expr(
             f"stack({len(qs)}, {pairs}) as (`{_IDX}`, `__q__`)"))
         return Series._make(out, F.col("__q__"), [_IDX], self.name, None)
 
-    def median(self):
-        sdf = self._sdf.agg(F.percentile(self._colexpr.cast("double"),
-                                         F.lit(0.5)).alias("m"))
-        return sdf.first()["m"]
+    def median(self, approx: bool = False, accuracy: int = 10000):
+        fn = (F.percentile_approx(self._colexpr.cast("double"),
+                                  F.lit(0.5), F.lit(accuracy))
+              if approx else
+              F.percentile(self._colexpr.cast("double"), F.lit(0.5)))
+        return self._sdf.agg(fn.alias("m")).first()["m"]
 
     def cut(self, bins: list, labels: list | None = None,
             right: bool = True) -> "Series":

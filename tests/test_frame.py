@@ -428,3 +428,53 @@ def test_duplicated_and_series_nunique(spark):
         assert got == want, keep
     assert df["a"].nunique() == 3
     assert df["a"].nunique(approx=True) >= 2
+
+
+def test_quantile_approx_bounded_error(bl):
+    """approx=True (Greenwald-Khanna sketch) must land each quantile
+    inside the exact [p-0.01, p+0.01] envelope — the sketch's rank
+    guarantee at accuracy=10000 is 100x tighter. Exact contract
+    untouched."""
+    li = bl.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    s = li["l_extendedprice"]
+    ps = [0.25, 0.5, 0.75, 0.9]
+    ap = s.quantile(ps, approx=True).to_pandas()
+    for p in ps:
+        lo = float(s.quantile(max(p - 0.01, 0.0)).to_pandas().iloc[0])
+        hi = float(s.quantile(min(p + 0.01, 1.0)).to_pandas().iloc[0])
+        assert lo <= float(ap[str(p)]) <= hi, p
+    # approx median is a real data element within the envelope
+    m = s.median(approx=True)
+    assert float(s.quantile(0.49).to_pandas().iloc[0]) <= m \
+        <= float(s.quantile(0.51).to_pandas().iloc[0])
+
+
+def test_describe_approx_envelope(bl):
+    li = bl.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    sub = li[["l_quantity", "l_extendedprice"]]
+    exact = sub.describe().to_pandas()
+    approx = sub.describe(approx=True).to_pandas()
+    for c in ("l_quantity", "l_extendedprice"):
+        # exact-only stats are identical between the two faces
+        for s in ("count", "mean", "std", "min", "max"):
+            assert float(exact.loc[s, c]) == float(approx.loc[s, c])
+        spread = float(exact.loc["max", c]) - float(exact.loc["min", c])
+        for s in ("25%", "50%", "75%"):
+            assert abs(float(exact.loc[s, c]) - float(approx.loc[s, c])) \
+                <= 0.05 * spread
+
+
+def test_groupby_quantile_approx(bl):
+    li = bl.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    gb = li.groupby("l_returnflag")
+    ap = gb.quantile(0.5, cols=["l_extendedprice"], approx=True) \
+        .reset_index().to_pandas().set_index("l_returnflag")
+    lo = gb.quantile(0.49, cols=["l_extendedprice"]) \
+        .reset_index().to_pandas().set_index("l_returnflag")
+    hi = gb.quantile(0.51, cols=["l_extendedprice"]) \
+        .reset_index().to_pandas().set_index("l_returnflag")
+    assert len(ap) >= 3
+    for k in ap.index:
+        assert lo.loc[k, "l_extendedprice_p49"] \
+            <= ap.loc[k, "l_extendedprice_p50"] \
+            <= hi.loc[k, "l_extendedprice_p51"]
