@@ -1833,9 +1833,11 @@ FROM sess GROUP BY user_id, session_seq
 
 
 def _asof_join(spark, sf):
-    """As-of join (engine extension, operators/joins.py): each
-    purchase event gets the most recent prior click's value per user.
-    Oracle: DuckDB's native ASOF JOIN."""
+    """As-of join (engine extension, operators/joins.py), all three
+    directions in one slot: 'bwd' = most recent prior click per user
+    (DuckDB native ASOF JOIN with >=), 'fwd' = first later click
+    (r4; ASOF with <=), 'nr' = closer of the two, ties backward
+    (r4; replayed with two ASOF joins + a CASE choose)."""
     from baloo_spark.operators.joins import asof_join
     from baloo_spark.streaming.events import load_events
     ev = load_events(spark, sf)
@@ -1844,14 +1846,20 @@ def _asof_join(spark, sf):
               .groupBy("user_id", "ts").agg(F.max("value").alias("click_value")))
     purchases = ev.filter("event_type = 'purchase'") \
         .select("event_id", "user_id", "ts", "value")
-    out = asof_join(purchases, clicks, on="ts", by="user_id",
-                    right_cols=["click_value"])
-    return out.select(
-        "event_id", "user_id",
-        F.unix_timestamp("ts").cast("long").alias("ts_sec"),
-        F.round("value", 4).alias("value"),
-        F.round("click_value_right", 4).alias("last_click_value"),
-        F.unix_timestamp("matched_ts").cast("long").alias("click_ts_sec"))
+
+    def leg(direction, tag):
+        out = asof_join(purchases, clicks, on="ts", by="user_id",
+                        right_cols=["click_value"], direction=direction)
+        return out.select(
+            F.lit(tag).alias("dir"), "event_id", "user_id",
+            F.unix_timestamp("ts").cast("long").alias("ts_sec"),
+            F.round("value", 4).alias("value"),
+            F.round("click_value_right", 4).alias("click_value"),
+            F.unix_timestamp("matched_ts").cast("long").alias("click_ts_sec"))
+
+    return (leg("backward", "bwd")
+            .unionByName(leg("forward", "fwd"))
+            .unionByName(leg("nearest", "nr")))
 
 
 _ASOF_SQL = """
@@ -1862,13 +1870,34 @@ WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events
   WHERE event_type = 'purchase'
 )
-SELECT p.event_id, p.user_id,
+SELECT 'bwd' AS dir, p.event_id, p.user_id,
        floor(epoch(p.ts))::BIGINT AS ts_sec,
        round(p.value, 4) AS value,
-       round(c.click_value, 4) AS last_click_value,
+       round(c.click_value, 4) AS click_value,
        floor(epoch(c.ts))::BIGINT AS click_ts_sec
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+UNION ALL
+SELECT 'fwd', p.event_id, p.user_id,
+       floor(epoch(p.ts))::BIGINT,
+       round(p.value, 4),
+       round(c.click_value, 4),
+       floor(epoch(c.ts))::BIGINT
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+UNION ALL
+SELECT 'nr', p.event_id, p.user_id,
+       floor(epoch(p.ts))::BIGINT,
+       round(p.value, 4),
+       round(CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+                  epoch(p.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(p.ts))
+             THEN b.click_value ELSE f.click_value END, 4),
+       floor(epoch(CASE WHEN b.ts IS NOT NULL AND (f.ts IS NULL OR
+                   epoch(p.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(p.ts))
+             THEN b.ts ELSE f.ts END))::BIGINT
+FROM purchases p
+ASOF LEFT JOIN clicks b ON p.user_id = b.user_id AND p.ts >= b.ts
+ASOF LEFT JOIN clicks f ON p.user_id = f.user_id AND p.ts <= f.ts
 """
 
 

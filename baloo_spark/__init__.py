@@ -31,16 +31,21 @@ def sql(query: str) -> "DataFrame":
 
 def merge_asof(left: "DataFrame", right: "DataFrame", on: str,
                by=None, tolerance: int | None = None,
-               suffix: str = "_right") -> "DataFrame":
+               suffix: str = "_right",
+               direction: str = "backward") -> "DataFrame":
     """pandas-style ``pd.merge_asof`` over engine frames: for each
-    left row, attach the most recent right row with ``right.on <=
-    left.on``, matching ``by`` keys; ``tolerance`` caps staleness in
+    left row, attach the matching right row on ``on`` — the most
+    recent with ``right.on <= left.on`` (``direction='backward'``,
+    default), the first with ``right.on >= left.on`` (``'forward'``),
+    or whichever is closer in time (``'nearest'``, ties to backward)
+    — matching ``by`` keys; ``tolerance`` caps the match distance in
     seconds. Thin wrapper over ``operators.joins.asof_join`` (the
-    scale path: union + keyed carry-forward window, one shuffle, no
-    range explosion)."""
+    scale path: union + keyed carry window, one shuffle, no range
+    explosion)."""
     from .operators.joins import asof_join
     out = asof_join(left.to_spark(), right.to_spark(), on=on, by=by,
-                    tolerance=tolerance, suffix=suffix)
+                    tolerance=tolerance, suffix=suffix,
+                    direction=direction)
     return DataFrame.from_spark(out)
 
 

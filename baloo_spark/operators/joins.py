@@ -26,20 +26,35 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list | None = None, right_cols: list | None = None,
-              suffix: str = "_right", tolerance: int | None = None) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.on <= left.on`` (inclusive), matching ``by`` keys.
+              suffix: str = "_right", tolerance: int | None = None,
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the matching right row on ``on``
+    (inclusive), matching ``by`` keys:
 
-    ``tolerance``: optional max staleness in seconds — older right
-    rows are treated as no-match (NULL), like pandas merge_asof.
+    - ``direction='backward'`` (default): most recent right row with
+      ``right.on <= left.on``;
+    - ``'forward'``: first right row with ``right.on >= left.on`` —
+      the time-reversed carry (same plan, descending order);
+    - ``'nearest'``: whichever of the two is closer in time, ties to
+      the backward (earlier) row; both carries share one shuffle in
+      the keyed path (two window sorts over the same partitioning).
 
-    Scale: with ``by`` keys the carry-forward window partitions on
-    them (one shuffle, state per key). With NO ``by`` keys the union
-    goes through :func:`~baloo_spark.plans.ordinal.with_last_non_null`
+    ``tolerance``: optional max distance in seconds — right rows
+    farther than that are treated as no-match (NULL), like pandas
+    merge_asof; for 'nearest' the tolerance is applied per candidate
+    BEFORE choosing, so an out-of-tolerance closer row never shadows
+    an in-tolerance farther one.
+
+    Scale: with ``by`` keys the carry window partitions on them (one
+    shuffle, state per key). With NO ``by`` keys each carry goes
+    through :func:`~baloo_spark.plans.ordinal.with_last_non_null`
     — range-partitioned by time, partition-local carry windows, and a
     one-row-per-partition boundary table prefix-carried on the driver
     — so a global as-of never collapses to a single partition.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be 'backward', 'forward' or "
+                         f"'nearest', got {direction!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     right_cols = right_cols or [c for c in right.columns
                                 if c != on and c not in by]
@@ -50,32 +65,74 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         r = r.withColumnRenamed(c, c + suffix)
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    if by:
-        # right rows sort before left at equal timestamps => inclusive <=
-        w = Window.partitionBy(*by) \
-            .orderBy(F.col(on).asc(), F.col("__src__").asc()) \
-            .rowsBetween(Window.unboundedPreceding, 0)
-        carried = unioned
-        for c in right_cols:
-            carried = carried.withColumn(
-                c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
-        carried = carried.withColumn(
-            "__rts__", F.last(F.when(F.col("__src__") == 0, F.col(on)),
-                              ignorenulls=True).over(w))
-    else:
+    def _carry(df, asc, pfx):
+        """Carry the latest (asc) / next (desc) right values into
+        ``pfx``-prefixed columns plus ``pfx + 'rts'`` (the matched
+        right timestamp). Right rows sort before left at equal
+        timestamps in BOTH directions => inclusive match."""
+        ob = [F.col(on).asc() if asc else F.col(on).desc(),
+              F.col("__src__").asc()]
+        vals = {f"__{pfx}_{c}__": F.when(F.col("__src__") == 0,
+                                         F.col(c + suffix))
+                for c in right_cols}
+        vals[f"__{pfx}rts__"] = F.when(F.col("__src__") == 0, F.col(on))
+        if by:
+            w = Window.partitionBy(*by).orderBy(*ob) \
+                .rowsBetween(Window.unboundedPreceding, 0)
+            out = df
+            for name, e in vals.items():
+                out = out.withColumn(
+                    name, F.last(e, ignorenulls=True).over(w))
+            return out
         from ..plans.ordinal import with_last_non_null
-        exprs = {c + suffix: F.col(c + suffix) for c in right_cols}
-        exprs["__rts__"] = F.when(F.col("__src__") == 0, F.col(on))
-        carried = with_last_non_null(
-            unioned, exprs, [F.col(on).asc(), F.col("__src__").asc()])
-    out = carried.filter(F.col("__src__") == 1).drop("__src__")
-    if tolerance is not None:
-        stale = (F.unix_timestamp(F.col(on))
-                 - F.unix_timestamp(F.col("__rts__"))) > tolerance
+        return with_last_non_null(df, vals, ob)
+
+    def secs(c):
+        # fractional-second epoch: unix_timestamp truncates to whole
+        # seconds, which would break nearest tie-breaking / tolerance
+        # edges on sub-second timestamps
+        return c.cast("double")
+
+    if direction in ("backward", "forward"):
+        pfx = "b" if direction == "backward" else "f"
+        carried = _carry(unioned, direction == "backward", pfx)
+        out = carried.filter(F.col("__src__") == 1).drop("__src__")
+        rts = F.col(f"__{pfx}rts__")
+        keep = rts.isNotNull()
+        if tolerance is not None:
+            keep = keep & (F.abs(secs(F.col(on)) - secs(rts))
+                           <= tolerance)
         for c in right_cols:
-            out = out.withColumn(c + suffix,
-                                 F.when(stale, None).otherwise(F.col(c + suffix)))
-    return out.withColumnRenamed("__rts__", "matched_" + on)
+            out = out.withColumn(
+                c + suffix,
+                F.when(keep, F.col(f"__{pfx}_{c}__")))
+        out = out.withColumn("matched_" + on, F.when(keep, rts))
+        return out.drop(f"__{pfx}rts__",
+                        *[f"__{pfx}_{c}__" for c in right_cols])
+
+    # nearest: both carries; the keyed path shares the shuffle (two
+    # sorts over one hash partitioning — Catalyst plans one Exchange)
+    carried = _carry(_carry(unioned, True, "b"), False, "f")
+    out = carried.filter(F.col("__src__") == 1).drop("__src__")
+    t = secs(F.col(on))
+    b_ok = F.col("__brts__").isNotNull()
+    f_ok = F.col("__frts__").isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & ((t - secs(F.col("__brts__"))) <= tolerance)
+        f_ok = f_ok & ((secs(F.col("__frts__")) - t) <= tolerance)
+    use_b = b_ok & (~f_ok | ((t - secs(F.col("__brts__")))
+                             <= (secs(F.col("__frts__")) - t)))
+    for c in right_cols:
+        out = out.withColumn(
+            c + suffix,
+            F.when(use_b, F.col(f"__b_{c}__"))
+            .when(f_ok, F.col(f"__f_{c}__")))
+    out = out.withColumn(
+        "matched_" + on,
+        F.when(use_b, F.col("__brts__")).when(f_ok, F.col("__frts__")))
+    return out.drop("__brts__", "__frts__",
+                    *[f"__b_{c}__" for c in right_cols],
+                    *[f"__f_{c}__" for c in right_cols])
 
 
 def range_join(left: DataFrame, right: DataFrame, on: str = "ts",

@@ -254,3 +254,82 @@ def test_top_level_merge_asof_wrapper(spark):
     assert got[(1, 10.0)] == 9.9
     assert got[(1, 11.0)] == 10.9
     assert got[(2, 20.0)] == 19.9
+
+
+def test_asof_join_forward_and_nearest_pandas_parity(spark):
+    """direction='forward'/'nearest' vs pd.merge_asof on a keyed
+    fixture with ties, gaps, and users missing from one side."""
+    import pandas as pd
+
+    from baloo_spark.operators.joins import asof_join
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, base + dt.timedelta(seconds=s), u)
+             for i, (s, u) in enumerate(
+                 [(100, 7), (250, 7), (400, 7), (50, 8), (999, 8),
+                  (10, 9)])]
+    rrows = [(base + dt.timedelta(seconds=s), u, float(v))
+             for s, u, v in [(100, 7, 1.0), (300, 7, 2.0),
+                             (700, 7, 3.0), (60, 8, 4.0)]]
+    left = spark.createDataFrame(lrows, "id LONG, ts TIMESTAMP, user_id LONG")
+    right = spark.createDataFrame(rrows, "ts TIMESTAMP, user_id LONG, px DOUBLE")
+    lp = pd.DataFrame(lrows, columns=["id", "ts", "user_id"]) \
+        .sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["ts", "user_id", "px"]) \
+        .sort_values("ts")
+    for direction in ("forward", "nearest"):
+        for tol in (None, 120):
+            got = {r["id"]: r["px_right"] for r in
+                   asof_join(left, right, on="ts", by="user_id",
+                             tolerance=tol, direction=direction).collect()}
+            want_df = pd.merge_asof(
+                lp, rp, on="ts", by="user_id", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+            want = {r.id: (None if pd.isna(r.px) else r.px)
+                    for r in want_df.itertuples()}
+            assert got == want, (direction, tol)
+
+
+def test_asof_join_backward_matches_pandas_too(spark):
+    import pandas as pd
+
+    from baloo_spark.operators.joins import asof_join
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, base + dt.timedelta(seconds=s), 1)
+             for i, s in enumerate([5, 150, 320])]
+    rrows = [(base + dt.timedelta(seconds=s), 1, float(s))
+             for s in [10, 150, 300]]
+    left = spark.createDataFrame(lrows, "id LONG, ts TIMESTAMP, user_id LONG")
+    right = spark.createDataFrame(rrows, "ts TIMESTAMP, user_id LONG, px DOUBLE")
+    got = {r["id"]: r["px_right"] for r in
+           asof_join(left, right, on="ts", by="user_id").collect()}
+    lp = pd.DataFrame(lrows, columns=["id", "ts", "user_id"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["ts", "user_id", "px"]).sort_values("ts")
+    want_df = pd.merge_asof(lp, rp, on="ts", by="user_id")
+    want = {r.id: (None if pd.isna(r.px) else r.px)
+            for r in want_df.itertuples()}
+    assert got == want
+
+
+def test_asof_join_global_forward_no_by(spark):
+    """Forward direction through the partition-safe global carry
+    (with_last_non_null over descending time)."""
+    from baloo_spark.operators.joins import asof_join
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=10)),
+         (2, base + dt.timedelta(seconds=500))],
+        "id LONG, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(base + dt.timedelta(seconds=100), 1.5)],
+        "ts TIMESTAMP, px DOUBLE")
+    out = {r["id"]: r["px_right"] for r in
+           asof_join(left, right, on="ts",
+                     direction="forward").collect()}
+    assert out[1] == 1.5 and out[2] is None
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    from baloo_spark.operators.joins import asof_join
+    df = spark.createDataFrame([(1,)], "id LONG")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="id", direction="sideways")
