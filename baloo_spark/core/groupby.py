@@ -7,6 +7,13 @@ size). Spark's partial+final hash aggregation subsumes both: every
 agg here is a single shuffle with map-side combine, and var/std are
 single-pass (moments) already. Result order is arbitrary, matching
 the reference's hash-dict semantics (README.md:29-30).
+
+Skewed keys: scalar aggs are skew-immune here (map-side combine
+collapses a hot key to one row per map task before the shuffle —
+measured in SCALING.md). For aggregations whose state grows with the
+rows (collect_list-style), the documented fallback is
+``baloo_spark.plans.skew.salted_groupby``, which divides the hot
+key's reducer load by the salt factor.
 """
 
 from __future__ import annotations

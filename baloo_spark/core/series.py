@@ -678,10 +678,10 @@ class Series:
     def rank(self, method: str = "min", ascending: bool = True) -> "Series":
         """Global value rank (pandas flavor, 1-based). Methods map to
         the partition-safe schemes of ``DataFrame.with_rank``:
-        'first' -> dense ordinal + 1 (row_number), 'min' -> min
-        ordinal within the tie group, 'dense' -> ordinal among
-        distinct values. pandas' float 'average' method is not
-        provided — use 'min'/'dense' (integer ranks) at scale.
+        'first' -> dense ordinal + 1 (row_number), 'min'/'max'/
+        'average' (pandas' default; float ranks) -> that statistic of
+        the tie group's consecutive ordinals, 'dense' -> ordinal
+        among distinct values.
 
         NULLs are left unranked (NULL rank — pandas na_option='keep'):
         values sort nulls-LAST so non-null ranks are 1..n_non_null
@@ -707,15 +707,22 @@ class Series:
                 F.when(F.col(alias).isNotNull(),
                        (F.col("__rank__") + 1).cast("long"))) \
                 .drop(POS_COL)
-        elif method == "min":
+        elif method in ("min", "average", "max"):
             sdf, alias = self._select("__rv__")
             out = with_dense_ordinal(sdf, [_val_order(alias)],
                                      name="__rn__")
             w = Window.partitionBy(F.col(alias))
+            # ranks within a tie group are consecutive ordinals, so
+            # min/max/average of the group's ordinals give the three
+            # pandas tie policies from the same window
+            if method == "min":
+                agg = (F.min("__rn__").over(w) + 1).cast("long")
+            elif method == "max":
+                agg = (F.max("__rn__").over(w) + 1).cast("long")
+            else:       # pandas' default: mean rank of the tie group
+                agg = (F.avg("__rn__").over(w) + 1).cast("double")
             out = (out.withColumn(
-                "__rank__",
-                F.when(F.col(alias).isNotNull(),
-                       (F.min("__rn__").over(w) + 1).cast("long")))
+                "__rank__", F.when(F.col(alias).isNotNull(), agg))
                    .drop("__rn__"))
         elif method == "dense":
             sdf, alias = self._select("__rv__")
@@ -731,8 +738,8 @@ class Series:
                    .drop("__dr__"))
         else:
             raise ValueError(
-                f"unsupported rank method: {method!r} "
-                f"(supported: 'min', 'first', 'dense')")
+                f"unsupported rank method: {method!r} (supported: "
+                f"'average', 'min', 'max', 'first', 'dense')")
         return Series._make(out, F.col("__rank__"), self._index_cols,
                             self.name, self._order)
 

@@ -18,6 +18,16 @@ _MERGEABLE = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+    # the agg where groupBy skew actually bites: scalar aggs (sum/
+    # count/...) are skew-IMMUNE in Spark — map-side partial agg
+    # collapses a hot key to one row per map task before the shuffle.
+    # collect_list partially aggregates too, but its STATE is the
+    # list itself, so the hot key's reducer still receives every
+    # element; salting divides that list across `salt` reducers and
+    # the merge flattens the pieces (element order is layout-
+    # dependent either way — same contract as unsalted collect_list)
+    "collect_list": (F.collect_list,
+                     lambda c: F.flatten(F.collect_list(c))),
 }
 
 
@@ -28,9 +38,16 @@ def salted_groupby(df: DataFrame, keys, aggregations: dict,
     ``salt`` partials per key. Total work unchanged, max reducer load
     divided by ``salt``.
 
-    Supports the decomposable aggs (sum/count/min/max); mean is
-    derived as sum/count. Non-decomposable aggs (var/std/median) need
-    the unsalted path or sketches.
+    Supports the decomposable aggs (sum/count/min/max/collect_list);
+    mean is derived as sum/count. Non-decomposable aggs (var/std/
+    median) need the unsalted path or sketches.
+
+    When to reach for this: NOT for scalar aggs on a skewed key —
+    Spark's map-side partial aggregation already collapses a hot key
+    to one row per map task, so plain ``groupBy`` is skew-immune
+    there (measured in SCALING.md). It matters when the aggregation
+    state grows with the rows (collect_list/collect_set-style), where
+    the hot key's reducer otherwise holds its full share of the data.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     salted = df.withColumn("__salt__",

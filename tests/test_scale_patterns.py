@@ -79,3 +79,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_salted_groupby_collect_list_matches_plain(spark):
+    """collect_list is the agg where skew actually bites (state grows
+    with rows); the salted two-stage form must return the same
+    multiset per key as plain groupBy."""
+    from pyspark.sql import functions as F
+
+    from baloo_spark.plans.skew import salted_groupby
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet") \
+        .select(F.when((F.col("l_orderkey") % 10) < 3, 0)
+                .otherwise(F.col("l_orderkey") % 7 + 1).alias("k"),
+                F.col("l_quantity").alias("v"))
+    plain = {r["k"]: sorted(r["vs"]) for r in
+             li.groupBy("k").agg(F.collect_list("v").alias("vs"))
+             .collect()}
+    salted = {r["k"]: sorted(r["v_collect_list"]) for r in
+              salted_groupby(li, "k", {"v": "collect_list"},
+                             salt=8).collect()}
+    assert salted == plain
+    # the hot key (30% of rows) really is hot in this fixture
+    n = sum(len(v) for v in plain.values())
+    assert len(plain[0]) / n > 0.25

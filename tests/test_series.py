@@ -279,3 +279,22 @@ def test_rank_leaves_nulls_unranked(bl):
                                          and math.isnan(g)), (method, asc)
                 else:
                     assert g is not None and float(g) == w, (method, asc)
+
+
+def test_rank_average_and_max_match_pandas(bl):
+    import math
+
+    import pandas as pd
+    vals = [3.0, 1.0, 3.0, np.nan, 2.0, 3.0, 1.0]
+    df = bl.DataFrame({"x": np.array(vals)})
+    pds = pd.Series(vals)
+    for method in ("average", "max"):
+        for asc in (True, False):
+            got = df["x"].rank(method=method, ascending=asc) \
+                .to_pandas().tolist()
+            want = pds.rank(method=method, ascending=asc).tolist()
+            for g, w in zip(got, want):
+                if math.isnan(w):
+                    assert g is None or math.isnan(g), (method, asc)
+                else:
+                    assert float(g) == w, (method, asc)

@@ -178,6 +178,66 @@ def main():
               "ships n_partitions scalars to the driver.", ""]
     print("naive global window 16x:", f"{dt:.2f}s")
 
+    # skew probe: one synthetic hot key holds 30% of all rows.
+    # Scalar aggs are skew-immune (map-side combine) — the case that
+    # bites is list-building aggregation, where the hot reducer
+    # otherwise receives its full 30% share of elements.
+    from baloo_spark.plans.skew import salted_groupby
+    hot16 = replicate(
+        li.select(
+            F.when((F.col("l_orderkey") % 10) < 3, 0)
+            .otherwise(F.col("l_orderkey") % 1000 + 1).alias("k"),
+            F.col("l_extendedprice").alias("v")), 16)
+    n_rows = hot16.count()
+    plain = (hot16.groupBy("k")
+             .agg(F.collect_list("v").alias("vs"))
+             .select("k", F.size("vs").alias("n")))
+    salted = salted_groupby(hot16, "k", {"v": "collect_list"},
+                            salt=32) \
+        .select("k", F.size("v_collect_list").alias("n"))
+    times = {}
+    for name, df in (("plain", plain), ("salted", salted)):
+        df.write.format("noop").mode("overwrite").save()  # warm
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = dt = min(dt, time.perf_counter() - t0)
+    # reducer-load division, measured exactly: max rows any single
+    # reduce-side group holds (= the hot task's input)
+    max_plain = hot16.groupBy("k").count() \
+        .agg(F.max("count")).first()[0]
+    from pyspark.sql import functions as F2
+    max_salted = (hot16.withColumn(
+        "__salt__", (F2.rand(seed=42) * 32).cast("int"))
+        .groupBy("k", "__salt__").count()
+        .agg(F2.max("count")).first()[0])
+    # scalar-agg immunity, for contrast: same hot key, plain sum
+    scal = hot16.groupBy("k").agg(F.sum("v"), F.count(F.lit(1)))
+    scal.write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    scal.write.format("noop").mode("overwrite").save()
+    dt_scal = time.perf_counter() - t0
+    lines += [
+        "## skew: hot key = 30% of rows (16x lineitem, "
+        f"{n_rows:,} rows)", "",
+        f"- collect_list plain groupBy: {times['plain']:.2f}s — max "
+        f"single-reducer group = {max_plain:,} rows "
+        f"({100.0 * max_plain / n_rows:.0f}% of the table through "
+        "ONE task's list state)",
+        f"- collect_list salted_groupby(salt=32): "
+        f"{times['salted']:.2f}s — max (key, salt) group = "
+        f"{max_salted:,} rows (hot load divided ~32x; merge "
+        "flattens 32 partial lists per key)",
+        f"- scalar sum/count on the same hot key, plain groupBy: "
+        f"{dt_scal:.2f}s — skew-IMMUNE: map-side partial agg "
+        "collapses the hot key to one row per map task before the "
+        "shuffle, so salting scalar aggs buys nothing (and costs a "
+        "second shuffle). salted_groupby is the fallback for "
+        "list/set-building aggs only.", ""]
+    print("skew probe:", times, "max group", max_plain, "->",
+          max_salted)
+
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
