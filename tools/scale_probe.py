@@ -234,7 +234,16 @@ def main():
         "collapses the hot key to one row per map task before the "
         "shuffle, so salting scalar aggs buys nothing (and costs a "
         "second shuffle). salted_groupby is the fallback for "
-        "list/set-building aggs only.", ""]
+        "list/set-building aggs only.", "",
+        "_Reading the numbers: locally the salted form is SLOWER — "
+        f"{max_plain:,} doubles (~20 MB) in one task is trivial on "
+        "one machine, so the extra shuffle dominates. The division "
+        "is what matters at scale: per-task state is bounded by "
+        "group/salt instead of group, so the hot group that would "
+        "OOM one executor (or straggle the stage) at 1000x data "
+        "becomes 32 bounded tasks. Salting is insurance you buy "
+        "with a second shuffle — use it when a key's share of the "
+        "data exceeds what one task can hold, not by default._", ""]
     print("skew probe:", times, "max group", max_plain, "->",
           max_salted)
 
