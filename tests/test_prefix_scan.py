@@ -286,10 +286,10 @@ def test_series_pct_change_and_rank(spark):
     assert got[0] != got[0]  # NaN head
     assert got[1:] == pytest.approx(want[1:])
     ks = df.set_index("k")
-    for method in ("min", "first", "dense"):
+    for method in ("min", "first", "dense", "average", "max"):
         rs = ks["x"].rank(method=method).to_spark()
         got_r = sorted((r["k"], float(r["x"])) for r in rs.collect())
         want_r = sorted(zip(pdf["k"], pdf["x"].rank(method=method)))
         assert got_r == [(k, float(v)) for k, v in want_r], method
     with pytest.raises(ValueError, match="rank method"):
-        df["x"].rank(method="average")
+        df["x"].rank(method="median")
