@@ -2145,39 +2145,54 @@ def _describe(spark, sf):
     # [p-0.01, p+0.01] quantile envelope (GK rank error at
     # accuracy=10000 is 100x tighter). The oracle pins the flags at
     # 1.0 — a Spark-side bounded-error assertion, hash-checked.
+    # three eager jobs total: the two LIBRARY faces under test
+    # (describe(approx=True), groupby().quantile(approx=True) over
+    # both columns at once) plus ONE rollup pass computing every
+    # exact envelope bound — global (NULL grouping key) and per-group
+    # — in a single shuffle. The first cut ran ~12 driver jobs (one
+    # per column per bound) and tripled the slot's warm time for
+    # pure verification machinery.
+    # accuracy=1000: rank error <= 1e-3, a 10x margin inside the
+    # +-0.01 quantile envelope the flags assert — the default 10000
+    # costs ~40% more sketch maintenance for precision the check
+    # doesn't need
+    cols = ["l_quantity", "l_discount"]
     da = {r["statistic"]: r
-          for r in li[["l_quantity", "l_discount"]]
-          .describe(approx=True).to_spark(include_index=True).collect()}
+          for r in li[cols].describe(approx=True, accuracy=1000)
+          .to_spark(include_index=True).collect()}
 
-    def _env(col):
-        ps = [0.24, 0.26, 0.49, 0.51, 0.74, 0.76]
-        ex = li[col].quantile(ps).to_pandas()
-        return {p: float(ex[str(p)]) for p in ps}
+    ps = [0.24, 0.26, 0.49, 0.51, 0.74, 0.76]
+    qarr = F.expr("array(" + ",".join(f"{p}D" for p in ps) + ")")
+    raw = li.to_spark().rollup("l_returnflag").agg(*[
+        F.percentile(F.col(c).cast("double"), qarr).alias(f"__qs_{c}")
+        for c in cols])
+    roll = {r["l_returnflag"]: r
+            for r in raw.select(
+                "l_returnflag",
+                *[F.element_at(F.col(f"__qs_{c}"), F.lit(i + 1))
+                  .alias(f"{c}__{p}")
+                  for c in cols for i, p in enumerate(ps)]).collect()}
+    env_row = roll[None]          # the rollup's grand-total row
+    genv = {k: v for k, v in roll.items() if k is not None}
 
     def _ok(col):
-        env = _env(col)
-        checks = [(("25%"), 0.24, 0.26), (("50%"), 0.49, 0.51),
-                  (("75%"), 0.74, 0.76)]
+        checks = [("25%", 0.24, 0.26), ("50%", 0.49, 0.51),
+                  ("75%", 0.74, 0.76)]
         return 1.0 if all(
-            env[lo] <= float(da[s][col]) <= env[hi]
+            env_row[f"{col}__{lo}"] <= float(da[s][col])
+            <= env_row[f"{col}__{hi}"]
             for s, lo, hi in checks) else 0.0
 
-    # groupby().quantile(approx=True): per-group approx median within
-    # each group's exact [0.49, 0.51] envelope, min-folded over groups
+    ap = {r["l_returnflag"]: r
+          for r in li.groupby("l_returnflag")
+          .quantile(0.5, cols=cols, approx=True, accuracy=1000)
+          .to_spark(include_index=True).collect()}
+
     def _gq_ok(col):
-        ap = {r["l_returnflag"]: float(r[f"{col}_p50"])
-              for r in li.groupby("l_returnflag")
-              .quantile(0.5, cols=[col], approx=True)
-              .to_spark(include_index=True).collect()}
-        lo = {r["l_returnflag"]: float(r[f"{col}_p49"])
-              for r in li.groupby("l_returnflag")
-              .quantile(0.49, cols=[col])
-              .to_spark(include_index=True).collect()}
-        hi = {r["l_returnflag"]: float(r[f"{col}_p51"])
-              for r in li.groupby("l_returnflag")
-              .quantile(0.51, cols=[col])
-              .to_spark(include_index=True).collect()}
-        return 1.0 if all(lo[k] <= ap[k] <= hi[k] for k in ap) else 0.0
+        return 1.0 if all(
+            genv[k][f"{col}__0.49"] <= float(ap[k][f"{col}_p50"])
+            <= genv[k][f"{col}__0.51"]
+            for k in ap) else 0.0
 
     aq = spark.createDataFrame(
         [("approx_q_ok", _ok("l_quantity"), _ok("l_discount")),

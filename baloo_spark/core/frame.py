@@ -826,24 +826,32 @@ class DataFrame:
         exprs = []
         stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
 
-        def pct(d, p):
-            if approx:
-                return F.percentile_approx(d, F.lit(p), F.lit(accuracy))
-            return F.percentile(d, F.lit(p))
-
+        # ONE percentile aggregate per column computing all three
+        # quartiles (array percentages): each percentile expression
+        # otherwise keeps its own value buffer / GK sketch over every
+        # row — 3x the aggregation state for identical results
+        # (measured ~2x the whole describe at sf0.1)
+        qarr = F.expr("array(0.25D, 0.5D, 0.75D)")
         for c in cols:
             d = F.col(c).cast("double")
+            q3 = (F.percentile_approx(d, qarr, F.lit(accuracy)) if approx
+                  else F.percentile(d, qarr))
             exprs += [
                 F.count(c).cast("double").alias(f"count__{c}"),
                 F.avg(d).alias(f"mean__{c}"),
                 F.stddev_samp(d).alias(f"std__{c}"),
                 F.min(d).alias(f"min__{c}"),
-                pct(d, 0.25).alias(f"25%__{c}"),
-                pct(d, 0.5).alias(f"50%__{c}"),
-                pct(d, 0.75).alias(f"75%__{c}"),
                 F.max(d).alias(f"max__{c}"),
+                q3.alias(f"__q3__{c}"),
             ]
         row = self._sdf.agg(*exprs)
+        row = row.select(
+            "*",
+            *[F.element_at(F.col(f"__q3__{c}"), F.lit(i + 1))
+              .alias(f"{s}__{c}")
+              for c in cols
+              for i, s in enumerate(("25%", "50%", "75%"))]) \
+            .drop(*[f"__q3__{c}" for c in cols])
         groups = ", ".join(
             "'{s}', {vals}".format(
                 s=s, vals=", ".join(f"`{s}__{c}`" for c in cols))

@@ -754,14 +754,16 @@ class Series:
         1/accuracy, returns an actual data element (discrete, not
         interpolated)."""
         qs = [q] if isinstance(q, (int, float)) else list(q)
-        if approx:
-            exprs = [F.percentile_approx(self._colexpr.cast("double"),
-                                         F.lit(p), F.lit(accuracy))
-                     .alias(f"q{p}") for p in qs]
-        else:
-            exprs = [F.percentile(self._colexpr.cast("double"), F.lit(p))
-                     .alias(f"q{p}") for p in qs]
-        row_df = self._sdf.agg(*exprs)
+        # ONE aggregate with an array of percentages: per-p percentile
+        # expressions would each buffer/sketch every row independently
+        qarr = F.expr(
+            "array(" + ",".join(f"{float(p)!r}D" for p in qs) + ")")
+        d = self._colexpr.cast("double")
+        agg = (F.percentile_approx(d, qarr, F.lit(accuracy)) if approx
+               else F.percentile(d, qarr))
+        row_df = self._sdf.agg(agg.alias("__qs__")).select(*[
+            F.element_at(F.col("__qs__"), F.lit(i + 1)).alias(f"q{p}")
+            for i, p in enumerate(qs)])
         pairs = ", ".join(f"'{p}', `q{p}`" for p in qs)
         out = row_df.select(F.expr(
             f"stack({len(qs)}, {pairs}) as (`{_IDX}`, `__q__`)"))

@@ -40,7 +40,12 @@ SCOPE_NOTES = {
     "sort_nlargest": "100 -> 120 rows (adds nlargest/nsmallest legs)",
     "describe": "3 -> 10 rows in r2 (full describe, not just 3 "
                 "quantiles); r3 adds corr/cov rows driven by two extra "
-                "eager scalar aggregate jobs",
+                "eager scalar aggregate jobs; r4 adds the approx-"
+                "quantile envelope legs — describe(approx=True) plus "
+                "six exact envelope quantiles and three per-group "
+                "approx/exact medians, each an eager driver-side "
+                "aggregate job by design (the flags are collected "
+                "scalars)",
     "dedup_jaccard_minhash": "r3 consolidation: the slot now runs BOTH the "
                 "PPJoin exact-Jaccard scan and the MinHash+LSH "
                 "pipeline (r1 measured MinHash alone)",
@@ -50,11 +55,23 @@ SCOPE_NOTES = {
                     "benchmark decontamination (an extra explode + "
                     "broadcast join + doc_id agg branch) — warm time "
                     "rises ~1.5s from that second branch's fixed "
-                    "overhead, by design",
+                    "overhead, by design; r4 folds in boilerplate "
+                    "scoring (line-array projection) and PII "
+                    "redaction (8 regex count/replace expressions + "
+                    "md5) as two more joined branches — 22 -> 34 "
+                    "columns",
     "unary_math": "since r2 also exercises apply modes 4-6: a C-UDF "
                   "(ctypes) column and an Arrow pandas_udf column — "
                   "the two Python-boundary columns dominate its time "
                   "by design (they are the coverage evidence)",
+    # r4 scope widenings (driver evidence for previously pytest-only
+    # operators folded into existing slots)
+    "asof_join": "r4: the slot runs all THREE as-of directions "
+                 "(backward + forward + nearest, 3x the rows; nearest "
+                 "alone runs two carries) vs backward-only before",
+    "dedup_exact": "r4: adds the two-batch incremental-dedup replay "
+                   "(two extra hash aggs + a left-anti join) next to "
+                   "the original single groupBy — 500 -> 1000 rows",
 }
 
 # flags checked by hand: re-timed solo and plan-audited, not a
