@@ -193,6 +193,50 @@ def main(paths):
         lines.append("No same-scope warm query exceeds its "
                      "earliest-round cold time by >20% — no "
                      "unexplained regressions.")
+
+    # round-over-round section: the previous parseable round vs the
+    # current one, warm-vs-warm (the stable signal — cold includes
+    # codegen compile noise), flagging >20% warm growth at unchanged
+    # scope
+    if len(good) >= 3:
+        (prev_lbl, prev_cold, prev_warm) = good[-2]
+        lines += ["", f"## {prev_lbl} → {cur_lbl} (warm vs warm)", "",
+                  f"| query | {prev_lbl} warm | {cur_lbl} warm | Δ |",
+                  "|---|---|---|---|"]
+        rflags = []
+        for q in [q for q in cur_cold if q in (prev_warm or {})]:
+            pw, cw = prev_warm.get(q), (cur_warm or {}).get(q)
+            if pw is None or cw is None:
+                continue
+            d = (cw - pw) / pw * 100
+            lines.append(f"| {q} | {pw:.3f} | {cw:.3f} | {d:+.0f}% |")
+            if cw > 1.2 * pw:
+                rflags.append((q, pw, cw))
+        tp = sum(v for q, v in prev_warm.items() if q in cur_cold)
+        tc2 = sum(v for q, v in (cur_warm or {}).items()
+                  if q in prev_warm)
+        lines.append(f"| **total (shared)** | **{tp:.3f}** | "
+                     f"**{tc2:.3f}** | "
+                     f"**{(tc2 - tp) / tp * 100:+.0f}%** |")
+        lines.append("")
+        widened = [(q, a, b) for q, a, b in rflags if q in SCOPE_NOTES]
+        other = [(q, a, b) for q, a, b in rflags
+                 if q not in SCOPE_NOTES]
+        if widened:
+            lines.append(f"Warm growth >20% vs {prev_lbl}, explained "
+                         "by scope widening:")
+            for q, a, b in widened:
+                lines.append(f"- `{q}`: {a:.3f}s → {b:.3f}s — "
+                             f"{SCOPE_NOTES[q]}")
+            lines.append("")
+        if other:
+            lines.append(f"Warm growth >20% vs {prev_lbl}, "
+                         "UNEXPLAINED (regression suspects):")
+            for q, a, b in other:
+                lines.append(f"- `{q}`: {a:.3f}s → {b:.3f}s")
+        else:
+            lines.append("No unexplained warm regression vs "
+                         f"{prev_lbl}.")
     out = "\n".join(lines) + "\n"
     with open("BENCH_TREND.md", "w") as f:
         f.write(out)
