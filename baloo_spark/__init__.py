@@ -31,8 +31,8 @@ def sql(query: str) -> "DataFrame":
 
 def merge_asof(left: "DataFrame", right: "DataFrame", on: str,
                by=None, tolerance: int | None = None,
-               suffix: str = "_right",
-               direction: str = "backward") -> "DataFrame":
+               suffix: str = "_right", direction: str = "backward",
+               allow_exact_matches: bool = True) -> "DataFrame":
     """pandas-style ``pd.merge_asof`` over engine frames: for each
     left row, attach the matching right row on ``on`` — the most
     recent with ``right.on <= left.on`` (``direction='backward'``,
@@ -45,7 +45,8 @@ def merge_asof(left: "DataFrame", right: "DataFrame", on: str,
     from .operators.joins import asof_join
     out = asof_join(left.to_spark(), right.to_spark(), on=on, by=by,
                     tolerance=tolerance, suffix=suffix,
-                    direction=direction)
+                    direction=direction,
+                    allow_exact_matches=allow_exact_matches)
     return DataFrame.from_spark(out)
 
 

@@ -1325,6 +1325,22 @@ class DataFrame:
         out = self._sdf.unpivot(id_vars, value_vars, var_name, value_name)
         return DataFrame._make(out, [], out.columns, None)
 
+    def explode(self, column: str) -> "DataFrame":
+        """pandas ``DataFrame.explode``: one output row per element of
+        a list column, the other columns repeated; empty or NULL
+        arrays yield one row with NULL in ``column`` (explode_outer —
+        matching pandas' NaN row). A narrow generator, no shuffle;
+        positional row labels do not survive the fan-out (pandas
+        duplicates index labels; call ``reset_index`` semantics apply
+        here implicitly)."""
+        self._check_cols([column])
+        others = [c for c in self._sdf.columns if c != column]
+        out = self._sdf.select(
+            *others, F.explode_outer(F.col(column)).alias(column))
+        idx = [c for c in self._index_cols
+               if c in out.columns and c != ORD_COL]
+        return DataFrame._make(out, idx, list(self._data_cols), None)
+
     def grouping_sets(self, sets: list, aggregations: dict) -> "DataFrame":
         """Explicit GROUPING SETS aggregation (generalizes rollup/
         cube): ONE shuffle computes every grouping combination, with

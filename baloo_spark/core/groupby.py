@@ -67,9 +67,11 @@ class DataFrameGroupBy:
             F.count(F.lit(1)).alias("size"))
         return DataFrame._make(out, list(self._by), ["size"], None)
 
-    def quantile(self, q: float = 0.5, cols=None, approx: bool = False,
+    def quantile(self, q=0.5, cols=None, approx: bool = False,
                  accuracy: int = 10000):
-        """Per-group quantile (pandas ``groupby().quantile``). Exact
+        """Per-group quantile (pandas ``groupby().quantile``); ``q``
+        may be a scalar or a list of percentages (one output column
+        per (value column, q) pair, named ``{col}_p{N}``). Exact
         interpolated by default (ANSI percentile_cont / DuckDB
         quantile_cont) — but the exact aggregate buffers each group's
         value multiset, so per-group quantiles over billions of rows
@@ -77,23 +79,33 @@ class DataFrameGroupBy:
         (percentile_approx) is a mergeable partial aggregate with
         bounded (~``accuracy``-entry) state per group and rank error
         <= 1/accuracy; it returns an actual group element (discrete,
-        not interpolated). Both faces map-side combine like sum."""
+        not interpolated). Both faces map-side combine like sum, and
+        all of a column's percentages share ONE buffer/sketch (array
+        percentile), not one per q."""
         from .frame import DataFrame
         cols = ([cols] if isinstance(cols, str)
                 else list(cols or self._value_cols()))
+        qs = [float(q)] if isinstance(q, (int, float)) else \
+            [float(p) for p in q]
         # dot-free output names (v_p25): dots in column names need
         # backtick-quoting everywhere downstream
-        tag = f"p{round(float(q) * 100):g}"
+        tags = [f"p{round(p * 100):g}" for p in qs]
+        qarr = F.expr(
+            "array(" + ",".join(f"{p!r}D" for p in qs) + ")")
 
         def pct(c):
             d = F.col(c).cast("double")
             if approx:
-                return F.percentile_approx(d, F.lit(float(q)),
-                                           F.lit(accuracy))
-            return F.percentile(d, F.lit(float(q)))
+                return F.percentile_approx(d, qarr, F.lit(accuracy))
+            return F.percentile(d, qarr)
 
-        exprs = [pct(c).alias(f"{c}_{tag}") for c in cols]
-        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        out = self._df._sdf.groupBy(*self._by).agg(
+            *[pct(c).alias(f"__qs_{c}__") for c in cols])
+        out = out.select(
+            *self._by,
+            *[F.element_at(F.col(f"__qs_{c}__"), F.lit(i + 1))
+              .alias(f"{c}_{t}")
+              for c in cols for i, t in enumerate(tags)])
         data = [e for e in out.columns if e not in self._by]
         return DataFrame._make(out, list(self._by), data, None)
 

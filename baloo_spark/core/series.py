@@ -675,7 +675,8 @@ class Series:
             self._colexpr.cast("double")
             / F.col("__shift__").cast("double") - 1)
 
-    def rank(self, method: str = "min", ascending: bool = True) -> "Series":
+    def rank(self, method: str = "min", ascending: bool = True,
+             pct: bool = False) -> "Series":
         """Global value rank (pandas flavor, 1-based). Methods map to
         the partition-safe schemes of ``DataFrame.with_rank``:
         'first' -> dense ordinal + 1 (row_number), 'min'/'max'/
@@ -740,6 +741,18 @@ class Series:
             raise ValueError(
                 f"unsupported rank method: {method!r} (supported: "
                 f"'average', 'min', 'max', 'first', 'dense')")
+        if pct:
+            # pandas pct=True: rank / #non-null (dense: / #distinct
+            # non-null). A one-row aggregate broadcast-cross-joined in
+            # — lazy and scale-safe, never a global window partition.
+            denom = (F.count_distinct(F.col(alias)) if method == "dense"
+                     else F.count(F.col(alias)))
+            cnt = out.agg(denom.cast("double").alias("__nn__"))
+            out = out.crossJoin(F.broadcast(cnt))
+            out = out.withColumn(
+                "__rank__",
+                (F.col("__rank__") / F.col("__nn__")).cast("double")) \
+                .drop("__nn__")
         return Series._make(out, F.col("__rank__"), self._index_cols,
                             self.name, self._order)
 
@@ -801,21 +814,26 @@ class Series:
             expr = F.when(cond, F.lit(lab)).otherwise(expr)
         return self._with_col(expr, self.name)
 
-    def qcut(self, q: int, labels: list | None = None) -> "Series":
+    def qcut(self, q: int, labels: list | None = None,
+             approx: bool = False, accuracy: int = 10000) -> "Series":
         """Quantile-based binning (pandas ``pd.qcut``): ``q``
-        equal-frequency bins with exact interpolated edges. One tiny
-        percentile aggregate fetches the q+1 edges (scalars on the
-        driver), then binning is the same narrow CASE as :meth:`cut`
-        with the first bin closed on the left. At extreme scale swap
-        the edge computation for approx_quantile; the binning pass is
-        identical."""
+        equal-frequency bins. One tiny percentile aggregate fetches
+        all q+1 edges in a single array call (one value buffer, not
+        one per edge), then binning is the same narrow CASE as
+        :meth:`cut` with the first bin closed on the left. Edges are
+        exact interpolated by default; ``approx=True`` swaps in the
+        Greenwald-Khanna sketch (percentile_approx) — the 100 TB
+        path, since exact percentiles buffer the value multiset."""
         if q < 1:
             raise ValueError(f"q must be >= 1, got {q}")
         ps = [i / q for i in range(q + 1)]
-        row = self._sdf.agg(*[
-            F.percentile(self._colexpr.cast("double"), F.lit(p))
-            .alias(f"e{i}") for i, p in enumerate(ps)]).first()
-        edges = [row[f"e{i}"] for i in range(q + 1)]
+        qarr = F.expr(
+            "array(" + ",".join(f"{float(p)!r}D" for p in ps) + ")")
+        d = self._colexpr.cast("double")
+        agg = (F.percentile_approx(d, qarr, F.lit(accuracy)) if approx
+               else F.percentile(d, qarr))
+        row = self._sdf.agg(agg.alias("__e__")).first()
+        edges = list(row["__e__"])
         c = self._colexpr.cast("double")
         expr = F.lit(None).cast("string")
         for i in range(q):

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list | None = None, right_cols: list | None = None,
               suffix: str = "_right", tolerance: int | None = None,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              allow_exact_matches: bool = True) -> DataFrame:
     """For each left row, attach the matching right row on ``on``
     (inclusive), matching ``by`` keys:
 
@@ -43,7 +44,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     farther than that are treated as no-match (NULL), like pandas
     merge_asof; for 'nearest' the tolerance is applied per candidate
     BEFORE choosing, so an out-of-tolerance closer row never shadows
-    an in-tolerance farther one.
+    an in-tolerance farther one. ``allow_exact_matches=False`` makes
+    the comparison strict (``<`` / ``>``), pandas-style. ``on`` may
+    be a timestamp or any numeric column (distance math casts to
+    double either way).
 
     Scale: with ``by`` keys the carry window partitions on them (one
     shuffle, state per key). With NO ``by`` keys each carry goes
@@ -68,10 +72,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     def _carry(df, asc, pfx):
         """Carry the latest (asc) / next (desc) right values into
         ``pfx``-prefixed columns plus ``pfx + 'rts'`` (the matched
-        right timestamp). Right rows sort before left at equal
-        timestamps in BOTH directions => inclusive match."""
-        ob = [F.col(on).asc() if asc else F.col(on).desc(),
-              F.col("__src__").asc()]
+        right timestamp). Equal-timestamp handling rides on the
+        source tiebreak: right rows before left => inclusive match
+        (pandas allow_exact_matches=True); left before right =>
+        strict inequality."""
+        src = (F.col("__src__").asc() if allow_exact_matches
+               else F.col("__src__").desc())
+        ob = [F.col(on).asc() if asc else F.col(on).desc(), src]
         vals = {f"__{pfx}_{c}__": F.when(F.col("__src__") == 0,
                                          F.col(c + suffix))
                 for c in right_cols}

@@ -478,3 +478,20 @@ def test_groupby_quantile_approx(bl):
         assert lo.loc[k, "l_extendedprice_p49"] \
             <= ap.loc[k, "l_extendedprice_p50"] \
             <= hi.loc[k, "l_extendedprice_p51"]
+
+
+def test_frame_explode_matches_pandas(bl):
+    import pandas as pd
+    pdf = pd.DataFrame({"k": [1, 2, 3],
+                        "vs": [[10, 20], [], [30]]})
+    # build via spark directly (list columns don't round-trip numpy)
+    spark = bl.get_session()
+    src = spark.createDataFrame([(1, [10, 20]), (2, []), (3, [30])],
+                                "k LONG, vs ARRAY<LONG>")
+    out = bl.DataFrame.from_spark(src).explode("vs").to_pandas()
+    want = pdf.explode("vs")
+    got = sorted((int(r.k), None if pd.isna(r.vs) else int(r.vs))
+                 for r in out.itertuples(index=False))
+    exp = sorted((int(r.k), None if pd.isna(r.vs) else int(r.vs))
+                 for r in want.itertuples(index=False))
+    assert got == exp

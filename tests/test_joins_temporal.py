@@ -333,3 +333,29 @@ def test_asof_join_rejects_bad_direction(spark):
     df = spark.createDataFrame([(1,)], "id LONG")
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, on="id", direction="sideways")
+
+
+def test_asof_join_exact_matches_and_numeric_on(spark):
+    """allow_exact_matches=False (strict inequality) and a NUMERIC
+    'on' column, both against pd.merge_asof."""
+    import pandas as pd
+
+    from baloo_spark.operators.joins import asof_join
+    lrows = [(0, 10, 1), (1, 20, 1), (2, 30, 1)]
+    rrows = [(10, 1, 1.0), (25, 1, 2.0)]
+    left = spark.createDataFrame(lrows, "id LONG, k LONG, g LONG")
+    right = spark.createDataFrame(rrows, "k LONG, g LONG, px DOUBLE")
+    lp = pd.DataFrame(lrows, columns=["id", "k", "g"]).sort_values("k")
+    rp = pd.DataFrame(rrows, columns=["k", "g", "px"]).sort_values("k")
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            got = {r["id"]: r["px_right"] for r in
+                   asof_join(left, right, on="k", by="g",
+                             direction=direction,
+                             allow_exact_matches=exact).collect()}
+            want_df = pd.merge_asof(lp, rp, on="k", by="g",
+                                    direction=direction,
+                                    allow_exact_matches=exact)
+            want = {r.id: (None if pd.isna(r.px) else r.px)
+                    for r in want_df.itertuples()}
+            assert got == want, (direction, exact)

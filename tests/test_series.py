@@ -298,3 +298,35 @@ def test_rank_average_and_max_match_pandas(bl):
                     assert g is None or math.isnan(g), (method, asc)
                 else:
                     assert float(g) == w, (method, asc)
+
+
+def test_rank_pct_matches_pandas(bl):
+    import math
+
+    import pandas as pd
+    vals = [3.0, 1.0, 3.0, np.nan, 2.0]
+    df = bl.DataFrame({"x": np.array(vals)})
+    pds = pd.Series(vals)
+    for method in ("min", "average", "dense", "first"):
+        got = df["x"].rank(method=method, pct=True).to_pandas().tolist()
+        want = pds.rank(method=method, pct=True).tolist()
+        for g, w in zip(got, want):
+            if math.isnan(w):
+                assert g is None or math.isnan(g), method
+            else:
+                assert float(g) == pytest.approx(w), method
+
+
+def test_qcut_approx_close_to_exact(bl):
+    li = bl.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact = li["l_extendedprice"].qcut(4, labels=["a", "b", "c", "d"]) \
+        .to_spark().groupBy("l_extendedprice").count().collect()
+    approx = li["l_extendedprice"].qcut(
+        4, labels=["a", "b", "c", "d"], approx=True) \
+        .to_spark().groupBy("l_extendedprice").count().collect()
+    e = {r[0]: r["count"] for r in exact}
+    a = {r[0]: r["count"] for r in approx}
+    n = sum(e.values())
+    # approx edges shift bin populations by at most the sketch error
+    for k in e:
+        assert abs(e[k] - a.get(k, 0)) / n < 0.02
