@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 # fixed pseudo-random hyperplanes: deterministic, seedless runtime
 _PLANE_SEED = 0x5DEECE66D
 
+# k x dim budget for IVF's literal-expression cell assignment; past
+# this the broadcast-join + window face runs instead (same contract)
+MAX_LITERAL_VALUES = 16384
+
 
 from ..plans.layout import spread
 
@@ -260,17 +264,59 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     """
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, id_col)
-    cents = F.broadcast(centroids)
+    crows = centroids.select("cent_id", "cent").collect()
+    n_vals = sum(len(r["cent"]) for r in crows)
 
-    def nearest(df, vcol, rank_n, out):
-        scored = df.join(cents, F.lit(True)) \
-            .withColumn("__sim__", cosine_expr(vcol, "cent"))
-        w = Window.partitionBy(df[id_col]).orderBy(
-            F.col("__sim__").desc(), F.col("cent_id").asc())
-        return (scored.withColumn("__cr__", F.row_number().over(w))
-                .where(F.col("__cr__") <= rank_n)
-                .drop("cent", "__sim__", "__cr__")
-                .withColumnRenamed("cent_id", out))
+    if n_vals <= MAX_LITERAL_VALUES:
+        # expression face: nearest cells via ONE array fold per row —
+        # the join face below fans every row out k ways and funnels
+        # them back through a per-id window (k x the shuffle/window
+        # rows for the same argmax). Ties to the lowest cent_id both
+        # ways (struct sort on (-sim, cid)). Centroid norms are
+        # precomputed driver-side with the same ascending-component
+        # summation order as the JVM fold, so the cosines are
+        # bit-identical to cosine_expr's.
+        import math
+        structs = []
+        for r in crows:
+            c = [float(x) for x in r["cent"]]
+            nc = 0.0
+            for x in c:
+                nc += x * x
+            nc = math.sqrt(nc)
+            arr = ",".join(f"{x!r}D" for x in c)
+            structs.append(f"named_struct('cid', {int(r['cent_id'])}, "
+                           f"'nc', {nc!r}D, 'c', array({arr}))")
+        lit = "array(" + ",".join(structs) + ")"
+
+        def nearest(df, vcol, rank_n, out):
+            pre = df.withColumn("__nv__", norm_expr(vcol))
+            sims = (
+                f"transform({lit}, s -> named_struct("
+                f"'ns', -(CASE WHEN __nv__ > 0D AND s.nc > 0D THEN "
+                f"aggregate(zip_with(s.c, {vcol}, "
+                f"(a, b) -> a * CAST(b AS DOUBLE)), 0D, "
+                f"(acc, x) -> acc + x) / (__nv__ * s.nc) "
+                f"ELSE 0D END), 'cid', s.cid))")
+            cells = (f"transform(slice(sort_array({sims}), 1, {rank_n}), "
+                     f"s -> s.cid)")
+            out_df = pre.withColumn(out, F.explode(F.expr(cells))) \
+                .drop("__nv__")
+            return out_df
+    else:
+        # large-k fallback: broadcast join + per-id window (k x dim
+        # past the literal budget would die in parse/codegen)
+        cents = F.broadcast(centroids)
+
+        def nearest(df, vcol, rank_n, out):
+            scored = df.join(cents, F.lit(True)) \
+                .withColumn("__sim__", cosine_expr(vcol, "cent"))
+            w = Window.partitionBy(df[id_col]).orderBy(
+                F.col("__sim__").desc(), F.col("cent_id").asc())
+            return (scored.withColumn("__cr__", F.row_number().over(w))
+                    .where(F.col("__cr__") <= rank_n)
+                    .drop("cent", "__sim__", "__cr__")
+                    .withColumnRenamed("cent_id", out))
 
     c = spread(corpus).select(F.col(id_col), F.col(vec_col).alias("cv"))
     c_assigned = nearest(c, "cv", 1, "cell") \

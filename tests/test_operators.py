@@ -759,3 +759,21 @@ def test_drop_near_duplicates_high_dup_rate(spark):
     assert "UnresolvedHint" not in analyzed
     got = sorted(r["doc_id"] for r in out.collect())
     assert got == [5 * k for k in range(10)]
+
+
+def test_ivf_cell_faces_agree(spark, emb, monkeypatch):
+    """IVF's literal-expression cell assignment (r4: one array fold
+    per row, no k-way fan-out) must return exactly what the
+    broadcast-join + window face returns."""
+    import baloo_spark.operators.similarity as sim
+    q = emb.filter("vec_id < 5")
+    c = emb.filter("vec_id >= 5")
+    cents = sim.train_centroids(c, 8)
+    a = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in
+               sim.ivf_topk(q, c, k=10, centroids=cents,
+                            n_probe=3).collect())
+    monkeypatch.setattr(sim, "MAX_LITERAL_VALUES", 1)  # force join face
+    b = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in
+               sim.ivf_topk(q, c, k=10, centroids=cents,
+                            n_probe=3).collect())
+    assert a == b
