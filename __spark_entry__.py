@@ -1667,7 +1667,10 @@ def _running_totals(spark, sf):
         F.round("roll3_mean", 2).alias("roll3_mean"),
         F.lit(None).cast("double").alias("price_diff"),
         F.lit(None).cast("double").alias("prev_price"),
-        F.lit(None).cast("double").alias("roll3_sum"))
+        F.lit(None).cast("double").alias("roll3_sum"),
+        F.lit(None).cast("long").alias("rank_min"),
+        F.lit(None).cast("double").alias("rank_avg"),
+        F.lit(None).cast("long").alias("rank_dense"))
     o2 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
@@ -1684,8 +1687,41 @@ def _running_totals(spark, sf):
         F.lit(None).cast("double").alias("roll3_mean"),
         F.round("price_diff", 2).alias("price_diff"),
         F.round("prev_price", 2).alias("prev_price"),
-        F.round("roll3_sum", 2).alias("roll3_sum"))
-    return win.unionByName(diff)
+        F.round("roll3_sum", 2).alias("roll3_sum"),
+        F.lit(None).cast("long").alias("rank_min"),
+        F.lit(None).cast("double").alias("rank_avg"),
+        F.lit(None).cast("long").alias("rank_dense"))
+
+    # r4 'rank' leg: Series.rank min/average/dense over the same
+    # bounded extract — the dense-ordinal tie-group schemes,
+    # replayed by DuckDB's rank()/dense_rank() window functions
+    # (average = min_rank + (tie_count - 1)/2)
+    o3 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
+                                    "o_totalprice"]] \
+        .sort_values("o_orderkey").set_index("o_orderkey")
+    s3 = o3["o_totalprice"]
+
+    def _r(method, name, typ):
+        return s3.rank(method).to_spark().select(
+            F.col("o_orderkey"),
+            F.col("o_totalprice").cast(typ).alias(name))
+
+    rk = (o3.to_spark(include_index=True)
+          .select("o_orderkey", "o_custkey")
+          .join(_r("min", "rank_min", "long"), "o_orderkey")
+          .join(_r("average", "rank_avg", "double"), "o_orderkey")
+          .join(_r("dense", "rank_dense", "long"), "o_orderkey"))
+    rank_leg = rk.select(
+        F.lit("rank").alias("part"),
+        "o_custkey", "o_orderkey",
+        F.lit(None).cast("double").alias("cum_spend"),
+        F.lit(None).cast("long").alias("prev_order"),
+        F.lit(None).cast("double").alias("roll3_mean"),
+        F.lit(None).cast("double").alias("price_diff"),
+        F.lit(None).cast("double").alias("prev_price"),
+        F.lit(None).cast("double").alias("roll3_sum"),
+        "rank_min", "rank_avg", "rank_dense")
+    return win.unionByName(diff).unionByName(rank_leg)
 
 
 _RUNNING_TOTALS_SQL = """
@@ -1700,7 +1736,9 @@ SELECT 'win' AS part, o_custkey, o_orderkey,
                                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              END, 2) AS roll3_mean,
        CAST(NULL AS DOUBLE) AS price_diff, CAST(NULL AS DOUBLE) AS prev_price,
-       CAST(NULL AS DOUBLE) AS roll3_sum
+       CAST(NULL AS DOUBLE) AS roll3_sum,
+       CAST(NULL AS BIGINT) AS rank_min, CAST(NULL AS DOUBLE) AS rank_avg,
+       CAST(NULL AS BIGINT) AS rank_dense
 FROM orders
 UNION ALL
 SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
@@ -1710,7 +1748,15 @@ SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 3
                   THEN sum(o_totalprice) OVER (ORDER BY o_orderkey
                                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             END, 2)
+             END, 2),
+       NULL, NULL, NULL
+FROM orders WHERE o_orderkey < 2000
+UNION ALL
+SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
+       rank() OVER (ORDER BY o_totalprice),
+       (rank() OVER (ORDER BY o_totalprice))
+         + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0,
+       dense_rank() OVER (ORDER BY o_totalprice)
 FROM orders WHERE o_orderkey < 2000
 """
 
