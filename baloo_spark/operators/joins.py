@@ -86,18 +86,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         if by:
             w = Window.partitionBy(*by).orderBy(*ob) \
                 .rowsBetween(Window.unboundedPreceding, 0)
-            out = df
-            for name, e in vals.items():
-                out = out.withColumn(
-                    name, F.last(e, ignorenulls=True).over(w))
-            return out
+            # all carries in ONE select => a single Window node (the
+            # sequential-withColumn form left one Window per column)
+            return df.select(
+                "*", *[F.last(e, ignorenulls=True).over(w).alias(name)
+                       for name, e in vals.items()])
         from ..plans.ordinal import with_last_non_null
         return with_last_non_null(df, vals, ob)
+
+    on_type = dict(unioned.dtypes).get(on)
 
     def secs(c):
         # fractional-second epoch: unix_timestamp truncates to whole
         # seconds, which would break nearest tie-breaking / tolerance
-        # edges on sub-second timestamps
+        # edges on sub-second timestamps. TIMESTAMP_NTZ (what a raw
+        # parquet read can surface) cannot cast to double directly —
+        # reinterpret as TIMESTAMP first (the session TZ is pinned
+        # UTC, so the shift is constant and distances are preserved).
+        if on_type == "timestamp_ntz":
+            c = c.cast("timestamp")
         return c.cast("double")
 
     if direction in ("backward", "forward"):

@@ -359,3 +359,22 @@ def test_asof_join_exact_matches_and_numeric_on(spark):
             want = {r.id: (None if pd.isna(r.px) else r.px)
                     for r in want_df.itertuples()}
             assert got == want, (direction, exact)
+
+
+def test_asof_join_timestamp_ntz(spark):
+    """Raw parquet reads can surface TIMESTAMP_NTZ — the distance
+    math must handle it (plain cast-to-double fails on NTZ)."""
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.joins import asof_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    l = ev.filter("event_type = 'purchase'") \
+        .select("event_id", "user_id", "ts")
+    r = (ev.filter("event_type = 'click'")
+         .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    for direction in ("backward", "nearest"):
+        out = asof_join(l, r, on="ts", by="user_id",
+                        right_cols=["value"], direction=direction,
+                        tolerance=3600)
+        assert out.count() > 0
