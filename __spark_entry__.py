@@ -3386,7 +3386,30 @@ def _doc_pipeline_stats(spark, sf):
         F.lit(None).cast("string").alias("text"),
         F.col("avg_neg_logp").alias("v1"),
         F.col("ppl").alias("v2"))
-    return ch.unionByName(cv).unionByName(lm)
+
+    # r4 'clean' leg: clean_text with Unicode NFC — control byte +
+    # double spaces + a combining-accent sequence injected into every
+    # 35th doc (replayed verbatim by the oracle via chr()/
+    # nfc_normalize), so the strip/collapse/normalize steps all do
+    # real work; md5 of the cleaned text is the hard value check
+    from baloo_spark.operators.text import clean_text
+    docs = _t(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 35 == 0,
+               F.concat(F.col("text"),
+                        F.lit("\x01  café  x")))
+        .otherwise(F.col("text")).alias("text"))
+    cl = clean_text(dirty, unicode_form="NFC").select(
+        F.lit("clean").alias("kind"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("long").alias("seq"),
+        F.col("n_chars_raw").alias("n"),
+        F.col("n_chars_clean").alias("m"),
+        F.md5(F.col("text")).alias("text"),
+        F.lit(None).cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"))
+    return ch.unionByName(cv).unionByName(lm).unionByName(cl)
 
 
 _DOC_PIPELINE_SQL = (
@@ -3397,7 +3420,15 @@ _DOC_PIPELINE_SQL = (
     "UNION ALL SELECT kind, NULL, NULL, term_count, doc_count, "
     "ngram, value, NULL FROM (" + _CORPUS_VOCAB_SQL + ") t2 "
     "UNION ALL SELECT 'lm', doc_id, NULL, n_bigrams, NULL, NULL, "
-    "avg_neg_logp, ppl FROM (" + _LM_PERPLEXITY_SQL + ") t3")
+    "avg_neg_logp, ppl FROM (" + _LM_PERPLEXITY_SQL + ") t3 "
+    "UNION ALL SELECT 'clean', doc_id, NULL, length(t), length(c), "
+    "md5(c), NULL, NULL FROM ("
+    "  SELECT doc_id, t, nfc_normalize(trim(regexp_replace("
+    "regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', "
+    "'', 'g'), '  +', ' ', 'g'))) AS c FROM ("
+    "    SELECT doc_id, CASE WHEN doc_id % 35 = 0 "
+    "    THEN text || chr(1) || '  cafe' || chr(769) || '  x' "
+    "    ELSE text END AS t FROM documents) s) t4")
 
 
 # =====================================================================

@@ -568,3 +568,61 @@ def boilerplate_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
              + F.col("caps_start_frac")) / 3.0
     return (out.withColumn("boilerplate_score", F.round(score, 6))
             .drop("__ln__"))
+
+
+# control characters other than \n and \t: mojibake, terminal escapes,
+# and NUL bytes that crash downstream tokenizers
+_CONTROL_RX = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def clean_text(df: DataFrame, text_col: str = "text",
+               unicode_form: str | None = None,
+               strip_control: bool = True,
+               collapse_spaces: bool = True) -> DataFrame:
+    """Text normalization pass — the first stage of every training-
+    data pipeline: strip control characters (keeping ``\\n``/``\\t``),
+    collapse space runs, trim, and optionally Unicode-normalize
+    (``unicode_form`` in {'NFC','NFKC','NFD','NFKD'}).
+
+    Output: ``text_col`` cleaned in place plus ``n_chars_raw`` /
+    ``n_chars_clean`` (character counts before/after — the cheap
+    signal for "how dirty was this shard").
+
+    Scale shape: the regex steps are JVM ``regexp_replace``
+    expressions (single scan, no shuffle, stream-safe). Unicode
+    normalization has no Spark builtin, so that step — and only that
+    step — runs as an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (both it and DuckDB's utf8proc
+    implement the Unicode standard, so results replay exactly
+    cross-engine); leave ``unicode_form=None`` to stay entirely
+    JVM-side.
+    """
+    if unicode_form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unsupported unicode_form: {unicode_form!r}")
+    df = spread(df)
+    c = F.col(text_col)
+    pre = df.withColumn("n_chars_raw",
+                        F.length(F.coalesce(c, F.lit(""))).cast("long"))
+    cleaned = F.coalesce(F.col(text_col), F.lit(""))
+    if strip_control:
+        cleaned = F.regexp_replace(cleaned, _CONTROL_RX, "")
+    if collapse_spaces:
+        cleaned = F.trim(F.regexp_replace(cleaned, " {2,}", " "))
+    if unicode_form:
+        import unicodedata
+
+        from ..functions._udf import scalar_pandas_udf
+        form = unicode_form
+
+        def _norm(s):
+            return s.map(lambda x: None if x is None
+                         else unicodedata.normalize(form, x))
+
+        out = pre.withColumn("__c__", cleaned)
+        udf = scalar_pandas_udf(_norm, "string")
+        out = out.withColumn(text_col, udf(F.col("__c__"))) \
+            .drop("__c__")
+    else:
+        out = pre.withColumn(text_col, cleaned)
+    return out.withColumn("n_chars_clean",
+                          F.length(text_col).cast("long"))

@@ -777,3 +777,41 @@ def test_ivf_cell_faces_agree(spark, emb, monkeypatch):
                sim.ivf_topk(q, c, k=10, centroids=cents,
                             n_probe=3).collect())
     assert a == b
+
+
+def test_clean_text_matches_python_reference(spark):
+    import unicodedata
+
+    from baloo_spark.operators.text import clean_text
+    rows = [
+        (1, "plain words"),
+        (2, "ctrl\x01\x02 bytes\x7f here"),
+        (3, "double  spaces   and \t tab"),
+        (4, "combining: café vs café"),
+        (5, None),
+        (6, "  edge trim  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["text"], r["n_chars_raw"], r["n_chars_clean"])
+           for r in clean_text(df, unicode_form="NFC").collect()}
+
+    def ref(t):
+        import re
+        raw = len(t or "")
+        s = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", t or "")
+        s = re.sub("  +", " ", s).strip()
+        s = unicodedata.normalize("NFC", s)
+        return s, raw, len(s)
+
+    for i, t in rows:
+        assert got[i] == ref(t), i
+    # NFC folds the combining sequence into the precomposed form
+    assert "café" not in got[4][0] and "café" in got[4][0]
+    # JVM-only face (no UDF) when unicode_form is None
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        clean_text(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "Join" not in plan
