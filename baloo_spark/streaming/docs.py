@@ -36,23 +36,30 @@ def read_docs_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def quality_pipeline(docs: DataFrame, min_quality: float = 0.3,
                      max_dup_line_frac: float = 0.5,
-                     lang: str = "en") -> DataFrame:
+                     lang: str = "en",
+                     unicode_form: str | None = None) -> DataFrame:
     """The standard pre-training text-cleaning pipeline as ONE
-    stateless projection chain: PII redaction -> profile of the
+    stateless projection chain: text cleanup (control-strip +
+    space-collapse; pass ``unicode_form`` for NFC/NFKC
+    normalization) -> PII redaction -> profile of the CLEANED,
     REDACTED text (quality + repetition fused, text passed through
     via ``keep_cols``) -> threshold filter.
 
     Deliberately join-free: a profile⋈text join would be a
     stream-stream join (unbounded buffered state on an unbounded
-    stream); redact-then-profile keeps it a linear narrow pipeline —
-    and scores what would actually be trained on. Works identically
-    on a batch DataFrame and a readStream; the batch face is the
-    correctness oracle for the streaming face (pinned in tests).
-    Append-mode, no watermark, no state.
+    stream); clean-redact-then-profile keeps it a linear narrow
+    pipeline — and scores what would actually be trained on. Works
+    identically on a batch DataFrame and a readStream; the batch face
+    is the correctness oracle for the streaming face (pinned in
+    tests). Append-mode, no watermark, no state.
     """
-    from baloo_spark.operators.text import pii_redact, text_profile
+    from baloo_spark.operators.text import (clean_text, pii_redact,
+                                            text_profile)
 
-    red = pii_redact(docs.select("doc_id", "text"))
+    cleaned = clean_text(docs.select("doc_id", "text"),
+                         unicode_form=unicode_form) \
+        .drop("n_chars_raw", "n_chars_clean")
+    red = pii_redact(cleaned)
     prof = text_profile(red, lang=lang, include_repetition=True,
                         keep_cols=("text", "n_pii_total"))
     return (prof

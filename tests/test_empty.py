@@ -63,3 +63,39 @@ def test_new_ops_on_empty_frames(spark):
     assert df["x"].rank().to_spark().count() == 0
     assert df.duplicated(subset="x").to_spark().count() == 0
     assert df["x"].nunique() == 0
+
+
+def test_r4_ops_on_empty_frames(spark):
+    import baloo_spark as bl
+    from baloo_spark.operators.dedup import (drop_near_duplicates,
+                                             embedding_near_pairs,
+                                             incremental_dedup)
+    from baloo_spark.operators.joins import asof_join
+    from baloo_spark.operators.text import clean_text
+
+    empty_docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    surv, seen = incremental_dedup(empty_docs, None)
+    assert surv.count() == 0 and seen.count() == 0
+    assert clean_text(empty_docs, unicode_form="NFC").count() == 0
+
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert embedding_near_pairs(empty_vecs, block=True).count() == 0
+
+    pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id LONG")
+    assert drop_near_duplicates(docs, pairs).count() == 2
+
+    empty_ts = spark.createDataFrame([], "id LONG, ts TIMESTAMP")
+    right = spark.createDataFrame([], "ts TIMESTAMP, px DOUBLE")
+    for d in ("backward", "forward", "nearest"):
+        assert asof_join(empty_ts, right, on="ts",
+                         direction=d).count() == 0
+
+    df = bl.DataFrame.from_spark(
+        spark.createDataFrame([], "k LONG, x DOUBLE")).sort_values("k")
+    assert df["x"].rank(method="average").to_spark().count() == 0
+    assert df["x"].rank(pct=True).to_spark().count() == 0
+    src = spark.createDataFrame([], "k LONG, vs ARRAY<LONG>")
+    assert bl.DataFrame.from_spark(src).explode("vs") \
+        .to_spark().count() == 0
