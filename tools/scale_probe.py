@@ -247,6 +247,64 @@ def main():
     print("skew probe:", times, "max group", max_plain, "->",
           max_salted)
 
+    # embedding near-pairs probe: replicas get DISTINCT ids and a
+    # perturbed first component (otherwise replication manufactures
+    # exact-duplicate megaclusters — the documented reason exact
+    # dedup runs before ANY near-dup pass). With the plane count
+    # FIXED, LSH candidate counts grow ~n^2/2^planes — the knob is
+    # planes ~ log2(n): raising 8 -> 12 at 16x restores the 1x
+    # per-bucket density. Both measured below.
+    from baloo_spark.operators.dedup import embedding_near_pairs
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def repl_emb(m):
+        # every component jittered by a deterministic +-0.3 hash
+        # offset (component scale is ~0.1): signatures scramble
+        # uniformly across replicas. A single-component shift looks
+        # simpler but collapses each replica into a couple of
+        # buckets (the shifted component dominates every plane dot)
+        # — manufactured pathological skew, not a scaling signal.
+        parts = [emb.select("vec_id", "embedding")]
+        for i in range(1, m):
+            parts.append(emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.expr(f"transform(embedding, (x, j) -> "
+                       f"CAST(x + (CAST(pmod(xxhash64(j, {i}), 601) "
+                       f"AS DOUBLE) - 300D) / 1000D AS FLOAT))")
+                .alias("embedding")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    np_lines = ["## embedding near-pairs (hyperplane-blocked "
+                "self-join)", ""]
+    for mult, planes in ((1, 8), (16, 8), (16, 12)):
+        df = embedding_near_pairs(repl_emb(mult), threshold=0.99,
+                                  planes=planes)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = embedding_near_pairs(repl_emb(mult), threshold=0.99,
+                                      planes=planes)
+            df.write.format("noop").mode("overwrite").save()
+            dt = min(dt, time.perf_counter() - t0)
+        np_lines.append(f"- {mult}x, planes={planes}: {dt:.2f}s")
+        print("near_pairs", np_lines[-1])
+    np_lines += ["",
+                 "_Candidates scale ~n^2/2^planes at FIXED planes — "
+                 "the 16x/planes=8 row pays that quadratic candidate "
+                 "growth by design. The production knob is planes ~ "
+                 "log2(n): planes=12 at 16x restores the 1x "
+                 "per-bucket density and the runtime drops back "
+                 "toward linear. The r4 rewrite streams candidates "
+                 "through a checkpointed signature self-join, so "
+                 "growth lands in streamed join work, never in "
+                 "single collect_list rows (the old 2 GB-row "
+                 "hazard)._", ""]
+    lines += [""] + np_lines
+
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
