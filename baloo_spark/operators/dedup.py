@@ -453,15 +453,32 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          threshold: float = 0.95,
-                         block: bool = True, planes: int = 8) -> DataFrame:
+                         block: bool = True, planes=8,
+                         target_bucket: int = 64) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold.
 
     ``block=True`` buckets by random-hyperplane signature first (an
     LSH prefilter) so only same-bucket pairs are compared; near-
     identical vectors collide with high probability. block=False is
     the exact (quadratic) path for bounded inputs.
+
+    Candidate counts scale ~n^2/2^planes at a FIXED plane count
+    (measured in SCALING.md), so the production knob is planes ~
+    log2(n): pass ``planes='auto'`` to size it from the corpus count
+    (one cheap count job) targeting ``target_bucket`` expected rows
+    per bucket — per-bucket pair work then stays constant as the
+    corpus grows. Recall falls as planes rise; at 100 TB pair it
+    with multiple plane SEEDS (union of runs) if recall matters more
+    than cost.
     """
+    import math
+
     from .similarity import cosine_expr, hyperplane_sig
+    if planes == "auto":
+        n = df.count()
+        planes = max(4, min(24, math.ceil(
+            math.log2(max(n, 1) / target_bucket))
+            if n > target_bucket else 4))
     v = _parallelize(df).select(F.col(id_col), F.col(vec_col).alias("v"))
     if block:
         # signature SELF-JOIN over a checkpointed signed table — NOT

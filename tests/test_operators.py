@@ -815,3 +815,24 @@ def test_clean_text_matches_python_reference(spark):
         clean_text(df).explain("formatted")
     plan = buf.getvalue()
     assert "ArrowEvalPython" not in plan and "Join" not in plan
+
+
+def test_embedding_near_pairs_auto_planes(spark, emb):
+    """planes='auto' sizes the plane count from the corpus so the
+    expected bucket occupancy stays ~target_bucket as data grows."""
+    import math
+
+    from baloo_spark.operators.dedup import embedding_near_pairs
+    n = emb.count()
+    expect = max(4, min(24, math.ceil(math.log2(n / 16))))
+    auto = sorted((r["id_a"], r["id_b"]) for r in
+                  embedding_near_pairs(emb, threshold=0.999,
+                                       planes="auto",
+                                       target_bucket=16).collect())
+    explicit = sorted((r["id_a"], r["id_b"]) for r in
+                      embedding_near_pairs(emb, threshold=0.999,
+                                           planes=expect).collect())
+    assert auto == explicit   # auto resolved to the expected count
+    # tiny corpus -> floor of 4 planes, still runs end to end
+    tiny = emb.limit(8)
+    assert embedding_near_pairs(tiny, planes="auto").count() >= 0
