@@ -72,6 +72,15 @@ SCOPE_NOTES = {
     "dedup_exact": "r4: adds the two-batch incremental-dedup replay "
                    "(two extra hash aggs + a left-anti join) next to "
                    "the original single groupBy — 500 -> 1000 rows",
+    "doc_pipeline_stats": "r3 consolidation (chunk + vocab + LM legs "
+                          "in one slot); r4 adds the 'clean' leg — "
+                          "clean_text with Unicode NFC, one more "
+                          "full documents scan + an Arrow "
+                          "normalization UDF pass",
+    "running_totals": "r4: adds the 'rank' leg — three dense-ordinal "
+                      "rank computations (min/average/dense) over a "
+                      "bounded extract, each a two-pass "
+                      "partition-offset scheme",
 }
 
 # flags checked by hand: re-timed solo and plan-audited, not a
@@ -92,6 +101,11 @@ VERIFIED_NOISE = {
                      "is first-query JIT + host load on a shared box. "
                      "Constant-factor heavy by nature (k=64 shingle "
                      "fold), no scale hazard (band equi-join only)",
+    "str_ops": "re-timed 5x solo at sf0.1 (r4): 0.37-0.50s steady "
+               "state — BOTH in-bench numbers (0.217s r3, 0.273s r4) "
+               "sit below the solo band, so the 56 ms delta is "
+               "shared-session variance; strings.py is untouched "
+               "this round and the plan is the same single scan",
 }
 
 
@@ -220,14 +234,23 @@ def main(paths):
                      f"**{(tc2 - tp) / tp * 100:+.0f}%** |")
         lines.append("")
         widened = [(q, a, b) for q, a, b in rflags if q in SCOPE_NOTES]
+        noisy = [(q, a, b) for q, a, b in rflags
+                 if q not in SCOPE_NOTES and q in VERIFIED_NOISE]
         other = [(q, a, b) for q, a, b in rflags
-                 if q not in SCOPE_NOTES]
+                 if q not in SCOPE_NOTES and q not in VERIFIED_NOISE]
         if widened:
             lines.append(f"Warm growth >20% vs {prev_lbl}, explained "
                          "by scope widening:")
             for q, a, b in widened:
                 lines.append(f"- `{q}`: {a:.3f}s → {b:.3f}s — "
                              f"{SCOPE_NOTES[q]}")
+            lines.append("")
+        if noisy:
+            lines.append(f"Warm growth >20% vs {prev_lbl}, "
+                         "hand-verified as noise:")
+            for q, a, b in noisy:
+                lines.append(f"- `{q}`: {a:.3f}s → {b:.3f}s — "
+                             f"{VERIFIED_NOISE[q]}")
             lines.append("")
         if other:
             lines.append(f"Warm growth >20% vs {prev_lbl}, "
