@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.ordinal import ORD_COL, with_dense_ordinal
+from .ordering import order_expr, order_exprs, rev_order_exprs
 from .dtypes import np_dtype_of, spark_type_of
 from .series import _AGG_FNS, _IDX, Series, _is_numeric
 
@@ -462,8 +463,7 @@ class DataFrame:
         surviving rows (ordered by the logical order, falling back to
         the labels for ingest order)."""
         from ..plans.ordinal import POS_COL
-        order = [F.col(c).asc() if a else F.col(c).desc()
-                 for c, a in (self._order or []) if c in self._sdf.columns]
+        order = order_exprs(self._order or [], self._sdf.columns)
         if not order and ORD_COL in self._sdf.columns:
             order = [F.col(ORD_COL).asc()]
         return with_dense_ordinal(self._sdf, order or None, name=POS_COL)
@@ -475,8 +475,7 @@ class DataFrame:
                 and ORD_COL not in self._sdf.columns):
             # contiguous slice over an explicit order: offset+limit is
             # a global-limit plan — no dense-ordinal materialization
-            ob = [F.col(c).asc() if a else F.col(c).desc()
-                  for c, a in self._order if c in self._sdf.columns]
+            ob = order_exprs(self._order, self._sdf.columns)
             if ob:
                 sdf = self._sdf.orderBy(*ob).offset(start).limit(stop - start)
                 return DataFrame._make(sdf, self._index_cols,
@@ -496,16 +495,14 @@ class DataFrame:
     def head(self, n: int = 5) -> "DataFrame":
         sdf = self._sdf
         if self._order:
-            cols = [F.col(c).asc() if a else F.col(c).desc()
-                    for c, a in self._order if c in sdf.columns]
+            cols = order_exprs(self._order, sdf.columns)
             if cols:
                 sdf = sdf.orderBy(*cols)  # orderBy+limit => TakeOrderedAndProject
         return self._replace_sdf(sdf.limit(n))
 
     def tail(self, n: int = 5) -> "DataFrame":
         if self._order:
-            rev = [F.col(c).desc() if a else F.col(c).asc()
-                   for c, a in self._order if c in self._sdf.columns]
+            rev = rev_order_exprs(self._order, self._sdf.columns)
             if rev:
                 sdf = self._sdf.orderBy(*rev).limit(n)
                 return self._replace_sdf(sdf)
@@ -527,7 +524,7 @@ class DataFrame:
             if c not in self._data_cols and c not in self._index_cols:
                 raise KeyError(c)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
-        cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
+        cols = [order_expr(c, a) for c, a in zip(by, asc)]
         sdf = self._sdf.orderBy(*cols)
         return DataFrame._make(sdf.drop(ORD_COL), self._index_cols, self._data_cols,
                                list(zip(by, asc)))
@@ -654,14 +651,12 @@ class DataFrame:
             # global fill: two-pass carry (partition-local windows +
             # driver-stitched boundaries), never one partition. bfill
             # = the same carry over the reversed order.
-            flipped = pairs if forward else [(c, not a) for c, a in pairs]
-            ob = [F.col(c).asc() if a else F.col(c).desc()
-                  for c, a in flipped]
+            ob = (order_exprs(pairs) if forward
+                  else rev_order_exprs(pairs))
             sdf = with_last_non_null(sdf, {c: F.col(c) for c in subset},
                                      ob)
         else:
-            order = [F.col(c).asc() if a else F.col(c).desc()
-                     for c, a in pairs]
+            order = order_exprs(pairs)
             w = Window.partitionBy(*partition_by)
             if forward:
                 w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -1379,8 +1374,7 @@ class DataFrame:
             + self._data_cols
         sdf = self._sdf
         if self._order:
-            ob = [F.col(c).asc() if a else F.col(c).desc()
-                  for c, a in self._order if c in sdf.columns]
+            ob = order_exprs(self._order, sdf.columns)
             if ob:
                 sdf = sdf.orderBy(*ob)
         pdf = sdf.select(*dict.fromkeys(cols)).toPandas()

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.ordinal import ORD_COL, with_dense_ordinal
+from .ordering import order_expr, order_exprs, rev_order_exprs
 from .dtypes import np_dtype_of, spark_type_of
 
 _VAL = "__val__"
@@ -170,8 +171,7 @@ class Series:
             def _f():
                 sdf = self._sdf
                 if self._order:
-                    ob = [F.col(c).asc() if a else F.col(c).desc()
-                          for c, a in self._order if c in sdf.columns]
+                    ob = order_exprs(self._order, sdf.columns)
                     if ob:
                         sdf = sdf.orderBy(*ob)
                 return np.asarray([r[0] for r in sdf.select(col).collect()])
@@ -356,8 +356,7 @@ class Series:
                 if c in self._sdf.columns and c != alias]
         sdf = self._sdf.select(*[F.col(c) for c in keep],
                                self._colexpr.alias(alias))
-        order = [F.col(c).asc() if asc else F.col(c).desc()
-                 for c, asc in (self._order or []) if c in sdf.columns]
+        order = order_exprs(self._order or [], sdf.columns)
         if not order and ORD_COL in sdf.columns:
             order = [F.col(ORD_COL).asc()]
         return with_dense_ordinal(sdf, order or None, name=POS_COL), alias
@@ -381,8 +380,7 @@ class Series:
     def head(self, n: int = 5) -> "Series":
         sdf, alias = self._select()
         if self._order:
-            sdf = sdf.orderBy(*[F.col(c).asc() if a else F.col(c).desc()
-                                for c, a in self._order])
+            sdf = sdf.orderBy(*order_exprs(self._order))
         out = sdf.limit(n)
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             self._order)
@@ -456,16 +454,14 @@ class Series:
     def sort_values(self, ascending: bool = True) -> "Series":
         """Sort by value — distributed range-partitioned sort."""
         sdf, alias = self._select()
-        out = sdf.orderBy(F.col(alias).asc() if ascending
-                          else F.col(alias).desc())
+        out = sdf.orderBy(order_expr(alias, ascending))
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             [(alias, ascending)])
 
     def sort_index(self, ascending: bool = True) -> "Series":
         sdf, alias = self._select()
         idx = [c for c in self._index_cols if c in sdf.columns]
-        out = sdf.orderBy(*[F.col(c).asc() if ascending else F.col(c).desc()
-                            for c in idx])
+        out = sdf.orderBy(*[order_expr(c, ascending) for c in idx])
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             [(c, ascending) for c in idx])
 
@@ -600,7 +596,7 @@ class Series:
             from ..plans.ordinal import POS_COL
             sdf, alias = self._ordered_sdf()
             idx = POS_COL
-        val = F.col(alias).asc() if ascending else F.col(alias).desc()
+        val = order_expr(alias, ascending)
         row = sdf.orderBy(val, F.col(idx).asc()).select(idx).first()
         return None if row is None else row[0]
 
@@ -615,8 +611,7 @@ class Series:
         (sort_values/sort_index) upstream; an unordered scan shifts in
         the current layout order."""
         sdf = self._sdf
-        order = [F.col(c).asc() if a else F.col(c).desc()
-                 for c, a in (self._order or []) if c in sdf.columns]
+        order = order_exprs(self._order or [], sdf.columns)
         from ..plans.ordinal import with_boundary_shift
         out = with_boundary_shift(sdf, self._colexpr, periods,
                                   order_by=order or None)
@@ -632,8 +627,7 @@ class Series:
 
     def _cumulative(self, kind: str) -> "Series":
         sdf = self._sdf
-        order = [F.col(c).asc() if a else F.col(c).desc()
-                 for c, a in (self._order or []) if c in sdf.columns]
+        order = order_exprs(self._order or [], sdf.columns)
         from ..plans.ordinal import with_prefix_aggs
         v = (self._colexpr.cast("double") if kind in ("sum", "prod")
              else self._colexpr)
@@ -949,8 +943,7 @@ class Series:
         if self._order:
             order = [c for c, _ in self._order if c in sdf.columns]
             if order:
-                sdf = sdf.orderBy(*[F.col(c).asc() if a else F.col(c).desc()
-                                    for c, a in self._order if c in sdf.columns])
+                sdf = sdf.orderBy(*order_exprs(self._order, sdf.columns))
         return np.asarray(sdf.toPandas()[alias].to_numpy())
 
     # ------------------------------------------------------------ evaluate
@@ -968,8 +961,7 @@ class Series:
         import pandas as pd
         sdf, alias = self._select()
         if self._order:
-            cols = [F.col(c).asc() if a else F.col(c).desc()
-                    for c, a in self._order if c in sdf.columns]
+            cols = order_exprs(self._order, sdf.columns)
             if cols:
                 sdf = sdf.orderBy(*cols)
         pdf = sdf.toPandas()

@@ -495,3 +495,35 @@ def test_frame_explode_matches_pandas(bl):
     exp = sorted((int(r.k), None if pd.isna(r.vs) else int(r.vs))
                  for r in want.itertuples(index=False))
     assert got == exp
+
+
+def test_sort_null_position_matches_pandas(bl):
+    """pandas puts NaN LAST in both sort directions (na_position=
+    'last'); Spark's bare asc() is nulls-first — core/ordering.py
+    pins the pandas behavior across sort/head/tail/slice/idxmin."""
+    import pandas as pd
+    vals = [3.0, np.nan, 1.0, np.nan, 2.0]
+    df = bl.DataFrame({"x": np.array(vals)})
+    pdf = pd.DataFrame({"x": vals})
+
+    def nl(xs):
+        return [None if (isinstance(v, float) and v != v) else v
+                for v in xs]
+    for asc in (True, False):
+        got = nl(df.sort_values("x", ascending=asc)["x"]
+                 .to_pandas().tolist())
+        want = nl(pdf.sort_values("x", ascending=asc)["x"].tolist())
+        assert got == want, asc
+    s = df.sort_values("x")
+    assert nl(s.tail(3).to_pandas()["x"].tolist()) == [3.0, None, None]
+    assert nl(s.head(2).to_pandas()["x"].tolist()) == [1.0, 2.0]
+    assert nl(s[2:4].to_pandas()["x"].tolist()) == [3.0, None]
+    # idxmin/idxmax skip NaN like pandas
+    assert df["x"].idxmin() == pdf["x"].idxmin()
+    assert df["x"].idxmax() == pdf["x"].idxmax()
+    # ffill along a null-keyed sort order still fills in sorted order
+    df2 = bl.DataFrame({"k": np.array([2.0, np.nan, 1.0]),
+                        "v": np.array([10.0, np.nan, np.nan])})
+    out = df2.sort_values("k").ffill()["v"].to_pandas().tolist()
+    assert out == [np.nan, 10.0, 10.0] or \
+        (out[0] != out[0] and out[1:] == [10.0, 10.0])
