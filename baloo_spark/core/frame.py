@@ -719,13 +719,24 @@ class DataFrame:
 
     # ------------------------------------------------------------- groupby
 
-    def groupby(self, by) -> "DataFrameGroupBy":
+    def groupby(self, by, dropna: bool = True) -> "DataFrameGroupBy":
+        """``dropna=True`` (pandas default) excludes rows whose group
+        key is NULL — Spark's groupBy would otherwise emit a NULL-key
+        group pandas never shows. Pass ``dropna=False`` for the SQL
+        behavior (the NULL group kept, like GROUP BY)."""
         from .groupby import DataFrameGroupBy
         by = [by] if isinstance(by, str) else list(by)
         self._check_cols(by)
         if set(by) == set(self._data_cols):
             raise ValueError("cannot group by all columns")  # frame.py:1092-1093
-        return DataFrameGroupBy(self, by)
+        src = self
+        if dropna:
+            cond = None
+            for c in by:
+                nn = F.col(c).isNotNull()
+                cond = nn if cond is None else cond & nn
+            src = self._replace_sdf(self._sdf.filter(cond))
+        return DataFrameGroupBy(src, by)
 
     # -------------------------------------------- multidim agg extensions
 

@@ -507,13 +507,18 @@ class Series:
         return self._with_col(col)
 
     def value_counts(self, ascending: bool = False,
-                     normalize: bool = False) -> "Series":
+                     normalize: bool = False,
+                     dropna: bool = True) -> "Series":
         """Distinct values with occurrence counts, ordered by count
         (one hash-agg shuffle; values become the index).
         ``normalize=True`` returns fractions of total instead —
-        computed with a scalar subtotal, not a second pass."""
+        computed with a scalar subtotal, not a second pass.
+        ``dropna=True`` (pandas default) excludes the NULL value;
+        pass False to count NULLs as their own row."""
         from pyspark.sql import Window
         sdf, alias = self._select()
+        if dropna:
+            sdf = sdf.filter(F.col(alias).isNotNull())
         cnt = F.count(F.lit(1))
         if normalize:
             # the subtotal window runs over the ALREADY-AGGREGATED

@@ -164,3 +164,20 @@ def test_groupby_filter_plan_is_having_rewrite(spark):
     # string flavor stays JVM-side: semi join + hash agg, no Python
     assert "LeftSemi" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_groupby_dropna_matches_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    df = bl.DataFrame({"g": np.array(["a", None, "a", "b"]),
+                       "v": np.array([1., 2., 3., 4.])})
+    pdf = pd.DataFrame({"g": ["a", None, "a", "b"],
+                        "v": [1., 2., 3., 4.]})
+    got = {r["g"]: r["v"] for r in
+           df.groupby("g").sum().to_spark(include_index=True).collect()}
+    want = pdf.groupby("g")["v"].sum().to_dict()
+    assert got == want                       # no NULL group
+    kept = {r["g"]: r["v"] for r in
+            df.groupby("g", dropna=False).sum()
+            .to_spark(include_index=True).collect()}
+    assert kept == {**want, None: 2.0}       # SQL face keeps it

@@ -330,3 +330,17 @@ def test_qcut_approx_close_to_exact(bl):
     # approx edges shift bin populations by at most the sketch error
     for k in e:
         assert abs(e[k] - a.get(k, 0)) / n < 0.02
+
+
+def test_value_counts_dropna_matches_pandas(bl):
+    import pandas as pd
+    vals = [1.0, np.nan, 1.0, 2.0, np.nan, np.nan]
+    sr = bl.Series(np.array(vals), name="x")
+    got = dict(sr.value_counts().to_pandas())
+    want = dict(pd.Series(vals).value_counts())
+    assert got == want                       # NaN excluded
+    kept = {(None if k is None else k): v
+            for k, v in dict(sr.value_counts(dropna=False)
+                             .to_pandas()).items()}
+    assert kept[1.0] == 2 and kept[2.0] == 1
+    assert sum(v for k, v in kept.items() if k is None or k != k) == 3
