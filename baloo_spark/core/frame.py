@@ -972,11 +972,30 @@ class DataFrame:
         for c in overlap:
             left = left.withColumnRenamed(c, c + suffixes[0])
             right = right.withColumnRenamed(c, c + suffixes[1])
+        # NULL-SAFE key equality (pandas semantics: NaN keys match
+        # each other — the reference's sentinel keys behaved the same
+        # way, being ordinary values). A plain USING join would drop
+        # null-keyed matches; <=> is still an equi-join predicate for
+        # Catalyst (hash/sort-merge/broadcast all apply).
+        from functools import reduce
+        rkeys = {c: f"__rk_{c}__" for c in on}
+        for c in on:
+            right = right.withColumnRenamed(c, rkeys[c])
         if algorithm == "hash" or broadcast_other:
             right = F.broadcast(right)
         spark_how = {"outer": "full", "semi": "left_semi",
                      "anti": "left_anti"}.get(how, how)
-        joined = left.join(right, on, spark_how)
+        cond = reduce(lambda a, b: a & b,
+                      [left[c].eqNullSafe(right[rkeys[c]]) for c in on])
+        joined = left.join(right, cond, spark_how)
+        if how not in ("semi", "anti"):
+            for c in on:
+                if how in ("outer", "right"):
+                    # USING semantics: unmatched right rows surface
+                    # their key through the single key column
+                    joined = joined.withColumn(
+                        c, F.coalesce(left[c], right[rkeys[c]]))
+                joined = joined.drop(right[rkeys[c]])
         data = [c for c in joined.columns if c not in on]
         # result indexed by the on-columns (frame.py:904-906)
         return DataFrame._make(joined, on, data, None)

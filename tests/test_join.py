@@ -78,3 +78,33 @@ def test_broadcast_hint(df1, df2):
     out = df1.merge(df2, on="a", algorithm="hash")
     plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_merge_nan_keys_match_pandas(bl):
+    """pandas matches NaN join keys to each other (hashtable
+    semantics — the reference's sentinel keys behaved identically);
+    a plain SQL equi-join silently drops those matches. The engine
+    joins null-safe (<=>, still an equi-join for Catalyst)."""
+    import numpy as np
+    import pandas as pd
+    lp = pd.DataFrame({"k": [1.0, np.nan, 2.0], "a": [10., 20., 30.]})
+    rp = pd.DataFrame({"k": [np.nan, 2.0, 3.0], "b": [100., 200., 300.]})
+    l = bl.DataFrame({"k": lp["k"].to_numpy(), "a": lp["a"].to_numpy()})
+    r = bl.DataFrame({"k": rp["k"].to_numpy(), "b": rp["b"].to_numpy()})
+
+    def nl(x):
+        return None if (isinstance(x, float) and x != x) else x
+
+    for how in ("inner", "left", "right", "outer"):
+        got = sorted(((nl(x.k), nl(x.a), nl(x.b)) for x in
+                      l.merge(r, on="k", how=how).to_pandas()
+                      .reset_index().itertuples()), key=str)
+        want = sorted(((nl(x.k), nl(x.a), nl(x.b)) for x in
+                       lp.merge(rp, on="k", how=how).itertuples()),
+                      key=str)
+        assert got == want, how
+    semi = sorted((nl(x.k) for x in l.merge(r, on="k", how="semi")
+                   .to_pandas().reset_index().itertuples()), key=str)
+    anti = [nl(x.k) for x in l.merge(r, on="k", how="anti")
+            .to_pandas().reset_index().itertuples()]
+    assert semi == [2.0, None] and anti == [1.0]
