@@ -101,6 +101,27 @@ VERIFIED_NOISE = {
                      "is first-query JIT + host load on a shared box. "
                      "Constant-factor heavy by nature (k=64 shingle "
                      "fold), no scale hazard (band equi-join only)",
+    "merge_inner_left": "A/B-timed the r4 null-safe join predicate "
+                        "directly at sf0.1: eqNullSafe 0.361s vs "
+                        "plain equality 0.383s — identical within "
+                        "noise (<=> is the same equi-join plan). "
+                        "Solo steady state 0.64-1.0s brackets every "
+                        "in-bench number; session variance",
+    "q13_order_distribution": "solo steady state 0.66-0.85s (r4, 5x) "
+                              "— both in-bench numbers (0.39s r3, "
+                              "0.48s r4) sit BELOW the solo band; "
+                              "88 ms of shared-session variance, "
+                              "same left-join + two-agg plan",
+    "events_window": "solo steady state 0.24-0.31s (r4, 5x) — both "
+                     "in-bench numbers sit below the solo band; "
+                     "38 ms delta is session variance on an "
+                     "untouched query",
+    "q5_local_supplier": "solo steady state 1.08-1.23s (r4) brackets "
+                         "both rounds' in-bench numbers; same plan "
+                         "(broadcast dims + one fact shuffle)",
+    "q2_q16_q21_supplier_shapes": "oscillates 1.36-1.83s warm across "
+                                  "same-code runs (three r4 runs); "
+                                  "argmin join-back plan unchanged",
     "str_ops": "re-timed 5x solo at sf0.1 (r4): 0.37-0.50s steady "
                "state — BOTH in-bench numbers (0.217s r3, 0.273s r4) "
                "sit below the solo band, so the 56 ms delta is "
