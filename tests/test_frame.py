@@ -527,3 +527,22 @@ def test_sort_null_position_matches_pandas(bl):
     out = df2.sort_values("k").ffill()["v"].to_pandas().tolist()
     assert out == [np.nan, 10.0, 10.0] or \
         (out[0] != out[0] and out[1:] == [10.0, 10.0])
+
+
+def test_null_edges_dedup_unique_describe(bl):
+    """NaN-key edges that pandas and the engine must agree on:
+    drop_duplicates groups NaN keys together, unique includes NaN,
+    describe counts 0 for an all-null column."""
+    def nl(x):
+        return None if (isinstance(x, float) and x != x) else x
+    df = bl.DataFrame({"k": np.array([1.0, np.nan, np.nan, 1.0]),
+                       "v": np.array([1., 2., 3., 4.])})
+    got = sorted(((nl(r.k), r.v) for r in
+                  df.drop_duplicates(subset=["k"], keep="min")
+                  .to_pandas().reset_index().itertuples()), key=str)
+    assert got == [(1.0, 1.0), (None, 2.0)]
+    sr = bl.Series(np.array([1.0, np.nan, 1.0]), name="x")
+    assert sorted((nl(v) for v in sr.unique().to_pandas().tolist()),
+                  key=str) == [1.0, None]
+    d2 = bl.DataFrame({"x": np.array([np.nan, np.nan])})
+    assert d2.describe().to_pandas().loc["count", "x"] == 0.0
