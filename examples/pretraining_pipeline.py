@@ -1,7 +1,8 @@
 """End-to-end pre-training data pipeline on baloo_spark.
 
 Chains the full operator surface the way a production corpus build
-would: ingest -> PII redaction + quality/repetition filtering ->
+would: ingest -> text cleanup + PII redaction + quality/repetition
+filtering ->
 LM-perplexity gate (r3) -> exact + near dedup -> benchmark
 decontamination -> chunking -> context-window packing ->
 deterministic train/val/test split -> partitioned parquet.
