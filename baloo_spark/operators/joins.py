@@ -24,6 +24,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _secs(c, dtype):
+    """Fractional-second epoch (timestamps) / pass-through (numerics)
+    as double. ``unix_timestamp`` truncates to whole seconds, which
+    breaks nearest tie-breaking, tolerance edges, and range-predicate
+    boundaries on sub-second data. TIMESTAMP_NTZ (what a raw parquet
+    read can surface) cannot cast to double directly — reinterpret as
+    TIMESTAMP first (the session TZ is pinned UTC, so the shift is
+    constant and distances are preserved). Numeric ``on`` columns
+    pass straight through the double cast, so both temporal joins
+    accept them interchangeably."""
+    if dtype == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list | None = None, right_cols: list | None = None,
               suffix: str = "_right", tolerance: int | None = None,
@@ -97,15 +112,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     on_type = dict(unioned.dtypes).get(on)
 
     def secs(c):
-        # fractional-second epoch: unix_timestamp truncates to whole
-        # seconds, which would break nearest tie-breaking / tolerance
-        # edges on sub-second timestamps. TIMESTAMP_NTZ (what a raw
-        # parquet read can surface) cannot cast to double directly —
-        # reinterpret as TIMESTAMP first (the session TZ is pinned
-        # UTC, so the shift is constant and distances are preserved).
-        if on_type == "timestamp_ntz":
-            c = c.cast("timestamp")
-        return c.cast("double")
+        return _secs(c, on_type)
 
     if direction in ("backward", "forward"):
         pfx = "b" if direction == "backward" else "f"
@@ -150,24 +157,35 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
 
 def range_join(left: DataFrame, right: DataFrame, on: str = "ts",
-               by: str | list | None = None, lower: int = 0,
-               upper: int = 3600, right_cols: list | None = None,
+               by: str | list | None = None, lower: float = 0,
+               upper: float = 3600, right_cols: list | None = None,
                suffix: str = "_right") -> DataFrame:
     """All (left, right) pairs with ``lower <= right.on - left.on <=
     upper`` (seconds), matching ``by`` keys — bucketed equi-join, not
     a nested loop.
 
+    ``on`` may be a timestamp (exact fractional-second epoch math via
+    the shared :func:`_secs` helper — the same contract as
+    :func:`asof_join`, no whole-second truncation) or any numeric
+    column, and ``lower``/``upper`` may be fractional.
+
     Bucket width = the range span; each left row probes ceil(span/
-    width)+1 = 2 buckets, so the join fans out x2, not xN.
+    width)+1 = 2 buckets, so the join fans out x2, not xN. The width
+    is floored at 1e-6 so sub-microsecond spans cannot push bucket
+    ids past double's exact-integer range (epoch/1e-6 ≈ 1.7e15 <
+    2^53) — narrower spans just mean a few more candidates per
+    bucket, never a wrong pair.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     right_cols = right_cols or [c for c in right.columns
                                 if c != on and c not in by]
-    width = max(upper - lower, 1)
+    width = max(float(upper) - float(lower), 1e-6)
 
-    le = left.withColumn("__e__", F.unix_timestamp(F.col(on)))
+    le = left.withColumn("__e__", _secs(F.col(on),
+                                        dict(left.dtypes).get(on)))
     re_ = right.select(*by, on, *right_cols) \
-        .withColumn("__re__", F.unix_timestamp(F.col(on))) \
+        .withColumn("__re__", _secs(F.col(on),
+                                    dict(right.dtypes).get(on))) \
         .withColumn("__bkt__", F.floor(F.col("__re__") / width))
     for c in right_cols + [on]:
         re_ = re_.withColumnRenamed(c, c + suffix)
