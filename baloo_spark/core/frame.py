@@ -1360,8 +1360,25 @@ class DataFrame:
         here implicitly)."""
         self._check_cols([column])
         others = [c for c in self._sdf.columns if c != column]
-        out = self._sdf.select(
-            *others, F.explode_outer(F.col(column)).alias(column))
+        if ORD_COL in self._sdf.columns:
+            # posexplode + composite ordinal: the pre-explode ORD_COL
+            # alone would tie every element of one source row, making
+            # the dense-ordinal fallback's intra-row element order
+            # nondeterministic in positional ops after explode (pandas
+            # preserves element order). Pack (source ord, element pos)
+            # lexicographically into one long — 21 low bits for the
+            # position (arrays up to 2M elements), 42 for the source
+            # ordinal; both generous, documented bounds.
+            out = self._sdf.select(
+                *others,
+                F.posexplode_outer(F.col(column)).alias("__epos__", column))
+            out = out.withColumn(
+                ORD_COL,
+                F.shiftleft(F.col(ORD_COL), 21)
+                + F.coalesce(F.col("__epos__"), F.lit(0))).drop("__epos__")
+        else:
+            out = self._sdf.select(
+                *others, F.explode_outer(F.col(column)).alias(column))
         idx = [c for c in self._index_cols
                if c in out.columns and c != ORD_COL]
         return DataFrame._make(out, idx, list(self._data_cols), None)

@@ -88,8 +88,18 @@ class DataFrameGroupBy:
         qs = [float(q)] if isinstance(q, (int, float)) else \
             [float(p) for p in q]
         # dot-free output names (v_p25): dots in column names need
-        # backtick-quoting everywhere downstream
+        # backtick-quoting everywhere downstream. Percentages that
+        # round to the same integer percent (q=[0.5, 0.504] -> p50)
+        # fall back to full-precision tags (p50, p50_4) so output
+        # columns stay unambiguous; exact duplicate q values have no
+        # distinct name and raise.
         tags = [f"p{round(p * 100):g}" for p in qs]
+        if len(set(tags)) != len(tags):
+            tags = [f"p{p * 100:g}".replace(".", "_").replace("-", "m")
+                    for p in qs]
+            if len(set(tags)) != len(tags):
+                raise ValueError(f"duplicate quantiles in q={qs!r} — "
+                                 f"each q must be distinct")
         qarr = F.expr(
             "array(" + ",".join(f"{p!r}D" for p in qs) + ")")
 

@@ -48,6 +48,9 @@ def _check_finite(cents: list[list[float]]) -> None:
     would repr() into SQL that fails to parse ('infD') — or silently
     poison every distance. Fail loudly with the coordinates."""
     for i, c in enumerate(cents):
+        if c is None:
+            raise ValueError(f"centroid {i} is NULL — the centroid "
+                             f"table has a null vector row")
         for j, x in enumerate(c):
             if x is None or not math.isfinite(x):
                 raise ValueError(
@@ -89,9 +92,22 @@ def _assign_udf(cents: list[list[float]], vec_col: str):
 
     def assign(vecs):
         import pandas as pd
-        if len(vecs) == 0:
+        n = len(vecs)
+        if n == 0:
             return pd.Series([], dtype="Int32")
-        X = np.stack([np.array(v, dtype=np.float64) for v in vecs])
+        # NULL or ragged (wrong-dimension) vectors cannot ride through
+        # np.stack (a None becomes a 0-d array and stack raises,
+        # failing the whole task) — slot them as all-NaN rows so they
+        # fall into the same unassignable -> NULL path the literal
+        # face takes for them (zip_with null padding => null distance)
+        dim = C.shape[1]
+        X = np.full((n, dim), np.nan, dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.ndim == 1 and a.shape[0] == dim:
+                X[i] = a
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant
         # per row so argmin needs only the last two terms
         d = c_sq[None, :] - 2.0 * (np.nan_to_num(X) @ C.T)  # batch x k

@@ -265,6 +265,12 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if centroids is None:
         centroids = train_centroids(corpus, n_centroids, vec_col, id_col)
     crows = centroids.select("cent_id", "cent").collect()
+    # same guard cluster.py applies before ITS literal face: a NaN/inf
+    # component would repr() into SQL that fails to parse ('nanD') or
+    # silently poison every cosine — and the large-k join face is just
+    # as poisoned. Fail loudly either way.
+    from .cluster import _check_finite
+    _check_finite([r["cent"] for r in crows])
     n_vals = sum(len(r["cent"]) for r in crows)
 
     if n_vals <= MAX_LITERAL_VALUES:

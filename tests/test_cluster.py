@@ -170,3 +170,39 @@ def test_assign_null_component_yields_null_cluster(spark, monkeypatch):
     udf = {r["vec_id"]: r["cluster"]
            for r in cl.assign_clusters(df, cents).collect()}
     assert udf == lit
+
+
+def test_assign_null_and_ragged_vector_both_faces(spark, monkeypatch):
+    """ADVICE r4: a NULL (or wrong-dimension) vector crashed the UDF
+    face's np.stack while the literal face returned NULL — the two
+    faces claim one contract, so both must emit NULL."""
+    import baloo_spark.operators.cluster as cl
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [1.0]), (3, [1.0, 2.0, 3.0]),
+         (4, [4.0, 5.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [[0.0, 0.0], [5.0, 5.0]]
+    lit = {r["vec_id"]: r["cluster"]
+           for r in cl.assign_clusters(df, cents).collect()}
+    assert lit == {0: 0, 1: None, 2: None, 3: None, 4: 1}
+    monkeypatch.setattr(cl, "MAX_LITERAL_VALUES", 1)
+    udf = {r["vec_id"]: r["cluster"]
+           for r in cl.assign_clusters(df, cents).collect()}
+    assert udf == lit
+
+
+def test_ivf_topk_raises_on_nonfinite_centroids(spark):
+    """ADVICE r4: a NaN centroid component must fail loudly before the
+    literal renders 'nanD' into unparseable SQL (or silently poisons
+    every cosine in the join face)."""
+    from baloo_spark.operators.similarity import ivf_topk
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    bad = spark.createDataFrame(
+        [(0, [float("nan"), 1.0]), (1, [2.0, 2.0])],
+        "cent_id INT, cent ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="non-finite"):
+        ivf_topk(queries, corpus, k=2, centroids=bad)

@@ -497,6 +497,41 @@ def test_frame_explode_matches_pandas(bl):
     assert got == exp
 
 
+def test_frame_explode_positional_element_order(bl):
+    """ADVICE r4: the pre-explode ordinal ties every element of one
+    source row — positional ops after explode must still see elements
+    in pandas (within-row) order, via the posexplode composite
+    ordinal."""
+    import pandas as pd
+    df = bl.DataFrame({"k": np.array([0, 1, 2, 3])})
+    # widen each row into a distinct-length array: row k -> [k*10,
+    # k*10+1, ..., k*10+k]
+    df["vs"] = df["k"].apply("transform(sequence(0, {self}), i -> {self} * 10 + i)")
+    ex = df.explode("vs")
+    got = [int(v) for v in ex.to_pandas()["vs"]]
+    pdf = pd.DataFrame({"k": range(4),
+                        "vs": [[k * 10 + i for i in range(k + 1)]
+                               for k in range(4)]}).explode("vs")
+    want = [int(v) for v in pdf["vs"]]
+    # full-frame order AND positional slices are element-ordered
+    assert got == want
+    assert [int(v) for v in ex.iloc[2:5].to_pandas()["vs"]] == want[2:5]
+    assert int(ex.iloc[7].to_pandas()["vs"].iloc[0]) == want[7]
+
+
+def test_groupby_quantile_tag_collision(bl):
+    """ADVICE r4: q values rounding to the same integer percent must
+    not emit duplicate column names."""
+    df = bl.DataFrame({"k": np.array([1, 1, 2, 2]),
+                       "v": np.array([1.0, 2.0, 3.0, 4.0])})
+    out = df.groupby("k").quantile([0.5, 0.504]).reset_index().to_pandas()
+    cols = [c for c in out.columns if c.startswith("v_")]
+    assert len(cols) == 2 and len(set(cols)) == 2   # p50 + p50_4
+    import pytest
+    with pytest.raises(ValueError, match="duplicate quantiles"):
+        df.groupby("k").quantile([0.5, 0.5])
+
+
 def test_sort_null_position_matches_pandas(bl):
     """pandas puts NaN LAST in both sort directions (na_position=
     'last'); Spark's bare asc() is nulls-first — core/ordering.py
