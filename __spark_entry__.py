@@ -2191,7 +2191,17 @@ def _describe(spark, sf):
     """describe() (count/mean/std/min/quartiles/max) plus explicit
     Series.quantile rows tagged 'q_<p>' — the quantile code path gets
     its own evidence in the same driver row."""
-    li = _bl(spark, sf, "lineitem")
+    import baloo_spark as bl
+    # r5 (VERDICT r4 Next #2b): every eager face below (4x Series
+    # corr/cov, describe(approx), the rollup envelope, the grouped
+    # approx quantile) plus the returned lazy plan used to re-scan
+    # lineitem.parquet independently — at 600k rows the slot's warm
+    # cost was scans, not math. One localCheckpoint of the 4-column
+    # projection feeds them all from cached blocks; zero legs dropped.
+    li = bl.DataFrame.from_spark(
+        _t(spark, sf, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice",
+                "l_returnflag").localCheckpoint())
     d = li[["l_quantity", "l_discount"]].describe()
     base = d.to_spark(include_index=True).select(
         "statistic",
@@ -2206,14 +2216,19 @@ def _describe(spark, sf):
         F.round("qv", 4).alias("l_quantity"),
         F.round("l_discount", 4).alias("l_discount"))
     # Series.corr / Series.cov (r3 extension) — eager scalar pairwise
-    # aggregates vs l_extendedprice, one row each
+    # aggregates vs l_extendedprice, one row each. r5: the four
+    # library calls (and the three approx-verification collects
+    # below) are independent jobs over the same cached checkpoint, so
+    # they submit from a thread pool — Spark's scheduler runs
+    # concurrent jobs fine, and the slot pays max() not sum() of the
+    # per-job latencies (the standard many-small-jobs driver pattern).
+    from concurrent.futures import ThreadPoolExecutor
     price = li["l_extendedprice"]
-    cc = spark.createDataFrame(
-        [("corr_vs_price", round(li["l_quantity"].corr(price), 6),
-          round(li["l_discount"].corr(price), 6)),
-         ("cov_vs_price", round(li["l_quantity"].cov(price), 4),
-          round(li["l_discount"].cov(price), 4))],
-        "statistic STRING, l_quantity DOUBLE, l_discount DOUBLE")
+    pool = ThreadPoolExecutor(max_workers=7)
+    f_corr_q = pool.submit(li["l_quantity"].corr, price)
+    f_corr_d = pool.submit(li["l_discount"].corr, price)
+    f_cov_q = pool.submit(li["l_quantity"].cov, price)
+    f_cov_d = pool.submit(li["l_discount"].cov, price)
 
     # r4: the APPROX quantile path (describe(approx=True) -> GK
     # sketch / percentile_approx — the 100 TB face, since the exact
@@ -2236,21 +2251,38 @@ def _describe(spark, sf):
     # costs ~40% more sketch maintenance for precision the check
     # doesn't need
     cols = ["l_quantity", "l_discount"]
-    da = {r["statistic"]: r
-          for r in li[cols].describe(approx=True, accuracy=1000)
-          .to_spark(include_index=True).collect()}
+    f_da = pool.submit(
+        lambda: {r["statistic"]: r
+                 for r in li[cols].describe(approx=True, accuracy=1000)
+                 .to_spark(include_index=True).collect()})
 
     ps = [0.24, 0.26, 0.49, 0.51, 0.74, 0.76]
     qarr = F.expr("array(" + ",".join(f"{p}D" for p in ps) + ")")
     raw = li.to_spark().rollup("l_returnflag").agg(*[
         F.percentile(F.col(c).cast("double"), qarr).alias(f"__qs_{c}")
         for c in cols])
-    roll = {r["l_returnflag"]: r
-            for r in raw.select(
-                "l_returnflag",
-                *[F.element_at(F.col(f"__qs_{c}"), F.lit(i + 1))
-                  .alias(f"{c}__{p}")
-                  for c in cols for i, p in enumerate(ps)]).collect()}
+    f_roll = pool.submit(
+        lambda: {r["l_returnflag"]: r
+                 for r in raw.select(
+                     "l_returnflag",
+                     *[F.element_at(F.col(f"__qs_{c}"), F.lit(i + 1))
+                       .alias(f"{c}__{p}")
+                       for c in cols for i, p in enumerate(ps)]).collect()})
+    f_ap = pool.submit(
+        lambda: {r["l_returnflag"]: r
+                 for r in li.groupby("l_returnflag")
+                 .quantile(0.5, cols=cols, approx=True, accuracy=1000)
+                 .to_spark(include_index=True).collect()})
+
+    cc = spark.createDataFrame(
+        [("corr_vs_price", round(f_corr_q.result(), 6),
+          round(f_corr_d.result(), 6)),
+         ("cov_vs_price", round(f_cov_q.result(), 4),
+          round(f_cov_d.result(), 4))],
+        "statistic STRING, l_quantity DOUBLE, l_discount DOUBLE")
+    da = f_da.result()
+    roll = f_roll.result()
+    pool.shutdown(wait=True)
     env_row = roll[None]          # the rollup's grand-total row
     genv = {k: v for k, v in roll.items() if k is not None}
 
@@ -2262,10 +2294,7 @@ def _describe(spark, sf):
             <= env_row[f"{col}__{hi}"]
             for s, lo, hi in checks) else 0.0
 
-    ap = {r["l_returnflag"]: r
-          for r in li.groupby("l_returnflag")
-          .quantile(0.5, cols=cols, approx=True, accuracy=1000)
-          .to_spark(include_index=True).collect()}
+    ap = f_ap.result()
 
     def _gq_ok(col):
         return 1.0 if all(
@@ -2678,7 +2707,7 @@ FROM faces GROUP BY part, label
 """
 
 
-def _lm_perplexity(spark, sf):
+def _lm_perplexity(spark, sf, docs=None):
     """CCNet-style LM quality gate (operators/lm.py, r3): train an
     add-alpha-smoothed bigram LM on the reference slice (doc_id % 5
     != 0), score EVERY document's perplexity under it — the standard
@@ -2688,7 +2717,8 @@ def _lm_perplexity(spark, sf):
     bit. Scale shape: model size is O(distinct bigrams), the unigram
     table broadcasts, the bigram join shuffles on the pair key."""
     from baloo_spark.operators.lm import perplexity, train_bigram_lm
-    docs = _t(spark, sf, "documents")
+    if docs is None:
+        docs = _t(spark, sf, "documents")
     lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0))
     return perplexity(docs, lm, alpha=0.5)
 
@@ -2739,7 +2769,7 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
-def _doc_chunks(spark, sf):
+def _doc_chunks(spark, sf, docs=None):
     """Document chunking (operators/chunking.py chunk_documents, r3):
     64-token windows with 16-token overlap over the documents table —
     one row per chunk with its md5 fingerprint, so the oracle value-
@@ -2748,7 +2778,7 @@ def _doc_chunks(spark, sf):
     expression + one posexplode — zero shuffles; at 100 TB this
     pipelines directly behind the parquet scan."""
     from baloo_spark.operators.chunking import chunk_documents
-    d = _t(spark, sf, "documents")
+    d = docs if docs is not None else _t(spark, sf, "documents")
     ch = chunk_documents(d, chunk_tokens=64, overlap=16)
     return ch.select("doc_id", "chunk_seq", "chunk_n_tokens",
                      F.md5("chunk_text").alias("chunk_md5"))
@@ -2775,7 +2805,7 @@ FROM wins
 """
 
 
-def _corpus_vocab(spark, sf):
+def _corpus_vocab(spark, sf, docs=None):
     """Corpus vocabulary analytics (operators/text.py, r3):
     corpus_ngrams top-k unigrams ('uni') and bigrams ('bi') with term
     + document frequencies, plus the one-row vocabulary_stats summary
@@ -2784,7 +2814,7 @@ def _corpus_vocab(spark, sf):
     explode -> ONE map-side-combined hash agg -> TakeOrdered(k); no
     corpus-wide window, no driver-side vocabulary."""
     from baloo_spark.operators.text import corpus_ngrams, vocabulary_stats
-    d = _t(spark, sf, "documents")
+    d = docs if docs is not None else _t(spark, sf, "documents")
 
     def tag(df, kind):
         return df.select(F.lit(kind).alias("kind"), "ngram",
@@ -3391,8 +3421,17 @@ _RESHAPE_OPS_SQL = (
 def _doc_pipeline_stats(spark, sf):
     """Document-pipeline slot: token-window chunking ('chunk'),
     corpus vocabulary analytics ('uni'/'bi'/'vocab'), and the bigram
-    LM perplexity gate ('lm') — see the per-leg docstrings."""
-    ch = _doc_chunks(spark, sf).select(
+    LM perplexity gate ('lm') — see the per-leg docstrings.
+
+    r5 (VERDICT r4 Next #2a): the five legs used to re-scan
+    documents.parquet independently; the (doc_id, text) projection is
+    localCheckpointed ONCE here and every leg reads the cached
+    blocks — one parquet scan instead of six (lm makes two passes).
+    On a cluster this is the cache()-the-hot-projection pattern; the
+    checkpoint also cuts lineage so the unioned plan stays shallow."""
+    docs_cp = _t(spark, sf, "documents").select("doc_id", "text") \
+        .localCheckpoint()
+    ch = _doc_chunks(spark, sf, docs_cp).select(
         F.lit("chunk").alias("kind"),
         F.col("doc_id").alias("id"),
         F.col("chunk_seq").alias("seq"),
@@ -3401,7 +3440,7 @@ def _doc_pipeline_stats(spark, sf):
         F.col("chunk_md5").alias("text"),
         F.lit(None).cast("double").alias("v1"),
         F.lit(None).cast("double").alias("v2"))
-    cv = _corpus_vocab(spark, sf).select(
+    cv = _corpus_vocab(spark, sf, docs_cp).select(
         "kind",
         F.lit(None).cast("long").alias("id"),
         F.lit(None).cast("long").alias("seq"),
@@ -3410,7 +3449,7 @@ def _doc_pipeline_stats(spark, sf):
         F.col("ngram").alias("text"),
         F.col("value").alias("v1"),
         F.lit(None).cast("double").alias("v2"))
-    lm = _lm_perplexity(spark, sf).select(
+    lm = _lm_perplexity(spark, sf, docs_cp).select(
         F.lit("lm").alias("kind"),
         F.col("doc_id").alias("id"),
         F.lit(None).cast("long").alias("seq"),
@@ -3426,8 +3465,7 @@ def _doc_pipeline_stats(spark, sf):
     # nfc_normalize), so the strip/collapse/normalize steps all do
     # real work; md5 of the cleaned text is the hard value check
     from baloo_spark.operators.text import clean_text
-    docs = _t(spark, sf, "documents")
-    dirty = docs.select(
+    dirty = docs_cp.select(
         "doc_id",
         F.when(F.col("doc_id") % 35 == 0,
                F.concat(F.col("text"),
