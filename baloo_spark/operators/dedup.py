@@ -454,7 +454,8 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          threshold: float = 0.95,
                          block: bool = True, planes=8,
-                         target_bucket: int = 64) -> DataFrame:
+                         target_bucket: int = 64,
+                         seeds: list | None = None) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold.
 
     ``block=True`` buckets by random-hyperplane signature first (an
@@ -467,9 +468,15 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
     log2(n): pass ``planes='auto'`` to size it from the corpus count
     (one cheap count job) targeting ``target_bucket`` expected rows
     per bucket — per-bucket pair work then stays constant as the
-    corpus grows. Recall falls as planes rise; at 100 TB pair it
-    with multiple plane SEEDS (union of runs) if recall matters more
-    than cost.
+    corpus grows. Recall falls as planes rise; ``seeds=[0, 1, 2]``
+    counters that: candidate pairs are generated under each seed's
+    independent plane family and unioned (dropDuplicates on the id
+    pair) before the cosine check — a pair missed by one family is
+    found unless EVERY family splits it, so miss probability decays
+    exponentially in len(seeds) while cost grows only linearly (all
+    signatures ride in one checkpoint; the dedup shuffle is the same
+    width as one seed's join output). seeds=None is the single-
+    family (seed 0) path, bit-identical to prior rounds.
     """
     import math
 
@@ -494,13 +501,25 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
         # once so the join's two plan instances don't recompute them
         # (the original motivation for bucket grouping, solved without
         # the giant rows).
-        v = (v.withColumn("__sig__", hyperplane_sig("v", planes))
-             .localCheckpoint())
-        a = v.select(F.col("__sig__"),
-                     F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-        b = v.select(F.col("__sig__"),
-                     F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-        joined = a.join(b, "__sig__").drop("__sig__")
+        sds = [0] if seeds is None else list(seeds)
+        v = v.select(
+            "*", *[hyperplane_sig("v", planes, seed=s).alias(f"__sig{s}__")
+                   for s in sds]).localCheckpoint()
+        per_seed = []
+        for s in sds:
+            sig = f"__sig{s}__"
+            a = v.select(F.col(sig),
+                         F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+            b = v.select(F.col(sig),
+                         F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+            per_seed.append(a.join(b, sig).drop(sig)
+                            .where(F.col("id_a") < F.col("id_b")))
+        joined = per_seed[0]
+        for j in per_seed[1:]:
+            joined = joined.unionByName(j)
+        if len(sds) > 1:
+            # a pair found by several families must score once
+            joined = joined.dropDuplicates(["id_a", "id_b"])
     else:
         a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
         b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))

@@ -62,12 +62,20 @@ def _norm_cosine(a: str, b: str, na: str, nb: str):
                   dot_expr(a, b) / (F.col(na) * F.col(nb))).otherwise(0.0)
 
 
-def hyperplane_sig(vec_col: str, planes: int = 8):
+def hyperplane_sig(vec_col: str, planes: int = 8, seed: int = 0):
     """Random-hyperplane LSH signature (int bitmask).
 
     Plane p's normal is a deterministic +/-1 vector derived from
     xxhash64(dim_index, p) — no stored model, identical across runs.
     Bit p = sign(dot(vec, plane_p)).
+
+    ``seed`` selects an independent plane family (it offsets the
+    plane index fed to xxhash64 by seed * 1000003, so different seeds
+    draw disjoint hash inputs); seed=0 is bit-identical to the
+    pre-seed form. Unioning candidate pairs across several seeds is
+    the standard LSH recall amplifier — see
+    :func:`~baloo_spark.operators.dedup.embedding_near_pairs`'s
+    ``seeds`` parameter.
 
     ONE fold over the vector accumulating all ``planes`` dots in a
     k-wide array (the minhash-signature accumulator pattern,
@@ -78,12 +86,13 @@ def hyperplane_sig(vec_col: str, planes: int = 8):
     per-plane form.
     """
     p_hi = planes - 1
+    p_off = 17 + int(seed) * 1000003
     dots = (
         f"aggregate(sequence(0, size({vec_col}) - 1), "
         f"array_repeat(0D, {planes}), "
         f"(acc, i) -> zip_with(acc, sequence(0, {p_hi}), "
         f"(a, p) -> a + CAST(element_at({vec_col}, i + 1) AS DOUBLE) "
-        f"* (CAST(xxhash64(i, p + 17) % 2 AS DOUBLE) * 2 + 1)))")
+        f"* (CAST(xxhash64(i, p + {p_off}) % 2 AS DOUBLE) * 2 + 1)))")
     sig = (f"aggregate(zip_with({dots}, sequence(0, {p_hi}), "
            f"(d, p) -> IF(d > 0D, shiftleft(1, p), 0)), "
            f"0, (acc, x) -> acc + x)")

@@ -836,3 +836,54 @@ def test_embedding_near_pairs_auto_planes(spark, emb):
     # tiny corpus -> floor of 4 planes, still runs end to end
     tiny = emb.limit(8)
     assert embedding_near_pairs(tiny, planes="auto").count() >= 0
+
+
+def test_hyperplane_sig_seed_zero_bit_identical(spark):
+    """seed=0 must reproduce the pre-seed signatures exactly (driver
+    slots depend on it); a different seed draws an independent plane
+    family."""
+    import numpy as np
+    from baloo_spark.operators.similarity import hyperplane_sig
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=12)]) for i in range(50)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    rows = df.select(
+        hyperplane_sig("embedding", 8).alias("default"),
+        hyperplane_sig("embedding", 8, seed=0).alias("s0"),
+        hyperplane_sig("embedding", 8, seed=1).alias("s1")).collect()
+    assert all(r["default"] == r["s0"] for r in rows)
+    assert any(r["s0"] != r["s1"] for r in rows)
+
+
+def test_embedding_near_pairs_multi_seed_recall(spark):
+    """VERDICT r4 Next #3: union-of-3-seeds recall beats single-seed
+    recall at fixed planes on a perturbed-twin fixture, and never
+    emits a duplicate or false pair (every emitted pair still passes
+    the exact cosine check)."""
+    import numpy as np
+    from baloo_spark.operators.dedup import embedding_near_pairs
+    rng = np.random.RandomState(42)
+    n, dim = 80, 16
+    base = rng.normal(size=(n, dim))
+    twins = base + rng.normal(scale=0.08, size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)]
+        + [(1000 + i, [float(x) for x in twins[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    thr = 0.97
+    cos = [float(base[i] @ twins[i]
+                 / (np.linalg.norm(base[i]) * np.linalg.norm(twins[i])))
+           for i in range(n)]
+    truth = {(i, 1000 + i) for i in range(n) if cos[i] >= thr}
+    single = [(r["id_a"], r["id_b"]) for r in
+              embedding_near_pairs(df, threshold=thr, planes=10).collect()]
+    union = [(r["id_a"], r["id_b"]) for r in
+             embedding_near_pairs(df, threshold=thr, planes=10,
+                                  seeds=[0, 1, 2]).collect()]
+    assert len(set(union)) == len(union)          # no dup pairs
+    assert set(single) <= set(union)              # seed 0 is one family
+    r_single = len(set(single) & truth) / len(truth)
+    r_union = len(set(union) & truth) / len(truth)
+    assert r_union > r_single                     # the recall amplifier
+    assert r_union >= 0.95
