@@ -2659,7 +2659,17 @@ def _embedding_label_stats(spark, sf):
     km = stats(assign_clusters(emb, cents)
                .drop("label")  # replace the label col with the cluster
                .withColumnRenamed("cluster", "label"), "kmeans")
-    return raw.unionByName(nrm).unionByName(qdq).unionByName(km)
+    # r5 (VERDICT r4 Next #4): the SAME centroids through the forced
+    # Arrow-UDF assignment face (the k x dim > MAX_LITERAL_VALUES
+    # path every 100 TB-scale run takes) — the oracle replays the
+    # identical argmin, so a hash match here pins the UDF kernel to
+    # DuckDB AND (since the rows must equal the 'kmeans' leg's modulo
+    # tag) to the literal face on the same data.
+    kmu = stats(assign_clusters(emb, cents, face="udf")
+                .drop("label")
+                .withColumnRenamed("cluster", "label"), "kmeans_udf")
+    return (raw.unionByName(nrm).unionByName(qdq).unionByName(km)
+            .unionByName(kmu))
 
 
 _EMBEDDING_LABEL_STATS_SQL = """
@@ -2689,6 +2699,16 @@ WITH nn AS (
   FROM nn
   UNION ALL
   SELECT 'kmeans',
+         (SELECT c.vec_id::INTEGER FROM embeddings c WHERE c.vec_id < 4
+          ORDER BY list_aggregate(list_transform(
+                list_zip(c.embedding::DOUBLE[], nn.embedding::DOUBLE[]),
+                p -> (p[1] - p[2]) * (p[1] - p[2])),
+                'sum') ASC, c.vec_id ASC
+          LIMIT 1),
+         embedding
+  FROM nn
+  UNION ALL
+  SELECT 'kmeans_udf',
          (SELECT c.vec_id::INTEGER FROM embeddings c WHERE c.vec_id < 4
           ORDER BY list_aggregate(list_transform(
                 list_zip(c.embedding::DOUBLE[], nn.embedding::DOUBLE[]),

@@ -122,8 +122,16 @@ def _assign_udf(cents: list[list[float]], vec_col: str):
     return scalar_pandas_udf(assign, "int")(F.col(vec_col))
 
 
-def _assign_col(cents: list[list[float]], vec_col: str):
+def _assign_col(cents: list[list[float]], vec_col: str,
+                face: str = "auto"):
     _check_finite(cents)
+    if face == "literal":
+        return _assign_expr(cents, vec_col)
+    if face == "udf":
+        return _assign_udf(cents, vec_col)
+    if face != "auto":
+        raise ValueError(f"face must be 'auto', 'literal' or 'udf', "
+                         f"got {face!r}")
     n_vals = len(cents) * (len(cents[0]) if cents else 0)
     if n_vals <= MAX_LITERAL_VALUES:
         return _assign_expr(cents, vec_col)
@@ -132,13 +140,19 @@ def _assign_col(cents: list[list[float]], vec_col: str):
 
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding",
-                    out_col: str = "cluster") -> DataFrame:
+                    out_col: str = "cluster",
+                    face: str = "auto") -> DataFrame:
     """Tag each row with its nearest centroid (squared-euclidean
     argmin, ties to the lowest cluster id). Pure projection — no
-    shuffle, safe on streams. Small k x dim inlines the centroids as
-    a codegen'd literal; past ``MAX_LITERAL_VALUES`` the centroid
-    matrix ships in an Arrow pandas-UDF closure instead."""
-    return df.withColumn(out_col, _assign_col(centroids, vec_col))
+    shuffle, safe on streams. ``face='auto'`` (default): small k x
+    dim inlines the centroids as a codegen'd literal; past
+    ``MAX_LITERAL_VALUES`` the centroid matrix ships in an Arrow
+    pandas-UDF closure instead. ``face='literal'`` / ``'udf'`` force
+    one path — the two share a contract (argmin ties to the lowest
+    id, NULL for NULL/ragged/non-finite vectors), so forcing 'udf'
+    at small k is how tests and driver slots pin the 100 TB
+    (large-k) path against the same oracle as the literal one."""
+    return df.withColumn(out_col, _assign_col(centroids, vec_col, face))
 
 
 def kmeans(df: DataFrame, n_clusters: int = 8,

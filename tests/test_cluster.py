@@ -206,3 +206,20 @@ def test_ivf_topk_raises_on_nonfinite_centroids(spark):
         "cent_id INT, cent ARRAY<DOUBLE>")
     with pytest.raises(ValueError, match="non-finite"):
         ivf_topk(queries, corpus, k=2, centroids=bad)
+
+
+def test_assign_clusters_face_param(spark):
+    """face='udf' / 'literal' force the two faces explicitly; both
+    match; unknown face raises."""
+    import baloo_spark.operators.cluster as cl
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [[0.0, 0.0], [10.0, 1.0], [19.0, 2.0]]
+    lit = {r["vec_id"]: r["cluster"]
+           for r in cl.assign_clusters(df, cents, face="literal").collect()}
+    udf = {r["vec_id"]: r["cluster"]
+           for r in cl.assign_clusters(df, cents, face="udf").collect()}
+    assert lit == udf and set(lit.values()) == {0, 1, 2}
+    with pytest.raises(ValueError, match="face"):
+        cl.assign_clusters(df, cents, face="nope")
