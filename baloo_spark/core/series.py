@@ -25,6 +25,8 @@ from .dtypes import np_dtype_of, spark_type_of
 
 _VAL = "__val__"
 _IDX = "__index__"
+# isin value-list budget: literal IN-set below, broadcast-join above
+_ISIN_LITERAL_MAX = 1024
 
 # aggregations: reference casts numeric aggs to f64 (weld_aggs.py:3,42-49)
 _AGG_FNS = {
@@ -273,10 +275,33 @@ class Series:
     # ------------------------------------------------------- missing data
 
     def isin(self, values) -> "Series":
-        """Membership test against a literal list (broadcast by
-        Catalyst as an IN-set; for large value sets use a semi join
-        via DataFrame.merge(how='semi'))."""
-        return self._with_col(self._colexpr.isin(*list(values)))
+        """Membership test. Small value lists compile to a literal
+        IN-set (Catalyst turns long ones into a hashed InSet, pure
+        codegen); past ``_ISIN_LITERAL_MAX`` values the list becomes
+        a broadcast-join lookup instead — a 10^5-literal expression
+        tree bloats plan serialization/codegen the same way map()'s
+        CASE chain and k-means' centroid literal did, and a lookup
+        TABLE is the thing that still works when the list is 10^8
+        rows on a cluster (swap the broadcast for a shuffle join by
+        size, which AQE does). Both faces agree: NULL input => NULL,
+        a NULL in ``values`` makes non-matches NULL (SQL IN), NaN
+        matches NaN (Spark equality)."""
+        vals = list(values)
+        if len(vals) <= _ISIN_LITERAL_MAX:
+            return self._with_col(self._colexpr.isin(*vals))
+        spark = self._sdf.sparkSession
+        has_null = any(v is None for v in vals)
+        lut = spark.createDataFrame(
+            [(v,) for v in vals if v is not None], ["__ik__"]).distinct()
+        joined = self._sdf.join(
+            F.broadcast(lut), self._colexpr == F.col("__ik__"), "left")
+        miss = F.lit(None) if has_null else F.lit(False)
+        expr = (F.when(self._colexpr.isNull(), F.lit(None))
+                .when(F.col("__ik__").isNotNull(), F.lit(True))
+                .otherwise(miss))
+        out = joined.withColumn("__isin__", expr).drop("__ik__")
+        return Series._make(out, F.col("__isin__"), self._index_cols,
+                            self.name, self._order)
 
     def between(self, lower, upper, inclusive: bool = True) -> "Series":
         if inclusive:

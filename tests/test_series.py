@@ -344,3 +344,25 @@ def test_value_counts_dropna_matches_pandas(bl):
                              .to_pandas()).items()}
     assert kept[1.0] == 2 and kept[2.0] == 1
     assert sum(v for k, v in kept.items() if k is None or k != k) == 3
+
+
+def test_isin_large_list_plans_as_join(bl, monkeypatch):
+    """VERDICT r4 Next #7: a 10^5-value isin must plan as a broadcast
+    join, not a 10^5-literal expression; small lists stay IN-sets;
+    the two faces agree on values, NULLs included."""
+    import numpy as np
+    sr = bl.Series(np.array([1.0, 2.0, np.nan, 500000.0]), name="v")
+    big = list(range(100000)) + [2]
+    out = sr.isin(big)
+    plan = out.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # NaN rides as NULL under the sentinel codec; the literal face
+    # answers None for it, and the join face must agree
+    assert out.to_pandas().tolist() == [True, True, None, False]
+    # parity: same list through both faces (budget forced down)
+    import baloo_spark.core.series as sm
+    small = [1, 2, 99]
+    lit = sr.isin(small).to_pandas().tolist()
+    monkeypatch.setattr(sm, "_ISIN_LITERAL_MAX", 1)
+    join = sr.isin(small).to_pandas().tolist()
+    assert join == lit == [True, True, None, False]
