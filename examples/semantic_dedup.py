@@ -60,8 +60,11 @@ def run(spark, sf_dir: str) -> dict:
     #    REAL near-dup corpora use threshold >=0.95, where collision
     #    probability (1 - theta/pi)^planes is high and deeper
     #    blocking keeps buckets tiny
+    #    seeds=[0, 1]: union candidates from two independent plane
+    #    families (r5) — the recall amplifier for production runs,
+    #    where a single family's unlucky split silently drops dups
     pairs = embedding_near_pairs(vecs, threshold=0.3, block=True,
-                                 planes=4)
+                                 planes=4, seeds=[0, 1])
 
     # 5. transitive closure -> one survivor (min id) per duplicate
     #    cluster; drop the rest (loser anti-join, broadcast-small)
