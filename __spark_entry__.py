@@ -2915,7 +2915,11 @@ def _text_metrics(spark, sf):
     from baloo_spark.operators.text import (boilerplate_scores,
                                             contamination_check,
                                             pii_redact, text_profile)
-    docs = _t(spark, sf, "documents")
+    # r5: same one-scan treatment as doc_pipeline_stats — the four
+    # branches (profile, contamination incl. its benchmark sub-scan,
+    # boilerplate, PII) all read the cached (doc_id, text) blocks
+    docs = _t(spark, sf, "documents").select("doc_id", "text") \
+        .localCheckpoint()
     prof = text_profile(docs, include_repetition=True)
     bench = docs.where(F.col("doc_id") % 20 == 0)
     cont = contamination_check(docs, bench, n=5, threshold=0.2)
