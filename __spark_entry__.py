@@ -2375,7 +2375,7 @@ GROUP BY 2
 """
 
 
-def _dedup_jaccard(spark, sf):
+def _dedup_jaccard(spark, sf, docs=None):
     # FULL table, no pre-filter: prefix filtering + length filter
     # (dedup.py) keep the join equi — exact same result set as the
     # oracle's all-pairs scan. WORD trigrams, not char: char trigrams
@@ -2385,7 +2385,8 @@ def _dedup_jaccard(spark, sf):
     # trigrams are near-unique, so candidates ~= true near-dups
     # (the similarity-join literature tokenizes documents by words)
     from baloo_spark.operators.dedup import ngram_jaccard_pairs
-    docs = _t(spark, sf, "documents")
+    if docs is None:
+        docs = _t(spark, sf, "documents")
     # n=5: this synthetic corpus draws from a ~31-word vocabulary, so
     # trigram prefixes are shared by most documents and the prefix
     # filter degenerates (310k candidates at sf0.1); 5-gram shingles
@@ -2474,7 +2475,7 @@ ORDER BY doc_id
 """
 
 
-def _dedup_minhash(spark, sf):
+def _dedup_minhash(spark, sf, docs=None):
     """MinHash+LSH near-dup pairs with a HARD value oracle.
 
     The verified output (candidates re-scored with exact shingle
@@ -2487,7 +2488,8 @@ def _dedup_minhash(spark, sf):
     (k, bands) down the S-curve for throughput; the recall-vs-exact
     trade is measured in tests/test_operators.py."""
     from baloo_spark.operators.dedup import minhash_lsh_pairs
-    docs = _t(spark, sf, "documents")
+    if docs is None:
+        docs = _t(spark, sf, "documents")
     return minhash_lsh_pairs(docs, k=64, bands=32, threshold=0.5)
 
 
@@ -3350,9 +3352,14 @@ def _dedup_jaccard_minhash(spark, sf):
     value rows (the minhash configuration provably reaches recall
     1.0 vs the exact scan — see _dedup_minhash), so the oracle
     replays the exact all-pairs Jaccard once per kind."""
-    pp = _dedup_jaccard(spark, sf) \
+    # r5: both legs read one cached (doc_id, text) checkpoint — each
+    # operator still builds (and checkpoints) its own shingle tables,
+    # but the parquet scan happens once
+    docs_cp = _t(spark, sf, "documents").select("doc_id", "text") \
+        .localCheckpoint()
+    pp = _dedup_jaccard(spark, sf, docs_cp) \
         .select(F.lit("ppjoin").alias("kind"), "*")
-    lsh = _dedup_minhash(spark, sf) \
+    lsh = _dedup_minhash(spark, sf, docs_cp) \
         .select(F.lit("lsh").alias("kind"), "*")
     return pp.unionByName(lsh)
 
