@@ -1940,11 +1940,14 @@ def _asof_join(spark, sf):
     from baloo_spark.operators.joins import asof_join
     from baloo_spark.streaming.events import load_events
     ev = load_events(spark, sf)
-    # dedupe right to one row per (user, ts) so ties are unambiguous
+    # dedupe right to one row per (user, ts) so ties are unambiguous.
+    # r5: both sides checkpoint once — the three direction legs used
+    # to re-scan events and re-run the clicks aggregation each
     clicks = (ev.filter("event_type = 'click'")
-              .groupBy("user_id", "ts").agg(F.max("value").alias("click_value")))
+              .groupBy("user_id", "ts").agg(F.max("value").alias("click_value"))
+              .localCheckpoint())
     purchases = ev.filter("event_type = 'purchase'") \
-        .select("event_id", "user_id", "ts", "value")
+        .select("event_id", "user_id", "ts", "value").localCheckpoint()
 
     def leg(direction, tag):
         out = asof_join(purchases, clicks, on="ts", by="user_id",
