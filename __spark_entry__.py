@@ -2744,8 +2744,10 @@ def _lm_perplexity(spark, sf, docs=None):
     from baloo_spark.operators.lm import perplexity, train_bigram_lm
     if docs is None:
         docs = _t(spark, sf, "documents")
-    lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0))
-    return perplexity(docs, lm, alpha=0.5)
+    tc = "tkl" if "tkl" in docs.columns else None
+    lm = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0),
+                         tokens_col=tc)
+    return perplexity(docs, lm, alpha=0.5, tokens_col=tc)
 
 
 _LM_PERPLEXITY_SQL = """
@@ -2840,15 +2842,16 @@ def _corpus_vocab(spark, sf, docs=None):
     corpus-wide window, no driver-side vocabulary."""
     from baloo_spark.operators.text import corpus_ngrams, vocabulary_stats
     d = docs if docs is not None else _t(spark, sf, "documents")
+    tc = "tkl" if "tkl" in d.columns else None
 
     def tag(df, kind):
         return df.select(F.lit(kind).alias("kind"), "ngram",
                          "term_count", "doc_count",
                          F.lit(None).cast("double").alias("value"))
 
-    uni = tag(corpus_ngrams(d, n=1, top_k=30), "uni")
-    bi = tag(corpus_ngrams(d, n=2, top_k=20), "bi")
-    vs = vocabulary_stats(d)
+    uni = tag(corpus_ngrams(d, n=1, top_k=30, tokens_col=tc), "uni")
+    bi = tag(corpus_ngrams(d, n=2, top_k=20, tokens_col=tc), "bi")
+    vs = vocabulary_stats(d, tokens_col=tc)
     vrows = vs.select(F.explode(F.map_from_arrays(
         F.array(F.lit("total_tokens"), F.lit("distinct_tokens"),
                 F.lit("type_token_ratio"), F.lit("hapax_count")),
@@ -3461,10 +3464,17 @@ def _doc_pipeline_stats(spark, sf):
     documents.parquet independently; the (doc_id, text) projection is
     localCheckpointed ONCE here and every leg reads the cached
     blocks — one parquet scan instead of six (lm makes two passes).
-    On a cluster this is the cache()-the-hot-projection pattern; the
+    The checkpoint also carries the lowercase token array ('tkl'),
+    tokenized ONCE and reused by the vocab and LM legs via their
+    tokens_col fast path (the chunk leg keeps raw-case tokens and the
+    clean leg raw text, so those tokenize their own way). On a
+    cluster this is the cache()-the-hot-projection pattern; the
     checkpoint also cuts lineage so the unioned plan stays shallow."""
-    docs_cp = _t(spark, sf, "documents").select("doc_id", "text") \
-        .localCheckpoint()
+    _tkl = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"),
+                 lambda x: x != F.lit("")), F.lower)
+    docs_cp = _t(spark, sf, "documents") \
+        .select("doc_id", "text", _tkl.alias("tkl")).localCheckpoint()
     ch = _doc_chunks(spark, sf, docs_cp).select(
         F.lit("chunk").alias("kind"),
         F.col("doc_id").alias("id"),

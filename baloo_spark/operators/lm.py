@@ -69,14 +69,23 @@ class BigramLM:
     vocab_size: int
 
 
-def train_bigram_lm(df: DataFrame, text_col: str = "text") -> BigramLM:
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    tokens_col: str | None = None) -> BigramLM:
     """Count-table training: two map-side-combined aggregations.
 
     The context (unigram) counts are derived FROM the bigram pairs
     (w1 positions), not from raw tokens, so the conditional
     probabilities normalize exactly: sum_w2 P(w2|w1) = 1 under
-    add-alpha smoothing."""
-    pre = spread(df).select(_toks(text_col).alias("__t__"))
+    add-alpha smoothing.
+
+    ``tokens_col``: reuse a pre-tokenized lowercase token array
+    instead of tokenizing ``text_col`` — the shared-scan
+    optimization for pipelines that run several token-level
+    operators over one cached corpus projection (tokenize once,
+    reuse everywhere)."""
+    tk = (F.col(tokens_col) if tokens_col is not None
+          else _toks(text_col))
+    pre = spread(df).select(tk.alias("__t__"))
     pairs = pre.select(F.explode(_pairs("__t__")).alias("p")) \
         .select("p.w1", "p.w2")
     bigrams = pairs.groupBy("w1", "w2").agg(
@@ -90,7 +99,8 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text") -> BigramLM:
 
 
 def perplexity(df: DataFrame, lm: BigramLM, text_col: str = "text",
-               id_col: str = "doc_id", alpha: float = 1.0) -> DataFrame:
+               id_col: str = "doc_id", alpha: float = 1.0,
+               tokens_col: str | None = None) -> DataFrame:
     """Per-document perplexity under ``lm`` with add-alpha smoothing:
 
         P(w2|w1) = (c12 + alpha) / (c1 + alpha * V)
@@ -108,7 +118,9 @@ def perplexity(df: DataFrame, lm: BigramLM, text_col: str = "text",
     groupBy(id_col). No correlated work, no Python.
     """
     v = int(lm.vocab_size)
-    pre = spread(df).select(F.col(id_col), _toks(text_col).alias("__t__"))
+    tk = (F.col(tokens_col) if tokens_col is not None
+          else _toks(text_col))
+    pre = spread(df).select(F.col(id_col), tk.alias("__t__"))
     rows = pre.select(id_col, F.explode_outer(_pairs("__t__")).alias("p")) \
         .select(id_col, "p.w1", "p.w2")
     scored = (rows

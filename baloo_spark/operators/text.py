@@ -473,7 +473,8 @@ def pii_redact(df: DataFrame, text_col: str = "text",
 
 
 def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
-                  top_k: int = 100, min_count: int = 1) -> DataFrame:
+                  top_k: int = 100, min_count: int = 1,
+                  tokens_col: str | None = None) -> DataFrame:
     """Corpus-level n-gram frequency table: the top_k most frequent
     word n-grams with document frequency — the vocabulary/corpus-stats
     pass of a training-data pipeline (dedup diagnostics, stopword
@@ -484,7 +485,8 @@ def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
     no driver-side vocabulary; at 100 TB this is exactly a word-count
     with a bounded output. Ties broken by ngram text for determinism.
     """
-    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else F.transform(_tokens(F.col(text_col)), F.lower))
     # guard like _word_grams: sequence(1, 0) is DESCENDING [1, 0] in
     # Spark, and slice(.., 0, n) then errors — docs shorter than n
     # words must yield an empty gram array, not a runtime failure
@@ -504,7 +506,8 @@ def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
             .limit(top_k))
 
 
-def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def vocabulary_stats(df: DataFrame, text_col: str = "text",
+                     tokens_col: str | None = None) -> DataFrame:
     """One-row corpus vocabulary summary: total tokens, distinct
     tokens (exact), type-token ratio, and hapax count (tokens seen
     exactly once) — the standard corpus-size diagnostics.
@@ -512,7 +515,8 @@ def vocabulary_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Two hash aggregations, both map-side combined; nothing brought to
     the driver but the single output row.
     """
-    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else F.transform(_tokens(F.col(text_col)), F.lower))
     rows = spread(df).select(F.explode(toks).alias("tok"))
     per_tok = rows.groupBy("tok").agg(
         F.count(F.lit(1)).alias("cnt"))

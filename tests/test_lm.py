@@ -120,3 +120,37 @@ def test_perplexity_broadcast_guards_model_size(docs, lm):
     from baloo_spark.operators.lm import perplexity_broadcast
     with pytest.raises(ValueError, match="max_model_rows"):
         perplexity_broadcast(docs, lm, max_model_rows=2)
+
+
+def test_tokens_col_fast_path_parity(spark):
+    """tokens_col (pre-tokenized reuse) must match the tokenize-
+    internally path bit-for-bit across corpus_ngrams,
+    vocabulary_stats, and the LM train/score pair."""
+    from pyspark.sql import functions as F
+
+    from baloo_spark.operators.lm import perplexity, train_bigram_lm
+    from baloo_spark.operators.text import corpus_ngrams, vocabulary_stats
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    tkl = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"),
+                 lambda x: x != F.lit("")), F.lower)
+    tok = docs.withColumn("tkl", tkl)
+
+    a = corpus_ngrams(docs, n=2, top_k=15).collect()
+    b = corpus_ngrams(tok, n=2, top_k=15, tokens_col="tkl").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    va = vocabulary_stats(docs).first()
+    vb = vocabulary_stats(tok, tokens_col="tkl").first()
+    assert tuple(va) == tuple(vb)
+
+    lm_a = train_bigram_lm(docs)
+    lm_b = train_bigram_lm(tok, tokens_col="tkl")
+    assert lm_a.vocab_size == lm_b.vocab_size
+    pa = {r["doc_id"]: (r["n_bigrams"], r["ppl"])
+          for r in perplexity(docs, lm_a, alpha=0.5).collect()}
+    pb = {r["doc_id"]: (r["n_bigrams"], r["ppl"])
+          for r in perplexity(tok, lm_b, alpha=0.5,
+                              tokens_col="tkl").collect()}
+    assert pa == pb
