@@ -2925,8 +2925,10 @@ def _text_metrics(spark, sf):
                                             pii_redact, text_profile)
     # r5: same one-scan treatment as doc_pipeline_stats — the four
     # branches (profile, contamination incl. its benchmark sub-scan,
-    # boilerplate, PII) all read the cached (doc_id, text) blocks
-    docs = _t(spark, sf, "documents").select("doc_id", "text") \
+    # boilerplate, PII) all read the cached (doc_id, text) blocks,
+    # spread pre-checkpoint so the one-file scan widens exactly once
+    from baloo_spark.plans.layout import spread
+    docs = spread(_t(spark, sf, "documents").select("doc_id", "text")) \
         .localCheckpoint()
     prof = text_profile(docs, include_repetition=True)
     bench = docs.where(F.col("doc_id") % 20 == 0)
@@ -3360,9 +3362,11 @@ def _dedup_jaccard_minhash(spark, sf):
     replays the exact all-pairs Jaccard once per kind."""
     # r5: both legs read one cached (doc_id, text) checkpoint — each
     # operator still builds (and checkpoints) its own shingle tables,
-    # but the parquet scan happens once
-    docs_cp = _t(spark, sf, "documents").select("doc_id", "text") \
-        .localCheckpoint()
+    # but the parquet scan happens once (spread pre-checkpoint: one
+    # widening shuffle instead of one per leg)
+    from baloo_spark.plans.layout import spread
+    docs_cp = spread(_t(spark, sf, "documents")
+                     .select("doc_id", "text")).localCheckpoint()
     pp = _dedup_jaccard(spark, sf, docs_cp) \
         .select(F.lit("ppjoin").alias("kind"), "*")
     lsh = _dedup_minhash(spark, sf, docs_cp) \
@@ -3470,11 +3474,18 @@ def _doc_pipeline_stats(spark, sf):
     clean leg raw text, so those tokenize their own way). On a
     cluster this is the cache()-the-hot-projection pattern; the
     checkpoint also cuts lineage so the unioned plan stays shallow."""
+    from baloo_spark.plans.layout import spread
     _tkl = F.transform(
         F.filter(F.split(F.trim(F.col("text")), "\\s+"),
                  lambda x: x != F.lit("")), F.lower)
-    docs_cp = _t(spark, sf, "documents") \
-        .select("doc_id", "text", _tkl.alias("tkl")).localCheckpoint()
+    # spread BEFORE checkpointing: the sf0.1 documents table is ONE
+    # parquet file => a 1-partition scan; checkpointing that narrow
+    # layout would single-thread the tokenize AND make every leg's
+    # internal spread() re-shuffle the corpus. Spread once, checkpoint
+    # 32 partitions, every downstream spread() no-ops (layout.py r5)
+    docs_cp = spread(_t(spark, sf, "documents")
+                     .select("doc_id", "text", _tkl.alias("tkl"))) \
+        .localCheckpoint()
     ch = _doc_chunks(spark, sf, docs_cp).select(
         F.lit("chunk").alias("kind"),
         F.col("doc_id").alias("id"),

@@ -24,12 +24,18 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     shuffle would cost more than single-core compute on microbatch-
     sized slices) and for scans already backed by >= target files.
 
-    DataFrame-native width probe: file-backed plans report the files
-    behind the scan; at 100 TB that's thousands of files and this is
-    a no-op. Non-file relations (in-memory test frames) report none
-    and are small by construction, so the repartition is cheap.
-    ``df.rdd`` would answer the same question but forces a Python-RDD
-    conversion + analysis pass per call.
+    Width probes, cheapest first: file-backed plans report the files
+    behind the scan (at 100 TB that's thousands of files — no-op
+    without planning anything); plans with no files (checkpointed /
+    cached / parallelized relations) fall back to the JVM-side
+    physical partition count (``_jdf.rdd()`` builds the RDD DAG but
+    runs no job; the Python-side ``df.rdd`` would additionally wrap
+    it in a pickle-converting Python RDD). The r5 fallback matters:
+    operators fed a localCheckpoint of the corpus (the shared-scan
+    pattern every heavy driver slot now uses) used to re-shuffle the
+    ENTIRE corpus here because a checkpoint reports zero input files
+    — a data-sized Exchange per operator call, for nothing; the
+    checkpoint already inherited the scan's partitioning.
     """
     if df.isStreaming:
         return df
@@ -38,6 +44,12 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    if n_files >= target:
+        return df
+    try:
+        n_parts = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        n_parts = 0
+    if n_parts >= target:
+        return df
+    return df.repartition(target)

@@ -166,3 +166,20 @@ def test_ngram_jaccard_never_cartesian(spark):
     plan = plan_of(ngram_jaccard_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spread_noop_on_wide_checkpoint(spark):
+    """r5: spread() must not re-shuffle a checkpointed frame that
+    already has >= target partitions — operators fed a shared
+    localCheckpoint (the one-scan slot pattern) were paying a
+    corpus-sized Exchange per call because a checkpoint reports zero
+    input files."""
+    from baloo_spark.plans.layout import spread
+    d = spark.range(0, 10000)
+    target = spark.sparkContext.defaultParallelism
+    wide = d.repartition(target).localCheckpoint()
+    assert spread(wide) is wide                    # no-op, same object
+    narrow = d.coalesce(1).localCheckpoint()
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target    # still widens

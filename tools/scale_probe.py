@@ -343,7 +343,12 @@ def main():
             f"- {n_wide}-file scan (>= target {target}): spread() "
             f"returned the SAME DataFrame object — no repartition, "
             f"no-op verified = {wide_noop}. At 100 TB every scan is "
-            "this case: thousands of files, spread costs nothing.",
+            "this case: thousands of files, spread costs nothing. "
+            "(r5: checkpointed/cached relations report zero files; "
+            "spread now falls back to the physical partition count "
+            "so a wide checkpoint is a no-op too — pinned by "
+            "tests/test_plans.py::test_spread_noop_on_wide_"
+            "checkpoint.)",
             f"- {n_narrow}-file scan: spread() fired "
             f"(= {narrow_fired}) and repartitioned to {target}; the "
             "probe agg over the single-file scan runs "
