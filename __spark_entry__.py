@@ -2840,7 +2840,8 @@ def _corpus_vocab(spark, sf, docs=None):
     text, so the limit is deterministic cross-engine. Plan shape:
     explode -> ONE map-side-combined hash agg -> TakeOrdered(k); no
     corpus-wide window, no driver-side vocabulary."""
-    from baloo_spark.operators.text import corpus_ngrams, vocabulary_stats
+    from baloo_spark.operators.text import (corpus_ngrams, ngram_counts,
+                                            vocabulary_stats)
     d = docs if docs is not None else _t(spark, sf, "documents")
     tc = "tkl" if "tkl" in d.columns else None
 
@@ -2849,9 +2850,13 @@ def _corpus_vocab(spark, sf, docs=None):
                          "term_count", "doc_count",
                          F.lit(None).cast("double").alias("value"))
 
-    uni = tag(corpus_ngrams(d, n=1, top_k=30, tokens_col=tc), "uni")
+    # r5: the uni top-k and the vocabulary rollup share ONE unigram
+    # count table (vocabulary-sized, checkpointed) instead of each
+    # re-exploding the corpus
+    uni_counts = ngram_counts(d, n=1, tokens_col=tc).localCheckpoint()
+    uni = tag(corpus_ngrams(d, n=1, top_k=30, counts=uni_counts), "uni")
     bi = tag(corpus_ngrams(d, n=2, top_k=20, tokens_col=tc), "bi")
-    vs = vocabulary_stats(d, tokens_col=tc)
+    vs = vocabulary_stats(d, counts=uni_counts)
     vrows = vs.select(F.explode(F.map_from_arrays(
         F.array(F.lit("total_tokens"), F.lit("distinct_tokens"),
                 F.lit("type_token_ratio"), F.lit("hapax_count")),

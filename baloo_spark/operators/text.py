@@ -472,18 +472,18 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     return out.withColumn("n_pii_total", total.cast("long"))
 
 
-def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
-                  top_k: int = 100, min_count: int = 1,
-                  tokens_col: str | None = None) -> DataFrame:
-    """Corpus-level n-gram frequency table: the top_k most frequent
-    word n-grams with document frequency — the vocabulary/corpus-stats
-    pass of a training-data pipeline (dedup diagnostics, stopword
-    discovery, contamination screens).
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 1,
+                 tokens_col: str | None = None) -> DataFrame:
+    """Full corpus n-gram frequency table: (ngram, term_count,
+    doc_count) for EVERY distinct n-gram — the shared substrate of
+    :func:`corpus_ngrams` (top-k view) and :func:`vocabulary_stats`
+    (one-row rollup). Pipelines that need both compute this once
+    (optionally checkpoint it — it is vocabulary-sized, not
+    corpus-sized) and pass it via their ``counts`` parameter.
 
-    Scale shape: explode -> ONE hash aggregation (map-side combined)
-    -> TakeOrderedAndProject for the top-k. No window over the corpus,
-    no driver-side vocabulary; at 100 TB this is exactly a word-count
-    with a bounded output. Ties broken by ngram text for determinism.
+    Scale shape: explode -> ONE hash aggregation (map-side combined;
+    doc_count is a two-phase distinct). Output rows = distinct
+    n-grams: bounded by vocabulary, not corpus size.
     """
     toks = (F.col(tokens_col) if tokens_col is not None
             else F.transform(_tokens(F.col(text_col)), F.lower))
@@ -498,28 +498,55 @@ def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
                     toks.alias("__toks__"))
     rows = pre.select("__doc__", F.explode(
         grams if n > 1 else F.col("__toks__")).alias("ngram"))
-    agg = (rows.groupBy("ngram")
-           .agg(F.count(F.lit(1)).cast("long").alias("term_count"),
-                F.countDistinct("__doc__").cast("long").alias("doc_count"))
-           .where(F.col("term_count") >= min_count))
+    return (rows.groupBy("ngram")
+            .agg(F.count(F.lit(1)).cast("long").alias("term_count"),
+                 F.countDistinct("__doc__").cast("long").alias("doc_count")))
+
+
+def corpus_ngrams(df: DataFrame, text_col: str = "text", n: int = 1,
+                  top_k: int = 100, min_count: int = 1,
+                  tokens_col: str | None = None,
+                  counts: DataFrame | None = None) -> DataFrame:
+    """Corpus-level n-gram frequency table: the top_k most frequent
+    word n-grams with document frequency — the vocabulary/corpus-stats
+    pass of a training-data pipeline (dedup diagnostics, stopword
+    discovery, contamination screens).
+
+    Scale shape: explode -> ONE hash aggregation (map-side combined)
+    -> TakeOrderedAndProject for the top-k. No window over the corpus,
+    no driver-side vocabulary; at 100 TB this is exactly a word-count
+    with a bounded output. Ties broken by ngram text for determinism.
+    ``counts``: a precomputed :func:`ngram_counts` table to rank
+    instead of re-scanning the corpus (share one table between this
+    and :func:`vocabulary_stats`).
+    """
+    agg = (counts if counts is not None
+           else ngram_counts(df, text_col, n, tokens_col))
+    agg = agg.where(F.col("term_count") >= min_count)
     return (agg.orderBy(F.col("term_count").desc(), F.col("ngram").asc())
             .limit(top_k))
 
 
 def vocabulary_stats(df: DataFrame, text_col: str = "text",
-                     tokens_col: str | None = None) -> DataFrame:
+                     tokens_col: str | None = None,
+                     counts: DataFrame | None = None) -> DataFrame:
     """One-row corpus vocabulary summary: total tokens, distinct
     tokens (exact), type-token ratio, and hapax count (tokens seen
     exactly once) — the standard corpus-size diagnostics.
 
     Two hash aggregations, both map-side combined; nothing brought to
-    the driver but the single output row.
+    the driver but the single output row. ``counts``: roll up a
+    precomputed :func:`ngram_counts` (n=1) table instead of
+    re-scanning the corpus.
     """
-    toks = (F.col(tokens_col) if tokens_col is not None
-            else F.transform(_tokens(F.col(text_col)), F.lower))
-    rows = spread(df).select(F.explode(toks).alias("tok"))
-    per_tok = rows.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("cnt"))
+    if counts is not None:
+        per_tok = counts.select(F.col("term_count").alias("cnt"))
+    else:
+        toks = (F.col(tokens_col) if tokens_col is not None
+                else F.transform(_tokens(F.col(text_col)), F.lower))
+        rows = spread(df).select(F.explode(toks).alias("tok"))
+        per_tok = rows.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("cnt"))
     return per_tok.agg(
         F.sum("cnt").cast("long").alias("total_tokens"),
         F.count(F.lit(1)).cast("long").alias("distinct_tokens"),

@@ -887,3 +887,19 @@ def test_embedding_near_pairs_multi_seed_recall(spark):
     r_union = len(set(union) & truth) / len(truth)
     assert r_union > r_single                     # the recall amplifier
     assert r_union >= 0.95
+
+
+def test_ngram_counts_shared_table_parity(spark):
+    """corpus_ngrams(counts=) and vocabulary_stats(counts=) over one
+    ngram_counts table must equal their re-scan forms exactly."""
+    from baloo_spark.operators.text import (corpus_ngrams, ngram_counts,
+                                            vocabulary_stats)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    tt = ngram_counts(docs, n=1)
+    a = corpus_ngrams(docs, n=1, top_k=25).collect()
+    b = corpus_ngrams(docs, n=1, top_k=25, counts=tt).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    va = vocabulary_stats(docs).first()
+    vb = vocabulary_stats(docs, counts=tt).first()
+    assert tuple(va) == tuple(vb)
