@@ -2851,9 +2851,14 @@ def _corpus_vocab(spark, sf, docs=None):
                          F.lit(None).cast("double").alias("value"))
 
     # r5: the uni top-k and the vocabulary rollup share ONE unigram
-    # count table (vocabulary-sized, checkpointed) instead of each
-    # re-exploding the corpus
-    uni_counts = ngram_counts(d, n=1, tokens_col=tc).localCheckpoint()
+    # count plan instead of each re-exploding the corpus. NOT
+    # checkpointed: an eager checkpoint here serializes the heaviest
+    # single pass ahead of the final collect, where it otherwise
+    # overlaps the other legs' stages (measured: checkpoint 1.39s vs
+    # shared-plan 1.22s for the vocab pair at sf0.1) — on a saturated
+    # cluster the shared plan still halves the CPU cycles even though
+    # local[32] parallel slack hides the difference
+    uni_counts = ngram_counts(d, n=1, tokens_col=tc)
     uni = tag(corpus_ngrams(d, n=1, top_k=30, counts=uni_counts), "uni")
     bi = tag(corpus_ngrams(d, n=2, top_k=20, tokens_col=tc), "bi")
     vs = vocabulary_stats(d, counts=uni_counts)
