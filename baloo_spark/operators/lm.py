@@ -90,8 +90,12 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
         .select("p.w1", "p.w2")
     bigrams = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c12"))
-    unigrams = pairs.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("long").alias("c1"))
+    # c1 = sum_w2 c12 by definition, so the context counts roll up
+    # from the bigram TABLE (vocabulary^-ish sized) instead of
+    # re-exploding and re-shuffling the corpus-sized pair stream —
+    # exact integers either way (r5)
+    unigrams = bigrams.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"))
     vocab = pre.select(F.explode("__t__").alias("w")) \
         .agg(F.count_distinct("w").alias("v")).first()["v"]
     return BigramLM(bigrams=bigrams, unigrams=unigrams,
