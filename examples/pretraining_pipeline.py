@@ -52,9 +52,15 @@ def build_corpus(spark, sf_dir: str, out_dir: str,
     #    bigram LM on the surviving docs, drop the worst 10% by
     #    perplexity (two count aggs to train; an explode + two
     #    count-table joins to score — the quantile threshold is one
-    #    tiny scalar job)
-    lm = train_bigram_lm(clean)
-    scores = perplexity(clean, lm, alpha=0.5)
+    #    tiny scalar job). Tokenize ONCE and feed both passes via the
+    #    tokens_col fast path (r5): train and score would otherwise
+    #    each re-split the cleaned text
+    tkl = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"),
+                 lambda x: x != F.lit("")), F.lower)
+    tokd = clean.withColumn("__tkl__", tkl)
+    lm = train_bigram_lm(tokd, tokens_col="__tkl__")
+    scores = perplexity(tokd, lm, alpha=0.5, tokens_col="__tkl__")
     cutoff = scores.where(F.col("ppl").isNotNull()) \
         .approxQuantile("ppl", [0.9], 0.001)[0]
     keep = scores.where(F.col("ppl").isNull()
