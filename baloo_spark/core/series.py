@@ -524,12 +524,17 @@ class Series:
         return self._with_col(F.round(self._colexpr, decimals))
 
     def clip(self, lower=None, upper=None) -> "Series":
+        """Bound values to [lower, upper] (pandas ``Series.clip``).
+        NULL/NaN stays NULL: Spark's greatest/least SKIP nulls, which
+        would silently clamp a missing value to the bound — pandas
+        propagates NaN, so the whole expression is null-gated."""
         col = self._colexpr
         if lower is not None:
             col = F.greatest(col, F.lit(lower))
         if upper is not None:
             col = F.least(col, F.lit(upper))
-        return self._with_col(col)
+        return self._with_col(
+            F.when(self._colexpr.isNull(), F.lit(None)).otherwise(col))
 
     def value_counts(self, ascending: bool = False,
                      normalize: bool = False,

@@ -366,3 +366,17 @@ def test_isin_large_list_plans_as_join(bl, monkeypatch):
     monkeypatch.setattr(sm, "_ISIN_LITERAL_MAX", 1)
     join = sr.isin(small).to_pandas().tolist()
     assert join == lit == [True, True, None, False]
+
+
+def test_clip_preserves_null(bl):
+    """r5 probe: Spark greatest/least SKIP nulls, which clamped NaN
+    to the bound — pandas propagates NaN through clip."""
+    import numpy as np
+    import pandas as pd
+    sr = bl.Series(np.array([1.0, 5.0, np.nan, 3.0]), name="x")
+    got = sr.clip(2, 4).to_pandas()
+    want = pd.Series([1.0, 5.0, np.nan, 3.0]).clip(2, 4)
+    assert got.tolist()[0:2] == want.tolist()[0:2]
+    assert np.isnan(got.tolist()[2]) and got.tolist()[3] == 3.0
+    lo = sr.clip(lower=2).to_pandas().tolist()
+    assert lo[0] == 2.0 and lo[1] == 5.0 and np.isnan(lo[2])
