@@ -668,7 +668,12 @@ class Series:
              else self._colexpr)
         out = with_prefix_aggs(sdf, {"__cum__": (v, kind)},
                                order or None)
-        return Series._make(out, F.col("__cum__"), self._index_cols,
+        # pandas emits NaN AT a missing position while still skipping
+        # it in the running accumulation ([1, nan, 2].cumsum() ->
+        # [1, nan, 3]) — gate the output, not the accumulator (r5)
+        cum = F.when(self._colexpr.isNull(), F.lit(None)) \
+            .otherwise(F.col("__cum__"))
+        return Series._make(out, cum, self._index_cols,
                             self.name, self._order)
 
     def cumsum(self) -> "Series":

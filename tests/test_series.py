@@ -380,3 +380,18 @@ def test_clip_preserves_null(bl):
     assert np.isnan(got.tolist()[2]) and got.tolist()[3] == 3.0
     lo = sr.clip(lower=2).to_pandas().tolist()
     assert lo[0] == 2.0 and lo[1] == 5.0 and np.isnan(lo[2])
+
+
+def test_cumulative_preserves_null_positions(bl):
+    """r5 probe: pandas emits NaN AT a missing position while skipping
+    it in the running accumulation."""
+    import numpy as np
+    import pandas as pd
+    vals = [1.0, np.nan, 2.0, np.nan, 4.0]
+    sr = bl.Series(np.array(vals), name="x")
+    ps = pd.Series(vals)
+    for kind in ("cumsum", "cumprod", "cummin", "cummax"):
+        got = getattr(sr, kind)().to_pandas().tolist()
+        want = getattr(ps, kind)().tolist()
+        assert all((a != a and b != b) or a == b
+                   for a, b in zip(got, want)), (kind, got, want)
