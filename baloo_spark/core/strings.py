@@ -122,6 +122,35 @@ class StringMethods:
     def length(self):
         return self._map(F.length)
 
+    def len(self):
+        """pandas ``str.len`` (alias of :meth:`length`)."""
+        return self._map(F.length)
+
+    def count(self, pat: str):
+        """Occurrences of regex ``pat`` per value (pandas
+        ``str.count``); NULL stays NULL."""
+        return self._map(lambda c: F.regexp_count(c, F.lit(pat)))
+
+    def repeat(self, n: int):
+        """Concatenate each value ``n`` times (pandas
+        ``str.repeat`` with a scalar)."""
+        return self._map(lambda c: F.repeat(c, n))
+
+    def zfill(self, width: int):
+        """Left-pad with '0' to ``width``, sign-aware like Python's
+        ``str.zfill`` ('-2'.zfill(3) == '-02'); pandas parity."""
+        def fn(c):
+            sign = F.substring(c, 1, 1)
+            signed = sign.isin("-", "+")
+            rest = F.when(signed,
+                          c.substr(F.lit(2), F.length(c))).otherwise(c)
+            pad = F.when(signed,
+                         F.concat(sign, F.lpad(rest, width - 1, "0"))) \
+                .otherwise(F.lpad(c, width, "0"))
+            # lpad TRUNCATES below width; zfill never truncates
+            return F.when(F.length(c) >= width, c).otherwise(pad)
+        return self._map(fn)
+
     def regexp_extract(self, pattern: str, group: int = 0):
         return self._map(lambda c: F.regexp_extract(c, pattern, group))
 

@@ -60,3 +60,34 @@ def test_split(sr):
     assert vals(sr.str.split("b", "left")) == \
         ["a", "A", "goosfra", "   dC  ", "secrETariat"]
     assert vals(sr.str.split("b", "right")) == [None, "c", "a", None, None]
+
+
+def test_str_len_count_repeat_zfill_parity(bl):
+    """r5 probe batch: pandas parity for the four added str methods,
+    NULLs included."""
+    import numpy as np
+    import pandas as pd
+    vals = ["aXaX", "", None, "b"]
+    sr = bl.Series(np.array(vals, dtype=object), name="s")
+    ps = pd.Series(vals)
+
+    got_len = sr.str.len().to_pandas().tolist()
+    want_len = ps.str.len().tolist()
+    assert all((a != a and b != b) or a == b
+               for a, b in zip([float(x) if x is not None else float("nan")
+                                for x in got_len], want_len))
+
+    got_cnt = sr.str.count("X").to_pandas().tolist()
+    want_cnt = ps.str.count("X").tolist()
+    assert all((a != a and b != b) or float(a) == b
+               for a, b in zip([x if x is not None else float("nan")
+                                for x in got_cnt], want_cnt))
+
+    assert sr.str.repeat(2).to_pandas().tolist()[:2] == ["aXaXaXaX", ""]
+
+    zvals = ["4", "-2", "+7", "12345", None, "-"]
+    zs = bl.Series(np.array(zvals, dtype=object), name="z")
+    got_z = zs.str.zfill(3).to_pandas().tolist()
+    want_z = pd.Series(zvals).str.zfill(3).tolist()
+    assert [g for g in got_z] == [None if w != w and not isinstance(w, str)
+                                  else w for w in want_z]
