@@ -768,11 +768,83 @@ class DataFrame:
                 exprs.append(_AGG_FNS[a](src).cast(out_t).alias(f"{c}_{a}"))
         return exprs
 
-    def sample(self, fraction: float, seed: int = 42,
-               with_replacement: bool = False) -> "DataFrame":
-        """Per-partition Bernoulli sample — no shuffle, no collect."""
+    def sample(self, fraction: float | None = None, seed: int = 42,
+               with_replacement: bool = False, frac: float | None = None,
+               random_state: int | None = None) -> "DataFrame":
+        """Per-partition Bernoulli sample — no shuffle, no collect.
+        ``frac``/``random_state`` are accepted as pandas-style aliases
+        of ``fraction``/``seed``."""
+        if frac is not None:
+            fraction = frac
+        if random_state is not None:
+            seed = random_state
+        if fraction is None:
+            raise ValueError("pass fraction= (or pandas-style frac=)")
         return self._replace_sdf(
             self._sdf.sample(with_replacement, fraction, seed), order=None)
+
+    def nlargest(self, n: int, columns, keep: str = "first") -> "DataFrame":
+        """Top-n rows by ``columns`` (pandas flavor): a distributed
+        TakeOrdered — never a full sort. NULL keys sort last (they
+        only appear if fewer than ``n`` non-null rows exist; pandas
+        drops them the same way for practical sizes). Ties resolve by
+        logical position when the frame carries one (``keep='first'``
+        keeps earlier rows, ``'last'`` later ones), matching pandas'
+        stable ordering."""
+        if keep not in ("first", "last"):
+            raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+        return self._n_by(n, columns, ascending=False, keep=keep)
+
+    def nsmallest(self, n: int, columns, keep: str = "first") -> "DataFrame":
+        """Bottom-n rows by ``columns`` — see :meth:`nlargest`."""
+        if keep not in ("first", "last"):
+            raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+        return self._n_by(n, columns, ascending=True, keep=keep)
+
+    def _n_by(self, n, columns, ascending, keep):
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        self._check_cols(cols)
+        ob = [order_expr(c, ascending) for c in cols]
+        if ORD_COL in self._sdf.columns:
+            ob.append(F.col(ORD_COL).asc() if keep == "first"
+                      else F.col(ORD_COL).desc())
+        sdf = self._sdf.orderBy(*ob).limit(n)
+        return DataFrame._make(sdf, self._index_cols, self._data_cols,
+                               [(c, ascending) for c in cols])
+
+    def replace(self, to_replace, value=None) -> "DataFrame":
+        """Whole-frame value substitution (pandas scalar and
+        ``{old: new}`` dict forms). Applied per data column as a pure
+        CASE projection — zero shuffles; columns whose Spark type
+        cannot hold the replacement are left untouched (pandas
+        likewise only replaces where values can match)."""
+        from pyspark.sql import types as T
+        mapping = (dict(to_replace) if isinstance(to_replace, dict)
+                   and value is None else {to_replace: value})
+
+        def compat(dt, v):
+            if v is None:
+                return True
+            if isinstance(v, bool):
+                return isinstance(dt, T.BooleanType)
+            if isinstance(v, (int, float)):
+                return isinstance(dt, T.NumericType)
+            if isinstance(v, str):
+                return isinstance(dt, T.StringType)
+            return False
+
+        sch = {f.name: f.dataType for f in self._sdf.schema.fields}
+        out = self._sdf
+        for c in self._data_cols:
+            pairs = [(o, v) for o, v in mapping.items()
+                     if compat(sch[c], o) and compat(sch[c], v)]
+            if not pairs:
+                continue
+            col, expr = F.col(c), F.col(c)
+            for o, v in pairs:
+                expr = F.when(col.eqNullSafe(F.lit(o)), F.lit(v))                     .otherwise(expr)
+            out = out.withColumn(c, expr.cast(sch[c]))
+        return self._replace_sdf(out)
 
     def duplicated(self, subset=None, keep="first") -> "Series":
         """Boolean mask of duplicate rows (pandas flavor).
@@ -915,7 +987,7 @@ class DataFrame:
               suffixes=("_x", "_y"), algorithm: str = "merge",
               is_on_sorted: bool = False, is_on_unique: bool = True,
               broadcast_other: bool = False, left_on=None,
-              right_on=None) -> "DataFrame":
+              right_on=None, indicator=False) -> "DataFrame":
         """DB-style equi-join (frame.py:798-925).
 
         The reference implements ONLY a single-threaded sort-merge join
@@ -931,7 +1003,11 @@ class DataFrame:
         left rows without a match) — SURVEY.md §2.3 — and pandas-style
         ``left_on``/``right_on`` for differently-named keys (the right
         keys are renamed onto the left names before the equi-join, so
-        the result is keyed by the left names).
+        the result is keyed by the left names), and pandas
+        ``indicator=True`` (or a string column name): a ``_merge``
+        column tagging each row 'both' / 'left_only' / 'right_only'
+        — presence markers carried through the join, zero extra
+        shuffles.
         """
         if how not in ("inner", "left", "right", "outer", "semi", "anti"):
             raise ValueError(f"unsupported how: {how}")
@@ -981,6 +1057,14 @@ class DataFrame:
         rkeys = {c: f"__rk_{c}__" for c in on}
         for c in on:
             right = right.withColumnRenamed(c, rkeys[c])
+        ind_col = None
+        if indicator:
+            if how in ("semi", "anti"):
+                raise ValueError("indicator is undefined for "
+                                 "semi/anti joins")
+            ind_col = indicator if isinstance(indicator, str) else "_merge"
+            left = left.withColumn("__lp__", F.lit(1))
+            right = right.withColumn("__rp__", F.lit(1))
         if algorithm == "hash" or broadcast_other:
             right = F.broadcast(right)
         spark_how = {"outer": "full", "semi": "left_semi",
@@ -996,6 +1080,13 @@ class DataFrame:
                     joined = joined.withColumn(
                         c, F.coalesce(left[c], right[rkeys[c]]))
                 joined = joined.drop(right[rkeys[c]])
+        if ind_col is not None:
+            joined = joined.withColumn(
+                ind_col,
+                F.when(F.col("__lp__").isNotNull()
+                       & F.col("__rp__").isNotNull(), "both")
+                .when(F.col("__lp__").isNotNull(), "left_only")
+                .otherwise("right_only")).drop("__lp__", "__rp__")
         data = [c for c in joined.columns if c not in on]
         # result indexed by the on-columns (frame.py:904-906)
         return DataFrame._make(joined, on, data, None)

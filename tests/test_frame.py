@@ -581,3 +581,56 @@ def test_null_edges_dedup_unique_describe(bl):
                   key=str) == [1.0, None]
     d2 = bl.DataFrame({"x": np.array([np.nan, np.nan])})
     assert d2.describe().to_pandas().loc["count", "x"] == 0.0
+
+
+def test_frame_nlargest_nsmallest_ties(bl):
+    """r5 probe batch: frame-level nlargest/nsmallest with pandas
+    keep='first'/'last' tie order."""
+    import numpy as np
+    import pandas as pd
+    df = bl.DataFrame({"a": np.array([1., 3., 3., 2.]),
+                       "b": np.array([10., 20., 30., 40.])})
+    pdf = pd.DataFrame({"a": [1., 3., 3., 2.], "b": [10., 20., 30., 40.]})
+    assert df.nlargest(2, "a").to_pandas()["b"].tolist() == \
+        pdf.nlargest(2, "a")["b"].tolist()
+    assert df.nlargest(2, "a", keep="last").to_pandas()["b"].tolist() == \
+        [30.0, 20.0]
+    assert df.nsmallest(2, "a").to_pandas()["b"].tolist() == \
+        pdf.nsmallest(2, "a")["b"].tolist()
+    import pytest
+    with pytest.raises(ValueError, match="keep"):
+        df.nlargest(2, "a", keep="all")
+
+
+def test_merge_indicator(bl):
+    import numpy as np
+    import pandas as pd
+    l = bl.DataFrame({"k": np.array([1, 2], dtype=np.int64)})
+    r = bl.DataFrame({"k": np.array([2, 3], dtype=np.int64)})
+    m = l.merge(r, on="k", how="outer", indicator=True) \
+        .to_pandas().reset_index()
+    want = pd.DataFrame({"k": [1, 2]}).merge(
+        pd.DataFrame({"k": [2, 3]}), on="k", how="outer", indicator=True)
+    assert sorted(zip(m["k"], m["_merge"])) == \
+        sorted(zip(want["k"], want["_merge"].astype(str)))
+    named = l.merge(r, on="k", how="left", indicator="src").to_pandas()
+    assert "src" in named.columns
+    import pytest
+    with pytest.raises(ValueError, match="indicator"):
+        l.merge(r, on="k", how="semi", indicator=True)
+
+
+def test_frame_replace_and_sample_aliases(bl):
+    import numpy as np
+    import pandas as pd
+    df = bl.DataFrame({"a": np.array([1., 2., 3.]),
+                       "s": np.array(["x", "y", "x"], dtype=object)})
+    out = df.replace(2.0, 99.0).to_pandas()
+    assert out["a"].tolist() == [1.0, 99.0, 3.0]
+    assert out["s"].tolist() == ["x", "y", "x"]   # untouched str col
+    out2 = df.replace({"x": "z"}).to_pandas()
+    assert out2["s"].tolist() == ["z", "y", "z"]
+    assert out2["a"].tolist() == [1.0, 2.0, 3.0]
+    big = bl.DataFrame({"a": np.arange(200, dtype=np.float64)})
+    n = len(big.sample(frac=0.3, random_state=7))
+    assert 20 <= n <= 100   # Bernoulli, approximate
