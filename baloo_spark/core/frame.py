@@ -470,6 +470,12 @@ class DataFrame:
 
     def _slice(self, key: slice) -> "DataFrame":
         from ..plans.ordinal import POS_COL
+        if (key.step or 1) < 0:
+            raise ValueError("negative slice steps are not supported")
+        if ((key.start or 0) < 0) or (key.stop is not None
+                                      and key.stop < 0):
+            # pandas negative positions: one count job normalizes them
+            key = slice(*key.indices(len(self)))
         start, stop, step = key.start or 0, key.stop, key.step or 1
         if (step == 1 and stop is not None and self._order
                 and ORD_COL not in self._sdf.columns):
@@ -493,6 +499,9 @@ class DataFrame:
                                                else None))
 
     def head(self, n: int = 5) -> "DataFrame":
+        if n < 0:
+            # pandas head(-n): all but the last n rows
+            return self._slice(slice(0, max(len(self) + n, 0)))
         sdf = self._sdf
         if self._order:
             cols = order_exprs(self._order, sdf.columns)
@@ -501,6 +510,9 @@ class DataFrame:
         return self._replace_sdf(sdf.limit(n))
 
     def tail(self, n: int = 5) -> "DataFrame":
+        if n < 0:
+            # pandas tail(-n): all but the first n rows
+            return self._slice(slice(-n, None))
         if self._order:
             rev = rev_order_exprs(self._order, self._sdf.columns)
             if rev:
@@ -1536,7 +1548,11 @@ class _FrameILoc:
 
     def __getitem__(self, key):
         from ..plans.ordinal import POS_COL
-        if isinstance(key, int):
+        from .series import _norm_pos
+        if isinstance(key, (int, np.integer)):
+            key = int(key)
+            if key < 0:
+                key = _norm_pos(key, len(self._df))
             sdf = self._df._ordered_sdf()
             out = sdf.filter(F.col(POS_COL) == key).drop(POS_COL)
             return DataFrame._make(out, self._df._index_cols,
@@ -1544,6 +1560,9 @@ class _FrameILoc:
         if isinstance(key, slice):
             return self._df._slice(key)
         if isinstance(key, (list, np.ndarray)):
+            if any(int(i) < 0 for i in key):
+                n = len(self._df)
+                key = [_norm_pos(int(i), n) for i in key]
             sdf = self._df._ordered_sdf()
             spark = sdf.sparkSession
             want = spark.createDataFrame(

@@ -270,6 +270,19 @@ class Series:
     def __rtruediv__(self, o): return self._lift(o, lambda a, b: b / a)
     def __pow__(self, o): return self._lift(o, lambda a, b: F.pow(a, b))
     def __mod__(self, o): return self._lift(o, lambda a, b: a % b)
+
+    def _floor_div(self, o, reverse: bool):
+        # pandas: float operands -> float result, ints stay integral
+        from pyspark.sql import types as T
+        is_f = isinstance(self.spark_type, (T.DoubleType, T.FloatType))             or isinstance(o, float)             or (isinstance(o, Series)
+                and isinstance(o.spark_type, (T.DoubleType, T.FloatType)))
+        def fn(a, b):
+            x = F.floor(b / a) if reverse else F.floor(a / b)
+            return x.cast("double") if is_f else x
+        return self._lift(o, fn)
+
+    def __floordiv__(self, o): return self._floor_div(o, False)
+    def __rfloordiv__(self, o): return self._floor_div(o, True)
     def __neg__(self): return self._with_col(-self._colexpr)
 
     # ------------------------------------------------------- missing data
@@ -388,6 +401,12 @@ class Series:
 
     def _slice(self, key: slice) -> "Series":
         from ..plans.ordinal import POS_COL
+        if (key.step or 1) < 0:
+            raise ValueError("negative slice steps are not supported")
+        if ((key.start or 0) < 0) or (key.stop is not None
+                                      and key.stop < 0):
+            # pandas negative positions: one count job normalizes them
+            key = slice(*key.indices(len(self)))
         start = key.start or 0
         stop = key.stop
         step = key.step or 1
@@ -403,6 +422,9 @@ class Series:
                                             if ORD_COL in out.columns else None))
 
     def head(self, n: int = 5) -> "Series":
+        if n < 0:
+            # pandas head(-n): all but the last n rows
+            return self._slice(slice(0, max(len(self) + n, 0)))
         sdf, alias = self._select()
         if self._order:
             sdf = sdf.orderBy(*order_exprs(self._order))
@@ -411,6 +433,9 @@ class Series:
                             self._order)
 
     def tail(self, n: int = 5) -> "Series":
+        if n < 0:
+            # pandas tail(-n): all but the first n rows
+            return self._slice(slice(-n, None))
         return self._slice(slice(max(len(self) - n, 0), None))
 
     @property
@@ -1013,6 +1038,15 @@ class Series:
         return s
 
 
+def _norm_pos(i: int, n: int) -> int:
+    """pandas negative position -> absolute (IndexError past front)."""
+    if i < 0:
+        i += n
+        if i < 0:
+            raise IndexError(f"iloc index {i - n} out of range")
+    return i
+
+
 class _SeriesILoc:
     """Positional lookup (core/indexing.py:9-54)."""
 
@@ -1021,6 +1055,10 @@ class _SeriesILoc:
 
     def __getitem__(self, key):
         from ..plans.ordinal import POS_COL
+        if isinstance(key, (int, np.integer)):
+            key = int(key)
+            if key < 0:
+                key = _norm_pos(key, len(self._sr))
         if isinstance(key, int):
             sdf, alias = self._sr._ordered_sdf()
             row = sdf.filter(F.col(POS_COL) == key).select(alias).first()
@@ -1030,6 +1068,9 @@ class _SeriesILoc:
         if isinstance(key, slice):
             return self._sr._slice(key)
         if isinstance(key, (list, np.ndarray)):
+            if any(int(i) < 0 for i in key):
+                n = len(self._sr)
+                key = [_norm_pos(int(i), n) for i in key]
             # gather by ordinal list via broadcast join (weld_ops.py:333-367)
             sdf, alias = self._sr._ordered_sdf()
             spark = sdf.sparkSession

@@ -634,3 +634,47 @@ def test_frame_replace_and_sample_aliases(bl):
     big = bl.DataFrame({"a": np.arange(200, dtype=np.float64)})
     n = len(big.sample(frac=0.3, random_state=7))
     assert 20 <= n <= 100   # Bernoulli, approximate
+
+
+def test_negative_positional_forms(bl):
+    """r5 probe batch: pandas negative positions for iloc / slices /
+    head / tail (one count job normalizes them)."""
+    import numpy as np
+    import pandas as pd
+    vals = [1., 2., 3., 4.]
+    df = bl.DataFrame({"a": np.array(vals)})
+    pdf = pd.DataFrame({"a": vals})
+    assert df[-2:].to_pandas()["a"].tolist() == pdf[-2:]["a"].tolist()
+    assert df[1:-1].to_pandas()["a"].tolist() == pdf[1:-1]["a"].tolist()
+    assert df.head(-1).to_pandas()["a"].tolist() == \
+        pdf.head(-1)["a"].tolist()
+    assert df.tail(-3).to_pandas()["a"].tolist() == \
+        pdf.tail(-3)["a"].tolist()
+    assert df.iloc[[-1, 0]].to_pandas()["a"].tolist() == \
+        pdf.iloc[[-1, 0]]["a"].tolist()
+    sr = bl.Series(np.array(vals), name="v")
+    ps = pd.Series(vals)
+    assert sr.iloc[-1] == ps.iloc[-1]
+    assert sr.iloc[-4:-1].to_pandas().tolist() == ps.iloc[-4:-1].tolist()
+    assert sr.head(-2).to_pandas().tolist() == ps.head(-2).tolist()
+    assert sr.tail(-2).to_pandas().tolist() == ps.tail(-2).tolist()
+    import pytest
+    with pytest.raises(IndexError):
+        sr.iloc[-9]
+    with pytest.raises(ValueError, match="step"):
+        df[::-1]
+
+
+def test_floordiv_parity(bl):
+    import numpy as np
+    import pandas as pd
+    sr = bl.Series(np.array([7.0, 8.0, np.nan]), name="x")
+    ps = pd.Series([7.0, 8.0, np.nan])
+    got = sr.__floordiv__(2).to_pandas().tolist()
+    want = (ps // 2).tolist()
+    assert got[:2] == want[:2] and got[2] != got[2]
+    rgot = (sr.__rfloordiv__(16)).to_pandas().tolist()
+    rwant = (16 // ps).tolist()
+    assert rgot[:2] == rwant[:2]
+    ints = bl.Series(np.array([7, 8], dtype=np.int64), name="i")
+    assert (ints // 2).to_pandas().tolist() == [3, 4]
