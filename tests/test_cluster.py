@@ -223,3 +223,16 @@ def test_assign_clusters_face_param(spark):
     assert lit == udf and set(lit.values()) == {0, 1, 2}
     with pytest.raises(ValueError, match="face"):
         cl.assign_clusters(df, cents, face="nope")
+
+
+def test_semantic_dedup_example(spark):
+    """The embedding-side pipeline example runs end-to-end at sf0.001
+    and its stage outputs are mutually consistent."""
+    import sys
+    sys.path.insert(0, "examples")
+    from semantic_dedup import run
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["vectors_in"] == 500
+    assert sum(out["cluster_sizes"].values()) == 500
+    assert 0 < out["survivors"] <= out["vectors_in"]
+    assert out["topk_rows"] == 15          # 5 probes x k=3
