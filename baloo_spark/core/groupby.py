@@ -67,6 +67,91 @@ class DataFrameGroupBy:
             F.count(F.lit(1)).alias("size"))
         return DataFrame._make(out, list(self._by), ["size"], None)
 
+    def nunique(self, cols=None):
+        """Distinct values per group and column (pandas
+        ``groupby().nunique``; NULLs excluded like pandas
+        dropna=True). One exact count_distinct shuffle."""
+        from .frame import DataFrame
+        cols = ([cols] if isinstance(cols, str)
+                else list(cols or self._value_cols()))
+        out = self._df._sdf.groupBy(*self._by).agg(
+            *[F.count_distinct(F.col(c)).cast("long").alias(c)
+              for c in cols])
+        data = [e for e in out.columns if e not in self._by]
+        return DataFrame._make(out, list(self._by), data, None)
+
+    def _ord(self, what: str):
+        from ..plans.ordinal import ORD_COL
+        if ORD_COL not in self._df._sdf.columns:
+            raise ValueError(
+                f"groupby().{what} needs a positional row order, which "
+                f"scan-backed frames don't carry — sort_values(...) "
+                f"first (any deterministic order works)")
+        return ORD_COL
+
+    def first(self, cols=None):
+        """First non-null value per group in positional order (pandas
+        ``groupby().first``) — min_by over the row ordinal, null rows
+        excluded; one shuffle, no window."""
+        return self._positional("first", cols)
+
+    def last(self, cols=None):
+        """Last non-null value per group in positional order."""
+        return self._positional("last", cols)
+
+    def _positional(self, kind: str, cols):
+        from .frame import DataFrame
+        ordc = self._ord(f"{kind}()")
+        cols = ([cols] if isinstance(cols, str)
+                else list(cols or self._value_cols()))
+        pick = F.min_by if kind == "first" else F.max_by
+        out = self._df._sdf.groupBy(*self._by).agg(
+            *[pick(F.col(c), F.when(F.col(c).isNotNull(), F.col(ordc)))
+              .alias(c) for c in cols])
+        data = [e for e in out.columns if e not in self._by]
+        return DataFrame._make(out, list(self._by), data, None)
+
+    def cumcount(self):
+        """0-based position of each row within its group in positional
+        order (pandas ``groupby().cumcount``). Window partitioned by
+        the group keys — per-group state only, no global collapse."""
+        from pyspark.sql import Window
+
+        from .series import Series
+        ordc = self._ord("cumcount()")
+        w = Window.partitionBy(*self._by).orderBy(F.col(ordc).asc())
+        sdf = self._df._sdf.withColumn(
+            "__cc__", (F.row_number().over(w) - 1).cast("long"))
+        return Series._make(sdf, F.col("__cc__"),
+                            self._df._index_cols, None, self._df._order)
+
+    def idxmax(self, cols=None):
+        """Index label of each group's maximum (pandas
+        ``groupby().idxmax``; ties -> first occurrence). max_by over
+        (value, -ordinal) struct — one shuffle, no join-back."""
+        return self._idx_of(True, cols)
+
+    def idxmin(self, cols=None):
+        return self._idx_of(False, cols)
+
+    def _idx_of(self, is_max: bool, cols):
+        from .frame import DataFrame
+        ordc = self._ord("idxmax()/idxmin()")
+        idx = next((c for c in self._df._index_cols
+                    if c in self._df._sdf.columns), ordc)
+        cols = ([cols] if isinstance(cols, str)
+                else list(cols or self._value_cols()))
+        exprs = []
+        for c in cols:
+            v = F.col(c) if is_max else -F.col(c).cast("double")
+            # ties -> first occurrence: -ordinal rides second in the
+            # struct so the earliest row wins the max
+            key = F.struct(v.alias("v"), (-F.col(ordc)).alias("o"))
+            exprs.append(F.max_by(F.col(idx), key).alias(c))
+        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        data = [e for e in out.columns if e not in self._by]
+        return DataFrame._make(out, list(self._by), data, None)
+
     def quantile(self, q=0.5, cols=None, approx: bool = False,
                  accuracy: int = 10000):
         """Per-group quantile (pandas ``groupby().quantile``); ``q``

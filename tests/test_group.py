@@ -181,3 +181,43 @@ def test_groupby_dropna_matches_pandas(bl):
             df.groupby("g", dropna=False).sum()
             .to_spark(include_index=True).collect()}
     assert kept == {**want, None: 2.0}       # SQL face keeps it
+
+
+def test_groupby_first_last_nunique_cumcount_idx(bl):
+    """r5 probe batch: positional groupby methods vs pandas."""
+    import numpy as np
+    import pandas as pd
+    vals = {"k": [1, 1, 1, 2, 2], "v": [np.nan, 5., 7., 4., np.nan],
+            "w": [1., 1., 2., 3., 3.]}
+    df = bl.DataFrame({k: np.array(v) for k, v in vals.items()})
+    pdf = pd.DataFrame(vals)
+
+    f = df.groupby("k").first().reset_index().to_pandas().sort_values("k")
+    pf = pdf.groupby("k", as_index=False).first()
+    assert f["v"].tolist() == pf["v"].tolist() == [5.0, 4.0]
+
+    l = df.groupby("k").last().reset_index().to_pandas().sort_values("k")
+    pl = pdf.groupby("k", as_index=False).last()
+    assert l["v"].tolist() == pl["v"].tolist() == [7.0, 4.0]
+
+    nu = df.groupby("k").nunique().reset_index().to_pandas().sort_values("k")
+    pnu = pdf.groupby("k", as_index=False).nunique()
+    assert nu["v"].tolist() == pnu["v"].tolist()
+    assert nu["w"].tolist() == pnu["w"].tolist()
+
+    cc = df.groupby("k").cumcount().to_pandas().tolist()
+    assert cc == pdf.groupby("k").cumcount().tolist()
+
+    im = df.groupby("k").idxmax(cols=["v"]).reset_index() \
+        .to_pandas().sort_values("k")
+    pim = pdf.groupby("k")["v"].idxmax()
+    assert im["v"].tolist() == pim.tolist() == [2, 3]
+    # ties -> first occurrence (w has a tie in each group)
+    it = df.groupby("k").idxmax(cols=["w"]).reset_index() \
+        .to_pandas().sort_values("k")
+    pit = pdf.groupby("k")["w"].idxmax()
+    assert it["w"].tolist() == pit.tolist()
+
+    imn = df.groupby("k").idxmin(cols=["w"]).reset_index() \
+        .to_pandas().sort_values("k")
+    assert imn["w"].tolist() == pdf.groupby("k")["w"].idxmin().tolist()
