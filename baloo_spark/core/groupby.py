@@ -80,14 +80,19 @@ class DataFrameGroupBy:
         data = [e for e in out.columns if e not in self._by]
         return DataFrame._make(out, list(self._by), data, None)
 
-    def _ord(self, what: str):
-        from ..plans.ordinal import ORD_COL
-        if ORD_COL not in self._df._sdf.columns:
+    def _pos_sdf(self, what: str):
+        """(sdf, pos_col) with a fresh dense positional column along
+        the frame's logical order — ordinal labels OR a sort_values
+        order both work; an unordered scan-backed frame raises (the
+        pick would be nondeterministic)."""
+        from ..plans.ordinal import ORD_COL, POS_COL
+        if not self._df._order and ORD_COL not in self._df._sdf.columns:
             raise ValueError(
                 f"groupby().{what} needs a positional row order, which "
-                f"scan-backed frames don't carry — sort_values(...) "
-                f"first (any deterministic order works)")
-        return ORD_COL
+                f"unordered scan-backed frames don't carry — "
+                f"sort_values(...) first (any deterministic order "
+                f"works)")
+        return self._df._ordered_sdf(), POS_COL
 
     def first(self, cols=None):
         """First non-null value per group in positional order (pandas
@@ -101,11 +106,11 @@ class DataFrameGroupBy:
 
     def _positional(self, kind: str, cols):
         from .frame import DataFrame
-        ordc = self._ord(f"{kind}()")
+        sdf, ordc = self._pos_sdf(f"{kind}()")
         cols = ([cols] if isinstance(cols, str)
                 else list(cols or self._value_cols()))
         pick = F.min_by if kind == "first" else F.max_by
-        out = self._df._sdf.groupBy(*self._by).agg(
+        out = sdf.groupBy(*self._by).agg(
             *[pick(F.col(c), F.when(F.col(c).isNotNull(), F.col(ordc)))
               .alias(c) for c in cols])
         data = [e for e in out.columns if e not in self._by]
@@ -118,10 +123,11 @@ class DataFrameGroupBy:
         from pyspark.sql import Window
 
         from .series import Series
-        ordc = self._ord("cumcount()")
+        sdf, ordc = self._pos_sdf("cumcount()")
         w = Window.partitionBy(*self._by).orderBy(F.col(ordc).asc())
-        sdf = self._df._sdf.withColumn(
-            "__cc__", (F.row_number().over(w) - 1).cast("long"))
+        sdf = sdf.withColumn(
+            "__cc__", (F.row_number().over(w) - 1).cast("long")) \
+            .drop(ordc)
         return Series._make(sdf, F.col("__cc__"),
                             self._df._index_cols, None, self._df._order)
 
@@ -136,9 +142,9 @@ class DataFrameGroupBy:
 
     def _idx_of(self, is_max: bool, cols):
         from .frame import DataFrame
-        ordc = self._ord("idxmax()/idxmin()")
+        sdf, ordc = self._pos_sdf("idxmax()/idxmin()")
         idx = next((c for c in self._df._index_cols
-                    if c in self._df._sdf.columns), ordc)
+                    if c in sdf.columns), ordc)
         cols = ([cols] if isinstance(cols, str)
                 else list(cols or self._value_cols()))
         exprs = []
@@ -148,7 +154,7 @@ class DataFrameGroupBy:
             # struct so the earliest row wins the max
             key = F.struct(v.alias("v"), (-F.col(ordc)).alias("o"))
             exprs.append(F.max_by(F.col(idx), key).alias(c))
-        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        out = sdf.groupBy(*self._by).agg(*exprs)
         data = [e for e in out.columns if e not in self._by]
         return DataFrame._make(out, list(self._by), data, None)
 
