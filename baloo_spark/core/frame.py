@@ -453,6 +453,10 @@ class DataFrame:
     def __truediv__(self, o): return self._elementwise(o, lambda a, b: a / b)
     def __pow__(self, o): return self._elementwise(o, lambda a, b: F.pow(a, b))
 
+    def __mod__(self, o):
+        from .series import Series
+        return self._elementwise(o, lambda a, b: Series._py_mod(a, b))
+
     # ------------------------------------------------------ positional ops
 
     def _ordered_sdf(self) -> SparkDF:

@@ -269,7 +269,20 @@ class Series:
     def __truediv__(self, o): return self._lift(o, lambda a, b: a / b)
     def __rtruediv__(self, o): return self._lift(o, lambda a, b: b / a)
     def __pow__(self, o): return self._lift(o, lambda a, b: F.pow(a, b))
-    def __mod__(self, o): return self._lift(o, lambda a, b: a % b)
+    @staticmethod
+    def _py_mod(a, b):
+        # Python/NumPy modulo (sign follows the DIVISOR: -7 % 3 == 2,
+        # 7 % -3 == -2); Spark's % is the C remainder (sign of the
+        # dividend) and pmod is non-negative-only — neither matches,
+        # so shift the remainder by b when the signs disagree.
+        r = a % b
+        return F.when((r != 0) & (F.signum(r) != F.signum(b)), r + b)             .otherwise(r)
+
+    def __mod__(self, o):
+        return self._lift(o, lambda a, b: Series._py_mod(a, b))
+
+    def __rmod__(self, o):
+        return self._lift(o, lambda a, b: Series._py_mod(b, a))
 
     def _floor_div(self, o, reverse: bool):
         # pandas: float operands -> float result, ints stay integral
@@ -546,7 +559,11 @@ class Series:
         return self._with_col(F.abs(self._colexpr))
 
     def round(self, decimals: int = 0) -> "Series":
-        return self._with_col(F.round(self._colexpr, decimals))
+        """Round half-to-even (banker's), matching pandas/NumPy —
+        Spark's F.round is HALF_UP, which differs at exact .5 ties
+        (np.round(2.5) == 2, not 3); F.bround is the HALF_EVEN
+        face."""
+        return self._with_col(F.bround(self._colexpr, decimals))
 
     def clip(self, lower=None, upper=None) -> "Series":
         """Bound values to [lower, upper] (pandas ``Series.clip``).

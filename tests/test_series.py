@@ -395,3 +395,20 @@ def test_cumulative_preserves_null_positions(bl):
         want = getattr(ps, kind)().tolist()
         assert all((a != a and b != b) or a == b
                    for a, b in zip(got, want)), (kind, got, want)
+
+
+def test_round_bankers_and_python_mod(bl):
+    """r5 probe batch: pandas/NumPy round is HALF_EVEN (2.5 -> 2) and
+    modulo follows the divisor's sign (-7 % 3 == 2)."""
+    import numpy as np
+    import pandas as pd
+    sr = bl.Series(np.array([0.5, 1.5, 2.5, 2.675]), name="x")
+    assert sr.round(0).to_pandas().tolist() == \
+        pd.Series([0.5, 1.5, 2.5, 2.675]).round(0).tolist()
+    m = bl.Series(np.array([-7.0, 7.0, -7.0]), name="x")
+    assert (m % 3).to_pandas().tolist() == \
+        (pd.Series([-7.0, 7.0, -7.0]) % 3).tolist()
+    assert (m % -3).to_pandas().tolist() == \
+        (pd.Series([-7.0, 7.0, -7.0]) % -3).tolist()
+    assert (10 % bl.Series(np.array([3.0, -3.0]), name="x")) \
+        .to_pandas().tolist() == (10 % pd.Series([3.0, -3.0])).tolist()
