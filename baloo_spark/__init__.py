@@ -50,16 +50,49 @@ def merge_asof(left: "DataFrame", right: "DataFrame", on: str,
     return DataFrame.from_spark(out)
 
 
-def concat(frames: list) -> "DataFrame":
-    """Row-wise concatenation of frames (pandas-style top-level;
-    engine extension — the reference has no set ops, SURVEY.md §2.6).
-    Columns are matched by name; missing columns become NULL."""
+def concat(frames: list, axis: int = 0) -> "DataFrame":
+    """pandas-style top-level concatenation (engine extension — the
+    reference has no set ops, SURVEY.md §2.6).
+
+    ``axis=0`` (default): row-wise; columns matched by name, missing
+    columns become NULL. ``axis=1``: column-wise — frames are aligned
+    POSITIONALLY (each gets a fresh dense ordinal along its logical
+    order and they equi-join on it; rows past the shortest frame get
+    NULLs via full-outer, like pandas' index alignment on default
+    RangeIndexes). Duplicate column names across frames raise —
+    Spark frames cannot hold two columns of one name (pandas allows
+    the ambiguity; rename first)."""
     if not frames:
         raise ValueError("concat of empty list")
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.concat(f)
-    return out
+    if axis == 0:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.concat(f)
+        return out
+    if axis != 1:
+        raise ValueError(f"axis must be 0 or 1, got {axis!r}")
+    from pyspark.sql import functions as F
+
+    from .core.frame import DataFrame
+    from .plans.ordinal import POS_COL
+    seen: dict = {}
+    for i, f in enumerate(frames):
+        for c in f.columns:
+            if c in seen:
+                raise ValueError(
+                    f"duplicate column {c!r} in frames {seen[c]} and "
+                    f"{i} — rename before concat(axis=1)")
+            seen[c] = i
+    joined = None
+    data: list = []
+    for i, f in enumerate(frames):
+        part = f._ordered_sdf().select(
+            POS_COL, *[c for c in f._data_cols])
+        data += list(f._data_cols)
+        joined = part if joined is None else             joined.join(part, POS_COL, "full_outer")
+    from .plans.ordinal import ORD_COL
+    out = joined.withColumnRenamed(POS_COL, ORD_COL)
+    return DataFrame._make(out, [ORD_COL], data, [(ORD_COL, True)])
 
 __all__ = [
     "DataFrame", "Series", "Index", "MultiIndex", "RangeIndex",

@@ -678,3 +678,23 @@ def test_floordiv_parity(bl):
     assert rgot[:2] == rwant[:2]
     ints = bl.Series(np.array([7, 8], dtype=np.int64), name="i")
     assert (ints // 2).to_pandas().tolist() == [3, 4]
+
+
+def test_concat_axis1_positional(bl):
+    """r5: column-wise concat aligns frames positionally; shorter
+    frames pad with NULL (pandas RangeIndex alignment)."""
+    import numpy as np
+    import pandas as pd
+    a = bl.DataFrame({"x": np.array([1., 2., 3.])})
+    b = bl.DataFrame({"y": np.array([7., 8.])})
+    got = bl.concat([a, b], axis=1).to_pandas()
+    want = pd.concat([pd.DataFrame({"x": [1., 2., 3.]}),
+                      pd.DataFrame({"y": [7., 8.]})], axis=1)
+    assert got.columns.tolist() == ["x", "y"]
+    assert str(got.values.tolist()) == str(want.values.tolist())
+    assert got.index.tolist() == want.index.tolist()
+    import pytest
+    with pytest.raises(ValueError, match="duplicate column"):
+        bl.concat([a, a], axis=1)
+    with pytest.raises(ValueError, match="axis"):
+        bl.concat([a, b], axis=2)
