@@ -13,6 +13,12 @@ Scale notes (local[32] test box vs 1000-executor cluster):
   Arrow-batched, never row-at-a-time pickle.
 - Session timezone pinned to UTC so timestamp semantics match the
   DuckDB oracle.
+- Runtime Bloom-filter semi-join reduction stays at its Spark default
+  (enabled): when a selective dim filter joins a large fact side
+  (application-side scan > 10 GB — i.e. exactly the 100 TB case), the
+  optimizer injects a bloom_filter_agg on the dim side and prunes the
+  fact scan before the shuffle. Pinned by tests/test_plans.py::
+  test_runtime_bloom_filter_join_pruning.
 """
 
 from __future__ import annotations
