@@ -59,16 +59,78 @@ class DatetimeMethods:
     def date(self):
         return self._map(F.to_date)
 
+    _FLOOR_FREQS = {
+        # pandas offset aliases -> Spark date_trunc units; Spark's own
+        # unit names pass through. date_trunc on an UNKNOWN unit
+        # returns NULL silently — the exact failure this map guards
+        # (dt.floor('H') used to yield NaT for every row).
+        "Y": "year", "A": "year", "M": "month", "W": "week",
+        "D": "day", "H": "hour", "h": "hour", "T": "minute",
+        "min": "minute", "S": "second", "s": "second",
+        "year": "year", "quarter": "quarter", "month": "month",
+        "week": "week", "day": "day", "hour": "hour",
+        "minute": "minute", "second": "second",
+    }
+
     def floor(self, freq: str):
-        """Truncate to 'year'/'month'/'week'/'day'/'hour'/'minute' —
-        maps to date_trunc (always returns timestamp, like pandas
-        dt.floor)."""
-        return self._map(lambda c: F.date_trunc(freq, c))
+        """Truncate to the given frequency (pandas ``dt.floor``);
+        accepts pandas offset aliases ('D', 'H'/'h', 'min'/'T',
+        'S') and Spark date_trunc unit names. Unknown frequencies
+        raise instead of Spark's silent all-NULL."""
+        unit = self._FLOOR_FREQS.get(freq) or \
+            self._FLOOR_FREQS.get(freq.lower())
+        if unit is None:
+            raise ValueError(
+                f"unsupported floor frequency {freq!r}; one of "
+                f"{sorted(set(self._FLOOR_FREQS))}")
+        return self._map(lambda c: F.date_trunc(unit, c))
+
+    _STRF = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+             "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+             "%f": "SSSSSS", "%a": "EEE", "%A": "EEEE", "%b": "MMM",
+             "%B": "MMMM", "%j": "DDD", "%p": "a"}
+
+    @classmethod
+    def _c_to_java(cls, fmt: str) -> str:
+        """Translate C/pandas strftime '%' codes to a Java datetime
+        pattern, quoting literal runs so stray letters are not
+        interpreted as directives."""
+        out, lit = [], []
+
+        def flush():
+            if lit:
+                s = "".join(lit).replace("'", "''")
+                out.append(f"'{s}'" if any(ch.isalpha() for ch in s)
+                           else s)
+                lit.clear()
+
+        i = 0
+        while i < len(fmt):
+            if fmt[i] == "%" and i + 1 < len(fmt):
+                code = fmt[i:i + 2]
+                if code == "%%":
+                    lit.append("%")
+                elif code in cls._STRF:
+                    flush()
+                    out.append(cls._STRF[code])
+                else:
+                    raise ValueError(
+                        f"unsupported strftime code {code!r}")
+                i += 2
+            else:
+                lit.append(fmt[i])
+                i += 1
+        flush()
+        return "".join(out)
 
     def strftime(self, fmt: str):
-        """Format using Spark/Java datetime patterns (e.g.
-        'yyyy-MM-dd HH:mm'), NOT C strftime '%' codes."""
-        return self._map(lambda c: F.date_format(c, fmt))
+        """Format timestamps (pandas ``dt.strftime``): C '%' codes
+        are translated to the Java pattern Spark's date_format
+        expects ('%Y/%m/%d %H:%M' just works); a format WITHOUT '%'
+        is passed through as a raw Spark/Java pattern (the documented
+        pre-r5 behavior, e.g. 'yyyy-MM-dd HH:mm')."""
+        java = self._c_to_java(fmt) if "%" in fmt else fmt
+        return self._map(lambda c: F.date_format(c, java))
 
     def unix(self):
         """Seconds since epoch (engine extension)."""

@@ -52,3 +52,32 @@ def test_dt_is_lazy(ev):
     out = ev["ts"].dt.year()
     # a Column composition, not a collected value
     assert out._sdf is ev["ts"]._sdf
+
+
+def test_dt_floor_pandas_freqs_and_strftime_codes(bl):
+    """r5 probe batch: floor accepts pandas offset aliases (unknown
+    units used to yield silent NaT via date_trunc) and strftime
+    translates C '%' codes to the Java pattern."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    ts = [dt.datetime(2024, 3, 5, 7, 39, 11),
+          dt.datetime(2023, 12, 31, 23, 59, 59)]
+    sr = bl.Series(np.array(ts, dtype="datetime64[us]"), name="t")
+    ps = pd.Series(ts)
+    for ours_f, pd_f in (("H", "h"), ("D", "D"), ("min", "min")):
+        got = [str(x) for x in sr.dt.floor(ours_f).to_pandas()]
+        want = [str(x) for x in ps.dt.floor(pd_f)]
+        assert got == want, (ours_f, got, want)
+    import pytest
+    with pytest.raises(ValueError, match="floor frequency"):
+        sr.dt.floor("5min")
+    fmt = "%Y/%m/%d %H:%M:%S day=%j"
+    assert sr.dt.strftime(fmt).to_pandas().tolist() == \
+        ps.dt.strftime(fmt).tolist()
+    # raw Java pattern face still works (pre-r5 documented behavior)
+    assert sr.dt.strftime("yyyy-MM").to_pandas().tolist() == \
+        ["2024-03", "2023-12"]
+    with pytest.raises(ValueError, match="strftime code"):
+        sr.dt.strftime("%Q")
