@@ -347,6 +347,11 @@ class DataFrame:
                 raise KeyError(c)  # parity: frame.py:357-358
 
     def __getitem__(self, key):
+        from .indexes import Index
+        if isinstance(key, Index):
+            # index-derived masks (df[df.index.isin(...)]) unwrap to
+            # their lazy backing Series and ride the mask path
+            key = key._backing
         if isinstance(key, str):
             self._check_cols([key])
             return Series._make(self._sdf, F.col(key), self._index_cols, key,
@@ -528,6 +533,21 @@ class DataFrame:
     @property
     def iloc(self):
         return _FrameILoc(self)
+
+    @property
+    def loc(self):
+        """Label-based selection (engine extension; the reference has
+        only iloc). Supported forms: ``df.loc[label]``,
+        ``df.loc[[labels]]``, ``df.loc[mask]``, and the 2-D
+        ``df.loc[rows, col_or_cols]``; label SLICES are not (ranges
+        over labels need a total order the engine does not track)."""
+        return _FrameLoc(self)
+
+    @property
+    def at(self):
+        """Eager scalar lookup ``df.at[label, col]`` — raises unless
+        exactly one row matches the label."""
+        return _FrameAt(self)
 
     # ------------------------------------------------------------- sorting
 
@@ -1542,6 +1562,66 @@ class DataFrame:
     @property
     def values(self) -> np.ndarray:
         return self.to_pandas().to_numpy()
+
+
+class _FrameLoc:
+    """Label-based row/column selection (pandas loc flavor)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def _rows(self, rows):
+        from .indexes import Index
+        from .series import Series
+        df = self._df
+        if isinstance(rows, slice):
+            if rows == slice(None):
+                return df
+            raise TypeError("label slices are not supported in loc; "
+                            "use iloc for positional slices")
+        if isinstance(rows, (Series, Index)):
+            return df[rows]                       # boolean mask path
+        idx = [c for c in df._index_cols if c in df._sdf.columns]
+        if not idx:
+            raise ValueError("loc needs an index; this scan-backed "
+                             "frame has none (set_index first)")
+        key = idx[0]
+        if isinstance(rows, (list, np.ndarray)):
+            sel = df._sdf.filter(
+                F.col(key).isin(*[_py(v) for v in rows]))
+        else:
+            sel = df._sdf.filter(F.col(key) == F.lit(_py(rows)))
+        return DataFrame._make(sel, df._index_cols, df._data_cols,
+                               df._order)
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+            out = self._rows(rows)
+            return out[cols]
+        return self._rows(key)
+
+
+class _FrameAt:
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("at takes df.at[label, column]")
+        label, col = key
+        vals = [r[col] for r in
+                _FrameLoc(self._df)._rows(label)._sdf
+                .select(col).limit(2).collect()]
+        if len(vals) != 1:
+            raise KeyError(f"at[{label!r}, {col!r}] matched "
+                           f"{len(vals)} rows; need exactly 1")
+        return vals[0]
+
+
+def _py(v):
+    """numpy scalar -> python scalar for F.lit."""
+    return v.item() if isinstance(v, np.generic) else v
 
 
 class _FrameILoc:

@@ -159,6 +159,11 @@ class Index:
     def __or__(self, o): return self._lazy(self._backing | Index._unwrap(o))
     def __invert__(self): return self._lazy(~self._backing)
 
+    def isin(self, values):
+        """Label membership mask (pandas ``Index.isin``) — lazy, same
+        two-face literal/broadcast-join treatment as Series.isin."""
+        return self._lazy(self._backing.isin(values))
+
     # arithmetic (reference base.py:84-103; result stays an Index)
     def __add__(self, o): return self._lazy(self._backing + Index._unwrap(o))
     def __radd__(self, o): return self.__add__(o)

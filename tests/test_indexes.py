@@ -199,3 +199,30 @@ def test_dtype_is_schema_only(index_i64):
     out = index_i64.astype("int32")
     assert out.dtype == np.int32   # read from the plan's schema
     assert out._values is None     # ...without evaluating
+
+
+def test_loc_at_index_isin(bl):
+    """r5 probe batch: label-based selection (loc/at, engine
+    extensions) and Index.isin masks."""
+    import numpy as np
+    import pandas as pd
+    df = bl.DataFrame({"k": np.array([2, 1, 3]),
+                       "v": np.array([1., 2., 3.]),
+                       "w": np.array([9., 8., 7.])}).set_index("k")
+    pdf = pd.DataFrame({"k": [2, 1, 3], "v": [1., 2., 3.],
+                        "w": [9., 8., 7.]}).set_index("k")
+    assert df.loc[1].to_pandas()["v"].tolist() == [pdf.loc[1, "v"]]
+    got = df.loc[[1, 3]].to_pandas().sort_index()
+    assert got["v"].tolist() == pdf.loc[[1, 3]].sort_index()["v"].tolist()
+    assert df.loc[df.index.isin([1, 3])].to_pandas() \
+        .sort_index()["v"].tolist() == [2.0, 3.0]
+    two_d = df.loc[[1, 3], "v"].to_pandas()
+    assert sorted(two_d.tolist()) == [2.0, 3.0]
+    assert df.at[3, "w"] == pdf.at[3, "w"] == 7.0
+    import pytest
+    with pytest.raises(TypeError, match="label slices"):
+        df.loc[1:3]
+    dup = bl.DataFrame({"k": np.array([1, 1]),
+                        "v": np.array([5., 6.])}).set_index("k")
+    with pytest.raises(KeyError, match="matched 2"):
+        dup.at[1, "v"]
