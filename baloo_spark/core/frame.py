@@ -619,7 +619,11 @@ class DataFrame:
         methods with free functions (e.g. the operators/ library)."""
         return func(self, *args, **kwargs)
 
-    def rename(self, columns: dict) -> "DataFrame":
+    def rename(self, columns: dict | None = None, *,
+               mapper: dict | None = None) -> "DataFrame":
+        """Rename columns from a ``{old: new}`` dict — positional or
+        the pandas ``columns=`` keyword form both work."""
+        columns = columns if columns is not None else (mapper or {})
         sdf = self._sdf
         for old, new in columns.items():
             sdf = sdf.withColumnRenamed(old, new)
@@ -1463,6 +1467,25 @@ class DataFrame:
 
     def to_orc(self, filepath: str, mode: str = "overwrite"):
         self.to_spark(include_index=True).write.mode(mode).orc(filepath)
+
+    def assign(self, **kwargs) -> "DataFrame":
+        """pandas ``assign``: return a new frame with extra/replaced
+        columns. Values may be Series expressions over this frame,
+        scalars, or callables taking the frame (evaluated in keyword
+        order, seeing earlier assignments like pandas)."""
+        from .series import Series
+        cur = self._shallow()
+        for name, v in kwargs.items():
+            if callable(v) and not isinstance(v, Series):
+                v = v(cur)
+            cur[name] = v
+        return cur
+
+    def _shallow(self) -> "DataFrame":
+        """Copy whose __setitem__ does not mutate self (assign
+        semantics)."""
+        return DataFrame._make(self._sdf, list(self._index_cols),
+                               list(self._data_cols), self._order)
 
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":

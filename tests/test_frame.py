@@ -698,3 +698,21 @@ def test_concat_axis1_positional(bl):
         bl.concat([a, a], axis=1)
     with pytest.raises(ValueError, match="axis"):
         bl.concat([a, b], axis=2)
+
+
+def test_assign_and_rename_kwarg(bl):
+    """r5: pandas assign (scalars, Series exprs, callables seeing
+    earlier assignments; original frame untouched) and the
+    rename(columns=) keyword form."""
+    import numpy as np
+    import pandas as pd
+    df = bl.DataFrame({"a": np.array([1., 2.])})
+    out = df.assign(b=df["a"] * 10, c=7,
+                    d=lambda f: f["b"] + f["a"]).to_pandas()
+    want = pd.DataFrame({"a": [1., 2.]}).assign(
+        b=lambda f: f["a"] * 10, c=7, d=lambda f: f["b"] + f["a"])
+    assert out.columns.tolist() == want.columns.tolist()
+    assert out.values.tolist() == want.values.tolist()
+    assert df.columns == ["a"]            # original untouched
+    r = df.rename(columns={"a": "alpha"})
+    assert r.columns == ["alpha"]
