@@ -151,6 +151,21 @@ class StringMethods:
             return F.when(F.length(c) >= width, c).otherwise(pad)
         return self._map(fn)
 
+    def cat(self, others=None, sep: str = ""):
+        """Element-wise concatenation with another Series/column
+        (pandas ``str.cat`` with ``others``; NULL in either side
+        gives NULL, like pandas' default NaN propagation). Without
+        ``others``, pandas collapses to one string — a driver-sized
+        reduction this engine deliberately does not offer; pass
+        others."""
+        if others is None:
+            raise ValueError("str.cat without others= reduces the "
+                             "whole column to one driver-side string; "
+                             "pass others= (element-wise form)")
+        o = others._colexpr if hasattr(others, "_colexpr") else F.lit(others)
+        return self._map(
+            lambda c: F.concat(c, F.lit(sep), o) if sep else F.concat(c, o))
+
     def regexp_extract(self, pattern: str, group: int = 0):
         return self._map(lambda c: F.regexp_extract(c, pattern, group))
 

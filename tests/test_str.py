@@ -91,3 +91,17 @@ def test_str_len_count_repeat_zfill_parity(bl):
     want_z = pd.Series(zvals).str.zfill(3).tolist()
     assert [g for g in got_z] == [None if w != w and not isinstance(w, str)
                                   else w for w in want_z]
+
+
+def test_str_cat_elementwise(bl):
+    import numpy as np
+    import pandas as pd
+    a = bl.DataFrame({"x": np.array(["a", None, "c"], dtype=object),
+                      "y": np.array(["1", "2", None], dtype=object)})
+    got = a["x"].str.cat(a["y"], sep="-").to_pandas().tolist()
+    want = pd.Series(["a", None, "c"]).str.cat(
+        pd.Series(["1", "2", None]), sep="-").tolist()
+    assert [g for g in got] == [None if w != w else w for w in want]
+    import pytest
+    with pytest.raises(ValueError, match="others"):
+        a["x"].str.cat()
