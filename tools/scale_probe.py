@@ -279,18 +279,20 @@ def main():
 
     np_lines = ["## embedding near-pairs (hyperplane-blocked "
                 "self-join)", ""]
-    for mult, planes in ((1, 8), (16, 8), (16, 12)):
+    for mult, planes, seeds in ((1, 8, None), (16, 8, None),
+                                (16, 12, None), (16, 12, [0, 1])):
         df = embedding_near_pairs(repl_emb(mult), threshold=0.99,
-                                  planes=planes)
+                                  planes=planes, seeds=seeds)
         df.write.format("noop").mode("overwrite").save()  # warm
         dt = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             df = embedding_near_pairs(repl_emb(mult), threshold=0.99,
-                                      planes=planes)
+                                      planes=planes, seeds=seeds)
             df.write.format("noop").mode("overwrite").save()
             dt = min(dt, time.perf_counter() - t0)
-        np_lines.append(f"- {mult}x, planes={planes}: {dt:.2f}s")
+        tag = f", seeds={seeds}" if seeds else ""
+        np_lines.append(f"- {mult}x, planes={planes}{tag}: {dt:.2f}s")
         print("near_pairs", np_lines[-1])
     np_lines += ["",
                  "_Candidates scale ~n^2/2^planes at FIXED planes — "
@@ -302,7 +304,13 @@ def main():
                  "through a checkpointed signature self-join, so "
                  "growth lands in streamed join work, never in "
                  "single collect_list rows (the old 2 GB-row "
-                 "hazard)._", ""]
+                 "hazard). The r5 multi-seed union (the recall "
+                 "amplifier) costs ~linear in the seed count — all "
+                 "signatures ride one checkpoint, each family joins "
+                 "independently, and the pair-dedup shuffle is the "
+                 "width of one family's output — while the miss "
+                 "probability decays exponentially (0.74 -> 0.99 "
+                 "recall with 3 seeds in the pytest fixture)._", ""]
     lines += [""] + np_lines
 
     # layout probe (VERDICT r4 Next #5a): spread() must be a no-op on
