@@ -1487,6 +1487,33 @@ class DataFrame:
         return DataFrame._make(self._sdf, list(self._index_cols),
                                list(self._data_cols), self._order)
 
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        """Patch NULLs with ``other``'s values at the same index
+        labels (pandas ``combine_first``): full-outer join on the
+        index columns, per-column coalesce(self, other) — columns
+        only one side has pass through. Both frames must carry the
+        same named index (positional frames would need a count-based
+        alignment; set_index first)."""
+        idx = [c for c in self._index_cols
+               if c in self._sdf.columns and c not in (ORD_COL, _IDX)]
+        oidx = [c for c in other._index_cols
+                if c in other._sdf.columns and c not in (ORD_COL, _IDX)]
+        if not idx or idx != oidx:
+            raise ValueError(
+                "combine_first needs the same named index on both "
+                f"frames (got {idx!r} vs {oidx!r}); set_index first")
+        l = self._sdf.select(*idx, *self._data_cols)
+        r = other._sdf.select(*oidx, *other._data_cols)
+        shared = [c for c in self._data_cols if c in other._data_cols]
+        for c in shared:
+            r = r.withColumnRenamed(c, f"__cf_{c}__")
+        joined = l.join(r, idx, "full_outer")
+        for c in shared:
+            joined = joined.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__cf_{c}__")))                 .drop(f"__cf_{c}__")
+        data = [c for c in joined.columns if c not in idx]
+        return DataFrame._make(joined, idx, data, None)
+
     def melt(self, id_vars, value_vars=None, var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":
         """Wide-to-long reshape (pandas melt; the inverse of ``pivot``)

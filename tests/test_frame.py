@@ -716,3 +716,25 @@ def test_assign_and_rename_kwarg(bl):
     assert df.columns == ["a"]            # original untouched
     r = df.rename(columns={"a": "alpha"})
     assert r.columns == ["alpha"]
+
+
+def test_combine_first(bl):
+    """r5: index-aligned NULL patching (pandas combine_first)."""
+    import numpy as np
+    import pandas as pd
+    a = bl.DataFrame({"k": np.array([1, 2, 3]),
+                      "v": np.array([1., np.nan, 3.]),
+                      "only_a": np.array([9., 9., 9.])}).set_index("k")
+    b = bl.DataFrame({"k": np.array([2, 3, 4]),
+                      "v": np.array([20., 30., 40.])}).set_index("k")
+    got = a.combine_first(b).to_pandas().sort_index()
+    want = pd.DataFrame({"k": [1, 2, 3], "v": [1., np.nan, 3.],
+                         "only_a": [9., 9., 9.]}).set_index("k") \
+        .combine_first(pd.DataFrame({"k": [2, 3, 4],
+                                     "v": [20., 30., 40.]})
+                       .set_index("k")).sort_index()
+    assert got["v"].tolist() == want["v"].tolist() == [1.0, 20.0, 3.0, 40.0]
+    assert got.index.tolist() == want.index.tolist()
+    import pytest
+    with pytest.raises(ValueError, match="same named index"):
+        a.reset_index().combine_first(b)
