@@ -943,6 +943,12 @@ class Series:
     # ----------------------------------------------------------- transforms
 
     def astype(self, dtype) -> "Series":
+        """Cast to ``dtype``. Documented divergence from pandas:
+        casting a column WITH missing values to an integer type keeps
+        them NULL (the result column still reads back as float+NaN in
+        pandas) instead of raising IntCastingNaNError — SQL engines
+        have a missing value for every type, so the cast is total;
+        fillna first if you need pandas' strictness."""
         return self._with_col(self._colexpr.cast(spark_type_of(dtype)))
 
     def unique(self) -> "Series":
