@@ -1637,10 +1637,14 @@ class _FrameLoc:
                              "frame has none (set_index first)")
         key = idx[0]
         if isinstance(rows, (list, np.ndarray)):
-            sel = df._sdf.filter(
-                F.col(key).isin(*[_py(v) for v in rows]))
-        else:
-            sel = df._sdf.filter(F.col(key) == F.lit(_py(rows)))
+            # the index mask path inherits Series.isin's two-face
+            # treatment (literal IN-set small, broadcast join big) —
+            # a 10^5-label loc never serializes a 10^5-literal plan
+            from .indexes import Index
+            ix = df.index
+            mask = (ix.levels[0] if hasattr(ix, "levels") else ix)                 .isin([_py(v) for v in rows])
+            return df[mask]
+        sel = df._sdf.filter(F.col(key) == F.lit(_py(rows)))
         return DataFrame._make(sel, df._index_cols, df._data_cols,
                                df._order)
 
