@@ -1451,8 +1451,12 @@ class DataFrame:
         if single_file:
             self.to_pandas().to_csv(filepath, sep=sep, header=header, index=index)
         else:
+            # escape='"' => RFC 4180 quote doubling, matching the
+            # pandas single-file face and read_csv's reader options
             sdf.write.mode("overwrite").option("header", header).option(
-                "sep", sep).csv(filepath)
+                "sep", sep).option("escape", '"').option(
+                "ignoreLeadingWhiteSpace", False).option(
+                "ignoreTrailingWhiteSpace", False).csv(filepath)
 
     def to_parquet(self, filepath: str, partition_by=None, mode="overwrite"):
         w = self.to_spark(include_index=True).write.mode(mode)

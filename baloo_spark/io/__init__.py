@@ -18,17 +18,27 @@ from ..session import get_session
 def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
              names: list | None = None, usecols: list | None = None,
              dtype=None, converters: dict | None = None,
-             skiprows: int = 0, nrows: int | None = None) -> DataFrame:
+             skiprows: int = 0, nrows: int | None = None,
+             multiline: bool = False) -> DataFrame:
     """CSV source (reference signature incl. converters, io/csv.py:6-52)
     via ``spark.read.csv`` — distributed, schema-inferred.
 
     ``converters``: {column: callable} applied per column. Callables
     run as Arrow-vectorized pandas UDFs over batches (the reference
     hands them to pandas eagerly) — never per row.
+
+    Quoting: RFC 4180 — embedded quotes arrive doubled (""), the
+    format both to_csv faces write (Spark's reader default is
+    backslash-escape, which silently mangles RFC files — r5 probe).
+    ``multiline=True`` parses quoted embedded newlines; it is OFF by
+    default because multiLine CSV is not splittable (each file parses
+    on one task — a scan-parallelism cliff at 100 TB; prefer parquet
+    for data with newlines).
     """
     spark = get_session()
     reader = spark.read.option("sep", sep).option(
         "header", header is not None and header is not False).option(
+        "escape", '"').option("multiLine", multiline).option(
         "inferSchema", True)
     sdf = reader.csv(filepath)
     if header is not None and header is not False and not names:

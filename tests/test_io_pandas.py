@@ -102,3 +102,29 @@ def test_sentinel_codec(spark, bl):
     by_id = {r["id"]: r for r in dec}
     assert by_id[1]["v"] is None and by_id[1]["s"] is None
     assert by_id[2]["v"] == 5.0
+
+
+def test_csv_roundtrip_hostile_content(bl, tmp_path):
+    """r5 probe: embedded separators, RFC-doubled quotes, quoted
+    newlines (multiline=True), trailing whitespace, and NULL must
+    survive BOTH to_csv faces. Spark's reader default is
+    backslash-escape, which silently mangles RFC quote-doubling —
+    the reader now pins escape='\"'."""
+    import numpy as np
+    vals = ["plain", "with,comma", 'with "quotes"', "multi\nline",
+            "trail space ", None]
+    df = bl.DataFrame({"i": np.array(range(len(vals)), dtype=np.int64),
+                       "s": np.array(vals, dtype=object)})
+
+    def back(path, **kw):
+        got = bl.read_csv(path, multiline=True, **kw) \
+            .to_pandas().sort_values("i")["s"]
+        return [None if (isinstance(x, float) and x != x) else x
+                for x in got]
+
+    p1 = str(tmp_path / "single.csv")
+    df.to_csv(p1)
+    assert back(p1) == vals
+    p2 = str(tmp_path / "dist")
+    df.to_csv(p2, single_file=False)
+    assert back(p2) == vals
