@@ -53,22 +53,52 @@ class StringMethods:
         """Trim ASCII spaces both ends (strings.py:58-68)."""
         return self._map(F.trim)
 
-    def slice(self, start: int = 0, stop: int | None = None, step: int = 1):
-        """Per-element substring with step (strings.py:70-93; no
-        negative step)."""
-        if step < 1:
-            raise ValueError("step must be >= 1")
+    def slice(self, start: int | None = None, stop: int | None = None,
+              step: int = 1):
+        """Per-element substring with full Python slice semantics
+        (strings.py:70-93 has positive bounds only; negative
+        start/stop/step follow pandas ``str.slice``)."""
+        if step == 0:
+            raise ValueError("slice step cannot be zero")
 
         def fn(c):
-            if stop is None:
-                sub = c.substr(F.lit(start + 1), F.length(c))
+            length = F.length(c)
+            if step > 0:
+                lo = 0 if start is None else start
+                st = (F.least(F.lit(lo), length) if lo >= 0
+                      else F.greatest(length + lo, F.lit(0)))
+                if stop is None:
+                    en = length
+                elif stop >= 0:
+                    en = F.least(F.lit(stop), length)
+                else:
+                    en = F.greatest(length + stop, F.lit(0))
+                sub = c.substr(st + 1, F.greatest(en - st, F.lit(0)))
+                if step == 1:
+                    return sub
+                # stay JVM-side: split to chars, keep every step-th, rejoin
+                chars = F.filter(F.split(sub, ""),
+                                 lambda x, i: (i % step) == 0)
+                return F.array_join(chars, "")
+            # negative step: keep indices en < i <= st with
+            # (st - i) % |step| == 0, then reverse the kept chars
+            if start is None:
+                st = length - 1
+            elif start >= 0:
+                st = F.least(F.lit(start), length - 1)
             else:
-                sub = F.substring(c, start + 1, max(stop - start, 0))
-            if step == 1:
-                return sub
-            # stay JVM-side: split to chars, keep every step-th, rejoin
-            chars = F.filter(F.split(sub, ""), lambda x, i: (i % step) == 0)
-            return F.array_join(chars, "")
+                st = length + start  # < 0 selects nothing below
+            if stop is None:
+                en = F.lit(-1)
+            elif stop >= 0:
+                en = F.least(F.lit(stop), length - 1)
+            else:
+                en = F.greatest(length + stop, F.lit(-1))
+            kept = F.filter(
+                F.split(c, ""),
+                lambda x, i: (i <= st) & (i > en)
+                             & (((st - i) % (-step)) == 0))
+            return F.array_join(F.reverse(kept), "")
         return self._map(fn)
 
     def contains(self, pat: str):
@@ -83,11 +113,28 @@ class StringMethods:
 
     def find(self, sub: str, start: int = 0, end: int | None = None):
         """First index of ``sub`` in [start, end), else -1
-        (strings.py:143-169)."""
+        (strings.py:143-169); negative start/end count from the end
+        like Python ``str.find``."""
         def fn(c):
-            hay = c if end is None else F.substring(c, 1, end)
-            loc = F.locate(sub, hay, start + 1)
-            return (loc - 1).cast("long")
+            length = F.length(c)
+            st = (F.lit(start) if start >= 0
+                  else F.greatest(length + start, F.lit(0)))
+            if end is None:
+                en = length
+            elif end >= 0:
+                en = F.least(F.lit(end), length)
+            else:
+                en = F.greatest(length + end, F.lit(0))
+            hay = c.substr(st + 1, F.greatest(en - st, F.lit(0)))
+            loc = F.locate(sub, hay)
+            res = F.when(st > en, F.lit(-1)).otherwise(
+                F.coalesce(F.when(loc > 0, loc - 1 + st), F.lit(-1)))
+            if start >= 0:
+                # a positive start past the end always misses (Python
+                # returns -1 even for sub='')
+                res = F.when(F.lit(start) > length, F.lit(-1)) \
+                    .otherwise(res)
+            return F.when(c.isNotNull(), res).cast("long")
         return self._map(fn)
 
     def replace(self, pat: str, rep: str):

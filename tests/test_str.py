@@ -105,3 +105,38 @@ def test_str_cat_elementwise(bl):
     import pytest
     with pytest.raises(ValueError, match="others"):
         a["x"].str.cat()
+
+
+def test_slice_negative_bounds_and_step_parity(bl):
+    # full Python slice semantics, pinned against pandas (r5 probe
+    # sweep found positive-only normalization gave silent wrong
+    # answers for negative start/stop and a loud error for step<0)
+    import pandas as pd
+    strs = ["", "a", "Abc", "  pad  ", "a.b*c", "aaa", "multi word here",
+            None, "0042", "-7"]
+    sr = bl.Series(np.array(strs, dtype=object), name="s")
+    ps = pd.Series(strs)
+    cases = [(-3, None, 1), (2, -1, 1), (None, None, -1), (-1, -3, -1),
+             (5, 2, -1), (3, None, -2), (-2, None, -2), (1, -10, -1),
+             (10, None, -1), (-10, None, -1), (2, 2, -1), (-10, 50, 2),
+             (None, -2, 1), (-4, -1, 2), (None, 3, -1)]
+    for a, b, st in cases:
+        got = vals(sr.str.slice(a, b, st))
+        want = [None if v is None else v for v in ps.str.slice(a, b, st)]
+        assert got == want, (a, b, st, got, want)
+    with pytest.raises(ValueError):
+        sr.str.slice(0, None, 0)
+
+
+def test_find_negative_bounds_parity(bl):
+    import pandas as pd
+    strs = ["", "a", "Abc", "  pad  ", "aaa", None, "0042"]
+    sr = bl.Series(np.array(strs, dtype=object), name="s")
+    ps = pd.Series(strs)
+    cases = [("a", -3, None), ("a", 0, -1), ("a", -10, -1), ("", 10, None),
+             ("", 3, 3), ("a", 10, None), ("a", 2, 1), ("a", -1, None),
+             ("pad", -6, -2), ("4", 0, None)]
+    for sub, a, b in cases:
+        got = [None if pd.isna(v) else int(v) for v in vals(sr.str.find(sub, a, b))]
+        want = [None if pd.isna(v) else int(v) for v in ps.str.find(sub, a, b)]
+        assert got == want, (sub, a, b, got, want)
