@@ -70,19 +70,60 @@ class DatetimeMethods:
         "year": "year", "quarter": "quarter", "month": "month",
         "week": "week", "day": "day", "hour": "hour",
         "minute": "minute", "second": "second",
+        "ms": "millisecond", "L": "millisecond",
+        "millisecond": "millisecond",
+        "us": "microsecond", "U": "microsecond",
+        "microsecond": "microsecond",
+    }
+
+    # fixed-width units (microseconds each) — the only ones a
+    # multiple like '15min'/'2H'/'30S' is well-defined for; pandas
+    # likewise rejects non-fixed multiples (months, weeks).
+    _FIXED_US = {
+        "D": 86_400_000_000, "day": 86_400_000_000,
+        "H": 3_600_000_000, "h": 3_600_000_000, "hour": 3_600_000_000,
+        "min": 60_000_000, "T": 60_000_000, "minute": 60_000_000,
+        "S": 1_000_000, "s": 1_000_000, "second": 1_000_000,
+        "ms": 1_000, "L": 1_000, "millisecond": 1_000,
+        "us": 1, "U": 1, "microsecond": 1,
     }
 
     def floor(self, freq: str):
         """Truncate to the given frequency (pandas ``dt.floor``);
-        accepts pandas offset aliases ('D', 'H'/'h', 'min'/'T',
-        'S') and Spark date_trunc unit names. Unknown frequencies
-        raise instead of Spark's silent all-NULL."""
+        accepts pandas offset aliases ('D', 'H'/'h', 'min'/'T', 'S',
+        'ms', 'us'), fixed-width multiples ('15min', '2H', '30S'),
+        and Spark date_trunc unit names. Unknown frequencies raise
+        instead of Spark's silent all-NULL. Multiples floor exact
+        integer epoch-microseconds (toward -inf, so pre-1970 rows
+        match pandas); no doubles touch the arithmetic."""
+        import re as _re
+        m = _re.fullmatch(r"(\d+)\s*([A-Za-z]+)", freq)
+        if m and m.group(2) in self._FIXED_US:
+            n, unit = int(m.group(1)), m.group(2)
+            if n == 0:
+                raise ValueError("floor frequency multiple must be >= 1")
+            width = n * self._FIXED_US[unit]
+            # unix_micros needs TIMESTAMP; raw parquet reads surface
+            # TIMESTAMP_NTZ — reinterpret (session TZ pinned UTC, so
+            # identity) and cast the result back to the input type
+            sdf, alias = self._sr._select()
+            styp = sdf.schema[alias].dataType.typeName()
+
+            def fn(c):
+                us = F.unix_micros(c.cast("timestamp"))
+                # Python-style nonnegative remainder: exact floor
+                # toward -inf on longs, pre-epoch included
+                rem = ((us % width) + width) % width
+                out = F.timestamp_micros(us - rem)
+                return out.cast(styp) if styp != "timestamp" else out
+            return self._map(fn)
         unit = self._FLOOR_FREQS.get(freq) or \
             self._FLOOR_FREQS.get(freq.lower())
         if unit is None:
             raise ValueError(
                 f"unsupported floor frequency {freq!r}; one of "
-                f"{sorted(set(self._FLOOR_FREQS))}")
+                f"{sorted(set(self._FLOOR_FREQS))} or a fixed-width "
+                f"multiple like '15min'")
         return self._map(lambda c: F.date_trunc(unit, c))
 
     _STRF = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",

@@ -71,8 +71,11 @@ def test_dt_floor_pandas_freqs_and_strftime_codes(bl):
         want = [str(x) for x in ps.dt.floor(pd_f)]
         assert got == want, (ours_f, got, want)
     import pytest
+    # non-fixed multiples stay a loud error (pandas rejects them too)
     with pytest.raises(ValueError, match="floor frequency"):
-        sr.dt.floor("5min")
+        sr.dt.floor("2M")
+    with pytest.raises(ValueError, match="multiple"):
+        sr.dt.floor("0min")
     fmt = "%Y/%m/%d %H:%M:%S day=%j"
     assert sr.dt.strftime(fmt).to_pandas().tolist() == \
         ps.dt.strftime(fmt).tolist()
@@ -81,3 +84,25 @@ def test_dt_floor_pandas_freqs_and_strftime_codes(bl):
         ["2024-03", "2023-12"]
     with pytest.raises(ValueError, match="strftime code"):
         sr.dt.strftime("%Q")
+
+
+def test_dt_floor_multiples_and_subsecond_parity(bl):
+    """r5 continuation probe: fixed-width multiples ('15min', '2H',
+    '30S') and sub-second units floor via exact integer epoch-us
+    math — pre-epoch rows floor toward -inf like pandas, no doubles."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    strs = ["2020-02-29 23:59:59.999500", "1969-12-31 23:59:59",
+            "1900-03-01 00:00:00", "2024-12-30 12:34:56.789",
+            None, "2038-01-19 03:14:08"]
+    arr = np.array([np.datetime64(v) if v else np.datetime64("NaT")
+                    for v in strs], dtype="datetime64[us]")
+    sr = bl.Series(arr, name="t")
+    ps = pd.Series(arr)
+    for f in ["15min", "2H", "30S", "ms", "us", "6H", "90min", "2D"]:
+        got = [str(x) for x in sr.dt.floor(f).to_pandas()]
+        want = [str(x) for x in ps.dt.floor(f.replace("H", "h")
+                                            .replace("S", "s")
+                                            .replace("D", "D"))]
+        assert got == want, (f, got, want)
