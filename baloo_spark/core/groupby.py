@@ -46,7 +46,15 @@ class DataFrameGroupBy:
                 src = F.col(c).cast("double") if a != "count" else F.col(c)
                 alias = c if single else f"{c}_{a}"
                 out_t = "long" if a == "count" else "double"
-                exprs.append(_AGG_FNS[a](src).cast(out_t).alias(alias))
+                expr = _AGG_FNS[a](src)
+                # pandas min_count=0 identity for all-null groups
+                # (Series-level sum/prod already return 0/1 there;
+                # Spark's sum/product return NULL)
+                if a == "sum":
+                    expr = F.coalesce(expr, F.lit(0.0))
+                elif a == "prod":
+                    expr = F.coalesce(expr, F.lit(1.0))
+                exprs.append(expr.cast(out_t).alias(alias))
         out = self._df._sdf.groupBy(*self._by).agg(*exprs)
         data = [e for e in out.columns if e not in self._by]
         # grouping keys become the index (groupby.py:56-80)
@@ -151,9 +159,14 @@ class DataFrameGroupBy:
         for c in cols:
             v = F.col(c) if is_max else -F.col(c).cast("double")
             # ties -> first occurrence: -ordinal rides second in the
-            # struct so the earliest row wins the max
+            # struct so the earliest row wins the max; an all-null
+            # group has no argmax (pandas yields NaN, not an
+            # arbitrary row — the struct key is non-null even when
+            # its value field is, so max_by alone would pick one)
             key = F.struct(v.alias("v"), (-F.col(ordc)).alias("o"))
-            exprs.append(F.max_by(F.col(idx), key).alias(c))
+            exprs.append(
+                F.when(F.count(F.col(c)) > 0,
+                       F.max_by(F.col(idx), key)).alias(c))
         out = sdf.groupBy(*self._by).agg(*exprs)
         data = [e for e in out.columns if e not in self._by]
         return DataFrame._make(out, list(self._by), data, None)

@@ -221,3 +221,23 @@ def test_groupby_first_last_nunique_cumcount_idx(bl):
     imn = df.groupby("k").idxmin(cols=["w"]).reset_index() \
         .to_pandas().sort_values("k")
     assert imn["w"].tolist() == pdf.groupby("k")["w"].idxmin().tolist()
+
+
+def test_groupby_allnull_group_edges_parity(bl):
+    """r5 continuation probe: all-null groups — sum/prod give the
+    pandas min_count=0 identity (0/1, like the Series level already
+    did), idxmax/idxmin give NULL instead of an arbitrary row."""
+    import numpy as np
+    import pandas as pd
+    keys = ["a", "a", "c", "c", "d", "d"]
+    vals = [1.0, np.nan, np.nan, np.nan, 5.0, 5.0]
+    df = bl.DataFrame({"k": np.array(keys, dtype=object),
+                       "v": np.array(vals)},
+                      index=np.arange(6, dtype=np.int64))
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    for op in ("sum", "prod", "idxmax", "idxmin"):
+        got = getattr(df.groupby("k"), op)().to_pandas()["v"]
+        want = getattr(pdf.groupby("k")["v"], op)()
+        got = {k: ("<N>" if pd.isna(v) else float(v)) for k, v in got.items()}
+        want = {k: ("<N>" if pd.isna(v) else float(v)) for k, v in want.items()}
+        assert got == want, (op, got, want)
