@@ -1496,15 +1496,16 @@ class DataFrame:
         labels (pandas ``combine_first``): full-outer join on the
         index columns, per-column coalesce(self, other) — columns
         only one side has pass through. Both frames must carry the
-        same named index (positional frames would need a count-based
-        alignment; set_index first)."""
+        same index (a materialized default ``__index__`` counts — it
+        is a real label column; purely positional scan-backed frames
+        would need a count-based alignment; set_index first)."""
         idx = [c for c in self._index_cols
-               if c in self._sdf.columns and c not in (ORD_COL, _IDX)]
+               if c in self._sdf.columns and c != ORD_COL]
         oidx = [c for c in other._index_cols
-                if c in other._sdf.columns and c not in (ORD_COL, _IDX)]
+                if c in other._sdf.columns and c != ORD_COL]
         if not idx or idx != oidx:
             raise ValueError(
-                "combine_first needs the same named index on both "
+                "combine_first needs the same index on both "
                 f"frames (got {idx!r} vs {oidx!r}); set_index first")
         l = self._sdf.select(*idx, *self._data_cols)
         r = other._sdf.select(*oidx, *other._data_cols)

@@ -736,5 +736,17 @@ def test_combine_first(bl):
     assert got["v"].tolist() == want["v"].tolist() == [1.0, 20.0, 3.0, 40.0]
     assert got.index.tolist() == want.index.tolist()
     import pytest
-    with pytest.raises(ValueError, match="same named index"):
+    with pytest.raises(ValueError, match="same index"):
         a.reset_index().combine_first(b)
+    # default (unnamed) indexes align positionally like pandas
+    # RangeIndexes — r5 continuation probe: this used to raise
+    c = bl.DataFrame({"x": np.array([1., np.nan, 3.])},
+                     index=np.arange(3, dtype=np.int64))
+    d = bl.DataFrame({"x": np.array([9., 8., 7.]),
+                      "z": np.array([1., 1., 1.])},
+                     index=np.arange(3, dtype=np.int64))
+    got2 = c.combine_first(d).to_pandas().sort_index()
+    want2 = pd.DataFrame({"x": [1., np.nan, 3.]}).combine_first(
+        pd.DataFrame({"x": [9., 8., 7.], "z": [1., 1., 1.]})).sort_index()
+    assert got2["x"].tolist() == want2["x"].tolist() == [1., 8., 3.]
+    assert got2["z"].tolist() == want2["z"].tolist() == [1., 1., 1.]
