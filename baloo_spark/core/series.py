@@ -558,6 +558,8 @@ class Series:
     def abs(self) -> "Series":
         return self._with_col(F.abs(self._colexpr))
 
+    __abs__ = abs       # builtin abs(sr), like pandas
+
     def round(self, decimals: int = 0) -> "Series":
         """Round half-to-even (banker's), matching pandas/NumPy —
         Spark's F.round is HALF_UP, which differs at exact .5 ties
@@ -751,9 +753,10 @@ class Series:
             self._colexpr.cast("double")
             / F.col("__shift__").cast("double") - 1)
 
-    def rank(self, method: str = "min", ascending: bool = True,
+    def rank(self, method: str = "average", ascending: bool = True,
              pct: bool = False) -> "Series":
-        """Global value rank (pandas flavor, 1-based). Methods map to
+        """Global value rank (pandas flavor, 1-based; default method
+        'average' like pandas). Methods map to
         the partition-safe schemes of ``DataFrame.with_rank``:
         'first' -> dense ordinal + 1 (row_number), 'min'/'max'/
         'average' (pandas' default; float ranks) -> that statistic of

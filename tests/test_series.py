@@ -412,3 +412,18 @@ def test_round_bankers_and_python_mod(bl):
         (pd.Series([-7.0, 7.0, -7.0]) % -3).tolist()
     assert (10 % bl.Series(np.array([3.0, -3.0]), name="x")) \
         .to_pandas().tolist() == (10 % pd.Series([3.0, -3.0])).tolist()
+
+
+def test_rank_default_average_and_builtin_abs(bl):
+    """r5 continuation probe: rank() defaults to method='average'
+    like pandas (it was 'min'), and builtin abs(sr) works."""
+    import numpy as np
+    import pandas as pd
+    vals = [3.0, 1.0, 2.0, 2.0]
+    s = bl.Series(np.array(vals), name="v")
+    assert s.rank().to_pandas().tolist() == \
+        pd.Series(vals).rank().tolist() == [4.0, 1.0, 2.5, 2.5]
+    assert s.rank(pct=True).to_pandas().tolist() == \
+        pd.Series(vals).rank(pct=True).tolist()
+    assert abs(bl.Series(np.array([-1.0, 2.0, -3.0]), name="v")) \
+        .to_pandas().tolist() == [1.0, 2.0, 3.0]
