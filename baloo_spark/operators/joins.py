@@ -80,6 +80,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
     l = left.withColumn("__src__", F.lit(1))
     r = right.select(*by, on, *right_cols).withColumn("__src__", F.lit(0))
+    # positional tiebreak for DUPLICATE right timestamps: pandas
+    # merge_asof resolves them by input order — last occurrence wins
+    # backward, first wins forward. Without an explicit ordinal the
+    # window order among equal (on, __src__) rows is partition-layout
+    # dependent (nondeterministic winner). monotonically_increasing_id
+    # follows scan order: deterministic per source, no shuffle.
+    r = r.withColumn("__rpos__", F.monotonically_increasing_id())
     for c in right_cols:
         r = r.withColumnRenamed(c, c + suffix)
     unioned = l.unionByName(r, allowMissingColumns=True)
@@ -93,7 +100,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         strict inequality."""
         src = (F.col("__src__").asc() if allow_exact_matches
                else F.col("__src__").desc())
-        ob = [F.col(on).asc() if asc else F.col(on).desc(), src]
+        # ascending carry (backward): last duplicate must land
+        # closest to the left row => __rpos__ asc; descending carry
+        # (forward): FIRST duplicate must land closest => desc.
+        # Left rows have NULL __rpos__; they carry nothing, so their
+        # relative order within a (on, __src__) group is immaterial.
+        rpos = (F.col("__rpos__").asc_nulls_last() if asc
+                else F.col("__rpos__").desc_nulls_last())
+        ob = [F.col(on).asc() if asc else F.col(on).desc(), src, rpos]
         vals = {f"__{pfx}_{c}__": F.when(F.col("__src__") == 0,
                                          F.col(c + suffix))
                 for c in right_cols}
@@ -128,7 +142,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                 c + suffix,
                 F.when(keep, F.col(f"__{pfx}_{c}__")))
         out = out.withColumn("matched_" + on, F.when(keep, rts))
-        return out.drop(f"__{pfx}rts__",
+        return out.drop(f"__{pfx}rts__", "__rpos__",
                         *[f"__{pfx}_{c}__" for c in right_cols])
 
     # nearest: both carries; the keyed path shares the shuffle (two
@@ -151,7 +165,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     out = out.withColumn(
         "matched_" + on,
         F.when(use_b, F.col("__brts__")).when(f_ok, F.col("__frts__")))
-    return out.drop("__brts__", "__frts__",
+    return out.drop("__brts__", "__frts__", "__rpos__",
                     *[f"__b_{c}__" for c in right_cols],
                     *[f"__f_{c}__" for c in right_cols])
 

@@ -425,3 +425,27 @@ def test_asof_join_timestamp_ntz(spark):
                         right_cols=["value"], direction=direction,
                         tolerance=3600)
         assert out.count() > 0
+
+
+def test_asof_duplicate_right_timestamps_pandas_tiebreak(spark):
+    """r5 continuation probe: duplicate right timestamps resolve by
+    input order like pandas merge_asof — LAST duplicate wins
+    backward, FIRST wins forward (the carry used to pick a
+    partition-layout-dependent winner)."""
+    import pandas as pd
+    from baloo_spark.operators.joins import asof_join
+    l = spark.createDataFrame([(5,), (10,), (15,), (20,)], "ts long")
+    r = spark.createDataFrame(
+        [(5, 1.0), (10, 2.0), (10, 3.0), (18, 4.0)], "ts long, rv double")
+    pl = pd.DataFrame({"ts": [5, 10, 15, 20]})
+    pr = pd.DataFrame({"ts": [5, 10, 10, 18], "rv": [1.0, 2.0, 3.0, 4.0]})
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            got = {row["ts"]: row["rv_right"] for row in
+                   asof_join(l, r, on="ts", direction=direction,
+                             allow_exact_matches=exact).collect()}
+            want = pd.merge_asof(pl, pr, on="ts", direction=direction,
+                                 allow_exact_matches=exact)
+            want = {int(t): (None if pd.isna(v) else v)
+                    for t, v in zip(want["ts"], want["rv"])}
+            assert got == want, (direction, exact, got, want)
