@@ -487,6 +487,39 @@ class Series:
     def var(self): return self._agg_scalar("var")
     def std(self): return self._agg_scalar("std")
 
+    def skew(self):
+        """Bias-corrected sample skewness (pandas ``Series.skew``):
+        Spark's ``skewness`` is the POPULATION g1 = m3/m2^1.5 —
+        silently different; pandas applies the Fisher-Pearson
+        adjustment g1 * sqrt(n(n-1))/(n-2), NaN for n < 3. One JVM
+        aggregate either way (engine extension)."""
+        col = self._colexpr.cast("double")
+        row = self._sdf.agg(F.skewness(col).alias("g1"),
+                            F.count(col).alias("n")).first()
+        n = row["n"]
+        if n < 3:
+            return float("nan")
+        if row["g1"] is None:
+            return 0.0      # zero variance: pandas says 0, Spark NULL
+        import math
+        return row["g1"] * math.sqrt(n * (n - 1)) / (n - 2)
+
+    def kurt(self):
+        """Bias-corrected excess kurtosis (pandas ``Series.kurt``):
+        Spark's ``kurtosis`` is the population excess g2; pandas
+        corrects by ((n+1)g2 + 6)(n-1)/((n-2)(n-3)), NaN for n < 4."""
+        col = self._colexpr.cast("double")
+        row = self._sdf.agg(F.kurtosis(col).alias("g2"),
+                            F.count(col).alias("n")).first()
+        n = row["n"]
+        if n < 4:
+            return float("nan")
+        if row["g2"] is None:
+            return 0.0      # zero variance: pandas says 0, Spark NULL
+        return ((n + 1) * row["g2"] + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+    kurtosis = kurt
+
     def _pairwise(self, other: "Series", fn):
         """Pairwise aggregate (corr/cov) of two columns of the SAME
         parent frame — one JVM aggregate, no data movement. Cross-

@@ -427,3 +427,24 @@ def test_rank_default_average_and_builtin_abs(bl):
         pd.Series(vals).rank(pct=True).tolist()
     assert abs(bl.Series(np.array([-1.0, 2.0, -3.0]), name="v")) \
         .to_pandas().tolist() == [1.0, 2.0, 3.0]
+
+
+def test_skew_kurt_pandas_bias_correction(bl):
+    """Spark's skewness/kurtosis are POPULATION statistics; pandas
+    applies bias corrections. Pin the corrected parity, the n<3/n<4
+    NaN edges, and the zero-variance 0.0 edge."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    cases = [[1., 2., 3., 4., 10.],
+             [1., 2., np.nan, 4., 10., 2.5, 2.5],
+             [1., 2.], [5.] * 6, [1., 2., 3.]]
+    for vals in cases:
+        s = bl.Series(np.array(vals), name="v")
+        p = pd.Series(vals)
+        for ours, want in ((s.skew(), p.skew()), (s.kurt(), p.kurt())):
+            if math.isnan(want):
+                assert math.isnan(ours), (vals, ours, want)
+            else:
+                assert abs(ours - want) < 1e-9, (vals, ours, want)
