@@ -786,6 +786,18 @@ class Series:
             self._colexpr.cast("double")
             / F.col("__shift__").cast("double") - 1)
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """Trailing fixed-size window aggregations along the logical
+        order (pandas ``Series.rolling``): ``.sum() .mean() .count()
+        .var() .std()``. All compose from partition-safe prefix scans
+        (sum, sum², count are prefix sums; ``rolling(i) = prefix(i) -
+        prefix(i - window)``) plus ONE shared boundary-carry shift —
+        never a global single-partition window, so the plan holds at
+        any scale. Global rolling min/max do not decompose into
+        prefixes; ``DataFrame.with_rolling(partition_by=...)`` keeps
+        those local per group instead (engine extension)."""
+        return _Rolling(self, window, min_periods)
+
     def rank(self, method: str = "average", ascending: bool = True,
              pct: bool = False) -> "Series":
         """Global value rank (pandas flavor, 1-based; default method
@@ -1095,6 +1107,103 @@ class Series:
         if idx and idx[0] in (ORD_COL, _IDX) and len(idx) == 1:
             s.index.name = None
         return s
+
+
+class _Rolling:
+    """Fixed-size trailing-window aggregations (see
+    :meth:`Series.rolling`). NaN rows occupy window POSITIONS but are
+    skipped by the aggregates, and ``min_periods`` counts non-null
+    rows — pandas semantics (default ``window`` for every agg,
+    count included)."""
+
+    def __init__(self, sr: "Series", window: int,
+                 min_periods: int | None):
+        if window <= 0:
+            raise ValueError(f"window must be positive, got {window}")
+        self._sr = sr
+        self._window = window
+        self._mp = window if min_periods is None else min_periods
+
+    def _compute(self, need_sq: bool, need_rows: bool):
+        from ..plans.ordinal import (ORD_COL, with_boundary_shifts,
+                                     with_prefix_aggs)
+        sr = self._sr
+        sdf = sr._sdf
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        v = sr._colexpr.cast("double")
+        specs = {"__ps__": (v, "sum"), "__pc__": (sr._colexpr, "count")}
+        if need_sq:
+            specs["__pq__"] = (v * v, "sum")
+        if need_rows:
+            specs["__pr__"] = (F.lit(1), "count")
+        out = with_prefix_aggs(sdf, specs, order or None)
+        shifts = {f"{o[:-2]}w__": F.col(o) for o in specs}
+        # all prefixes shift together: one layout + carry pass
+        out = with_boundary_shifts(out, shifts, self._window,
+                                   order_by=order or None)
+        rsum = F.col("__ps__") - F.coalesce(F.col("__psw__"), F.lit(0.0))
+        rcnt = (F.col("__pc__")
+                - F.coalesce(F.col("__pcw__"), F.lit(0))).cast("long")
+        rsq = (F.col("__pq__") - F.coalesce(F.col("__pqw__"), F.lit(0.0))
+               if need_sq else None)
+        rrows = ((F.col("__pr__")
+                  - F.coalesce(F.col("__prw__"), F.lit(0))).cast("long")
+                 if need_rows else None)
+        helpers = list(specs) + list(shifts)
+        return out, rsum, rcnt, rsq, rrows, helpers
+
+    def _emit(self, builder, mp: int, need_sq: bool = False,
+              gate_on_rows: bool = False):
+        out, rsum, rcnt, rsq, rrows, helpers = \
+            self._compute(need_sq, gate_on_rows)
+        # min_periods counts non-null observations — except count(),
+        # which pandas gates on window FULLNESS (rows present)
+        gate = rrows if gate_on_rows else rcnt
+        expr = F.when(gate >= mp if mp > 0 else F.lit(True),
+                      builder(rsum, rcnt, rsq))
+        out = out.withColumn("__roll__", expr.cast("double")) \
+            .drop(*helpers)
+        sr = self._sr
+        return Series._make(out, F.col("__roll__"), sr._index_cols,
+                            sr.name, sr._order)
+
+    def sum(self) -> "Series":
+        return self._emit(lambda s, c, q: s, self._mp)
+
+    def mean(self) -> "Series":
+        return self._emit(lambda s, c, q: s / c, max(self._mp, 1))
+
+    def count(self) -> "Series":
+        return self._emit(lambda s, c, q: c, self._mp,
+                          gate_on_rows=True)
+
+    def var(self, ddof: int = 1) -> "Series":
+        def build(s, c, q):
+            # sum-of-squares identity; tiny negative residue from fp
+            # cancellation clamps to 0 (a constant window is var 0)
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, num / (c - ddof))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+    def std(self, ddof: int = 1) -> "Series":
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, F.sqrt(num / (c - ddof)))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+    def min(self):
+        raise ValueError(
+            "global rolling min does not decompose into prefix "
+            "scans; use DataFrame.with_rolling(partition_by=...) "
+            "for per-group local frames")
+
+    def max(self):
+        raise ValueError(
+            "global rolling max does not decompose into prefix "
+            "scans; use DataFrame.with_rolling(partition_by=...) "
+            "for per-group local frames")
 
 
 def _norm_pos(i: int, n: int) -> int:

@@ -293,3 +293,60 @@ def test_series_pct_change_and_rank(spark):
         assert got_r == [(k, float(v)) for k, v in want_r], method
     with pytest.raises(ValueError, match="rank method"):
         df["x"].rank(method="median")
+
+
+def test_series_rolling_pandas_parity(bl):
+    """Series.rolling facade: sum/mean/count/var/std over the prefix
+    machinery match pandas, incl. NaN-in-window, min_periods (count
+    gates on window fullness, the others on non-null observations),
+    and the ddof edge."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    vals = [1., 2., np.nan, 4., 10., 2.5, 2.5, -3., 0., 7.]
+    s = bl.Series(np.array(vals), name="v")
+    p = pd.Series(vals)
+    cases = [
+        ("sum", dict(window=3), {}),
+        ("sum", dict(window=3, min_periods=1), {}),
+        ("mean", dict(window=4, min_periods=2), {}),
+        ("count", dict(window=3), {}),
+        ("count", dict(window=3, min_periods=1), {}),
+        ("var", dict(window=3), {}),
+        ("var", dict(window=2), {}),
+        ("std", dict(window=4, min_periods=2), {}),
+    ]
+    for agg, kw, akw in cases:
+        got = getattr(s.rolling(**kw), agg)(**akw).to_pandas().tolist()
+        want = getattr(p.rolling(**kw), agg)(**akw).tolist()
+        got = ["nan" if x != x else round(x, 9) for x in got]
+        want = ["nan" if x != x else round(x, 9) for x in want]
+        assert got == want, (agg, kw, got, want)
+    with pytest.raises(ValueError, match="rolling min"):
+        s.rolling(3).min()
+    with pytest.raises(ValueError, match="positive"):
+        s.rolling(0)
+
+
+def test_series_rolling_multipartition(bl):
+    """Rolling windows spanning partition boundaries: 4k rows over a
+    range-partitioned sort must match pandas exactly (the boundary
+    carry supplies the cross-partition prefix)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    k = rng.permutation(4000).astype(np.int64)
+    v = rng.randn(4000)
+    v[rng.rand(4000) < 0.1] = np.nan
+    df = bl.DataFrame({"k": k, "v": v},
+                      index=np.arange(4000, dtype=np.int64))
+    got = df.sort_values("k")["v"].rolling(50, min_periods=5) \
+        .mean().to_pandas().tolist()
+    want = pd.DataFrame({"k": k, "v": v}).sort_values("k")["v"] \
+        .rolling(50, min_periods=5).mean().tolist()
+    assert len(got) == len(want) == 4000
+    for g, w in zip(got, want):
+        if w != w:
+            assert g != g
+        else:
+            assert abs(g - w) < 1e-9
