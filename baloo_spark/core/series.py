@@ -665,7 +665,9 @@ class Series:
         ascending (pandas semantics). Two hash aggs, no global sort
         of the data itself."""
         sdf, alias = self._select()
-        counts = sdf.groupBy(alias).agg(
+        # pandas mode(dropna=True) default: NaN never counts as a
+        # candidate value (it used to win ties as a NULL group here)
+        counts = sdf.where(F.col(alias).isNotNull()).groupBy(alias).agg(
             F.count(F.lit(1)).alias("__cnt__"))
         from pyspark.sql import Window
         top = counts.withColumn(
@@ -676,15 +678,18 @@ class Series:
                             [(alias, True)])
 
     def nlargest(self, n: int = 5) -> "Series":
-        """Top-n values: distributed TakeOrdered, never a full sort."""
+        """Top-n values: distributed TakeOrdered, never a full sort.
+        NaN sorts LAST in both directions like pandas (Spark's asc
+        order would otherwise surface NULLs first in ``nsmallest``);
+        it only appears when n exceeds the non-null count."""
         sdf, alias = self._select()
-        out = sdf.orderBy(F.col(alias).desc()).limit(n)
+        out = sdf.orderBy(F.col(alias).desc_nulls_last()).limit(n)
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             [(alias, False)])
 
     def nsmallest(self, n: int = 5) -> "Series":
         sdf, alias = self._select()
-        out = sdf.orderBy(F.col(alias).asc()).limit(n)
+        out = sdf.orderBy(F.col(alias).asc_nulls_last()).limit(n)
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             [(alias, True)])
 

@@ -448,3 +448,21 @@ def test_skew_kurt_pandas_bias_correction(bl):
                 assert math.isnan(ours), (vals, ours, want)
             else:
                 assert abs(ours - want) < 1e-9, (vals, ours, want)
+
+
+def test_mode_and_nsmallest_drop_nan(bl):
+    """r5 continuation probe: mode never counts NaN as a candidate
+    (the NULL group used to win ties), and nlargest/nsmallest sort
+    NaN LAST (Spark's asc order surfaces NULLs first otherwise)."""
+    import numpy as np
+    import pandas as pd
+    vals = [1., np.nan, np.nan, 1., 2.]
+    s = bl.Series(np.array(vals), name="v")
+    p = pd.Series(vals)
+    assert s.mode().to_pandas().tolist() == p.mode().tolist() == [1.0]
+    assert s.nsmallest(2).to_pandas().tolist() == \
+        p.nsmallest(2).tolist() == [1.0, 1.0]
+    got10 = s.nlargest(10).to_pandas().tolist()
+    want10 = p.nlargest(10).tolist()   # pandas keeps NaN at the tail
+    assert got10[:3] == want10[:3] == [2.0, 1.0, 1.0]
+    assert [x != x for x in got10] == [x != x for x in want10]
