@@ -69,6 +69,39 @@ class DataFrameGroupBy:
     def std(self): return self._aggregate("std")
     def count(self): return self._aggregate("count")
 
+    def skew(self):
+        """Per-group bias-corrected sample skewness (pandas
+        ``groupby().skew()``): Spark's ``skewness`` is the population
+        g1; the Fisher-Pearson adjustment is pure column arithmetic
+        over (g1, count), so the whole thing stays ONE map-side
+        partial hash-agg shuffle. n<3 -> NULL, zero variance -> 0."""
+        return self._moment("skew")
+
+    def kurt(self):
+        """Per-group bias-corrected excess kurtosis (pandas
+        ``groupby().kurt()``); n<4 -> NULL, zero variance -> 0."""
+        return self._moment("kurt")
+
+    def _moment(self, kind: str):
+        from .frame import DataFrame
+        exprs = []
+        for c in self._value_cols():
+            v = F.col(c).cast("double")
+            n = F.count(v)
+            if kind == "skew":
+                g = F.skewness(v)
+                corr = g * F.sqrt(n * (n - 1)) / (n - 2)
+                expr = F.when(n >= 3, F.coalesce(corr, F.lit(0.0)))
+            else:
+                g = F.kurtosis(v)
+                corr = (((n + 1) * g + 6) * (n - 1)
+                        / ((n - 2) * (n - 3)))
+                expr = F.when(n >= 4, F.coalesce(corr, F.lit(0.0)))
+            exprs.append(expr.cast("double").alias(c))
+        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        data = [e for e in out.columns if e not in self._by]
+        return DataFrame._make(out, list(self._by), data, None)
+
     def size(self):
         from .frame import DataFrame
         out = self._df._sdf.groupBy(*self._by).agg(

@@ -241,3 +241,28 @@ def test_groupby_allnull_group_edges_parity(bl):
         got = {k: ("<N>" if pd.isna(v) else float(v)) for k, v in got.items()}
         want = {k: ("<N>" if pd.isna(v) else float(v)) for k, v in want.items()}
         assert got == want, (op, got, want)
+
+
+def test_groupby_skew_kurt_bias_corrected(bl):
+    """groupby skew/kurt: Spark's population g1/g2 plus the pandas
+    bias corrections as column arithmetic — one hash-agg shuffle.
+    n<3 (skew) / n<4 (kurt) -> NULL; zero-variance groups -> 0."""
+    import numpy as np
+    import pandas as pd
+    keys = ["a"] * 5 + ["b"] * 2 + ["c"] * 6 + ["d"] * 4
+    vals = [1., 2., 3., 4., 10., 5., 6.,
+            2., 2., 2., 2., 2., 2., 1., np.nan, 4., 9.]
+    df = bl.DataFrame({"k": np.array(keys, dtype=object),
+                       "v": np.array(vals)},
+                      index=np.arange(len(keys), dtype=np.int64))
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    got_s = df.groupby("k").skew().to_pandas()["v"]
+    want_s = pdf.groupby("k")["v"].skew()
+    got_k = df.groupby("k").kurt().to_pandas()["v"]
+    want_k = pdf.groupby("k")["v"].apply(pd.Series.kurt)
+    for got, want in ((got_s, want_s), (got_k, want_k)):
+        for k in want.index:
+            if pd.isna(want[k]):
+                assert pd.isna(got[k]), (k, got[k], want[k])
+            else:
+                assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
