@@ -748,12 +748,58 @@ class DataFrame:
             f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
         return Series._make(out, F.col("__agg__"), [_IDX], name, None)
 
-    def min(self): return self._agg_row("min")
-    def max(self): return self._agg_row("max")
-    def sum(self): return self._agg_row("sum")
+    def _agg_axis1(self, name: str) -> Series:
+        """Row-wise aggregate across the numeric columns (pandas
+        ``axis=1``), skipping NULLs like pandas skips NaN. A pure
+        column expression over the same plan — no shuffle, no agg
+        node; composes lazily like any Series."""
+        cols = self._numeric_cols()
+        if not cols:
+            raise ValueError(f"no numeric columns for {name}(axis=1)")
+        vs = [F.col(c).cast("double") for c in cols]
+        nn = None
+        for c in cols:
+            t = F.col(c).isNotNull().cast("long")
+            nn = t if nn is None else nn + t
+        if name in ("min", "max"):
+            fn = F.least if name == "min" else F.greatest
+            expr = fn(*vs) if len(vs) > 1 else vs[0]
+        elif name == "count":
+            expr = nn
+        else:
+            total = None
+            for v in vs:
+                cv = F.coalesce(v, F.lit(0.0))
+                total = cv if total is None else total + cv
+            if name == "sum":
+                expr = total      # all-null row -> 0, min_count=0
+            elif name == "mean":
+                expr = F.when(nn > 0, total / nn)
+            else:
+                raise ValueError(
+                    f"unsupported axis=1 aggregation: {name!r}")
+        return Series._make(self._sdf, expr, self._index_cols, None,
+                            self._order)
+
+    def min(self, axis: int = 0):
+        return self._agg_axis1("min") if axis == 1 else self._agg_row("min")
+
+    def max(self, axis: int = 0):
+        return self._agg_axis1("max") if axis == 1 else self._agg_row("max")
+
+    def sum(self, axis: int = 0):
+        return self._agg_axis1("sum") if axis == 1 else self._agg_row("sum")
+
     def prod(self): return self._agg_row("prod")
-    def count(self): return self._agg_row("count")
-    def mean(self): return self._agg_row("mean")
+
+    def count(self, axis: int = 0):
+        return (self._agg_axis1("count") if axis == 1
+                else self._agg_row("count"))
+
+    def mean(self, axis: int = 0):
+        return (self._agg_axis1("mean") if axis == 1
+                else self._agg_row("mean"))
+
     def var(self): return self._agg_row("var")
     def std(self): return self._agg_row("std")
 

@@ -750,3 +750,25 @@ def test_combine_first(bl):
         pd.DataFrame({"x": [9., 8., 7.], "z": [1., 1., 1.]})).sort_index()
     assert got2["x"].tolist() == want2["x"].tolist() == [1., 8., 3.]
     assert got2["z"].tolist() == want2["z"].tolist() == [1., 1., 1.]
+
+
+def test_frame_axis1_aggregations(bl):
+    """Row-wise (axis=1) sum/mean/min/max/count across numeric
+    columns: pure column expressions (no shuffle), pandas
+    NaN-skipping semantics — all-null rows give sum 0 / count 0 /
+    mean,min,max NaN."""
+    import numpy as np
+    import pandas as pd
+    d = {"a": np.array([1., np.nan, 3., np.nan]),
+         "b": np.array([4., 5., np.nan, np.nan]),
+         "c": np.array(["x", "y", "z", "w"], dtype=object)}
+    df = bl.DataFrame(d, index=np.arange(4, dtype=np.int64))
+    pdf = pd.DataFrame(d)
+    for op in ("sum", "mean", "min", "max", "count"):
+        got = getattr(df, op)(axis=1).to_pandas().tolist()
+        want = getattr(pdf, op)(axis=1, numeric_only=True).tolist()
+        got = ["nan" if x is None or x != x else float(x) for x in got]
+        want = ["nan" if x != x else float(x) for x in want]
+        assert got == want, (op, got, want)
+    # axis=0 unchanged: per-column agg row
+    assert df.sum().to_pandas()["a"] == 4.0
