@@ -622,19 +622,21 @@ class Series:
         computed with a scalar subtotal, not a second pass.
         ``dropna=True`` (pandas default) excludes the NULL value;
         pass False to count NULLs as their own row."""
-        from pyspark.sql import Window
         sdf, alias = self._select()
         if dropna:
             sdf = sdf.filter(F.col(alias).isNotNull())
         cnt = F.count(F.lit(1))
         if normalize:
-            # the subtotal window runs over the ALREADY-AGGREGATED
-            # distinct values (small), not the raw rows
-            out = (sdf.groupBy(alias).agg(cnt.alias("__n__"))
-                   .withColumn("__cnt__",
-                               F.col("__n__")
-                               / F.sum("__n__").over(Window.partitionBy()))
-                   .drop("__n__"))
+            # subtotal as a ONE-ROW aggregate broadcast-cross-joined
+            # back in — never a global (unpartitioned) window over the
+            # distinct-values table, whose cardinality can approach
+            # the row count (ids), single-partitioning the plan
+            counts = sdf.groupBy(alias).agg(cnt.alias("__n__"))
+            tot = counts.agg(
+                F.sum("__n__").cast("double").alias("__tot__"))
+            out = (counts.crossJoin(F.broadcast(tot))
+                   .withColumn("__cnt__", F.col("__n__") / F.col("__tot__"))
+                   .drop("__n__", "__tot__"))
         else:
             out = sdf.groupBy(alias).agg(cnt.cast("long").alias("__cnt__"))
         out = out.orderBy(F.col("__cnt__").asc() if ascending
@@ -669,10 +671,12 @@ class Series:
         # candidate value (it used to win ties as a NULL group here)
         counts = sdf.where(F.col(alias).isNotNull()).groupBy(alias).agg(
             F.count(F.lit(1)).alias("__cnt__"))
-        from pyspark.sql import Window
-        top = counts.withColumn(
-            "__max__", F.max("__cnt__").over(Window.partitionBy()))
-        out = (top.where(F.col("__cnt__") == F.col("__max__"))
+        # max count as a ONE-ROW aggregate broadcast back — a global
+        # window here would single-partition the distinct-values
+        # table, which scales with cardinality
+        mx = counts.agg(F.max("__cnt__").alias("__max__"))
+        out = (counts.crossJoin(F.broadcast(mx))
+               .where(F.col("__cnt__") == F.col("__max__"))
                .select(alias).orderBy(alias))
         return Series._make(out, F.col(alias), [], self.name,
                             [(alias, True)])
