@@ -1326,6 +1326,25 @@ class DataFrame:
         return DataFrame._make(out, self._index_cols,
                                self._data_cols + [name], self._order)
 
+    def shift(self, periods: int = 1) -> "DataFrame":
+        """All data columns moved by ``periods`` along the logical
+        order, NULLs at the edge (pandas ``DataFrame.shift``; the
+        index stays put, like pandas). Every column rides ONE shared
+        boundary-carry pass (plans/ordinal.with_boundary_shifts) —
+        one layout, one donor collect, never a global window, and
+        never one pass per column."""
+        from ..plans.ordinal import with_boundary_shifts
+        sdf = self._sdf
+        order = order_exprs(self._order or [], sdf.columns)
+        cols = {f"__sh_{c}__": F.col(c) for c in self._data_cols}
+        out = with_boundary_shifts(sdf, cols, periods,
+                                   order_by=order or None)
+        for c in self._data_cols:
+            out = out.withColumn(c, F.col(f"__sh_{c}__")) \
+                .drop(f"__sh_{c}__")
+        return DataFrame._make(out, self._index_cols, self._data_cols,
+                               self._order)
+
     def with_lag(self, col: str, order_by, partition_by=None, offset: int = 1,
                  name: str | None = None, diff: bool = False) -> "DataFrame":
         """Previous-row value (lag) or difference vs previous row over

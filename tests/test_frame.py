@@ -772,3 +772,24 @@ def test_frame_axis1_aggregations(bl):
         assert got == want, (op, got, want)
     # axis=0 unchanged: per-column agg row
     assert df.sum().to_pandas()["a"] == 4.0
+
+
+def test_frame_shift_all_columns_one_pass(bl):
+    """DataFrame.shift moves every data column by the same periods in
+    ONE shared boundary-carry pass; the index stays put (pandas)."""
+    import numpy as np
+    import pandas as pd
+    d = {"a": np.array([1., 2., 3., 4.]),
+         "b": np.array(["x", "y", "z", "w"], dtype=object)}
+    df = bl.DataFrame(d, index=np.arange(4, dtype=np.int64))
+    pdf = pd.DataFrame(d)
+    for p_ in (1, 2, -1, 0):
+        got = df.shift(p_).to_pandas()
+        want = pdf.shift(p_)
+        assert got.index.tolist() == want.index.tolist()
+        for c in ("a", "b"):
+            g = [None if v is None or (isinstance(v, float) and v != v)
+                 else v for v in got[c].tolist()]
+            w = [None if not isinstance(v, str) and v != v else v
+                 for v in want[c].tolist()]
+            assert g == w, (p_, c, g, w)
