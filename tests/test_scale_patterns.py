@@ -103,3 +103,28 @@ def test_salted_groupby_collect_list_matches_plain(spark):
     # the hot key (30% of rows) really is hot in this fixture
     n = sum(len(v) for v in plain.values())
     assert len(plain[0]) / n > 0.25
+
+
+def test_rolling_and_mode_plans_have_no_global_window(bl):
+    """The r5-continuation surfaces must never plan an unpartitioned
+    window: Series.rolling composes prefix scans + boundary carries,
+    and mode/value_counts(normalize) replace their old global-window
+    max/total with one-row broadcast aggregates. A 'Window' node
+    without a partition spec single-partitions data-sized input."""
+    import numpy as np
+    s = bl.Series(np.arange(100, dtype=np.float64), name="v")
+    roll = s.rolling(5).mean().to_spark()._jdf.queryExecution() \
+        .executedPlan().toString()
+    # every window in the rolling plan is partitioned by the physical
+    # partition id (work stays local; carries cross boundaries)
+    for line in roll.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid__" in line, f"global window in:\n{line}"
+    # mode / normalized value_counts plan NO window at all now —
+    # their max/total are one-row broadcast aggregates
+    for q in (s.mode(), s.value_counts(normalize=True)):
+        plan = q.to_spark()._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "windowspecdefinition(" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastExchange" in plan
