@@ -28,6 +28,20 @@ class DataFrameGroupBy:
         self._df = df
         self._by = by
 
+    def __getitem__(self, key):
+        """Column-restricted groupby (pandas ``df.groupby(k)['v']`` /
+        ``[['v','w']]``): later aggregations only see the selected
+        value columns. Lazy — just narrows the projection list."""
+        keys = [key] if isinstance(key, str) else list(key)
+        missing = [c for c in keys if c not in self._df._data_cols]
+        if missing:
+            raise KeyError(missing[0])
+        # keep the grouping keys that live in the data columns; index
+        # -backed keys ride along with the projection automatically
+        sel = [c for c in self._by if c in self._df._data_cols] + keys
+        sub = self._df[list(dict.fromkeys(sel))]
+        return DataFrameGroupBy(sub, self._by)
+
     def _value_cols(self):
         sch = {f.name: f.dataType for f in self._df._sdf.schema.fields}
         return [c for c in self._df._data_cols

@@ -266,3 +266,22 @@ def test_groupby_skew_kurt_bias_corrected(bl):
                 assert pd.isna(got[k]), (k, got[k], want[k])
             else:
                 assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_groupby_column_selection(bl):
+    """pandas df.groupby(k)['v'] / [['v','w']]: later aggregations
+    only see the selected value columns (lazy projection narrowing)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    d = {"k": np.array(["a", "a", "b"], dtype=object),
+         "v": np.array([1., 2., 3.]), "w": np.array([10., 20., 30.])}
+    df = bl.DataFrame(d, index=np.arange(3, dtype=np.int64))
+    pdf = pd.DataFrame(d)
+    g = df.groupby("k")["v"].sum().to_pandas()
+    assert g.columns.tolist() == ["v"]
+    assert dict(zip(g.index, g["v"])) == dict(pdf.groupby("k")["v"].sum())
+    g2 = df.groupby("k")[["v", "w"]].mean().to_pandas()
+    assert sorted(g2.columns.tolist()) == ["v", "w"]
+    with pytest.raises(KeyError):
+        df.groupby("k")["zz"]
