@@ -1,0 +1,75 @@
+"""Timeseries feature pipeline on baloo_spark's pandas surface.
+
+The shape every market-data / telemetry feature build follows:
+bucket events to a fixed grid (``dt.floor('15min')``) -> per-bucket
+aggregates -> trailing rolling statistics (``Series.rolling`` over
+partition-safe prefix scans) -> as-of join the features back onto the
+raw event stream (duplicate feature timestamps resolve by input
+order, pandas ``merge_asof`` semantics).
+
+Run:  python examples/timeseries_features.py [sf_dir]
+(default /root/testdata/sf0.001). Prints one JSON summary line.
+
+Scale notes inline — nothing here plans a global single-partition
+window: the rolling stats are prefix-scan + boundary-carry, the
+bucket agg is one hash shuffle, and the as-of carry is the
+union-and-carry plan (one shuffle keyed, range-partitioned unkeyed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import baloo_spark as bl
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    ev = bl.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    # 1. fixed 15-minute grid: exact integer epoch-us floor (handles
+    #    sub-second and pre-epoch timestamps; one narrow projection)
+    ev["bucket"] = ev["ts"].dt.floor("15min")
+
+    # 2. per-bucket activity: one hash-agg shuffle, map-side partials
+    per_bucket = (ev[["bucket", "value"]]
+                  .groupby("bucket").mean()
+                  .sort_index())
+
+    # 3. trailing rolling stats along the bucket grid — prefix scans
+    #    (sum, sum^2, count) + ONE shared boundary-carry shift; holds
+    #    at any series length, never a global window
+    sr = per_bucket.reset_index().sort_values("bucket")["value"]
+    feats = per_bucket.reset_index().sort_values("bucket")
+    feats["roll_mean"] = sr.rolling(4, min_periods=1).mean()
+    feats["roll_std"] = sr.rolling(4, min_periods=2).std()
+    # close the window: shift every rolling stat one bucket forward,
+    # so bucket B carries stats through B-1 only — no lookahead into
+    # the bucket an event itself belongs to
+    feats["roll_mean_closed"] = feats["roll_mean"].shift(1)
+    feats["roll_std_closed"] = feats["roll_std"].shift(1)
+
+    # 4. as-of join the CLOSED features back onto raw events: each
+    #    event matches its own bucket's row (backward, inclusive) and
+    #    reads the prior-buckets-only statistics
+    enriched = bl.merge_asof(
+        ev[["ts", "event_type", "value"]],
+        feats[["bucket", "roll_mean_closed", "roll_std_closed"]]
+        .rename(columns={"bucket": "ts"}),
+        on="ts", direction="backward")
+
+    out = enriched.to_pandas()
+    summary = {
+        "events": int(len(out)),
+        "buckets": int(len(feats)),
+        "with_features": int(out["roll_mean_closed_right"].notna().sum()),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

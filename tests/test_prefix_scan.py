@@ -350,3 +350,19 @@ def test_series_rolling_multipartition(bl):
             assert g != g
         else:
             assert abs(g - w) < 1e-9
+
+
+def test_timeseries_features_example(spark):
+    """examples/timeseries_features.py: grid-floor -> bucket agg ->
+    rolling stats -> closed-window shift -> as-of enrich, end to end
+    at sf0.001."""
+    import sys
+    sys.path.insert(0, "examples")
+    from timeseries_features import main
+    out = main("/root/testdata/sf0.001")
+    assert out["events"] == 1000
+    assert 0 < out["buckets"] <= out["events"]
+    # every event except those in the very first bucket gets closed
+    # (prior-buckets-only) features
+    assert out["events"] - out["with_features"] < 10
+    assert out["with_features"] > 0
