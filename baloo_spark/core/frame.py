@@ -803,6 +803,33 @@ class DataFrame:
     def var(self): return self._agg_row("var")
     def std(self): return self._agg_row("std")
 
+    def _moment_row(self, kind: str) -> Series:
+        """Per-column bias-corrected skew/kurt combined into one
+        Series (same shape as :meth:`_agg_row`); the correction is
+        column arithmetic over Spark's population g1/g2 + count, so
+        all columns still share ONE aggregate job."""
+        cols = self._numeric_cols()
+        exprs = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            n = F.count(v)
+            if kind == "skew":
+                corr = (F.skewness(v) * F.sqrt(n * (n - 1)) / (n - 2))
+                e = F.when(n >= 3, F.coalesce(corr, F.lit(0.0)))
+            else:
+                corr = (((n + 1) * F.kurtosis(v) + 6) * (n - 1)
+                        / ((n - 2) * (n - 3)))
+                e = F.when(n >= 4, F.coalesce(corr, F.lit(0.0)))
+            exprs.append(e.cast("double").alias(c))
+        row_df = self._sdf.agg(*exprs)
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        out = row_df.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
+        return Series._make(out, F.col("__agg__"), [_IDX], kind, None)
+
+    def skew(self): return self._moment_row("skew")
+    def kurt(self): return self._moment_row("kurt")
+
     # ------------------------------------------------------------- groupby
 
     def groupby(self, by, dropna: bool = True) -> "DataFrameGroupBy":

@@ -793,3 +793,20 @@ def test_frame_shift_all_columns_one_pass(bl):
             w = [None if not isinstance(v, str) and v != v else v
                  for v in want[c].tolist()]
             assert g == w, (p_, c, g, w)
+
+
+def test_frame_skew_kurt_rows(bl):
+    """Frame-level skew/kurt agg rows: bias-corrected like pandas,
+    all columns in one aggregate job."""
+    import numpy as np
+    import pandas as pd
+    d = {"a": np.array([1., 2., 3., 4., 10.]),
+         "b": np.array([5., 5., 5., 5., 5.]),
+         "s": np.array(list("abcde"), dtype=object)}
+    df = bl.DataFrame(d, index=np.arange(5, dtype=np.int64))
+    pdf = pd.DataFrame(d)
+    for op in ("skew", "kurt"):
+        got = getattr(df, op)().to_pandas()
+        want = getattr(pdf, op)(numeric_only=True)
+        for c in ("a", "b"):
+            assert abs(got[c] - want[c]) < 1e-9, (op, c)
