@@ -329,12 +329,25 @@ class Series:
         return Series._make(out, F.col("__isin__"), self._index_cols,
                             self.name, self._order)
 
-    def between(self, lower, upper, inclusive: bool = True) -> "Series":
-        if inclusive:
-            return self._with_col((self._colexpr >= F.lit(lower))
-                                  & (self._colexpr <= F.lit(upper)))
-        return self._with_col((self._colexpr > F.lit(lower))
-                              & (self._colexpr < F.lit(upper)))
+    def between(self, lower, upper, inclusive="both") -> "Series":
+        """Boundary test (pandas ``Series.between``): ``inclusive``
+        takes the pandas 2.x strings 'both'/'neither'/'left'/'right'
+        plus the legacy booleans (True='both', False='neither')."""
+        mode = {True: "both", False: "neither"}.get(inclusive, inclusive)
+        ops = {"both": (self._colexpr >= F.lit(lower),
+                        self._colexpr <= F.lit(upper)),
+               "neither": (self._colexpr > F.lit(lower),
+                           self._colexpr < F.lit(upper)),
+               "left": (self._colexpr >= F.lit(lower),
+                        self._colexpr < F.lit(upper)),
+               "right": (self._colexpr > F.lit(lower),
+                         self._colexpr <= F.lit(upper))}
+        if mode not in ops:
+            raise ValueError(
+                "inclusive must be 'both', 'neither', 'left', "
+                f"'right' or a bool, got {inclusive!r}")
+        lo, hi = ops[mode]
+        return self._with_col(lo & hi)
 
     def where(self, cond: "Series", other=None) -> "Series":
         """pandas ``Series.where``: keep values where ``cond`` holds,

@@ -466,3 +466,21 @@ def test_mode_and_nsmallest_drop_nan(bl):
     want10 = p.nlargest(10).tolist()   # pandas keeps NaN at the tail
     assert got10[:3] == want10[:3] == [2.0, 1.0, 1.0]
     assert [x != x for x in got10] == [x != x for x in want10]
+
+
+def test_between_inclusive_modes(bl):
+    """between accepts the pandas 2.x 'both'/'neither'/'left'/'right'
+    strings plus legacy booleans."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    vals = [1., 2., 3., 4.]
+    s = bl.Series(np.array(vals), name="v")
+    p = pd.Series(vals)
+    for inc in ("both", "neither", "left", "right"):
+        assert s.between(2, 3, inclusive=inc).to_pandas().tolist() == \
+            p.between(2, 3, inclusive=inc).tolist(), inc
+    assert s.between(2, 3, inclusive=True).to_pandas().tolist() == \
+        p.between(2, 3, inclusive="both").tolist()
+    with pytest.raises(ValueError, match="inclusive"):
+        s.between(2, 3, inclusive="mid")
