@@ -47,6 +47,16 @@ class DataFrameGroupBy:
         return [c for c in self._df._data_cols
                 if c not in self._by and _is_numeric(sch[c])]
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """Per-group trailing windows (pandas
+        ``df.groupby(k)['v'].rolling(w).mean()`` idiom):
+        ``.sum/mean/count/min/max/var/std``. Every group's frame is a
+        partitionBy window — state stays local per group at any
+        scale, and ALL value columns share one Window node. Unlike
+        the global :meth:`Series.rolling`, min/max work here (the
+        frame is bounded per group, nothing decomposes globally)."""
+        return _GroupRolling(self, window, min_periods)
+
     def _aggregate(self, names: list | str):
         from .frame import DataFrame
         single = isinstance(names, str)
@@ -365,3 +375,72 @@ class DataFrameGroupBy:
             data = [e for e in out.columns if e not in self._by]
             return DataFrame._make(out, list(self._by), data, None)
         return self._aggregate(aggregations)
+
+
+class _GroupRolling:
+    """Per-group trailing-window aggregations (see
+    :meth:`DataFrameGroupBy.rolling`). Returns the original frame
+    with value columns replaced by their rolled statistics, aligned
+    row-for-row — join-free. pandas min_periods semantics: count()
+    gates on window fullness, the rest on non-null observations."""
+
+    def __init__(self, gb: DataFrameGroupBy, window: int,
+                 min_periods: int | None):
+        if window <= 0:
+            raise ValueError(f"window must be positive, got {window}")
+        self._gb = gb
+        self._window = window
+        self._mp = window if min_periods is None else min_periods
+
+    def _agg(self, name: str):
+        from pyspark.sql import Window
+
+        from ..plans.ordinal import ORD_COL
+        from .frame import DataFrame
+        from .ordering import order_exprs
+        gb = self._gb
+        sdf = gb._df._sdf
+        order = order_exprs(gb._df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        if not order:
+            raise ValueError(
+                "groupby rolling needs a defined row order; "
+                "sort_values/sort_index first")
+        w = (Window.partitionBy(*gb._by).orderBy(*order)
+             .rowsBetween(-(self._window - 1), 0))
+        cols = gb._value_cols()
+        exprs = {}
+        for c in cols:
+            v = F.col(c).cast("double")
+            if name == "count":
+                base = F.count(F.col(c)).over(w).cast("double")
+                gate = F.count(F.lit(1)).over(w)
+            elif name in ("var", "std"):
+                n = F.count(F.col(c)).over(w)
+                s = F.sum(v).over(w)
+                q = F.sum(v * v).over(w)
+                num = F.greatest(q - s * s / n, F.lit(0.0))
+                base = F.when(n > 1, num / (n - 1))
+                if name == "std":
+                    base = F.sqrt(base)
+                gate = n
+            else:
+                base = _AGG_FNS[name](v).over(w)
+                gate = F.count(F.col(c)).over(w)
+            mp = max(self._mp, 2) if name in ("var", "std") else self._mp
+            exprs[c] = (F.when(gate >= mp, base) if mp > 0
+                        else base).cast("double")
+        sel = [F.col(cc) for cc in sdf.columns if cc not in cols] + \
+            [exprs[c].alias(c) for c in cols]
+        out = sdf.select(*sel)
+        return DataFrame._make(out, gb._df._index_cols,
+                               gb._df._data_cols, gb._df._order)
+
+    def sum(self): return self._agg("sum")
+    def mean(self): return self._agg("mean")
+    def count(self): return self._agg("count")
+    def min(self): return self._agg("min")
+    def max(self): return self._agg("max")
+    def var(self): return self._agg("var")
+    def std(self): return self._agg("std")

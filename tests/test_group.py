@@ -285,3 +285,32 @@ def test_groupby_column_selection(bl):
     assert sorted(g2.columns.tolist()) == ["v", "w"]
     with pytest.raises(KeyError):
         df.groupby("k")["zz"]
+
+
+def test_groupby_rolling_matches_pandas(bl):
+    """groupby(k).rolling(w): per-group trailing windows, aligned
+    row-for-row with the input; pandas min_periods gating (count()
+    gates on window fullness, the rest on non-null observations)."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "b", "a", "b", "b", "a", "b", "a", "b"],
+        "v": [1.0, 2.0, np.nan, 4.0, 5.0, np.nan, 7.0, 8.0, 9.0, 10.0],
+        "u": [3.0, np.nan, 1.0, 2.0, np.nan, 6.0, 5.0, np.nan, 4.0, 0.5],
+    })
+    df = bl.DataFrame(pdf.to_dict("list"))
+    for w, mp in [(3, None), (3, 1), (2, 2)]:
+        for agg in ["sum", "mean", "count", "min", "max", "var", "std"]:
+            ours = getattr(df.groupby("g").rolling(w, min_periods=mp),
+                           agg)().to_pandas().reset_index(drop=True)
+            r = pdf.groupby("g")[["v", "u"]].rolling(w, min_periods=mp)
+            want = (getattr(r, agg)()
+                    .reset_index(level=0, drop=True).sort_index())
+            for c in ("v", "u"):
+                np.testing.assert_allclose(
+                    ours[c].fillna(-9e9).to_numpy(dtype=float),
+                    want[c].fillna(-9e9).to_numpy(dtype=float),
+                    rtol=1e-9, err_msg=f"w={w} mp={mp} {agg} {c}")
+    import pytest
+    with pytest.raises(ValueError):
+        df.groupby("g").rolling(0)
