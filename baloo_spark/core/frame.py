@@ -883,16 +883,30 @@ class DataFrame:
 
     def sample(self, fraction: float | None = None, seed: int = 42,
                with_replacement: bool = False, frac: float | None = None,
-               random_state: int | None = None) -> "DataFrame":
+               random_state: int | None = None,
+               n: int | None = None) -> "DataFrame":
         """Per-partition Bernoulli sample — no shuffle, no collect.
         ``frac``/``random_state`` are accepted as pandas-style aliases
-        of ``fraction``/``seed``."""
+        of ``fraction``/``seed``. ``n=`` draws an EXACT count like
+        pandas: rank by a seeded hash and keep the top n — a
+        distributed TakeOrdered (per-partition top-n then a merge of
+        n-row heads), never a full sort."""
         if frac is not None:
             fraction = frac
         if random_state is not None:
             seed = random_state
+        if n is not None:
+            if fraction is not None:
+                raise ValueError("pass n= or fraction=, not both")
+            out = (self._sdf
+                   .orderBy(F.xxhash64(F.lit(seed),
+                                       *[F.col(c) for c in
+                                         self._sdf.columns]).asc())
+                   .limit(n))
+            return DataFrame._make(out, self._index_cols,
+                                   self._data_cols, None)
         if fraction is None:
-            raise ValueError("pass fraction= (or pandas-style frac=)")
+            raise ValueError("pass fraction= (or pandas-style frac= / n=)")
         return self._replace_sdf(
             self._sdf.sample(with_replacement, fraction, seed), order=None)
 
@@ -1611,11 +1625,14 @@ class DataFrame:
         data = [c for c in joined.columns if c not in idx]
         return DataFrame._make(joined, idx, data, None)
 
-    def melt(self, id_vars, value_vars=None, var_name: str = "variable",
+    def melt(self, id_vars=None, value_vars=None,
+             var_name: str = "variable",
              value_name: str = "value") -> "DataFrame":
         """Wide-to-long reshape (pandas melt; the inverse of ``pivot``)
-        via Spark's native unpivot — a narrow map, no shuffle."""
-        id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        via Spark's native unpivot — a narrow map, no shuffle.
+        ``id_vars`` is optional like pandas (all columns melt)."""
+        id_vars = ([id_vars] if isinstance(id_vars, str)
+                   else list(id_vars or []))
         value_vars = ([value_vars] if isinstance(value_vars, str)
                       else list(value_vars or
                                 [c for c in self._data_cols

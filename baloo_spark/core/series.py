@@ -534,19 +534,35 @@ class Series:
     kurtosis = kurt
 
     def _pairwise(self, other: "Series", fn):
-        """Pairwise aggregate (corr/cov) of two columns of the SAME
-        parent frame — one JVM aggregate, no data movement. Cross-
-        frame pairs would need an index-alignment join first; require
-        the caller to do that explicitly (``df[['a']].join(...)``)."""
+        """Pairwise aggregate (corr/cov). Same-frame pairs are one
+        JVM aggregate, no data movement. Cross-frame pairs are
+        ALIGNED first (pandas flavor): an equi-join on shared index
+        columns when both sides carry one, else positionally on
+        fresh dense positions (default-RangeIndex semantics, the
+        same contract as ``DataFrame.__setitem__``) — then the same
+        single aggregate. Rows where either side is NULL are skipped
+        by the JVM corr/covar aggregate, matching pandas' pairwise
+        NaN handling."""
         if not isinstance(other, Series):
             raise TypeError(f"expected Series, got {type(other).__name__}")
-        if other._sdf is not self._sdf:
-            raise ValueError(
-                "corr/cov require Series from the same DataFrame; "
-                "align cross-frame Series with a join/setitem first")
-        row = self._sdf.agg(fn(self._colexpr.cast("double"),
-                               other._colexpr.cast("double"))
-                            .alias("v")).first()
+        if other._sdf is self._sdf:
+            sdf, a, b = self._sdf, self._colexpr, other._colexpr
+        else:
+            on = [c for c in self._index_cols if c in other._index_cols]
+            if on:
+                left, la = self._select("__pa__")
+                right, rb = other._select("__pb__")
+                right = right.select(*on, rb).dropDuplicates(on)
+                sdf = left.select(*on, la).join(right, on, "inner")
+            else:
+                from ..plans.ordinal import POS_COL
+                lo, la = self._ordered_sdf("__pa__")
+                ro, rb = other._ordered_sdf("__pb__")
+                sdf = lo.select(POS_COL, la).join(
+                    ro.select(POS_COL, rb), POS_COL, "inner")
+            a, b = F.col("__pa__"), F.col("__pb__")
+        row = sdf.agg(fn(a.cast("double"), b.cast("double"))
+                      .alias("v")).first()
         return row["v"]
 
     def corr(self, other: "Series"):
@@ -573,6 +589,38 @@ class Series:
         out = sdf.orderBy(*[order_expr(c, ascending) for c in idx])
         return Series._make(out, F.col(alias), self._index_cols, self.name,
                             [(c, ascending) for c in idx])
+
+    def replace(self, to_replace, value=None) -> "Series":
+        """pandas ``Series.replace``: scalar→scalar, ``{old: new}``
+        dict, and list→scalar / list→list forms. A pure CASE
+        projection — zero shuffles, stays in codegen. NaN keys match
+        NULL (the sentinel codec equates them); replacements must fit
+        the column's Spark type (pandas' cross-dtype upcasting is
+        not replicated — mismatches raise at analysis)."""
+        if isinstance(to_replace, dict):
+            if value is not None:
+                raise TypeError(
+                    "dict to_replace does not take a value=")
+            pairs = list(to_replace.items())
+        elif isinstance(to_replace, (list, tuple)):
+            if isinstance(value, (list, tuple)):
+                if len(value) != len(to_replace):
+                    raise ValueError(
+                        f"{len(to_replace)} keys but {len(value)} values")
+                pairs = list(zip(to_replace, value))
+            else:
+                pairs = [(o, value) for o in to_replace]
+        else:
+            pairs = [(to_replace, value)]
+
+        def _k(v):  # NaN keys/values mean NULL under the codec
+            return None if isinstance(v, float) and v != v else v
+
+        expr = self._colexpr
+        for o, v in pairs:
+            expr = F.when(self._colexpr.eqNullSafe(F.lit(_k(o))),
+                          F.lit(_k(v))).otherwise(expr)
+        return self._with_col(expr, self.name)
 
     def map(self, mapping: dict, default=None) -> "Series":
         """Value substitution from a dict (pandas ``Series.map``:
@@ -734,21 +782,35 @@ class Series:
         row = sdf.orderBy(val, F.col(idx).asc()).select(idx).first()
         return None if row is None else row[0]
 
-    def shift(self, periods: int = 1) -> "Series":
+    def shift(self, periods: int = 1, fill_value=None) -> "Series":
         """Values moved by ``periods`` along the logical order, NULLs
-        at the edge (pandas flavor; engine extension).
+        (or ``fill_value``) at the edge (pandas flavor; engine
+        extension).
 
         Partition-safe at any scale: within-partition lag/lead plus a
         driver-side boundary carry of n_partitions x |periods| edge
         values (plans/ordinal.py:with_boundary_shift) — never a global
         single-partition window. Supply a meaningful sort
         (sort_values/sort_index) upstream; an unordered scan shifts in
-        the current layout order."""
+        the current layout order. ``fill_value`` fills only the
+        positions the shift introduced, never nulls that were already
+        in the data — a constant marker column rides the same
+        one-pass carry to tell the two apart."""
         sdf = self._sdf
         order = order_exprs(self._order or [], sdf.columns)
-        from ..plans.ordinal import with_boundary_shift
-        out = with_boundary_shift(sdf, self._colexpr, periods,
-                                  order_by=order or None)
+        if fill_value is None:
+            from ..plans.ordinal import with_boundary_shift
+            out = with_boundary_shift(sdf, self._colexpr, periods,
+                                      order_by=order or None)
+        else:
+            from ..plans.ordinal import with_boundary_shifts
+            out = with_boundary_shifts(
+                sdf, {"__shift__": self._colexpr, "__smk__": F.lit(1)},
+                periods, order_by=order or None)
+            out = out.withColumn(
+                "__shift__",
+                F.when(F.col("__smk__").isNull(), F.lit(fill_value))
+                .otherwise(F.col("__shift__"))).drop("__smk__")
         return Series._make(out, F.col("__shift__"), self._index_cols,
                             self.name, self._order)
 
@@ -903,26 +965,77 @@ class Series:
                             self.name, self._order)
 
     def quantile(self, q, approx: bool = False,
-                 accuracy: int = 10000) -> "Series":
-        """Quantiles (engine extension). Default is EXACT interpolated
-        (ANSI percentile_cont / DuckDB quantile_cont) — correct
-        locally, but the exact aggregate buffers the value multiset
-        per partition, so at 100 TB use ``approx=True``: Spark's
+                 accuracy: int = 10000,
+                 interpolation: str = "linear"):
+        """Quantiles (engine extension). A scalar ``q`` returns a
+        Python float (pandas flavor); a list returns a Series indexed
+        by quantile. Default is EXACT linear-interpolated (ANSI
+        percentile_cont / DuckDB quantile_cont) — correct locally,
+        but the exact aggregate buffers the value multiset per
+        partition, so at 100 TB use ``approx=True``: Spark's
         Greenwald-Khanna sketch (percentile_approx) — mergeable,
         bounded memory (~``accuracy`` entries), rank error <=
-        1/accuracy, returns an actual data element (discrete, not
-        interpolated)."""
-        qs = [q] if isinstance(q, (int, float)) else list(q)
-        # ONE aggregate with an array of percentages: per-p percentile
-        # expressions would each buffer/sketch every row independently
-        qarr = F.expr(
-            "array(" + ",".join(f"{float(p)!r}D" for p in qs) + ")")
+        1/accuracy, returns an actual data element (discrete;
+        ``interpolation`` is ignored on that face). Non-linear exact
+        interpolations (lower/higher/nearest/midpoint) resolve exact
+        ranks driver-side from one COUNT, then fetch the rank values
+        with percentile_disc — still a value-buffering exact
+        aggregate; prefer ``approx=True`` at scale."""
+        scalar = isinstance(q, (int, float))
+        qs = [q] if scalar else list(q)
         d = self._colexpr.cast("double")
-        agg = (F.percentile_approx(d, qarr, F.lit(accuracy)) if approx
-               else F.percentile(d, qarr))
-        row_df = self._sdf.agg(agg.alias("__qs__")).select(*[
-            F.element_at(F.col("__qs__"), F.lit(i + 1)).alias(f"q{p}")
-            for i, p in enumerate(qs)])
+        if approx or interpolation == "linear":
+            # ONE aggregate with an array of percentages: per-p
+            # percentile expressions would each buffer/sketch every
+            # row independently
+            qarr = F.expr(
+                "array(" + ",".join(f"{float(p)!r}D" for p in qs) + ")")
+            agg = (F.percentile_approx(d, qarr, F.lit(accuracy))
+                   if approx else F.percentile(d, qarr))
+            row_df = self._sdf.agg(agg.alias("__qs__")).select(*[
+                F.element_at(F.col("__qs__"), F.lit(i + 1)).alias(f"q{p}")
+                for i, p in enumerate(qs)])
+        else:
+            if interpolation not in ("lower", "higher", "nearest",
+                                     "midpoint"):
+                raise ValueError(
+                    f"unknown interpolation {interpolation!r}")
+            import math
+            n = self._sdf.agg(F.count(d).alias("n")).first()["n"]
+            spark = self._sdf.sparkSession
+            if n == 0:
+                vals = [None] * len(qs)
+            else:
+                # pandas' np.percentile roundtrip (see qcut)
+                hs = [(n - 1) * ((float(p) * 100) / 100) for p in qs]
+                needed = sorted({k for h in hs
+                                 for k in (math.floor(h), math.ceil(h))})
+                tmp = self._sdf.select(d.alias("__pd_v__"))
+                # (k+0.5)/n targets 1-indexed rank k+1 robustly:
+                # percentile_disc picks the first value with cum
+                # fraction >= p, immune to float-rank drift
+                row = tmp.agg(*[
+                    F.expr(f"percentile_disc({(k + 0.5) / n!r}D) "
+                           "WITHIN GROUP (ORDER BY __pd_v__)")
+                    .alias(f"r{k}") for k in needed]).first()
+                at = {k: row[f"r{k}"] for k in needed}
+                vals = []
+                for h in hs:
+                    a, b = at[math.floor(h)], at[math.ceil(h)]
+                    if interpolation == "lower":
+                        vals.append(a)
+                    elif interpolation == "higher":
+                        vals.append(b)
+                    elif interpolation == "midpoint":
+                        vals.append(None if a is None else (a + b) / 2)
+                    else:  # nearest: numpy half-to-even on the rank
+                        vals.append(at[round(h)])
+            row_df = spark.range(1).select(*[
+                F.lit(v).cast("double").alias(f"q{p}")
+                for p, v in zip(qs, vals)])
+        if scalar:
+            v = row_df.first()[f"q{qs[0]}"]
+            return float("nan") if v is None else float(v)
         pairs = ", ".join(f"'{p}', `q{p}`" for p in qs)
         out = row_df.select(F.expr(
             f"stack({len(qs)}, {pairs}) as (`{_IDX}`, `__q__`)"))
@@ -935,59 +1048,151 @@ class Series:
               F.percentile(self._colexpr.cast("double"), F.lit(0.5)))
         return self._sdf.agg(fn.alias("m")).first()["m"]
 
-    def cut(self, bins: list, labels: list | None = None,
-            right: bool = True) -> "Series":
+    def cut(self, bins, labels=None, right: bool = True) -> "Series":
         """Bin values into explicit intervals (pandas ``pd.cut``:
         half-open ``(a, b]`` by default, ``[a, b)`` with
-        ``right=False``; out-of-range ⇒ NULL). Labels default to the
-        interval notation. A pure CASE expression — no shuffle, and
-        ANSI-replayable bit-for-bit."""
+        ``right=False``; out-of-range ⇒ NULL). ``bins`` may be an int
+        (pandas equal-width binning from min/max, with the 0.1%-range
+        outer-edge padding so extrema land inside) — that face runs
+        ONE tiny min/max aggregate first. ``labels=False`` emits
+        integer bin codes. Binning itself is a pure CASE expression —
+        no shuffle, ANSI-replayable bit-for-bit."""
+        if isinstance(bins, int):
+            if bins < 1:
+                raise ValueError(f"bins must be >= 1, got {bins}")
+            d = self._colexpr.cast("double")
+            row = self._sdf.agg(F.min(d).alias("mn"),
+                                F.max(d).alias("mx")).first()
+            mn, mx = row["mn"], row["mx"]
+            if mn is None:
+                return self._with_col(
+                    F.lit(None).cast("double" if labels is False
+                                     else "string"), self.name)
+            mn, mx = float(mn), float(mx)
+            if mn == mx:  # pandas: widen a degenerate range by 0.1%
+                mn -= 0.001 * abs(mn) if mn != 0 else 0.001
+                mx += 0.001 * abs(mx) if mx != 0 else 0.001
+            step = (mx - mn) / bins
+            edges = [mn + i * step for i in range(bins)] + [mx]
+            adj = (mx - mn) * 0.001
+            if right:
+                edges[0] -= adj
+            else:
+                edges[-1] += adj
+            bins = edges
         if len(bins) < 2:
             raise ValueError("need at least 2 bin edges")
-        if labels is not None and len(labels) != len(bins) - 1:
+        if labels not in (None, False) and len(labels) != len(bins) - 1:
             raise ValueError(f"expected {len(bins) - 1} labels, got "
                              f"{len(labels)}")
         c = self._colexpr.cast("double")
-        expr = F.lit(None).cast("string")
+        codes = labels is False
+        expr = F.lit(None).cast("double" if codes else "string")
         for i in range(len(bins) - 1):
             lo, hi = float(bins[i]), float(bins[i + 1])
             if right:
                 cond = (c > lo) & (c <= hi)
-                lab = labels[i] if labels else f"({lo}, {hi}]"
+                dflt = f"({lo}, {hi}]"
             else:
                 cond = (c >= lo) & (c < hi)
-                lab = labels[i] if labels else f"[{lo}, {hi})"
-            expr = F.when(cond, F.lit(lab)).otherwise(expr)
+                dflt = f"[{lo}, {hi})"
+            lab = (F.lit(float(i)) if codes
+                   else F.lit(labels[i] if labels else dflt))
+            expr = F.when(cond, lab).otherwise(expr)
         return self._with_col(expr, self.name)
 
-    def qcut(self, q: int, labels: list | None = None,
-             approx: bool = False, accuracy: int = 10000) -> "Series":
+    def qcut(self, q, labels=None, approx: bool = False,
+             accuracy: int = 10000,
+             duplicates: str = "raise") -> "Series":
         """Quantile-based binning (pandas ``pd.qcut``): ``q``
-        equal-frequency bins. One tiny percentile aggregate fetches
-        all q+1 edges in a single array call (one value buffer, not
-        one per edge), then binning is the same narrow CASE as
-        :meth:`cut` with the first bin closed on the left. Edges are
-        exact interpolated by default; ``approx=True`` swaps in the
-        Greenwald-Khanna sketch (percentile_approx) — the 100 TB
-        path, since exact percentiles buffer the value multiset."""
-        if q < 1:
-            raise ValueError(f"q must be >= 1, got {q}")
-        ps = [i / q for i in range(q + 1)]
-        qarr = F.expr(
-            "array(" + ",".join(f"{float(p)!r}D" for p in ps) + ")")
+        equal-frequency bins, or an explicit list of quantiles
+        (``[0, .5, 1]``). One tiny percentile aggregate fetches all
+        edges in a single array call (one value buffer, not one per
+        edge), then binning is the same narrow CASE as :meth:`cut`
+        with the first bin closed on the left. ``labels=False`` emits
+        integer bin codes; ``duplicates='drop'`` collapses repeated
+        edges like pandas. Edges are exact interpolated by default;
+        ``approx=True`` swaps in the Greenwald-Khanna sketch
+        (percentile_approx) — the 100 TB path, since exact
+        percentiles buffer the value multiset."""
+        if isinstance(q, int):
+            if q < 1:
+                raise ValueError(f"q must be >= 1, got {q}")
+            ps = [i / q for i in range(q + 1)]
+        else:
+            ps = [float(p) for p in q]
+            if len(ps) < 2 or sorted(ps) != ps \
+                    or ps[0] < 0 or ps[-1] > 1:
+                raise ValueError(
+                    "quantile list must be increasing within [0, 1]")
         d = self._colexpr.cast("double")
-        agg = (F.percentile_approx(d, qarr, F.lit(accuracy)) if approx
-               else F.percentile(d, qarr))
-        row = self._sdf.agg(agg.alias("__e__")).first()
-        edges = list(row["__e__"])
+        if approx:
+            qarr = F.expr(
+                "array(" + ",".join(f"{float(p)!r}D" for p in ps) + ")")
+            row = self._sdf.agg(F.percentile_approx(
+                d, qarr, F.lit(accuracy)).alias("__e__")).first()
+            edges = list(row["__e__"])
+        else:
+            # pandas qcut bins exactly where numpy.quantile's lerp
+            # puts the edges — Spark's percentile_cont formula differs
+            # in the last ulp (a+(b-a)*t vs lowerVal*(hi-pos)+
+            # higherVal*(pos-lo)), which flips edge-valued rows
+            # between bins. Resolve exact ranks driver-side from one
+            # COUNT, fetch the rank values with percentile_disc
+            # ((k+0.5)/n targets 1-indexed rank k+1 robustly), and
+            # replay numpy's branchy lerp bit-for-bit. Two tiny jobs;
+            # both are mergeable aggregates (percentile_disc buffers
+            # the multiset like any exact percentile — approx=True is
+            # the 100 TB path either way).
+            import math
+            n = self._sdf.agg(F.count(d).alias("n")).first()["n"]
+            if n == 0:
+                edges = [None]
+            else:
+                # pandas routes quantiles through np.percentile:
+                # the q*100 -> /100 roundtrip perturbs p by an ulp,
+                # moving the virtual index — replay it for parity
+                hs = [(n - 1) * ((float(p) * 100) / 100) for p in ps]
+                needed = sorted({k for h in hs
+                                 for k in (math.floor(h), math.ceil(h))})
+                tmp = self._sdf.select(d.alias("__pd_v__"))
+                row = tmp.agg(*[
+                    F.expr(f"percentile_disc({(k + 0.5) / n!r}D) "
+                           "WITHIN GROUP (ORDER BY __pd_v__)")
+                    .alias(f"r{k}") for k in needed]).first()
+                at = {k: row[f"r{k}"] for k in needed}
+                edges = []
+                for h in hs:
+                    a, b = at[math.floor(h)], at[math.ceil(h)]
+                    t = h - math.floor(h)
+                    edges.append((b - (b - a) * (1 - t)) if t >= 0.5
+                                 else (a + (b - a) * t))
+        if edges and edges[0] is None:  # empty/all-null input
+            return self._with_col(
+                F.lit(None).cast("double" if labels is False
+                                 else "string"), self.name)
+        if len(set(edges)) != len(edges):
+            if duplicates == "drop":
+                edges = sorted(set(edges))
+            else:
+                raise ValueError(
+                    "Bin edges must be unique; pass duplicates='drop'")
+        if len(edges) < 2:
+            raise ValueError("qcut produced a single bin edge; "
+                             "the input is constant")
+        nb = len(edges) - 1
+        if labels not in (None, False) and len(labels) != nb:
+            raise ValueError(f"expected {nb} labels, got {len(labels)}")
         c = self._colexpr.cast("double")
-        expr = F.lit(None).cast("string")
-        for i in range(q):
+        codes = labels is False
+        expr = F.lit(None).cast("double" if codes else "string")
+        for i in range(nb):
             lo, hi = edges[i], edges[i + 1]
             cond = ((c >= lo) if i == 0 else (c > lo)) & (c <= hi)
-            lab = (labels[i] if labels
-                   else (f"[{lo}, {hi}]" if i == 0 else f"({lo}, {hi}]"))
-            expr = F.when(cond, F.lit(lab)).otherwise(expr)
+            lab = (F.lit(float(i)) if codes else F.lit(
+                labels[i] if labels
+                else (f"[{lo}, {hi}]" if i == 0 else f"({lo}, {hi}]")))
+            expr = F.when(cond, lab).otherwise(expr)
         return self._with_col(expr, self.name)
 
     def approx_quantile(self, q, relative_error: float = 0.001) -> list:

@@ -350,12 +350,20 @@ def test_series_corr_cov_match_pandas(bl):
     assert abs(df["a"].cov(df["b"]) - pdf["a"].cov(pdf["b"])) < 1e-9
 
 
-def test_series_corr_rejects_cross_frame(bl):
-    import pytest
-    a = bl.DataFrame({"x": [1.0, 2.0]})
-    b = bl.DataFrame({"x": [1.0, 2.0]})
-    with pytest.raises(ValueError, match="same DataFrame"):
-        a["x"].corr(b["x"])
+def test_series_corr_cross_frame_aligns(bl):
+    """Cross-frame corr/cov align positionally (default-RangeIndex
+    semantics, same contract as __setitem__) and skip pairwise NaN
+    like pandas."""
+    import numpy as np
+    import pandas as pd
+    x = [1., 2., np.nan, 4., 5.]
+    y = [2., np.nan, 6., 8., 11.]
+    a = bl.DataFrame({"x": np.array(x)})
+    b = bl.DataFrame({"y": np.array(y)})
+    got_c = a["x"].corr(b["y"])
+    got_v = a["x"].cov(b["y"])
+    assert abs(got_c - pd.Series(x).corr(pd.Series(y))) < 1e-12
+    assert abs(got_v - pd.Series(x).cov(pd.Series(y))) < 1e-12
 
 
 def test_frame_corr_matrix_matches_pandas(bl):
@@ -440,13 +448,12 @@ def test_quantile_approx_bounded_error(bl):
     ps = [0.25, 0.5, 0.75, 0.9]
     ap = s.quantile(ps, approx=True).to_pandas()
     for p in ps:
-        lo = float(s.quantile(max(p - 0.01, 0.0)).to_pandas().iloc[0])
-        hi = float(s.quantile(min(p + 0.01, 1.0)).to_pandas().iloc[0])
+        lo = s.quantile(max(p - 0.01, 0.0))
+        hi = s.quantile(min(p + 0.01, 1.0))
         assert lo <= float(ap[str(p)]) <= hi, p
     # approx median is a real data element within the envelope
     m = s.median(approx=True)
-    assert float(s.quantile(0.49).to_pandas().iloc[0]) <= m \
-        <= float(s.quantile(0.51).to_pandas().iloc[0])
+    assert s.quantile(0.49) <= m <= s.quantile(0.51)
 
 
 def test_describe_approx_envelope(bl):
@@ -810,3 +817,22 @@ def test_frame_skew_kurt_rows(bl):
         want = getattr(pdf, op)(numeric_only=True)
         for c in ("a", "b"):
             assert abs(got[c] - want[c]) < 1e-9, (op, c)
+
+
+def test_melt_optional_id_vars(bl):
+    import numpy as np
+    d = {"x": np.array([1., 2.]), "y": np.array([3., 4.])}
+    got = bl.DataFrame(d).melt().to_pandas()
+    assert sorted(map(tuple, got[["variable", "value"]].to_numpy())) == \
+        [("x", 1.), ("x", 2.), ("y", 3.), ("y", 4.)]
+
+
+def test_sample_exact_n(bl):
+    """sample(n=): exact count via seeded-hash TakeOrdered —
+    deterministic for a fixed seed, never a full sort."""
+    import numpy as np
+    df = bl.DataFrame({"a": np.arange(100, dtype=np.float64)})
+    s1 = df.sample(n=10, seed=3).to_pandas()
+    s2 = df.sample(n=10, seed=3).to_pandas()
+    assert len(s1) == 10 and sorted(s1["a"]) == sorted(s2["a"])
+    assert len(set(s1["a"])) == 10

@@ -484,3 +484,96 @@ def test_between_inclusive_modes(bl):
         p.between(2, 3, inclusive="both").tolist()
     with pytest.raises(ValueError, match="inclusive"):
         s.between(2, 3, inclusive="mid")
+
+
+def test_cut_int_bins_and_codes(bl):
+    """pandas pd.cut parity: int bins (equal-width with the 0.1%
+    outer-edge padding) and labels=False integer codes."""
+    import numpy as np
+    import pandas as pd
+    vals = [3., 1., np.nan, 2., 5., 2., 8., 7.]
+    s = bl.DataFrame({"v": np.array(vals)})["v"]
+    p = pd.Series(vals)
+    for kw in ({"bins": 3}, {"bins": [0, 2, 4, 9]},
+               {"bins": [1, 3, 5, 9], "right": False}):
+        got = s.cut(labels=False, **kw).to_pandas()
+        want = pd.cut(p, labels=False, **kw)
+        np.testing.assert_allclose(got.fillna(-1).to_numpy(dtype=float),
+                                   pd.Series(want).fillna(-1)
+                                   .to_numpy(dtype=float), err_msg=str(kw))
+
+
+def test_qcut_codes_list_q_duplicates(bl):
+    """pandas pd.qcut parity: labels=False codes (bit-exact edge
+    placement via the np.percentile roundtrip), list-of-quantiles,
+    duplicates='drop'."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    vals = [3., 1., np.nan, 2., 5., 2., 8., 7.]
+    s = bl.DataFrame({"v": np.array(vals)})["v"]
+    p = pd.Series(vals)
+    got = s.qcut(3, labels=False).to_pandas()
+    want = pd.qcut(p, 3, labels=False)
+    np.testing.assert_allclose(got.fillna(-1).to_numpy(dtype=float),
+                               want.fillna(-1).to_numpy(dtype=float))
+    got = s.qcut([0, .5, 1], labels=False).to_pandas()
+    want = pd.qcut(p, [0, .5, 1], labels=False)
+    np.testing.assert_allclose(got.fillna(-1).to_numpy(dtype=float),
+                               want.fillna(-1).to_numpy(dtype=float))
+    dup = [1., 1., 1., 1., 2.]
+    sd = bl.DataFrame({"v": np.array(dup)})["v"]
+    with pytest.raises(ValueError, match="unique"):
+        sd.qcut(4, labels=False)
+    got = sd.qcut(4, labels=False, duplicates="drop").to_pandas()
+    want = pd.qcut(pd.Series(dup), 4, labels=False, duplicates="drop")
+    np.testing.assert_allclose(got.to_numpy(dtype=float),
+                               want.to_numpy(dtype=float))
+
+
+def test_quantile_interpolation_and_scalar(bl):
+    """Series.quantile: scalar q returns a float (pandas flavor);
+    lower/higher/nearest/midpoint pick exact rank values via
+    percentile_disc, matching pandas bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    vals = [3., 1., np.nan, 2., 5., 2., 8., 7.]
+    s = bl.DataFrame({"v": np.array(vals)})["v"]
+    p = pd.Series(vals)
+    for interp in ("linear", "lower", "higher", "nearest", "midpoint"):
+        for q in (0.0, 0.3, 0.5, 0.77, 1.0):
+            got = s.quantile(q, interpolation=interp)
+            want = p.quantile(q, interpolation=interp)
+            assert isinstance(got, float)
+            assert abs(got - want) < 1e-9, (interp, q, got, want)
+
+
+def test_series_replace_forms(bl):
+    import numpy as np
+    import pandas as pd
+    vals = [3., 1., np.nan, 2., 5., 2.]
+    s = bl.DataFrame({"v": np.array(vals)})["v"]
+    p = pd.Series(vals)
+    for args in ((2., -1.), ({2.: -1., 5.: -5.},), ([1., 3.], 0.),
+                 ([1., 3.], [10., 30.])):
+        got = s.replace(*args).to_pandas()
+        want = p.replace(*args)
+        np.testing.assert_allclose(got.fillna(-9).to_numpy(dtype=float),
+                                   want.fillna(-9).to_numpy(dtype=float),
+                                   err_msg=str(args))
+    ss = ["aa", "bb", None, "aa"]
+    sb = bl.DataFrame({"v": np.array(ss, dtype=object)})["v"]
+    assert sb.replace("aa", "zz").to_pandas().tolist() == \
+        ["zz", "bb", None, "zz"]
+
+
+def test_shift_fill_value(bl):
+    """fill_value fills only shift-introduced edge positions, never
+    nulls already present in the data."""
+    import numpy as np
+    vals = [3., np.nan, 2., 5.]
+    s = bl.DataFrame({"v": np.array(vals)})["v"]
+    assert s.shift(2, fill_value=0.).to_pandas().fillna(-9).tolist() == \
+        [0., 0., 3., -9.]
+    assert s.shift(-1, fill_value=7.).to_pandas().fillna(-9).tolist() == \
+        [-9., 2., 5., 7.]
