@@ -166,7 +166,8 @@ class DataFrame:
                 name = getattr(index, "name", None) or _IDX
                 pdf[name] = idx_arr
                 index_cols = [name]
-        sdf = spark.createDataFrame(pdf)
+        from .utils import spark_df_from_pandas
+        sdf = spark_df_from_pandas(spark, pdf)
         sdf = with_dense_ordinal(sdf)
         self._sdf = sdf
         self._index_cols = index_cols or [ORD_COL]
@@ -461,6 +462,214 @@ class DataFrame:
     def __mod__(self, o):
         from .series import Series
         return self._elementwise(o, lambda a, b: Series._py_mod(a, b))
+
+    # --------------------------------------------- elementwise parity ops
+
+    def _unary_numeric(self, op) -> "DataFrame":
+        """Shared face for abs/clip/cum*: numeric columns transformed
+        in one projection; string columns dropped (the frame-
+        arithmetic convention, reference frame.py:1309-1323)."""
+        num = self._numeric_cols()
+        sdf = self._sdf
+        for c in num:
+            sdf = sdf.withColumn(c, op(F.col(c)))
+        return self._replace_sdf(sdf, data_cols=num)
+
+    def abs(self) -> "DataFrame":
+        """Elementwise absolute value (pandas ``DataFrame.abs``)."""
+        return self._unary_numeric(F.abs)
+
+    def round(self, decimals: int = 0) -> "DataFrame":
+        """Round numeric columns half-to-even (banker's — F.bround,
+        the pandas/NumPy tie behavior); non-numeric columns pass
+        through unchanged, exactly like pandas."""
+        sdf = self._sdf
+        for c in self._numeric_cols():
+            sdf = sdf.withColumn(c, F.bround(F.col(c), decimals))
+        return self._replace_sdf(sdf)
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        """Bound numeric columns to [lower, upper]; NULL stays NULL
+        (null-gated like ``Series.clip`` — Spark's greatest/least
+        skip nulls, which would clamp missing values)."""
+        def op(col):
+            out = col
+            if lower is not None:
+                out = F.greatest(out, F.lit(lower))
+            if upper is not None:
+                out = F.least(out, F.lit(upper))
+            return F.when(col.isNull(), F.lit(None)).otherwise(out)
+        return self._unary_numeric(op)
+
+    def isin(self, values) -> "DataFrame":
+        """Per-column membership (pandas ``DataFrame.isin``) — a
+        boolean frame in one projection, SQL IN per column. Columns
+        whose type can't hold any of the values are all-False like
+        pandas; NULL input stays NULL (the engine's documented codec
+        divergence — NaN==NULL, pandas says False)."""
+        from pyspark.sql import types as T
+        vals = [v for v in values if v is not None]
+
+        def compat(dt, v):
+            if isinstance(v, bool):
+                return isinstance(dt, T.BooleanType)
+            if isinstance(v, (int, float)):
+                return isinstance(dt, T.NumericType)
+            if isinstance(v, str):
+                return isinstance(dt, T.StringType)
+            return False
+
+        sch = {f.name: f.dataType for f in self._sdf.schema.fields}
+        sdf = self._sdf
+        for c in self._data_cols:
+            cv = [v for v in vals if compat(sch[c], v)]
+            expr = (F.col(c).isin(*cv) if cv else
+                    F.when(F.col(c).isNull(), F.lit(None))
+                    .otherwise(F.lit(False)))
+            sdf = sdf.withColumn(c, expr)
+        return self._replace_sdf(sdf)
+
+    def where(self, cond, other=None) -> "DataFrame":
+        """Keep cells on rows where ``cond`` holds; elsewhere replace
+        with ``other`` (NULL default) — pandas ``DataFrame.where``
+        with a boolean-Series row mask. The mask must come from this
+        frame's lineage (same contract as mask filtering); a pure
+        per-column CASE projection, no shuffle."""
+        from .series import Series
+        if not isinstance(cond, Series):
+            raise TypeError("cond must be a boolean Series")
+        if cond._sdf is not self._sdf \
+                and id(cond._sdf) not in self._lineage:
+            raise ValueError(
+                "where/mask cond must derive from this frame")
+        g = cond._colexpr
+        sdf = self._sdf
+        # ONE select, not sequential withColumn: the gate references
+        # source columns, so rewriting them one at a time would feed
+        # later columns an already-masked gate input
+        data = set(self._data_cols)
+        sdf = sdf.select(*[
+            (F.when(g, F.col(c)).otherwise(F.lit(other)).alias(c)
+             if c in data else F.col(c)) for c in sdf.columns])
+        return self._replace_sdf(sdf)
+
+    def mask(self, cond, other=None) -> "DataFrame":
+        """Inverse of :meth:`where`: replace cells on rows where
+        ``cond`` holds (pandas ``DataFrame.mask``). Not expressible
+        as ``where(~cond)`` — pandas treats a missing cond as False
+        on BOTH faces (keep here, replace there), while ``~NULL``
+        stays NULL — so the gate is applied directly."""
+        from .series import Series
+        if not isinstance(cond, Series):
+            raise TypeError("cond must be a boolean Series")
+        if cond._sdf is not self._sdf \
+                and id(cond._sdf) not in self._lineage:
+            raise ValueError(
+                "where/mask cond must derive from this frame")
+        g = cond._colexpr
+        data = set(self._data_cols)
+        sdf = self._sdf.select(*[
+            (F.when(g, F.lit(other)).otherwise(F.col(c)).alias(c)
+             if c in data else F.col(c)) for c in self._sdf.columns])
+        return self._replace_sdf(sdf)
+
+    def diff(self, periods: int = 1) -> "DataFrame":
+        """Numeric columns minus their value ``periods`` rows back —
+        every column rides ONE shared boundary-carry pass (same
+        machinery as :meth:`shift`, never a global window); string
+        columns dropped."""
+        return self._shift_combine(
+            periods,
+            lambda cur, prev: cur.cast("double") - prev.cast("double"))
+
+    def pct_change(self, periods: int = 1) -> "DataFrame":
+        """Fractional change vs ``periods`` rows back (x/x_prev - 1),
+        one shared boundary-carry pass across all numeric columns."""
+        return self._shift_combine(
+            periods,
+            lambda cur, prev: cur.cast("double")
+            / prev.cast("double") - 1)
+
+    def _shift_combine(self, periods: int, combine) -> "DataFrame":
+        from ..plans.ordinal import with_boundary_shifts
+        num = self._numeric_cols()
+        sdf = self._sdf
+        order = order_exprs(self._order or [], sdf.columns)
+        out = with_boundary_shifts(
+            sdf, {f"__sh_{c}__": F.col(c) for c in num}, periods,
+            order_by=order or None)
+        for c in num:
+            out = out.withColumn(
+                c, combine(F.col(c), F.col(f"__sh_{c}__"))) \
+                .drop(f"__sh_{c}__")
+        return DataFrame._make(out, self._index_cols, num, self._order)
+
+    def _cumulative(self, kind: str) -> "DataFrame":
+        """All numeric columns in ONE prefix-scan pass (shared
+        layout, donor collect, and carry merge — never one pass per
+        column, never a global window); per-column pandas NaN gating
+        (missing positions stay missing, the accumulator skips
+        them)."""
+        from ..plans.ordinal import with_prefix_aggs
+        num = self._numeric_cols()
+        order = order_exprs(self._order or [], self._sdf.columns)
+        specs = {f"__cum_{c}__":
+                 ((F.col(c).cast("double") if kind in ("sum", "prod")
+                   else F.col(c)), kind) for c in num}
+        out = with_prefix_aggs(self._sdf, specs, order or None)
+        for c in num:
+            out = out.withColumn(
+                c, F.when(F.col(c).isNull(), F.lit(None))
+                .otherwise(F.col(f"__cum_{c}__"))) \
+                .drop(f"__cum_{c}__")
+        return DataFrame._make(out, self._index_cols, num, self._order)
+
+    def cumsum(self) -> "DataFrame":
+        """Cumulative sum of every numeric column — one shared
+        prefix-scan pass (pandas ``DataFrame.cumsum``)."""
+        return self._cumulative("sum")
+
+    def cumprod(self) -> "DataFrame":
+        return self._cumulative("prod")
+
+    def cummin(self) -> "DataFrame":
+        return self._cumulative("min")
+
+    def cummax(self) -> "DataFrame":
+        return self._cumulative("max")
+
+    def _truthy(self, c):
+        from pyspark.sql import types as T
+        dt = dict((f.name, f.dataType)
+                  for f in self._sdf.schema.fields)[c]
+        col = F.col(c)
+        return (F.length(col) > 0 if isinstance(dt, T.StringType)
+                else col.cast("boolean"))
+
+    def any(self) -> Series:
+        """Per-column any (pandas skipna flavor: NULLs ignored,
+        empty/all-null ⇒ False) — ONE aggregate job for every
+        column, strings truthy when non-empty."""
+        cols = self._data_cols
+        row_df = self._sdf.agg(*[
+            F.coalesce(F.max(self._truthy(c)), F.lit(False)).alias(c)
+            for c in cols])
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        out = row_df.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
+        return Series._make(out, F.col("__agg__"), [_IDX], "any", None)
+
+    def all(self) -> Series:
+        """Per-column all (pandas skipna flavor: NULLs ignored,
+        empty/all-null ⇒ True)."""
+        cols = self._data_cols
+        row_df = self._sdf.agg(*[
+            F.coalesce(F.min(self._truthy(c)), F.lit(True)).alias(c)
+            for c in cols])
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        out = row_df.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
+        return Series._make(out, F.col("__agg__"), [_IDX], "all", None)
 
     # ------------------------------------------------------ positional ops
 

@@ -108,7 +108,8 @@ class Series:
         spark = get_session()
         if isinstance(data, Series):
             raise TypeError("Series(data=Series) not supported; use the value directly")
-        from .utils import (check_dtype, check_supported_dtype, check_type)
+        from .utils import (check_dtype, check_supported_dtype,
+                            check_type, spark_df_from_pandas)
         check_type(name, str)
         dtype = check_dtype(dtype)
         if isinstance(data, pd.Series):
@@ -127,7 +128,7 @@ class Series:
             idx_arr = np.asarray(getattr(index, "values", index))
             pdf[_IDX] = idx_arr
             index_cols = [_IDX]
-        sdf = spark.createDataFrame(pdf)
+        sdf = spark_df_from_pandas(spark, pdf)
         sdf = with_dense_ordinal(sdf)
         self._sdf = sdf
         self._colexpr = F.col(_VAL)
@@ -660,6 +661,20 @@ class Series:
         (np.round(2.5) == 2, not 3); F.bround is the HALF_EVEN
         face."""
         return self._with_col(F.bround(self._colexpr, decimals))
+
+    def any(self) -> bool:
+        """True if any non-null value is truthy (pandas skipna
+        flavor; empty/all-null ⇒ False). One JVM aggregate."""
+        v = self._sdf.agg(F.max(self._colexpr.cast("boolean"))
+                          .alias("v")).first()["v"]
+        return False if v is None else bool(v)
+
+    def all(self) -> bool:
+        """True if every non-null value is truthy (pandas skipna
+        flavor; empty/all-null ⇒ True). One JVM aggregate."""
+        v = self._sdf.agg(F.min(self._colexpr.cast("boolean"))
+                          .alias("v")).first()["v"]
+        return True if v is None else bool(v)
 
     def clip(self, lower=None, upper=None) -> "Series":
         """Bound values to [lower, upper] (pandas ``Series.clip``).

@@ -61,3 +61,28 @@ def check_supported_dtype(dtype: np.dtype) -> np.dtype:
     if dtype.kind in _UNSUPPORTED_KINDS:
         raise TypeError("dtype {} is not supported".format(dtype))
     return dtype
+
+
+def spark_df_from_pandas(spark, pdf):
+    """createDataFrame that also accepts EMPTY pandas frames: Spark's
+    schema inference needs rows, so for zero rows the schema is
+    derived from the numpy dtypes instead (float->double/float,
+    int->long/int, bool, datetime64->timestamp, object->string)."""
+    if len(pdf):
+        return spark.createDataFrame(pdf)
+    from pyspark.sql import types as T
+
+    def _t(dt):
+        if dt.kind == "f":
+            return T.FloatType() if dt.itemsize <= 4 else T.DoubleType()
+        if dt.kind in "iu":
+            return T.IntegerType() if dt.itemsize <= 4 else T.LongType()
+        if dt.kind == "b":
+            return T.BooleanType()
+        if dt.kind == "M":
+            return T.TimestampType()
+        return T.StringType()
+
+    fields = [T.StructField(str(c), _t(pdf[c].to_numpy().dtype))
+              for c in pdf.columns]
+    return spark.createDataFrame([], T.StructType(fields))

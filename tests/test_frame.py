@@ -836,3 +836,80 @@ def test_sample_exact_n(bl):
     s2 = df.sample(n=10, seed=3).to_pandas()
     assert len(s1) == 10 and sorted(s1["a"]) == sorted(s2["a"])
     assert len(set(s1["a"])) == 10
+
+
+def test_frame_elementwise_parity_ops(bl):
+    """abs/round/clip/isin/diff/pct_change/cum* at frame level match
+    pandas column-for-column; cum*/diff run ONE shared pass for all
+    columns (prefix scan / boundary carry), never one per column."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "b", "c", "d"],
+                        "x": [1.0, -2.0, np.nan, 4.0],
+                        "y": [-3.5, 2.5, 0.0, np.nan]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    num = ["x", "y"]
+    cases = [
+        (lambda d: d.abs(), lambda p: p[num].abs()),
+        (lambda d: d.round(0), lambda p: p.round(0)),
+        (lambda d: d.clip(-1, 2), lambda p: p[num].clip(-1, 2)),
+        (lambda d: d.cumsum(), lambda p: p[num].cumsum()),
+        (lambda d: d.cumprod(), lambda p: p[num].cumprod()),
+        (lambda d: d.cummin(), lambda p: p[num].cummin()),
+        (lambda d: d.cummax(), lambda p: p[num].cummax()),
+        (lambda d: d.diff(), lambda p: p[num].diff()),
+        (lambda d: d.diff(-1), lambda p: p[num].diff(-1)),
+        (lambda d: d.pct_change(),
+         lambda p: p[num].pct_change(fill_method=None)),
+    ]
+    for i, (f_ours, f_pd) in enumerate(cases):
+        got = f_ours(df).to_pandas()
+        want = f_pd(pdf)
+        for c in num:
+            np.testing.assert_allclose(
+                got[c].fillna(-9e9).to_numpy(dtype=float),
+                want[c].fillna(-9e9).to_numpy(dtype=float),
+                rtol=1e-12, err_msg=f"case {i} col {c}")
+
+
+def test_frame_isin_where_mask_any_all(bl):
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "b", "c", "d"],
+                        "x": [1.0, -2.0, np.nan, 4.0],
+                        "y": [-3.5, 2.5, 0.0, np.nan]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    got = df.isin([1.0, 2.5, "a"]).to_pandas()
+    want = pdf.isin([1.0, 2.5, "a"])
+    assert got["k"].tolist() == want["k"].tolist()
+    for c in ("x", "y"):  # codec divergence: NULL stays NULL
+        for g, w, src in zip(got[c], want[c], pdf[c]):
+            assert (g is None or bool(g) == bool(w)) if pd.isna(src) \
+                else bool(g) == bool(w), (c, g, w)
+    m = df["x"] > 0
+    pm = pdf["x"] > 0
+    for c in ("x", "y"):
+        assert df.where(m, -1.0).to_pandas()[c].fillna(-9).tolist() == \
+            pdf[["x", "y"]].where(pm, -1.0)[c].fillna(-9).tolist()
+        assert df.mask(m, -1.0).to_pandas()[c].fillna(-9).tolist() == \
+            pdf[["x", "y"]].mask(pm, -1.0)[c].fillna(-9).tolist()
+    pa = df.any().to_pandas()
+    pl = df.all().to_pandas()
+    assert dict(zip(pa.index, map(bool, pa))) == dict(pdf.any())
+    assert dict(zip(pl.index, map(bool, pl))) == dict(pdf.all())
+    s = bl.DataFrame({"v": np.array([0.0, np.nan])})["v"]
+    assert s.any() is False and s.all() is False
+    e = bl.DataFrame({"v": np.array([], dtype=np.float64)})["v"]
+    assert e.any() is False and e.all() is True
+
+
+def test_empty_constructors(bl):
+    """Zero-row ndarray/dict constructors work (schema derived from
+    numpy dtypes — Spark can't infer from no rows)."""
+    import numpy as np
+    es = bl.Series(np.array([], dtype=np.float64), name="v")
+    assert es.to_pandas().tolist() == []
+    ed = bl.DataFrame({"a": np.array([], dtype=np.int64),
+                       "b": np.array([], dtype=object)})
+    assert len(ed) == 0
+    assert ed.to_pandas().shape[0] == 0
