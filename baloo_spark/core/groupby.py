@@ -57,6 +57,14 @@ class DataFrameGroupBy:
         frame is bounded per group, nothing decomposes globally)."""
         return _GroupRolling(self, window, min_periods)
 
+    def expanding(self, min_periods: int = 1):
+        """Per-group growing windows (pandas
+        ``df.groupby(k)['v'].expanding().mean()`` idiom). Every
+        group's frame is a partitionBy window with an
+        unbounded-preceding frame — state stays local per group at
+        any scale, all value columns share one Window node."""
+        return _GroupRolling(self, None, min_periods)
+
     def _aggregate(self, names: list | str):
         from .frame import DataFrame
         single = isinstance(names, str)
@@ -384,13 +392,17 @@ class _GroupRolling:
     row-for-row — join-free. pandas min_periods semantics: count()
     gates on window fullness, the rest on non-null observations."""
 
-    def __init__(self, gb: DataFrameGroupBy, window: int,
+    def __init__(self, gb: DataFrameGroupBy, window: int | None,
                  min_periods: int | None):
-        if window <= 0:
+        """``window=None`` means an unbounded-preceding (expanding)
+        frame; min_periods then defaults to 1 like pandas."""
+        if window is not None and window <= 0:
             raise ValueError(f"window must be positive, got {window}")
         self._gb = gb
         self._window = window
-        self._mp = window if min_periods is None else min_periods
+        if min_periods is None:
+            min_periods = 1 if window is None else window
+        self._mp = min_periods
 
     def _agg(self, name: str):
         from pyspark.sql import Window
@@ -407,8 +419,10 @@ class _GroupRolling:
             raise ValueError(
                 "groupby rolling needs a defined row order; "
                 "sort_values/sort_index first")
+        lo = (Window.unboundedPreceding if self._window is None
+              else -(self._window - 1))
         w = (Window.partitionBy(*gb._by).orderBy(*order)
-             .rowsBetween(-(self._window - 1), 0))
+             .rowsBetween(lo, 0))
         cols = gb._value_cols()
         exprs = {}
         for c in cols:

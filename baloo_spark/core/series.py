@@ -897,6 +897,16 @@ class Series:
         those local per group instead (engine extension)."""
         return _Rolling(self, window, min_periods)
 
+    def expanding(self, min_periods: int = 1):
+        """Growing-window aggregations from the first row (pandas
+        ``Series.expanding``): ``.sum() .mean() .count() .min()
+        .max() .var() .std()``. Every stat composes from
+        partition-safe prefix scans (plans/ordinal.with_prefix_aggs)
+        — and unlike the fixed rolling window, min/max ARE
+        prefix-decomposable here, so every agg is ONE scan pass with
+        a kilobyte driver carry, never a global window."""
+        return _Expanding(self, min_periods)
+
     def rank(self, method: str = "average", ascending: bool = True,
              pct: bool = False) -> "Series":
         """Global value rank (pandas flavor, 1-based; default method
@@ -1446,6 +1456,85 @@ class _Rolling:
             "global rolling max does not decompose into prefix "
             "scans; use DataFrame.with_rolling(partition_by=...) "
             "for per-group local frames")
+
+
+class _Expanding:
+    """Growing-window aggregations (see :meth:`Series.expanding`).
+    NaN rows occupy positions but are skipped by the aggregates;
+    ``min_periods`` counts non-null observations, except ``count()``
+    which pandas gates on rows present — mirroring _Rolling."""
+
+    def __init__(self, sr: "Series", min_periods: int = 1):
+        if min_periods < 0:
+            raise ValueError(
+                f"min_periods must be >= 0, got {min_periods}")
+        self._sr = sr
+        self._mp = min_periods
+
+    def _emit(self, extra_specs: dict, builder, mp: int,
+              gate_on_rows: bool = False):
+        from ..plans.ordinal import ORD_COL, with_prefix_aggs
+        sr = self._sr
+        sdf = sr._sdf
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        specs = {"__pc__": (sr._colexpr, "count")}
+        if gate_on_rows:
+            specs["__pr__"] = (F.lit(1), "count")
+        specs.update(extra_specs)
+        out = with_prefix_aggs(sdf, specs, order or None)
+        gate = F.col("__pr__") if gate_on_rows else F.col("__pc__")
+        expr = F.when(gate >= mp if mp > 0 else F.lit(True), builder())
+        out = out.withColumn("__exp__", expr.cast("double")) \
+            .drop(*specs)
+        return Series._make(out, F.col("__exp__"), sr._index_cols,
+                            sr.name, sr._order)
+
+    def _v(self):
+        return self._sr._colexpr.cast("double")
+
+    def sum(self) -> "Series":
+        return self._emit({"__ps__": (self._v(), "sum")},
+                          lambda: F.coalesce(F.col("__ps__"),
+                                             F.lit(0.0)), self._mp)
+
+    def mean(self) -> "Series":
+        return self._emit({"__ps__": (self._v(), "sum")},
+                          lambda: F.col("__ps__") / F.col("__pc__"),
+                          max(self._mp, 1))
+
+    def count(self) -> "Series":
+        return self._emit({}, lambda: F.col("__pc__"), self._mp,
+                          gate_on_rows=True)
+
+    def min(self) -> "Series":
+        return self._emit({"__pm__": (self._sr._colexpr, "min")},
+                          lambda: F.col("__pm__"), max(self._mp, 1))
+
+    def max(self) -> "Series":
+        return self._emit({"__pm__": (self._sr._colexpr, "max")},
+                          lambda: F.col("__pm__"), max(self._mp, 1))
+
+    def var(self, ddof: int = 1) -> "Series":
+        def build():
+            s, c = F.col("__ps__"), F.col("__pc__")
+            num = F.greatest(F.col("__pq__") - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, num / (c - ddof))
+        v = self._v()
+        return self._emit({"__ps__": (v, "sum"),
+                           "__pq__": (v * v, "sum")},
+                          build, max(self._mp, ddof + 1))
+
+    def std(self, ddof: int = 1) -> "Series":
+        def build():
+            s, c = F.col("__ps__"), F.col("__pc__")
+            num = F.greatest(F.col("__pq__") - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, F.sqrt(num / (c - ddof)))
+        v = self._v()
+        return self._emit({"__ps__": (v, "sum"),
+                           "__pq__": (v * v, "sum")},
+                          build, max(self._mp, ddof + 1))
 
 
 def _norm_pos(i: int, n: int) -> int:

@@ -314,3 +314,26 @@ def test_groupby_rolling_matches_pandas(bl):
     import pytest
     with pytest.raises(ValueError):
         df.groupby("g").rolling(0)
+
+
+def test_groupby_expanding_matches_pandas(bl):
+    """groupby(k).expanding(): per-group unbounded-preceding windows,
+    one Window node for all value columns."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "a", "b", "b"],
+                        "v": [1.0, np.nan, 2.0, 5.0, np.nan, 3.0],
+                        "u": [2., 1., np.nan, 0., 4., 6.]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    for mp in (1, 2):
+        for agg in ("sum", "mean", "count", "min", "max", "var", "std"):
+            got = getattr(df.groupby("g").expanding(mp), agg)() \
+                .to_pandas().reset_index(drop=True)
+            r = pdf.groupby("g")[["v", "u"]].expanding(mp)
+            want = (getattr(r, agg)()
+                    .reset_index(level=0, drop=True).sort_index())
+            for c in ("v", "u"):
+                np.testing.assert_allclose(
+                    got[c].fillna(-9e9).to_numpy(dtype=float),
+                    want[c].fillna(-9e9).to_numpy(dtype=float),
+                    err_msg=f"mp={mp} {agg} {c}")

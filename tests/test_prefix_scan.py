@@ -366,3 +366,20 @@ def test_timeseries_features_example(spark):
     # (prior-buckets-only) features
     assert out["events"] - out["with_features"] < 10
     assert out["with_features"] > 0
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "count", "min", "max",
+                                 "var", "std"])
+def test_expanding_matches_pandas(bl, agg):
+    """Series.expanding: growing windows from prefix scans only (no
+    boundary shift needed); min/max ARE prefix-decomposable here."""
+    import pandas as pd
+    vals = [1.0, np.nan, 2.0, 5.0, np.nan, 3.0]
+    s = bl.DataFrame({"v": np.array(vals)})["v"]
+    p = pd.Series(vals)
+    for mp in (1, 2, 0):
+        got = getattr(s.expanding(mp), agg)().to_pandas() \
+            .fillna(-9e9).to_numpy(dtype=float)
+        want = getattr(p.expanding(mp), agg)() \
+            .fillna(-9e9).to_numpy(dtype=float)
+        npt.assert_allclose(got, want, err_msg=f"mp={mp}")
