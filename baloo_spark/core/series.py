@@ -897,6 +897,38 @@ class Series:
         those local per group instead (engine extension)."""
         return _Rolling(self, window, min_periods)
 
+    def ewm(self, com=None, span=None, halflife=None, alpha=None,
+            min_periods: int = 0, adjust: bool = True,
+            ignore_na: bool = False):
+        """Exponentially weighted windows (pandas ``Series.ewm``,
+        ``adjust=True`` flavor): ``.mean()``. Exactly one of
+        com/span/halflife/alpha selects the decay (pandas
+        conversions: alpha = 1/(1+com) = 2/(span+1) =
+        1-exp(-ln2/halflife)).
+
+        The EWM recurrence is NOT a prefix sum (its closed form
+        overflows r^-t), so it runs as a dedicated two-pass decayed
+        carry scan — partition-local pandas C kernels plus an
+        n_partitions driver carry (plans/ordinal.with_ewm_mean);
+        never a global window, never a per-row Python loop."""
+        if adjust is not True:
+            raise NotImplementedError(
+                "only adjust=True (the pandas default) is supported")
+        given = sum(v is not None
+                    for v in (com, span, halflife, alpha))
+        if given != 1:
+            raise ValueError(
+                "pass exactly one of com, span, halflife, alpha")
+        import math
+        if alpha is None:
+            if com is not None:
+                alpha = 1.0 / (1.0 + com)
+            elif span is not None:
+                alpha = 2.0 / (span + 1.0)
+            else:
+                alpha = 1.0 - math.exp(-math.log(2.0) / halflife)
+        return _EWM(self, float(alpha), min_periods, ignore_na)
+
     def expanding(self, min_periods: int = 1):
         """Growing-window aggregations from the first row (pandas
         ``Series.expanding``): ``.sum() .mean() .count() .min()
@@ -1456,6 +1488,29 @@ class _Rolling:
             "global rolling max does not decompose into prefix "
             "scans; use DataFrame.with_rolling(partition_by=...) "
             "for per-group local frames")
+
+
+class _EWM:
+    """Exponentially weighted mean (see :meth:`Series.ewm`)."""
+
+    def __init__(self, sr: "Series", alpha: float, min_periods: int,
+                 ignore_na: bool):
+        self._sr = sr
+        self._alpha = alpha
+        self._mp = min_periods
+        self._ignore_na = ignore_na
+
+    def mean(self) -> "Series":
+        from ..plans.ordinal import ORD_COL, with_ewm_mean
+        sr = self._sr
+        sdf = sr._sdf
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        out = with_ewm_mean(sdf, sr._colexpr, self._alpha,
+                            order or None, self._mp, self._ignore_na)
+        return Series._make(out, F.col("__ewm__"), sr._index_cols,
+                            sr.name, sr._order)
 
 
 class _Expanding:

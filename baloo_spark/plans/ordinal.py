@@ -364,3 +364,175 @@ def with_last_non_null(sdf: DataFrame, exprs: dict,
     drop = ["__pid__", "__mid__"] + [f"__v_{o}__" for o in prepared] \
         + [f"__p_{o}__" for o in prepared]
     return out.drop(*drop)
+
+
+def with_ewm_mean(sdf: DataFrame, value_col, alpha: float,
+                  order_by: list | None, min_periods: int = 0,
+                  ignore_na: bool = False,
+                  name: str = "__ewm__") -> DataFrame:
+    """Partition-safe GLOBAL exponentially-weighted mean (pandas
+    ``ewm(adjust=True).mean()`` semantics, both ``ignore_na``
+    flavors).
+
+    The recurrence num_t = x_t + r*num_{t-1} (r = 1-alpha) does not
+    decompose into prefix sums — the closed form needs r^{-t}, which
+    overflows within ~700 rows — so it runs as the two-pass carry
+    scheme every global scan here uses: (1) freeze a range layout,
+    (2) ONE mapInPandas pass computes each partition's END state
+    (num, den, obs-count, row-count), with num/den recovered from
+    pandas' C ewm kernel via num_t = M0_t * S_t (M0 = ewm mean of the
+    zero-filled values, S_t the geometric partial sum — exact, no
+    Python-loop recurrence), (3) the driver prefix-combines
+    n_partitions tuples with decayed merge carry' = carry*r^len +
+    end (kilobytes at thousands of partitions), (4) a second
+    mapInPandas pass merges the broadcast carry:
+    global_t = local_t + carry * r^(t+1).
+
+    ``ignore_na=True`` decays per OBSERVATION instead of per row:
+    the same scheme on the null-compacted subsequence (obs-count as
+    the carry exponent), outputs forward-filled across null
+    positions.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    r = 1.0 - alpha
+
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    sdf = _range_layout(
+        sdf.select("*", col.cast("double").alias("__ev__")), order_by)
+
+    def _batch_scan(x, state):
+        """One batch's (y, cnt) arrays + updated state, where state =
+        [num_end, den_end, obs_cnt, decay_steps, y_last]. y is
+        num/den where den > 0; where den degenerates to 0 after an
+        observation (alpha == 1, or r^k underflow across a long null
+        run) pandas carries the last mean forward — replayed here
+        with a seeded forward-fill, so y_last rides the carry
+        alongside num/den."""
+        import numpy as np
+        L = len(x)
+        w = np.where(np.isnan(x), 0.0, 1.0)
+        n_in, d_in = state[0], state[1]
+
+        def _geo(k):
+            t1 = np.arange(1, k + 1, dtype=np.float64)
+            S = (np.ones(k) if r == 0
+                 else (1 - r ** t1) / (1 - r))
+            return S, r ** t1
+
+        if ignore_na:
+            # decay per OBSERVATION: run the same scheme on the
+            # null-compacted subsequence, forward-fill outputs, and
+            # count obs (not rows) as the carry-decay steps
+            idx = np.flatnonzero(w)
+            k = len(idx)
+            num = np.full(L, np.nan)
+            den = np.full(L, np.nan)
+            if k:
+                M0 = pd.Series(x[idx]).ewm(
+                    alpha=alpha, adjust=True,
+                    min_periods=0).mean().to_numpy()
+                S, e = _geo(k)
+                nc = M0 * S + n_in * e
+                dc = S + d_in * e
+                num[idx] = nc
+                den[idx] = dc
+                state[0], state[1] = nc[-1], dc[-1]
+            # null positions take the latest obs value; before the
+            # first obs, the UNDECAYED incoming carry (ignore_na:
+            # nulls neither decay nor re-weight)
+            num = pd.Series(num).ffill().fillna(n_in).to_numpy()
+            den = pd.Series(den).ffill().fillna(d_in).to_numpy()
+            cnt = state[2] + np.cumsum(w)
+            state[2] += w.sum()
+            state[3] += k
+            return _finish(num, den, cnt, state)
+
+        m = np.where(np.isnan(x), 0.0, x)
+        M0 = pd.Series(m).ewm(alpha=alpha, adjust=True,
+                              min_periods=0).mean().to_numpy()
+        W = pd.Series(w).ewm(alpha=alpha, adjust=True,
+                             min_periods=0).mean().to_numpy()
+        S, e = _geo(L)
+        num = M0 * S + n_in * e
+        den = W * S + d_in * e
+        cnt = state[2] + np.cumsum(w)
+        state[0], state[1] = num[-1], den[-1]
+        state[2] += w.sum()
+        state[3] += L
+        return _finish(num, den, cnt, state)
+
+    def _finish(num, den, cnt, state):
+        import numpy as np
+        with np.errstate(invalid="ignore", divide="ignore"):
+            y = np.where(den > 0, num / den, np.nan)
+        y = pd.concat([pd.Series([state[4]]), pd.Series(y)],
+                      ignore_index=True).ffill().to_numpy()[1:]
+        if len(y):
+            state[4] = y[-1]
+        return y, cnt
+
+    ends_schema = T.StructType([
+        T.StructField("__pid__", T.IntegerType()),
+        T.StructField("__en__", T.DoubleType()),
+        T.StructField("__ed__", T.DoubleType()),
+        T.StructField("__ec__", T.DoubleType()),
+        T.StructField("__el__", T.DoubleType()),
+        T.StructField("__ey__", T.DoubleType())])
+
+    def _ends(it):
+        import numpy as np
+        state, pid = [0.0, 0.0, 0.0, 0.0, np.nan], None
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            pid = int(pdf_b["__pid__"].iloc[0])
+            _batch_scan(pdf_b["__ev__"].to_numpy(dtype=np.float64),
+                        state)
+        if pid is not None:
+            yield pd.DataFrame({"__pid__": [pid], "__en__": [state[0]],
+                                "__ed__": [state[1]],
+                                "__ec__": [state[2]],
+                                "__el__": [state[3]],
+                                "__ey__": [state[4]]})
+
+    erows = {int(rw["__pid__"]): rw for rw in
+             sdf.select("__pid__", "__ev__").mapInPandas(
+                 _ends, ends_schema).collect()}
+    import math as _math
+    carries, acc = {}, (0.0, 0.0, 0.0, float("nan"))
+    for pid in sorted(erows):
+        carries[pid] = acc
+        e = erows[pid]
+        # decay steps: rows (default) or observations (ignore_na)
+        dk = r ** e["__el__"]
+        ey = e["__ey__"]
+        acc = (acc[0] * dk + e["__en__"], acc[1] * dk + e["__ed__"],
+               acc[2] + e["__ec__"],
+               acc[3] if ey is None or _math.isnan(ey) else ey)
+    out_schema = T.StructType(list(sdf.schema.fields)
+                              + [T.StructField(name, T.DoubleType())])
+    mp = min_periods
+
+    def _emit(it):
+        import numpy as np
+        state, init = [0.0, 0.0, 0.0, 0.0, np.nan], False
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            if not init:
+                c = carries.get(int(pdf_b["__pid__"].iloc[0]),
+                                (0.0, 0.0, 0.0, np.nan))
+                state = [c[0], c[1], c[2], 0.0, c[3]]
+                init = True
+            x = pdf_b["__ev__"].to_numpy(dtype=np.float64)
+            y, cnt = _batch_scan(x, state)
+            o = pdf_b.copy()
+            o[name] = np.where(cnt >= max(mp, 1), y, np.nan)
+            yield o
+
+    return (sdf.mapInPandas(_emit, out_schema)
+            .drop("__pid__", "__mid__", "__ev__"))

@@ -383,3 +383,31 @@ def test_expanding_matches_pandas(bl, agg):
         want = getattr(p.expanding(mp), agg)() \
             .fillna(-9e9).to_numpy(dtype=float)
         npt.assert_allclose(got, want, err_msg=f"mp={mp}")
+
+
+def test_ewm_mean_matches_pandas(bl):
+    """Series.ewm().mean(): two-pass decayed-carry scan (pandas C
+    kernels per partition + driver carry) — exact vs pandas for both
+    ignore_na flavors, every decay spelling, alpha=1 degeneracy, and
+    long null runs that underflow the carry."""
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    vals = rng.randn(400)
+    vals[rng.rand(400) < 0.15] = np.nan
+    vals[100:140] = np.nan
+    s = bl.DataFrame({"v": vals})["v"]
+    p = pd.Series(vals)
+    for kw in ({"alpha": 0.3}, {"alpha": 1.0}, {"span": 10},
+               {"com": 2.0}, {"halflife": 5.0},
+               {"alpha": 0.05, "min_periods": 8},
+               {"alpha": 0.3, "ignore_na": True},
+               {"alpha": 1.0, "ignore_na": True}):
+        got = s.ewm(**kw).mean().to_pandas().to_numpy(dtype=float)
+        want = p.ewm(**kw).mean().to_numpy(dtype=float)
+        npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                            np.nan_to_num(want, nan=-9e9),
+                            rtol=1e-8, err_msg=str(kw))
+    with pytest.raises(ValueError):
+        s.ewm(alpha=0.5, span=3)
+    with pytest.raises(NotImplementedError):
+        s.ewm(alpha=0.5, adjust=False)
