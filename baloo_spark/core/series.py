@@ -546,30 +546,66 @@ class Series:
         NaN handling."""
         if not isinstance(other, Series):
             raise TypeError(f"expected Series, got {type(other).__name__}")
-        if other._sdf is self._sdf:
-            sdf, a, b = self._sdf, self._colexpr, other._colexpr
-        else:
-            on = [c for c in self._index_cols if c in other._index_cols]
-            if on:
-                left, la = self._select("__pa__")
-                right, rb = other._select("__pb__")
-                right = right.select(*on, rb).dropDuplicates(on)
-                sdf = left.select(*on, la).join(right, on, "inner")
-            else:
-                from ..plans.ordinal import POS_COL
-                lo, la = self._ordered_sdf("__pa__")
-                ro, rb = other._ordered_sdf("__pb__")
-                sdf = lo.select(POS_COL, la).join(
-                    ro.select(POS_COL, rb), POS_COL, "inner")
-            a, b = F.col("__pa__"), F.col("__pb__")
+        sdf, a, b = self._pair_sdf(other)
         row = sdf.agg(fn(a.cast("double"), b.cast("double"))
                       .alias("v")).first()
         return row["v"]
 
-    def corr(self, other: "Series"):
-        """Pearson correlation with another column of the same frame
-        (pandas ``Series.corr``; engine extension — single JVM
-        ``corr`` aggregate)."""
+    def _pair_sdf(self, other: "Series"):
+        """The aligned (sdf, a_col, b_col) triple behind every
+        pairwise statistic."""
+        if other._sdf is self._sdf:
+            return self._sdf, self._colexpr, other._colexpr
+        on = [c for c in self._index_cols if c in other._index_cols]
+        if on:
+            left, la = self._select("__pa__")
+            right, rb = other._select("__pb__")
+            right = right.select(*on, rb).dropDuplicates(on)
+            sdf = left.select(*on, la).join(right, on, "inner")
+        else:
+            from ..plans.ordinal import POS_COL
+            lo, la = self._ordered_sdf("__pa__")
+            ro, rb = other._ordered_sdf("__pb__")
+            sdf = lo.select(POS_COL, la).join(
+                ro.select(POS_COL, rb), POS_COL, "inner")
+        return sdf, F.col("__pa__"), F.col("__pb__")
+
+    def corr(self, other: "Series", method: str = "pearson"):
+        """Correlation with another Series (pandas ``Series.corr``;
+        engine extension — single JVM ``corr`` aggregate).
+        ``method='spearman'`` ranks both sides first (average ties,
+        NULLs unranked — the pandas recipe: per-column ranks, then
+        Pearson over pairwise-complete rows); each rank is a
+        partition-safe sort+window, so spearman costs two ordered
+        passes on top of the aggregate."""
+        if method == "spearman":
+            if not isinstance(other, Series):
+                raise TypeError(
+                    f"expected Series, got {type(other).__name__}")
+            from pyspark.sql import Window
+
+            from ..plans.ordinal import with_dense_ordinal
+            sdf, a, b = self._pair_sdf(other)
+            pair = sdf.select(a.cast("double").alias("__pa__"),
+                              b.cast("double").alias("__pb__")) \
+                .filter(F.col("__pa__").isNotNull()
+                        & F.col("__pb__").isNotNull())
+            out = with_dense_ordinal(pair, [F.col("__pa__").asc()],
+                                     name="__rna__")
+            out = with_dense_ordinal(out, [F.col("__pb__").asc()],
+                                     name="__rnb__")
+            # average-rank = mean ordinal of the tie group; the tie
+            # windows partition BY VALUE (state per group, not per
+            # table), and corr is shift-invariant so no +1
+            out = out.select(
+                F.avg("__rna__").over(Window.partitionBy("__pa__"))
+                .alias("__ra__"),
+                F.avg("__rnb__").over(Window.partitionBy("__pb__"))
+                .alias("__rb__"))
+            return out.agg(F.corr("__ra__", "__rb__")
+                           .alias("v")).first()["v"]
+        if method != "pearson":
+            raise ValueError(f"unsupported method {method!r}")
         return self._pairwise(other, F.corr)
 
     def cov(self, other: "Series"):

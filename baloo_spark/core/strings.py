@@ -198,6 +198,104 @@ class StringMethods:
             return F.when(F.length(c) >= width, c).otherwise(pad)
         return self._map(fn)
 
+    def lstrip(self):
+        """Trim ASCII spaces from the left (pandas ``str.lstrip``)."""
+        return self._map(F.ltrim)
+
+    def rstrip(self):
+        """Trim ASCII spaces from the right (pandas ``str.rstrip``)."""
+        return self._map(F.rtrim)
+
+    def pad(self, width: int, side: str = "left",
+            fillchar: str = " "):
+        """Pad to ``width`` (pandas ``str.pad``); never truncates —
+        Spark's lpad/rpad DO truncate below width, so they're gated
+        on length. ``side`` ∈ {'left', 'right', 'both'}."""
+        if side not in ("left", "right", "both"):
+            raise ValueError(f"side must be left/right/both, got {side!r}")
+
+        def fn(c):
+            if side == "left":
+                padded = F.lpad(c, width, fillchar)
+            elif side == "right":
+                padded = F.rpad(c, width, fillchar)
+            else:
+                lw = (F.lit(width) - F.length(c)) / 2
+                padded = F.rpad(
+                    F.lpad(c, (F.length(c)
+                               + F.floor(lw)).cast("int"), fillchar),
+                    width, fillchar)
+            return F.when(F.length(c) >= width, c).otherwise(padded)
+        return self._map(fn)
+
+    def ljust(self, width: int, fillchar: str = " "):
+        """pandas ``str.ljust`` — pad on the RIGHT."""
+        return self.pad(width, "right", fillchar)
+
+    def rjust(self, width: int, fillchar: str = " "):
+        """pandas ``str.rjust`` — pad on the LEFT."""
+        return self.pad(width, "left", fillchar)
+
+    def title(self):
+        """Python ``str.title`` semantics (pandas parity): uppercase
+        the letter starting each ALPHA RUN — 'a1b2' -> 'A1B2', which
+        initcap (whitespace-word-based) gets wrong. Char-level
+        transform with an index lookback, all JVM-side."""
+        def fn(c):
+            arr = F.split(c, "")
+            alpha = r"(?U)^[^\W\d_]$"
+            return F.when(c.isNotNull(), F.concat_ws("", F.transform(
+                arr, lambda ch, i: F.when(
+                    ch.rlike(alpha)
+                    & ((i == F.lit(0))
+                       | ~F.element_at(arr, F.greatest(i, F.lit(1)))
+                       .rlike(alpha)),
+                    F.upper(ch)).otherwise(F.lower(ch)))))
+        return self._map(fn)
+
+    def swapcase(self):
+        """Swap case per character: split to chars, flip each with a
+        CASE, concat back — all JVM-side array expressions (the
+        lambda drops out of whole-stage codegen into interpreted
+        eval, acceptable for a per-char string op)."""
+        return self._map(lambda c: F.when(c.isNotNull(), F.concat_ws(
+            "", F.transform(F.split(c, ""),
+                            lambda ch: F.when(ch == F.upper(ch),
+                                              F.lower(ch))
+                            .otherwise(F.upper(ch))))))
+
+    def _is_match(self, pattern: str):
+        """Python str.is* contract: non-empty AND every char in the
+        class (NULL propagates)."""
+        return lambda c: F.when(c.isNotNull(),
+                                c.rlike(pattern))
+
+    def isdigit(self):
+        return self._map(self._is_match(r"(?U)^\d+$"))
+
+    def isalpha(self):
+        # (?U): Java regex char classes are ASCII by default; the
+        # UNICODE_CHARACTER_CLASS flag matches Python's str.isalpha
+        return self._map(self._is_match(r"(?U)^[^\W\d_]+$"))
+
+    def isalnum(self):
+        return self._map(self._is_match(r"(?U)^[^\W_]+$"))
+
+    def isnumeric(self):
+        return self._map(self._is_match(r"(?U)^\d+$"))
+
+    def isspace(self):
+        return self._map(self._is_match(r"(?U)^\s+$"))
+
+    def isupper(self):
+        """Python contract: at least one cased char, none lowercase."""
+        return self._map(lambda c: F.when(
+            c.isNotNull(), c.rlike("[A-Za-z]") & (c == F.upper(c))))
+
+    def islower(self):
+        return self._map(lambda c: F.when(
+            c.isNotNull(), c.rlike("[A-Za-z]") & (c == F.lower(c))))
+
     def cat(self, others=None, sep: str = ""):
         """Element-wise concatenation with another Series/column
         (pandas ``str.cat`` with ``others``; NULL in either side

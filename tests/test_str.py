@@ -140,3 +140,63 @@ def test_find_negative_bounds_parity(bl):
         got = [None if pd.isna(v) else int(v) for v in vals(sr.str.find(sub, a, b))]
         want = [None if pd.isna(v) else int(v) for v in ps.str.find(sub, a, b)]
         assert got == want, (sub, a, b, got, want)
+
+
+def test_str_pad_family_matches_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    vals = ["Hello World", "abc", "AB-12", "  pad  ", "", None, "123",
+            "3.14", "ALLUP", "low", "Mixed Case", "-42", "  ",
+            "ünïcode", "a1b2"]
+    s = bl.DataFrame({"v": np.array(vals, dtype=object)})["v"]
+    p = pd.Series(vals)
+    cases = [
+        ("lstrip", {}), ("rstrip", {}),
+        ("pad", {"width": 8}), ("pad", {"width": 8, "side": "right"}),
+        ("pad", {"width": 8, "side": "both"}),
+        ("ljust", {"width": 7, "fillchar": "*"}),
+        ("rjust", {"width": 7, "fillchar": "*"}),
+        ("title", {}), ("swapcase", {}),
+    ]
+    for name, kw in cases:
+        got = getattr(s.str, name)(**kw).to_pandas().tolist()
+        want = getattr(p.str, name)(**kw).tolist()
+        norm = lambda xs: [None if x is None
+                           or (isinstance(x, float) and x != x) else x
+                           for x in xs]
+        assert norm(got) == norm(want), (name, kw)
+
+
+def test_str_ischecks_match_python(bl):
+    """is* follow Python's unicode-aware char classes ((?U) regex
+    flag — Java classes are ASCII by default)."""
+    import numpy as np
+    import pandas as pd
+    vals = ["abc", "AB12", "123", "3.14", "", None, "  ", "ünïcode",
+            "a1b2", "ALL", "low"]
+    s = bl.DataFrame({"v": np.array(vals, dtype=object)})["v"]
+    p = pd.Series(vals)
+    for m in ("isdigit", "isalpha", "isalnum", "isnumeric",
+              "isspace", "isupper", "islower"):
+        got = getattr(s.str, m)().to_pandas().tolist()
+        want = getattr(p.str, m)().tolist()
+        norm = lambda xs: [None if x is None
+                           or (isinstance(x, float) and x != x)
+                           else bool(x) for x in xs]
+        assert norm(got) == norm(want), m
+
+
+def test_corr_spearman_pairwise_complete(bl):
+    """spearman = rank-then-Pearson over PAIRWISE-COMPLETE rows (the
+    pandas/scipy recipe: mask first, then rank)."""
+    import numpy as np
+    import pandas as pd
+    x = [1., 2., np.nan, 4., 5., 7., 3., 4.]
+    y = [2., 1., 6., 8., 11., np.nan, 2.5, 8.]
+    px, py = pd.Series(x), pd.Series(y)
+    mask = px.notna() & py.notna()
+    want = px[mask].rank().corr(py[mask].rank())
+    df = bl.DataFrame({"x": np.array(x), "y": np.array(y)})
+    assert abs(df["x"].corr(df["y"], method="spearman") - want) < 1e-9
+    other = bl.DataFrame({"y": np.array(y)})
+    assert abs(df["x"].corr(other["y"], method="spearman") - want) < 1e-9
