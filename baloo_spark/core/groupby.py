@@ -65,6 +65,209 @@ class DataFrameGroupBy:
         any scale, all value columns share one Window node."""
         return _GroupRolling(self, None, min_periods)
 
+    # ------------------------------------------- per-group window ops
+    # All ops below run over Window.partitionBy(group keys) — state
+    # stays local per group at any scale, one shuffle on the keys,
+    # never an unpartitioned window.
+
+    def _gorder(self):
+        from ..plans.ordinal import ORD_COL
+        from .ordering import order_exprs
+        sdf = self._df._sdf
+        order = order_exprs(self._df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        if not order:
+            raise ValueError(
+                "groupby window ops need a defined row order; "
+                "sort_values/sort_index first")
+        return sdf, order
+
+    def _all_value_cols(self):
+        return [c for c in self._df._data_cols if c not in self._by]
+
+    def _transform_frame(self, sdf, cols, mk):
+        """Rebuild the frame with ``cols`` replaced by mk(col) — the
+        aligned transform shape (same rows, same order)."""
+        from .frame import DataFrame
+        cset = set(cols)
+        out = sdf.select(*[(mk(c).alias(c) if c in cset else F.col(c))
+                           for c in sdf.columns])
+        return DataFrame._make(out, self._df._index_cols,
+                               self._df._data_cols, self._df._order)
+
+    def _cumulative(self, kind: str):
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        w = (Window.partitionBy(*self._by).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        fns = {"sum": F.sum, "prod": F.product,
+               "min": F.min, "max": F.max}
+
+        def mk(c):
+            v = (F.col(c).cast("double") if kind in ("sum", "prod")
+                 else F.col(c))
+            # pandas: missing positions stay missing, the accumulator
+            # skips them (same gate as Series/DataFrame cum*)
+            return F.when(F.col(c).isNotNull(), fns[kind](v).over(w))
+        return self._transform_frame(sdf, self._value_cols(), mk)
+
+    def cumsum(self):
+        """Per-group cumulative sum (pandas ``groupby().cumsum()``),
+        aligned row-for-row with the input."""
+        return self._cumulative("sum")
+
+    def cumprod(self):
+        return self._cumulative("prod")
+
+    def cummin(self):
+        return self._cumulative("min")
+
+    def cummax(self):
+        return self._cumulative("max")
+
+    def shift(self, periods: int = 1, fill_value=None):
+        """Per-group shift of every non-key column (pandas
+        ``groupby().shift()``). The lag rides a struct so introduced
+        edge positions are distinguishable from data nulls —
+        ``fill_value`` only fills the former, like pandas."""
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        fn = F.lag if periods >= 0 else F.lead
+
+        def mk(c):
+            s = fn(F.struct(F.col(c).alias("v")), abs(periods)).over(w)
+            out = s["v"]
+            if fill_value is not None:
+                out = F.when(s.isNull(), F.lit(fill_value)) \
+                    .otherwise(out)
+            return out
+        return self._transform_frame(sdf, self._all_value_cols(), mk)
+
+    def diff(self, periods: int = 1):
+        """Per-group difference vs the row ``periods`` back (pandas
+        ``groupby().diff()``)."""
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        fn = F.lag if periods >= 0 else F.lead
+
+        def mk(c):
+            v = F.col(c).cast("double")
+            return v - fn(v, abs(periods)).over(w)
+        return self._transform_frame(sdf, self._value_cols(), mk)
+
+    def ffill(self):
+        """Per-group forward fill (pandas ``groupby().ffill()``) —
+        ``last(ignorenulls)`` over the group's preceding frame."""
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        w = (Window.partitionBy(*self._by).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return self._transform_frame(
+            sdf, self._all_value_cols(),
+            lambda c: F.last(F.col(c), ignorenulls=True).over(w))
+
+    def bfill(self):
+        """Per-group backward fill — ``first(ignorenulls)`` over the
+        group's following frame."""
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        w = (Window.partitionBy(*self._by).orderBy(*order)
+             .rowsBetween(0, Window.unboundedFollowing))
+        return self._transform_frame(
+            sdf, self._all_value_cols(),
+            lambda c: F.first(F.col(c), ignorenulls=True).over(w))
+
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False):
+        """Per-group value rank (pandas ``groupby().rank()``), every
+        pandas tie method, NULLs unranked. Each value column needs
+        its own value-ordered window, but all windows share the one
+        group-key shuffle."""
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        if method not in ("average", "min", "max", "first", "dense"):
+            raise ValueError(f"unknown rank method {method!r}")
+
+        def mk(c):
+            vo = (F.col(c).asc_nulls_last() if ascending
+                  else F.col(c).desc_nulls_last())
+            wv = Window.partitionBy(*self._by).orderBy(vo, *order)
+            wt = Window.partitionBy(*self._by, F.col(c))
+            if method == "first":
+                r = F.row_number().over(wv).cast("double")
+            elif method == "min":
+                r = F.rank().over(
+                    Window.partitionBy(*self._by).orderBy(vo)) \
+                    .cast("double")
+            elif method == "dense":
+                r = F.dense_rank().over(
+                    Window.partitionBy(*self._by).orderBy(vo)) \
+                    .cast("double")
+            else:
+                rn = F.row_number().over(wv)
+                r = (F.avg(rn).over(wt) if method == "average"
+                     else F.max(rn).over(wt).cast("double"))
+            if pct:
+                wg = Window.partitionBy(*self._by)
+                # dense pct divides by the DISTINCT value count
+                # (pandas); others by the non-null count
+                den = (F.size(F.collect_set(F.col(c)).over(wg))
+                       if method == "dense"
+                       else F.count(F.col(c)).over(wg))
+                r = r / den
+            return F.when(F.col(c).isNotNull(), r)
+        return self._transform_frame(sdf, self._value_cols(), mk)
+
+    def _pos_filter(self, keep):
+        from .frame import DataFrame
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        out = sdf.withColumn("__gn__", F.row_number().over(
+            Window.partitionBy(*self._by).orderBy(*order)))
+        out = out.filter(keep(F.col("__gn__"))).drop("__gn__")
+        return DataFrame._make(out, self._df._index_cols,
+                               self._df._data_cols, self._df._order)
+
+    def head(self, n: int = 5):
+        """First ``n`` rows of each group in the logical order
+        (pandas ``groupby().head()``) — a row_number filter, all
+        columns kept, no aggregation."""
+        return self._pos_filter(lambda r: r <= n)
+
+    def tail(self, n: int = 5):
+        from pyspark.sql import Window
+        from .frame import DataFrame
+        sdf, order = self._gorder()
+        out = sdf.withColumn("__gn__", F.count(F.lit(1)).over(
+            Window.partitionBy(*self._by))) \
+            .withColumn("__gr__", F.row_number().over(
+                Window.partitionBy(*self._by).orderBy(*order)))
+        out = out.filter(F.col("__gr__") > F.col("__gn__") - n) \
+            .drop("__gn__", "__gr__")
+        return DataFrame._make(out, self._df._index_cols,
+                               self._df._data_cols, self._df._order)
+
+    def nth(self, n: int):
+        """The n-th row of each group (0-based; negative from the
+        end), groups shorter than ``n+1`` dropped — pandas
+        ``groupby().nth``."""
+        if n >= 0:
+            return self._pos_filter(lambda r: r == n + 1)
+        from pyspark.sql import Window
+        from .frame import DataFrame
+        sdf, order = self._gorder()
+        out = sdf.withColumn("__gn__", F.count(F.lit(1)).over(
+            Window.partitionBy(*self._by))) \
+            .withColumn("__gr__", F.row_number().over(
+                Window.partitionBy(*self._by).orderBy(*order)))
+        out = out.filter(F.col("__gr__") == F.col("__gn__") + n + 1) \
+            .drop("__gn__", "__gr__")
+        return DataFrame._make(out, self._df._index_cols,
+                               self._df._data_cols, self._df._order)
+
     def _aggregate(self, names: list | str):
         from .frame import DataFrame
         single = isinstance(names, str)

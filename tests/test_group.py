@@ -337,3 +337,57 @@ def test_groupby_expanding_matches_pandas(bl):
                     got[c].fillna(-9e9).to_numpy(dtype=float),
                     want[c].fillna(-9e9).to_numpy(dtype=float),
                     err_msg=f"mp={mp} {agg} {c}")
+
+
+def test_groupby_window_transforms_match_pandas(bl):
+    """Per-group window ops: cum*, shift (struct-marker fill_value),
+    diff, ffill/bfill, rank (all tie methods + pct incl. the dense
+    distinct-count denominator), head/tail/nth."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "b", "a", "b", "b", "a", "b"],
+        "v": [1.0, np.nan, 2.0, 5.0, np.nan, 3.0, 1.0, 2.0],
+        "s": ["x", None, "y", "z", "w", None, "q", "r"]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    g, pg = df.groupby("g"), pdf.groupby("g")
+
+    def vnum(frame):
+        return frame.to_pandas().reset_index(drop=True)["v"] \
+            .fillna(-9e9).to_numpy(dtype=float)
+
+    def pnum(s):
+        return s.reset_index(drop=True).fillna(-9e9) \
+            .to_numpy(dtype=float)
+
+    for kind in ("cumsum", "cumprod", "cummin", "cummax"):
+        np.testing.assert_allclose(
+            vnum(getattr(g, kind)()),
+            pnum(getattr(pg["v"], kind)()), err_msg=kind)
+    np.testing.assert_allclose(vnum(g.shift(1)),
+                               pnum(pg["v"].shift(1)))
+    np.testing.assert_allclose(vnum(g.shift(1, fill_value=0.0)),
+                               pnum(pg["v"].shift(1, fill_value=0.0)))
+    np.testing.assert_allclose(vnum(g.diff()), pnum(pg["v"].diff()))
+    np.testing.assert_allclose(vnum(g.ffill()), pnum(pg["v"].ffill()))
+    np.testing.assert_allclose(vnum(g.bfill()), pnum(pg["v"].bfill()))
+    assert g.shift(1).to_pandas().reset_index(drop=True)["s"] \
+        .tolist()[:2] == [None, "x"]
+    for m in ("average", "min", "max", "first", "dense"):
+        for pct in (False, True):
+            np.testing.assert_allclose(
+                vnum(g.rank(method=m, pct=pct)),
+                pnum(pg["v"].rank(method=m, pct=pct)),
+                err_msg=f"{m} pct={pct}")
+
+    def rows(x):
+        return sorted(map(tuple, x.to_pandas().reset_index(drop=True)
+                          .fillna(-9).astype(str).to_numpy().tolist()))
+
+    def prows(x):
+        return sorted(map(tuple, x.reset_index(drop=True).fillna(-9)
+                          .astype(str).to_numpy().tolist()))
+    assert rows(g.head(2)) == prows(pg.head(2))
+    assert rows(g.tail(2)) == prows(pg.tail(2))
+    assert rows(g.nth(1)) == prows(pg.nth(1))
+    assert rows(g.nth(-1)) == prows(pg.nth(-1))
