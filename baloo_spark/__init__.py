@@ -50,6 +50,82 @@ def merge_asof(left: "DataFrame", right: "DataFrame", on: str,
     return DataFrame.from_spark(out)
 
 
+def get_dummies(data, prefix=None, prefix_sep: str = "_",
+                dummy_na: bool = False, columns=None,
+                max_categories: int = 10000) -> "DataFrame":
+    """pandas-style ``pd.get_dummies``: one-hot indicator columns
+    for string columns of a DataFrame (or for a Series). The
+    category inventory is ONE distinct job across all target
+    columns, guarded by ``max_categories`` per column with an error
+    naming the offender — at any scale the inventory is categories,
+    not rows, and the encoding itself is a pure projection (zero
+    shuffles). NULL rows get 0 in every indicator (pandas), or
+    their own ``_nan`` column with ``dummy_na=True``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(data, Series):
+        sdf, alias = data._select("__gd_v__")
+        frame = DataFrame.from_spark(sdf.withColumnRenamed(
+            "__gd_v__", data.name or "value"))
+        # pandas Series input: bare category values as column names
+        # unless a prefix is given
+        return get_dummies(frame,
+                           prefix="" if prefix is None else prefix,
+                           prefix_sep="" if prefix is None
+                           else prefix_sep,
+                           dummy_na=dummy_na,
+                           columns=[data.name or "value"],
+                           max_categories=max_categories)
+    df = data
+    sch = {f.name: f.dataType for f in df._sdf.schema.fields}
+    targets = (list(columns) if columns is not None else
+               [c for c in df._data_cols
+                if isinstance(sch[c], T.StringType)])
+    missing = [c for c in targets if c not in df._data_cols]
+    if missing:
+        raise KeyError(missing[0])
+    if not targets:
+        return df
+    inv = reduce(lambda a, b: a.unionByName(b), [
+        df._sdf.select(F.lit(c).alias("__c__"),
+                       F.col(c).cast("string").alias("__v__"))
+        .distinct() for c in targets])
+    cats: dict = {c: [] for c in targets}
+    for r in inv.collect():
+        if r["__v__"] is not None:
+            cats[r["__c__"]].append(r["__v__"])
+    for c, vs in cats.items():
+        if len(vs) > max_categories:
+            raise ValueError(
+                f"column {c!r} has {len(vs)} categories, over the "
+                f"max_categories={max_categories} budget — one-hot "
+                "would explode the schema; raise the budget or hash "
+                "the column instead")
+    sdf = df._sdf
+    keep = [c for c in sdf.columns if c not in targets]
+    dummies, names = [], []
+    for c in targets:
+        if isinstance(prefix, dict):
+            pre = prefix.get(c, c)
+        else:
+            pre = prefix if prefix is not None else c
+        for v in sorted(cats[c]):
+            names.append(f"{pre}{prefix_sep}{v}")
+            dummies.append(
+                F.when(F.col(c).cast("string") == v, 1).otherwise(0)
+                .cast("int").alias(names[-1]))
+        if dummy_na:
+            names.append(f"{pre}{prefix_sep}nan")
+            dummies.append(F.col(c).isNull().cast("int")
+                           .alias(names[-1]))
+    out = sdf.select(*[F.col(c) for c in keep], *dummies)
+    data_cols = [c for c in df._data_cols if c not in targets] + names
+    return DataFrame._make(out, df._index_cols, data_cols, df._order)
+
+
 def concat(frames: list, axis: int = 0) -> "DataFrame":
     """pandas-style top-level concatenation (engine extension — the
     reference has no set ops, SURVEY.md §2.6).
@@ -99,5 +175,5 @@ __all__ = [
     "read_csv", "read_parquet", "read_json", "read_orc", "get_session",
     "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "erf", "raw", "sort", "load_cudf", "concat",
-    "sql", "merge_asof",
+    "sql", "merge_asof", "get_dummies",
 ]

@@ -1119,6 +1119,36 @@ class DataFrame:
         return self._replace_sdf(
             self._sdf.sample(with_replacement, fraction, seed), order=None)
 
+    def value_counts(self, normalize: bool = False,
+                     ascending: bool = False,
+                     dropna: bool = True) -> Series:
+        """Row-combination counts over the data columns (pandas
+        ``DataFrame.value_counts``): one hash-agg shuffle, the
+        combinations become a multi-column index. ``normalize``
+        uses the one-row broadcast subtotal (never an unpartitioned
+        window over the combinations table)."""
+        cols = self._data_cols
+        sdf = self._sdf.select(*cols)
+        if dropna:
+            sdf = sdf.dropna()
+        cnt = F.count(F.lit(1))
+        if normalize:
+            counts = sdf.groupBy(*cols).agg(cnt.alias("__n__"))
+            tot = counts.agg(
+                F.sum("__n__").cast("double").alias("__tot__"))
+            out = (counts.crossJoin(F.broadcast(tot))
+                   .withColumn("__cnt__",
+                               F.col("__n__") / F.col("__tot__"))
+                   .drop("__n__", "__tot__"))
+        else:
+            out = sdf.groupBy(*cols).agg(cnt.cast("long")
+                                         .alias("__cnt__"))
+        out = out.orderBy(F.col("__cnt__").asc() if ascending
+                          else F.col("__cnt__").desc())
+        name = "proportion" if normalize else "count"
+        return Series._make(out, F.col("__cnt__"), list(cols), name,
+                            [("__cnt__", ascending)])
+
     def nlargest(self, n: int, columns, keep: str = "first") -> "DataFrame":
         """Top-n rows by ``columns`` (pandas flavor): a distributed
         TakeOrdered — never a full sort. NULL keys sort last (they

@@ -757,6 +757,17 @@ class Series:
         return Series._make(out, F.col("__cnt__"), [alias], name,
                             [("__cnt__", ascending)])
 
+    def autocorr(self, lag: int = 1):
+        """Lag-N self-correlation (pandas ``Series.autocorr``):
+        Pearson between the series and itself shifted. The shift
+        output keeps the source column, so both sides share one sdf
+        and the stat is a single aggregate after the one-pass
+        boundary-carry shift."""
+        sh = self.shift(lag)
+        orig = Series._make(sh._sdf, self._colexpr, self._index_cols,
+                            self.name, sh._order)
+        return orig._pairwise(sh, F.corr)
+
     def nunique(self, dropna: bool = True, approx: bool = False):
         """Distinct-value count (eager scalar, pandas flavor).
         ``approx=True`` uses HyperLogLog++ (approx_count_distinct) —

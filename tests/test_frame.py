@@ -913,3 +913,42 @@ def test_empty_constructors(bl):
                        "b": np.array([], dtype=object)})
     assert len(ed) == 0
     assert ed.to_pandas().shape[0] == 0
+
+
+def test_get_dummies_matches_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"k": ["a", "b", None, "a"],
+                        "c2": ["x", None, "y", "x"],
+                        "n": [1., 2., 3., 4.]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    got = bl.get_dummies(df).to_pandas()
+    want = pd.get_dummies(pdf, dtype="int32")
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+    got2 = bl.get_dummies(df, dummy_na=True, columns=["k"]).to_pandas()
+    assert got2["k_nan"].tolist() == [0, 0, 1, 0]
+    # Series input: bare category names like pandas
+    gs = bl.get_dummies(df["k"]).to_pandas()
+    assert sorted(gs.columns) == ["a", "b"]
+    with pytest.raises(ValueError, match="max_categories"):
+        bl.get_dummies(df, max_categories=1)
+
+
+def test_frame_value_counts_and_autocorr(bl):
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "b", None, "a"],
+                        "c2": ["x", None, "y", "x"]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    vc = df.value_counts().to_pandas()
+    pvc = pdf.value_counts()
+    assert sorted(vc.tolist()) == sorted(pvc.tolist())
+    vcn = df.value_counts(normalize=True).to_pandas()
+    assert abs(sum(vcn.tolist()) - 1.0) < 1e-12
+    x = [1., 2., 4., 3., 5., 7., 6.]
+    s = bl.DataFrame({"v": np.array(x)})["v"]
+    for lag in (1, 2):
+        assert abs(s.autocorr(lag) - pd.Series(x).autocorr(lag)) < 1e-12
