@@ -1606,6 +1606,23 @@ class DataFrame:
         return DataFrame._make(out, self._index_cols,
                                self._data_cols + [name], self._order)
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """Trailing fixed-size windows over EVERY numeric column
+        (pandas ``DataFrame.rolling``): ``.sum() .mean() .count()
+        .var() .std()``. All columns share ONE prefix-scan pass and
+        ONE boundary-carry shift (the same two jobs a single column
+        costs) — never a global window, never one pass per column.
+        Global rolling min/max do not decompose into prefixes; use
+        ``with_rolling(partition_by=...)`` for per-group frames."""
+        return _FrameRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """Growing windows over every numeric column (pandas
+        ``DataFrame.expanding``): ``.sum() .mean() .count() .min()
+        .max() .var() .std()`` — one shared prefix-scan pass, no
+        shift needed, min/max included (prefix-decomposable here)."""
+        return _FrameRolling(self, None, min_periods)
+
     def shift(self, periods: int = 1) -> "DataFrame":
         """All data columns moved by ``periods`` along the logical
         order, NULLs at the edge (pandas ``DataFrame.shift``; the
@@ -1965,6 +1982,126 @@ class DataFrame:
     @property
     def values(self) -> np.ndarray:
         return self.to_pandas().to_numpy()
+
+
+class _FrameRolling:
+    """Shared face of DataFrame.rolling (fixed window) and
+    DataFrame.expanding (window=None): every numeric column's
+    statistic composes from the SAME prefix-scan pass (sum, sum²,
+    count are prefix sums) and, for the fixed window, one shared
+    boundary-carry shift — 2 jobs total regardless of column count.
+    pandas min_periods gating: count() on rows present, the rest on
+    non-null observations; expanding min_periods defaults to 1,
+    rolling to the window size."""
+
+    def __init__(self, df: DataFrame, window: int | None,
+                 min_periods: int | None):
+        if window is not None and window <= 0:
+            raise ValueError(f"window must be positive, got {window}")
+        self._df = df
+        self._window = window
+        if min_periods is None:
+            min_periods = 1 if window is None else window
+        self._mp = min_periods
+
+    def _emit(self, builder, mp: int, need_sq: bool = False,
+              gate_on_rows: bool = False, minmax: str | None = None):
+        from ..plans.ordinal import (ORD_COL, with_boundary_shifts,
+                                     with_prefix_aggs)
+        df = self._df
+        num = df._numeric_cols()
+        sdf = df._sdf
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        specs = {}
+        for c in num:
+            v = F.col(c).cast("double")
+            specs[f"__pc_{c}__"] = (F.col(c), "count")
+            if minmax:
+                specs[f"__pm_{c}__"] = (F.col(c), minmax)
+            else:
+                specs[f"__ps_{c}__"] = (v, "sum")
+                if need_sq:
+                    specs[f"__pq_{c}__"] = (v * v, "sum")
+        if gate_on_rows:
+            specs["__pr__"] = (F.lit(1), "count")
+        out = with_prefix_aggs(sdf, specs, order or None)
+        helpers = list(specs)
+        if self._window is not None:
+            shifts = {o[:-2] + "w__": F.col(o) for o in specs}
+            out = with_boundary_shifts(out, shifts, self._window,
+                                       order_by=order or None)
+            helpers += list(shifts)
+
+            def S(o, zero=0.0):
+                return F.col(o) - F.coalesce(F.col(o[:-2] + "w__"),
+                                             F.lit(zero))
+        else:
+            def S(o, zero=0.0):
+                return F.col(o)
+        exprs = {}
+        for c in num:
+            rcnt = S(f"__pc_{c}__", 0).cast("long")
+            if minmax:
+                stat = F.col(f"__pm_{c}__")
+            else:
+                stat = None
+            rsum = None if minmax else S(f"__ps_{c}__")
+            rsq = S(f"__pq_{c}__") if need_sq else None
+            gate = (S("__pr__", 0).cast("long") if gate_on_rows
+                    else rcnt)
+            val = builder(stat if minmax else rsum, rcnt, rsq)
+            exprs[c] = (F.when(gate >= mp, val) if mp > 0
+                        else val).cast("double")
+        nset = set(num)
+        sel = [(exprs[cc].alias(cc) if cc in nset else F.col(cc))
+               for cc in out.columns if cc not in set(helpers)]
+        return DataFrame._make(out.select(*sel), df._index_cols, num,
+                               df._order)
+
+    def sum(self) -> DataFrame:
+        if self._window is None:
+            return self._emit(lambda s, c, q: F.coalesce(s, F.lit(0.0)),
+                              self._mp)
+        return self._emit(lambda s, c, q: s, self._mp)
+
+    def mean(self) -> DataFrame:
+        return self._emit(lambda s, c, q: s / c, max(self._mp, 1))
+
+    def count(self) -> DataFrame:
+        return self._emit(lambda s, c, q: c, self._mp,
+                          gate_on_rows=True)
+
+    def min(self) -> DataFrame:
+        if self._window is not None:
+            raise ValueError(
+                "global rolling min does not decompose into prefix "
+                "scans; use with_rolling(partition_by=...) for "
+                "per-group local frames")
+        return self._emit(lambda s, c, q: s, max(self._mp, 1),
+                          minmax="min")
+
+    def max(self) -> DataFrame:
+        if self._window is not None:
+            raise ValueError(
+                "global rolling max does not decompose into prefix "
+                "scans; use with_rolling(partition_by=...) for "
+                "per-group local frames")
+        return self._emit(lambda s, c, q: s, max(self._mp, 1),
+                          minmax="max")
+
+    def var(self, ddof: int = 1) -> DataFrame:
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, num / (c - ddof))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+    def std(self, ddof: int = 1) -> DataFrame:
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, F.sqrt(num / (c - ddof)))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
 
 class _FrameLoc:

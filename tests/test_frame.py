@@ -952,3 +952,42 @@ def test_frame_value_counts_and_autocorr(bl):
     s = bl.DataFrame({"v": np.array(x)})["v"]
     for lag in (1, 2):
         assert abs(s.autocorr(lag) - pd.Series(x).autocorr(lag)) < 1e-12
+
+
+def test_frame_rolling_expanding_match_pandas(bl):
+    """DataFrame.rolling/.expanding: every numeric column rides ONE
+    prefix-scan pass (+ one boundary shift for the fixed window)."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "k": list("abcdefgh"),
+        "x": [1.0, np.nan, 2.0, 5.0, np.nan, 3.0, 1.0, 2.0],
+        "y": [2., 1., np.nan, 0., 4., 6., np.nan, 1.]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    for agg in ("sum", "mean", "var", "std"):
+        got = getattr(df.rolling(3), agg)().to_pandas()
+        want = getattr(pdf[["x", "y"]].rolling(3), agg)()
+        for c in ("x", "y"):
+            np.testing.assert_allclose(
+                got[c].fillna(-9e9).to_numpy(dtype=float),
+                want[c].fillna(-9e9).to_numpy(dtype=float),
+                err_msg=f"roll {agg} {c}")
+    for agg in ("sum", "mean", "count", "min", "max", "var", "std"):
+        got = getattr(df.expanding(2), agg)().to_pandas()
+        want = getattr(pdf[["x", "y"]].expanding(2), agg)()
+        for c in ("x", "y"):
+            np.testing.assert_allclose(
+                got[c].fillna(-9e9).to_numpy(dtype=float),
+                want[c].fillna(-9e9).to_numpy(dtype=float),
+                err_msg=f"exp {agg} {c}")
+    # scale shape: no unpartitioned window in the shared pass
+    plan = df.rolling(3).mean().to_spark()._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(__pid__" in line.replace(
+                " ", "") or "__pid__" in line.split(
+                "windowspecdefinition")[1][:60], line
+    import pytest
+    with pytest.raises(ValueError):
+        df.rolling(3).min()
