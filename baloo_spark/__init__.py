@@ -126,6 +126,60 @@ def get_dummies(data, prefix=None, prefix_sep: str = "_",
     return DataFrame._make(out, df._index_cols, data_cols, df._order)
 
 
+def cut(x: "Series", bins, labels=None, right: bool = True) -> "Series":
+    """Top-level ``pd.cut`` spelling — delegates to
+    :meth:`Series.cut`."""
+    return x.cut(bins, labels=labels, right=right)
+
+
+def qcut(x: "Series", q, labels=None, duplicates: str = "raise",
+         **kw) -> "Series":
+    """Top-level ``pd.qcut`` spelling — delegates to
+    :meth:`Series.qcut` (``approx=True`` for the sketch path)."""
+    return x.qcut(q, labels=labels, duplicates=duplicates, **kw)
+
+
+_STRFTIME_TO_JAVA = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
+    ("%f", "SSSSSS"), ("%j", "DDD"), ("%p", "a"), ("%z", "XX"),
+    ("%%", "%"),
+]
+
+
+def to_datetime(arg: "Series", format: str | None = None,
+                unit: str | None = None,
+                errors: str = "raise") -> "Series":
+    """pandas-style ``pd.to_datetime`` over a Series. String input
+    parses with ``format`` (C strftime codes translated to Java
+    patterns, or a Java pattern directly) or Spark's default
+    timestamp parsing; numeric input needs ``unit`` ('s', 'ms',
+    'us'). ``errors='coerce'`` maps unparseable values to NULL
+    (try_to_timestamp); 'raise' surfaces the ANSI parse error at
+    action time. Pure codegen-side expressions."""
+    from pyspark.sql import functions as F
+
+    if unit is not None:
+        fn = {"s": F.timestamp_seconds, "ms": F.timestamp_millis,
+              "us": F.timestamp_micros}.get(unit)
+        if fn is None:
+            raise ValueError(f"unsupported unit {unit!r}")
+        cast = {"s": "long", "ms": "long", "us": "long"}[unit]
+        return arg._with_col(fn(arg._colexpr.cast(cast)))
+    fmt = format
+    if fmt is not None and "%" in fmt:
+        for c_code, java in _STRFTIME_TO_JAVA:
+            fmt = fmt.replace(c_code, java)
+    if fmt is None:
+        parse = (F.try_to_timestamp if errors == "coerce"
+                 else F.to_timestamp)
+        return arg._with_col(parse(arg._colexpr))
+    if errors == "coerce":
+        return arg._with_col(
+            F.try_to_timestamp(arg._colexpr, F.lit(fmt)))
+    return arg._with_col(F.to_timestamp(arg._colexpr, fmt))
+
+
 def concat(frames: list, axis: int = 0) -> "DataFrame":
     """pandas-style top-level concatenation (engine extension — the
     reference has no set ops, SURVEY.md §2.6).
@@ -175,5 +229,5 @@ __all__ = [
     "read_csv", "read_parquet", "read_json", "read_orc", "get_session",
     "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "erf", "raw", "sort", "load_cudf", "concat",
-    "sql", "merge_asof", "get_dummies",
+    "sql", "merge_asof", "get_dummies", "cut", "qcut", "to_datetime",
 ]

@@ -59,6 +59,66 @@ class DatetimeMethods:
     def date(self):
         return self._map(F.to_date)
 
+    def microsecond(self):
+        """Sub-second microseconds (pandas ``dt.microsecond``) —
+        integer epoch-microsecond remainder, codegen-side."""
+        return self._map(lambda c: (F.unix_micros(
+            c.cast("timestamp")) % 1_000_000).cast("int"))
+
+    def millisecond(self):
+        return self._map(lambda c: ((F.unix_micros(
+            c.cast("timestamp")) % 1_000_000) / 1000).cast("int"))
+
+    def days_in_month(self):
+        """Days in the value's month (pandas ``dt.days_in_month``)."""
+        return self._map(lambda c: F.dayofmonth(F.last_day(c)))
+
+    def is_month_start(self):
+        return self._map(lambda c: F.when(c.isNotNull(),
+                                          F.dayofmonth(c) == 1))
+
+    def is_month_end(self):
+        return self._map(lambda c: F.when(
+            c.isNotNull(),
+            F.to_date(c) == F.last_day(c)))
+
+    def is_quarter_start(self):
+        return self._map(lambda c: F.when(
+            c.isNotNull(),
+            (F.dayofmonth(c) == 1) & (F.month(c) % 3 == 1)))
+
+    def is_quarter_end(self):
+        return self._map(lambda c: F.when(
+            c.isNotNull(),
+            (F.to_date(c) == F.last_day(c)) & (F.month(c) % 3 == 0)))
+
+    def is_year_start(self):
+        return self._map(lambda c: F.when(c.isNotNull(),
+                                          F.dayofyear(c) == 1))
+
+    def is_year_end(self):
+        return self._map(lambda c: F.when(
+            c.isNotNull(),
+            (F.month(c) == 12) & (F.dayofmonth(c) == 31)))
+
+    def is_leap_year(self):
+        return self._map(lambda c: F.when(
+            c.isNotNull(),
+            ((F.year(c) % 4 == 0) & (F.year(c) % 100 != 0))
+            | (F.year(c) % 400 == 0)))
+
+    def day_name(self):
+        """Weekday name (pandas ``dt.day_name()``)."""
+        return self._map(lambda c: F.date_format(c, "EEEE"))
+
+    def month_name(self):
+        return self._map(lambda c: F.date_format(c, "MMMM"))
+
+    def normalize(self):
+        """Midnight-floor keeping the timestamp type (pandas
+        ``dt.normalize``)."""
+        return self._map(lambda c: F.date_trunc("day", c))
+
     _FLOOR_FREQS = {
         # pandas offset aliases -> Spark date_trunc units; Spark's own
         # unit names pass through. date_trunc on an UNKNOWN unit

@@ -828,6 +828,61 @@ class DataFrame:
         methods with free functions (e.g. the operators/ library)."""
         return func(self, *args, **kwargs)
 
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        """Column subset by dtype kind (pandas ``select_dtypes``):
+        'number', 'float', 'int'/'integer', 'bool', 'object'/'str',
+        'datetime'. Pure projection."""
+        from pyspark.sql import types as T
+
+        def kind(dt):
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return {"number", "float"}
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+                return {"number", "int", "integer"}
+            if isinstance(dt, T.BooleanType):
+                return {"bool"}
+            if isinstance(dt, T.StringType):
+                return {"object", "str", "string"}
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                               T.DateType)):
+                return {"datetime"}
+            return {"other"}
+
+        inc = ({include} if isinstance(include, str)
+               else set(include or []))
+        exc = ({exclude} if isinstance(exclude, str)
+               else set(exclude or []))
+        if not inc and not exc:
+            raise ValueError("pass include= and/or exclude=")
+        sch = {f.name: f.dataType for f in self._sdf.schema.fields}
+        cols = [c for c in self._data_cols
+                if (not inc or kind(sch[c]) & inc)
+                and not (kind(sch[c]) & exc)]
+        return self[cols] if cols else self._replace_sdf(
+            self._sdf.select(*[c for c in self._sdf.columns
+                               if c not in self._data_cols]),
+            data_cols=[])
+
+    def insert(self, loc: int, column: str, value) -> None:
+        """In-place column insertion at position ``loc`` (pandas
+        ``DataFrame.insert``)."""
+        if column in self._data_cols:
+            raise ValueError(f"column {column!r} already exists")
+        if not 0 <= loc <= len(self._data_cols):
+            raise IndexError(f"loc {loc} out of bounds")
+        self[column] = value
+        cols = self._data_cols
+        cols.insert(loc, cols.pop())
+
+    def pop(self, column: str) -> Series:
+        """Remove ``column`` in place and return it as a Series
+        (pandas ``DataFrame.pop``)."""
+        self._check_cols([column])
+        out = self[column]
+        self._data_cols = [c for c in self._data_cols if c != column]
+        return out
+
     def rename(self, columns: dict | None = None, *,
                mapper: dict | None = None) -> "DataFrame":
         """Rename columns from a ``{old: new}`` dict — positional or

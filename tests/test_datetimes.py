@@ -106,3 +106,46 @@ def test_dt_floor_multiples_and_subsecond_parity(bl):
                                             .replace("S", "s")
                                             .replace("D", "D"))]
         assert got == want, (f, got, want)
+
+
+def test_dt_calendar_flags_match_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    ts = pd.to_datetime(pd.Series(
+        ["2024-02-29 10:30:45.123456", "2023-12-31 23:59:59",
+         "2024-01-01 00:00:00", "2024-04-01 12:00:00",
+         "2024-06-30 23:59:59"]), format="mixed")
+    s = bl.DataFrame({"t": ts.to_numpy()})["t"]
+    p = pd.Series(ts)
+    for m in ("microsecond", "days_in_month", "is_month_start",
+              "is_month_end", "is_quarter_start", "is_quarter_end",
+              "is_year_start", "is_year_end", "is_leap_year"):
+        got = [int(v) for v in getattr(s.dt, m)().to_pandas()]
+        want = [int(v) for v in getattr(p.dt, m)]
+        assert got == want, m
+    assert s.dt.day_name().to_pandas().tolist() == \
+        p.dt.day_name().tolist()
+    assert s.dt.month_name().to_pandas().tolist() == \
+        p.dt.month_name().tolist()
+    assert s.dt.normalize().to_pandas().tolist() == \
+        p.dt.normalize().tolist()
+
+
+def test_to_datetime_faces(bl):
+    import numpy as np
+    import pandas as pd
+    raw = ["2024-02-29 10:30:45", "bad", "2023-01-02 03:04:05", None]
+    sr = bl.DataFrame({"v": np.array(raw, dtype=object)})["v"]
+    got = bl.to_datetime(sr, errors="coerce").to_pandas()
+    want = pd.to_datetime(pd.Series(raw), errors="coerce")
+    assert got.notna().tolist() == want.notna().tolist()
+    assert got.iloc[0] == want.iloc[0]
+    fr = ["29/02/2024 10:30", "01/12/2023 05:06"]
+    sr2 = bl.DataFrame({"v": np.array(fr, dtype=object)})["v"]
+    assert bl.to_datetime(sr2, format="%d/%m/%Y %H:%M").to_pandas() \
+        .tolist() == pd.to_datetime(pd.Series(fr),
+                                    format="%d/%m/%Y %H:%M").tolist()
+    nums = [1700000000, 1600000000]
+    sr3 = bl.DataFrame({"v": np.array(nums, dtype=np.int64)})["v"]
+    assert bl.to_datetime(sr3, unit="s").to_pandas().tolist() == \
+        pd.to_datetime(pd.Series(nums), unit="s").tolist()

@@ -991,3 +991,18 @@ def test_frame_rolling_expanding_match_pandas(bl):
     import pytest
     with pytest.raises(ValueError):
         df.rolling(3).min()
+
+
+def test_select_dtypes_insert_pop(bl):
+    import numpy as np
+    df = bl.DataFrame({"a": np.array([1., 2.]),
+                       "b": np.array(["x", "y"], dtype=object),
+                       "c": np.array([1, 2], dtype=np.int64)})
+    assert df.select_dtypes("number").columns == ["a", "c"]
+    assert df.select_dtypes(exclude="object").columns == ["a", "c"]
+    assert df.select_dtypes("object").columns == ["b"]
+    df.insert(1, "z", df["a"] * 2)
+    assert df.columns == ["a", "z", "b", "c"]
+    popped = df.pop("z")
+    assert df.columns == ["a", "b", "c"]
+    assert popped.to_pandas().tolist() == [2.0, 4.0]
