@@ -671,6 +671,42 @@ class DataFrame:
             f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
         return Series._make(out, F.col("__agg__"), [_IDX], "all", None)
 
+    def idxmax(self) -> Series:
+        """Per-column index label of the maximum (pandas
+        ``DataFrame.idxmax``) — ONE aggregate job for every numeric
+        column: ``max_by(label, (value, -position))`` picks the max
+        value and breaks ties on the smallest logical position
+        (pandas' first-occurrence rule). All-null columns yield NULL
+        (pandas raises; the engine's lazy shape keeps the row)."""
+        return self._idx_row(ascending=False)
+
+    def idxmin(self) -> Series:
+        return self._idx_row(ascending=True)
+
+    def _idx_row(self, ascending: bool) -> Series:
+        from ..plans.ordinal import POS_COL, with_dense_ordinal
+        idx = (self._index_cols[0] if self._index_cols
+               and self._index_cols[0] in self._sdf.columns else None)
+        sdf = with_dense_ordinal(self._sdf,
+                                 order_exprs(self._order or [],
+                                             self._sdf.columns) or None,
+                                 name=POS_COL)
+        label = F.col(idx) if idx else F.col(POS_COL)
+        cols = self._numeric_cols()
+        aggs = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            key = F.when(v.isNotNull(), F.struct(
+                (v if not ascending else -v).alias("v"),
+                (-F.col(POS_COL)).alias("np")))
+            aggs.append(F.max_by(label, key).cast("double").alias(c))
+        row_df = sdf.agg(*aggs)
+        pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+        out = row_df.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
+        return Series._make(out, F.col("__agg__"), [_IDX],
+                            "idxmin" if ascending else "idxmax", None)
+
     # ------------------------------------------------------ positional ops
 
     def _ordered_sdf(self) -> SparkDF:
@@ -923,19 +959,27 @@ class DataFrame:
             raise ValueError(f"how must be 'any' or 'all', got {how!r}")
         return self._replace_sdf(self._sdf.dropna(how=how, subset=subset))
 
-    def ffill(self, subset=None, partition_by=None) -> "DataFrame":
+    def ffill(self, subset=None, partition_by=None,
+              limit: int | None = None) -> "DataFrame":
         """Forward-fill nulls along the logical order (pandas ffill).
         ``partition_by`` keeps the fill per group (one keyed shuffle);
         without it the global carry-forward runs through the
         partition-safe boundary-carry scheme
         (:func:`~baloo_spark.plans.ordinal.with_last_non_null`) — no
-        single-partition collapse either way."""
-        return self._directional_fill(subset, partition_by, forward=True)
+        single-partition collapse either way. ``limit`` caps the fill
+        distance in rows (pandas): the carry rides a (position,
+        value) struct and donors farther than ``limit`` are
+        discarded."""
+        return self._directional_fill(subset, partition_by,
+                                      forward=True, limit=limit)
 
-    def bfill(self, subset=None, partition_by=None) -> "DataFrame":
-        return self._directional_fill(subset, partition_by, forward=False)
+    def bfill(self, subset=None, partition_by=None,
+              limit: int | None = None) -> "DataFrame":
+        return self._directional_fill(subset, partition_by,
+                                      forward=False, limit=limit)
 
-    def _directional_fill(self, subset, partition_by, forward: bool):
+    def _directional_fill(self, subset, partition_by, forward: bool,
+                          limit: int | None = None):
         from pyspark.sql import Window
 
         from ..plans.ordinal import (POS_COL, with_dense_ordinal,
@@ -957,15 +1001,42 @@ class DataFrame:
             # = the same carry over the reversed order.
             ob = (order_exprs(pairs) if forward
                   else rev_order_exprs(pairs))
-            sdf = with_last_non_null(sdf, {c: F.col(c) for c in subset},
-                                     ob)
+            if limit is None:
+                sdf = with_last_non_null(
+                    sdf, {c: F.col(c) for c in subset}, ob)
+            else:
+                # bounded fill: carry (fresh dense position, value)
+                # structs — null where the value is null so the carry
+                # skips them — and discard donors beyond `limit` rows
+                sdf = with_dense_ordinal(sdf, order_exprs(pairs),
+                                         name="__fp__")
+                sdf = with_last_non_null(sdf, {
+                    f"__lf_{c}__": F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(F.col("__fp__").alias("p"),
+                                 F.col(c).alias("v")))
+                    for c in subset},
+                    [F.col("__fp__").asc() if forward
+                     else F.col("__fp__").desc()])
+                for c in subset:
+                    s = F.col(f"__lf_{c}__")
+                    dist = ((F.col("__fp__") - s["p"]) if forward
+                            else (s["p"] - F.col("__fp__")))
+                    sdf = sdf.withColumn(
+                        c, F.coalesce(F.col(c),
+                                      F.when(dist <= limit, s["v"]))) \
+                        .drop(f"__lf_{c}__")
+                sdf = sdf.drop("__fp__")
         else:
             order = order_exprs(pairs)
             w = Window.partitionBy(*partition_by)
+            lo = (Window.unboundedPreceding if limit is None
+                  else -limit)
+            hi = Window.unboundedFollowing if limit is None else limit
             if forward:
-                w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+                w = w.orderBy(*order).rowsBetween(lo, 0)
             else:
-                w = w.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+                w = w.orderBy(*order).rowsBetween(0, hi)
             fn = F.last if forward else F.first
             for c in subset:
                 sdf = sdf.withColumn(c, fn(c, ignorenulls=True).over(w))

@@ -757,6 +757,23 @@ class Series:
         return Series._make(out, F.col("__cnt__"), [alias], name,
                             [("__cnt__", ascending)])
 
+    def ffill(self, limit: int | None = None) -> "Series":
+        """Forward-fill (pandas ``Series.ffill``) — the frame's
+        partition-safe carry machinery on this one column."""
+        return self._fill(forward=True, limit=limit)
+
+    def bfill(self, limit: int | None = None) -> "Series":
+        return self._fill(forward=False, limit=limit)
+
+    def _fill(self, forward: bool, limit):
+        from .frame import DataFrame
+        sdf = self._sdf.withColumn("__fv__", self._colexpr)
+        tmp = DataFrame._make(sdf, self._index_cols, ["__fv__"],
+                              self._order)
+        out = tmp._directional_fill(["__fv__"], None, forward, limit)
+        return Series._make(out._sdf, F.col("__fv__"),
+                            self._index_cols, self.name, self._order)
+
     def autocorr(self, lag: int = 1):
         """Lag-N self-correlation (pandas ``Series.autocorr``):
         Pearson between the series and itself shifted. The shift

@@ -1006,3 +1006,34 @@ def test_select_dtypes_insert_pop(bl):
     popped = df.pop("z")
     assert df.columns == ["a", "b", "c"]
     assert popped.to_pandas().tolist() == [2.0, 4.0]
+
+
+def test_fill_limit_and_frame_idx(bl):
+    """ffill/bfill limit= (bounded carry: (position, value) structs
+    through the same two-pass scheme) and frame idxmax/idxmin (one
+    max_by aggregate per column, first-occurrence ties)."""
+    import numpy as np
+    import pandas as pd
+    v = [np.nan, 1., np.nan, np.nan, 4., np.nan, np.nan, np.nan, 2.]
+    s = bl.DataFrame({"v": np.array(v)})["v"]
+    p = pd.Series(v)
+    for lim in (None, 1, 2):
+        assert s.ffill(limit=lim).to_pandas().fillna(-9).tolist() == \
+            p.ffill(limit=lim).fillna(-9).tolist(), f"ffill {lim}"
+        assert s.bfill(limit=lim).to_pandas().fillna(-9).tolist() == \
+            p.bfill(limit=lim).fillna(-9).tolist(), f"bfill {lim}"
+    pdf = pd.DataFrame({"g": ["a", "a", "a", "b", "b", "b"],
+                        "x": [1., np.nan, np.nan, np.nan, 5., np.nan]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    got = df.ffill(subset=["x"], partition_by="g", limit=1) \
+        .to_pandas()["x"].fillna(-9).tolist()
+    want = pdf.groupby("g")["x"].transform(
+        lambda t: t.ffill(limit=1)).fillna(-9).tolist()
+    assert got == want
+    pdf2 = pd.DataFrame({"x": [1., 5., 3., np.nan],
+                         "y": [9., 2., 9., 4.]})
+    d2 = bl.DataFrame(pdf2.to_dict("list"))
+    got = d2.idxmax().to_pandas()
+    assert dict(zip(got.index, got)) == dict(pdf2.idxmax())
+    got = d2.idxmin().to_pandas()
+    assert dict(zip(got.index, got)) == dict(pdf2.idxmin())
