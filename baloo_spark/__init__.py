@@ -139,12 +139,34 @@ def qcut(x: "Series", q, labels=None, duplicates: str = "raise",
     return x.qcut(q, labels=labels, duplicates=duplicates, **kw)
 
 
-_STRFTIME_TO_JAVA = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
-    ("%f", "SSSSSS"), ("%j", "DDD"), ("%p", "a"), ("%z", "XX"),
-    ("%%", "%"),
-]
+def date_range(start, end=None, periods=None, freq: str = "D",
+               name: str | None = None) -> "Series":
+    """Distributed ``pd.date_range`` for fixed-width frequencies:
+    ``spark.range`` over the period count with exact
+    epoch-microsecond arithmetic — a billion-row grid never touches
+    the driver. Pass ``end`` (inclusive, pandas flavor) or
+    ``periods``."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .core.datetimes import freq_to_us
+    from .core.series import _VAL
+    from .plans.ordinal import ORD_COL
+
+    if (end is None) == (periods is None):
+        raise ValueError("pass exactly one of end= or periods=")
+    us = freq_to_us(freq)
+    s_us = pd.Timestamp(start).value // 1000
+    if periods is None:
+        e_us = pd.Timestamp(end).value // 1000
+        periods = 0 if e_us < s_us else (e_us - s_us) // us + 1
+    sdf = get_session().range(int(periods)).select(
+        F.col("id").alias(ORD_COL),
+        F.timestamp_micros(F.lit(s_us) + F.col("id") * F.lit(us))
+        .alias(_VAL))
+    from pyspark.sql import functions as _F
+    return Series._make(sdf, _F.col(_VAL), [ORD_COL], name,
+                        [(ORD_COL, True)])
 
 
 def to_datetime(arg: "Series", format: str | None = None,
@@ -168,8 +190,10 @@ def to_datetime(arg: "Series", format: str | None = None,
         return arg._with_col(fn(arg._colexpr.cast(cast)))
     fmt = format
     if fmt is not None and "%" in fmt:
-        for c_code, java in _STRFTIME_TO_JAVA:
-            fmt = fmt.replace(c_code, java)
+        # shares strftime's translator (literal runs quoted so stray
+        # letters aren't read as Java directives)
+        from .core.datetimes import DatetimeMethods
+        fmt = DatetimeMethods._c_to_java(fmt)
     if fmt is None:
         parse = (F.try_to_timestamp if errors == "coerce"
                  else F.to_timestamp)

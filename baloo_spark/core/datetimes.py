@@ -236,3 +236,22 @@ class DatetimeMethods:
     def unix(self):
         """Seconds since epoch (engine extension)."""
         return self._map(F.unix_timestamp)
+
+
+def freq_to_us(freq: str) -> int:
+    """Fixed-width pandas offset alias (optionally with a multiple,
+    '15min'/'2H'/'30S') to exact microseconds — the grid arithmetic
+    behind ``bl.date_range`` and ``DataFrame.resample``. Anchored
+    frequencies (weeks, months) are not fixed-width and raise."""
+    import re
+    m = re.fullmatch(r"(\d*)\s*([A-Za-z]+)", freq)
+    unit = m.group(2) if m else None
+    if unit not in DatetimeMethods._FIXED_US:
+        raise ValueError(
+            f"unsupported fixed-width frequency {freq!r}; one of "
+            f"{sorted(set(DatetimeMethods._FIXED_US))} with an "
+            "optional integer multiple")
+    n = int(m.group(1) or 1)
+    if n < 1:
+        raise ValueError("frequency multiple must be >= 1")
+    return n * DatetimeMethods._FIXED_US[unit]

@@ -1732,6 +1732,17 @@ class DataFrame:
         return DataFrame._make(out, self._index_cols,
                                self._data_cols + [name], self._order)
 
+    def resample(self, freq: str, on: str):
+        """Time-bucket aggregation (pandas ``df.resample(freq,
+        on=...)`` for fixed-width frequencies): floor ``on`` to
+        exact epoch-microsecond buckets, ONE hash-agg shuffle, then
+        left-join a ``spark.range``-generated bucket grid so empty
+        buckets appear like pandas (0 for sum/count, NULL
+        otherwise). The grid is (max-min)/freq rows built
+        distributed — only the two boundary timestamps touch the
+        driver."""
+        return _Resampler(self, freq, on)
+
     def rolling(self, window: int, min_periods: int | None = None):
         """Trailing fixed-size windows over EVERY numeric column
         (pandas ``DataFrame.rolling``): ``.sum() .mean() .count()
@@ -2228,6 +2239,64 @@ class _FrameRolling:
             num = F.greatest(q - s * s / c, F.lit(0.0))
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+
+class _Resampler:
+    """Time-bucket aggregation face (see :meth:`DataFrame.resample`).
+    ``.sum/mean/count/min/max/var/std`` aggregate every numeric
+    column per bucket; gap buckets are generated, not collected."""
+
+    def __init__(self, df: DataFrame, freq: str, on: str):
+        from ..core.datetimes import freq_to_us
+        df._check_cols([on])
+        self._df = df
+        self._on = on
+        self._us = freq_to_us(freq)
+
+    def _agg(self, name: str):
+        import pandas as pd
+
+        df, on, us = self._df, self._on, self._us
+        sdf = df._sdf
+        t = F.col(on).cast("timestamp")
+        usc = F.unix_micros(t)
+        rem = ((usc % us) + us) % us  # floor toward -inf, pre-epoch OK
+        bucket = F.timestamp_micros(usc - rem)
+        num = [c for c in df._numeric_cols() if c != on]
+        aggs = []
+        for c in num:
+            v = F.col(c).cast("double") if name != "count" else F.col(c)
+            aggs.append(_AGG_FNS[name](v).cast(
+                "long" if name == "count" else "double").alias(c))
+        aggd = (sdf.select(bucket.alias("__bkt__"), *num)
+                .groupBy("__bkt__").agg(*aggs))
+        rng = aggd.agg(F.min("__bkt__").alias("mn"),
+                       F.max("__bkt__").alias("mx")).first()
+        if rng["mn"] is None:
+            out = aggd.withColumnRenamed("__bkt__", on)
+            return DataFrame._make(out, [on], num, None)
+        mn_us = pd.Timestamp(rng["mn"]).value // 1000
+        mx_us = pd.Timestamp(rng["mx"]).value // 1000
+        nb = (mx_us - mn_us) // us + 1
+        grid = sdf.sparkSession.range(int(nb)).select(
+            F.timestamp_micros(F.lit(mn_us) + F.col("id") * F.lit(us))
+            .alias("__bkt__"))
+        out = grid.join(aggd, "__bkt__", "left")
+        if name in ("sum", "count"):  # pandas fills these gaps with 0
+            for c in num:
+                out = out.withColumn(c, F.coalesce(
+                    F.col(c), F.lit(0).cast(
+                        "long" if name == "count" else "double")))
+        out = out.withColumnRenamed("__bkt__", on).orderBy(on)
+        return DataFrame._make(out, [on], num, [(on, True)])
+
+    def sum(self): return self._agg("sum")
+    def mean(self): return self._agg("mean")
+    def count(self): return self._agg("count")
+    def min(self): return self._agg("min")
+    def max(self): return self._agg("max")
+    def var(self): return self._agg("var")
+    def std(self): return self._agg("std")
 
 
 class _FrameLoc:

@@ -149,3 +149,42 @@ def test_to_datetime_faces(bl):
     sr3 = bl.DataFrame({"v": np.array(nums, dtype=np.int64)})["v"]
     assert bl.to_datetime(sr3, unit="s").to_pandas().tolist() == \
         pd.to_datetime(pd.Series(nums), unit="s").tolist()
+
+
+def test_date_range_matches_pandas(bl):
+    """bl.date_range: spark.range grid with exact epoch-us
+    arithmetic — end-inclusive, multiples, never driver-side."""
+    import pandas as pd
+    for kw, pkw in ((dict(end="2024-01-10"), dict(end="2024-01-10")),
+                    (dict(periods=5), dict(periods=5)),
+                    (dict(end="2024-01-02 06:00", freq="2H"),
+                     dict(end="2024-01-02 06:00", freq="2h")),
+                    (dict(periods=4, freq="15min"),
+                     dict(periods=4, freq="15min"))):
+        got = bl.date_range("2024-01-01", **kw).to_pandas().tolist()
+        want = pd.date_range("2024-01-01", **pkw).tolist()
+        assert got == want, kw
+
+
+def test_resample_matches_pandas(bl):
+    """DataFrame.resample: bucket hash-agg + generated gap grid
+    (sum/count gaps 0, others NULL — pandas fills)."""
+    import numpy as np
+    import pandas as pd
+    ts = pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:40",
+                         "2024-01-01 02:10", "2024-01-01 02:20",
+                         "2024-01-01 04:59"])
+    pdf = pd.DataFrame({"t": ts, "v": [1., 2., 3., np.nan, 5.],
+                        "w": [10., 20., 30., 40., 50.]})
+    df = bl.DataFrame({"t": ts.to_numpy(), "v": pdf["v"].to_numpy(),
+                       "w": pdf["w"].to_numpy()})
+    for agg in ("sum", "mean", "count", "min", "max", "var", "std"):
+        got = getattr(df.resample("1H", on="t"), agg)() \
+            .to_pandas().reset_index()
+        want = getattr(pdf.resample("1h", on="t"), agg)()
+        assert got["t"].tolist() == want.index.tolist(), agg
+        for c in ("v", "w"):
+            np.testing.assert_allclose(
+                got[c].fillna(-9e9).to_numpy(dtype=float),
+                want[c].fillna(-9e9).to_numpy(dtype=float),
+                err_msg=f"{agg} {c}")
