@@ -61,11 +61,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         .rename(columns={"bucket": "ts"}),
         on="ts", direction="backward")
 
+    # 5. resample face: the same grid as a one-liner — exact-width
+    #    buckets, one hash-agg, gap buckets generated (not collected)
+    res = ev[["ts", "value"]].resample("1H", on="ts").mean()
+
+    # 6. exponentially-weighted trend: the decayed-carry scan (pandas
+    #    C kernel per partition + an n_partitions driver carry); an
+    #    EWM is NOT a prefix sum, so this is its own two-pass scheme
+    ewm_last = (sr.ewm(span=8).mean().tail(1).to_pandas().iloc[0]
+                if len(feats) else None)
+
+    # 7. expanding (since-inception) statistics — prefix scans only,
+    #    min/max included (unlike fixed rolling windows they
+    #    decompose)
+    exp_max = sr.expanding().max().tail(1).to_pandas().iloc[0] \
+        if len(feats) else None
+
     out = enriched.to_pandas()
     summary = {
         "events": int(len(out)),
         "buckets": int(len(feats)),
         "with_features": int(out["roll_mean_closed_right"].notna().sum()),
+        "hourly_buckets": int(len(res)),
+        "ewm_last": None if ewm_last is None else round(float(ewm_last), 6),
+        "expanding_max": None if exp_max is None else round(float(exp_max), 6),
     }
     print(json.dumps(summary))
     return summary
