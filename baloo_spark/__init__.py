@@ -126,6 +126,26 @@ def get_dummies(data, prefix=None, prefix_sep: str = "_",
     return DataFrame._make(out, df._index_cols, data_cols, df._order)
 
 
+def crosstab(index: "Series", columns: "Series") -> "DataFrame":
+    """pandas-style ``pd.crosstab(a, b)`` frequency table. The two
+    Series align like every pairwise statistic (same frame, shared
+    index join, or positional), then Spark's native
+    ``stat.crosstab`` builds the contingency table in one pass —
+    distinct values of ``columns`` become result columns, so keep
+    that side low-cardinality (Spark caps at 10k distinct)."""
+    na = index.name or "a"
+    nb = columns.name or "b"
+    sdf, a, b = index._pair_sdf(columns)
+    ct = (sdf.select(a.cast("string").alias(na),
+                     b.cast("string").alias(nb))
+          .stat.crosstab(na, nb))
+    key = f"{na}_{nb}"
+    ct = ct.orderBy(key)
+    return DataFrame._make(ct, [key],
+                           [c for c in ct.columns if c != key],
+                           [(key, True)])
+
+
 def cut(x: "Series", bins, labels=None, right: bool = True) -> "Series":
     """Top-level ``pd.cut`` spelling — delegates to
     :meth:`Series.cut`."""
@@ -254,4 +274,5 @@ __all__ = [
     "exp", "log", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "erf", "raw", "sort", "load_cudf", "concat",
     "sql", "merge_asof", "get_dummies", "cut", "qcut", "to_datetime",
+    "date_range", "crosstab",
 ]

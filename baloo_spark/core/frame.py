@@ -1479,7 +1479,8 @@ class DataFrame:
               suffixes=("_x", "_y"), algorithm: str = "merge",
               is_on_sorted: bool = False, is_on_unique: bool = True,
               broadcast_other: bool = False, left_on=None,
-              right_on=None, indicator=False) -> "DataFrame":
+              right_on=None, indicator=False,
+              validate: str | None = None) -> "DataFrame":
         """DB-style equi-join (frame.py:798-925).
 
         The reference implements ONLY a single-threaded sort-merge join
@@ -1535,6 +1536,32 @@ class DataFrame:
 
         left = prep(self, on)
         right = prep(other, on)
+        if validate is not None:
+            # pandas validate=: an OPT-IN pair of tiny aggregate jobs
+            # (count vs distinct count over the keys per side) — the
+            # check is eager by nature, so it only runs when asked
+            checks = {"1:1": (True, True), "one_to_one": (True, True),
+                      "1:m": (True, False), "one_to_many": (True, False),
+                      "m:1": (False, True), "many_to_one": (False, True),
+                      "m:m": (False, False),
+                      "many_to_many": (False, False)}
+            if validate not in checks:
+                raise ValueError(f"unknown validate {validate!r}")
+            lu, ru = checks[validate]
+
+            def _unique(keys_sdf, side):
+                # distinct() keeps NULL keys as values — consistent
+                # with the null-safe join where NULL keys match
+                n = keys_sdf.count()
+                d = keys_sdf.distinct().count()
+                if d < n:
+                    raise ValueError(
+                        f"Merge keys are not unique in {side} "
+                        f"dataset; not a {validate} merge")
+            if lu:
+                _unique(left.select(*on), "left")
+            if ru:
+                _unique(right.select(*on), "right")
         # suffix non-key collisions (frame.py:911-919, _x/_y)
         overlap = [c for c in left.columns if c in right.columns and c not in on]
         for c in overlap:
@@ -1932,6 +1959,106 @@ class DataFrame:
                     out.loc[a, b] = out.loc[b, a] = \
                         float("nan") if v is None else v
         return out
+
+    def cov(self) -> "pd.DataFrame":
+        """Pairwise sample-covariance matrix of the numeric columns
+        (pandas ``DataFrame.cov``) — all n·(n+1)/2 covar/var
+        aggregates in ONE Spark job; the k×k result is
+        statistics-sized pandas."""
+        import pandas as pd
+
+        from .series import _is_numeric
+        sch = {f.name: f.dataType for f in self._sdf.schema.fields}
+        cols = [c for c in self._data_cols if _is_numeric(sch[c])]
+        exprs = [F.var_samp(F.col(c).cast("double")).alias(f"v_{i}")
+                 for i, c in enumerate(cols)]
+        exprs += [F.covar_samp(F.col(a).cast("double"),
+                               F.col(b).cast("double"))
+                  .alias(f"{i}_{j}")
+                  for i, a in enumerate(cols)
+                  for j, b in enumerate(cols) if i < j]
+        if not cols:
+            return pd.DataFrame(index=cols, columns=cols, dtype=float)
+        row = self._sdf.agg(*exprs).first()
+        out = pd.DataFrame(0.0, index=cols, columns=cols)
+        for i, a in enumerate(cols):
+            v = row[f"v_{i}"]
+            out.loc[a, a] = float("nan") if v is None else v
+            for j, b in enumerate(cols):
+                if i < j:
+                    v = row[f"{i}_{j}"]
+                    out.loc[a, b] = out.loc[b, a] = \
+                        float("nan") if v is None else v
+        return out
+
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False) -> "DataFrame":
+        """Per-column global rank (pandas ``DataFrame.rank``): every
+        numeric column runs the same partition-safe scheme as
+        ``Series.rank`` — one ordered two-pass dense-ordinal layout
+        per column (the cost pandas pays as one argsort per column),
+        value-partitioned tie windows, never an unpartitioned
+        window. All columns ride ONE chained lazy plan (the whole
+        frame flows through each layout); NULLs stay unranked, and
+        pct divides by per-column non-null counts gathered in one
+        broadcast aggregate."""
+        from pyspark.sql import Window
+
+        from ..plans.ordinal import with_dense_ordinal
+        if method not in ("average", "min", "max", "first", "dense"):
+            raise ValueError(f"unknown rank method {method!r}")
+        num = self._numeric_cols()
+        if not num:
+            return self
+        sdf = self._sdf
+        order = order_exprs(self._order or [], sdf.columns)
+        sdf = with_dense_ordinal(sdf, order or None, name="__rkp__")
+        from functools import reduce
+        for c in num:
+            vo = (F.col(c).asc_nulls_last() if ascending
+                  else F.col(c).desc_nulls_last())
+            if method == "dense":
+                dv = sdf.select(F.col(c).alias("__dv__")) \
+                    .filter(F.col("__dv__").isNotNull()).distinct()
+                keyed = with_dense_ordinal(
+                    dv, [F.col("__dv__").asc() if ascending
+                         else F.col("__dv__").desc()], name="__dr__")
+                sdf = sdf.join(keyed,
+                               F.col(c).eqNullSafe(F.col("__dv__")),
+                               "left")
+                r = (F.col("__dr__") + 1).cast("double")
+                sdf = sdf.withColumn(f"__rk_{c}__", F.when(
+                    F.col(c).isNotNull(), r)).drop("__dv__", "__dr__")
+                continue
+            sdf = with_dense_ordinal(
+                sdf, [vo, F.col("__rkp__").asc()], name="__rn__")
+            w = Window.partitionBy(F.col(c))
+            if method == "first":
+                r = (F.col("__rn__") + 1).cast("double")
+            elif method == "min":
+                r = (F.min("__rn__").over(w) + 1).cast("double")
+            elif method == "max":
+                r = (F.max("__rn__").over(w) + 1).cast("double")
+            else:
+                r = (F.avg("__rn__").over(w) + 1).cast("double")
+            sdf = sdf.withColumn(f"__rk_{c}__", F.when(
+                F.col(c).isNotNull(), r)).drop("__rn__")
+        if pct:
+            dens = sdf.agg(*[
+                (F.count_distinct(F.col(c)) if method == "dense"
+                 else F.count(F.col(c))).cast("double")
+                .alias(f"__den_{c}__") for c in num])
+            sdf = sdf.crossJoin(F.broadcast(dens))
+            for c in num:
+                sdf = sdf.withColumn(
+                    f"__rk_{c}__",
+                    F.col(f"__rk_{c}__") / F.col(f"__den_{c}__")) \
+                    .drop(f"__den_{c}__")
+        nset = set(num)
+        sel = [(F.col(f"__rk_{cc}__").alias(cc) if cc in nset
+                else F.col(cc)) for cc in self._sdf.columns]
+        return DataFrame._make(sdf.select(*sel), self._index_cols,
+                               self._data_cols, self._order)
 
     def to_view(self, name: str) -> None:
         """Register this frame (index included) as a session temp view

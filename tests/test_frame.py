@@ -1037,3 +1037,48 @@ def test_fill_limit_and_frame_idx(bl):
     assert dict(zip(got.index, got)) == dict(pdf2.idxmax())
     got = d2.idxmin().to_pandas()
     assert dict(zip(got.index, got)) == dict(pdf2.idxmin())
+
+
+def test_frame_rank_cov_crosstab_validate(bl):
+    """DataFrame.rank (all tie methods + pct, strings pass through),
+    DataFrame.cov matrix (one aggregate job), bl.crosstab, and
+    merge validate=."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"x": [3., 1., np.nan, 2., 3.],
+                        "y": [5., 5., 1., 2., np.nan],
+                        "s": list("abcde")})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    for m in ("average", "min", "max", "first", "dense"):
+        for pct in (False, True):
+            got = df.rank(method=m, pct=pct).to_pandas()
+            want = pdf[["x", "y"]].rank(method=m, pct=pct)
+            for c in ("x", "y"):
+                np.testing.assert_allclose(
+                    got[c].fillna(-9).to_numpy(dtype=float),
+                    want[c].fillna(-9).to_numpy(dtype=float),
+                    err_msg=f"{m} pct={pct} {c}")
+            assert got["s"].tolist() == list("abcde")
+    got = df.cov()
+    want = pdf[["x", "y"]].cov()
+    np.testing.assert_allclose(got.fillna(-9).to_numpy(),
+                               want.fillna(-9).to_numpy())
+    a = ["x", "y", "x", "x", "y"]
+    b = ["p", "p", "q", "p", "q"]
+    d2 = bl.DataFrame({"a": np.array(a, dtype=object),
+                       "b": np.array(b, dtype=object)})
+    ct = bl.crosstab(d2["a"], d2["b"]).to_pandas()
+    want = pd.crosstab(pd.Series(a, name="a"), pd.Series(b, name="b"))
+    assert sorted(ct.columns) == sorted(want.columns)
+    for c in want.columns:
+        assert ct[c].astype(int).tolist() == want[c].tolist(), c
+    l = bl.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                      "v": np.array([1., 2.])})
+    r = bl.DataFrame({"k": np.array([2, 2], dtype=np.int64),
+                      "w": np.array([8., 9.])})
+    with pytest.raises(ValueError, match="not unique in right"):
+        l.merge(r, on="k", validate="1:1")
+    assert len(l.merge(r, on="k", validate="1:m").to_pandas()) == 2
+    with pytest.raises(ValueError, match="unknown validate"):
+        l.merge(r, on="k", validate="bogus")
