@@ -571,8 +571,37 @@ class DataFrameGroupBy:
                                self._df._data_cols + added,
                                self._df._order)
 
-    def agg(self, aggregations) -> "DataFrame":
-        """Multi-agg: one shuffle for all (col, agg) pairs."""
+    def agg(self, aggregations=None, **named) -> "DataFrame":
+        """Multi-agg: one shuffle for all (col, agg) pairs. Accepts
+        the list/dict forms and pandas NAMED aggregation —
+        ``agg(total=("v", "sum"), hi=("v", "max"))`` — where each
+        kwarg names an output column built from one (column, agg)
+        pair; callables in the pair are resolved by __name__ like
+        pandas accepts np.sum."""
+        if named:
+            if aggregations is not None:
+                raise ValueError(
+                    "pass positional aggregations OR named ones")
+            from .frame import DataFrame
+            exprs = []
+            for out_name, spec in named.items():
+                if not (isinstance(spec, tuple) and len(spec) == 2):
+                    raise TypeError(
+                        f"named agg {out_name!r} must be a "
+                        "(column, agg) tuple")
+                c, a = spec
+                if callable(a):
+                    a = a.__name__
+                if c not in self._df._data_cols:
+                    raise KeyError(c)
+                src = (F.col(c).cast("double") if a != "count"
+                       else F.col(c))
+                out_t = "long" if a == "count" else "double"
+                exprs.append(_AGG_FNS[a](src).cast(out_t)
+                             .alias(out_name))
+            out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+            data = [e for e in out.columns if e not in self._by]
+            return DataFrame._make(out, list(self._by), data, None)
         if isinstance(aggregations, dict):
             from .frame import DataFrame
             exprs = []

@@ -391,3 +391,28 @@ def test_groupby_window_transforms_match_pandas(bl):
     assert rows(g.tail(2)) == prows(pg.tail(2))
     assert rows(g.nth(1)) == prows(pg.nth(1))
     assert rows(g.nth(-1)) == prows(pg.nth(-1))
+
+
+def test_groupby_named_aggregation(bl):
+    """pandas named aggregation: agg(out=("col", "fn")) kwargs, one
+    shuffle for all pairs; callables resolve by __name__."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [1., 2., 3.],
+                        "w": [5., 6., 7.]})
+    df = bl.DataFrame(pdf.to_dict("list"))
+    got = df.groupby("g").agg(total=("v", "sum"), hi=("w", "max"),
+                              n=("v", "count")).to_pandas().sort_index()
+    want = pdf.groupby("g").agg(total=("v", "sum"), hi=("w", "max"),
+                                n=("v", "count"))
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+    got2 = df.groupby("g").agg(m=("v", np.mean)).to_pandas().sort_index()
+    assert got2["m"].tolist() == \
+        pdf.groupby("g").agg(m=("v", "mean"))["m"].tolist()
+    with pytest.raises(KeyError):
+        df.groupby("g").agg(x=("zz", "sum"))
+    with pytest.raises(TypeError):
+        df.groupby("g").agg(x="sum")
