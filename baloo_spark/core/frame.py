@@ -1198,6 +1198,114 @@ class DataFrame:
         return DataFrame._make(out, [index],
                                [c for c in out.columns if c != index], None)
 
+    def pivot_table(self, values=None, index=None, columns: str = None,
+                    aggfunc="mean", fill_value=None,
+                    margins: bool = False, margins_name: str = "All",
+                    max_columns: int = 10000) -> "DataFrame":
+        """pandas ``pivot_table``: group by ``index``, spread the
+        distinct values of ``columns`` into output columns, aggregate
+        ``values`` with ``aggfunc`` (str or list of str).
+
+        Spark-first shape: the distinct pivot values are collected
+        ONCE (guarded by ``max_columns`` — pivoting is only sane when
+        the spread column is low-cardinality) and passed explicitly to
+        ``groupBy().pivot(col, values)``, so Spark skips its internal
+        distinct job and the output column order is deterministic
+        (sorted, like pandas). The main table is one hash-agg shuffle.
+
+        ``margins=True`` adds the pandas ``All`` row/column: the
+        column margin is a second agg at the same grouping (joined
+        back on the index — same key partitioning, no broadcast of
+        anything that scales), the row margin is a one-row global agg
+        cross-joined in. Index columns are cast to string so the
+        ``margins_name`` label can live in them.
+
+        Naming: a single value+aggfunc keeps bare pivot values as
+        column names (pandas single-level parity); multiple values or
+        aggfuncs flatten pandas' column MultiIndex to
+        ``{pivotval}_{value}_{agg}``.
+        """
+        if index is None or columns is None:
+            raise ValueError("pivot_table needs index= and columns=")
+        index = [index] if isinstance(index, str) else list(index)
+        aggs = [aggfunc] if isinstance(aggfunc, str) else list(aggfunc)
+        if values is None:
+            values = [c for c in self._numeric_cols()
+                      if c not in index and c != columns]
+        values = [values] if isinstance(values, str) else list(values)
+        self._check_cols(index + [columns] + values)
+        if not values:
+            raise ValueError("pivot_table found no value columns")
+
+        pvals = [r[0] for r in
+                 (self._sdf.select(columns)
+                  .where(F.col(columns).isNotNull())
+                  .distinct().limit(max_columns + 1).collect())]
+        if len(pvals) > max_columns:
+            raise ValueError(
+                f"pivot column {columns!r} has more than "
+                f"{max_columns} distinct values — a pivot that wide "
+                "is a reshape bug at scale; raise max_columns= only "
+                "if you mean it")
+        pvals.sort()
+
+        single = len(values) == 1 and len(aggs) == 1
+
+        def agg_exprs(tag_prefix: str = ""):
+            exprs = []
+            for v in values:
+                for a in aggs:
+                    src = (F.col(v) if a == "count"
+                           else F.col(v).cast("double"))
+                    e = _AGG_FNS[a](src).cast(
+                        "long" if a == "count" else "double")
+                    if single:
+                        e = e.alias(tag_prefix) if tag_prefix else e
+                    else:
+                        e = e.alias(f"{tag_prefix}{v}_{a}" if tag_prefix
+                                    else f"{v}_{a}")
+                    exprs.append(e)
+            return exprs
+
+        sdf = self._sdf
+        if margins:
+            sdf = sdf.select(
+                *[F.col(c).cast("string").alias(c) if c in index
+                  else F.col(c) for c in sdf.columns])
+        main = sdf.groupBy(*index).pivot(columns, pvals).agg(*agg_exprs())
+        vcols = [c for c in main.columns if c not in index]
+        if fill_value is not None:
+            main = main.fillna(fill_value, subset=vcols)
+        if margins:
+            mtags = ([margins_name] if single else
+                     [f"{margins_name}_{v}_{a}"
+                      for v in values for a in aggs])
+            colmarg = sdf.groupBy(*index).agg(*(
+                agg_exprs(margins_name) if single
+                else agg_exprs(f"{margins_name}_")))
+            main = main.join(colmarg, index, "left")
+            # one-row All: per-pivot-value aggs x global corner
+            allrow = (sdf.groupBy().pivot(columns, pvals)
+                      .agg(*agg_exprs())
+                      .crossJoin(sdf.groupBy().agg(*(
+                          agg_exprs(margins_name) if single
+                          else agg_exprs(f"{margins_name}_")))))
+            allrow = allrow.select(
+                *[F.lit(margins_name).alias(c) for c in index],
+                *[F.col(c) for c in vcols + mtags],
+                F.lit(1).alias("__mord__"))
+            body = main.select(*index, *vcols, *mtags,
+                               F.lit(0).alias("__mord__"))
+            out = body.unionByName(allrow)
+            vcols = vcols + mtags
+            # hidden __mord__ keeps the All row last; to_pandas only
+            # exports index+data columns, so it never surfaces
+            return DataFrame._make(out, index, vcols,
+                                   [("__mord__", True)]
+                                   + [(c, True) for c in index])
+        return DataFrame._make(main, index, vcols,
+                               [(c, True) for c in index])
+
     def cube(self, by, aggregations: dict) -> "DataFrame":
         """All grouping-set combinations (ANSI CUBE); same shuffle
         profile as groupby."""
@@ -2193,6 +2301,142 @@ class DataFrame:
         idx = [c for c in self._index_cols
                if c in out.columns and c != ORD_COL]
         return DataFrame._make(out, idx, list(self._data_cols), None)
+
+    def stack(self, dropna: bool = True, var_name: str = "variable") -> Series:
+        """pandas ``DataFrame.stack``: fold the data columns into one
+        long Series indexed by (row index..., column name). Built as
+        an array-of-structs + posexplode — a narrow generator, no
+        shuffle — with the element position packed into the composite
+        ordinal so row-major pandas order survives positional ops.
+        Values are coerced to double when every column is numeric,
+        else to string (pandas' object-dtype analogue). ``dropna``
+        (pandas default True) drops NULL cells. The new index level is
+        named ``var_name`` (pandas leaves it unnamed; Spark columns
+        need a name)."""
+        cols = self._data_cols
+        if not cols:
+            raise ValueError("stack needs at least one data column")
+        num = all(_is_numeric(self._sdf.schema[c].dataType)
+                  for c in cols)
+        typ = "double" if num else "string"
+        arr = F.array(*[
+            F.struct(F.lit(c).alias("v"),
+                     F.col(c).cast(typ).alias("x"))
+            for c in cols])
+        others = [c for c in self._sdf.columns if c not in cols]
+        out = self._sdf.select(
+            *[c for c in others if c != ORD_COL],
+            *([F.col(ORD_COL)] if ORD_COL in self._sdf.columns else []),
+            F.posexplode(arr).alias("__spos__", "__sv__"))
+        real_idx = [c for c in self._index_cols
+                    if c in out.columns and c != ORD_COL]
+        sel = [F.col(c) for c in out.columns
+               if c not in (ORD_COL, "__spos__", "__sv__")]
+        if ORD_COL in out.columns:
+            # the source ordinal becomes the exported row label (the
+            # pandas first index level); a composite (source ordinal,
+            # column position) packed ordinal keeps row-major order
+            # deterministic for downstream positional ops. Fan-out is
+            # a FIXED small factor (len(cols) <= 2^21), so explode's
+            # shiftleft packing applies verbatim.
+            if not real_idx:
+                sel.append(F.col(ORD_COL).alias("__srow__"))
+                real_idx = ["__srow__"]
+            sel.append((F.shiftleft(F.col(ORD_COL), 21)
+                        + F.col("__spos__")).alias(ORD_COL))
+        out = out.select(
+            *sel,
+            F.col("__sv__.v").alias(var_name),
+            F.col("__sv__.x").alias("__sval__"))
+        if dropna:
+            out = out.filter(F.col("__sval__").isNotNull())
+        return Series._make(out, F.col("__sval__"),
+                            real_idx + [var_name], None,
+                            [(ORD_COL, True)] if ORD_COL in out.columns
+                            else None)
+
+    def transpose(self, max_rows: int = 10000) -> "DataFrame":
+        """Swap rows and columns (pandas ``.T``). Inherently a
+        driver-side reshape for a columnar engine — the row count
+        becomes the COLUMN count, so it is only meaningful for
+        driver-sized frames (agg outputs, describe tables). Guarded by
+        ``max_rows`` with a count check before anything is collected.
+        Column names come from the stringified index labels."""
+        n = self._sdf.count()
+        if n > max_rows:
+            raise ValueError(
+                f"transpose of a {n}-row frame would create {n} "
+                f"columns (max_rows={max_rows}); transpose is for "
+                "driver-sized frames — aggregate first")
+        pdf = self.to_pandas().T
+        pdf.columns = [str(c) for c in pdf.columns]
+        pdf = pdf.reset_index().rename(columns={"index": "column"})
+        return DataFrame({c: pdf[c].to_numpy() for c in pdf.columns}) \
+            .set_index("column")
+
+    @property
+    def T(self) -> "DataFrame":
+        return self.transpose()
+
+    def update(self, other: "DataFrame", overwrite: bool = True) -> "DataFrame":
+        """pandas ``DataFrame.update`` (returning a new frame — the
+        engine is immutable): overwrite this frame's values with
+        ``other``'s non-null values at matching index labels, shared
+        columns only. Self's row set never changes (left join on the
+        index — co-partitioned keys, nothing driver-sized).
+        ``overwrite=False`` fills only this frame's NULLs instead."""
+        idx = [c for c in self._index_cols
+               if c in self._sdf.columns and c != ORD_COL]
+        oidx = [c for c in other._index_cols
+                if c in other._sdf.columns and c != ORD_COL]
+        if not idx or idx != oidx:
+            raise ValueError(
+                "update needs the same materialized index on both "
+                f"frames (got {idx!r} vs {oidx!r}); set_index first")
+        shared = [c for c in self._data_cols if c in other._data_cols]
+        r = other._sdf.select(
+            *oidx, *[F.col(c).alias(f"__up_{c}__") for c in shared])
+        joined = self._sdf.join(r, idx, "left")
+        sel = []
+        for c in self._sdf.columns:
+            if c in shared:
+                o, s = F.col(f"__up_{c}__"), F.col(c)
+                e = F.coalesce(o, s) if overwrite else F.coalesce(s, o)
+                sel.append(e.alias(c))
+            elif not c.startswith("__up_"):
+                sel.append(F.col(c))
+        return self._replace_sdf(joined.select(*sel))
+
+    def map(self, func, na_action: str | None = None,
+            new_dtype=None) -> "DataFrame":
+        """Elementwise function over every data column (pandas
+        ``DataFrame.map`` / legacy ``applymap``): ONE select applying
+        an Arrow-vectorized pandas UDF per column — never a
+        row-at-a-time Python UDF. Each column keeps its own type
+        unless ``new_dtype`` forces one. The func is called per
+        ELEMENT (the pandas contract) inside Arrow batches — the data
+        moves vectorized, the inner Python loop is the honest cost of
+        an arbitrary scalar callable; prefer ``Series.apply`` with a
+        NumPy-vectorized func on hot paths."""
+        from ..functions._udf import scalar_pandas_udf
+        if na_action not in (None, "ignore"):
+            raise ValueError("na_action must be None or 'ignore'")
+        sel = []
+        for c in self._sdf.columns:
+            if c in self._data_cols:
+                ret = (spark_type_of(new_dtype) if new_dtype is not None
+                       else self._sdf.schema[c].dataType)
+                udf = scalar_pandas_udf(
+                    lambda s, _f=func: s.map(_f, na_action=na_action),
+                    ret)
+                sel.append(udf(F.col(c)).alias(c))
+            else:
+                sel.append(F.col(c))
+        return self._replace_sdf(self._sdf.select(*sel))
+
+    def applymap(self, func, na_action: str | None = None,
+                 new_dtype=None) -> "DataFrame":
+        return self.map(func, na_action=na_action, new_dtype=new_dtype)
 
     def grouping_sets(self, sets: list, aggregations: dict) -> "DataFrame":
         """Explicit GROUPING SETS aggregation (generalizes rollup/

@@ -1354,6 +1354,70 @@ class Series:
         out = sdf.select(alias).distinct()
         return Series._make(out, F.col(alias), [], self.name, None)
 
+    def unstack(self, level: int = -1, max_columns: int = 10000) -> "DataFrame":
+        """pandas ``Series.unstack``: pivot one index level into
+        columns. Needs >= 2 index levels; the chosen level's distinct
+        values are collected once (guarded by ``max_columns`` — the
+        unstacked width must be driver-sized by definition) and passed
+        explicitly to ``groupBy().pivot(...)`` so the plan has no
+        hidden distinct job and the column order is deterministic
+        (sorted, like pandas). One hash-agg shuffle."""
+        from .frame import DataFrame
+        idx = [c for c in self._index_cols if c in self._sdf.columns
+               and c != ORD_COL]
+        if len(idx) < 2:
+            raise ValueError(
+                "unstack needs a MultiIndex (>= 2 index levels); "
+                f"this Series has {idx!r}")
+        lvl = idx[level]
+        remaining = [c for c in idx if c != lvl]
+        sdf, alias = self._select()
+        pvals = [r[0] for r in
+                 (sdf.select(lvl).where(F.col(lvl).isNotNull())
+                  .distinct().limit(max_columns + 1).collect())]
+        if len(pvals) > max_columns:
+            raise ValueError(
+                f"unstack level {lvl!r} has more than {max_columns} "
+                "distinct values; raise max_columns= only if you "
+                "mean a table that wide")
+        pvals.sort()
+        out = (sdf.groupBy(*remaining).pivot(lvl, pvals)
+               .agg(F.first(alias)))
+        return DataFrame._make(
+            out, remaining, [c for c in out.columns
+                             if c not in remaining],
+            [(c, True) for c in remaining])
+
+    def explode(self) -> "Series":
+        """pandas ``Series.explode``: one output row per array
+        element, index labels repeated; NULL/empty arrays yield one
+        NULL row (explode_outer). A narrow generator, no shuffle.
+        Intra-row element order stays deterministic through the same
+        composite (source ordinal, element position) packing the
+        frame's explode uses."""
+        sdf, alias = self._select()
+        others = [c for c in sdf.columns if c != alias]
+        idx = list(self._index_cols)
+        if ORD_COL in sdf.columns:
+            out = sdf.select(
+                *[c for c in others if c != ORD_COL], F.col(ORD_COL),
+                F.posexplode_outer(F.col(alias)).alias("__epos__", alias))
+            if ORD_COL in idx:
+                # pandas repeats the SOURCE index label per element —
+                # export the pre-pack ordinal as the row label; the
+                # packed (source ord, element pos) composite orders
+                out = out.withColumn("__erow__", F.col(ORD_COL))
+                idx = [c if c != ORD_COL else "__erow__" for c in idx]
+            out = out.withColumn(
+                ORD_COL,
+                F.shiftleft(F.col(ORD_COL), 21)
+                + F.coalesce(F.col("__epos__"), F.lit(0))).drop("__epos__")
+            return Series._make(out, F.col(alias), idx, self.name,
+                                [(ORD_COL, True)])
+        out = sdf.select(
+            *others, F.explode_outer(F.col(alias)).alias(alias))
+        return Series._make(out, F.col(alias), idx, self.name, None)
+
     def apply(self, func, mapping: dict | None = None, new_dtype=None, **kwargs):
         """UDF surface (series.py:441-548). Modes:
 

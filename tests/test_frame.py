@@ -1082,3 +1082,123 @@ def test_frame_rank_cov_crosstab_validate(bl):
     assert len(l.merge(r, on="k", validate="1:m").to_pandas()) == 2
     with pytest.raises(ValueError, match="unknown validate"):
         l.merge(r, on="k", validate="bogus")
+
+
+def test_pivot_table_matches_pandas(bl):
+    """pivot_table: single agg, margins, multi value/agg naming,
+    fill_value, and the max_columns guard."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b", "a"],
+                        "c": ["x", "y", "x", "x", "x"],
+                        "v": [1., 2., 3., 4., 5.],
+                        "w": [10., 20., 30., 40., 50.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    got = df.pivot_table(values="v", index="k", columns="c",
+                         aggfunc="mean").to_pandas()
+    want = pdf.pivot_table(values="v", index="k", columns="c",
+                           aggfunc="mean")
+    assert list(got.columns) == list(want.columns)
+    np.testing.assert_allclose(got.fillna(-9).to_numpy(),
+                               want.fillna(-9).to_numpy())
+    gm = df.pivot_table(values="v", index="k", columns="c",
+                        aggfunc="mean", margins=True).to_pandas()
+    wm = pdf.pivot_table(values="v", index="k", columns="c",
+                         aggfunc="mean", margins=True)
+    assert gm.index.tolist() == [str(i) for i in wm.index.tolist()]
+    np.testing.assert_allclose(gm.fillna(-9).to_numpy(),
+                               wm.fillna(-9).to_numpy())
+    multi = df.pivot_table(values=["v", "w"], index="k", columns="c",
+                           aggfunc=["sum", "count"]).to_pandas()
+    wmulti = pdf.pivot_table(values=["v", "w"], index="k",
+                             columns="c", aggfunc=["sum", "count"])
+    # flattened naming {pivotval}_{value}_{agg} vs pandas MultiIndex
+    for (a, v, pv) in wmulti.columns.to_flat_index():
+        col = f"{pv}_{v}_{a}"
+        assert col in multi.columns
+        g = multi[col].fillna(-9).to_numpy(dtype=float)
+        w = wmulti[(a, v, pv)].fillna(-9).to_numpy(dtype=float)
+        np.testing.assert_allclose(g, w, err_msg=col)
+    gf = df.pivot_table(values="v", index="k", columns="c",
+                        aggfunc="sum", fill_value=0).to_pandas()
+    wf = pdf.pivot_table(values="v", index="k", columns="c",
+                         aggfunc="sum", fill_value=0)
+    np.testing.assert_allclose(gf.to_numpy(dtype=float),
+                               wf.to_numpy(dtype=float))
+    with pytest.raises(ValueError, match="distinct values"):
+        df.pivot_table(values="v", index="k", columns="c",
+                       aggfunc="sum", max_columns=1)
+
+
+def test_stack_unstack_match_pandas(bl):
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [1., np.nan, 3.], "b": [4., 5., np.nan]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    got = df.stack().to_pandas()
+    want = pdf.stack()
+    assert got.tolist() == want.tolist()
+    assert [i[0] for i in got.index] == [i[0] for i in want.index]
+    assert [i[1] for i in got.index] == [i[1] for i in want.index]
+    assert df.stack(dropna=False).to_pandas().tolist()[2] != got.tolist()[2]
+    # named index passes through
+    p2 = pdf.copy(); p2["k"] = ["r", "s", "t"]
+    d2 = bl.DataFrame({k: p2[k].to_numpy() for k in p2}).set_index("k")
+    g2 = d2.stack().to_pandas()
+    w2 = p2.set_index("k").stack()
+    assert g2.tolist() == w2.tolist()
+    assert list(g2.index) == list(w2.index)
+    # unstack inverts
+    p3 = pd.DataFrame({"k": ["x", "x", "y", "y"],
+                       "c": ["p", "q", "p", "q"],
+                       "v": [1., 2., 3., 4.]})
+    d3 = bl.DataFrame({k: p3[k].to_numpy() for k in p3}) \
+        .set_index(["k", "c"])
+    gu = d3["v"].unstack().to_pandas()
+    wu = p3.set_index(["k", "c"])["v"].unstack()
+    assert list(gu.columns) == list(wu.columns)
+    np.testing.assert_allclose(gu.to_numpy(), wu.to_numpy())
+
+
+def test_transpose_update_map_explode(bl):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"a": [1., 2.], "b": [3., 4.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    gt = df.transpose().to_pandas()
+    wt = pdf.T
+    assert gt.index.tolist() == wt.index.tolist()
+    np.testing.assert_allclose(gt.to_numpy(), wt.to_numpy())
+    with pytest.raises(ValueError, match="max_rows"):
+        df.transpose(max_rows=1)
+    # update
+    l = pd.DataFrame({"k": [1, 2, 3], "v": [10., np.nan, 30.],
+                      "w": [1., 2., 3.]}).set_index("k")
+    r = pd.DataFrame({"k": [2, 3, 4],
+                      "v": [99., np.nan, 77.]}).set_index("k")
+    bla = bl.DataFrame({"k": np.array([1, 2, 3]),
+                        "v": np.array([10., np.nan, 30.]),
+                        "w": np.array([1., 2., 3.])}).set_index("k")
+    blb = bl.DataFrame({"k": np.array([2, 3, 4]),
+                        "v": np.array([99., np.nan, 77.])}).set_index("k")
+    for ov in (True, False):
+        got = bla.update(blb, overwrite=ov).to_pandas().sort_index()
+        want = l.copy(); want.update(r, overwrite=ov)
+        np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
+    # map (elementwise scalar func, na_action)
+    pm = pd.DataFrame({"a": [1., np.nan], "b": [3., 4.]})
+    dm = bl.DataFrame({k: pm[k].to_numpy() for k in pm})
+    gmap = dm.map(lambda x: x + 1, na_action="ignore").to_pandas()
+    wmap = pm.map(lambda x: x + 1, na_action="ignore")
+    np.testing.assert_allclose(gmap.fillna(-9).to_numpy(),
+                               wmap.fillna(-9).to_numpy())
+    # Series.explode
+    ps = pd.Series([[1, 2], [3], [], None])
+    bs = bl.Series(np.array([[1, 2], [3], [], None], dtype=object))
+    gexp = bs.explode().to_pandas()
+    wexp = ps.explode()
+    assert gexp.fillna(-9).tolist() == \
+        wexp.fillna(-9).astype(float).tolist()
+    assert gexp.index.tolist() == wexp.index.tolist()
