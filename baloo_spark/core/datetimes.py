@@ -186,6 +186,69 @@ class DatetimeMethods:
                 f"multiple like '15min'")
         return self._map(lambda c: F.date_trunc(unit, c))
 
+    def _fixed_width_us(self, freq: str, what: str) -> int:
+        """Parse a FIXED-width pandas frequency ('min', '15min', '2H',
+        'ms', ...) to its microsecond width. ceil/round only make
+        sense for fixed widths (pandas raises on 'M' too)."""
+        import re as _re
+        m = _re.fullmatch(r"(\d+)\s*([A-Za-z]+)", freq)
+        if m and m.group(2) in self._FIXED_US:
+            n = int(m.group(1))
+            if n == 0:
+                raise ValueError(f"{what} frequency multiple must be >= 1")
+            return n * self._FIXED_US[m.group(2)]
+        if freq in self._FIXED_US:
+            return self._FIXED_US[freq]
+        raise ValueError(
+            f"unsupported {what} frequency {freq!r}; a fixed-width "
+            f"unit of {sorted(set(self._FIXED_US))} or a multiple "
+            "like '15min'")
+
+    def _epoch_us_map(self, fn_us):
+        """Apply an exact integer epoch-microsecond transform,
+        reinterpreting TIMESTAMP_NTZ under the pinned-UTC session and
+        casting back to the input type (same scheme as floor)."""
+        sdf, alias = self._sr._select()
+        styp = sdf.schema[alias].dataType.typeName()
+
+        def fn(c):
+            out = F.timestamp_micros(fn_us(F.unix_micros(
+                c.cast("timestamp"))))
+            return out.cast(styp) if styp != "timestamp" else out
+        return self._map(fn)
+
+    def ceil(self, freq: str):
+        """Round up to the next multiple of a fixed frequency (pandas
+        ``dt.ceil``; values already on a boundary stay put). Exact
+        long arithmetic — pre-epoch rows round toward +inf like
+        pandas."""
+        width = self._fixed_width_us(freq, "ceil")
+
+        def up(us):
+            rem = ((us % width) + width) % width
+            return us - rem + F.when(rem > 0, width).otherwise(F.lit(0))
+        return self._epoch_us_map(up)
+
+    def round(self, freq: str):
+        """Round to the nearest multiple of a fixed frequency with
+        pandas' HALF-TO-EVEN tie rule (00:00:30 -> 00:00, 00:01:30 ->
+        00:02 at 'min'). Exact long arithmetic on epoch microseconds;
+        the tie parity check divides an exactly-width-divisible long,
+        safe in double for every fixed width above 'us' (where ties
+        cannot occur)."""
+        width = self._fixed_width_us(freq, "round")
+
+        def near(us):
+            rem = ((us % width) + width) % width
+            base = us - rem
+            even = F.pmod(F.floor(base / F.lit(width)).cast("long"),
+                          F.lit(2)) == 0
+            return (F.when(rem * 2 < width, base)
+                    .when(rem * 2 > width, base + width)
+                    .otherwise(F.when(even, base)
+                               .otherwise(base + width)))
+        return self._epoch_us_map(near)
+
     _STRF = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
              "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
              "%f": "SSSSSS", "%a": "EEE", "%A": "EEEE", "%b": "MMM",

@@ -478,6 +478,10 @@ class Series:
         dt = self.spark_type
         if name == "count":
             return _AGG_FNS[name](col).cast("long")
+        if dt.typeName() == "boolean" and name not in ("min", "max"):
+            # pandas treats bool series as 0/1 in numeric aggs —
+            # .isna().sum() is the canonical null count
+            col = col.cast("double")
         if _is_numeric(dt):
             # reference casts all numeric aggs to f64 (weld_aggs.py:3)
             col = col.cast("double")
@@ -773,6 +777,71 @@ class Series:
         out = tmp._directional_fill(["__fv__"], None, forward, limit)
         return Series._make(out._sdf, F.col("__fv__"),
                             self._index_cols, self.name, self._order)
+
+    def interpolate(self, method: str = "linear", limit: int | None = None,
+                    limit_direction: str | None = None) -> "Series":
+        """Linear interpolation of NULL runs (pandas
+        ``Series.interpolate``): each missing position gets the value
+        on the line between its nearest non-null neighbors; a missing
+        edge (only one neighbor) extends that neighbor's value, gated
+        by ``limit_direction`` exactly like pandas (default
+        'forward': leading NULLs stay NULL, trailing ones extend).
+        ``limit`` bounds how many consecutive NULLs fill, counted
+        from the donor side per direction.
+
+        Partition-safe at scale: ONE dense-ordinal pass, then the
+        same two-pass boundary carry ffill uses — run once forward
+        and once backward carrying (position, value) structs — so no
+        global window; driver state is n_partitions structs per pass.
+        """
+        if method != "linear":
+            raise ValueError(
+                f"only method='linear' is supported, got {method!r}")
+        limit_direction = limit_direction or "forward"
+        if limit_direction not in ("forward", "backward", "both"):
+            raise ValueError(
+                "limit_direction must be 'forward', 'backward' or "
+                f"'both', got {limit_direction!r}")
+        if limit is not None and limit < 1:
+            raise ValueError("limit must be >= 1")
+        from ..plans.ordinal import (POS_COL, with_dense_ordinal,
+                                     with_last_non_null)
+        sdf = self._sdf.withColumn("__iv__",
+                                   self._colexpr.cast("double"))
+        pairs = [(c, a) for c, a in (self._order or [])
+                 if c in sdf.columns]
+        added_pos = False
+        if not pairs:
+            sdf = with_dense_ordinal(sdf, name=POS_COL)
+            pairs = [(POS_COL, True)]
+            added_pos = True
+        sdf = with_dense_ordinal(sdf, order_exprs(pairs), name="__ip__")
+        nn = F.when(F.col("__iv__").isNotNull(),
+                    F.struct(F.col("__ip__").alias("p"),
+                             F.col("__iv__").alias("v")))
+        sdf = with_last_non_null(sdf, {"__iprev__": nn},
+                                 [F.col("__ip__").asc()])
+        sdf = with_last_non_null(sdf, {"__inext__": nn},
+                                 [F.col("__ip__").desc()])
+        p, n, fp = F.col("__iprev__"), F.col("__inext__"), F.col("__ip__")
+        interp = (p["v"] + (n["v"] - p["v"]) * (fp - p["p"])
+                  / (n["p"] - p["p"]))
+        cand = F.when(p.isNotNull() & n.isNotNull(), interp) \
+            .otherwise(F.coalesce(p["v"], n["v"]))
+        fwd = (p.isNotNull() if limit is None
+               else p.isNotNull() & ((fp - p["p"]) <= limit))
+        bwd = (n.isNotNull() if limit is None
+               else n.isNotNull() & ((n["p"] - fp) <= limit))
+        elig = {"forward": fwd, "backward": bwd,
+                "both": fwd | bwd}[limit_direction]
+        res = F.when(F.col("__iv__").isNotNull(), F.col("__iv__")) \
+            .otherwise(F.when(elig, cand))
+        sdf = sdf.withColumn("__ires__", res) \
+            .drop("__iv__", "__iprev__", "__inext__", "__ip__")
+        if added_pos:
+            sdf = sdf.drop(POS_COL)
+        return Series._make(sdf, F.col("__ires__"), self._index_cols,
+                            self.name, self._order)
 
     def autocorr(self, lag: int = 1):
         """Lag-N self-correlation (pandas ``Series.autocorr``):

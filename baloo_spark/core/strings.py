@@ -111,6 +111,31 @@ class StringMethods:
     def endswith(self, pat: str):
         return self._map(lambda c: c.endswith(pat))
 
+    def match(self, pat: str):
+        """Regex match anchored at the START (pandas ``str.match`` =
+        ``re.match``): rlike with a leading anchor. Java regex; the
+        (?U) flag gives Python-parity unicode classes if needed."""
+        return self._map(lambda c: c.rlike(f"^(?:{pat})"))
+
+    def fullmatch(self, pat: str):
+        """Whole-string regex match (pandas ``str.fullmatch``)."""
+        return self._map(lambda c: c.rlike(f"^(?:{pat})$"))
+
+    def removeprefix(self, prefix: str):
+        """Drop ``prefix`` when present (pandas/str.removeprefix)."""
+        n = len(prefix)
+        return self._map(
+            lambda c: F.when(c.startswith(prefix),
+                             c.substr(F.lit(n + 1), F.length(c)))
+            .otherwise(c))
+
+    def removesuffix(self, suffix: str):
+        n = len(suffix)
+        return self._map(
+            lambda c: F.when(c.endswith(suffix),
+                             c.substr(F.lit(1), F.length(c) - n))
+            .otherwise(c))
+
     def find(self, sub: str, start: int = 0, end: int | None = None):
         """First index of ``sub`` in [start, end), else -1
         (strings.py:143-169); negative start/end count from the end

@@ -188,3 +188,26 @@ def test_resample_matches_pandas(bl):
                 got[c].fillna(-9e9).to_numpy(dtype=float),
                 want[c].fillna(-9e9).to_numpy(dtype=float),
                 err_msg=f"{agg} {c}")
+
+
+def test_dt_ceil_round_match_pandas(bl):
+    """dt.ceil (boundary stays) and dt.round (pandas HALF-TO-EVEN
+    ties), exact long arithmetic incl. pre-epoch rows."""
+    import pandas as pd
+    import pytest
+    ts = pd.to_datetime(
+        ["2020-01-01 00:00:30", "2020-01-01 00:01:30",
+         "2020-01-01 00:02:30", "2020-01-01 00:00:29.999999",
+         "1969-12-31 23:59:30", "1969-12-31 23:58:30",
+         "2020-01-01 00:01:00", "2020-03-05 13:47:11.5"],
+        format="ISO8601")
+    ps, bs = pd.Series(ts), bl.Series(ts.to_numpy())
+    for freq, pfreq in (("min", "min"), ("15min", "15min"),
+                        ("H", "h"), ("s", "s"), ("D", "D"),
+                        ("2H", "2h"), ("ms", "ms")):
+        for op in ("ceil", "round", "floor"):
+            exp = getattr(ps.dt, op)(pfreq).tolist()
+            got = getattr(bs.dt, op)(freq).to_pandas().tolist()
+            assert [pd.Timestamp(g) for g in got] == exp, (op, freq)
+    with pytest.raises(ValueError, match="fixed-width"):
+        bs.dt.ceil("M")

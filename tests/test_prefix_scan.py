@@ -411,3 +411,33 @@ def test_ewm_mean_matches_pandas(bl):
         s.ewm(alpha=0.5, span=3)
     with pytest.raises(NotImplementedError):
         s.ewm(alpha=0.5, adjust=False)
+
+
+def test_interpolate_matches_pandas(bl):
+    """Series.interpolate: linear fill between boundary-carried
+    neighbors, pandas edge semantics per limit_direction, limit
+    counted from the donor side."""
+    import numpy as np
+    import pandas as pd
+    cases = [
+        [np.nan, 1, np.nan, np.nan, 4, np.nan],
+        [1, np.nan, np.nan, np.nan, 5.0],
+        [np.nan, np.nan, 2.0],
+        list(np.where(np.arange(40) % 7 < 2, np.nan,
+                      np.arange(40, dtype=float))),
+    ]
+    for vals in cases:
+        for ld in ("forward", "backward", "both"):
+            for lim in (None, 2):
+                exp = pd.Series(vals).interpolate(
+                    limit=lim, limit_direction=ld).tolist()
+                got = bl.Series(np.array(vals, dtype=float)) \
+                    .interpolate(limit=lim, limit_direction=ld) \
+                    .to_pandas().tolist()
+                assert len(got) == len(exp)
+                for a, b in zip(exp, got):
+                    assert (a != a and b != b) or abs(a - b) < 1e-12, \
+                        (vals[:8], ld, lim, exp, got)
+    import pytest
+    with pytest.raises(ValueError, match="linear"):
+        bl.Series(np.array([1.0])).interpolate(method="pad")

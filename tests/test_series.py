@@ -577,3 +577,18 @@ def test_shift_fill_value(bl):
         [0., 0., 3., -9.]
     assert s.shift(-1, fill_value=7.).to_pandas().fillna(-9).tolist() == \
         [-9., 2., 5., 7.]
+
+
+def test_bool_series_numeric_aggs(bl):
+    """pandas treats bool series as 0/1 in numeric aggs —
+    .isna().sum() is the canonical null count."""
+    import numpy as np
+    import pandas as pd
+    pb = pd.Series([True, False, True, np.nan])
+    bb = bl.Series(np.array([True, False, True, None], dtype=object))
+    assert bb.sum() == pb.sum()
+    assert abs(bb.mean() - pb.mean()) < 1e-12
+    assert bb.min() == pb.min() and bb.max() == pb.max()
+    s = bl.Series(np.array([1.0, np.nan, 3.0]))
+    assert s.isna().sum() == 1
+    assert s.notna().sum() == 2

@@ -200,3 +200,19 @@ def test_corr_spearman_pairwise_complete(bl):
     assert abs(df["x"].corr(df["y"], method="spearman") - want) < 1e-9
     other = bl.DataFrame({"y": np.array(y)})
     assert abs(df["x"].corr(other["y"], method="spearman") - want) < 1e-9
+
+
+def test_str_match_fullmatch_removefix(bl):
+    import numpy as np
+    import pandas as pd
+    vals = ["abc", "abcabc", "xabc", "ABC", "", "ab"]
+    p = pd.Series(vals)
+    b = bl.Series(np.array(vals, dtype=object))
+    assert b.str.match("ab.").to_pandas().tolist() == \
+        p.str.match("ab.").tolist()
+    assert b.str.fullmatch("ab.").to_pandas().tolist() == \
+        p.str.fullmatch("ab.").tolist()
+    assert b.str.removeprefix("ab").to_pandas().tolist() == \
+        p.str.removeprefix("ab").tolist()
+    assert b.str.removesuffix("bc").to_pandas().tolist() == \
+        p.str.removesuffix("bc").tolist()
