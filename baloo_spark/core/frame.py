@@ -456,7 +456,8 @@ class DataFrame:
     def __add__(self, o): return self._elementwise(o, lambda a, b: a + b)
     def __sub__(self, o): return self._elementwise(o, lambda a, b: a - b)
     def __mul__(self, o): return self._elementwise(o, lambda a, b: a * b)
-    def __truediv__(self, o): return self._elementwise(o, lambda a, b: a / b)
+    def __truediv__(self, o):
+        return self._elementwise(o, lambda a, b: Series._ieee_div(a, b))
     def __pow__(self, o): return self._elementwise(o, lambda a, b: F.pow(a, b))
 
     def __mod__(self, o):
@@ -1201,6 +1202,7 @@ class DataFrame:
     def pivot_table(self, values=None, index=None, columns: str = None,
                     aggfunc="mean", fill_value=None,
                     margins: bool = False, margins_name: str = "All",
+                    dropna: bool = True,
                     max_columns: int = 10000) -> "DataFrame":
         """pandas ``pivot_table``: group by ``index``, spread the
         distinct values of ``columns`` into output columns, aggregate
@@ -1268,12 +1270,26 @@ class DataFrame:
             return exprs
 
         sdf = self._sdf
+        if dropna:
+            # pandas groupby semantics: NaN index keys are dropped
+            # (pass dropna=False to keep them as NULL-keyed rows)
+            sdf = sdf.dropna(subset=index)
         if margins:
             sdf = sdf.select(
                 *[F.col(c).cast("string").alias(c) if c in index
                   else F.col(c) for c in sdf.columns])
         main = sdf.groupBy(*index).pivot(columns, pvals).agg(*agg_exprs())
         vcols = [c for c in main.columns if c not in index]
+        if dropna:
+            # pandas also drops all-NaN result rows (e.g. a group
+            # whose every pivot key was NULL); fill_value applies
+            # after, like pandas
+            keep = None
+            for c in vcols:
+                e = F.col(c).isNotNull()
+                keep = e if keep is None else (keep | e)
+            if keep is not None:
+                main = main.filter(keep)
         if fill_value is not None:
             main = main.fillna(fill_value, subset=vcols)
         if margins:
@@ -2278,6 +2294,10 @@ class DataFrame:
         duplicates index labels; call ``reset_index`` semantics apply
         here implicitly)."""
         self._check_cols([column])
+        if not isinstance(self._sdf.schema[column].dataType,
+                          T.ArrayType):
+            # pandas passes non-list values through unchanged
+            return self
         others = [c for c in self._sdf.columns if c != column]
         if ORD_COL in self._sdf.columns:
             # posexplode + composite ordinal: the pre-explode ORD_COL
@@ -2378,13 +2398,18 @@ class DataFrame:
     def T(self) -> "DataFrame":
         return self.transpose()
 
-    def update(self, other: "DataFrame", overwrite: bool = True) -> "DataFrame":
+    def update(self, other: "DataFrame", overwrite: bool = True,
+               verify_integrity: bool = True) -> "DataFrame":
         """pandas ``DataFrame.update`` (returning a new frame — the
         engine is immutable): overwrite this frame's values with
         ``other``'s non-null values at matching index labels, shared
         columns only. Self's row set never changes (left join on the
         index — co-partitioned keys, nothing driver-sized).
-        ``overwrite=False`` fills only this frame's NULLs instead."""
+        ``overwrite=False`` fills only this frame's NULLs instead.
+        Duplicate labels in ``other`` would silently MULTIPLY rows
+        through the join, so they raise like pandas; pass
+        ``verify_integrity=False`` to skip that one-hash-agg check
+        when uniqueness is guaranteed upstream."""
         idx = [c for c in self._index_cols
                if c in self._sdf.columns and c != ORD_COL]
         oidx = [c for c in other._index_cols
@@ -2393,6 +2418,16 @@ class DataFrame:
             raise ValueError(
                 "update needs the same materialized index on both "
                 f"frames (got {idx!r} vs {oidx!r}); set_index first")
+        if verify_integrity:
+            dup = (other._sdf.groupBy(*oidx)
+                   .agg(F.count(F.lit(1)).alias("__n__"))
+                   .filter(F.col("__n__") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    "cannot update from a frame with duplicate index "
+                    "labels (rows would multiply through the join); "
+                    "drop_duplicates first or pass "
+                    "verify_integrity=False")
         shared = [c for c in self._data_cols if c in other._data_cols]
         r = other._sdf.select(
             *oidx, *[F.col(c).alias(f"__up_{c}__") for c in shared])

@@ -267,8 +267,31 @@ class Series:
     def __rsub__(self, o): return self._lift(o, lambda a, b: b - a)
     def __mul__(self, o): return self._lift(o, lambda a, b: a * b)
     def __rmul__(self, o): return self._lift(o, lambda a, b: b * a)
-    def __truediv__(self, o): return self._lift(o, lambda a, b: a / b)
-    def __rtruediv__(self, o): return self._lift(o, lambda a, b: b / a)
+    @staticmethod
+    def _ieee_div(a, b):
+        """IEEE-754 float division (pandas/NumPy): x/0 -> ±inf,
+        0/0 -> NaN. Spark's ``/`` returns NULL at zero divisors; the
+        zero-divisor branch rebuilds the IEEE result, recovering the
+        sign of -0.0 via the string cast (signum collapses it to 0).
+        NULL operands still propagate NULL. Integer dividends by a
+        zero INT divisor also take this branch (pandas promotes the
+        whole column to float there; with a nullable-int flavor —
+        pandas Int64 — the result is <NA>, which is what int inputs
+        export as when the result column stays integral elsewhere)."""
+        sign = (F.when(b.cast("string").startswith("-"), F.lit(-1.0))
+                .otherwise(F.lit(1.0))) * F.signum(a)
+        return F.when(
+            b == 0,
+            F.when(a == 0, F.lit(float("nan")))
+            .otherwise(sign * F.lit(float("inf")))) \
+            .otherwise(a / b)
+
+    def __truediv__(self, o):
+        return self._lift(o, lambda a, b: Series._ieee_div(a, b))
+
+    def __rtruediv__(self, o):
+        return self._lift(o, lambda a, b: Series._ieee_div(b, a))
+
     def __pow__(self, o): return self._lift(o, lambda a, b: F.pow(a, b))
     @staticmethod
     def _py_mod(a, b):
@@ -291,8 +314,18 @@ class Series:
         is_f = isinstance(self.spark_type, (T.DoubleType, T.FloatType))             or isinstance(o, float)             or (isinstance(o, Series)
                 and isinstance(o.spark_type, (T.DoubleType, T.FloatType)))
         def fn(a, b):
-            x = F.floor(b / a) if reverse else F.floor(a / b)
-            return x.cast("double") if is_f else x
+            num, den = (b, a) if reverse else (a, b)
+            x = F.floor(num / den)
+            x = x.cast("double") if is_f else x
+            if is_f:
+                # pandas float floordiv by zero is IEEE (x//0 -> ±inf,
+                # 0//0 -> nan), floor-invariant so applied directly;
+                # int//0 stays NULL (pandas Int64 <NA> flavor — the
+                # float promotion pandas does there is data-dependent
+                # dtype, impossible lazily)
+                x = F.when(den == 0, Series._ieee_div(num, den)) \
+                    .otherwise(x)
+            return x
         return self._lift(o, fn)
 
     def __floordiv__(self, o): return self._floor_div(o, False)
@@ -1413,7 +1446,11 @@ class Series:
         them NULL (the result column still reads back as float+NaN in
         pandas) instead of raising IntCastingNaNError — SQL engines
         have a missing value for every type, so the cast is total;
-        fillna first if you need pandas' strictness."""
+        fillna first if you need pandas' strictness. Likewise an
+        unparseable string casts to NULL (pandas
+        ``to_numeric(errors='coerce')`` flavor) rather than raising
+        ValueError — a lazy engine cannot raise per-row at build
+        time."""
         return self._with_col(self._colexpr.cast(spark_type_of(dtype)))
 
     def unique(self) -> "Series":
@@ -1423,7 +1460,8 @@ class Series:
         out = sdf.select(alias).distinct()
         return Series._make(out, F.col(alias), [], self.name, None)
 
-    def unstack(self, level: int = -1, max_columns: int = 10000) -> "DataFrame":
+    def unstack(self, level: int = -1, max_columns: int = 10000,
+                verify_integrity: bool = True) -> "DataFrame":
         """pandas ``Series.unstack``: pivot one index level into
         columns. Needs >= 2 index levels; the chosen level's distinct
         values are collected once (guarded by ``max_columns`` — the
@@ -1450,6 +1488,18 @@ class Series:
                 "distinct values; raise max_columns= only if you "
                 "mean a table that wide")
         pvals.sort()
+        if verify_integrity:
+            # pandas raises on duplicate (index, level) pairs; F.first
+            # would otherwise pick one silently — a wrong answer. One
+            # extra hash-agg job, same cost class as the pivot itself;
+            # pass verify_integrity=False to skip at scale when
+            # uniqueness is guaranteed upstream.
+            dup = (sdf.groupBy(*idx)
+                   .agg(F.count(F.lit(1)).alias("__n__"))
+                   .filter(F.col("__n__") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    "Index contains duplicate entries, cannot reshape")
         out = (sdf.groupBy(*remaining).pivot(lvl, pvals)
                .agg(F.first(alias)))
         return DataFrame._make(
@@ -1464,7 +1514,11 @@ class Series:
         Intra-row element order stays deterministic through the same
         composite (source ordinal, element position) packing the
         frame's explode uses."""
+        from pyspark.sql import types as T
         sdf, alias = self._select()
+        if not isinstance(sdf.schema[alias].dataType, T.ArrayType):
+            # pandas passes non-list values through unchanged
+            return self
         others = [c for c in sdf.columns if c != alias]
         idx = list(self._index_cols)
         if ORD_COL in sdf.columns:

@@ -1202,3 +1202,43 @@ def test_transpose_update_map_explode(bl):
     assert gexp.fillna(-9).tolist() == \
         wexp.fillna(-9).astype(float).tolist()
     assert gexp.index.tolist() == wexp.index.tolist()
+
+
+def test_wave6_reshape_guards(bl):
+    """pivot_table drops NaN keys + all-NaN rows like pandas;
+    unstack/update raise on duplicates instead of silently picking
+    or multiplying rows; explode passes scalars through."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pt_pdf = pd.DataFrame({"k": ["a", None, "b"],
+                           "c": ["x", "x", None],
+                           "v": [1.0, 2.0, 3.0]})
+    pt_df = bl.DataFrame({k: np.array(pt_pdf[k].tolist(), dtype=object)
+                          if k != "v" else pt_pdf[k].to_numpy()
+                          for k in pt_pdf})
+    got = pt_df.pivot_table(values="v", index="k", columns="c",
+                            aggfunc="sum").to_pandas()
+    want = pt_pdf.pivot_table(values="v", index="k", columns="c",
+                              aggfunc="sum")
+    assert got.index.tolist() == want.index.tolist()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
+    bdup = bl.DataFrame({"k": np.array(["x", "x"], dtype=object),
+                         "c": np.array(["p", "p"], dtype=object),
+                         "v": np.array([1.0, 2.0])}) \
+        .set_index(["k", "c"])
+    with pytest.raises(ValueError, match="duplicate"):
+        bdup["v"].unstack()
+    assert bdup["v"].unstack(verify_integrity=False) \
+        .to_pandas().shape == (1, 1)
+    bupl = bl.DataFrame({"k": np.array([1, 2]),
+                         "v": np.array([1.0, 2.0])}).set_index("k")
+    bupr = bl.DataFrame({"k": np.array([2, 2]),
+                         "v": np.array([8.0, 9.0])}).set_index("k")
+    with pytest.raises(ValueError, match="duplicate"):
+        bupl.update(bupr)
+    # scalar explode is a no-op like pandas
+    s = bl.Series(np.array([1.0, 2.0]))
+    assert s.explode().to_pandas().tolist() == [1.0, 2.0]
+    f = bl.DataFrame({"a": np.array([1.0, 2.0])})
+    assert f.explode("a").to_pandas()["a"].tolist() == [1.0, 2.0]

@@ -592,3 +592,34 @@ def test_bool_series_numeric_aggs(bl):
     s = bl.Series(np.array([1.0, np.nan, 3.0]))
     assert s.isna().sum() == 1
     assert s.notna().sum() == 2
+
+
+def test_ieee_division_by_zero(bl):
+    """pandas/NumPy IEEE division: x/0 -> ±inf (sign of -0.0 kept),
+    0/0 -> NaN; Spark's NULL-on-zero-divisor is rebuilt JVM-side."""
+    import math
+    import numpy as np
+    import pandas as pd
+    num = [1.0, -1.0, 0.0, 2.0, np.nan]
+    den = [0.0, 0.0, 0.0, -0.0, 1.0]
+    bn, bd = bl.Series(np.array(num)), bl.Series(np.array(den))
+    for got, exp in (
+        ((bn / bd).to_pandas().tolist(),
+         (pd.Series(num) / pd.Series(den)).tolist()),
+        ((bn / 0.0).to_pandas().tolist(),
+         (pd.Series(num) / 0.0).tolist()),
+        ((bn // bd).to_pandas().tolist(),
+         (pd.Series(num) // pd.Series(den)).tolist()),
+        ((10 / bl.Series(np.array([4.0, 0.0]))).to_pandas().tolist(),
+         [2.5, float("inf")]),
+    ):
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert (g != g and e != e) or g == e or \
+                (math.isinf(g) and math.isinf(e)
+                 and (g > 0) == (e > 0)), (got, exp)
+    # int divisor zero stays NULL (pandas nullable-Int64 flavor;
+    # float promotion there is data-dependent dtype)
+    gi = (bl.Series(np.array([7], dtype=np.int64))
+          // bl.Series(np.array([0], dtype=np.int64))).to_pandas()
+    assert gi.isna().all()
