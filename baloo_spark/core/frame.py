@@ -2469,6 +2469,63 @@ class DataFrame:
                 sel.append(F.col(c))
         return self._replace_sdf(self._sdf.select(*sel))
 
+    def apply(self, func, axis: int = 0, new_dtype=None,
+              result_name: str = "apply") -> Series:
+        """pandas ``DataFrame.apply``.
+
+        ``axis=0`` (column-wise) supports aggregations — a name from
+        the agg inventory or the matching NumPy/builtin callable
+        (``np.sum``, ``np.mean``, ...) — and compiles to the same ONE
+        Spark job as ``df.sum()`` (per-column scalar aggs combined
+        into a Series). Arbitrary per-column callables are
+        elementwise territory: use ``df.map`` / ``Series.apply``.
+
+        ``axis=1`` (row-wise) streams Arrow batches through
+        ``mapInPandas`` and calls pandas' own row ``apply`` per batch
+        — the honest slow path for an arbitrary row function; result
+        dtype defaults to double (pass ``new_dtype=`` to override).
+        Index columns ride along so labels and order survive."""
+        if axis in (0, "index"):
+            if isinstance(func, str):
+                return self._agg_row(func)
+            npmap = {np.sum: "sum", np.mean: "mean", np.min: "min",
+                     np.max: "max", np.prod: "prod", np.std: "std",
+                     np.var: "var", sum: "sum", min: "min", max: "max",
+                     len: "count"}
+            try:
+                agg = npmap.get(func)
+            except TypeError:
+                agg = None
+            if agg:
+                return self._agg_row(agg)
+            raise ValueError(
+                "axis=0 apply supports aggregation names or their "
+                "NumPy/builtin equivalents (np.sum, np.mean, ...); "
+                "for elementwise functions use df.map or "
+                "Series.apply")
+        if axis not in (1, "columns"):
+            raise ValueError(f"axis must be 0 or 1, got {axis!r}")
+        ret = (spark_type_of(new_dtype) if new_dtype is not None
+               else T.DoubleType())
+        keep = list(dict.fromkeys(
+            c for c in self._sdf.columns
+            if c in self._index_cols or c == ORD_COL))
+        data = list(self._data_cols)
+        out_schema = T.StructType(
+            [self._sdf.schema[c] for c in keep]
+            + [T.StructField(result_name, ret)])
+
+        def gen(batches):
+            for pdf in batches:
+                out = pdf[keep].copy()
+                out[result_name] = pdf[data].apply(func, axis=1)
+                yield out
+
+        out = self._sdf.select(*keep, *data).mapInPandas(gen, out_schema)
+        order = [(c, a) for c, a in (self._order or []) if c in keep]
+        return Series._make(out, F.col(result_name), self._index_cols,
+                            result_name, order or None)
+
     def applymap(self, func, na_action: str | None = None,
                  new_dtype=None) -> "DataFrame":
         return self.map(func, na_action=na_action, new_dtype=new_dtype)

@@ -1242,3 +1242,27 @@ def test_wave6_reshape_guards(bl):
     assert s.explode().to_pandas().tolist() == [1.0, 2.0]
     f = bl.DataFrame({"a": np.array([1.0, 2.0])})
     assert f.explode("a").to_pandas()["a"].tolist() == [1.0, 2.0]
+
+
+def test_frame_apply_axis0_axis1(bl):
+    """DataFrame.apply: axis=0 compiles to the one-job agg row;
+    axis=1 streams Arrow batches through mapInPandas with index
+    labels riding along."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"a": [1., 2., 3.], "b": [4., 5., 6.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert df.apply(np.sum).to_pandas().tolist() == \
+        pdf.apply(np.sum).tolist()
+    assert df.apply("mean").to_pandas().tolist() == \
+        pdf.apply("mean").tolist()
+    got = df.apply(lambda r: r["a"] * 10 + r["b"], axis=1).to_pandas()
+    want = pdf.apply(lambda r: r["a"] * 10 + r["b"], axis=1)
+    assert got.tolist() == want.tolist()
+    assert got.index.tolist() == want.index.tolist()
+    flt = df[df["a"] > 1]
+    g2 = flt.apply(lambda r: r.sum(), axis=1).to_pandas()
+    assert g2.tolist() == [7.0, 9.0] and g2.index.tolist() == [1, 2]
+    with pytest.raises(ValueError, match="axis=0 apply"):
+        df.apply(lambda c: c, axis=0)
