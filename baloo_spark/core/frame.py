@@ -294,6 +294,95 @@ class DataFrame:
             self._len_cache = self._sdf.count()
         return self._len_cache
 
+    @property
+    def shape(self) -> tuple:
+        """(rows, cols) — eager on rows (one count job, cached by
+        ``__len__``)."""
+        return (len(self), len(self._data_cols))
+
+    @property
+    def size(self) -> int:
+        return len(self) * len(self._data_cols)
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def empty(self) -> bool:
+        """True when the frame has no rows — probed with ``limit(1)``
+        so the scan short-circuits at the first row (never a full
+        count)."""
+        if getattr(self, "_len_cache", None) is not None:
+            return self._len_cache == 0
+        return self._sdf.limit(1).count() == 0
+
+    def to_numpy(self) -> np.ndarray:
+        return self.values
+
+    def to_dict(self, orient: str = "dict"):
+        """Driver-side export via to_pandas (an explicit
+        materialization boundary, like to_pandas itself)."""
+        return self.to_pandas().to_dict(orient)
+
+    def items(self):
+        """Iterate (column name, Series) pairs — lazy, no job."""
+        for c in self._data_cols:
+            yield c, self[c]
+
+    def squeeze(self):
+        """One-column frame -> that column as a Series (pandas
+        squeeze along columns; row squeezing would need an eager
+        count, call ``.iloc`` explicitly for that)."""
+        if len(self._data_cols) == 1:
+            return self[self._data_cols[0]]
+        return self
+
+    def equals(self, other: "DataFrame") -> bool:
+        """Positional, null-safe frame equality (pandas ``equals``:
+        same shape, same values in the same order, NaN equal to NaN).
+        Distributed: both sides get a dense ordinal, full-outer join
+        on it, every column compared with null-safe equality — one
+        count of mismatches, no driver collect of data rows."""
+        if self._data_cols != other._data_cols:
+            return False
+        la = with_dense_ordinal(
+            self._to_ordered_sdf().select(*self._data_cols),
+            name="__eq__")
+        lb = with_dense_ordinal(
+            other._to_ordered_sdf().select(*other._data_cols),
+            name="__eq__")
+        lb = lb.select("__eq__",
+                       *[F.col(c).alias(f"__o_{c}__")
+                         for c in other._data_cols])
+        j = la.join(lb, "__eq__", "full_outer")
+        bad = F.lit(False)
+        for c in self._data_cols:
+            bad = bad | ~F.col(c).eqNullSafe(F.col(f"__o_{c}__"))
+        return j.filter(bad).limit(1).count() == 0
+
+    def _to_ordered_sdf(self):
+        sdf = self._sdf
+        if self._order:
+            ob = order_exprs(self._order, sdf.columns)
+            if ob:
+                sdf = sdf.orderBy(*ob)
+        return sdf
+
+    def info(self) -> str:
+        """Schema + column summary string (pandas ``info`` flavor;
+        returns rather than prints). Row count only if already
+        cached — info should stay a no-job call."""
+        n = getattr(self, "_len_cache", None)
+        lines = [f"baloo_spark.DataFrame: {len(self._data_cols)} "
+                 f"columns" + (f", {n} rows" if n is not None
+                               else " (rows not counted; len(df) to "
+                               "materialize)")]
+        for c in self._data_cols:
+            lines.append(
+                f"  {c}  {self._sdf.schema[c].dataType.simpleString()}")
+        return "\n".join(lines)
+
     def cache(self) -> "DataFrame":
         """Persist the frame's plan output (reference Cache singleton
         analogue, weld/cache.py — but scoped and explicit)."""

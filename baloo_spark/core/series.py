@@ -208,6 +208,33 @@ class Series:
             self._len_cache = self._sdf.count()
         return self._len_cache
 
+    @property
+    def shape(self) -> tuple:
+        return (len(self),)
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def empty(self) -> bool:
+        """True when there are no rows — limit(1) probe, the scan
+        short-circuits at the first row."""
+        if getattr(self, "_len_cache", None) is not None:
+            return self._len_cache == 0
+        return self._sdf.limit(1).count() == 0
+
+    def to_numpy(self) -> np.ndarray:
+        return self.values
+
+    def to_dict(self) -> dict:
+        """Driver-side {index label: value} export via to_pandas."""
+        return self.to_pandas().to_dict()
+
     def __repr__(self):
         return f"Series(name={self.name}, dtype={self.dtype})"
 

@@ -1266,3 +1266,29 @@ def test_frame_apply_axis0_axis1(bl):
     assert g2.tolist() == [7.0, 9.0] and g2.index.tolist() == [1, 2]
     with pytest.raises(ValueError, match="axis=0 apply"):
         df.apply(lambda c: c, axis=0)
+
+
+def test_convenience_surface(bl):
+    """shape/size/ndim/empty/to_dict/items/squeeze/equals/info —
+    empty is a limit(1) probe, equals a distributed null-safe
+    positional compare."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [1., 2., 3.], "b": [4., 5., 6.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert df.shape == pdf.shape and df.size == pdf.size
+    assert df.ndim == 2 and df["a"].ndim == 1
+    assert not df.empty and df[df["a"] > 99].empty
+    assert df.to_dict("list") == pdf.to_dict("list")
+    assert [n for n, _ in df.items()] == ["a", "b"]
+    assert type(df[["a"]].squeeze()).__name__ == "Series"
+    assert df.equals(bl.DataFrame({k: pdf[k].to_numpy() for k in pdf}))
+    p2 = pdf.copy(); p2.loc[1, "b"] = 99
+    assert not df.equals(bl.DataFrame({k: p2[k].to_numpy()
+                                       for k in p2}))
+    assert bl.DataFrame({"a": np.array([np.nan])}).equals(
+        bl.DataFrame({"a": np.array([np.nan])}))
+    assert "2 columns" in df.info()
+    s = df["a"]
+    assert s.shape == (3,) and not s.empty
+    assert s.to_dict() == {0: 1.0, 1: 2.0, 2: 3.0}
