@@ -369,6 +369,61 @@ class DataFrame:
                 sdf = sdf.orderBy(*ob)
         return sdf
 
+    def corrwith(self, other: "DataFrame") -> Series:
+        """Column-wise Pearson correlation with ``other``'s matching
+        columns (pandas ``corrwith`` on aligned frames): positional
+        alignment via dense ordinals, then ONE aggregate job computes
+        every shared numeric column's F.corr. Result is a Series
+        indexed by column name."""
+        shared = [c for c in self._numeric_cols()
+                  if c in other._data_cols]
+        if not shared:
+            raise ValueError("corrwith found no shared numeric columns")
+        la = with_dense_ordinal(
+            self._to_ordered_sdf().select(*shared), name="__cw__")
+        lb = with_dense_ordinal(
+            other._to_ordered_sdf().select(*shared), name="__cw__")
+        lb = lb.select("__cw__", *[F.col(c).alias(f"__o_{c}__")
+                                   for c in shared])
+        j = la.join(lb, "__cw__", "inner")
+        row = j.agg(*[F.corr(F.col(c).cast("double"),
+                             F.col(f"__o_{c}__").cast("double"))
+                      .alias(c) for c in shared]).first()
+        import pandas as pd
+        return DataFrame(
+            {"column": np.array(shared, dtype=object),
+             "corr": np.array([row[c] if row[c] is not None else np.nan
+                               for c in shared])}) \
+            .set_index("column")["corr"]
+
+    def compare(self, other: "DataFrame") -> "DataFrame":
+        """Differing cells between two same-shaped frames (pandas
+        ``compare`` flavor, flattened): positional full-outer join on
+        dense ordinals, keep rows where any shared column differs
+        null-safely, output ``<col>_self`` / ``<col>_other`` pairs
+        plus the row position. Distributed end to end."""
+        shared = [c for c in self._data_cols if c in other._data_cols]
+        if not shared:
+            raise ValueError("compare found no shared columns")
+        la = with_dense_ordinal(
+            self._to_ordered_sdf().select(*shared), name="__cmp__")
+        lb = with_dense_ordinal(
+            other._to_ordered_sdf().select(*shared), name="__cmp__")
+        lb = lb.select("__cmp__", *[F.col(c).alias(f"__o_{c}__")
+                                    for c in shared])
+        j = la.join(lb, "__cmp__", "full_outer")
+        diff = F.lit(False)
+        for c in shared:
+            diff = diff | ~F.col(c).eqNullSafe(F.col(f"__o_{c}__"))
+        out = j.filter(diff).select(
+            F.col("__cmp__").alias("position"),
+            *[e for c in shared
+              for e in (F.col(c).alias(f"{c}_self"),
+                        F.col(f"__o_{c}__").alias(f"{c}_other"))])
+        data = [c for c in out.columns if c != "position"]
+        return DataFrame._make(out, ["position"], data,
+                               [("position", True)])
+
     def info(self) -> str:
         """Schema + column summary string (pandas ``info`` flavor;
         returns rather than prints). Row count only if already

@@ -903,6 +903,24 @@ class Series:
         return Series._make(sdf, F.col("__ires__"), self._index_cols,
                             self.name, self._order)
 
+    def dot(self, other: "Series") -> float:
+        """Inner product with another Series (pandas ``Series.dot``):
+        positional alignment, then ONE sum-of-products aggregate."""
+        pair = self._pairwise_sdf(other)
+        row = pair.agg(F.sum(F.col("__x__") * F.col("__y__"))
+                       .alias("v")).first()
+        return row["v"]
+
+    def _pairwise_sdf(self, other: "Series"):
+        """Positionally aligned (__x__, __y__) projection of two
+        Series — shared by dot (same machinery class as corr)."""
+        from ..plans.ordinal import with_dense_ordinal
+        a, aa = self._select("__x__")
+        b, bb = other._select("__y__")
+        la = with_dense_ordinal(a.select("__x__"), name="__dp__")
+        lb = with_dense_ordinal(b.select("__y__"), name="__dp__")
+        return la.join(lb, "__dp__", "inner")
+
     def autocorr(self, lag: int = 1):
         """Lag-N self-correlation (pandas ``Series.autocorr``):
         Pearson between the series and itself shifted. The shift

@@ -1292,3 +1292,22 @@ def test_convenience_surface(bl):
     s = df["a"]
     assert s.shape == (3,) and not s.empty
     assert s.to_dict() == {0: 1.0, 1: 2.0, 2: 3.0}
+
+
+def test_corrwith_compare_dot(bl):
+    """corrwith: one agg job over positionally aligned frames;
+    compare: distributed differing-cells report; Series.dot."""
+    import numpy as np
+    import pandas as pd
+    pa = pd.DataFrame({"a": [1., 2., 3., 4.], "b": [4., 3., 2., 1.]})
+    pb = pd.DataFrame({"a": [1., 2., 3., 5.], "b": [4., 1., 2., 1.]})
+    da = bl.DataFrame({k: pa[k].to_numpy() for k in pa})
+    db = bl.DataFrame({k: pb[k].to_numpy() for k in pb})
+    got = da.corrwith(db).to_pandas()
+    want = pa.corrwith(pb)
+    for c in ("a", "b"):
+        assert abs(got[c] - want[c]) < 1e-12
+    cmp = da.compare(db).to_pandas()
+    assert cmp.index.tolist() == [1, 3]
+    assert cmp.loc[1, "b_self"] == 3.0 and cmp.loc[1, "b_other"] == 1.0
+    assert da["a"].dot(db["b"]) == pa["a"].dot(pb["b"])
