@@ -181,6 +181,36 @@ def main():
               "driver carry is n_partitions tuples regardless of "
               "rows_", ""]
 
+    # interpolate: two boundary-carry passes (forward + backward
+    # donor structs) — construction is partly eager like EWM, so the
+    # operator is rebuilt inside the timing loop
+    from baloo_spark.core.frame import DataFrame as BlFrame
+    lines += ["## interpolate (two-sided boundary carry)", ""]
+    for mult in (1, 4, 16):
+        base = replicate(
+            li.select("l_orderkey",
+                      F.when(F.col("l_quantity") > 5,
+                             F.col("l_extendedprice"))
+                      .alias("v")), mult).localCheckpoint()
+        bf = BlFrame._make(base, [], ["l_orderkey", "v"],
+                           [("l_orderkey", True)])
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = bf["v"].interpolate()
+            out.to_spark().write.format("noop").mode("overwrite").save()
+            dt = min(dt, time.perf_counter() - t0)
+        lines.append(f"- {mult}x: {dt:.2f}s (full operator incl. two "
+                     "eager carry passes)")
+        print("interp", lines[-1])
+    lines += ["", "_linear fill between nearest non-null neighbors: "
+              "one dense-ordinal pass plus the ffill boundary carry "
+              "run forward AND backward with (position, value) donor "
+              "structs — no global window; driver state is "
+              "n_partitions structs per pass, so the two extra "
+              "passes scale with the scan, never with a single "
+              "task's sort buffer_", ""]
+
     # the anti-pattern, measured once for contrast: the same running
     # sum as a naive unpartitioned window — ALL rows through ONE task
     from pyspark.sql import Window
