@@ -624,13 +624,18 @@ class DataFrame:
         """Elementwise absolute value (pandas ``DataFrame.abs``)."""
         return self._unary_numeric(F.abs)
 
-    def round(self, decimals: int = 0) -> "DataFrame":
+    def round(self, decimals=0) -> "DataFrame":
         """Round numeric columns half-to-even (banker's — F.bround,
         the pandas/NumPy tie behavior); non-numeric columns pass
-        through unchanged, exactly like pandas."""
+        through unchanged, exactly like pandas. ``decimals`` may be a
+        ``{column: digits}`` dict (unlisted columns untouched)."""
+        num = self._numeric_cols()
+        per = (decimals if isinstance(decimals, dict)
+               else {c: decimals for c in num})
         sdf = self._sdf
-        for c in self._numeric_cols():
-            sdf = sdf.withColumn(c, F.bround(F.col(c), decimals))
+        for c, d in per.items():
+            if c in num:
+                sdf = sdf.withColumn(c, F.bround(F.col(c), d))
         return self._replace_sdf(sdf)
 
     def clip(self, lower=None, upper=None) -> "DataFrame":
@@ -941,15 +946,32 @@ class DataFrame:
 
     # ------------------------------------------------------------- sorting
 
-    def sort_values(self, by, ascending: bool = True) -> "DataFrame":
+    def sort_values(self, by, ascending: bool = True,
+                    na_position: str = "last") -> "DataFrame":
         """Multi-key sort (superset of the reference, which caps at one
         key, frame.py:779-780). Spark executes as a range-partitioned
-        distributed sort — no single-node permutation gather."""
+        distributed sort — no single-node permutation gather.
+        ``na_position='first'`` sorts null keys first like pandas; the
+        rebuildable (col, asc) order metadata encodes nulls-LAST, so
+        that variant keeps the sorted plan but drops the metadata
+        (positional ops fall back to the physical order, which IS the
+        sort)."""
+        if na_position not in ("first", "last"):
+            raise ValueError(
+                f"na_position must be 'first' or 'last', "
+                f"got {na_position!r}")
         by = [by] if isinstance(by, str) else list(by)
         for c in by:
             if c not in self._data_cols and c not in self._index_cols:
                 raise KeyError(c)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        if na_position == "first":
+            cols = [(F.col(c).asc_nulls_first() if a
+                     else F.col(c).desc_nulls_first())
+                    for c, a in zip(by, asc)]
+            return DataFrame._make(
+                self._sdf.orderBy(*cols).drop(ORD_COL),
+                self._index_cols, self._data_cols, None)
         cols = [order_expr(c, a) for c, a in zip(by, asc)]
         sdf = self._sdf.orderBy(*cols)
         return DataFrame._make(sdf.drop(ORD_COL), self._index_cols, self._data_cols,
@@ -1066,9 +1088,17 @@ class DataFrame:
 
     def rename(self, columns: dict | None = None, *,
                mapper: dict | None = None) -> "DataFrame":
-        """Rename columns from a ``{old: new}`` dict — positional or
-        the pandas ``columns=`` keyword form both work."""
+        """Rename columns from a ``{old: new}`` dict or a mapper
+        callable (``str.upper``) — positional or the pandas
+        ``columns=`` keyword form both work; keys absent from the
+        frame are ignored like pandas."""
         columns = columns if columns is not None else (mapper or {})
+        if callable(columns):
+            fn = columns
+            columns = {c: fn(c) for c in self._data_cols
+                       + [i for i in self._index_cols
+                          if i in self._sdf.columns
+                          and i not in _RESERVED and i != _IDX]}
         sdf = self._sdf
         for old, new in columns.items():
             sdf = sdf.withColumnRenamed(old, new)
@@ -1493,7 +1523,9 @@ class DataFrame:
         of ``fraction``/``seed``. ``n=`` draws an EXACT count like
         pandas: rank by a seeded hash and keep the top n — a
         distributed TakeOrdered (per-partition top-n then a merge of
-        n-row heads), never a full sort."""
+        n-row heads), never a full sort. Documented divergence:
+        n > len(df) returns every row instead of raising (pandas
+        raises; validating would cost an eager count)."""
         if frac is not None:
             fraction = frac
         if random_state is not None:

@@ -780,14 +780,19 @@ class Series:
         """Bound values to [lower, upper] (pandas ``Series.clip``).
         NULL/NaN stays NULL: Spark's greatest/least SKIP nulls, which
         would silently clamp a missing value to the bound — pandas
-        propagates NaN, so the whole expression is null-gated."""
-        col = self._colexpr
+        propagates NaN, so the whole expression is null-gated. Bounds
+        may be scalars or Series (elementwise, positionally aligned);
+        a NULL bound leaves the value unclipped, like pandas NaN
+        bounds."""
+        def gate(fn):
+            return lambda a, b: F.when(a.isNull(), F.lit(None)) \
+                .otherwise(fn(a, b))
+        out = self
         if lower is not None:
-            col = F.greatest(col, F.lit(lower))
+            out = out._lift(lower, gate(F.greatest))
         if upper is not None:
-            col = F.least(col, F.lit(upper))
-        return self._with_col(
-            F.when(self._colexpr.isNull(), F.lit(None)).otherwise(col))
+            out = out._lift(upper, gate(F.least))
+        return out
 
     def value_counts(self, ascending: bool = False,
                      normalize: bool = False,

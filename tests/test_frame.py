@@ -1311,3 +1311,31 @@ def test_corrwith_compare_dot(bl):
     assert cmp.index.tolist() == [1, 3]
     assert cmp.loc[1, "b_self"] == 3.0 and cmp.loc[1, "b_other"] == 1.0
     assert da["a"].dot(db["b"]) == pa["a"].dot(pb["b"])
+
+
+def test_wave7_rename_sort_round_clip(bl):
+    """rename(callable), sort_values(na_position='first'),
+    round(dict), clip with Series bounds."""
+    import numpy as np
+    import pandas as pd
+    pr = pd.DataFrame({"a": [1.234, 5.678], "b": [1.234, 5.678]})
+    dr = bl.DataFrame({k: pr[k].to_numpy() for k in pr})
+    assert dr.rename(columns=str.upper).columns == ["A", "B"]
+    assert dr.rename(columns={"zz": "q"}).columns == ["a", "b"]
+    ps = pd.DataFrame({"a": [3., np.nan, 1.], "b": [1., 2., 3.]})
+    ds = bl.DataFrame({k: ps[k].to_numpy() for k in ps})
+    assert ds.sort_values("a", na_position="first").to_pandas() \
+        ["b"].tolist() == \
+        ps.sort_values("a", na_position="first")["b"].tolist()
+    np.testing.assert_allclose(
+        dr.round({"a": 1}).to_pandas().to_numpy(),
+        pr.round({"a": 1}).to_numpy())
+    pc, lo = pd.Series([1., 5., 9.]), pd.Series([2., 2., 2.])
+    got = bl.Series(pc.to_numpy()) \
+        .clip(lower=bl.Series(lo.to_numpy())).to_pandas().tolist()
+    assert got == pc.clip(lower=lo).tolist()
+    # null bound leaves value unclipped; null value stays null
+    gn = bl.Series(np.array([1., np.nan])) \
+        .clip(lower=bl.Series(np.array([np.nan, 0.]))) \
+        .to_pandas().tolist()
+    assert gn[0] == 1.0 and gn[1] != gn[1]
