@@ -369,6 +369,58 @@ class DataFrame:
                 sdf = sdf.orderBy(*ob)
         return sdf
 
+    def reindex(self, index=None, columns=None,
+                fill_value=None) -> "DataFrame":
+        """Conform to new labels (pandas ``reindex``): the requested
+        ``index`` labels (a driver-provided, hence driver-sized list)
+        become a tiny position-tagged table joined against the frame —
+        missing labels yield NULL rows, duplicates in the frame fan
+        out like pandas. The big side streams through one keyed join
+        (labels are broadcast-sized; AQE picks the strategy).
+        ``fill_value`` fills only the cells INTRODUCED by reindexing
+        (a join-side marker distinguishes them from pre-existing
+        NULLs, pandas semantics). ``columns=`` adds/selects columns,
+        missing ones as NULL (or ``fill_value``) literals — a pure
+        projection."""
+        out_sdf, data = self._sdf, list(self._data_cols)
+        idx_cols = list(self._index_cols)
+        order = self._order
+        if columns is not None:
+            fv = F.lit(fill_value) if fill_value is not None else F.lit(None)
+            keep = [c for c in out_sdf.columns if c not in data]
+            out_sdf = out_sdf.select(
+                *keep, *[(F.col(c) if c in data else fv).alias(c)
+                         for c in columns])
+            data = list(columns)
+        if index is not None:
+            idx = [c for c in idx_cols
+                   if c in out_sdf.columns and c != ORD_COL]
+            if len(idx) != 1:
+                raise ValueError(
+                    "reindex(index=...) needs exactly one "
+                    f"materialized index column (got {idx!r}); "
+                    "set_index first")
+            k = idx[0]
+            spark = out_sdf.sparkSession
+            ktype = out_sdf.schema[k].dataType
+            lab = spark.createDataFrame(
+                [(int(i), l) for i, l in enumerate(index)],
+                T.StructType([T.StructField("__rpos__", T.LongType()),
+                              T.StructField(k, ktype)]))
+            marked = out_sdf.select(
+                F.col(k), *[F.col(c) for c in data],
+                F.lit(1).alias("__hit__"))
+            j = lab.join(marked, k, "left")
+            if fill_value is not None:
+                for c in data:
+                    j = j.withColumn(
+                        c, F.when(F.col("__hit__").isNull(),
+                                  F.lit(fill_value))
+                        .otherwise(F.col(c)))
+            out_sdf = j.drop("__hit__")
+            idx_cols, order = [k], [("__rpos__", True)]
+        return DataFrame._make(out_sdf, idx_cols, data, order)
+
     def corrwith(self, other: "DataFrame") -> Series:
         """Column-wise Pearson correlation with ``other``'s matching
         columns (pandas ``corrwith`` on aligned frames): positional

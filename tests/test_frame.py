@@ -1339,3 +1339,24 @@ def test_wave7_rename_sort_round_clip(bl):
         .clip(lower=bl.Series(np.array([np.nan, 0.]))) \
         .to_pandas().tolist()
     assert gn[0] == 1.0 and gn[1] != gn[1]
+
+
+def test_reindex_matches_pandas(bl):
+    """reindex: labels join (missing -> NULL rows, order by label
+    position), fill_value only fills INTRODUCED cells, columns=
+    projection."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "b", "c"],
+                        "v": [1., np.nan, 3.]}).set_index("k")
+    df = bl.DataFrame({"k": np.array(["a", "b", "c"], dtype=object),
+                       "v": np.array([1., np.nan, 3.])}).set_index("k")
+    for labels in (["b", "a", "z"], ["z", "b", "b"]):
+        g = df.reindex(index=labels).to_pandas()
+        w = pdf.reindex(labels)
+        assert g.index.tolist() == w.index.tolist()
+        assert g["v"].fillna(-9).tolist() == w["v"].fillna(-9).tolist()
+    g2 = df.reindex(index=["b", "z"], fill_value=7.0).to_pandas()
+    assert g2["v"].fillna(-9).tolist() == [-9.0, 7.0]
+    g3 = df.reindex(columns=["v", "w"]).to_pandas()
+    assert g3.columns.tolist() == ["v", "w"] and g3["w"].isna().all()
