@@ -335,6 +335,57 @@ class Series:
     def __rmod__(self, o):
         return self._lift(o, lambda a, b: Series._py_mod(b, a))
 
+    def _named_op(self, other, op, fill_value, reverse=False):
+        """pandas named binary ops (``s.add(o, fill_value=...)``):
+        fill_value substitutes for the MISSING side before the op;
+        both sides missing stays NULL — expressed as one gated
+        coalesce, still a single JVM projection."""
+        if reverse:
+            inner = op
+            op = lambda a, b: inner(b, a)  # noqa: E731
+        if fill_value is None:
+            return self._lift(other, op)
+
+        def fn(a, b):
+            fv = F.lit(fill_value)
+            return F.when(a.isNull() & b.isNull(), F.lit(None)) \
+                .otherwise(op(F.coalesce(a, fv), F.coalesce(b, fv)))
+        return self._lift(other, fn)
+
+    def add(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: a + b, fill_value)
+
+    def radd(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: a + b, fill_value, True)
+
+    def sub(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: a - b, fill_value)
+
+    def rsub(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: a - b, fill_value, True)
+
+    def mul(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: a * b, fill_value)
+
+    def rmul(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: a * b, fill_value, True)
+
+    def div(self, other, fill_value=None):
+        return self._named_op(other, Series._ieee_div, fill_value)
+
+    truediv = div
+
+    def rdiv(self, other, fill_value=None):
+        return self._named_op(other, Series._ieee_div, fill_value, True)
+
+    def pow(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: F.pow(a, b),
+                              fill_value)
+
+    def mod(self, other, fill_value=None):
+        return self._named_op(
+            other, lambda a, b: Series._py_mod(a, b), fill_value)
+
     def _floor_div(self, o, reverse: bool):
         # pandas: float operands -> float result, ints stay integral
         from pyspark.sql import types as T
@@ -564,6 +615,19 @@ class Series:
     def mean(self): return self._agg_scalar("mean")
     def var(self): return self._agg_scalar("var")
     def std(self): return self._agg_scalar("std")
+
+    def sem(self, ddof: int = 1):
+        """Standard error of the mean (pandas ``Series.sem``):
+        std/sqrt(count), one JVM aggregate for both pieces."""
+        col = self._colexpr.cast("double")
+        row = self._sdf.agg(
+            (F.stddev_samp(col) if ddof == 1
+             else F.stddev_pop(col)).alias("s"),
+            F.count(col).alias("n")).first()
+        if not row["n"] or row["s"] is None:
+            return float("nan")
+        import math
+        return row["s"] / math.sqrt(row["n"])
 
     def skew(self):
         """Bias-corrected sample skewness (pandas ``Series.skew``):

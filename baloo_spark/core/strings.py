@@ -339,5 +339,40 @@ class StringMethods:
     def regexp_extract(self, pattern: str, group: int = 0):
         return self._map(lambda c: F.regexp_extract(c, pattern, group))
 
+    def extract(self, pat: str, expand: bool = True):
+        """pandas ``str.extract``: regex capture groups become
+        columns (a DataFrame when ``expand=True`` or >1 group, a
+        Series for one group with ``expand=False``). Non-matching
+        rows yield NULL — Spark's regexp_extract returns '' there,
+        so each group expression is gated by an rlike match. One
+        projection; group COUNT comes from compiling the pattern
+        driver-side (no data touched)."""
+        import re as _re
+        ngroups = _re.compile(pat).groups
+        if ngroups == 0:
+            raise ValueError("pattern contains no capture groups")
+        names = {v: k for k, v
+                 in _re.compile(pat).groupindex.items()}
+        # Java regex spells named groups (?<name>...), Python
+        # (?P<name>...); translate so both dialects accept the pattern
+        pat = pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+        sr = self._sr
+        c = sr._colexpr
+
+        def grp(i):
+            return F.when(c.rlike(pat),
+                          F.regexp_extract(c, pat, i))
+        if ngroups == 1 and not expand:
+            return sr._with_col(grp(1))
+        from .frame import DataFrame
+        cols = {names.get(i, str(i - 1)): grp(i)
+                for i in range(1, ngroups + 1)}
+        sdf = sr._sdf.select(
+            *[F.col(x) for x in sr._index_cols
+              if x in sr._sdf.columns],
+            *[e.alias(n) for n, e in cols.items()])
+        return DataFrame._make(sdf, sr._index_cols, list(cols),
+                               sr._order)
+
     def regexp_replace(self, pattern: str, rep: str):
         return self._map(lambda c: F.regexp_replace(c, pattern, rep))

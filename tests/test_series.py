@@ -623,3 +623,24 @@ def test_ieee_division_by_zero(bl):
     gi = (bl.Series(np.array([7], dtype=np.int64))
           // bl.Series(np.array([0], dtype=np.int64))).to_pandas()
     assert gi.isna().all()
+
+
+def test_named_binary_ops_fill_value_and_sem(bl):
+    """s.add/sub/mul/div(other, fill_value=): missing side replaced
+    before the op, both-missing stays NULL; div is IEEE. sem()."""
+    import numpy as np
+    import pandas as pd
+    pa, pb = pd.Series([1., np.nan, 3.]), pd.Series([10., 20., np.nan])
+    ba, bb = bl.Series(pa.to_numpy()), bl.Series(pb.to_numpy())
+    for op in ("add", "sub", "mul", "div", "pow", "mod"):
+        got = getattr(ba, op)(bb, fill_value=2).to_pandas().tolist()
+        want = getattr(pa, op)(pb, fill_value=2).tolist()
+        for g, w in zip(got, want):
+            assert (g != g and w != w) or abs(g - w) < 1e-12, (op, got, want)
+    assert ba.rdiv(bb, fill_value=2).to_pandas().tolist() == \
+        pa.rdiv(pb, fill_value=2).tolist()
+    both = bl.Series(np.array([np.nan])).add(
+        bl.Series(np.array([np.nan])), fill_value=5).to_pandas()
+    assert both.isna().all()
+    px = pd.Series([1., 2., 3., 4.])
+    assert abs(bl.Series(px.to_numpy()).sem() - px.sem()) < 1e-12

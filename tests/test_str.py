@@ -216,3 +216,26 @@ def test_str_match_fullmatch_removefix(bl):
         p.str.removeprefix("ab").tolist()
     assert b.str.removesuffix("bc").to_pandas().tolist() == \
         p.str.removesuffix("bc").tolist()
+
+
+def test_str_extract_matches_pandas(bl):
+    """str.extract: capture groups -> columns, non-match -> NULL
+    (rlike-gated — Spark's regexp_extract returns '' there), Python
+    (?P<name>) named groups translated to the Java dialect."""
+    import numpy as np
+    import pandas as pd
+    ps = pd.Series(["a1", "b22", "zz"])
+    bs = bl.Series(np.array(["a1", "b22", "zz"], dtype=object))
+    got = bs.str.extract(r"([a-z])(\d+)").to_pandas()
+    want = ps.str.extract(r"([a-z])(\d+)")
+    assert got.columns.tolist() == [str(c) for c in want.columns]
+    assert got.fillna("-").values.tolist() == \
+        want.fillna("-").values.tolist()
+    assert bs.str.extract(r"(?P<ch>[a-z])").to_pandas() \
+        .columns.tolist() == ["ch"]
+    assert bs.str.extract(r"(\d+)", expand=False).to_pandas() \
+        .fillna("-").tolist() == \
+        ps.str.extract(r"(\d+)", expand=False).fillna("-").tolist()
+    import pytest
+    with pytest.raises(ValueError, match="capture"):
+        bs.str.extract("abc")
