@@ -1391,6 +1391,22 @@ class DataFrame:
 
     def skew(self): return self._moment_row("skew")
     def kurt(self): return self._moment_row("kurt")
+    kurtosis = kurt
+
+    def sem(self, ddof: int = 1) -> Series:
+        """Column-wise standard error of the mean — ONE aggregate job
+        (std and count per column share the scan)."""
+        cols = self._numeric_cols()
+        sfn = F.stddev_samp if ddof == 1 else F.stddev_pop
+        row = self._sdf.agg(*[
+            (sfn(F.col(c).cast("double"))
+             / F.sqrt(F.count(F.col(c)))).alias(c)
+            for c in cols]).first()
+        return DataFrame(
+            {"column": np.array(cols, dtype=object),
+             "sem": np.array([row[c] if row[c] is not None else np.nan
+                              for c in cols])}) \
+            .set_index("column")["sem"]
 
     # ------------------------------------------------------------- groupby
 

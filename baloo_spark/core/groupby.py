@@ -317,6 +317,22 @@ class DataFrameGroupBy:
         ``groupby().kurt()``); n<4 -> NULL, zero variance -> 0."""
         return self._moment("kurt")
 
+    def sem(self, ddof: int = 1):
+        """Per-group standard error of the mean (pandas
+        ``groupby().sem()``): std/sqrt(count) as pure column
+        arithmetic — ONE map-side partial hash-agg shuffle."""
+        from .frame import DataFrame
+        exprs = []
+        for c in self._value_cols():
+            v = F.col(c).cast("double")
+            s = F.stddev_samp(v) if ddof == 1 else F.stddev_pop(v)
+            exprs.append((s / F.sqrt(F.count(v))).alias(c))
+        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        return DataFrame._make(
+            out, list(self._by),
+            [c for c in out.columns if c not in self._by],
+            [(c, True) for c in self._by])
+
     def _moment(self, kind: str):
         from .frame import DataFrame
         exprs = []

@@ -416,3 +416,20 @@ def test_groupby_named_aggregation(bl):
         df.groupby("g").agg(x=("zz", "sum"))
     with pytest.raises(TypeError):
         df.groupby("g").agg(x="sum")
+
+
+def test_sem_all_surfaces(bl):
+    """sem at Series, frame (one agg job), and groupby (one shuffle)."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b"],
+                        "v": [1., 2., 3., 5.], "w": [1., 4., 9., 16.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    got = df.sem().to_pandas()
+    want = pdf[["v", "w"]].sem()
+    for c in ("v", "w"):
+        assert abs(got[c] - want[c]) < 1e-12
+    gg = df.groupby("k").sem().to_pandas()
+    ww = pdf.groupby("k").sem()
+    np.testing.assert_allclose(gg.to_numpy(), ww.to_numpy())
+    assert abs(df["v"].sem() - pdf["v"].sem()) < 1e-12
