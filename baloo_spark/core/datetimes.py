@@ -186,6 +186,22 @@ class DatetimeMethods:
                 f"multiple like '15min'")
         return self._map(lambda c: F.date_trunc(unit, c))
 
+    def total_seconds(self):
+        """Duration in (fractional) seconds for timedelta values —
+        timestamp subtraction yields Spark day-time intervals, which
+        read back exactly as microseconds via
+        ``unix_micros(epoch + interval)`` (cast-to-long truncates to
+        whole seconds, interval division is not a Column op)."""
+        sdf, alias = self._sr._select()
+        tname = sdf.schema[alias].dataType.typeName()
+        if "interval" not in tname:
+            raise TypeError(
+                "total_seconds needs a timedelta (interval) Series — "
+                f"got {tname}; subtract two datetime Series first")
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+        return self._map(
+            lambda c: F.unix_micros(epoch + c) / F.lit(1_000_000.0))
+
     def _fixed_width_us(self, freq: str, what: str) -> int:
         """Parse a FIXED-width pandas frequency ('min', '15min', '2H',
         'ms', ...) to its microsecond width. ceil/round only make

@@ -211,3 +211,19 @@ def test_dt_ceil_round_match_pandas(bl):
             assert [pd.Timestamp(g) for g in got] == exp, (op, freq)
     with pytest.raises(ValueError, match="fixed-width"):
         bs.dt.ceil("M")
+
+
+def test_timedelta_total_seconds(bl):
+    """timestamp subtraction yields interval Series; total_seconds
+    reads exact microseconds via unix_micros(epoch + interval)."""
+    import pandas as pd
+    import pytest
+    ts = pd.to_datetime(["2020-01-01 00:00:00",
+                         "2020-01-01 01:30:00.5",
+                         "2020-01-02 00:00:00"], format="ISO8601")
+    ps, bs = pd.Series(ts), bl.Series(ts.to_numpy())
+    got = (bs - bs.shift(1)).dt.total_seconds().to_pandas().tolist()
+    exp = (ps - ps.shift(1)).dt.total_seconds().tolist()
+    assert got[1:] == exp[1:] and got[0] != got[0]
+    with pytest.raises(TypeError, match="interval"):
+        bs.dt.total_seconds()
