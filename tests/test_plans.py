@@ -213,3 +213,43 @@ def test_runtime_bloom_filter_join_pruning(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set(thr, prev_thr)
+
+
+def test_pivot_table_plan_one_agg_exchange(spark, bl):
+    """pivot_table: the distinct pivot values are collected once
+    driver-side and passed explicitly, so the PLAN has no extra
+    distinct job — exactly Spark's two-phase pivot (pre-aggregate on
+    (index, pivot key), then pivot on index: both Exchanges KEYED,
+    nothing single-partition), scan pruned to the three referenced
+    columns."""
+    orders = bl.read_parquet(f"{SF}/orders.parquet")
+    pt = orders.pivot_table(values="o_totalprice",
+                            index="o_orderpriority",
+                            columns="o_orderstatus", aggfunc="mean")
+    p = plan_of(pt.to_spark())
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in p
+    assert "o_orderkey" not in p.split("ReadSchema")[1][:200]
+    assert "struct<o_orderstatus:string,o_totalprice:double," \
+        "o_orderpriority:string>" in p
+
+
+def test_stack_plan_no_shuffle(spark, bl):
+    """stack is a narrow generator: posexplode, zero Exchanges."""
+    li = bl.read_parquet(f"{SF}/lineitem.parquet")
+    st = li[["l_quantity", "l_discount"]].stack()
+    p = plan_of(st.to_spark())
+    assert "Exchange" not in p
+    assert "Generate" in p          # posexplode
+
+
+def test_interpolate_plan_no_global_window(spark, bl):
+    """interpolate composes from the boundary-carry machinery: every
+    window is partitioned by __pid__ — no unpartitioned
+    (single-task) window anywhere in the plan."""
+    li = bl.read_parquet(f"{SF}/lineitem.parquet")
+    s = li["l_extendedprice"].where(li["l_quantity"] > 5).interpolate()
+    p = plan_of(s.to_spark())
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "__pid__" in m.group(1), m.group(0)
