@@ -330,6 +330,19 @@ class DataFrame:
         for c in self._data_cols:
             yield c, self[c]
 
+    def iterrows(self):
+        """Row iterator (pandas ``iterrows``) — an explicit
+        DRIVER-SIDE materialization boundary like ``to_pandas``;
+        iterating a distributed frame row by row is the anti-pattern
+        every operator here exists to avoid. Use it for driver-sized
+        results only."""
+        return self.to_pandas().iterrows()
+
+    def itertuples(self, index: bool = True, name: str = "Baloo"):
+        """Named-tuple row iterator — same driver-side boundary as
+        ``iterrows``."""
+        return self.to_pandas().itertuples(index=index, name=name)
+
     def squeeze(self):
         """One-column frame -> that column as a Series (pandas
         squeeze along columns; row squeezing would need an eager
