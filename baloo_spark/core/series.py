@@ -918,10 +918,14 @@ class Series:
         ``limit`` bounds how many consecutive NULLs fill, counted
         from the donor side per direction.
 
-        Partition-safe at scale: ONE dense-ordinal pass, then the
-        same two-pass boundary carry ffill uses — run once forward
-        and once backward carrying (position, value) structs — so no
-        global window; driver state is n_partitions structs per pass.
+        Partition-safe at scale: ONE fused pass
+        (plans/ordinal.py:with_interp_neighbors) builds the dense
+        position plus both (position, value) neighbor donors from a
+        single range layout — one Window stage, one per-partition
+        stats collect, one broadcast join; driver state is
+        n_partitions rows. (The naive dense-ordinal + two ffill
+        carries paid three layouts — measured 30s vs this at 16x
+        sf0.1.)
         """
         if method != "linear":
             raise ValueError(
@@ -933,25 +937,13 @@ class Series:
                 f"'both', got {limit_direction!r}")
         if limit is not None and limit < 1:
             raise ValueError("limit must be >= 1")
-        from ..plans.ordinal import (POS_COL, with_dense_ordinal,
-                                     with_last_non_null)
-        sdf = self._sdf.withColumn("__iv__",
-                                   self._colexpr.cast("double"))
+        from ..plans.ordinal import with_interp_neighbors
         pairs = [(c, a) for c, a in (self._order or [])
-                 if c in sdf.columns]
-        added_pos = False
-        if not pairs:
-            sdf = with_dense_ordinal(sdf, name=POS_COL)
-            pairs = [(POS_COL, True)]
-            added_pos = True
-        sdf = with_dense_ordinal(sdf, order_exprs(pairs), name="__ip__")
-        nn = F.when(F.col("__iv__").isNotNull(),
-                    F.struct(F.col("__ip__").alias("p"),
-                             F.col("__iv__").alias("v")))
-        sdf = with_last_non_null(sdf, {"__iprev__": nn},
-                                 [F.col("__ip__").asc()])
-        sdf = with_last_non_null(sdf, {"__inext__": nn},
-                                 [F.col("__ip__").desc()])
+                 if c in self._sdf.columns]
+        sdf = with_interp_neighbors(
+            self._sdf, self._colexpr.cast("double"),
+            order_exprs(pairs) if pairs else None)
+        sdf = sdf.withColumnRenamed("__v__", "__iv__")
         p, n, fp = F.col("__iprev__"), F.col("__inext__"), F.col("__ip__")
         interp = (p["v"] + (n["v"] - p["v"]) * (fp - p["p"])
                   / (n["p"] - p["p"]))
@@ -967,8 +959,6 @@ class Series:
             .otherwise(F.when(elig, cand))
         sdf = sdf.withColumn("__ires__", res) \
             .drop("__iv__", "__iprev__", "__inext__", "__ip__")
-        if added_pos:
-            sdf = sdf.drop(POS_COL)
         return Series._make(sdf, F.col("__ires__"), self._index_cols,
                             self.name, self._order)
 
