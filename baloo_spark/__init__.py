@@ -276,3 +276,60 @@ __all__ = [
     "sql", "merge_asof", "get_dummies", "cut", "qcut", "to_datetime",
     "date_range", "crosstab",
 ]
+
+
+def merge(left: "DataFrame", right: "DataFrame", **kwargs) -> "DataFrame":
+    """Top-level pandas ``pd.merge`` — delegates to
+    ``DataFrame.merge`` (same join planning, broadcast/AQE rules)."""
+    return left.merge(right, **kwargs)
+
+
+def pivot_table(data: "DataFrame", **kwargs) -> "DataFrame":
+    """Top-level pandas ``pd.pivot_table`` delegate."""
+    return data.pivot_table(**kwargs)
+
+
+def melt(frame: "DataFrame", **kwargs) -> "DataFrame":
+    """Top-level pandas ``pd.melt`` delegate."""
+    return frame.melt(**kwargs)
+
+
+def to_numeric(arg: "Series", errors: str = "raise") -> "Series":
+    """pandas ``to_numeric`` flavor: cast to double.
+    ``errors='coerce'`` is the natural SQL cast (unparseable ->
+    NULL); ``errors='raise'`` cannot raise per-row in a lazy engine,
+    so it is accepted but behaves as coerce — documented divergence
+    shared with ``astype``."""
+    if errors not in ("raise", "coerce"):
+        raise ValueError("errors must be 'raise' or 'coerce'")
+    return arg._with_col(arg._colexpr.cast("double"))
+
+
+def isna(obj: "Series") -> "Series":
+    return obj.isna()
+
+
+def notna(obj: "Series") -> "Series":
+    return obj.notna()
+
+
+def factorize(values: "Series"):
+    """pandas ``factorize`` flavor: (codes Series, uniques list).
+    Uniques are collected driver-side in first-appearance-agnostic
+    SORTED order (a distributed distinct has no appearance order;
+    pandas' sort=True flavor) and the code assignment is a pure
+    projection over a broadcast literal map — one distinct job, no
+    second shuffle. Guarded at 100k uniques."""
+    from pyspark.sql import functions as F
+    sdf, alias = values._select()
+    rows = (sdf.select(alias).where(F.col(alias).isNotNull())
+            .distinct().limit(100_001).collect())
+    if len(rows) > 100_000:
+        raise ValueError(
+            "factorize found more than 100k distinct values — codes "
+            "for a column that wide belong in a join, not a literal "
+            "map; use merge against a keyed table instead")
+    uniques = sorted(r[0] for r in rows)
+    mapping = {u: i for i, u in enumerate(uniques)}
+    codes = values.map(mapping, default=-1)
+    return codes.fillna(-1).astype("int64"), uniques

@@ -1360,3 +1360,24 @@ def test_reindex_matches_pandas(bl):
     assert g2["v"].fillna(-9).tolist() == [-9.0, 7.0]
     g3 = df.reindex(columns=["v", "w"]).to_pandas()
     assert g3.columns.tolist() == ["v", "w"] and g3["w"].isna().all()
+
+
+def test_top_level_delegates(bl):
+    """bl.merge/pivot_table/melt/to_numeric/isna/notna/factorize."""
+    import numpy as np
+    import pandas as pd
+    l = bl.DataFrame({"k": np.array([1, 2]), "v": np.array([1., 2.])})
+    r = bl.DataFrame({"k": np.array([2, 3]), "w": np.array([8., 9.])})
+    assert bl.merge(l, r, on="k").to_pandas().values.tolist() == \
+        [[2.0, 8.0]]
+    assert bl.melt(l, id_vars="k").to_pandas().shape == (2, 3)
+    s = bl.Series(np.array(["1.5", "x", "2"], dtype=object))
+    got = bl.to_numeric(s, errors="coerce").to_pandas()
+    assert got.fillna(-9).tolist() == [1.5, -9.0, 2.0]
+    assert bl.isna(bl.Series(np.array([1., np.nan]))).to_pandas() \
+        .tolist() == [False, True]
+    codes, uniq = bl.factorize(
+        bl.Series(np.array(["b", "a", "b", None], dtype=object)))
+    pc, pu = pd.factorize(pd.Series(["b", "a", "b", None]), sort=True)
+    assert codes.to_pandas().tolist() == list(pc)
+    assert uniq == list(pu)
