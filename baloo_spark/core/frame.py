@@ -861,10 +861,25 @@ class DataFrame:
         return (F.length(col) > 0 if isinstance(dt, T.StringType)
                 else col.cast("boolean"))
 
-    def any(self) -> Series:
+    def _rowwise_bool(self, kind: str) -> Series:
+        """axis=1 any/all as a pure projection: pandas skipna flavor
+        (NULL cells contribute nothing — False to any, True to all),
+        no shuffle, no job."""
+        e = F.lit(False) if kind == "any" else F.lit(True)
+        for c in self._data_cols:
+            t = F.coalesce(self._truthy(c),
+                           F.lit(kind != "any"))
+            e = (e | t) if kind == "any" else (e & t)
+        return Series._make(self._sdf, e, self._index_cols, kind,
+                            self._order)
+
+    def any(self, axis: int = 0) -> Series:
         """Per-column any (pandas skipna flavor: NULLs ignored,
         empty/all-null ⇒ False) — ONE aggregate job for every
-        column, strings truthy when non-empty."""
+        column, strings truthy when non-empty. ``axis=1`` is the
+        per-row variant: a pure projection, no job at all."""
+        if axis in (1, "columns"):
+            return self._rowwise_bool("any")
         cols = self._data_cols
         row_df = self._sdf.agg(*[
             F.coalesce(F.max(self._truthy(c)), F.lit(False)).alias(c)
@@ -874,9 +889,12 @@ class DataFrame:
             f"stack({len(cols)}, {pairs}) as (`{_IDX}`, `__agg__`)"))
         return Series._make(out, F.col("__agg__"), [_IDX], "any", None)
 
-    def all(self) -> Series:
+    def all(self, axis: int = 0) -> Series:
         """Per-column all (pandas skipna flavor: NULLs ignored,
-        empty/all-null ⇒ True)."""
+        empty/all-null ⇒ True). ``axis=1``: per-row, pure
+        projection."""
+        if axis in (1, "columns"):
+            return self._rowwise_bool("all")
         cols = self._data_cols
         row_df = self._sdf.agg(*[
             F.coalesce(F.min(self._truthy(c)), F.lit(True)).alias(c)
@@ -1268,16 +1286,26 @@ class DataFrame:
                         .drop(f"__lf_{c}__")
                 sdf = sdf.drop("__fp__")
         else:
-            order = order_exprs(pairs)
             w = Window.partitionBy(*partition_by)
             lo = (Window.unboundedPreceding if limit is None
                   else -limit)
-            hi = Window.unboundedFollowing if limit is None else limit
             if forward:
-                w = w.orderBy(*order).rowsBetween(lo, 0)
+                w = w.orderBy(*order_exprs(pairs)).rowsBetween(lo, 0)
+                fn = F.last
+            elif limit is None:
+                # backward unbounded as a REVERSED running frame: a
+                # (current -> unboundedFollowing) frame with first()
+                # re-scans the group tail per row — O(group^2)
+                # (measured in plans/ordinal.py); the reversed sort
+                # stays inside the same partitioning, O(group)
+                w = (w.orderBy(*rev_order_exprs(pairs))
+                     .rowsBetween(Window.unboundedPreceding, 0))
+                fn = F.last
             else:
-                w = w.orderBy(*order).rowsBetween(0, hi)
-            fn = F.last if forward else F.first
+                # bounded following frame: sliding window of `limit`
+                # rows — O(group * limit), fine as-is
+                w = w.orderBy(*order_exprs(pairs)).rowsBetween(0, limit)
+                fn = F.first
             for c in subset:
                 sdf = sdf.withColumn(c, fn(c, ignorenulls=True).over(w))
         if added_pos:
@@ -1423,13 +1451,39 @@ class DataFrame:
 
     # ------------------------------------------------------------- groupby
 
-    def groupby(self, by, dropna: bool = True) -> "DataFrameGroupBy":
+    def groupby(self, by, dropna: bool = True,
+                as_index: bool = True) -> "DataFrameGroupBy":
         """``dropna=True`` (pandas default) excludes rows whose group
         key is NULL — Spark's groupBy would otherwise emit a NULL-key
         group pandas never shows. Pass ``dropna=False`` for the SQL
-        behavior (the NULL group kept, like GROUP BY)."""
+        behavior (the NULL group kept, like GROUP BY).
+        ``as_index=False`` leaves the keys as data columns on
+        aggregation outputs (pandas flavor). ``by`` may include
+        Series derived from THIS frame (``df.groupby(df['k'] % 2)``)
+        — the expression is materialized as a key column first."""
         from .groupby import DataFrameGroupBy
-        by = [by] if isinstance(by, str) else list(by)
+        by = [by] if isinstance(by, (str, Series)) else list(by)
+        if any(isinstance(b, Series) for b in by):
+            src_sdf, names = self._sdf, []
+            for i, b in enumerate(by):
+                if isinstance(b, Series):
+                    if b._sdf is not self._sdf:
+                        raise ValueError(
+                            "groupby Series keys must derive from "
+                            "this frame")
+                    name = b.name or f"__gbkey{i}__"
+                    src_sdf = src_sdf.withColumn(name, b._colexpr)
+                    names.append(name)
+                else:
+                    names.append(b)
+            derived = DataFrame._make(
+                src_sdf, self._index_cols,
+                list(dict.fromkeys(self._data_cols
+                                   + [n for n in names
+                                      if n not in self._data_cols])),
+                self._order)
+            return derived.groupby(names, dropna=dropna,
+                                   as_index=as_index)
         self._check_cols(by)
         if set(by) == set(self._data_cols):
             raise ValueError("cannot group by all columns")  # frame.py:1092-1093
@@ -1440,7 +1494,11 @@ class DataFrame:
                 nn = F.col(c).isNotNull()
                 cond = nn if cond is None else cond & nn
             src = self._replace_sdf(self._sdf.filter(cond))
-        return DataFrameGroupBy(src, by)
+        gb = DataFrameGroupBy(src, by)
+        if not as_index:
+            from .groupby import _NoIndexGroupBy
+            return _NoIndexGroupBy(gb)
+        return gb
 
     # -------------------------------------------- multidim agg extensions
 

@@ -70,13 +70,15 @@ class DataFrameGroupBy:
     # stays local per group at any scale, one shuffle on the keys,
     # never an unpartitioned window.
 
-    def _gorder(self):
+    def _gorder(self, rev: bool = False):
         from ..plans.ordinal import ORD_COL
-        from .ordering import order_exprs
+        from .ordering import order_exprs, rev_order_exprs
         sdf = self._df._sdf
-        order = order_exprs(self._df._order or [], sdf.columns)
+        fn = rev_order_exprs if rev else order_exprs
+        order = fn(self._df._order or [], sdf.columns)
         if not order and ORD_COL in sdf.columns:
-            order = [F.col(ORD_COL).asc()]
+            order = [F.col(ORD_COL).desc() if rev
+                     else F.col(ORD_COL).asc()]
         if not order:
             raise ValueError(
                 "groupby window ops need a defined row order; "
@@ -170,15 +172,19 @@ class DataFrameGroupBy:
             lambda c: F.last(F.col(c), ignorenulls=True).over(w))
 
     def bfill(self):
-        """Per-group backward fill — ``first(ignorenulls)`` over the
-        group's following frame."""
+        """Per-group backward fill — ``last(ignorenulls)`` over the
+        REVERSED order as a running frame: a
+        (current -> unboundedFollowing) frame with first() re-scans
+        the group tail per row, O(group^2) (plans/ordinal.py has the
+        measurement); the reversed running frame is O(group) and the
+        re-sort stays inside the same partitioning."""
         from pyspark.sql import Window
-        sdf, order = self._gorder()
+        sdf, order = self._gorder(rev=True)
         w = (Window.partitionBy(*self._by).orderBy(*order)
-             .rowsBetween(0, Window.unboundedFollowing))
+             .rowsBetween(Window.unboundedPreceding, 0))
         return self._transform_frame(
             sdf, self._all_value_cols(),
-            lambda c: F.first(F.col(c), ignorenulls=True).over(w))
+            lambda c: F.last(F.col(c), ignorenulls=True).over(w))
 
     def rank(self, method: str = "average", ascending: bool = True,
              pct: bool = False):
@@ -706,3 +712,32 @@ class _GroupRolling:
     def max(self): return self._agg("max")
     def var(self): return self._agg("var")
     def std(self): return self._agg("std")
+
+
+class _NoIndexGroupBy:
+    """``groupby(..., as_index=False)`` face: aggregation outputs
+    keep the group keys as DATA columns (pandas flavor). A thin
+    wrapper — any method whose result is a frame indexed exactly by
+    the group keys gets reset_index applied; transforms (which keep
+    the source index) pass through untouched, matching pandas'
+    behavior of ignoring as_index for transforms."""
+
+    def __init__(self, gb: DataFrameGroupBy):
+        self._gb = gb
+
+    def __getitem__(self, key):
+        return _NoIndexGroupBy(self._gb[key])
+
+    def __getattr__(self, name):
+        attr = getattr(self._gb, name)
+        if not callable(attr):
+            return attr
+
+        def wrapped(*a, **k):
+            out = attr(*a, **k)
+            from .frame import DataFrame
+            if isinstance(out, DataFrame) and \
+                    list(out._index_cols) == list(self._gb._by):
+                return out.reset_index()
+            return out
+        return wrapped
