@@ -1472,6 +1472,12 @@ class DataFrame:
                             "groupby Series keys must derive from "
                             "this frame")
                     name = b.name or f"__gbkey{i}__"
+                    if name in self._sdf.columns:
+                        # pandas can hold an index level and a data
+                        # column under one name; Spark cannot — the
+                        # derived key gets a suffixed name and the
+                        # original column stays a value column
+                        name = f"{name}_key"
                     src_sdf = src_sdf.withColumn(name, b._colexpr)
                     names.append(name)
                 else:

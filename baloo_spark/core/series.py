@@ -423,7 +423,29 @@ class Series:
         rows on a cluster (swap the broadcast for a shuffle join by
         size, which AQE does). Both faces agree: NULL input => NULL,
         a NULL in ``values`` makes non-matches NULL (SQL IN), NaN
-        matches NaN (Spark equality)."""
+        matches NaN (Spark equality). A Series argument never
+        collects: it becomes the lookup table directly (the 100 TB
+        face — AQE picks broadcast vs shuffle by size), with the
+        null-in-values flag computed as a lazy one-row aggregate."""
+        if isinstance(values, Series):
+            vs, va = values._select("__ik__")
+            lut = (vs.select("__ik__")
+                   .where(F.col("__ik__").isNotNull()).distinct())
+            nulls = vs.agg(F.max(F.col("__ik__").isNull())
+                           .alias("__hn__"))
+            joined = (self._sdf
+                      .join(lut, self._colexpr == F.col("__ik__"),
+                            "left")
+                      .crossJoin(F.broadcast(nulls)))
+            expr = (F.when(self._colexpr.isNull(), F.lit(None))
+                    .when(F.col("__ik__").isNotNull(), F.lit(True))
+                    .otherwise(F.when(F.col("__hn__"), F.lit(None))
+                               .otherwise(F.lit(False))))
+            out = joined.withColumn("__isin__", expr) \
+                .drop("__ik__", "__hn__")
+            return Series._make(out, F.col("__isin__"),
+                                self._index_cols, self.name,
+                                self._order)
         vals = list(values)
         if len(vals) <= _ISIN_LITERAL_MAX:
             return self._with_col(self._colexpr.isin(*vals))
@@ -461,18 +483,42 @@ class Series:
         lo, hi = ops[mode]
         return self._with_col(lo & hi)
 
+    def _gated(self, cond: "Series", other, keep_when: bool) -> "Series":
+        """Shared where/mask body. A NULL cond is False on BOTH faces
+        (pandas: where replaces, mask KEEPS — so the mask gate is
+        applied directly, never as where(~cond)). ``other`` may be a
+        scalar or a Series: the Series face packs (value, gate) into
+        a struct through the first alignment so the second alignment
+        still sees the un-gated value."""
+        if isinstance(other, Series):
+            packed = self._lift(cond, lambda a, c: F.struct(
+                a.alias("v"),
+                F.coalesce(c, F.lit(False)).alias("g")))
+            pick = ((lambda s, o: F.when(s["g"], s["v"]).otherwise(o))
+                    if keep_when else
+                    (lambda s, o: F.when(s["g"], o).otherwise(s["v"])))
+            out = packed._lift(other, pick)
+            out.name = self.name
+            return out
+        repl = F.lit(other)
+        gate = ((lambda a, c: F.when(c, a).otherwise(repl))
+                if keep_when else
+                (lambda a, c: F.when(c, repl).otherwise(a)))
+        return self._lift(cond, gate)
+
     def where(self, cond: "Series", other=None) -> "Series":
         """pandas ``Series.where``: keep values where ``cond`` holds,
-        replace the rest with ``other`` (NULL by default). ``cond``
-        from another frame aligns positionally like any binary op."""
-        repl = F.lit(other)
-        return self._lift(cond, lambda a, c: F.when(c, a).otherwise(repl))
+        replace the rest with ``other`` (NULL by default; a Series
+        ``other`` aligns positionally like any binary op). ``cond``
+        from another frame aligns positionally too."""
+        return self._gated(cond, other, keep_when=True)
 
     def mask(self, cond: "Series", other=None) -> "Series":
         """pandas ``Series.mask``: the complement of :meth:`where` —
-        replace values WHERE ``cond`` holds."""
-        repl = F.lit(other)
-        return self._lift(cond, lambda a, c: F.when(~c, a).otherwise(repl))
+        replace values WHERE ``cond`` holds. A NULL cond KEEPS the
+        value (pandas treats missing cond as False; ``where(~cond)``
+        would null it)."""
+        return self._gated(cond, other, keep_when=False)
 
     def isna(self) -> "Series":
         """NULL test (reference: sentinel compare, generic.py:69-73)."""
@@ -1429,7 +1475,7 @@ class Series:
         return self._with_col(expr, self.name)
 
     def qcut(self, q, labels=None, approx: bool = False,
-             accuracy: int = 10000,
+             accuracy: int = 10000, retbins: bool = False,
              duplicates: str = "raise") -> "Series":
         """Quantile-based binning (pandas ``pd.qcut``): ``q``
         equal-frequency bins, or an explicit list of quantiles
@@ -1495,9 +1541,10 @@ class Series:
                     edges.append((b - (b - a) * (1 - t)) if t >= 0.5
                                  else (a + (b - a) * t))
         if edges and edges[0] is None:  # empty/all-null input
-            return self._with_col(
+            out = self._with_col(
                 F.lit(None).cast("double" if labels is False
                                  else "string"), self.name)
+            return (out, []) if retbins else out
         if len(set(edges)) != len(edges):
             if duplicates == "drop":
                 edges = sorted(set(edges))
@@ -1520,7 +1567,10 @@ class Series:
                 labels[i] if labels
                 else (f"[{lo}, {hi}]" if i == 0 else f"({lo}, {hi}]")))
             expr = F.when(cond, lab).otherwise(expr)
-        return self._with_col(expr, self.name)
+        out = self._with_col(expr, self.name)
+        # retbins: pandas returns the edge array alongside (already
+        # driver-sized — it was collected to build the CASE)
+        return (out, list(edges)) if retbins else out
 
     def approx_quantile(self, q, relative_error: float = 0.001) -> list:
         """Sketch-based quantiles (approx_percentile) — the scale path:

@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 
 class StringMethods:
     def __init__(self, sr):
+        # pandas parity: .str on a non-string column raises instead
+        # of silently casting (a numeric Series getting .lower() is a
+        # bug in user code). The check reads the analyzed schema —
+        # no Spark job.
+        t = sr.spark_type.typeName()
+        if t not in ("string", "null"):
+            raise AttributeError(
+                "Can only use .str accessor with string values! "
+                f"(column dtype is {t}; astype(str) first)")
         self._sr = sr
 
     def _map(self, fn, name=None):

@@ -1381,3 +1381,47 @@ def test_top_level_delegates(bl):
     pc, pu = pd.factorize(pd.Series(["b", "a", "b", None]), sort=True)
     assert codes.to_pandas().tolist() == list(pc)
     assert uniq == list(pu)
+
+
+def test_wave8_groupby_axis_and_gates(bl):
+    """as_index=False, groupby on a derived Series key, any/all
+    axis=1, qcut retbins, where/mask with Series other + null-cond
+    keep semantics, isin(Series) semi-join face, str type guard."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pg = pd.DataFrame({"k": ["a", "a", "b"], "v": [1., 2., 3.]})
+    dg = bl.DataFrame({k: pg[k].to_numpy() for k in pg})
+    got = dg.groupby("k", as_index=False).sum().to_pandas()
+    want = pg.groupby("k", as_index=False).sum()
+    assert sorted(got.columns) == sorted(want.columns)
+    gk = dg.groupby(dg["v"] % 2).sum().to_pandas()
+    wk = pg.groupby(pg["v"] % 2).sum(numeric_only=True)
+    assert sorted(gk["v"].tolist()) == sorted(wk["v"].tolist())
+    pa = pd.DataFrame({"a": [1., 0., np.nan], "b": [1., 1., 0.]})
+    da = bl.DataFrame({k: pa[k].to_numpy() for k in pa})
+    assert da.any(axis=1).to_pandas().tolist() == \
+        pa.any(axis=1).tolist()
+    assert da.all(axis=1).to_pandas().tolist() == \
+        pa.all(axis=1).tolist()
+    _, bins = bl.qcut(bl.Series(np.arange(10, dtype=float)), 2,
+                      retbins=True)
+    _, wbins = pd.qcut(pd.Series(np.arange(10, dtype=float)), 2,
+                       retbins=True)
+    assert [round(b, 9) for b in bins] == [round(b, 9) for b in wbins]
+    ps1, ps2 = pd.Series([1., 5., 9.]), pd.Series([10., 20., 30.])
+    assert bl.Series(ps1.to_numpy()).where(
+        bl.Series(ps1.to_numpy()) > 4,
+        bl.Series(ps2.to_numpy())).to_pandas().tolist() == \
+        ps1.where(ps1 > 4, ps2).tolist()
+    # mask with NULL cond keeps the value (pandas False-on-both-faces)
+    v = pd.Series([1., 2.])
+    c = pd.Series([np.nan, 1.0])
+    gm = bl.Series(v.to_numpy()).mask(
+        bl.Series(c.to_numpy()) > 0, -9).to_pandas().tolist()
+    assert gm == v.mask(c > 0, -9).tolist() == [1.0, -9.0]
+    assert bl.Series(ps1.to_numpy()).isin(
+        bl.Series(np.array([5., 9.]))).to_pandas().tolist() == \
+        ps1.isin(pd.Series([5., 9.])).tolist()
+    with pytest.raises(AttributeError, match="string"):
+        bl.Series(np.array([1.0])).str
