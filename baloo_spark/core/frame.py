@@ -330,6 +330,19 @@ class DataFrame:
         for c in self._data_cols:
             yield c, self[c]
 
+    def pipe(self, func, *args, **kwargs):
+        """pandas ``pipe``: apply ``func(self, *args, **kwargs)`` —
+        pure composition sugar, nothing executes."""
+        return func(self, *args, **kwargs)
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        return self.rename(columns={c: f"{prefix}{c}"
+                                    for c in self._data_cols})
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename(columns={c: f"{c}{suffix}"
+                                    for c in self._data_cols})
+
     def iterrows(self):
         """Row iterator (pandas ``iterrows``) — an explicit
         DRIVER-SIDE materialization boundary like ``to_pandas``;

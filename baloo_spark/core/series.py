@@ -1008,6 +1008,39 @@ class Series:
         return Series._make(sdf, F.col("__ires__"), self._index_cols,
                             self.name, self._order)
 
+    def pipe(self, func, *args, **kwargs):
+        """pandas ``pipe``: ``func(self, ...)`` — composition sugar."""
+        return func(self, *args, **kwargs)
+
+    def first_valid_index(self):
+        """Label of the first non-null value (pandas flavor): ONE
+        ``min_by`` aggregate over the ordered position — no sort, no
+        collect beyond one row."""
+        return self._valid_index(first=True)
+
+    def last_valid_index(self):
+        return self._valid_index(first=False)
+
+    def _valid_index(self, first: bool):
+        from ..plans.ordinal import POS_COL, with_dense_ordinal
+        sdf = self._sdf.withColumn("__fv__", self._colexpr)
+        pairs = [(c, a) for c, a in (self._order or [])
+                 if c in sdf.columns]
+        sdf = with_dense_ordinal(sdf, order_exprs(pairs) or None,
+                                 name="__fvp__")
+        label = None
+        for c in self._index_cols:
+            if c in sdf.columns and c != ORD_COL:
+                label = F.col(c)
+                break
+        if label is None:
+            label = F.col(ORD_COL) if ORD_COL in sdf.columns \
+                else F.col("__fvp__")
+        agg = (F.min_by if first else F.max_by)(
+            label, F.when(F.col("__fv__").isNotNull(),
+                          F.col("__fvp__")))
+        return sdf.agg(agg.alias("v")).first()["v"]
+
     def dot(self, other: "Series") -> float:
         """Inner product with another Series (pandas ``Series.dot``):
         positional alignment, then ONE sum-of-products aggregate."""

@@ -644,3 +644,18 @@ def test_named_binary_ops_fill_value_and_sem(bl):
     assert both.isna().all()
     px = pd.Series([1., 2., 3., 4.])
     assert abs(bl.Series(px.to_numpy()).sem() - px.sem()) < 1e-12
+
+
+def test_pipe_prefix_valid_index(bl):
+    import numpy as np
+    import pandas as pd
+    ps = pd.Series([np.nan, 2., 3., np.nan])
+    bs = bl.Series(ps.to_numpy())
+    assert bs.first_valid_index() == ps.first_valid_index()
+    assert bs.last_valid_index() == ps.last_valid_index()
+    assert bl.Series(np.array([np.nan])).first_valid_index() is None
+    df = bl.DataFrame({"a": np.array([1.])})
+    assert df.add_prefix("x_").columns == ["x_a"]
+    assert df.add_suffix("_y").columns == ["a_y"]
+    assert df.pipe(lambda d: d.columns) == ["a"]
+    assert bs.pipe(lambda s: s.name) is None
