@@ -330,11 +330,6 @@ class DataFrame:
         for c in self._data_cols:
             yield c, self[c]
 
-    def pipe(self, func, *args, **kwargs):
-        """pandas ``pipe``: apply ``func(self, *args, **kwargs)`` —
-        pure composition sugar, nothing executes."""
-        return func(self, *args, **kwargs)
-
     def add_prefix(self, prefix: str) -> "DataFrame":
         return self.rename(columns={c: f"{prefix}{c}"
                                     for c in self._data_cols})
@@ -1126,6 +1121,35 @@ class DataFrame:
         **kwargs)`` — keeps operator chains linear when mixing engine
         methods with free functions (e.g. the operators/ library)."""
         return func(self, *args, **kwargs)
+
+    def _resolve_level(self, level):
+        idx = [c for c in self._index_cols
+               if c in self._sdf.columns and c != ORD_COL]
+        if isinstance(level, int):
+            return idx[level]
+        if level in idx:
+            return level
+        raise KeyError(f"level {level!r} not in index {idx!r}")
+
+    def swaplevel(self, i=0, j=1) -> "DataFrame":
+        """Swap two MultiIndex levels (pure metadata — the index is
+        column ORDER here; no job, no shuffle)."""
+        a, b = self._resolve_level(i), self._resolve_level(j)
+        idx = [b if c == a else a if c == b else c
+               for c in self._index_cols]
+        return DataFrame._make(self._sdf, idx, self._data_cols,
+                               self._order)
+
+    def droplevel(self, level) -> "DataFrame":
+        """Remove one index level (metadata + column drop)."""
+        name = self._resolve_level(level)
+        idx = [c for c in self._index_cols if c != name]
+        if not idx:
+            raise ValueError("cannot drop the only index level; "
+                             "reset_index instead")
+        order = [(c, a) for c, a in (self._order or []) if c != name]
+        return DataFrame._make(self._sdf.drop(name), idx,
+                               self._data_cols, order or None)
 
     def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
         """Column subset by dtype kind (pandas ``select_dtypes``):

@@ -175,3 +175,23 @@ def test_from_pandas_multiindex_frame(bl):
     back = df.to_pandas().sort_index()
     assert isinstance(back.index, pd.MultiIndex)
     assert back.loc[(2, "y"), "v"] == 2.0
+
+
+def test_swaplevel_droplevel(bl):
+    """MultiIndex level reorder/removal — pure metadata, no job."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    p = pd.DataFrame({"a": ["x", "y"], "b": [1, 2],
+                      "v": [10., 20.]}).set_index(["a", "b"])
+    d = bl.DataFrame({"a": np.array(["x", "y"], dtype=object),
+                      "b": np.array([1, 2]),
+                      "v": np.array([10., 20.])}).set_index(["a", "b"])
+    assert d.swaplevel().to_pandas().index.names == \
+        list(p.swaplevel().index.names)
+    assert d.droplevel(0).to_pandas().index.name == "b"
+    assert d.droplevel("b").to_pandas().index.name == "a"
+    with pytest.raises(KeyError):
+        d.droplevel("zz")
+    with pytest.raises(ValueError, match="only index level"):
+        d.droplevel(0).droplevel(0)
