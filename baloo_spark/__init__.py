@@ -238,6 +238,22 @@ def concat(frames: list, axis: int = 0) -> "DataFrame":
     the ambiguity; rename first)."""
     if not frames:
         raise ValueError("concat of empty list")
+    from .core.series import Series as _S
+    if all(isinstance(f, _S) for f in frames):
+        if axis == 0:
+            # Series concat -> one longer Series (unionByName of the
+            # value projections; index renumbers like ignore_index)
+            name = frames[0].name
+            parts = [f._select("__cc__")[0].select("__cc__")
+                     for f in frames]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            from pyspark.sql import functions as F
+            return _S._make(out, F.col("__cc__"), None, name, None)
+        # axis=1: Series become single-column frames, positional align
+        frames = [f.to_frame() if hasattr(f, "to_frame") else f
+                  for f in frames]
     if axis == 0:
         out = frames[0]
         for f in frames[1:]:

@@ -1984,6 +1984,21 @@ class DataFrame:
         — presence markers carried through the join, zero extra
         shuffles.
         """
+        if how == "cross":
+            # pandas how='cross': the cartesian product, no keys.
+            # Deliberately NOT hidden behind an equi-join face — the
+            # output is |L| x |R| rows and the caller should mean it.
+            if on is not None or left_on is not None:
+                raise ValueError("how='cross' takes no join keys")
+            shared = set(self._data_cols) & set(other._data_cols)
+            l = self._sdf.select(*[
+                F.col(c).alias(f"{c}{suffixes[0]}" if c in shared
+                               else c) for c in self._data_cols])
+            r = other._sdf.select(*[
+                F.col(c).alias(f"{c}{suffixes[1]}" if c in shared
+                               else c) for c in other._data_cols])
+            out = l.crossJoin(r)
+            return DataFrame._make(out, [], list(out.columns), None)
         if how not in ("inner", "left", "right", "outer", "semi", "anti"):
             raise ValueError(f"unsupported how: {how}")
         if left_on is not None or right_on is not None:

@@ -108,3 +108,24 @@ def test_merge_nan_keys_match_pandas(bl):
     anti = [nl(x.k) for x in l.merge(r, on="k", how="anti")
             .to_pandas().reset_index().itertuples()]
     assert semi == [2.0, None] and anti == [1.0]
+
+
+def test_merge_cross_and_series_concat(bl):
+    """how='cross' (explicit cartesian, pandas both-side suffixes);
+    bl.concat over Series."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    l = bl.DataFrame({"a": np.array([1, 2]), "b": np.array([9, 9])})
+    r = bl.DataFrame({"b": np.array([3, 4])})
+    g = l.merge(r, how="cross").to_pandas()
+    w = pd.DataFrame({"a": [1, 2], "b": [9, 9]}).merge(
+        pd.DataFrame({"b": [3, 4]}), how="cross")
+    assert g.columns.tolist() == w.columns.tolist()
+    assert sorted(map(tuple, g.values.tolist())) == \
+        sorted(map(tuple, w.values.tolist()))
+    with pytest.raises(ValueError, match="no join keys"):
+        l.merge(r, how="cross", on="b")
+    s = bl.concat([bl.Series(np.array([1., 2.])),
+                   bl.Series(np.array([3.]))])
+    assert sorted(s.to_pandas().tolist()) == [1.0, 2.0, 3.0]
