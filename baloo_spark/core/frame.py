@@ -442,6 +442,56 @@ class DataFrame:
             idx_cols, order = [k], [("__rpos__", True)]
         return DataFrame._make(out_sdf, idx_cols, data, order)
 
+    def interpolate(self, method: str = "linear",
+                    limit: int | None = None,
+                    limit_direction: str | None = None) -> "DataFrame":
+        """Linear interpolation of every numeric column (pandas
+        ``DataFrame.interpolate``) — ALL columns share ONE fused
+        layout pass (plans/ordinal.py:with_interp_neighbors_multi):
+        one range layout, one Window stage, one per-partition stats
+        collect, one broadcast join, regardless of column count.
+        Same pandas edge semantics as :meth:`Series.interpolate`."""
+        if method != "linear":
+            raise ValueError(
+                f"only method='linear' is supported, got {method!r}")
+        limit_direction = limit_direction or "forward"
+        if limit_direction not in ("forward", "backward", "both"):
+            raise ValueError(
+                "limit_direction must be 'forward', 'backward' or "
+                f"'both', got {limit_direction!r}")
+        from ..plans.ordinal import with_interp_neighbors_multi
+        num = self._numeric_cols()
+        if not num:
+            return self
+        pairs = [(c, a) for c, a in (self._order or [])
+                 if c in self._sdf.columns]
+        tags = {str(i): F.col(c).cast("double")
+                for i, c in enumerate(num)}
+        sdf = with_interp_neighbors_multi(
+            self._sdf, tags, order_exprs(pairs) or None)
+        fp = F.col("__ip__")
+        sel = []
+        for c in self._sdf.columns:
+            if c not in num:
+                sel.append(F.col(c))
+        for i, c in enumerate(num):
+            t = str(i)
+            v = F.col(f"__v_{t}__")
+            p, n = F.col(f"__iprev_{t}__"), F.col(f"__inext_{t}__")
+            interp = (p["v"] + (n["v"] - p["v"]) * (fp - p["p"])
+                      / (n["p"] - p["p"]))
+            cand = F.when(p.isNotNull() & n.isNotNull(), interp) \
+                .otherwise(F.coalesce(p["v"], n["v"]))
+            fwd = (p.isNotNull() if limit is None
+                   else p.isNotNull() & ((fp - p["p"]) <= limit))
+            bwd = (n.isNotNull() if limit is None
+                   else n.isNotNull() & ((n["p"] - fp) <= limit))
+            elig = {"forward": fwd, "backward": bwd,
+                    "both": fwd | bwd}[limit_direction]
+            sel.append(F.when(v.isNotNull(), v)
+                       .otherwise(F.when(elig, cand)).alias(c))
+        return self._replace_sdf(sdf.select(*sel))
+
     def corrwith(self, other: "DataFrame") -> Series:
         """Column-wise Pearson correlation with ``other``'s matching
         columns (pandas ``corrwith`` on aligned frames): positional

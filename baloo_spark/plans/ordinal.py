@@ -541,75 +541,106 @@ def with_ewm_mean(sdf: DataFrame, value_col, alpha: float,
 def with_interp_neighbors(sdf: DataFrame, value_col, order_by,
                           pos: str = "__ip__", prev: str = "__iprev__",
                           nxt: str = "__inext__") -> DataFrame:
-    """Everything linear interpolation needs from ONE range layout:
-    a dense global position ``pos`` plus (position, value) structs of
-    the nearest previous (``prev``) and next (``nxt``) non-null
-    values per row.
+    """Single-column face of :func:`with_interp_neighbors_multi`
+    (kept for the Series surface). See the multi variant for the
+    design and measurements."""
+    out = with_interp_neighbors_multi(sdf, {"0": value_col},
+                                      order_by, pos=pos)
+    return (out.withColumnRenamed("__v_0__", "__v__")
+            .withColumnRenamed("__iprev_0__", prev)
+            .withColumnRenamed("__inext_0__", nxt))
 
-    The naive composition — with_dense_ordinal + with_last_non_null
-    forward + with_last_non_null backward — pays THREE range layouts
-    (repartition+sort+checkpoint each) and three driver round-trips;
-    measured 30s at 16x sf0.1 where this fused pass is one layout,
-    one Window stage (all three window expressions share the same
-    partitioning and ordering, so Catalyst emits a single
-    WindowExec), ONE per-partition stats collect, and one broadcast
-    join. Driver state stays n_partitions rows.
+
+def with_interp_neighbors_multi(sdf: DataFrame, values: dict,
+                                order_by,
+                                pos: str = "__ip__") -> DataFrame:
+    """Everything linear interpolation needs from ONE range layout,
+    for ANY number of columns at once: a dense global position
+    ``pos`` plus per-tag ``__v_{t}__`` (the value),
+    ``__iprev_{t}__`` / ``__inext_{t}__`` (nearest previous/next
+    non-null (position, value) structs).
+
+    Design (and why): the naive composition — with_dense_ordinal +
+    with_last_non_null forward + backward, PER COLUMN — pays three
+    range layouts (repartition+sort+checkpoint each) and three
+    driver round-trips per column; measured 30s at 16x sf0.1 where
+    this fused pass is one layout, one Window stage, ONE
+    per-partition stats collect, and one broadcast join for every
+    column together. Both carries are RUNNING frames
+    (unboundedPreceding -> current): Spark streams those in O(n),
+    while a (current -> unboundedFollowing) frame with first()
+    re-scans the tail per row — O(n^2), measured 4.5s -> 118s at 1x.
+    The backward carry therefore runs over the SAME partitioning
+    with the order reversed: a second in-partition sort, no
+    exchange. Driver state stays n_partitions rows regardless of
+    row count or column count.
     """
-    lay = _range_layout(sdf.withColumn("__v__", value_col), order_by)
+    tags = list(values)
+    lay = _range_layout(
+        sdf.select("*", *[c.alias(f"__v_{t}__")
+                          for t, c in values.items()]), order_by)
     w = Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
-    nn = F.when(F.col("__v__").isNotNull(),
-                F.struct(F.col("__rn__").alias("p"),
-                         F.col("__v__").alias("v")))
-    lay = lay.withColumn("__rn__", F.row_number().over(w))
-    # both carries as RUNNING frames (unboundedPreceding -> current):
-    # Spark's WindowExec streams those in O(n); a
-    # (current -> unboundedFollowing) frame with first() re-scans the
-    # tail per row — O(n^2), measured 4.5s -> 118s at 1x. The
-    # backward carry therefore runs over the SAME partitioning with
-    # the order reversed: a second in-partition sort, no exchange.
     wd = (Window.partitionBy("__pid__")
           .orderBy(F.col("__mid__").desc())
           .rowsBetween(Window.unboundedPreceding, 0))
-    lay = (lay
-           .withColumn("__pl__", F.last(nn, ignorenulls=True).over(
-               w.rowsBetween(Window.unboundedPreceding, 0)))
-           .withColumn("__nl__", F.last(nn, ignorenulls=True).over(wd)))
+    lay = lay.withColumn("__rn__", F.row_number().over(w))
 
-    # one job: per-partition row count + edge donors (struct ordering
-    # is lexicographic, so max/min over (rn, v) pick the last/first
-    # non-null row — rn is unique within the partition)
-    stats = lay.groupBy("__pid__").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(nn).alias("l"),
-        F.min(nn).alias("f")).collect()
-    by_pid = {r["__pid__"]: r for r in sorted(stats,
-                                              key=lambda r: r["__pid__"])}
+    def nn(t):
+        v = F.col(f"__v_{t}__")
+        return F.when(v.isNotNull(),
+                      F.struct(F.col("__rn__").alias("p"),
+                               v.alias("v")))
+
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    for t in tags:
+        lay = (lay
+               .withColumn(f"__pl_{t}__",
+                           F.last(nn(t), ignorenulls=True).over(wrun))
+               .withColumn(f"__nl_{t}__",
+                           F.last(nn(t), ignorenulls=True).over(wd)))
+
+    # one job: per-partition row count + edge donors per column
+    # (struct ordering is lexicographic; rn is unique per partition,
+    # so max/min pick the last/first non-null row)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for t in tags:
+        aggs += [F.max(nn(t)).alias(f"l_{t}"),
+                 F.min(nn(t)).alias(f"f_{t}")]
+    stats = lay.groupBy("__pid__").agg(*aggs).collect()
+    by_pid = {r["__pid__"]: r for r in stats}
     offsets, acc = {}, 0
     for pid in sorted(by_pid):
         offsets[pid] = acc
         acc += by_pid[pid]["n"]
-    # prefix carry: last non-null GLOBAL (pos, value) strictly before
-    # each partition; suffix carry: first non-null strictly after
-    pre, carry = {}, None
-    for pid in sorted(by_pid):
-        pre[pid] = carry
-        l = by_pid[pid]["l"]
-        if l is not None and l["v"] is not None:
-            carry = (offsets[pid] + l["p"] - 1, float(l["v"]))
-    suf, carry = {}, None
-    for pid in sorted(by_pid, reverse=True):
-        suf[pid] = carry
-        f = by_pid[pid]["f"]
-        if f is not None and f["v"] is not None:
-            carry = (offsets[pid] + f["p"] - 1, float(f["v"]))
+    pre = {t: {} for t in tags}
+    suf = {t: {} for t in tags}
+    for t in tags:
+        carry = None
+        for pid in sorted(by_pid):
+            pre[t][pid] = carry
+            l = by_pid[pid][f"l_{t}"]
+            if l is not None and l["v"] is not None:
+                carry = (offsets[pid] + l["p"] - 1, float(l["v"]))
+        carry = None
+        for pid in sorted(by_pid, reverse=True):
+            suf[t][pid] = carry
+            f = by_pid[pid][f"f_{t}"]
+            if f is not None and f["v"] is not None:
+                carry = (offsets[pid] + f["p"] - 1, float(f["v"]))
 
     spark = lay.sparkSession
-    fill = spark.createDataFrame(
-        [(int(pid), int(offsets[pid]),
-          *(pre[pid] or (None, None)), *(suf[pid] or (None, None)))
-         for pid in sorted(by_pid)],
-        "__pid__ INT, __off__ LONG, __pp__ LONG, __pv__ DOUBLE, "
-        "__np__ LONG, __nv__ DOUBLE")
+    schema = ["__pid__ INT", "__off__ LONG"]
+    rows = []
+    for pid in sorted(by_pid):
+        row = [int(pid), int(offsets[pid])]
+        for t in tags:
+            row += list(pre[t][pid] or (None, None))
+            row += list(suf[t][pid] or (None, None))
+        rows.append(tuple(row))
+    for t in tags:
+        schema += [f"__pp_{t}__ LONG", f"__pv_{t}__ DOUBLE",
+                   f"__np_{t}__ LONG", f"__nv_{t}__ DOUBLE"]
+    fill = spark.createDataFrame(rows, ", ".join(schema))
     out = lay.join(F.broadcast(fill), "__pid__")
 
     def glob(local, fill_p, fill_v):
@@ -623,10 +654,16 @@ def with_interp_neighbors(sdf: DataFrame, value_col, order_by,
                 F.struct(F.col(fill_p).alias("p"),
                          F.col(fill_v).alias("v"))))
 
-    out = (out
-           .withColumn(pos, F.col("__off__") + F.col("__rn__") - 1)
-           .withColumn(prev, glob("__pl__", "__pp__", "__pv__"))
-           .withColumn(nxt, glob("__nl__", "__np__", "__nv__"))
-           .drop("__pl__", "__nl__", "__pp__", "__pv__", "__np__",
-                 "__nv__", "__off__", "__rn__", "__mid__", "__pid__"))
-    return out
+    out = out.withColumn(pos, F.col("__off__") + F.col("__rn__") - 1)
+    drop = ["__off__", "__rn__", "__mid__", "__pid__"]
+    for t in tags:
+        out = (out
+               .withColumn(f"__iprev_{t}__",
+                           glob(f"__pl_{t}__", f"__pp_{t}__",
+                                f"__pv_{t}__"))
+               .withColumn(f"__inext_{t}__",
+                           glob(f"__nl_{t}__", f"__np_{t}__",
+                                f"__nv_{t}__")))
+        drop += [f"__pl_{t}__", f"__nl_{t}__", f"__pp_{t}__",
+                 f"__pv_{t}__", f"__np_{t}__", f"__nv_{t}__"]
+    return out.drop(*drop)

@@ -441,3 +441,23 @@ def test_interpolate_matches_pandas(bl):
     import pytest
     with pytest.raises(ValueError, match="linear"):
         bl.Series(np.array([1.0])).interpolate(method="pad")
+
+
+def test_frame_interpolate_shared_pass(bl):
+    """DataFrame.interpolate: every numeric column through ONE fused
+    layout pass; string columns untouched; pandas edge semantics."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [np.nan, 1., np.nan, 4.],
+                        "b": [1., np.nan, np.nan, 10.],
+                        "s": list("wxyz")})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    for ld in ("forward", "backward", "both"):
+        for lim in (None, 1):
+            g = df.interpolate(limit=lim, limit_direction=ld) \
+                .to_pandas()
+            w = pdf.interpolate(limit=lim, limit_direction=ld)
+            for c in ("a", "b"):
+                assert g[c].fillna(-9).tolist() == \
+                    w[c].fillna(-9).tolist(), (c, ld, lim)
+            assert g["s"].tolist() == w["s"].tolist()
