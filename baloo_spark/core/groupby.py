@@ -323,6 +323,22 @@ class DataFrameGroupBy:
         ``groupby().kurt()``); n<4 -> NULL, zero variance -> 0."""
         return self._moment("kurt")
 
+    def ewm(self, alpha: float | None = None, span: float | None = None,
+            ignore_na: bool = False):
+        """Per-group exponentially-weighted windows (pandas
+        ``groupby().ewm()``): groups stream through ``applyInPandas``
+        and pandas' own C ewm kernel runs per group — the honest path
+        for a per-row recursion that is neither a prefix sum nor a
+        bounded window. State is one group per task (the same
+        bounded-group contract as apply/filter); the GLOBAL
+        decayed-carry scan (plans/ordinal.py:with_ewm_mean) remains
+        the un-grouped face."""
+        if (alpha is None) == (span is None):
+            raise ValueError("pass exactly one of alpha= or span=")
+        if span is not None:
+            alpha = 2.0 / (span + 1.0)
+        return _GroupEwm(self, float(alpha), ignore_na)
+
     def sem(self, ddof: int = 1):
         """Per-group standard error of the mean (pandas
         ``groupby().sem()``): std/sqrt(count) as pure column
@@ -628,8 +644,11 @@ class DataFrameGroupBy:
             from .frame import DataFrame
             exprs = []
             for c, aggs in aggregations.items():
-                aggs = [aggs] if isinstance(aggs, str) else aggs
+                aggs = ([aggs] if isinstance(aggs, str)
+                        or callable(aggs) else aggs)
                 for a in aggs:
+                    if callable(a):
+                        a = a.__name__  # np.sum etc., like pandas
                     src = F.col(c).cast("double") if a != "count" else F.col(c)
                     out_t = "long" if a == "count" else "double"
                     exprs.append(_AGG_FNS[a](src).cast(out_t).alias(f"{c}_{a}"))
@@ -741,3 +760,43 @@ class _NoIndexGroupBy:
                 return out.reset_index()
             return out
         return wrapped
+
+
+class _GroupEwm:
+    """Per-group EWM face (see :meth:`DataFrameGroupBy.ewm`)."""
+
+    def __init__(self, gb: DataFrameGroupBy, alpha: float,
+                 ignore_na: bool):
+        self._gb, self._alpha, self._ignore_na = gb, alpha, ignore_na
+
+    def mean(self):
+        from .frame import DataFrame
+        gb = self._gb
+        sdf, order = gb._gorder()
+        vcols = gb._value_cols()
+        alpha, ignore_na = self._alpha, self._ignore_na
+        # order columns must ride into the pandas kernel; expressions
+        # in _order were materialized by sort_values already
+        ocols = [c for c, _ in (gb._df._order or [])
+                 if c in sdf.columns]
+        from ..plans.ordinal import ORD_COL
+        if not ocols and ORD_COL in sdf.columns:
+            ocols = [ORD_COL]
+        asc = [a for c, a in (gb._df._order or [(ORD_COL, True)])
+               if c in sdf.columns] or [True]
+
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField(f.name, T.DoubleType() if f.name in vcols
+                          else f.dataType, True)
+            for f in sdf.schema.fields])
+
+        def fn(pdf):
+            pdf = pdf.sort_values(ocols, ascending=asc)
+            pdf[vcols] = pdf[vcols].astype("float64").ewm(
+                alpha=alpha, ignore_na=ignore_na).mean()
+            return pdf
+
+        out = sdf.groupBy(*gb._by).applyInPandas(fn, schema)
+        return DataFrame._make(out, gb._df._index_cols,
+                               gb._df._data_cols, gb._df._order)

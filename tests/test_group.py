@@ -433,3 +433,26 @@ def test_sem_all_surfaces(bl):
     ww = pdf.groupby("k").sem()
     np.testing.assert_allclose(gg.to_numpy(), ww.to_numpy())
     assert abs(df["v"].sem() - pdf["v"].sem()) < 1e-12
+
+
+def test_groupby_ewm_and_callable_agg(bl):
+    """groupby().ewm().mean() via applyInPandas (pandas C kernel per
+    group); dict agg resolves callables like pandas (np.sum)."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "b", "a"],
+                        "t": [1, 1, 2, 2, 3],
+                        "v": [1., 2., np.nan, 4., 5.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf}) \
+        .sort_values("t")
+    got = df.groupby("k").ewm(alpha=0.5).mean().to_pandas() \
+        .sort_values(["k", "t"])["v"].tolist()
+    want = pdf.sort_values("t").groupby("k").ewm(alpha=0.5).mean() \
+        .reset_index().sort_values(["k", "t"])["v"].tolist()
+    for g, w in zip(got, want):
+        assert (g != g and w != w) or abs(g - w) < 1e-12
+    assert df.groupby("k").agg({"v": np.sum}).to_pandas() \
+        ["v_sum"].tolist() == [6.0, 6.0]
+    import pytest
+    with pytest.raises(ValueError, match="alpha= or span="):
+        df.groupby("k").ewm()
