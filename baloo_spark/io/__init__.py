@@ -19,7 +19,8 @@ def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
              names: list | None = None, usecols: list | None = None,
              dtype=None, converters: dict | None = None,
              skiprows: int = 0, nrows: int | None = None,
-             multiline: bool = False) -> DataFrame:
+             multiline: bool = False, comment: str | None = None,
+             na_values=None, encoding: str | None = None) -> DataFrame:
     """CSV source (reference signature incl. converters, io/csv.py:6-52)
     via ``spark.read.csv`` — distributed, schema-inferred.
 
@@ -40,7 +41,27 @@ def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
         "header", header is not None and header is not False).option(
         "escape", '"').option("multiLine", multiline).option(
         "inferSchema", True)
+    if comment:
+        if len(comment) != 1:
+            raise ValueError("comment must be a single character")
+        reader = reader.option("comment", comment)
+    if encoding:
+        reader = reader.option("encoding", encoding)
+    if isinstance(na_values, str):
+        reader = reader.option("nullValue", na_values)
     sdf = reader.csv(filepath)
+    if na_values is not None and not isinstance(na_values, str):
+        # a LIST of sentinels: Spark's reader takes one nullValue, so
+        # the rest null out post-read — a pure projection over the
+        # string-typed columns (numeric columns already failed to
+        # parse the sentinel and are string here anyway)
+        sents = [str(v) for v in na_values]
+        sdf = sdf.select(*[
+            (F.when(F.col(c).isin(*sents), F.lit(None))
+             .otherwise(F.col(c)).alias(c)
+             if t.typeName() == "string" else F.col(c))
+            for c, t in ((f.name, f.dataType)
+                         for f in sdf.schema.fields)])
     if header is not None and header is not False and not names:
         # pandas parity: empty header cells (e.g. a written index
         # column, reference tests/io/files/df1.csv) become

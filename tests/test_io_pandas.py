@@ -128,3 +128,17 @@ def test_csv_roundtrip_hostile_content(bl, tmp_path):
     p2 = str(tmp_path / "dist")
     df.to_csv(p2, single_file=False)
     assert back(p2) == vals
+
+
+def test_read_csv_comment_na_values(bl, tmp_path):
+    """comment= (reader option) and na_values= (single -> nullValue
+    option; list -> post-read projection over string columns)."""
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n# skip me\n1,x\n2,NA\n3,none\n")
+    df = bl.read_csv(str(p), comment="#", na_values=["NA", "none"])
+    got = df.to_pandas()
+    assert got["a"].tolist() == [1, 2, 3]
+    assert got["b"].fillna("-").tolist() == ["x", "-", "-"]
+    df2 = bl.read_csv(str(p), comment="#", na_values="NA")
+    assert df2.to_pandas()["b"].fillna("-").tolist() == \
+        ["x", "-", "none"]
