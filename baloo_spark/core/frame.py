@@ -1917,23 +1917,31 @@ class DataFrame:
         return _S._make(out, F.col("__agg__"), [_IDX], "nunique", None)
 
     def describe(self, approx: bool = False,
-                 accuracy: int = 10000) -> "DataFrame":
+                 accuracy: int = 10000,
+                 percentiles=None) -> "DataFrame":
         """Summary statistics per numeric column (count/mean/std/min/
         25%/50%/75%/max) — one job. Quartiles are exact interpolated
         by default; ``approx=True`` swaps in the Greenwald-Khanna
         sketch (percentile_approx, bounded memory, rank error <=
         1/accuracy) — the 100 TB path, since the exact aggregate
-        buffers the per-partition value multiset."""
+        buffers the per-partition value multiset. ``percentiles``
+        customizes the quantile rows (pandas flavor; the median is
+        always included)."""
         cols = self._numeric_cols()
         exprs = []
-        stats = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        ps = sorted(set((percentiles or [0.25, 0.75])) | {0.5})
+        for p in ps:
+            if not 0 <= p <= 1:
+                raise ValueError(f"percentile {p} outside [0, 1]")
+        ptags = [f"{p * 100:g}%" for p in ps]
+        stats = ["count", "mean", "std", "min", *ptags, "max"]
 
-        # ONE percentile aggregate per column computing all three
-        # quartiles (array percentages): each percentile expression
-        # otherwise keeps its own value buffer / GK sketch over every
-        # row — 3x the aggregation state for identical results
-        # (measured ~2x the whole describe at sf0.1)
-        qarr = F.expr("array(0.25D, 0.5D, 0.75D)")
+        # ONE percentile aggregate per column computing every
+        # requested quantile (array percentages): each percentile
+        # expression otherwise keeps its own value buffer / GK sketch
+        # over every row — n_quantiles x the aggregation state for
+        # identical results (measured ~2x the whole describe at sf0.1)
+        qarr = F.expr("array(" + ",".join(f"{p!r}D" for p in ps) + ")")
         for c in cols:
             d = F.col(c).cast("double")
             q3 = (F.percentile_approx(d, qarr, F.lit(accuracy)) if approx
@@ -1952,7 +1960,7 @@ class DataFrame:
             *[F.element_at(F.col(f"__q3__{c}"), F.lit(i + 1))
               .alias(f"{s}__{c}")
               for c in cols
-              for i, s in enumerate(("25%", "50%", "75%"))]) \
+              for i, s in enumerate(ptags)]) \
             .drop(*[f"__q3__{c}" for c in cols])
         groups = ", ".join(
             "'{s}', {vals}".format(

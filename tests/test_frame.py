@@ -1425,3 +1425,19 @@ def test_wave8_groupby_axis_and_gates(bl):
         ps1.isin(pd.Series([5., 9.])).tolist()
     with pytest.raises(AttributeError, match="string"):
         bl.Series(np.array([1.0])).str
+
+
+def test_describe_percentiles(bl):
+    """describe(percentiles=): custom quantile rows, median always
+    included, still one aggregate job with one array buffer."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"a": np.arange(100, dtype=float)})
+    df = bl.DataFrame({"a": pdf["a"].to_numpy()})
+    g = df.describe(percentiles=[0.1, 0.9]).to_pandas()
+    w = pdf.describe(percentiles=[0.1, 0.9])
+    assert g.index.tolist() == w.index.tolist()
+    np.testing.assert_allclose(g["a"].to_numpy(), w["a"].to_numpy())
+    import pytest
+    with pytest.raises(ValueError, match="outside"):
+        df.describe(percentiles=[1.5])
