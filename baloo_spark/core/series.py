@@ -906,13 +906,19 @@ class Series:
 
     def value_counts(self, ascending: bool = False,
                      normalize: bool = False,
-                     dropna: bool = True) -> "Series":
+                     dropna: bool = True, bins=None) -> "Series":
         """Distinct values with occurrence counts, ordered by count
         (one hash-agg shuffle; values become the index).
         ``normalize=True`` returns fractions of total instead —
         computed with a scalar subtotal, not a second pass.
         ``dropna=True`` (pandas default) excludes the NULL value;
-        pass False to count NULLs as their own row."""
+        pass False to count NULLs as their own row. ``bins=n``
+        composes :meth:`cut` (pandas edge math, interval-string
+        labels) before counting."""
+        if bins is not None:
+            return self.cut(bins).value_counts(
+                ascending=ascending, normalize=normalize,
+                dropna=dropna)
         sdf, alias = self._select()
         if dropna:
             sdf = sdf.filter(F.col(alias).isNotNull())

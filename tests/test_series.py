@@ -659,3 +659,16 @@ def test_pipe_prefix_valid_index(bl):
     assert df.add_suffix("_y").columns == ["a_y"]
     assert df.pipe(lambda d: d.columns) == ["a"]
     assert bs.pipe(lambda s: s.name) is None
+
+
+def test_value_counts_bins(bl):
+    """bins= composes cut (pandas edge math); counts match pandas,
+    labels use the engine's full-precision interval strings."""
+    import numpy as np
+    import pandas as pd
+    ps = pd.Series([1., 1., 2., 5., 9., 9., 9.])
+    bs = bl.Series(ps.to_numpy())
+    got = bs.value_counts(bins=3).to_pandas()
+    want = ps.value_counts(bins=3)
+    assert sorted(got.tolist()) == sorted(want.tolist())
+    assert len(got) == len(want)
