@@ -185,7 +185,7 @@ def main():
     # construction is partly eager like EWM, so the operator is
     # rebuilt inside the timing loop
     from baloo_spark.core.frame import DataFrame as BlFrame
-    lines += ["## interpolate (two-sided boundary carry)", ""]
+    lines += ["## interpolate (fused single-layout neighbor pass)", ""]
     for mult in (1, 4, 16):
         base = replicate(
             li.select("l_orderkey",
