@@ -339,6 +339,49 @@ class DataFrameGroupBy:
             alpha = 2.0 / (span + 1.0)
         return _GroupEwm(self, float(alpha), ignore_na)
 
+    def ohlc(self):
+        """Per-group open/high/low/close (pandas ``groupby().ohlc()``)
+        — open/close are ``min_by``/``max_by`` over the ordered
+        position, high/low plain min/max: ONE map-side partial
+        hash-agg shuffle for all four."""
+        from ..plans.ordinal import ORD_COL
+        from .frame import DataFrame
+        sdf, order = self._gorder()
+        # a positional key for min_by/max_by: the first order column
+        # (sort_values materialized expressions into real columns)
+        ocols = [c for c, _ in (self._df._order or [])
+                 if c in sdf.columns] or \
+            ([ORD_COL] if ORD_COL in sdf.columns else [])
+        if not ocols:
+            raise ValueError("ohlc needs a defined row order")
+        pos = F.struct(*[F.col(c) for c in ocols])
+        exprs = []
+        for c in self._value_cols():
+            v = F.col(c).cast("double")
+            exprs += [F.min_by(v, pos).alias(f"{c}_open"),
+                      F.max(v).alias(f"{c}_high"),
+                      F.min(v).alias(f"{c}_low"),
+                      F.max_by(v, pos).alias(f"{c}_close")]
+        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        return DataFrame._make(
+            out, list(self._by),
+            [c for c in out.columns if c not in self._by],
+            [(c, True) for c in self._by])
+
+    def pct_change(self, periods: int = 1):
+        """Per-group fractional change vs the row ``periods`` back
+        (pandas ``groupby().pct_change()``) — one keyed Window."""
+        from pyspark.sql import Window
+        sdf, order = self._gorder()
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        fn = F.lag if periods >= 0 else F.lead
+
+        def mk(c):
+            v = F.col(c).cast("double")
+            prev = fn(v, abs(periods)).over(w)
+            return v / prev - 1
+        return self._transform_frame(sdf, self._value_cols(), mk)
+
     def sem(self, ddof: int = 1):
         """Per-group standard error of the mean (pandas
         ``groupby().sem()``): std/sqrt(count) as pure column

@@ -456,3 +456,22 @@ def test_groupby_ewm_and_callable_agg(bl):
     import pytest
     with pytest.raises(ValueError, match="alpha= or span="):
         df.groupby("k").ewm()
+
+
+def test_groupby_ohlc_pct_change(bl):
+    """ohlc: min_by/max_by over the ordered position, one shuffle;
+    pct_change: one keyed Window."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                        "t": [1, 2, 3, 1, 2],
+                        "v": [3., 1., 2., 5., 4.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf}) \
+        .sort_values("t")
+    g = df.groupby("k")[["v"]].ohlc().to_pandas().sort_index()
+    w = pdf.sort_values("t").groupby("k")["v"].ohlc()
+    np.testing.assert_allclose(g.to_numpy(), w.to_numpy())
+    gp = df.groupby("k")[["v"]].pct_change().to_pandas()
+    wp = pdf.sort_values("t").groupby("k")[["v"]].pct_change()
+    assert sorted(x for x in gp["v"] if x == x) == \
+        sorted(x for x in wp["v"] if x == x)
