@@ -2020,6 +2020,7 @@ class DataFrame:
               is_on_sorted: bool = False, is_on_unique: bool = True,
               broadcast_other: bool = False, left_on=None,
               right_on=None, indicator=False,
+              left_index: bool = False, right_index: bool = False,
               validate: str | None = None) -> "DataFrame":
         """DB-style equi-join (frame.py:798-925).
 
@@ -2042,6 +2043,41 @@ class DataFrame:
         — presence markers carried through the join, zero extra
         shuffles.
         """
+        if left_index or right_index:
+            # pandas index-keyed merge: the materialized index
+            # column(s) become join keys (reset_index -> the existing
+            # key machinery -> re-index the result on the keys, like
+            # pandas keeps the index). Positional (anonymous) indexes
+            # are not join keys — set_index first.
+            def _named_idx(f, side):
+                idx = [c for c in f._index_cols
+                       if c in f._sdf.columns and c != ORD_COL]
+                if not idx:
+                    raise ValueError(
+                        f"{side}_index=True needs a materialized "
+                        "index; set_index first")
+                return idx
+            kw = dict(how=how, suffixes=suffixes,
+                      broadcast_other=broadcast_other,
+                      indicator=indicator, validate=validate)
+            if left_index and right_index:
+                lk = _named_idx(self, "left")
+                rk = _named_idx(other, "right")
+                r = other.reset_index()
+                if lk != rk:
+                    if len(lk) != len(rk):
+                        raise ValueError(
+                            f"index level counts differ: {lk} vs {rk}")
+                    r = r.rename(columns=dict(zip(rk, lk)))
+                # merge(on=) already indexes the result by the keys
+                return self.reset_index().merge(r, on=lk, **kw)
+            if right_index:
+                rk = _named_idx(other, "right")
+                return self.merge(other.reset_index(),
+                                  left_on=left_on, right_on=rk, **kw)
+            lk = _named_idx(self, "left")
+            return self.reset_index().merge(
+                other, left_on=lk, right_on=right_on, **kw)
         if how == "cross":
             # pandas how='cross': the cartesian product, no keys.
             # Deliberately NOT hidden behind an equi-join face — the

@@ -129,3 +129,28 @@ def test_merge_cross_and_series_concat(bl):
     s = bl.concat([bl.Series(np.array([1., 2.])),
                    bl.Series(np.array([3.]))])
     assert sorted(s.to_pandas().tolist()) == [1.0, 2.0, 3.0]
+
+
+def test_merge_index_keys(bl):
+    """merge(left_index=/right_index=): materialized index columns
+    become join keys through the existing key machinery; result is
+    indexed by the keys like pandas."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pl = pd.DataFrame({"k": [1, 2, 3], "v": [1., 2., 3.]}).set_index("k")
+    pr = pd.DataFrame({"k": [2, 3, 4], "w": [8., 9., 7.]}).set_index("k")
+    l = bl.DataFrame({"k": np.array([1, 2, 3]),
+                      "v": np.array([1., 2., 3.])}).set_index("k")
+    r = bl.DataFrame({"k": np.array([2, 3, 4]),
+                      "w": np.array([8., 9., 7.])}).set_index("k")
+    g = l.merge(r, left_index=True, right_index=True) \
+        .to_pandas().sort_index()
+    w = pl.merge(pr, left_index=True, right_index=True)
+    assert g.values.tolist() == w.values.tolist()
+    assert g.index.tolist() == w.index.tolist()
+    l2 = bl.DataFrame({"a": np.array([2, 3]), "v": np.array([1., 2.])})
+    g2 = l2.merge(r, left_on="a", right_index=True).to_pandas()
+    assert sorted(g2["w"].tolist()) == [8.0, 9.0]
+    with pytest.raises(ValueError, match="materialized"):
+        l2.merge(r, left_index=True, right_index=True)
