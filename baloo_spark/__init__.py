@@ -329,6 +329,10 @@ def notna(obj: "Series") -> "Series":
     return obj.notna()
 
 
+isnull = isna
+notnull = notna
+
+
 def factorize(values: "Series"):
     """pandas ``factorize`` flavor: (codes Series, uniques list).
     Uniques are collected driver-side in first-appearance-agnostic

@@ -330,6 +330,58 @@ class DataFrame:
         for c in self._data_cols:
             yield c, self[c]
 
+    def isna(self) -> "DataFrame":
+        """Elementwise null test over every data column (pandas
+        ``DataFrame.isna``) — one projection."""
+        sel = [(F.col(c).isNull().alias(c)
+                if c in self._data_cols else F.col(c))
+               for c in self._sdf.columns]
+        return self._replace_sdf(self._sdf.select(*sel))
+
+    def notna(self) -> "DataFrame":
+        sel = [(F.col(c).isNotNull().alias(c)
+                if c in self._data_cols else F.col(c))
+               for c in self._sdf.columns]
+        return self._replace_sdf(self._sdf.select(*sel))
+
+    isnull = isna
+    notnull = notna
+
+    def mode(self) -> "DataFrame":
+        """Per-column most frequent value(s) (pandas
+        ``DataFrame.mode``): ONE stack -> hash-agg shuffle counts
+        every (column, value) pair, the per-column max count filters
+        JVM-side, and only the winning values (driver-sized by
+        definition — ties are rare) collect to assemble the padded
+        pandas-shaped result."""
+        from pyspark.sql import Window
+        cols = self._data_cols
+        num = all(_is_numeric(self._sdf.schema[c].dataType)
+                  for c in cols)
+        typ = "double" if num else "string"
+        arr = F.array(*[F.struct(F.lit(c).alias("c"),
+                                 F.col(c).cast(typ).alias("v"))
+                        for c in cols])
+        pairs = (self._sdf.select(F.explode(arr).alias("s"))
+                 .select(F.col("s.c").alias("c"), F.col("s.v").alias("v"))
+                 .where(F.col("v").isNotNull())
+                 .groupBy("c", "v").agg(F.count(F.lit(1)).alias("n")))
+        w = Window.partitionBy("c")
+        top = (pairs.withColumn("__mx__", F.max("n").over(w))
+               .where(F.col("n") == F.col("__mx__"))
+               .select("c", "v").collect())
+        import pandas as pd
+        by_col = {c: [] for c in cols}
+        for r in top:
+            by_col[r["c"]].append(r["v"])
+        for c in by_col:
+            by_col[c].sort()
+        height = max((len(v) for v in by_col.values()), default=0)
+        pdf = pd.DataFrame({
+            c: by_col[c] + [None] * (height - len(by_col[c]))
+            for c in cols})
+        return DataFrame({c: pdf[c].to_numpy() for c in cols})
+
     def add_prefix(self, prefix: str) -> "DataFrame":
         return self.rename(columns={c: f"{prefix}{c}"
                                     for c in self._data_cols})

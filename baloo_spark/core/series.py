@@ -527,6 +527,9 @@ class Series:
     def notna(self) -> "Series":
         return self._with_col(self._colexpr.isNotNull())
 
+    isnull = isna
+    notnull = notna
+
     def fillna(self, value) -> "Series":
         return self._with_col(F.coalesce(self._colexpr, F.lit(value)))
 

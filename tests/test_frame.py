@@ -1441,3 +1441,21 @@ def test_describe_percentiles(bl):
     import pytest
     with pytest.raises(ValueError, match="outside"):
         df.describe(percentiles=[1.5])
+
+
+def test_frame_mode_isna_aliases(bl):
+    """DataFrame.mode (one stack->hash-agg shuffle, padded pandas
+    shape incl. ties), frame isna/notna, isnull/notnull aliases."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [1., 1., 2.], "b": [5., 6., 6.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    got, want = df.mode().to_pandas(), pdf.mode()
+    np.testing.assert_allclose(got.to_numpy(dtype=float),
+                               want.to_numpy(dtype=float))
+    tie = bl.DataFrame({"x": np.array([1., 2.])}).mode().to_pandas()
+    assert tie["x"].tolist() == [1.0, 2.0]
+    assert df.isna().to_pandas().values.tolist() == \
+        pdf.isna().values.tolist()
+    assert bl.isnull(df["a"]).to_pandas().tolist() == [False] * 3
+    assert df["a"].notnull().to_pandas().tolist() == [True] * 3
