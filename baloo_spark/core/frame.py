@@ -783,6 +783,49 @@ class DataFrame:
         from .series import Series
         return self._elementwise(o, lambda a, b: Series._py_mod(a, b))
 
+    # pandas named-op aliases (frame level; fill_value is a Series-op
+    # concern — frames align positionally here)
+    add = __add__
+    sub = subtract = __sub__
+    mul = multiply = __mul__
+    div = divide = truediv = __truediv__
+    pow = __pow__
+    mod = __mod__
+
+    def _compare(self, o, op):
+        return self._elementwise(o, op)
+
+    def eq(self, o): return self._compare(o, lambda a, b: a == b)
+    def ne(self, o): return self._compare(o, lambda a, b: a != b)
+    def lt(self, o): return self._compare(o, lambda a, b: a < b)
+    def le(self, o): return self._compare(o, lambda a, b: a <= b)
+    def gt(self, o): return self._compare(o, lambda a, b: a > b)
+    def ge(self, o): return self._compare(o, lambda a, b: a >= b)
+
+    def copy(self, deep: bool = True) -> "DataFrame":
+        """Frames are immutable lazy plans — copy is a new wrapper
+        over the same plan (both deep flavors behave identically)."""
+        return DataFrame._make(self._sdf, list(self._index_cols),
+                               list(self._data_cols), self._order)
+
+    def keys(self) -> list:
+        return list(self._data_cols)
+
+    def get(self, key, default=None):
+        """Column lookup with a default (pandas ``get``)."""
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def take(self, indices) -> "DataFrame":
+        """Positional row gather (pandas ``take``) — the iloc list
+        machinery (broadcast position join, no collect)."""
+        return self.iloc[list(indices)]
+
+    def aggregate(self, *a, **k):
+        return self.agg(*a, **k)
+
     # --------------------------------------------- elementwise parity ops
 
     def _unary_numeric(self, op) -> "DataFrame":
@@ -1544,6 +1587,45 @@ class DataFrame:
 
     def var(self): return self._agg_row("var")
     def std(self): return self._agg_row("std")
+
+    def quantile(self, q=0.5, approx: bool = False,
+                 accuracy: int = 10000):
+        """Per-column quantile(s) — ONE aggregate job with a single
+        array-percentile buffer per column (the describe scheme).
+        Scalar ``q`` returns a Series indexed by column name; a list
+        returns a DataFrame with one row per quantile. ``approx=True``
+        is the GK-sketch 100 TB face (exact percentiles buffer the
+        value multiset)."""
+        scalar = isinstance(q, (int, float))
+        ps = [float(q)] if scalar else [float(p) for p in q]
+        for p in ps:
+            if not 0 <= p <= 1:
+                raise ValueError(f"quantile {p} outside [0, 1]")
+        cols = self._numeric_cols()
+        qarr = F.expr("array(" + ",".join(f"{p!r}D" for p in ps) + ")")
+        exprs = []
+        for c in cols:
+            d = F.col(c).cast("double")
+            e = (F.percentile_approx(d, qarr, F.lit(accuracy))
+                 if approx else F.percentile(d, qarr))
+            exprs.append(e.alias(c))
+        row = self._sdf.agg(*exprs).first()
+        import numpy as np
+        if scalar:
+            return DataFrame(
+                {"column": np.array(cols, dtype=object),
+                 "q": np.array([row[c][0] if row[c] is not None
+                                else np.nan for c in cols])}) \
+                .set_index("column")["q"]
+        data = {"q": np.array(ps)}
+        for c in cols:
+            vals = row[c] or [None] * len(ps)
+            data[c] = np.array([v if v is not None else np.nan
+                                for v in vals])
+        return DataFrame(data).set_index("q")
+
+    def median(self, approx: bool = False):
+        return self.quantile(0.5, approx=approx)
 
     def _moment_row(self, kind: str) -> Series:
         """Per-column bias-corrected skew/kurt combined into one

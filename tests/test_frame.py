@@ -1459,3 +1459,26 @@ def test_frame_mode_isna_aliases(bl):
         pdf.isna().values.tolist()
     assert bl.isnull(df["a"]).to_pandas().tolist() == [False] * 3
     assert df["a"].notnull().to_pandas().tolist() == [True] * 3
+
+
+def test_frame_quantile_median_aliases(bl):
+    """Frame quantile/median: ONE agg job with a single
+    array-percentile buffer per column; named-op/compare aliases;
+    copy/keys/get/take/aggregate."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"a": np.arange(11, dtype=float),
+                        "b": np.arange(11, dtype=float) * 2})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert df.quantile(0.5).to_pandas().to_dict() == \
+        pdf.quantile(0.5).to_dict()
+    gq = df.quantile([0.25, 0.75]).to_pandas()
+    wq = pdf.quantile([0.25, 0.75])
+    np.testing.assert_allclose(gq.to_numpy(), wq.to_numpy())
+    assert df.median().to_pandas().to_dict() == pdf.median().to_dict()
+    assert df.eq(2.0).to_pandas().values.tolist() == \
+        pdf.eq(2.0).values.tolist()
+    assert df.take([2, 0]).to_pandas()["a"].tolist() == [2.0, 0.0]
+    assert df.get("zz", "fb") == "fb"
+    assert df.copy().columns == df.columns
+    assert df.add(1).to_pandas()["a"].tolist()[:3] == [1.0, 2.0, 3.0]
