@@ -1017,6 +1017,176 @@ class Series:
         return Series._make(sdf, F.col("__ires__"), self._index_cols,
                             self.name, self._order)
 
+    def to_frame(self, name=None) -> "DataFrame":
+        """One-column DataFrame view (pandas ``to_frame``)."""
+        from .frame import DataFrame
+        alias = name or self.name or "0"
+        sdf, a = self._select(alias)
+        return DataFrame._make(sdf, self._index_cols, [alias],
+                               self._order)
+
+    def rename(self, name) -> "Series":
+        out = self._with_col(self._colexpr)
+        out.name = name
+        return out
+
+    def copy(self, deep: bool = True) -> "Series":
+        return self._with_col(self._colexpr)
+
+    def tolist(self) -> list:
+        """Driver-side list export (same boundary as to_pandas)."""
+        return self.to_pandas().tolist()
+
+    to_list = tolist
+
+    def item(self):
+        """The single value of a length-1 Series (pandas ``item``:
+        raises otherwise). One limit(2) probe, not a full count."""
+        rows = self._select()[0].limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"can only convert a length-1 Series ({'empty' if not rows else '>1 rows'})")
+        return rows[0][-1]
+
+    @property
+    def hasnans(self) -> bool:
+        """True when any value is NULL — a limit(1) filtered probe,
+        the scan short-circuits at the first null."""
+        sdf, a = self._select()
+        return sdf.filter(F.col(a).isNull()).limit(1).count() > 0
+
+    @property
+    def is_unique(self) -> bool:
+        """One agg: count == approx-free distinct count."""
+        sdf, a = self._select()
+        r = sdf.agg(F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.col(a)).alias("d"),
+                    F.count(F.col(a)).alias("nn")).first()
+        # pandas counts NaN as a value; >1 NULL breaks uniqueness
+        return r["d"] + min(r["n"] - r["nn"], 1) == r["n"]
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self._monotonic(increasing=True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._monotonic(increasing=False)
+
+    def _monotonic(self, increasing: bool) -> bool:
+        """pandas flavor: any NaN -> False; else no adjacent
+        violation. One null probe + one boundary-carry shift with a
+        limit(1) violation probe — never a global window."""
+        if self.hasnans:
+            return False
+        sh = self.shift(1)
+        cur = Series._make(sh._sdf, self._colexpr, self._index_cols,
+                           self.name, sh._order)
+        bad = (cur < sh) if increasing else (cur > sh)
+        sdf, a = bad._select()
+        # the head row's shifted neighbor is NULL -> comparison NULL
+        # -> filter drops it, as it should
+        return sdf.filter(F.col(a)).limit(1).count() == 0
+
+    def argmax(self) -> int:
+        """Positional index of the max (pandas ``argmax``): one
+        max_by aggregate over the dense position."""
+        return self._argpos(True)
+
+    def argmin(self) -> int:
+        return self._argpos(False)
+
+    def _argpos(self, is_max: bool) -> int:
+        from ..plans.ordinal import with_dense_ordinal
+        sdf, a = self._select()
+        pairs = [(c, x) for c, x in (self._order or [])
+                 if c in sdf.columns]
+        sdf = with_dense_ordinal(sdf, order_exprs(pairs) or None,
+                                 name="__ap__")
+        fn = F.max_by if is_max else F.min_by
+        # first-occurrence tiebreak: max_by wants the LARGEST
+        # (value, -pos), min_by the SMALLEST (value, pos) — both pick
+        # the smallest position among ties, like pandas
+        tie = (-F.col("__ap__")) if is_max else F.col("__ap__")
+        v = sdf.agg(fn(F.col("__ap__"),
+                       F.when(F.col(a).isNotNull(),
+                              F.struct(F.col(a).alias("v"),
+                                       tie.alias("t"))))
+                    .alias("p")).first()["p"]
+        return -1 if v is None else int(v)
+
+    def eq(self, o): return self._lift(o, lambda a, b: a == b)
+    def ne(self, o): return self._lift(o, lambda a, b: a != b)
+    def lt(self, o): return self._lift(o, lambda a, b: a < b)
+    def le(self, o): return self._lift(o, lambda a, b: a <= b)
+    def gt(self, o): return self._lift(o, lambda a, b: a > b)
+    def ge(self, o): return self._lift(o, lambda a, b: a >= b)
+
+    def take(self, indices) -> "Series":
+        return self.iloc[list(indices)]
+
+    def sample(self, fraction=None, seed: int = 42, n=None,
+               frac=None, random_state=None) -> "Series":
+        """Per-partition Bernoulli sample / exact-n hash top-n — the
+        frame machinery on this one column."""
+        f = self.to_frame("__s__").sample(
+            fraction=fraction, seed=seed, n=n, frac=frac,
+            random_state=random_state)
+        return Series._make(f._sdf, F.col("__s__"), f._index_cols,
+                            self.name, f._order)
+
+    def describe(self, approx: bool = False, percentiles=None) -> "Series":
+        """count/mean/std/min/quantiles/max as a Series (pandas
+        Series.describe) — the frame's ONE-job describe on this
+        column."""
+        f = self.to_frame("__d__").describe(approx=approx,
+                                            percentiles=percentiles)
+        return Series._make(f._sdf, F.col("__d__"), f._index_cols,
+                            self.name, f._order)
+
+    def drop_duplicates(self, keep: str = "first") -> "Series":
+        """Distinct VALUES keeping the first/last occurrence's label
+        (pandas flavor) — one hash agg on the value with a positional
+        min/max tiebreak."""
+        from ..plans.ordinal import with_dense_ordinal
+        sdf, a = self._select("__v__")
+        pairs = [(c, x) for c, x in (self._order or [])
+                 if c in sdf.columns]
+        sdf = with_dense_ordinal(sdf, order_exprs(pairs) or None,
+                                 name="__dp__")
+        agg = (F.min if keep == "first" else F.max)(F.col("__dp__"))
+        keep_pos = (sdf.groupBy("__v__")
+                    .agg(agg.alias("__dp__"))
+                    .withColumnRenamed("__v__", "__kv__")
+                    .withColumnRenamed("__dp__", "__kp__"))
+        # null-SAFE value match: pandas keeps one NaN row; a
+        # null-unsafe semi join would drop every NULL
+        out = sdf.join(
+            keep_pos,
+            F.col("__v__").eqNullSafe(F.col("__kv__"))
+            & (F.col("__dp__") == F.col("__kp__")), "left_semi")
+        return Series._make(out, F.col("__v__"),
+                            self._index_cols, self.name,
+                            [("__dp__", True)])
+
+    def duplicated(self, keep: str = "first") -> "Series":
+        """Boolean mask of repeated values (pandas flavor) — the
+        frame machinery on this one column."""
+        f = self.to_frame("__d__")
+        return f.duplicated(subset=["__d__"], keep=keep)
+
+    def equals(self, other: "Series") -> bool:
+        return self.to_frame("__e__").equals(other.to_frame("__e__"))
+
+    def product(self):
+        return self.prod()
+
+    def aggregate(self, *a, **k):
+        return self.agg(*a, **k)
+
+    def keys(self):
+        return self.index
+
     def pipe(self, func, *args, **kwargs):
         """pandas ``pipe``: ``func(self, ...)`` — composition sugar."""
         return func(self, *args, **kwargs)

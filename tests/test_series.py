@@ -672,3 +672,46 @@ def test_value_counts_bins(bl):
     want = ps.value_counts(bins=3)
     assert sorted(got.tolist()) == sorted(want.tolist())
     assert len(got) == len(want)
+
+
+def test_series_surface_batch(bl):
+    """to_frame/rename/copy/tolist/item, hasnans/is_unique (probe
+    jobs), is_monotonic_* (null probe + boundary shift, NaN->False),
+    argmax/argmin (first-occurrence tiebreak via min_by/max_by),
+    named compares, take/sample/describe, drop_duplicates (null-SAFE
+    value match keeps one NaN), duplicated, equals, product."""
+    import numpy as np
+    import pandas as pd
+    ps = pd.Series([3., 1., 3., np.nan, 2.])
+    bs = bl.Series(ps.to_numpy())
+    assert bs.to_frame("x").columns == ["x"]
+    assert bs.rename("z").name == "z"
+    assert bs.tolist()[:3] == [3.0, 1.0, 3.0]
+    assert bl.Series(np.array([7.])).item() == 7.0
+    import pytest
+    with pytest.raises(ValueError, match="length-1"):
+        bs.item()
+    assert bs.hasnans is True and ps.hasnans
+    assert not bl.Series(np.array([1.])).hasnans
+    assert bs.is_unique == ps.is_unique
+    assert bl.Series(np.array([1., 2.])).is_unique
+    mono = pd.Series([1., 2., 2., 5.])
+    bm = bl.Series(mono.to_numpy())
+    assert bm.is_monotonic_increasing and not bm.is_monotonic_decreasing
+    assert not bs.is_monotonic_increasing  # NaN -> False
+    assert bs.argmax() == ps.argmax() and bs.argmin() == ps.argmin()
+    assert bs.take([2, 0]).to_pandas().tolist() == \
+        ps.take([2, 0]).tolist()
+    assert len(bs.sample(n=2).to_pandas()) == 2
+    assert bs.describe().to_pandas().index.tolist()[0] == "count"
+    ps2 = pd.Series([3., 1., 3., np.nan, 2., np.nan])
+    bs2 = bl.Series(ps2.to_numpy())
+    for keep in ("first", "last"):
+        assert sorted(bs2.drop_duplicates(keep=keep).to_pandas()
+                      .fillna(-9).tolist()) == \
+            sorted(ps2.drop_duplicates(keep=keep).fillna(-9).tolist())
+    assert bs.duplicated().to_pandas().tolist() == \
+        ps.duplicated().tolist()
+    assert bs.equals(bl.Series(ps.to_numpy()))
+    assert not bs.equals(bm)
+    assert bl.Series(np.array([2., 3.])).product() == 6.0
