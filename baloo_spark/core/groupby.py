@@ -339,6 +339,118 @@ class DataFrameGroupBy:
             alpha = 2.0 / (span + 1.0)
         return _GroupEwm(self, float(alpha), ignore_na)
 
+    def aggregate(self, *a, **k):
+        return self.agg(*a, **k)
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def _bool_agg(self, kind: str):
+        """Per-group any/all (pandas skipna flavor) — one shuffle."""
+        from .frame import DataFrame
+        fn = F.max if kind == "any" else F.min
+        default = F.lit(kind != "any")
+        exprs = [F.coalesce(fn(F.col(c).cast("boolean")), default)
+                 .alias(c) for c in self._all_value_cols()]
+        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        return DataFrame._make(
+            out, list(self._by),
+            [c for c in out.columns if c not in self._by],
+            [(c, True) for c in self._by])
+
+    def any(self):
+        return self._bool_agg("any")
+
+    def all(self):
+        return self._bool_agg("all")
+
+    def ngroups(self) -> int:
+        """Eager distinct-group count (one agg job)."""
+        return self._df._sdf.select(*self._by).distinct().count()
+
+    def ngroup(self):
+        """Dense 0..ngroups-1 group id per row (pandas ``ngroup``,
+        sort=True flavor: ids follow key order). The id table is one
+        distinct + a dense ordinal over the GROUPS (not the rows),
+        broadcast-joined back — never an unpartitioned window over
+        the data."""
+        from ..plans.ordinal import with_dense_ordinal
+        from .series import Series
+        keys = (self._df._sdf.select(*self._by).distinct())
+        keys = with_dense_ordinal(
+            keys, [F.col(c).asc() for c in self._by],
+            name="__ng__")
+        out = self._df._sdf.join(F.broadcast(keys), self._by, "left")
+        return Series._make(out, F.col("__ng__"),
+                            self._df._index_cols, "ngroup",
+                            self._df._order)
+
+    def get_group(self, key):
+        """The sub-frame of one group (pandas ``get_group``) — a
+        filter, fully lazy."""
+        key = (key,) if not isinstance(key, tuple) else key
+        if len(key) != len(self._by):
+            raise KeyError(key)
+        cond = None
+        for c, v in zip(self._by, key):
+            e = F.col(c) == F.lit(v)
+            cond = e if cond is None else cond & e
+        return self._df._replace_sdf(self._df._sdf.filter(cond))
+
+    def value_counts(self, normalize: bool = False,
+                     ascending: bool = False):
+        """Counts of value combinations within each group (pandas
+        ``groupby().value_counts()``) — one hash-agg shuffle;
+        ``normalize`` divides by the per-group total through a window
+        over the GROUPS' combination table (bounded by combinations,
+        not rows)."""
+        from pyspark.sql import Window
+        from .series import Series
+        vcols = self._all_value_cols()
+        cnt = (self._df._sdf.dropna(subset=vcols)
+               .groupBy(*self._by, *vcols)
+               .agg(F.count(F.lit(1)).alias("__n__")))
+        if normalize:
+            w = Window.partitionBy(*self._by)
+            cnt = cnt.withColumn(
+                "__n__", F.col("__n__")
+                / F.sum("__n__").over(w))
+        cnt = cnt.orderBy(*[F.col(c) for c in self._by],
+                          F.col("__n__").asc() if ascending
+                          else F.col("__n__").desc())
+        name = "proportion" if normalize else "count"
+        return Series._make(cnt, F.col("__n__"),
+                            list(self._by) + vcols, name, None)
+
+    def describe(self, approx: bool = False,
+                 accuracy: int = 10000):
+        """Per-group count/mean/std/min/quartiles/max for every value
+        column — ONE shuffle, one array-percentile buffer per column
+        (the frame describe scheme, grouped). Output is wide:
+        ``{col}_{stat}`` columns, one row per group."""
+        from .frame import DataFrame
+        qarr = F.expr("array(0.25D, 0.5D, 0.75D)")
+        exprs = []
+        for c in self._value_cols():
+            d = F.col(c).cast("double")
+            q = (F.percentile_approx(d, qarr, F.lit(accuracy))
+                 if approx else F.percentile(d, qarr))
+            exprs += [
+                F.count(c).cast("double").alias(f"{c}_count"),
+                F.avg(d).alias(f"{c}_mean"),
+                F.stddev_samp(d).alias(f"{c}_std"),
+                F.min(d).alias(f"{c}_min"),
+                F.element_at(q, 1).alias(f"{c}_25%"),
+                F.element_at(q, 2).alias(f"{c}_50%"),
+                F.element_at(q, 3).alias(f"{c}_75%"),
+                F.max(d).alias(f"{c}_max"),
+            ]
+        out = self._df._sdf.groupBy(*self._by).agg(*exprs)
+        return DataFrame._make(
+            out, list(self._by),
+            [c for c in out.columns if c not in self._by],
+            [(c, True) for c in self._by])
+
     def ohlc(self):
         """Per-group open/high/low/close (pandas ``groupby().ohlc()``)
         — open/close are ``min_by``/``max_by`` over the ordered

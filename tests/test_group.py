@@ -475,3 +475,32 @@ def test_groupby_ohlc_pct_change(bl):
     wp = pdf.sort_values("t").groupby("k")[["v"]].pct_change()
     assert sorted(x for x in gp["v"] if x == x) == \
         sorted(x for x in wp["v"] if x == x)
+
+
+def test_groupby_surface_batch(bl):
+    """any/all (one shuffle), ngroup (dense ordinal over the GROUPS
+    table broadcast back — never a data-wide window), ngroups,
+    get_group, value_counts (window over combinations, not rows),
+    per-group describe (one shuffle, array quartile buffer)."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b", "b"],
+                        "v": [1., 0., 3., 3., np.nan],
+                        "w": [1., 1., 0., 1., 1.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    gb, pb = df.groupby("k"), pdf.groupby("k")
+    assert gb.any().to_pandas().values.tolist() == \
+        pb.any().values.tolist()
+    assert gb.all().to_pandas().values.tolist() == \
+        pb.all().values.tolist()
+    assert gb.ngroups() == pb.ngroups
+    assert sorted(gb.ngroup().to_pandas().tolist()) == \
+        sorted(pb.ngroup().tolist())
+    assert gb.get_group("b").to_pandas()["v"].fillna(-9).tolist() == \
+        [3.0, 3.0, -9.0]
+    assert sorted(gb.value_counts().to_pandas().tolist()) == \
+        sorted(pb.value_counts().tolist())
+    d, wd = gb.describe().to_pandas(), pb.describe()
+    assert d["v_mean"].tolist() == wd[("v", "mean")].tolist()
+    assert d["v_50%"].tolist() == wd[("v", "50%")].tolist()
+    assert gb.pipe(lambda g: g.ngroups()) == 2
