@@ -186,6 +186,83 @@ class DatetimeMethods:
                 f"multiple like '15min'")
         return self._map(lambda c: F.date_trunc(unit, c))
 
+    def weekday(self):
+        """Monday=0 like pandas (alias of dayofweek)."""
+        return self.dayofweek()
+
+    def day_of_week(self):
+        return self.dayofweek()
+
+    def day_of_year(self):
+        return self.dayofyear()
+
+    def daysinmonth(self):
+        return self.days_in_month()
+
+    def weekofyear(self):
+        return self.week()
+
+    def time(self):
+        """Time-of-day as a 'HH:mm:ss[.ffffff]' string (Spark has no
+        standalone time type; pandas returns datetime.time objects —
+        the string form round-trips and compares correctly)."""
+        return self._map(lambda c: F.when(
+            F.date_format(c, "SSSSSS") == "000000",
+            F.date_format(c, "HH:mm:ss"))
+            .otherwise(F.date_format(c, "HH:mm:ss.SSSSSS")))
+
+    def isocalendar(self):
+        """ISO (year, week, day) as a DataFrame (pandas flavor) —
+        pure projections; ISO year differs from calendar year at
+        year boundaries (Spark's YEAROFWEEK handles it)."""
+        from .frame import DataFrame
+        sr = self._sr
+        sdf, alias = sr._select("__ic__")
+        out = sdf.select(
+            *[F.col(c) for c in sr._index_cols
+              if c in sdf.columns],
+            F.expr("extract(YEAROFWEEK FROM __ic__)").cast("long")
+            .alias("year"),
+            F.weekofyear(F.col("__ic__")).cast("long").alias("week"),
+            F.expr("extract(DAYOFWEEK_ISO FROM __ic__)").cast("long")
+            .alias("day"))
+        return DataFrame._make(out, sr._index_cols,
+                               ["year", "week", "day"], sr._order)
+
+    def _interval_us(self):
+        sdf, alias = self._sr._select()
+        tname = sdf.schema[alias].dataType.typeName()
+        if "interval" not in tname:
+            raise TypeError(
+                f"timedelta accessor needs an interval Series, got "
+                f"{tname}")
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+        return lambda c: F.unix_micros(epoch + c)
+
+    def days(self):
+        """Whole-day component of a timedelta (pandas ``dt.days``:
+        floor division, negative intervals round toward -inf)."""
+        us = self._interval_us()
+        day = 86_400_000_000
+        return self._map(lambda c: F.floor(us(c) / day).cast("long"))
+
+    def seconds(self):
+        """Seconds within the day component (pandas: always in
+        [0, 86400))."""
+        us = self._interval_us()
+        day = 86_400_000_000
+        return self._map(lambda c: (
+            ((F.floor(us(c) / 1_000_000)
+              % 86_400) + 86_400) % 86_400).cast("long"))
+
+    def microseconds(self):
+        """Microseconds within the second component (pandas:
+        [0, 1e6))."""
+        us = self._interval_us()
+        return self._map(lambda c: (
+            ((us(c) % 1_000_000) + 1_000_000) % 1_000_000)
+            .cast("long"))
+
     def total_seconds(self):
         """Duration in (fractional) seconds for timedelta values —
         timestamp subtraction yields Spark day-time intervals, which

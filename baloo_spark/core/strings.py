@@ -13,7 +13,13 @@ full unicode strings — a strict superset.
 
 from __future__ import annotations
 
+import re as _re_mod
+
 from pyspark.sql import functions as F
+
+
+def _re_escape(s: str) -> str:
+    return _re_mod.escape(s)
 
 
 class StringMethods:
@@ -119,6 +125,104 @@ class StringMethods:
 
     def endswith(self, pat: str):
         return self._map(lambda c: c.endswith(pat))
+
+    def casefold(self):
+        """Aggressive lowercase (pandas casefold; JVM lower covers
+        the common cases — full Unicode casefolding differences are
+        rare)."""
+        return self._map(F.lower)
+
+    def center(self, width: int, fillchar: str = " "):
+        """Pad both sides to ``width`` (python str.center: the extra
+        char goes RIGHT)."""
+        left = lambda c: F.floor((width - F.length(c)) / 2)  # noqa: E731
+        return self._map(lambda c: F.when(
+            F.length(c) >= width, c).otherwise(
+            F.rpad(F.lpad(c, (left(c) + F.length(c)).cast("int"),
+                          fillchar), width, fillchar)))
+
+    def findall(self, pat: str):
+        """All regex matches per row as an array (pandas findall) —
+        regexp_extract_all, one JVM expression. Spark defaults to
+        group 1; a group-less pattern extracts the whole match
+        (group 0), matching pandas."""
+        import re as _re
+        grp = 1 if _re.compile(pat).groups >= 1 else 0
+        return self._map(lambda c: F.regexp_extract_all(
+            c, F.lit(pat), F.lit(grp)))
+
+    def rfind(self, sub: str):
+        """Last index of ``sub``, -1 when absent (python rfind):
+        length minus the reversed find."""
+        n = len(sub)
+        rsub = sub[::-1]
+        return self._map(lambda c: F.when(
+            F.instr(F.reverse(c), F.lit(rsub)) > 0,
+            F.length(c) - F.instr(F.reverse(c), F.lit(rsub))
+            - F.lit(n - 1)).otherwise(F.lit(-1)))
+
+    def rsplit(self, pat: str = " ", n: int = -1):
+        """Split from the RIGHT (pandas rsplit): reverse, split
+        left-limited, un-reverse elements and order. Whole-string
+        reversal keeps it one expression chain."""
+        if n < 0:
+            return self._map(lambda c: F.split(c, _re_escape(pat)))
+        rpat = pat[::-1]
+        return self._map(lambda c: F.reverse(F.transform(
+            F.split(F.reverse(c), _re_escape(rpat), n + 1),
+            lambda e: F.reverse(e))))
+
+    def partition(self, sep: str = " "):
+        """3-struct (head, sep, tail) around the FIRST separator
+        (pandas partition returns a 3-column frame; here a struct
+        column — address the parts as ``.str.partition()['0']``
+        etc. via Series field access)."""
+        return self._map(lambda c: F.when(
+            c.contains(sep),
+            F.struct(
+                F.substring_index(c, sep, 1).alias("0"),
+                F.lit(sep).alias("1"),
+                F.substr(c, F.instr(c, F.lit(sep)) + len(sep),
+                         F.length(c)).alias("2")))
+            .otherwise(F.struct(c.alias("0"), F.lit("").alias("1"),
+                                F.lit("").alias("2"))))
+
+    def slice_replace(self, start=None, stop=None, repl: str = ""):
+        """Replace [start, stop) with ``repl`` (pandas
+        slice_replace; non-negative bounds)."""
+        s = 0 if start is None else start
+        return self._map(lambda c: F.concat(
+            F.substr(c, F.lit(1), F.lit(s)),
+            F.lit(repl),
+            F.lit("") if stop is None
+            else F.substr(c, F.lit(stop + 1), F.length(c))))
+
+    def isdecimal(self):
+        return self._map(self._is_match(r"(?U)^\d+$"))
+
+    def istitle(self):
+        """Titlecase test (python str.istitle): at least one
+        uppercase, no uppercase directly after a letter (kills
+        ALL-CAPS), no letter-run starting lowercase."""
+        return self._map(lambda c: F.when(
+            c.isNotNull(),
+            c.rlike(r"(?U)\p{Lu}")
+            & ~c.rlike(r"(?U)\p{L}\p{Lu}")
+            & ~c.rlike(r"(?U)(^|[^\p{L}])\p{Ll}")))
+
+    def normalize(self, form: str = "NFC"):
+        """Unicode normalization via an Arrow batch (no JVM
+        normalizer is exposed as a SQL function)."""
+        import unicodedata
+
+        from ..functions._udf import scalar_pandas_udf
+        from pyspark.sql import types as T
+        udf = scalar_pandas_udf(
+            lambda s, _f=form: s.map(
+                lambda x: unicodedata.normalize(_f, x)
+                if x is not None else None),
+            T.StringType())
+        return self._map(udf)
 
     def match(self, pat: str):
         """Regex match anchored at the START (pandas ``str.match`` =

@@ -227,3 +227,29 @@ def test_timedelta_total_seconds(bl):
     assert got[1:] == exp[1:] and got[0] != got[0]
     with pytest.raises(TypeError, match="interval"):
         bs.dt.total_seconds()
+
+
+def test_dt_sweep_additions(bl):
+    """weekday/day_of_* aliases, time strings, isocalendar (ISO year
+    at boundaries), timedelta days/seconds/microseconds components
+    (pandas toward--inf day floor, in-range components)."""
+    import pandas as pd
+    ts = pd.to_datetime(["2020-01-01 12:30:45",
+                         "2021-12-31 23:59:59.5",
+                         "2019-12-30 00:00:00"], format="ISO8601")
+    ps, bs = pd.Series(ts), bl.Series(ts.to_numpy())
+    assert bs.dt.weekday().to_pandas().tolist() == \
+        ps.dt.weekday.tolist()
+    assert bs.dt.day_of_year().to_pandas().tolist() == \
+        ps.dt.day_of_year.tolist()
+    assert bs.dt.time().to_pandas().tolist() == \
+        [str(t) for t in ps.dt.time]
+    assert bs.dt.isocalendar().to_pandas().values.tolist() == \
+        ps.dt.isocalendar().values.tolist()
+    ref = pd.Timestamp("2020-06-15 06:00:00.25")
+    d, bd = ps - ref, bs - ref
+    assert bd.dt.days().to_pandas().tolist() == d.dt.days.tolist()
+    assert bd.dt.seconds().to_pandas().tolist() == \
+        d.dt.seconds.tolist()
+    assert bd.dt.microseconds().to_pandas().tolist() == \
+        d.dt.microseconds.tolist()

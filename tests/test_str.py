@@ -239,3 +239,37 @@ def test_str_extract_matches_pandas(bl):
     import pytest
     with pytest.raises(ValueError, match="capture"):
         bs.str.extract("abc")
+
+
+def test_str_sweep_additions(bl):
+    """casefold/center/findall/rfind/rsplit/partition/slice_replace/
+    isdecimal/istitle/normalize — all JVM expressions except the
+    Arrow-batched unicode normalize."""
+    import numpy as np
+    import pandas as pd
+    vals = ["hello world foo", "a-b-c-d", "xyz", ""]
+    p = pd.Series(vals)
+    b = bl.Series(np.array(vals, dtype=object))
+    assert b.str.center(7, "*").to_pandas().tolist() == \
+        p.str.center(7, "*").tolist()
+    assert [list(x) for x in b.str.findall(r"[a-z]+").to_pandas()] \
+        == [list(x) for x in p.str.findall(r"[a-z]+")]
+    assert b.str.rfind("o").to_pandas().tolist() == \
+        p.str.rfind("o").tolist()
+    assert list(b.str.rsplit("-", n=1).to_pandas()[1]) == \
+        p.str.rsplit("-", n=1)[1]
+    part = b.str.partition(" ").to_pandas()[0]
+    assert (part["0"], part["1"], part["2"]) == \
+        tuple(p.str.partition(" ").values.tolist()[0])
+    assert b.str.slice_replace(1, 3, "XX").to_pandas().tolist() == \
+        p.str.slice_replace(1, 3, "XX").tolist()
+    assert bl.Series(np.array(["12", "a2"], dtype=object)) \
+        .str.isdecimal().to_pandas().tolist() == [True, False]
+    tv = ["Hello World", "hello", "HELLO", "Hello world", "123",
+          "A", "Aa Bb", "a B"]
+    assert bl.Series(np.array(tv, dtype=object)).str.istitle() \
+        .to_pandas().tolist() == pd.Series(tv).str.istitle().tolist()
+    import unicodedata
+    assert bl.Series(np.array(["é"], dtype=object)) \
+        .str.normalize("NFC").to_pandas().tolist() == \
+        [unicodedata.normalize("NFC", "é")]
