@@ -1017,6 +1017,16 @@ class Series:
         return Series._make(sdf, F.col("__ires__"), self._index_cols,
                             self.name, self._order)
 
+    def repeat(self, repeats: int) -> "Series":
+        """Each value repeated ``repeats`` times consecutively
+        (pandas ``Series.repeat`` with a scalar): array_repeat +
+        the explode machinery, a narrow generator."""
+        if repeats < 0:
+            raise ValueError("repeats must be >= 0")
+        rep = self._with_col(
+            F.array_repeat(self._colexpr, repeats))
+        return rep.explode().rename(self.name)
+
     def to_frame(self, name=None) -> "DataFrame":
         """One-column DataFrame view (pandas ``to_frame``)."""
         from .frame import DataFrame

@@ -29,7 +29,9 @@ class StringMethods:
         # bug in user code). The check reads the analyzed schema —
         # no Spark job.
         t = sr.spark_type.typeName()
-        if t not in ("string", "null"):
+        # arrays of strings are legal .str targets too (str.join /
+        # post-split element ops, like pandas object-of-list series)
+        if t not in ("string", "null", "array"):
             raise AttributeError(
                 "Can only use .str accessor with string values! "
                 f"(column dtype is {t}; astype(str) first)")
@@ -125,6 +127,33 @@ class StringMethods:
 
     def endswith(self, pat: str):
         return self._map(lambda c: c.endswith(pat))
+
+    def join(self, sep: str):
+        """Join array-of-strings elements (pandas ``str.join`` on a
+        list column) — array_join, one expression."""
+        return self._map(lambda c: F.array_join(c, sep))
+
+    def translate(self, table: dict):
+        """Per-character mapping (python str.translate with a
+        {ord/char: char-or-None} table): 1:1 mappings compile to
+        Spark's native ``translate``; deletions (None values) become
+        one character-class regexp_replace. Pure expressions."""
+        frm = to = dele = ""
+        for k, v in table.items():
+            ch = chr(k) if isinstance(k, int) else k
+            if v is None or v == "":
+                dele += ch
+            else:
+                frm += ch
+                to += v if isinstance(v, str) else chr(v)
+
+        def fn(c):
+            out = F.translate(c, frm, to) if frm else c
+            if dele:
+                out = F.regexp_replace(
+                    out, "[" + _re_escape(dele) + "]", "")
+            return out
+        return self._map(fn)
 
     def casefold(self):
         """Aggressive lowercase (pandas casefold; JVM lower covers

@@ -273,3 +273,22 @@ def test_str_sweep_additions(bl):
     assert bl.Series(np.array(["é"], dtype=object)) \
         .str.normalize("NFC").to_pandas().tolist() == \
         [unicodedata.normalize("NFC", "é")]
+
+
+def test_str_join_translate_repeat(bl):
+    """str.join over array columns (the .str guard admits
+    array<string>), str.translate (native translate + one regex for
+    deletions), Series.repeat (array_repeat + explode, source index
+    labels repeat like pandas)."""
+    import numpy as np
+    import pandas as pd
+    p = pd.Series(["a-b", "c"])
+    b = bl.Series(np.array(["a-b", "c"], dtype=object))
+    assert b.str.rsplit("-").str.join("+").to_pandas().tolist() == \
+        p.str.rsplit("-").str.join("+").tolist()
+    assert b.str.translate({"a": "X", "-": None}).to_pandas() \
+        .tolist() == \
+        p.str.translate(str.maketrans({"a": "X", "-": None})).tolist()
+    rep = b.repeat(2).to_pandas()
+    assert rep.tolist() == p.repeat(2).tolist()
+    assert rep.index.tolist() == p.repeat(2).index.tolist()
