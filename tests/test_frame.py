@@ -1482,3 +1482,27 @@ def test_frame_quantile_median_aliases(bl):
     assert df.get("zz", "fb") == "fb"
     assert df.copy().columns == df.columns
     assert df.add(1).to_pandas()["a"].tolist()[:3] == [1.0, 2.0, 3.0]
+
+
+def test_session4_integration_chain(bl):
+    """End-to-end chain of session-4 surfaces over real testdata,
+    pandas running the same chain: filter -> derived setitem ->
+    pivot_table -> stack -> reset_index -> groupby sum."""
+    import numpy as np
+    import pandas as pd
+    pdf = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    df = bl.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    d = df[df["o_totalprice"] > 1000]
+    d["bucket"] = (d["o_custkey"] % 5).astype(np.int64)
+    got = (d.pivot_table(values="o_totalprice", index="bucket",
+                         columns="o_orderstatus", aggfunc="mean")
+           .stack().to_frame("v").reset_index()
+           .groupby("bucket")[["v"]].sum()
+           .to_pandas()["v"].sort_index())
+    p = pdf[pdf["o_totalprice"] > 1000].copy()
+    p["bucket"] = (p["o_custkey"] % 5).astype("int64")
+    want = (p.pivot_table(values="o_totalprice", index="bucket",
+                          columns="o_orderstatus", aggfunc="mean")
+            .stack().rename("v").reset_index()
+            .groupby("bucket")["v"].sum().sort_index())
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
