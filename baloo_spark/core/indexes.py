@@ -185,6 +185,78 @@ class Index:
     def max(self):
         return self._backing.max()
 
+    # ----------------------------------------- Series-backed delegations
+
+    def unique(self) -> "Index":
+        return self._lazy(self._backing.unique())
+
+    def nunique(self, dropna: bool = True):
+        return self._backing.nunique(dropna=dropna)
+
+    def value_counts(self, **kw):
+        return self._backing.value_counts(**kw)
+
+    def sort_values(self, ascending: bool = True) -> "Index":
+        return self._lazy(self._backing.sort_values(
+            ascending=ascending))
+
+    def argmax(self) -> int:
+        return self._backing.argmax()
+
+    def argmin(self) -> int:
+        return self._backing.argmin()
+
+    def tolist(self) -> list:
+        return self._backing.tolist()
+
+    to_list = tolist
+
+    def drop_duplicates(self, keep: str = "first") -> "Index":
+        return self._lazy(self._backing.drop_duplicates(keep=keep))
+
+    def duplicated(self, keep: str = "first"):
+        return self._backing.duplicated(keep=keep)
+
+    @property
+    def is_unique(self) -> bool:
+        return self._backing.is_unique
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self._backing.is_monotonic_increasing
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._backing.is_monotonic_decreasing
+
+    def _set_op(self, other, op: str) -> "Index":
+        """DISTINCT-label set algebra (pandas union/intersection/
+        difference, sort=None flavor: result sorted). Documented
+        divergence: pandas' union keeps max multiplicity when an
+        input holds duplicate labels; distributed set operators are
+        distinct by nature (duplicated-label indexes are the corner
+        the engine's uniqueness guards discourage anyway)."""
+        from .series import Series
+        a = self._backing._select("__ix__")[0].select("__ix__")
+        b = Index._unwrap(other)._select("__ix__")[0].select("__ix__")
+        out = {"union": a.union(b).distinct(),
+               "intersection": a.intersect(b),
+               "difference": a.subtract(b)}[op]
+        from pyspark.sql import functions as F
+        sr = Series._make(out.orderBy(F.col("__ix__").asc()),
+                          F.col("__ix__"), None, self.name,
+                          [("__ix__", True)])
+        return self._lazy(sr)
+
+    def union(self, other) -> "Index":
+        return self._set_op(other, "union")
+
+    def intersection(self, other) -> "Index":
+        return self._set_op(other, "intersection")
+
+    def difference(self, other) -> "Index":
+        return self._set_op(other, "difference")
+
     # ------------------------------------------------- missing data / cast
 
     def isna(self) -> "Index":

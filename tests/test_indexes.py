@@ -226,3 +226,26 @@ def test_loc_at_index_isin(bl):
                         "v": np.array([5., 6.])}).set_index("k")
     with pytest.raises(KeyError, match="matched 2"):
         dup.at[1, "v"]
+
+
+def test_index_delegations_and_set_ops(bl):
+    """Series-backed Index delegations + distinct set algebra
+    (documented distinct flavor vs pandas max-multiplicity union)."""
+    import numpy as np
+    import pandas as pd
+    pi = pd.Index([3, 1, 2, 3, 1], name="k")
+    bi = bl.Index(np.array([3, 1, 2, 3, 1]), name="k")
+    assert sorted(bi.unique().values.tolist()) == \
+        sorted(pi.unique().tolist())
+    assert bi.nunique() == pi.nunique()
+    assert bi.sort_values().values.tolist() == pi.sort_values().tolist()
+    assert bi.is_unique == pi.is_unique
+    assert bi.is_monotonic_increasing == pi.is_monotonic_increasing
+    assert bi.argmax() == pi.argmax()
+    pj, bj = pd.Index([2, 3, 9]), bl.Index(np.array([2, 3, 9]))
+    assert bi.union(bj).values.tolist() == [1, 2, 3, 9]  # distinct
+    assert bi.intersection(bj).values.tolist() == \
+        sorted(pi.intersection(pj).tolist())
+    assert bi.difference(bj).values.tolist() == \
+        sorted(pi.difference(pj).tolist())
+    assert sorted(bi.tolist()) == [1, 1, 2, 3, 3]
