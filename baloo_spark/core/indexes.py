@@ -243,7 +243,8 @@ class Index:
                "intersection": a.intersect(b),
                "difference": a.subtract(b)}[op]
         from pyspark.sql import functions as F
-        sr = Series._make(out.orderBy(F.col("__ix__").asc()),
+        from .ordering import order_expr
+        sr = Series._make(out.orderBy(order_expr("__ix__", True)),
                           F.col("__ix__"), None, self.name,
                           [("__ix__", True)])
         return self._lazy(sr)

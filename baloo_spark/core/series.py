@@ -1025,7 +1025,15 @@ class Series:
             raise ValueError("repeats must be >= 0")
         rep = self._with_col(
             F.array_repeat(self._colexpr, repeats))
-        return rep.explode().rename(self.name)
+        # pandas DROPS rows at repeats=0; Series.explode is
+        # posexplode_outer (empty array => one NULL row, correct for
+        # pandas explode but wrong here) — filter empties first so
+        # the outer generator behaves as an inner one.
+        sdf, alias = rep._select()
+        sdf = sdf.filter(F.size(F.col(alias)) > 0)
+        inner = Series._make(sdf, F.col(alias), rep._index_cols,
+                             rep.name, rep._order)
+        return inner.explode().rename(self.name)
 
     def to_frame(self, name=None) -> "DataFrame":
         """One-column DataFrame view (pandas ``to_frame``)."""

@@ -249,3 +249,16 @@ def test_index_delegations_and_set_ops(bl):
     assert bi.difference(bj).values.tolist() == \
         sorted(pi.difference(pj).tolist())
     assert sorted(bi.tolist()) == [1, 1, 2, 3, 3]
+    # NaN sorts LAST in set-op results (pandas + core/ordering.py
+    # convention; Spark's bare asc() is nulls-first)
+    pn = pd.Index([3.0, 1.0, np.nan, 2.0])
+    bn = bl.Index(np.array([3.0, 1.0, np.nan, 2.0]))
+    pm, bm = pd.Index([2.0, np.nan]), bl.Index(np.array([2.0, np.nan]))
+    u_ours = bn.union(bm).values.tolist()
+    u_pd = pn.union(pm).tolist()
+    assert u_ours[:3] == u_pd[:3] == [1.0, 2.0, 3.0]
+    assert np.isnan(u_ours[3]) and np.isnan(u_pd[3])
+    assert bn.difference(bm).values.tolist() == \
+        pn.difference(pm).tolist() == [1.0, 3.0]
+    i_ours = bn.intersection(bm).values.tolist()
+    assert i_ours[0] == 2.0 and np.isnan(i_ours[1])  # sorted, NaN last

@@ -292,3 +292,11 @@ def test_str_join_translate_repeat(bl):
     rep = b.repeat(2).to_pandas()
     assert rep.tolist() == p.repeat(2).tolist()
     assert rep.index.tolist() == p.repeat(2).index.tolist()
+    # repeats=0 DROPS rows (pandas), not one-NULL-row-per-input
+    # (that's explode's empty-list contract, not repeat's)
+    assert b.repeat(0).to_pandas().tolist() == p.repeat(0).tolist() == []
+    assert b.repeat(1).to_pandas().tolist() == p.repeat(1).tolist()
+    pn = pd.Series([1.0, np.nan])
+    bn = bl.Series(np.array([1.0, np.nan]))
+    assert bn.repeat(2).to_pandas().fillna(-1).tolist() == \
+        pn.repeat(2).fillna(-1).tolist()
