@@ -313,11 +313,25 @@ def melt(frame: "DataFrame", **kwargs) -> "DataFrame":
 def to_numeric(arg: "Series", errors: str = "raise") -> "Series":
     """pandas ``to_numeric`` flavor: cast to double.
     ``errors='coerce'`` is the natural SQL cast (unparseable ->
-    NULL); ``errors='raise'`` cannot raise per-row in a lazy engine,
-    so it is accepted but behaves as coerce — documented divergence
-    shared with ``astype``."""
+    NULL). ``errors='raise'`` (the pandas default) runs ONE eager
+    probe agg counting values a cast would silently NULL and raises
+    like pandas if any exist — the caller explicitly asked to be
+    told, so a silent coerce there could mask data corruption. Use
+    'coerce' to stay fully lazy."""
     if errors not in ("raise", "coerce"):
         raise ValueError("errors must be 'raise' or 'coerce'")
+    if errors == "raise":
+        from pyspark.sql import functions as F
+        sdf, alias = arg._select()
+        col = F.col(alias)
+        bad = sdf.agg(F.count(F.when(
+            col.isNotNull() & col.cast("double").isNull(), 1))
+            .alias("n")).collect()[0]["n"]
+        if bad:
+            raise ValueError(
+                f"Unable to parse {bad} value(s) as numeric "
+                "(pandas to_numeric errors='raise'); pass "
+                "errors='coerce' to NULL them lazily instead")
     return arg._with_col(arg._colexpr.cast("double"))
 
 

@@ -354,33 +354,60 @@ class DataFrame:
         JVM-side, and only the winning values (driver-sized by
         definition — ties are rare) collect to assemble the padded
         pandas-shaped result."""
-        from pyspark.sql import Window
+        from pyspark.sql import Window, types as T
         cols = self._data_cols
-        num = all(_is_numeric(self._sdf.schema[c].dataType)
-                  for c in cols)
-        typ = "double" if num else "string"
-        arr = F.array(*[F.struct(F.lit(c).alias("c"),
-                                 F.col(c).cast(typ).alias("v"))
-                        for c in cols])
-        pairs = (self._sdf.select(F.explode(arr).alias("s"))
-                 .select(F.col("s.c").alias("c"), F.col("s.v").alias("v"))
-                 .where(F.col("v").isNotNull())
-                 .groupBy("c", "v").agg(F.count(F.lit(1)).alias("n")))
-        w = Window.partitionBy("c")
-        top = (pairs.withColumn("__mx__", F.max("n").over(w))
-               .where(F.col("n") == F.col("__mx__"))
-               .select("c", "v").collect())
-        import pandas as pd
-        by_col = {c: [] for c in cols}
-        for r in top:
-            by_col[r["c"]].append(r["v"])
+        # the stack needs ONE value type per job, but a shared cast
+        # across a MIXED frame would stringify numeric modes — group
+        # columns by dtype class (numeric -> double, rest -> string)
+        # and run one tiny winners job per group, restoring each
+        # column's source dtype when assembling
+        num_cols = [c for c in cols
+                    if _is_numeric(self._sdf.schema[c].dataType)]
+        str_cols = [c for c in cols if c not in num_cols]
+        by_col: dict[str, list] = {c: [] for c in cols}
+        for group, typ in ((num_cols, "double"), (str_cols, "string")):
+            if not group:
+                continue
+            arr = F.array(*[F.struct(F.lit(c).alias("c"),
+                                     F.col(c).cast(typ).alias("v"))
+                            for c in group])
+            pairs = (self._sdf.select(F.explode(arr).alias("s"))
+                     .select(F.col("s.c").alias("c"),
+                             F.col("s.v").alias("v"))
+                     .where(F.col("v").isNotNull())
+                     .groupBy("c", "v").agg(F.count(F.lit(1)).alias("n")))
+            w = Window.partitionBy("c")
+            top = (pairs.withColumn("__mx__", F.max("n").over(w))
+                   .where(F.col("n") == F.col("__mx__"))
+                   .select("c", "v").collect())
+            for r in top:
+                by_col[r["c"]].append(r["v"])
         for c in by_col:
             by_col[c].sort()
         height = max((len(v) for v in by_col.values()), default=0)
-        pdf = pd.DataFrame({
-            c: by_col[c] + [None] * (height - len(by_col[c]))
-            for c in cols})
-        return DataFrame({c: pdf[c].to_numpy() for c in cols})
+        import numpy as np
+        import pandas as pd
+        out = {}
+        for c in cols:
+            vals = by_col[c] + [None] * (height - len(by_col[c]))
+            st = self._sdf.schema[c].dataType
+            if c in num_cols:
+                if (isinstance(st, T.IntegralType)
+                        and len(by_col[c]) == height):
+                    out[c] = np.array(vals, dtype=np.int64)
+                else:
+                    out[c] = np.array(
+                        [np.nan if v is None else v for v in vals],
+                        dtype=np.float64)
+            elif isinstance(st, T.BooleanType):
+                out[c] = np.array([None if v is None else v == "true"
+                                   for v in vals], dtype=object)
+            elif isinstance(st, (T.DateType, T.TimestampType,
+                                 T.TimestampNTZType)):
+                out[c] = pd.to_datetime(pd.Series(vals)).to_numpy()
+            else:
+                out[c] = pd.Series(vals, dtype=object).to_numpy()
+        return DataFrame(out)
 
     def add_prefix(self, prefix: str) -> "DataFrame":
         return self.rename(columns={c: f"{prefix}{c}"
@@ -1078,6 +1105,15 @@ class DataFrame:
                                              self._sdf.columns) or None,
                                  name=POS_COL)
         label = F.col(idx) if idx else F.col(POS_COL)
+        # the stack() needs ONE shared type for every winning label;
+        # a numeric index casts losslessly to double, anything else
+        # (string/date labels from set_index) casts to string — a
+        # blanket double cast would NULL every non-numeric label
+        from pyspark.sql import types as T
+        label_t = (sdf.schema[idx].dataType if idx
+                   else T.LongType())
+        stack_t = ("double" if isinstance(label_t, T.NumericType)
+                   else "string")
         cols = self._numeric_cols()
         aggs = []
         for c in cols:
@@ -1085,7 +1121,7 @@ class DataFrame:
             key = F.when(v.isNotNull(), F.struct(
                 (v if not ascending else -v).alias("v"),
                 (-F.col(POS_COL)).alias("np")))
-            aggs.append(F.max_by(label, key).cast("double").alias(c))
+            aggs.append(F.max_by(label, key).cast(stack_t).alias(c))
         row_df = sdf.agg(*aggs)
         pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
         out = row_df.select(F.expr(

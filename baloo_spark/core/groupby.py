@@ -372,15 +372,18 @@ class DataFrameGroupBy:
         """Dense 0..ngroups-1 group id per row (pandas ``ngroup``,
         sort=True flavor: ids follow key order). The id table is one
         distinct + a dense ordinal over the GROUPS (not the rows),
-        broadcast-joined back — never an unpartitioned window over
-        the data."""
+        joined back — never an unpartitioned window over the data.
+        No forced broadcast hint: group-key cardinality is unbounded
+        (ids can approach row count), so AQE picks the strategy by
+        the id table's actual size — small key sets still broadcast
+        automatically under the 10 MB auto-threshold."""
         from ..plans.ordinal import with_dense_ordinal
         from .series import Series
         keys = (self._df._sdf.select(*self._by).distinct())
         keys = with_dense_ordinal(
             keys, [F.col(c).asc() for c in self._by],
             name="__ng__")
-        out = self._df._sdf.join(F.broadcast(keys), self._by, "left")
+        out = self._df._sdf.join(keys, self._by, "left")
         return Series._make(out, F.col("__ng__"),
                             self._df._index_cols, "ngroup",
                             self._df._order)

@@ -56,9 +56,35 @@ def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
         # string-typed columns (numeric columns already failed to
         # parse the sentinel and are string here anyway)
         sents = [str(v) for v in na_values]
+        str_cols = [f.name for f in sdf.schema.fields
+                    if f.dataType.typeName() == "string"]
+        # pandas parity: a numeric column that was inferred as string
+        # BECAUSE it held the sentinel must come back numeric after
+        # null-out. One probe agg over the string columns finds the
+        # sentinel-affected ones whose remaining values all parse
+        # (CSV inference already scans the file; this single extra
+        # agg is the price of list-sentinels, a rare path).
+        recast: dict[str, str] = {}
+        if str_cols:
+            aggs = []
+            for c in str_cols:
+                clean = F.when(~F.col(c).isin(*sents), F.col(c))
+                aggs += [
+                    F.count(F.when(F.col(c).isin(*sents), 1))
+                    .alias(f"__h_{c}"),
+                    F.count(clean).alias(f"__n_{c}"),
+                    F.count(clean.try_cast("double")).alias(f"__d_{c}"),
+                    F.count(clean.try_cast("bigint")).alias(f"__l_{c}"),
+                ]
+            row = sdf.agg(*aggs).collect()[0]
+            for c in str_cols:
+                h, n = row[f"__h_{c}"], row[f"__n_{c}"]
+                if h > 0 and n > 0 and row[f"__d_{c}"] == n:
+                    recast[c] = ("bigint" if row[f"__l_{c}"] == n
+                                 else "double")
         sdf = sdf.select(*[
             (F.when(F.col(c).isin(*sents), F.lit(None))
-             .otherwise(F.col(c)).alias(c)
+             .otherwise(F.col(c)).cast(recast.get(c, "string")).alias(c)
              if t.typeName() == "string" else F.col(c))
             for c, t in ((f.name, f.dataType)
                          for f in sdf.schema.fields)])

@@ -1037,6 +1037,16 @@ def test_fill_limit_and_frame_idx(bl):
     assert dict(zip(got.index, got)) == dict(pdf2.idxmax())
     got = d2.idxmin().to_pandas()
     assert dict(zip(got.index, got)) == dict(pdf2.idxmin())
+    # STRING index labels survive (stack cast picked from the index
+    # dtype — a blanket double cast would NULL every label)
+    pdf3 = pd.DataFrame({"name": ["a", "b", "c"],
+                         "v": [1., 9., 3.], "w": [5., 2., 8.]})
+    d3 = bl.DataFrame({k: pdf3[k].to_numpy() for k in pdf3}) \
+        .set_index("name")
+    got = d3.idxmax().to_pandas()
+    assert dict(zip(got.index, got)) == dict(pdf3.set_index("name").idxmax())
+    got = d3.idxmin().to_pandas()
+    assert dict(zip(got.index, got)) == dict(pdf3.set_index("name").idxmin())
 
 
 def test_frame_rank_cov_crosstab_validate(bl):
@@ -1374,6 +1384,14 @@ def test_top_level_delegates(bl):
     s = bl.Series(np.array(["1.5", "x", "2"], dtype=object))
     got = bl.to_numeric(s, errors="coerce").to_pandas()
     assert got.fillna(-9).tolist() == [1.5, -9.0, 2.0]
+    # errors='raise' (pandas default) actually raises on unparseable
+    # values via one eager probe agg instead of silently coercing
+    import pytest
+    with pytest.raises(ValueError, match="Unable to parse"):
+        bl.to_numeric(s, errors="raise")
+    ok = bl.Series(np.array(["1", "2.5"], dtype=object))
+    assert bl.to_numeric(ok, errors="raise").to_pandas().tolist() == \
+        [1.0, 2.5]
     assert bl.isna(bl.Series(np.array([1., np.nan]))).to_pandas() \
         .tolist() == [False, True]
     codes, uniq = bl.factorize(
@@ -1455,6 +1473,16 @@ def test_frame_mode_isna_aliases(bl):
                                want.to_numpy(dtype=float))
     tie = bl.DataFrame({"x": np.array([1., 2.])}).mode().to_pandas()
     assert tie["x"].tolist() == [1.0, 2.0]
+    # MIXED frame: numeric modes stay numeric (per-dtype stacks,
+    # source dtypes restored), not a shared string cast
+    pmix = pd.DataFrame({"x": [1, 1, 2], "s": ["a", "a", "b"],
+                         "f": [1.5, 1.5, 2.5]})
+    bmix = bl.DataFrame({k: pmix[k].to_numpy() for k in pmix})
+    gm, wm = bmix.mode().to_pandas(), pmix.mode()
+    assert gm["x"].tolist() == wm["x"].tolist() == [1]
+    assert gm["x"].dtype == wm["x"].dtype
+    assert gm["f"].tolist() == wm["f"].tolist() == [1.5]
+    assert gm["s"].tolist() == wm["s"].tolist() == ["a"]
     assert df.isna().to_pandas().values.tolist() == \
         pdf.isna().values.tolist()
     assert bl.isnull(df["a"]).to_pandas().tolist() == [False] * 3

@@ -142,3 +142,12 @@ def test_read_csv_comment_na_values(bl, tmp_path):
     df2 = bl.read_csv(str(p), comment="#", na_values="NA")
     assert df2.to_pandas()["b"].fillna("-").tolist() == \
         ["x", "-", "none"]
+    # a NUMERIC column inferred as string only because it held a list
+    # sentinel comes back numeric after null-out (pandas re-parses)
+    p2 = tmp_path / "t2.csv"
+    p2.write_text("a,b,c\n1,x,1.5\nMISSING,MISSING,2.5\n3,y,MISSING\n")
+    got = bl.read_csv(str(p2), na_values=["MISSING"]).to_pandas()
+    want = pd.read_csv(str(p2), na_values=["MISSING"])
+    assert [str(t) for t in got.dtypes] == [str(t) for t in want.dtypes]
+    assert got["a"].fillna(-9).tolist() == want["a"].fillna(-9).tolist()
+    assert got["c"].fillna(-9).tolist() == want["c"].fillna(-9).tolist()
