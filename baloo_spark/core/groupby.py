@@ -324,7 +324,7 @@ class DataFrameGroupBy:
         return self._moment("kurt")
 
     def ewm(self, alpha: float | None = None, span: float | None = None,
-            ignore_na: bool = False):
+            ignore_na: bool = False, adjust: bool = True):
         """Per-group exponentially-weighted windows (pandas
         ``groupby().ewm()``): groups stream through ``applyInPandas``
         and pandas' own C ewm kernel runs per group — the honest path
@@ -337,7 +337,7 @@ class DataFrameGroupBy:
             raise ValueError("pass exactly one of alpha= or span=")
         if span is not None:
             alpha = 2.0 / (span + 1.0)
-        return _GroupEwm(self, float(alpha), ignore_na)
+        return _GroupEwm(self, float(alpha), ignore_na, bool(adjust))
 
     def aggregate(self, *a, **k):
         return self.agg(*a, **k)
@@ -924,8 +924,9 @@ class _GroupEwm:
     """Per-group EWM face (see :meth:`DataFrameGroupBy.ewm`)."""
 
     def __init__(self, gb: DataFrameGroupBy, alpha: float,
-                 ignore_na: bool):
+                 ignore_na: bool, adjust: bool = True):
         self._gb, self._alpha, self._ignore_na = gb, alpha, ignore_na
+        self._adjust = adjust
 
     def mean(self):
         from .frame import DataFrame
@@ -933,6 +934,7 @@ class _GroupEwm:
         sdf, order = gb._gorder()
         vcols = gb._value_cols()
         alpha, ignore_na = self._alpha, self._ignore_na
+        adjust = self._adjust
         # order columns must ride into the pandas kernel; expressions
         # in _order were materialized by sort_values already
         ocols = [c for c, _ in (gb._df._order or [])
@@ -952,7 +954,8 @@ class _GroupEwm:
         def fn(pdf):
             pdf = pdf.sort_values(ocols, ascending=asc)
             pdf[vcols] = pdf[vcols].astype("float64").ewm(
-                alpha=alpha, ignore_na=ignore_na).mean()
+                alpha=alpha, ignore_na=ignore_na,
+                adjust=adjust).mean()
             return pdf
 
         out = sdf.groupBy(*gb._by).applyInPandas(fn, schema)

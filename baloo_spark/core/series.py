@@ -1447,7 +1447,7 @@ class Series:
             min_periods: int = 0, adjust: bool = True,
             ignore_na: bool = False):
         """Exponentially weighted windows (pandas ``Series.ewm``,
-        ``adjust=True`` flavor): ``.mean()``. Exactly one of
+        both ``adjust`` flavors): ``.mean()``. Exactly one of
         com/span/halflife/alpha selects the decay (pandas
         conversions: alpha = 1/(1+com) = 2/(span+1) =
         1-exp(-ln2/halflife)).
@@ -1455,11 +1455,11 @@ class Series:
         The EWM recurrence is NOT a prefix sum (its closed form
         overflows r^-t), so it runs as a dedicated two-pass decayed
         carry scan — partition-local pandas C kernels plus an
-        n_partitions driver carry (plans/ordinal.with_ewm_mean);
-        never a global window, never a per-row Python loop."""
-        if adjust is not True:
-            raise NotImplementedError(
-                "only adjust=True (the pandas default) is supported")
+        n_partitions driver carry (plans/ordinal.with_ewm_mean for
+        adjust=True's num/den pair; with_ewm_mean_noadjust for the
+        recursive streaming-EMA form, whose carry is the (y, w)
+        state merged through per-observation affine maps); never a
+        global window, never a per-row Python loop."""
         given = sum(v is not None
                     for v in (com, span, halflife, alpha))
         if given != 1:
@@ -1473,7 +1473,8 @@ class Series:
                 alpha = 2.0 / (span + 1.0)
             else:
                 alpha = 1.0 - math.exp(-math.log(2.0) / halflife)
-        return _EWM(self, float(alpha), min_periods, ignore_na)
+        return _EWM(self, float(alpha), min_periods, ignore_na,
+                    adjust=bool(adjust))
 
     def expanding(self, min_periods: int = 1):
         """Growing-window aggregations from the first row (pandas
@@ -2129,21 +2130,24 @@ class _EWM:
     """Exponentially weighted mean (see :meth:`Series.ewm`)."""
 
     def __init__(self, sr: "Series", alpha: float, min_periods: int,
-                 ignore_na: bool):
+                 ignore_na: bool, adjust: bool = True):
         self._sr = sr
         self._alpha = alpha
         self._mp = min_periods
         self._ignore_na = ignore_na
+        self._adjust = adjust
 
     def mean(self) -> "Series":
-        from ..plans.ordinal import ORD_COL, with_ewm_mean
+        from ..plans.ordinal import (ORD_COL, with_ewm_mean,
+                                     with_ewm_mean_noadjust)
         sr = self._sr
         sdf = sr._sdf
         order = order_exprs(sr._order or [], sdf.columns)
         if not order and ORD_COL in sdf.columns:
             order = [F.col(ORD_COL).asc()]
-        out = with_ewm_mean(sdf, sr._colexpr, self._alpha,
-                            order or None, self._mp, self._ignore_na)
+        scan = with_ewm_mean if self._adjust else with_ewm_mean_noadjust
+        out = scan(sdf, sr._colexpr, self._alpha,
+                   order or None, self._mp, self._ignore_na)
         return Series._make(out, F.col("__ewm__"), sr._index_cols,
                             sr.name, sr._order)
 

@@ -538,6 +538,184 @@ def with_ewm_mean(sdf: DataFrame, value_col, alpha: float,
             .drop("__pid__", "__mid__", "__ev__"))
 
 
+def with_ewm_mean_noadjust(sdf: DataFrame, value_col, alpha: float,
+                           order_by: list | None, min_periods: int = 0,
+                           ignore_na: bool = False,
+                           name: str = "__ewm__") -> DataFrame:
+    """Partition-safe GLOBAL ``ewm(adjust=False).mean()`` (the
+    recursive/streaming EMA form y_t = (1-a)*y_{t-1} + a*x_t, both
+    ``ignore_na`` flavors).
+
+    Same two-pass decayed-carry shape as the adjust=True scan, but
+    the carried state is (y, w) — the running mean plus pandas'
+    ``old_wt`` (reset to 1 at each observation, decayed by r=1-a per
+    row / per observation) — instead of a num/den pair. The carry
+    does NOT merge linearly: each observation applies the affine map
+    y -> p*y + q with p = w/(w+a), so a partition's effect on an
+    incoming carry is (first-obs Moebius merge) then (local affine
+    map). Pass 1 therefore exports per partition the zero-carry end
+    value y0 PLUS the map coefficients: pre-first-obs decay steps,
+    the first obs value x1, and ln(prod p_i) over the observations
+    after the first — the driver prefix-combines n_partitions of
+    those tuples (kilobytes), and pass 2 replays each batch against
+    the broadcast carry with the identical merge. Local zero-carry
+    values come from pandas' C ewm kernel, never a Python row loop.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    r = 1.0 - alpha
+
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    sdf = _range_layout(
+        sdf.select("*", col.cast("double").alias("__ev__")), order_by)
+
+    def _batch_scan(x, state):
+        """Advance state = [y, w, obs_cnt, lnPi, pre_steps, x1,
+        has_obs, no_obs_steps] across one batch; returns (y_t, cnt)
+        arrays. The summary fields (lnPi/pre_steps/x1/no_obs_steps)
+        only matter for the zero-carry ends pass; the emit pass
+        reads just (y, w, obs_cnt)."""
+        import numpy as np
+        L = len(x)
+        mask = ~np.isnan(x)
+        obs = np.flatnonzero(mask)
+        k = len(obs)
+        cnt = state[2] + np.cumsum(mask)
+        if k == 0:
+            out = np.full(L, state[0])
+            if not ignore_na:
+                state[1] *= r ** L
+                if not state[6]:
+                    state[4] += L
+                    state[7] += L
+            return out, cnt
+        # per-obs decay exponents: rows since the previous obs
+        # (inclusive of the obs row) for ignore_na=False, 1 per obs
+        # for ignore_na=True
+        if ignore_na:
+            d = np.ones(k)
+        else:
+            d = np.empty(k)
+            d[0] = obs[0] + 1.0
+            d[1:] = np.diff(obs).astype(np.float64)
+        # zero-carry local outputs straight from pandas' C kernel
+        y0 = pd.Series(x).ewm(alpha=alpha, adjust=False,
+                              ignore_na=ignore_na,
+                              min_periods=0).mean().to_numpy()
+        # merge the incoming carry at this batch's first obs:
+        # w decays r^{d0}; the obs folds in with weight alpha
+        with np.errstate(divide="ignore"):
+            lp = np.log(r ** d / (r ** d + alpha))
+        if np.isnan(state[0]):
+            # no prior observation anywhere: zero-carry IS the answer
+            y_first, delta = x[obs[0]], 0.0
+            if not state[6]:
+                state[4] += (obs[0] + 1.0) if not ignore_na else 1.0
+                state[5] = x[obs[0]]
+            first_lp = None
+        else:
+            A = r ** (d[0] if not ignore_na else 1.0) * state[1]
+            y_first = (A * state[0] + alpha * x[obs[0]]) / (A + alpha)
+            delta = y_first - x[obs[0]]
+            # for the partition summary, this obs applies
+            # p = A/(A+alpha) to the PARTITION-level carry chain
+            first_lp = np.log(A / (A + alpha)) if A > 0 else -np.inf
+        state[6] = True
+        # Pi_t: product of p_i over obs after this batch's first,
+        # up to row t (1 before the second obs) — carry influence
+        lnp = np.zeros(L)
+        lnp[obs[1:]] = lp[1:]
+        Pi = np.exp(np.cumsum(lnp))
+        out = y0 + Pi * delta
+        out[:obs[0]] = state[0]
+        state[0] = out[-1]
+        trailing = L - 1 - obs[-1]
+        state[1] = r ** trailing if not ignore_na else 1.0
+        state[2] += k
+        if first_lp is not None:
+            state[3] += first_lp
+        state[3] += float(np.sum(lp[1:]))
+        return out, cnt
+
+    ends_schema = T.StructType([
+        T.StructField("__pid__", T.IntegerType()),
+        T.StructField("__ey__", T.DoubleType()),
+        T.StructField("__ew__", T.DoubleType()),
+        T.StructField("__ec__", T.DoubleType()),
+        T.StructField("__elp__", T.DoubleType()),
+        T.StructField("__eps__", T.DoubleType()),
+        T.StructField("__ex1__", T.DoubleType()),
+        T.StructField("__eh__", T.BooleanType()),
+        T.StructField("__ens__", T.DoubleType())])
+
+    def _ends(it):
+        import numpy as np
+        state = [np.nan, 1.0, 0.0, 0.0, 0.0, np.nan, False, 0.0]
+        pid = None
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            pid = int(pdf_b["__pid__"].iloc[0])
+            _batch_scan(pdf_b["__ev__"].to_numpy(dtype=np.float64),
+                        state)
+        if pid is not None:
+            yield pd.DataFrame({
+                "__pid__": [pid], "__ey__": [state[0]],
+                "__ew__": [state[1]], "__ec__": [state[2]],
+                "__elp__": [state[3]], "__eps__": [state[4]],
+                "__ex1__": [state[5]], "__eh__": [bool(state[6])],
+                "__ens__": [state[7]]})
+
+    erows = {int(rw["__pid__"]): rw for rw in
+             sdf.select("__pid__", "__ev__").mapInPandas(
+                 _ends, ends_schema).collect()}
+    import math as _math
+    carries, acc = {}, (float("nan"), 1.0, 0.0)  # (y, w, obs)
+    for pid in sorted(erows):
+        carries[pid] = acc
+        e = erows[pid]
+        if not e["__eh__"]:
+            if not ignore_na:
+                acc = (acc[0], acc[1] * r ** e["__ens__"], acc[2])
+            continue
+        if _math.isnan(acc[0]):
+            y_end = e["__ey__"]
+        else:
+            A = r ** e["__eps__"] * acc[1]
+            x1 = e["__ex1__"]
+            y_first = (A * acc[0] + alpha * x1) / (A + alpha)
+            y_end = e["__ey__"] + _math.exp(e["__elp__"]) \
+                * (y_first - x1)
+        acc = (y_end, e["__ew__"], acc[2] + e["__ec__"])
+    out_schema = T.StructType(list(sdf.schema.fields)
+                              + [T.StructField(name, T.DoubleType())])
+    mp = min_periods
+
+    def _emit(it):
+        import numpy as np
+        state, init = [np.nan, 1.0, 0.0, 0.0, 0.0, np.nan, False, 0.0], False
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            if not init:
+                c = carries.get(int(pdf_b["__pid__"].iloc[0]),
+                                (np.nan, 1.0, 0.0))
+                state[0], state[1], state[2] = c[0], c[1], c[2]
+                state[6] = not np.isnan(c[0])
+                init = True
+            x = pdf_b["__ev__"].to_numpy(dtype=np.float64)
+            y, cnt = _batch_scan(x, state)
+            o = pdf_b.copy()
+            o[name] = np.where(cnt >= max(mp, 1), y, np.nan)
+            yield o
+
+    return (sdf.mapInPandas(_emit, out_schema)
+            .drop("__pid__", "__mid__", "__ev__"))
+
+
 def with_interp_neighbors(sdf: DataFrame, value_col, order_by,
                           pos: str = "__ip__", prev: str = "__iprev__",
                           nxt: str = "__inext__") -> DataFrame:

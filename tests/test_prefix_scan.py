@@ -409,8 +409,62 @@ def test_ewm_mean_matches_pandas(bl):
                             rtol=1e-8, err_msg=str(kw))
     with pytest.raises(ValueError):
         s.ewm(alpha=0.5, span=3)
-    with pytest.raises(NotImplementedError):
-        s.ewm(alpha=0.5, adjust=False)
+
+
+def test_ewm_mean_noadjust_matches_pandas(bl):
+    """Series.ewm(adjust=False).mean(): the recursive streaming-EMA
+    form via its own two-pass scan (the carried (y, w) state merges
+    through per-observation affine maps, not a num/den pair) — exact
+    vs pandas for both ignore_na flavors, alpha=1, min_periods, long
+    null runs, and MULTI-BATCH partitions (the affine-map chaining
+    across Arrow batches is the subtle path)."""
+    import pandas as pd
+    rng = np.random.RandomState(11)
+    vals = rng.randn(400)
+    vals[rng.rand(400) < 0.15] = np.nan
+    vals[100:140] = np.nan
+    vals[:17] = np.nan  # leading nulls cross into the carry
+    s = bl.DataFrame({"v": vals})["v"]
+    p = pd.Series(vals)
+    for kw in ({"alpha": 0.3}, {"alpha": 1.0}, {"span": 10},
+               {"alpha": 0.05, "min_periods": 8},
+               {"alpha": 0.3, "ignore_na": True},
+               {"alpha": 1.0, "ignore_na": True},
+               {"alpha": 0.999, "ignore_na": True}):
+        got = s.ewm(adjust=False, **kw).mean() \
+            .to_pandas().to_numpy(dtype=float)
+        want = p.ewm(adjust=False, **kw).mean().to_numpy(dtype=float)
+        npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                            np.nan_to_num(want, nan=-9e9),
+                            rtol=1e-8, err_msg=str(kw))
+    # multi-batch within a partition: shrink the Arrow batch so each
+    # partition scans several batches (state chaining across batches)
+    spark = s._sdf.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "13")
+        for ign in (False, True):
+            got = s.ewm(alpha=0.25, adjust=False, ignore_na=ign) \
+                .mean().to_pandas().to_numpy(dtype=float)
+            want = p.ewm(alpha=0.25, adjust=False,
+                         ignore_na=ign).mean().to_numpy(dtype=float)
+            npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                                np.nan_to_num(want, nan=-9e9),
+                                rtol=1e-8, err_msg=f"batched ign={ign}")
+    finally:
+        spark.conf.set(key, old)
+    # groupby face takes adjust= too (pandas kernel per group)
+    pdf = pd.DataFrame({"g": ["a", "b"] * 30,
+                        "v": rng.randn(60)})
+    pdf.loc[3::7, "v"] = np.nan
+    bdf = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    gb = bdf.groupby("g").ewm(alpha=0.3, adjust=False).mean() \
+        .to_pandas()["v"].to_numpy()
+    gp = pdf.groupby("g")["v"].transform(
+        lambda t: t.ewm(alpha=0.3, adjust=False).mean()).to_numpy()
+    npt.assert_allclose(np.nan_to_num(gb, nan=-9e9),
+                        np.nan_to_num(gp, nan=-9e9), rtol=1e-8)
 
 
 def test_interpolate_matches_pandas(bl):
