@@ -1597,7 +1597,15 @@ FROM lineitem WHERE l_orderkey < 100
 def _missing_ops(spark, sf):
     """Folded NULL-handling family (generic.py:69-73, series.py:
     416-439): isna, fillna, dropna(subset) in one pipeline — events
-    has no NULLs, so both sides fabricate them identically via NULLIF."""
+    has no NULLs, so both sides fabricate them identically via NULLIF.
+
+    r6 'interp' column: Series.interpolate (linear, default
+    limit_direction='forward') over the value column with NULLs
+    fabricated at click rows, global order (ts, event_id) — the
+    boundary-carried-neighbors scan (plans/ordinal.
+    with_interp_neighbors), replayed by DuckDB with ignore-nulls
+    window lookups of the nearest neighbors and the same line
+    formula. Rounded to 4 on both sides (fp noise guard)."""
     from baloo_spark.streaming.events import load_events
     import baloo_spark as bl
     ev = bl.DataFrame.from_spark(load_events(spark, sf))
@@ -1612,14 +1620,18 @@ def _missing_ops(spark, sf):
     ev["bf"] = ev["maybe"]
     ev = ev.ffill(subset=["ff"], partition_by="user_id") \
            .bfill(subset=["bf"], partition_by="user_id")
+    ev["vn"] = ev["value"].mask(ev["event_type"] == "click")
+    ev["interp"] = ev["vn"].interpolate()
     kept = ev[["event_id", "maybe", "is_missing", "filled", "maybe2",
-               "ff", "bf"]].dropna(subset=["maybe2"])
+               "ff", "bf", "interp"]].dropna(subset=["maybe2"])
     return kept.to_spark().select("event_id", "maybe", "is_missing",
-                                  "filled", "maybe2", "ff", "bf")
+                                  "filled", "maybe2", "ff", "bf",
+                                  F.round("interp", 4).alias("interp"))
 
 
 _MISSING_OPS_SQL = """
-SELECT event_id, maybe, is_missing, filled, maybe2, ff, bf FROM (
+SELECT event_id, maybe, is_missing, filled, maybe2, ff, bf,
+       round(interp, 4) AS interp FROM (
   SELECT event_id,
          nullif(event_type, 'click') AS maybe,
          nullif(event_type, 'click') IS NULL AS is_missing,
@@ -1630,8 +1642,31 @@ SELECT event_id, maybe, is_missing, filled, maybe2, ff, bf FROM (
                  ROWS UNBOUNDED PRECEDING) AS ff,
          first_value(nullif(event_type, 'click') IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf
-  FROM events
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf,
+         CASE WHEN vn IS NOT NULL THEN vn
+              WHEN pv IS NULL THEN NULL
+              WHEN nv IS NULL THEN pv
+              ELSE pv + (nv - pv) * (rn - pp) / (np - pp)
+         END AS interp
+  FROM (
+    SELECT *,
+           last_value(vn IGNORE NULLS) OVER
+             (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS pv,
+           last_value(CASE WHEN vn IS NOT NULL THEN rn END
+               IGNORE NULLS) OVER
+             (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS pp,
+           first_value(vn IGNORE NULLS) OVER
+             (ORDER BY rn
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN vn IS NOT NULL THEN rn END
+               IGNORE NULLS) OVER
+             (ORDER BY rn
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+    FROM (SELECT *,
+                 CASE WHEN event_type <> 'click' THEN value END AS vn,
+                 row_number() OVER (ORDER BY ts, event_id) AS rn
+          FROM events)
+  )
 ) WHERE maybe2 IS NOT NULL
 """
 
@@ -1659,6 +1694,8 @@ def _running_totals(spark, sf):
                        name="roll3_mean")
     out = r[["o_custkey", "o_orderkey", "cum_spend", "prev_order",
              "roll3_mean"]]
+    _ewm_nulls = [F.lit(None).cast("double").alias(c)
+                  for c in ("ewm_adj", "ewm_rec", "roll3m")]
     win = out.to_spark().select(
         F.lit("win").alias("part"),
         "o_custkey", "o_orderkey",
@@ -1670,7 +1707,8 @@ def _running_totals(spark, sf):
         F.lit(None).cast("double").alias("roll3_sum"),
         F.lit(None).cast("long").alias("rank_min"),
         F.lit(None).cast("double").alias("rank_avg"),
-        F.lit(None).cast("long").alias("rank_dense"))
+        F.lit(None).cast("long").alias("rank_dense"),
+        *_ewm_nulls)
     o2 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
@@ -1690,7 +1728,8 @@ def _running_totals(spark, sf):
         F.round("roll3_sum", 2).alias("roll3_sum"),
         F.lit(None).cast("long").alias("rank_min"),
         F.lit(None).cast("double").alias("rank_avg"),
-        F.lit(None).cast("long").alias("rank_dense"))
+        F.lit(None).cast("long").alias("rank_dense"),
+        *_ewm_nulls)
 
     # r4 'rank' leg: Series.rank min/average/dense over the same
     # bounded extract — the dense-ordinal tie-group schemes,
@@ -1720,8 +1759,39 @@ def _running_totals(spark, sf):
         F.lit(None).cast("double").alias("price_diff"),
         F.lit(None).cast("double").alias("prev_price"),
         F.lit(None).cast("double").alias("roll3_sum"),
-        "rank_min", "rank_avg", "rank_dense")
-    return win.unionByName(diff).unionByName(rank_leg)
+        "rank_min", "rank_avg", "rank_dense", *_ewm_nulls)
+
+    # r6 'ewm' leg: Series.ewm(adjust=True/False).mean() (the two
+    # two-pass decayed-carry scans, plans/ordinal.py) + global
+    # Series.rolling(3).mean() (prefix-scan composition) over the
+    # same bounded extract — DuckDB replays the EWM recurrences
+    # exactly with a recursive CTE (num/den for adjust=True, the
+    # y-carry for adjust=False) and the rolling mean with a window
+    # frame; both sides round to 2 (fp noise guard)
+    o4 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
+                                    "o_totalprice"]] \
+        .sort_values("o_orderkey")
+    s4 = o4["o_totalprice"]
+    o4["ewm_adj"] = s4.ewm(alpha=0.5).mean()
+    o4["ewm_rec"] = s4.ewm(alpha=0.5, adjust=False).mean()
+    o4["roll3m"] = s4.rolling(3).mean()
+    ewm_leg = o4.to_spark().select(
+        F.lit("ewm").alias("part"),
+        "o_custkey", "o_orderkey",
+        F.lit(None).cast("double").alias("cum_spend"),
+        F.lit(None).cast("long").alias("prev_order"),
+        F.lit(None).cast("double").alias("roll3_mean"),
+        F.lit(None).cast("double").alias("price_diff"),
+        F.lit(None).cast("double").alias("prev_price"),
+        F.lit(None).cast("double").alias("roll3_sum"),
+        F.lit(None).cast("long").alias("rank_min"),
+        F.lit(None).cast("double").alias("rank_avg"),
+        F.lit(None).cast("long").alias("rank_dense"),
+        F.round("ewm_adj", 2).alias("ewm_adj"),
+        F.round("ewm_rec", 2).alias("ewm_rec"),
+        F.round("roll3m", 2).alias("roll3m"))
+    return win.unionByName(diff).unionByName(rank_leg) \
+        .unionByName(ewm_leg)
 
 
 _RUNNING_TOTALS_SQL = """
@@ -1738,7 +1808,9 @@ SELECT 'win' AS part, o_custkey, o_orderkey,
        CAST(NULL AS DOUBLE) AS price_diff, CAST(NULL AS DOUBLE) AS prev_price,
        CAST(NULL AS DOUBLE) AS roll3_sum,
        CAST(NULL AS BIGINT) AS rank_min, CAST(NULL AS DOUBLE) AS rank_avg,
-       CAST(NULL AS BIGINT) AS rank_dense
+       CAST(NULL AS BIGINT) AS rank_dense,
+       CAST(NULL AS DOUBLE) AS ewm_adj, CAST(NULL AS DOUBLE) AS ewm_rec,
+       CAST(NULL AS DOUBLE) AS roll3m
 FROM orders
 UNION ALL
 SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
@@ -1749,15 +1821,43 @@ SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
                   THEN sum(o_totalprice) OVER (ORDER BY o_orderkey
                                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              END, 2),
-       NULL, NULL, NULL
+       NULL, NULL, NULL, NULL, NULL, NULL
 FROM orders WHERE o_orderkey < 2000
 UNION ALL
 SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
        rank() OVER (ORDER BY o_totalprice),
        (rank() OVER (ORDER BY o_totalprice))
          + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0,
-       dense_rank() OVER (ORDER BY o_totalprice)
+       dense_rank() OVER (ORDER BY o_totalprice),
+       NULL, NULL, NULL
 FROM orders WHERE o_orderkey < 2000
+UNION ALL
+SELECT 'ewm', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL,
+       round(num / den, 2), round(rec, 2),
+       round(CASE WHEN rn >= 3
+                  THEN avg(o_totalprice) OVER (ORDER BY rn
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             END, 2)
+FROM (
+  WITH RECURSIVE seq AS (
+    SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+           o_custkey, o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey < 2000
+  ), ew AS (
+    SELECT rn, o_custkey, o_orderkey, o_totalprice,
+           o_totalprice AS num, CAST(1.0 AS DOUBLE) AS den,
+           o_totalprice AS rec
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.o_custkey, s.o_orderkey, s.o_totalprice,
+           s.o_totalprice + 0.5 * e.num,
+           CAST(1.0 AS DOUBLE) + 0.5 * e.den,
+           0.5 * e.rec + 0.5 * s.o_totalprice
+    FROM ew e JOIN seq s ON s.rn = e.rn + 1
+  )
+  SELECT * FROM ew
+)
 """
 
 
@@ -2124,7 +2224,21 @@ def _pivot_status(spark, sf):
         F.lit(None).cast("long").alias("o_cnt"),
         F.lit(None).cast("long").alias("p_cnt"),
         "variable", F.col("value").cast("long"))
-    return wide.unionByName(long)
+    # r6 'pt' leg: pandas-flavor pivot_table (aggfunc='sum', one
+    # hash-agg + explicit pivot values) melted back to long — DuckDB
+    # replays it as conditional aggregation; sums round half-up to
+    # integer cents-safe values on both sides
+    pt = o.pivot_table(values="o_totalprice", index="o_orderpriority",
+                       columns="o_orderstatus", aggfunc="sum")
+    ptm = pt.reset_index().melt(id_vars="o_orderpriority",
+                                value_vars=["F", "O", "P"])
+    ptleg = ptm.to_spark().select(
+        F.lit("pt").alias("part"), "o_orderpriority",
+        F.lit(None).cast("long").alias("f_cnt"),
+        F.lit(None).cast("long").alias("o_cnt"),
+        F.lit(None).cast("long").alias("p_cnt"),
+        "variable", F.round("value").cast("long").alias("value"))
+    return wide.unionByName(long).unionByName(ptleg)
 
 
 _PIVOT_SQL = """
@@ -2132,7 +2246,13 @@ WITH p AS (
   SELECT o_orderpriority,
          count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS f_cnt,
          count(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_cnt,
-         count(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS p_cnt
+         count(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS p_cnt,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN o_totalprice END)) AS BIGINT) AS f_sum,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN o_totalprice END)) AS BIGINT) AS o_sum,
+         CAST(round(sum(CASE WHEN o_orderstatus = 'P'
+                             THEN o_totalprice END)) AS BIGINT) AS p_sum
   FROM orders GROUP BY o_orderpriority
 )
 SELECT 'wide' AS part, o_orderpriority, f_cnt, o_cnt, p_cnt,
@@ -2144,6 +2264,12 @@ UNION ALL
 SELECT 'long', o_orderpriority, NULL, NULL, NULL, 'O', o_cnt FROM p
 UNION ALL
 SELECT 'long', o_orderpriority, NULL, NULL, NULL, 'P', p_cnt FROM p
+UNION ALL
+SELECT 'pt', o_orderpriority, NULL, NULL, NULL, 'F', f_sum FROM p
+UNION ALL
+SELECT 'pt', o_orderpriority, NULL, NULL, NULL, 'O', o_sum FROM p
+UNION ALL
+SELECT 'pt', o_orderpriority, NULL, NULL, NULL, 'P', p_sum FROM p
 """
 
 
