@@ -56,6 +56,22 @@ HEADLINE = [
 ]
 
 
+def _host_speed() -> float:
+    """Single-core calibration loop (seconds; LOWER = faster host).
+
+    Host CPU on shared boxes varies ~2x between runs with zero local
+    load; identical code has produced 48-66s cold totals. This pure-
+    Python loop (~1s on a quiet host) is timed before and after the
+    query sweep so BENCH_TREND can normalize round-over-round deltas
+    or auto-flag a polluted run instead of hand-adjudicating."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(8_000_000):
+        acc += i ^ (i >> 3)
+    assert acc != 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
@@ -88,10 +104,12 @@ def main():
     # ±20% on this box). Reported separately so round-over-round deltas
     # are signal, not first-run compile noise. "value"/"queries" remain
     # the cold pass, methodology-compatible with BENCH_r01.
+    speed_pre = _host_speed()
     cold, warm = {}, {}
     for name in HEADLINE:
         cold[name] = round(run_once(name), 3)
         warm[name] = round(min(run_once(name), run_once(name)), 3)
+    speed_post = _host_speed()
 
     print(json.dumps({
         "metric": "total_runtime",
@@ -100,6 +118,10 @@ def main():
         "queries": cold,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
+        # single-core calibration (sec, lower = faster host), timed
+        # before/after the sweep; a pre/post spread or a value far
+        # from the quiet-host ~1s baseline marks the run polluted
+        "host_speed": {"pre": speed_pre, "post": speed_post},
         "sf": sf,
     }))
 
