@@ -2696,9 +2696,39 @@ FROM scored QUALIFY rank <= 5
 
 
 def _embedding_near_pairs(spark, sf):
+    """Exact near-pair rows (hash-checked by DuckDB's quadratic
+    replay) PLUS the r6 multi-seed recall flag row: the seeds=[0,1]
+    union path's exponential-miss-decay claim (dedup.py seeds=)
+    asserted as data — (a) every blocked pair is a true pair
+    (candidates only ever FILTER the exact set: left-anti against
+    the exact pairs must be empty for both seed sets), (b) the
+    two-family union finds at least as many pairs as one family
+    (monotone union). LSH internals are xxhash64-derived and not
+    DuckDB-expressible, so the assertions collapse to one flag row
+    (id_a=-1, id_b=-1, cosine=1.0) pinned to a constant in the
+    oracle — the Spark-side bounded-property pattern the approx
+    quantile legs use. Single-seed outputs are bit-unchanged."""
     from baloo_spark.operators.dedup import embedding_near_pairs
     emb = _t(spark, sf, "embeddings").filter("vec_id < 300")
-    return embedding_near_pairs(emb, threshold=0.2, block=False)
+    exact = embedding_near_pairs(emb, threshold=0.2, block=False)
+    keys = exact.select("id_a", "id_b").localCheckpoint()
+    b0 = embedding_near_pairs(emb, threshold=0.2, block=True,
+                              seeds=[0]).select("id_a", "id_b")
+    b01 = embedding_near_pairs(emb, threshold=0.2, block=True,
+                               seeds=[0, 1]).select("id_a", "id_b")
+    bad0 = b0.join(keys, ["id_a", "id_b"], "left_anti") \
+        .agg(F.count(F.lit(1)).alias("bad0"))
+    bad01 = b01.join(keys, ["id_a", "id_b"], "left_anti") \
+        .agg(F.count(F.lit(1)).alias("bad01"))
+    n0 = b0.agg(F.count(F.lit(1)).alias("n0"))
+    n01 = b01.agg(F.count(F.lit(1)).alias("n01"))
+    flag = (bad0.crossJoin(bad01).crossJoin(n0).crossJoin(n01)
+            .select(F.lit(-1).cast("long").alias("id_a"),
+                    F.lit(-1).cast("long").alias("id_b"),
+                    F.when((F.col("bad0") == 0) & (F.col("bad01") == 0)
+                           & (F.col("n01") >= F.col("n0")), 1.0)
+                    .otherwise(0.0).alias("cosine")))
+    return exact.unionByName(flag)
 
 
 _EMBEDDING_NEAR_SQL = """
@@ -2709,6 +2739,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a, v b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.2
+UNION ALL
+SELECT -1, -1, 1.0
 """
 
 
