@@ -133,11 +133,17 @@ def crosstab(index: "Series", columns: "Series") -> "DataFrame":
     ``stat.crosstab`` builds the contingency table in one pass —
     distinct values of ``columns`` become result columns, so keep
     that side low-cardinality (Spark caps at 10k distinct)."""
+    from pyspark.sql import functions as F
+
     na = index.name or "a"
     nb = columns.name or "b"
     sdf, a, b = index._pair_sdf(columns)
+    # pandas drops any observation where EITHER key is missing
+    # (dropna has no False face in pd.crosstab's counting) — without
+    # this gate Spark's crosstab emits a 'null' row/column
     ct = (sdf.select(a.cast("string").alias(na),
                      b.cast("string").alias(nb))
+          .where(F.col(na).isNotNull() & F.col(nb).isNotNull())
           .stat.crosstab(na, nb))
     key = f"{na}_{nb}"
     ct = ct.orderBy(key)
@@ -161,11 +167,17 @@ def qcut(x: "Series", q, labels=None, duplicates: str = "raise",
 
 def date_range(start, end=None, periods=None, freq: str = "D",
                name: str | None = None) -> "Series":
-    """Distributed ``pd.date_range`` for fixed-width frequencies:
-    ``spark.range`` over the period count with exact
-    epoch-microsecond arithmetic — a billion-row grid never touches
-    the driver. Pass ``end`` (inclusive, pandas flavor) or
-    ``periods``."""
+    """Distributed ``pd.date_range``: ``spark.range`` over the period
+    count — a billion-row grid never touches the driver. Fixed-width
+    frequencies (D/h/min/s/...) use exact epoch-microsecond
+    arithmetic; calendar frequencies (``ME``/``M`` month end, ``MS``
+    month start, ``YE``/``Y``/``A`` year end, ``YS`` year start,
+    with integer multiples) use ``add_months`` off a pandas-anchored
+    first tick (start rolls forward to the next on-offset timestamp,
+    time of day preserved — pinned against pd.date_range). Pass
+    ``end`` (inclusive, pandas flavor) or ``periods``."""
+    import re
+
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -175,17 +187,64 @@ def date_range(start, end=None, periods=None, freq: str = "D",
 
     if (end is None) == (periods is None):
         raise ValueError("pass exactly one of end= or periods=")
+    spark = get_session()
+
+    cal = re.fullmatch(r"(\d*)\s*(ME|MS|AS|YE|YS|M|Y|A)", str(freq))
+    if cal:
+        mult = int(cal.group(1) or 1)
+        kind = {"M": "ME", "Y": "YE", "A": "YE", "AS": "YS"}.get(
+            cal.group(2), cal.group(2))
+        step = mult * (12 if kind in ("YE", "YS") else 1)
+        s = pd.Timestamp(start)
+        time_us = (s.value // 1000) % 86_400_000_000
+        # anchor = the month holding the FIRST on-offset tick
+        if kind == "ME":
+            ay, am = s.year, s.month          # month end >= any day
+        elif kind == "MS":
+            ay, am = ((s.year, s.month) if s.day == 1
+                      else (s.year + (s.month == 12),
+                            s.month % 12 + 1))
+        elif kind == "YE":
+            ay, am = s.year, 12
+        else:                                  # YS
+            ay, am = ((s.year, 1) if (s.month, s.day) == (1, 1)
+                      else (s.year + 1, 1))
+        anchor = pd.Timestamp(year=ay, month=am, day=1)
+
+        def tick(i: int) -> pd.Timestamp:
+            m = anchor + pd.DateOffset(months=i * step)
+            d = (m + pd.offsets.MonthEnd(0) if kind in ("ME", "YE")
+                 else m)
+            return d + pd.Timedelta(microseconds=time_us)
+
+        if periods is None:
+            e = pd.Timestamp(end)
+            dm = (e.year * 12 + e.month) - (ay * 12 + am)
+            periods = max(0, dm // step + 1)
+            while periods and tick(periods - 1) > e:
+                periods -= 1
+        anchor_lit = F.lit(anchor.date())
+        month = F.add_months(anchor_lit,
+                             (F.col("id") * F.lit(step)).cast("int"))
+        day = F.last_day(month) if kind in ("ME", "YE") else month
+        sdf = spark.range(int(periods)).select(
+            F.col("id").alias(ORD_COL),
+            F.timestamp_micros(
+                F.unix_micros(day.cast("timestamp"))
+                + F.lit(int(time_us))).alias(_VAL))
+        return Series._make(sdf, F.col(_VAL), [ORD_COL], name,
+                            [(ORD_COL, True)])
+
     us = freq_to_us(freq)
     s_us = pd.Timestamp(start).value // 1000
     if periods is None:
         e_us = pd.Timestamp(end).value // 1000
         periods = 0 if e_us < s_us else (e_us - s_us) // us + 1
-    sdf = get_session().range(int(periods)).select(
+    sdf = spark.range(int(periods)).select(
         F.col("id").alias(ORD_COL),
         F.timestamp_micros(F.lit(s_us) + F.col("id") * F.lit(us))
         .alias(_VAL))
-    from pyspark.sql import functions as _F
-    return Series._make(sdf, _F.col(_VAL), [ORD_COL], name,
+    return Series._make(sdf, F.col(_VAL), [ORD_COL], name,
                         [(ORD_COL, True)])
 
 

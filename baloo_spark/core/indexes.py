@@ -231,11 +231,14 @@ class Index:
 
     def _set_op(self, other, op: str) -> "Index":
         """DISTINCT-label set algebra (pandas union/intersection/
-        difference, sort=None flavor: result sorted). Documented
-        divergence: pandas' union keeps max multiplicity when an
-        input holds duplicate labels; distributed set operators are
-        distinct by nature (duplicated-label indexes are the corner
-        the engine's uniqueness guards discourage anyway)."""
+        difference, sort=None flavor: result sorted, NaN last).
+        Documented divergences: pandas' union keeps max multiplicity
+        when an input holds duplicate labels (distributed set
+        operators are distinct by nature — duplicated-label indexes
+        are the corner the engine's uniqueness guards discourage
+        anyway), and pandas SKIPS the sort when either input is
+        empty (returns self's order) — the engine always sorts
+        (checking emptiness would cost an eager count per call)."""
         from .series import Series
         a = self._backing._select("__ix__")[0].select("__ix__")
         b = Index._unwrap(other)._select("__ix__")[0].select("__ix__")

@@ -164,6 +164,24 @@ def test_date_range_matches_pandas(bl):
         got = bl.date_range("2024-01-01", **kw).to_pandas().tolist()
         want = pd.date_range("2024-01-01", **pkw).tolist()
         assert got == want, kw
+    # calendar frequencies: add_months off a pandas-anchored first
+    # tick (start rolls to the next on-offset point, time preserved)
+    cal = [("2024-01-30 05:00", dict(periods=3, freq="ME"), "ME"),
+           ("2024-01-30 05:00", dict(periods=2, freq="MS"), "MS"),
+           ("2024-01-15", dict(end="2024-04-20", freq="ME"), "ME"),
+           ("2024-01-15", dict(end="2024-04-20", freq="MS"), "MS"),
+           ("2024-02-29", dict(periods=3, freq="YE"), "YE"),
+           ("2023-05-02", dict(periods=2, freq="YS"), "YS"),
+           ("2024-01-31", dict(periods=3, freq="2ME"), "2ME"),
+           ("2024-01-31", dict(periods=2, freq="M"), "ME"),
+           ("2024-06-01", dict(periods=3, freq="Y"), "YE"),
+           ("2024-02-15", dict(periods=4, freq="3MS"), "3MS"),
+           ("2024-03-31", dict(end="2024-03-30", freq="ME"), "ME")]
+    for start, kw, pfreq in cal:
+        got = bl.date_range(start, **kw).to_pandas().tolist()
+        pkw = dict(kw, freq=pfreq)
+        want = pd.date_range(start, **pkw).tolist()
+        assert got == want, (start, kw)
 
 
 def test_resample_matches_pandas(bl):

@@ -1083,6 +1083,16 @@ def test_frame_rank_cov_crosstab_validate(bl):
     assert sorted(ct.columns) == sorted(want.columns)
     for c in want.columns:
         assert ct[c].astype(int).tolist() == want[c].tolist(), c
+    # observations with a missing key on EITHER axis drop (pandas) —
+    # no 'null' row/column from Spark's stat.crosstab
+    an = ["x", None, "y"]
+    bn = ["p", "q", None]
+    dn = bl.DataFrame({"a": np.array(an, dtype=object),
+                       "b": np.array(bn, dtype=object)})
+    ctn = bl.crosstab(dn["a"], dn["b"]).to_pandas()
+    wantn = pd.crosstab(pd.Series(an, name="a"), pd.Series(bn, name="b"))
+    assert sorted(ctn.columns) == sorted(wantn.columns)
+    assert ctn.shape == wantn.shape == (1, 1)
     l = bl.DataFrame({"k": np.array([1, 2], dtype=np.int64),
                       "v": np.array([1., 2.])})
     r = bl.DataFrame({"k": np.array([2, 2], dtype=np.int64),
