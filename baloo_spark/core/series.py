@@ -747,6 +747,35 @@ class Series:
                 ro.select(POS_COL, rb), POS_COL, "inner")
         return sdf, F.col("__pa__"), F.col("__pb__")
 
+    def combine_first(self, other: "Series") -> "Series":
+        """Patch NULLs with ``other``'s values at the same labels
+        (pandas ``Series.combine_first``): the pairwise alignment
+        every two-Series statistic uses, but FULL OUTER (pandas keeps
+        the union of the two indexes, sorted), then one coalesce.
+        Same-frame columns collapse to a pure projection."""
+        if other._sdf is self._sdf:
+            return self._with_col(
+                F.coalesce(self._colexpr, other._colexpr))
+        on = [c for c in self._index_cols if c in other._index_cols]
+        if on:
+            left, la = self._select("__ca__")
+            right, rb = other._select("__cb__")
+            right = right.select(*on, rb).dropDuplicates(on)
+            sdf = left.select(*on, la).join(right, on, "full_outer")
+            keys = on
+        else:
+            from ..plans.ordinal import POS_COL
+            lo, la = self._ordered_sdf("__ca__")
+            ro, rb = other._ordered_sdf("__cb__")
+            sdf = lo.select(POS_COL, la).join(
+                ro.select(POS_COL, rb), POS_COL, "full_outer")
+            keys = [POS_COL]
+        out = sdf.withColumn(
+            "__cf__", F.coalesce(F.col("__ca__"), F.col("__cb__"))) \
+            .drop("__ca__", "__cb__")
+        return Series._make(out, F.col("__cf__"), keys, self.name,
+                            [(k, True) for k in keys])
+
     def corr(self, other: "Series", method: str = "pearson"):
         """Correlation with another Series (pandas ``Series.corr``;
         engine extension — single JVM ``corr`` aggregate).

@@ -715,3 +715,13 @@ def test_series_surface_batch(bl):
     assert bs.equals(bl.Series(ps.to_numpy()))
     assert not bs.equals(bm)
     assert bl.Series(np.array([2., 3.])).product() == 6.0
+    # combine_first: full-outer pairwise alignment + coalesce
+    # (union of indexes like pandas, incl. unequal lengths)
+    ca = bl.Series(np.array([np.nan, 2.]))
+    cb = bl.Series(np.array([10., 20., 30.]))
+    assert ca.combine_first(cb).to_pandas().tolist() == \
+        pd.Series([np.nan, 2.]).combine_first(
+            pd.Series([10., 20., 30.])).tolist() == [10.0, 2.0, 30.0]
+    assert cb.combine_first(ca).to_pandas().tolist() == \
+        pd.Series([10., 20., 30.]).combine_first(
+            pd.Series([np.nan, 2.])).tolist()
