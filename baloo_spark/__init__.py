@@ -235,7 +235,20 @@ def date_range(start, end=None, periods=None, freq: str = "D",
         return Series._make(sdf, F.col(_VAL), [ORD_COL], name,
                             [(ORD_COL, True)])
 
-    us = freq_to_us(freq)
+    wk = re.fullmatch(
+        r"(\d*)\s*W(?:-(MON|TUE|WED|THU|FRI|SAT|SUN))?", str(freq))
+    if wk:
+        # weekly anchored: roll start forward to the anchor weekday
+        # (pandas W = W-SUN; same-day counts as on-offset, time
+        # preserved), then it is a fixed 7-day grid
+        anchor_wd = {"MON": 0, "TUE": 1, "WED": 2, "THU": 3,
+                     "FRI": 4, "SAT": 5, "SUN": 6}[wk.group(2) or "SUN"]
+        s = pd.Timestamp(start)
+        s = s + pd.Timedelta(days=(anchor_wd - s.weekday()) % 7)
+        start = s
+        us = int(wk.group(1) or 1) * 7 * 86_400_000_000
+    else:
+        us = freq_to_us(freq)
     s_us = pd.Timestamp(start).value // 1000
     if periods is None:
         e_us = pd.Timestamp(end).value // 1000

@@ -324,7 +324,8 @@ class DataFrameGroupBy:
         return self._moment("kurt")
 
     def ewm(self, alpha: float | None = None, span: float | None = None,
-            ignore_na: bool = False, adjust: bool = True):
+            ignore_na: bool = False, adjust: bool = True,
+            com: float | None = None, halflife: float | None = None):
         """Per-group exponentially-weighted windows (pandas
         ``groupby().ewm()``): groups stream through ``applyInPandas``
         and pandas' own C ewm kernel runs per group — the honest path
@@ -333,10 +334,17 @@ class DataFrameGroupBy:
         bounded-group contract as apply/filter); the GLOBAL
         decayed-carry scan (plans/ordinal.py:with_ewm_mean) remains
         the un-grouped face."""
-        if (alpha is None) == (span is None):
-            raise ValueError("pass exactly one of alpha= or span=")
+        import math
+        if sum(v is not None
+               for v in (alpha, span, com, halflife)) != 1:
+            raise ValueError(
+                "pass exactly one of com, span, halflife, alpha")
         if span is not None:
             alpha = 2.0 / (span + 1.0)
+        elif com is not None:
+            alpha = 1.0 / (1.0 + com)
+        elif halflife is not None:
+            alpha = 1.0 - math.exp(-math.log(2.0) / halflife)
         return _GroupEwm(self, float(alpha), ignore_na, bool(adjust))
 
     def aggregate(self, *a, **k):

@@ -176,7 +176,11 @@ def test_date_range_matches_pandas(bl):
            ("2024-01-31", dict(periods=2, freq="M"), "ME"),
            ("2024-06-01", dict(periods=3, freq="Y"), "YE"),
            ("2024-02-15", dict(periods=4, freq="3MS"), "3MS"),
-           ("2024-03-31", dict(end="2024-03-30", freq="ME"), "ME")]
+           ("2024-03-31", dict(end="2024-03-30", freq="ME"), "ME"),
+           ("2024-01-03 05:00", dict(periods=3, freq="W"), "W"),
+           ("2024-01-07 05:00", dict(periods=2, freq="W"), "W"),
+           ("2024-01-03", dict(periods=3, freq="W-WED"), "W-WED"),
+           ("2024-01-01", dict(end="2024-01-31", freq="2W"), "2W")]
     for start, kw, pfreq in cal:
         got = bl.date_range(start, **kw).to_pandas().tolist()
         pkw = dict(kw, freq=pfreq)

@@ -454,8 +454,15 @@ def test_groupby_ewm_and_callable_agg(bl):
     assert df.groupby("k").agg({"v": np.sum}).to_pandas() \
         ["v_sum"].tolist() == [6.0, 6.0]
     import pytest
-    with pytest.raises(ValueError, match="alpha= or span="):
+    with pytest.raises(ValueError, match="exactly one of"):
         df.groupby("k").ewm()
+    # com/halflife spellings share Series.ewm's conversions
+    got = df.groupby("k").ewm(com=2.0).mean().to_pandas() \
+        .sort_values(["k", "t"])["v"].tolist()
+    want = pdf.sort_values("t").groupby("k").ewm(com=2.0).mean() \
+        .reset_index().sort_values(["k", "t"])["v"].tolist()
+    for g, w in zip(got, want):
+        assert (g != g and w != w) or abs(g - w) < 1e-12
 
 
 def test_groupby_ohlc_pct_change(bl):
