@@ -2180,6 +2180,37 @@ class _EWM:
         return Series._make(out, F.col("__ewm__"), sr._index_cols,
                             sr.name, sr._order)
 
+    def _stat(self, stat: str, bias: bool = False) -> "Series":
+        """sum/var/std via the four-decayed-sums scan
+        (plans/ordinal.with_ewm_stats). adjust=True only — pandas
+        itself refuses ewm(adjust=False).sum(), and the
+        recursive-form var needs a non-geometric first weight."""
+        if not self._adjust:
+            raise NotImplementedError(
+                f"ewm(adjust=False).{stat}() is not supported; use "
+                "adjust=True (the pandas default)")
+        from ..plans.ordinal import ORD_COL, with_ewm_stats
+        sr = self._sr
+        sdf = sr._sdf
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        out = with_ewm_stats(sdf, sr._colexpr, self._alpha,
+                             order or None, self._mp,
+                             self._ignore_na, bias=bias,
+                             stats=(stat,))
+        return Series._make(out, F.col(f"__ewm_{stat}__"),
+                            sr._index_cols, sr.name, sr._order)
+
+    def sum(self) -> "Series":
+        return self._stat("sum")
+
+    def var(self, bias: bool = False) -> "Series":
+        return self._stat("var", bias=bias)
+
+    def std(self, bias: bool = False) -> "Series":
+        return self._stat("std", bias=bias)
+
 
 class _Expanding:
     """Growing-window aggregations (see :meth:`Series.expanding`).

@@ -538,6 +538,196 @@ def with_ewm_mean(sdf: DataFrame, value_col, alpha: float,
             .drop("__pid__", "__mid__", "__ev__"))
 
 
+def with_ewm_stats(sdf: DataFrame, value_col, alpha: float,
+                   order_by: list | None, min_periods: int = 0,
+                   ignore_na: bool = False, bias: bool = False,
+                   stats: tuple = ("mean",)) -> DataFrame:
+    """Partition-safe GLOBAL ``ewm(adjust=True)`` moments beyond the
+    mean: any subset of ``('sum', 'mean', 'var', 'std')`` from ONE
+    scan (columns ``__ewm_<stat>__``).
+
+    Same two-pass decayed-carry scheme as :func:`with_ewm_mean`, but
+    the carried state holds FOUR decayed sums: num = sum(w*x),
+    den = sum(w), q = sum(w*x^2), d2 = sum(w^2) — every pandas ewm
+    moment is a ratio of these (sum = num; mean = num/den; var
+    (bias=False, pandas default) = den^2/(den^2 - d2) * (q/den -
+    mean^2)). num/den/q recover from pandas' C kernel via the
+    M0*S identity; d2 rides the SQUARED decay r^2 (it is the den of
+    an ewm with alpha2 = 1 - r^2), so its carry merges with e2 =
+    (r^2)^len. adjust=False moments are not offered (pandas itself
+    refuses ewm(adjust=False).sum(); the recursive-form var needs a
+    non-geometric first weight).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    bad = [s for s in stats if s not in ("sum", "mean", "var", "std")]
+    if bad:
+        raise ValueError(f"unsupported ewm stats: {bad}")
+    r = 1.0 - alpha
+    r2 = r * r
+    alpha2 = 1.0 - r2
+
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    sdf = _range_layout(
+        sdf.select("*", col.cast("double").alias("__ev__")), order_by)
+
+    def _batch_scan(x, state):
+        """state = [num, den, q, d2, obs_cnt, steps, y_last]; returns
+        per-row (num, den, q, d2, cnt) arrays."""
+        import numpy as np
+        L = len(x)
+        w = np.where(np.isnan(x), 0.0, 1.0)
+        n_in, d_in, q_in, d2_in = state[0], state[1], state[2], state[3]
+
+        def _geo(k, rr):
+            t1 = np.arange(1, k + 1, dtype=np.float64)
+            S = (np.ones(k) if rr == 0
+                 else (1 - rr ** t1) / (1 - rr))
+            return S, rr ** t1
+
+        def _k(z, a):
+            return pd.Series(z).ewm(alpha=a, adjust=True,
+                                    min_periods=0).mean().to_numpy()
+
+        if ignore_na:
+            idx = np.flatnonzero(w)
+            k = len(idx)
+            num = np.full(L, np.nan)
+            den = np.full(L, np.nan)
+            q = np.full(L, np.nan)
+            d2 = np.full(L, np.nan)
+            if k:
+                xs = x[idx]
+                S, e = _geo(k, r)
+                S2, e2 = _geo(k, r2)
+                num[idx] = _k(xs, alpha) * S + n_in * e
+                den[idx] = _k(np.ones(k), alpha) * S + d_in * e
+                q[idx] = _k(xs * xs, alpha) * S + q_in * e
+                d2[idx] = _k(np.ones(k), alpha2) * S2 + d2_in * e2
+                state[0], state[1] = num[idx[-1]], den[idx[-1]]
+                state[2], state[3] = q[idx[-1]], d2[idx[-1]]
+            # nulls neither decay nor add terms: carry forward
+            num = pd.Series(num).ffill().fillna(n_in).to_numpy()
+            den = pd.Series(den).ffill().fillna(d_in).to_numpy()
+            q = pd.Series(q).ffill().fillna(q_in).to_numpy()
+            d2 = pd.Series(d2).ffill().fillna(d2_in).to_numpy()
+            cnt = state[4] + np.cumsum(w)
+            state[4] += w.sum()
+            state[5] += k
+            return num, den, q, d2, cnt
+
+        m = np.where(np.isnan(x), 0.0, x)
+        S, e = _geo(L, r)
+        S2, e2 = _geo(L, r2)
+        num = _k(m, alpha) * S + n_in * e
+        den = _k(w, alpha) * S + d_in * e
+        q = _k(m * m, alpha) * S + q_in * e
+        d2 = _k(w, alpha2) * S2 + d2_in * e2
+        cnt = state[4] + np.cumsum(w)
+        state[0], state[1], state[2], state[3] = \
+            num[-1], den[-1], q[-1], d2[-1]
+        state[4] += w.sum()
+        state[5] += L
+        return num, den, q, d2, cnt
+
+    ends_schema = T.StructType([
+        T.StructField("__pid__", T.IntegerType())]
+        + [T.StructField(c, T.DoubleType())
+           for c in ("__en__", "__ed__", "__eq__", "__ed2__",
+                     "__ec__", "__el__", "__ey__")])
+
+    def _ends(it):
+        import numpy as np
+        state, pid = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, np.nan], None
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            pid = int(pdf_b["__pid__"].iloc[0])
+            num, den, q, d2, _ = _batch_scan(
+                pdf_b["__ev__"].to_numpy(dtype=np.float64), state)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                y = np.where(den > 0, num / den, np.nan)
+            y = pd.Series(y).ffill().to_numpy()
+            if len(y) and not np.isnan(y[-1]):
+                state[6] = y[-1]
+        if pid is not None:
+            yield pd.DataFrame({
+                "__pid__": [pid], "__en__": [state[0]],
+                "__ed__": [state[1]], "__eq__": [state[2]],
+                "__ed2__": [state[3]], "__ec__": [state[4]],
+                "__el__": [state[5]], "__ey__": [state[6]]})
+
+    erows = {int(rw["__pid__"]): rw for rw in
+             sdf.select("__pid__", "__ev__").mapInPandas(
+                 _ends, ends_schema).collect()}
+    import math as _math
+    carries = {}
+    acc = (0.0, 0.0, 0.0, 0.0, 0.0, float("nan"))
+    for pid in sorted(erows):
+        carries[pid] = acc
+        e = erows[pid]
+        dk = r ** e["__el__"]
+        dk2 = r2 ** e["__el__"]
+        ey = e["__ey__"]
+        acc = (acc[0] * dk + e["__en__"], acc[1] * dk + e["__ed__"],
+               acc[2] * dk + e["__eq__"], acc[3] * dk2 + e["__ed2__"],
+               acc[4] + e["__ec__"],
+               acc[5] if ey is None or _math.isnan(ey) else ey)
+    out_cols = [f"__ewm_{s}__" for s in stats]
+    out_schema = T.StructType(list(sdf.schema.fields)
+                              + [T.StructField(c, T.DoubleType())
+                                 for c in out_cols])
+    mp = min_periods
+
+    def _emit(it):
+        import numpy as np
+        state, init = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, np.nan], False
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            if not init:
+                c = carries.get(int(pdf_b["__pid__"].iloc[0]),
+                                (0.0, 0.0, 0.0, 0.0, 0.0, np.nan))
+                state = [c[0], c[1], c[2], c[3], c[4], 0.0, c[5]]
+                init = True
+            x = pdf_b["__ev__"].to_numpy(dtype=np.float64)
+            num, den, q, d2, cnt = _batch_scan(x, state)
+            o = pdf_b.copy()
+            gate = cnt >= max(mp, 1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = np.where(den > 0, num / den, np.nan)
+                mean = pd.concat(
+                    [pd.Series([state[6]]), pd.Series(mean)],
+                    ignore_index=True).ffill().to_numpy()[1:]
+                if len(mean) and not np.isnan(mean[-1]):
+                    state[6] = mean[-1]
+                for s in stats:
+                    if s == "sum":
+                        v = np.where(gate, num, np.nan)
+                    elif s == "mean":
+                        v = np.where(gate, mean, np.nan)
+                    else:
+                        biased = np.maximum(q / den - mean * mean, 0.0)
+                        if bias:
+                            v = biased
+                        else:
+                            dd = den * den - d2
+                            v = np.where(dd > 0,
+                                         den * den / dd * biased,
+                                         np.nan)
+                        v = np.where(gate & (den > 0), v, np.nan)
+                        if s == "std":
+                            v = np.sqrt(v)
+                    o[f"__ewm_{s}__"] = v
+            yield o
+
+    return (sdf.mapInPandas(_emit, out_schema)
+            .drop("__pid__", "__mid__", "__ev__"))
+
+
 def with_ewm_mean_noadjust(sdf: DataFrame, value_col, alpha: float,
                            order_by: list | None, min_periods: int = 0,
                            ignore_na: bool = False,

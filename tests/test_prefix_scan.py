@@ -467,6 +467,54 @@ def test_ewm_mean_noadjust_matches_pandas(bl):
                         np.nan_to_num(gp, nan=-9e9), rtol=1e-8)
 
 
+def test_ewm_sum_var_std_matches_pandas(bl):
+    """ewm().sum/var/std via the four-decayed-sums scan (num/den/
+    q/d2; d2 rides the squared decay r^2): both ignore_na flavors,
+    bias= faces, min_periods, alpha=1 (var NaN via the natural
+    debias singularity), leading nulls, multi-batch chaining."""
+    import pandas as pd
+    rng = np.random.RandomState(5)
+    vals = rng.randn(400)
+    vals[rng.rand(400) < 0.2] = np.nan
+    vals[:9] = np.nan
+    s = bl.DataFrame({"v": vals})["v"]
+    p = pd.Series(vals)
+    cases = [("sum", {"alpha": 0.3}, {}),
+             ("sum", {"alpha": 0.3, "ignore_na": True}, {}),
+             ("sum", {"alpha": 1.0}, {}),
+             ("var", {"alpha": 0.3}, {}),
+             ("var", {"alpha": 0.3}, {"bias": True}),
+             ("var", {"alpha": 0.3, "ignore_na": True}, {}),
+             ("var", {"alpha": 1.0}, {}),
+             ("std", {"span": 10}, {}),
+             ("std", {"alpha": 0.3, "min_periods": 6}, {})]
+    for stat, kw, skw in cases:
+        got = getattr(s.ewm(**kw), stat)(**skw) \
+            .to_pandas().to_numpy(dtype=float)
+        want = getattr(p.ewm(**kw), stat)(**skw).to_numpy(dtype=float)
+        npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                            np.nan_to_num(want, nan=-9e9),
+                            rtol=1e-8, atol=1e-12,
+                            err_msg=f"{stat} {kw} {skw}")
+    spark = s._sdf.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "17")
+        for stat in ("sum", "var"):
+            got = getattr(s.ewm(alpha=0.25), stat)() \
+                .to_pandas().to_numpy(dtype=float)
+            want = getattr(p.ewm(alpha=0.25), stat)() \
+                .to_numpy(dtype=float)
+            npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                                np.nan_to_num(want, nan=-9e9),
+                                rtol=1e-8, err_msg=f"batched {stat}")
+    finally:
+        spark.conf.set(key, old)
+    with pytest.raises(NotImplementedError):
+        s.ewm(alpha=0.5, adjust=False).sum()
+
+
 def test_interpolate_matches_pandas(bl):
     """Series.interpolate: linear fill between boundary-carried
     neighbors, pandas edge semantics per limit_direction, limit
