@@ -3347,15 +3347,68 @@ class _Resampler:
     column per bucket; gap buckets are generated, not collected."""
 
     def __init__(self, df: DataFrame, freq: str, on: str):
+        import re
+
         from ..core.datetimes import freq_to_us
         df._check_cols([on])
         self._df = df
         self._on = on
-        self._us = freq_to_us(freq)
+        cal = re.fullmatch(r"(ME|MS|YE|YS|M|Y|A)", str(freq))
+        if cal:
+            # calendar buckets: date_trunc month/year, pandas labels
+            # (period END date for ME/YE, start for MS/YS)
+            self._cal = {"M": "ME", "Y": "YE", "A": "YE"}.get(
+                cal.group(1), cal.group(1))
+            self._us = None
+        else:
+            self._cal = None
+            self._us = freq_to_us(freq)
+
+    def _agg_calendar(self, name: str):
+        df, on = self._df, self._on
+        sdf = df._sdf
+        kind = self._cal
+        unit = "month" if kind in ("ME", "MS") else "year"
+        step = 1 if unit == "month" else 12
+        t = F.col(on).cast("timestamp")
+        bucket = F.date_trunc(unit, t)
+        num = [c for c in df._numeric_cols() if c != on]
+        aggs = []
+        for c in num:
+            v = F.col(c).cast("double") if name != "count" else F.col(c)
+            aggs.append(_AGG_FNS[name](v).cast(
+                "long" if name == "count" else "double").alias(c))
+        aggd = (sdf.select(bucket.alias("__bkt__"), *num)
+                .groupBy("__bkt__").agg(*aggs))
+        rng = aggd.agg(F.min("__bkt__").alias("mn"),
+                       F.max("__bkt__").alias("mx")).first()
+        if rng["mn"] is not None:
+            mn, mx = rng["mn"], rng["mx"]
+            nb = ((mx.year * 12 + mx.month)
+                  - (mn.year * 12 + mn.month)) // step + 1
+            grid = sdf.sparkSession.range(int(nb)).select(
+                F.add_months(F.lit(mn.date()),
+                             (F.col("id") * step).cast("int"))
+                .cast("timestamp").alias("__bkt__"))
+            aggd = grid.join(aggd, "__bkt__", "left")
+            if name in ("sum", "count"):
+                for c in num:
+                    aggd = aggd.withColumn(c, F.coalesce(
+                        F.col(c), F.lit(0).cast(
+                            "long" if name == "count" else "double")))
+        label = (F.last_day(F.col("__bkt__")).cast("timestamp")
+                 if kind in ("ME", "YE") else F.col("__bkt__"))
+        if kind == "YE":
+            label = F.last_day(F.add_months(F.col("__bkt__"), 11)) \
+                .cast("timestamp")
+        out = aggd.withColumn(on, label).drop("__bkt__").orderBy(on)
+        return DataFrame._make(out, [on], num, [(on, True)])
 
     def _agg(self, name: str):
         import pandas as pd
 
+        if self._cal:
+            return self._agg_calendar(name)
         df, on, us = self._df, self._on, self._us
         sdf = df._sdf
         t = F.col(on).cast("timestamp")

@@ -210,6 +210,18 @@ def test_resample_matches_pandas(bl):
                 got[c].fillna(-9e9).to_numpy(dtype=float),
                 want[c].fillna(-9e9).to_numpy(dtype=float),
                 err_msg=f"{agg} {c}")
+    # calendar buckets: date_trunc month/year + add_months gap grid,
+    # pandas period-end/-start labels
+    ts2 = pd.to_datetime(["2024-01-05", "2024-03-02", "2024-12-30",
+                          "2025-02-11"])
+    p2 = pd.DataFrame({"t": ts2, "v": [1., 4., 8., 16.]})
+    d2 = bl.DataFrame({"t": ts2.to_numpy(), "v": p2["v"].to_numpy()})
+    for bf, pf in (("ME", "ME"), ("MS", "MS"), ("M", "ME"),
+                   ("YE", "YE"), ("YS", "YS")):
+        got = d2.resample(bf, on="t").sum().to_pandas().reset_index()
+        want = p2.resample(pf, on="t").sum().reset_index()
+        assert got["t"].tolist() == want["t"].tolist(), bf
+        assert got["v"].tolist() == want["v"].tolist(), bf
 
 
 def test_dt_ceil_round_match_pandas(bl):
