@@ -72,6 +72,30 @@ def _host_speed() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _spark_speed(spark) -> float:
+    """MULTICORE calibration (seconds; lower = faster): a fixed
+    range->hash-agg Spark job on all threads, warm median of 3.
+
+    The single-core loop misses the contention mode that actually
+    bites: a co-tenant can leave single-core turbo untouched while
+    halving 32-thread throughput (measured r6: identical code 0.30s
+    -> 0.68s while the single-core loop read a FAST 0.74s). Compare
+    this value ACROSS runs — the run with the lowest reading was the
+    quietest window and its totals are the trustworthy snapshot."""
+    from pyspark.sql import functions as F
+
+    def once():
+        t0 = time.perf_counter()
+        (spark.range(200_000_000)
+         .select(F.col("id"), (F.col("id") % 1000).alias("k"))
+         .groupBy("k").agg(F.sum("id"))
+         .write.format("noop").mode("overwrite").save())
+        return time.perf_counter() - t0
+
+    once()  # codegen warmup
+    return round(sorted(once() for _ in range(3))[1], 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
@@ -105,11 +129,13 @@ def main():
     # are signal, not first-run compile noise. "value"/"queries" remain
     # the cold pass, methodology-compatible with BENCH_r01.
     speed_pre = _host_speed()
+    mc_pre = _spark_speed(spark)
     cold, warm = {}, {}
     for name in HEADLINE:
         cold[name] = round(run_once(name), 3)
         warm[name] = round(min(run_once(name), run_once(name)), 3)
     speed_post = _host_speed()
+    mc_post = _spark_speed(spark)
 
     print(json.dumps({
         "metric": "total_runtime",
@@ -118,10 +144,13 @@ def main():
         "queries": cold,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
-        # single-core calibration (sec, lower = faster host), timed
-        # before/after the sweep; a pre/post spread or a value far
-        # from the quiet-host ~1s baseline marks the run polluted
-        "host_speed": {"pre": speed_pre, "post": speed_post},
+        # calibration (sec, lower = faster host), timed before/after
+        # the sweep. mc_* is the 32-thread range hash-agg — compare
+        # across runs; a high reading marks the run polluted even
+        # when the single-core loop looks fast (co-tenant contention
+        # hits many-core throughput first)
+        "host_speed": {"pre": speed_pre, "post": speed_post,
+                       "mc_pre": mc_pre, "mc_post": mc_post},
         "sf": sf,
     }))
 
