@@ -711,6 +711,13 @@ def with_ewm_stats(sdf: DataFrame, value_col, alpha: float,
                         v = np.where(gate, mean, np.nan)
                     else:
                         biased = np.maximum(q / den - mean * mean, 0.0)
+                        # sum-of-squares cancellation leaves ~1e-14
+                        # relative residue on constant windows where
+                        # pandas' recurrence keeps exact 0 — clamp
+                        # residue below fp noise of E[x^2] to zero
+                        biased = np.where(
+                            biased < 1e-12 * np.abs(q / den), 0.0,
+                            biased)
                         if bias:
                             v = biased
                         else:
