@@ -936,13 +936,18 @@ class _GroupEwm:
         self._gb, self._alpha, self._ignore_na = gb, alpha, ignore_na
         self._adjust = adjust
 
-    def mean(self):
+    def _stat(self, stat: str):
         from .frame import DataFrame
         gb = self._gb
         sdf, order = gb._gorder()
         vcols = gb._value_cols()
         alpha, ignore_na = self._alpha, self._ignore_na
         adjust = self._adjust
+        if stat == "sum" and not adjust:
+            # pandas itself refuses this combination
+            raise NotImplementedError(
+                "ewm(adjust=False).sum() is not supported (pandas "
+                "refuses it too); use adjust=True")
         # order columns must ride into the pandas kernel; expressions
         # in _order were materialized by sort_values already
         ocols = [c for c, _ in (gb._df._order or [])
@@ -961,11 +966,23 @@ class _GroupEwm:
 
         def fn(pdf):
             pdf = pdf.sort_values(ocols, ascending=asc)
-            pdf[vcols] = pdf[vcols].astype("float64").ewm(
-                alpha=alpha, ignore_na=ignore_na,
-                adjust=adjust).mean()
+            ew = pdf[vcols].astype("float64").ewm(
+                alpha=alpha, ignore_na=ignore_na, adjust=adjust)
+            pdf[vcols] = getattr(ew, stat)()
             return pdf
 
         out = sdf.groupBy(*gb._by).applyInPandas(fn, schema)
         return DataFrame._make(out, gb._df._index_cols,
                                gb._df._data_cols, gb._df._order)
+
+    def mean(self):
+        return self._stat("mean")
+
+    def sum(self):
+        return self._stat("sum")
+
+    def var(self):
+        return self._stat("var")
+
+    def std(self):
+        return self._stat("std")

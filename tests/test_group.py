@@ -463,6 +463,20 @@ def test_groupby_ewm_and_callable_agg(bl):
         .reset_index().sort_values(["k", "t"])["v"].tolist()
     for g, w in zip(got, want):
         assert (g != g and w != w) or abs(g - w) < 1e-12
+    # sum/var/std moments share the per-group pandas kernel
+    # restrict to ["v"] so the numeric t column (which the grouped
+    # transform would also rewrite, like pandas) keeps the row order
+    # comparable; pdf ingest order IS t order here
+    d2 = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    for stat in ("sum", "var", "std"):
+        got = getattr(d2.groupby("k")[["v"]].ewm(alpha=0.5), stat)() \
+            .to_pandas()["v"].tolist()
+        want = pdf.groupby("k")["v"].transform(
+            lambda s, st=stat: getattr(s.ewm(alpha=0.5), st)()).tolist()
+        for g, w in zip(got, want):
+            assert (g != g and w != w) or abs(g - w) < 1e-10, stat
+    with pytest.raises(NotImplementedError):
+        df.groupby("k").ewm(alpha=0.5, adjust=False).sum()
 
 
 def test_groupby_ohlc_pct_change(bl):

@@ -181,6 +181,40 @@ def main():
               "driver carry is n_partitions tuples regardless of "
               "rows_", ""]
 
+    # r6: the two new ewm scans share the identical two-pass shape —
+    # probe that the extra carried state (affine-map coefficients for
+    # adjust=False; the q/d2 sums for var) doesn't change the scaling
+    from baloo_spark.plans.ordinal import (with_ewm_mean_noadjust,
+                                           with_ewm_stats)
+    for title, fn, note in (
+        ("ewm mean adjust=False (affine-map carry)",
+         lambda b: with_ewm_mean_noadjust(
+             b, "l_extendedprice", 0.1, [F.col("l_orderkey").asc()]),
+         "_same two passes; the carry adds three scalars per "
+         "partition (pre-first-obs decay, first obs value, ln prod "
+         "p_i) — still kilobytes at thousands of partitions_"),
+        ("ewm var (four-decayed-sums scan)",
+         lambda b: with_ewm_stats(
+             b, "l_extendedprice", 0.1, [F.col("l_orderkey").asc()],
+             stats=("var",)),
+         "_same two passes; num/den/q/d2 are four doubles per "
+         "partition in the carry, and the per-row work is four "
+         "pandas C-kernel calls per batch instead of two_")):
+        lines += [f"## {title}", ""]
+        for mult in (1, 4, 16):
+            base = replicate(
+                li.select("l_orderkey", "l_extendedprice"),
+                mult).localCheckpoint()
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(base).write.format("noop").mode("overwrite").save()
+                dt = min(dt, time.perf_counter() - t0)
+            lines.append(f"- {mult}x: {dt:.2f}s (full operator incl. "
+                         "eager layout+ends construction)")
+            print(title, lines[-1])
+        lines += ["", note, ""]
+
     # interpolate: ONE fused layout pass (with_interp_neighbors) —
     # construction is partly eager like EWM, so the operator is
     # rebuilt inside the timing loop
