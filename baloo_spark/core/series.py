@@ -2211,6 +2211,34 @@ class _EWM:
     def std(self, bias: bool = False) -> "Series":
         return self._stat("std", bias=bias)
 
+    def _pair(self, other: "Series", stat: str,
+              bias: bool = False) -> "Series":
+        """cov/corr with another Series: the standard pairwise
+        alignment, then the seven-decayed-sums scan
+        (plans/ordinal.with_ewm_pair_stats; observations need BOTH
+        sides non-null, like pandas). adjust=True only."""
+        if not self._adjust:
+            raise NotImplementedError(
+                f"ewm(adjust=False).{stat}() is not supported; use "
+                "adjust=True (the pandas default)")
+        from ..plans.ordinal import POS_COL, with_ewm_pair_stats
+        sr = self._sr
+        sdf, a, b = sr._pair_sdf(other)
+        on = [c for c in sr._index_cols if c in other._index_cols]
+        keys = on or [POS_COL]
+        out = with_ewm_pair_stats(
+            sdf, a, b, self._alpha,
+            [F.col(k).asc() for k in keys], self._mp,
+            self._ignore_na, bias=bias, stat=stat)
+        return Series._make(out, F.col("__ewmp__"), keys, sr.name,
+                            [(k, True) for k in keys])
+
+    def cov(self, other: "Series", bias: bool = False) -> "Series":
+        return self._pair(other, "cov", bias=bias)
+
+    def corr(self, other: "Series") -> "Series":
+        return self._pair(other, "corr")
+
 
 class _Expanding:
     """Growing-window aggregations (see :meth:`Series.expanding`).

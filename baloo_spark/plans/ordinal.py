@@ -735,6 +735,178 @@ def with_ewm_stats(sdf: DataFrame, value_col, alpha: float,
             .drop("__pid__", "__mid__", "__ev__"))
 
 
+def with_ewm_pair_stats(sdf: DataFrame, x_col, y_col, alpha: float,
+                        order_by: list | None, min_periods: int = 0,
+                        ignore_na: bool = False, bias: bool = False,
+                        stat: str = "cov",
+                        name: str = "__ewmp__") -> DataFrame:
+    """Partition-safe GLOBAL ``ewm(adjust=True).cov/corr`` between two
+    aligned columns.
+
+    Same two-pass decayed-carry scheme as :func:`with_ewm_stats`,
+    carrying SEVEN decayed sums: wx, wy, wxy, wxx, wyy (all over the
+    JOINT-validity mask — pandas counts an observation only when BOTH
+    sides are non-null), den = sum(w), d2 = sum(w^2). cov (bias=False)
+    = den^2/(den^2 - d2) * (wxy/den - mx*my); corr is the BIASED
+    moment ratio (the debias factor cancels). Local sums recover from
+    pandas' C kernel via the M0*S identity; d2 rides the r^2 decay.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if stat not in ("cov", "corr"):
+        raise ValueError(f"stat must be cov or corr, got {stat!r}")
+    r = 1.0 - alpha
+    r2 = r * r
+    alpha2 = 1.0 - r2
+
+    cx = F.col(x_col) if isinstance(x_col, str) else x_col
+    cy = F.col(y_col) if isinstance(y_col, str) else y_col
+    sdf = _range_layout(
+        sdf.select("*", cx.cast("double").alias("__ex__"),
+                   cy.cast("double").alias("__ey__")), order_by)
+
+    NS = 7  # wx wy wxy wxx wyy den d2 (+ obs, steps appended)
+
+    def _batch_scan(x, y, state):
+        import numpy as np
+        L = len(x)
+        w = np.where(np.isnan(x) | np.isnan(y), 0.0, 1.0)
+        xs = np.where(w > 0, x, 0.0)
+        ys = np.where(w > 0, y, 0.0)
+        comps = (xs, ys, xs * ys, xs * xs, ys * ys, w)
+
+        def _geo(k, rr):
+            t1 = np.arange(1, k + 1, dtype=np.float64)
+            S = (np.ones(k) if rr == 0
+                 else (1 - rr ** t1) / (1 - rr))
+            return S, rr ** t1
+
+        def _k(z, a):
+            return pd.Series(z).ewm(alpha=a, adjust=True,
+                                    min_periods=0).mean().to_numpy()
+
+        out = []
+        if ignore_na:
+            # joint-null rows neither decay nor add terms: run the
+            # scheme on the compacted subsequence, forward-fill, and
+            # seed leading positions with the INCOMING sums
+            idx = np.flatnonzero(w)
+            k = len(idx)
+            incoming = list(state[:NS])
+            if k:
+                S, e = _geo(k, r)
+                S2, e2 = _geo(k, r2)
+            kerns = ([_k(z[idx], alpha) * S + incoming[j] * e
+                      for j, z in enumerate(comps)]
+                     + [_k(np.ones(k), alpha2) * S2
+                        + incoming[6] * e2]) if k else None
+            for j in range(NS):
+                arr = np.full(L, np.nan)
+                if k:
+                    arr[idx] = kerns[j]
+                    state[j] = kerns[j][-1]
+                arr = pd.Series(arr).ffill().to_numpy()
+                arr = np.where(np.isnan(arr), incoming[j], arr)
+                out.append(arr)
+            cnt = state[7] + np.cumsum(w)
+            state[7] += w.sum()
+            state[8] += k
+            return out, cnt
+
+        S, e = _geo(L, r)
+        S2, e2 = _geo(L, r2)
+        for j, z in enumerate(comps):
+            arr = _k(z, alpha) * S + state[j] * e
+            state[j] = arr[-1]
+            out.append(arr)
+        arr = _k(w, alpha2) * S2 + state[6] * e2
+        state[6] = arr[-1]
+        out.append(arr)
+        cnt = state[7] + np.cumsum(w)
+        state[7] += w.sum()
+        state[8] += L
+        return out, cnt
+
+    ends_schema = T.StructType(
+        [T.StructField("__pid__", T.IntegerType())]
+        + [T.StructField(f"__e{j}__", T.DoubleType())
+           for j in range(NS + 2)])
+
+    def _ends(it):
+        import numpy as np
+        state, pid = [0.0] * (NS + 2), None
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            pid = int(pdf_b["__pid__"].iloc[0])
+            _batch_scan(pdf_b["__ex__"].to_numpy(dtype=np.float64),
+                        pdf_b["__ey__"].to_numpy(dtype=np.float64),
+                        state)
+        if pid is not None:
+            row = {"__pid__": [pid]}
+            row.update({f"__e{j}__": [state[j]]
+                        for j in range(NS + 2)})
+            yield pd.DataFrame(row)
+
+    erows = {int(rw["__pid__"]): rw for rw in
+             sdf.select("__pid__", "__ex__", "__ey__").mapInPandas(
+                 _ends, ends_schema).collect()}
+    carries, acc = {}, tuple([0.0] * (NS + 1))
+    for pid in sorted(erows):
+        carries[pid] = acc
+        e = erows[pid]
+        steps = e[f"__e{NS + 1}__"]
+        dk, dk2 = r ** steps, r2 ** steps
+        acc = tuple(
+            [acc[j] * dk + e[f"__e{j}__"] for j in range(6)]
+            + [acc[6] * dk2 + e["__e6__"],
+               acc[7] + e["__e7__"]])
+    out_schema = T.StructType(list(sdf.schema.fields)
+                              + [T.StructField(name, T.DoubleType())])
+    mp = min_periods
+
+    def _emit(it):
+        import numpy as np
+        state, init = [0.0] * (NS + 2), False
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            if not init:
+                c = carries.get(int(pdf_b["__pid__"].iloc[0]),
+                                tuple([0.0] * (NS + 1)))
+                state = list(c) + [0.0]
+                init = True
+            comps, cnt = _batch_scan(
+                pdf_b["__ex__"].to_numpy(dtype=np.float64),
+                pdf_b["__ey__"].to_numpy(dtype=np.float64), state)
+            wx, wy, wxy, wxx, wyy, den, d2 = comps
+            o = pdf_b.copy()
+            gate = (cnt >= max(mp, 1)) & (den > 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mx, my = wx / den, wy / den
+                cxy = wxy / den - mx * my
+                if stat == "corr":
+                    cxx = np.maximum(wxx / den - mx * mx, 0.0)
+                    cyy = np.maximum(wyy / den - my * my, 0.0)
+                    denom = np.sqrt(cxx * cyy)
+                    # zero variance on either side: pandas NaN, never
+                    # +-inf from a cancellation-residue numerator
+                    v = np.where(denom > 0, cxy / denom, np.nan)
+                elif bias:
+                    v = cxy
+                else:
+                    dd = den * den - d2
+                    v = np.where(dd > 0, den * den / dd * cxy, np.nan)
+            o[name] = np.where(gate, v, np.nan)
+            yield o
+
+    return (sdf.mapInPandas(_emit, out_schema)
+            .drop("__pid__", "__mid__", "__ex__", "__ey__"))
+
+
 def with_ewm_mean_noadjust(sdf: DataFrame, value_col, alpha: float,
                            order_by: list | None, min_periods: int = 0,
                            ignore_na: bool = False,

@@ -515,6 +515,46 @@ def test_ewm_sum_var_std_matches_pandas(bl):
         s.ewm(alpha=0.5, adjust=False).sum()
 
 
+def test_ewm_cov_corr_matches_pandas(bl):
+    """ewm().cov/corr between two Series: pairwise alignment + the
+    seven-decayed-sums scan (observations need BOTH sides non-null);
+    bias= faces, both ignore_na flavors, min_periods, alpha=1,
+    zero-variance corr (NaN, never +-inf from residue)."""
+    import pandas as pd
+    rng = np.random.RandomState(13)
+    n = 500
+    x = rng.randn(n)
+    y = 0.5 * x + rng.randn(n) * 0.3
+    x[rng.randint(0, n, 60)] = np.nan
+    y[rng.randint(0, n, 60)] = np.nan
+    px, py = pd.Series(x), pd.Series(y)
+    bx, by = bl.Series(x), bl.Series(y)
+    cases = [("cov", {"alpha": 0.3}, {}),
+             ("cov", {"alpha": 0.3}, {"bias": True}),
+             ("cov", {"alpha": 0.3, "ignore_na": True}, {}),
+             ("cov", {"alpha": 0.3, "min_periods": 5}, {}),
+             ("cov", {"alpha": 1.0}, {}),
+             ("corr", {"alpha": 0.3}, {}),
+             ("corr", {"alpha": 0.3, "ignore_na": True}, {})]
+    for stat, kw, skw in cases:
+        got = getattr(bx.ewm(**kw), stat)(by, **skw) \
+            .to_pandas().to_numpy(dtype=float)
+        want = getattr(px.ewm(**kw), stat)(py, **skw) \
+            .to_numpy(dtype=float)
+        npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                            np.nan_to_num(want, nan=-9e9),
+                            rtol=1e-8, atol=1e-11,
+                            err_msg=f"{stat} {kw} {skw}")
+    # self-corr: 1.0 after variance exists, NaN where it is zero
+    got = bx.ewm(alpha=0.3).corr(bx).to_pandas().to_numpy(dtype=float)
+    want = px.ewm(alpha=0.3).corr(px).to_numpy(dtype=float)
+    npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                        np.nan_to_num(want, nan=-9e9),
+                        rtol=1e-8, atol=1e-11)
+    with pytest.raises(NotImplementedError):
+        bx.ewm(alpha=0.5, adjust=False).cov(by)
+
+
 def test_interpolate_matches_pandas(bl):
     """Series.interpolate: linear fill between boundary-carried
     neighbors, pandas edge semantics per limit_direction, limit
