@@ -2548,6 +2548,34 @@ class DataFrame:
         shift needed, min/max included (prefix-decomposable here)."""
         return _FrameRolling(self, None, min_periods)
 
+    def ewm(self, com=None, span=None, halflife=None, alpha=None,
+            min_periods: int = 0, adjust: bool = True,
+            ignore_na: bool = False):
+        """Exponentially weighted windows over every numeric column
+        (pandas ``DataFrame.ewm``): ``.mean() .sum() .var() .std()``.
+        ALL columns share ONE range layout and TWO mapInPandas passes
+        (plans/ordinal.with_ewm_stats_multi — each column keeps its
+        own null mask and carry); a per-column loop would pay a
+        repartitionByRange + sort + checkpoint EACH. adjust=True
+        only (the recursive per-column form composes from
+        Series.ewm(adjust=False) when needed)."""
+        if adjust is not True:
+            raise NotImplementedError(
+                "DataFrame.ewm supports adjust=True (the pandas "
+                "default); use Series.ewm(adjust=False) per column")
+        import math
+        if sum(v is not None
+               for v in (com, span, halflife, alpha)) != 1:
+            raise ValueError(
+                "pass exactly one of com, span, halflife, alpha")
+        if com is not None:
+            alpha = 1.0 / (1.0 + com)
+        elif span is not None:
+            alpha = 2.0 / (span + 1.0)
+        elif halflife is not None:
+            alpha = 1.0 - math.exp(-math.log(2.0) / halflife)
+        return _FrameEwm(self, float(alpha), min_periods, ignore_na)
+
     def shift(self, periods: int = 1) -> "DataFrame":
         """All data columns moved by ``periods`` along the logical
         order, NULLs at the edge (pandas ``DataFrame.shift``; the
@@ -3219,6 +3247,50 @@ class DataFrame:
     @property
     def values(self) -> np.ndarray:
         return self.to_pandas().to_numpy()
+
+
+class _FrameEwm:
+    """Frame-wide EWM face (see :meth:`DataFrame.ewm`): one fused
+    multi-column decayed-carry scan per stat call."""
+
+    def __init__(self, df: "DataFrame", alpha: float,
+                 min_periods: int, ignore_na: bool):
+        self._df = df
+        self._alpha = alpha
+        self._mp = min_periods
+        self._ignore_na = ignore_na
+
+    def _stat(self, stat: str, bias: bool = False) -> "DataFrame":
+        from ..plans.ordinal import ORD_COL, with_ewm_stats_multi
+        df = self._df
+        cols = df._numeric_cols()
+        if not cols:
+            raise ValueError("ewm needs at least one numeric column")
+        sdf = df._sdf
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        out = with_ewm_stats_multi(
+            sdf, {c: F.col(c) for c in cols}, self._alpha,
+            order or None, self._mp, self._ignore_na, bias=bias,
+            stats=(stat,))
+        sel = [(F.col(f"__ewm_{stat}_{c}__").alias(c)
+                if c in cols else F.col(c))
+               for c in df._sdf.columns]
+        return DataFrame._make(out.select(*sel), df._index_cols,
+                               df._data_cols, df._order)
+
+    def mean(self) -> "DataFrame":
+        return self._stat("mean")
+
+    def sum(self) -> "DataFrame":
+        return self._stat("sum")
+
+    def var(self, bias: bool = False) -> "DataFrame":
+        return self._stat("var", bias=bias)
+
+    def std(self, bias: bool = False) -> "DataFrame":
+        return self._stat("std", bias=bias)
 
 
 class _FrameRolling:

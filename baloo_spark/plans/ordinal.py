@@ -721,8 +721,12 @@ def with_ewm_stats(sdf: DataFrame, value_col, alpha: float,
                         if bias:
                             v = biased
                         else:
+                            # dd is EXACTLY zero at one obs only up
+                            # to fp noise of the M0*S roundtrip — a
+                            # +2e-16 residue would turn pandas' NaN
+                            # into a huge-factor-times-clamped-zero
                             dd = den * den - d2
-                            v = np.where(dd > 0,
+                            v = np.where(dd > 1e-12 * den * den,
                                          den * den / dd * biased,
                                          np.nan)
                         v = np.where(gate & (den > 0), v, np.nan)
@@ -733,6 +737,228 @@ def with_ewm_stats(sdf: DataFrame, value_col, alpha: float,
 
     return (sdf.mapInPandas(_emit, out_schema)
             .drop("__pid__", "__mid__", "__ev__"))
+
+
+def with_ewm_stats_multi(sdf: DataFrame, values: dict, alpha: float,
+                         order_by: list | None, min_periods: int = 0,
+                         ignore_na: bool = False, bias: bool = False,
+                         stats: tuple = ("mean",)) -> DataFrame:
+    """:func:`with_ewm_stats` for ANY number of columns from ONE
+    range layout and TWO passes (the multi-column fusion rule every
+    ordinal op follows — per-column scans would pay a
+    repartitionByRange + sort + checkpoint EACH). ``values`` maps
+    tag -> column; outputs ``__ewm_<stat>_<tag>__``. Each column
+    keeps its OWN null mask (num/den/q/d2/obs per tag — nulls in one
+    column must not decay another's sums)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    bad = [s for s in stats if s not in ("sum", "mean", "var", "std")]
+    if bad:
+        raise ValueError(f"unsupported ewm stats: {bad}")
+    r = 1.0 - alpha
+    r2 = r * r
+    alpha2 = 1.0 - r2
+    tags = list(values)
+    sdf = _range_layout(
+        sdf.select("*", *[
+            (F.col(c) if isinstance(c, str) else c)
+            .cast("double").alias(f"__ev_{t}__")
+            for t, c in values.items()]), order_by)
+
+    # per tag: [num, den, q, d2, obs, y_last]; shared: steps
+    W = 6
+
+    def _batch_scan(cols, state):
+        import numpy as np
+
+        def _geo(k, rr):
+            t1 = np.arange(1, k + 1, dtype=np.float64)
+            S = (np.ones(k) if rr == 0
+                 else (1 - rr ** t1) / (1 - rr))
+            return S, rr ** t1
+
+        def _k(z, a):
+            return pd.Series(z).ewm(alpha=a, adjust=True,
+                                    min_periods=0).mean().to_numpy()
+
+        L = len(cols[0])
+        outs = []
+        for ti, x in enumerate(cols):
+            b = ti * W
+            w = np.where(np.isnan(x), 0.0, 1.0)
+            if ignore_na:
+                idx = np.flatnonzero(w)
+                k = len(idx)
+                incoming = list(state[b:b + 4])
+                arrs = []
+                if k:
+                    S, e = _geo(k, r)
+                    S2, e2 = _geo(k, r2)
+                    xs = x[idx]
+                    kerns = [_k(xs, alpha) * S + incoming[0] * e,
+                             _k(np.ones(k), alpha) * S + incoming[1] * e,
+                             _k(xs * xs, alpha) * S + incoming[2] * e,
+                             _k(np.ones(k), alpha2) * S2
+                             + incoming[3] * e2]
+                for j in range(4):
+                    arr = np.full(L, np.nan)
+                    if k:
+                        arr[idx] = kerns[j]
+                        state[b + j] = kerns[j][-1]
+                    arr = pd.Series(arr).ffill().to_numpy()
+                    arr = np.where(np.isnan(arr), incoming[j], arr)
+                    arrs.append(arr)
+                cnt = state[b + 4] + np.cumsum(w)
+                state[b + 4] += w.sum()
+            else:
+                S, e = _geo(L, r)
+                S2, e2 = _geo(L, r2)
+                m = np.where(np.isnan(x), 0.0, x)
+                arrs = [_k(m, alpha) * S + state[b] * e,
+                        _k(w, alpha) * S + state[b + 1] * e,
+                        _k(m * m, alpha) * S + state[b + 2] * e,
+                        _k(w, alpha2) * S2 + state[b + 3] * e2]
+                for j in range(4):
+                    state[b + j] = arrs[j][-1]
+                cnt = state[b + 4] + np.cumsum(w)
+                state[b + 4] += w.sum()
+            outs.append((arrs, cnt))
+        state[-1] += (len(np.flatnonzero(~np.isnan(cols[0])))
+                      if ignore_na else L)
+        return outs
+
+    # NOTE: ignore_na decays per-COLUMN observation; the carry decay
+    # exponent must therefore be per tag. Track steps per tag: reuse
+    # obs count (state[b+4] counts observations) for ignore_na and
+    # the shared row count otherwise.
+    n_state = W * len(tags) + 1
+    ends_schema = T.StructType(
+        [T.StructField("__pid__", T.IntegerType())]
+        + [T.StructField(f"__e{j}__", T.DoubleType())
+           for j in range(n_state)])
+
+    def _ends(it):
+        import numpy as np
+        state, pid = [0.0] * n_state, None
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            pid = int(pdf_b["__pid__"].iloc[0])
+            cols = [pdf_b[f"__ev_{t}__"].to_numpy(dtype=np.float64)
+                    for t in tags]
+            outs = _batch_scan(cols, state)
+            for ti in range(len(tags)):
+                arrs, _ = outs[ti]
+                num, den = arrs[0], arrs[1]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    y = np.where(den > 0, num / den, np.nan)
+                y = pd.Series(y).ffill().to_numpy()
+                if len(y) and not np.isnan(y[-1]):
+                    state[ti * W + 5] = y[-1]
+        if pid is not None:
+            row = {"__pid__": [pid]}
+            row.update({f"__e{j}__": [state[j]]
+                        for j in range(n_state)})
+            yield pd.DataFrame(row)
+
+    erows = {int(rw["__pid__"]): rw for rw in
+             sdf.select("__pid__",
+                        *[f"__ev_{t}__" for t in tags]).mapInPandas(
+                 _ends, ends_schema).collect()}
+    import math as _math
+    carries, acc = {}, tuple([0.0] * W * len(tags))
+    for pid in sorted(erows):
+        carries[pid] = acc
+        e = erows[pid]
+        rows_l = e[f"__e{n_state - 1}__"]
+        nxt = []
+        for ti in range(len(tags)):
+            b = ti * W
+            # per-tag decay steps: rows for ignore_na=False, this
+            # tag's obs count for ignore_na=True
+            steps = (e[f"__e{b + 4}__"] if ignore_na else rows_l)
+            dk, dk2 = r ** steps, r2 ** steps
+            ey = e[f"__e{b + 5}__"]
+            nxt += [acc[b] * dk + e[f"__e{b}__"],
+                    acc[b + 1] * dk + e[f"__e{b + 1}__"],
+                    acc[b + 2] * dk + e[f"__e{b + 2}__"],
+                    acc[b + 3] * dk2 + e[f"__e{b + 3}__"],
+                    acc[b + 4] + e[f"__e{b + 4}__"],
+                    acc[b + 5] if ey is None or _math.isnan(ey)
+                    or (e[f"__e{b + 4}__"] == 0) else ey]
+        acc = tuple(nxt)
+    out_cols = [f"__ewm_{s}_{t}__" for s in stats for t in tags]
+    out_schema = T.StructType(list(sdf.schema.fields)
+                              + [T.StructField(c, T.DoubleType())
+                                 for c in out_cols])
+    mp = min_periods
+
+    def _emit(it):
+        import numpy as np
+        state, init = [0.0] * n_state, False
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            if not init:
+                c = carries.get(int(pdf_b["__pid__"].iloc[0]),
+                                tuple([0.0] * W * len(tags)))
+                state = list(c) + [0.0]
+                init = True
+            cols = [pdf_b[f"__ev_{t}__"].to_numpy(dtype=np.float64)
+                    for t in tags]
+            # snapshot BEFORE the scan mutates obs counts: the mean
+            # ffill seed is the carried value only if observations
+            # existed before this batch (else leading rows stay NaN)
+            pre = [(state[ti * W + 4], state[ti * W + 5])
+                   for ti in range(len(tags))]
+            outs = _batch_scan(cols, state)
+            o = pdf_b.copy()
+            for ti, t in enumerate(tags):
+                arrs, cnt = outs[ti]
+                num, den, q, d2 = arrs
+                gate = cnt >= max(mp, 1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mean = np.where(den > 0, num / den, np.nan)
+                    mean = pd.concat(
+                        [pd.Series([pre[ti][1] if pre[ti][0]
+                                    else np.nan]),
+                         pd.Series(mean)],
+                        ignore_index=True).ffill().to_numpy()[1:]
+                    if len(mean) and not np.isnan(mean[-1]):
+                        state[ti * W + 5] = mean[-1]
+                    for s in stats:
+                        if s == "sum":
+                            v = np.where(gate, num, np.nan)
+                        elif s == "mean":
+                            v = np.where(gate, mean, np.nan)
+                        else:
+                            biased = np.maximum(
+                                q / den - mean * mean, 0.0)
+                            biased = np.where(
+                                biased < 1e-12 * np.abs(q / den),
+                                0.0, biased)
+                            if bias:
+                                v = biased
+                            else:
+                                # relative singularity test — see
+                                # with_ewm_stats
+                                dd = den * den - d2
+                                v = np.where(
+                                    dd > 1e-12 * den * den,
+                                    den * den / dd * biased,
+                                    np.nan)
+                            v = np.where(gate & (den > 0), v, np.nan)
+                            if s == "std":
+                                v = np.sqrt(v)
+                        o[f"__ewm_{s}_{t}__"] = v
+            yield o
+
+    return (sdf.mapInPandas(_emit, out_schema)
+            .drop("__pid__", "__mid__",
+                  *[f"__ev_{t}__" for t in tags]))
 
 
 def with_ewm_pair_stats(sdf: DataFrame, x_col, y_col, alpha: float,
@@ -898,8 +1124,10 @@ def with_ewm_pair_stats(sdf: DataFrame, x_col, y_col, alpha: float,
                 elif bias:
                     v = cxy
                 else:
+                    # relative singularity test — see with_ewm_stats
                     dd = den * den - d2
-                    v = np.where(dd > 0, den * den / dd * cxy, np.nan)
+                    v = np.where(dd > 1e-12 * den * den,
+                                 den * den / dd * cxy, np.nan)
             o[name] = np.where(gate, v, np.nan)
             yield o
 

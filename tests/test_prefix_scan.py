@@ -555,6 +555,42 @@ def test_ewm_cov_corr_matches_pandas(bl):
         bx.ewm(alpha=0.5, adjust=False).cov(by)
 
 
+def test_frame_ewm_matches_pandas(bl):
+    """DataFrame.ewm().mean/sum/var/std: ALL numeric columns through
+    ONE fused range layout + two passes (with_ewm_stats_multi; each
+    column keeps its own null mask and carry). Includes a column
+    with leading nulls only on one side — the first-obs debias
+    singularity must be NaN, not a fp-residue 0."""
+    import pandas as pd
+    rng = np.random.RandomState(6)
+    n = 600
+    pdf = pd.DataFrame({"a": rng.randn(n), "b": rng.randn(n) * 3})
+    pdf.loc[rng.randint(0, n, 70), "a"] = np.nan
+    pdf.loc[rng.randint(0, n, 80), "b"] = np.nan
+    pdf.loc[:5, "b"] = np.nan
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    for stat in ("mean", "sum", "var", "std"):
+        for ign in (False, True):
+            got = getattr(df.ewm(alpha=0.3, ignore_na=ign), stat)() \
+                .to_pandas()
+            want = getattr(pdf.ewm(alpha=0.3, ignore_na=ign), stat)()
+            for c in ("a", "b"):
+                npt.assert_allclose(
+                    np.nan_to_num(got[c].to_numpy(), nan=-9e9),
+                    np.nan_to_num(want[c].to_numpy(), nan=-9e9),
+                    rtol=1e-8, atol=1e-11,
+                    err_msg=f"{stat} ignore_na={ign} col={c}")
+    got = df.ewm(span=10, min_periods=4).mean().to_pandas()
+    want = pdf.ewm(span=10, min_periods=4).mean()
+    npt.assert_allclose(np.nan_to_num(got["a"].to_numpy(), nan=-9e9),
+                        np.nan_to_num(want["a"].to_numpy(), nan=-9e9),
+                        rtol=1e-8)
+    with pytest.raises(NotImplementedError):
+        df.ewm(alpha=0.5, adjust=False)
+    with pytest.raises(ValueError):
+        df.ewm(alpha=0.5, span=3)
+
+
 def test_interpolate_matches_pandas(bl):
     """Series.interpolate: linear fill between boundary-carried
     neighbors, pandas edge semantics per limit_direction, limit
