@@ -2552,17 +2552,16 @@ class DataFrame:
             min_periods: int = 0, adjust: bool = True,
             ignore_na: bool = False):
         """Exponentially weighted windows over every numeric column
-        (pandas ``DataFrame.ewm``): ``.mean() .sum() .var() .std()``.
-        ALL columns share ONE range layout and TWO mapInPandas passes
-        (plans/ordinal.with_ewm_stats_multi — each column keeps its
-        own null mask and carry); a per-column loop would pay a
-        repartitionByRange + sort + checkpoint EACH. adjust=True
-        only (the recursive per-column form composes from
-        Series.ewm(adjust=False) when needed)."""
-        if adjust is not True:
-            raise NotImplementedError(
-                "DataFrame.ewm supports adjust=True (the pandas "
-                "default); use Series.ewm(adjust=False) per column")
+        (pandas ``DataFrame.ewm``): ``.mean() .sum() .var() .std()``,
+        both ``adjust`` flavors (``sum`` is adjust=True-only — pandas
+        refuses the combination too). ALL columns share ONE range
+        layout and TWO mapInPandas passes
+        (plans/ordinal.with_ewm_stats_multi for adjust=True,
+        with_ewm_noadjust_stats for adjust=False — each column keeps
+        its own null mask and carry); a per-column loop would pay a
+        repartitionByRange + sort + checkpoint EACH. Non-numeric data
+        columns are excluded from the result's data columns, like
+        :meth:`rolling` (pandas raises DataError instead)."""
         import math
         if sum(v is not None
                for v in (com, span, halflife, alpha)) != 1:
@@ -2574,7 +2573,8 @@ class DataFrame:
             alpha = 2.0 / (span + 1.0)
         elif halflife is not None:
             alpha = 1.0 - math.exp(-math.log(2.0) / halflife)
-        return _FrameEwm(self, float(alpha), min_periods, ignore_na)
+        return _FrameEwm(self, float(alpha), min_periods, ignore_na,
+                         adjust=bool(adjust))
 
     def shift(self, periods: int = 1) -> "DataFrame":
         """All data columns moved by ``periods`` along the logical
@@ -3254,14 +3254,17 @@ class _FrameEwm:
     multi-column decayed-carry scan per stat call."""
 
     def __init__(self, df: "DataFrame", alpha: float,
-                 min_periods: int, ignore_na: bool):
+                 min_periods: int, ignore_na: bool,
+                 adjust: bool = True):
         self._df = df
         self._alpha = alpha
         self._mp = min_periods
         self._ignore_na = ignore_na
+        self._adjust = adjust
 
     def _stat(self, stat: str, bias: bool = False) -> "DataFrame":
-        from ..plans.ordinal import ORD_COL, with_ewm_stats_multi
+        from ..plans.ordinal import (ORD_COL, with_ewm_stats_multi,
+                                     with_ewm_noadjust_stats)
         df = self._df
         cols = df._numeric_cols()
         if not cols:
@@ -3270,15 +3273,29 @@ class _FrameEwm:
         order = order_exprs(df._order or [], sdf.columns)
         if not order and ORD_COL in sdf.columns:
             order = [F.col(ORD_COL).asc()]
-        out = with_ewm_stats_multi(
-            sdf, {c: F.col(c) for c in cols}, self._alpha,
-            order or None, self._mp, self._ignore_na, bias=bias,
-            stats=(stat,))
-        sel = [(F.col(f"__ewm_{stat}_{c}__").alias(c)
-                if c in cols else F.col(c))
+        if not self._adjust:
+            if stat == "sum":
+                raise NotImplementedError(
+                    "ewm(adjust=False).sum() is not supported "
+                    "(pandas refuses it too); use adjust=True")
+            out = with_ewm_noadjust_stats(
+                sdf, {c: (F.col(c), F.col(c), (stat,))
+                      for c in cols}, self._alpha, order or None,
+                self._mp, self._ignore_na, bias=bias)
+            tmp = f"__ewmna_{stat}_%s__"
+        else:
+            out = with_ewm_stats_multi(
+                sdf, {c: F.col(c) for c in cols}, self._alpha,
+                order or None, self._mp, self._ignore_na, bias=bias,
+                stats=(stat,))
+            tmp = f"__ewm_{stat}_%s__"
+        cset = set(cols)
+        sel = [(F.col(tmp % c).alias(c) if c in cset else F.col(c))
                for c in df._sdf.columns]
+        # non-numeric data columns drop from the result's data set
+        # (mirrors _FrameRolling; pandas raises DataError instead)
         return DataFrame._make(out.select(*sel), df._index_cols,
-                               df._data_cols, df._order)
+                               cols, df._order)
 
     def mean(self) -> "DataFrame":
         return self._stat("mean")

@@ -2181,20 +2181,31 @@ class _EWM:
                             sr.name, sr._order)
 
     def _stat(self, stat: str, bias: bool = False) -> "Series":
-        """sum/var/std via the four-decayed-sums scan
-        (plans/ordinal.with_ewm_stats). adjust=True only — pandas
-        itself refuses ewm(adjust=False).sum(), and the
-        recursive-form var needs a non-geometric first weight."""
-        if not self._adjust:
-            raise NotImplementedError(
-                f"ewm(adjust=False).{stat}() is not supported; use "
-                "adjust=True (the pandas default)")
-        from ..plans.ordinal import ORD_COL, with_ewm_stats
+        """sum/var/std. adjust=True rides the four-decayed-sums scan
+        (plans/ordinal.with_ewm_stats); adjust=False var/std ride the
+        kernel-state perturbation carry
+        (plans/ordinal.with_ewm_noadjust_stats) — the renormalizing
+        recurrence is not a fixed-weight decayed sum. sum stays
+        adjust=True-only because pandas itself refuses
+        ewm(adjust=False).sum()."""
         sr = self._sr
         sdf = sr._sdf
         order = order_exprs(sr._order or [], sdf.columns)
+        from ..plans.ordinal import (ORD_COL, with_ewm_stats,
+                                     with_ewm_noadjust_stats)
         if not order and ORD_COL in sdf.columns:
             order = [F.col(ORD_COL).asc()]
+        if not self._adjust:
+            if stat == "sum":
+                raise NotImplementedError(
+                    "ewm(adjust=False).sum() is not supported "
+                    "(pandas refuses it too); use adjust=True")
+            out = with_ewm_noadjust_stats(
+                sdf, {"v": (sr._colexpr, sr._colexpr, (stat,))},
+                self._alpha, order or None, self._mp,
+                self._ignore_na, bias=bias)
+            return Series._make(out, F.col(f"__ewmna_{stat}_v__"),
+                                sr._index_cols, sr.name, sr._order)
         out = with_ewm_stats(sdf, sr._colexpr, self._alpha,
                              order or None, self._mp,
                              self._ignore_na, bias=bias,
@@ -2214,18 +2225,25 @@ class _EWM:
     def _pair(self, other: "Series", stat: str,
               bias: bool = False) -> "Series":
         """cov/corr with another Series: the standard pairwise
-        alignment, then the seven-decayed-sums scan
-        (plans/ordinal.with_ewm_pair_stats; observations need BOTH
-        sides non-null, like pandas). adjust=True only."""
-        if not self._adjust:
-            raise NotImplementedError(
-                f"ewm(adjust=False).{stat}() is not supported; use "
-                "adjust=True (the pandas default)")
-        from ..plans.ordinal import POS_COL, with_ewm_pair_stats
+        alignment, then the seven-decayed-sums scan for adjust=True
+        (plans/ordinal.with_ewm_pair_stats) or the kernel-state
+        perturbation carry for adjust=False
+        (plans/ordinal.with_ewm_noadjust_stats); observations need
+        BOTH sides non-null, like pandas."""
+        from ..plans.ordinal import (POS_COL, with_ewm_pair_stats,
+                                     with_ewm_noadjust_stats)
         sr = self._sr
         sdf, a, b = sr._pair_sdf(other)
         on = [c for c in sr._index_cols if c in other._index_cols]
         keys = on or [POS_COL]
+        if not self._adjust:
+            out = with_ewm_noadjust_stats(
+                sdf, {"p": (a, b, (stat,))}, self._alpha,
+                [F.col(k).asc() for k in keys], self._mp,
+                self._ignore_na, bias=bias)
+            return Series._make(out, F.col(f"__ewmna_{stat}_p__"),
+                                keys, sr.name,
+                                [(k, True) for k in keys])
         out = with_ewm_pair_stats(
             sdf, a, b, self._alpha,
             [F.col(k).asc() for k in keys], self._mp,

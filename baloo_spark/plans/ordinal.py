@@ -1313,6 +1313,366 @@ def with_ewm_mean_noadjust(sdf: DataFrame, value_col, alpha: float,
             .drop("__pid__", "__mid__", "__ev__"))
 
 
+def with_ewm_noadjust_stats(sdf: DataFrame, specs: dict, alpha: float,
+                            order_by: list | None,
+                            min_periods: int = 0,
+                            ignore_na: bool = False,
+                            bias: bool = False) -> DataFrame:
+    """Partition-safe GLOBAL ``ewm(adjust=False)`` second moments —
+    ``var``/``std``/``cov``/``corr`` (and ``mean``) — for ANY number
+    of column pairs from ONE range layout and TWO passes.
+
+    ``specs`` maps tag -> (x_col, y_col, stats tuple); var/std pass
+    the same column twice. Outputs ``__ewmna_<stat>_<tag>__``.
+
+    adjust=False renormalizes at every observation (pandas' ewmcov
+    kernel resets old_wt to 1), so unlike adjust=True these moments
+    are NOT fixed-weight decayed sums and the four/seven-sums carry
+    algebra of :func:`with_ewm_stats` does not apply. Instead this
+    generalizes :func:`with_ewm_mean_noadjust`'s perturbation carry
+    to the kernel's full state (mean_x, mean_y, cov, sum_wt2):
+
+    - zero-carry per-batch values come from pandas' C kernel
+      (``ewm(adjust=False).cov/var(bias=True)``); the zero-carry
+      debias track v = sum_wt2/sum_wt^2 comes from the bias=True /
+      bias=False ratio of a synthetic strictly-increasing series
+      with the same null pattern (the ratio depends only on the gap
+      structure, and the kernel's recurrence form keeps it exact);
+    - an incoming carry (m_x, m_y, c.., v, w) folds in at the batch's
+      first observation (Moebius merge A = r^gap * w), producing
+      perturbations delta_m = p*(m_in - x1), gamma (cov merge), and
+      nu = v_first - 1;
+    - the perturbations propagate through later observations as
+      m_t = m0_t + P_t*delta, v_t = v0_t + P_t^2*nu, and
+      c_t = c0_t + P_t*(gamma + dx*SY_t + dy*SX_t + dx*dy*SP_t),
+      where P_t = prod(rho_i) over observations after the first
+      (rho_i = r^gap/(r^gap+alpha), the same contraction the mean
+      carry uses) and SX/SY/SP are bounded cumulative sums — the
+      position weights cancel analytically (X_i/P_i collapses to
+      (1-rho_i)*(m0_{i-1} - x_i)), so nothing overflows;
+    - the merge formulas are FACTORED so a constant history yields
+      exact zeros (dx = p*(m_in-x1), gamma = A*c_in/w +
+      Dx*Dy*(A*s^2+alpha*p^2)/w): constant windows keep pandas'
+      exact-0 variance and NaN corr with no clamp at all.
+
+    The debias test is pandas' own ``denominator > 0`` (exact), not a
+    relative threshold — pandas divides even at D ~ 1e-16 after long
+    gaps. Known divergence: after a gap long enough that r^gap is
+    ~1e-50, pandas' kernel variance is dominated by the cancellation
+    residue of (cur - mean) (~(eps*|x|)^2, observed 4.9e-32 where the
+    true moment is 1.4e-52); the factored carry here computes the
+    exact tiny moment instead, so corr at such singular points can
+    disagree with pandas' artifact. Reference: the reference engine
+    has no ewm at all (pandas-parity extension; see
+    with_ewm_mean_noadjust for the mean-only face this generalizes).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    ok_stats = ("mean", "var", "std", "cov", "corr")
+    for t, (_, _, sts) in specs.items():
+        bad = [s for s in sts if s not in ok_stats]
+        if bad:
+            raise ValueError(f"unsupported ewm stats: {bad}")
+    r = 1.0 - alpha
+    tags = list(specs)
+    sel, same_col = [], {}
+    for t, (cx, cy, _) in specs.items():
+        ex = F.col(cx) if isinstance(cx, str) else cx
+        sel.append(ex.cast("double").alias(f"__ex_{t}__"))
+        same = (isinstance(cx, str) and isinstance(cy, str)
+                and cx == cy) or cx is cy
+        same_col[t] = same
+        if not same:
+            ey = F.col(cy) if isinstance(cy, str) else cy
+            sel.append(ey.cast("double").alias(f"__ey_{t}__"))
+    sdf = _range_layout(sdf.select("*", *sel), order_by)
+
+    # per-tag state layout:
+    # 0 mx, 1 my, 2 cxy, 3 cxx, 4 cyy, 5 v, 6 w, 7 cnt, 8 has_obs,
+    # 9 pre_steps, 10 x1, 11 y1, 12 lnPi, 13 SX, 14 SY, 15 SP,
+    # 16 no_obs_steps
+    W = 17
+
+    def _fresh():
+        import numpy as np
+        return [np.nan, np.nan, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0,
+                0.0, np.nan, np.nan, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+    def _m_merge(st, x1v, y1v, A):
+        """Fold incoming (m, c, v, w) into the first observation;
+        factored so constant histories give EXACT zero perturbations."""
+        w_ = A + alpha
+        p_, s_ = A / w_, alpha / w_
+        Dx, Dy = st[0] - x1v, st[1] - y1v
+        dx, dy = p_ * Dx, p_ * Dy
+        coef = (A * s_ * s_ + alpha * p_ * p_) / w_
+        gxy = (A * st[2]) / w_ + Dx * Dy * coef
+        gxx = (A * st[3]) / w_ + Dx * Dx * coef
+        gyy = (A * st[4]) / w_ + Dy * Dy * coef
+        nu = (st[5] * A * A + alpha * alpha) / (w_ * w_) - 1.0
+        return dx, dy, gxy, gxx, gyy, nu, p_
+
+    def _tag_scan(x, y, st, summarize):
+        """Advance one tag's state across one batch; returns per-row
+        (mx, my, cxy, cxx, cyy, v, cnt)."""
+        import numpy as np
+        L = len(x)
+        mask = ~(np.isnan(x) | np.isnan(y))
+        obs = np.flatnonzero(mask)
+        k = len(obs)
+        cnt = st[7] + np.cumsum(mask)
+        if k == 0:
+            rows = [np.full(L, st[j]) for j in range(6)]
+            if not ignore_na:
+                st[6] *= r ** L
+                if not st[8]:
+                    st[9] += L
+                    st[16] += L
+            return (*rows, cnt)
+        if ignore_na:
+            d = np.ones(k)
+        else:
+            d = np.empty(k)
+            d[0] = obs[0] + 1.0
+            d[1:] = np.diff(obs).astype(np.float64)
+        xm = np.where(mask, x, np.nan)
+        kw = dict(alpha=alpha, adjust=False, ignore_na=ignore_na,
+                  min_periods=0)
+        sxm = pd.Series(xm)
+        mx0 = sxm.ewm(**kw).mean().to_numpy()
+        cxx0 = sxm.ewm(**kw).var(bias=True).to_numpy()
+        if y is x:
+            my0, cyy0, cxy0 = mx0, cxx0, cxx0.copy()
+        else:
+            ym = np.where(mask, y, np.nan)
+            sym = pd.Series(ym)
+            my0 = sym.ewm(**kw).mean().to_numpy()
+            cyy0 = sym.ewm(**kw).var(bias=True).to_numpy()
+            cxy0 = sxm.ewm(**kw).cov(sym, bias=True).to_numpy()
+        # bias=True cov is 0.0 from the first obs (kernel cov state);
+        # pandas surfaces NaN pre-min_periods — normalize to the state
+        seen = np.cumsum(mask) > 0
+        for c0 in ((cxy0, cxx0) if y is x else (cxy0, cxx0, cyy0)):
+            c0[seen & np.isnan(c0)] = 0.0
+        s_syn = np.where(mask, np.arange(L, dtype=np.float64), np.nan)
+        ssy = pd.Series(s_syn)
+        vb = ssy.ewm(**kw).var(bias=True).to_numpy()
+        vu = ssy.ewm(**kw).var(bias=False).to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v0 = 1.0 - vb / vu
+        v0[obs[0]] = 1.0
+        v0 = pd.Series(v0).ffill().to_numpy()
+        with np.errstate(divide="ignore"):
+            rho = r ** d / (r ** d + alpha)
+        i0 = obs[0]
+        if np.isnan(st[0]):
+            if not st[8]:
+                st[9] += (i0 + 1.0) if not ignore_na else 1.0
+                st[10], st[11] = x[i0], y[i0]
+            dx = dy = gxy = gxx = gyy = nu = 0.0
+            first_lp = None
+        else:
+            A = (r ** (d[0] if not ignore_na else 1.0)) * st[6]
+            dx, dy, gxy, gxx, gyy, nu, p_ = _m_merge(
+                st, x[i0], y[i0], A)
+            first_lp = np.log(p_) if p_ > 0 else -np.inf
+        had_prior = bool(st[8])
+        lnPi_in = st[12]
+        pre_mx, pre_my = st[0], st[1]
+        st[8] = 1.0
+        lnp = np.zeros(L)
+        with np.errstate(divide="ignore"):
+            lnp[obs[1:]] = np.log(rho[1:])
+        cl = np.cumsum(lnp)
+        Pi = np.exp(cl)
+        SX_t = np.zeros(L)
+        SY_t = np.zeros(L)
+        SP_t = np.zeros(L)
+        if k > 1:
+            o2 = obs[1:]
+            omr = 1.0 - rho[1:]
+            sx = np.zeros(L)
+            sy = np.zeros(L)
+            sp = np.zeros(L)
+            sx[o2] = omr * (mx0[obs[:-1]] - x[o2])
+            sy[o2] = omr * (my0[obs[:-1]] - y[o2])
+            sp[o2] = np.exp(cl[obs[:-1]]) * omr
+            SX_t = np.cumsum(sx)
+            SY_t = np.cumsum(sy)
+            SP_t = np.cumsum(sp)
+        mx_t = mx0 + Pi * dx
+        my_t = my0 + Pi * dy
+        cxy_t = cxy0 + Pi * (gxy + dx * SY_t + dy * SX_t
+                             + dx * dy * SP_t)
+        cxx_t = cxx0 + Pi * (gxx + 2 * dx * SX_t + dx * dx * SP_t)
+        cyy_t = cyy0 + Pi * (gyy + 2 * dy * SY_t + dy * dy * SP_t)
+        v_t = v0 + Pi * Pi * nu
+        for arr, j in ((mx_t, 0), (my_t, 1), (cxy_t, 2), (cxx_t, 3),
+                       (cyy_t, 4), (v_t, 5)):
+            arr[:i0] = st[j]
+        if summarize:
+            # partition-level correction sums: one term per obs after
+            # the partition's first, on the zero-state trajectory this
+            # _ends run computes; P_{i-1} is the PARTITION product
+            if first_lp is not None and had_prior:
+                rho_f = np.exp(first_lp)
+                st[13] += (1.0 - rho_f) * (pre_mx - x[i0])
+                st[14] += (1.0 - rho_f) * (pre_my - y[i0])
+                st[15] += np.exp(lnPi_in) * (1.0 - rho_f)
+                base_ln = lnPi_in + first_lp
+            else:
+                base_ln = lnPi_in
+            if k > 1:
+                o2 = obs[1:]
+                omr = 1.0 - rho[1:]
+                st[13] += float(np.sum(omr * (mx_t[obs[:-1]] - x[o2])))
+                st[14] += float(np.sum(omr * (my_t[obs[:-1]] - y[o2])))
+                st[15] += float(np.sum(
+                    np.exp(base_ln + cl[obs[:-1]]) * omr))
+            if first_lp is not None:
+                st[12] += first_lp
+            st[12] += float(np.sum(lnp[obs[1:]]))
+        last = obs[-1]
+        st[0], st[1] = mx_t[last], my_t[last]
+        st[2], st[3], st[4] = cxy_t[last], cxx_t[last], cyy_t[last]
+        st[5] = v_t[last]
+        st[6] = r ** (L - 1 - last) if not ignore_na else 1.0
+        st[7] += k
+        return mx_t, my_t, cxy_t, cxx_t, cyy_t, v_t, cnt
+
+    def _cols_of(pdf_b):
+        import numpy as np
+        out = []
+        for t in tags:
+            x = pdf_b[f"__ex_{t}__"].to_numpy(dtype=np.float64)
+            out.append((x, x if same_col[t]
+                        else pdf_b[f"__ey_{t}__"].to_numpy(
+                            dtype=np.float64)))
+        return out
+
+    n_state = W * len(tags)
+    ends_schema = T.StructType(
+        [T.StructField("__pid__", T.IntegerType())]
+        + [T.StructField(f"__e{j}__", T.DoubleType())
+           for j in range(n_state)])
+    ev_cols = [f"__ex_{t}__" for t in tags] + [
+        f"__ey_{t}__" for t in tags if not same_col[t]]
+
+    def _ends(it):
+        states, pid = [_fresh() for _ in tags], None
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            pid = int(pdf_b["__pid__"].iloc[0])
+            for ti, (x, y) in enumerate(_cols_of(pdf_b)):
+                _tag_scan(x, y, states[ti], summarize=True)
+        if pid is not None:
+            row = {"__pid__": [pid]}
+            flat = [v for st in states for v in st]
+            row.update({f"__e{j}__": [float(flat[j])]
+                        for j in range(n_state)})
+            yield pd.DataFrame(row)
+
+    erows = {int(rw["__pid__"]): rw for rw in
+             sdf.select("__pid__", *ev_cols).mapInPandas(
+                 _ends, ends_schema).collect()}
+    import math as _math
+
+    def _combine(acc, ends):
+        """Driver-side per-tag carry merge: acc = (mx, my, cxy, cxx,
+        cyy, v, w, cnt); ends = the 17 exported fields."""
+        if not ends[8]:
+            if not ignore_na:
+                return acc[:6] + (acc[6] * r ** ends[16], acc[7])
+            return acc
+        if _math.isnan(acc[0]):
+            return tuple(ends[:8])
+        st = list(acc[:7])
+        A = (r ** ends[9]) * acc[6]
+        dx, dy, gxy, gxx, gyy, nu, _p = _m_merge(st, ends[10],
+                                                 ends[11], A)
+        P = _math.exp(ends[12])
+        SX, SY, SP = ends[13], ends[14], ends[15]
+        return (ends[0] + P * dx,
+                ends[1] + P * dy,
+                ends[2] + P * (gxy + dx * SY + dy * SX
+                               + dx * dy * SP),
+                ends[3] + P * (gxx + 2 * dx * SX + dx * dx * SP),
+                ends[4] + P * (gyy + 2 * dy * SY + dy * dy * SP),
+                ends[5] + P * P * nu,
+                ends[6], acc[7] + ends[7])
+
+    carries = {}
+    nan = float("nan")
+    acc = [(nan, nan, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0) for _ in tags]
+    for pid in sorted(erows):
+        carries[pid] = tuple(acc)
+        e = erows[pid]
+        acc = [_combine(acc[ti],
+                        [e[f"__e{ti * W + j}__"] for j in range(W)])
+               for ti in range(len(tags))]
+    stats_by_tag = {t: tuple(sts) for t, (_, _, sts) in specs.items()}
+    out_cols = [f"__ewmna_{s}_{t}__"
+                for t, sts in stats_by_tag.items() for s in sts]
+    out_schema = T.StructType(list(sdf.schema.fields)
+                              + [T.StructField(c, T.DoubleType())
+                                 for c in out_cols])
+    mp = min_periods
+
+    def _emit(it):
+        import numpy as np
+        states, init = None, False
+        for pdf_b in it:
+            if len(pdf_b) == 0:
+                continue
+            if not init:
+                c = carries.get(int(pdf_b["__pid__"].iloc[0]),
+                                tuple((nan, nan, 0.0, 0.0, 0.0, 1.0,
+                                       1.0, 0.0) for _ in tags))
+                states = []
+                for ti in range(len(tags)):
+                    st = _fresh()
+                    st[:8] = list(c[ti])
+                    st[8] = 0.0 if np.isnan(c[ti][0]) else 1.0
+                    states.append(st)
+                init = True
+            o = pdf_b.copy()
+            for ti, (x, y) in enumerate(_cols_of(pdf_b)):
+                t = tags[ti]
+                mx, my, cxy, cxx, cyy, v, cnt = _tag_scan(
+                    x, y, states[ti], summarize=False)
+                gate = cnt >= max(mp, 1)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    D = 1.0 - v
+                    for s in stats_by_tag[t]:
+                        if s == "mean":
+                            o[f"__ewmna_{s}_{t}__"] = np.where(
+                                gate, mx, np.nan)
+                            continue
+                        if s == "corr":
+                            den = np.sqrt(np.maximum(cxx, 0.0)
+                                          * np.maximum(cyy, 0.0))
+                            val = np.where(den > 0, cxy / den, np.nan)
+                        elif s in ("var", "std"):
+                            cc = np.maximum(cxx, 0.0)
+                            val = cc if bias else np.where(
+                                D > 0, cc / D, np.nan)
+                            if s == "std":
+                                val = np.sqrt(val)
+                        else:  # cov
+                            val = cxy if bias else np.where(
+                                D > 0, cxy / D, np.nan)
+                        o[f"__ewmna_{s}_{t}__"] = np.where(
+                            gate, val, np.nan)
+            yield o
+
+    return (sdf.mapInPandas(_emit, out_schema)
+            .drop("__pid__", "__mid__", *ev_cols))
+
+
 def with_interp_neighbors(sdf: DataFrame, value_col, order_by,
                           pos: str = "__ip__", prev: str = "__iprev__",
                           nxt: str = "__inext__") -> DataFrame:

@@ -551,8 +551,98 @@ def test_ewm_cov_corr_matches_pandas(bl):
     npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
                         np.nan_to_num(want, nan=-9e9),
                         rtol=1e-8, atol=1e-11)
-    with pytest.raises(NotImplementedError):
-        bx.ewm(alpha=0.5, adjust=False).cov(by)
+
+
+def test_ewm_noadjust_stats_matches_pandas(bl):
+    """ewm(adjust=False).var/std/cov/corr: the kernel-state
+    perturbation carry (plans/ordinal.with_ewm_noadjust_stats) —
+    the renormalizing recurrence (old_wt resets to 1 at each
+    observation) is NOT a fixed-weight decayed sum, so these ride
+    zero-carry pandas kernels per batch plus a factored perturbation
+    merge. Both ignore_na flavors, bias= faces, min_periods,
+    constant windows (exact-0 variance, NaN corr — no clamp),
+    leading nulls, alpha=1 (NaN via the exact D=0 singularity),
+    multi-batch chaining, and the decay spellings."""
+    import pandas as pd
+    rng = np.random.RandomState(23)
+    n = 400
+    x = rng.randn(n) * 2 + 1
+    y = 0.4 * x + rng.randn(n)
+    x[rng.rand(n) < 0.2] = np.nan
+    y[rng.rand(n) < 0.15] = np.nan
+    x[:11] = np.nan
+    px, py = pd.Series(x), pd.Series(y)
+    bx, by = bl.Series(x), bl.Series(y)
+    for kw in ({"alpha": 0.3}, {"alpha": 0.3, "ignore_na": True},
+               {"alpha": 0.9}, {"alpha": 1.0}, {"span": 8},
+               {"com": 2.0}, {"halflife": 4.0},
+               {"alpha": 0.2, "min_periods": 6}):
+        for stat, skw in (("var", {}), ("var", {"bias": True}),
+                          ("std", {})):
+            got = getattr(bx.ewm(adjust=False, **kw), stat)(**skw) \
+                .to_pandas().to_numpy(dtype=float)
+            want = getattr(px.ewm(adjust=False, **kw), stat)(**skw) \
+                .to_numpy(dtype=float)
+            npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                                np.nan_to_num(want, nan=-9e9),
+                                rtol=1e-7, atol=1e-10,
+                                err_msg=f"{stat} {kw} {skw}")
+    for kw in ({"alpha": 0.3}, {"alpha": 0.3, "ignore_na": True},
+               {"alpha": 0.75, "min_periods": 4}):
+        for stat, skw in (("cov", {}), ("cov", {"bias": True}),
+                          ("corr", {})):
+            got = getattr(bx.ewm(adjust=False, **kw), stat)(by, **skw) \
+                .to_pandas().to_numpy(dtype=float)
+            want = getattr(px.ewm(adjust=False, **kw), stat)(py, **skw) \
+                .to_numpy(dtype=float)
+            npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                                np.nan_to_num(want, nan=-9e9),
+                                rtol=1e-7, atol=1e-10,
+                                err_msg=f"{stat} {kw} {skw}")
+    # constant window: variance EXACTLY 0 (factored merge keeps the
+    # kernel's exact zeros), corr NaN — pandas-identical
+    cv = np.full(60, 5.0)
+    cv[rng.rand(60) < 0.3] = np.nan
+    bc, pc = bl.Series(cv), pd.Series(cv)
+    for ign in (False, True):
+        got = bc.ewm(alpha=0.4, adjust=False, ignore_na=ign).var() \
+            .to_pandas().to_numpy(dtype=float)
+        want = pc.ewm(alpha=0.4, adjust=False, ignore_na=ign).var() \
+            .to_numpy(dtype=float)
+        npt.assert_array_equal(np.nan_to_num(got, nan=-9e9),
+                               np.nan_to_num(want, nan=-9e9))
+        gc = bc.ewm(alpha=0.4, adjust=False,
+                    ignore_na=ign).corr(bc).to_pandas() \
+            .to_numpy(dtype=float)
+        wc = pc.ewm(alpha=0.4, adjust=False,
+                    ignore_na=ign).corr(pc).to_numpy(dtype=float)
+        npt.assert_array_equal(np.nan_to_num(gc, nan=-9e9),
+                               np.nan_to_num(wc, nan=-9e9))
+    # multi-batch chaining within partitions
+    spark = bx._sdf.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "19")
+        for ign in (False, True):
+            got = bx.ewm(alpha=0.35, adjust=False, ignore_na=ign) \
+                .var().to_pandas().to_numpy(dtype=float)
+            want = px.ewm(alpha=0.35, adjust=False, ignore_na=ign) \
+                .var().to_numpy(dtype=float)
+            npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                                np.nan_to_num(want, nan=-9e9),
+                                rtol=1e-7, atol=1e-10,
+                                err_msg=f"batched ign={ign}")
+            got = bx.ewm(alpha=0.35, adjust=False, ignore_na=ign) \
+                .cov(by).to_pandas().to_numpy(dtype=float)
+            want = px.ewm(alpha=0.35, adjust=False, ignore_na=ign) \
+                .cov(py).to_numpy(dtype=float)
+            npt.assert_allclose(np.nan_to_num(got, nan=-9e9),
+                                np.nan_to_num(want, nan=-9e9),
+                                rtol=1e-7, atol=1e-10,
+                                err_msg=f"batched cov ign={ign}")
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_frame_ewm_matches_pandas(bl):
@@ -585,10 +675,30 @@ def test_frame_ewm_matches_pandas(bl):
     npt.assert_allclose(np.nan_to_num(got["a"].to_numpy(), nan=-9e9),
                         np.nan_to_num(want["a"].to_numpy(), nan=-9e9),
                         rtol=1e-8)
+    # adjust=False frame face: all columns through ONE noadjust scan
+    for stat in ("mean", "var", "std"):
+        for ign in (False, True):
+            got = getattr(df.ewm(alpha=0.3, adjust=False,
+                                 ignore_na=ign), stat)().to_pandas()
+            want = getattr(pdf.ewm(alpha=0.3, adjust=False,
+                                   ignore_na=ign), stat)()
+            for c in ("a", "b"):
+                npt.assert_allclose(
+                    np.nan_to_num(got[c].to_numpy(), nan=-9e9),
+                    np.nan_to_num(want[c].to_numpy(), nan=-9e9),
+                    rtol=1e-7, atol=1e-10,
+                    err_msg=f"noadjust {stat} ignore_na={ign} "
+                            f"col={c}")
     with pytest.raises(NotImplementedError):
-        df.ewm(alpha=0.5, adjust=False)
+        df.ewm(alpha=0.5, adjust=False).sum()
     with pytest.raises(ValueError):
         df.ewm(alpha=0.5, span=3)
+    # non-numeric data columns drop from the result's data set
+    # (pandas raises DataError; we mirror _FrameRolling's narrowing)
+    mixed = bl.DataFrame({"a": pdf["a"].to_numpy(),
+                          "s": np.array(["x"] * n)})
+    out = mixed.ewm(alpha=0.5).mean()
+    assert list(out.to_pandas().columns) == ["a"]
 
 
 def test_interpolate_matches_pandas(bl):
