@@ -1695,7 +1695,8 @@ def _running_totals(spark, sf):
     out = r[["o_custkey", "o_orderkey", "cum_spend", "prev_order",
              "roll3_mean"]]
     _ewm_nulls = [F.lit(None).cast("double").alias(c)
-                  for c in ("ewm_adj", "ewm_rec", "roll3m")]
+                  for c in ("ewm_adj", "ewm_rec", "roll3m",
+                            "ewm_var", "ewm_var_rec")]
     win = out.to_spark().select(
         F.lit("win").alias("part"),
         "o_custkey", "o_orderkey",
@@ -1767,7 +1768,15 @@ def _running_totals(spark, sf):
     # same bounded extract — DuckDB replays the EWM recurrences
     # exactly with a recursive CTE (num/den for adjust=True, the
     # y-carry for adjust=False) and the rolling mean with a window
-    # frame; both sides round to 2 (fp noise guard)
+    # frame; both sides round to 2 (fp noise guard). r7 widens the
+    # leg to the SECOND moments: ewm(alpha=.5).var() (the four-sums
+    # scan's q/d2 debias algebra) and ewm(alpha=.5, adjust=False)
+    # .var() (the kernel-state perturbation carry,
+    # with_ewm_noadjust_stats) — the CTE carries q/d2 and the
+    # cov/sum_wt2 recurrences. Var scales like price^2 (~1e10), so
+    # both sides round the 1e-8-scaled value to 4 places: rounding
+    # granularity (5e-5 scaled) stays far above cross-engine fp
+    # noise while a raw round(.., 2) would sit inside it.
     o4 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
@@ -1775,6 +1784,8 @@ def _running_totals(spark, sf):
     o4["ewm_adj"] = s4.ewm(alpha=0.5).mean()
     o4["ewm_rec"] = s4.ewm(alpha=0.5, adjust=False).mean()
     o4["roll3m"] = s4.rolling(3).mean()
+    o4["ewm_var"] = s4.ewm(alpha=0.5).var()
+    o4["ewm_var_rec"] = s4.ewm(alpha=0.5, adjust=False).var()
     ewm_leg = o4.to_spark().select(
         F.lit("ewm").alias("part"),
         "o_custkey", "o_orderkey",
@@ -1789,7 +1800,10 @@ def _running_totals(spark, sf):
         F.lit(None).cast("long").alias("rank_dense"),
         F.round("ewm_adj", 2).alias("ewm_adj"),
         F.round("ewm_rec", 2).alias("ewm_rec"),
-        F.round("roll3m", 2).alias("roll3m"))
+        F.round("roll3m", 2).alias("roll3m"),
+        F.round(F.col("ewm_var") * F.lit(1e-8), 4).alias("ewm_var"),
+        F.round(F.col("ewm_var_rec") * F.lit(1e-8), 4)
+         .alias("ewm_var_rec"))
     return win.unionByName(diff).unionByName(rank_leg) \
         .unionByName(ewm_leg)
 
@@ -1810,7 +1824,8 @@ SELECT 'win' AS part, o_custkey, o_orderkey,
        CAST(NULL AS BIGINT) AS rank_min, CAST(NULL AS DOUBLE) AS rank_avg,
        CAST(NULL AS BIGINT) AS rank_dense,
        CAST(NULL AS DOUBLE) AS ewm_adj, CAST(NULL AS DOUBLE) AS ewm_rec,
-       CAST(NULL AS DOUBLE) AS roll3m
+       CAST(NULL AS DOUBLE) AS roll3m,
+       CAST(NULL AS DOUBLE) AS ewm_var, CAST(NULL AS DOUBLE) AS ewm_var_rec
 FROM orders
 UNION ALL
 SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
@@ -1821,7 +1836,7 @@ SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
                   THEN sum(o_totalprice) OVER (ORDER BY o_orderkey
                                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              END, 2),
-       NULL, NULL, NULL, NULL, NULL, NULL
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
 FROM orders WHERE o_orderkey < 2000
 UNION ALL
 SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1829,7 +1844,7 @@ SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
        (rank() OVER (ORDER BY o_totalprice))
          + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0,
        dense_rank() OVER (ORDER BY o_totalprice),
-       NULL, NULL, NULL
+       NULL, NULL, NULL, NULL, NULL
 FROM orders WHERE o_orderkey < 2000
 UNION ALL
 SELECT 'ewm', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1838,7 +1853,12 @@ SELECT 'ewm', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
        round(CASE WHEN rn >= 3
                   THEN avg(o_totalprice) OVER (ORDER BY rn
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             END, 2)
+             END, 2),
+       round(CASE WHEN rn >= 2
+                  THEN den * den / (den * den - d2)
+                       * (q / den - (num / den) * (num / den))
+             END * 1e-8, 4),
+       round(CASE WHEN rn >= 2 THEN cv / (1 - swt2) END * 1e-8, 4)
 FROM (
   WITH RECURSIVE seq AS (
     SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
@@ -1847,13 +1867,24 @@ FROM (
   ), ew AS (
     SELECT rn, o_custkey, o_orderkey, o_totalprice,
            o_totalprice AS num, CAST(1.0 AS DOUBLE) AS den,
-           o_totalprice AS rec
+           o_totalprice AS rec,
+           o_totalprice * o_totalprice AS q,
+           CAST(1.0 AS DOUBLE) AS d2,
+           CAST(0.0 AS DOUBLE) AS cv,
+           CAST(1.0 AS DOUBLE) AS swt2
     FROM seq WHERE rn = 1
     UNION ALL
     SELECT s.rn, s.o_custkey, s.o_orderkey, s.o_totalprice,
            s.o_totalprice + 0.5 * e.num,
            CAST(1.0 AS DOUBLE) + 0.5 * e.den,
-           0.5 * e.rec + 0.5 * s.o_totalprice
+           0.5 * e.rec + 0.5 * s.o_totalprice,
+           s.o_totalprice * s.o_totalprice + 0.5 * e.q,
+           CAST(1.0 AS DOUBLE) + 0.25 * e.d2,
+           -- adjust=False kernel: cov' = r*cov + r*alpha*(rec-x)^2
+           -- (alpha = r = 0.5); sum_wt2' = r^2*swt2 + alpha^2
+           0.5 * e.cv + 0.25 * (e.rec - s.o_totalprice)
+                             * (e.rec - s.o_totalprice),
+           0.25 * e.swt2 + 0.25
     FROM ew e JOIN seq s ON s.rn = e.rn + 1
   )
   SELECT * FROM ew
