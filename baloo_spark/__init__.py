@@ -126,17 +126,26 @@ def get_dummies(data, prefix=None, prefix_sep: str = "_",
     return DataFrame._make(out, df._index_cols, data_cols, df._order)
 
 
-def crosstab(index: "Series", columns: "Series") -> "DataFrame":
+def crosstab(index: "Series", columns: "Series",
+             rownames=None, colnames=None) -> "DataFrame":
     """pandas-style ``pd.crosstab(a, b)`` frequency table. The two
     Series align like every pairwise statistic (same frame, shared
     index join, or positional), then Spark's native
     ``stat.crosstab`` builds the contingency table in one pass —
     distinct values of ``columns`` become result columns, so keep
-    that side low-cardinality (Spark caps at 10k distinct)."""
+    that side low-cardinality (Spark caps at 10k distinct). Axis
+    naming follows pandas: ``rownames=``/``colnames=`` win, else the
+    Series' own names, else ``row_0``/``col_0``."""
     from pyspark.sql import functions as F
 
-    na = index.name or "a"
-    nb = columns.name or "b"
+    for arg, nm in ((rownames, "rownames"), (colnames, "colnames")):
+        if arg is not None and len(arg) != 1:
+            raise AssertionError(
+                "arrays and names must have the same length")
+    na = (rownames[0] if rownames is not None
+          else index.name if index.name is not None else "row_0")
+    nb = (colnames[0] if colnames is not None
+          else columns.name if columns.name is not None else "col_0")
     sdf, a, b = index._pair_sdf(columns)
     # pandas drops any observation where EITHER key is missing
     # (dropna has no False face in pd.crosstab's counting) — without
@@ -145,11 +154,13 @@ def crosstab(index: "Series", columns: "Series") -> "DataFrame":
                      b.cast("string").alias(nb))
           .where(F.col(na).isNotNull() & F.col(nb).isNotNull())
           .stat.crosstab(na, nb))
-    key = f"{na}_{nb}"
-    ct = ct.orderBy(key)
-    return DataFrame._make(ct, [key],
-                           [c for c in ct.columns if c != key],
-                           [(key, True)])
+    # Spark names the key column '<na>_<nb>'; pandas names the index
+    # axis by the ROW name alone (row_0 when unnamed)
+    spark_key = f"{na}_{nb}"
+    ct = ct.withColumnRenamed(spark_key, na).orderBy(na)
+    return DataFrame._make(ct, [na],
+                           [c for c in ct.columns if c != na],
+                           [(na, True)])
 
 
 def cut(x: "Series", bins, labels=None, right: bool = True) -> "Series":

@@ -1083,6 +1083,23 @@ def test_frame_rank_cov_crosstab_validate(bl):
     assert sorted(ct.columns) == sorted(want.columns)
     for c in want.columns:
         assert ct[c].astype(int).tolist() == want[c].tolist(), c
+    # axis naming parity: named Series name the index axis; unnamed
+    # fall back to pandas' row_0; rownames=/colnames= win; wrong
+    # lengths raise like pandas
+    assert bl.crosstab(d2["a"], d2["b"]).index.name == "a" \
+        == pd.crosstab(pd.Series(a, name="a"),
+                       pd.Series(b, name="b")).index.name
+    ua = bl.Series(np.array(a, dtype=object))
+    ub = bl.Series(np.array(b, dtype=object))
+    assert bl.crosstab(ua, ub).index.name == "row_0" \
+        == pd.crosstab(pd.Series(a), pd.Series(b)).index.name
+    named = bl.crosstab(ua, ub, rownames=["R"], colnames=["C"])
+    wnamed = pd.crosstab(pd.Series(a), pd.Series(b),
+                         rownames=["R"], colnames=["C"])
+    assert named.index.name == "R" == wnamed.index.name
+    assert sorted(named.to_pandas().columns) == sorted(wnamed.columns)
+    with pytest.raises(AssertionError, match="same length"):
+        bl.crosstab(ua, ub, rownames=["R", "S"])
     # observations with a missing key on EITHER axis drop (pandas) —
     # no 'null' row/column from Spark's stat.crosstab
     an = ["x", None, "y"]
