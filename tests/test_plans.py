@@ -253,3 +253,42 @@ def test_interpolate_plan_no_global_window(spark, bl):
     import re
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
         assert "__pid__" in m.group(1), m.group(0)
+
+
+def test_frame_ewm_single_range_layout(spark, bl, monkeypatch):
+    """r7 (VERDICT r6 #6): DataFrame.ewm over k columns must build
+    exactly ONE frozen range layout — the multi-column fusion is the
+    difference between 1 and k repartitionByRange + sort +
+    checkpoint passes (the exact regression class r5 caught in
+    interpolate: 3 layouts -> 1 cut 16x-scale time 30s -> 11s). The
+    layout's checkpoint hides its Exchange from the final plan, so
+    the invariant is pinned at the _range_layout call site; the
+    emitted plan must also stay free of single-partition collapses."""
+    from baloo_spark.plans import ordinal
+
+    calls = {"n": 0}
+    real = ordinal._range_layout
+
+    def counting(sdf, order_by):
+        calls["n"] += 1
+        return real(sdf, order_by)
+
+    li = bl.read_parquet(f"{SF}/lineitem.parquet")
+    three = li.sort_values(["l_orderkey", "l_linenumber"])[
+        ["l_quantity", "l_extendedprice", "l_discount"]]
+    for kw, stat in (({}, "var"), ({}, "mean"),
+                     ({"adjust": False}, "var"),
+                     ({"adjust": False}, "mean")):
+        calls["n"] = 0
+        monkeypatch.setattr(ordinal, "_range_layout", counting)
+        try:
+            out = getattr(three.ewm(alpha=0.4, **kw), stat)()
+            sdf = out.to_spark()
+        finally:
+            monkeypatch.setattr(ordinal, "_range_layout", real)
+        assert calls["n"] == 1, \
+            f"ewm({kw}).{stat} built {calls['n']} range layouts " \
+            "for 3 columns — the fused scan must build exactly one"
+        p = plan_of(sdf)
+        assert "Exchange SinglePartition" not in p
+        assert sdf.rdd.getNumPartitions() > 1
