@@ -56,6 +56,19 @@ HEADLINE = [
 ]
 
 
+# Quiet-window 32-thread calibration baseline (seconds) for THIS box:
+# the r6 quiet snapshot read mc 0.376/0.380 while the co-tenant-
+# polluted driver run read 0.436 with identical code. A run whose mc
+# reading exceeds the baseline by >25% is machine-flagged "polluted"
+# so trend tables label it instead of a human remembering the rule.
+# Factor calibration: the r6 polluted run read 0.436 — only +15% over
+# quiet — yet distorted code-unchanged slots up to 2x, so the flag
+# trips at +12% (midway between the quiet band's own spread ~1% and
+# the observed-distortion reading), not the naive +25%.
+MC_QUIET_BASELINE = 0.38
+MC_POLLUTED_FACTOR = 1.12
+
+
 def _host_speed() -> float:
     """Single-core calibration loop (seconds; LOWER = faster host).
 
@@ -137,6 +150,8 @@ def main():
     speed_post = _host_speed()
     mc_post = _spark_speed(spark)
 
+    polluted = max(mc_pre, mc_post) \
+        > MC_POLLUTED_FACTOR * MC_QUIET_BASELINE
     print(json.dumps({
         "metric": "total_runtime",
         "value": round(sum(cold.values()), 3),
@@ -148,9 +163,15 @@ def main():
         # the sweep. mc_* is the 32-thread range hash-agg — compare
         # across runs; a high reading marks the run polluted even
         # when the single-core loop looks fast (co-tenant contention
-        # hits many-core throughput first)
+        # hits many-core throughput first). "polluted" automates the
+        # adjudication: either mc reading >12% over the stored quiet
+        # baseline means per-query deltas from this run are
+        # untrustworthy — compare against a quiet-window snapshot.
+        # (threshold +12%: the r6 polluted run read only +15%)
         "host_speed": {"pre": speed_pre, "post": speed_post,
-                       "mc_pre": mc_pre, "mc_post": mc_post},
+                       "mc_pre": mc_pre, "mc_post": mc_post,
+                       "mc_quiet_baseline": MC_QUIET_BASELINE,
+                       "polluted": polluted},
         "sf": sf,
     }))
 

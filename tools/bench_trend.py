@@ -176,27 +176,59 @@ with identical code. The structural wins, each measured:
   asof slot checkpoints its shared join inputs once (1.46 -> 1.31s).
 """
 
+POLLUTION_NOTES = []
+
+
 def load(path):
     with open(path) as f:
         d = json.load(f)
     parsed = d.get("parsed", d)
-    if parsed is None:
-        return None, None, d.get("n")
+    if parsed is None or "queries" not in parsed:
+        return None, None, d.get("n"), None
     cold = {RENAMES.get(k, k): v for k, v in parsed["queries"].items()}
     warm = {RENAMES.get(k, k): v
             for k, v in parsed.get("queries_warm", {}).items()}
-    return cold, warm, d.get("n")
+    return cold, warm, d.get("n"), parsed.get("host_speed") or {}
+
+
+def _pollution(hs):
+    """Machine adjudication of a run's calibration readings (bench.py
+    emits host_speed.polluted since r7; earlier runs are re-judged
+    from their mc readings against the same stored quiet baseline)."""
+    if not hs:
+        return None
+    if "polluted" in hs:
+        return bool(hs["polluted"])
+    mcs = [hs[k] for k in ("mc_pre", "mc_post") if hs.get(k)]
+    if not mcs:
+        return None  # pre-r6 run: no multicore calibration recorded
+    base = hs.get("mc_quiet_baseline", 0.38)
+    # +12%: the r6 polluted run read +15% over quiet yet distorted
+    # code-unchanged slots 2x — see bench.py MC_POLLUTED_FACTOR
+    return max(mcs) > 1.12 * base
 
 
 def main(paths):
     rounds = []
     for p in paths:
-        cold, warm, n = load(p)
+        cold, warm, n, hs = load(p)
         label = f"r{n}" if n else p.rsplit("/", 1)[-1].split(".")[0]
+        pol = _pollution(hs)
+        if pol:
+            label += "⚠"
         if cold is None:
             rounds.append((label, None, None))
         else:
             rounds.append((label, cold, warm))
+        if pol:
+            mcs = [hs.get("mc_pre"), hs.get("mc_post")]
+            POLLUTION_NOTES.append(
+                f"- `{label}` ({p.rsplit('/', 1)[-1]}): POLLUTED run — "
+                f"mc calibration {mcs} vs quiet baseline "
+                f"{hs.get('mc_quiet_baseline', 0.38)} (>12% over). "
+                "Per-query deltas from this run are co-tenant noise, "
+                "not plan signal; adjudicate against a quiet-window "
+                "snapshot (pick the run with the LOWEST mc reading).")
 
     good = [(lbl, c, w) for lbl, c, w in rounds if c is not None]
     if len(good) < 2:
@@ -327,6 +359,9 @@ def main(paths):
         else:
             lines.append("No unexplained warm regression vs "
                          f"{prev_lbl}.")
+    if POLLUTION_NOTES:
+        lines += ["", "## Machine-flagged polluted runs "
+                  "(host_speed.mc calibration)", ""] + POLLUTION_NOTES
     lines += ["", R5_PERF_NOTE]
     out = "\n".join(lines) + "\n"
     with open("BENCH_TREND.md", "w") as f:
