@@ -59,7 +59,7 @@ HEADLINE = [
 # Quiet-window 32-thread calibration baseline (seconds) for THIS box:
 # the r6 quiet snapshot read mc 0.376/0.380 while the co-tenant-
 # polluted driver run read 0.436 with identical code. A run whose mc
-# reading exceeds the baseline by >25% is machine-flagged "polluted"
+# reading exceeds the baseline by >12% is machine-flagged "polluted"
 # so trend tables label it instead of a human remembering the rule.
 # Factor calibration: the r6 polluted run read 0.436 — only +15% over
 # quiet — yet distorted code-unchanged slots up to 2x, so the flag
