@@ -364,8 +364,17 @@ class DataFrame:
         num_cols = [c for c in cols
                     if _is_numeric(self._sdf.schema[c].dataType)]
         str_cols = [c for c in cols if c not in num_cols]
+        # integral columns get their OWN bigint group: a double cast
+        # silently corrupts int64 values above 2^53 (both the counted
+        # value and the assembled winner)
+        int_cols = [c for c in num_cols
+                    if isinstance(self._sdf.schema[c].dataType,
+                                  T.IntegralType)]
+        frac_cols = [c for c in num_cols if c not in int_cols]
         by_col: dict[str, list] = {c: [] for c in cols}
-        for group, typ in ((num_cols, "double"), (str_cols, "string")):
+        for group, typ in ((int_cols, "bigint"),
+                           (frac_cols, "double"),
+                           (str_cols, "string")):
             if not group:
                 continue
             arr = F.array(*[F.struct(F.lit(c).alias("c"),

@@ -752,7 +752,13 @@ class Series:
         (pandas ``Series.combine_first``): the pairwise alignment
         every two-Series statistic uses, but FULL OUTER (pandas keeps
         the union of the two indexes, sorted), then one coalesce.
-        Same-frame columns collapse to a pure projection."""
+        Same-frame columns collapse to a pure projection.
+
+        Duplicate labels on ONE side multiply rows exactly like
+        pandas (the join is the alignment — no dedupe, which would
+        pick a nondeterministic survivor). Known divergence: labels
+        duplicated on BOTH sides produce the join's per-label cross
+        (pandas pairs dups positionally within the label instead)."""
         if other._sdf is self._sdf:
             return self._with_col(
                 F.coalesce(self._colexpr, other._colexpr))
@@ -760,8 +766,8 @@ class Series:
         if on:
             left, la = self._select("__ca__")
             right, rb = other._select("__cb__")
-            right = right.select(*on, rb).dropDuplicates(on)
-            sdf = left.select(*on, la).join(right, on, "full_outer")
+            sdf = left.select(*on, la).join(
+                right.select(*on, rb), on, "full_outer")
             keys = on
         else:
             from ..plans.ordinal import POS_COL

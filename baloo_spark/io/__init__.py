@@ -82,6 +82,10 @@ def read_csv(filepath: str, sep: str = ",", header: int | str | None = 0,
                 if h > 0 and n > 0 and row[f"__d_{c}"] == n:
                     recast[c] = ("bigint" if row[f"__l_{c}"] == n
                                  else "double")
+                elif h > 0 and n == 0:
+                    # entirely sentinels: pandas infers an all-NaN
+                    # float64 column, not an all-NULL string one
+                    recast[c] = "double"
         sdf = sdf.select(*[
             (F.when(F.col(c).isin(*sents), F.lit(None))
              .otherwise(F.col(c)).cast(recast.get(c, "string")).alias(c)

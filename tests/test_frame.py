@@ -1510,6 +1510,15 @@ def test_frame_mode_isna_aliases(bl):
     assert gm["x"].dtype == wm["x"].dtype
     assert gm["f"].tolist() == wm["f"].tolist() == [1.5]
     assert gm["s"].tolist() == wm["s"].tolist() == ["a"]
+    # int64 above 2^53: the integral group runs as bigint, never
+    # through a double cast that would corrupt the winner
+    big = (1 << 60) + 1
+    pb = pd.DataFrame({"i": np.array([big, big, 7],
+                                     dtype=np.int64)})
+    bb = bl.DataFrame({"i": pb["i"].to_numpy()})
+    gb, wb = bb.mode().to_pandas(), pb.mode()
+    assert gb["i"].tolist() == wb["i"].tolist() == [big]
+    assert gb["i"].dtype == wb["i"].dtype == np.int64
     assert df.isna().to_pandas().values.tolist() == \
         pdf.isna().values.tolist()
     assert bl.isnull(df["a"]).to_pandas().tolist() == [False] * 3

@@ -151,3 +151,13 @@ def test_read_csv_comment_na_values(bl, tmp_path):
     assert [str(t) for t in got.dtypes] == [str(t) for t in want.dtypes]
     assert got["a"].fillna(-9).tolist() == want["a"].fillna(-9).tolist()
     assert got["c"].fillna(-9).tolist() == want["c"].fillna(-9).tolist()
+    # a column consisting ENTIRELY of sentinels comes back as an
+    # all-NaN float64 column like pandas, not an all-NULL string one
+    p3 = tmp_path / "t3.csv"
+    p3.write_text("a,b\n1,NA\n2,NA\n")
+    got = bl.read_csv(str(p3), na_values=["NA"]).to_pandas()
+    want = pd.read_csv(str(p3), na_values=["NA"])
+    # (column "a" dtype is Spark's inference — int32 where pandas
+    # says int64, the documented reader divergence; "b" is the fix)
+    assert str(got["b"].dtype) == str(want["b"].dtype) == "float64"
+    assert got["b"].isna().all() and want["b"].isna().all()

@@ -725,3 +725,20 @@ def test_series_surface_batch(bl):
     assert cb.combine_first(ca).to_pandas().tolist() == \
         pd.Series([10., 20., 30.]).combine_first(
             pd.Series([np.nan, 2.])).tolist()
+    # duplicate labels in `other` multiply rows like pandas (no
+    # nondeterministic dedupe survivor): the dup patches a NULL with
+    # BOTH values, and replicates a non-null self value
+    di = bl.DataFrame({"k": np.array([0, 1], dtype=np.int64),
+                       "v": np.array([np.nan, 2.])}).set_index("k")
+    do = bl.DataFrame({"k": np.array([0, 0], dtype=np.int64),
+                       "v": np.array([10., 20.])}).set_index("k")
+    got = sorted(di["v"].combine_first(do["v"]).to_pandas().tolist())
+    want = sorted(pd.Series([np.nan, 2.], index=[0, 1]).combine_first(
+        pd.Series([10., 20.], index=[0, 0])).tolist())
+    assert got == want == [2.0, 10.0, 20.0]
+    dn = bl.DataFrame({"k": np.array([0, 1], dtype=np.int64),
+                       "v": np.array([1., 2.])}).set_index("k")
+    got = sorted(dn["v"].combine_first(do["v"]).to_pandas().tolist())
+    want = sorted(pd.Series([1., 2.], index=[0, 1]).combine_first(
+        pd.Series([10., 20.], index=[0, 0])).tolist())
+    assert got == want == [1.0, 1.0, 2.0]
