@@ -3451,12 +3451,17 @@ class _Resampler:
         df._check_cols([on])
         self._df = df
         self._on = on
-        cal = re.fullmatch(r"(ME|MS|YE|YS|M|Y|A)", str(freq))
+        cal = re.fullmatch(r"(\d*)(ME|MS|YE|YS|M|Y|A)", str(freq))
         if cal:
             # calendar buckets: date_trunc month/year, pandas labels
-            # (period END date for ME/YE, start for MS/YS)
+            # (period END date for ME/YE, start for MS/YS); integer
+            # multiples (2ME, 3YS, ...) bin k periods per bucket
+            # anchored at the first datum's period, like pandas
             self._cal = {"M": "ME", "Y": "YE", "A": "YE"}.get(
-                cal.group(1), cal.group(1))
+                cal.group(2), cal.group(2))
+            self._mult = int(cal.group(1) or 1)
+            if self._mult < 1:
+                raise ValueError(f"bad frequency multiple in {freq!r}")
             self._us = None
         else:
             self._cal = None
@@ -3467,9 +3472,27 @@ class _Resampler:
         sdf = df._sdf
         kind = self._cal
         unit = "month" if kind in ("ME", "MS") else "year"
-        step = 1 if unit == "month" else 12
+        step = (1 if unit == "month" else 12) * self._mult
         t = F.col(on).cast("timestamp")
         bucket = F.date_trunc(unit, t)
+        if self._mult > 1:
+            # k-period bins anchor at the FIRST datum's period
+            # (pandas origin): one tiny scalar agg finds it, then
+            # end-anchored kinds (ME/YE) bin by ceil, start-anchored
+            # (MS/YS) by floor; __bkt__ stays the LABEL period's
+            # start so the label derivation below is unchanged
+            r0 = sdf.agg(F.min(F.date_trunc(unit, t)).alias("o")) \
+                .first()
+            if r0["o"] is not None:
+                o = r0["o"]
+                dm = ((F.year(bucket) - F.lit(o.year)) * 12
+                      + F.month(bucket) - F.lit(o.month))
+                idx = (F.floor((dm + step - 1) / step)
+                       if kind in ("ME", "YE")
+                       else F.floor(dm / step))
+                bucket = F.add_months(
+                    F.lit(o.date()),
+                    (idx * step).cast("int")).cast("timestamp")
         num = [c for c in df._numeric_cols() if c != on]
         aggs = []
         for c in num:

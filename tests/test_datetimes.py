@@ -217,7 +217,12 @@ def test_resample_matches_pandas(bl):
     p2 = pd.DataFrame({"t": ts2, "v": [1., 4., 8., 16.]})
     d2 = bl.DataFrame({"t": ts2.to_numpy(), "v": p2["v"].to_numpy()})
     for bf, pf in (("ME", "ME"), ("MS", "MS"), ("M", "ME"),
-                   ("YE", "YE"), ("YS", "YS")):
+                   ("YE", "YE"), ("YS", "YS"),
+                   # r7: integer multiples bin k periods per bucket
+                   # anchored at the first datum's period (pandas
+                   # origin; end-anchored kinds bin by ceil)
+                   ("2ME", "2ME"), ("3MS", "3MS"), ("2YE", "2YE"),
+                   ("2YS", "2YS")):
         got = d2.resample(bf, on="t").sum().to_pandas().reset_index()
         want = p2.resample(pf, on="t").sum().reset_index()
         assert got["t"].tolist() == want["t"].tolist(), bf
