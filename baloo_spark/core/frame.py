@@ -828,6 +828,71 @@ class DataFrame:
     pow = __pow__
     mod = __mod__
 
+    # reverse spellings (scalar op frame): same single projection
+    radd = __add__
+    rmul = __mul__
+
+    def rsub(self, o):
+        return self._elementwise(o, lambda a, b: b - a)
+
+    def rdiv(self, o):
+        from .series import Series
+        return self._elementwise(
+            o, lambda a, b: Series._ieee_div(b, a))
+
+    rtruediv = rdiv
+
+    def rpow(self, o):
+        return self._elementwise(o, lambda a, b: F.pow(b, a))
+
+    def rmod(self, o):
+        from .series import Series
+        return self._elementwise(
+            o, lambda a, b: Series._py_mod(b, a))
+
+    def _floor_elementwise(self, o, reverse: bool):
+        """Column-wise floordiv with the Series dtype/zero rules —
+        dtype-aware per column, still one projection."""
+        from .series import Series
+        num = self._numeric_cols()
+        sdf = self._sdf
+        sch = {f.name: f.dataType for f in sdf.schema.fields}
+        from pyspark.sql import types as T
+        for c in num:
+            is_f = isinstance(sch[c], (T.DoubleType, T.FloatType)) \
+                or isinstance(o, float)
+            a, b = F.col(c), F.lit(o)
+            n_, d_ = (b, a) if reverse else (a, b)
+            x = F.floor(n_ / d_)
+            if is_f:
+                x = F.when(d_ == 0, Series._ieee_div(n_, d_)) \
+                    .otherwise(x.cast("double"))
+            sdf = sdf.withColumn(c, x)
+        return self._replace_sdf(sdf, data_cols=num)
+
+    def __floordiv__(self, o):
+        return self._floor_elementwise(o, False)
+
+    floordiv = __floordiv__
+
+    def __rfloordiv__(self, o):
+        return self._floor_elementwise(o, True)
+
+    rfloordiv = __rfloordiv__
+
+    def __getattr__(self, name):
+        """pandas-style attribute access for columns (``df.a`` ==
+        ``df["a"]``). Only reached when normal lookup fails; internal
+        names and non-columns raise AttributeError so pickling and
+        hasattr probes behave."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        cols = self.__dict__.get("_data_cols") or []
+        if name in cols:
+            return self[name]
+        raise AttributeError(
+            f"'DataFrame' object has no attribute {name!r}")
+
     def _compare(self, o, op):
         return self._elementwise(o, op)
 
@@ -1621,6 +1686,8 @@ class DataFrame:
         return self._agg_axis1("sum") if axis == 1 else self._agg_row("sum")
 
     def prod(self): return self._agg_row("prod")
+
+    product = prod
 
     def count(self, axis: int = 0):
         return (self._agg_axis1("count") if axis == 1
@@ -3203,6 +3270,106 @@ class DataFrame:
     def applymap(self, func, na_action: str | None = None,
                  new_dtype=None) -> "DataFrame":
         return self.map(func, na_action=na_action, new_dtype=new_dtype)
+
+    def transform(self, func) -> "DataFrame":
+        """pandas ``DataFrame.transform`` — shape-preserving per-
+        column application. String/builtin names compile to JVM
+        unary expressions per column (one projection); arbitrary
+        callables ride the same Arrow elementwise path as
+        :meth:`map`."""
+        if callable(func):
+            return self.map(func)
+        out = DataFrame._make(self._sdf, self._index_cols,
+                              self._data_cols, self._order)
+        for c in self._numeric_cols():
+            out[c] = out[c].transform(func)
+        return out
+
+    def eval(self, expr: str):
+        """pandas ``DataFrame.eval``, Spark-first: the expression
+        compiles to ONE Catalyst expression via ``F.expr`` — fully
+        codegen'd, no Python in the loop. Supports the arithmetic /
+        comparison / boolean subset with python spellings
+        (``and/or/not`` map to SQL); one optional leading
+        ``name = ...`` assignment returns a new frame with the
+        column appended, otherwise the expression comes back as a
+        Series."""
+        import re as _re
+        src = expr.strip()
+        target = None
+        m = _re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", src,
+                      _re.S)
+        if m:
+            target, src = m.group(1), m.group(2)
+        sql = _re.sub(r"\bnot\b", "NOT ",
+                      _re.sub(r"\band\b", " AND ",
+                              _re.sub(r"\bor\b", " OR ", src)))
+        col = F.expr(sql)
+        if target is None:
+            from .series import Series
+            return Series._make(self._sdf, col, self._index_cols,
+                                None, self._order)
+        out = self._sdf.withColumn(target, col)
+        data = self._data_cols + ([target] if target not in
+                                  self._data_cols else [])
+        return DataFrame._make(out, self._index_cols, data,
+                               self._order)
+
+    def first_valid_index(self):
+        """First index label whose row has ANY non-null data value
+        (pandas contract) — one ordered limit-1 probe job."""
+        return self._valid_index_probe(reverse=False)
+
+    def last_valid_index(self):
+        return self._valid_index_probe(reverse=True)
+
+    def _valid_index_probe(self, reverse: bool):
+        from ..core.ordering import order_exprs as _oe, \
+            rev_order_exprs as _roe
+        if not self._index_cols:
+            return None
+        cond = None
+        for c in self._data_cols:
+            n = F.col(c).isNotNull()
+            cond = n if cond is None else (cond | n)
+        sdf = self._sdf.where(cond if cond is not None else F.lit(True))
+        order = self._order or ([(ORD_COL, True)]
+                                if ORD_COL in sdf.columns else [])
+        ob = (_roe if reverse else _oe)(order, sdf.columns)
+        if ob:
+            sdf = sdf.orderBy(*ob)
+        rows = sdf.select(self._index_cols[0]).limit(1).collect()
+        return rows[0][0] if rows else None
+
+    def truncate(self, before=None, after=None) -> "DataFrame":
+        """Rows with index label in ``[before, after]`` (pandas
+        ``truncate``; assumes a sorted index like pandas) — a pure
+        index-range filter, pushdown-friendly."""
+        if not self._index_cols:
+            raise ValueError("truncate needs an index")
+        key = F.col(self._index_cols[0])
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (key >= F.lit(before))
+        if after is not None:
+            cond = cond & (key <= F.lit(after))
+        return DataFrame._make(self._sdf.where(cond),
+                               self._index_cols, self._data_cols,
+                               self._order)
+
+    @classmethod
+    def from_dict(cls, data: dict, orient: str = "columns"):
+        """pandas ``DataFrame.from_dict`` — driver-sized input by
+        definition; ``orient='index'`` rides pandas on the driver
+        then ships through Arrow once."""
+        if orient == "columns":
+            return cls({k: np.asarray(v) for k, v in data.items()})
+        import pandas as pd
+        pdf = pd.DataFrame.from_dict(data, orient=orient)
+        # Spark column names are strings; orient='index' yields
+        # integer column labels in pandas — stringify them
+        pdf.columns = [str(c) for c in pdf.columns]
+        return cls.from_pandas(pdf)
 
     def grouping_sets(self, sets: list, aggregations: dict) -> "DataFrame":
         """Explicit GROUPING SETS aggregation (generalizes rollup/

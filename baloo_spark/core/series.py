@@ -386,7 +386,38 @@ class Series:
         return self._named_op(
             other, lambda a, b: Series._py_mod(a, b), fill_value)
 
-    def _floor_div(self, o, reverse: bool):
+    # full pandas named-op surface: reverse spellings + long aliases
+    rtruediv = rdiv
+    divide = div
+    multiply = mul
+    subtract = sub
+
+    def rpow(self, other, fill_value=None):
+        return self._named_op(other, lambda a, b: F.pow(a, b),
+                              fill_value, True)
+
+    def rmod(self, other, fill_value=None):
+        return self._named_op(
+            other, lambda a, b: Series._py_mod(a, b), fill_value, True)
+
+    def floordiv(self, other, fill_value=None):
+        return self._named_op(other, self._floor_fn(other, False),
+                              fill_value)
+
+    def rfloordiv(self, other, fill_value=None):
+        return self._named_op(other, self._floor_fn(other, False),
+                              fill_value, True)
+
+    def divmod(self, other, fill_value=None):
+        """pandas ``Series.divmod``: (floordiv, mod) pair."""
+        return (self.floordiv(other, fill_value),
+                self.mod(other, fill_value))
+
+    def rdivmod(self, other, fill_value=None):
+        return (self.rfloordiv(other, fill_value),
+                self.rmod(other, fill_value))
+
+    def _floor_fn(self, o, reverse: bool):
         # pandas: float operands -> float result, ints stay integral
         from pyspark.sql import types as T
         is_f = isinstance(self.spark_type, (T.DoubleType, T.FloatType))             or isinstance(o, float)             or (isinstance(o, Series)
@@ -404,7 +435,10 @@ class Series:
                 x = F.when(den == 0, Series._ieee_div(num, den)) \
                     .otherwise(x)
             return x
-        return self._lift(o, fn)
+        return fn
+
+    def _floor_div(self, o, reverse: bool):
+        return self._lift(o, self._floor_fn(o, reverse))
 
     def __floordiv__(self, o): return self._floor_div(o, False)
     def __rfloordiv__(self, o): return self._floor_div(o, True)
@@ -781,6 +815,185 @@ class Series:
             .drop("__ca__", "__cb__")
         return Series._make(out, F.col("__cf__"), keys, self.name,
                             [(k, True) for k in keys])
+
+    def transform(self, func, **kwargs):
+        """pandas ``Series.transform`` — elementwise, shape-
+        preserving; same engine path as :meth:`apply` (bare function
+        names compile to the matching SQL function JVM-side,
+        template strings and callables pass through)."""
+        import re as _re
+        if isinstance(func, str) and _re.fullmatch(r"\w+", func):
+            return self.apply(f"{func}({{self}})")
+        return self.apply(func, **kwargs)
+
+    def drop(self, labels, errors: str = "raise") -> "Series":
+        """Drop rows by index label (pandas ``Series.drop``): an
+        anti-filter against a driver-sized label list; with
+        ``errors='raise'`` one tiny count verifies every label hits
+        (KeyError parity)."""
+        if not isinstance(labels, (list, tuple, set)):
+            labels = [labels]
+        labels = list(labels)
+        if not self._index_cols:
+            raise ValueError("drop needs an index")
+        key = F.col(self._index_cols[0])
+        if errors == "raise" and labels:
+            hit = (self._sdf.where(key.isin(*labels))
+                   .select(key.alias("k")).distinct().count())
+            if hit < len(set(labels)):
+                raise KeyError(f"{labels!r} not found in axis")
+        out = self._sdf.where(~key.isin(*labels) | key.isNull())
+        return Series._make(out, self._colexpr, self._index_cols,
+                            self.name, self._order)
+
+    def get(self, key, default=None):
+        """Value at index label ``key``, or ``default`` when absent
+        (pandas ``Series.get``) — an explicit driver-side scalar
+        fetch (one filtered select). Duplicate labels return a
+        Series like pandas."""
+        rows = (self._sdf.where(F.col(self._index_cols[0]) == key)
+                .select(self._colexpr.alias("v")).collect()
+                if self._index_cols else [])
+        if not rows:
+            return default
+        if len(rows) == 1:
+            return rows[0]["v"]
+        return Series(np.array([r["v"] for r in rows]),
+                      name=self.name)
+
+    def reset_index(self, drop: bool = False, name=None):
+        """pandas ``Series.reset_index``: ``drop=True`` returns the
+        values on a fresh RangeIndex (pure projection + fresh
+        positions); otherwise a DataFrame with the index as a
+        column."""
+        from ..plans.ordinal import ORD_COL, POS_COL
+        if drop:
+            sdf, alias = self._ordered_sdf(self.name or _VAL)
+            key = POS_COL
+            if ORD_COL not in sdf.columns:
+                sdf, key = sdf.withColumnRenamed(POS_COL, ORD_COL), \
+                    ORD_COL
+            return Series._make(sdf, F.col(alias), [key],
+                                self.name, [(key, True)])
+        from .frame import DataFrame
+        sdf, a = self._select(self.name or "0")
+        idx = [c for c in self._index_cols if c in sdf.columns]
+        ren = {c: "index" for c in idx if c in (ORD_COL, "__idx__")}
+        out = sdf.withColumnsRenamed(ren) if ren else sdf
+        new_idx = [ren.get(c, c) for c in idx]
+        order = [(ren.get(c, c), asc) for c, asc in (self._order or [])
+                 if ren.get(c, c) in out.columns] or None
+        return DataFrame._make(out, [], new_idx + [a], order)
+
+    def truncate(self, before=None, after=None) -> "Series":
+        """Rows with index label in ``[before, after]`` (pandas
+        ``truncate``; assumes a sorted index like pandas) — a pure
+        index-range filter, pushdown-friendly."""
+        if not self._index_cols:
+            raise ValueError("truncate needs an index")
+        key = F.col(self._index_cols[0])
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (key >= F.lit(before))
+        if after is not None:
+            cond = cond & (key <= F.lit(after))
+        return Series._make(self._sdf.where(cond), self._colexpr,
+                            self._index_cols, self.name, self._order)
+
+    def squeeze(self):
+        """Scalar when the Series has exactly one row, else self
+        (pandas ``squeeze``) — pays one limit-2 probe job."""
+        rows = self._sdf.select(self._colexpr.alias("v")) \
+            .limit(2).collect()
+        if len(rows) == 1:
+            return rows[0]["v"]
+        return self
+
+    def transpose(self) -> "Series":
+        return self
+
+    @property
+    def T(self) -> "Series":
+        return self
+
+    def add_prefix(self, prefix: str) -> "Series":
+        """Prefix every index label (pandas ``Series.add_prefix``
+        acts on the INDEX for Series) — one string projection."""
+        return self._relabel(lambda c: F.concat(F.lit(prefix),
+                                                c.cast("string")))
+
+    def add_suffix(self, suffix: str) -> "Series":
+        return self._relabel(lambda c: F.concat(c.cast("string"),
+                                                F.lit(suffix)))
+
+    def _relabel(self, fn) -> "Series":
+        if not self._index_cols:
+            raise ValueError("needs an index")
+        k = self._index_cols[0]
+        out = self._sdf.withColumn(k, fn(F.col(k)))
+        return Series._make(out, self._colexpr, self._index_cols,
+                            self.name, self._order)
+
+    def argsort(self) -> "Series":
+        """Positions that sort the values, NA last (pandas' future
+        ``argsort`` contract; the deprecated -1-for-NaN flavor is not
+        reproduced). Distributed as one ordered projection: fresh
+        positions stamp the current order, then the result IS the
+        position column re-ordered by value — no driver loop."""
+        from ..core.ordering import order_expr
+        from ..plans.ordinal import POS_COL, with_dense_ordinal
+        sdf, alias = self._ordered_sdf(self.name or _VAL)
+        # stamp the sorted order (value nulls-last — Spark sorts NaN
+        # greatest, so NA lands last like pandas — with positional
+        # tiebreak) as a fresh dense ordinal; the result is the
+        # original-position column on that ordinal's RangeIndex
+        if _IDX in sdf.columns:
+            sdf = sdf.drop(_IDX)
+        out = with_dense_ordinal(
+            sdf, [order_expr(F.col(alias), True),
+                  F.col(POS_COL).asc()], name=_IDX)
+        return Series._make(out, F.col(POS_COL).cast("long"),
+                            [_IDX], self.name, [(_IDX, True)])
+
+    def compare(self, other: "Series"):
+        """Rows where the two Series differ (pandas
+        ``Series.compare``): the standard pairwise alignment, one
+        null-safe inequality filter, self/other columns."""
+        from .frame import DataFrame
+        sdf, a, b = self._pair_sdf(other)
+        keys = [c for c in self._index_cols
+                if c in other._index_cols] or \
+            [c for c in sdf.columns if c not in ("__pa__", "__pb__")]
+        out = (sdf.where(~a.eqNullSafe(b))
+               .select(*keys, a.alias("self"), b.alias("other")))
+        return DataFrame._make(out, keys, ["self", "other"],
+                               [(k, True) for k in keys])
+
+    def align(self, other: "Series", join: str = "outer"):
+        """Pair of index-aligned Series (pandas ``Series.align``):
+        ONE join by the shared index (outer/inner/left/right), both
+        results reading the same joined plan."""
+        if join not in ("outer", "inner", "left", "right"):
+            raise ValueError(f"bad join {join!r}")
+        how = {"outer": "full_outer", "inner": "inner",
+               "left": "left", "right": "right"}[join]
+        on = [c for c in self._index_cols if c in other._index_cols]
+        if on:
+            left, la = self._select("__aa__")
+            right, rb = other._select("__ab__")
+            sdf = left.select(*on, la).join(
+                right.select(*on, rb), on, how)
+            keys = on
+        else:
+            from ..plans.ordinal import POS_COL
+            lo, la = self._ordered_sdf("__aa__")
+            ro, rb = other._ordered_sdf("__ab__")
+            sdf = lo.select(POS_COL, la).join(
+                ro.select(POS_COL, rb), POS_COL, how)
+            keys = [POS_COL]
+        mk = lambda col, nm: Series._make(
+            sdf, F.col(col), keys, nm, [(k, True) for k in keys])
+        return mk("__aa__", self.name), mk("__ab__", other.name)
 
     def corr(self, other: "Series", method: str = "pearson"):
         """Correlation with another Series (pandas ``Series.corr``;

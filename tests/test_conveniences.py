@@ -1,0 +1,159 @@
+"""r7 pandas-surface conveniences, found by the dir(pandas) sweep:
+reverse/named arithmetic at both levels, attribute column access,
+eval (Catalyst F.expr — fully JVM-side), transform, valid-index
+probes, truncate, from_dict, and the Series set (drop/get/
+reset_index/squeeze/add_prefix/add_suffix/argsort/compare/align/
+divmod/transform). Each asserts against pandas on the same data."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+
+
+def test_reverse_and_floordiv_ops(bl):
+    pdf = pd.DataFrame({"a": [1., 2., 4.], "b": [3., 0., 5.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    for name, arg in (("radd", 10), ("rsub", 10), ("rmul", 3),
+                      ("rdiv", 8), ("rtruediv", 8), ("rpow", 2),
+                      ("rmod", 7), ("floordiv", 2),
+                      ("rfloordiv", 10), ("product", None)):
+        g = getattr(df, name)(arg) if arg is not None \
+            else getattr(df, name)()
+        w = getattr(pdf, name)(arg) if arg is not None \
+            else getattr(pdf, name)()
+        gv = (g.to_pandas().to_numpy(dtype=float)
+              if arg is not None
+              else np.asarray(g.to_pandas(), dtype=float))
+        wv = (w.to_numpy(dtype=float) if arg is not None
+              else np.asarray(w, dtype=float))
+        npt.assert_allclose(gv, wv, err_msg=name)
+    npt.assert_allclose((10 // df).to_pandas().to_numpy(),
+                        (10 // pdf).to_numpy())
+    s = bl.Series(np.array([7., np.nan]))
+    p = pd.Series([7., np.nan])
+    for name in ("rpow", "rmod", "rtruediv", "floordiv",
+                 "rfloordiv", "divide", "multiply", "subtract"):
+        got = getattr(s, name)(2).to_pandas().fillna(-9).tolist()
+        want = getattr(p, name)(2).fillna(-9).tolist()
+        assert got == want, name
+    assert s.floordiv(2, fill_value=4).to_pandas().tolist() == \
+        p.floordiv(2, fill_value=4).tolist()
+    gq, gr = s.divmod(3)
+    wq, wr = p.divmod(3)
+    assert gq.to_pandas().fillna(-9).tolist() == wq.fillna(-9).tolist()
+    assert gr.to_pandas().fillna(-9).tolist() == wr.fillna(-9).tolist()
+
+
+def test_attribute_column_access(bl):
+    pdf = pd.DataFrame({"alpha": [1., 2.], "beta": [3., 4.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert df.alpha.to_pandas().tolist() == pdf.alpha.tolist()
+    with pytest.raises(AttributeError):
+        df.no_such_column
+    # internal names never resolve through column access
+    with pytest.raises(AttributeError):
+        df._no_such_attr
+
+
+def test_eval_catalyst(bl):
+    pdf = pd.DataFrame({"a": [1., 2.], "b": [3., 4.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert df.eval("a + b * 2").to_pandas().tolist() == \
+        pdf.eval("a + b * 2").tolist()
+    assert df.eval("c = a + b").to_pandas().values.tolist() == \
+        pdf.eval("c = a + b").values.tolist()
+    assert df.eval("a > 1 and b < 5").to_pandas().tolist() == \
+        pdf.eval("a > 1 and b < 5").tolist()
+    assert df.eval("a > 1 or not (b < 4)").to_pandas().tolist() == \
+        pdf.eval("a > 1 or not (b < 4)").tolist()
+
+
+def test_transform(bl):
+    pdf = pd.DataFrame({"a": [1., 4.], "b": [9., 16.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    npt.assert_allclose(df.transform("sqrt").to_pandas().to_numpy(),
+                        pdf.transform("sqrt").to_numpy())
+    npt.assert_allclose(
+        df.transform(lambda x: x + 1).to_pandas().to_numpy(),
+        pdf.transform(lambda x: x + 1).to_numpy())
+    assert bl.Series(np.array([1., 4.])).transform("sqrt") \
+        .to_pandas().tolist() == \
+        pd.Series([1., 4.]).transform("sqrt").tolist()
+
+
+def test_valid_index_truncate_from_dict(bl):
+    p2 = pd.DataFrame({"a": [np.nan, np.nan, 3.],
+                       "b": [np.nan, 2., np.nan]},
+                      index=[10, 20, 30])
+    d2 = bl.DataFrame({"k": np.array([10, 20, 30], dtype=np.int64),
+                       "a": p2["a"].to_numpy(),
+                       "b": p2["b"].to_numpy()}).set_index("k")
+    assert d2.first_valid_index() == p2.first_valid_index() == 20
+    assert d2.last_valid_index() == p2.last_valid_index() == 30
+    assert d2.truncate(15, 30).to_pandas()["a"].fillna(-9).tolist() \
+        == p2.truncate(15, 30)["a"].fillna(-9).tolist()
+    got = bl.DataFrame.from_dict({"r1": [1, 2], "r2": [3, 4]},
+                                 orient="index").to_pandas()
+    want = pd.DataFrame.from_dict({"r1": [1, 2], "r2": [3, 4]},
+                                  orient="index")
+    assert got.values.tolist() == want.values.tolist()
+    assert bl.DataFrame.from_dict({"a": [1, 2]}).to_pandas()["a"] \
+        .tolist() == [1, 2]
+
+
+def test_series_conveniences(bl):
+    ps = pd.Series([7., 8., 9.], index=["a", "b", "c"])
+    bs = bl.DataFrame({"k": np.array(["a", "b", "c"], dtype=object),
+                       "v": ps.to_numpy()}).set_index("k")["v"]
+    assert bs.drop(["b"]).to_pandas().tolist() == \
+        ps.drop(["b"]).tolist()
+    with pytest.raises(KeyError):
+        bs.drop(["zz"])
+    assert bs.drop(["zz"], errors="ignore").to_pandas().tolist() == \
+        ps.drop(["zz"], errors="ignore").tolist()
+    assert bs.get("b") == ps.get("b") == 8.0
+    assert bs.get("zz", -1) == ps.get("zz", -1) == -1
+    assert bs.truncate("b").to_pandas().tolist() == \
+        ps.truncate("b").tolist()
+    assert sorted(bs.add_prefix("P_").to_pandas().index.tolist()) == \
+        sorted(ps.add_prefix("P_").index.tolist())
+    assert sorted(bs.add_suffix("_S").to_pandas().index.tolist()) == \
+        sorted(ps.add_suffix("_S").index.tolist())
+    assert bl.Series(np.array([7.])).squeeze() == \
+        pd.Series([7.]).squeeze() == 7.0
+    multi = bl.Series(np.array([7., 8.])).squeeze()
+    assert hasattr(multi, "to_pandas")          # stays a Series
+    assert bs.transpose() is bs and bs.T is bs
+    assert bs.reset_index(drop=True).to_pandas().tolist() == \
+        ps.reset_index(drop=True).tolist()
+    ri = bs.reset_index().to_pandas()
+    assert list(ri.columns) == ["k", "v"]
+    assert ri["v"].tolist() == [7., 8., 9.]
+
+
+def test_series_argsort_compare_align(bl):
+    # argsort: pandas' FUTURE contract (NA last), not the deprecated
+    # -1 sentinel flavor
+    a = pd.Series([3., np.nan, 1., 2.])
+    assert bl.Series(a.to_numpy()).argsort().to_pandas().tolist() == \
+        [2, 3, 0, 1]
+    b = pd.Series([5., 1., 1., np.nan, 0.])
+    assert bl.Series(b.to_numpy()).argsort().to_pandas().tolist() == \
+        [4, 1, 2, 0, 3]
+    s1, s2 = pd.Series([1., 2., 3.]), pd.Series([1., 9., 3.])
+    got = bl.Series(s1.to_numpy()).compare(
+        bl.Series(s2.to_numpy())).to_pandas()
+    want = s1.compare(s2)
+    assert got[["self", "other"]].values.tolist() == \
+        want[["self", "other"]].values.tolist()
+    la, lb = bl.Series(np.array([1., 2.])).align(
+        bl.Series(np.array([10., 20., 30.])))
+    pa, pb = pd.Series([1., 2.]).align(pd.Series([10., 20., 30.]))
+    assert la.to_pandas().fillna(-9).tolist() == \
+        pa.fillna(-9).tolist()
+    assert lb.to_pandas().fillna(-9).tolist() == \
+        pb.fillna(-9).tolist()
+    ia, ib = bl.Series(np.array([1., 2.])).align(
+        bl.Series(np.array([10., 20., 30.])), join="inner")
+    assert len(ia.to_pandas()) == 2

@@ -183,8 +183,15 @@ def main():
 
     # r6: the two new ewm scans share the identical two-pass shape —
     # probe that the extra carried state (affine-map coefficients for
-    # adjust=False; the q/d2 sums for var) doesn't change the scaling
+    # adjust=False; the q/d2 sums for var) doesn't change the scaling.
+    # r7 (VERDICT r6 #5): the seven-sums PAIRWISE scan (cov/corr —
+    # seven doubles + a joint validity mask per partition carry) and
+    # the adjust=False kernel-state perturbation scan (17 doubles per
+    # tag: means, three covs, sum_wt2, correction sums) get the same
+    # 1x/4x/16x evidence.
     from baloo_spark.plans.ordinal import (with_ewm_mean_noadjust,
+                                           with_ewm_noadjust_stats,
+                                           with_ewm_pair_stats,
                                            with_ewm_stats)
     for title, fn, note in (
         ("ewm mean adjust=False (affine-map carry)",
@@ -199,11 +206,31 @@ def main():
              stats=("var",)),
          "_same two passes; num/den/q/d2 are four doubles per "
          "partition in the carry, and the per-row work is four "
-         "pandas C-kernel calls per batch instead of two_")):
+         "pandas C-kernel calls per batch instead of two_"),
+        ("ewm cov (seven-sums pairwise scan)",
+         lambda b: with_ewm_pair_stats(
+             b, "l_extendedprice", "l_quantity", 0.1,
+             [F.col("l_orderkey").asc()], stat="cov"),
+         "_same two passes over ONE layout carrying both columns; "
+         "the carry is seven doubles + counts per partition and the "
+         "per-row work is seven C-kernel calls over the joint "
+         "validity mask — the constant factor rises, the shape "
+         "(two scans + n_partitions driver carry) does not_"),
+        ("ewm var adjust=False (kernel-state perturbation carry)",
+         lambda b: with_ewm_noadjust_stats(
+             b, {"v": ("l_extendedprice", "l_extendedprice",
+                       ("var",))}, 0.1,
+             [F.col("l_orderkey").asc()]),
+         "_same two passes; the carry is 17 doubles per tag "
+         "(means, three covs, sum_wt2, factored correction sums) "
+         "and the per-row work is five C-kernel calls plus the "
+         "bounded cumulative-sum corrections — no per-row Python, "
+         "no global window, driver state stays n_partitions-sized_")):
         lines += [f"## {title}", ""]
         for mult in (1, 4, 16):
             base = replicate(
-                li.select("l_orderkey", "l_extendedprice"),
+                li.select("l_orderkey", "l_extendedprice",
+                          "l_quantity"),
                 mult).localCheckpoint()
             dt = float("inf")
             for _ in range(3):
