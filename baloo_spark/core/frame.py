@@ -3301,9 +3301,15 @@ class DataFrame:
                       _re.S)
         if m:
             target, src = m.group(1), m.group(2)
-        sql = _re.sub(r"\bnot\b", "NOT ",
-                      _re.sub(r"\band\b", " AND ",
-                              _re.sub(r"\bor\b", " OR ", src)))
+        # translate python keywords OUTSIDE quoted string literals
+        # only (splitting on quote spans keeps 'x and y' intact)
+        parts = _re.split(r"('[^']*'|\"[^\"]*\")", src)
+        sql = "".join(
+            p if i % 2 else
+            _re.sub(r"\bnot\b", "NOT ",
+                    _re.sub(r"\band\b", " AND ",
+                            _re.sub(r"\bor\b", " OR ", p)))
+            for i, p in enumerate(parts))
         col = F.expr(sql)
         if target is None:
             from .series import Series

@@ -67,6 +67,13 @@ def test_eval_catalyst(bl):
         pdf.eval("a > 1 and b < 5").tolist()
     assert df.eval("a > 1 or not (b < 4)").to_pandas().tolist() == \
         pdf.eval("a > 1 or not (b < 4)").tolist()
+    # keywords inside quoted literals stay untouched
+    ps = pd.DataFrame({"s": ["x and y", "z"], "a": [1., 2.]})
+    ds = bl.DataFrame({"s": np.array(["x and y", "z"], dtype=object),
+                       "a": ps["a"].to_numpy()})
+    assert ds.eval("s == 'x and y' and a > 0").to_pandas().tolist() \
+        == ps.eval("s == 'x and y' and a > 0").tolist() \
+        == [True, False]
 
 
 def test_transform(bl):
