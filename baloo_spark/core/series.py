@@ -995,6 +995,95 @@ class Series:
             sdf, F.col(col), keys, nm, [(k, True) for k in keys])
         return mk("__aa__", self.name), mk("__ab__", other.name)
 
+    def groupby(self, by, dropna: bool = True):
+        """pandas ``Series.groupby``: group this Series by another
+        Series (``s.groupby(keys).mean()``) or by an index level
+        name. The aligned (key, value) pair becomes a two-column
+        frame — same-frame keys are a pure projection, cross-frame
+        keys ride the standard pairwise alignment join — and the
+        full DataFrameGroupBy surface applies, restricted to the
+        value column (one hash-agg shuffle for the aggregations)."""
+        from .frame import DataFrame
+        vname = self.name or _VAL
+        if isinstance(by, str):
+            if by not in self._index_cols:
+                raise KeyError(by)
+            sdf, a = self._select(vname)
+            fr = DataFrame._make(sdf, [], [by, a], self._order)
+            return fr.groupby(by, dropna=dropna)[a]
+        if not isinstance(by, Series):
+            raise TypeError(
+                f"groupby by= must be a Series or an index level "
+                f"name, got {type(by).__name__}")
+        kname = by.name or "__sgk__"
+        if kname == vname:
+            kname = f"{kname}_key"
+        sdf, a, b = self._pair_sdf(by)
+        out = sdf.select(b.alias(kname), a.alias(vname))
+        fr = DataFrame._make(out, [], [kname, vname], None)
+        return fr.groupby(kname, dropna=dropna)[vname]
+
+    def reindex(self, index, fill_value=None) -> "Series":
+        """Conform to new labels (pandas ``Series.reindex``):
+        delegates to the frame reindex — the driver-sized label list
+        becomes a tiny position-tagged table, ONE keyed join, fills
+        only introduced cells."""
+        from .frame import DataFrame
+        if not self._index_cols:
+            raise ValueError("reindex needs an index")
+        vname = self.name or _VAL
+        sdf, a = self._select(vname)
+        fr = DataFrame._make(sdf, list(self._index_cols), [a],
+                             self._order)
+        return fr.reindex(index=index, fill_value=fill_value)[a]
+
+    def asof(self, where):
+        """Last non-null value at or before label(s) ``where``
+        (pandas ``Series.asof``). A scalar pays one ordered limit-1
+        probe; a list rides the engine's as-of join (union + keyed
+        carry, one shuffle — no per-label loop)."""
+        if not self._index_cols:
+            raise ValueError("asof needs an index")
+        k = self._index_cols[0]
+        if not isinstance(where, (list, tuple, np.ndarray)):
+            rows = (self._sdf
+                    .where((F.col(k) <= F.lit(where))
+                           & self._colexpr.isNotNull())
+                    .orderBy(F.col(k).desc())
+                    .select(self._colexpr.alias("v"))
+                    .limit(1).collect())
+            return rows[0]["v"] if rows else None
+        from ..operators.joins import asof_join
+        spark = self._sdf.sparkSession
+        vname = self.name or _VAL
+        left = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(where)], ["__wpos__", k])
+        right = (self._sdf.where(self._colexpr.isNotNull())
+                 .select(F.col(k), self._colexpr.alias(vname)))
+        out = asof_join(left, right, on=k, direction="backward")
+        vcol = vname if vname in out.columns else f"{vname}_right"
+        rows = out.orderBy("__wpos__").select(vcol).collect()
+        return Series(np.array([r[vcol] for r in rows],
+                               dtype=object if rows and isinstance(
+                                   rows[0][vcol], str) else float),
+                      name=self.name)
+
+    def to_csv(self, filepath: str, **kw):
+        """CSV sink — the one-column frame delegation of
+        :meth:`DataFrame.to_csv` (same single_file= contract)."""
+        return self._to_frame_for_io().to_csv(filepath, **kw)
+
+    def to_json(self, filepath: str, **kw):
+        """JSON sink — delegates to :meth:`DataFrame.to_json`."""
+        return self._to_frame_for_io().to_json(filepath, **kw)
+
+    def _to_frame_for_io(self):
+        from .frame import DataFrame
+        vname = self.name or _VAL
+        sdf, a = self._select(vname)
+        return DataFrame._make(sdf, list(self._index_cols), [a],
+                               self._order)
+
     def corr(self, other: "Series", method: str = "pearson"):
         """Correlation with another Series (pandas ``Series.corr``;
         engine extension — single JVM ``corr`` aggregate).

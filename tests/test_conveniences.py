@@ -164,3 +164,52 @@ def test_series_argsort_compare_align(bl):
     ia, ib = bl.Series(np.array([1., 2.])).align(
         bl.Series(np.array([10., 20., 30.])), join="inner")
     assert len(ia.to_pandas()) == 2
+
+
+def test_series_groupby_reindex_asof_sinks(bl, tmp_path):
+    """Series.groupby (by-Series, same-frame, and index-level
+    spellings — one hash-agg shuffle via the frame machinery),
+    Series.reindex (label-table join; fills introduced cells only),
+    Series.asof (scalar limit-1 probe; lists ride the as-of join),
+    and the to_csv/to_json sink delegations."""
+    v = pd.Series([1., 2., 3., 4.])
+    k = pd.Series(["a", "b", "a", "b"])
+    got = bl.Series(v.to_numpy()).groupby(
+        bl.Series(k.to_numpy(dtype=object))).mean().to_pandas()
+    assert sorted(np.asarray(got).ravel().tolist()) == \
+        sorted(v.groupby(k).mean().tolist())
+    df = bl.DataFrame({"g": k.to_numpy(dtype=object),
+                       "v": v.to_numpy()})
+    got = df["v"].groupby(df["g"]).sum().to_pandas()
+    assert sorted(np.asarray(got).ravel().tolist()) == \
+        sorted(v.groupby(k).sum().tolist())
+    got = df.set_index("g")["v"].groupby("g").max().to_pandas()
+    assert sorted(np.asarray(got).ravel().tolist()) == \
+        sorted(v.groupby(k).max().tolist())
+    with pytest.raises(KeyError):
+        df["v"].groupby("not_a_level")
+
+    ps = pd.Series([1., 2.], index=["a", "b"])
+    bs = bl.DataFrame({"k": np.array(["a", "b"], dtype=object),
+                       "v": ps.to_numpy()}).set_index("k")["v"]
+    got = bs.reindex(["b", "c", "a"]).to_pandas()
+    want = ps.reindex(["b", "c", "a"])
+    assert sorted(got.fillna(-9).tolist()) == \
+        sorted(want.fillna(-9).tolist())
+    assert sorted(bs.reindex(["b", "c"], fill_value=0.)
+                  .to_pandas().tolist()) == \
+        sorted(ps.reindex(["b", "c"], fill_value=0.).tolist())
+
+    pa = pd.Series([1., 2., np.nan, 4.], index=[10, 20, 30, 40])
+    ba = bl.DataFrame({"k": np.array([10, 20, 30, 40],
+                                     dtype=np.int64),
+                       "v": pa.to_numpy()}).set_index("k")["v"]
+    assert ba.asof(35) == pa.asof(35) == 2.0
+    assert ba.asof(20) == pa.asof(20) == 2.0
+    assert ba.asof(5) is None and np.isnan(pa.asof(5))
+    assert ba.asof([15, 35, 45]).to_pandas().tolist() == \
+        pa.asof([15, 35, 45]).tolist()
+
+    bs.to_csv(str(tmp_path / "s.csv"))
+    assert open(tmp_path / "s.csv").read().strip().splitlines()[1:] \
+        == ["a,1.0", "b,2.0"]
