@@ -25,6 +25,85 @@ from .series import _AGG_FNS, _IDX, Series, _is_numeric
 _RESERVED = {ORD_COL, "__pos__", "__pid__", "__mid__"}
 
 
+def _eval_to_sql(src: str) -> str:
+    """Compile the DataFrame.eval python-expression subset to a Spark
+    SQL expression string via the ast module (never string-hacking:
+    quoted literals, chained comparisons and precedence all come out
+    right). Python-semantics operators map explicitly: ``**`` ->
+    power(), ``%`` -> sign-of-divisor mod, ``//`` -> floor()."""
+    import ast as _ast
+
+    _CMP = {_ast.Lt: "<", _ast.LtE: "<=", _ast.Gt: ">",
+            _ast.GtE: ">=", _ast.Eq: "=", _ast.NotEq: "!="}
+    _BIN = {_ast.Add: "+", _ast.Sub: "-", _ast.Mult: "*",
+            _ast.Div: "/", _ast.BitAnd: "AND", _ast.BitOr: "OR"}
+
+    def emit(n):
+        if isinstance(n, _ast.BoolOp):
+            op = " AND " if isinstance(n.op, _ast.And) else " OR "
+            return "(" + op.join(emit(v) for v in n.values) + ")"
+        if isinstance(n, _ast.UnaryOp):
+            if isinstance(n.op, _ast.Not):
+                return f"(NOT {emit(n.operand)})"
+            if isinstance(n.op, _ast.USub):
+                return f"(-{emit(n.operand)})"
+            if isinstance(n.op, _ast.UAdd):
+                return emit(n.operand)
+            if isinstance(n.op, _ast.Invert):
+                return f"(NOT {emit(n.operand)})"
+            raise ValueError(f"unsupported unary op {n.op!r}")
+        if isinstance(n, _ast.Compare):
+            parts, left = [], n.left
+            for op, right in zip(n.ops, n.comparators):
+                if isinstance(op, (_ast.In, _ast.NotIn)):
+                    if not isinstance(right, (_ast.List, _ast.Tuple)):
+                        raise ValueError(
+                            "in/not in need a literal list")
+                    items = ", ".join(emit(e) for e in right.elts)
+                    neg = "NOT " if isinstance(op, _ast.NotIn) else ""
+                    parts.append(f"({emit(left)} {neg}IN ({items}))")
+                else:
+                    sym = _CMP.get(type(op))
+                    if sym is None:
+                        raise ValueError(
+                            f"unsupported comparison {op!r}")
+                    parts.append(f"({emit(left)} {sym} {emit(right)})")
+                left = right
+            return "(" + " AND ".join(parts) + ")"                 if len(parts) > 1 else parts[0]
+        if isinstance(n, _ast.BinOp):
+            l, r = emit(n.left), emit(n.right)
+            if isinstance(n.op, _ast.Pow):
+                return f"power({l}, {r})"
+            if isinstance(n.op, _ast.Mod):
+                # python sign-of-divisor semantics
+                return f"((({l} % {r}) + {r}) % {r})"
+            if isinstance(n.op, _ast.FloorDiv):
+                return f"floor({l} / {r})"
+            sym = _BIN.get(type(n.op))
+            if sym is None:
+                raise ValueError(f"unsupported operator {n.op!r}")
+            return f"({l} {sym} {r})"
+        if isinstance(n, _ast.Name):
+            return f"`{n.id}`"
+        if isinstance(n, _ast.Constant):
+            v = n.value
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, str):
+                return "'" + v.replace("\\", "\\\\") \
+                    .replace("'", "\\'") + "'"
+            return repr(v)
+        if isinstance(n, _ast.Call) and isinstance(n.func, _ast.Name):
+            args = ", ".join(emit(a) for a in n.args)
+            return f"{n.func.id}({args})"
+        raise ValueError(
+            f"unsupported eval syntax: {_ast.dump(n)[:80]}")
+
+    return emit(_ast.parse(src, mode="eval").body)
+
+
 class DataFrame:
     """Columnar frame with pandas-flavored API, Spark execution.
 
@@ -3286,14 +3365,15 @@ class DataFrame:
         return out
 
     def eval(self, expr: str):
-        """pandas ``DataFrame.eval``, Spark-first: the expression
-        compiles to ONE Catalyst expression via ``F.expr`` — fully
-        codegen'd, no Python in the loop. Supports the arithmetic /
-        comparison / boolean subset with python spellings
-        (``and/or/not`` map to SQL); one optional leading
-        ``name = ...`` assignment returns a new frame with the
-        column appended, otherwise the expression comes back as a
-        Series."""
+        """pandas ``DataFrame.eval``, Spark-first: the expression is
+        parsed with Python's ``ast`` and compiled to ONE Catalyst
+        expression via ``F.expr`` — fully codegen'd, no Python in the
+        loop. The supported subset is arithmetic (incl. ``**``,
+        python-sign ``%``, ``//``), comparisons (chained too),
+        ``in [..]``/``not in``, ``and/or/not``, and column names; one
+        optional leading ``name = ...`` assignment returns a new
+        frame with the column appended, otherwise the expression
+        comes back as a Series."""
         import re as _re
         src = expr.strip()
         target = None
@@ -3301,16 +3381,7 @@ class DataFrame:
                       _re.S)
         if m:
             target, src = m.group(1), m.group(2)
-        # translate python keywords OUTSIDE quoted string literals
-        # only (splitting on quote spans keeps 'x and y' intact)
-        parts = _re.split(r"('[^']*'|\"[^\"]*\")", src)
-        sql = "".join(
-            p if i % 2 else
-            _re.sub(r"\bnot\b", "NOT ",
-                    _re.sub(r"\band\b", " AND ",
-                            _re.sub(r"\bor\b", " OR ", p)))
-            for i, p in enumerate(parts))
-        col = F.expr(sql)
+        col = F.expr(_eval_to_sql(src))
         if target is None:
             from .series import Series
             return Series._make(self._sdf, col, self._index_cols,
@@ -3353,6 +3424,14 @@ class DataFrame:
         index-range filter, pushdown-friendly."""
         if not self._index_cols:
             raise ValueError("truncate needs an index")
+        if before is not None and after is not None:
+            try:
+                inverted = before > after
+            except TypeError:
+                inverted = False
+            if inverted:
+                raise ValueError(
+                    f"Truncate: {after!r} must be after {before!r}")
         key = F.col(self._index_cols[0])
         cond = F.lit(True)
         if before is not None:

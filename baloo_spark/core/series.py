@@ -891,6 +891,14 @@ class Series:
         index-range filter, pushdown-friendly."""
         if not self._index_cols:
             raise ValueError("truncate needs an index")
+        if before is not None and after is not None:
+            try:
+                inverted = before > after
+            except TypeError:
+                inverted = False
+            if inverted:
+                raise ValueError(
+                    f"Truncate: {after!r} must be after {before!r}")
         key = F.col(self._index_cols[0])
         cond = F.lit(True)
         if before is not None:
@@ -1046,13 +1054,21 @@ class Series:
             raise ValueError("asof needs an index")
         k = self._index_cols[0]
         if not isinstance(where, (list, tuple, np.ndarray)):
-            rows = (self._sdf
+            from ..plans.ordinal import POS_COL
+            sdf, alias = self._ordered_sdf("__asof_v__")
+            rows = (sdf
                     .where((F.col(k) <= F.lit(where))
-                           & self._colexpr.isNotNull())
-                    .orderBy(F.col(k).desc())
-                    .select(self._colexpr.alias("v"))
+                           & F.col(alias).isNotNull())
+                    .orderBy(F.col(k).desc(), F.col(POS_COL).desc())
+                    .select(F.col(alias).alias("v"))
                     .limit(1).collect())
-            return rows[0]["v"] if rows else None
+            if rows:
+                return rows[0]["v"]
+            if not self._sdf.limit(1).count():
+                # pandas raises on an empty series (IndexError from
+                # its index[0] probe) — mirror it
+                raise IndexError("asof on an empty Series")
+            return None
         from ..operators.joins import asof_join
         spark = self._sdf.sparkSession
         vname = self.name or _VAL

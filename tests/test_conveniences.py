@@ -67,13 +67,29 @@ def test_eval_catalyst(bl):
         pdf.eval("a > 1 and b < 5").tolist()
     assert df.eval("a > 1 or not (b < 4)").to_pandas().tolist() == \
         pdf.eval("a > 1 or not (b < 4)").tolist()
-    # keywords inside quoted literals stay untouched
+    # keywords inside quoted literals stay untouched (ast compiler)
     ps = pd.DataFrame({"s": ["x and y", "z"], "a": [1., 2.]})
     ds = bl.DataFrame({"s": np.array(["x and y", "z"], dtype=object),
                        "a": ps["a"].to_numpy()})
     assert ds.eval("s == 'x and y' and a > 0").to_pandas().tolist() \
         == ps.eval("s == 'x and y' and a > 0").tolist() \
         == [True, False]
+    # chained comparison, in-lists, **, python-sign % (wave 13)
+    p3 = pd.DataFrame({"a": [1., 2., 3.], "b": [4., 5., 6.]})
+    d3 = bl.DataFrame({k: p3[k].to_numpy() for k in p3})
+    assert d3.eval("1 < a <= 3").to_pandas().tolist() == \
+        p3.eval("1 < a <= 3").tolist()
+    assert d3.eval("a in [1, 3]").to_pandas().tolist() == \
+        p3.eval("a in [1, 3]").tolist()
+    assert d3.eval("a not in [1, 3]").to_pandas().tolist() == \
+        p3.eval("a not in [1, 3]").tolist()
+    npt.assert_allclose(
+        np.asarray(d3.eval("(a + b) ** 2 % 5").to_pandas(),
+                   dtype=float),
+        np.asarray(p3.eval("(a + b) ** 2 % 5"), dtype=float))
+    npt.assert_allclose(
+        np.asarray(d3.eval("-a // 2").to_pandas(), dtype=float),
+        np.asarray(p3.eval("-a // 2"), dtype=float))
 
 
 def test_transform(bl):
@@ -209,6 +225,20 @@ def test_series_groupby_reindex_asof_sinks(bl, tmp_path):
     assert ba.asof(5) is None and np.isnan(pa.asof(5))
     assert ba.asof([15, 35, 45]).to_pandas().tolist() == \
         pa.asof([15, 35, 45]).tolist()
+    # duplicate stamps: the LAST row at the stamp wins, like pandas
+    pd2 = pd.Series([1., 2., 4.], index=[10, 20, 20])
+    bd2 = bl.DataFrame({"k": np.array([10, 20, 20], dtype=np.int64),
+                        "v": pd2.to_numpy()}).set_index("k")["v"]
+    assert bd2.asof(25) == pd2.asof(25) == 4.0
+    # empty series raises like pandas
+    be = bl.DataFrame({"k": np.array([], dtype=np.int64),
+                       "v": np.array([], dtype=float)}) \
+        .set_index("k")["v"]
+    with pytest.raises(IndexError):
+        be.asof(5)
+    # inverted truncate bounds raise like pandas
+    with pytest.raises(ValueError, match="must be after"):
+        ba.truncate(30, 10)
 
     bs.to_csv(str(tmp_path / "s.csv"))
     assert open(tmp_path / "s.csv").read().strip().splitlines()[1:] \
