@@ -208,6 +208,111 @@ def running_user_totals_stream(spark: SparkSession, path: str,
                                     "update", timeout))
 
 
+def ewm_stream(spark: SparkSession, path: str, alpha: float = 0.3,
+               value_col: str = "value",
+               max_files_per_trigger: int | None = None) -> DataFrame:
+    """Per-user streaming EWM mean/var via applyInPandasWithState:
+    the ewm(adjust=False) recurrence IS the canonical streaming
+    statistic (O(1) state per key — mean, cov, sum_wt2, count), and
+    this face shares its math with the batch engine's kernel-state
+    perturbation carry (plans/ordinal.with_ewm_noadjust_stats), so
+    the streaming answer equals groupby().ewm(adjust=False) exactly.
+
+    Per micro-batch the update is VECTORIZED, never a per-row Python
+    loop: pandas' C kernel computes the batch's zero-carry moments
+    and the carried state folds in through the factored perturbation
+    merge (dx = p*(m_in - x1); cov and sum_wt2 corrections from two
+    bounded scalar sums) — identical algebra to the batch scan.
+    Decay is per OBSERVATION (ignore_na=True semantics — the natural
+    stream form; null values are skipped). Rows sort by (ts,
+    event_id) inside each batch; cross-batch order follows source
+    order, the standard file-stream contract.
+
+    Emits one row per key per micro-batch: the latest mean, the
+    debiased variance (NULL until 2 observations), and the running
+    observation count.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    r = 1.0 - alpha
+
+    out_schema = ("user_id LONG, n_obs LONG, ewm_mean DOUBLE, "
+                  "ewm_var DOUBLE")
+    state_schema = "mean DOUBLE, cov DOUBLE, swt2 DOUBLE, n LONG"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            m_in, c_in, v_in, n = state.get
+        else:
+            m_in, c_in, v_in, n = None, 0.0, 1.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            x = x[~np.isnan(x)]
+            k = len(x)
+            if k == 0:
+                continue
+            kw = dict(alpha=alpha, adjust=False, min_periods=0)
+            s = pd.Series(x)
+            m0 = s.ewm(**kw).mean().iloc[-1]
+            c0 = s.ewm(**kw).var(bias=True).iloc[-1]
+            if np.isnan(c0):
+                c0 = 0.0
+            syn = pd.Series(np.arange(k, dtype=np.float64))
+            vb = syn.ewm(**kw).var(bias=True).iloc[-1]
+            vu = syn.ewm(**kw).var(bias=False).iloc[-1]
+            v0 = 1.0 if k == 1 or not np.isfinite(vu) or vu == 0 \
+                else 1.0 - vb / vu
+            if m_in is None:
+                m_in, c_in, v_in = m0, c0, v0
+            else:
+                # fold the carried state in at the batch's first obs
+                # (A = r: per-observation decay), then contract the
+                # perturbations through the batch — same factored
+                # algebra as the batch scan, all O(k) numpy
+                w_ = r + alpha
+                p_, s_ = r / w_, alpha / w_
+                Dx = m_in - x[0]
+                dx = p_ * Dx
+                coef = (r * s_ * s_ + alpha * p_ * p_) / w_
+                gxx = (r * c_in) / w_ + Dx * Dx * coef
+                nu = (v_in * r * r + alpha * alpha) / (w_ * w_) - 1.0
+                P = r ** (k - 1)
+                m0_all = s.ewm(**kw).mean().to_numpy()
+                if k > 1:
+                    SX = float(np.sum(alpha * (m0_all[:-1] - x[1:])))
+                    SP = float(np.sum(alpha * r ** np.arange(k - 1)))
+                else:
+                    SX, SP = 0.0, 0.0
+                m_in = m0 + P * dx
+                c_in = c0 + P * (gxx + 2 * dx * SX + dx * dx * SP)
+                v_in = v0 + P * P * nu
+            n += k
+        state.update((float(m_in) if m_in is not None else None,
+                      float(c_in), float(v_in), n))
+        D = 1.0 - v_in
+        var = (max(c_in, 0.0) / D) if (n >= 2 and D > 0) else None
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_obs": [n],
+            "ewm_mean": [None if m_in is None else float(m_in)],
+            "ewm_var": [None if var is None else float(var)]})
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    stream = reader.parquet(path)
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def stream_stream_join(spark: SparkSession, left_path: str,
                        right_path: str, gap_sec: int = 3600,
                        watermark: str = "2 hours") -> DataFrame:

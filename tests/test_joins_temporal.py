@@ -449,3 +449,74 @@ def test_asof_duplicate_right_timestamps_pandas_tiebreak(spark):
             want = {int(t): (None if pd.isna(v) else v)
                     for t, v in zip(want["ts"], want["rv"])}
             assert got == want, (direction, exact, got, want)
+
+
+def test_stateful_ewm_stream_matches_batch(spark, tmp_path):
+    """r7: per-user streaming EWM (applyInPandasWithState, O(1)
+    state per key, vectorized micro-batch update via the factored
+    perturbation merge) must equal the pandas batch twin exactly —
+    per-user ewm(adjust=False).mean()/var() last values — including
+    across micro-batch boundaries (the source is written as several
+    files so availableNow replays multiple batches)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from baloo_spark.streaming.events import ewm_stream, load_events
+
+    ev = load_events(spark, SF)
+    path = str(tmp_path / "ev_ewm")
+    # time-sliced files + maxFilesPerTrigger=1 => several
+    # micro-batches per key in time order (the cross-batch carry
+    # path is the thing under test)
+    import os as _os
+    import time as _time
+    pall = (ev.select("event_id", "ts", "user_id", "event_type",
+                      "value", "props")
+            .toPandas().sort_values(["ts", "event_id"]))
+    _os.makedirs(path, exist_ok=True)
+    cuts = [0, len(pall) // 3, 2 * len(pall) // 3, len(pall)]
+    for i, (a, b) in enumerate(zip(cuts[:-1], cuts[1:])):
+        chunk = spark.createDataFrame(pall.iloc[a:b])
+        chunk.coalesce(1).write.mode("append").parquet(
+            f"{path}/slice={i}")
+        _time.sleep(0.05)
+    path = f"{path}/slice=*"
+
+    stream = ewm_stream(spark, path, alpha=0.3,
+                        max_files_per_trigger=1)
+    q = (stream.writeStream.format("memory").queryName("t_ewm")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("t_ewm").collect()
+    # several micro-batches must actually have run (update mode
+    # emits one row per key per batch) — else the carry path was
+    # never exercised
+    from collections import Counter
+    per_key = Counter(r["user_id"] for r in rows)
+    assert max(per_key.values()) > 1, "expected multiple micro-batches"
+    # update mode can emit several rows per key; the LAST by n_obs
+    # is the final state
+    got = {}
+    for r in rows:
+        if r["user_id"] not in got or r["n_obs"] > got[r["user_id"]][0]:
+            got[r["user_id"]] = (r["n_obs"], r["ewm_mean"],
+                                 r["ewm_var"])
+
+    pdf = (ev.select("user_id", "ts", "event_id", "value")
+           .toPandas().sort_values(["ts", "event_id"]))
+    fails = 0
+    for uid, g in pdf.groupby("user_id"):
+        vals = g["value"].dropna()
+        n, m, v = got[uid]
+        assert n == len(vals), uid
+        wm = vals.ewm(alpha=0.3, adjust=False).mean().iloc[-1] \
+            if len(vals) else None
+        wv = vals.ewm(alpha=0.3, adjust=False).var().iloc[-1] \
+            if len(vals) else None
+        if wm is not None and not np.isclose(m, wm, rtol=1e-9):
+            fails += 1
+        if wv is not None and not (
+                (v is None and np.isnan(wv))
+                or np.isclose(v, wv, rtol=1e-8)):
+            fails += 1
+    assert fails == 0 and len(got) > 0
