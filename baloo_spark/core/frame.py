@@ -3442,6 +3442,97 @@ class DataFrame:
                                self._index_cols, self._data_cols,
                                self._order)
 
+    def _tod_micros(self):
+        """Microseconds-of-day of the (timestamp) index column."""
+        if not self._index_cols:
+            raise ValueError("needs a timestamp index")
+        t = F.col(self._index_cols[0]).cast("timestamp")
+        return F.unix_micros(t) - F.unix_micros(F.date_trunc("DAY", t))
+
+    @staticmethod
+    def _parse_tod(t) -> int:
+        import pandas as pd
+        ts = pd.Timestamp(f"1970-01-01 {t}") if isinstance(t, str) \
+            else pd.Timestamp.combine(pd.Timestamp(0), t)
+        return int(ts.value // 1000)
+
+    def at_time(self, time) -> "DataFrame":
+        """Rows whose index time-of-day equals ``time`` (pandas
+        ``at_time``) — one exact integer filter on microseconds of
+        day, pushdown-friendly."""
+        cond = self._tod_micros() == F.lit(self._parse_tod(time))
+        return DataFrame._make(self._sdf.where(cond),
+                               self._index_cols, self._data_cols,
+                               self._order)
+
+    def between_time(self, start_time, end_time,
+                     inclusive: str = "both") -> "DataFrame":
+        """Rows whose index time-of-day lies between ``start_time``
+        and ``end_time`` (pandas ``between_time``; wraps midnight
+        when start > end) — pure integer filters."""
+        if inclusive not in ("both", "neither", "left", "right"):
+            raise ValueError(f"bad inclusive {inclusive!r}")
+        s = self._parse_tod(start_time)
+        e = self._parse_tod(end_time)
+        tod = self._tod_micros()
+        lo = tod >= s if inclusive in ("both", "left") else tod > s
+        hi = tod <= e if inclusive in ("both", "right") else tod < e
+        cond = (lo & hi) if s <= e else (lo | hi)
+        return DataFrame._make(self._sdf.where(cond),
+                               self._index_cols, self._data_cols,
+                               self._order)
+
+    def asfreq(self, freq: str, method: str | None = None,
+               fill_value=None) -> "DataFrame":
+        """Conform to a fixed-frequency grid (pandas ``asfreq``),
+        Spark-first: the grid is a DISTRIBUTED ``date_range``
+        (spark.range arithmetic — a year at 1s is 31M rows that never
+        touch the driver; only the two boundary stamps do), then ONE
+        join: exact equi-join for ``method=None`` (off-grid originals
+        drop, like pandas), or the engine's as-of join for
+        ``method='ffill'/'bfill'`` (each grid stamp takes the
+        last/next original row — pandas reindex-method semantics).
+        ``fill_value`` fills only the INTRODUCED cells."""
+        from .. import date_range
+        if method not in (None, "ffill", "bfill", "pad", "backfill"):
+            raise ValueError(f"bad method {method!r}")
+        if not self._index_cols:
+            raise ValueError("asfreq needs a timestamp index")
+        k = self._index_cols[0]
+        lohi = self._sdf.agg(F.min(k).alias("lo"),
+                             F.max(k).alias("hi")).first()
+        if lohi["lo"] is None:
+            return self
+        grid = date_range(str(lohi["lo"]), str(lohi["hi"]),
+                          freq=freq)
+        gsdf, galias = grid._select("__grid_ts__")
+        gsdf = gsdf.select(F.col(galias).alias(k))
+        data = list(self._data_cols)
+        if method in ("ffill", "pad", "bfill", "backfill"):
+            from ..operators.joins import asof_join
+            right = self._sdf.select(
+                F.col(k), *[F.col(c) for c in data])
+            direction = ("backward"
+                         if method in ("ffill", "pad") else "forward")
+            out = asof_join(gsdf, right, on=k, direction=direction,
+                            suffix="")
+            keep = [c if c in out.columns else f"{c}" for c in data]
+            out = out.select(k, *keep)
+        else:
+            right = self._sdf.select(
+                F.col(k).alias("__orig_k__"),
+                *[F.col(c) for c in data])
+            out = gsdf.join(
+                right, F.col(k) == F.col("__orig_k__"), "left")
+            if fill_value is not None:
+                intro = F.col("__orig_k__").isNull()
+                for c in data:
+                    out = out.withColumn(
+                        c, F.when(intro, F.lit(fill_value))
+                        .otherwise(F.col(c)))
+            out = out.drop("__orig_k__")
+        return DataFrame._make(out, [k], data, [(k, True)])
+
     @classmethod
     def from_dict(cls, data: dict, orient: str = "columns"):
         """pandas ``DataFrame.from_dict`` — driver-sized input by

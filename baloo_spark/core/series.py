@@ -1084,6 +1084,27 @@ class Series:
                                    rows[0][vcol], str) else float),
                       name=self.name)
 
+    def at_time(self, time) -> "Series":
+        """pandas ``Series.at_time`` — frame delegation (one exact
+        integer time-of-day filter)."""
+        fr = self._to_frame_for_io().at_time(time)
+        return fr[fr._data_cols[0]]
+
+    def between_time(self, start_time, end_time,
+                     inclusive: str = "both") -> "Series":
+        """pandas ``Series.between_time`` — frame delegation."""
+        fr = self._to_frame_for_io().between_time(
+            start_time, end_time, inclusive=inclusive)
+        return fr[fr._data_cols[0]]
+
+    def asfreq(self, freq: str, method: str | None = None,
+               fill_value=None) -> "Series":
+        """pandas ``Series.asfreq`` — frame delegation (distributed
+        date_range grid + one equi/as-of join)."""
+        fr = self._to_frame_for_io().asfreq(
+            freq, method=method, fill_value=fill_value)
+        return fr[fr._data_cols[0]]
+
     def to_csv(self, filepath: str, **kw):
         """CSV sink — the one-column frame delegation of
         :meth:`DataFrame.to_csv` (same single_file= contract)."""

@@ -243,3 +243,48 @@ def test_series_groupby_reindex_asof_sinks(bl, tmp_path):
     bs.to_csv(str(tmp_path / "s.csv"))
     assert open(tmp_path / "s.csv").read().strip().splitlines()[1:] \
         == ["a,1.0", "b,2.0"]
+
+
+def test_time_of_day_and_asfreq(bl):
+    """at_time/between_time (integer microsecond-of-day filters,
+    midnight wrap, inclusive= flavors) and asfreq (distributed
+    date_range grid + one equi/as-of join; method= takes the
+    last/next ORIGINAL row like pandas reindex, fill_value fills
+    only introduced cells) — frame and Series faces."""
+    idx = pd.date_range("2024-01-01 08:00", periods=6, freq="7h")
+    pdf = pd.DataFrame({"v": np.arange(6.)}, index=idx)
+    bdf = bl.DataFrame({"v": pdf["v"].to_numpy()})
+    bdf["t"] = bl.Series(idx.to_numpy())
+    bdf = bdf.set_index("t")
+    assert bdf.at_time("08:00").to_pandas()["v"].tolist() == \
+        pdf.at_time("08:00")["v"].tolist()
+    for args, kw in ((("09:00", "23:00"), {}),
+                     (("22:00", "09:00"), {}),          # wraps
+                     (("08:00", "22:00"), {"inclusive": "left"}),
+                     (("08:00", "22:00"), {"inclusive": "neither"})):
+        got = sorted(bdf.between_time(*args, **kw)
+                     .to_pandas()["v"].tolist())
+        want = sorted(pdf.between_time(*args, **kw)["v"].tolist())
+        assert got == want, (args, kw)
+    # Series face
+    sv = bdf["v"]
+    assert sorted(sv.between_time("09:00", "23:00")
+                  .to_pandas().tolist()) == \
+        sorted(pdf["v"].between_time("09:00", "23:00").tolist())
+
+    s = pd.DataFrame({"v": [1., 2.]},
+                     index=pd.to_datetime(["2024-01-01",
+                                           "2024-01-03"]))
+    b = bl.DataFrame({"v": s["v"].to_numpy()})
+    b["t"] = bl.Series(s.index.to_numpy())
+    b = b.set_index("t")
+    assert b.asfreq("D").to_pandas()["v"].fillna(-9).tolist() == \
+        s.asfreq("D")["v"].fillna(-9).tolist()
+    assert b.asfreq("D", method="ffill").to_pandas()["v"].tolist() \
+        == s.asfreq("D", method="ffill")["v"].tolist()
+    assert b.asfreq("12h", fill_value=0.).to_pandas()["v"].tolist() \
+        == s.asfreq("12h", fill_value=0.)["v"].tolist()
+    assert [str(x) for x in b.asfreq("D").to_pandas().index] == \
+        [str(x) for x in s.asfreq("D").index]
+    assert b["v"].asfreq("D", method="bfill").to_pandas().tolist() \
+        == s["v"].asfreq("D", method="bfill").tolist()
