@@ -3533,6 +3533,45 @@ class DataFrame:
             out = out.drop("__orig_k__")
         return DataFrame._make(out, [k], data, [(k, True)])
 
+    def asof(self, where):
+        """Latest row without any NaN at or before label(s) ``where``
+        (pandas ``DataFrame.asof``). A scalar pays one ordered
+        limit-1 probe (returns a pandas Series row); a label list
+        rides the engine's as-of join over the all-columns-valid row
+        subset (returns a frame, no per-label loop)."""
+        import pandas as pd
+        if not self._index_cols:
+            raise ValueError("asof needs an index")
+        k = self._index_cols[0]
+        data = list(self._data_cols)
+        allv = None
+        for c in data:
+            n = F.col(c).isNotNull()
+            allv = n if allv is None else (allv & n)
+        if not isinstance(where, (list, tuple, np.ndarray)):
+            rows = (self._sdf.where((F.col(k) <= F.lit(where))
+                                    & (allv if allv is not None
+                                       else F.lit(True)))
+                    .orderBy(F.col(k).desc())
+                    .select(*data).limit(1).collect())
+            if rows:
+                return pd.Series(rows[0].asDict(), name=where)
+            return pd.Series({c: np.nan for c in data}, name=where)
+        from ..operators.joins import asof_join
+        spark = self._sdf.sparkSession
+        left = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(where)], ["__wpos__", k])
+        right = (self._sdf.where(allv if allv is not None
+                                 else F.lit(True))
+                 .select(F.col(k), *data))
+        out = asof_join(left, right, on=k, direction="backward")
+        cols = [c if c in out.columns else f"{c}_right"
+                for c in data]
+        out = out.orderBy("__wpos__").select(
+            F.col(k), *[F.col(c).alias(d)
+                        for c, d in zip(cols, data)])
+        return DataFrame._make(out, [k], data, [(k, True)])
+
     @classmethod
     def from_dict(cls, data: dict, orient: str = "columns"):
         """pandas ``DataFrame.from_dict`` — driver-sized input by

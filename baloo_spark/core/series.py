@@ -1105,6 +1105,26 @@ class Series:
             freq, method=method, fill_value=fill_value)
         return fr[fr._data_cols[0]]
 
+    def update(self, other: "Series") -> "Series":
+        """pandas ``Series.update`` (returning a NEW Series — the
+        engine is immutable, same contract as
+        :meth:`DataFrame.update`): overwrite values with ``other``'s
+        non-null values at matching index labels; self's row set
+        never changes (one left join). Duplicate labels in ``other``
+        raise like the frame face."""
+        from .frame import DataFrame
+        if not self._index_cols or not other._index_cols:
+            raise ValueError("update needs an index on both sides")
+        k = self._index_cols[0]
+        vname = self.name or _VAL
+        fr = self._to_frame_for_io()
+        ok_ = other._index_cols[0]
+        osdf, oa = other._select("__updv__")
+        osdf = osdf.select(F.col(ok_).alias(k),
+                           F.col(oa).alias(vname))
+        ofr = DataFrame._make(osdf, [k], [vname], None)
+        return fr.update(ofr)[vname]
+
     def to_csv(self, filepath: str, **kw):
         """CSV sink — the one-column frame delegation of
         :meth:`DataFrame.to_csv` (same single_file= contract)."""

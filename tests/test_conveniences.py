@@ -288,3 +288,28 @@ def test_time_of_day_and_asfreq(bl):
         [str(x) for x in s.asfreq("D").index]
     assert b["v"].asfreq("D", method="bfill").to_pandas().tolist() \
         == s["v"].asfreq("D", method="bfill").tolist()
+
+
+def test_frame_asof_series_update(bl):
+    """DataFrame.asof (scalar -> pandas row via one ordered limit-1
+    probe over the all-valid row subset; lists ride the as-of join)
+    and Series.update (new-Series contract like DataFrame.update)."""
+    pdf = pd.DataFrame({"a": [1., np.nan, 3.], "b": [4., 5., np.nan]},
+                       index=[10, 20, 30])
+    bdf = bl.DataFrame({"k": np.array([10, 20, 30], dtype=np.int64),
+                        "a": pdf["a"].to_numpy(),
+                        "b": pdf["b"].to_numpy()}).set_index("k")
+    assert bdf.asof(25).tolist() == pdf.asof(25).tolist()
+    assert [str(x) for x in bdf.asof(5).tolist()] == \
+        [str(x) for x in pdf.asof(5).tolist()]     # all-NaN row
+    assert bdf.asof([25, 35]).to_pandas().values.tolist() == \
+        pdf.asof([25, 35]).values.tolist()
+
+    ps = pd.Series([1., 2.], index=["a", "b"])
+    bs = bl.DataFrame({"k": np.array(["a", "b"], dtype=object),
+                       "v": ps.to_numpy()}).set_index("k")["v"]
+    bo = bl.DataFrame({"k": np.array(["b"], dtype=object),
+                       "v": np.array([9.])}).set_index("k")["v"]
+    ps.update(pd.Series([9.], index=["b"]))
+    assert sorted(bs.update(bo).to_pandas().tolist()) == \
+        sorted(ps.tolist())
