@@ -3572,6 +3572,173 @@ class DataFrame:
                         for c, d in zip(cols, data)])
         return DataFrame._make(out, [k], data, [(k, True)])
 
+    def dot(self, other):
+        """Matrix product (pandas ``DataFrame.dot``): ``other`` is
+        indexed by THIS frame's columns, so it is k x m with k = the
+        column count — driver-sized BY CONSTRUCTION. It collects
+        once and the product compiles to a PURE PROJECTION (m linear
+        combinations of the k columns, whole-stage codegen) — no
+        shuffle, no join, scales with the big side's scan."""
+        import pandas as pd
+        cols = self._numeric_cols()
+        if isinstance(other, DataFrame):
+            opdf = other.to_pandas()
+        elif isinstance(other, pd.DataFrame):
+            opdf = other
+        else:
+            from .series import Series as _S
+            if isinstance(other, _S):
+                opdf = other.to_pandas().to_frame("__dot__")
+            elif isinstance(other, pd.Series):
+                opdf = other.to_frame("__dot__")
+            else:
+                opdf = pd.DataFrame(np.asarray(other))
+                opdf.index = cols[:len(opdf)]
+        missing = [c for c in cols if c not in opdf.index]
+        if missing or len(opdf.index) != len(cols):
+            raise ValueError("matrices are not aligned")
+        exprs = []
+        for j in opdf.columns:
+            terms = [F.col(c) * F.lit(float(opdf.loc[c, j]))
+                     for c in cols]
+            e = terms[0]
+            for t in terms[1:]:
+                e = e + t
+            exprs.append(e.alias(str(j)))
+        keep = [F.col(c) for c in self._sdf.columns
+                if c not in self._data_cols]
+        out = self._sdf.select(*keep, *exprs)
+        names = [str(j) for j in opdf.columns]
+        res = DataFrame._make(out, self._index_cols, names,
+                              self._order)
+        return res[names[0]] if opdf.columns.tolist() == ["__dot__"] \
+            else res
+
+    def xs(self, key):
+        """Cross-section at index label ``key`` (pandas ``xs``,
+        single-level flavor): the matching ROW as a pandas Series —
+        an explicit driver-side fetch like ``iloc`` scalars.
+        Duplicate labels return a frame instead."""
+        import pandas as pd
+        if not self._index_cols:
+            raise ValueError("xs needs an index")
+        k = self._index_cols[0]
+        sel = self._sdf.where(F.col(k) == F.lit(key))
+        rows = sel.select(*self._data_cols).limit(2).collect()
+        if not rows:
+            raise KeyError(key)
+        if len(rows) > 1:
+            return DataFrame._make(sel, self._index_cols,
+                                   self._data_cols, self._order)
+        return pd.Series(rows[0].asDict(), name=key)
+
+    def reindex_like(self, other: "DataFrame",
+                     fill_value=None) -> "DataFrame":
+        """Conform to ``other``'s index and columns (pandas
+        ``reindex_like``), fully DISTRIBUTED on the row axis:
+        other's index column left-joins this frame — no driver-side
+        label collect, unlike the list-driven :meth:`reindex`."""
+        if not self._index_cols or not other._index_cols:
+            raise ValueError("reindex_like needs an index on both")
+        k = self._index_cols[0]
+        ok_ = other._index_cols[0]
+        labels = other._sdf.select(F.col(ok_).alias(k)).distinct()
+        marked = self._sdf.withColumn("__had__", F.lit(True))
+        out = labels.join(marked, k, "left")
+        fv = F.lit(fill_value)
+        data = []
+        for c in other._data_cols:
+            if c in self._data_cols:
+                e = (F.when(F.col("__had__").isNull(), fv)
+                     .otherwise(F.col(c))
+                     if fill_value is not None else F.col(c))
+            else:
+                e = fv if fill_value is not None \
+                    else F.lit(None).cast("double")
+            data.append(e.alias(c))
+        out = out.select(F.col(k), *data)
+        return DataFrame._make(out, [k], list(other._data_cols),
+                               [(k, True)])
+
+    def combine(self, other: "DataFrame", func,
+                fill_value=None) -> "DataFrame":
+        """pandas ``DataFrame.combine``: column-wise ``func(s1, s2)``
+        over the index-aligned pair. Engine flavor: ``func``
+        receives ENGINE Series (lazy Column expressions over the
+        joined plan) and must return one — compositions of Series
+        ops stay whole-stage codegen'd, one join total. Columns
+        present on one side only come through as NULL (or
+        ``fill_value``)."""
+        if not self._index_cols or not other._index_cols:
+            raise ValueError("combine needs an index on both sides")
+        from .series import Series
+        k = self._index_cols[0]
+        ok_ = other._index_cols[0]
+        lsdf = self._sdf.select(
+            F.col(k), *[F.col(c).alias(f"__l_{c}__")
+                        for c in self._data_cols])
+        rsdf = other._sdf.select(
+            F.col(ok_).alias(k),
+            *[F.col(c).alias(f"__r_{c}__")
+              for c in other._data_cols])
+        j = lsdf.join(rsdf, k, "full_outer")
+        cols = list(dict.fromkeys(
+            list(self._data_cols) + list(other._data_cols)))
+        fv = F.lit(fill_value) if fill_value is not None else None
+
+        def side(pref, c, have):
+            if not have:
+                return F.lit(None).cast("double") if fv is None else fv
+            e = F.col(f"__{pref}_{c}__")
+            return F.coalesce(e, fv) if fv is not None else e
+
+        exprs = []
+        for c in cols:
+            s1 = Series._make(j, side("l", c, c in self._data_cols),
+                              [k], c, [(k, True)])
+            s2 = Series._make(j, side("r", c, c in other._data_cols),
+                              [k], c, [(k, True)])
+            res = func(s1, s2)
+            col = res._colexpr if isinstance(res, Series) else res
+            exprs.append(col.alias(c))
+        out = j.select(F.col(k), *exprs)
+        return DataFrame._make(out, [k], cols, [(k, True)])
+
+    def align(self, other: "DataFrame", join: str = "outer"):
+        """Pair of index-aligned frames (pandas ``DataFrame.align``,
+        row axis): ONE join by the index, both results reading the
+        same joined plan; the column sets align to their union with
+        NULL columns for the missing side."""
+        if join not in ("outer", "inner", "left", "right"):
+            raise ValueError(f"bad join {join!r}")
+        if not self._index_cols or not other._index_cols:
+            raise ValueError("align needs an index on both sides")
+        how = {"outer": "full_outer", "inner": "inner",
+               "left": "left", "right": "right"}[join]
+        k = self._index_cols[0]
+        ok_ = other._index_cols[0]
+        lsdf = self._sdf.select(
+            F.col(k), *[F.col(c).alias(f"__l_{c}__")
+                        for c in self._data_cols])
+        rsdf = other._sdf.select(
+            F.col(ok_).alias(k),
+            *[F.col(c).alias(f"__r_{c}__")
+              for c in other._data_cols])
+        j = lsdf.join(rsdf, k, how)
+        cols = list(dict.fromkeys(
+            list(self._data_cols) + list(other._data_cols)))
+
+        def face(pref, have):
+            sel = [F.col(k)] + [
+                (F.col(f"__{pref}_{c}__") if c in have
+                 else F.lit(None).cast("double")).alias(c)
+                for c in cols]
+            return DataFrame._make(j.select(*sel), [k], cols,
+                                   [(k, True)])
+
+        return (face("l", set(self._data_cols)),
+                face("r", set(other._data_cols)))
+
     @classmethod
     def from_dict(cls, data: dict, orient: str = "columns"):
         """pandas ``DataFrame.from_dict`` — driver-sized input by

@@ -1105,6 +1105,98 @@ class Series:
             freq, method=method, fill_value=fill_value)
         return fr[fr._data_cols[0]]
 
+    def factorize(self):
+        """pandas ``Series.factorize`` — delegates to the top-level
+        face (one distinct job + a broadcast literal map; 100k-unique
+        guard)."""
+        from .. import factorize as _fz
+        return _fz(self)
+
+    def resample(self, freq: str):
+        """pandas ``Series.resample`` over the (timestamp) index —
+        frame delegation to the bucket hash-agg + generated gap grid
+        machinery; ``.sum/mean/count/min/max/var/std`` return the
+        value column per bucket."""
+        if not self._index_cols:
+            raise ValueError("resample needs a timestamp index")
+        from .frame import DataFrame
+        k = self._index_cols[0]
+        vname = self.name or _VAL
+        sdf, a = self._select(vname)
+        # the index rides as a DATA column: _Resampler buckets `on`
+        # and aggregates the remaining numeric columns
+        fr = DataFrame._make(sdf, [], [k, a], self._order)
+        return fr.resample(freq, on=k)
+
+    def reindex_like(self, other: "Series",
+                     fill_value=None) -> "Series":
+        """Conform to ``other``'s index (pandas ``reindex_like``),
+        fully DISTRIBUTED: other's index column left-joins this
+        Series — no driver-side label collect, unlike the
+        list-driven :meth:`reindex`."""
+        if not self._index_cols or not other._index_cols:
+            raise ValueError("reindex_like needs an index on both")
+        k = self._index_cols[0]
+        ok_ = other._index_cols[0]
+        vname = self.name or _VAL
+        sdf, a = self._select(vname)
+        labels = other._sdf.select(F.col(ok_).alias(k)).distinct()
+        out = labels.join(sdf, k, "left")
+        if fill_value is not None:
+            # cells introduced by reindexing fill; matched NULLs stay
+            marked = sdf.withColumn("__had__", F.lit(True))
+            out = labels.join(marked, k, "left").withColumn(
+                a, F.when(F.col("__had__").isNull(),
+                          F.lit(fill_value)).otherwise(F.col(a)))                 .drop("__had__")
+        return Series._make(out, F.col(a), [k], self.name,
+                            [(k, True)])
+
+    def combine(self, other: "Series", func,
+                fill_value=None) -> "Series":
+        """pandas ``Series.combine``: elementwise ``func(a, b)`` over
+        the aligned pair. An arbitrary python scalar function is the
+        honest slow path — Arrow-batched (one pandas_udf over the
+        zipped pair), never a driver loop."""
+        from ..functions._udf import scalar_pandas_udf
+        import pandas as pd
+        sdf, a, b = self._pair_sdf(other)
+        fv = fill_value
+
+        def batch(cols) -> pd.Series:
+            # struct inputs arrive as a pandas DataFrame with the
+            # field names as columns (Arrow struct batching)
+            xs = cols["a"] if hasattr(cols, "columns") else \
+                pd.Series([st["a"] for st in cols])
+            ys = cols["b"] if hasattr(cols, "columns") else \
+                pd.Series([st["b"] for st in cols])
+            out = []
+            for x, y in zip(xs, ys):
+                x = fv if x is None or (isinstance(x, float)
+                                        and x != x) else x
+                y = fv if y is None or (isinstance(y, float)
+                                        and y != y) else y
+                out.append(func(x, y))
+            return pd.Series(out)
+
+        udf = scalar_pandas_udf(batch, self.spark_type)
+        pair = F.struct(a.alias("a"), b.alias("b"))
+        keys = [c for c in self._index_cols
+                if c in other._index_cols]
+        if not keys:
+            from ..plans.ordinal import POS_COL
+            keys = [POS_COL] if POS_COL in sdf.columns else []
+        out = sdf.withColumn("__cmb__", udf(pair))
+        return Series._make(out, F.col("__cmb__"), keys, self.name,
+                            [(kk, True) for kk in keys])
+
+    @property
+    def loc(self):
+        """Label-based selection (pandas ``Series.loc``): scalar
+        label (KeyError when absent; duplicate labels return a
+        Series), label lists (broadcast-joined past the literal
+        budget, like isin), and boolean masks."""
+        return _SeriesLoc(self)
+
     def update(self, other: "Series") -> "Series":
         """pandas ``Series.update`` (returning a NEW Series — the
         engine is immutable, same contract as
@@ -2747,3 +2839,37 @@ class _SeriesILoc:
             return Series._make(out, F.col(alias), self._sr._index_cols,
                                 self._sr.name, [(ORD_COL, True)])
         raise TypeError(f"unsupported iloc key: {type(key)}")
+
+
+class _SeriesLoc:
+    """Label indexer behind :attr:`Series.loc`."""
+
+    def __init__(self, sr: "Series"):
+        self._sr = sr
+
+    def __getitem__(self, key):
+        sr = self._sr
+        if isinstance(key, slice):
+            if key == slice(None):
+                return sr
+            raise TypeError("label slices are not supported in loc; "
+                            "use iloc for positional slices")
+        if isinstance(key, Series):
+            return sr[key]                        # boolean mask path
+        if not sr._index_cols:
+            raise ValueError("loc needs an index")
+        k = sr._index_cols[0]
+        if isinstance(key, (list, tuple, np.ndarray)):
+            labels = list(key)
+            hit = (sr._sdf.where(F.col(k).isin(*labels))
+                   .select(F.col(k).alias("h")).distinct().count())
+            if hit < len(set(labels)):
+                raise KeyError(f"{labels!r} not all in index")
+            out = sr._sdf.where(F.col(k).isin(*labels))
+            return Series._make(out, sr._colexpr, sr._index_cols,
+                                sr.name, sr._order)
+        sentinel = object()
+        got = sr.get(key, sentinel)
+        if got is sentinel:
+            raise KeyError(key)
+        return got

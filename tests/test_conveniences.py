@@ -313,3 +313,90 @@ def test_frame_asof_series_update(bl):
     ps.update(pd.Series([9.], index=["b"]))
     assert sorted(bs.update(bo).to_pandas().tolist()) == \
         sorted(ps.tolist())
+
+
+def test_final_gap_batch(bl):
+    """dot (projection-based matmul — other is k x m with k = the
+    column count, driver-sized by construction; no shuffle), xs,
+    reindex_like (DISTRIBUTED: other's index joins, no label
+    collect), combine (frame func gets ENGINE Series — lazy; Series
+    func is the Arrow-batched honest slow path), align at frame
+    level, Series loc/factorize/resample."""
+    pa = pd.DataFrame({"x": [1., 2.], "y": [3., 4.]})
+    pb = pd.DataFrame({"p": [1., 0.], "q": [0., 2.]},
+                      index=["x", "y"])
+    da = bl.DataFrame({k: pa[k].to_numpy() for k in pa})
+    assert da.dot(pb).to_pandas().values.tolist() == \
+        pa.dot(pb).values.tolist()
+    assert da.dot(pd.Series([2., 1.], index=["x", "y"])) \
+        .to_pandas().tolist() == \
+        pa.dot(pd.Series([2., 1.], index=["x", "y"])).tolist()
+    with pytest.raises(ValueError, match="not aligned"):
+        da.dot(pd.DataFrame({"p": [1.]}, index=["x"]))
+
+    pdf = pd.DataFrame({"a": [1., 2.], "b": [3., 4.]},
+                       index=["u", "w"])
+    bdf = bl.DataFrame({"k": np.array(["u", "w"], dtype=object),
+                        "a": pdf["a"].to_numpy(),
+                        "b": pdf["b"].to_numpy()}).set_index("k")
+    assert bdf.xs("w").tolist() == pdf.xs("w").tolist()
+    with pytest.raises(KeyError):
+        bdf.xs("zz")
+
+    p1 = pd.DataFrame({"a": [1., 2.]}, index=["u", "w"])
+    p2 = pd.DataFrame({"a": [0.] * 3, "b": [0.] * 3},
+                      index=["w", "z", "u"])
+    b1 = bl.DataFrame({"k": np.array(["u", "w"], dtype=object),
+                       "a": p1["a"].to_numpy()}).set_index("k")
+    b2 = bl.DataFrame({"k": np.array(["w", "z", "u"], dtype=object),
+                       "a": p2["a"].to_numpy(),
+                       "b": p2["b"].to_numpy()}).set_index("k")
+    got = b1.reindex_like(b2).to_pandas().sort_index()
+    want = p1.reindex_like(p2).sort_index()
+    assert got["a"].fillna(-9).tolist() == \
+        want["a"].fillna(-9).tolist()
+    assert got["b"].isna().all() and want["b"].isna().all()
+    assert sorted(b1["a"].reindex_like(b2["a"]).to_pandas()
+                  .fillna(-9).tolist()) == \
+        sorted(p1["a"].reindex_like(p2["a"]).fillna(-9).tolist())
+
+    pc = pd.DataFrame({"a": [1., 5.]}, index=[0, 1])
+    po = pd.DataFrame({"a": [4., 2.]}, index=[0, 1])
+    bc = bl.DataFrame({"k": np.array([0, 1], dtype=np.int64),
+                       "a": pc["a"].to_numpy()}).set_index("k")
+    bo = bl.DataFrame({"k": np.array([0, 1], dtype=np.int64),
+                       "a": po["a"].to_numpy()}).set_index("k")
+    got = bc.combine(bo, lambda s1, s2: s1.where(s1 > s2, s2)) \
+        .to_pandas().sort_index()
+    assert got["a"].tolist() == \
+        pc.combine(po, np.maximum).sort_index()["a"].tolist()
+    ga, gb = bc.align(bo, join="inner")
+    wa, wb = pc.align(po, join="inner")
+    assert ga.to_pandas().sort_index()["a"].tolist() == \
+        wa.sort_index()["a"].tolist()
+
+    s = pd.Series([1., 5.])
+    o = pd.Series([4., 2.])
+    assert bl.Series(s.to_numpy()).combine(
+        bl.Series(o.to_numpy()), max).to_pandas().tolist() == \
+        s.combine(o, max).tolist()
+    ps = pd.Series([7., 8.], index=["a", "b"])
+    bs = bl.DataFrame({"k": np.array(["a", "b"], dtype=object),
+                       "v": ps.to_numpy()}).set_index("k")["v"]
+    assert bs.loc["b"] == ps.loc["b"]
+    assert sorted(bs.loc[["a", "b"]].to_pandas().tolist()) == \
+        sorted(ps.loc[["a", "b"]].tolist())
+    with pytest.raises(KeyError):
+        bs.loc["zz"]
+    codes, uniq = bl.Series(
+        np.array(["b", "a", "b"], dtype=object)).factorize()
+    pcodes, puniq = pd.factorize(pd.Series(["b", "a", "b"]),
+                                 sort=True)
+    assert codes.to_pandas().tolist() == pcodes.tolist()
+    assert list(uniq) == list(puniq)
+    ts = pd.date_range("2024-01-01", periods=4, freq="12h")
+    pr = pd.Series([1., 2., 3., 4.], index=ts)
+    br = bl.DataFrame({"t": ts.to_numpy(),
+                       "v": pr.to_numpy()}).set_index("t")["v"]
+    assert br.resample("1D").sum().to_pandas()["v"].tolist() == \
+        pr.resample("1D").sum().tolist()
