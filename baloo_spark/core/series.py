@@ -838,13 +838,31 @@ class Series:
             raise ValueError("drop needs an index")
         key = F.col(self._index_cols[0])
         if errors == "raise" and labels:
-            hit = (self._sdf.where(key.isin(*labels))
+            hit = (self._label_filtered(labels, keep=True)
                    .select(key.alias("k")).distinct().count())
             if hit < len(set(labels)):
                 raise KeyError(f"{labels!r} not found in axis")
-        out = self._sdf.where(~key.isin(*labels) | key.isNull())
+        out = self._label_filtered(labels, keep=False)
         return Series._make(out, self._colexpr, self._index_cols,
                             self.name, self._order)
+
+    def _label_filtered(self, labels, keep: bool):
+        """Rows whose index label is (not) in a driver-provided
+        list: a literal IN-set while small, a (semi/anti) JOIN
+        against a lookup table past _ISIN_LITERAL_MAX — the same
+        two-face treatment as isin (a 10^5-literal filter bloats
+        plan serialization; the anti join keeps NULL-labeled rows
+        exactly like the literal face)."""
+        key = F.col(self._index_cols[0])
+        if len(labels) <= _ISIN_LITERAL_MAX:
+            cond = key.isin(*labels)
+            return self._sdf.where(cond if keep
+                                   else ~cond | key.isNull())
+        spark = self._sdf.sparkSession
+        lut = spark.createDataFrame(
+            [(v,) for v in labels], ["__lbl__"]).distinct()
+        return self._sdf.join(lut, key == F.col("__lbl__"),
+                              "left_semi" if keep else "left_anti")
 
     def get(self, key, default=None):
         """Value at index label ``key``, or ``default`` when absent
@@ -2861,11 +2879,11 @@ class _SeriesLoc:
         k = sr._index_cols[0]
         if isinstance(key, (list, tuple, np.ndarray)):
             labels = list(key)
-            hit = (sr._sdf.where(F.col(k).isin(*labels))
+            hit = (sr._label_filtered(labels, keep=True)
                    .select(F.col(k).alias("h")).distinct().count())
             if hit < len(set(labels)):
                 raise KeyError(f"{labels!r} not all in index")
-            out = sr._sdf.where(F.col(k).isin(*labels))
+            out = sr._label_filtered(labels, keep=True)
             return Series._make(out, sr._colexpr, sr._index_cols,
                                 sr.name, sr._order)
         sentinel = object()
