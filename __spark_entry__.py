@@ -1567,8 +1567,13 @@ def _transform_ops(spark, sf):
     # (<=64 keys) or a broadcast LUT join — unmapped keys take default
     sub["qty_label"] = sub["qty_bin"].map(
         {"low": "S", "mid": "M", "high": "H"}, default="X")
+    # r7 'ev' column: DataFrame.eval — the python expression (chained
+    # comparison + and) compiles through the ast-based translator to
+    # ONE Catalyst expression (core/frame._eval_to_sql)
+    sub["ev"] = sub.eval(
+        "0.0 < clipped <= 0.05 and centered > 1").astype("int64")
     sub = sub[["l_orderkey", "l_linenumber", "l_quantity", "logq",
-               "centered", "clipped", "qty_bin", "qty_label"]]
+               "centered", "clipped", "qty_bin", "qty_label", "ev"]]
     out = sub.astype({"l_quantity": "int64", "l_linenumber": "float64",
                       "l_orderkey": "int32"})
     return out.to_spark()
@@ -1589,7 +1594,10 @@ SELECT l_orderkey::INTEGER AS l_orderkey, l_linenumber::DOUBLE AS l_linenumber,
             WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'M'
             WHEN l_quantity > 25 AND l_quantity <= 40 THEN 'H'
             ELSE 'X'
-       END AS qty_label
+       END AS qty_label,
+       CAST((round(least(greatest(l_discount, 0.02), 0.06), 4) > 0.0
+             AND round(least(greatest(l_discount, 0.02), 0.06), 4) <= 0.05
+             AND round(abs(l_quantity - 25.0), 2) > 1) AS BIGINT) AS ev
 FROM lineitem WHERE l_orderkey < 100
 """
 
