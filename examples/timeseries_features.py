@@ -77,6 +77,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     exp_max = sr.expanding().max().tail(1).to_pandas().iloc[0] \
         if len(feats) else None
 
+    # 8. r7: ewm volatility BOTH adjust flavors (the adjust=False
+    #    second moments ride the kernel-state perturbation carry) and
+    #    asfreq — conform the bucket series to an exact 30-minute
+    #    grid with as-of fill (distributed spark.range grid + one
+    #    as-of join; only the two boundary stamps touch the driver)
+    vol_rec = (sr.ewm(span=8, adjust=False).std().tail(1)
+               .to_pandas().iloc[0] if len(feats) else None)
+    grid30 = (per_bucket.asfreq("30min", method="ffill")
+              if len(feats) else None)
+
     out = enriched.to_pandas()
     summary = {
         "events": int(len(out)),
@@ -85,6 +95,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "hourly_buckets": int(len(res)),
         "ewm_last": None if ewm_last is None else round(float(ewm_last), 6),
         "expanding_max": None if exp_max is None else round(float(exp_max), 6),
+        "ewm_vol_noadjust": None if vol_rec is None or vol_rec != vol_rec
+                            else round(float(vol_rec), 6),
+        "grid30_rows": None if grid30 is None else int(len(grid30)),
     }
     print(json.dumps(summary))
     return summary
