@@ -191,6 +191,11 @@ not contention DURING the sweep; the conservative max-based flag
 fires anyway, which is the designed behavior — per-query deltas are
 adjudicated against the quiet-window evidence, and every r7 delta is
 an improvement or flat.
+
+A fourth r7 run CONFIRMED the instrument's correlation: mc read
+0.499/0.409 (both over threshold) and the same code produced 53.1s
+cold / 34.3s warm — 37%% slower than the quiet run. High mc reading
+=> distorted totals, exactly what the flag exists to catch.
 """
 
 
