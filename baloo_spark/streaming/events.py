@@ -250,8 +250,16 @@ def ewm_stream(spark: SparkSession, path: str, alpha: float = 0.3,
             m_in, c_in, v_in, n = state.get
         else:
             m_in, c_in, v_in, n = None, 0.0, 1.0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A key's micro-batch rows can span SEVERAL Arrow chunks of
+        # the iterator, and chunks arrive in shuffle-read order —
+        # sorting each chunk independently would fold observations
+        # out of time order once a key exceeds maxRecordsPerBatch.
+        # Materialize the whole micro-batch and sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batches = ([pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"])]
+                   if chunks else [])
+        for pdf in batches:
             x = pdf[value_col].to_numpy(dtype=np.float64)
             x = x[~np.isnan(x)]
             k = len(x)

@@ -520,3 +520,59 @@ def test_stateful_ewm_stream_matches_batch(spark, tmp_path):
                 or np.isclose(v, wv, rtol=1e-8)):
             fails += 1
     assert fails == 0 and len(got) > 0
+
+
+def test_stateful_ewm_stream_multi_chunk_batch(spark, tmp_path):
+    """A key's micro-batch rows can span SEVERAL Arrow chunks of the
+    applyInPandasWithState iterator, and chunks arrive in
+    shuffle-read order — ewm_stream must materialize the whole
+    micro-batch and sort once by (ts, event_id), not per-chunk.
+    Force the path: one micro-batch, rows written time-SHUFFLED,
+    maxRecordsPerBatch=7 so each key's batch spans many chunks."""
+    import numpy as np
+    import pandas as pd
+    from baloo_spark.streaming.events import ewm_stream, load_events
+
+    ev = load_events(spark, SF)
+    pall = (ev.select("event_id", "ts", "user_id", "event_type",
+                      "value", "props")
+            .toPandas().sample(frac=1.0, random_state=7))
+    path = str(tmp_path / "ev_chunks")
+    spark.createDataFrame(pall).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        stream = ewm_stream(spark, path, alpha=0.3)
+        q = (stream.writeStream.format("memory")
+             .queryName("t_ewm_chunks").outputMode("update")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.table("t_ewm_chunks").collect()
+    finally:
+        spark.conf.set(key, old)
+
+    got = {}
+    for r in rows:
+        if r["user_id"] not in got or r["n_obs"] > got[r["user_id"]][0]:
+            got[r["user_id"]] = (r["n_obs"], r["ewm_mean"],
+                                 r["ewm_var"])
+    pdf = (ev.select("user_id", "ts", "event_id", "value")
+           .toPandas().sort_values(["ts", "event_id"]))
+    multi_chunk_keys = 0
+    for uid, g in pdf.groupby("user_id"):
+        vals = g["value"].dropna()
+        if len(g) > 7:
+            multi_chunk_keys += 1
+        n, m, v = got[uid]
+        assert n == len(vals), uid
+        if not len(vals):
+            continue
+        wm = vals.ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        wv = vals.ewm(alpha=0.3, adjust=False).var().iloc[-1]
+        assert np.isclose(m, wm, rtol=1e-9), (uid, m, wm)
+        assert ((v is None and np.isnan(wv))
+                or np.isclose(v, wv, rtol=1e-8)), (uid, v, wv)
+    assert multi_chunk_keys > 0, "fixture never spanned chunks"
