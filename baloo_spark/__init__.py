@@ -430,23 +430,30 @@ isnull = isna
 notnull = notna
 
 
-def factorize(values: "Series"):
-    """pandas ``factorize`` flavor: (codes Series, uniques list).
-    Uniques are collected driver-side in first-appearance-agnostic
-    SORTED order (a distributed distinct has no appearance order;
-    pandas' sort=True flavor) and the code assignment is a pure
-    projection over a broadcast literal map — one distinct job, no
-    second shuffle. Guarded at 100k uniques."""
+def factorize(values: "Series", sort: bool = False):
+    """pandas ``factorize``: (codes Series, uniques list). The
+    pandas default is FIRST-APPEARANCE order — the engine carries
+    ordinals, so uniques rank by ``min(position)`` per value (one
+    extra agg on the same distinct job, still one shuffle);
+    ``sort=True`` ranks by value instead. The code assignment is a
+    pure projection over a broadcast literal map — no second
+    shuffle. Guarded at 100k uniques."""
     from pyspark.sql import functions as F
-    sdf, alias = values._select()
-    rows = (sdf.select(alias).where(F.col(alias).isNotNull())
-            .distinct().limit(100_001).collect())
+    from .plans.ordinal import POS_COL
+    sdf, alias = values._ordered_sdf()
+    rows = (sdf.where(F.col(alias).isNotNull())
+            .groupBy(alias).agg(F.min(POS_COL).alias("__fpos__"))
+            .limit(100_001).collect())
     if len(rows) > 100_000:
         raise ValueError(
             "factorize found more than 100k distinct values — codes "
             "for a column that wide belong in a join, not a literal "
             "map; use merge against a keyed table instead")
-    uniques = sorted(r[0] for r in rows)
+    if sort:
+        uniques = sorted(r[alias] for r in rows)
+    else:
+        uniques = [r[alias] for r in
+                   sorted(rows, key=lambda r: r["__fpos__"])]
     mapping = {u: i for i, u in enumerate(uniques)}
     codes = values.map(mapping, default=-1)
     return codes.fillna(-1).astype("int64"), uniques

@@ -25,13 +25,39 @@ from .series import _AGG_FNS, _IDX, Series, _is_numeric
 _RESERVED = {ORD_COL, "__pos__", "__pid__", "__mid__"}
 
 
-def _eval_to_sql(src: str) -> str:
+def _eval_to_sql(src: str, local_dict=None, columns=None) -> str:
     """Compile the DataFrame.eval python-expression subset to a Spark
     SQL expression string via the ast module (never string-hacking:
     quoted literals, chained comparisons and precedence all come out
     right). Python-semantics operators map explicitly: ``**`` ->
-    power(), ``%`` -> sign-of-divisor mod, ``//`` -> floor()."""
+    power(), ``%`` -> sign-of-divisor mod, ``//`` -> floor().
+
+    ``local_dict`` (the engine spelling of pandas' ``@var``) inlines
+    driver scalars/lists as literals; a name that is BOTH a column
+    and a local resolves to the column, pandas' plain-name order."""
     import ast as _ast
+    local_dict = local_dict or {}
+    columns = set(columns or ())
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\") \
+                .replace("'", "\\'") + "'"
+        if isinstance(v, (int, float, np.integer, np.floating)):
+            return repr(float(v) if isinstance(v, np.floating)
+                        else int(v) if isinstance(v, np.integer)
+                        else v)
+        raise ValueError(
+            f"unsupported local_dict value type {type(v).__name__}; "
+            "scalars and lists of scalars only")
+
+    def is_local(n):
+        return (isinstance(n, _ast.Name) and n.id in local_dict
+                and n.id not in columns)
 
     _CMP = {_ast.Lt: "<", _ast.LtE: "<=", _ast.Gt: ">",
             _ast.GtE: ">=", _ast.Eq: "=", _ast.NotEq: "!="}
@@ -56,10 +82,16 @@ def _eval_to_sql(src: str) -> str:
             parts, left = [], n.left
             for op, right in zip(n.ops, n.comparators):
                 if isinstance(op, (_ast.In, _ast.NotIn)):
-                    if not isinstance(right, (_ast.List, _ast.Tuple)):
+                    if is_local(right) and isinstance(
+                            local_dict[right.id], (list, tuple, set)):
+                        items = ", ".join(
+                            lit(v) for v in local_dict[right.id])
+                    elif isinstance(right, (_ast.List, _ast.Tuple)):
+                        items = ", ".join(emit(e) for e in right.elts)
+                    else:
                         raise ValueError(
-                            "in/not in need a literal list")
-                    items = ", ".join(emit(e) for e in right.elts)
+                            "in/not in need a literal list or a "
+                            "local_dict list name")
                     neg = "NOT " if isinstance(op, _ast.NotIn) else ""
                     parts.append(f"({emit(left)} {neg}IN ({items}))")
                 else:
@@ -84,6 +116,13 @@ def _eval_to_sql(src: str) -> str:
                 raise ValueError(f"unsupported operator {n.op!r}")
             return f"({l} {sym} {r})"
         if isinstance(n, _ast.Name):
+            if is_local(n):
+                v = local_dict[n.id]
+                if isinstance(v, (list, tuple, set)):
+                    raise ValueError(
+                        f"local_dict list {n.id!r} is only valid on "
+                        "the right of in/not in")
+                return lit(v)
             return f"`{n.id}`"
         if isinstance(n, _ast.Constant):
             v = n.value
@@ -3364,7 +3403,7 @@ class DataFrame:
             out[c] = out[c].transform(func)
         return out
 
-    def eval(self, expr: str):
+    def eval(self, expr: str, local_dict: dict | None = None):
         """pandas ``DataFrame.eval``, Spark-first: the expression is
         parsed with Python's ``ast`` and compiled to ONE Catalyst
         expression via ``F.expr`` — fully codegen'd, no Python in the
@@ -3373,15 +3412,24 @@ class DataFrame:
         ``in [..]``/``not in``, ``and/or/not``, and column names; one
         optional leading ``name = ...`` assignment returns a new
         frame with the column appended, otherwise the expression
-        comes back as a Series."""
+        comes back as a Series. ``local_dict=`` is the engine
+        spelling of pandas' ``@var``: driver scalars and lists inline
+        as literals; names that are also columns resolve to the
+        COLUMN (pandas' plain-name order)."""
         import re as _re
         src = expr.strip()
+        if "@" in src:
+            raise ValueError(
+                "'@name' is pandas' local-variable syntax; pass the "
+                "values via eval(expr, local_dict={'name': value}) "
+                "and reference them as plain names instead")
         target = None
         m = _re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", src,
                       _re.S)
         if m:
             target, src = m.group(1), m.group(2)
-        col = F.expr(_eval_to_sql(src))
+        col = F.expr(_eval_to_sql(src, local_dict,
+                                  self._sdf.columns))
         if target is None:
             from .series import Series
             return Series._make(self._sdf, col, self._index_cols,
@@ -3549,10 +3597,22 @@ class DataFrame:
             n = F.col(c).isNotNull()
             allv = n if allv is None else (allv & n)
         if not isinstance(where, (list, tuple, np.ndarray)):
-            rows = (self._sdf.where((F.col(k) <= F.lit(where))
-                                    & (allv if allv is not None
-                                       else F.lit(True)))
-                    .orderBy(F.col(k).desc())
+            # duplicate index labels at the as-of stamp: pandas takes
+            # the LAST row in original order — positional tiebreak,
+            # mirroring the Series.asof scalar face (order by a value
+            # column alone is layout-dependent under ties)
+            sdf = self._sdf
+            tie = ([F.col(ORD_COL).desc()] if ORD_COL in sdf.columns
+                   else [])
+            if not tie:
+                for oc, asc in (self._order or []):
+                    if oc in sdf.columns and oc != k:
+                        tie.append(F.col(oc).desc() if asc
+                                   else F.col(oc).asc())
+            rows = (sdf.where((F.col(k) <= F.lit(where))
+                              & (allv if allv is not None
+                                 else F.lit(True)))
+                    .orderBy(F.col(k).desc(), *tie)
                     .select(*data).limit(1).collect())
             if rows:
                 return pd.Series(rows[0].asDict(), name=where)

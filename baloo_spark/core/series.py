@@ -1097,10 +1097,18 @@ class Series:
         out = asof_join(left, right, on=k, direction="backward")
         vcol = vname if vname in out.columns else f"{vname}_right"
         rows = out.orderBy("__wpos__").select(vcol).collect()
-        return Series(np.array([r[vcol] for r in rows],
-                               dtype=object if rows and isinstance(
-                                   rows[0][vcol], str) else float),
-                      name=self.name)
+        # dtype from ALL collected values, not rows[0]: a None first
+        # hit over string values must not force a float array (that
+        # raises), and any non-numeric value anywhere means object
+        vals = [r[vcol] for r in rows]
+        if any(isinstance(v, str) for v in vals):
+            dt = object            # non-numeric anywhere => object
+        elif (vals and all(v is not None for v in vals)
+              and isinstance(self.spark_type, T.IntegralType)):
+            dt = np.int64          # pandas keeps int64 when no miss
+        else:
+            dt = float             # misses become NaN
+        return Series(np.array(vals, dtype=dt), name=self.name)
 
     def at_time(self, time) -> "Series":
         """pandas ``Series.at_time`` — frame delegation (one exact
@@ -1123,12 +1131,14 @@ class Series:
             freq, method=method, fill_value=fill_value)
         return fr[fr._data_cols[0]]
 
-    def factorize(self):
+    def factorize(self, sort: bool = False):
         """pandas ``Series.factorize`` — delegates to the top-level
-        face (one distinct job + a broadcast literal map; 100k-unique
+        face (first-appearance order by default via the carried
+        ordinals, value order under ``sort=True``; one grouped
+        min-position job + a broadcast literal map; 100k-unique
         guard)."""
         from .. import factorize as _fz
-        return _fz(self)
+        return _fz(self, sort=sort)
 
     def resample(self, freq: str):
         """pandas ``Series.resample`` over the (timestamp) index —
@@ -1196,7 +1206,19 @@ class Series:
                 out.append(func(x, y))
             return pd.Series(out)
 
-        udf = scalar_pandas_udf(batch, self.spark_type)
+        # pandas infers the result dtype from func's outputs (an
+        # int64 pair with a float-returning func yields float64);
+        # Spark needs the type up front, so numeric inputs emit
+        # DOUBLE — the common-type promotion — rather than pinning
+        # to the left operand's dtype (which silently truncated
+        # e.g. lambda a, b: a / b back to long). Integer-valued
+        # results therefore come back float64 where pandas may
+        # keep int64; values are exact (< 2^53).
+        ret_t = (T.DoubleType()
+                 if isinstance(self.spark_type, T.NumericType)
+                 and isinstance(other.spark_type, T.NumericType)
+                 else self.spark_type)
+        udf = scalar_pandas_udf(batch, ret_t)
         pair = F.struct(a.alias("a"), b.alias("b"))
         keys = [c for c in self._index_cols
                 if c in other._index_cols]
@@ -2519,11 +2541,23 @@ class Series:
 
     def to_pandas(self):
         import pandas as pd
-        sdf, alias = self._select()
+        alias = self.name or _VAL
+        # project order cols too — they are not always index cols
+        # (e.g. loc's position-tagged lookup join orders by request
+        # position), and dropping them before the sort silently
+        # yields shuffle order
+        ordc = [c for c, _ in (self._order or [])
+                if c in self._sdf.columns and c != alias
+                and c not in self._index_cols]
+        keep = [F.col(c) for c in
+                list(dict.fromkeys(list(self._index_cols) + ordc))
+                if c in self._sdf.columns]
+        sdf = self._sdf.select(*keep, self._colexpr.alias(alias))
         if self._order:
             cols = order_exprs(self._order, sdf.columns)
             if cols:
                 sdf = sdf.orderBy(*cols)
+        sdf = sdf.drop(*ordc)
         pdf = sdf.toPandas()
         idx = [c for c in self._index_cols if c in pdf.columns]
         s = pdf.set_index(idx)[alias] if idx else pdf[alias]
@@ -2878,14 +2912,32 @@ class _SeriesLoc:
             raise ValueError("loc needs an index")
         k = sr._index_cols[0]
         if isinstance(key, (list, tuple, np.ndarray)):
+            # pandas returns rows in the REQUESTED label order with
+            # repeated labels duplicated (s.loc[['a','a']] has two
+            # rows) — a position-tagged lookup join, the reindex
+            # shape, not an isin filter (which kept original order
+            # and deduped). One tiny probe job raises KeyError on
+            # any miss; the lookup table is driver-sized, so the
+            # broadcast is bounded.
+            from ..plans.ordinal import POS_COL
             labels = list(key)
-            hit = (sr._label_filtered(labels, keep=True)
-                   .select(F.col(k).alias("h")).distinct().count())
-            if hit < len(set(labels)):
+            vname = sr.name or _VAL
+            sdf, a = sr._ordered_sdf(vname)
+            spark = sdf.sparkSession
+            want = spark.createDataFrame(
+                [(int(p), lbl) for p, lbl in enumerate(labels)],
+                ["__wpos__", "__wlbl__"])
+            joined = F.broadcast(want).join(
+                sdf.withColumn("__hit__", F.lit(True)),
+                F.col("__wlbl__").eqNullSafe(F.col(k)), "left")
+            if joined.where(F.col("__hit__").isNull()) \
+                    .limit(1).count():
                 raise KeyError(f"{labels!r} not all in index")
-            out = sr._label_filtered(labels, keep=True)
-            return Series._make(out, sr._colexpr, sr._index_cols,
-                                sr.name, sr._order)
+            out = joined.drop("__hit__", k) \
+                .withColumnRenamed("__wlbl__", k)
+            return Series._make(out, F.col(a), sr._index_cols,
+                                sr.name, [("__wpos__", True),
+                                          (POS_COL, True)])
         sentinel = object()
         got = sr.get(key, sentinel)
         if got is sentinel:

@@ -390,8 +390,7 @@ def test_final_gap_batch(bl):
         bs.loc["zz"]
     codes, uniq = bl.Series(
         np.array(["b", "a", "b"], dtype=object)).factorize()
-    pcodes, puniq = pd.factorize(pd.Series(["b", "a", "b"]),
-                                 sort=True)
+    pcodes, puniq = pd.factorize(pd.Series(["b", "a", "b"]))
     assert codes.to_pandas().tolist() == pcodes.tolist()
     assert list(uniq) == list(puniq)
     ts = pd.date_range("2024-01-01", periods=4, freq="12h")
@@ -400,3 +399,105 @@ def test_final_gap_batch(bl):
                        "v": pr.to_numpy()}).set_index("t")["v"]
     assert br.resample("1D").sum().to_pandas()["v"].tolist() == \
         pr.resample("1D").sum().tolist()
+
+
+def test_r8_advice_fixes(bl):
+    """r8 advice items pinned: (1) Series.loc label lists return
+    rows in REQUESTED order with repeats duplicated (position-tagged
+    lookup join, not an isin filter); (2) Series.combine promotes
+    numeric pairs to float64 instead of truncating to the left
+    dtype; (3) DataFrame.asof scalar tiebreaks duplicate stamps by
+    position (last row in original order, like Series.asof); (4)
+    Series.asof list-face dtype is inferred from ALL values —
+    None-first string results stay object, all-hit ints stay int64;
+    (5) Series.asof scalar returns None (engine NULL spelling) where
+    pandas spells the missing probe nan."""
+    import pandas as pd
+
+    # (1) loc request order + duplicates, incl. duplicate index
+    ps = pd.Series([10., 20., 30.], index=["a", "b", "c"])
+    s = bl.Series(ps.to_numpy(),
+                  index=bl.Index(ps.index.to_numpy()), name="v")
+    for req in (["c", "a"], ["a", "a"], ["b", "c", "b"]):
+        got = s.loc[req].to_pandas()
+        want = ps.loc[req]
+        assert got.tolist() == want.tolist(), req
+        assert got.index.tolist() == want.index.tolist(), req
+    ps2 = pd.Series([1., 2., 3.], index=["a", "a", "b"])
+    s2 = bl.Series(ps2.to_numpy(),
+                   index=bl.Index(ps2.index.to_numpy()), name="v")
+    assert s2.loc[["a", "b", "a"]].to_pandas().tolist() == \
+        ps2.loc[["a", "b", "a"]].tolist()
+    with pytest.raises(KeyError):
+        s.loc[["a", "zzz"]]
+
+    # (2) combine: int pair + float-returning func => float values
+    pi = pd.Series([1, 2, 8], index=["a", "b", "c"])
+    si = bl.Series(pi.to_numpy(),
+                   index=bl.Index(pi.index.to_numpy()), name="v")
+    got = si.combine(si, lambda a, b: a / b).to_pandas()
+    want = pi.combine(pi, lambda a, b: a / b)
+    assert np.allclose(got.to_numpy(dtype=float), want.to_numpy())
+
+    # (3) frame asof: duplicate stamps -> LAST row in original order
+    pf = pd.DataFrame({"a": [1., 2., 3.], "b": [4., 5., 6.]},
+                      index=[10, 20, 20])
+    f = bl.DataFrame({"a": pf["a"].to_numpy(),
+                      "b": pf["b"].to_numpy()},
+                     index=bl.Index(pf.index.to_numpy()))
+    assert f.asof(20).tolist() == pf.asof(20).tolist() == [3., 6.]
+
+    # (4) asof list dtype from all values
+    cases = [(pd.Series([1, 2, 3], index=[10, 20, 30]), [20, 30]),
+             (pd.Series([1, 2, 3], index=[10, 20, 30]), [5, 30]),
+             (pd.Series(["a", "b"], index=[10, 20]), [5, 20])]
+    for psr, where in cases:
+        bsr = bl.Series(psr.to_numpy(),
+                        index=bl.Index(psr.index.to_numpy()),
+                        name="v")
+        g, w = bsr.asof(where).to_pandas(), psr.asof(where)
+        assert g.dtype == w.dtype, (where, g.dtype, w.dtype)
+        norm = lambda xs: [None if (isinstance(x, float) and x != x)
+                           else x for x in xs]
+        assert norm(g.tolist()) == norm(w.tolist()), where
+
+    # (5) scalar missing probe: engine None vs pandas nan — the
+    # documented sentinel-codec convention, pinned deliberately
+    pm = pd.Series([1.0], index=[10])
+    bm = bl.Series(pm.to_numpy(), index=bl.Index(pm.index.to_numpy()),
+                   name="v")
+    assert bm.asof(5) is None and np.isnan(pm.asof(5))
+
+
+def test_eval_local_dict(bl):
+    """eval(local_dict=) — the engine spelling of pandas' @var:
+    scalars and lists inline as literals through the AST compiler;
+    a name that is ALSO a column resolves to the column (pandas'
+    plain-name order); '@' in the source raises a pointer at
+    local_dict=."""
+    pdf = pd.DataFrame({"a": [1., 2., 3.], "b": [4., 5., 6.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert df.eval("a + thr", local_dict={"thr": 10}) \
+        .to_pandas().tolist() == \
+        pdf.eval("a + @thr", local_dict={"thr": 10}).tolist()
+    assert df.eval("a in lst", local_dict={"lst": [1, 3]}) \
+        .to_pandas().tolist() == \
+        pdf.eval("a in @lst", local_dict={"lst": [1, 3]}).tolist()
+    assert df.eval("a not in lst", local_dict={"lst": (1, 3)}) \
+        .to_pandas().tolist() == [False, True, False]
+    # column shadows the local — pandas resolves plain names
+    # column-first
+    assert df.eval("a + b", local_dict={"b": 100}) \
+        .to_pandas().tolist() == [5., 7., 9.]
+    # string literal escaping through the local path
+    ps = pd.DataFrame({"s": ["x'y", "z"]})
+    ds = bl.DataFrame({"s": np.array(["x'y", "z"], dtype=object)})
+    assert ds.eval("s == tag", local_dict={"tag": "x'y"}) \
+        .to_pandas().tolist() == [True, False]
+    # assignment face composes with locals
+    assert df.eval("c = a * k", local_dict={"k": 2}) \
+        .to_pandas()["c"].tolist() == [2., 4., 6.]
+    with pytest.raises(ValueError, match="local_dict"):
+        df.eval("a + @thr")
+    with pytest.raises(ValueError, match="right of in"):
+        df.eval("a + lst", local_dict={"lst": [1, 2]})

@@ -1421,11 +1421,16 @@ def test_top_level_delegates(bl):
         [1.0, 2.5]
     assert bl.isna(bl.Series(np.array([1., np.nan]))).to_pandas() \
         .tolist() == [False, True]
-    codes, uniq = bl.factorize(
-        bl.Series(np.array(["b", "a", "b", None], dtype=object)))
-    pc, pu = pd.factorize(pd.Series(["b", "a", "b", None]), sort=True)
-    assert codes.to_pandas().tolist() == list(pc)
-    assert uniq == list(pu)
+    # default flavor = pandas first-appearance order; sort=True =
+    # value order — both on NULL-laced string and int inputs
+    for vals, dt in ((["b", "a", "b", None, "c"], object),
+                     ([3, 1, 3, None, 2], object)):
+        for srt in (False, True):
+            codes, uniq = bl.factorize(
+                bl.Series(np.array(vals, dtype=dt)), sort=srt)
+            pc, pu = pd.factorize(pd.Series(vals), sort=srt)
+            assert codes.to_pandas().tolist() == list(pc), (vals, srt)
+            assert uniq == list(pu), (vals, srt)
 
 
 def test_wave8_groupby_axis_and_gates(bl):
