@@ -25,7 +25,8 @@ from .series import _AGG_FNS, _IDX, Series, _is_numeric
 _RESERVED = {ORD_COL, "__pos__", "__pid__", "__mid__"}
 
 
-def _eval_to_sql(src: str, local_dict=None, columns=None) -> str:
+def _eval_to_sql(src: str, local_dict=None, columns=None,
+                 bt_map=None) -> str:
     """Compile the DataFrame.eval python-expression subset to a Spark
     SQL expression string via the ast module (never string-hacking:
     quoted literals, chained comparisons and precedence all come out
@@ -38,6 +39,7 @@ def _eval_to_sql(src: str, local_dict=None, columns=None) -> str:
     import ast as _ast
     local_dict = local_dict or {}
     columns = set(columns or ())
+    bt_map = bt_map or {}
 
     def lit(v):
         if v is None:
@@ -116,6 +118,8 @@ def _eval_to_sql(src: str, local_dict=None, columns=None) -> str:
                 raise ValueError(f"unsupported operator {n.op!r}")
             return f"({l} {sym} {r})"
         if isinstance(n, _ast.Name):
+            if n.id in bt_map:
+                return f"`{bt_map[n.id]}`"
             if is_local(n):
                 v = local_dict[n.id]
                 if isinstance(v, (list, tuple, set)):
@@ -3423,13 +3427,25 @@ class DataFrame:
                 "'@name' is pandas' local-variable syntax; pass the "
                 "values via eval(expr, local_dict={'name': value}) "
                 "and reference them as plain names instead")
+        # pandas backtick-quoted names (spaces, dots, keywords) are
+        # not python syntax — pre-lex them into placeholder names
+        # the ast can parse, mapped back to the real column at emit
+        bt_map: dict[str, str] = {}
+
+        def _bt(m2):
+            ph = f"__BT{len(bt_map)}__"
+            bt_map[ph] = m2.group(1)
+            return ph
+
+        src = _re.sub(r"`([^`]*)`", _bt, src)
         target = None
         m = _re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", src,
                       _re.S)
         if m:
             target, src = m.group(1), m.group(2)
+            target = bt_map.get(target, target)
         col = F.expr(_eval_to_sql(src, local_dict,
-                                  self._sdf.columns))
+                                  self._sdf.columns, bt_map))
         if target is None:
             from .series import Series
             return Series._make(self._sdf, col, self._index_cols,
@@ -3702,7 +3718,17 @@ class DataFrame:
             raise ValueError("reindex_like needs an index on both")
         k = self._index_cols[0]
         ok_ = other._index_cols[0]
-        labels = other._sdf.select(F.col(ok_).alias(k)).distinct()
+        # keep other's labels AS-IS (duplicates included — pandas
+        # returns one row per duplicate target label) tagged with
+        # their positions so the result follows other's order
+        from ..plans.ordinal import POS_COL
+        ocols = [F.col(ok_).alias(k)] + [
+            F.col(c) for c, _ in (other._order or [])
+            if c in other._sdf.columns and c != ok_]
+        osel = other._sdf.select(*ocols)
+        labels = with_dense_ordinal(
+            osel, order_exprs(other._order or [], osel.columns)
+            or None, name=POS_COL).select(k, POS_COL)
         marked = self._sdf.withColumn("__had__", F.lit(True))
         out = labels.join(marked, k, "left")
         fv = F.lit(fill_value)
@@ -3716,9 +3742,9 @@ class DataFrame:
                 e = fv if fill_value is not None \
                     else F.lit(None).cast("double")
             data.append(e.alias(c))
-        out = out.select(F.col(k), *data)
+        out = out.select(F.col(k), F.col(POS_COL), *data)
         return DataFrame._make(out, [k], list(other._data_cols),
-                               [(k, True)])
+                               [(POS_COL, True)])
 
     def combine(self, other: "DataFrame", func,
                 fill_value=None) -> "DataFrame":

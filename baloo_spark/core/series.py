@@ -1164,11 +1164,16 @@ class Series:
         list-driven :meth:`reindex`."""
         if not self._index_cols or not other._index_cols:
             raise ValueError("reindex_like needs an index on both")
+        from ..plans.ordinal import POS_COL
         k = self._index_cols[0]
         ok_ = other._index_cols[0]
         vname = self.name or _VAL
         sdf, a = self._select(vname)
-        labels = other._sdf.select(F.col(ok_).alias(k)).distinct()
+        # keep other's labels AS-IS (duplicates included — pandas
+        # returns one row per duplicate target label) tagged with
+        # their positions so the result follows other's order
+        osdf, _ = other._ordered_sdf()
+        labels = osdf.select(F.col(ok_).alias(k), F.col(POS_COL))
         out = labels.join(sdf, k, "left")
         if fill_value is not None:
             # cells introduced by reindexing fill; matched NULLs stay
@@ -1177,32 +1182,74 @@ class Series:
                 a, F.when(F.col("__had__").isNull(),
                           F.lit(fill_value)).otherwise(F.col(a)))                 .drop("__had__")
         return Series._make(out, F.col(a), [k], self.name,
-                            [(k, True)])
+                            [(POS_COL, True)])
 
     def combine(self, other: "Series", func,
                 fill_value=None) -> "Series":
         """pandas ``Series.combine``: elementwise ``func(a, b)`` over
-        the aligned pair. An arbitrary python scalar function is the
-        honest slow path — Arrow-batched (one pandas_udf over the
+        the aligned pair — the UNION of the two indexes (sorted, like
+        pandas), labels present on one side only see ``fill_value``
+        (or NaN) on the other. An arbitrary python scalar function is
+        the honest slow path — Arrow-batched (one pandas_udf over the
         zipped pair), never a driver loop."""
         from ..functions._udf import scalar_pandas_udf
+        from ..plans.ordinal import POS_COL
         import pandas as pd
-        sdf, a, b = self._pair_sdf(other)
+        if other._sdf is self._sdf:
+            sdf = self._sdf.withColumn("__ha__", F.lit(True)) \
+                .withColumn("__hb__", F.lit(True))
+            a, b = self._colexpr, other._colexpr
+            keys = list(self._index_cols)
+        else:
+            keys = [c for c in self._index_cols
+                    if c in other._index_cols]
+            if keys:
+                left, la = self._select("__pa__")
+                right, rb = other._select("__pb__")
+                sdf = left.select(*keys, la,
+                                  F.lit(True).alias("__ha__")).join(
+                    right.select(*keys, rb,
+                                 F.lit(True).alias("__hb__")),
+                    keys, "full_outer")
+            else:
+                lo, la = self._ordered_sdf("__pa__")
+                ro, rb = other._ordered_sdf("__pb__")
+                sdf = lo.select(POS_COL, la,
+                                F.lit(True).alias("__ha__")).join(
+                    ro.select(POS_COL, rb,
+                              F.lit(True).alias("__hb__")),
+                    POS_COL, "full_outer")
+                keys = [POS_COL]
+            a, b = F.col("__pa__"), F.col("__pb__")
         fv = fill_value
 
         def batch(cols) -> pd.Series:
             # struct inputs arrive as a pandas DataFrame with the
-            # field names as columns (Arrow struct batching)
-            xs = cols["a"] if hasattr(cols, "columns") else \
-                pd.Series([st["a"] for st in cols])
-            ys = cols["b"] if hasattr(cols, "columns") else \
-                pd.Series([st["b"] for st in cols])
+            # field names as columns (Arrow struct batching);
+            # fill_value substitutes ONLY for labels missing from a
+            # side's index (the __ha__/__hb__ presence markers) —
+            # a NaN VALUE at a present label passes through as NaN,
+            # exactly pandas
+            import numpy as _np
+            if hasattr(cols, "columns"):
+                xs, ys = cols["a"], cols["b"]
+                ha, hb = cols["ha"], cols["hb"]
+            else:
+                xs = pd.Series([st["a"] for st in cols])
+                ys = pd.Series([st["b"] for st in cols])
+                ha = pd.Series([st["ha"] for st in cols])
+                hb = pd.Series([st["hb"] for st in cols])
+            miss = _np.nan if fv is None else fv
             out = []
-            for x, y in zip(xs, ys):
-                x = fv if x is None or (isinstance(x, float)
-                                        and x != x) else x
-                y = fv if y is None or (isinstance(y, float)
-                                        and y != y) else y
+            for x, y, px, py in zip(xs, ys, ha, hb):
+                if not (px is True or px == True):  # noqa: E712
+                    x = miss
+                elif x is None or (isinstance(x, float) and x != x):
+                    x = _np.nan
+                if not (py is True or py == True):  # noqa: E712
+                    y = miss
+                elif y is None or (isinstance(y, float) and y != y):
+                    y = _np.nan
                 out.append(func(x, y))
             return pd.Series(out)
 
@@ -1219,13 +1266,12 @@ class Series:
                  and isinstance(other.spark_type, T.NumericType)
                  else self.spark_type)
         udf = scalar_pandas_udf(batch, ret_t)
-        pair = F.struct(a.alias("a"), b.alias("b"))
-        keys = [c for c in self._index_cols
-                if c in other._index_cols]
-        if not keys:
-            from ..plans.ordinal import POS_COL
-            keys = [POS_COL] if POS_COL in sdf.columns else []
-        out = sdf.withColumn("__cmb__", udf(pair))
+        pair = F.struct(a.alias("a"), b.alias("b"),
+                        F.col("__ha__").alias("ha"),
+                        F.col("__hb__").alias("hb"))
+        keys = [kk for kk in keys if kk in sdf.columns]
+        out = sdf.withColumn("__cmb__", udf(pair)) \
+            .drop("__ha__", "__hb__")
         return Series._make(out, F.col("__cmb__"), keys, self.name,
                             [(kk, True) for kk in keys])
 
@@ -2927,14 +2973,22 @@ class _SeriesLoc:
             want = spark.createDataFrame(
                 [(int(p), lbl) for p, lbl in enumerate(labels)],
                 ["__wpos__", "__wlbl__"])
-            joined = F.broadcast(want).join(
-                sdf.withColumn("__hit__", F.lit(True)),
-                F.col("__wlbl__").eqNullSafe(F.col(k)), "left")
-            if joined.where(F.col("__hit__").isNull()) \
-                    .limit(1).count():
+            # KeyError gate: one tiny job counts HIT labels (semi
+            # join, small side broadcast). After it passes every
+            # requested label matches, so the gather itself is an
+            # INNER join — the broadcastable shape (a row-preserving
+            # outer join cannot broadcast its preserved side).
+            uniq = want.select("__wlbl__").distinct()
+            hit = (sdf.join(F.broadcast(uniq),
+                            F.col("__wlbl__").eqNullSafe(F.col(k)),
+                            "left_semi")
+                   .select(k).distinct().count())
+            if hit < len(set(labels)):
                 raise KeyError(f"{labels!r} not all in index")
-            out = joined.drop("__hit__", k) \
-                .withColumnRenamed("__wlbl__", k)
+            out = (sdf.join(F.broadcast(want),
+                            F.col("__wlbl__").eqNullSafe(F.col(k)),
+                            "inner")
+                   .drop("__wlbl__"))
             return Series._make(out, F.col(a), sr._index_cols,
                                 sr.name, [("__wpos__", True),
                                           (POS_COL, True)])

@@ -501,3 +501,52 @@ def test_eval_local_dict(bl):
         df.eval("a + @thr")
     with pytest.raises(ValueError, match="right of in"):
         df.eval("a + lst", local_dict={"lst": [1, 2]})
+
+
+def test_wave14_fixes(bl):
+    """Probe-wave-14 bugs pinned: (1) Series.combine aligns on the
+    index UNION (full outer), fill_value substitutes ONLY for
+    index-missing labels while NaN VALUES at present labels pass
+    through to func as NaN; (2) reindex_like keeps duplicate target
+    labels (one row per duplicate, in the other's order); (3) eval
+    parses backtick-quoted column names (spaces, dots)."""
+    import pandas as pd
+
+    pc = pd.Series([1., np.nan, 3.], index=["a", "b", "c"])
+    po = pd.Series([10., 20.], index=["b", "d"])
+    mks = lambda ps: bl.Series(ps.to_numpy(),
+                               index=bl.Index(ps.index.to_numpy()),
+                               name="v")
+    got = mks(pc).combine(mks(po), lambda x, y: x + y,
+                          fill_value=0.0).to_pandas().sort_index()
+    want = pc.combine(po, lambda x, y: x + y,
+                      fill_value=0.0).sort_index()
+    norm = lambda xs: [None if (isinstance(x, float) and x != x)
+                       else x for x in xs]
+    assert norm(got.tolist()) == norm(want.tolist())
+    assert got.index.tolist() == want.index.tolist()
+    f = lambda x, y: (-99 if x != x else x) + (-99 if y != y else y)
+    assert norm(mks(pc).combine(mks(po), f).to_pandas()
+                .sort_index().tolist()) == \
+        norm(pc.combine(po, f).sort_index().tolist())
+
+    src = pd.Series([1., 2., 3.], index=["a", "b", "c"])
+    like = pd.Series([0., 0., 0.], index=["b", "b", "a"])
+    assert mks(src).reindex_like(mks(like)).to_pandas().tolist() == \
+        src.reindex_like(like).tolist()
+    pf = pd.DataFrame({"x": [1., 2.]}, index=["a", "b"])
+    bf = bl.DataFrame({"x": pf["x"].to_numpy()},
+                      index=bl.Index(pf.index.to_numpy()))
+    plike = pd.DataFrame({"x": [0., 0., 0.]}, index=["b", "a", "b"])
+    blike = bl.DataFrame({"x": plike["x"].to_numpy()},
+                         index=bl.Index(plike.index.to_numpy()))
+    assert bf.reindex_like(blike).to_pandas()["x"].tolist() == \
+        pf.reindex_like(plike)["x"].tolist()
+
+    podd = pd.DataFrame({"col one": [1., 2.], "a.b": [3., 4.]})
+    dodd = bl.DataFrame({"col one": podd["col one"].to_numpy(),
+                         "a.b": podd["a.b"].to_numpy()})
+    assert dodd.eval("`col one` * 2").to_pandas().tolist() == \
+        podd.eval("`col one` * 2").tolist()
+    assert dodd.eval("`a.b` + `col one`").to_pandas().tolist() == \
+        podd.eval("`a.b` + `col one`").tolist()

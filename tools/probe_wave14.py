@@ -118,7 +118,8 @@ check("series combine mismatched idx + fill",
 check("series combine no fill (NaN both sides)",
       lambda: [None if v != v else v for v in
                mks(pc).combine(mks(po), lambda x, y:
-                               (x or -99) + (y or -99))
+                               (-99 if x != x else x)
+                               + (-99 if y != y else y))
                .to_pandas().sort_index().tolist()],
       lambda: [None if v != v else v for v in
                pc.combine(po, lambda x, y:
