@@ -242,10 +242,55 @@ def main():
             print(title, lines[-1])
         lines += ["", note, ""]
 
+    # r8 (VERDICT r7 #5): the GROUPED noadjust face rides
+    # applyInPandas per group — probe the many-small-groups regime
+    # (per-group Arrow overhead is the cost that the global scan
+    # doesn't pay) and document the crossover vs the global scan.
+    from baloo_spark.core.frame import DataFrame as BlFrame
+    lines += ["## grouped ewm var adjust=False (applyInPandas per "
+              "group; many small groups)", ""]
+    n_groups = li.select("l_orderkey").distinct().count()
+    for mult in (1, 4, 16):
+        base = replicate(
+            li.select("l_orderkey", "l_linenumber",
+                      "l_extendedprice"), mult).localCheckpoint()
+        rows = base.count()
+        bf = BlFrame._make(base, [],
+                           ["l_orderkey", "l_extendedprice"],
+                           [("l_linenumber", True)])
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = bf.groupby("l_orderkey") \
+                .ewm(alpha=0.1, adjust=False).var()
+            out.to_spark().write.format("noop").mode("overwrite") \
+                .save()
+            dt = min(dt, time.perf_counter() - t0)
+        lines.append(f"- {mult}x: {dt:.2f}s ({rows:,} rows over "
+                     f"{n_groups:,} groups, ~{rows // n_groups} "
+                     "rows/group)")
+        print("grouped noadjust", lines[-1])
+    lines += ["", "_one shuffle on the group key, then pandas' C "
+              "kernel per group inside applyInPandas — per-group "
+              "state is O(1) and no group ever exceeds one task, so "
+              "the shape survives 1000 executors; the cost the "
+              "global scan doesn't pay is per-group Arrow batch "
+              "overhead, which dominates in the many-tiny-groups "
+              "regime (group size ~4 at 1x). Crossover: for GLOBAL "
+              "series the two-pass perturbation-carry scan (above) "
+              "is the right face; as groups grow (replication "
+              "multiplies rows per group, not groups) the per-group "
+              "overhead amortizes toward the kernel-bound global "
+              "path — compare the per-mult numbers above against "
+              "the global-scan section. Use the grouped face only "
+              "when the "
+              "query semantics are per-key; never route a global "
+              "EWM through a synthetic single group (one task, no "
+              "parallelism)._", ""]
+
     # interpolate: ONE fused layout pass (with_interp_neighbors) —
     # construction is partly eager like EWM, so the operator is
     # rebuilt inside the timing loop
-    from baloo_spark.core.frame import DataFrame as BlFrame
     lines += ["## interpolate (fused single-layout neighbor pass)", ""]
     for mult in (1, 4, 16):
         base = replicate(
