@@ -2025,17 +2025,82 @@ FROM u GROUP BY o_orderkey
 """
 
 
+_EWM_PARITY_SEQ = [0]
+
+
 def _events_window(spark, sf):
-    from baloo_spark.streaming.events import load_events, windowed_agg_batch
+    """Tumbling-window agg PLUS the r8 streaming-EWM parity flag row:
+    ewm_stream (applyInPandasWithState, streaming/events.py) runs
+    over the same events parquet with trigger(availableNow) and its
+    final per-user (n_obs, mean, var) state is compared against the
+    pandas-kernel batch twin; the mismatch count collapses to ONE
+    constant-0 flag row (event_type='ewm_stream_parity') the DuckDB
+    oracle pins — the flag-row pattern for non-SQL-expressible
+    streaming evidence."""
+    import pandas as pd
+    from baloo_spark.streaming.events import (load_events,
+                                              windowed_agg_batch,
+                                              ewm_stream)
     ev = load_events(spark, sf)
-    out = windowed_agg_batch(ev, width_sec=3600)
-    return out.select("window_start", "event_type", "n_events", "sum_value")
+    out = windowed_agg_batch(ev, width_sec=3600) \
+        .select("window_start", "event_type", "n_events", "sum_value")
+
+    # streaming face: one availableNow run into a memory sink (the
+    # only eager step; the comparison below stays lazy)
+    _EWM_PARITY_SEQ[0] += 1
+    qname = f"__ewm_parity_{_EWM_PARITY_SEQ[0]}"
+    # trailing glob: the file-stream source needs a directory or a
+    # glob whose non-glob prefix is one (events.parquet is a single
+    # file at these SFs)
+    stream = ewm_stream(spark, f"{sf}/events.parquet*", alpha=0.3,
+                        max_files_per_trigger=1)
+    q = (stream.writeStream.format("memory").queryName(qname)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    finals = (spark.table(qname).groupBy("user_id")
+              .agg(F.max_by(F.struct("n_obs", "ewm_mean", "ewm_var"),
+                            "n_obs").alias("s"))
+              .select("user_id", F.col("s.n_obs").alias("n_obs"),
+                      F.col("s.ewm_mean").alias("sm"),
+                      F.col("s.ewm_var").alias("sv")))
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = pdf["value"].dropna()
+        kw = dict(alpha=0.3, adjust=False)
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "bn": [len(s)],
+            "bm": [s.ewm(**kw).mean().iloc[-1] if len(s) else None],
+            "bv": [s.ewm(**kw).var().iloc[-1] if len(s) >= 2
+                   else None]})
+
+    batch = (ev.select("user_id", "ts", "event_id", "value")
+             .groupBy("user_id")
+             .applyInPandas(fold, "user_id LONG, bn LONG, "
+                                  "bm DOUBLE, bv DOUBLE"))
+    j = finals.join(batch, "user_id", "full_outer")
+    close_m = (F.col("sm").eqNullSafe(F.col("bm"))
+               | (F.abs(F.col("sm") - F.col("bm"))
+                  <= F.abs(F.col("bm")) * 1e-9 + 1e-12))
+    close_v = (F.col("sv").eqNullSafe(F.col("bv"))
+               | (F.abs(F.col("sv") - F.col("bv"))
+                  <= F.abs(F.col("bv")) * 1e-8 + 1e-12))
+    ok = F.col("n_obs").eqNullSafe(F.col("bn")) & close_m & close_v
+    flag = j.agg(F.count(F.when(~ok, 1)).cast("long").alias("n"))         .select(F.lit(-1).cast(out.schema["window_start"].dataType)
+                .alias("window_start"),
+                F.lit("ewm_stream_parity").alias("event_type"),
+                F.col("n").alias("n_events"),
+                F.lit(0.0).alias("sum_value"))
+    return out.unionByName(flag)
 
 
 _EVENTS_WINDOW_SQL = """
 SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+UNION ALL
+SELECT -1, 'ewm_stream_parity', 0, 0.0
 """
 
 
