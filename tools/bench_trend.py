@@ -211,6 +211,24 @@ def load(path):
     return cold, warm, d.get("n"), parsed.get("host_speed") or {}
 
 
+def load_scope(n):
+    """Per-slot result ROW COUNTS from the round's correctness gate
+    (CORRECTNESS_r{n}.json, sf0.01) — the machine-visible scope
+    signal: a slot whose row count grew between rounds got WIDER,
+    so its time delta is more-work, not plan regression."""
+    import os
+    if not n:
+        return {}
+    for cand in (f"CORRECTNESS_r{int(n):02d}.json",
+                 f"CORRECTNESS_r{int(n)}.json"):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                d = json.load(f)
+            return {RENAMES.get(k, k): v.get("spark_rows")
+                    for k, v in d.items() if isinstance(v, dict)}
+    return {}
+
+
 def _pollution(hs):
     """Machine adjudication of a run's calibration readings (bench.py
     emits host_speed.polluted since r7; earlier runs are re-judged
@@ -237,9 +255,9 @@ def main(paths):
         if pol:
             label += "⚠"
         if cold is None:
-            rounds.append((label, None, None))
+            rounds.append((label, None, None, n))
         else:
-            rounds.append((label, cold, warm))
+            rounds.append((label, cold, warm, n))
         if pol:
             mcs = [hs.get("mc_pre"), hs.get("mc_post")]
             POLLUTION_NOTES.append(
@@ -250,11 +268,13 @@ def main(paths):
                 "not plan signal; adjudicate against a quiet-window "
                 "snapshot (pick the run with the LOWEST mc reading).")
 
-    good = [(lbl, c, w) for lbl, c, w in rounds if c is not None]
+    good = [(lbl, c, w, n) for lbl, c, w, n in rounds
+            if c is not None]
     if len(good) < 2:
         print("need >=2 parseable rounds"); return
-    (base_lbl, base_cold, base_warm) = good[0]
-    (cur_lbl, cur_cold, cur_warm) = good[-1]
+    (base_lbl, base_cold, base_warm, base_n) = good[0]
+    (cur_lbl, cur_cold, cur_warm, cur_n) = good[-1]
+    base_scope, cur_scope = load_scope(base_n), load_scope(cur_n)
 
     lines = [
         "# Bench trend (sf0.1, local[32], cold = first run incl. "
@@ -263,9 +283,17 @@ def main(paths):
         "Crashed rounds appear as `—` (BENCH_r02 was rc=1: the "
         "events-loader dtype bug killed the run before any timing).",
         "",
-        f"| query | {base_lbl} cold | {cur_lbl} cold | {cur_lbl} warm "
-        f"| cold Δ vs {base_lbl} |",
-        "|---|---|---|---|---|",
+        "The `rows` column is each slot's correctness-gate result "
+        "row count (sf0.01) at the baseline round vs the current "
+        "one — scope widening is machine-visible: a grown row count "
+        "means the slot computes MORE, so its time delta is "
+        "more-work, not a plan regression (column-count widenings "
+        "at constant rows are still prose-only, see the scope "
+        "notes).",
+        "",
+        f"| query | rows {base_lbl}→{cur_lbl} | {base_lbl} cold | "
+        f"{cur_lbl} cold | {cur_lbl} warm | cold Δ vs {base_lbl} |",
+        "|---|---|---|---|---|---|",
     ]
     flags = []
     names = list(dict.fromkeys(list(base_cold) + list(cur_cold)))
@@ -280,20 +308,28 @@ def main(paths):
             if w is not None and b and w > 1.2 * b:
                 flags.append((q, b, w))
         fmt = lambda x: "—" if x is None else f"{x:.3f}"
-        lines.append(f"| {q} | {fmt(b)} | {fmt(c)} | {fmt(w)} | {delta} |")
+        bs, cs = base_scope.get(q), cur_scope.get(q)
+        scope = ("—" if bs is None and cs is None else
+                 f"{'—' if bs is None else bs}→"
+                 f"{'—' if cs is None else cs}"
+                 + (" ⤢" if (bs is not None and cs is not None
+                             and cs != bs) else ""))
+        lines.append(f"| {q} | {scope} | {fmt(b)} | {fmt(c)} | "
+                     f"{fmt(w)} | {delta} |")
 
     shared = [q for q in names if q in base_cold and q in cur_cold]
     tb = sum(base_cold[q] for q in shared)
     tc = sum(cur_cold[q] for q in shared)
     tw = sum(v for q, v in (cur_warm or {}).items() if q in shared)
-    lines.append(f"| **total (shared {len(shared)} queries)** | "
+    lines.append(f"| **total (shared {len(shared)} queries)** | — | "
                  f"**{tb:.3f}** | **{tc:.3f}** | **{tw:.3f}** | "
                  f"**{(tc - tb) / tb * 100:+.0f}%** |")
     new_qs = [q for q in cur_cold if q not in base_cold]
     if new_qs:
         nc = sum(cur_cold[q] for q in new_qs)
         nw = sum(v for q, v in (cur_warm or {}).items() if q in new_qs)
-        lines.append(f"| **total (+{len(new_qs)} new-in-{cur_lbl})** | "
+        lines.append(f"| **total (+{len(new_qs)} new-in-{cur_lbl})** "
+                     "| — | "
                      f"— | **{sum(cur_cold.values()):.3f}** | "
                      f"**{sum((cur_warm or {}).values()):.3f}** | "
                      f"new slots add {nc:.3f}s cold / {nw:.3f}s warm |")
@@ -332,7 +368,7 @@ def main(paths):
     # codegen compile noise), flagging >20% warm growth at unchanged
     # scope
     if len(good) >= 3:
-        (prev_lbl, prev_cold, prev_warm) = good[-2]
+        (prev_lbl, prev_cold, prev_warm, _prev_n) = good[-2]
         lines += ["", f"## {prev_lbl} → {cur_lbl} (warm vs warm)", "",
                   f"| query | {prev_lbl} warm | {cur_lbl} warm | Δ |",
                   "|---|---|---|---|"]
