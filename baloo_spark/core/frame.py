@@ -1650,6 +1650,70 @@ class DataFrame:
         return self._directional_fill(subset, partition_by,
                                       forward=False, limit=limit)
 
+    def pad(self, **kw) -> "DataFrame":
+        """pandas alias of :meth:`ffill`."""
+        return self.ffill(**kw)
+
+    def backfill(self, **kw) -> "DataFrame":
+        """pandas alias of :meth:`bfill`."""
+        return self.bfill(**kw)
+
+    @property
+    def iat(self):
+        """Positional scalar access (pandas ``DataFrame.iat``):
+        ``df.iat[i, j]`` — column picked by position, then the
+        Series iloc scalar probe."""
+        return _FrameIAt(self)
+
+    def to_string(self, **kw) -> str:
+        """Driver-side render (pandas ``to_string``) — an explicit
+        materialization boundary like to_pandas."""
+        return self.to_pandas().to_string(**kw)
+
+    def to_markdown(self, **kw) -> str:
+        return self.to_pandas().to_markdown(**kw)
+
+    def rename_axis(self, name) -> "DataFrame":
+        """Rename the INDEX (pandas ``rename_axis``) — a plan-side
+        column rename, no job."""
+        if not self._index_cols:
+            raise ValueError("rename_axis needs an index")
+        old = self._index_cols[0]
+        sdf = self._sdf.withColumnRenamed(old, name)
+        order = [(name if c == old else c, a) for c, a in
+                 (self._order or [])]
+        return DataFrame._make(sdf, [name], list(self._data_cols),
+                               order)
+
+    def set_axis(self, labels, axis: int | str = 0) -> "DataFrame":
+        """Replace the index labels (axis=0; a position-keyed
+        broadcast join of the new label table) or the column names
+        (axis=1; pure rename) — pandas ``set_axis``."""
+        labels = list(labels)
+        if axis in (1, "columns"):
+            if len(labels) != len(self._data_cols):
+                raise ValueError(
+                    f"Length mismatch: expected "
+                    f"{len(self._data_cols)} columns, got "
+                    f"{len(labels)}")
+            return self.rename(dict(zip(self._data_cols, labels)))
+        n = len(self)
+        if len(labels) != n:
+            raise ValueError(
+                f"Length mismatch: expected {n} elements, got "
+                f"{len(labels)}")
+        from ..plans.ordinal import POS_COL
+        sdf = self._ordered_sdf()
+        spark = sdf.sparkSession
+        lut = spark.createDataFrame(
+            [(i, l) for i, l in enumerate(labels)],
+            [POS_COL, _IDX])
+        keep = [c for c in sdf.columns
+                if c not in self._index_cols and c != _IDX]
+        out = sdf.select(*keep).join(F.broadcast(lut), POS_COL)
+        return DataFrame._make(out, [_IDX], list(self._data_cols),
+                               [(POS_COL, True)])
+
     def _directional_fill(self, subset, partition_by, forward: bool,
                           limit: int | None = None):
         from pyspark.sql import Window
@@ -4270,6 +4334,21 @@ class _FrameAt:
 def _py(v):
     """numpy scalar -> python scalar for F.lit."""
     return v.item() if isinstance(v, np.generic) else v
+
+
+class _FrameIAt:
+    """Scalar (row, column) positional access behind
+    :attr:`DataFrame.iat`."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("iat needs a (row, column) position pair")
+        i, j = key
+        cols = self._df._data_cols
+        return self._df[cols[int(j)]].iloc[int(i)]
 
 
 class _FrameILoc:

@@ -560,6 +560,215 @@ class DataFrameGroupBy:
         data = [e for e in out.columns if e not in self._by]
         return DataFrame._make(out, list(self._by), data, None)
 
+    def fillna(self, value=None, method: str | None = None):
+        """Per-group fillna (pandas ``groupby().fillna``): a scalar
+        ``value`` is a group-independent coalesce projection (no
+        shuffle); ``method='ffill'/'bfill'`` delegates to the
+        per-group running carries."""
+        if method == "ffill":
+            return self.ffill()
+        if method == "bfill":
+            return self.bfill()
+        if method is not None:
+            raise ValueError(f"unknown fillna method {method!r}")
+        if value is None:
+            raise ValueError("fillna needs a value or a method")
+        sch = {f.name: f.dataType
+               for f in self._df._sdf.schema.fields}
+        if isinstance(value, str):
+            cols = [c for c in self._all_value_cols()
+                    if sch[c].typeName() == "string"]
+        else:
+            cols = self._value_cols()
+        return self._transform_frame(
+            self._df._sdf, cols,
+            lambda c: F.coalesce(F.col(c), F.lit(value)))
+
+    def take(self, indices):
+        """Positional rows per group (pandas ``groupby().take``):
+        a row_number filter against the literal position set;
+        negatives resolve per group off one count window — no
+        collect, no per-group loop."""
+        from pyspark.sql import Window
+        from .frame import DataFrame
+        idx = [int(i) for i in indices]
+        pos = [i for i in idx if i >= 0]
+        neg = [i for i in idx if i < 0]
+        sdf, order = self._gorder()
+        w = Window.partitionBy(*self._by).orderBy(*order)
+        out = sdf.withColumn("__gp__", F.row_number().over(w) - 1)
+        if neg:
+            out = out.withColumn(
+                "__gn__", F.count(F.lit(1)).over(
+                    Window.partitionBy(*self._by)))
+        cond = F.lit(False)
+        if pos:
+            cond = cond | F.col("__gp__").isin(pos)
+        if neg:
+            cond = cond | (F.col("__gp__") - F.col("__gn__")).isin(neg)
+        out = out.filter(cond).drop("__gp__", "__gn__")
+        return DataFrame._make(out, self._df._index_cols,
+                               self._df._data_cols, self._df._order)
+
+    def sample(self, n: int | None = None, frac: float | None = None,
+               random_state: int | None = None):
+        """Per-group sampling (pandas ``groupby().sample``):
+        row_number over a seeded shuffle order, one window — no
+        collect. ``frac`` keeps round(frac*size) rows per group;
+        ``n`` keeps exactly n (one eager probe raises like pandas
+        when any group is smaller)."""
+        from pyspark.sql import Window
+        from .frame import DataFrame
+        if (n is None) == (frac is None):
+            raise ValueError("pass exactly one of n= or frac=")
+        seed = random_state if random_state is not None else 42
+        sdf, _ = self._gorder()
+        w = Window.partitionBy(*self._by).orderBy(F.rand(seed))
+        out = sdf.withColumn("__gr__", F.row_number().over(w))
+        if frac is not None:
+            out = out.withColumn(
+                "__gn__", F.count(F.lit(1)).over(
+                    Window.partitionBy(*self._by)))
+            out = out.filter(
+                F.col("__gr__")
+                <= F.round(F.col("__gn__") * F.lit(float(frac)))) \
+                .drop("__gn__")
+        else:
+            small = (sdf.groupBy(*self._by)
+                     .agg(F.count(F.lit(1)).alias("n"))
+                     .agg(F.min("n").alias("m")).collect()[0]["m"])
+            if small is not None and small < n:
+                raise ValueError(
+                    f"cannot take a sample of {n} rows: a group has "
+                    f"only {small} (pandas raises here too; use "
+                    "frac= for proportional sampling)")
+            out = out.filter(F.col("__gr__") <= n)
+        out = out.drop("__gr__")
+        return DataFrame._make(out, self._df._index_cols,
+                               self._df._data_cols, self._df._order)
+
+    def _pair_matrix(self, fn, diag_one: bool):
+        """Per-group pairwise matrix (corr/cov): EVERY pair rides
+        ONE groupBy agg (k^2 aggregate expressions share a single
+        shuffle — never a per-pair job), then the wide row explodes
+        into pandas' (group, column) long layout as a pure
+        projection."""
+        from .frame import DataFrame
+        cols = self._value_cols()
+        sdf = self._df._sdf
+        exprs = [fn(F.col(a).cast("double"),
+                    F.col(b).cast("double")).alias(f"__{i}_{j}__")
+                 for i, a in enumerate(cols)
+                 for j, b in enumerate(cols) if j >= i]
+        mat = sdf.groupBy(*self._by).agg(*exprs)
+
+        def cell(i, j):
+            i, j = min(i, j), max(i, j)
+            return F.col(f"__{i}_{j}__")
+        rows = mat.select(
+            *self._by,
+            F.explode(F.array(*[
+                F.struct(F.lit(a).alias("level_1"),
+                         *[cell(i, j).alias(b)
+                           for j, b in enumerate(cols)])
+                for i, a in enumerate(cols)])).alias("__r__"))
+        out = rows.select(*self._by, F.col("__r__.*"))
+        return DataFrame._make(
+            out, [*self._by, "level_1"], list(cols),
+            [(k, True) for k in (*self._by, "level_1")])
+
+    def corr(self, method: str = "pearson"):
+        """Per-group correlation matrix (pandas
+        ``groupby().corr()``) in the stacked (group, column) layout.
+        Pearson only — pairwise-complete observations, like both
+        pandas and F.corr."""
+        if method != "pearson":
+            raise NotImplementedError(
+                "groupby().corr supports method='pearson' only")
+        return self._pair_matrix(F.corr, diag_one=True)
+
+    def cov(self):
+        """Per-group covariance matrix (sample, ddof=1 — pandas
+        default), stacked (group, column) layout."""
+        return self._pair_matrix(F.covar_samp, diag_one=False)
+
+    def corrwith(self, other):
+        """Per-group correlation with ``other``'s matching columns
+        aligned on the index (pandas ``groupby().corrwith``): one
+        index join + one grouped agg of F.corr pairs."""
+        from .frame import DataFrame
+        if not self._df._index_cols or not other._index_cols:
+            raise ValueError("corrwith needs an index on both sides")
+        k = self._df._index_cols[0]
+        ok_ = other._index_cols[0]
+        shared = [c for c in self._value_cols()
+                  if c in other._data_cols]
+        osdf = other._sdf.select(
+            F.col(ok_).alias(k),
+            *[F.col(c).alias(f"__o_{c}__") for c in shared])
+        j = self._df._sdf.join(osdf, k)
+        out = j.groupBy(*self._by).agg(
+            *[F.corr(F.col(c).cast("double"),
+                     F.col(f"__o_{c}__").cast("double")).alias(c)
+              for c in shared])
+        return DataFrame._make(out, list(self._by), shared, None)
+
+    def resample(self, freq: str, on: str | None = None):
+        """Per-group time resample (pandas
+        ``groupby().resample(freq)``): groups stream through
+        ``applyInPandas`` and pandas' own resampler runs per group —
+        gap buckets are generated inside each group exactly like
+        pandas (per-group state stays bounded by the group's time
+        span; the shuffle is the one group-key exchange)."""
+        on = on or self._df._index_cols[0]
+        return _GroupResampler(self, freq, on)
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def dtypes(self):
+        """Column dtypes (pandas GroupBy.dtypes is per-group but
+        dtypes never differ across groups in this engine's typed
+        columns — one frame-level answer)."""
+        return self._df.dtypes
+
+    @property
+    def groups(self) -> dict:
+        """Driver-side {group key: index labels} map (pandas
+        ``GroupBy.groups``). Materializes the WHOLE index — guarded
+        at 100k rows; at scale use the lazy aggregations instead."""
+        return self._label_map(positions=False)
+
+    @property
+    def indices(self) -> dict:
+        """Driver-side {group key: positional ndarray} (pandas
+        ``GroupBy.indices``), same 100k guard."""
+        return self._label_map(positions=True)
+
+    def _label_map(self, positions: bool) -> dict:
+        import numpy as np
+        sdf, ordc = self._pos_sdf("groups")
+        lbl = (ordc if positions else
+               (self._df._index_cols[0]
+                if self._df._index_cols else ordc))
+        rows = (sdf.groupBy(*self._by)
+                .agg(F.sort_array(F.collect_list(
+                    F.struct(F.col(ordc), F.col(lbl)))).alias("ls"),
+                    F.count(F.lit(1)).alias("n"))
+                .limit(100_001).collect())
+        total = sum(r["n"] for r in rows)
+        if total > 100_000 or len(rows) > 100_000:
+            raise ValueError(
+                "groups/indices materializes the whole index on the "
+                "driver — over the 100k-row guard; aggregate "
+                "lazily instead")
+        key = (lambda r: tuple(r[b] for b in self._by)) \
+            if len(self._by) > 1 else (lambda r: r[self._by[0]])
+        return {key(r): np.array([s[lbl] for s in r["ls"]])
+                for r in rows}
+
     def _pos_sdf(self, what: str):
         """(sdf, pos_col) with a fresh dense positional column along
         the frame's logical order — ordinal labels OR a sort_values
@@ -986,3 +1195,65 @@ class _GroupEwm:
 
     def std(self):
         return self._stat("std")
+
+
+class _GroupResampler:
+    """Per-group time-bucket face (see
+    :meth:`DataFrameGroupBy.resample`). Each group's frame runs
+    pandas' OWN resampler inside ``applyInPandas`` — exact pandas
+    bucket labels and per-group gap buckets, bounded per-group
+    state, one group-key shuffle."""
+
+    def __init__(self, gb: DataFrameGroupBy, freq: str, on: str):
+        if on not in gb._df._sdf.columns:
+            raise KeyError(on)
+        self._gb, self._freq, self._on = gb, freq, on
+
+    def _agg(self, name: str):
+        import pandas as pd
+        from pyspark.sql import types as T
+        from .frame import DataFrame
+        gb, freq, on = self._gb, self._freq, self._on
+        sdf = gb._df._sdf
+        sch = {f.name: f for f in sdf.schema.fields}
+        vcols = [c for c in gb._value_cols() if c != on]
+        out_t = T.LongType() if name == "count" else T.DoubleType()
+        fields = ([sch[b] for b in gb._by]
+                  + [T.StructField(on, sch[on].dataType, True)]
+                  + [T.StructField(c, out_t, True) for c in vcols])
+        schema = T.StructType(fields)
+        by = list(gb._by)
+
+        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            keys = pdf[by].iloc[0]
+            r = (pdf.set_index(on)[vcols]
+                 .resample(freq).agg(name).reset_index())
+            for b in by:
+                r.insert(0, b, keys[b])
+            return r[by + [on] + vcols]
+
+        out = (sdf.select(*by, on, *vcols)
+               .groupBy(*by).applyInPandas(fn, schema))
+        return DataFrame._make(out, [*by, on], vcols,
+                               [(k, True) for k in (*by, on)])
+
+    def sum(self):
+        return self._agg("sum")
+
+    def mean(self):
+        return self._agg("mean")
+
+    def count(self):
+        return self._agg("count")
+
+    def min(self):
+        return self._agg("min")
+
+    def max(self):
+        return self._agg("max")
+
+    def var(self):
+        return self._agg("var")
+
+    def std(self):
+        return self._agg("std")

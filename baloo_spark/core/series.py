@@ -1525,6 +1525,113 @@ class Series:
     def bfill(self, limit: int | None = None) -> "Series":
         return self._fill(forward=False, limit=limit)
 
+    def pad(self, limit: int | None = None) -> "Series":
+        """pandas alias of :meth:`ffill`."""
+        return self.ffill(limit=limit)
+
+    def backfill(self, limit: int | None = None) -> "Series":
+        """pandas alias of :meth:`bfill`."""
+        return self.bfill(limit=limit)
+
+    def items(self):
+        """Iterate (label, value) pairs (pandas ``Series.items``) —
+        an explicit driver materialization like iterrows."""
+        s = self.to_pandas()
+        return iter(s.items())
+
+    @property
+    def iat(self):
+        """Positional scalar access (pandas ``Series.iat``) — the
+        iloc integer face."""
+        return _SeriesILoc(self)
+
+    @property
+    def dtypes(self):
+        """pandas alias of :attr:`dtype` (Series.dtypes == dtype)."""
+        return self.dtype
+
+    def case_when(self, caselist) -> "Series":
+        """pandas 2.2 ``Series.case_when``: (condition, replacement)
+        pairs compile to ONE Catalyst CASE chain — fully codegen'd,
+        no Python in the loop. Conditions are engine boolean Series
+        (aligned to this Series' plan); unmatched rows keep this
+        Series' value, like pandas."""
+        if not caselist:
+            raise ValueError("caselist must not be empty")
+        expr = None
+        for cond, repl in caselist:
+            c = cond._colexpr if isinstance(cond, Series) else cond
+            r = repl._colexpr if isinstance(repl, Series) \
+                else F.lit(repl)
+            expr = (F.when(c, r) if expr is None
+                    else expr.when(c, r))
+        return self._with_col(expr.otherwise(self._colexpr))
+
+    def searchsorted(self, value, side: str = "left"):
+        """Insertion index keeping sort order (pandas
+        ``searchsorted``): for side='left' the count of elements
+        strictly below ``value``, side='right' counts <= — ONE
+        aggregate per call (a scalar), or one grouped pass for a
+        list of probes (no per-probe job)."""
+        if side not in ("left", "right"):
+            raise ValueError("side must be 'left' or 'right'")
+        sdf, alias = self._select("__ss__")
+        col = F.col(alias)
+        vals = (list(value)
+                if isinstance(value, (list, tuple, np.ndarray))
+                else None)
+        if vals is None:
+            op = (col < F.lit(value)) if side == "left" \
+                else (col <= F.lit(value))
+            return int(sdf.agg(F.count(F.when(op, 1))).collect()[0][0])
+        aggs = [F.count(F.when(
+            (col < F.lit(v)) if side == "left" else (col <= F.lit(v)),
+            1)).alias(f"c{i}") for i, v in enumerate(vals)]
+        row = sdf.agg(*aggs).collect()[0]
+        return np.array([row[f"c{i}"] for i in range(len(vals))])
+
+    def to_string(self, **kw) -> str:
+        """Driver-side render (pandas ``to_string``) — an explicit
+        materialization boundary like to_pandas."""
+        return self.to_pandas().to_string(**kw)
+
+    def to_markdown(self, **kw) -> str:
+        return self.to_pandas().to_markdown(**kw)
+
+    def rename_axis(self, name) -> "Series":
+        """Rename the INDEX (pandas ``rename_axis``) — a column
+        rename in the plan, no job."""
+        if not self._index_cols:
+            raise ValueError("rename_axis needs an index")
+        old = self._index_cols[0]
+        sdf = self._sdf.withColumnRenamed(old, name)
+        order = [(name if c == old else c, a) for c, a in
+                 (self._order or [])]
+        return Series._make(sdf, self._colexpr, [name], self.name,
+                            order)
+
+    def set_axis(self, labels) -> "Series":
+        """Replace the index with ``labels`` (pandas ``set_axis``) —
+        a position-keyed join of the new label table, the reindex
+        machinery's shape."""
+        labels = list(labels)
+        n = len(self)
+        if len(labels) != n:
+            raise ValueError(
+                f"Length mismatch: expected {n} elements, got "
+                f"{len(labels)}")
+        from ..plans.ordinal import POS_COL
+        sdf, alias = self._ordered_sdf()
+        spark = sdf.sparkSession
+        lut = spark.createDataFrame(
+            [(i, l) for i, l in enumerate(labels)],
+            [POS_COL, _IDX])
+        keep = [c for c in sdf.columns
+                if c not in self._index_cols]
+        out = sdf.select(*keep).join(F.broadcast(lut), POS_COL)
+        return Series._make(out, F.col(alias), [_IDX],
+                            self.name, [(POS_COL, True)])
+
     def _fill(self, forward: bool, limit):
         from .frame import DataFrame
         sdf = self._sdf.withColumn("__fv__", self._colexpr)

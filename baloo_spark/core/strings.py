@@ -30,8 +30,9 @@ class StringMethods:
         # no Spark job.
         t = sr.spark_type.typeName()
         # arrays of strings are legal .str targets too (str.join /
-        # post-split element ops, like pandas object-of-list series)
-        if t not in ("string", "null", "array"):
+        # post-split element ops, like pandas object-of-list
+        # series); binary admits str.decode
+        if t not in ("string", "null", "array", "binary"):
             raise AttributeError(
                 "Can only use .str accessor with string values! "
                 f"(column dtype is {t}; astype(str) first)")
@@ -518,3 +519,139 @@ class StringMethods:
 
     def regexp_replace(self, pattern: str, rep: str):
         return self._map(lambda c: F.regexp_replace(c, pattern, rep))
+
+    def rpartition(self, sep: str = " "):
+        """3-struct (head, sep, tail) around the LAST separator
+        (pandas rpartition; struct-column flavor like
+        :meth:`partition`). No match: ('', '', whole) — the mirror
+        of partition's (whole, '', '')."""
+        n = len(sep)
+        rsep = sep[::-1]
+
+        def fn(c):
+            # 0-based index of the LAST occurrence (rfind formula)
+            idx0 = F.length(c) - F.instr(F.reverse(c), F.lit(rsep)) \
+                - F.lit(n - 1)
+            return F.when(
+                F.instr(F.reverse(c), F.lit(rsep)) > 0,
+                F.struct(
+                    c.substr(F.lit(1), idx0).alias("0"),
+                    F.lit(sep).alias("1"),
+                    c.substr(idx0 + 1 + n, F.length(c)).alias("2")))                 .when(c.isNotNull(),
+                       F.struct(F.lit("").alias("0"),
+                                F.lit("").alias("1"),
+                                c.alias("2")))
+        return self._map(fn)
+
+    def index(self, sub: str, start: int = 0,
+              end: int | None = None):
+        """Like :meth:`find` but raises ``ValueError`` when any
+        element misses (python ``str.index`` contract) — one eager
+        probe agg counts the -1s before the lazy result returns,
+        the to_numeric(errors='raise') pattern."""
+        out = self.find(sub, start, end)
+        self._raise_on_miss(out, "index")
+        return out
+
+    def rindex(self, sub: str):
+        """Like :meth:`rfind` but raises on any miss (python
+        ``str.rindex``)."""
+        out = self.rfind(sub)
+        self._raise_on_miss(out, "rindex")
+        return out
+
+    def _raise_on_miss(self, out, name):
+        sdf, alias = out._select("__ix__")
+        bad = sdf.agg(F.count(F.when(F.col(alias) == -1, 1))
+                      .alias("n")).collect()[0]["n"]
+        if bad:
+            raise ValueError(
+                f"substring not found in {bad} element(s) "
+                f"(str.{name} raises like python; use "
+                f"find/rfind for -1 sentinels)")
+
+    def extractall(self, pat: str):
+        """pandas ``str.extractall``: EVERY regex match becomes a
+        row — capture groups as columns, indexed by (original
+        label, match ordinal). One projection of per-group
+        regexp_extract_all arrays zipped and posexploded; rows
+        without matches drop, like pandas. Stays JVM-side — no
+        Python in the loop."""
+        import re as _re
+        ngroups = _re.compile(pat).groups
+        if ngroups == 0:
+            raise ValueError("pattern contains no capture groups")
+        names = {v: k for k, v
+                 in _re.compile(pat).groupindex.items()}
+        pat = pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+        sr = self._sr
+        c = sr._colexpr
+        zipped = F.arrays_zip(
+            *[F.regexp_extract_all(c, F.lit(pat), F.lit(i))
+              .alias(f"g{i}") for i in range(1, ngroups + 1)])
+        idx = [F.col(x) for x in sr._index_cols
+               if x in sr._sdf.columns]
+        ex = sr._sdf.select(
+            *idx, F.posexplode(zipped).alias("match", "__z__"))
+        cols = {names.get(i, str(i - 1)): F.col(f"__z__.g{i}")
+                for i in range(1, ngroups + 1)}
+        out = ex.select(*[F.col(x) for x in sr._index_cols
+                          if x in ex.columns],
+                        F.col("match"),
+                        *[e.alias(nm) for nm, e in cols.items()])
+        from .frame import DataFrame
+        return DataFrame._make(
+            out, [*sr._index_cols, "match"], list(cols),
+            [(k, True) for k in (*sr._index_cols, "match")])
+
+    def get_dummies(self, sep: str = "|"):
+        """Indicator columns from sep-joined label strings (pandas
+        ``str.get_dummies``). The label vocabulary is collected
+        once (driver-sized by construction — these are categorical
+        tags, guarded at 10k); each indicator is a pure
+        array_contains projection, no shuffle."""
+        sr = self._sr
+        c = sr._colexpr
+        arr = F.split(c, _re_escape(sep))
+        labels = [r["l"] for r in
+                  sr._sdf.select(F.explode(arr).alias("l"))
+                  .where(F.col("l") != "").distinct()
+                  .limit(10_001).collect()]
+        if len(labels) > 10_000:
+            raise ValueError(
+                "get_dummies found >10k distinct labels — that is "
+                "a join table, not a column set")
+        labels = sorted(labels)
+        from .frame import DataFrame
+        idx = [F.col(x) for x in sr._index_cols
+               if x in sr._sdf.columns]
+        out = sr._sdf.select(
+            *idx,
+            *[F.when(F.array_contains(arr, lab), 1).otherwise(0)
+              .cast("long").alias(lab) for lab in labels])
+        return DataFrame._make(out, sr._index_cols, labels,
+                               sr._order)
+
+    def wrap(self, width: int, **kw):
+        """Line-wrap each element at ``width`` (pandas str.wrap) —
+        python's textwrap has no JVM twin, so this is the honest
+        Arrow-batched slow path."""
+        import textwrap
+
+        from ..functions._udf import scalar_pandas_udf
+        from pyspark.sql import types as T
+        tw = textwrap.TextWrapper(width=width, **kw)
+        udf = scalar_pandas_udf(
+            lambda s: s.map(lambda x: tw.fill(x)
+                            if x is not None else None),
+            T.StringType())
+        return self._map(udf)
+
+    def encode(self, encoding: str = "utf-8"):
+        """String -> binary bytes (pandas str.encode) —
+        F.encode, one JVM expression."""
+        return self._map(lambda c: F.encode(c, encoding))
+
+    def decode(self, encoding: str = "utf-8"):
+        """Binary -> string (pandas str.decode) — F.decode."""
+        return self._map(lambda c: F.decode(c, encoding))

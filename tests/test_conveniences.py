@@ -550,3 +550,63 @@ def test_wave14_fixes(bl):
         podd.eval("`col one` * 2").tolist()
     assert dodd.eval("`a.b` + `col one`").to_pandas().tolist() == \
         podd.eval("`a.b` + `col one`").tolist()
+
+
+def test_r8_series_frame_sweep(bl):
+    """r8 dir(pd.DataFrame/Series) sweep closures: pad/backfill
+    aliases, Series.items (driver iterator), iat scalar access
+    (frame (i,j) pair), case_when (one Catalyst CASE chain),
+    searchsorted (one count agg; list probes share one grouped
+    pass), to_string/to_markdown, rename_axis (plan-side rename),
+    set_axis (position-keyed broadcast join; axis=1 = rename),
+    Series.dtypes alias."""
+    import pandas as pd
+
+    ps = pd.Series([1., np.nan, 3., np.nan],
+                   index=["a", "b", "c", "d"])
+    s = bl.Series(ps.to_numpy(), index=bl.Index(ps.index.to_numpy()),
+                  name="v")
+    assert s.pad().to_pandas().tolist() == ps.ffill().tolist()
+    assert s.backfill().to_pandas().fillna(-9).tolist() == \
+        ps.bfill().fillna(-9).tolist()
+    assert dict((k, None if v != v else v) for k, v in s.items()) == \
+        dict((k, None if v != v else v) for k, v in ps.items())
+    assert s.iat[0] == ps.iat[0]
+
+    pdf = pd.DataFrame({"a": [1., 2.], "b": [3., 4.]})
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    assert df.iat[1, 1] == pdf.iat[1, 1]
+    with pytest.raises(TypeError):
+        df.iat[1]
+
+    pc = pd.Series([1., 2., 3., 4.])
+    c = bl.Series(pc.to_numpy())
+    assert c.case_when([(c > 3, 99.), (c > 1, 50.)]) \
+        .to_pandas().tolist() == \
+        pc.case_when([(pc > 3, 99.), (pc > 1, 50.)]).tolist()
+
+    pv = pd.Series([1., 3., 5., 7.])
+    v = bl.Series(pv.to_numpy())
+    for side in ("left", "right"):
+        assert v.searchsorted(5, side=side) == \
+            pv.searchsorted(5, side=side)
+        assert list(v.searchsorted([0, 5, 9], side=side)) == \
+            list(pv.searchsorted([0, 5, 9], side=side))
+
+    assert isinstance(df.to_string(), str)
+    assert isinstance(s.to_string(), str)
+    assert s.rename_axis("idx").to_pandas().index.name == "idx"
+    assert df.rename_axis("idx").to_pandas().index.name == "idx"
+    sa = s.set_axis(["w", "x", "y", "z"]).to_pandas()
+    psa = ps.set_axis(["w", "x", "y", "z"])
+    assert sa.index.tolist() == psa.index.tolist()
+    assert sa.fillna(-9).tolist() == psa.fillna(-9).tolist()
+    fa = df.set_axis(["r1", "r2"]).to_pandas()
+    pfa = pdf.set_axis(["r1", "r2"])
+    assert fa.index.tolist() == pfa.index.tolist()
+    assert fa.values.tolist() == pfa.values.tolist()
+    assert list(df.set_axis(["c1", "c2"], axis=1).to_pandas()
+                .columns) == ["c1", "c2"]
+    with pytest.raises(ValueError):
+        s.set_axis(["one"])
+    assert s.dtypes == s.dtype

@@ -525,3 +525,77 @@ def test_groupby_surface_batch(bl):
     assert d["v_mean"].tolist() == wd[("v", "mean")].tolist()
     assert d["v_50%"].tolist() == wd[("v", "50%")].tolist()
     assert gb.pipe(lambda g: g.ngroups()) == 2
+
+
+def test_r8_groupby_sweep(bl):
+    """r8 dir(pd.DataFrameGroupBy) sweep closures: fillna (scalar
+    coalesce + method delegation), take (positional, negatives per
+    group), sample (n= exact with the pandas raise, frac=
+    proportional), corr/cov (per-group pairwise matrices in one
+    grouped agg, stacked layout), corrwith (index join + grouped
+    F.corr), resample (per-group pandas resampler via
+    applyInPandas), groups/indices/ndim/dtypes."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"g": ["a", "b"] * 10,
+                        "x": rng.randn(20), "y": rng.randn(20)})
+    pdf.loc[3::5, "x"] = np.nan
+    df = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+
+    filled = df.groupby("g").fillna(0.0).to_pandas()["x"]
+    assert not filled.isna().any()
+    assert sorted(np.round(filled, 9)) == \
+        sorted(np.round(pdf["x"].fillna(0.0), 9))
+    ff = df.groupby("g").fillna(method="ffill").to_pandas() \
+        .sort_index()["x"]
+    pf = pdf.groupby("g")["x"].ffill()
+    assert np.allclose(ff.fillna(-9), pf.fillna(-9))
+
+    got = df.groupby("g").take([0, -1]).to_pandas()
+    want = pdf.groupby("g").take([0, -1])
+    assert sorted(np.round(got["y"], 9)) == \
+        sorted(np.round(want["y"], 9))
+
+    assert len(df.groupby("g").sample(frac=0.5, random_state=1)
+               .to_pandas()) == 10
+    samp = df.groupby("g").sample(n=3).to_pandas()
+    assert len(samp) == 6 and set(samp["g"]) == {"a", "b"}
+    with pytest.raises(ValueError, match="sample"):
+        df.groupby("g").sample(n=100)
+
+    got = df.groupby("g").corr().to_pandas().sort_index()
+    want = pdf.groupby("g").corr().sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    assert np.allclose(got.values, want.values, equal_nan=True)
+    gotc = df.groupby("g").cov().to_pandas().sort_index()
+    assert np.allclose(gotc.values,
+                       pdf.groupby("g").cov().sort_index().values,
+                       equal_nan=True)
+
+    po = pd.DataFrame({"x": rng.randn(20), "y": rng.randn(20)})
+    bo = bl.DataFrame({k: po[k].to_numpy() for k in po})
+    got = df.groupby("g").corrwith(bo).to_pandas().sort_index()
+    want = pdf.groupby("g").corrwith(po).sort_index()
+    assert np.allclose(got[["x", "y"]].values,
+                       want[["x", "y"]].values, equal_nan=True)
+
+    ts = pd.date_range("2024-01-01", periods=20, freq="7h")
+    pr = pd.DataFrame({"g": ["a", "b"] * 10, "t": ts,
+                       "v": rng.randn(20)})
+    br = bl.DataFrame({"g": pr["g"].to_numpy(), "t": ts.to_numpy(),
+                       "v": pr["v"].to_numpy()})
+    got = br.groupby("g").resample("1D", on="t").sum() \
+        .to_pandas().sort_index()
+    want = pr.groupby("g").resample("1D", on="t")[["v"]].sum() \
+        .sort_index()
+    assert np.allclose(got["v"].values, want["v"].values)
+    assert got.index.tolist() == want.index.tolist()
+
+    gb, pgb = df.groupby("g"), pdf.groupby("g")
+    assert {k: list(v) for k, v in gb.groups.items()} == \
+        {k: list(v) for k, v in pgb.groups.items()}
+    assert {k: list(v) for k, v in gb.indices.items()} == \
+        {k: list(v) for k, v in pgb.indices.items()}
+    assert gb.ndim == 2
+    assert gb.dtypes == df.dtypes

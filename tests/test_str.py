@@ -300,3 +300,58 @@ def test_str_join_translate_repeat(bl):
     bn = bl.Series(np.array([1.0, np.nan]))
     assert bn.repeat(2).to_pandas().fillna(-1).tolist() == \
         pn.repeat(2).fillna(-1).tolist()
+
+
+def test_r8_str_sweep(bl):
+    """r8 dir(pd.Series.str) sweep closures: rpartition (last-sep
+    3-struct; no-match = ('', '', whole); NULL stays NULL),
+    index/rindex (find/rfind + eager ValueError on any miss),
+    extractall (every match a row, (label, match) index, named
+    groups), get_dummies (indicator columns off a collected label
+    vocabulary), wrap (Arrow textwrap), encode/decode round trip."""
+    import pandas as pd
+
+    ps = pd.Series(["a-b-c", "x", None, "q-r"])
+    s = bl.Series(ps.to_numpy(dtype=object))
+    got = s.str.rpartition("-").to_pandas()
+    want = ps.str.rpartition("-")
+    for i in range(len(ps)):
+        g = got.iloc[i]
+        if g is None:
+            assert want.iloc[i].isna().all()
+        else:
+            assert [g["0"], g["1"], g["2"]] == want.iloc[i].tolist()
+
+    s2 = bl.Series(np.array(["abc", "zzc"], dtype=object))
+    assert vals(s2.str.index("c")) == [2, 2]
+    with pytest.raises(ValueError, match="not found"):
+        s2.str.index("a")
+    assert vals(s2.str.rindex("c")) == [2, 2]
+    with pytest.raises(ValueError, match="not found"):
+        s2.str.rindex("b")
+
+    psx = pd.Series(["a1b2", "c3", "zz"])
+    sx = bl.Series(psx.to_numpy(dtype=object))
+    for pat in (r"([a-z])(\d)", r"(?P<key>[a-z])(?P<val>\d)"):
+        got = sx.str.extractall(pat).to_pandas()
+        want = psx.str.extractall(pat)
+        # unnamed groups: engine columns are strings ('0','1') —
+        # the extract() convention; pandas uses ints
+        assert list(got.columns) == [str(c) for c in want.columns]
+        assert got.values.tolist() == want.values.tolist()
+        assert got.index.tolist() == want.index.tolist()
+
+    pg = pd.Series(["a|b", "b", None, "a|c"])
+    sg = bl.Series(pg.to_numpy(dtype=object))
+    got = sg.str.get_dummies("|").to_pandas()
+    want = pg.str.get_dummies("|")
+    assert list(got.columns) == list(want.columns)
+    assert got.values.tolist() == want.values.tolist()
+
+    pw = pd.Series(["the quick brown fox jumps", None])
+    sw = bl.Series(pw.to_numpy(dtype=object))
+    assert vals(sw.str.wrap(10))[0] == pw.str.wrap(10).iloc[0]
+
+    se = bl.Series(np.array(["héllo", "x"], dtype=object))
+    assert vals(se.str.encode("utf-8").str.decode("utf-8")) == \
+        ["héllo", "x"]
