@@ -588,7 +588,10 @@ class DataFrameGroupBy:
         """Positional rows per group (pandas ``groupby().take``):
         a row_number filter against the literal position set;
         negatives resolve per group off one count window — no
-        collect, no per-group loop."""
+        collect, no per-group loop. Known divergence: positions
+        past a group's end FILTER silently (lazy engine — the
+        check would cost an eager job) where pandas raises
+        IndexError."""
         from pyspark.sql import Window
         from .frame import DataFrame
         idx = [int(i) for i in indices]
