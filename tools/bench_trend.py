@@ -88,6 +88,14 @@ SCOPE_NOTES = {
                   "exact integer-microsecond delta output column to "
                   "the time leg — the sub-second-precision evidence "
                   "VERDICT r4 prescribed",
+    "events_window": "r8: adds the streaming-EWM parity flag row — "
+                     "ONE availableNow run of ewm_stream "
+                     "(applyInPandasWithState) compared against the "
+                     "pandas-kernel batch twin, memoized per "
+                     "session; the COLD number absorbs that one-time "
+                     "streaming query (~6s at sf0.1), warm re-runs "
+                     "emit the cached scalar and stay at the r7 "
+                     "shape",
 }
 
 # flags checked by hand: re-timed solo and plan-audited, not a
