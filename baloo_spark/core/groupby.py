@@ -88,6 +88,22 @@ class DataFrameGroupBy:
     def _all_value_cols(self):
         return [c for c in self._df._data_cols if c not in self._by]
 
+    @staticmethod
+    def _cluster_for_python(sdf, by):
+        """Explicitly hash-repartition on the group keys before a
+        grouped-PYTHON stage (applyInPandas). AQE coalesces the
+        pre-apply exchange by BYTES, but grouped-Python cost is
+        GROUP-COUNT-bound (per-group Arrow + pandas-object overhead
+        runs ~ms), so byte-sized coalescing serializes high-
+        cardinality groupings onto a few tasks — measured 53.6s ->
+        15.9s at 147k tiny groups (SCALING.md). An explicit
+        repartition(N, keys) is exempt from AQE coalescing and
+        already satisfies the apply's clustering requirement, so no
+        second exchange appears."""
+        n = int(sdf.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        return sdf.repartition(n, *[F.col(b) for b in by])
+
     def _transform_frame(self, sdf, cols, mk):
         """Rebuild the frame with ``cols`` replaced by mk(col) — the
         aligned transform shape (same rows, same order)."""
@@ -924,7 +940,8 @@ class DataFrameGroupBy:
         expressible declaratively; this is the escape hatch.
         """
         from .frame import DataFrame
-        out = self._df._sdf.groupBy(*self._by).applyInPandas(func, schema)
+        src = self._cluster_for_python(self._df._sdf, self._by)
+        out = src.groupBy(*self._by).applyInPandas(func, schema)
         return DataFrame.from_spark(out)
 
     def filter(self, predicate, schema=None) -> "DataFrame":
@@ -957,7 +974,8 @@ class DataFrameGroupBy:
             return pdf if predicate(pdf) else pdf.iloc[0:0]
 
         ddl = schema or sdf.schema
-        out = sdf.groupBy(*self._by).applyInPandas(_flt, ddl)
+        src = self._cluster_for_python(sdf, self._by)
+        out = src.groupBy(*self._by).applyInPandas(_flt, ddl)
         return DataFrame._make(out, self._df._index_cols,
                                self._df._data_cols, self._df._order)
 
@@ -1183,7 +1201,8 @@ class _GroupEwm:
             pdf[vcols] = getattr(ew, stat)()
             return pdf
 
-        out = sdf.groupBy(*gb._by).applyInPandas(fn, schema)
+        src = gb._cluster_for_python(sdf, gb._by)
+        out = src.groupBy(*gb._by).applyInPandas(fn, schema)
         return DataFrame._make(out, gb._df._index_cols,
                                gb._df._data_cols, gb._df._order)
 
@@ -1235,8 +1254,8 @@ class _GroupResampler:
                 r.insert(0, b, keys[b])
             return r[by + [on] + vcols]
 
-        out = (sdf.select(*by, on, *vcols)
-               .groupBy(*by).applyInPandas(fn, schema))
+        src = gb._cluster_for_python(sdf.select(*by, on, *vcols), by)
+        out = src.groupBy(*by).applyInPandas(fn, schema)
         return DataFrame._make(out, [*by, on], vcols,
                                [(k, True) for k in (*by, on)])
 
