@@ -749,3 +749,41 @@ def test_frame_interpolate_shared_pass(bl):
                 assert g[c].fillna(-9).tolist() == \
                     w[c].fillna(-9).tolist(), (c, ld, lim)
             assert g["s"].tolist() == w["s"].tolist()
+
+
+def test_grouped_ewm_batched_kernel_holdover(bl):
+    """r8: grouped ewm runs pandas' Cython GROUPED kernel over whole
+    Arrow batches inside mapInPandas (many groups per Python call);
+    a group straddling a batch boundary is held over and prepended
+    to the next batch. Force the straddle with a tiny
+    maxRecordsPerBatch and group sizes larger than the batch, both
+    adjust flavors, NaN-laced."""
+    import pandas as pd
+    rng = np.random.RandomState(11)
+    n = 400
+    pdf = pd.DataFrame({
+        "g": np.repeat(np.arange(20), n // 20),   # 20 rows/group
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.randn(n)})
+    pdf.loc[pdf.index % 7 == 3, "v"] = np.nan
+    bdf = bl.DataFrame({k: pdf[k].to_numpy() for k in pdf})
+    spark = bdf._sdf.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "13")   # << group size 20 => straddles
+        for adj in (True, False):
+            for stat in ("mean", "var"):
+                got = getattr(bdf.groupby("g")[["v"]]
+                              .ewm(alpha=0.3, adjust=adj), stat)() \
+                    .to_pandas()
+                want = pdf.groupby("g")["v"].transform(
+                    lambda t, a=adj, s=stat:
+                    getattr(t.ewm(alpha=0.3, adjust=a), s)())
+                gv = got["v"].to_numpy(dtype=float)
+                npt.assert_allclose(
+                    np.nan_to_num(gv, nan=-9e9),
+                    np.nan_to_num(want.to_numpy(), nan=-9e9),
+                    rtol=1e-8, err_msg=f"adj={adj} {stat}")
+    finally:
+        spark.conf.set(key, old)

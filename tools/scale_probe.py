@@ -270,23 +270,24 @@ def main():
                      f"{n_groups:,} groups, ~{rows // n_groups} "
                      "rows/group)")
         print("grouped noadjust", lines[-1])
-    lines += ["", "_one shuffle on the group key, then pandas' C "
-              "kernel per group inside applyInPandas — per-group "
-              "state is O(1) and no group ever exceeds one task, so "
-              "the shape survives 1000 executors; the cost the "
-              "global scan doesn't pay is per-group Arrow batch "
-              "overhead, which dominates in the many-tiny-groups "
-              "regime (group size ~4 at 1x). Crossover: for GLOBAL "
-              "series the two-pass perturbation-carry scan (above) "
-              "is the right face; as groups grow (replication "
-              "multiplies rows per group, not groups) the per-group "
-              "overhead amortizes toward the kernel-bound global "
-              "path — compare the per-mult numbers above against "
-              "the global-scan section. Use the grouped face only "
-              "when the "
-              "query semantics are per-key; never route a global "
-              "EWM through a synthetic single group (one task, no "
-              "parallelism)._", ""]
+    lines += ["", "_one explicit repartition on the group key "
+              "(exempt from AQE's BYTE-sized coalescing, which "
+              "serialized 147k tiny groups onto a few tasks — "
+              "53.6s measured pre-fix), sortWithinPartitions for "
+              "group contiguity, then pandas' Cython GROUPED ewm "
+              "kernel over whole Arrow batches inside mapInPandas "
+              "— many groups per Python call, with a straddling "
+              "group held over to the next batch. The per-group "
+              "applyInPandas face measured 13.8s at 1x on this "
+              "workload (per-group Arrow + pandas-object overhead "
+              "is ~ms and GROUP-COUNT-bound); the batched kernel "
+              "is bounded by per-ROW C-kernel work instead, the "
+              "same cost model as the global scan. Per-group state "
+              "is O(1), no group exceeds one task, the shape "
+              "survives 1000 executors. Use the grouped face only "
+              "when the query semantics are per-key; never route a "
+              "global EWM through a synthetic single group (one "
+              "task, no parallelism)._", ""]
 
     # interpolate: ONE fused layout pass (with_interp_neighbors) —
     # construction is partly eager like EWM, so the operator is
