@@ -641,7 +641,9 @@ class DataFrameGroupBy:
         if (n is None) == (frac is None):
             raise ValueError("pass exactly one of n= or frac=")
         seed = random_state if random_state is not None else 42
-        sdf, _ = self._gorder()
+        # no _gorder: sampling needs no input row order (the window
+        # orders by the seeded rand), so scan-backed frames work
+        sdf = self._df._sdf
         w = Window.partitionBy(*self._by).orderBy(F.rand(seed))
         out = sdf.withColumn("__gr__", F.row_number().over(w))
         if frac is not None:

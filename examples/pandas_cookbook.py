@@ -58,6 +58,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     print("== add(fill_value=0): non-null",
           int(combined.notna().sum()), "of", len(combined))
 
+
+    # --- r8 conveniences: per-group analytics + label machinery
+    # grouped sampling (seeded, proportional) for train/eval splits
+    samp = li.groupby("l_returnflag").sample(frac=0.01,
+                                             random_state=7)
+    print("== groupby sample(frac=0.01):", len(samp), "rows")
+
+    # per-group correlation matrix: k^2 pairs, ONE grouped shuffle
+    corr = li[["l_returnflag", "l_quantity", "l_extendedprice",
+               "l_discount"]].groupby("l_returnflag").corr()
+    print("== groupby corr (stacked)")
+    print(corr.to_pandas().round(3).head(6))
+
+    # case_when compiles to one Catalyst CASE chain
+    q = li["l_quantity"]
+    band = q.case_when([(q < 10, 1.0), (q < 30, 2.0),
+                        (q >= 30, 3.0)])
+    print("== case_when bands:",
+          band.value_counts().to_pandas().to_dict())
+
+    # str.extractall: every regex match a row, JVM-side
+    docs = bl.read_parquet(f"{sf_dir}/documents.parquet")
+    words = docs["text"].head(200).str.extractall(r"(\bs[a-z]+)")
+    print("== extractall s-words in 200 docs:", len(words))
+
     # --- guards: silent wrong answers become errors
     dup = bl.DataFrame({"k": ["x", "x"], "c": ["p", "p"],
                         "v": [1.0, 2.0]}).set_index(["k", "c"])
