@@ -247,8 +247,8 @@ def main():
     # (per-group Arrow overhead is the cost that the global scan
     # doesn't pay) and document the crossover vs the global scan.
     from baloo_spark.core.frame import DataFrame as BlFrame
-    lines += ["## grouped ewm var adjust=False (applyInPandas per "
-              "group; many small groups)", ""]
+    lines += ["## grouped ewm var adjust=False (batched "
+              "mapInPandas kernel; many small groups)", ""]
     n_groups = li.select("l_orderkey").distinct().count()
     for mult in (1, 4, 16):
         base = replicate(
