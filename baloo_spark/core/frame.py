@@ -1665,6 +1665,12 @@ class DataFrame:
         Series iloc scalar probe."""
         return _FrameIAt(self)
 
+    @property
+    def at(self):
+        """Label scalar access (pandas ``DataFrame.at``):
+        ``df.at[label, column]`` — the loc scalar face."""
+        return _FrameAt(self)
+
     def to_string(self, **kw) -> str:
         """Driver-side render (pandas ``to_string``) — an explicit
         materialization boundary like to_pandas."""
@@ -4334,6 +4340,19 @@ class _FrameAt:
 def _py(v):
     """numpy scalar -> python scalar for F.lit."""
     return v.item() if isinstance(v, np.generic) else v
+
+
+class _FrameAt:
+    """Scalar (label, column) access behind :attr:`DataFrame.at`."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("at needs a (label, column) pair")
+        lbl, col = key
+        return self._df[col].loc[lbl]
 
 
 class _FrameIAt:

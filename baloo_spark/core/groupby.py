@@ -1160,6 +1160,47 @@ class _NoIndexGroupBy:
         return wrapped
 
 
+def _batched_group_gen(by, run):
+    """mapInPandas generator running ``run`` over whole Arrow batches
+    of key-CONTIGUOUS rows (sortWithinPartitions on the keys first):
+    many groups per Python call instead of one. The (contiguous)
+    tail holding the last key is held over and prepended to the next
+    batch — it may continue there; partitions are key-hashed so no
+    group straddles a partition, and mapInPandas batches arrive in
+    order. NaN-safe key equality."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        hold = None
+        for pdf in batches:
+            if hold is not None and len(hold):
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            if not len(pdf):
+                continue
+            last = pdf[by].iloc[-1]
+            neq = np.zeros(len(pdf), dtype=bool)
+            for b in by:
+                col = pdf[b]
+                lv = last[b]
+                if lv is None or (isinstance(lv, float)
+                                  and lv != lv):
+                    neq |= col.notna().to_numpy()
+                else:
+                    ne = (col != lv).to_numpy()
+                    ne |= col.isna().to_numpy()
+                    neq |= ne
+            idx = np.nonzero(neq)[0]
+            cut = int(idx[-1]) + 1 if len(idx) else 0
+            body, hold = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(body):
+                yield run(body)
+        if hold is not None and len(hold):
+            yield run(hold)
+    return gen
+
+
 class _GroupEwm:
     """Per-group EWM face (see :meth:`DataFrameGroupBy.ewm`)."""
 
@@ -1222,36 +1263,7 @@ class _GroupEwm:
             pdf[vcols] = res.to_numpy()
             return pdf
 
-        def gen(batches):
-            hold = None
-            for pdf in batches:
-                if hold is not None and len(hold):
-                    pdf = pd.concat([hold, pdf], ignore_index=True)
-                    hold = None
-                if not len(pdf):
-                    continue
-                # split off the (contiguous) tail holding the LAST
-                # key — it may continue in the next batch.
-                # NaN-safe key equality per column.
-                last = pdf[by].iloc[-1]
-                neq = np.zeros(len(pdf), dtype=bool)
-                for b in by:
-                    col = pdf[b]
-                    lv = last[b]
-                    if lv is None or (isinstance(lv, float)
-                                      and lv != lv):
-                        neq |= col.notna().to_numpy()
-                    else:
-                        ne = (col != lv).to_numpy()
-                        ne |= col.isna().to_numpy()
-                        neq |= ne
-                idx = np.nonzero(neq)[0]
-                cut = int(idx[-1]) + 1 if len(idx) else 0
-                body, hold = pdf.iloc[:cut], pdf.iloc[cut:]
-                if len(body):
-                    yield _run(body)
-            if hold is not None and len(hold):
-                yield _run(hold)
+        gen = _batched_group_gen(by, _run)
 
         by_cols = [F.col(b) for b in by]
         oexprs = [F.col(c).asc() if a else F.col(c).desc()
@@ -1277,10 +1289,13 @@ class _GroupEwm:
 
 class _GroupResampler:
     """Per-group time-bucket face (see
-    :meth:`DataFrameGroupBy.resample`). Each group's frame runs
-    pandas' OWN resampler inside ``applyInPandas`` — exact pandas
-    bucket labels and per-group gap buckets, bounded per-group
-    state, one group-key shuffle."""
+    :meth:`DataFrameGroupBy.resample`). Pandas' OWN grouped
+    resampler runs over whole Arrow batches of key-contiguous rows
+    inside ``mapInPandas`` (many groups per Python call — the same
+    batched-kernel shape as grouped ewm; per-GROUP applyInPandas
+    overhead is group-count-bound and dominates high-cardinality
+    keys). Exact pandas bucket labels and per-group gap buckets,
+    bounded per-group state, one group-key shuffle."""
 
     def __init__(self, gb: DataFrameGroupBy, freq: str, on: str):
         if on not in gb._df._sdf.columns:
@@ -1302,16 +1317,17 @@ class _GroupResampler:
         schema = T.StructType(fields)
         by = list(gb._by)
 
-        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            keys = pdf[by].iloc[0]
-            r = (pdf.set_index(on)[vcols]
+        def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            r = (pdf.set_index(on)
+                 .groupby(by, sort=False, dropna=False)[vcols]
                  .resample(freq).agg(name).reset_index())
-            for b in by:
-                r.insert(0, b, keys[b])
+            r[vcols] = r[vcols].astype(
+                "int64" if name == "count" else "float64")
             return r[by + [on] + vcols]
 
-        src = gb._cluster_for_python(sdf.select(*by, on, *vcols), by)
-        out = src.groupBy(*by).applyInPandas(fn, schema)
+        src = (gb._cluster_for_python(sdf.select(*by, on, *vcols), by)
+               .sortWithinPartitions(*[F.col(b) for b in by]))
+        out = src.mapInPandas(_batched_group_gen(by, _run), schema)
         return DataFrame._make(out, [*by, on], vcols,
                                [(k, True) for k in (*by, on)])
 

@@ -1546,6 +1546,12 @@ class Series:
         return _SeriesILoc(self)
 
     @property
+    def at(self):
+        """Label scalar access (pandas ``Series.at``) — the loc
+        scalar face (KeyError when absent)."""
+        return _SeriesLoc(self)
+
+    @property
     def dtypes(self):
         """pandas alias of :attr:`dtype` (Series.dtypes == dtype)."""
         return self.dtype
