@@ -578,6 +578,13 @@ def test_r8_series_frame_sweep(bl):
     assert df.iat[1, 1] == pdf.iat[1, 1]
     with pytest.raises(TypeError):
         df.iat[1]
+    assert s.at["a"] == ps.at["a"]
+    with pytest.raises(KeyError):
+        s.at["zz"]
+    pl = pd.DataFrame({"x": [1., 2.]}, index=["r1", "r2"])
+    bld = bl.DataFrame({"x": pl["x"].to_numpy()},
+                       index=bl.Index(pl.index.to_numpy()))
+    assert bld.at["r2", "x"] == pl.at["r2", "x"]
 
     pc = pd.Series([1., 2., 3., 4.])
     c = bl.Series(pc.to_numpy())
