@@ -1705,6 +1705,8 @@ def _running_totals(spark, sf):
     _ewm_nulls = [F.lit(None).cast("double").alias(c)
                   for c in ("ewm_adj", "ewm_rec", "roll3m",
                             "ewm_var", "ewm_var_rec")]
+    _roll5_nulls = [F.lit(None).cast("double").alias(c)
+                    for c in ("roll5_med", "roll5_min")]
     win = out.to_spark().select(
         F.lit("win").alias("part"),
         "o_custkey", "o_orderkey",
@@ -1717,13 +1719,19 @@ def _running_totals(spark, sf):
         F.lit(None).cast("long").alias("rank_min"),
         F.lit(None).cast("double").alias("rank_avg"),
         F.lit(None).cast("long").alias("rank_dense"),
-        *_ewm_nulls)
+        *_ewm_nulls, *_roll5_nulls)
     o2 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
     s = o2["o_totalprice"]
     o2["price_diff"] = s.diff()
     o2["prev_price"] = s.shift(1)
+    # r8: fixed-window order statistics through the local-carry pass
+    # (plans/ordinal.with_rolling_locals — pandas C kernels over one
+    # frozen range layout), replayed by DuckDB median()/min() window
+    # frames with the min_periods count gate
+    o2["roll5_med"] = s.rolling(5).median()
+    o2["roll5_min"] = s.rolling(5, min_periods=2).min()
     o2r = o2.with_rolling("o_totalprice", 3, order_by="o_orderkey",
                           agg="sum", name="roll3_sum")
     diff = o2r.to_spark().select(
@@ -1738,7 +1746,9 @@ def _running_totals(spark, sf):
         F.lit(None).cast("long").alias("rank_min"),
         F.lit(None).cast("double").alias("rank_avg"),
         F.lit(None).cast("long").alias("rank_dense"),
-        *_ewm_nulls)
+        *_ewm_nulls,
+        F.round("roll5_med", 2).alias("roll5_med"),
+        F.round("roll5_min", 2).alias("roll5_min"))
 
     # r4 'rank' leg: Series.rank min/average/dense over the same
     # bounded extract — the dense-ordinal tie-group schemes,
@@ -1768,7 +1778,8 @@ def _running_totals(spark, sf):
         F.lit(None).cast("double").alias("price_diff"),
         F.lit(None).cast("double").alias("prev_price"),
         F.lit(None).cast("double").alias("roll3_sum"),
-        "rank_min", "rank_avg", "rank_dense", *_ewm_nulls)
+        "rank_min", "rank_avg", "rank_dense", *_ewm_nulls,
+        *_roll5_nulls)
 
     # r6 'ewm' leg: Series.ewm(adjust=True/False).mean() (the two
     # two-pass decayed-carry scans, plans/ordinal.py) + global
@@ -1811,7 +1822,7 @@ def _running_totals(spark, sf):
         F.round("roll3m", 2).alias("roll3m"),
         F.round(F.col("ewm_var") * F.lit(1e-8), 4).alias("ewm_var"),
         F.round(F.col("ewm_var_rec") * F.lit(1e-8), 4)
-         .alias("ewm_var_rec"))
+         .alias("ewm_var_rec"), *_roll5_nulls)
     return win.unionByName(diff).unionByName(rank_leg) \
         .unionByName(ewm_leg)
 
@@ -1833,7 +1844,8 @@ SELECT 'win' AS part, o_custkey, o_orderkey,
        CAST(NULL AS BIGINT) AS rank_dense,
        CAST(NULL AS DOUBLE) AS ewm_adj, CAST(NULL AS DOUBLE) AS ewm_rec,
        CAST(NULL AS DOUBLE) AS roll3m,
-       CAST(NULL AS DOUBLE) AS ewm_var, CAST(NULL AS DOUBLE) AS ewm_var_rec
+       CAST(NULL AS DOUBLE) AS ewm_var, CAST(NULL AS DOUBLE) AS ewm_var_rec,
+       CAST(NULL AS DOUBLE) AS roll5_med, CAST(NULL AS DOUBLE) AS roll5_min
 FROM orders
 UNION ALL
 SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
@@ -1844,7 +1856,17 @@ SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
                   THEN sum(o_totalprice) OVER (ORDER BY o_orderkey
                                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              END, 2),
-       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       round(CASE WHEN count(o_totalprice) OVER (ORDER BY o_orderkey
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 5
+                  THEN median(o_totalprice) OVER (ORDER BY o_orderkey
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             END, 2) AS roll5_med,
+       round(CASE WHEN count(o_totalprice) OVER (ORDER BY o_orderkey
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 2
+                  THEN min(o_totalprice) OVER (ORDER BY o_orderkey
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             END, 2) AS roll5_min
 FROM orders WHERE o_orderkey < 2000
 UNION ALL
 SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1852,7 +1874,7 @@ SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
        (rank() OVER (ORDER BY o_totalprice))
          + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0,
        dense_rank() OVER (ORDER BY o_totalprice),
-       NULL, NULL, NULL, NULL, NULL
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL
 FROM orders WHERE o_orderkey < 2000
 UNION ALL
 SELECT 'ewm', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1866,7 +1888,8 @@ SELECT 'ewm', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
                   THEN den * den / (den * den - d2)
                        * (q / den - (num / den) * (num / den))
              END * 1e-8, 4),
-       round(CASE WHEN rn >= 2 THEN cv / (1 - swt2) END * 1e-8, 4)
+       round(CASE WHEN rn >= 2 THEN cv / (1 - swt2) END * 1e-8, 4),
+       NULL, NULL
 FROM (
   WITH RECURSIVE seq AS (
     SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,

@@ -1665,12 +1665,6 @@ class DataFrame:
         Series iloc scalar probe."""
         return _FrameIAt(self)
 
-    @property
-    def at(self):
-        """Label scalar access (pandas ``DataFrame.at``):
-        ``df.at[label, column]`` — the loc scalar face."""
-        return _FrameAt(self)
-
     def to_string(self, **kw) -> str:
         """Driver-side render (pandas ``to_string``) — an explicit
         materialization boundary like to_pandas."""
@@ -4113,23 +4107,55 @@ class _FrameRolling:
         return self._emit(lambda s, c, q: c, self._mp,
                           gate_on_rows=True)
 
+    def _local(self, stat: str, **kw) -> DataFrame:
+        """Fixed-window order statistics (min/max/median/quantile)
+        do not decompose into prefix scans; every numeric column
+        rides ONE plans/ordinal.with_rolling_locals pass — one
+        frozen range layout, a bounded carry, pandas' C kernels."""
+        from ..plans.ordinal import ORD_COL, with_rolling_locals
+        df = self._df
+        num = df._numeric_cols()
+        sdf = df._sdf
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        outs = {f"__ro_{c}__": F.col(c) for c in num}
+        out = with_rolling_locals(sdf, outs, self._window, stat,
+                                  order or None, self._mp, **kw)
+        nset = set(num)
+        sel = [(F.col(f"__ro_{cc}__").alias(cc) if cc in nset
+                else F.col(cc)) for cc in sdf.columns]
+        return DataFrame._make(out.select(*sel), df._index_cols, num,
+                               df._order)
+
     def min(self) -> DataFrame:
         if self._window is not None:
-            raise ValueError(
-                "global rolling min does not decompose into prefix "
-                "scans; use with_rolling(partition_by=...) for "
-                "per-group local frames")
+            return self._local("min")
         return self._emit(lambda s, c, q: s, max(self._mp, 1),
                           minmax="min")
 
     def max(self) -> DataFrame:
         if self._window is not None:
-            raise ValueError(
-                "global rolling max does not decompose into prefix "
-                "scans; use with_rolling(partition_by=...) for "
-                "per-group local frames")
+            return self._local("max")
         return self._emit(lambda s, c, q: s, max(self._mp, 1),
                           minmax="max")
+
+    def median(self) -> DataFrame:
+        if self._window is None:
+            raise ValueError(
+                "expanding median needs the full history per row "
+                "(no bounded carry exists); use expanding mean/"
+                "var/std, or groupby(...).rolling for per-group "
+                "local frames")
+        return self._local("median")
+
+    def quantile(self, q: float = 0.5,
+                 interpolation: str = "linear") -> DataFrame:
+        if self._window is None:
+            raise ValueError(
+                "expanding quantile needs the full history per row "
+                "(no bounded carry exists); use a fixed window")
+        return self._local("quantile", q=q, interpolation=interpolation)
 
     def var(self, ddof: int = 1) -> DataFrame:
         def build(s, c, q):
@@ -4340,19 +4366,6 @@ class _FrameAt:
 def _py(v):
     """numpy scalar -> python scalar for F.lit."""
     return v.item() if isinstance(v, np.generic) else v
-
-
-class _FrameAt:
-    """Scalar (label, column) access behind :attr:`DataFrame.at`."""
-
-    def __init__(self, df: DataFrame):
-        self._df = df
-
-    def __getitem__(self, key):
-        if not (isinstance(key, tuple) and len(key) == 2):
-            raise TypeError("at needs a (label, column) pair")
-        lbl, col = key
-        return self._df[col].loc[lbl]
 
 
 class _FrameIAt:

@@ -2810,17 +2810,49 @@ class _Rolling:
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
-    def min(self):
-        raise ValueError(
-            "global rolling min does not decompose into prefix "
-            "scans; use DataFrame.with_rolling(partition_by=...) "
-            "for per-group local frames")
+    def _local(self, stat: str, **kw) -> "Series":
+        """Order-statistic / shape stats (min/max/median/quantile/
+        skew/kurt/sem/rank) do not decompose into prefix scans;
+        they ride plans/ordinal.with_rolling_locals — one frozen
+        range layout, a bounded (window-1)-rows-per-partition carry,
+        one Arrow pass over pandas' C rolling kernels."""
+        from ..plans.ordinal import ORD_COL, with_rolling_locals
+        sr = self._sr
+        sdf = sr._sdf
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        out = with_rolling_locals(sdf, {"__roll__": sr._colexpr},
+                                  self._window, stat, order or None,
+                                  self._mp, **kw)
+        return Series._make(out, F.col("__roll__"), sr._index_cols,
+                            sr.name, sr._order)
 
-    def max(self):
-        raise ValueError(
-            "global rolling max does not decompose into prefix "
-            "scans; use DataFrame.with_rolling(partition_by=...) "
-            "for per-group local frames")
+    def min(self) -> "Series":
+        return self._local("min")
+
+    def max(self) -> "Series":
+        return self._local("max")
+
+    def median(self) -> "Series":
+        return self._local("median")
+
+    def quantile(self, q: float = 0.5,
+                 interpolation: str = "linear") -> "Series":
+        return self._local("quantile", q=q, interpolation=interpolation)
+
+    def skew(self) -> "Series":
+        return self._local("skew")
+
+    def kurt(self) -> "Series":
+        return self._local("kurt")
+
+    def sem(self, ddof: int = 1) -> "Series":
+        return self._local("sem", ddof=ddof)
+
+    def rank(self, method: str = "average",
+             pct: bool = False) -> "Series":
+        return self._local("rank", method=method, pct=pct)
 
 
 class _EWM:

@@ -1802,3 +1802,119 @@ def with_interp_neighbors_multi(sdf: DataFrame, values: dict,
         drop += [f"__pl_{t}__", f"__nl_{t}__", f"__pp_{t}__",
                  f"__pv_{t}__", f"__np_{t}__", f"__nv_{t}__"]
     return out.drop(*drop)
+
+
+# pandas Rolling methods servable by the local-carry pass below, and
+# the kwargs each accepts (anything else is rejected loudly)
+_ROLL_LOCAL_STATS = {
+    "min": (), "max": (), "median": (),
+    "quantile": ("q", "interpolation"),
+    "skew": (), "kurt": (), "sem": ("ddof",), "rank": ("method", "pct"),
+}
+
+
+def with_rolling_locals(sdf: DataFrame, cols: dict, window: int,
+                        stat: str, order_by: list | None = None,
+                        min_periods: int | None = None,
+                        max_carry_cells: int = 20_000_000,
+                        **stat_kwargs) -> DataFrame:
+    """Partition-safe GLOBAL fixed-window rolling statistics that do
+    NOT decompose into prefix scans — min/max/median/quantile/skew/
+    kurt/sem/rank — from ONE frozen range layout, one bounded donor
+    collect, and one Arrow pass running pandas' C rolling kernels.
+
+    ``cols`` maps out_name -> value Column/name (cast to double);
+    every output shares the layout, the donor collect, and the single
+    mapInPandas pass. Outputs are double, NULL where pandas yields
+    NaN (min_periods gating included — pandas semantics throughout,
+    since pandas computes the window itself).
+
+    Unlike the EWM carries there is NO recurrence to merge: a
+    trailing window of size ``window`` sees at most the ``window-1``
+    globally-preceding rows, so prepending each partition's carry
+    (those rows' values, accumulated across short partitions on the
+    driver exactly like :func:`with_boundary_shifts`) and dropping
+    the warmup positions reproduces the global answer EXACTLY — NaN
+    positions still occupy window slots because the carry ships the
+    raw values, NaNs included.
+
+    Driver state is n_partitions x (window-1) x n_cols scalars —
+    bounded by construction and guarded by ``max_carry_cells``; past
+    the guard the error names the per-group Window alternative
+    (grouped rolling partitions by key and needs no carry at all).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if stat not in _ROLL_LOCAL_STATS:
+        raise ValueError(
+            f"unsupported local-carry rolling stat {stat!r}; "
+            f"supported: {sorted(_ROLL_LOCAL_STATS)}")
+    bad = [kw for kw in stat_kwargs
+           if kw not in _ROLL_LOCAL_STATS[stat]]
+    if bad:
+        raise TypeError(f"rolling.{stat}() got unexpected kwargs {bad}")
+    mp = window if min_periods is None else min_periods
+    outs = list(cols)
+    vnames = {o: f"__rl_{i}__" for i, o in enumerate(outs)}
+    sel = [(F.col(c) if isinstance(c, str) else c).cast("double")
+           .alias(vnames[o]) for o, c in cols.items()]
+    lay = _range_layout(sdf.select("*", *sel), order_by)
+
+    k = window - 1
+    carry_map: dict = {}
+    if k > 0:
+        n_parts = lay.rdd.getNumPartitions()
+        if k * n_parts * len(outs) > max_carry_cells:
+            raise ValueError(
+                f"rolling {stat} carry would hold ~"
+                f"{k * n_parts * len(outs)} driver-side values "
+                f"(window={window} x {n_parts} partitions x "
+                f"{len(outs)} columns); use groupby(...).rolling "
+                f"(per-group windows need no cross-partition carry) "
+                f"or raise max_carry_cells")
+        donor_w = Window.partitionBy("__pid__") \
+            .orderBy(F.col("__mid__").desc())
+        donors = (lay.withColumn("__drn__", F.row_number().over(donor_w))
+                  .where(F.col("__drn__") <= k)
+                  .select("__pid__", "__drn__",
+                          *[vnames[o] for o in outs]).collect())
+        by_pid: dict = {}
+        for r in donors:
+            by_pid.setdefault(r["__pid__"], {})[r["__drn__"]] = tuple(
+                r[vnames[o]] for o in outs)
+        run: list = []  # last k value-tuples seen, global order
+        for pid in sorted(by_pid):
+            if run:
+                carry_map[int(pid)] = list(run)
+            part = by_pid[pid]
+            vals = [part[d] for d in sorted(part, reverse=True)]
+            run = (run + vals)[-k:]
+
+    vlist = [vnames[o] for o in outs]
+    out_schema = T.StructType(
+        list(lay.schema)
+        + [T.StructField(o, T.DoubleType()) for o in outs])
+
+    def gen(batches):
+        tail = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if tail is None:
+                pre = carry_map.get(int(pdf["__pid__"].iloc[0]), [])
+                tail = pd.DataFrame(pre, columns=vlist, dtype="float64")
+            vals = pd.concat([tail[vlist], pdf[vlist]],
+                             ignore_index=True)
+            warm = len(tail)
+            for o in outs:
+                roll = vals[vnames[o]].rolling(window, min_periods=mp)
+                res = getattr(roll, stat)(**stat_kwargs)
+                pdf[o] = res.iloc[warm:].to_numpy(dtype="float64")
+            tail = vals.iloc[len(vals) - k:] if k else vals.iloc[:0]
+            yield pdf
+
+    out = lay.mapInPandas(gen, out_schema)
+    return out.drop("__mid__", "__pid__", *vlist)

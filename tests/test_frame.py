@@ -988,9 +988,22 @@ def test_frame_rolling_expanding_match_pandas(bl):
             assert "windowspecdefinition(__pid__" in line.replace(
                 " ", "") or "__pid__" in line.split(
                 "windowspecdefinition")[1][:60], line
+    # fixed-window order stats: every numeric column shares ONE
+    # local-carry pass (plans/ordinal.with_rolling_locals)
+    for agg, akw in (("min", {}), ("max", {}), ("median", {}),
+                     ("quantile", dict(q=0.75))):
+        got = getattr(df.rolling(3, min_periods=2), agg)(**akw) \
+            .to_pandas()
+        want = getattr(pdf[["x", "y"]].rolling(3, min_periods=2),
+                       agg)(**akw)
+        for c in ("x", "y"):
+            np.testing.assert_allclose(
+                got[c].fillna(-9e9).to_numpy(dtype=float),
+                want[c].fillna(-9e9).to_numpy(dtype=float),
+                err_msg=f"roll local {agg} {c}")
     import pytest
-    with pytest.raises(ValueError):
-        df.rolling(3).min()
+    with pytest.raises(ValueError, match="full history"):
+        df.expanding(2).median()
 
 
 def test_select_dtypes_insert_pop(bl):

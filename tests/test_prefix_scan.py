@@ -322,10 +322,61 @@ def test_series_rolling_pandas_parity(bl):
         got = ["nan" if x != x else round(x, 9) for x in got]
         want = ["nan" if x != x else round(x, 9) for x in want]
         assert got == want, (agg, kw, got, want)
-    with pytest.raises(ValueError, match="rolling min"):
-        s.rolling(3).min()
     with pytest.raises(ValueError, match="positive"):
         s.rolling(0)
+
+
+def test_series_rolling_local_stats_match_pandas(bl):
+    """Order-statistic / shape rolling stats (min/max/median/
+    quantile/skew/kurt/sem/rank) ride the local-carry pass
+    (plans/ordinal.with_rolling_locals): one frozen range layout,
+    a bounded (window-1)-row donor carry per partition, pandas' C
+    kernels inside one mapInPandas. NaN positions occupy window
+    slots; min_periods counts non-null — pandas computes the window
+    itself, so parity is structural."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=300)
+    v[rng.random(300) < 0.2] = np.nan
+    p = pd.Series(v)
+    s = bl.Series(v)
+    cases = [
+        ("min", dict(window=3), {}),
+        ("max", dict(window=7, min_periods=2), {}),
+        ("median", dict(window=5), {}),
+        ("quantile", dict(window=6, min_periods=3),
+         dict(q=0.25)),
+        ("quantile", dict(window=4), dict(q=0.9,
+                                          interpolation="nearest")),
+        ("skew", dict(window=8), {}),
+        ("kurt", dict(window=9), {}),
+        ("sem", dict(window=5, min_periods=2), {}),
+        ("rank", dict(window=6), dict(method="min", pct=True)),
+        # window past the data length: carry shorter than window-1
+        ("min", dict(window=400, min_periods=1), {}),
+    ]
+    for agg, kw, akw in cases:
+        got = getattr(s.rolling(**kw), agg)(**akw) \
+            .to_pandas().to_numpy(dtype=float)
+        want = getattr(p.rolling(**kw), agg)(**akw) \
+            .to_numpy(dtype=float)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   equal_nan=True,
+                                   err_msg=f"{agg} {kw} {akw}")
+    # lineage face: order defined by a sort, not ingest ordinals
+    pdf = pd.DataFrame({"t": rng.permutation(300), "v": v})
+    df = bl.DataFrame({"t": pdf["t"].to_numpy(),
+                       "v": pdf["v"].to_numpy()}).sort_values("t")
+    got = df["v"].rolling(5, min_periods=2).median() \
+        .to_pandas().to_numpy(dtype=float)
+    want = pdf.sort_values("t")["v"].rolling(5, min_periods=2) \
+        .median().to_numpy(dtype=float)
+    np.testing.assert_allclose(got, want, atol=1e-12, equal_nan=True)
+    with pytest.raises(ValueError, match="carry"):
+        from baloo_spark.plans.ordinal import with_rolling_locals
+        with_rolling_locals(df._sdf, {"__o__": "v"}, 10_000_000,
+                            "min", max_carry_cells=1000)
 
 
 def test_series_rolling_multipartition(bl):
