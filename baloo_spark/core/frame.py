@@ -917,9 +917,14 @@ class DataFrame:
 
     # ----------------------------------------------------- arithmetic (all cols)
 
-    def _numeric_cols(self):
+    def _numeric_cols(self, include_bool: bool = False):
+        """``include_bool`` admits boolean columns (pandas frame
+        AGGREGATIONS count bools as 0/1; rolling/ewm/interpolate
+        faces keep excluding them like pandas does)."""
         sch = {f.name: f.dataType for f in self._sdf.schema.fields}
-        return [c for c in self._data_cols if _is_numeric(sch[c])]
+        return [c for c in self._data_cols
+                if _is_numeric(sch[c])
+                or (include_bool and sch[c].typeName() == "boolean")]
 
     def _elementwise(self, other, op):
         """Apply op to every numeric column, dropping string columns
@@ -1819,7 +1824,7 @@ class DataFrame:
     def _agg_row(self, name: str) -> Series:
         """Per-column scalar agg combined into one Series indexed by
         column name (frame.py:594-639 / weld_combine_scalars)."""
-        cols = self._numeric_cols()
+        cols = self._numeric_cols(include_bool=True)
         exprs = [(_AGG_FNS[name](F.col(c).cast("double") if name != "count"
                                  else F.col(c))).cast("double").alias(c)
                  for c in cols]
@@ -1834,7 +1839,7 @@ class DataFrame:
         ``axis=1``), skipping NULLs like pandas skips NaN. A pure
         column expression over the same plan — no shuffle, no agg
         node; composes lazily like any Series."""
-        cols = self._numeric_cols()
+        cols = self._numeric_cols(include_bool=True)
         if not cols:
             raise ValueError(f"no numeric columns for {name}(axis=1)")
         vs = [F.col(c).cast("double") for c in cols]

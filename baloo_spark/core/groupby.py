@@ -42,10 +42,18 @@ class DataFrameGroupBy:
         sub = self._df[list(dict.fromkeys(sel))]
         return DataFrameGroupBy(sub, self._by)
 
-    def _value_cols(self):
+    def _value_cols(self, include_bool: bool = False):
+        """Numeric value columns; ``include_bool`` admits boolean
+        columns too (pandas groupby AGGREGATIONS treat bools as 0/1
+        — they cast cleanly under the engine's grouped-f64
+        convention — but window/ewm faces keep excluding them like
+        pandas' rolling/ewm do)."""
         sch = {f.name: f.dataType for f in self._df._sdf.schema.fields}
         return [c for c in self._df._data_cols
-                if c not in self._by and _is_numeric(sch[c])]
+                if c not in self._by
+                and (_is_numeric(sch[c])
+                     or (include_bool
+                         and sch[c].typeName() == "boolean"))]
 
     def rolling(self, window: int, min_periods: int | None = None):
         """Per-group trailing windows (pandas
@@ -294,7 +302,7 @@ class DataFrameGroupBy:
         from .frame import DataFrame
         single = isinstance(names, str)
         names = [names] if single else list(names)
-        cols = self._value_cols()
+        cols = self._value_cols(include_bool=True)
         exprs = []
         for c in cols:
             for a in names:

@@ -288,12 +288,54 @@ class Series:
     def __invert__(self): return self._with_col(~self._colexpr)
 
     # arithmetic (generic.py:75-92 -> weld_ops.py:417-459)
-    def __add__(self, o): return self._lift(o, lambda a, b: a + b)
-    def __radd__(self, o): return self._lift(o, lambda a, b: b + a)
-    def __sub__(self, o): return self._lift(o, lambda a, b: a - b)
-    def __rsub__(self, o): return self._lift(o, lambda a, b: b - a)
-    def __mul__(self, o): return self._lift(o, lambda a, b: a * b)
-    def __rmul__(self, o): return self._lift(o, lambda a, b: b * a)
+    def _other_is_bool(self, other) -> bool:
+        if isinstance(other, Series):
+            return other.spark_type.typeName() == "boolean"
+        if isinstance(other, (bool, np.bool_)):
+            return True
+        if isinstance(other, (list, np.ndarray)):
+            return np.asarray(other).dtype == bool
+        return False
+
+    def _lift_arith(self, other, opname: str, op):
+        """NumPy/pandas boolean promotion for arithmetic: a LONE
+        boolean operand acts as 0/1 (Spark refuses bool in numeric
+        operators outright, so cast it); TWO boolean operands follow
+        NumPy — ``+`` is logical OR, ``*`` logical AND, everything
+        else refused the way pandas refuses it."""
+        lb = self.spark_type.typeName() == "boolean"
+        rb = self._other_is_bool(other)
+        if lb and rb:
+            if opname == "add":
+                return self._lift(other, lambda a, b: a | b)
+            if opname == "mul":
+                return self._lift(other, lambda a, b: a & b)
+            raise TypeError(
+                f"operator {opname!r} not supported for bool dtypes "
+                "(NumPy/pandas refuse it too); astype(int) first")
+        if lb or rb:
+            li = (lambda a: a.cast("int")) if lb else (lambda a: a)
+            ri = (lambda b: b.cast("int")) if rb else (lambda b: b)
+            return self._lift(other, lambda a, b: op(li(a), ri(b)))
+        return self._lift(other, op)
+
+    def __add__(self, o):
+        return self._lift_arith(o, "add", lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._lift_arith(o, "add", lambda a, b: b + a)
+
+    def __sub__(self, o):
+        return self._lift_arith(o, "sub", lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._lift_arith(o, "sub", lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._lift_arith(o, "mul", lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._lift_arith(o, "mul", lambda a, b: b * a)
     @staticmethod
     def _ieee_div(a, b):
         """IEEE-754 float division (pandas/NumPy): x/0 -> ±inf,
@@ -314,12 +356,15 @@ class Series:
             .otherwise(a / b)
 
     def __truediv__(self, o):
-        return self._lift(o, lambda a, b: Series._ieee_div(a, b))
+        return self._lift_arith(
+            o, "truediv", lambda a, b: Series._ieee_div(a, b))
 
     def __rtruediv__(self, o):
-        return self._lift(o, lambda a, b: Series._ieee_div(b, a))
+        return self._lift_arith(
+            o, "truediv", lambda a, b: Series._ieee_div(b, a))
 
-    def __pow__(self, o): return self._lift(o, lambda a, b: F.pow(a, b))
+    def __pow__(self, o):
+        return self._lift_arith(o, "pow", lambda a, b: F.pow(a, b))
     @staticmethod
     def _py_mod(a, b):
         # Python/NumPy modulo (sign follows the DIVISOR: -7 % 3 == 2,
@@ -330,10 +375,12 @@ class Series:
         return F.when((r != 0) & (F.signum(r) != F.signum(b)), r + b)             .otherwise(r)
 
     def __mod__(self, o):
-        return self._lift(o, lambda a, b: Series._py_mod(a, b))
+        return self._lift_arith(
+            o, "mod", lambda a, b: Series._py_mod(a, b))
 
     def __rmod__(self, o):
-        return self._lift(o, lambda a, b: Series._py_mod(b, a))
+        return self._lift_arith(
+            o, "mod", lambda a, b: Series._py_mod(b, a))
 
     def _named_op(self, other, op, fill_value, reverse=False):
         """pandas named binary ops (``s.add(o, fill_value=...)``):

@@ -742,3 +742,41 @@ def test_series_surface_batch(bl):
     want = sorted(pd.Series([1., 2.], index=[0, 1]).combine_first(
         pd.Series([10., 20.], index=[0, 0])).tolist())
     assert got == want == [1.0, 1.0, 2.0]
+
+
+def test_bool_arithmetic_and_agg_promotion(bl):
+    """Probe wave 16: NumPy/pandas boolean promotion — a lone bool
+    operand acts as 0/1 in arithmetic (Spark refuses bool operands
+    outright without the cast), two bool operands follow NumPy
+    (+ = OR, * = AND, the rest refused), and bool columns count as
+    0/1 in frame/groupby AGGREGATIONS instead of being dropped."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    bo = np.array([True, False, True, True, False])
+    i8 = np.array([1, 2, 3, 4, 5], dtype=np.int8)
+    got = (bl.Series(i8) * bl.Series(bo)).to_pandas().tolist()
+    assert got == (pd.Series(i8) * pd.Series(bo)).tolist()
+    got = (bl.Series(bo) + 2.5).to_pandas().tolist()
+    assert got == (pd.Series(bo) + 2.5).tolist()
+    rev = bo[::-1].copy()
+    assert (bl.Series(bo) + bl.Series(rev)).to_pandas().tolist() == \
+        (pd.Series(bo) + pd.Series(rev)).tolist()          # OR
+    assert (bl.Series(bo) * bl.Series(rev)).to_pandas().tolist() == \
+        (pd.Series(bo) * pd.Series(rev)).tolist()          # AND
+    with pytest.raises(TypeError, match="bool dtypes"):
+        bl.Series(bo) - bl.Series(rev)
+    # aggregations admit bools as 0/1 (engine f64 convention)
+    pdf = pd.DataFrame({"g": ["a", "b", "a", "b", "a"],
+                        "v": [1., 2., 3., 4., 5.], "w": bo})
+    df = bl.DataFrame({"g": np.array(pdf["g"]),
+                       "v": pdf["v"].to_numpy(), "w": bo})
+    ours = df.groupby("g").sum().reset_index().to_pandas() \
+        .sort_values("g")[["v", "w"]].to_numpy(dtype=float)
+    want = pdf.groupby("g").sum().reset_index() \
+        .sort_values("g")[["v", "w"]].to_numpy(dtype=float)
+    np.testing.assert_allclose(ours, want)
+    assert df.sum().to_pandas().tolist() == \
+        [float(x) for x in pdf[["v", "w"]].sum()]
+    assert df.sum(axis=1).to_pandas().tolist() == \
+        pdf[["v", "w"]].sum(axis=1).tolist()
