@@ -1138,6 +1138,69 @@ class _GroupRolling:
     def var(self): return self._agg("var")
     def std(self): return self._agg("std")
 
+    def _local(self, stat: str, **kw):
+        """Per-group rolling/expanding order statistics (median/
+        quantile/skew/kurt/sem/rank): Spark refuses median/percentile
+        over a row-framed window (INVALID_WINDOW_SPEC_FOR_AGGREGATION
+        _FUNC), so these ride the batched mapInPandas kernel — many
+        groups per Python call via _batched_group_gen, pandas'
+        grouped rolling C kernels inside, same shape as _GroupEwm.
+        Groups are bounded per key, so even the EXPANDING flavor
+        needs no cross-partition carry."""
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        from .frame import DataFrame
+        gb = self._gb
+        sdf, order = gb._gorder()
+        vcols = gb._value_cols()
+        by = list(gb._by)
+        ocols = [c for c, _ in (gb._df._order or [])
+                 if c in sdf.columns]
+        if not ocols and ORD_COL in sdf.columns:
+            ocols = [ORD_COL]
+        asc = [a for c, a in (gb._df._order or [(ORD_COL, True)])
+               if c in sdf.columns] or [True]
+        schema = T.StructType([
+            T.StructField(f.name, T.DoubleType() if f.name in vcols
+                          else f.dataType, True)
+            for f in sdf.schema.fields])
+        window, mp = self._window, self._mp
+
+        def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.copy()
+            fv = pdf[vcols].astype("float64")
+            fv[by] = pdf[by]
+            g = fv.groupby(by, sort=False, dropna=False)[vcols]
+            roll = (g.rolling(window, min_periods=mp)
+                    if window is not None else g.expanding(mp))
+            pdf[vcols] = getattr(roll, stat)(**kw).to_numpy()
+            return pdf
+
+        gen = _batched_group_gen(by, _run)
+        oexprs = [F.col(c).asc() if a else F.col(c).desc()
+                  for c, a in zip(ocols, asc)]
+        src = (gb._cluster_for_python(sdf, by)
+               .sortWithinPartitions(*[F.col(b) for b in by], *oexprs))
+        out = src.mapInPandas(gen, schema)
+        return DataFrame._make(out, gb._df._index_cols,
+                               gb._df._data_cols, gb._df._order)
+
+    def median(self): return self._local("median")
+
+    def quantile(self, q: float = 0.5, interpolation: str = "linear"):
+        return self._local("quantile", q=q, interpolation=interpolation)
+
+    def skew(self): return self._local("skew")
+    def kurt(self): return self._local("kurt")
+
+    def sem(self, ddof: int = 1):
+        return self._local("sem", ddof=ddof)
+
+    def rank(self, method: str = "average", pct: bool = False):
+        return self._local("rank", method=method, pct=pct)
+
 
 class _NoIndexGroupBy:
     """``groupby(..., as_index=False)`` face: aggregation outputs

@@ -3063,6 +3063,18 @@ class _Expanding:
         return self._emit({"__pm__": (self._sr._colexpr, "max")},
                           lambda: F.col("__pm__"), max(self._mp, 1))
 
+    def median(self):
+        raise ValueError(
+            "global expanding median needs the full history per row "
+            "(no bounded carry exists); use a fixed rolling window "
+            "or groupby(...).expanding().median() (groups are local)")
+
+    def quantile(self, q: float = 0.5, **kw):
+        raise ValueError(
+            "global expanding quantile needs the full history per "
+            "row (no bounded carry exists); use a fixed rolling "
+            "window or groupby(...).expanding().quantile()")
+
     def var(self, ddof: int = 1) -> "Series":
         def build():
             s, c = F.col("__ps__"), F.col("__pc__")

@@ -599,3 +599,40 @@ def test_r8_groupby_sweep(bl):
         {k: list(v) for k, v in pgb.indices.items()}
     assert gb.ndim == 2
     assert gb.dtypes == df.dtypes
+
+
+def test_groupby_rolling_order_stats_match_pandas(bl):
+    """Per-group rolling/expanding ORDER statistics (median/quantile/
+    skew/sem/rank): Spark refuses median/percentile over a row-framed
+    window, so these ride the batched mapInPandas kernel
+    (_GroupRolling._local) — many groups per Python call, pandas'
+    grouped rolling C kernels inside. Expanding flavors need no
+    carry (groups are local per key)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    n = 300
+    pdf = pd.DataFrame({"g": rng.integers(0, 20, n).astype(str),
+                        "v": rng.normal(size=n),
+                        "u": rng.normal(size=n)})
+    pdf.loc[rng.random(n) < 0.2, "v"] = np.nan
+    df = bl.DataFrame({c: pdf[c].to_numpy() for c in pdf})
+    gb = df.groupby("g")[["v", "u"]]
+    pg = pdf.groupby("g", sort=False)[["v", "u"]]
+    cases = [("median", {}, 3, 1), ("quantile", dict(q=0.3), 4, 2),
+             ("skew", {}, 5, None), ("kurt", {}, 6, None),
+             ("sem", {}, 4, 2), ("rank", dict(method="min"), 3, 1)]
+    for stat, kw, w, mp in cases:
+        ours = getattr(gb.rolling(w, min_periods=mp), stat)(**kw) \
+            .to_pandas()[["v", "u"]].to_numpy()
+        want = getattr(pg.rolling(w, min_periods=mp), stat)(**kw) \
+            .reset_index(level=0, drop=True).sort_index().to_numpy()
+        np.testing.assert_allclose(ours, want, atol=1e-12,
+                                   err_msg=f"grouped roll {stat}")
+    ours = gb.expanding(2).median().to_pandas()[["v", "u"]].to_numpy()
+    want = pg.expanding(2).median().reset_index(level=0, drop=True) \
+        .sort_index().to_numpy()
+    np.testing.assert_allclose(ours, want, atol=1e-12)
+    import pytest
+    with pytest.raises(ValueError, match="full history"):
+        bl.Series(np.arange(4.0)).expanding(1).median()
