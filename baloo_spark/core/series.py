@@ -2901,6 +2901,85 @@ class _Rolling:
              pct: bool = False) -> "Series":
         return self._local("rank", method=method, pct=pct)
 
+    def apply(self, func, raw: bool = False, args=(),
+              kwargs=None) -> "Series":
+        """Arbitrary per-window callable (pandas ``Rolling.apply``)
+        — rides the same local-carry pass; the closure ships to the
+        executors, pandas evaluates the windows. The honest slow
+        path: prefer the named statistics (JVM or C kernels)."""
+        return self._local("apply", func=func, raw=raw, args=args,
+                           kwargs=kwargs or {})
+
+    def _pair_stat(self, other: "Series", stat: str,
+                   ddof: int = 1) -> "Series":
+        """Rolling cov/corr with another Series: the windowed second
+        moments DECOMPOSE into prefix sums over jointly-valid pairs
+        (sum x, sum y, sum xy, joint count, + sum x², sum y² for
+        corr), so this stays JVM-side — one prefix pass, one shared
+        boundary shift, no Python. Same-frame pairs share the plan;
+        cross-frame pairs align positionally (the engine's
+        default-RangeIndex contract) and the fresh position becomes
+        the window order."""
+        if not isinstance(other, Series):
+            raise TypeError(
+                f"expected Series, got {type(other).__name__}")
+        from ..plans.ordinal import (ORD_COL, POS_COL,
+                                     with_boundary_shifts,
+                                     with_prefix_aggs)
+        sr = self._sr
+        if other._sdf is sr._sdf:
+            sdf, a, b = sr._sdf, sr._colexpr, other._colexpr
+            order = order_exprs(sr._order or [], sdf.columns)
+            if not order and ORD_COL in sdf.columns:
+                order = [F.col(ORD_COL).asc()]
+            idx = sr._index_cols
+        else:
+            lo, la = sr._ordered_sdf("__pa__")
+            ro, rb = other._ordered_sdf("__pb__")
+            sdf = lo.join(ro.select(POS_COL, rb), POS_COL, "inner")
+            a, b = F.col("__pa__"), F.col("__pb__")
+            order = [F.col(POS_COL).asc()]
+            idx = [c for c in sr._index_cols if c in sdf.columns]
+        both = a.isNotNull() & b.isNotNull()
+        ax = F.when(both, a.cast("double"))
+        by = F.when(both, b.cast("double"))
+        specs = {"__px__": (ax, "sum"), "__py__": (by, "sum"),
+                 "__pxy__": (ax * by, "sum"), "__pn__": (ax, "count")}
+        if stat == "corr":
+            specs["__pxx__"] = (ax * ax, "sum")
+            specs["__pyy__"] = (by * by, "sum")
+        out = with_prefix_aggs(sdf, specs, order or None)
+        shifts = {o[:-2] + "w__": F.col(o) for o in specs}
+        out = with_boundary_shifts(out, shifts, self._window,
+                                   order_by=order or None)
+
+        def S(o, zero=0.0):
+            return F.col(o) - F.coalesce(F.col(o[:-2] + "w__"),
+                                         F.lit(zero))
+
+        n = S("__pn__", 0).cast("double")
+        sx, sy, sxy = S("__px__"), S("__py__"), S("__pxy__")
+        if stat == "cov":
+            val = F.when(n > ddof, (sxy - sx * sy / n) / (n - ddof))
+            mp = max(self._mp, 1)
+        else:
+            vx = S("__pxx__") - sx * sx / n
+            vy = S("__pyy__") - sy * sy / n
+            val = F.when((n > 1) & (vx > 0) & (vy > 0),
+                         (sxy - sx * sy / n) / F.sqrt(vx * vy))
+            mp = max(self._mp, 1)
+        expr = F.when(n >= mp, val).cast("double")
+        helpers = list(specs) + list(shifts)
+        out = out.withColumn("__roll__", expr).drop(*helpers)
+        return Series._make(out, F.col("__roll__"), idx, sr.name,
+                            sr._order)
+
+    def cov(self, other: "Series", ddof: int = 1) -> "Series":
+        return self._pair_stat(other, "cov", ddof=ddof)
+
+    def corr(self, other: "Series") -> "Series":
+        return self._pair_stat(other, "corr")
+
 
 class _EWM:
     """Exponentially weighted mean (see :meth:`Series.ewm`)."""

@@ -1810,6 +1810,7 @@ _ROLL_LOCAL_STATS = {
     "min": (), "max": (), "median": (),
     "quantile": ("q", "interpolation"),
     "skew": (), "kurt": (), "sem": ("ddof",), "rank": ("method", "pct"),
+    "apply": ("func", "raw", "args", "kwargs"),
 }
 
 

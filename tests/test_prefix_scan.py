@@ -838,3 +838,44 @@ def test_grouped_ewm_batched_kernel_holdover(bl):
                     rtol=1e-8, err_msg=f"adj={adj} {stat}")
     finally:
         spark.conf.set(key, old)
+
+
+def test_series_rolling_cov_corr_apply_match_pandas(bl):
+    """Rolling cov/corr decompose into prefix sums over JOINTLY
+    valid pairs (sum x, sum y, sum xy, joint count, + squares for
+    corr) — pure JVM, one prefix pass + one shared boundary shift.
+    Rolling apply ships the closure through the local-carry pass."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(13)
+    n = 250
+    x = rng.normal(size=n)
+    y = 0.5 * x + rng.normal(size=n)
+    x[rng.random(n) < 0.15] = np.nan
+    y[rng.random(n) < 0.15] = np.nan
+    px, py = pd.Series(x), pd.Series(y)
+    d = bl.DataFrame({"x": x, "y": y})
+    for w, mp in [(5, None), (8, 3), (300, 2)]:
+        got = d["x"].rolling(w, min_periods=mp).cov(d["y"]) \
+            .to_pandas().to_numpy()
+        want = px.rolling(w, min_periods=mp).cov(py).to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-9,
+                                   equal_nan=True)
+        got = d["x"].rolling(w, min_periods=mp).corr(d["y"]) \
+            .to_pandas().to_numpy()
+        want = px.rolling(w, min_periods=mp).corr(py).to_numpy()
+        np.testing.assert_allclose(np.nan_to_num(got, nan=-9),
+                                   np.nan_to_num(want, nan=-9),
+                                   atol=1e-7)
+    # cross-frame pair: positional alignment
+    got = d["x"].rolling(6, min_periods=2).cov(bl.Series(y)) \
+        .to_pandas().to_numpy()
+    want = px.rolling(6, min_periods=2).cov(py).to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    # apply: arbitrary closure through the carry pass
+    fn = lambda a: np.nanmax(a) - np.nanmin(a)  # noqa: E731
+    got = d["x"].rolling(4, min_periods=2).apply(fn, raw=True) \
+        .to_pandas().to_numpy()
+    want = px.rolling(4, min_periods=2).apply(fn, raw=True) \
+        .to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-12, equal_nan=True)

@@ -289,6 +289,45 @@ def main():
               "global EWM through a synthetic single group (one "
               "task, no parallelism)._", ""]
 
+    # r8: the global rolling ORDER-statistic pass (min/max/median/
+    # quantile don't decompose into prefix scans) — one frozen range
+    # layout, a (window-1)-rows-per-partition donor collect, pandas'
+    # C rolling kernels inside one mapInPandas with the carry
+    # prepended. Probe both a small and a large window: the carry
+    # grows linearly with the window, the per-row kernel work does
+    # not (pandas rolling median is O(log w) per row).
+    from baloo_spark.plans.ordinal import with_rolling_locals
+    for title, win in (("global rolling median w=8 (local-carry "
+                        "mapInPandas)", 8),
+                       ("global rolling median w=512 (local-carry "
+                        "mapInPandas)", 512)):
+        lines += [f"## {title}", ""]
+        for mult in (1, 4, 16):
+            base = replicate(
+                li.select("l_orderkey", "l_extendedprice"),
+                mult).localCheckpoint()
+            dt = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = with_rolling_locals(
+                    base, {"__med__": "l_extendedprice"}, win,
+                    "median", [F.col("l_orderkey").asc()])
+                out.write.format("noop").mode("overwrite").save()
+                dt = min(dt, time.perf_counter() - t0)
+            lines.append(f"- {mult}x: {dt:.2f}s (layout + donor "
+                         "collect + kernel pass)")
+            print(title, lines[-1])
+        lines += ["", "_driver carry is n_partitions x (w-1) values "
+                  "— bounded by construction and guarded "
+                  "(max_carry_cells names the per-group Window "
+                  "alternative past the budget). Unlike the EWM "
+                  "carries there is no recurrence to merge: the "
+                  "prepended tail reproduces the global answer "
+                  "exactly, so the pass is one layout, one bounded "
+                  "collect, one Arrow scan — the same two-job shape "
+                  "as the prefix scans, with the window parameter "
+                  "only changing the collect width_", ""]
+
     # interpolate: ONE fused layout pass (with_interp_neighbors) —
     # construction is partly eager like EWM, so the operator is
     # rebuilt inside the timing loop
