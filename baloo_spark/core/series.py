@@ -3174,6 +3174,132 @@ class _Expanding:
                            "__pq__": (v * v, "sum")},
                           build, max(self._mp, ddof + 1))
 
+    def sem(self, ddof: int = 1) -> "Series":
+        """Standard error over the growing window — same prefix
+        sums. pandas' WINDOW sem is std/sqrt(n - ddof) (unlike the
+        scalar Series.sem, which is std/sqrt(n))."""
+        def build():
+            s, c = F.col("__ps__"), F.col("__pc__")
+            num = F.greatest(F.col("__pq__") - s * s / c, F.lit(0.0))
+            return F.when(c > ddof,
+                          F.sqrt(num / (c - ddof))
+                          / F.sqrt(c - ddof))
+        v = self._v()
+        return self._emit({"__ps__": (v, "sum"),
+                           "__pq__": (v * v, "sum")},
+                          build, max(self._mp, ddof + 1))
+
+    def _center(self):
+        """Global mean of the series (one tiny agg job): skew/kurt
+        are SHIFT-INVARIANT, so prefix sums of (x - mu)^k keep the
+        third/fourth powers near zero instead of ~mean^4 — without
+        this the sum-of-powers identities cancel catastrophically on
+        large-mean data (prices ~1e5 -> x^4 ~ 1e20 per row)."""
+        row = self._sr._sdf.agg(
+            F.avg(self._v()).alias("m")).first()
+        return float(row["m"]) if row["m"] is not None else 0.0
+
+    def skew(self) -> "Series":
+        """Bias-corrected sample skewness over the growing window
+        (pandas ``Expanding.skew``): prefix sums of the centered
+        first three powers, Fisher-Pearson adjustment, NaN below 3
+        observations — one prefix pass + one scalar pre-agg."""
+        mu = self._center()
+
+        def build():
+            c = F.col("__pc__").cast("double")
+            s1, s2, s3 = F.col("__ps__"), F.col("__pq__"), F.col("__p3__")
+            m = s1 / c
+            m2 = F.greatest(s2 / c - m * m, F.lit(0.0))
+            m3 = s3 / c - 3 * m * s2 / c + 2 * m * m * m
+            g1 = m3 / F.pow(m2, 1.5)
+            adj = F.sqrt(c * (c - 1)) / (c - 2)
+            return F.when((c >= 3) & (m2 > 0), g1 * adj)
+        y = self._v() - F.lit(mu)
+        return self._emit({"__ps__": (y, "sum"),
+                           "__pq__": (y * y, "sum"),
+                           "__p3__": (y * y * y, "sum")},
+                          build, max(self._mp, 3))
+
+    def kurt(self) -> "Series":
+        """Bias-corrected excess kurtosis over the growing window
+        (pandas ``Expanding.kurt``): centered prefix sums up to the
+        fourth power, the (n+1)g2+6 correction, NaN below 4 obs."""
+        mu = self._center()
+
+        def build():
+            c = F.col("__pc__").cast("double")
+            s1, s2 = F.col("__ps__"), F.col("__pq__")
+            s3, s4 = F.col("__p3__"), F.col("__p4__")
+            m = s1 / c
+            m2 = F.greatest(s2 / c - m * m, F.lit(0.0))
+            m4 = (s4 / c - 4 * m * s3 / c + 6 * m * m * s2 / c
+                  - 3 * m * m * m * m)
+            g2 = m4 / (m2 * m2) - 3
+            corr = ((c + 1) * g2 + 6) * (c - 1) / ((c - 2) * (c - 3))
+            return F.when((c >= 4) & (m2 > 0), corr)
+        y = self._v() - F.lit(mu)
+        return self._emit({"__ps__": (y, "sum"),
+                           "__pq__": (y * y, "sum"),
+                           "__p3__": (y * y * y, "sum"),
+                           "__p4__": (y * y * y * y, "sum")},
+                          build, max(self._mp, 4))
+
+    def _pair(self, other: "Series", stat: str,
+              ddof: int = 1) -> "Series":
+        """Expanding cov/corr with another Series: prefix sums over
+        the JOINTLY valid pairs — the rolling pair scan without the
+        boundary shift. Same-frame pairs share the plan; cross-frame
+        pairs align positionally."""
+        if not isinstance(other, Series):
+            raise TypeError(
+                f"expected Series, got {type(other).__name__}")
+        from ..plans.ordinal import (ORD_COL, POS_COL,
+                                     with_prefix_aggs)
+        sr = self._sr
+        if other._sdf is sr._sdf:
+            sdf, a, b = sr._sdf, sr._colexpr, other._colexpr
+            order = order_exprs(sr._order or [], sdf.columns)
+            if not order and ORD_COL in sdf.columns:
+                order = [F.col(ORD_COL).asc()]
+            idx = sr._index_cols
+        else:
+            lo, la = sr._ordered_sdf("__pa__")
+            ro, rb = other._ordered_sdf("__pb__")
+            sdf = lo.join(ro.select(POS_COL, rb), POS_COL, "inner")
+            a, b = F.col("__pa__"), F.col("__pb__")
+            order = [F.col(POS_COL).asc()]
+            idx = [c for c in sr._index_cols if c in sdf.columns]
+        both = a.isNotNull() & b.isNotNull()
+        ax = F.when(both, a.cast("double"))
+        by = F.when(both, b.cast("double"))
+        specs = {"__px__": (ax, "sum"), "__py__": (by, "sum"),
+                 "__pxy__": (ax * by, "sum"), "__pn__": (ax, "count")}
+        if stat == "corr":
+            specs["__pxx__"] = (ax * ax, "sum")
+            specs["__pyy__"] = (by * by, "sum")
+        out = with_prefix_aggs(sdf, specs, order or None)
+        n = F.col("__pn__").cast("double")
+        sx, sy, sxy = F.col("__px__"), F.col("__py__"), F.col("__pxy__")
+        if stat == "cov":
+            val = F.when(n > ddof, (sxy - sx * sy / n) / (n - ddof))
+        else:
+            vx = F.col("__pxx__") - sx * sx / n
+            vy = F.col("__pyy__") - sy * sy / n
+            val = F.when((n > 1) & (vx > 0) & (vy > 0),
+                         (sxy - sx * sy / n) / F.sqrt(vx * vy))
+        mp = max(self._mp, 1)
+        expr = F.when(n >= mp, val).cast("double")
+        out = out.withColumn("__exp__", expr).drop(*specs)
+        return Series._make(out, F.col("__exp__"), idx, sr.name,
+                            sr._order)
+
+    def cov(self, other: "Series", ddof: int = 1) -> "Series":
+        return self._pair(other, "cov", ddof=ddof)
+
+    def corr(self, other: "Series") -> "Series":
+        return self._pair(other, "corr")
+
 
 def _norm_pos(i: int, n: int) -> int:
     """pandas negative position -> absolute (IndexError past front)."""

@@ -879,3 +879,37 @@ def test_series_rolling_cov_corr_apply_match_pandas(bl):
     want = px.rolling(4, min_periods=2).apply(fn, raw=True) \
         .to_numpy()
     np.testing.assert_allclose(got, want, atol=1e-12, equal_nan=True)
+
+
+def test_series_expanding_moments_match_pandas(bl):
+    """Expanding sem/skew/kurt/cov/corr decompose into prefix sums,
+    so they stay pure JVM. skew/kurt center on the GLOBAL mean first
+    (one scalar pre-agg): the moments are shift-invariant, and raw
+    x^3/x^4 sums cancel catastrophically on large-mean data — the
+    probe uses mean 5e4 to prove the centering works. pandas' WINDOW
+    sem is std/sqrt(n - ddof), pinned here (the scalar Series.sem is
+    std/sqrt(n))."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(21)
+    n = 250
+    x = rng.normal(loc=5e4, scale=100, size=n)
+    y = 0.4 * x + rng.normal(size=n) * 50
+    x[rng.random(n) < 0.12] = np.nan
+    y[rng.random(n) < 0.1] = np.nan
+    px, py = pd.Series(x), pd.Series(y)
+    d = bl.DataFrame({"x": x, "y": y})
+    for stat in ("sem", "skew", "kurt"):
+        got = getattr(d["x"].expanding(2), stat)() \
+            .to_pandas().to_numpy()
+        want = getattr(px.expanding(2), stat)().to_numpy()
+        np.testing.assert_allclose(
+            np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
+            atol=1e-6, rtol=1e-6, err_msg=f"expanding {stat}")
+    got = d["x"].expanding(2).cov(d["y"]).to_pandas().to_numpy()
+    want = px.expanding(2).cov(py).to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-7, equal_nan=True)
+    got = d["x"].expanding(3).corr(d["y"]).to_pandas().to_numpy()
+    want = px.expanding(3).corr(py).to_numpy()
+    np.testing.assert_allclose(np.nan_to_num(got, nan=-9),
+                               np.nan_to_num(want, nan=-9), atol=1e-6)
