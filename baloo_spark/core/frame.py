@@ -2798,15 +2798,17 @@ class DataFrame:
         driver."""
         return _Resampler(self, freq, on)
 
-    def rolling(self, window: int, min_periods: int | None = None):
-        """Trailing fixed-size windows over EVERY numeric column
-        (pandas ``DataFrame.rolling``): ``.sum() .mean() .count()
-        .var() .std()``. All columns share ONE prefix-scan pass and
-        ONE boundary-carry shift (the same two jobs a single column
+    def rolling(self, window: int, min_periods: int | None = None,
+                center: bool = False):
+        """Fixed-size windows over EVERY numeric column (pandas
+        ``DataFrame.rolling``). Trailing ``.sum() .mean() .count()
+        .var() .std()`` share ONE prefix-scan pass and ONE
+        boundary-carry shift (the same two jobs a single column
         costs) — never a global window, never one pass per column.
-        Global rolling min/max do not decompose into prefixes; use
-        ``with_rolling(partition_by=...)`` for per-group frames."""
-        return _FrameRolling(self, window, min_periods)
+        Order statistics (``min max median quantile``) and every
+        ``center=True`` window share one bounded local-carry Arrow
+        pass instead (plans/ordinal.with_rolling_locals)."""
+        return _FrameRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
         """Growing windows over every numeric column (pandas
@@ -4034,11 +4036,14 @@ class _FrameRolling:
     rolling to the window size."""
 
     def __init__(self, df: DataFrame, window: int | None,
-                 min_periods: int | None):
+                 min_periods: int | None, center: bool = False):
         if window is not None and window <= 0:
             raise ValueError(f"window must be positive, got {window}")
+        if center and window is None:
+            raise ValueError("expanding windows have no center=")
         self._df = df
         self._window = window
+        self._center = bool(center)
         if min_periods is None:
             min_periods = 1 if window is None else window
         self._mp = min_periods
@@ -4103,12 +4108,18 @@ class _FrameRolling:
         if self._window is None:
             return self._emit(lambda s, c, q: F.coalesce(s, F.lit(0.0)),
                               self._mp)
+        if self._center:
+            return self._local("sum")
         return self._emit(lambda s, c, q: s, self._mp)
 
     def mean(self) -> DataFrame:
+        if self._center:
+            return self._local("mean")
         return self._emit(lambda s, c, q: s / c, max(self._mp, 1))
 
     def count(self) -> DataFrame:
+        if self._center:
+            return self._local("count")
         return self._emit(lambda s, c, q: c, self._mp,
                           gate_on_rows=True)
 
@@ -4126,7 +4137,8 @@ class _FrameRolling:
             order = [F.col(ORD_COL).asc()]
         outs = {f"__ro_{c}__": F.col(c) for c in num}
         out = with_rolling_locals(sdf, outs, self._window, stat,
-                                  order or None, self._mp, **kw)
+                                  order or None, self._mp,
+                                  center=self._center, **kw)
         nset = set(num)
         sel = [(F.col(f"__ro_{cc}__").alias(cc) if cc in nset
                 else F.col(cc)) for cc in sdf.columns]
@@ -4163,12 +4175,18 @@ class _FrameRolling:
         return self._local("quantile", q=q, interpolation=interpolation)
 
     def var(self, ddof: int = 1) -> DataFrame:
+        if self._center and self._window is not None:
+            return self._local("var", ddof=ddof)
+
         def build(s, c, q):
             num = F.greatest(q - s * s / c, F.lit(0.0))
             return F.when(c > ddof, num / (c - ddof))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
     def std(self, ddof: int = 1) -> DataFrame:
+        if self._center and self._window is not None:
+            return self._local("std", ddof=ddof)
+
         def build(s, c, q):
             num = F.greatest(q - s * s / c, F.lit(0.0))
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))

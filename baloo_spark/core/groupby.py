@@ -55,7 +55,8 @@ class DataFrameGroupBy:
                      or (include_bool
                          and sch[c].typeName() == "boolean"))]
 
-    def rolling(self, window: int, min_periods: int | None = None):
+    def rolling(self, window: int, min_periods: int | None = None,
+                center: bool = False):
         """Per-group trailing windows (pandas
         ``df.groupby(k)['v'].rolling(w).mean()`` idiom):
         ``.sum/mean/count/min/max/var/std``. Every group's frame is a
@@ -63,7 +64,7 @@ class DataFrameGroupBy:
         scale, and ALL value columns share one Window node. Unlike
         the global :meth:`Series.rolling`, min/max work here (the
         frame is bounded per group, nothing decomposes globally)."""
-        return _GroupRolling(self, window, min_periods)
+        return _GroupRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
         """Per-group growing windows (pandas
@@ -1072,13 +1073,20 @@ class _GroupRolling:
     gates on window fullness, the rest on non-null observations."""
 
     def __init__(self, gb: DataFrameGroupBy, window: int | None,
-                 min_periods: int | None):
+                 min_periods: int | None, center: bool = False):
         """``window=None`` means an unbounded-preceding (expanding)
-        frame; min_periods then defaults to 1 like pandas."""
+        frame; min_periods then defaults to 1 like pandas.
+        ``center=True`` (fixed windows only) spans pandas' LEFT-heavy
+        split [i-w//2, i+(w-1)//2] — a rowsBetween(-h1, +h2) frame for the
+        JVM aggregates, center= passed to the pandas kernel for the
+        order statistics."""
         if window is not None and window <= 0:
             raise ValueError(f"window must be positive, got {window}")
+        if center and window is None:
+            raise ValueError("expanding windows have no center=")
         self._gb = gb
         self._window = window
+        self._center = bool(center)
         if min_periods is None:
             min_periods = 1 if window is None else window
         self._mp = min_periods
@@ -1098,10 +1106,15 @@ class _GroupRolling:
             raise ValueError(
                 "groupby rolling needs a defined row order; "
                 "sort_values/sort_index first")
-        lo = (Window.unboundedPreceding if self._window is None
-              else -(self._window - 1))
+        if self._window is None:
+            lo, hi = Window.unboundedPreceding, 0
+        elif self._center:
+            hi = (self._window - 1) // 2
+            lo = -(self._window // 2)
+        else:
+            lo, hi = -(self._window - 1), 0
         w = (Window.partitionBy(*gb._by).orderBy(*order)
-             .rowsBetween(lo, 0))
+             .rowsBetween(lo, hi))
         cols = gb._value_cols()
         exprs = {}
         for c in cols:
@@ -1166,14 +1179,14 @@ class _GroupRolling:
             T.StructField(f.name, T.DoubleType() if f.name in vcols
                           else f.dataType, True)
             for f in sdf.schema.fields])
-        window, mp = self._window, self._mp
+        window, mp, center = self._window, self._mp, self._center
 
         def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
             pdf = pdf.copy()
             fv = pdf[vcols].astype("float64")
             fv[by] = pdf[by]
             g = fv.groupby(by, sort=False, dropna=False)[vcols]
-            roll = (g.rolling(window, min_periods=mp)
+            roll = (g.rolling(window, min_periods=mp, center=center)
                     if window is not None else g.expanding(mp))
             pdf[vcols] = getattr(roll, stat)(**kw).to_numpy()
             return pdf

@@ -2163,17 +2163,19 @@ class Series:
             self._colexpr.cast("double")
             / F.col("__shift__").cast("double") - 1)
 
-    def rolling(self, window: int, min_periods: int | None = None):
-        """Trailing fixed-size window aggregations along the logical
-        order (pandas ``Series.rolling``): ``.sum() .mean() .count()
-        .var() .std()``. All compose from partition-safe prefix scans
-        (sum, sum², count are prefix sums; ``rolling(i) = prefix(i) -
-        prefix(i - window)``) plus ONE shared boundary-carry shift —
-        never a global single-partition window, so the plan holds at
-        any scale. Global rolling min/max do not decompose into
-        prefixes; ``DataFrame.with_rolling(partition_by=...)`` keeps
-        those local per group instead (engine extension)."""
-        return _Rolling(self, window, min_periods)
+    def rolling(self, window: int, min_periods: int | None = None,
+                center: bool = False):
+        """Fixed-size window aggregations along the logical order
+        (pandas ``Series.rolling``). Trailing ``.sum() .mean()
+        .count() .var() .std()`` compose from partition-safe prefix
+        scans (``rolling(i) = prefix(i) - prefix(i - window)``) plus
+        ONE shared boundary-carry shift — never a global
+        single-partition window. Order statistics (``min max median
+        quantile skew kurt sem rank apply``) and every ``center=True``
+        window ride the bounded local-carry pass
+        (plans/ordinal.with_rolling_locals): one frozen layout, a
+        two-sided donor carry, pandas' C kernels in one Arrow pass."""
+        return _Rolling(self, window, min_periods, center)
 
     def ewm(self, com=None, span=None, halflife=None, alpha=None,
             min_periods: int = 0, adjust: bool = True,
@@ -2781,12 +2783,13 @@ class _Rolling:
     count included)."""
 
     def __init__(self, sr: "Series", window: int,
-                 min_periods: int | None):
+                 min_periods: int | None, center: bool = False):
         if window <= 0:
             raise ValueError(f"window must be positive, got {window}")
         self._sr = sr
         self._window = window
         self._mp = window if min_periods is None else min_periods
+        self._center = bool(center)
 
     def _compute(self, need_sq: bool, need_rows: bool):
         from ..plans.ordinal import (ORD_COL, with_boundary_shifts,
@@ -2834,16 +2837,25 @@ class _Rolling:
                             sr.name, sr._order)
 
     def sum(self) -> "Series":
+        if self._center:
+            return self._local("sum")
         return self._emit(lambda s, c, q: s, self._mp)
 
     def mean(self) -> "Series":
+        if self._center:
+            return self._local("mean")
         return self._emit(lambda s, c, q: s / c, max(self._mp, 1))
 
     def count(self) -> "Series":
+        if self._center:
+            return self._local("count")
         return self._emit(lambda s, c, q: c, self._mp,
                           gate_on_rows=True)
 
     def var(self, ddof: int = 1) -> "Series":
+        if self._center:
+            return self._local("var", ddof=ddof)
+
         def build(s, c, q):
             # sum-of-squares identity; tiny negative residue from fp
             # cancellation clamps to 0 (a constant window is var 0)
@@ -2852,6 +2864,9 @@ class _Rolling:
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
     def std(self, ddof: int = 1) -> "Series":
+        if self._center:
+            return self._local("std", ddof=ddof)
+
         def build(s, c, q):
             num = F.greatest(q - s * s / c, F.lit(0.0))
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
@@ -2871,7 +2886,7 @@ class _Rolling:
             order = [F.col(ORD_COL).asc()]
         out = with_rolling_locals(sdf, {"__roll__": sr._colexpr},
                                   self._window, stat, order or None,
-                                  self._mp, **kw)
+                                  self._mp, center=self._center, **kw)
         return Series._make(out, F.col("__roll__"), sr._index_cols,
                             sr.name, sr._order)
 
@@ -2943,33 +2958,57 @@ class _Rolling:
         both = a.isNotNull() & b.isNotNull()
         ax = F.when(both, a.cast("double"))
         by = F.when(both, b.cast("double"))
-        specs = {"__px__": (ax, "sum"), "__py__": (by, "sum"),
-                 "__pxy__": (ax * by, "sum"), "__pn__": (ax, "count")}
-        if stat == "corr":
-            specs["__pxx__"] = (ax * ax, "sum")
-            specs["__pyy__"] = (by * by, "sum")
-        out = with_prefix_aggs(sdf, specs, order or None)
-        shifts = {o[:-2] + "w__": F.col(o) for o in specs}
-        out = with_boundary_shifts(out, shifts, self._window,
-                                   order_by=order or None)
+        if self._center:
+            # centered pair windows: the SAME windowed sums, computed
+            # as one centered "sum" local pass over the masked
+            # product columns (one layout, one two-sided carry)
+            from ..plans.ordinal import with_rolling_locals
+            cols = {"__px__": ax, "__py__": by, "__pxy__": ax * by,
+                    "__pn__": F.when(both, F.lit(1.0))}
+            if stat == "corr":
+                cols["__pxx__"] = ax * ax
+                cols["__pyy__"] = by * by
+            out = with_rolling_locals(sdf, cols, self._window, "sum",
+                                      order or None, 0, center=True)
+            helpers = list(cols)
 
-        def S(o, zero=0.0):
-            return F.col(o) - F.coalesce(F.col(o[:-2] + "w__"),
-                                         F.lit(zero))
+            def C(o):
+                return F.coalesce(F.col(o), F.lit(0.0))
 
-        n = S("__pn__", 0).cast("double")
-        sx, sy, sxy = S("__px__"), S("__py__"), S("__pxy__")
+            n = C("__pn__")
+            sx, sy, sxy = C("__px__"), C("__py__"), C("__pxy__")
+            sxx, syy = (C("__pxx__"), C("__pyy__")) \
+                if stat == "corr" else (None, None)
+        else:
+            specs = {"__px__": (ax, "sum"), "__py__": (by, "sum"),
+                     "__pxy__": (ax * by, "sum"),
+                     "__pn__": (ax, "count")}
+            if stat == "corr":
+                specs["__pxx__"] = (ax * ax, "sum")
+                specs["__pyy__"] = (by * by, "sum")
+            out = with_prefix_aggs(sdf, specs, order or None)
+            shifts = {o[:-2] + "w__": F.col(o) for o in specs}
+            out = with_boundary_shifts(out, shifts, self._window,
+                                       order_by=order or None)
+
+            def S(o, zero=0.0):
+                return F.col(o) - F.coalesce(F.col(o[:-2] + "w__"),
+                                             F.lit(zero))
+
+            n = S("__pn__", 0).cast("double")
+            sx, sy, sxy = S("__px__"), S("__py__"), S("__pxy__")
+            sxx, syy = (S("__pxx__"), S("__pyy__")) \
+                if stat == "corr" else (None, None)
+            helpers = list(specs) + list(shifts)
         if stat == "cov":
             val = F.when(n > ddof, (sxy - sx * sy / n) / (n - ddof))
-            mp = max(self._mp, 1)
         else:
-            vx = S("__pxx__") - sx * sx / n
-            vy = S("__pyy__") - sy * sy / n
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
             val = F.when((n > 1) & (vx > 0) & (vy > 0),
                          (sxy - sx * sy / n) / F.sqrt(vx * vy))
-            mp = max(self._mp, 1)
+        mp = max(self._mp, 1)
         expr = F.when(n >= mp, val).cast("double")
-        helpers = list(specs) + list(shifts)
         out = out.withColumn("__roll__", expr).drop(*helpers)
         return Series._make(out, F.col("__roll__"), idx, sr.name,
                             sr._order)

@@ -1812,17 +1812,25 @@ _ROLL_LOCAL_STATS = {
     "skew": (), "kurt": (), "sem": ("ddof",), "rank": ("method", "pct"),
     "apply": ("func", "raw", "args", "kwargs"),
 }
+# prefix-decomposable stats admitted ONLY via center=True (trailing
+# flavors stay on the JVM prefix scans)
+_ROLL_CENTER_EXTRA = {
+    "sum": (), "mean": (), "count": (),
+    "var": ("ddof",), "std": ("ddof",),
+}
 
 
 def with_rolling_locals(sdf: DataFrame, cols: dict, window: int,
                         stat: str, order_by: list | None = None,
                         min_periods: int | None = None,
+                        center: bool = False,
                         max_carry_cells: int = 20_000_000,
                         **stat_kwargs) -> DataFrame:
     """Partition-safe GLOBAL fixed-window rolling statistics that do
     NOT decompose into prefix scans — min/max/median/quantile/skew/
-    kurt/sem/rank — from ONE frozen range layout, one bounded donor
-    collect, and one Arrow pass running pandas' C rolling kernels.
+    kurt/sem/rank/apply (and, for ``center=True``, the prefix family
+    too) — from ONE frozen range layout, one bounded donor collect,
+    and one Arrow pass running pandas' C rolling kernels.
 
     ``cols`` maps out_name -> value Column/name (cast to double);
     every output shares the layout, the donor collect, and the single
@@ -1839,6 +1847,13 @@ def with_rolling_locals(sdf: DataFrame, cols: dict, window: int,
     positions still occupy window slots because the carry ships the
     raw values, NaNs included.
 
+    ``center=True`` windows span [i-w//2, i+(w-1)//2] (pandas'
+    LEFT-heavy split), so the carry runs BOTH directions — each partition gets
+    its h1 globally-preceding and h2 globally-following values — and
+    the kernel pass buffers h2 rows of lookahead before emitting;
+    truncated windows at the global edges fall out naturally because
+    the carries hold exactly the rows that exist.
+
     Driver state is n_partitions x (window-1) x n_cols scalars —
     bounded by construction and guarded by ``max_carry_cells``; past
     the guard the error names the per-group Window alternative
@@ -1849,12 +1864,14 @@ def with_rolling_locals(sdf: DataFrame, cols: dict, window: int,
 
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
-    if stat not in _ROLL_LOCAL_STATS:
+    ok = dict(_ROLL_LOCAL_STATS)
+    if center:
+        ok.update(_ROLL_CENTER_EXTRA)
+    if stat not in ok:
         raise ValueError(
             f"unsupported local-carry rolling stat {stat!r}; "
-            f"supported: {sorted(_ROLL_LOCAL_STATS)}")
-    bad = [kw for kw in stat_kwargs
-           if kw not in _ROLL_LOCAL_STATS[stat]]
+            f"supported: {sorted(ok)}")
+    bad = [kw for kw in stat_kwargs if kw not in ok[stat]]
     if bad:
         raise TypeError(f"rolling.{stat}() got unexpected kwargs {bad}")
     mp = window if min_periods is None else min_periods
@@ -1864,58 +1881,127 @@ def with_rolling_locals(sdf: DataFrame, cols: dict, window: int,
            .alias(vnames[o]) for o, c in cols.items()]
     lay = _range_layout(sdf.select("*", *sel), order_by)
 
-    k = window - 1
-    carry_map: dict = {}
-    if k > 0:
+    # pandas' center split is LEFT-heavy for even windows:
+    # window spans [i - w//2, i + (w-1)//2]
+    h2 = (window - 1) // 2 if center else 0       # right context
+    h1 = (window // 2) if center else window - 1  # left context
+    carry_pre: dict = {}
+    carry_post: dict = {}
+    if h1 > 0 or h2 > 0:
         n_parts = lay.rdd.getNumPartitions()
-        if k * n_parts * len(outs) > max_carry_cells:
+        cells = (h1 + h2) * n_parts * len(outs)
+        if cells > max_carry_cells:
             raise ValueError(
-                f"rolling {stat} carry would hold ~"
-                f"{k * n_parts * len(outs)} driver-side values "
-                f"(window={window} x {n_parts} partitions x "
-                f"{len(outs)} columns); use groupby(...).rolling "
-                f"(per-group windows need no cross-partition carry) "
-                f"or raise max_carry_cells")
-        donor_w = Window.partitionBy("__pid__") \
+                f"rolling {stat} carry would hold ~{cells} "
+                f"driver-side values (window={window} x {n_parts} "
+                f"partitions x {len(outs)} columns); use "
+                f"groupby(...).rolling (per-group windows need no "
+                f"cross-partition carry) or raise max_carry_cells")
+        desc_w = Window.partitionBy("__pid__") \
             .orderBy(F.col("__mid__").desc())
-        donors = (lay.withColumn("__drn__", F.row_number().over(donor_w))
-                  .where(F.col("__drn__") <= k)
-                  .select("__pid__", "__drn__",
-                          *[vnames[o] for o in outs]).collect())
-        by_pid: dict = {}
+        asc_w = Window.partitionBy("__pid__") \
+            .orderBy(F.col("__mid__").asc())
+        sel_rn = lay.withColumn("__drn__", F.row_number().over(desc_w))
+        if h2 > 0:
+            sel_rn = sel_rn.withColumn("__arn__",
+                                       F.row_number().over(asc_w))
+            cond = (F.col("__drn__") <= h1) | (F.col("__arn__") <= h2)
+            keep = ["__pid__", "__drn__", "__arn__"]
+        else:
+            cond = F.col("__drn__") <= h1
+            keep = ["__pid__", "__drn__"]
+        donors = (sel_rn.where(cond)
+                  .select(*keep, *[vnames[o] for o in outs]).collect())
+        tail_by_pid: dict = {}
+        head_by_pid: dict = {}
         for r in donors:
-            by_pid.setdefault(r["__pid__"], {})[r["__drn__"]] = tuple(
-                r[vnames[o]] for o in outs)
-        run: list = []  # last k value-tuples seen, global order
-        for pid in sorted(by_pid):
-            if run:
-                carry_map[int(pid)] = list(run)
-            part = by_pid[pid]
-            vals = [part[d] for d in sorted(part, reverse=True)]
-            run = (run + vals)[-k:]
+            val = tuple(r[vnames[o]] for o in outs)
+            if h1 > 0 and r["__drn__"] <= h1:
+                tail_by_pid.setdefault(r["__pid__"], {})[
+                    r["__drn__"]] = val
+            if h2 > 0 and r["__arn__"] <= h2:
+                head_by_pid.setdefault(r["__pid__"], {})[
+                    r["__arn__"]] = val
+        pids = sorted({int(r["__pid__"]) for r in donors})
+        if h1 > 0:
+            run: list = []     # last h1 value-tuples seen, global order
+            for pid in pids:
+                if run:
+                    carry_pre[pid] = list(run)
+                part = tail_by_pid.get(pid, {})
+                vals = [part[d] for d in sorted(part, reverse=True)]
+                run = (run + vals)[-h1:]
+        if h2 > 0:
+            post: list = []    # next h2 value-tuples, global order
+            for pid in reversed(pids):
+                if post:
+                    carry_post[pid] = list(post)
+                part = head_by_pid.get(pid, {})
+                vals = [part[a] for a in sorted(part)]
+                post = (vals + post)[:h2]
 
     vlist = [vnames[o] for o in outs]
     out_schema = T.StructType(
         list(lay.schema)
         + [T.StructField(o, T.DoubleType()) for o in outs])
 
-    def gen(batches):
+    def _kernel(vals: "pd.DataFrame", lo: int, n: int,
+                assign_to: "pd.DataFrame"):
+        for o in outs:
+            roll = vals[vnames[o]].rolling(
+                window, min_periods=mp, center=center)
+            res = getattr(roll, stat)(**stat_kwargs)
+            assign_to[o] = res.iloc[lo:lo + n].to_numpy(dtype="float64")
+
+    def gen_trailing(batches):
         tail = None
         for pdf in batches:
             if not len(pdf):
                 continue
             if tail is None:
-                pre = carry_map.get(int(pdf["__pid__"].iloc[0]), [])
-                tail = pd.DataFrame(pre, columns=vlist, dtype="float64")
+                pre = carry_pre.get(int(pdf["__pid__"].iloc[0]), [])
+                tail = pd.DataFrame(pre, columns=vlist,
+                                    dtype="float64")
             vals = pd.concat([tail[vlist], pdf[vlist]],
                              ignore_index=True)
-            warm = len(tail)
-            for o in outs:
-                roll = vals[vnames[o]].rolling(window, min_periods=mp)
-                res = getattr(roll, stat)(**stat_kwargs)
-                pdf[o] = res.iloc[warm:].to_numpy(dtype="float64")
-            tail = vals.iloc[len(vals) - k:] if k else vals.iloc[:0]
+            _kernel(vals, len(tail), len(pdf), pdf)
+            tail = vals.iloc[len(vals) - h1:] if h1 else vals.iloc[:0]
             yield pdf
 
-    out = lay.mapInPandas(gen, out_schema)
+    def gen_center(batches):
+        ctx = None          # last h1 raw values before `pending`
+        pending = None      # rows buffered for h2 rows of lookahead
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if ctx is None:
+                pid = int(pdf["__pid__"].iloc[0])
+                pre = carry_pre.get(pid, [])
+                ctx = pd.DataFrame(pre, columns=vlist, dtype="float64")
+            pending = (pdf if pending is None
+                       else pd.concat([pending, pdf],
+                                      ignore_index=True))
+            if len(pending) > h2:
+                emit_n = len(pending) - h2
+                vals = pd.concat([ctx, pending[vlist]],
+                                 ignore_index=True)
+                emit = pending.iloc[:emit_n].copy()
+                _kernel(vals, len(ctx), emit_n, emit)
+                lo = (max(0, len(ctx) + emit_n - h1) if h1
+                      else len(vals))
+                ctx = vals.iloc[lo:len(ctx) + emit_n]
+                pending = pending.iloc[emit_n:].reset_index(drop=True)
+                yield emit
+        if pending is not None and len(pending):
+            post = pd.DataFrame(carry_post.get(pid, []),
+                                columns=vlist, dtype="float64")
+            vals = pd.concat([ctx, pending[vlist], post],
+                             ignore_index=True)
+            out = pending.copy()
+            _kernel(vals, len(ctx), len(pending), out)
+            yield out
+
+    out = lay.mapInPandas(gen_center if center else gen_trailing,
+                          out_schema)
     return out.drop("__mid__", "__pid__", *vlist)

@@ -913,3 +913,56 @@ def test_series_expanding_moments_match_pandas(bl):
     want = px.expanding(3).corr(py).to_numpy()
     np.testing.assert_allclose(np.nan_to_num(got, nan=-9),
                                np.nan_to_num(want, nan=-9), atol=1e-6)
+
+
+def test_rolling_center_matches_pandas(bl):
+    """center=True across all faces. pandas' split is LEFT-heavy for
+    even windows — [i - w//2, i + (w-1)//2] — pinned here with even
+    AND odd windows. Global centered windows ride the two-sided
+    local carry (prefix stats included: the lookahead makes the
+    prefix-difference trick a second carry pass, so one Arrow pass
+    over pandas kernels is the simpler exact shape); grouped JVM
+    aggregates use a rowsBetween(-w//2, +(w-1)//2) frame."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(29)
+    n = 350
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.15] = np.nan
+    u = rng.normal(size=n)
+    ps, s = pd.Series(v), bl.Series(v)
+    for w, mp in [(3, None), (4, 1), (2, 1), (6, 3), (400, 1)]:
+        for stat, kw in [("sum", {}), ("mean", {}), ("count", {}),
+                         ("var", {}), ("min", {}), ("median", {}),
+                         ("rank", {})]:
+            got = getattr(s.rolling(w, min_periods=mp, center=True),
+                          stat)(**kw).to_pandas().to_numpy()
+            want = getattr(ps.rolling(w, min_periods=mp, center=True),
+                           stat)(**kw).to_numpy()
+            np.testing.assert_allclose(
+                got, want, atol=1e-9, equal_nan=True,
+                err_msg=f"center {stat} w={w} mp={mp}")
+    d = bl.DataFrame({"v": v, "u": u})
+    pu = pd.Series(u)
+    got = d["v"].rolling(6, min_periods=2, center=True).cov(d["u"]) \
+        .to_pandas().to_numpy()
+    want = ps.rolling(6, min_periods=2, center=True).cov(pu) \
+        .to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    g = rng.integers(0, 12, n).astype(str)
+    pg = pd.DataFrame({"g": g, "v": v, "u": u})
+    bg = bl.DataFrame({"g": g, "v": v, "u": u})
+    got = bg.groupby("g")[["v", "u"]] \
+        .rolling(4, min_periods=2, center=True).sum() \
+        .to_pandas()[["v", "u"]].to_numpy()
+    want = pg.groupby("g", sort=False)[["v", "u"]] \
+        .rolling(4, min_periods=2, center=True).sum() \
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    got = bg.groupby("g")[["v", "u"]] \
+        .rolling(5, min_periods=1, center=True).median() \
+        .to_pandas()[["v", "u"]].to_numpy()
+    want = pg.groupby("g", sort=False)[["v", "u"]] \
+        .rolling(5, min_periods=1, center=True).median() \
+        .reset_index(level=0, drop=True).sort_index().to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
