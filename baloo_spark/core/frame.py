@@ -1678,6 +1678,42 @@ class DataFrame:
     def to_markdown(self, **kw) -> str:
         return self.to_pandas().to_markdown(**kw)
 
+    def to_html(self, **kw) -> str:
+        """Driver-side render (pandas ``to_html``) — same
+        materialization boundary as to_string."""
+        return self.to_pandas().to_html(**kw)
+
+    def to_latex(self, **kw) -> str:
+        return self.to_pandas().to_latex(**kw)
+
+    def to_records(self, **kw):
+        """Driver-side export (pandas ``to_records``): a NumPy record
+        array — an explicit materialization boundary."""
+        return self.to_pandas().to_records(**kw)
+
+    @classmethod
+    def from_records(cls, data, **kw) -> "DataFrame":
+        """pandas ``DataFrame.from_records``: build through pandas on
+        the driver (records are driver-sized by definition), then the
+        normal from_pandas ingest."""
+        import pandas as pd
+        return cls(pd.DataFrame.from_records(data, **kw))
+
+    def unstack(self, level: int = -1, **kw) -> "DataFrame":
+        """pandas ``DataFrame.unstack`` for the single-data-column
+        case (delegates to :meth:`Series.unstack` — one pivot
+        shuffle). Multiple data columns would need MultiIndex COLUMNS
+        ((col, level-value) pairs), which the engine's flat column
+        model does not represent — unstack each column's Series and
+        join, or ``stack`` first."""
+        if len(self._data_cols) != 1:
+            raise ValueError(
+                "DataFrame.unstack needs exactly one data column "
+                "(the engine has flat columns, not MultiIndex "
+                f"columns); got {list(self._data_cols)!r} — unstack "
+                "each column's Series instead")
+        return self[self._data_cols[0]].unstack(level=level, **kw)
+
     def rename_axis(self, name) -> "DataFrame":
         """Rename the INDEX (pandas ``rename_axis``) — a plan-side
         column rename, no job."""

@@ -617,3 +617,33 @@ def test_r8_series_frame_sweep(bl):
     with pytest.raises(ValueError):
         s.set_axis(["one"])
     assert s.dtypes == s.dtype
+
+
+def test_frame_unstack_and_record_delegations(bl):
+    """DataFrame.unstack (single-data-column face over the
+    Series.unstack pivot; multi-column raises toward the per-column
+    composition — the engine has flat columns, not MultiIndex
+    columns) + the driver-side to_html/to_latex/to_records/
+    from_records materialization boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"a": ["x", "x", "y", "y"], "b": [1, 2, 1, 2],
+                        "v": [10., 20., 30., 40.],
+                        "w": [1., 2., 3., 4.]})
+    d = bl.DataFrame({c: pdf[c].to_numpy() for c in pdf}) \
+        .set_index(["a", "b"])
+    got = d[["v"]].unstack().to_pandas().sort_index()
+    want = pdf.set_index(["a", "b"])["v"].unstack().sort_index()
+    assert got.values.tolist() == want.values.tolist()
+    assert [str(c) for c in got.columns] == \
+        [str(c) for c in want.columns]
+    with pytest.raises(ValueError, match="one data column"):
+        d.unstack()
+    flat = d.reset_index()
+    assert "<table" in flat.to_html()
+    assert "tabular" in flat.to_latex()
+    assert len(flat.to_records(index=False)) == 4
+    fr = bl.DataFrame.from_records(
+        [{"k": 1, "w": 2.5}, {"k": 2, "w": 3.5}])
+    assert fr.to_pandas()["w"].tolist() == [2.5, 3.5]
