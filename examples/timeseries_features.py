@@ -87,6 +87,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     grid30 = (per_bucket.asfreq("30min", method="ffill")
               if len(feats) else None)
 
+    # 9. r8: order statistics over fixed windows — a rolling MEDIAN
+    #    does not decompose into prefix sums, so it rides the bounded
+    #    local-carry pass (one frozen layout, a (w-1)-row donor carry
+    #    per partition, pandas' C kernel in one Arrow pass); the
+    #    centered mean smooths symmetrically (two-sided carry), and
+    #    the rolling corr with the raw series is pure JVM (windowed
+    #    pair sums are prefix sums)
+    med9 = (sr.rolling(9, min_periods=3).median().tail(1)
+            .to_pandas().iloc[0] if len(feats) else None)
+    smooth = (sr.rolling(7, min_periods=2, center=True).mean()
+              if len(feats) else None)
+    smooth_corr = (smooth.rolling(24, min_periods=6).corr(sr).tail(1)
+                   .to_pandas().iloc[0] if smooth is not None else None)
+
     out = enriched.to_pandas()
     summary = {
         "events": int(len(out)),
@@ -98,6 +112,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "ewm_vol_noadjust": None if vol_rec is None or vol_rec != vol_rec
                             else round(float(vol_rec), 6),
         "grid30_rows": None if grid30 is None else int(len(grid30)),
+        "roll_median9": None if med9 is None or med9 != med9
+                        else round(float(med9), 6),
+        "smooth_corr24": None if smooth_corr is None
+                         or smooth_corr != smooth_corr
+                         else round(float(smooth_corr), 6),
     }
     print(json.dumps(summary))
     return summary
