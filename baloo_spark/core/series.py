@@ -3253,7 +3253,12 @@ class _Expanding:
             m3 = s3 / c - 3 * m * s2 / c + 2 * m * m * m
             g1 = m3 / F.pow(m2, 1.5)
             adj = F.sqrt(c * (c - 1)) / (c - 2)
-            return F.when((c >= 3) & (m2 > 0), g1 * adj)
+            # pandas' window kernels special-case EXACT zero
+            # variance (a constant window) as skew 0.0 — near-zero
+            # variance stays NaN (their eps threshold)
+            return F.when(c >= 3,
+                          F.when(m2 > 0, g1 * adj)
+                          .otherwise(F.when(m2 == 0, F.lit(0.0))))
         y = self._v() - F.lit(mu)
         return self._emit({"__ps__": (y, "sum"),
                            "__pq__": (y * y, "sum"),
@@ -3276,7 +3281,11 @@ class _Expanding:
                   - 3 * m * m * m * m)
             g2 = m4 / (m2 * m2) - 3
             corr = ((c + 1) * g2 + 6) * (c - 1) / ((c - 2) * (c - 3))
-            return F.when((c >= 4) & (m2 > 0), corr)
+            # pandas' window kernels emit -3.0 (the raw excess of a
+            # point mass, uncorrected) for EXACT zero variance
+            return F.when(c >= 4,
+                          F.when(m2 > 0, corr)
+                          .otherwise(F.when(m2 == 0, F.lit(-3.0))))
         y = self._v() - F.lit(mu)
         return self._emit({"__ps__": (y, "sum"),
                            "__pq__": (y * y, "sum"),

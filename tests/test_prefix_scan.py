@@ -966,3 +966,20 @@ def test_rolling_center_matches_pandas(bl):
         .rolling(5, min_periods=1, center=True).median() \
         .reset_index(level=0, drop=True).sort_index().to_numpy()
     np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+
+
+def test_expanding_zero_variance_skew_kurt(bl):
+    """pandas' window kernels special-case EXACT zero variance: a
+    constant window yields skew 0.0 and kurt -3.0 (the raw excess of
+    a point mass, uncorrected) — while NEAR-zero variance stays NaN.
+    Probe wave 17 caught the engine returning NaN for the exact-zero
+    case."""
+    import numpy as np
+    import pandas as pd
+    c = np.array([4.0] * 6)
+    got = bl.Series(c).expanding(1).skew().to_pandas().to_numpy()
+    want = pd.Series(c).expanding(1).skew().to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    got = bl.Series(c).expanding(1).kurt().to_pandas().to_numpy()
+    want = pd.Series(c).expanding(1).kurt().to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
