@@ -55,7 +55,7 @@ class DataFrameGroupBy:
                      or (include_bool
                          and sch[c].typeName() == "boolean"))]
 
-    def rolling(self, window: int, min_periods: int | None = None,
+    def rolling(self, window, min_periods: int | None = None,
                 center: bool = False):
         """Per-group trailing windows (pandas
         ``df.groupby(k)['v'].rolling(w).mean()`` idiom):
@@ -63,7 +63,30 @@ class DataFrameGroupBy:
         partitionBy window — state stays local per group at any
         scale, and ALL value columns share one Window node. Unlike
         the global :meth:`Series.rolling`, min/max work here (the
-        frame is bounded per group, nothing decomposes globally)."""
+        frame is bounded per group, nothing decomposes globally).
+        A str/timedelta ``window`` ('2h') rolls a TIME offset as a
+        per-group RANGE frame over the order column's microseconds —
+        min/max included, one Window node, no carry at all. Known
+        divergence: a RANGE frame includes ALL rows sharing the
+        current stamp (pandas adds a positional j <= i rule for
+        duplicate stamps)."""
+        import datetime as _dt
+        if isinstance(window, str) or isinstance(
+                window, _dt.timedelta) or type(window).__name__ in (
+                "Timedelta",):
+            if center:
+                raise ValueError("offset windows have no center=")
+            if isinstance(window, str):
+                from .datetimes import freq_to_us
+                us = freq_to_us(window)
+            else:
+                us = int(window.total_seconds() * 1_000_000)
+            if us <= 0:
+                raise ValueError(
+                    f"window offset must be positive, got {window!r}")
+            return _GroupRolling(
+                self, None, 1 if min_periods is None else min_periods,
+                time_us=us)
         return _GroupRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
@@ -1073,7 +1096,8 @@ class _GroupRolling:
     gates on window fullness, the rest on non-null observations."""
 
     def __init__(self, gb: DataFrameGroupBy, window: int | None,
-                 min_periods: int | None, center: bool = False):
+                 min_periods: int | None, center: bool = False,
+                 time_us: int | None = None):
         """``window=None`` means an unbounded-preceding (expanding)
         frame; min_periods then defaults to 1 like pandas.
         ``center=True`` (fixed windows only) spans pandas' LEFT-heavy
@@ -1087,6 +1111,9 @@ class _GroupRolling:
         self._gb = gb
         self._window = window
         self._center = bool(center)
+        self._time_us = time_us
+        if time_us is not None and min_periods is None:
+            min_periods = 1
         if min_periods is None:
             min_periods = 1 if window is None else window
         self._mp = min_periods
@@ -1106,15 +1133,34 @@ class _GroupRolling:
             raise ValueError(
                 "groupby rolling needs a defined row order; "
                 "sort_values/sort_index first")
-        if self._window is None:
-            lo, hi = Window.unboundedPreceding, 0
-        elif self._center:
-            hi = (self._window - 1) // 2
-            lo = -(self._window // 2)
+        if self._time_us is not None:
+            # time-offset frame: (t - offset, t] over the order
+            # column's microseconds — integer micros make the open
+            # left bound exact as -(offset - 1)
+            sch = {f.name: f.dataType.typeName()
+                   for f in sdf.schema.fields}
+            tcol = next(
+                (c for c, _ in (gb._df._order or [])
+                 if sch.get(c) in ("timestamp", "timestamp_ntz",
+                                   "date")), None)
+            if tcol is None:
+                raise TypeError(
+                    "a time-offset grouped rolling needs the frame "
+                    "sorted by a datetime column (sort_values first)")
+            micros = F.unix_micros(F.col(tcol).cast("timestamp"))
+            w = (Window.partitionBy(*gb._by).orderBy(micros)
+                 .rangeBetween(-(self._time_us - 1), 0))
+        elif self._window is None:
+            w = (Window.partitionBy(*gb._by).orderBy(*order)
+                 .rowsBetween(Window.unboundedPreceding, 0))
         else:
-            lo, hi = -(self._window - 1), 0
-        w = (Window.partitionBy(*gb._by).orderBy(*order)
-             .rowsBetween(lo, hi))
+            if self._center:
+                hi = (self._window - 1) // 2
+                lo = -(self._window // 2)
+            else:
+                lo, hi = -(self._window - 1), 0
+            w = (Window.partitionBy(*gb._by).orderBy(*order)
+                 .rowsBetween(lo, hi))
         cols = gb._value_cols()
         exprs = {}
         for c in cols:
@@ -1166,6 +1212,11 @@ class _GroupRolling:
         from ..plans.ordinal import ORD_COL
         from .frame import DataFrame
         gb = self._gb
+        if self._time_us is not None:
+            raise ValueError(
+                f"time-offset grouped rolling supports the JVM "
+                f"aggregates (sum/mean/count/min/max/var/std); "
+                f"{stat!r} over a time window needs resample")
         sdf, order = gb._gorder()
         vcols = gb._value_cols()
         by = list(gb._by)

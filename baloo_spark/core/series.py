@@ -2163,7 +2163,7 @@ class Series:
             self._colexpr.cast("double")
             / F.col("__shift__").cast("double") - 1)
 
-    def rolling(self, window: int, min_periods: int | None = None,
+    def rolling(self, window, min_periods: int | None = None,
                 center: bool = False):
         """Fixed-size window aggregations along the logical order
         (pandas ``Series.rolling``). Trailing ``.sum() .mean()
@@ -2174,7 +2174,27 @@ class Series:
         quantile skew kurt sem rank apply``) and every ``center=True``
         window ride the bounded local-carry pass
         (plans/ordinal.with_rolling_locals): one frozen layout, a
-        two-sided donor carry, pandas' C kernels in one Arrow pass."""
+        two-sided donor carry, pandas' C kernels in one Arrow pass.
+        A str/timedelta ``window`` ('2h', '30min') rolls a TIME
+        offset over the datetime index instead — one prefix pass +
+        one as-of join (see :class:`_TimeRolling`)."""
+        import datetime as _dt
+        if isinstance(window, str) or isinstance(
+                window, _dt.timedelta) or type(window).__name__ in (
+                "Timedelta",):
+            if center:
+                raise ValueError("offset windows have no center=")
+            if isinstance(window, str):
+                from .datetimes import freq_to_us
+                us = freq_to_us(window)
+            else:
+                us = int(window.total_seconds() * 1_000_000)
+            if us <= 0:
+                raise ValueError(f"window offset must be positive, "
+                                 f"got {window!r}")
+            return _TimeRolling(self, us,
+                                1 if min_periods is None
+                                else min_periods)
         return _Rolling(self, window, min_periods, center)
 
     def ewm(self, com=None, span=None, halflife=None, alpha=None,
@@ -3018,6 +3038,121 @@ class _Rolling:
 
     def corr(self, other: "Series") -> "Series":
         return self._pair_stat(other, "corr")
+
+
+class _TimeRolling:
+    """Time-offset trailing windows (pandas ``Series.rolling('2h')``
+    over a datetime index): for row i the window is rows j <= i with
+    t_j in (t_i - offset, t_i] — pandas' closed='right' semantics
+    INCLUDING the positional tie rule for duplicate stamps.
+
+    sum/mean/count/var/std decompose: window_agg(i) = prefix(i) -
+    prefix(last row with t <= t_i - offset). The subtrahend is an
+    AS-OF lookup, so the whole operator is one prefix pass plus one
+    as-of join — both partition-safe two-pass schemes
+    (plans/ordinal.py, operators/joins.py) — with no range
+    self-join, no per-row Python, and no single-partition window.
+    Time-window ORDER statistics do not decompose; use
+    ``groupby(...).rolling('2h')`` (a per-group RANGE frame where
+    min/max work) or ``resample``.
+
+    Like pandas, the series must already be time-sorted (pandas
+    raises on a non-monotonic index; here the prefix order is
+    (t, row-order), which equals the row order for monotonic input).
+    """
+
+    def __init__(self, sr: "Series", window_us: int,
+                 min_periods: int):
+        self._sr = sr
+        self._us = int(window_us)
+        self._mp = min_periods
+
+    def _emit(self, builder, mp: int, need_sq: bool = False,
+              gate_on_rows: bool = False) -> "Series":
+        from ..operators.joins import asof_join
+        from ..plans.ordinal import ORD_COL, with_prefix_aggs
+        sr = self._sr
+        sdf = sr._sdf
+        tcol = next(
+            (c for c in reversed(sr._index_cols)
+             if c in sdf.columns
+             and sdf.schema[c].dataType.typeName()
+             in ("timestamp", "timestamp_ntz", "date")), None)
+        if tcol is None:
+            raise TypeError(
+                "rolling with a time offset needs a datetime index "
+                f"level; index levels are {list(sr._index_cols)!r}")
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(tcol).asc()] + order
+        v = sr._colexpr.cast("double")
+        specs = {"__ps__": (v, "sum"), "__pc__": (sr._colexpr, "count"),
+                 "__pr__": (F.lit(1), "count")}
+        if need_sq:
+            specs["__pq__"] = (v * v, "sum")
+        out = with_prefix_aggs(sdf, specs, order)
+        micros = F.unix_micros(F.col(tcol).cast("timestamp"))
+        # one row per distinct stamp, carrying the LAST row's
+        # prefixes (__pr__ is the strictly-increasing row prefix, so
+        # max_by picks the positionally last duplicate)
+        right = (out.groupBy(micros.alias("__tw__"))
+                 .agg(F.max_by(F.struct(*[F.col(k) for k in specs]),
+                               F.col("__pr__")).alias("__s__"))
+                 .select("__tw__", *[F.col(f"__s__.{k}").alias(k)
+                                     for k in specs]))
+        left = out.withColumn("__tw__", micros - F.lit(self._us))
+        j = asof_join(left, right, on="__tw__",
+                      right_cols=list(specs))
+
+        def S(o, zero=0.0):
+            return F.col(o) - F.coalesce(F.col(f"{o}_right"),
+                                         F.lit(zero))
+
+        rsum = S("__ps__")
+        rcnt = S("__pc__", 0).cast("long")
+        rsq = S("__pq__") if need_sq else None
+        rrows = S("__pr__", 0).cast("long")
+        gate = rrows if gate_on_rows else rcnt
+        expr = F.when(gate >= mp if mp > 0 else F.lit(True),
+                      builder(rsum, rcnt, rsq))
+        helpers = (["__tw__", "matched___tw__"] + list(specs)
+                   + [f"{k}_right" for k in specs])
+        keep = [c for c in j.columns if c not in helpers]
+        out = j.withColumn("__roll__", expr.cast("double")) \
+            .select(*keep, "__roll__")
+        return Series._make(out, F.col("__roll__"), sr._index_cols,
+                            sr.name, sr._order)
+
+    def sum(self) -> "Series":
+        return self._emit(lambda s, c, q: s, self._mp)
+
+    def mean(self) -> "Series":
+        return self._emit(lambda s, c, q: s / c, max(self._mp, 1))
+
+    def count(self) -> "Series":
+        return self._emit(lambda s, c, q: c, self._mp,
+                          gate_on_rows=True)
+
+    def var(self, ddof: int = 1) -> "Series":
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, num / (c - ddof))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+    def std(self, ddof: int = 1) -> "Series":
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, F.sqrt(num / (c - ddof)))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+    def min(self):
+        raise ValueError(
+            "time-offset rolling min does not decompose into "
+            "prefix + as-of; use groupby(...).rolling('2h') (a "
+            "per-group RANGE frame) or resample")
+
+    max = median = min
 
 
 class _EWM:

@@ -983,3 +983,61 @@ def test_expanding_zero_variance_skew_kurt(bl):
     got = bl.Series(c).expanding(1).kurt().to_pandas().to_numpy()
     want = pd.Series(c).expanding(1).kurt().to_numpy()
     np.testing.assert_allclose(got, want, equal_nan=True)
+
+
+def test_time_offset_rolling_matches_pandas(bl):
+    """rolling('2h') over a datetime index: window_agg(i) =
+    prefix(i) - prefix(as-of t_i - offset) — one prefix pass + one
+    as-of join, both partition-safe two-pass schemes. Duplicate
+    stamps follow pandas' positional j <= i rule exactly (the
+    subtrahend is the LAST row at or before the boundary, picked by
+    the strictly-increasing row prefix). Grouped flavor rides a
+    per-group RANGE frame (min/max included)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(31)
+    n = 300
+    secs = np.sort(rng.integers(0, 36000, n))
+    secs[50] = secs[49]
+    secs[51] = secs[49]        # duplicate stamps
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.15] = np.nan
+    ps = pd.Series(v, index=ts)
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v}).set_index("ts")
+    for w in ("30min", "2h"):
+        for stat, mp in (("sum", None), ("mean", 2), ("count", None),
+                         ("var", 2), ("std", None)):
+            got = getattr(d["v"].rolling(w, min_periods=mp),
+                          stat)().to_pandas().to_numpy()
+            want = getattr(ps.rolling(w, min_periods=mp),
+                           stat)().to_numpy()
+            np.testing.assert_allclose(
+                got, want, atol=1e-9, equal_nan=True,
+                err_msg=f"time rolling {stat} {w}")
+    import datetime
+    got = d["v"].rolling(datetime.timedelta(minutes=10)).sum() \
+        .to_pandas().to_numpy()
+    want = ps.rolling("10min").sum().to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    import pytest
+    with pytest.raises(ValueError, match="RANGE frame|resample"):
+        d["v"].rolling("30min").min()
+    # grouped flavor: per-group RANGE frame, min/max included
+    g = rng.integers(0, 10, n).astype(str)
+    u = np.sort(rng.choice(np.arange(0, 50000), size=n,
+                           replace=False))
+    ts2 = pd.to_datetime("2024-01-01") + pd.to_timedelta(u, "s")
+    pdf = pd.DataFrame({"g": g, "ts": ts2, "v": v})
+    bd = bl.DataFrame({"g": g, "ts": ts2.to_numpy(), "v": v}) \
+        .sort_values("ts")
+    for stat in ("sum", "min", "max", "var"):
+        got = getattr(bd.groupby("g")[["v"]].rolling("20min"),
+                      stat)().to_pandas()["v"].to_numpy()
+        want = getattr(pdf.set_index("ts")
+                       .groupby("g", sort=False)[["v"]]
+                       .rolling("20min"), stat)().reset_index() \
+            .sort_values("ts")["v"].to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-9,
+                                   equal_nan=True,
+                                   err_msg=f"grouped time {stat}")
