@@ -2145,6 +2145,31 @@ def _events_window(spark, sf):
     ev = load_events(spark, sf)
     out = windowed_agg_batch(ev, width_sec=3600) \
         .select("window_start", "event_type", "n_events", "sum_value")
+
+    # r8 'time_roll_2h' leg: the time-OFFSET rolling window
+    # (Series.rolling('2h') — one prefix pass + one as-of join,
+    # core/series._TimeRolling) over the per-distinct-stamp totals.
+    # Pre-aggregating to distinct stamps makes the pandas positional
+    # tie rule and DuckDB's RANGE-peers rule coincide, so DuckDB
+    # replays it with a RANGE BETWEEN INTERVAL frame (the interval
+    # is 2h minus 1us: pandas' window is OPEN at t - 2h).
+    import baloo_spark as bl
+    per = (ev.groupBy("ts")
+           .agg(F.sum("value").alias("v"),
+                F.count(F.lit(1)).alias("c")))
+    bd = bl.DataFrame.from_spark(per).sort_values("ts") \
+        .set_index("ts")
+    bd["rv"] = bd["v"].rolling("2h", min_periods=1).sum()
+    bd["rc"] = bd["c"].rolling("2h", min_periods=1).sum()
+    tr = bd.reset_index().to_spark()
+    time_leg = tr.select(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .cast(out.schema["window_start"].dataType)
+        .alias("window_start"),
+        F.lit("time_roll_2h").alias("event_type"),
+        F.col("rc").cast("long").alias("n_events"),
+        F.round("rv", 4).alias("sum_value"))
+    out = out.unionByName(time_leg)
     n = _ewm_parity_mismatches(spark, sf)
     flag = spark.range(1).select(
         F.lit(-1).cast(out.schema["window_start"].dataType)
@@ -2160,6 +2185,15 @@ _EVENTS_WINDOW_SQL = """
 SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+UNION ALL
+SELECT epoch_us(ts), 'time_roll_2h',
+       CAST(sum(c) OVER w AS BIGINT),
+       round(sum(v) OVER w, 4)
+FROM (SELECT ts, sum(value) AS v, count(*) AS c
+      FROM events GROUP BY ts)
+WINDOW w AS (ORDER BY ts
+             RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
+             AND CURRENT ROW)
 UNION ALL
 SELECT -1, 'ewm_stream_parity', 0, 0.0
 """
