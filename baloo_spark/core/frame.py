@@ -2834,7 +2834,7 @@ class DataFrame:
         driver."""
         return _Resampler(self, freq, on)
 
-    def rolling(self, window: int, min_periods: int | None = None,
+    def rolling(self, window, min_periods: int | None = None,
                 center: bool = False):
         """Fixed-size windows over EVERY numeric column (pandas
         ``DataFrame.rolling``). Trailing ``.sum() .mean() .count()
@@ -2843,7 +2843,26 @@ class DataFrame:
         costs) — never a global window, never one pass per column.
         Order statistics (``min max median quantile``) and every
         ``center=True`` window share one bounded local-carry Arrow
-        pass instead (plans/ordinal.with_rolling_locals)."""
+        pass instead (plans/ordinal.with_rolling_locals). A
+        str/timedelta ``window`` ('2h') rolls a TIME offset over the
+        datetime index — every numeric column shares ONE prefix pass
+        and ONE as-of join (core/series._time_roll_multi)."""
+        import datetime as _dt
+        if isinstance(window, str) or isinstance(
+                window, _dt.timedelta) or type(window).__name__ in (
+                "Timedelta",):
+            if center:
+                raise ValueError("offset windows have no center=")
+            if isinstance(window, str):
+                from .datetimes import freq_to_us
+                us = freq_to_us(window)
+            else:
+                us = int(window.total_seconds() * 1_000_000)
+            if us <= 0:
+                raise ValueError(
+                    f"window offset must be positive, got {window!r}")
+            return _FrameTimeRolling(
+                self, us, 1 if min_periods is None else min_periods)
         return _FrameRolling(self, window, min_periods, center)
 
     def expanding(self, min_periods: int = 1):
@@ -4227,6 +4246,76 @@ class _FrameRolling:
             num = F.greatest(q - s * s / c, F.lit(0.0))
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+
+class _FrameTimeRolling:
+    """Frame face of the time-offset rolling window: every numeric
+    column shares ONE prefix pass and ONE as-of join
+    (core/series._time_roll_multi) — the same two jobs a single
+    column costs. See :class:`baloo_spark.core.series._TimeRolling`
+    for the semantics (pandas closed='right' with the positional
+    duplicate-stamp rule)."""
+
+    def __init__(self, df: DataFrame, window_us: int,
+                 min_periods: int):
+        self._df = df
+        self._us = int(window_us)
+        self._mp = min_periods
+
+    def _emit(self, builder, mp: int, need_sq: bool = False,
+              gate_on_rows: bool = False) -> DataFrame:
+        from ..plans.ordinal import ORD_COL
+        from .series import _dt_index_col, _time_roll_multi
+        df = self._df
+        sdf = df._sdf
+        tcol = _dt_index_col(df._index_cols, sdf)
+        if tcol is None:
+            raise TypeError(
+                "rolling with a time offset needs a datetime index "
+                f"level; index levels are {list(df._index_cols)!r}")
+        num = df._numeric_cols()
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(tcol).asc()] + order
+        j, exprs, helpers = _time_roll_multi(
+            sdf, tcol, order, {c: F.col(c) for c in num}, self._us,
+            builder, mp, need_sq, gate_on_rows)
+        nset = set(num)
+        sel = [(exprs[cc].alias(cc) if cc in nset else F.col(cc))
+               for cc in sdf.columns]
+        return DataFrame._make(j.select(*sel), df._index_cols, num,
+                               df._order)
+
+    def sum(self) -> DataFrame:
+        return self._emit(lambda s, c, q: s, self._mp)
+
+    def mean(self) -> DataFrame:
+        return self._emit(lambda s, c, q: s / c, max(self._mp, 1))
+
+    def count(self) -> DataFrame:
+        return self._emit(lambda s, c, q: c, self._mp,
+                          gate_on_rows=True)
+
+    def var(self, ddof: int = 1) -> DataFrame:
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, num / (c - ddof))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+    def std(self, ddof: int = 1) -> DataFrame:
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when(c > ddof, F.sqrt(num / (c - ddof)))
+        return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+    def min(self):
+        raise ValueError(
+            "time-offset rolling min does not decompose into "
+            "prefix + as-of; use groupby(...).rolling('2h') (a "
+            "per-group RANGE frame) or resample")
+
+    max = median = min
 
 
 class _Resampler:

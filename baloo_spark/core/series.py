@@ -3040,6 +3040,59 @@ class _Rolling:
         return self._pair_stat(other, "corr")
 
 
+def _time_roll_multi(sdf, tcol, order, vals: dict, window_us: int,
+                     builder, mp: int, need_sq: bool,
+                     gate_on_rows: bool):
+    """Shared core of the time-offset rolling faces: per-tag prefix
+    sums over ONE pass + ONE as-of join for every tag at once.
+    ``vals`` maps tag -> value Column. Returns (sdf, {tag: expr}).
+    window_agg(i) = prefix(i) - prefix(as-of t_i - offset); the
+    strictly-increasing row prefix (__pr__) picks the positionally
+    LAST duplicate stamp, reproducing pandas' j <= i tie rule."""
+    from ..operators.joins import asof_join
+    from ..plans.ordinal import with_prefix_aggs
+    specs = {"__pr__": (F.lit(1), "count")}
+    for t, col in vals.items():
+        v = col.cast("double")
+        specs[f"__ps_{t}__"] = (v, "sum")
+        specs[f"__pc_{t}__"] = (col, "count")
+        if need_sq:
+            specs[f"__pq_{t}__"] = (v * v, "sum")
+    out = with_prefix_aggs(sdf, specs, order)
+    micros = F.unix_micros(F.col(tcol).cast("timestamp"))
+    right = (out.groupBy(micros.alias("__tw__"))
+             .agg(F.max_by(F.struct(*[F.col(k) for k in specs]),
+                           F.col("__pr__")).alias("__s__"))
+             .select("__tw__", *[F.col(f"__s__.{k}").alias(k)
+                                 for k in specs]))
+    left = out.withColumn("__tw__", micros - F.lit(int(window_us)))
+    j = asof_join(left, right, on="__tw__", right_cols=list(specs))
+
+    def S(o, zero=0.0):
+        return F.col(o) - F.coalesce(F.col(f"{o}_right"), F.lit(zero))
+
+    rrows = S("__pr__", 0).cast("long")
+    exprs = {}
+    for t in vals:
+        rsum = S(f"__ps_{t}__")
+        rcnt = S(f"__pc_{t}__", 0).cast("long")
+        rsq = S(f"__pq_{t}__") if need_sq else None
+        gate = rrows if gate_on_rows else rcnt
+        exprs[t] = F.when(gate >= mp if mp > 0 else F.lit(True),
+                          builder(rsum, rcnt, rsq)).cast("double")
+    helpers = (["__tw__", "matched___tw__"] + list(specs)
+               + [f"{k}_right" for k in specs])
+    return j, exprs, helpers
+
+
+def _dt_index_col(index_cols, sdf):
+    return next(
+        (c for c in reversed(list(index_cols))
+         if c in sdf.columns
+         and sdf.schema[c].dataType.typeName()
+         in ("timestamp", "timestamp_ntz", "date")), None)
+
+
 class _TimeRolling:
     """Time-offset trailing windows (pandas ``Series.rolling('2h')``
     over a datetime index): for row i the window is rows j <= i with
@@ -3069,15 +3122,10 @@ class _TimeRolling:
 
     def _emit(self, builder, mp: int, need_sq: bool = False,
               gate_on_rows: bool = False) -> "Series":
-        from ..operators.joins import asof_join
-        from ..plans.ordinal import ORD_COL, with_prefix_aggs
+        from ..plans.ordinal import ORD_COL
         sr = self._sr
         sdf = sr._sdf
-        tcol = next(
-            (c for c in reversed(sr._index_cols)
-             if c in sdf.columns
-             and sdf.schema[c].dataType.typeName()
-             in ("timestamp", "timestamp_ntz", "date")), None)
+        tcol = _dt_index_col(sr._index_cols, sdf)
         if tcol is None:
             raise TypeError(
                 "rolling with a time offset needs a datetime index "
@@ -3086,40 +3134,11 @@ class _TimeRolling:
         if not order and ORD_COL in sdf.columns:
             order = [F.col(ORD_COL).asc()]
         order = [F.col(tcol).asc()] + order
-        v = sr._colexpr.cast("double")
-        specs = {"__ps__": (v, "sum"), "__pc__": (sr._colexpr, "count"),
-                 "__pr__": (F.lit(1), "count")}
-        if need_sq:
-            specs["__pq__"] = (v * v, "sum")
-        out = with_prefix_aggs(sdf, specs, order)
-        micros = F.unix_micros(F.col(tcol).cast("timestamp"))
-        # one row per distinct stamp, carrying the LAST row's
-        # prefixes (__pr__ is the strictly-increasing row prefix, so
-        # max_by picks the positionally last duplicate)
-        right = (out.groupBy(micros.alias("__tw__"))
-                 .agg(F.max_by(F.struct(*[F.col(k) for k in specs]),
-                               F.col("__pr__")).alias("__s__"))
-                 .select("__tw__", *[F.col(f"__s__.{k}").alias(k)
-                                     for k in specs]))
-        left = out.withColumn("__tw__", micros - F.lit(self._us))
-        j = asof_join(left, right, on="__tw__",
-                      right_cols=list(specs))
-
-        def S(o, zero=0.0):
-            return F.col(o) - F.coalesce(F.col(f"{o}_right"),
-                                         F.lit(zero))
-
-        rsum = S("__ps__")
-        rcnt = S("__pc__", 0).cast("long")
-        rsq = S("__pq__") if need_sq else None
-        rrows = S("__pr__", 0).cast("long")
-        gate = rrows if gate_on_rows else rcnt
-        expr = F.when(gate >= mp if mp > 0 else F.lit(True),
-                      builder(rsum, rcnt, rsq))
-        helpers = (["__tw__", "matched___tw__"] + list(specs)
-                   + [f"{k}_right" for k in specs])
+        j, exprs, helpers = _time_roll_multi(
+            sdf, tcol, order, {"v": sr._colexpr}, self._us,
+            builder, mp, need_sq, gate_on_rows)
         keep = [c for c in j.columns if c not in helpers]
-        out = j.withColumn("__roll__", expr.cast("double")) \
+        out = j.withColumn("__roll__", exprs["v"]) \
             .select(*keep, "__roll__")
         return Series._make(out, F.col("__roll__"), sr._index_cols,
                             sr.name, sr._order)

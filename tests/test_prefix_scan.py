@@ -1041,3 +1041,30 @@ def test_time_offset_rolling_matches_pandas(bl):
         np.testing.assert_allclose(got, want, atol=1e-9,
                                    equal_nan=True,
                                    err_msg=f"grouped time {stat}")
+
+
+def test_frame_time_offset_rolling_matches_pandas(bl):
+    """DataFrame.rolling('25min'): every numeric column shares ONE
+    prefix pass and ONE as-of join (core/series._time_roll_multi) —
+    the same two jobs a single column costs."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(41)
+    n = 200
+    secs = np.sort(rng.integers(0, 30000, n))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.1] = np.nan
+    u = rng.normal(size=n)
+    pdf = pd.DataFrame({"v": v, "u": u}, index=ts)
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v, "u": u}) \
+        .set_index("ts")
+    for stat, mp in (("sum", None), ("mean", 2), ("var", 2),
+                     ("count", None)):
+        got = getattr(d.rolling("25min", min_periods=mp), stat)() \
+            .to_pandas()[["v", "u"]].to_numpy()
+        want = getattr(pdf.rolling("25min", min_periods=mp),
+                       stat)().to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-9,
+                                   equal_nan=True,
+                                   err_msg=f"frame time {stat}")
