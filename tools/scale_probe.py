@@ -328,6 +328,38 @@ def main():
                   "as the prefix scans, with the window parameter "
                   "only changing the collect width_", ""]
 
+    # r8: the time-OFFSET rolling window (prefix pass + as-of join)
+    # — events carries real timestamps; replicate and widen the
+    # window so the as-of right side (distinct stamps) grows with
+    # the data
+    lines += ["## time-offset rolling sum ('2h' over events.ts; "
+              "prefix + as-of join)", ""]
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+    from baloo_spark.core.frame import DataFrame as BlFrame2
+    for mult in (1, 4, 16):
+        base = replicate(ev0.select("ts", "value"),
+                         mult).localCheckpoint()
+        rows = base.count()
+        bf = BlFrame2.from_spark(base).sort_values("ts") \
+            .set_index("ts")
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = bf["value"].rolling("2h", min_periods=1).sum()
+            out.to_spark().write.format("noop").mode("overwrite") \
+                .save()
+            dt = min(dt, time.perf_counter() - t0)
+        lines.append(f"- {mult}x: {dt:.2f}s ({rows:,} rows)")
+        print("time rolling", lines[-1])
+    lines += ["", "_window_agg(i) = prefix(i) - prefix(as-of "
+              "t_i - offset): one prefix pass plus one as-of join, "
+              "both partition-safe two-pass schemes — no range "
+              "self-join (quadratic candidates), no per-row Python, "
+              "no single-partition window. The as-of right side is "
+              "one row per distinct stamp, range-partitioned like "
+              "any as-of; driver state stays n_partitions-sized_",
+              ""]
+
     # interpolate: ONE fused layout pass (with_interp_neighbors) —
     # construction is partly eager like EWM, so the operator is
     # rebuilt inside the timing loop
