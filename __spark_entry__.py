@@ -2154,21 +2154,26 @@ def _events_window(spark, sf):
     # replays it with a RANGE BETWEEN INTERVAL frame (the interval
     # is 2h minus 1us: pandas' window is OPEN at t - 2h).
     import baloo_spark as bl
-    per = (ev.groupBy("ts")
+    # bounded evidence extract (the hourly leg already covers the
+    # full table): one user in 20 keeps the stamp gaps and
+    # duplicates while bounding the per-iteration two-pass cost
+    per = (ev.where(F.col("user_id") % 20 == 0)
+           .groupBy("ts")
            .agg(F.sum("value").alias("v"),
                 F.count(F.lit(1)).alias("c")))
     bd = bl.DataFrame.from_spark(per).sort_values("ts") \
         .set_index("ts")
-    bd["rv"] = bd["v"].rolling("2h", min_periods=1).sum()
-    bd["rc"] = bd["c"].rolling("2h", min_periods=1).sum()
-    tr = bd.reset_index().to_spark()
+    # FRAME face: both columns (v totals, c row counts) share ONE
+    # prefix pass and ONE as-of join (_time_roll_multi)
+    tr = bd.rolling("2h", min_periods=1).sum().reset_index() \
+        .to_spark()
     time_leg = tr.select(
         F.unix_micros(F.col("ts").cast("timestamp"))
         .cast(out.schema["window_start"].dataType)
         .alias("window_start"),
         F.lit("time_roll_2h").alias("event_type"),
-        F.col("rc").cast("long").alias("n_events"),
-        F.round("rv", 4).alias("sum_value"))
+        F.col("c").cast("long").alias("n_events"),
+        F.round("v", 4).alias("sum_value"))
     out = out.unionByName(time_leg)
     n = _ewm_parity_mismatches(spark, sf)
     flag = spark.range(1).select(
@@ -2190,7 +2195,7 @@ SELECT epoch_us(ts), 'time_roll_2h',
        CAST(sum(c) OVER w AS BIGINT),
        round(sum(v) OVER w, 4)
 FROM (SELECT ts, sum(value) AS v, count(*) AS c
-      FROM events GROUP BY ts)
+      FROM events WHERE user_id % 20 = 0 GROUP BY ts)
 WINDOW w AS (ORDER BY ts
              RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
              AND CURRENT ROW)
