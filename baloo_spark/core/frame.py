@@ -4346,6 +4346,46 @@ class _Resampler:
             self._cal = None
             self._us = freq_to_us(freq)
 
+    def _resample_aggs(self, name: str, num: list):
+        """Per-column agg exprs + output column names. first/last
+        ride a lexicographic struct min/max over (micros, value) —
+        NULL values are gated out of the struct so the earliest/
+        latest NON-NULL value wins (pandas semantics; duplicate
+        stamps tie-break by value where pandas uses input position).
+        'ohlc' emits open/high/low/close for a SINGLE numeric column
+        in one hash-agg pass."""
+        usc = F.unix_micros(F.col("__rt__"))
+
+        def fl(c, last):
+            v = F.col(c).cast("double")
+            s = F.when(v.isNotNull(),
+                       F.struct(usc.alias("t"), v.alias("v")))
+            return (F.max(s) if last else F.min(s))["v"].cast("double")
+
+        if name == "ohlc":
+            if len(num) != 1:
+                raise ValueError(
+                    "resample().ohlc() needs exactly one numeric "
+                    "column (pandas' multi-column flavor produces "
+                    f"MultiIndex columns); got {num!r}")
+            c = num[0]
+            v = F.col(c).cast("double")
+            return [fl(c, False).alias("open"),
+                    F.max(v).alias("high"),
+                    F.min(v).alias("low"),
+                    fl(c, True).alias("close")], \
+                ["open", "high", "low", "close"]
+        aggs = []
+        for c in num:
+            if name in ("first", "last"):
+                aggs.append(fl(c, name == "last").alias(c))
+            else:
+                v = (F.col(c).cast("double") if name != "count"
+                     else F.col(c))
+                aggs.append(_AGG_FNS[name](v).cast(
+                    "long" if name == "count" else "double").alias(c))
+        return aggs, num
+
     def _agg_calendar(self, name: str):
         df, on = self._df, self._on
         sdf = df._sdf
@@ -4373,13 +4413,11 @@ class _Resampler:
                     F.lit(o.date()),
                     (idx * step).cast("int")).cast("timestamp")
         num = [c for c in df._numeric_cols() if c != on]
-        aggs = []
-        for c in num:
-            v = F.col(c).cast("double") if name != "count" else F.col(c)
-            aggs.append(_AGG_FNS[name](v).cast(
-                "long" if name == "count" else "double").alias(c))
-        aggd = (sdf.select(bucket.alias("__bkt__"), *num)
+        aggs, ocols = self._resample_aggs(name, num)
+        aggd = (sdf.select(bucket.alias("__bkt__"), t.alias("__rt__"),
+                           *num)
                 .groupBy("__bkt__").agg(*aggs))
+        num = ocols
         rng = aggd.agg(F.min("__bkt__").alias("mn"),
                        F.max("__bkt__").alias("mx")).first()
         if rng["mn"] is not None:
@@ -4416,13 +4454,11 @@ class _Resampler:
         rem = ((usc % us) + us) % us  # floor toward -inf, pre-epoch OK
         bucket = F.timestamp_micros(usc - rem)
         num = [c for c in df._numeric_cols() if c != on]
-        aggs = []
-        for c in num:
-            v = F.col(c).cast("double") if name != "count" else F.col(c)
-            aggs.append(_AGG_FNS[name](v).cast(
-                "long" if name == "count" else "double").alias(c))
-        aggd = (sdf.select(bucket.alias("__bkt__"), *num)
+        aggs, ocols = self._resample_aggs(name, num)
+        aggd = (sdf.select(bucket.alias("__bkt__"), t.alias("__rt__"),
+                           *num)
                 .groupBy("__bkt__").agg(*aggs))
+        num = ocols
         rng = aggd.agg(F.min("__bkt__").alias("mn"),
                        F.max("__bkt__").alias("mx")).first()
         if rng["mn"] is None:
@@ -4450,6 +4486,9 @@ class _Resampler:
     def max(self): return self._agg("max")
     def var(self): return self._agg("var")
     def std(self): return self._agg("std")
+    def first(self): return self._agg("first")
+    def last(self): return self._agg("last")
+    def ohlc(self): return self._agg("ohlc")
 
 
 class _FrameLoc:

@@ -292,3 +292,43 @@ def test_dt_sweep_additions(bl):
         d.dt.seconds.tolist()
     assert bd.dt.microseconds().to_pandas().tolist() == \
         d.dt.microseconds.tolist()
+
+
+def test_resample_first_last_ohlc_match_pandas(bl):
+    """resample().first()/.last()/.ohlc(): first/last ride a
+    lexicographic struct min/max over (micros, value) with NULL
+    values gated out of the struct — the earliest/latest NON-NULL
+    value per bucket, pandas semantics, one hash-agg pass. ohlc
+    emits open/high/low/close for a single numeric column."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(43)
+    n = 250
+    secs = np.sort(rng.choice(np.arange(86400 * 15), n,
+                              replace=False))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.15] = np.nan
+    pdf = pd.DataFrame({"ts": ts, "v": v}).set_index("ts")
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v})
+    r, pr = d.resample("6h", on="ts"), pdf.resample("6h")
+    for stat in ("first", "last"):
+        got = getattr(r, stat)().to_pandas().sort_values("ts")["v"] \
+            .to_numpy()
+        want = getattr(pr, stat)()["v"].to_numpy()
+        np.testing.assert_allclose(got, want, equal_nan=True,
+                                   err_msg=stat)
+    got = r.ohlc().to_pandas().sort_values("ts")
+    want = pr.ohlc()["v"]
+    for c in ("open", "high", "low", "close"):
+        np.testing.assert_allclose(got[c].to_numpy(),
+                                   want[c].to_numpy(),
+                                   equal_nan=True, err_msg=c)
+    got = d.resample("ME", on="ts").last().to_pandas() \
+        .sort_values("ts")["v"].to_numpy()
+    want = pdf.resample("ME").last()["v"].to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    import pytest
+    with pytest.raises(ValueError, match="one numeric column"):
+        bl.DataFrame({"ts": ts.to_numpy(), "v": v, "u": v}) \
+            .resample("6h", on="ts").ohlc()
