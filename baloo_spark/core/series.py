@@ -2795,6 +2795,22 @@ class Series:
         return s
 
 
+def _window_agg(self, func):
+    """pandas ``.agg`` on a window object: a str delegates to the
+    named statistic; a list/dict builds a DataFrame column-binding
+    one statistic per output column (each statistic is its own pass
+    — the convenience face, not a fused plan)."""
+    if isinstance(func, str):
+        return getattr(self, func)()
+    items = (list(func.items()) if isinstance(func, dict)
+             else [(f, f) for f in func])
+    name0, stat0 = items[0]
+    out = getattr(self, stat0)().rename(name0).to_frame()
+    for name, stat in items[1:]:
+        out[name] = getattr(self, stat)()
+    return out
+
+
 class _Rolling:
     """Fixed-size trailing-window aggregations (see
     :meth:`Series.rolling`). NaN rows occupy window POSITIONS but are
@@ -3608,3 +3624,9 @@ class _SeriesLoc:
         if got is sentinel:
             raise KeyError(key)
         return got
+
+
+_Rolling.agg = _Rolling.aggregate = _window_agg
+_Expanding.agg = _Expanding.aggregate = _window_agg
+_TimeRolling.agg = _TimeRolling.aggregate = _window_agg
+_EWM.agg = _EWM.aggregate = _window_agg

@@ -780,3 +780,22 @@ def test_bool_arithmetic_and_agg_promotion(bl):
         [float(x) for x in pdf[["v", "w"]].sum()]
     assert df.sum(axis=1).to_pandas().tolist() == \
         pdf[["v", "w"]].sum(axis=1).tolist()
+
+
+def test_window_agg_faces(bl):
+    """.agg on rolling/expanding/ewm/time-rolling window objects:
+    str delegates, list/dict column-bind one statistic per output
+    column (each statistic its own pass — the convenience face)."""
+    import numpy as np
+    import pandas as pd
+    v = np.array([1., 2., np.nan, 4., 5., 6.])
+    ps, s = pd.Series(v), bl.Series(v)
+    got = s.rolling(3, min_periods=1).agg(["mean", "max"]).to_pandas()
+    want = ps.rolling(3, min_periods=1).agg(["mean", "max"])
+    np.testing.assert_allclose(got[["mean", "max"]].to_numpy(),
+                               want.to_numpy(), equal_nan=True)
+    got = s.expanding(1).agg({"m": "mean", "s": "sum"}).to_pandas()
+    assert list(got.columns) == ["m", "s"]
+    got = s.ewm(alpha=0.5).agg("mean").to_pandas().to_numpy()
+    want = ps.ewm(alpha=0.5).agg("mean").to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
