@@ -4379,11 +4379,26 @@ class _Resampler:
         for c in num:
             if name in ("first", "last"):
                 aggs.append(fl(c, name == "last").alias(c))
+                continue
+            v = (F.col(c).cast("double")
+                 if name not in ("count", "size", "nunique")
+                 else F.col(c))
+            if name == "median":
+                e = F.median(v)
+            elif name.startswith("quantile:"):
+                e = F.percentile(v, F.lit(float(name.split(":")[1])))
+            elif name == "sem":
+                e = (F.stddev_samp(v)
+                     / F.sqrt(F.count(v)))   # groupby.sem convention
+            elif name == "size":
+                e = F.count(F.lit(1))
+            elif name == "nunique":
+                e = F.count_distinct(v)
             else:
-                v = (F.col(c).cast("double") if name != "count"
-                     else F.col(c))
-                aggs.append(_AGG_FNS[name](v).cast(
-                    "long" if name == "count" else "double").alias(c))
+                e = _AGG_FNS[name](v)
+            aggs.append(e.cast(
+                "long" if name in ("count", "size", "nunique")
+                else "double").alias(c))
         return aggs, num
 
     def _agg_calendar(self, name: str):
@@ -4429,11 +4444,14 @@ class _Resampler:
                              (F.col("id") * step).cast("int"))
                 .cast("timestamp").alias("__bkt__"))
             aggd = grid.join(aggd, "__bkt__", "left")
-            if name in ("sum", "count"):
+            if name in ("sum", "count", "size", "nunique", "prod"):
+                fillv = 1 if name == "prod" else 0
                 for c in num:
                     aggd = aggd.withColumn(c, F.coalesce(
-                        F.col(c), F.lit(0).cast(
-                            "long" if name == "count" else "double")))
+                        F.col(c), F.lit(fillv).cast(
+                            "long" if name in ("count", "size",
+                                               "nunique")
+                            else "double")))
         label = (F.last_day(F.col("__bkt__")).cast("timestamp")
                  if kind in ("ME", "YE") else F.col("__bkt__"))
         if kind == "YE":
@@ -4471,11 +4489,14 @@ class _Resampler:
             F.timestamp_micros(F.lit(mn_us) + F.col("id") * F.lit(us))
             .alias("__bkt__"))
         out = grid.join(aggd, "__bkt__", "left")
-        if name in ("sum", "count"):  # pandas fills these gaps with 0
+        if name in ("sum", "count", "size", "nunique", "prod"):
+            # pandas fills these gap buckets with the agg identity
+            fillv = 1 if name == "prod" else 0
             for c in num:
                 out = out.withColumn(c, F.coalesce(
-                    F.col(c), F.lit(0).cast(
-                        "long" if name == "count" else "double")))
+                    F.col(c), F.lit(fillv).cast(
+                        "long" if name in ("count", "size", "nunique")
+                        else "double")))
         out = out.withColumnRenamed("__bkt__", on).orderBy(on)
         return DataFrame._make(out, [on], num, [(on, True)])
 
@@ -4489,6 +4510,32 @@ class _Resampler:
     def first(self): return self._agg("first")
     def last(self): return self._agg("last")
     def ohlc(self): return self._agg("ohlc")
+    def prod(self): return self._agg("prod")
+    def median(self): return self._agg("median")
+    def nunique(self): return self._agg("nunique")
+
+    def sem(self, ddof: int = 1):
+        if ddof != 1:
+            raise ValueError("resample().sem() supports ddof=1 "
+                             "(the groupby.sem convention)")
+        return self._agg("sem")
+
+    def quantile(self, q: float = 0.5):
+        """Exact per-bucket quantile (Spark's percentile aggregate —
+        linear interpolation, pandas' default)."""
+        return self._agg(f"quantile:{float(q)}")
+
+    def size(self):
+        """Rows per bucket INCLUDING all-null rows (pandas
+        ``Resampler.size`` returns a Series); gap buckets are 0."""
+        df, on = self._df, self._on
+        from .series import Series
+        num = [c for c in df._numeric_cols() if c != on]
+        sub = self._agg("size")
+        col = (num or sub._data_cols)[0]
+        out = sub._sdf
+        return Series._make(out, F.col(col).cast("long"),
+                            [on], None, sub._order)
 
 
 class _FrameLoc:

@@ -332,3 +332,36 @@ def test_resample_first_last_ohlc_match_pandas(bl):
     with pytest.raises(ValueError, match="one numeric column"):
         bl.DataFrame({"ts": ts.to_numpy(), "v": v, "u": v}) \
             .resample("6h", on="ts").ohlc()
+
+
+def test_resample_median_quantile_sem_prod_size_nunique(bl):
+    """The remaining Resampler aggregations — exact median/quantile
+    via Spark's percentile aggregates (groupBy allows them; only
+    framed windows refuse), sem as std/sqrt(n) (the groupby.sem
+    convention), prod/size/nunique with pandas' gap-bucket
+    identities (1/0/0)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(47)
+    n = 250
+    secs = np.sort(rng.choice(np.arange(86400 * 10), n,
+                              replace=False))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.2] = np.nan
+    pdf = pd.DataFrame({"ts": ts, "v": v}).set_index("ts")
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v})
+    r, pr = d.resample("6h", on="ts"), pdf.resample("6h")
+    for stat in ("median", "prod", "sem", "nunique"):
+        got = getattr(r, stat)().to_pandas().sort_values("ts")["v"] \
+            .to_numpy(dtype=float)
+        want = getattr(pr, stat)()["v"].to_numpy(dtype=float)
+        np.testing.assert_allclose(got, want, atol=1e-9,
+                                   equal_nan=True, err_msg=stat)
+    got = r.quantile(0.25).to_pandas().sort_values("ts")["v"] \
+        .to_numpy(dtype=float)
+    want = pr.quantile(0.25)["v"].to_numpy(dtype=float)
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    got = np.sort(r.size().to_pandas().to_numpy(dtype=float))
+    want = np.sort(pr.size().to_numpy(dtype=float))
+    np.testing.assert_allclose(got, want)
