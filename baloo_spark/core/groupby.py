@@ -1445,7 +1445,8 @@ class _GroupResampler:
         sdf = gb._df._sdf
         sch = {f.name: f for f in sdf.schema.fields}
         vcols = [c for c in gb._value_cols() if c != on]
-        out_t = T.LongType() if name == "count" else T.DoubleType()
+        out_t = (T.LongType() if name in ("count", "nunique")
+                 else T.DoubleType())
         fields = ([sch[b] for b in gb._by]
                   + [T.StructField(on, sch[on].dataType, True)]
                   + [T.StructField(c, out_t, True) for c in vcols])
@@ -1457,7 +1458,8 @@ class _GroupResampler:
                  .groupby(by, sort=False, dropna=False)[vcols]
                  .resample(freq).agg(name).reset_index())
             r[vcols] = r[vcols].astype(
-                "int64" if name == "count" else "float64")
+                "int64" if name in ("count", "nunique")
+                else "float64")
             return r[by + [on] + vcols]
 
         src = (gb._cluster_for_python(sdf.select(*by, on, *vcols), by)
@@ -1486,3 +1488,21 @@ class _GroupResampler:
 
     def std(self):
         return self._agg("std")
+
+    def median(self):
+        return self._agg("median")
+
+    def first(self):
+        return self._agg("first")
+
+    def last(self):
+        return self._agg("last")
+
+    def prod(self):
+        return self._agg("prod")
+
+    def nunique(self):
+        return self._agg("nunique")
+
+    def sem(self):
+        return self._agg("sem")

@@ -636,3 +636,33 @@ def test_groupby_rolling_order_stats_match_pandas(bl):
     import pytest
     with pytest.raises(ValueError, match="full history"):
         bl.Series(np.arange(4.0)).expanding(1).median()
+
+
+def test_grouped_resample_extended_aggs(bl):
+    """Grouped resampler median/first/last/sem/nunique/prod: pandas'
+    own grouped resampler runs inside the batched mapInPandas
+    kernel, so new aggregation names are pure dispatch."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(53)
+    n = 200
+    g = rng.integers(0, 8, n).astype(str)
+    secs = np.sort(rng.choice(np.arange(86400 * 5), n,
+                              replace=False))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.2] = np.nan
+    pdf = pd.DataFrame({"g": g, "ts": ts, "v": v})
+    d = bl.DataFrame({"g": g, "ts": ts.to_numpy(), "v": v}) \
+        .sort_values("ts")
+    for stat in ("median", "first", "last", "sem", "nunique",
+                 "prod"):
+        got = getattr(d.groupby("g").resample("6h", on="ts"),
+                      stat)().to_pandas() \
+            .sort_values(["g", "ts"])["v"].to_numpy(dtype=float)
+        want = getattr(pdf.set_index("ts")
+                       .groupby("g", sort=False)[["v"]]
+                       .resample("6h"), stat)().reset_index() \
+            .sort_values(["g", "ts"])["v"].to_numpy(dtype=float)
+        np.testing.assert_allclose(got, want, atol=1e-9,
+                                   equal_nan=True, err_msg=stat)
