@@ -272,6 +272,39 @@ def date_range(start, end=None, periods=None, freq: str = "D",
                         [(ORD_COL, True)])
 
 
+def unique(values):
+    """pandas-style top-level ``pd.unique``: a baloo Series runs the
+    distributed distinct (Series.unique); array-likes go through
+    pandas on the driver (they are driver-sized by definition)."""
+    from .core.series import Series
+    if isinstance(values, Series):
+        return values.unique()
+    import pandas as pd
+    return pd.unique(values)
+
+
+def to_timedelta(arg, unit: str = "s"):
+    """pandas-style ``pd.to_timedelta``. A baloo Series of NUMBERS
+    becomes a DayTimeInterval column (``make_dt_interval`` on the
+    unit-scaled seconds — interval columns add to timestamps in
+    Spark arithmetic); scalars and array-likes go through pandas on
+    the driver (offsets are driver-sized by definition)."""
+    from pyspark.sql import functions as F
+
+    from .core.series import Series
+    if isinstance(arg, Series):
+        scale = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "m": 60.0,
+                 "min": 60.0, "h": 3600.0, "d": 86400.0,
+                 "D": 86400.0}.get(unit)
+        if scale is None:
+            raise ValueError(f"unsupported unit {unit!r}")
+        secs = arg._colexpr.cast("double") * F.lit(scale)
+        return arg._with_col(F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), secs))
+    import pandas as pd
+    return pd.to_timedelta(arg, unit=unit)
+
+
 def to_datetime(arg: "Series", format: str | None = None,
                 unit: str | None = None,
                 errors: str = "raise") -> "Series":

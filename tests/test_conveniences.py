@@ -647,3 +647,22 @@ def test_frame_unstack_and_record_delegations(bl):
     fr = bl.DataFrame.from_records(
         [{"k": 1, "w": 2.5}, {"k": 2, "w": 3.5}])
     assert fr.to_pandas()["w"].tolist() == [2.5, 3.5]
+
+
+def test_top_level_unique_and_to_timedelta(bl):
+    """bl.unique (distributed distinct for Series, pandas for
+    array-likes) and bl.to_timedelta (Series -> DayTimeInterval
+    column that ADDS to timestamp columns; scalars/arrays through
+    pandas on the driver)."""
+    import numpy as np
+    import pandas as pd
+    s = bl.Series(np.array([3, 1, 3, 2]))
+    assert sorted(bl.unique(s).values.tolist()) == [1, 2, 3]
+    assert list(bl.unique(np.array([3, 1, 3]))) == [3, 1]
+    d = bl.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01", "2024-01-02"]).to_numpy(),
+         "d": np.array([60.0, 120.0])})
+    got = (d["t"] + bl.to_timedelta(d["d"], unit="s")).to_pandas()
+    assert [str(x) for x in got.tolist()] == \
+        ["2024-01-01 00:01:00", "2024-01-02 00:02:00"]
+    assert bl.to_timedelta(90, unit="s") == pd.Timedelta(seconds=90)
