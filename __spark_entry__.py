@@ -2175,6 +2175,40 @@ def _events_window(spark, sf):
         F.col("c").cast("long").alias("n_events"),
         F.round("v", 4).alias("sum_value"))
     out = out.unionByName(time_leg)
+
+    # r8 'rs6h_*' leg: resample('6h').ohlc() + bucket size under the
+    # oracle — per-stamp mean first (ohlc ties on duplicate stamps
+    # are otherwise resolver-dependent on both engines), then the
+    # single-column OHLC hash-agg with generated gap buckets; each
+    # bucket unpivots to four rows (open/high/low/close) so the
+    # 4-value result fits the slot's one value column. DuckDB
+    # replays with arg_min/arg_max over a generate_series grid.
+    per2 = (ev.groupBy("ts").agg(F.avg("value").alias("v")))
+    oh = (bl.DataFrame.from_spark(per2).resample("6h", on="ts")
+          .ohlc().reset_index().to_spark())
+    # bucket size from a plain lazy hash-agg (a second resample
+    # pipeline would pay its eager grid jobs again); gap buckets
+    # left-join to NULL and coalesce to 0, matching the SQL
+    usc = F.unix_micros(F.col("ts").cast("timestamp"))
+    cnt = (per2.select(F.timestamp_micros(
+               usc - usc % F.lit(21600 * 1_000_000)).alias("ts"))
+           .groupBy("ts").agg(F.count(F.lit(1)).alias("__n__")))
+    ohlc_leg = (oh.join(cnt, "ts", "left")
+                .withColumn("__n__", F.coalesce(F.col("__n__"),
+                                                F.lit(0)))
+                .select(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .cast(out.schema["window_start"].dataType)
+        .alias("window_start"),
+        F.expr("stack(4, 'rs6h_open', round(open, 4), "
+               "'rs6h_high', round(high, 4), "
+               "'rs6h_low', round(low, 4), "
+               "'rs6h_close', round(close, 4)) "
+               "AS (event_type, sum_value)"),
+        F.col("__n__").cast("long").alias("n_events"))
+        .select("window_start", "event_type", "n_events",
+                "sum_value"))
+    out = out.unionByName(ohlc_leg)
     n = _ewm_parity_mismatches(spark, sf)
     flag = spark.range(1).select(
         F.lit(-1).cast(out.schema["window_start"].dataType)
@@ -2199,6 +2233,24 @@ FROM (SELECT ts, sum(value) AS v, count(*) AS c
 WINDOW w AS (ORDER BY ts
              RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
              AND CURRENT ROW)
+UNION ALL
+SELECT epoch_us(g.bkt), 'rs6h_' || u.k,
+       coalesce(a.n, 0), round(u.v, 4)
+FROM (SELECT unnest(generate_series(
+          (SELECT min(to_timestamp(floor(epoch(ts)/21600)*21600))
+           FROM events),
+          (SELECT max(to_timestamp(floor(epoch(ts)/21600)*21600))
+           FROM events),
+          INTERVAL 6 HOUR)) AS bkt) g
+LEFT JOIN (
+  SELECT bkt, arg_min(v, ts) AS o, max(v) AS h, min(v) AS l,
+         arg_max(v, ts) AS c, count(*) AS n
+  FROM (SELECT to_timestamp(floor(epoch(ts)/21600)*21600) AS bkt,
+               ts, avg(value) AS v
+        FROM events GROUP BY ts, 2)
+  GROUP BY bkt) a ON g.bkt = a.bkt,
+LATERAL (VALUES ('open', a.o), ('high', a.h),
+                ('low', a.l), ('close', a.c)) AS u(k, v)
 UNION ALL
 SELECT -1, 'ewm_stream_parity', 0, 0.0
 """
