@@ -373,7 +373,8 @@ class DataFrameGroupBy:
 
     def ewm(self, alpha: float | None = None, span: float | None = None,
             ignore_na: bool = False, adjust: bool = True,
-            com: float | None = None, halflife: float | None = None):
+            com: float | None = None, halflife=None,
+            times: str | None = None):
         """Per-group exponentially-weighted windows (pandas
         ``groupby().ewm()``): groups stream through ``applyInPandas``
         and pandas' own C ewm kernel runs per group — the honest path
@@ -383,6 +384,26 @@ class DataFrameGroupBy:
         decayed-carry scan (plans/ordinal.py:with_ewm_mean) remains
         the un-grouped face."""
         import math
+        if times is not None:
+            # TIME-decay flavor (pandas ewm(times=...)): halflife is
+            # a Timedelta/str, decay follows actual stamp distances;
+            # pandas only defines adjust=True mean here, and the
+            # grouped kernel computes it per bounded group
+            import pandas as pd
+            if halflife is None or any(
+                    v is not None for v in (alpha, span, com)):
+                raise ValueError(
+                    "ewm(times=...) takes halflife (a Timedelta or "
+                    "offset string) and no other decay spelling")
+            if not adjust:
+                raise NotImplementedError(
+                    "ewm(times=..., adjust=False) is not supported "
+                    "(pandas refuses it too)")
+            if times not in self._df._sdf.columns:
+                raise KeyError(times)
+            return _GroupEwm(self, None, ignore_na, True,
+                             halflife=pd.Timedelta(halflife),
+                             times=times)
         if sum(v is not None
                for v in (alpha, span, com, halflife)) != 1:
             raise ValueError(
@@ -1339,10 +1360,12 @@ def _batched_group_gen(by, run):
 class _GroupEwm:
     """Per-group EWM face (see :meth:`DataFrameGroupBy.ewm`)."""
 
-    def __init__(self, gb: DataFrameGroupBy, alpha: float,
-                 ignore_na: bool, adjust: bool = True):
+    def __init__(self, gb: DataFrameGroupBy, alpha: float | None,
+                 ignore_na: bool, adjust: bool = True,
+                 halflife=None, times: str | None = None):
         self._gb, self._alpha, self._ignore_na = gb, alpha, ignore_na
         self._adjust = adjust
+        self._halflife, self._times = halflife, times
 
     def _stat(self, stat: str):
         from .frame import DataFrame
@@ -1386,15 +1409,34 @@ class _GroupEwm:
         import numpy as np
         import pandas as pd
         by = list(gb._by)
-        kw = dict(alpha=alpha, ignore_na=ignore_na, adjust=adjust)
+        times, halflife = self._times, self._halflife
+        if times is not None:
+            if stat != "mean":
+                raise NotImplementedError(
+                    f"ewm(times=...).{stat}() is not supported "
+                    "(pandas only defines mean)")
+            vcols = [c for c in vcols if c != times]
+            kw = dict(halflife=halflife, ignore_na=ignore_na,
+                      adjust=True)
+        else:
+            kw = dict(alpha=alpha, ignore_na=ignore_na,
+                      adjust=adjust)
 
         def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
             pdf = pdf.copy()
             fv = pdf[vcols].astype("float64")
             fv[by] = pdf[by]
+            k = dict(kw)
+            if times is not None:
+                # pandas' ewm requires an ns-precision datetime64
+                # ARRAY (a string name resolves against the
+                # vcols-restricted selection and fails; Arrow hands
+                # Spark timestamps over as [us])
+                k["times"] = pd.to_datetime(pdf[times]) \
+                    .astype("datetime64[ns]").to_numpy()
             res = getattr(
                 fv.groupby(by, sort=False, dropna=False)[vcols]
-                .ewm(**kw), stat)()
+                .ewm(**k), stat)()
             pdf[vcols] = res.to_numpy()
             return pdf
 

@@ -2199,7 +2199,7 @@ class Series:
 
     def ewm(self, com=None, span=None, halflife=None, alpha=None,
             min_periods: int = 0, adjust: bool = True,
-            ignore_na: bool = False):
+            ignore_na: bool = False, times=None):
         """Exponentially weighted windows (pandas ``Series.ewm``,
         both ``adjust`` flavors): ``.mean()``. Exactly one of
         com/span/halflife/alpha selects the decay (pandas
@@ -2214,6 +2214,26 @@ class Series:
         recursive streaming-EMA form, whose carry is the (y, w)
         state merged through per-observation affine maps); never a
         global window, never a per-row Python loop."""
+        import datetime as _dt
+        import pandas as pd
+        timeish_hl = isinstance(
+            halflife, (str, _dt.timedelta, pd.Timedelta))
+        if times is not None or timeish_hl:
+            # TIME-decay flavor (pandas ewm(times=...)): halflife is
+            # a Timedelta/offset string; weights follow actual stamp
+            # distances (times=None falls back to the datetime index
+            # level). pandas only defines adjust=True mean here.
+            if halflife is None or any(
+                    v is not None for v in (com, span, alpha)):
+                raise ValueError(
+                    "ewm(times=...) takes halflife (a Timedelta or "
+                    "offset string) and no other decay spelling")
+            if not adjust:
+                raise NotImplementedError(
+                    "ewm(times=..., adjust=False) is not supported "
+                    "(pandas refuses it too)")
+            hl_us = pd.Timedelta(halflife).value / 1000.0
+            return _TimeEWM(self, hl_us, times, min_periods)
         given = sum(v is not None
                     for v in (com, span, halflife, alpha))
         if given != 1:
@@ -3188,6 +3208,43 @@ class _TimeRolling:
             "per-group RANGE frame) or resample")
 
     max = median = min
+
+
+class _TimeEWM:
+    """Time-decay EWM mean (see :meth:`Series.ewm` with ``times=``):
+    weights follow actual stamp distances, 0.5^(dt/halflife). Rides
+    plans/ordinal.with_ewm_mean_times — the segmented-anchor
+    two-pass carry scan. ``times`` is a column name, or None for the
+    series' datetime index level."""
+
+    def __init__(self, sr: "Series", halflife_us: float,
+                 times, min_periods: int):
+        self._sr = sr
+        self._us = float(halflife_us)
+        self._times = times
+        self._mp = min_periods
+
+    def mean(self) -> "Series":
+        from ..plans.ordinal import ORD_COL, with_ewm_mean_times
+        sr = self._sr
+        sdf = sr._sdf
+        times = self._times
+        if times is None or times is True:
+            times = _dt_index_col(sr._index_cols, sdf)
+            if times is None:
+                raise TypeError(
+                    "ewm(times=...) needs a times column name or a "
+                    "datetime index level")
+        elif times not in sdf.columns:
+            raise KeyError(times)
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(times).asc()] + order
+        out = with_ewm_mean_times(sdf, sr._colexpr, times, self._us,
+                                  order, self._mp)
+        return Series._make(out, F.col("__ewm__"), sr._index_cols,
+                            sr.name, sr._order)
 
 
 class _EWM:

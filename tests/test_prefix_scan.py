@@ -1068,3 +1068,56 @@ def test_frame_time_offset_rolling_matches_pandas(bl):
         np.testing.assert_allclose(got, want, atol=1e-9,
                                    equal_nan=True,
                                    err_msg=f"frame time {stat}")
+
+
+def test_time_decay_ewm_matches_pandas(bl):
+    """ewm(halflife='30min') over a datetime index (pandas
+    times=...): weights decay with actual stamp distance. Rides the
+    segmented-anchor two-pass carry (with_ewm_mean_times): within a
+    segment spanning < 50 halflives the anchored cumsum is exact to
+    double precision; segments, partitions, and the driver combine
+    all chain through the analytic 2^(-dt/hl) decay fold. The 10s
+    halflife case drives gaps hundreds of halflives wide — the
+    underflow forward-fill and the segmentation both fire."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(61)
+    n = 500
+    secs = np.sort(rng.choice(np.arange(0, 2_000_000), n,
+                              replace=False))
+    # duplicate stamps: zero dt between them (same weight)
+    secs[100] = secs[99]
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.15] = np.nan
+    v[0] = np.nan                    # NaN before the first obs
+    ps = pd.Series(v)
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v}).set_index("ts")
+    for hl, mp in (("30min", 0), ("2h", 3), ("10s", 0)):
+        got = d["v"].ewm(halflife=hl, min_periods=mp).mean() \
+            .to_pandas().to_numpy()
+        want = ps.ewm(halflife=pd.Timedelta(hl), times=ts,
+                      min_periods=mp).mean().to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-9,
+                                   equal_nan=True, err_msg=hl)
+    # grouped flavor: pandas' own kernel inside the batched pass
+    g = rng.integers(0, 8, n).astype(str)
+    pdf = pd.DataFrame({"g": g, "ts": ts, "v": v})
+    bd = bl.DataFrame({"g": g, "ts": ts.to_numpy(), "v": v}) \
+        .sort_values("ts")
+    got = bd.groupby("g").ewm(halflife="1h", times="ts").mean() \
+        .to_pandas().sort_values(["ts", "g"])["v"].to_numpy()
+    wv = (pdf.groupby("g", sort=False)[["ts", "v"]]
+          .apply(lambda x: pd.Series(
+              x["v"].ewm(halflife=pd.Timedelta("1h"),
+                         times=x["ts"]).mean().to_numpy(),
+              index=x.index))
+          .reset_index(level=0, drop=True).sort_index().to_numpy())
+    # the duplicated stamp lives in two groups — sort both sides by
+    # (ts, g) so the tie order is deterministic
+    want = pd.DataFrame({"ts": ts, "g": g, "v": wv}) \
+        .sort_values(["ts", "g"])["v"].to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-12, equal_nan=True)
+    import pytest
+    with pytest.raises(NotImplementedError, match="adjust=False"):
+        d["v"].ewm(halflife="1h", adjust=False).mean()
