@@ -2874,7 +2874,7 @@ class DataFrame:
 
     def ewm(self, com=None, span=None, halflife=None, alpha=None,
             min_periods: int = 0, adjust: bool = True,
-            ignore_na: bool = False):
+            ignore_na: bool = False, times=None):
         """Exponentially weighted windows over every numeric column
         (pandas ``DataFrame.ewm``): ``.mean() .sum() .var() .std()``,
         both ``adjust`` flavors (``sum`` is adjust=True-only — pandas
@@ -2887,6 +2887,26 @@ class DataFrame:
         columns are excluded from the result's data columns, like
         :meth:`rolling` (pandas raises DataError instead)."""
         import math
+        import datetime as _dt
+
+        import pandas as pd
+        timeish = isinstance(halflife, (str, _dt.timedelta,
+                                        pd.Timedelta))
+        if times is not None or timeish:
+            # TIME-decay flavor (pandas ewm(times=...)): every
+            # numeric column shares the ONE segmented-anchor scan
+            # (plans/ordinal.with_ewm_mean_times_multi)
+            if halflife is None or any(
+                    v is not None for v in (com, span, alpha)):
+                raise ValueError(
+                    "ewm(times=...) takes halflife (a Timedelta or "
+                    "offset string) and no other decay spelling")
+            if not adjust:
+                raise NotImplementedError(
+                    "ewm(times=..., adjust=False) is not supported "
+                    "(pandas refuses it too)")
+            hl_us = pd.Timedelta(halflife).value / 1000.0
+            return _FrameTimeEwm(self, hl_us, times, min_periods)
         if sum(v is not None
                for v in (com, span, halflife, alpha)) != 1:
             raise ValueError(
@@ -4246,6 +4266,49 @@ class _FrameRolling:
             num = F.greatest(q - s * s / c, F.lit(0.0))
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
+
+
+class _FrameTimeEwm:
+    """Frame face of the time-decay EWM mean: every numeric column
+    shares ONE segmented-anchor scan
+    (plans/ordinal.with_ewm_mean_times_multi) — the same layout and
+    two passes a single column costs."""
+
+    def __init__(self, df: DataFrame, halflife_us: float, times,
+                 min_periods: int):
+        self._df = df
+        self._us = float(halflife_us)
+        self._times = times
+        self._mp = min_periods
+
+    def mean(self) -> DataFrame:
+        from ..plans.ordinal import (ORD_COL,
+                                     with_ewm_mean_times_multi)
+        from .series import _dt_index_col
+        df = self._df
+        sdf = df._sdf
+        times = self._times
+        if times is None or times is True:
+            times = _dt_index_col(df._index_cols, sdf)
+            if times is None:
+                raise TypeError(
+                    "ewm(times=...) needs a times column name or a "
+                    "datetime index level")
+        elif times not in sdf.columns:
+            raise KeyError(times)
+        num = [c for c in df._numeric_cols() if c != times]
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(times).asc()] + order
+        out = with_ewm_mean_times_multi(
+            sdf, {c: F.col(c) for c in num}, times, self._us,
+            order, self._mp)
+        nset = set(num)
+        sel = [(F.col(f"__ewmt_{cc}__").alias(cc) if cc in nset
+                else F.col(cc)) for cc in sdf.columns]
+        return DataFrame._make(out.select(*sel), df._index_cols,
+                               num, df._order)
 
 
 class _FrameTimeRolling:

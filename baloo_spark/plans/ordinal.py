@@ -2011,10 +2011,23 @@ def with_ewm_mean_times(sdf: DataFrame, value_col, time_col,
                         halflife_us: float,
                         order_by: list | None, min_periods: int = 0,
                         name: str = "__ewm__") -> DataFrame:
+    """Single-column face of :func:`with_ewm_mean_times_multi`."""
+    out = with_ewm_mean_times_multi(
+        sdf, {"v": value_col}, time_col, halflife_us, order_by,
+        min_periods)
+    return out.withColumnRenamed("__ewmt_v__", name)
+
+
+def with_ewm_mean_times_multi(sdf: DataFrame, values: dict,
+                              time_col, halflife_us: float,
+                              order_by: list | None,
+                              min_periods: int = 0) -> DataFrame:
     """Partition-safe GLOBAL time-decay EWM mean (pandas
-    ``ewm(halflife=Timedelta, times=...).mean()``): the weight of an
-    observation decays with its actual STAMP distance, 0.5^(dt/hl),
-    not its row distance.
+    ``ewm(halflife=Timedelta, times=...).mean()``) for ANY number of
+    value columns over ONE layout: the weight of an observation
+    decays with its actual STAMP distance, 0.5^(dt/hl), not its row
+    distance. ``values`` maps tag -> Column; outputs
+    ``__ewmt_<tag>__``.
 
     Same two-pass carry shape as :func:`with_ewm_mean`, but the
     decayed sums are computed with a SEGMENTED anchor trick instead
@@ -2025,11 +2038,15 @@ def with_ewm_mean_times(sdf: DataFrame, value_col, time_col,
     same loss the sequential kernel has); segments chain through
     the ANALYTIC time-decay fold num_i += 2^(-(t_i-t_in)/hl)*num_in,
     which is also how the driver prefix-combines the n_partitions
-    end states and how partition carries merge in pass 2. NaN rows
-    keep their weightless pandas semantics (the ratio num/den is
-    invariant under pure decay, so the emitted mean carries
-    forward); a gap long enough to underflow BOTH sums forward-fills
-    the last mean, mirroring with_ewm_mean's y_last carry.
+    end states and how partition carries merge in pass 2 — three
+    scalars per tag per partition at any timestamp irregularity.
+    NaN rows keep their weightless pandas semantics; a row whose
+    total weight decays into the DENORMAL range forward-fills the
+    last mean (the ratio num/den is invariant under pure decay, and
+    a ~1e-322 denominator keeps two mantissa bits — observed
+    emitting -5/7 for -0.706 before the guard), mirroring
+    with_ewm_mean's y_last carry. Every tag shares the layout, the
+    segment boundaries, and both passes.
     """
     import numpy as np
     import pandas as pd
@@ -2039,122 +2056,157 @@ def with_ewm_mean_times(sdf: DataFrame, value_col, time_col,
         raise ValueError(
             f"halflife must be positive, got {halflife_us}")
     hl = float(halflife_us)
-    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    tags = list(values)
     tcol = F.col(time_col) if isinstance(time_col, str) else time_col
+    sel = [(F.col(c) if isinstance(c, str) else c).cast("double")
+           .alias(f"__ev_{t}__") for t, c in values.items()]
     sdf = _range_layout(
-        sdf.select("*", col.cast("double").alias("__ev__"),
+        sdf.select("*", *sel,
                    F.unix_micros(tcol.cast("timestamp"))
                    .cast("double").alias("__et__")), order_by)
 
     NEG = -1.0e300
 
-    def _batch_scan(x, t, state):
-        """state = [num, den, t_last, cnt, y_last]; returns (y, cnt)
-        for the batch. t ascending (the layout sorts by it)."""
-        L = len(x)
-        w = np.where(np.isnan(x), 0.0, 1.0)
-        m = np.where(np.isnan(x), 0.0, x)
-        num = np.empty(L)
-        den = np.empty(L)
-        n_in, d_in, t_in = state[0], state[1], state[2]
+    def _fresh():
+        # per tag: [num, den, t_last, cnt, y_last]
+        return {tg: [0.0, 0.0, NEG, 0.0, np.nan] for tg in tags}
+
+    def _batch_scan(xs: dict, t, states: dict):
+        """xs maps tag -> value array; returns {tag: (y, cnt)}."""
+        L = len(t)
+        segs = []
         i = 0
         while i < L:
-            anchor = t[i]
-            j = max(int(np.searchsorted(t, anchor + 50.0 * hl,
+            j = max(int(np.searchsorted(t, t[i] + 50.0 * hl,
                                         side="left")), i + 1)
-            seg = slice(i, j)
-            b = (t[seg] - anchor) / hl
-            u = np.exp2(-b)
-            inv = np.exp2(b)
-            num0 = u * np.cumsum(m[seg] * inv)
-            den0 = u * np.cumsum(w[seg] * inv)
-            dk = (np.exp2(-(t[seg] - t_in) / hl)
-                  if t_in > NEG else np.zeros(j - i))
-            num[seg] = num0 + dk * n_in
-            den[seg] = den0 + dk * d_in
-            n_in, d_in, t_in = num[j - 1], den[j - 1], t[j - 1]
+            segs.append((i, j))
             i = j
-        cnt = state[3] + np.cumsum(w)
-        state[0], state[1], state[2] = n_in, d_in, t_in
-        state[3] = cnt[-1] if L else state[3]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            # a row with an observation has den >= 1; den below 1
-            # only happens on NaN rows, where the true output IS the
-            # previous mean (the ratio is invariant under pure
-            # decay). Denormal-range dens (~1e-300) keep only a few
-            # mantissa bits and corrupt the ratio, so anything below
-            # 1e-250 forward-fills instead of dividing.
-            y = np.where(den > 1e-250, num / den, np.nan)
-        # long-gap underflow: both sums below the trust threshold
-        # after >= 1 obs -> carry the last emitted mean forward
-        # (pandas' sequential kernel never loses the ratio)
-        y = pd.concat([pd.Series([state[4]]), pd.Series(
-            np.where(cnt > 0, y, np.nan))],
-            ignore_index=True).ffill().to_numpy()[1:]
-        if L:
-            state[4] = y[-1]
-        return y, cnt
+        outs = {}
+        for tg in tags:
+            x = xs[tg]
+            st = states[tg]
+            w = np.where(np.isnan(x), 0.0, 1.0)
+            m = np.where(np.isnan(x), 0.0, x)
+            num = np.empty(L)
+            den = np.empty(L)
+            n_in, d_in, t_in = st[0], st[1], st[2]
+            for (i, j) in segs:
+                seg = slice(i, j)
+                b = (t[seg] - t[i]) / hl
+                u = np.exp2(-b)
+                inv = np.exp2(b)
+                num0 = u * np.cumsum(m[seg] * inv)
+                den0 = u * np.cumsum(w[seg] * inv)
+                dk = (np.exp2(-(t[seg] - t_in) / hl)
+                      if t_in > NEG else np.zeros(j - i))
+                num[seg] = num0 + dk * n_in
+                den[seg] = den0 + dk * d_in
+                n_in, d_in, t_in = num[j - 1], den[j - 1], t[j - 1]
+            cnt = st[3] + np.cumsum(w)
+            st[0], st[1], st[2] = n_in, d_in, t_in
+            st[3] = cnt[-1] if L else st[3]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # a row with an observation has den >= 1; den below
+                # that only happens on NaN rows, where the true
+                # output IS the previous mean (the ratio is
+                # invariant under pure decay). Denormal-range dens
+                # corrupt the ratio, so below 1e-250 forward-fill.
+                y = np.where(den > 1e-250, num / den, np.nan)
+            y = pd.concat([pd.Series([st[4]]), pd.Series(
+                np.where(cnt > 0, y, np.nan))],
+                ignore_index=True).ffill().to_numpy()[1:]
+            if L:
+                st[4] = y[-1]
+            outs[tg] = (y, cnt)
+        return outs
 
-    ends_schema = T.StructType([
-        T.StructField("__pid__", T.IntegerType()),
-        T.StructField("__en__", T.DoubleType()),
-        T.StructField("__ed__", T.DoubleType()),
-        T.StructField("__et0__", T.DoubleType()),
-        T.StructField("__ec__", T.DoubleType()),
-        T.StructField("__ey__", T.DoubleType())])
+    ef = [T.StructField("__pid__", T.IntegerType()),
+          T.StructField("__et0__", T.DoubleType())]
+    for tg in tags:
+        ef += [T.StructField(f"__en_{tg}__", T.DoubleType()),
+               T.StructField(f"__ed_{tg}__", T.DoubleType()),
+               T.StructField(f"__ec_{tg}__", T.DoubleType()),
+               T.StructField(f"__ey_{tg}__", T.DoubleType())]
+    ends_schema = T.StructType(ef)
 
     def _ends(it):
-        state, pid = [0.0, 0.0, NEG, 0.0, np.nan], None
+        states, pid, t_last = _fresh(), None, NEG
         for b in it:
             if not len(b):
                 continue
             pid = int(b["__pid__"].iloc[0])
-            _batch_scan(b["__ev__"].to_numpy(dtype=np.float64),
-                        b["__et__"].to_numpy(dtype=np.float64),
-                        state)
+            t = b["__et__"].to_numpy(dtype=np.float64)
+            _batch_scan({tg: b[f"__ev_{tg}__"]
+                         .to_numpy(dtype=np.float64)
+                         for tg in tags}, t, states)
+            t_last = states[tags[0]][2]
         if pid is not None:
-            yield pd.DataFrame(
-                {"__pid__": [pid], "__en__": [state[0]],
-                 "__ed__": [state[1]], "__et0__": [state[2]],
-                 "__ec__": [state[3]], "__ey__": [state[4]]})
+            row = {"__pid__": [pid], "__et0__": [t_last]}
+            for tg in tags:
+                st = states[tg]
+                row[f"__en_{tg}__"] = [st[0]]
+                row[f"__ed_{tg}__"] = [st[1]]
+                row[f"__ec_{tg}__"] = [st[3]]
+                row[f"__ey_{tg}__"] = [st[4]]
+            yield pd.DataFrame(row)
 
     erows = {int(r["__pid__"]): r for r in
-             sdf.select("__pid__", "__ev__", "__et__").mapInPandas(
-                 _ends, ends_schema).collect()}
+             sdf.select("__pid__", "__et__",
+                        *[f"__ev_{tg}__" for tg in tags])
+             .mapInPandas(_ends, ends_schema).collect()}
     import math as _math
-    carries, acc = {}, (0.0, 0.0, NEG, 0.0, float("nan"))
+    carries = {}
+    acc = {tg: (0.0, 0.0, 0.0, float("nan")) for tg in tags}
+    acc_t = NEG
     for pid in sorted(erows):
-        carries[pid] = acc
+        carries[pid] = (acc_t, dict(acc))
         e = erows[pid]
         t_end = e["__et0__"]
-        dk = (2.0 ** (-(t_end - acc[2]) / hl)
-              if acc[2] > NEG and t_end > NEG else 0.0)
-        ey = e["__ey__"]
-        acc = (e["__en__"] + dk * acc[0],
-               e["__ed__"] + dk * acc[1],
-               t_end if t_end > NEG else acc[2],
-               acc[3] + e["__ec__"],
-               acc[4] if ey is None or _math.isnan(ey) else ey)
-    out_schema = T.StructType(list(sdf.schema.fields)
-                              + [T.StructField(name, T.DoubleType())])
+        dk = (2.0 ** (-(t_end - acc_t) / hl)
+              if acc_t > NEG and t_end > NEG else 0.0)
+        nxt = {}
+        for tg in tags:
+            a = acc[tg]
+            ey = e[f"__ey_{tg}__"]
+            nxt[tg] = (e[f"__en_{tg}__"] + dk * a[0],
+                       e[f"__ed_{tg}__"] + dk * a[1],
+                       a[2] + e[f"__ec_{tg}__"],
+                       a[3] if ey is None or _math.isnan(ey)
+                       else ey)
+        acc = nxt
+        if t_end > NEG:
+            acc_t = t_end
+    out_schema = T.StructType(
+        list(sdf.schema.fields)
+        + [T.StructField(f"__ewmt_{tg}__", T.DoubleType())
+           for tg in tags])
     mp = min_periods
 
     def _emit(it):
-        state, init = [0.0, 0.0, NEG, 0.0, np.nan], False
+        states, init = _fresh(), False
         for b in it:
             if not len(b):
                 continue
             if not init:
-                c = carries.get(int(b["__pid__"].iloc[0]),
-                                (0.0, 0.0, NEG, 0.0, np.nan))
-                state = [c[0], c[1], c[2], c[3], c[4]]
+                ct, cmap = carries.get(
+                    int(b["__pid__"].iloc[0]),
+                    (NEG, {tg: (0.0, 0.0, 0.0, np.nan)
+                           for tg in tags}))
+                for tg in tags:
+                    c = cmap[tg]
+                    states[tg] = [c[0], c[1], ct, c[2], c[3]]
                 init = True
-            y, cnt = _batch_scan(
-                b["__ev__"].to_numpy(dtype=np.float64),
-                b["__et__"].to_numpy(dtype=np.float64), state)
+            t = b["__et__"].to_numpy(dtype=np.float64)
+            outs = _batch_scan({tg: b[f"__ev_{tg}__"]
+                                .to_numpy(dtype=np.float64)
+                                for tg in tags}, t, states)
             o = b.copy()
-            o[name] = np.where(cnt >= max(mp, 1), y, np.nan)
+            for tg in tags:
+                y, cnt = outs[tg]
+                o[f"__ewmt_{tg}__"] = np.where(
+                    cnt >= max(mp, 1), y, np.nan)
             yield o
 
     return (sdf.mapInPandas(_emit, out_schema)
-            .drop("__pid__", "__mid__", "__ev__", "__et__"))
+            .drop("__pid__", "__mid__", "__et__",
+                  *[f"__ev_{tg}__" for tg in tags]))

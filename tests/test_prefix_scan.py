@@ -1121,3 +1121,29 @@ def test_time_decay_ewm_matches_pandas(bl):
     import pytest
     with pytest.raises(NotImplementedError, match="adjust=False"):
         d["v"].ewm(halflife="1h", adjust=False).mean()
+
+
+def test_frame_time_decay_ewm_matches_pandas(bl):
+    """DataFrame.ewm(halflife='45min') over a datetime index: every
+    numeric column shares ONE segmented-anchor scan
+    (with_ewm_mean_times_multi) — the same layout and two passes a
+    single column costs."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(67)
+    n = 300
+    secs = np.sort(rng.choice(np.arange(0, 1_000_000), n,
+                              replace=False))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.15] = np.nan
+    u = rng.normal(size=n)
+    pdf = pd.DataFrame({"v": v, "u": u}, index=ts)
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v, "u": u}) \
+        .set_index("ts")
+    got = d.ewm(halflife="45min").mean().to_pandas()[["v", "u"]] \
+        .to_numpy()
+    want = pdf.ewm(halflife=pd.Timedelta("45min"),
+                   times=pdf.index).mean().to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-9,
+                               equal_nan=True)
