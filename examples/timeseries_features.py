@@ -101,6 +101,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     smooth_corr = (smooth.rolling(24, min_periods=6).corr(sr).tail(1)
                    .to_pandas().iloc[0] if smooth is not None else None)
 
+    # 10. r8: TIME-decay smoothing — ewm(halflife='2h') weights by
+    #     actual stamp distance (the segmented-anchor carry scan),
+    #     and rolling('6h') is a time-OFFSET window (prefix + as-of
+    #     join) — both irregular-stamp-native, no resample needed
+    evs = ev[["ts", "value"]].sort_values("ts") \
+        .set_index("ts")["value"]
+    tdecay = (evs.ewm(halflife="2h").mean().tail(1)
+              .to_pandas().iloc[0] if len(feats) else None)
+    troll = (evs.rolling("6h", min_periods=1).mean().tail(1)
+             .to_pandas().iloc[0] if len(feats) else None)
+
     out = enriched.to_pandas()
     summary = {
         "events": int(len(out)),
@@ -117,6 +128,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "smooth_corr24": None if smooth_corr is None
                          or smooth_corr != smooth_corr
                          else round(float(smooth_corr), 6),
+        "tdecay_ewm_2h": None if tdecay is None or tdecay != tdecay
+                         else round(float(tdecay), 6),
+        "troll_6h_mean": None if troll is None or troll != troll
+                         else round(float(troll), 6),
     }
     print(json.dumps(summary))
     return summary
