@@ -328,6 +328,34 @@ def main():
                   "as the prefix scans, with the window parameter "
                   "only changing the collect width_", ""]
 
+    # r8: the time-DECAY ewm (segmented-anchor scan) — same events
+    # replication; the segment count scales with span/halflife, the
+    # carry stays three scalars per partition
+    from baloo_spark.plans.ordinal import with_ewm_mean_times
+    lines += ["## time-decay ewm mean (halflife=30min over "
+              "events.ts; segmented-anchor scan)", ""]
+    ev_td = spark.read.parquet(f"{sf}/events.parquet")
+    for mult in (1, 4, 16):
+        base = replicate(ev_td.select("ts", "value"),
+                         mult).localCheckpoint()
+        rows = base.count()
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = with_ewm_mean_times(
+                base, "value", "ts", 30 * 60 * 1e6,
+                [F.col("ts").asc()])
+            out.write.format("noop").mode("overwrite").save()
+            dt = min(dt, time.perf_counter() - t0)
+        lines.append(f"- {mult}x: {dt:.2f}s ({rows:,} rows)")
+        print("time-decay ewm", lines[-1])
+    lines += ["", "_two mapInPandas passes over one frozen layout; "
+              "per-partition state is (num, den, t_last) and the "
+              "carry folds through the analytic 2^(-dt/hl) decay, "
+              "so driver state is n_partitions x 3 scalars at any "
+              "timestamp irregularity — the same shape as the "
+              "fixed-alpha ewm scans_", ""]
+
     # r8: the time-OFFSET rolling window (prefix pass + as-of join)
     # — events carries real timestamps; replicate and widen the
     # window so the as-of right side (distinct stamps) grows with
