@@ -240,9 +240,17 @@ check("str.upper accents",
 check("str.contains emoji",
       lambda: su.str.contains("🎈").to_pandas().tolist(),
       lambda: pu.str.contains("🎈").tolist())
-check("str.split emoji sep",
-      lambda: nn(su.str.split("🎈").str.get(1).to_pandas().tolist()),
-      lambda: nn(pu.str.split("🎈").str.get(1).tolist()))
+# engine split is the REFERENCE flavor (strings.py:190-219): split
+# at the FIRST occurrence, return the left/right PART — not pandas'
+# list split. Pin the engine contract with emoji separators.
+check("str.split emoji sep (reference left-part contract)",
+      lambda: nn(su.str.split("🎈").to_pandas().tolist()),
+      lambda: nn([s.split("🎈")[0] for s in u]))
+check("str.split emoji right side",
+      lambda: nn(su.str.split("🎈", side="right")
+                 .to_pandas().tolist()),
+      lambda: nn([s.split("🎈", 1)[1] if "🎈" in s else None
+                  for s in u]))
 check("str.slice step non-BMP",
       lambda: nn(su.str.slice(0, 5, 2).to_pandas().tolist()),
       lambda: nn(pu.str.slice(0, 5, 2).tolist()))
