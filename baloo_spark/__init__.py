@@ -283,25 +283,30 @@ def unique(values):
     return pd.unique(values)
 
 
-def to_timedelta(arg, unit: str = "s"):
-    """pandas-style ``pd.to_timedelta``. A baloo Series of NUMBERS
+def to_timedelta(arg, unit: str | None = None):
+    """pandas-style ``pd.to_timedelta`` (default ``unit=None``, like
+    pandas — a string like ``"90min"`` carries its own unit, and
+    pandas raises if one is also passed). A baloo Series of NUMBERS
     becomes a DayTimeInterval column (``make_dt_interval`` on the
     unit-scaled seconds — interval columns add to timestamps in
-    Spark arithmetic); scalars and array-likes go through pandas on
-    the driver (offsets are driver-sized by definition)."""
+    Spark arithmetic; this path defaults to seconds when no unit is
+    given); scalars and array-likes go through pandas on the driver
+    (offsets are driver-sized by definition)."""
     from pyspark.sql import functions as F
 
     from .core.series import Series
     if isinstance(arg, Series):
         scale = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "m": 60.0,
                  "min": 60.0, "h": 3600.0, "d": 86400.0,
-                 "D": 86400.0}.get(unit)
+                 "D": 86400.0}.get(unit if unit is not None else "s")
         if scale is None:
             raise ValueError(f"unsupported unit {unit!r}")
         secs = arg._colexpr.cast("double") * F.lit(scale)
         return arg._with_col(F.make_dt_interval(
             F.lit(0), F.lit(0), F.lit(0), secs))
     import pandas as pd
+    if unit is None:
+        return pd.to_timedelta(arg)
     return pd.to_timedelta(arg, unit=unit)
 
 

@@ -4624,13 +4624,41 @@ class _FrameLoc:
                              "frame has none (set_index first)")
         key = idx[0]
         if isinstance(rows, (list, np.ndarray)):
-            # the index mask path inherits Series.isin's two-face
-            # treatment (literal IN-set small, broadcast join big) —
-            # a 10^5-label loc never serializes a 10^5-literal plan
-            from .indexes import Index
-            ix = df.index
-            mask = (ix.levels[0] if hasattr(ix, "levels") else ix)                 .isin([_py(v) for v in rows])
-            return df[mask]
+            # pandas returns rows in the REQUESTED label order with
+            # repeated labels duplicated and raises KeyError on any
+            # miss — the position-tagged lookup join the Series face
+            # uses (series.py _SeriesLoc), not an isin mask (which
+            # kept original order, deduped, and silently dropped
+            # missing labels). The lookup table is driver-sized so
+            # the broadcast is bounded; one tiny semi-join job gates
+            # the KeyError before the inner-join gather.
+            from ..plans.ordinal import POS_COL
+            labels = [_py(v) for v in rows]
+            sdf = df._ordered_sdf()
+            spark = sdf.sparkSession
+            want = spark.createDataFrame(
+                [(int(p), lbl) for p, lbl in enumerate(labels)],
+                ["__wpos__", "__wlbl__"])
+            uniq = want.select("__wlbl__").distinct()
+            hit = (sdf.join(F.broadcast(uniq),
+                            F.col("__wlbl__").eqNullSafe(F.col(key)),
+                            "left_semi")
+                   .select(key).distinct().count())
+            if hit < len(set(labels)):
+                raise KeyError(f"{labels!r} not all in index")
+            # every requested label matched, so the gather is an
+            # INNER join — the broadcastable shape (a row-preserving
+            # outer join cannot broadcast its preserved side)
+            out = (sdf.join(F.broadcast(want),
+                            F.col("__wlbl__").eqNullSafe(F.col(key)),
+                            "inner")
+                   .drop("__wlbl__"))
+            if ORD_COL in out.columns and ORD_COL not in (
+                    df._index_cols + df._data_cols):
+                out = out.drop(ORD_COL)
+            return DataFrame._make(out, df._index_cols, df._data_cols,
+                                   [("__wpos__", True),
+                                    (POS_COL, True)])
         sel = df._sdf.filter(F.col(key) == F.lit(_py(rows)))
         return DataFrame._make(sel, df._index_cols, df._data_cols,
                                df._order)
