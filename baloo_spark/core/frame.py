@@ -4297,10 +4297,11 @@ class _FrameTimeEwm:
         elif times not in sdf.columns:
             raise KeyError(times)
         num = [c for c in df._numeric_cols() if c != times]
+        # ROW order, not times order — pandas' decay deltas follow
+        # row sequence (see the Series face in core/series.py)
         order = order_exprs(df._order or [], sdf.columns)
         if not order and ORD_COL in sdf.columns:
             order = [F.col(ORD_COL).asc()]
-        order = [F.col(times).asc()] + order
         out = with_ewm_mean_times_multi(
             sdf, {c: F.col(c) for c in num}, times, self._us,
             order, self._mp)

@@ -3237,10 +3237,13 @@ class _TimeEWM:
                     "datetime index level")
         elif times not in sdf.columns:
             raise KeyError(times)
+        # ROW order, not times order: pandas computes decay deltas
+        # in row sequence even when times run backward (probe:
+        # times=[Jan1, Jan3, Jan2] -> [1.0, 1.8, 2.142857]); the
+        # scan's signed analytic fold handles non-monotonic stamps
         order = order_exprs(sr._order or [], sdf.columns)
         if not order and ORD_COL in sdf.columns:
             order = [F.col(ORD_COL).asc()]
-        order = [F.col(times).asc()] + order
         out = with_ewm_mean_times(sdf, sr._colexpr, times, self._us,
                                   order, self._mp)
         return Series._make(out, F.col("__ewm__"), sr._index_cols,

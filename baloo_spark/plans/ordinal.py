@@ -2029,6 +2029,13 @@ def with_ewm_mean_times_multi(sdf: DataFrame, values: dict,
     distance. ``values`` maps tag -> Column; outputs
     ``__ewmt_<tag>__``.
 
+    ROW-ORDER semantics, like pandas: decay deltas follow the
+    ``order_by`` row sequence, and times need NOT be monotonic in
+    it (a past-dated row simply carries weight > 1 relative to its
+    predecessor — the signed analytic fold is the same algebra).
+    Null stamps raise ValueError (pandas raises for NaT too),
+    gated on a count the pass-1 ends scan already produces.
+
     Same two-pass carry shape as :func:`with_ewm_mean`, but the
     decayed sums are computed with a SEGMENTED anchor trick instead
     of pandas' fixed-alpha kernel: within a segment whose time span
@@ -2071,16 +2078,52 @@ def with_ewm_mean_times_multi(sdf: DataFrame, values: dict,
         # per tag: [num, den, t_last, cnt, y_last]
         return {tg: [0.0, 0.0, NEG, 0.0, np.nan] for tg in tags}
 
-    def _batch_scan(xs: dict, t, states: dict):
-        """xs maps tag -> value array; returns {tag: (y, cnt)}."""
+    span = 50.0 * hl
+
+    def _segments(t):
+        """Cut [0, L) into runs whose STAMP RANGE stays under 50
+        halflives — the precision bound of the anchor trick. Rows
+        arrive in ROW order (pandas computes decay deltas in row
+        order, times need not be monotonic), so the general cut
+        rule is the running max-min span; sorted stamps take the
+        one-searchsorted-per-segment fast path. The chunked
+        accumulates keep the general scan ~O(L) for locally
+        near-monotonic data."""
         L = len(t)
         segs = []
         i = 0
+        if L and bool(np.all(t[1:] >= t[:-1])):
+            while i < L:
+                j = max(int(np.searchsorted(t, t[i] + span,
+                                            side="left")), i + 1)
+                segs.append((i, j))
+                i = j
+            return segs
+        CH = 4096
         while i < L:
-            j = max(int(np.searchsorted(t, t[i] + 50.0 * hl,
-                                        side="left")), i + 1)
+            j, mx, mn = i, -np.inf, np.inf
+            while j < L:
+                k = min(j + CH, L)
+                rm = np.maximum.accumulate(t[j:k])
+                rn = np.minimum.accumulate(t[j:k])
+                if mx > -np.inf:
+                    rm = np.maximum(rm, mx)
+                    rn = np.minimum(rn, mn)
+                over = np.nonzero(rm - rn > span)[0]
+                if len(over):
+                    j += int(over[0])
+                    break
+                mx, mn = float(rm[-1]), float(rn[-1])
+                j = k
+            j = max(j, i + 1)
             segs.append((i, j))
             i = j
+        return segs
+
+    def _batch_scan(xs: dict, t, states: dict):
+        """xs maps tag -> value array; returns {tag: (y, cnt)}."""
+        L = len(t)
+        segs = _segments(t)
         outs = {}
         for tg in tags:
             x = xs[tg]
@@ -2121,7 +2164,8 @@ def with_ewm_mean_times_multi(sdf: DataFrame, values: dict,
         return outs
 
     ef = [T.StructField("__pid__", T.IntegerType()),
-          T.StructField("__et0__", T.DoubleType())]
+          T.StructField("__et0__", T.DoubleType()),
+          T.StructField("__enul__", T.LongType())]
     for tg in tags:
         ef += [T.StructField(f"__en_{tg}__", T.DoubleType()),
                T.StructField(f"__ed_{tg}__", T.DoubleType()),
@@ -2130,18 +2174,20 @@ def with_ewm_mean_times_multi(sdf: DataFrame, values: dict,
     ends_schema = T.StructType(ef)
 
     def _ends(it):
-        states, pid, t_last = _fresh(), None, NEG
+        states, pid, t_last, nul = _fresh(), None, NEG, 0
         for b in it:
             if not len(b):
                 continue
             pid = int(b["__pid__"].iloc[0])
             t = b["__et__"].to_numpy(dtype=np.float64)
+            nul += int(np.isnan(t).sum())
             _batch_scan({tg: b[f"__ev_{tg}__"]
                          .to_numpy(dtype=np.float64)
                          for tg in tags}, t, states)
             t_last = states[tags[0]][2]
         if pid is not None:
-            row = {"__pid__": [pid], "__et0__": [t_last]}
+            row = {"__pid__": [pid], "__et0__": [t_last],
+                   "__enul__": [nul]}
             for tg in tags:
                 st = states[tg]
                 row[f"__en_{tg}__"] = [st[0]]
@@ -2150,10 +2196,20 @@ def with_ewm_mean_times_multi(sdf: DataFrame, values: dict,
                 row[f"__ey_{tg}__"] = [st[4]]
             yield pd.DataFrame(row)
 
-    erows = {int(r["__pid__"]): r for r in
-             sdf.select("__pid__", "__et__",
+    _rows = (sdf.select("__pid__", "__et__",
                         *[f"__ev_{tg}__" for tg in tags])
-             .mapInPandas(_ends, ends_schema).collect()}
+             .mapInPandas(_ends, ends_schema).collect())
+    nulls = sum(int(r["__enul__"]) for r in _rows)
+    if nulls:
+        # pandas raises for NaT stamps too ("Cannot convert NaT
+        # values to integer") — a NaN __et__ would silently poison
+        # the segment scan, so gate on the pass-1 count (free: the
+        # ends pass already scanned the column)
+        raise ValueError(
+            f"ewm(times=...): the times column has {nulls} null "
+            "stamp(s); pandas raises for NaT times too — drop or "
+            "fill them first")
+    erows = {int(r["__pid__"]): r for r in _rows}
     import math as _math
     carries = {}
     acc = {tg: (0.0, 0.0, 0.0, float("nan")) for tg in tags}
@@ -2162,7 +2218,11 @@ def with_ewm_mean_times_multi(sdf: DataFrame, values: dict,
         carries[pid] = (acc_t, dict(acc))
         e = erows[pid]
         t_end = e["__et0__"]
-        dk = (2.0 ** (-(t_end - acc_t) / hl)
+        # np.exp2, not 2.0**: times may run BACKWARD across a
+        # partition boundary (row-order semantics), and a large
+        # positive exponent must saturate to inf like the kernel
+        # does, not raise OverflowError
+        dk = (float(np.exp2(-(t_end - acc_t) / hl))
               if acc_t > NEG and t_end > NEG else 0.0)
         nxt = {}
         for tg in tags:

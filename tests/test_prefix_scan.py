@@ -1147,3 +1147,66 @@ def test_frame_time_decay_ewm_matches_pandas(bl):
                    times=pdf.index).mean().to_numpy()
     np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-9,
                                equal_nan=True)
+
+
+def test_time_decay_ewm_row_order_semantics(bl):
+    """r9 verdict item: pandas computes ewm(times=) decay deltas in
+    ROW order — times need not be monotonic (a past-dated row
+    carries weight > 1 relative to its predecessor). The engine
+    used to silently sort by the times column first; now the scan's
+    signed analytic fold reproduces pandas exactly for backward
+    jumps within the 50-halflife precision band (beyond it pandas'
+    own kernel overflows to inf/nan — documented divergence, the
+    engine forward-fills through the overflow). Null stamps raise
+    ValueError like pandas' NaT error, gated driver-side on a count
+    the pass-1 ends scan already produces."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    # the verdict's probe, exact
+    t = pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"])
+    d = bl.DataFrame({"t": t.to_numpy(),
+                      "v": np.array([1., 2., 3.])})
+    got = d["v"].ewm(halflife="1d", times="t").mean() \
+        .to_pandas().to_numpy()
+    np.testing.assert_allclose(
+        got, [1.0, 1.8, 2.142857142857143], rtol=1e-12)
+
+    # locally non-monotonic jitter (out-of-order arrival), NaN vals
+    rng = np.random.default_rng(11)
+    n = 500
+    offs = np.arange(n) * 1.5 + rng.normal(0, 6, n)      # hours
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(offs, "h")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.08] = np.nan
+    ps = pd.Series(v)
+    d = bl.DataFrame({"t": ts.to_numpy(), "v": v})
+    for hl, mp in (("1h", 2), ("6h", 0)):
+        got = d["v"].ewm(halflife=hl, times="t", min_periods=mp) \
+            .mean().to_pandas().to_numpy()
+        want = ps.ewm(halflife=pd.Timedelta(hl),
+                      times=np.array(ts, dtype="datetime64[ns]"),
+                      min_periods=mp).mean().to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-8,
+                                   equal_nan=True, err_msg=hl)
+
+    # frame face shares the layout
+    pdf = pd.DataFrame({"v": v, "u": rng.normal(size=n)})
+    bd = bl.DataFrame({"t": ts.to_numpy(), "v": v,
+                       "u": pdf["u"].to_numpy()})
+    got = bd.ewm(halflife="2h", times="t").mean() \
+        .to_pandas()[["v", "u"]].to_numpy()
+    want = pdf.ewm(halflife=pd.Timedelta("2h"),
+                   times=np.array(ts, dtype="datetime64[ns]")) \
+        .mean().to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, rtol=1e-8,
+                               equal_nan=True)
+
+    # null stamps raise (pandas: "Cannot convert NaT values ...")
+    d2 = bl.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01", None, "2024-01-02"])
+         .to_numpy(),
+         "v": np.array([1., 2., 3.])})
+    with pytest.raises(ValueError, match="null stamp"):
+        d2["v"].ewm(halflife="1d", times="t").mean().to_pandas()
