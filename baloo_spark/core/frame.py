@@ -4426,6 +4426,12 @@ class _Resampler:
                        F.struct(usc.alias("t"), v.alias("v")))
             return (F.max(s) if last else F.min(s))["v"].cast("double")
 
+        if name == "size":
+            # one count of the bucket's rows (all-null rows too) —
+            # no value columns needed, so a frame with none still
+            # sizes (pandas Resampler.size needs none either)
+            return [F.count(F.lit(1)).cast("long")
+                    .alias("__size__")], ["__size__"]
         if name == "ohlc":
             if len(num) != 1:
                 raise ValueError(
@@ -4591,15 +4597,13 @@ class _Resampler:
 
     def size(self):
         """Rows per bucket INCLUDING all-null rows (pandas
-        ``Resampler.size`` returns a Series); gap buckets are 0."""
-        df, on = self._df, self._on
+        ``Resampler.size`` returns a Series); gap buckets are 0.
+        Aggregates one count(1) per bucket — works on frames with
+        no numeric value columns at all, like pandas."""
         from .series import Series
-        num = [c for c in df._numeric_cols() if c != on]
         sub = self._agg("size")
-        col = (num or sub._data_cols)[0]
-        out = sub._sdf
-        return Series._make(out, F.col(col).cast("long"),
-                            [on], None, sub._order)
+        return Series._make(sub._sdf, F.col("__size__").cast("long"),
+                            [self._on], None, sub._order)
 
 
 class _FrameLoc:

@@ -301,8 +301,10 @@ class Series:
         """NumPy/pandas boolean promotion for arithmetic: a LONE
         boolean operand acts as 0/1 (Spark refuses bool in numeric
         operators outright, so cast it); TWO boolean operands follow
-        NumPy — ``+`` is logical OR, ``*`` logical AND, everything
-        else refused the way pandas refuses it."""
+        NumPy — ``+`` is logical OR, ``*`` logical AND, ``%``
+        computes on 0/1 ints (pandas gives int8), ``-`` raises
+        TypeError and truediv/pow NotImplementedError, matching
+        pandas 2.2's own refusals."""
         lb = self.spark_type.typeName() == "boolean"
         rb = self._other_is_bool(other)
         if lb and rb:
@@ -310,9 +312,21 @@ class Series:
                 return self._lift(other, lambda a, b: a | b)
             if opname == "mul":
                 return self._lift(other, lambda a, b: a & b)
-            raise TypeError(
-                f"operator {opname!r} not supported for bool dtypes "
-                "(NumPy/pandas refuse it too); astype(int) first")
+            if opname == "mod":
+                # pandas computes bool % bool on 0/1 ints (int8);
+                # numpy's int mod by zero is 0, not NULL
+                return self._lift(other, lambda a, b: F.when(
+                    b.cast("int") == 0,
+                    F.when(a.isNotNull(), F.lit(0)))
+                    .otherwise(op(a.cast("int"), b.cast("int"))))
+            if opname == "sub":
+                raise TypeError(
+                    "numpy boolean subtract, the `-` operator, is "
+                    "not supported, use the bitwise_xor, the `^` "
+                    "operator, or the logical_xor function instead")
+            raise NotImplementedError(
+                f"operator {opname!r} not implemented for bool "
+                "dtypes (pandas refuses it too); astype(int) first")
         if lb or rb:
             li = (lambda a: a.cast("int")) if lb else (lambda a: a)
             ri = (lambda b: b.cast("int")) if rb else (lambda b: b)

@@ -365,3 +365,14 @@ def test_resample_median_quantile_sem_prod_size_nunique(bl):
     got = np.sort(r.size().to_pandas().to_numpy(dtype=float))
     want = np.sort(pr.size().to_numpy(dtype=float))
     np.testing.assert_allclose(got, want)
+    # r9 advice: size needs NO numeric value columns (one count(1)
+    # per bucket), like pandas — a string-only frame still sizes
+    ds = bl.DataFrame({"ts": ts.to_numpy(),
+                       "s": np.array([f"x{i}" for i in range(n)],
+                                     dtype=object)})
+    ps = pd.DataFrame({"s": [f"x{i}" for i in range(n)]},
+                      index=ts)
+    got = ds.resample("6h", on="ts").size().to_pandas() \
+        .to_numpy(dtype=float)
+    want = ps.resample("6h").size().to_numpy(dtype=float)
+    np.testing.assert_allclose(got, want)

@@ -764,8 +764,18 @@ def test_bool_arithmetic_and_agg_promotion(bl):
         (pd.Series(bo) + pd.Series(rev)).tolist()          # OR
     assert (bl.Series(bo) * bl.Series(rev)).to_pandas().tolist() == \
         (pd.Series(bo) * pd.Series(rev)).tolist()          # AND
-    with pytest.raises(TypeError, match="bool dtypes"):
+    # r9 advice: the refusals match pandas' own — sub is TypeError
+    # (numpy's message), truediv/pow NotImplementedError, and mod
+    # actually COMPUTES on 0/1 ints (int8 in pandas; x % 0 is 0,
+    # numpy's int-mod-by-zero identity)
+    with pytest.raises(TypeError, match="boolean subtract"):
         bl.Series(bo) - bl.Series(rev)
+    with pytest.raises(NotImplementedError, match="bool"):
+        bl.Series(bo) / bl.Series(rev)
+    with pytest.raises(NotImplementedError, match="bool"):
+        bl.Series(bo) ** bl.Series(rev)
+    assert (bl.Series(bo) % bl.Series(rev)).to_pandas().tolist() == \
+        (pd.Series(bo) % pd.Series(rev)).tolist()
     # aggregations admit bools as 0/1 (engine f64 convention)
     pdf = pd.DataFrame({"g": ["a", "b", "a", "b", "a"],
                         "v": [1., 2., 3., 4., 5.], "w": bo})
