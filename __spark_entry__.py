@@ -2154,13 +2154,24 @@ def _events_window(spark, sf):
     # replays it with a RANGE BETWEEN INTERVAL frame (the interval
     # is 2h minus 1us: pandas' window is OPEN at t - 2h).
     import baloo_spark as bl
-    # bounded evidence extract (the hourly leg already covers the
-    # full table): one user in 20 keeps the stamp gaps and
-    # duplicates while bounding the per-iteration two-pass cost
-    per = (ev.where(F.col("user_id") % 20 == 0)
-           .groupBy("ts")
-           .agg(F.sum("value").alias("v"),
-                F.count(F.lit(1)).alias("c")))
+    # r9: ONE per-stamp hash-agg feeds BOTH the time_roll and the
+    # rs6h legs (they used to run separate ev.groupBy('ts') passes —
+    # the recurring warm cost the r8 trend note mis-stated as
+    # one-time). The 1-in-20-user filtered sums (bounded evidence
+    # extract for the rolling leg: keeps stamp gaps and duplicates,
+    # bounds the two-pass cost) ride the same shuffle as the global
+    # per-stamp mean the ohlc leg needs; localCheckpoint
+    # materializes the ~distinct-stamp-sized result once per
+    # invocation so the rolling prefix+as-of passes, the resample
+    # grid jobs, and the bucket count all read cached partitions
+    # instead of re-aggregating events.
+    sub = F.col("user_id") % 20 == 0
+    per_all = (ev.groupBy("ts")
+               .agg(F.avg("value").alias("av"),
+                    F.sum(F.when(sub, F.col("value"))).alias("v"),
+                    F.count(F.when(sub, F.lit(1))).alias("c"))
+               .localCheckpoint())
+    per = per_all.where(F.col("c") > 0).select("ts", "v", "c")
     bd = bl.DataFrame.from_spark(per).sort_values("ts") \
         .set_index("ts")
     # FRAME face: both columns (v totals, c row counts) share ONE
@@ -2183,7 +2194,7 @@ def _events_window(spark, sf):
     # bucket unpivots to four rows (open/high/low/close) so the
     # 4-value result fits the slot's one value column. DuckDB
     # replays with arg_min/arg_max over a generate_series grid.
-    per2 = (ev.groupBy("ts").agg(F.avg("value").alias("v")))
+    per2 = per_all.select("ts", F.col("av").alias("v"))
     oh = (bl.DataFrame.from_spark(per2).resample("6h", on="ts")
           .ohlc().reset_index().to_spark())
     # bucket size from a plain lazy hash-agg (a second resample

@@ -88,14 +88,18 @@ SCOPE_NOTES = {
                   "exact integer-microsecond delta output column to "
                   "the time leg — the sub-second-precision evidence "
                   "VERDICT r4 prescribed",
-    "events_window": "r8: adds the streaming-EWM parity flag row — "
-                     "ONE availableNow run of ewm_stream "
-                     "(applyInPandasWithState) compared against the "
-                     "pandas-kernel batch twin, memoized per "
-                     "session; the COLD number absorbs that one-time "
-                     "streaming query (~6s at sf0.1), warm re-runs "
-                     "emit the cached scalar and stay at the r7 "
-                     "shape",
+    "events_window": "r8: adds THREE legs. Only the streaming-EWM "
+                     "parity flag row is one-time (memoized per "
+                     "session, ~6-8s absorbed by the cold number); "
+                     "the time_roll_2h leg (prefix pass + as-of "
+                     "join) and the rs6h OHLC leg (resample + grid "
+                     "aggs) RE-EXECUTE every timing iteration — the "
+                     "r8 warm number is 0.17 -> 3.27s, a RECURRING "
+                     "scope cost, not one-time (the r8 prose "
+                     "mis-stated this; corrected r9, see the r9 "
+                     "note)",
+    # r9: no slot scope changes; events_window internals trimmed
+    # (shared checkpointed per-stamp projection), scope constant
 }
 
 # flags checked by hand: re-timed solo and plan-audited, not a
@@ -184,22 +188,46 @@ with identical code. The structural wins, each measured:
   asof slot checkpoints its shared join inputs once (1.46 -> 1.31s).
 """
 
-R8_BENCH_NOTE = """## r8 bench note
+R8_BENCH_NOTE = """## r8 bench note (corrected r9)
 
-`events_window` cold (~6.9s) is the ONE-TIME streaming-EWM parity
-run (scope note above): the availableNow streaming query executes
-once per session and is memoized, so warm re-runs emit the cached
-scalar — warm 0.204s vs r7's 0.177s, within session noise. The
-first r8 snapshot (pre-memoization) billed the stream per timing
-iteration (8.3s cold / 6.3s warm) — that run was discarded after
-the fix; this is the designed behavior of the bench feedback loop.
+`events_window` cold includes the ONE-TIME streaming-EWM parity run
+(scope note above): the availableNow streaming query executes once
+per session and is memoized, so warm re-runs emit the cached scalar
+for THAT leg. CORRECTION (r9, VERDICT r8 What's-wrong #3): the r8
+prose below originally claimed warm re-runs stay at the r7 shape —
+they do not. The other two r8 legs (time_roll_2h: prefix pass +
+as-of join; rs6h OHLC: resample + grid aggs) re-execute every
+timing iteration, so the r8 warm number moved 0.170 -> 3.266s as a
+RECURRING scope cost. The cost is real added scope with scale-safe
+plans, but the artifact must say so.
 
 The r8 snapshot's warm total (+11%% vs r7) is spread uniformly
 across code-UNCHANGED slots (+10-30%% each, no single slot
 dominating) with mc_pre reading 0.439 (>12%% over quiet) — the
 host-settling pattern documented in the r7 calibration note below;
-per-slot deltas from this run are adjudicated against the flag, and
-the only code-changed slot (events_window) is flat warm.
+per-slot deltas from this run are adjudicated against the flag.
+"""
+
+R9_BENCH_NOTE = """## r9 events_window trim (VERDICT r8 Next #4)
+
+The time_roll_2h and rs6h legs now share ONE checkpointed per-stamp
+projection (one ev.groupBy('ts') hash-agg computing the global mean
+plus the 1-in-20-user filtered sums, localCheckpoint'd per
+invocation) instead of two separate full-events aggregations; the
+bucket-count sub-leg reads the same checkpoint. Measured steady
+state after the trim (warmed session, 4 runs): 7.9s first (includes
+the one-time parity stream) then 4.3/3.65/3.61s — the recurring
+floor is ~3.3-3.6s, NOT the <=1.5s the verdict targeted, and the
+residual is adjudicated as fixed DRIVER-JOB latency, not scan cost:
+the rolling('2h') build alone runs 14 driver jobs (~2.3s at
+~0.15s/job) through its two chained two-pass schemes
+(with_prefix_aggs layout+carry collect, then asof_join's
+layout+boundary collect), each job trivially small at sf0.1. That
+overhead amortizes to nothing at cluster scale (the same 14 jobs on
+100 TB are all data-bound) and shrinking it further means fusing
+the operator's two-pass chain, which would trade a clean
+partition-safe composition for leg-specific latency. Scope is
+constant vs r8; the hash stays green at sf0.01.
 """
 
 POLLUTION_NOTES = []
@@ -444,6 +472,7 @@ def main(paths):
     if POLLUTION_NOTES:
         lines += ["", "## Machine-flagged polluted runs "
                   "(host_speed.mc calibration)", ""] + POLLUTION_NOTES
+    lines += ["", R9_BENCH_NOTE]
     lines += ["", R8_BENCH_NOTE]
     lines += ["", R7_BENCH_NOTE]
     lines += ["", R5_PERF_NOTE]
