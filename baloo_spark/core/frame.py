@@ -1699,20 +1699,64 @@ class DataFrame:
         import pandas as pd
         return cls(pd.DataFrame.from_records(data, **kw))
 
-    def unstack(self, level: int = -1, **kw) -> "DataFrame":
-        """pandas ``DataFrame.unstack`` for the single-data-column
-        case (delegates to :meth:`Series.unstack` — one pivot
-        shuffle). Multiple data columns would need MultiIndex COLUMNS
-        ((col, level-value) pairs), which the engine's flat column
-        model does not represent — unstack each column's Series and
-        join, or ``stack`` first."""
-        if len(self._data_cols) != 1:
+    def unstack(self, level: int = -1, max_columns: int = 10000,
+                verify_integrity: bool = True) -> "DataFrame":
+        """pandas ``DataFrame.unstack``. One data column delegates
+        to :meth:`Series.unstack` (flat level-value column names).
+        Multiple data columns pivot in ONE pass — one hash-agg
+        shuffle carries every column's F.first — and the MultiIndex
+        columns pandas produces ((col, level-value) pairs) flatten
+        to their pandas string spelling ``str((col, value))``, in
+        pandas' col-major order; the engine's column model is flat.
+        Same ``max_columns`` collect guard and duplicate-pair
+        ``verify_integrity`` job as the Series face."""
+        if len(self._data_cols) == 1:
+            return self[self._data_cols[0]].unstack(
+                level=level, max_columns=max_columns,
+                verify_integrity=verify_integrity)
+        idx = [c for c in self._index_cols if c in self._sdf.columns
+               and c != ORD_COL]
+        if len(idx) < 2:
             raise ValueError(
-                "DataFrame.unstack needs exactly one data column "
-                "(the engine has flat columns, not MultiIndex "
-                f"columns); got {list(self._data_cols)!r} — unstack "
-                "each column's Series instead")
-        return self[self._data_cols[0]].unstack(level=level, **kw)
+                "unstack needs a MultiIndex (>= 2 index levels); "
+                f"this frame has {idx!r}")
+        lvl = idx[level]
+        remaining = [c for c in idx if c != lvl]
+        cols = list(self._data_cols)
+        sdf = self._sdf
+        pvals = [r[0] for r in
+                 (sdf.select(lvl).where(F.col(lvl).isNotNull())
+                  .distinct().limit(max_columns + 1).collect())]
+        if len(pvals) * len(cols) > max_columns:
+            raise ValueError(
+                f"unstack level {lvl!r} would produce more than "
+                f"{max_columns} columns; raise max_columns= only if "
+                "you mean a table that wide")
+        pvals.sort()
+        if verify_integrity:
+            dup = (sdf.groupBy(*idx)
+                   .agg(F.count(F.lit(1)).alias("__n__"))
+                   .filter(F.col("__n__") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    "Index contains duplicate entries, cannot "
+                    "reshape")
+        out = (sdf.groupBy(*remaining).pivot(lvl, pvals)
+               .agg(*[F.first(c).alias(f"__u_{c}__")
+                      for c in cols]))
+        # Spark names multi-agg pivot outputs value-major
+        # ("<pval>___u_<col>__", in (pvals x aggs) order) — rename
+        # positionally, then reorder to pandas' col-major layout
+        names = list(remaining) + [str((c, p))
+                                   for p in pvals for c in cols]
+        out = out.toDF(*names)
+        ordered = list(remaining) + [str((c, p))
+                                     for c in cols for p in pvals]
+        out = out.select(*ordered)
+        return DataFrame._make(
+            out, remaining, [c for c in ordered
+                             if c not in remaining],
+            [(c, True) for c in remaining])
 
     def rename_axis(self, name) -> "DataFrame":
         """Rename the INDEX (pandas ``rename_axis``) — a plan-side
@@ -4232,22 +4276,74 @@ class _FrameRolling:
         return self._emit(lambda s, c, q: s, max(self._mp, 1),
                           minmax="max")
 
-    def median(self) -> DataFrame:
+    def median(self, max_rows: int | None = None) -> DataFrame:
         if self._window is None:
-            raise ValueError(
-                "expanding median needs the full history per row "
-                "(no bounded carry exists); use expanding mean/"
-                "var/std, or groupby(...).rolling for per-group "
-                "local frames")
+            return self._expanding_order_stat("median", max_rows)
         return self._local("median")
 
     def quantile(self, q: float = 0.5,
-                 interpolation: str = "linear") -> DataFrame:
+                 interpolation: str = "linear",
+                 max_rows: int | None = None) -> DataFrame:
         if self._window is None:
-            raise ValueError(
-                "expanding quantile needs the full history per row "
-                "(no bounded carry exists); use a fixed window")
+            return self._expanding_order_stat(
+                "quantile", max_rows, q=q,
+                interpolation=interpolation)
         return self._local("quantile", q=q, interpolation=interpolation)
+
+    def _expanding_order_stat(self, stat: str, max_rows: int | None,
+                              **kw) -> DataFrame:
+        """Global expanding order statistic over every numeric
+        column: row i needs its FULL history (no bounded carry), so
+        this is the same EXPLICITLY BUDGETED single-partition pandas
+        pass as the Series face (core/series.py
+        _Expanding._order_stat) — one count job gates the budget,
+        one ordered partition runs pandas' expanding C kernel once
+        for ALL columns."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        from .series import _EXPANDING_STAT_MAX_ROWS
+        df = self._df
+        sdf = df._sdf
+        num = df._numeric_cols()
+        budget = (int(max_rows) if max_rows is not None
+                  else _EXPANDING_STAT_MAX_ROWS)
+        n = sdf.count()
+        if n * max(len(num), 1) > budget:
+            raise ValueError(
+                f"global expanding {stat} needs the full history "
+                f"per row (no bounded carry exists), so this face "
+                f"is a budgeted single-partition pandas pass: "
+                f"{n} rows x {len(num)} columns exceed "
+                f"max_rows={budget}. Raise max_rows=, use a fixed "
+                f"rolling window, or "
+                f"groupby(...).expanding().{stat}()")
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        lay = sdf.repartition(1)
+        if order:
+            lay = lay.sortWithinPartitions(*order)
+        mp = self._mp
+        nset = set(num)
+        out_schema = T.StructType([
+            T.StructField(f.name, T.DoubleType() if f.name in nset
+                          else f.dataType, True)
+            for f in sdf.schema.fields])
+
+        def gen(batches):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            allb = pd.concat(chunks, ignore_index=True)
+            exp = getattr(allb[num].astype("float64").expanding(mp),
+                          stat)(**kw)
+            allb[num] = exp.to_numpy()
+            yield allb
+
+        out = lay.mapInPandas(gen, out_schema)
+        return DataFrame._make(out, df._index_cols, num, df._order)
 
     def var(self, ddof: int = 1) -> DataFrame:
         if self._center and self._window is not None:

@@ -27,6 +27,9 @@ _VAL = "__val__"
 _IDX = "__index__"
 # isin value-list budget: literal IN-set below, broadcast-join above
 _ISIN_LITERAL_MAX = 1024
+# budget for the global expanding order-stat face (a single-
+# partition pandas pass: ~80 MB of doubles at the default)
+_EXPANDING_STAT_MAX_ROWS = 10_000_000
 
 # aggregations: reference casts numeric aggs to f64 (weld_aggs.py:3,42-49)
 _AGG_FNS = {
@@ -3425,17 +3428,71 @@ class _Expanding:
         return self._emit({"__pm__": (self._sr._colexpr, "max")},
                           lambda: F.col("__pm__"), max(self._mp, 1))
 
-    def median(self):
-        raise ValueError(
-            "global expanding median needs the full history per row "
-            "(no bounded carry exists); use a fixed rolling window "
-            "or groupby(...).expanding().median() (groups are local)")
+    def median(self, max_rows: int | None = None):
+        """Global expanding median — see :meth:`_order_stat` for the
+        budget contract."""
+        return self._order_stat("median", max_rows)
 
-    def quantile(self, q: float = 0.5, **kw):
-        raise ValueError(
-            "global expanding quantile needs the full history per "
-            "row (no bounded carry exists); use a fixed rolling "
-            "window or groupby(...).expanding().quantile()")
+    def quantile(self, q: float = 0.5,
+                 interpolation: str = "linear",
+                 max_rows: int | None = None):
+        """Global expanding quantile — see :meth:`_order_stat`."""
+        return self._order_stat("quantile", max_rows, q=q,
+                                interpolation=interpolation)
+
+    def _order_stat(self, stat: str, max_rows: int | None, **kw):
+        """Global expanding order statistic. Row i needs its FULL
+        history (no bounded carry exists — unlike the fixed-window
+        order stats, which carry w-1 donor rows), so this face is an
+        EXPLICITLY BUDGETED single-partition pandas pass, the same
+        honest-gate pattern as tokenize/lm: one count job checks the
+        budget (default ``_EXPANDING_STAT_MAX_ROWS``), then one
+        ordered partition runs pandas' expanding C kernel once.
+        Above the budget it raises naming the distributed
+        alternatives (fixed rolling window / grouped expanding,
+        where groups are local)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        sr = self._sr
+        sdf = sr._sdf
+        budget = (int(max_rows) if max_rows is not None
+                  else _EXPANDING_STAT_MAX_ROWS)
+        n = sdf.count()
+        if n > budget:
+            raise ValueError(
+                f"global expanding {stat} needs the full history "
+                f"per row (no bounded carry exists), so this face "
+                f"is a budgeted single-partition pandas pass: "
+                f"{n} rows exceed max_rows={budget}. Raise "
+                f"max_rows=, use a fixed rolling window, or "
+                f"groupby(...).expanding().{stat}() (groups are "
+                "local)")
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        lay = sdf.select("*", sr._colexpr.cast("double")
+                         .alias("__ev__")).repartition(1)
+        if order:
+            lay = lay.sortWithinPartitions(*order)
+        mp = self._mp
+        out_schema = T.StructType(
+            list(lay.schema.fields)
+            + [T.StructField("__exp__", T.DoubleType())])
+
+        def gen(batches):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            allb = pd.concat(chunks, ignore_index=True)
+            allb["__exp__"] = getattr(
+                allb["__ev__"].expanding(mp), stat)(**kw).to_numpy()
+            yield allb
+
+        out = lay.mapInPandas(gen, out_schema).drop("__ev__")
+        return Series._make(out, F.col("__exp__"), sr._index_cols,
+                            sr.name, sr._order)
 
     def var(self, ddof: int = 1) -> "Series":
         def build():

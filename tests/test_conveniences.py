@@ -638,8 +638,30 @@ def test_frame_unstack_and_record_delegations(bl):
     assert got.values.tolist() == want.values.tolist()
     assert [str(c) for c in got.columns] == \
         [str(c) for c in want.columns]
-    with pytest.raises(ValueError, match="one data column"):
-        d.unstack()
+    # r9: the multi-data-column face — ONE pivot pass carries every
+    # column's F.first; pandas' MultiIndex columns flatten to their
+    # string spelling str((col, value)) in col-major order
+    for lv in (-1, 0):
+        got = d.unstack(level=lv).to_pandas().sort_index()
+        want = pdf.set_index(["a", "b"]).unstack(level=lv) \
+            .sort_index()
+        assert got.values.tolist() == want.values.tolist(), lv
+        assert [str(c) for c in got.columns] == \
+            [str(c) for c in want.columns], lv
+    # missing (index, level) pairs come back NaN, like pandas
+    pdf3 = pdf.iloc[:3]
+    d3 = bl.DataFrame({c: pdf3[c].to_numpy() for c in pdf3}) \
+        .set_index(["a", "b"])
+    got = d3.unstack().to_pandas().sort_index()
+    want = pdf3.set_index(["a", "b"]).unstack().sort_index()
+    np.testing.assert_allclose(got.values.astype(float),
+                               want.values.astype(float))
+    # duplicate (index, level) pairs still raise (verify_integrity)
+    pdf4 = pd.concat([pdf, pdf.iloc[[0]]])
+    d4 = bl.DataFrame({c: pdf4[c].to_numpy() for c in pdf4}) \
+        .set_index(["a", "b"])
+    with pytest.raises(ValueError, match="duplicate"):
+        d4.unstack()
     flat = d.reset_index()
     assert "<table" in flat.to_html()
     assert "tabular" in flat.to_latex()

@@ -1210,3 +1210,54 @@ def test_time_decay_ewm_row_order_semantics(bl):
          "v": np.array([1., 2., 3.])})
     with pytest.raises(ValueError, match="null stamp"):
         d2["v"].ewm(halflife="1d", times="t").mean().to_pandas()
+
+
+def test_expanding_median_quantile_global_face(bl):
+    """r9: the global expanding median/quantile face — row i needs
+    its FULL history (no bounded carry exists), so the face is an
+    EXPLICITLY BUDGETED single-partition pandas pass (one count job
+    gates max_rows, default 10M; above it the ValueError names the
+    distributed alternatives). Series and frame faces; the frame
+    pass shares one partition across all numeric columns."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    rng = np.random.default_rng(31)
+    n = 400
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.1] = np.nan
+    ps = pd.Series(v)
+    s = bl.Series(v)
+    for mp in (1, 3):
+        got = s.expanding(mp).median().to_pandas().to_numpy()
+        want = ps.expanding(mp).median().to_numpy()
+        np.testing.assert_allclose(got, want, equal_nan=True,
+                                   err_msg=f"mp={mp}")
+    got = s.expanding(2).quantile(0.25).to_pandas().to_numpy()
+    want = ps.expanding(2).quantile(0.25).to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
+
+    # the budget gate stays honest
+    with pytest.raises(ValueError, match="max_rows"):
+        s.expanding(1).median(max_rows=10)
+
+    # frame face: every numeric column in one pass
+    pdf = pd.DataFrame({"a": v, "b": rng.normal(size=n)})
+    d = bl.DataFrame({"a": v, "b": pdf["b"].to_numpy()})
+    got = d.expanding(2).median().to_pandas()[["a", "b"]].to_numpy()
+    want = pdf.expanding(2).median().to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    got = d.expanding(1).quantile(0.9).to_pandas()[["a", "b"]] \
+        .to_numpy()
+    want = pdf.expanding(1).quantile(0.9).to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
+
+    # logical order is respected (a sorted series expands in its
+    # sorted order, not ingest order)
+    raw = np.array([3., 1., 2., 5., 4.])
+    got = bl.Series(raw).sort_values().expanding(1).median() \
+        .to_pandas().to_numpy()
+    want = pd.Series(raw).sort_values().expanding(1).median() \
+        .to_numpy()
+    np.testing.assert_allclose(got, want)
