@@ -4844,3 +4844,52 @@ class _FrameILoc:
             return DataFrame._make(out, self._df._index_cols,
                                    self._df._data_cols, [(ORD_COL, True)])
         raise TypeError(f"unsupported iloc key: {type(key)}")
+
+
+def _frame_window_agg(self, func):
+    """pandas ``.agg`` on a FRAME window object (probe wave 20
+    found the face missing): a str delegates to the named statistic
+    over every column; a dict {col: stat} column-binds one
+    statistic per named column (str values only — list values would
+    need MultiIndex columns); a list of statistics emits pandas'
+    (col, stat) MultiIndex columns flattened to their string
+    spelling ``str((col, stat))``, col-major, the same convention
+    as the multi-column unstack. Each DISTINCT statistic is one
+    frame-wide pass (the convenience face, not a fused plan)."""
+    if isinstance(func, str):
+        return getattr(self, func)()
+    if isinstance(func, dict):
+        items = list(func.items())
+        for c, st in items:
+            if not isinstance(st, str):
+                raise ValueError(
+                    "frame window .agg dict values must be single "
+                    "statistic names (a list per column would need "
+                    "MultiIndex columns); got "
+                    f"{st!r} for {c!r}")
+        stats = {}
+        for _, st in items:
+            if st not in stats:
+                stats[st] = getattr(self, st)()
+        c0, s0 = items[0]
+        out = stats[s0][c0].rename(c0).to_frame()
+        for c, st in items[1:]:
+            out[c] = stats[st][c]
+        return out
+    results = [(st, getattr(self, st)()) for st in func]
+    cols = list(results[0][1]._data_cols)
+    out = None
+    for c in cols:
+        for st, res in results:
+            name = str((c, st))
+            if out is None:
+                out = res[c].rename(name).to_frame()
+            else:
+                out[name] = res[c]
+    return out
+
+
+_FrameRolling.agg = _FrameRolling.aggregate = _frame_window_agg
+_FrameEwm.agg = _FrameEwm.aggregate = _frame_window_agg
+_FrameTimeEwm.agg = _FrameTimeEwm.aggregate = _frame_window_agg
+_FrameTimeRolling.agg = _FrameTimeRolling.aggregate = _frame_window_agg

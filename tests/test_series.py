@@ -809,3 +809,25 @@ def test_window_agg_faces(bl):
     got = s.ewm(alpha=0.5).agg("mean").to_pandas().to_numpy()
     want = ps.ewm(alpha=0.5).agg("mean").to_numpy()
     np.testing.assert_allclose(got, want, equal_nan=True)
+    # r9 (probe wave 20): the FRAME window .agg face was missing
+    # entirely. str applies per column; dict {col: stat} stays
+    # flat; a list flattens pandas' (col, stat) MultiIndex columns
+    # to str((col, stat)), col-major, like multi-column unstack
+    pdf = pd.DataFrame({"x": v, "y": v[::-1]})
+    d = bl.DataFrame({"x": v, "y": v[::-1].copy()})
+    got = d.rolling(2, min_periods=1).agg({"x": "sum", "y": "max"}) \
+        .to_pandas()
+    want = pdf.rolling(2, min_periods=1).agg({"x": "sum", "y": "max"})
+    np.testing.assert_allclose(got[["x", "y"]].to_numpy(),
+                               want.to_numpy(), equal_nan=True)
+    got = d.expanding(1).agg(["mean", "sum"]).to_pandas()
+    want = pdf.expanding(1).agg(["mean", "sum"])
+    assert [str(c) for c in got.columns][-4:] == \
+        [str(c) for c in want.columns]
+    np.testing.assert_allclose(
+        got[[str(c) for c in want.columns]].to_numpy(),
+        want.to_numpy(), equal_nan=True)
+    got = d.ewm(alpha=0.4).agg("mean").to_pandas()
+    want = pdf.ewm(alpha=0.4).agg("mean")
+    np.testing.assert_allclose(got[["x", "y"]].to_numpy(),
+                               want.to_numpy(), equal_nan=True)
