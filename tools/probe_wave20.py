@@ -244,4 +244,46 @@ check("quantile .75 linear",
                  .to_pandas().sort_values("ts")["v"]),
       lambda: fl(p["v"].resample("1h").quantile(0.75)))
 
+# ---- r9 fix regressions ride this wave too: the DataFrame.loc
+# label-list face (requested order / duplicates / KeyError) and the
+# ewm(times=) row-order pin
+lpdf = pd.DataFrame({"k": [10, 20, 30, 20],
+                     "v": [1., 2., 3., 4.]}).set_index("k")
+ld = bl.DataFrame({"k": np.array([10, 20, 30, 20]),
+                   "v": np.array([1., 2., 3., 4.])}).set_index("k")
+for req in ([30, 10], [10, 10], [20, 10]):
+    check(f"frame loc {req}",
+          lambda req=req: [fl(ld.loc[req].to_pandas()["v"]),
+                           [int(x) for x in
+                            ld.loc[req].to_pandas().index]],
+          lambda req=req: [fl(lpdf.loc[req]["v"]),
+                           [int(x) for x in lpdf.loc[req].index]])
+check("frame loc missing raises",
+      lambda: ld.loc[[10, 99]].to_pandas().shape[0],
+      lambda: lpdf.loc[[10, 99]].shape[0])
+check("to_timedelta str",
+      lambda: float(bl.to_timedelta("90min").total_seconds()),
+      lambda: float(pd.to_timedelta("90min").total_seconds()))
+
+emt = pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"])
+emd = bl.DataFrame({"t": emt.to_numpy(),
+                    "v": np.array([1., 2., 3.])})
+check("ewm times row order",
+      lambda: fl(emd["v"].ewm(halflife="1d", times="t").mean()
+                 .to_pandas()),
+      lambda: fl(pd.Series([1., 2., 3.]).ewm(
+          halflife=pd.Timedelta("1d"),
+          times=np.array(emt, dtype="datetime64[ns]")).mean()))
+emd2 = bl.DataFrame(
+    {"t": pd.to_datetime(["2024-01-01", None, "2024-01-02"])
+     .to_numpy(), "v": np.array([1., 2., 3.])})
+check("ewm times NaT raises",
+      lambda: fl(emd2["v"].ewm(halflife="1d", times="t").mean()
+                 .to_pandas()),
+      lambda: fl(pd.Series([1., 2., 3.]).ewm(
+          halflife=pd.Timedelta("1d"),
+          times=np.array(pd.to_datetime(
+              ["2024-01-01", None, "2024-01-02"]),
+              dtype="datetime64[ns]")).mean()))
+
 print("probe wave 20 done")
