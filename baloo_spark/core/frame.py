@@ -4469,13 +4469,81 @@ class _FrameTimeRolling:
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
-    def min(self):
-        raise ValueError(
-            "time-offset rolling min does not decompose into "
-            "prefix + as-of; use groupby(...).rolling('2h') (a "
-            "per-group RANGE frame) or resample")
+    def min(self, max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("min", max_rows)
 
-    max = median = min
+    def max(self, max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("max", max_rows)
+
+    def median(self, max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("median", max_rows)
+
+    def quantile(self, q: float = 0.5,
+                 interpolation: str = "linear",
+                 max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("quantile", max_rows, q=q,
+                                interpolation=interpolation)
+
+    def _order_stat(self, stat: str, max_rows: int | None,
+                    **kw) -> DataFrame:
+        """Time-window order statistics over every numeric column —
+        the same EXPLICITLY BUDGETED single-partition pandas pass as
+        the Series face (core/series._TimeRolling._order_stat), one
+        kernel call shared across all columns."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        from .series import _EXPANDING_STAT_MAX_ROWS, _dt_index_col
+        df = self._df
+        sdf = df._sdf
+        tcol = _dt_index_col(df._index_cols, sdf)
+        if tcol is None:
+            raise TypeError(
+                "rolling with a time offset needs a datetime index "
+                f"level; index levels are {list(df._index_cols)!r}")
+        num = [c for c in df._numeric_cols() if c != tcol]
+        budget = (int(max_rows) if max_rows is not None
+                  else _EXPANDING_STAT_MAX_ROWS)
+        n = sdf.count()
+        if n * max(len(num), 1) > budget:
+            raise ValueError(
+                f"time-offset rolling {stat} does not decompose "
+                f"into prefix + as-of, so this face is a budgeted "
+                f"single-partition pandas pass: {n} rows x "
+                f"{len(num)} columns exceed max_rows={budget}. "
+                f"Raise max_rows=, use "
+                f"groupby(...).rolling('2h').{stat}() or resample")
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(tcol).asc()] + order
+        lay = sdf.repartition(1).sortWithinPartitions(*order)
+        mp = max(self._mp, 1)
+        us = self._us
+        nset = set(num)
+        out_schema = T.StructType([
+            T.StructField(f.name, T.DoubleType() if f.name in nset
+                          else f.dataType, True)
+            for f in sdf.schema.fields])
+
+        def gen(batches):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            allb = pd.concat(chunks, ignore_index=True)
+            sub = pd.DataFrame(
+                allb[num].astype("float64").to_numpy(),
+                index=pd.DatetimeIndex(pd.to_datetime(allb[tcol])),
+                columns=num)
+            res = getattr(
+                sub.rolling(pd.Timedelta(us, unit="us"),
+                            min_periods=mp), stat)(**kw)
+            allb[num] = res.to_numpy()
+            yield allb
+
+        out = lay.mapInPandas(gen, out_schema)
+        return DataFrame._make(out, df._index_cols, num, df._order)
 
 
 class _Resampler:

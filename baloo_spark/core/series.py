@@ -3218,13 +3218,82 @@ class _TimeRolling:
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
-    def min(self):
-        raise ValueError(
-            "time-offset rolling min does not decompose into "
-            "prefix + as-of; use groupby(...).rolling('2h') (a "
-            "per-group RANGE frame) or resample")
+    def min(self, max_rows: int | None = None) -> "Series":
+        return self._order_stat("min", max_rows)
 
-    max = median = min
+    def max(self, max_rows: int | None = None) -> "Series":
+        return self._order_stat("max", max_rows)
+
+    def median(self, max_rows: int | None = None) -> "Series":
+        return self._order_stat("median", max_rows)
+
+    def quantile(self, q: float = 0.5,
+                 interpolation: str = "linear",
+                 max_rows: int | None = None) -> "Series":
+        return self._order_stat("quantile", max_rows, q=q,
+                                interpolation=interpolation)
+
+    def _order_stat(self, stat: str, max_rows: int | None, **kw):
+        """Time-window order statistics do NOT decompose into
+        prefix + as-of (unlike sum/mean/var, window_agg(i) is not a
+        difference of prefixes), so this face is the same
+        EXPLICITLY BUDGETED single-partition pandas pass as the
+        global expanding order stats (:meth:`_Expanding._order_stat`
+        — one count job gates max_rows, default 10M; above it the
+        error names the per-group RANGE-frame and resample
+        alternatives). pandas' own time-rolling kernel supplies the
+        duplicate-stamp positional tie rule."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        sr = self._sr
+        sdf = sr._sdf
+        tcol = _dt_index_col(sr._index_cols, sdf)
+        if tcol is None:
+            raise TypeError(
+                "rolling with a time offset needs a datetime index "
+                f"level; index levels are {list(sr._index_cols)!r}")
+        budget = (int(max_rows) if max_rows is not None
+                  else _EXPANDING_STAT_MAX_ROWS)
+        n = sdf.count()
+        if n > budget:
+            raise ValueError(
+                f"time-offset rolling {stat} does not decompose "
+                f"into prefix + as-of, so this face is a budgeted "
+                f"single-partition pandas pass: {n} rows exceed "
+                f"max_rows={budget}. Raise max_rows=, use "
+                f"groupby(...).rolling('2h').{stat}() (a per-group "
+                "RANGE frame) or resample")
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(tcol).asc()] + order
+        lay = (sdf.select("*", sr._colexpr.cast("double")
+                          .alias("__ev__"))
+               .repartition(1).sortWithinPartitions(*order))
+        mp = max(self._mp, 1)
+        us = self._us
+        out_schema = T.StructType(
+            list(lay.schema.fields)
+            + [T.StructField("__roll__", T.DoubleType())])
+
+        def gen(batches):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            allb = pd.concat(chunks, ignore_index=True)
+            s = pd.Series(
+                allb["__ev__"].to_numpy(),
+                index=pd.DatetimeIndex(pd.to_datetime(allb[tcol])))
+            allb["__roll__"] = getattr(
+                s.rolling(pd.Timedelta(us, unit="us"),
+                          min_periods=mp), stat)(**kw).to_numpy()
+            yield allb
+
+        out = lay.mapInPandas(gen, out_schema).drop("__ev__")
+        return Series._make(out, F.col("__roll__"), sr._index_cols,
+                            sr.name, sr._order)
 
 
 class _TimeEWM:

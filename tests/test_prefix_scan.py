@@ -1261,3 +1261,49 @@ def test_expanding_median_quantile_global_face(bl):
     want = pd.Series(raw).sort_values().expanding(1).median() \
         .to_numpy()
     np.testing.assert_allclose(got, want)
+
+
+def test_time_rolling_order_stats_budgeted(bl):
+    """r9: global time-offset rolling min/max/median/quantile —
+    these do not decompose into prefix + as-of, so the face is the
+    same explicitly budgeted single-partition pandas pass as the
+    global expanding order stats (count job gates max_rows; pandas'
+    own kernel supplies the duplicate-stamp positional tie rule).
+    Series and frame faces."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    rng = np.random.default_rng(9)
+    n = 300
+    secs = np.sort(rng.choice(np.arange(0, 500000), n,
+                              replace=False))
+    secs[50] = secs[49]                       # duplicate stamp
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.1] = np.nan
+    ps = pd.Series(v, index=ts)
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v}).set_index("ts")
+    for stat in ("min", "max", "median"):
+        got = getattr(d["v"].rolling("2h", min_periods=1), stat)() \
+            .to_pandas().to_numpy()
+        want = getattr(ps.rolling("2h", min_periods=1), stat)() \
+            .to_numpy()
+        np.testing.assert_allclose(got, want, equal_nan=True,
+                                   err_msg=stat)
+    got = d["v"].rolling("3h", min_periods=2).quantile(0.3) \
+        .to_pandas().to_numpy()
+    want = ps.rolling("3h", min_periods=2).quantile(0.3).to_numpy()
+    np.testing.assert_allclose(got, want, equal_nan=True)
+    with pytest.raises(ValueError, match="max_rows"):
+        d["v"].rolling("2h").min(max_rows=10)
+    pdf = pd.DataFrame({"v": v, "u": rng.normal(size=n)}, index=ts)
+    d2 = bl.DataFrame({"ts": ts.to_numpy(), "v": v,
+                       "u": pdf["u"].to_numpy()}).set_index("ts")
+    for stat in ("max", "median"):
+        got = getattr(d2.rolling("90min", min_periods=1), stat)() \
+            .to_pandas()[["v", "u"]].to_numpy()
+        want = getattr(pdf.rolling("90min", min_periods=1), stat)() \
+            .to_numpy()
+        np.testing.assert_allclose(got, want, equal_nan=True,
+                                   err_msg=stat)
