@@ -502,6 +502,22 @@ class Series:
         return fn
 
     def _floor_div(self, o, reverse: bool):
+        if (self.spark_type.typeName() == "boolean"
+                and self._other_is_bool(o)):
+            # pandas 2.2 raises NotImplementedError for bool//bool
+            raise NotImplementedError(
+                "operator 'floordiv' not implemented for bool "
+                "dtypes (pandas refuses it too); astype(int) first")
+        # a LONE bool operand acts as 0/1, like _lift_arith
+        if self.spark_type.typeName() == "boolean":
+            return self.astype("int64")._floor_div(o, reverse)
+        if self._other_is_bool(o):
+            if isinstance(o, Series):
+                o = o.astype("int64")
+            elif isinstance(o, (bool, np.bool_)):
+                o = int(o)
+            else:
+                o = np.asarray(o).astype("int64")
         return self._lift(o, self._floor_fn(o, reverse))
 
     def __floordiv__(self, o): return self._floor_div(o, False)

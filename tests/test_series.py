@@ -776,6 +776,14 @@ def test_bool_arithmetic_and_agg_promotion(bl):
         bl.Series(bo) ** bl.Series(rev)
     assert (bl.Series(bo) % bl.Series(rev)).to_pandas().tolist() == \
         (pd.Series(bo) % pd.Series(rev)).tolist()
+    with pytest.raises(NotImplementedError, match="floordiv"):
+        bl.Series(bo) // bl.Series(rev)
+    # lone bool operands act as 0/1 in floordiv too; int//False
+    # keeps the engine's pinned int//0 -> NULL convention
+    assert (bl.Series(bo) // 2).to_pandas().tolist() == \
+        (pd.Series(bo) // 2).tolist()
+    assert (bl.Series(i8) // True).to_pandas().tolist() == \
+        (pd.Series(i8) // True).tolist()
     # aggregations admit bools as 0/1 (engine f64 convention)
     pdf = pd.DataFrame({"g": ["a", "b", "a", "b", "a"],
                         "v": [1., 2., 3., 4., 5.], "w": bo})
