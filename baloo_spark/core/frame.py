@@ -4769,6 +4769,113 @@ class _Resampler:
         return Series._make(sub._sdf, F.col("__size__").cast("long"),
                             [self._on], None, sub._order)
 
+    def _upsample(self, method: str, fill_value=None) -> "DataFrame":
+        """Shared core of the UPSAMPLING faces (pandas
+        ``Resampler.asfreq/ffill/bfill/nearest``): generate the
+        bucket-label grid distributed (spark.range arithmetic, only
+        the two boundary stamps touch the driver), then ONE join —
+        exact equi-join for asfreq (off-label originals drop, like
+        pandas), the engine's partition-safe as-of join otherwise
+        (backward=ffill, forward=bfill, nearest=nearest). Duplicate
+        source stamps raise like pandas' reindex ('cannot reindex on
+        an axis with duplicate labels') — one tiny limit-1 gate job;
+        a silent max_by would pick a resolver-dependent winner."""
+        import pandas as pd
+        df, on = self._df, self._on
+        if self._cal:
+            raise NotImplementedError(
+                f"resample(...).{method}(): upsampling supports "
+                "fixed-width frequencies; calendar buckets "
+                "(ME/MS/YE/YS) aggregate only")
+        us = self._us
+        sdf = df._sdf
+        t = F.col(on).cast("timestamp")
+        usc = F.unix_micros(t)
+        data = [c for c in df._data_cols if c != on]
+        rng = sdf.agg(F.min(usc).alias("mn"),
+                      F.max(usc).alias("mx")).first()
+        if rng["mn"] is None:
+            out = sdf.select(t.alias(on), *data).limit(0)
+            return DataFrame._make(out, [on], data, [(on, True)])
+        right = sdf.select(t.alias(on), *[F.col(c) for c in data])
+        dup = (right.groupBy(on).agg(F.count(F.lit(1)).alias("__n__"))
+               .filter(F.col("__n__") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "cannot reindex on an axis with duplicate labels")
+        mn = rng["mn"] - ((rng["mn"] % us) + us) % us
+        mx = rng["mx"] - ((rng["mx"] % us) + us) % us
+        nb = (mx - mn) // us + 1
+        grid = sdf.sparkSession.range(int(nb)).select(
+            F.timestamp_micros(F.lit(mn) + F.col("id") * F.lit(us))
+            .alias(on))
+        if method == "asfreq":
+            r2 = right.select(F.col(on).alias("__ok__"), *data)
+            out = grid.join(r2, F.col(on) == F.col("__ok__"), "left")
+            if fill_value is not None:
+                intro = F.col("__ok__").isNull()
+                for c in data:
+                    out = out.withColumn(
+                        c, F.when(intro, F.lit(fill_value))
+                        .otherwise(F.col(c)))
+            out = out.drop("__ok__")
+        else:
+            from ..operators.joins import asof_join
+            direction = {"ffill": "backward", "bfill": "forward",
+                         "nearest": "nearest"}[method]
+            out = asof_join(grid, right, on=on,
+                            direction=direction, suffix="")
+            out = out.select(on, *data)
+        return DataFrame._make(out.orderBy(on), [on], data,
+                               [(on, True)])
+
+    def ffill(self): return self._upsample("ffill")
+    def bfill(self): return self._upsample("bfill")
+    def nearest(self): return self._upsample("nearest")
+
+    def asfreq(self, fill_value=None):
+        return self._upsample("asfreq", fill_value)
+
+    def agg(self, func):
+        """pandas ``Resampler.agg``: a str delegates; a dict
+        {col: stat} column-binds (flat names, like pandas); a list
+        of statistics emits pandas' (col, stat) MultiIndex columns
+        flattened to ``str((col, stat))``, col-major (the engine's
+        MultiIndex-column convention). Each DISTINCT statistic is
+        one bucket hash-agg pass; columns re-bind by bucket-label
+        index alignment. ohlc/size do not compose into a list/dict
+        face (nested columns) — call them directly."""
+        if isinstance(func, str):
+            return getattr(self, func)()
+        flat_names = isinstance(func, dict)
+        items = (list(func.items()) if flat_names
+                 else [(None, st) for st in func])
+        for _, st in items:
+            if not isinstance(st, str) or st in ("ohlc", "size"):
+                raise ValueError(
+                    f"Resampler.agg statistics must be scalar "
+                    f"per-bucket names (got {st!r}); call "
+                    "ohlc()/size() directly")
+        stats = {}
+        for _, st in items:
+            if st not in stats:
+                stats[st] = getattr(self, st)()
+        out = None
+        if flat_names:
+            binds = [(c, stats[st][c]) for c, st in items]
+        else:
+            cols = list(stats[items[0][1]]._data_cols)
+            binds = [(str((c, st)), stats[st][c])
+                     for c in cols for _, st in items]
+        for name, series in binds:
+            if out is None:
+                out = series.rename(name).to_frame()
+            else:
+                out[name] = series
+        return out
+
+    aggregate = agg
+
 
 class _FrameLoc:
     """Label-based row/column selection (pandas loc flavor)."""

@@ -42,6 +42,15 @@ class DataFrameGroupBy:
         sub = self._df[list(dict.fromkeys(sel))]
         return DataFrameGroupBy(sub, self._by)
 
+    def __getattr__(self, name):
+        """pandas exposes value columns as groupby attributes
+        (``df.groupby(k).v`` == ``df.groupby(k)['v']``)."""
+        if not name.startswith("_") and name in self._df._data_cols:
+            return self[name]
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute "
+            f"{name!r}")
+
     def _value_cols(self, include_bool: bool = False):
         """Numeric value columns; ``include_bool`` admits boolean
         columns too (pandas groupby AGGREGATIONS treat bools as 0/1

@@ -3525,6 +3525,21 @@ class _Expanding:
         return self._order_stat("quantile", max_rows, q=q,
                                 interpolation=interpolation)
 
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False, max_rows: int | None = None):
+        """Global expanding rank — full history per row, so it
+        rides the budgeted pass (see :meth:`_order_stat`)."""
+        return self._order_stat("rank", max_rows, method=method,
+                                ascending=ascending, pct=pct)
+
+    def apply(self, func, raw: bool = False, args=(), kwargs=None,
+              max_rows: int | None = None):
+        """Global expanding apply (arbitrary per-window callable) —
+        the honest slow path, on the budgeted pass."""
+        return self._order_stat("apply", max_rows, func=func,
+                                raw=raw, args=args,
+                                kwargs=kwargs or {})
+
     def _order_stat(self, stat: str, max_rows: int | None, **kw):
         """Global expanding order statistic. Row i needs its FULL
         history (no bounded carry exists — unlike the fixed-window

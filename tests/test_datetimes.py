@@ -376,3 +376,88 @@ def test_resample_median_quantile_sem_prod_size_nunique(bl):
         .to_numpy(dtype=float)
     want = ps.resample("6h").size().to_numpy(dtype=float)
     np.testing.assert_allclose(got, want)
+
+
+def test_resampler_upsampling_and_agg(bl):
+    """r9 dir-sweep closes: Resampler.asfreq/ffill/bfill/nearest
+    (bucket-label grid generated distributed, then one exact or
+    as-of join; duplicate source stamps raise pandas' reindex
+    error) and Resampler.agg (str delegates; dict {col: stat} stays
+    flat; a statistic list flattens pandas' (col, stat) MultiIndex
+    columns to str((col, stat)) col-major)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 02:30",
+                         "2024-01-01 03:05"])
+    v = np.array([1., 3., 7.])
+    u = np.array([10., 30., 70.])
+    pdf = pd.DataFrame({"v": v, "u": u}, index=ts)
+    d = bl.DataFrame({"t": ts.to_numpy(), "v": v, "u": u})
+    r, pr = d.resample("1h", on="t"), pdf.resample("1h")
+    for m in ("ffill", "bfill", "nearest"):
+        got = getattr(r, m)().to_pandas().sort_index()
+        want = getattr(pr, m)()
+        np.testing.assert_allclose(got[["v", "u"]].to_numpy(),
+                                   want.to_numpy(), equal_nan=True,
+                                   err_msg=m)
+        assert [str(x) for x in got.index] == \
+            [str(x) for x in want.index], m
+    got = r.asfreq().to_pandas().sort_index()
+    want = pr.asfreq()
+    np.testing.assert_allclose(got[["v", "u"]].to_numpy(),
+                               want.to_numpy(), equal_nan=True)
+    got = r.asfreq(fill_value=-1.).to_pandas().sort_index()
+    want = pr.asfreq(fill_value=-1.)
+    np.testing.assert_allclose(got[["v", "u"]].to_numpy(),
+                               want.to_numpy(), equal_nan=True)
+    d2 = bl.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01", "2024-01-01",
+                              "2024-01-02"]).to_numpy(), "v": v})
+    with pytest.raises(ValueError, match="duplicate"):
+        d2.resample("1h", on="t").ffill()
+    got = r.agg({"v": "sum"}).to_pandas().sort_index()
+    want = pr.agg({"v": "sum"})
+    np.testing.assert_allclose(got["v"].to_numpy(),
+                               want["v"].to_numpy(), equal_nan=True)
+    got = r.agg(["sum", "mean"]).to_pandas().sort_index()
+    want = pr.agg(["sum", "mean"])
+    assert [str(c) for c in got.columns] == \
+        [str(c) for c in want.columns]
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               equal_nan=True)
+    with pytest.raises(NotImplementedError, match="calendar"):
+        d.resample("ME", on="t").ffill()
+
+
+def test_expanding_rank_apply_and_groupby_attr(bl):
+    """r9 dir-sweep closes: global expanding rank/apply on the
+    budgeted single-partition pass, and pandas' groupby column
+    attribute access (df.groupby(k).v)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=120)
+    v[rng.random(120) < 0.1] = np.nan
+    ps, s = pd.Series(v), bl.Series(v)
+    got = s.expanding(2).rank().to_pandas().to_numpy()
+    np.testing.assert_allclose(got, ps.expanding(2).rank()
+                               .to_numpy(), equal_nan=True)
+    got = s.expanding(2).rank(method="min", pct=True) \
+        .to_pandas().to_numpy()
+    np.testing.assert_allclose(
+        got, ps.expanding(2).rank(method="min", pct=True).to_numpy(),
+        equal_nan=True)
+    got = s.expanding(1).apply(np.ptp, raw=True) \
+        .to_pandas().to_numpy()
+    np.testing.assert_allclose(
+        got, ps.expanding(1).apply(np.ptp, raw=True).to_numpy(),
+        equal_nan=True)
+    pdf = pd.DataFrame({"g": ["a", "b", "a"], "v": [1., 2., 3.]})
+    d = bl.DataFrame({"g": np.array(["a", "b", "a"], dtype=object),
+                      "v": np.array([1., 2., 3.])})
+    assert d.groupby("g").v.sum().to_pandas().sort_index()["v"] \
+        .tolist() == pdf.groupby("g").v.sum().sort_index().tolist()
+    with pytest.raises(AttributeError):
+        d.groupby("g").nope
