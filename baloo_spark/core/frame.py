@@ -4874,7 +4874,7 @@ class _Resampler:
                 out[name] = series
         return out
 
-    aggregate = agg
+    aggregate = apply = agg
 
 
 class _FrameLoc:

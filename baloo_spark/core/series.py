@@ -1392,6 +1392,37 @@ class Series:
         """JSON sink — delegates to :meth:`DataFrame.to_json`."""
         return self._to_frame_for_io().to_json(filepath, **kw)
 
+    def to_latex(self, **kw) -> str:
+        """Driver-side LaTeX rendering — delegates to
+        :meth:`DataFrame.to_latex` on the one-column frame."""
+        return self._to_frame_for_io().to_latex(**kw)
+
+    def swaplevel(self, i=0, j=1) -> "Series":
+        """Swap two index levels (metadata only, like the frame
+        face) — delegates through the one-column frame."""
+        fr = self._to_frame_for_io().swaplevel(i, j)
+        return fr[self.name or _VAL]
+
+    def droplevel(self, level) -> "Series":
+        """Remove one index level — delegates through the
+        one-column frame (metadata + column drop, no job)."""
+        fr = self._to_frame_for_io().droplevel(level)
+        return fr[self.name or _VAL]
+
+    def xs(self, key):
+        """Cross-section at index label ``key`` (pandas ``Series.xs``
+        single-level flavor): the matching VALUE, an explicit
+        driver-side fetch like ``iloc`` scalars; duplicate labels
+        return a Series. Delegates to :meth:`DataFrame.xs`."""
+        got = self._to_frame_for_io().xs(key)
+        vname = self.name or _VAL
+        if isinstance(got, Series):  # pragma: no cover - defensive
+            return got
+        from .frame import DataFrame
+        if isinstance(got, DataFrame):
+            return got[vname]
+        return got[vname]            # pandas row Series -> scalar
+
     def _to_frame_for_io(self):
         from .frame import DataFrame
         vname = self.name or _VAL

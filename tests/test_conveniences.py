@@ -743,3 +743,43 @@ def test_r9_frame_loc_list_and_to_timedelta_str(bl):
          "d": np.array([90.0])})
     got = (d["t"] + bl.to_timedelta(d["d"])).to_pandas()
     assert str(got.tolist()[0]) == "2024-01-01 00:01:30"
+
+
+def test_series_level_ops_and_xs(bl):
+    """r9 dir-sweep closes on Series: swaplevel/droplevel (metadata
+    delegations through the one-column frame), xs (driver-side
+    scalar fetch; duplicate labels return a Series), to_latex, and
+    the Resampler.apply alias."""
+    import pandas as pd
+    pm = pd.Series(
+        [1., 2., 3., 4.], name="v",
+        index=pd.MultiIndex.from_tuples(
+            [("a", 1), ("a", 2), ("b", 1), ("b", 2)],
+            names=["x", "y"]))
+    d = bl.DataFrame({"x": np.array(["a", "a", "b", "b"],
+                                    dtype=object),
+                      "y": np.array([1, 2, 1, 2]),
+                      "v": np.array([1., 2., 3., 4.])}) \
+        .set_index(["x", "y"])["v"]
+    got = d.swaplevel().to_pandas()
+    want = pm.swaplevel()
+    assert list(got.index.names) == list(want.index.names)
+    assert sorted(got.tolist()) == sorted(want.tolist())
+    got = d.droplevel("y").to_pandas()
+    want = pm.droplevel("y")
+    assert got.index.name == want.index.name
+    assert sorted(got.tolist()) == sorted(want.tolist())
+    assert sorted(d.xs("a").to_pandas().tolist()) == [1.0, 2.0]
+    ps = pd.Series([10., 20.], index=["p", "q"], name="v")
+    s = bl.DataFrame({"k": np.array(["p", "q"], dtype=object),
+                      "v": ps.to_numpy()}).set_index("k")["v"]
+    assert s.xs("q") == ps.xs("q")
+    assert "tabular" in s.to_latex()
+    ts = pd.date_range("2024-01-01", periods=4, freq="30min")
+    d2 = bl.DataFrame({"t": ts.to_numpy(),
+                       "v": np.array([1., 2., 4., 8.])})
+    got = d2.resample("1h", on="t").apply("sum").to_pandas() \
+        .sort_index()["v"].tolist()
+    want = pd.DataFrame({"v": [1., 2., 4., 8.]}, index=ts) \
+        .resample("1h").apply("sum")["v"].tolist()
+    assert got == want
