@@ -4833,6 +4833,19 @@ class _Resampler:
     def bfill(self): return self._upsample("bfill")
     def nearest(self): return self._upsample("nearest")
 
+    def interpolate(self, method: str = "linear",
+                    limit: int | None = None,
+                    limit_direction: str | None = None) -> "DataFrame":
+        """pandas ``Resampler.interpolate``: asfreq to the bucket
+        grid (off-label originals DROP, like pandas), then linear
+        interpolation between the surviving on-label points. The
+        grid is uniformly spaced, so positional linear equals time
+        linear; rides the engine's fused multi-column interpolation
+        pass (one layout regardless of column count)."""
+        return self._upsample("asfreq").interpolate(
+            method=method, limit=limit,
+            limit_direction=limit_direction)
+
     def asfreq(self, fill_value=None):
         return self._upsample("asfreq", fill_value)
 

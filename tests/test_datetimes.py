@@ -428,6 +428,19 @@ def test_resampler_upsampling_and_agg(bl):
                                equal_nan=True)
     with pytest.raises(NotImplementedError, match="calendar"):
         d.resample("ME", on="t").ffill()
+    # interpolate: asfreq then linear fill (grid is uniform, so
+    # positional linear == time linear)
+    its = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                          "2024-01-01 02:00", "2024-01-01 03:30"])
+    iv = np.array([1., 5., 9., 13.])
+    ipdf = pd.DataFrame({"v": iv}, index=its)
+    idd = bl.DataFrame({"t": its.to_numpy(), "v": iv})
+    for kw in ({}, {"limit_direction": "both"}):
+        got = idd.resample("30min", on="t").interpolate(**kw) \
+            .to_pandas().sort_index()["v"].to_numpy()
+        want = ipdf.resample("30min").interpolate(**kw)["v"] \
+            .to_numpy()
+        np.testing.assert_allclose(got, want, equal_nan=True)
 
 
 def test_expanding_rank_apply_and_groupby_attr(bl):
