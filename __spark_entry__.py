@@ -1707,6 +1707,7 @@ def _running_totals(spark, sf):
                             "ewm_var", "ewm_var_rec")]
     _roll5_nulls = [F.lit(None).cast("double").alias(c)
                     for c in ("roll5_med", "roll5_min")]
+    _exp_null = F.lit(None).cast("double").alias("exp_med")
     win = out.to_spark().select(
         F.lit("win").alias("part"),
         "o_custkey", "o_orderkey",
@@ -1719,7 +1720,7 @@ def _running_totals(spark, sf):
         F.lit(None).cast("long").alias("rank_min"),
         F.lit(None).cast("double").alias("rank_avg"),
         F.lit(None).cast("long").alias("rank_dense"),
-        *_ewm_nulls, *_roll5_nulls)
+        *_ewm_nulls, *_roll5_nulls, _exp_null)
     o2 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
@@ -1732,6 +1733,14 @@ def _running_totals(spark, sf):
     # frames with the min_periods count gate
     o2["roll5_med"] = s.rolling(5).median()
     o2["roll5_min"] = s.rolling(5, min_periods=2).min()
+    # r9: GLOBAL expanding median — the budgeted single-partition
+    # pandas pass (core/series._Expanding._order_stat), replayed by
+    # DuckDB's median() over ROWS UNBOUNDED PRECEDING. Both sides
+    # round 2*median: an even-count median of 2-decimal prices is
+    # the average of two of them — exactly X.XX5 — and round(.., 2)
+    # of a midpoint is a half-even-vs-half-up coin flip across
+    # engines; the doubled value is exactly 2-decimal, no midpoint.
+    o2["exp_med"] = s.expanding(1).median() * 2.0
     o2r = o2.with_rolling("o_totalprice", 3, order_by="o_orderkey",
                           agg="sum", name="roll3_sum")
     diff = o2r.to_spark().select(
@@ -1748,7 +1757,8 @@ def _running_totals(spark, sf):
         F.lit(None).cast("long").alias("rank_dense"),
         *_ewm_nulls,
         F.round("roll5_med", 2).alias("roll5_med"),
-        F.round("roll5_min", 2).alias("roll5_min"))
+        F.round("roll5_min", 2).alias("roll5_min"),
+        F.round("exp_med", 2).alias("exp_med"))
 
     # r4 'rank' leg: Series.rank min/average/dense over the same
     # bounded extract — the dense-ordinal tie-group schemes,
@@ -1779,7 +1789,7 @@ def _running_totals(spark, sf):
         F.lit(None).cast("double").alias("prev_price"),
         F.lit(None).cast("double").alias("roll3_sum"),
         "rank_min", "rank_avg", "rank_dense", *_ewm_nulls,
-        *_roll5_nulls)
+        *_roll5_nulls, _exp_null)
 
     # r6 'ewm' leg: Series.ewm(adjust=True/False).mean() (the two
     # two-pass decayed-carry scans, plans/ordinal.py) + global
@@ -1822,7 +1832,7 @@ def _running_totals(spark, sf):
         F.round("roll3m", 2).alias("roll3m"),
         F.round(F.col("ewm_var") * F.lit(1e-8), 4).alias("ewm_var"),
         F.round(F.col("ewm_var_rec") * F.lit(1e-8), 4)
-         .alias("ewm_var_rec"), *_roll5_nulls)
+         .alias("ewm_var_rec"), *_roll5_nulls, _exp_null)
     return win.unionByName(diff).unionByName(rank_leg) \
         .unionByName(ewm_leg)
 
@@ -1845,7 +1855,8 @@ SELECT 'win' AS part, o_custkey, o_orderkey,
        CAST(NULL AS DOUBLE) AS ewm_adj, CAST(NULL AS DOUBLE) AS ewm_rec,
        CAST(NULL AS DOUBLE) AS roll3m,
        CAST(NULL AS DOUBLE) AS ewm_var, CAST(NULL AS DOUBLE) AS ewm_var_rec,
-       CAST(NULL AS DOUBLE) AS roll5_med, CAST(NULL AS DOUBLE) AS roll5_min
+       CAST(NULL AS DOUBLE) AS roll5_med, CAST(NULL AS DOUBLE) AS roll5_min,
+       CAST(NULL AS DOUBLE) AS exp_med
 FROM orders
 UNION ALL
 SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
@@ -1866,7 +1877,9 @@ SELECT 'diff', o_custkey, o_orderkey, NULL, NULL, NULL,
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 2
                   THEN min(o_totalprice) OVER (ORDER BY o_orderkey
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-             END, 2) AS roll5_min
+             END, 2) AS roll5_min,
+       round(2 * median(o_totalprice) OVER (ORDER BY o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS exp_med
 FROM orders WHERE o_orderkey < 2000
 UNION ALL
 SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1874,7 +1887,7 @@ SELECT 'rank', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
        (rank() OVER (ORDER BY o_totalprice))
          + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0,
        dense_rank() OVER (ORDER BY o_totalprice),
-       NULL, NULL, NULL, NULL, NULL, NULL, NULL
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
 FROM orders WHERE o_orderkey < 2000
 UNION ALL
 SELECT 'ewm', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -1889,7 +1902,7 @@ SELECT 'ewm', o_custkey, o_orderkey, NULL, NULL, NULL, NULL, NULL, NULL,
                        * (q / den - (num / den) * (num / den))
              END * 1e-8, 4),
        round(CASE WHEN rn >= 2 THEN cv / (1 - swt2) END * 1e-8, 4),
-       NULL, NULL
+       NULL, NULL, NULL
 FROM (
   WITH RECURSIVE seq AS (
     SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
