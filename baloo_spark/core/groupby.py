@@ -1242,11 +1242,9 @@ class _GroupRolling:
         from ..plans.ordinal import ORD_COL
         from .frame import DataFrame
         gb = self._gb
-        if self._time_us is not None:
+        if self._time_us is not None and self._center:
             raise ValueError(
-                f"time-offset grouped rolling supports the JVM "
-                f"aggregates (sum/mean/count/min/max/var/std); "
-                f"{stat!r} over a time window needs resample")
+                "time-offset grouped rolling has no center=")
         sdf, order = gb._gorder()
         vcols = gb._value_cols()
         by = list(gb._by)
@@ -1261,14 +1259,45 @@ class _GroupRolling:
                           else f.dataType, True)
             for f in sdf.schema.fields])
         window, mp, center = self._window, self._mp, self._center
+        time_us = self._time_us
+        tcol = None
+        if time_us is not None:
+            # r9: time-offset grouped ORDER stats ride the same
+            # batched kernel (groups are bounded per key, so no
+            # budget is needed — unlike the global face). The frame
+            # must be time-sorted (same contract as the JVM-agg
+            # face); pandas' own kernel supplies the positional
+            # duplicate-stamp rule, so these match pandas exactly
+            # where the JVM RANGE aggregates document their
+            # same-stamp-peers divergence.
+            sch = {f.name: f.dataType.typeName()
+                   for f in sdf.schema.fields}
+            tcol = next(
+                (c for c, _ in (gb._df._order or [])
+                 if sch.get(c) in ("timestamp", "timestamp_ntz",
+                                   "date")), None)
+            if tcol is None:
+                raise TypeError(
+                    "a time-offset grouped rolling needs the frame "
+                    "sorted by a datetime column (sort_values "
+                    "first)")
 
         def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
             pdf = pdf.copy()
             fv = pdf[vcols].astype("float64")
             fv[by] = pdf[by]
+            if time_us is not None:
+                fv.index = pd.DatetimeIndex(
+                    pd.to_datetime(pdf[tcol]))
             g = fv.groupby(by, sort=False, dropna=False)[vcols]
-            roll = (g.rolling(window, min_periods=mp, center=center)
-                    if window is not None else g.expanding(mp))
+            if time_us is not None:
+                roll = g.rolling(pd.Timedelta(time_us, unit="us"),
+                                 min_periods=mp)
+            elif window is not None:
+                roll = g.rolling(window, min_periods=mp,
+                                 center=center)
+            else:
+                roll = g.expanding(mp)
             pdf[vcols] = getattr(roll, stat)(**kw).to_numpy()
             return pdf
 

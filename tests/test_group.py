@@ -666,3 +666,41 @@ def test_grouped_resample_extended_aggs(bl):
             .sort_values(["g", "ts"])["v"].to_numpy(dtype=float)
         np.testing.assert_allclose(got, want, atol=1e-9,
                                    equal_nan=True, err_msg=stat)
+
+
+def test_grouped_time_rolling_order_stats(bl):
+    """r9: time-offset grouped rolling ORDER statistics
+    (median/quantile/rank/sem/skew/kurt/apply) — groups are bounded
+    per key, so these ride the batched mapInPandas kernel with NO
+    budget (unlike the global face); pandas' own kernel supplies
+    the positional duplicate-stamp rule, so they match pandas
+    exactly where the JVM RANGE aggregates document the
+    same-stamp-peers divergence."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(13)
+    n = 400
+    secs = np.sort(rng.choice(np.arange(0, 400000), n,
+                              replace=False))
+    secs[101] = secs[100]                       # duplicate stamp
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    g = rng.integers(0, 6, n).astype(str)
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"g": g, "ts": ts, "v": v})
+    d = bl.DataFrame({"g": g, "ts": ts.to_numpy(), "v": v}) \
+        .sort_values("ts")
+    base = pdf.set_index("ts").sort_index() \
+        .groupby("g", sort=False)["v"]
+    for stat, kw in (("median", {}), ("quantile", {"q": 0.3}),
+                     ("rank", {}), ("sem", {})):
+        got = getattr(d.groupby("g").rolling("2h"), stat)(**kw) \
+            .to_pandas().sort_values(["ts", "g"])["v"].to_numpy()
+        want = getattr(base.rolling(pd.Timedelta("2h"),
+                                    min_periods=1), stat)(**kw) \
+            .reset_index().sort_values(["ts", "g"])["v"].to_numpy()
+        np.testing.assert_allclose(got, want, equal_nan=True,
+                                   err_msg=stat)
+    with pytest.raises(ValueError, match="center"):
+        d.groupby("g").rolling("2h", center=True).median()
