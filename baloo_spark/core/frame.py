@@ -4823,8 +4823,12 @@ class _Resampler:
             from ..operators.joins import asof_join
             direction = {"ffill": "backward", "bfill": "forward",
                          "nearest": "nearest"}[method]
+            # pandas reindex/resample 'nearest' breaks exact-
+            # midpoint ties to the LATER stamp (merge_asof ties
+            # earlier — the two pandas APIs differ; probe wave 21)
             out = asof_join(grid, right, on=on,
-                            direction=direction, suffix="")
+                            direction=direction, suffix="",
+                            nearest_ties="later")
             out = out.select(on, *data)
         return DataFrame._make(out.orderBy(on), [on], data,
                                [(on, True)])

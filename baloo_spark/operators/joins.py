@@ -43,7 +43,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str | list | None = None, right_cols: list | None = None,
               suffix: str = "_right", tolerance: int | None = None,
               direction: str = "backward",
-              allow_exact_matches: bool = True) -> DataFrame:
+              allow_exact_matches: bool = True,
+              nearest_ties: str = "earlier") -> DataFrame:
     """For each left row, attach the matching right row on ``on``
     (inclusive), matching ``by`` keys:
 
@@ -51,9 +52,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
       ``right.on <= left.on``;
     - ``'forward'``: first right row with ``right.on >= left.on`` —
       the time-reversed carry (same plan, descending order);
-    - ``'nearest'``: whichever of the two is closer in time, ties to
-      the backward (earlier) row; both carries share one shuffle in
-      the keyed path (two window sorts over the same partitioning).
+    - ``'nearest'``: whichever of the two is closer in time; both
+      carries share one shuffle in the keyed path (two window sorts
+      over the same partitioning). ``nearest_ties`` picks the
+      exact-midpoint winner: ``'earlier'`` (default — pandas
+      merge_asof's rule) or ``'later'`` (pandas reindex/resample
+      ``method='nearest'`` — the two pandas APIs genuinely differ,
+      probe wave 21).
 
     ``tolerance``: optional max distance in seconds — right rows
     farther than that are treated as no-match (NULL), like pandas
@@ -74,6 +79,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be 'backward', 'forward' or "
                          f"'nearest', got {direction!r}")
+    if nearest_ties not in ("earlier", "later"):
+        raise ValueError(f"nearest_ties must be 'earlier' or "
+                         f"'later', got {nearest_ties!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     right_cols = right_cols or [c for c in right.columns
                                 if c != on and c not in by]
@@ -155,8 +163,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     if tolerance is not None:
         b_ok = b_ok & ((t - secs(F.col("__brts__"))) <= tolerance)
         f_ok = f_ok & ((secs(F.col("__frts__")) - t) <= tolerance)
-    use_b = b_ok & (~f_ok | ((t - secs(F.col("__brts__")))
-                             <= (secs(F.col("__frts__")) - t)))
+    bdist = t - secs(F.col("__brts__"))
+    fdist = secs(F.col("__frts__")) - t
+    use_b = b_ok & (~f_ok | (bdist <= fdist
+                             if nearest_ties == "earlier"
+                             else bdist < fdist))
     for c in right_cols:
         out = out.withColumn(
             c + suffix,

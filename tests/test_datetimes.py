@@ -416,6 +416,15 @@ def test_resampler_upsampling_and_agg(bl):
                               "2024-01-02"]).to_numpy(), "v": v})
     with pytest.raises(ValueError, match="duplicate"):
         d2.resample("1h", on="t").ffill()
+    # nearest exact-midpoint tie goes to the LATER stamp (pandas
+    # reindex rule; merge_asof ties earlier — probe wave 21)
+    tts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00"])
+    dt_ = bl.DataFrame({"t": tts.to_numpy(),
+                        "v": np.array([1., 9.])})
+    pt_ = pd.DataFrame({"v": [1., 9.]}, index=tts)
+    got = dt_.resample("1h", on="t").nearest().to_pandas() \
+        .sort_index()["v"].tolist()
+    assert got == pt_.resample("1h").nearest()["v"].tolist()
     got = r.agg({"v": "sum"}).to_pandas().sort_index()
     want = pr.agg({"v": "sum"})
     np.testing.assert_allclose(got["v"].to_numpy(),
