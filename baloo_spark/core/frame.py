@@ -1522,6 +1522,17 @@ class DataFrame:
         return DataFrame._make(self._sdf, idx, self._data_cols,
                                self._order)
 
+    def reorder_levels(self, order) -> "DataFrame":
+        """Rearrange index levels (pandas ``reorder_levels`` —
+        pure metadata, like :meth:`swaplevel`; no job)."""
+        names = [self._resolve_level(l) for l in order]
+        if sorted(names) != sorted(self._index_cols):
+            raise ValueError(
+                f"order {list(order)!r} must be a permutation of "
+                f"the index levels {list(self._index_cols)!r}")
+        return DataFrame._make(self._sdf, names, self._data_cols,
+                               self._order)
+
     def droplevel(self, level) -> "DataFrame":
         """Remove one index level (metadata + column drop)."""
         name = self._resolve_level(level)

@@ -1409,6 +1409,12 @@ class Series:
         fr = self._to_frame_for_io().droplevel(level)
         return fr[self.name or _VAL]
 
+    def reorder_levels(self, order) -> "Series":
+        """Rearrange index levels (metadata only) — delegates
+        through the one-column frame."""
+        fr = self._to_frame_for_io().reorder_levels(order)
+        return fr[self.name or _VAL]
+
     def xs(self, key):
         """Cross-section at index label ``key`` (pandas ``Series.xs``
         single-level flavor): the matching VALUE, an explicit

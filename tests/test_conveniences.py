@@ -775,6 +775,20 @@ def test_series_level_ops_and_xs(bl):
                       "v": ps.to_numpy()}).set_index("k")["v"]
     assert s.xs("q") == ps.xs("q")
     assert "tabular" in s.to_latex()
+    # reorder_levels: metadata permutation (frame + series)
+    dm = bl.DataFrame({"x": np.array(["a", "b"], dtype=object),
+                       "y": np.array([1, 2]),
+                       "v": np.array([1., 2.])}).set_index(["x", "y"])
+    pm2 = pd.DataFrame({"v": [1., 2.]},
+                       index=pd.MultiIndex.from_tuples(
+                           [("a", 1), ("b", 2)], names=["x", "y"]))
+    got = dm.reorder_levels(["y", "x"]).to_pandas()
+    want = pm2.reorder_levels(["y", "x"])
+    assert list(got.index.names) == list(want.index.names)
+    got = dm["v"].reorder_levels([1, 0]).to_pandas()
+    assert list(got.index.names) == ["y", "x"]
+    with pytest.raises(ValueError, match="permutation"):
+        dm.reorder_levels(["x", "x"])
     ts = pd.date_range("2024-01-01", periods=4, freq="30min")
     d2 = bl.DataFrame({"t": ts.to_numpy(),
                        "v": np.array([1., 2., 4., 8.])})
