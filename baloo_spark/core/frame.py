@@ -4928,6 +4928,16 @@ class _FrameLoc:
                              "frame has none (set_index first)")
         key = idx[0]
         if isinstance(rows, (list, np.ndarray)):
+            # a BOOLEAN list/array is a positional MASK in pandas
+            # (length-checked IndexError), not labels
+            vals = list(rows)
+            if vals and all(isinstance(_py(v), bool) for v in vals):
+                n = len(df)
+                if len(vals) != n:
+                    raise IndexError(
+                        f"Boolean index has wrong length: "
+                        f"{len(vals)} instead of {n}")
+                return df.iloc[[i for i, b in enumerate(vals) if b]]
             # pandas returns rows in the REQUESTED label order with
             # repeated labels duplicated and raises KeyError on any
             # miss — the position-tagged lookup join the Series face

@@ -3853,6 +3853,18 @@ class _SeriesLoc:
             raise ValueError("loc needs an index")
         k = sr._index_cols[0]
         if isinstance(key, (list, tuple, np.ndarray)):
+            labels = list(key)
+            # a BOOLEAN list/array is a positional MASK in pandas
+            # (length-checked IndexError), not labels
+            if labels and all(isinstance(v, (bool, np.bool_))
+                              for v in labels):
+                n = len(sr)
+                if len(labels) != n:
+                    raise IndexError(
+                        f"Boolean index has wrong length: "
+                        f"{len(labels)} instead of {n}")
+                return sr.iloc[[i for i, b in enumerate(labels)
+                                if b]]
             # pandas returns rows in the REQUESTED label order with
             # repeated labels duplicated (s.loc[['a','a']] has two
             # rows) — a position-tagged lookup join, the reindex
@@ -3861,7 +3873,6 @@ class _SeriesLoc:
             # any miss; the lookup table is driver-sized, so the
             # broadcast is bounded.
             from ..plans.ordinal import POS_COL
-            labels = list(key)
             vname = sr.name or _VAL
             sdf, a = sr._ordered_sdf(vname)
             spark = sdf.sparkSession

@@ -719,6 +719,18 @@ def test_r9_frame_loc_list_and_to_timedelta_str(bl):
         df.loc[[10, 99]]
     got = df.loc[[30, 10], "v"].to_pandas()
     assert got.tolist() == pdf.loc[[30, 10], "v"].tolist()
+    # a boolean list is a positional MASK, not labels (pandas
+    # length-checks it with IndexError)
+    got = df.loc[[True, False, True, False]].to_pandas()
+    want = pdf.loc[[True, False, True, False]]
+    assert got["v"].tolist() == want["v"].tolist()
+    with pytest.raises(IndexError, match="wrong length"):
+        df.loc[[True, False]]
+    ps_ = pd.Series([1., 2.], index=["a", "b"])
+    s_ = bl.DataFrame({"k": np.array(["a", "b"], dtype=object),
+                       "v": ps_.to_numpy()}).set_index("k")["v"]
+    assert s_.loc[[True, False]].to_pandas().tolist() == \
+        ps_.loc[[True, False]].tolist()
 
     pm = pd.DataFrame({"a": [1, 1, 2, 2], "b": ["x", "y", "x", "y"],
                        "v": [1., 2., 3., 4.]}).set_index(["a", "b"])
