@@ -1002,8 +1002,16 @@ def test_frame_rolling_expanding_match_pandas(bl):
                 want[c].fillna(-9e9).to_numpy(dtype=float),
                 err_msg=f"roll local {agg} {c}")
     import pytest
-    with pytest.raises(ValueError, match="full history"):
-        df.expanding(2).median()
+    # r9: the global expanding median is now the budgeted
+    # single-partition pass — the refusal moved behind max_rows
+    got = df.expanding(2).median().to_pandas()
+    want = pdf[["x", "y"]].expanding(2).median()
+    for c in ("x", "y"):
+        np.testing.assert_allclose(
+            got[c].fillna(-9e9).to_numpy(dtype=float),
+            want[c].fillna(-9e9).to_numpy(dtype=float))
+    with pytest.raises(ValueError, match="max_rows"):
+        df.expanding(2).median(max_rows=2)
 
 
 def test_select_dtypes_insert_pop(bl):

@@ -634,8 +634,14 @@ def test_groupby_rolling_order_stats_match_pandas(bl):
         .sort_index().to_numpy()
     np.testing.assert_allclose(ours, want, atol=1e-12)
     import pytest
-    with pytest.raises(ValueError, match="full history"):
-        bl.Series(np.arange(4.0)).expanding(1).median()
+    # r9: the global face is the budgeted pass now; the refusal
+    # moved behind max_rows
+    got = bl.Series(np.arange(4.0)).expanding(1).median() \
+        .to_pandas().tolist()
+    assert got == pd.Series(np.arange(4.0)).expanding(1).median() \
+        .tolist()
+    with pytest.raises(ValueError, match="max_rows"):
+        bl.Series(np.arange(4.0)).expanding(1).median(max_rows=2)
 
 
 def test_grouped_resample_extended_aggs(bl):

@@ -1021,8 +1021,14 @@ def test_time_offset_rolling_matches_pandas(bl):
     want = ps.rolling("10min").sum().to_numpy()
     np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
     import pytest
-    with pytest.raises(ValueError, match="RANGE frame|resample"):
-        d["v"].rolling("30min").min()
+    # r9: time-rolling min is the budgeted pass now; the refusal
+    # moved behind max_rows
+    got = d["v"].rolling("30min", min_periods=1).min().to_pandas() \
+        .to_numpy()
+    want = ps.rolling("30min", min_periods=1).min().to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    with pytest.raises(ValueError, match="max_rows"):
+        d["v"].rolling("30min").min(max_rows=2)
     # grouped flavor: per-group RANGE frame, min/max included
     g = rng.integers(0, 10, n).astype(str)
     u = np.sort(rng.choice(np.arange(0, 50000), size=n,
