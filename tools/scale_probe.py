@@ -394,9 +394,14 @@ def main():
     lines += ["## resample('90s').ffill() upsampling (distributed "
               "grid + one as-of join)", ""]
     for mult in (1, 4, 16):
-        base = (replicate(ev0.select("ts", "value"), mult)
-                .groupBy("ts").agg(F.sum("value").alias("value"))
-                .localCheckpoint())
+        # synthetic DISTINCT stamps (a replicate would dedupe right
+        # back to the base stamp set): 7s apart, so both the source
+        # rows AND the 90s grid span grow with mult
+        base = (spark.range(100_000 * mult).select(
+            F.timestamp_micros(F.col("id") * F.lit(7_000_000))
+            .alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"))
+            .localCheckpoint())
         rows = base.count()
         bf = BlFrame2.from_spark(base)
         dt = float("inf")
@@ -406,7 +411,8 @@ def main():
             out.to_spark().write.format("noop").mode("overwrite") \
                 .save()
             dt = min(dt, time.perf_counter() - t0)
-        lines.append(f"- {mult}x: {dt:.2f}s ({rows:,} source rows)")
+        lines.append(f"- {mult}x: {dt:.2f}s ({rows:,} source rows, "
+                     f"~{rows * 7 // 90:,} grid labels)")
         print("resample ffill", lines[-1])
     lines += ["", "_the bucket-label grid is spark.range arithmetic "
               "(only the two boundary stamps touch the driver) and "
