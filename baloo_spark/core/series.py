@@ -3146,15 +3146,84 @@ class _Rolling:
         return self._pair_stat(other, "corr")
 
 
+# small-side gate for the time-roll subtrahend lookup: below this
+# many rows the per-distinct-stamp prefix table broadcasts (a few
+# doubles per stamp — ~10 MB at the cap); the row count comes free
+# from the prefix pass's totals, so the gate costs no job
+_TR_BROADCAST_MAX_ROWS = 200_000
+
+
+def _tr_broadcast_lookup(left, out, micros, keys: list):
+    """Broadcast face of the time-roll as-of subtrahend (see
+    :func:`_time_roll_multi`): collect the positionally-last prefix
+    per distinct stamp (one job), broadcast the sorted arrays, and
+    resolve every probe with numpy searchsorted inside one
+    mapInPandas — appends ``<k>_right`` DOUBLE columns, NULL when
+    the probe precedes every stamp (same contract as the
+    union-carry asof path)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = (out.groupBy(micros.alias("__tw__"))
+            .agg(F.max_by(F.struct(*[F.col(k) for k in keys]),
+                          F.col("__pr__")).alias("__s__"))
+            .select("__tw__", *[F.col(f"__s__.{k}").alias(k)
+                                for k in keys])
+            .collect())
+    rows.sort(key=lambda r: r["__tw__"])
+    rt = np.array([r["__tw__"] for r in rows], dtype=np.int64)
+    rv = {k: np.array([np.nan if r[k] is None else float(r[k])
+                       for r in rows], dtype=np.float64)
+          for k in keys}
+    bcast = left.sparkSession.sparkContext.broadcast((rt, rv))
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f"{k}_right", T.DoubleType())
+           for k in keys])
+
+    def gen(batches):
+        b_rt, b_rv = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            probes = pdf["__tw__"].to_numpy(dtype=np.int64)
+            ix = np.searchsorted(b_rt, probes, side="right") - 1
+            miss = ix < 0
+            safe = np.clip(ix, 0, None)
+            for k in keys:
+                v = b_rv[k][safe]
+                # Float64 masked array: misses AND null prefixes
+                # (NaN-coded) both surface as SQL NULL, matching
+                # the join path's unmatched/NULL semantics
+                arr = pd.array(v, dtype="Float64")
+                arr[miss] = pd.NA
+                pdf[f"{k}_right"] = arr
+            yield pdf
+
+    return left.mapInPandas(gen, out_schema)
+
+
 def _time_roll_multi(sdf, tcol, order, vals: dict, window_us: int,
                      builder, mp: int, need_sq: bool,
                      gate_on_rows: bool):
     """Shared core of the time-offset rolling faces: per-tag prefix
-    sums over ONE pass + ONE as-of join for every tag at once.
+    sums over ONE pass + ONE as-of lookup for every tag at once.
     ``vals`` maps tag -> value Column. Returns (sdf, {tag: expr}).
     window_agg(i) = prefix(i) - prefix(as-of t_i - offset); the
     strictly-increasing row prefix (__pr__) picks the positionally
-    LAST duplicate stamp, reproducing pandas' j <= i tie rule."""
+    LAST duplicate stamp, reproducing pandas' j <= i tie rule.
+
+    The subtrahend lookup has two faces, chosen by the row count
+    the prefix pass's own totals already produced (free, no extra
+    job): under ``_TR_BROADCAST_MAX_ROWS`` the per-distinct-stamp
+    prefix table collects to the driver and broadcasts, and each
+    partition resolves its probes with one numpy searchsorted —
+    no union re-layout, no second two-pass scheme (the general
+    as-of path paid ~9 scheduling-bound driver jobs on tiny
+    inputs); above it the partition-safe union-carry
+    :func:`~baloo_spark.operators.joins.asof_join` runs, the 100 TB
+    shape."""
     from ..operators.joins import asof_join
     from ..plans.ordinal import with_prefix_aggs
     specs = {"__pr__": (F.lit(1), "count")}
@@ -3164,15 +3233,21 @@ def _time_roll_multi(sdf, tcol, order, vals: dict, window_us: int,
         specs[f"__pc_{t}__"] = (col, "count")
         if need_sq:
             specs[f"__pq_{t}__"] = (v * v, "sum")
-    out = with_prefix_aggs(sdf, specs, order)
+    out, totals = with_prefix_aggs(sdf, specs, order,
+                                   return_stats=True)
+    n_rows = int(totals.get("__pr__") or 0)
     micros = F.unix_micros(F.col(tcol).cast("timestamp"))
-    right = (out.groupBy(micros.alias("__tw__"))
-             .agg(F.max_by(F.struct(*[F.col(k) for k in specs]),
-                           F.col("__pr__")).alias("__s__"))
-             .select("__tw__", *[F.col(f"__s__.{k}").alias(k)
-                                 for k in specs]))
     left = out.withColumn("__tw__", micros - F.lit(int(window_us)))
-    j = asof_join(left, right, on="__tw__", right_cols=list(specs))
+    if n_rows <= _TR_BROADCAST_MAX_ROWS:
+        j = _tr_broadcast_lookup(left, out, micros, list(specs))
+    else:
+        right = (out.groupBy(micros.alias("__tw__"))
+                 .agg(F.max_by(F.struct(*[F.col(k) for k in specs]),
+                               F.col("__pr__")).alias("__s__"))
+                 .select("__tw__", *[F.col(f"__s__.{k}").alias(k)
+                                     for k in specs]))
+        j = asof_join(left, right, on="__tw__",
+                      right_cols=list(specs))
 
     def S(o, zero=0.0):
         return F.col(o) - F.coalesce(F.col(f"{o}_right"), F.lit(zero))

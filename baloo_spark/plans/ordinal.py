@@ -237,7 +237,8 @@ _PREFIX_COMBINE = {
 
 
 def with_prefix_aggs(sdf: DataFrame, specs: dict, order_by: list | None,
-                     inclusive: bool = True) -> DataFrame:
+                     inclusive: bool = True,
+                     return_stats: bool = False):
     """Partition-safe GLOBAL running aggregates (parallel prefix scan).
 
     ``specs``: {out_name: (value Column/name, kind)} with kind in
@@ -306,7 +307,13 @@ def with_prefix_aggs(sdf: DataFrame, specs: dict, order_by: list | None,
         out = out.withColumn(o, merged)
     drop = ["__pid__", "__mid__"] + [f"__v_{o}__" for o in prepared] \
         + [f"__p_{o}__" for o in prepared]
-    return out.drop(*drop)
+    out = out.drop(*drop)
+    if return_stats:
+        # after the merge loop `acc` holds each spec's GLOBAL total
+        # — pass-1 already paid for it, so callers get e.g. the row
+        # count (a 'count' spec's total) for free, with no extra job
+        return out, dict(acc)
+    return out
 
 
 def with_last_non_null(sdf: DataFrame, exprs: dict,

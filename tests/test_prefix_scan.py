@@ -1005,16 +1005,28 @@ def test_time_offset_rolling_matches_pandas(bl):
     v[rng.random(n) < 0.15] = np.nan
     ps = pd.Series(v, index=ts)
     d = bl.DataFrame({"ts": ts.to_numpy(), "v": v}).set_index("ts")
-    for w in ("30min", "2h"):
-        for stat, mp in (("sum", None), ("mean", 2), ("count", None),
-                         ("var", 2), ("std", None)):
-            got = getattr(d["v"].rolling(w, min_periods=mp),
-                          stat)().to_pandas().to_numpy()
-            want = getattr(ps.rolling(w, min_periods=mp),
-                           stat)().to_numpy()
-            np.testing.assert_allclose(
-                got, want, atol=1e-9, equal_nan=True,
-                err_msg=f"time rolling {stat} {w}")
+    # r9: the subtrahend lookup has two faces — broadcast
+    # searchsorted under _TR_BROADCAST_MAX_ROWS (the default here),
+    # union-carry asof_join above it (forced via the cap) — both
+    # must match pandas exactly
+    from baloo_spark.core import series as _S
+    cap0 = _S._TR_BROADCAST_MAX_ROWS
+    for cap in (cap0, -1):
+        _S._TR_BROADCAST_MAX_ROWS = cap
+        try:
+            for w in ("30min", "2h"):
+                for stat, mp in (("sum", None), ("mean", 2),
+                                 ("count", None), ("var", 2),
+                                 ("std", None)):
+                    got = getattr(d["v"].rolling(w, min_periods=mp),
+                                  stat)().to_pandas().to_numpy()
+                    want = getattr(ps.rolling(w, min_periods=mp),
+                                   stat)().to_numpy()
+                    np.testing.assert_allclose(
+                        got, want, atol=1e-9, equal_nan=True,
+                        err_msg=f"time rolling {stat} {w} cap={cap}")
+        finally:
+            _S._TR_BROADCAST_MAX_ROWS = cap0
     import datetime
     got = d["v"].rolling(datetime.timedelta(minutes=10)).sum() \
         .to_pandas().to_numpy()
