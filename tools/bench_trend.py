@@ -224,10 +224,25 @@ the rolling('2h') build alone runs 14 driver jobs (~2.3s at
 (with_prefix_aggs layout+carry collect, then asof_join's
 layout+boundary collect), each job trivially small at sf0.1. That
 overhead amortizes to nothing at cluster scale (the same 14 jobs on
-100 TB are all data-bound) and shrinking it further means fusing
-the operator's two-pass chain, which would trade a clean
-partition-safe composition for leg-specific latency. Scope is
-constant vs r8; the hash stays green at sf0.01.
+100 TB are all data-bound). Scope is constant vs r8; the hash stays
+green at sf0.01.
+
+FOLLOW-UP (same round): job attribution showed most of the 14 are
+AQE query-stage materializations inside the as-of UNION re-layout,
+so the time-roll subtrahend lookup grew a BROADCAST face — the
+prefix pass's own totals return the row count for free
+(with_prefix_aggs return_stats), and under 200k rows the
+per-distinct-stamp prefix table broadcasts and every probe resolves
+via numpy searchsorted in one mapInPandas; above the cap the
+partition-safe union-carry asof_join runs unchanged (the 100 TB
+shape). Same-session A/B on the events_window leg (the repo's
+R5-precedent adjudication method — the host was co-tenant-noisy at
+measurement time): broadcast 2.63s vs join 3.42s warmed, ~0.8s off
+the recurring floor. The committed BENCH_r09_local.json snapshot
+predates this commit by one (it was the round's only unpolluted
+window); two later polluted runs still read events_window warm
+3.08/3.5-3.8s vs the quiet 3.35 pre-change. Both lookup faces are
+pinned against pandas in test_time_offset_rolling_matches_pandas.
 """
 
 POLLUTION_NOTES = []
