@@ -763,12 +763,58 @@ class DataFrameGroupBy:
     def corr(self, method: str = "pearson"):
         """Per-group correlation matrix (pandas
         ``groupby().corr()``) in the stacked (group, column) layout.
-        Pearson only — pairwise-complete observations, like both
-        pandas and F.corr."""
-        if method != "pearson":
-            raise NotImplementedError(
-                "groupby().corr supports method='pearson' only")
-        return self._pair_matrix(F.corr, diag_one=True)
+        Pearson rides k^2 F.corr aggregates in ONE shuffle
+        (pairwise-complete observations, like pandas).
+        spearman/kendall (r9) run pandas' OWN grouped corr inside
+        the batched mapInPandas kernel — exact parity by
+        construction, including the per-PAIR complete-observation
+        ranking that no rank-then-F.corr composition reproduces
+        when null patterns differ across columns; groups are
+        bounded per key, so the kernel is scale-safe."""
+        if method == "pearson":
+            return self._pair_matrix(F.corr, diag_one=True)
+        if method not in ("spearman", "kendall"):
+            raise ValueError(f"unknown corr method {method!r}")
+        if method == "kendall":
+            # pandas' own kendall kernel imports scipy
+            try:
+                import scipy.stats  # noqa: F401
+            except ImportError:
+                raise NotImplementedError(
+                    "groupby().corr(method='kendall') needs scipy "
+                    "(pandas' own kendall kernel imports "
+                    "scipy.stats); it is not installed here")
+        return self._rank_matrix(method)
+
+    def _rank_matrix(self, method: str):
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import types as T
+
+        from .frame import DataFrame
+        cols = self._value_cols()
+        by = list(self._by)
+        sdf = self._df._sdf
+
+        def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            fv = pdf[by + cols].copy()
+            for c in cols:
+                fv[c] = fv[c].astype("float64")
+            res = (fv.groupby(by, sort=False, dropna=False)[cols]
+                   .corr(method=method)).reset_index()
+            res = res.rename(
+                columns={res.columns[len(by)]: "level_1"})
+            return res[by + ["level_1"] + cols]
+
+        schema = T.StructType(
+            [sdf.schema[b] for b in by]
+            + [T.StructField("level_1", T.StringType())]
+            + [T.StructField(c, T.DoubleType()) for c in cols])
+        gen = _batched_group_gen(by, _run)
+        src = (self._cluster_for_python(sdf.select(*by, *cols), by)
+               .sortWithinPartitions(*[F.col(b) for b in by]))
+        out = src.mapInPandas(gen, schema)
+        return DataFrame._make(out, [*by, "level_1"], list(cols),
+                               [(k, True) for k in (*by, "level_1")])
 
     def cov(self):
         """Per-group covariance matrix (sample, ddof=1 — pandas

@@ -710,3 +710,38 @@ def test_grouped_time_rolling_order_stats(bl):
                                    err_msg=stat)
     with pytest.raises(ValueError, match="center"):
         d.groupby("g").rolling("2h", center=True).median()
+
+
+def test_groupby_corr_spearman(bl):
+    """r9: groupby().corr(method='spearman') — pandas' own grouped
+    corr inside the batched mapInPandas kernel (exact per-PAIR
+    complete-observation ranking, which a rank-then-Pearson
+    composition cannot reproduce when null patterns differ across
+    columns). kendall stays an honest gate (pandas' kernel imports
+    scipy, not installed here)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(23)
+    n = 300
+    g = rng.integers(0, 5, n).astype(str)
+    x = rng.normal(size=n)
+    y = x * 0.5 + rng.normal(size=n)
+    z = rng.normal(size=n)
+    x[rng.random(n) < 0.1] = np.nan
+    y[rng.random(n) < 0.15] = np.nan
+    pdf = pd.DataFrame({"g": g, "x": x, "y": y, "z": z})
+    d = bl.DataFrame({"g": g, "x": x, "y": y, "z": z})
+    got = d.groupby("g").corr(method="spearman").to_pandas() \
+        .sort_index()
+    want = pdf.groupby("g")[["x", "y", "z"]] \
+        .corr(method="spearman").sort_index()
+    np.testing.assert_allclose(got[["x", "y", "z"]].to_numpy(),
+                               want.to_numpy(), equal_nan=True,
+                               atol=1e-12)
+    assert [tuple(map(str, t)) for t in got.index] == \
+        [tuple(map(str, t)) for t in want.index]
+    with pytest.raises(NotImplementedError, match="scipy"):
+        d.groupby("g").corr(method="kendall")
+    with pytest.raises(ValueError, match="unknown corr"):
+        d.groupby("g").corr(method="banana")
