@@ -2947,6 +2947,24 @@ class DataFrame:
         import pandas as pd
         timeish = isinstance(halflife, (str, _dt.timedelta,
                                         pd.Timedelta))
+        if isinstance(times, Series):
+            # the natural pandas spelling ewm(times=df["t"]): a
+            # SAME-FRAME Series resolves to its backing column;
+            # foreign Series -> name the string spelling (same
+            # contract as Series.ewm)
+            nm = times.name
+            if ((times._sdf is self._sdf
+                 or id(times._sdf) in self._lineage)
+                    and isinstance(nm, str)
+                    and nm in self._sdf.columns):
+                times = nm
+            else:
+                raise TypeError(
+                    "ewm(times=...) takes a column NAME (or a Series "
+                    "selected from this same frame); pass "
+                    f"times={nm!r} as a string" if isinstance(nm, str)
+                    else "ewm(times=...) takes a column NAME or a "
+                    "Series selected from this same frame")
         if times is not None or timeish:
             # TIME-decay flavor (pandas ewm(times=...)): every
             # numeric column shares the ONE segmented-anchor scan
@@ -3891,14 +3909,45 @@ class DataFrame:
         return res[names[0]] if opdf.columns.tolist() == ["__dot__"] \
             else res
 
-    def xs(self, key):
-        """Cross-section at index label ``key`` (pandas ``xs``,
-        single-level flavor): the matching ROW as a pandas Series —
-        an explicit driver-side fetch like ``iloc`` scalars.
-        Duplicate labels return a frame instead."""
+    def xs(self, key, level=None, drop_level: bool = True):
+        """Cross-section at index label ``key`` (pandas ``xs``).
+        Without ``level``: the matching ROW as a pandas Series — an
+        explicit driver-side fetch like ``iloc`` scalars; duplicate
+        labels return a frame instead. With ``level=`` (name or int
+        position): a DISTRIBUTED filter on that index level, the
+        level dropped from the result index (pandas shape: always a
+        frame, even for a single match) — no collect, stays a plan."""
         import pandas as pd
         if not self._index_cols:
             raise ValueError("xs needs an index")
+        if level is not None:
+            idx = list(self._index_cols)
+            if len(idx) < 2:
+                # pandas parity: level= demands a MultiIndex
+                raise TypeError("Index must be a MultiIndex")
+            if isinstance(level, (int, np.integer)):
+                if not -len(idx) <= level < len(idx):
+                    raise IndexError(
+                        f"Too many levels: Index has only "
+                        f"{len(idx)} levels, {level} is not a valid "
+                        f"level number")
+                k = idx[int(level)]
+            elif level in idx:
+                k = level
+            else:
+                raise KeyError(f"Level {level} not found")
+            sel = self._sdf.filter(F.col(k) == F.lit(_py(key)))
+            # pandas raises KeyError on a miss — one tiny gate job
+            if sel.limit(1).count() == 0:
+                raise KeyError(key)
+            if not drop_level:
+                return DataFrame._make(sel, idx, self._data_cols,
+                                       self._order)
+            remaining = [c for c in idx if c != k]
+            order = [(c, a) for c, a in (self._order or [])
+                     if c != k]
+            return DataFrame._make(sel.drop(k), remaining,
+                                   self._data_cols, order)
         k = self._index_cols[0]
         sel = self._sdf.where(F.col(k) == F.lit(key))
         rows = sel.select(*self._data_cols).limit(2).collect()
@@ -4905,6 +4954,68 @@ class _Resampler:
     aggregate = apply = agg
 
 
+def _loc_bool_series(df: "DataFrame", mask):
+    """pandas ``.loc`` LABEL-ALIGNS a boolean Series (the mask is
+    reindexed to df's index) where plain ``df[mask]`` stays pinned
+    POSITIONAL (reference weld_ops.py:97-133 accepts any
+    equal-length mask). Same-lineage masks are row-identical either
+    way, so they take the cheap filter; a FOREIGN boolean Series
+    joins on the full index tuple. Gates (house style, tiny jobs):
+    duplicate mask labels raise ValueError (pandas' own behavior
+    there is alignment/positional soup — probed r10, it returns
+    rows that contradict the mask values); a df label missing from
+    the mask raises pandas' IndexingError (superset masks are fine
+    — extra labels are ignored). NULL mask values align to False,
+    pandas' nullable-boolean flavor. Non-boolean Series fall back
+    to the existing positional mask path."""
+    from functools import reduce
+    from operator import and_
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    if mask._sdf is df._sdf or id(mask._sdf) in df._lineage:
+        return df[mask]   # identical index: aligned == positional
+    dt = mask._sdf.select(
+        mask._colexpr.alias("__m__")).schema[0].dataType
+    if not isinstance(dt, T.BooleanType):
+        return df[mask]
+    idx = [c for c in df._index_cols if c in df._sdf.columns]
+    if not idx:
+        raise ValueError("loc needs an index; this scan-backed "
+                         "frame has none (set_index first)")
+    mlv = [c for c in mask._index_cols if c in mask._sdf.columns]
+    if len(mlv) != len(idx):
+        raise pd.errors.IndexingError(
+            "Unalignable boolean Series provided as indexer (index "
+            "of the boolean Series and of the indexed object do "
+            "not match).")
+    msdf, _ = mask._select("__mval__")
+    lbls = [f"__mlbl{i}__" for i in range(len(mlv))]
+    right = (msdf.select(
+        *[F.col(c).alias(a) for c, a in zip(mlv, lbls)],
+        F.col("__mval__"))
+        .withColumn("__mhit__", F.lit(True)))
+    dup = (right.groupBy(*lbls).count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            "cannot reindex on an axis with duplicate labels")
+    cond = reduce(and_, [F.col(k).eqNullSafe(F.col(a))
+                         for k, a in zip(idx, lbls)])
+    joined = df._sdf.join(right, cond, "left")
+    miss = (joined.filter(F.col("__mhit__").isNull())
+            .limit(1).count())
+    if miss:
+        raise pd.errors.IndexingError(
+            "Unalignable boolean Series provided as indexer (index "
+            "of the boolean Series and of the indexed object do "
+            "not match).")
+    out = (joined.filter(F.col("__mval__"))
+           .drop(*lbls, "__mval__", "__mhit__"))
+    return DataFrame._make(out, df._index_cols, df._data_cols,
+                           df._order)
+
+
 class _FrameLoc:
     """Label-based row/column selection (pandas loc flavor)."""
 
@@ -4920,8 +5031,10 @@ class _FrameLoc:
                 return df
             raise TypeError("label slices are not supported in loc; "
                             "use iloc for positional slices")
-        if isinstance(rows, (Series, Index)):
-            return df[rows]                       # boolean mask path
+        if isinstance(rows, Index):
+            rows = rows._backing      # same unwrap as __getitem__
+        if isinstance(rows, Series):
+            return _loc_bool_series(df, rows)
         idx = [c for c in df._index_cols if c in df._sdf.columns]
         if not idx:
             raise ValueError("loc needs an index; this scan-backed "

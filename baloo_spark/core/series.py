@@ -1415,13 +1415,19 @@ class Series:
         fr = self._to_frame_for_io().reorder_levels(order)
         return fr[self.name or _VAL]
 
-    def xs(self, key):
-        """Cross-section at index label ``key`` (pandas ``Series.xs``
-        single-level flavor): the matching VALUE, an explicit
-        driver-side fetch like ``iloc`` scalars; duplicate labels
-        return a Series. Delegates to :meth:`DataFrame.xs`."""
-        got = self._to_frame_for_io().xs(key)
+    def xs(self, key, level=None, drop_level: bool = True):
+        """Cross-section at index label ``key`` (pandas
+        ``Series.xs``). Without ``level``: the matching VALUE, an
+        explicit driver-side fetch like ``iloc`` scalars; duplicate
+        labels return a Series. With ``level=``: a distributed
+        filter on that index level with the level dropped — always
+        a Series (pandas shape). Delegates to :meth:`DataFrame.xs`."""
         vname = self.name or _VAL
+        if level is not None:
+            fr = self._to_frame_ordered().xs(key, level=level,
+                                             drop_level=drop_level)
+            return fr[vname]
+        got = self._to_frame_for_io().xs(key)
         if isinstance(got, Series):  # pragma: no cover - defensive
             return got
         from .frame import DataFrame
@@ -1434,6 +1440,23 @@ class Series:
         vname = self.name or _VAL
         sdf, a = self._select(vname)
         return DataFrame._make(sdf, list(self._index_cols), [a],
+                               self._order)
+
+    def _to_frame_ordered(self):
+        """Like :meth:`_to_frame_for_io` but the ORDER columns
+        survive the projection (``_select`` keeps only index cols +
+        value, so the logical order dies with it) — for frame-face
+        delegations whose result row order matters (loc masks,
+        xs(level=))."""
+        from .frame import DataFrame
+        vname = self.name or _VAL
+        keep = [c for c in dict.fromkeys(
+                    list(self._index_cols)
+                    + [c for c, _ in (self._order or [])])
+                if c in self._sdf.columns and c != vname]
+        sdf = self._sdf.select(*[F.col(c) for c in keep],
+                               self._colexpr.alias(vname))
+        return DataFrame._make(sdf, list(self._index_cols), [vname],
                                self._order)
 
     def corr(self, other: "Series", method: str = "pearson"):
@@ -2288,6 +2311,24 @@ class Series:
         import pandas as pd
         timeish_hl = isinstance(
             halflife, (str, _dt.timedelta, pd.Timedelta))
+        if isinstance(times, Series):
+            # the natural pandas spelling ewm(times=df["t"]): a
+            # SAME-FRAME Series resolves to its backing column (the
+            # stamp values ARE that column, row for row); a foreign
+            # Series would need a positional re-alignment join whose
+            # cost hides badly inside a decay scan — name the string
+            # spelling instead
+            nm = times.name
+            if (times._sdf is self._sdf and isinstance(nm, str)
+                    and nm in self._sdf.columns):
+                times = nm
+            else:
+                raise TypeError(
+                    "ewm(times=...) takes a column NAME (or a Series "
+                    "selected from this same frame); pass "
+                    f"times={nm!r} as a string" if isinstance(nm, str)
+                    else "ewm(times=...) takes a column NAME or a "
+                    "Series selected from this same frame")
         if times is not None or timeish_hl:
             # TIME-decay flavor (pandas ewm(times=...)): halflife is
             # a Timedelta/offset string; weights follow actual stamp
@@ -3346,6 +3387,17 @@ class _TimeRolling:
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
+    def sem(self, ddof: int = 1) -> "Series":
+        """pandas' WINDOW sem is sample-std / sqrt(n - ddof) — the
+        numerator stays ddof=1 regardless (probe:
+        rolling('2h').sem(ddof=0) == std(ddof=1)/sqrt(n)), so it
+        decomposes into the same prefix + as-of pass as std."""
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when((c > 1) & (c > ddof),
+                          F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+        return self._emit(build, max(self._mp, 2), need_sq=True)
+
     def min(self, max_rows: int | None = None) -> "Series":
         return self._order_stat("min", max_rows)
 
@@ -3360,6 +3412,28 @@ class _TimeRolling:
                  max_rows: int | None = None) -> "Series":
         return self._order_stat("quantile", max_rows, q=q,
                                 interpolation=interpolation)
+
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False,
+             max_rows: int | None = None) -> "Series":
+        return self._order_stat("rank", max_rows, method=method,
+                                ascending=ascending, pct=pct)
+
+    def skew(self, max_rows: int | None = None) -> "Series":
+        # pandas' kernel owns the exact-zero-variance special case
+        # (constant window -> 0.0, near-zero -> NaN), so skew/kurt
+        # ride the budgeted pandas pass, not a power-sum prefix
+        return self._order_stat("skew", max_rows)
+
+    def kurt(self, max_rows: int | None = None) -> "Series":
+        return self._order_stat("kurt", max_rows)
+
+    kurtosis = kurt
+
+    def apply(self, func, raw: bool = False,
+              max_rows: int | None = None) -> "Series":
+        return self._order_stat("apply", max_rows, func=func,
+                                raw=raw)
 
     def _order_stat(self, stat: str, max_rows: int | None, **kw):
         """Time-window order statistics do NOT decompose into
@@ -3923,7 +3997,15 @@ class _SeriesLoc:
             raise TypeError("label slices are not supported in loc; "
                             "use iloc for positional slices")
         if isinstance(key, Series):
-            return sr[key]                        # boolean mask path
+            # pandas .loc label-aligns a FOREIGN boolean Series
+            # (same contract as the frame face — see
+            # frame._loc_bool_series); same-lineage masks keep the
+            # cheap positional filter (identical index either way)
+            if key._sdf is sr._sdf:
+                return sr[key]
+            from .frame import _loc_bool_series
+            fr = sr._to_frame_ordered()
+            return _loc_bool_series(fr, key)[sr.name or _VAL]
         if not sr._index_cols:
             raise ValueError("loc needs an index")
         k = sr._index_cols[0]

@@ -745,3 +745,37 @@ def test_groupby_corr_spearman(bl):
         d.groupby("g").corr(method="kendall")
     with pytest.raises(ValueError, match="unknown corr"):
         d.groupby("g").corr(method="banana")
+
+
+def test_grouped_window_layout_pin_r10(bl):
+    """r10 layout PIN (COVERAGE.md): grouped windows return values
+    aligned to SOURCE ROWS in the frame's own row order with the
+    group key as a DATA COLUMN — not pandas' (keys, index)
+    MultiIndex sorted by group. Values are pandas-exact once both
+    sides are aligned on (key, stamp)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(110)
+    n = 120
+    g = rng.integers(0, 4, n).astype(str)
+    secs = np.sort(rng.choice(np.arange(0, 30000), n, replace=False))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    d = bl.DataFrame({"g": g, "ts": ts.to_numpy(), "v": v}) \
+        .sort_values("ts")
+    out = d.groupby("g")[["v"]].rolling("20min").median().to_pandas()
+    # the PIN: group key is a data column; rows are POSITIONALLY
+    # aligned to the source frame's row order (here: sorted by ts),
+    # not regrouped into pandas' (keys, index) MultiIndex
+    assert "g" in out.columns
+    assert isinstance(out.index, pd.RangeIndex)
+    # values are pandas-exact after aligning pandas' grouped
+    # MultiIndex layout back onto source order
+    want = (pd.DataFrame({"g": g, "ts": ts, "v": v})
+            .set_index("ts").groupby("g", sort=False)[["v"]]
+            .rolling("20min").median()
+            .reset_index().sort_values("ts"))
+    np.testing.assert_allclose(out["v"].to_numpy(),
+                               want["v"].to_numpy(), atol=1e-9,
+                               equal_nan=True)
+    assert out["g"].tolist() == want["g"].tolist()

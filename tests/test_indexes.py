@@ -262,3 +262,72 @@ def test_index_delegations_and_set_ops(bl):
         pn.difference(pm).tolist() == [1.0, 3.0]
     i_ours = bn.intersection(bm).values.tolist()
     assert i_ours[0] == 2.0 and np.isnan(i_ours[1])  # sorted, NaN last
+
+
+def test_loc_boolean_series_label_aligns_r10(bl):
+    """r10: pandas .loc LABEL-ALIGNS a boolean Series (mask
+    reindexed to the frame's index) where plain df[mask] stays
+    pinned POSITIONAL (reference weld_ops.py:97-133). Foreign masks
+    join on the index; result keeps the frame's row order. Gates:
+    superset masks fine, missing label -> pandas IndexingError,
+    duplicate mask labels -> ValueError (pandas' own duplicate
+    behavior is alignment soup — probed r10), NULL mask values
+    align False (nullable-boolean flavor)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"a": [1.0, 2, 3]}, index=[10, 20, 30])
+    pdf.index.name = "i"
+    d = bl.DataFrame({"i": [10, 20, 30], "a": [1.0, 2, 3]}) \
+        .set_index("i")
+    # shuffled-index mask: labels {20, 10} survive, frame order kept
+    m = bl.DataFrame({"i": [30, 20, 10],
+                      "m": [False, True, True]}).set_index("i")["m"]
+    pm = pd.Series([False, True, True], index=[30, 20, 10])
+    got = d.loc[m].to_pandas()
+    pd.testing.assert_frame_equal(got, pdf.loc[pm])
+    assert got.index.tolist() == [10, 20]
+    # series face
+    got_s = d["a"].loc[m].to_pandas()
+    pd.testing.assert_series_equal(got_s, pdf["a"].loc[pm])
+    # superset mask: extra labels ignored
+    sup = bl.DataFrame({"i": [10, 20, 30, 40],
+                        "m": [True, True, False, True]}) \
+        .set_index("i")["m"]
+    assert d.loc[sup].to_pandas().index.tolist() == [10, 20]
+    # missing label -> IndexingError (pandas' wording)
+    miss = bl.DataFrame({"i": [10, 20], "m": [True, True]}) \
+        .set_index("i")["m"]
+    with pytest.raises(pd.errors.IndexingError,
+                       match="Unalignable"):
+        d.loc[miss]
+    with pytest.raises(pd.errors.IndexingError,
+                       match="Unalignable"):
+        d["a"].loc[miss]
+    # duplicate mask labels -> ValueError gate
+    dup = bl.DataFrame({"i": [10, 20, 30, 10],
+                        "m": [True, True, False, True]}) \
+        .set_index("i")["m"]
+    with pytest.raises(ValueError, match="duplicate labels"):
+        d.loc[dup]
+    # NULL mask values align False (pandas nullable-boolean
+    # flavor); NaN is the engine's NULL sentinel, so x > 0 yields a
+    # null boolean on the middle row
+    nulf = bl.DataFrame({"i": [10, 20, 30],
+                         "x": [1.0, np.nan, 2.0]}).set_index("i")
+    nul = nulf["x"] > 0
+    assert d.loc[nul].to_pandas().index.tolist() == [10, 30]
+    # duplicate FRAME labels with a unique mask: each row looks up
+    # its label (pandas-exact)
+    ddup = bl.DataFrame({"i": [10, 10, 20], "a": [1.0, 2, 3]}) \
+        .set_index("i")
+    m8 = bl.DataFrame({"i": [10, 20], "m": [True, False]}) \
+        .set_index("i")["m"]
+    assert ddup.loc[m8].to_pandas()["a"].tolist() == [1.0, 2.0]
+    # same-frame mask keeps the cheap filter path (values equal
+    # either way — identical index)
+    got = d.loc[d["a"] > 1].to_pandas()
+    pd.testing.assert_frame_equal(got, pdf.loc[pdf["a"] > 1])
+    # plain [] stays PINNED positional for cross-frame masks
+    # (reference semantics): same shuffled mask, positions 1,2 kept
+    assert d[m].to_pandas()["a"].tolist() == [2.0, 3.0]

@@ -195,3 +195,45 @@ def test_swaplevel_droplevel(bl):
         d.droplevel("zz")
     with pytest.raises(ValueError, match="only index level"):
         d.droplevel(0).droplevel(0)
+
+
+def test_xs_level_matches_pandas(bl):
+    """r10: xs(key, level=) is a DISTRIBUTED filter on that index
+    level with the level dropped — pandas shape (always a frame,
+    duplicate labels included), KeyError on a miss, TypeError on a
+    non-MultiIndex, drop_level=False keeps the level."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    mi = pd.MultiIndex.from_tuples(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "a")],
+        names=["x", "y"])
+    pdf = pd.DataFrame({"v": [10.0, 20, 30, 40, 50],
+                        "w": [1.0, 2, 3, 4, 5]}, index=mi)
+    d = bl.DataFrame({"x": [1, 1, 2, 2, 2], "y": list("ababa"),
+                      "v": [10.0, 20, 30, 40, 50],
+                      "w": [1.0, 2, 3, 4, 5]}).set_index(["x", "y"])
+    for lvl in ("y", 1, -1):
+        got = d.xs("a", level=lvl).to_pandas()
+        want = pdf.xs("a", level=lvl)
+        pd.testing.assert_frame_equal(got, want)
+    got = d.xs(1, level="x").to_pandas()
+    pd.testing.assert_frame_equal(got, pdf.xs(1, level="x"))
+    got = d.xs("b", level="y", drop_level=False).to_pandas()
+    pd.testing.assert_frame_equal(
+        got, pdf.xs("b", level="y", drop_level=False))
+    # series face: always a Series, duplicates included
+    got = d["v"].xs("a", level="y").to_pandas()
+    pd.testing.assert_series_equal(got, pdf["v"].xs("a", level="y"))
+    with pytest.raises(KeyError):
+        d.xs("zzz", level="y")
+    with pytest.raises(KeyError, match="not found"):
+        d.xs("a", level="nope")
+    with pytest.raises(IndexError):
+        d.xs("a", level=5)
+    single = bl.DataFrame({"i": [1, 2], "v": [1.0, 2.0]}) \
+        .set_index("i")
+    with pytest.raises(TypeError, match="MultiIndex"):
+        single.xs(1, level="i")
+    with pytest.raises(TypeError, match="MultiIndex"):
+        single["v"].xs(1, level=0)

@@ -1325,3 +1325,91 @@ def test_time_rolling_order_stats_budgeted(bl):
             .to_numpy()
         np.testing.assert_allclose(got, want, equal_nan=True,
                                    err_msg=stat)
+
+
+def test_time_offset_rolling_order_stats_r10(bl):
+    """r10: global time-offset rolling rank/skew/kurt/apply ride the
+    SAME budgeted single-partition pandas pass as median/quantile
+    (pandas' kernel supplies the duplicate-stamp positional tie
+    rule and the exact-zero-variance special cases); sem DECOMPOSES
+    — pandas' window sem is sample-std/sqrt(n - ddof) with the
+    numerator ddof=1 regardless (probed), so it is the same prefix
+    + as-of pass as std, no budget."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(107)
+    n = 250
+    secs = np.sort(rng.integers(0, 30000, n))
+    secs[60] = secs[59]
+    secs[61] = secs[59]        # duplicate stamps: positional ties
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.12] = np.nan
+    v[100:104] = 7.25          # a constant stretch: zero-variance
+    ps = pd.Series(v, index=ts)
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v}).set_index("ts")
+    for w in ("30min", "2h"):
+        pr = ps.rolling(w)
+        br = d["v"].rolling(w)
+        cases = [
+            ("rank", {}, {}),
+            ("rank", dict(method="min", ascending=False, pct=True),
+             dict(method="min", ascending=False, pct=True)),
+            ("skew", {}, {}),
+            ("kurt", {}, {}),
+            ("sem", {}, {}),
+            ("sem", dict(ddof=0), dict(ddof=0)),
+            ("apply", dict(func=lambda x: x.max() - x.min(),
+                           raw=True),
+             dict(func=lambda x: x.max() - x.min(), raw=True)),
+        ]
+        for stat, bkw, pkw in cases:
+            got = getattr(br, stat)(**bkw).to_pandas().to_numpy()
+            want = getattr(pr, stat)(**pkw).to_numpy()
+            np.testing.assert_allclose(
+                got, want, atol=1e-9, equal_nan=True,
+                err_msg=f"time rolling {stat} {w} {bkw}")
+    # min_periods flows through to pandas' kernel
+    got = d["v"].rolling("1h", min_periods=5).rank().to_pandas() \
+        .to_numpy()
+    want = ps.rolling("1h", min_periods=5).rank().to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-9, equal_nan=True)
+    # the budget gate names the alternatives (sem has no budget —
+    # it decomposes)
+    with pytest.raises(ValueError, match="max_rows"):
+        d["v"].rolling("30min").rank(max_rows=2)
+    with pytest.raises(ValueError, match="max_rows"):
+        d["v"].rolling("30min").apply(lambda x: x.sum(), max_rows=2)
+
+
+def test_ewm_times_accepts_same_frame_series_r10(bl):
+    """r10: ewm(times=df["t"]) — the natural pandas spelling — is
+    the string spelling; a foreign Series raises a TypeError that
+    names the string spelling."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [0, 40, 65, 65, 200, 1000, 1001], "s")
+    v = np.array([1.0, 2.0, np.nan, 4.0, -1.0, 0.5, 3.0])
+    d = bl.DataFrame({"t": ts.to_numpy(), "v": v})
+    via_str = d["v"].ewm(halflife="30s", times="t").mean() \
+        .to_pandas().to_numpy()
+    via_series = d["v"].ewm(halflife="30s", times=d["t"]).mean() \
+        .to_pandas().to_numpy()
+    np.testing.assert_allclose(via_series, via_str, equal_nan=True)
+    want = pd.Series(v).ewm(
+        halflife=pd.Timedelta("30s"), times=ts).mean().to_numpy()
+    np.testing.assert_allclose(via_series, want, atol=1e-9,
+                               equal_nan=True)
+    # frame face too
+    fstr = d.ewm(halflife="30s", times="t").mean().to_pandas()
+    fser = d.ewm(halflife="30s", times=d["t"]).mean().to_pandas()
+    np.testing.assert_allclose(fser["v"].to_numpy(),
+                               fstr["v"].to_numpy(), equal_nan=True)
+    other = bl.DataFrame({"t2": ts.to_numpy()})
+    with pytest.raises(TypeError, match="string"):
+        d["v"].ewm(halflife="30s", times=other["t2"]).mean()
+    with pytest.raises(TypeError, match="string"):
+        d.ewm(halflife="30s", times=other["t2"]).mean()
