@@ -3435,6 +3435,80 @@ class _TimeRolling:
         return self._order_stat("apply", max_rows, func=func,
                                 raw=raw)
 
+    def _pair(self, other: "Series", stat: str,
+              ddof: int = 1) -> "Series":
+        """Time-offset rolling cov/corr with another Series: the
+        expanding pair recipe (prefix sums over JOINTLY valid
+        pairs, _Expanding._pair) windowed by the shared
+        prefix-difference + as-of pass (:func:`_time_roll_multi`) —
+        Σx, Σy, Σxy, Σx², Σy², pair-n all decompose, so the pair
+        stat costs the same ONE prefix pass + ONE lookup as sum.
+        Same-frame pairs share the plan; cross-frame pairs align
+        positionally (the engine's pinned alignment)."""
+        if not isinstance(other, Series):
+            raise TypeError(
+                f"expected Series, got {type(other).__name__}")
+        from ..plans.ordinal import ORD_COL, POS_COL
+        sr = self._sr
+        if other._sdf is sr._sdf:
+            sdf, a, b = sr._sdf, sr._colexpr, other._colexpr
+            order = order_exprs(sr._order or [], sdf.columns)
+            if not order and ORD_COL in sdf.columns:
+                order = [F.col(ORD_COL).asc()]
+            idx = sr._index_cols
+        else:
+            lo, _ = sr._ordered_sdf("__pa__")
+            ro, rb = other._ordered_sdf("__pb__")
+            sdf = lo.join(ro.select(POS_COL, rb), POS_COL, "inner")
+            a, b = F.col("__pa__"), F.col("__pb__")
+            order = [F.col(POS_COL).asc()]
+            idx = [c for c in sr._index_cols if c in sdf.columns]
+        tcol = _dt_index_col(idx, sdf)
+        if tcol is None:
+            raise TypeError(
+                "rolling with a time offset needs a datetime index "
+                f"level; index levels are {list(idx)!r}")
+        order = [F.col(tcol).asc()] + list(order or [])
+        both = a.isNotNull() & b.isNotNull()
+        ax = F.when(both, a.cast("double"))
+        by = F.when(both, b.cast("double"))
+        vals = {"x": ax, "y": by, "xy": ax * by}
+        j, _, helpers = _time_roll_multi(
+            sdf, tcol, order, vals, self._us,
+            lambda s, c, q: s, 0, True, False)
+
+        def D(k, zero=0.0):
+            return F.col(k) - F.coalesce(F.col(f"{k}_right"),
+                                         F.lit(zero))
+
+        n = D("__pc_x__", 0).cast("double")
+        sx, sy, sxy = D("__ps_x__"), D("__ps_y__"), D("__ps_xy__")
+        if stat == "cov":
+            val = F.when(n > ddof, (sxy - sx * sy / n) / (n - ddof))
+        else:
+            # PINNED divergence (COVERAGE.md r10): a zero-variance
+            # side yields NaN. pandas' kernel there divides its own
+            # roundoff (Σxy - ΣxΣy/n, exactly 0 in real arithmetic)
+            # by the zero std and emits a NOISE-SIGNED ±inf — found
+            # live on events.parquet (constant user_id window, ±inf
+            # vs NaN); the sign is unreproducible by construction
+            vx = D("__pq_x__") - sx * sx / n
+            vy = D("__pq_y__") - sy * sy / n
+            val = F.when((n > 1) & (vx > 0) & (vy > 0),
+                         (sxy - sx * sy / n) / F.sqrt(vx * vy))
+        mp = max(self._mp, 1)
+        expr = F.when(n >= mp, val).cast("double")
+        keep = [c for c in j.columns if c not in helpers]
+        out = j.withColumn("__roll__", expr).select(*keep, "__roll__")
+        return Series._make(out, F.col("__roll__"), idx, sr.name,
+                            sr._order)
+
+    def cov(self, other: "Series", ddof: int = 1) -> "Series":
+        return self._pair(other, "cov", ddof=ddof)
+
+    def corr(self, other: "Series") -> "Series":
+        return self._pair(other, "corr")
+
     def _order_stat(self, stat: str, max_rows: int | None, **kw):
         """Time-window order statistics do NOT decompose into
         prefix + as-of (unlike sum/mean/var, window_agg(i) is not a

@@ -1413,3 +1413,70 @@ def test_ewm_times_accepts_same_frame_series_r10(bl):
         d["v"].ewm(halflife="30s", times=other["t2"]).mean()
     with pytest.raises(TypeError, match="string"):
         d.ewm(halflife="30s", times=other["t2"]).mean()
+
+
+def test_time_offset_rolling_pair_stats_r10(bl):
+    """r10: time-offset rolling cov/corr — the expanding pair
+    recipe (prefix sums over jointly valid pairs) windowed by the
+    shared prefix-difference + as-of pass. Same ONE prefix pass +
+    ONE lookup as sum; pandas-exact incl. duplicate stamps, NaN
+    masking on either side, ddof, min_periods, and the
+    constant-window corr -> NaN rule."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(56)
+    n = 260
+    secs = np.sort(rng.integers(0, 40000, n))
+    secs[70] = secs[69]
+    secs[71] = secs[69]
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    x = rng.normal(size=n)
+    y = 0.5 * x + rng.normal(size=n)
+    x[rng.random(n) < 0.1] = np.nan
+    y[rng.random(n) < 0.1] = np.nan
+    x[120:125] = 3.0           # constant stretch: corr undefined
+    d = bl.DataFrame({"ts": ts.to_numpy(), "x": x, "y": y}) \
+        .set_index("ts")
+    px = pd.Series(x, index=ts)
+    py = pd.Series(y, index=ts)
+    for w in ("30min", "2h"):
+        for st, kw in (("cov", {}), ("cov", dict(ddof=0)),
+                       ("corr", {})):
+            got = getattr(d["x"].rolling(w), st)(d["y"], **kw) \
+                .to_pandas().to_numpy()
+            want = getattr(px.rolling(w), st)(py, **kw).to_numpy()
+            np.testing.assert_allclose(
+                got, want, atol=1e-8, equal_nan=True,
+                err_msg=f"time rolling {st} {w} {kw}")
+    got = d["x"].rolling("1h", min_periods=5).corr(d["y"]) \
+        .to_pandas().to_numpy()
+    want = px.rolling("1h", min_periods=5).corr(py).to_numpy()
+    np.testing.assert_allclose(got, want, atol=1e-8, equal_nan=True)
+    with pytest.raises(TypeError, match="Series"):
+        d["x"].rolling("1h").corr(3)
+
+
+def test_time_offset_rolling_corr_zero_variance_pin_r10(bl):
+    """PIN: a zero-variance side in time-rolling corr yields NaN.
+    pandas' kernel divides its own roundoff by the zero std and
+    emits a noise-signed ±inf when the roundoff is nonzero (found
+    live on events.parquet) — the sign is unreproducible, NaN is
+    the exact-arithmetic answer."""
+    import numpy as np
+    import pandas as pd
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [0, 60, 7200, 7260], "s")
+    x = np.array([185.22, 106.03, 33.5, 90.1])   # real-ish spread
+    y = np.array([13.0, 13.0, 7.0, 7.0])         # constant windows
+    d = bl.DataFrame({"t": ts.to_numpy(), "x": x, "y": y}) \
+        .set_index("t")
+    got = d["x"].rolling("30min").corr(d["y"]).to_pandas().to_numpy()
+    # rows 1 and 3 have n=2 with constant y -> NaN (pandas: ±inf
+    # from roundoff on these magnitudes)
+    assert np.isnan(got[[0, 1, 3]]).all()
+    want = pd.Series(x, index=ts).rolling("30min") \
+        .corr(pd.Series(y, index=ts)).to_numpy()
+    # where pandas is finite, values must agree
+    fin = np.isfinite(want)
+    np.testing.assert_allclose(got[fin], want[fin], atol=1e-8)
