@@ -4529,6 +4529,16 @@ class _FrameTimeRolling:
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
+    def sem(self, ddof: int = 1) -> DataFrame:
+        """pandas' window sem = sample-std / sqrt(n - ddof) (the
+        numerator stays ddof=1 — see the Series face), so it rides
+        the shared prefix pass, no budget."""
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when((c > 1) & (c > ddof),
+                          F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+        return self._emit(build, max(self._mp, 2), need_sq=True)
+
     def min(self, max_rows: int | None = None) -> DataFrame:
         return self._order_stat("min", max_rows)
 
@@ -4543,6 +4553,25 @@ class _FrameTimeRolling:
                  max_rows: int | None = None) -> DataFrame:
         return self._order_stat("quantile", max_rows, q=q,
                                 interpolation=interpolation)
+
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False,
+             max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("rank", max_rows, method=method,
+                                ascending=ascending, pct=pct)
+
+    def skew(self, max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("skew", max_rows)
+
+    def kurt(self, max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("kurt", max_rows)
+
+    kurtosis = kurt
+
+    def apply(self, func, raw: bool = False,
+              max_rows: int | None = None) -> DataFrame:
+        return self._order_stat("apply", max_rows, func=func,
+                                raw=raw)
 
     def _order_stat(self, stat: str, max_rows: int | None,
                     **kw) -> DataFrame:

@@ -1480,3 +1480,31 @@ def test_time_offset_rolling_corr_zero_variance_pin_r10(bl):
     # where pandas is finite, values must agree
     fin = np.isfinite(want)
     np.testing.assert_allclose(got[fin], want[fin], atol=1e-8)
+
+
+def test_frame_time_offset_rolling_new_stats_r10(bl):
+    """r10: the frame time-rolling face mirrors the Series face —
+    sem on the shared prefix pass; rank/skew/kurt/apply on the
+    budgeted all-columns pandas pass. Every numeric column in one
+    kernel call."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(77)
+    n = 150
+    secs = np.sort(rng.integers(0, 30000, n))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    u = rng.normal(size=n) * 3
+    v[rng.random(n) < 0.1] = np.nan
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v, "u": u}) \
+        .set_index("ts")
+    pdf = pd.DataFrame({"v": v, "u": u}, index=ts)
+    for stat, kw in (("sem", {}), ("rank", {}), ("skew", {}),
+                     ("kurt", {}),
+                     ("apply", dict(func=lambda x: x.sum(),
+                                    raw=True))):
+        got = getattr(d.rolling("45min"), stat)(**kw).to_pandas()
+        want = getattr(pdf.rolling("45min"), stat)(**kw)
+        np.testing.assert_allclose(
+            got[["v", "u"]].to_numpy(), want[["v", "u"]].to_numpy(),
+            atol=1e-9, equal_nan=True, err_msg=stat)
