@@ -4983,6 +4983,44 @@ class _Resampler:
     aggregate = apply = agg
 
 
+def _loc_label_series(df: "DataFrame", labels):
+    """``df.loc[<non-boolean Series/Index>]``: pandas reads the
+    key's VALUES as requested labels — rows come back in the
+    REQUESTED order, duplicate requests duplicated, KeyError on any
+    miss. Unlike the driver-sized label-LIST path, the request here
+    is already an engine Series, so the whole gather stays
+    DISTRIBUTED: a position-tagged lookup join (no collect — the
+    scale shape pandas itself can't take), one left-anti gate job
+    for the KeyError, AQE free to broadcast whichever side is
+    small. Labels select on the FIRST index level, like pandas'
+    scalar-label lists on a MultiIndex."""
+    from ..plans.ordinal import POS_COL
+    idx = [c for c in df._index_cols if c in df._sdf.columns]
+    if not idx:
+        raise ValueError("loc needs an index; this scan-backed "
+                         "frame has none (set_index first)")
+    key = idx[0]
+    wsdf, _ = labels._ordered_sdf("__wlbl__")
+    want = wsdf.select(F.col(POS_COL).alias("__wpos__"), "__wlbl__")
+    miss = (want.join(
+        df._sdf.select(F.col(key).alias("__wlbl__")).distinct(),
+        "__wlbl__", "left_anti")
+        .select("__wlbl__").limit(5).collect())
+    if miss:
+        raise KeyError(
+            f"{[r['__wlbl__'] for r in miss]!r} not all in index")
+    sdf = df._ordered_sdf()
+    out = (sdf.join(want,
+                    F.col("__wlbl__").eqNullSafe(F.col(key)),
+                    "inner")
+           .drop("__wlbl__"))
+    if ORD_COL in out.columns and ORD_COL not in (
+            df._index_cols + df._data_cols):
+        out = out.drop(ORD_COL)
+    return DataFrame._make(out, df._index_cols, df._data_cols,
+                           [("__wpos__", True), (POS_COL, True)])
+
+
 def _loc_bool_series(df: "DataFrame", mask):
     """pandas ``.loc`` LABEL-ALIGNS a boolean Series (the mask is
     reindexed to df's index) where plain ``df[mask]`` stays pinned
@@ -5002,12 +5040,15 @@ def _loc_bool_series(df: "DataFrame", mask):
 
     import pandas as pd
     from pyspark.sql import types as T
-    if mask._sdf is df._sdf or id(mask._sdf) in df._lineage:
-        return df[mask]   # identical index: aligned == positional
     dt = mask._sdf.select(
         mask._colexpr.alias("__m__")).schema[0].dataType
     if not isinstance(dt, T.BooleanType):
-        return df[mask]
+        # pandas .loc with a NON-boolean Series/Index treats its
+        # VALUES as requested labels (the key's own index is
+        # ignored) — the label-gather path, fully distributed
+        return _loc_label_series(df, mask)
+    if mask._sdf is df._sdf or id(mask._sdf) in df._lineage:
+        return df[mask]   # identical index: aligned == positional
     idx = [c for c in df._index_cols if c in df._sdf.columns]
     if not idx:
         raise ValueError("loc needs an index; this scan-backed "

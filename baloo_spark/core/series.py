@@ -4071,11 +4071,16 @@ class _SeriesLoc:
             raise TypeError("label slices are not supported in loc; "
                             "use iloc for positional slices")
         if isinstance(key, Series):
-            # pandas .loc label-aligns a FOREIGN boolean Series
-            # (same contract as the frame face — see
-            # frame._loc_bool_series); same-lineage masks keep the
-            # cheap positional filter (identical index either way)
-            if key._sdf is sr._sdf:
+            # pandas .loc label-aligns a FOREIGN boolean Series and
+            # reads a NON-boolean Series' values as requested
+            # labels (same contract as the frame face — see
+            # frame._loc_bool_series/_loc_label_series);
+            # same-lineage boolean masks keep the cheap filter
+            from pyspark.sql import types as T
+            dt = key._sdf.select(
+                key._colexpr.alias("__m__")).schema[0].dataType
+            if (isinstance(dt, T.BooleanType)
+                    and key._sdf is sr._sdf):
                 return sr[key]
             from .frame import _loc_bool_series
             fr = sr._to_frame_ordered()

@@ -331,3 +331,35 @@ def test_loc_boolean_series_label_aligns_r10(bl):
     # plain [] stays PINNED positional for cross-frame masks
     # (reference semantics): same shuffled mask, positions 1,2 kept
     assert d[m].to_pandas()["a"].tolist() == [2.0, 3.0]
+
+
+def test_loc_label_series_distributed_r10(bl):
+    """r10: .loc with a NON-boolean Series/Index reads its VALUES
+    as requested labels (pandas semantics: requested order,
+    duplicate requests repeated, KeyError on a miss) — but unlike
+    the driver-sized label-LIST path, the gather stays DISTRIBUTED:
+    a position-tagged lookup join plus one left-anti gate job, no
+    label collect."""
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"a": [1.0, 2, 3]},
+                       index=pd.Index([10, 20, 30], name="i"))
+    d = bl.DataFrame({"i": [10, 20, 30], "a": [1.0, 2, 3]}) \
+        .set_index("i")
+    lab = bl.DataFrame({"x": [30, 10, 30]})["x"]
+    plab = pd.Series([30, 10, 30])
+    pd.testing.assert_frame_equal(d.loc[lab].to_pandas(),
+                                  pdf.loc[plab])
+    pd.testing.assert_series_equal(d["a"].loc[lab].to_pandas(),
+                                   pdf["a"].loc[plab])
+    # an Index key is a label request too
+    other = bl.DataFrame({"i": [30, 10], "b": [9.0, 8]}) \
+        .set_index("i")
+    assert d.loc[other.index].to_pandas().index.tolist() == [30, 10]
+    # duplicate frame labels: every match, in request order
+    dd = bl.DataFrame({"i": [10, 10, 20], "a": [1.0, 2, 3]}) \
+        .set_index("i")
+    got = dd.loc[bl.DataFrame({"x": [10, 20]})["x"]].to_pandas()
+    assert got["a"].tolist() == [1.0, 2.0, 3.0]
+    with pytest.raises(KeyError, match="not all in index"):
+        d.loc[bl.DataFrame({"x": [10, 99]})["x"]]
