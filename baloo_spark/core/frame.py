@@ -3925,28 +3925,46 @@ class DataFrame:
             if len(idx) < 2:
                 # pandas parity: level= demands a MultiIndex
                 raise TypeError("Index must be a MultiIndex")
-            if isinstance(level, (int, np.integer)):
-                if not -len(idx) <= level < len(idx):
-                    raise IndexError(
-                        f"Too many levels: Index has only "
-                        f"{len(idx)} levels, {level} is not a valid "
-                        f"level number")
-                k = idx[int(level)]
-            elif level in idx:
-                k = level
+
+            def _resolve(lv):
+                if isinstance(lv, (int, np.integer)):
+                    if not -len(idx) <= lv < len(idx):
+                        raise IndexError(
+                            f"Too many levels: Index has only "
+                            f"{len(idx)} levels, {lv} is not a "
+                            f"valid level number")
+                    return idx[int(lv)]
+                if lv in idx:
+                    return lv
+                raise KeyError(f"Level {lv} not found")
+
+            if isinstance(level, (list, tuple)):
+                keys = (list(key) if isinstance(key, (list, tuple))
+                        else [key])
+                if len(keys) != len(level):
+                    raise ValueError(
+                        f"key {key!r} and level {level!r} must have "
+                        "the same length")
+                ks = [_resolve(lv) for lv in level]
             else:
-                raise KeyError(f"Level {level} not found")
-            sel = self._sdf.filter(F.col(k) == F.lit(_py(key)))
+                ks = [_resolve(level)]
+                keys = [key]
+            cond = F.lit(True)
+            for k, kv in zip(ks, keys):
+                cond = cond & (F.col(k) == F.lit(_py(kv)))
+            sel = self._sdf.filter(cond)
             # pandas raises KeyError on a miss — one tiny gate job
             if sel.limit(1).count() == 0:
                 raise KeyError(key)
-            if not drop_level:
+            remaining = [c for c in idx if c not in ks]
+            # pandas quirk: when EVERY level is consumed, the full
+            # index stays (xs keeps what it cannot drop)
+            if not drop_level or not remaining:
                 return DataFrame._make(sel, idx, self._data_cols,
                                        self._order)
-            remaining = [c for c in idx if c != k]
             order = [(c, a) for c, a in (self._order or [])
-                     if c != k]
-            return DataFrame._make(sel.drop(k), remaining,
+                     if c not in ks]
+            return DataFrame._make(sel.drop(*ks), remaining,
                                    self._data_cols, order)
         k = self._index_cols[0]
         sel = self._sdf.where(F.col(k) == F.lit(key))

@@ -237,3 +237,32 @@ def test_xs_level_matches_pandas(bl):
         single.xs(1, level="i")
     with pytest.raises(TypeError, match="MultiIndex"):
         single["v"].xs(1, level=0)
+
+
+def test_xs_level_list_matches_pandas(bl):
+    """r10: xs with a LIST of levels filters on all of them and
+    drops them — unless every level would be consumed, where pandas
+    keeps the full index (quirk, pinned by parity)."""
+    import pandas as pd
+    import pytest
+    mi = pd.MultiIndex.from_tuples(
+        [(1, "a", "p"), (1, "b", "q"), (2, "a", "p"),
+         (2, "a", "r")], names=["x", "y", "z"])
+    pdf = pd.DataFrame({"v": [1.0, 2, 3, 4]}, index=mi)
+    d = bl.DataFrame({"x": [1, 1, 2, 2], "y": list("abaa"),
+                      "z": list("pqpr"), "v": [1.0, 2, 3, 4]}) \
+        .set_index(["x", "y", "z"])
+    pd.testing.assert_frame_equal(
+        d.xs(("a", 1), level=["y", "x"]).to_pandas(),
+        pdf.xs(("a", 1), level=["y", "x"]))
+    pd.testing.assert_frame_equal(
+        d.xs((1, "a"), level=[0, 1]).to_pandas(),
+        pdf.xs((1, "a"), level=[0, 1]))
+    # every level consumed -> full index kept (pandas quirk)
+    got = d.xs((1, "a", "p"), level=["x", "y", "z"]).to_pandas()
+    pd.testing.assert_frame_equal(
+        got, pdf.xs((1, "a", "p"), level=["x", "y", "z"]))
+    with pytest.raises(ValueError, match="same length"):
+        d.xs(("a",), level=["y", "x"])
+    with pytest.raises(KeyError):
+        d.xs(("zz", 1), level=["y", "x"])
