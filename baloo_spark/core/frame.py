@@ -5185,6 +5185,204 @@ class _FrameLoc:
             return out[cols]
         return self._rows(key)
 
+    def _row_cond(self, work: "DataFrame", rows):
+        """Row selector -> (sdf, boolean Column over it, helper
+        columns to drop) for the ASSIGNMENT face. Mirrors the
+        selection semantics: boolean same-lineage masks are the
+        cheap expression; foreign boolean Series label-align (same
+        dup/unalignable gates); non-boolean Series mark labels
+        distributively; boolean lists are positional
+        (length-checked); label scalars/lists must all exist —
+        pandas' ENLARGEMENT face (loc-set at a new label appends a
+        row) is refused with the concat alternative named."""
+        from functools import reduce
+        from operator import and_
+
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import POS_COL
+        from .indexes import Index
+        from .series import Series
+        sdf = work._sdf
+        if isinstance(rows, slice):
+            if rows == slice(None):
+                return sdf, F.lit(True), []
+            raise TypeError("label slices are not supported in loc; "
+                            "use iloc for positional slices")
+        if isinstance(rows, Index):
+            rows = rows._backing
+        idx = [c for c in work._index_cols if c in sdf.columns]
+        if isinstance(rows, Series):
+            dt = rows._sdf.select(
+                rows._colexpr.alias("__m__")).schema[0].dataType
+            if isinstance(dt, T.BooleanType):
+                if (rows._sdf is sdf
+                        or id(rows._sdf) in self._df._lineage):
+                    return sdf, rows._colexpr, []
+                if not idx:
+                    raise ValueError(
+                        "loc needs an index; this scan-backed frame "
+                        "has none (set_index first)")
+                mlv = [c for c in rows._index_cols
+                       if c in rows._sdf.columns]
+                if len(mlv) != len(idx):
+                    raise pd.errors.IndexingError(
+                        "Unalignable boolean Series provided as "
+                        "indexer (index of the boolean Series and "
+                        "of the indexed object do not match).")
+                msdf, _ = rows._select("__mval__")
+                lbls = [f"__mlbl{i}__" for i in range(len(mlv))]
+                right = (msdf.select(
+                    *[F.col(c).alias(a) for c, a in zip(mlv, lbls)],
+                    F.col("__mval__"))
+                    .withColumn("__mhit__", F.lit(True)))
+                dup = (right.groupBy(*lbls).count()
+                       .filter(F.col("count") > 1).limit(1).count())
+                if dup:
+                    raise ValueError("cannot reindex on an axis "
+                                     "with duplicate labels")
+                cond_j = reduce(and_, [
+                    F.col(k).eqNullSafe(F.col(a))
+                    for k, a in zip(idx, lbls)])
+                joined = sdf.join(right, cond_j, "left")
+                miss = (joined.filter(F.col("__mhit__").isNull())
+                        .limit(1).count())
+                if miss:
+                    raise pd.errors.IndexingError(
+                        "Unalignable boolean Series provided as "
+                        "indexer (index of the boolean Series and "
+                        "of the indexed object do not match).")
+                return (joined,
+                        F.coalesce(F.col("__mval__"), F.lit(False)),
+                        lbls + ["__mval__", "__mhit__"])
+            # non-boolean Series: its VALUES are target labels —
+            # distributed mark + all-exist gate (no enlargement)
+            if not idx:
+                raise ValueError(
+                    "loc needs an index; this scan-backed frame "
+                    "has none (set_index first)")
+            key = idx[0]
+            wsdf, _ = rows._ordered_sdf("__wlbl__")
+            want = wsdf.select("__wlbl__").distinct() \
+                .withColumn("__whit__", F.lit(True))
+            miss = (want.join(
+                sdf.select(F.col(key).alias("__wlbl__")).distinct(),
+                "__wlbl__", "left_anti").limit(1).count())
+            if miss:
+                raise NotImplementedError(
+                    "loc assignment at labels not in the index is "
+                    "pandas' enlargement face (it appends rows); "
+                    "use concat instead")
+            joined = sdf.join(
+                F.broadcast(want).withColumnRenamed("__wlbl__",
+                                                    "__wl2__"),
+                F.col("__wl2__").eqNullSafe(F.col(key)), "left")
+            return (joined, F.col("__whit__").isNotNull(),
+                    ["__wl2__", "__whit__"])
+        if isinstance(rows, (list, np.ndarray)):
+            vals = list(rows)
+            if vals and all(isinstance(_py(v), bool) for v in vals):
+                n = len(self._df)
+                if len(vals) != n:
+                    raise IndexError(
+                        f"Boolean index has wrong length: "
+                        f"{len(vals)} instead of {n}")
+                had_pos = POS_COL in sdf.columns
+                left = work._ordered_sdf()
+                spark = sdf.sparkSession
+                trues = [(int(i),) for i, b in enumerate(vals)
+                         if _py(b)]
+                want = spark.createDataFrame(
+                    trues or [(int(-1),)], ["__wtru__"])
+                joined = left.join(
+                    F.broadcast(want),
+                    F.col(POS_COL) == F.col("__wtru__"), "left")
+                helpers = ["__wtru__"] + ([] if had_pos
+                                          else [POS_COL])
+                return joined, F.col("__wtru__").isNotNull(), helpers
+            if not idx:
+                raise ValueError(
+                    "loc needs an index; this scan-backed frame "
+                    "has none (set_index first)")
+            key = idx[0]
+            labels = [_py(v) for v in vals]
+            spark = sdf.sparkSession
+            want = spark.createDataFrame([(l,) for l in labels],
+                                         ["__wlbl__"]).distinct()
+            hit = (sdf.join(F.broadcast(want),
+                            F.col("__wlbl__").eqNullSafe(F.col(key)),
+                            "left_semi")
+                   .select(key).distinct().count())
+            if hit < len(set(labels)):
+                raise NotImplementedError(
+                    "loc assignment at labels not in the index is "
+                    "pandas' enlargement face (it appends rows); "
+                    "use concat instead")
+            return sdf, F.col(key).isin(labels), []
+        # scalar label
+        if not idx:
+            raise ValueError("loc needs an index; this scan-backed "
+                             "frame has none (set_index first)")
+        key = idx[0]
+        lit = F.lit(_py(rows))
+        if sdf.filter(F.col(key) == lit).limit(1).count() == 0:
+            raise NotImplementedError(
+                "loc assignment at labels not in the index is "
+                "pandas' enlargement face (it appends rows); use "
+                "concat instead")
+        return sdf, F.col(key) == lit, []
+
+    def __setitem__(self, key, value):
+        """pandas' conditional-assignment face:
+        ``df.loc[rows, col] = value`` (``df.loc[rows] = value``
+        writes every data column). The VALUE stages through the
+        standard :meth:`DataFrame.__setitem__` alignment machinery
+        (scalar / same-frame Series / foreign Series joined by
+        index / array positional) into one temp column, then each
+        target column becomes
+        ``when(cond, staged).otherwise(old)`` — a single projection
+        per column, no collect. A NEW column name is created with
+        NULL outside the selection (pandas' NaN)."""
+        df = self._df
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+        else:
+            rows, cols = key, slice(None)
+        if isinstance(cols, slice):
+            if cols != slice(None):
+                raise TypeError("column slices are not supported "
+                                "in loc assignment")
+            cols = list(df._data_cols)
+        elif isinstance(cols, str):
+            cols = [cols]
+        elif isinstance(cols, (list, np.ndarray)):
+            cols = [str(c) for c in cols]
+        else:
+            raise TypeError(
+                f"unsupported loc column key: {type(cols)}")
+        for c in cols:
+            if c in df._index_cols:
+                raise KeyError(
+                    f"{c!r} is an index level, not a data column")
+        work = df._shallow()
+        work["__lv__"] = value
+        sdf, cond, helpers = self._row_cond(work, rows)
+        # stage the condition BEFORE the column loop — cond may
+        # reference columns the loop itself overwrites
+        sdf = sdf.withColumn("__lc__", cond)
+        for c in cols:
+            base = (F.col(c) if c in work._sdf.columns
+                    else F.lit(None))
+            sdf = sdf.withColumn(
+                c, F.when(F.col("__lc__"),
+                          F.col("__lv__")).otherwise(base))
+        sdf = sdf.drop("__lv__", "__lc__", *helpers)
+        new = [c for c in cols if c not in df._data_cols]
+        df._sdf = sdf
+        df._data_cols = df._data_cols + new
+        df._lineage.add(id(sdf))
+
 
 class _FrameAt:
     def __init__(self, df: DataFrame):

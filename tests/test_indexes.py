@@ -363,3 +363,91 @@ def test_loc_label_series_distributed_r10(bl):
     assert got["a"].tolist() == [1.0, 2.0, 3.0]
     with pytest.raises(KeyError, match="not all in index"):
         d.loc[bl.DataFrame({"x": [10, 99]})["x"]]
+
+
+def test_loc_assignment_r10(bl):
+    """r10: the pandas conditional-assignment face
+    ``df.loc[rows, col] = value``. The value stages through the
+    standard __setitem__ alignment machinery into a temp column,
+    the row condition stages into another (it may reference columns
+    the write overwrites), then each target column is one
+    when().otherwise() projection — no collect. Enlargement
+    (loc-set at a missing label appends a row in pandas) is refused
+    with concat named."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    def mk():
+        pdf = pd.DataFrame(
+            {"a": [1.0, 2, 3, 4], "b": [10.0, 20, 30, 40]},
+            index=pd.Index([10, 20, 30, 40], name="i"))
+        d = bl.DataFrame({"i": [10, 20, 30, 40],
+                          "a": [1.0, 2, 3, 4],
+                          "b": [10.0, 20, 30, 40]}).set_index("i")
+        return pdf, d
+
+    # same-frame mask + scalar / Series-expression values
+    pdf, d = mk()
+    pdf.loc[pdf["a"] > 2, "b"] = -1.0
+    d.loc[d["a"] > 2, "b"] = -1.0
+    pdf.loc[pdf["a"] > 2, "a"] = pdf["b"] * 100
+    d.loc[d["a"] > 2, "a"] = d["b"] * 100
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+    # new column: NULL outside the selection
+    pdf, d = mk()
+    pdf.loc[pdf["a"] > 2, "c"] = 7.0
+    d.loc[d["a"] > 2, "c"] = 7.0
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+    # label list, scalar label, boolean list (positional)
+    pdf, d = mk()
+    pdf.loc[[10, 30], "a"] = 0.0
+    d.loc[[10, 30], "a"] = 0.0
+    pdf.loc[20, "a"] = 5.0
+    d.loc[20, "a"] = 5.0
+    pdf.loc[[True, False, True, False], "b"] = 9.0
+    d.loc[[True, False, True, False], "b"] = 9.0
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+    # every data column (no column key): cond staged BEFORE writes
+    pdf, d = mk()
+    pdf.loc[pdf["a"] > 3] = 0.0
+    d.loc[d["a"] > 3] = 0.0
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+    # foreign boolean mask label-aligns; foreign Series value
+    # aligns by index
+    pdf, d = mk()
+    fm = bl.DataFrame({"i": [40, 30, 20, 10],
+                       "m": [True, False, False, True]}) \
+        .set_index("i")["m"]
+    pfm = pd.Series([True, False, False, True],
+                    index=[40, 30, 20, 10])
+    pdf.loc[pfm, "a"] = -5.0
+    d.loc[fm, "a"] = -5.0
+    fv = bl.DataFrame({"i": [30, 10], "v": [333.0, 111.0]}) \
+        .set_index("i")["v"]
+    pfv = pd.Series([333.0, 111.0], index=[30, 10])
+    pdf.loc[pfm != pfm.min(), "b"] = pfv  # noqa: simple reuse
+    pdf, d = mk()
+    pdf.loc[pdf["a"] > 0, "a"] = pfv
+    d.loc[d["a"] > 0, "a"] = fv
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+    # non-boolean label Series (distributed mark)
+    pdf, d = mk()
+    pdf.loc[pd.Series([20, 40]), "b"] = 1.5
+    d.loc[bl.DataFrame({"x": [20, 40]})["x"], "b"] = 1.5
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+    # enlargement refused, boolean-list length checked
+    pdf, d = mk()
+    with pytest.raises(NotImplementedError, match="concat"):
+        d.loc[99, "a"] = 1.0
+    with pytest.raises(NotImplementedError, match="concat"):
+        d.loc[[10, 99], "a"] = 1.0
+    with pytest.raises(IndexError, match="wrong length"):
+        d.loc[[True, False], "a"] = 1.0
+    # mutation composes with later ops
+    pdf, d = mk()
+    d.loc[d["a"] > 1, "b"] = 2.0
+    d["c"] = d["a"] + d["b"]
+    pdf.loc[pdf["a"] > 1, "b"] = 2.0
+    pdf["c"] = pdf["a"] + pdf["b"]
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
