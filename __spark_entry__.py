@@ -873,13 +873,24 @@ def _filter_assign(spark, sf):
     flt = li[(li["l_quantity"] > 10) & (li["l_discount"] < 0.07)
              & (li["l_extendedprice"] < 50000)]
     flt["col4"] = flt["l_quantity"] * 2 + 1 - 23
-    out = flt[["l_orderkey", "l_linenumber", "col4"]].to_spark()
+    # r10 loc-ASSIGNMENT evidence: the pandas conditional-write
+    # idiom df.loc[mask, col] = value — one when().otherwise()
+    # projection per column (no collect, no shuffle); the oracle
+    # replays it as CASE WHEN
+    flt["col5"] = flt["col4"]
+    flt.loc[flt["l_discount"] > 0.04, "col5"] = \
+        flt["l_quantity"] * -1.0
+    out = flt[["l_orderkey", "l_linenumber", "col4",
+               "col5"]].to_spark()
     return out.select("l_orderkey", "l_linenumber",
-                      F.round("col4", 2).alias("col4"))
+                      F.round("col4", 2).alias("col4"),
+                      F.round("col5", 2).alias("col5"))
 
 
 _FILTER_ASSIGN_SQL = """
-SELECT l_orderkey, l_linenumber, round(l_quantity * 2 + 1 - 23, 2) AS col4
+SELECT l_orderkey, l_linenumber, round(l_quantity * 2 + 1 - 23, 2) AS col4,
+       round(CASE WHEN l_discount > 0.04 THEN -l_quantity
+             ELSE l_quantity * 2 + 1 - 23 END, 2) AS col5
 FROM lineitem
 WHERE l_quantity > 10 AND l_discount < 0.07 AND l_extendedprice < 50000
 """
@@ -971,7 +982,27 @@ def _groupby_stats(spark, sf):
         F.lit(None).cast("double").alias("std_price"),
         F.lit(None).cast("long").alias("group_size"),
         F.round("disc1", 6).alias("prod_disc1"))
-    return stats.unionByName(prod)
+    # r10 'xs' part: xs(key, level=) — a DISTRIBUTED level filter
+    # on the grouped result's MultiIndex with the level dropped
+    # (frame.xs); the oracle replays it as WHERE on the level
+    # before grouping (exact: groups partition the rows)
+    x = li.groupby(keys)[["l_extendedprice"]].mean() \
+        .xs("O", level="l_linestatus")
+    xs_rows = x.reset_index().to_spark().select(
+        F.lit("xs").alias("part"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.round("l_extendedprice", 4).alias("avg_price"),
+        F.lit(None).cast("double").alias("var_qty"),
+        F.lit(None).cast("double").alias("std_qty"),
+        F.lit(None).cast("double").alias("std_price"),
+        F.lit(None).cast("double").alias("med_qty"),
+        F.lit(None).cast("long").alias("group_size"),
+        F.lit(None).cast("double").alias("prod_disc1"))
+    return stats.unionByName(prod).unionByName(xs_rows)
 
 
 _GROUPBY_STATS_SQL = """
@@ -991,6 +1022,11 @@ UNION ALL
 SELECT 'prod', l_orderkey, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
        NULL, NULL, NULL, round(product(1 + l_discount), 6)
 FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey
+UNION ALL
+SELECT 'xs', NULL, l_returnflag, NULL, NULL, NULL,
+       round(avg(l_extendedprice), 4), NULL, NULL, NULL, NULL,
+       NULL, NULL
+FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_returnflag
 """
 
 
@@ -2184,7 +2220,7 @@ def _events_window(spark, sf):
                     F.sum(F.when(sub, F.col("value"))).alias("v"),
                     F.count(F.when(sub, F.lit(1))).alias("c"))
                .localCheckpoint())
-    per = per_all.where(F.col("c") > 0).select("ts", "v", "c")
+    per = per_all.where(F.col("c") > 0).select("ts", "av", "v", "c")
     bd = bl.DataFrame.from_spark(per).sort_values("ts") \
         .set_index("ts")
     # FRAME face: both columns (v totals, c row counts) share ONE
@@ -2199,6 +2235,24 @@ def _events_window(spark, sf):
         F.col("c").cast("long").alias("n_events"),
         F.round("v", 4).alias("sum_value"))
     out = out.unionByName(time_leg)
+
+    # r10 'tr_corr_2h' leg: time-offset rolling CORR
+    # (Series.rolling('2h').corr — the pair stat on the SAME
+    # prefix-difference + as-of pass as sum, core/series
+    # _TimeRolling._pair) between the per-stamp global mean and the
+    # 1-in-20-user sums, off the same checkpointed table. DuckDB
+    # replays with corr() OVER the RANGE frame (pairwise n and the
+    # sample/population ratio cancel identically).
+    cr = bd["av"].rolling("2h", min_periods=1).corr(bd["v"]) \
+        .rename("cv").to_frame().reset_index().to_spark()
+    corr_leg = cr.select(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .cast(out.schema["window_start"].dataType)
+        .alias("window_start"),
+        F.lit("tr_corr_2h").alias("event_type"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.round("cv", 4).alias("sum_value"))
+    out = out.unionByName(corr_leg)
 
     # r8 'rs6h_*' leg: resample('6h').ohlc() + bucket size under the
     # oracle — per-stamp mean first (ohlc ties on duplicate stamps
@@ -2257,6 +2311,16 @@ FROM (SELECT ts, sum(value) AS v, count(*) AS c
 WINDOW w AS (ORDER BY ts
              RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
              AND CURRENT ROW)
+UNION ALL
+SELECT epoch_us(ts), 'tr_corr_2h', NULL,
+       round(corr(av, v) OVER w2, 4)
+FROM (SELECT ts, avg(value) AS av,
+             sum(value) FILTER (user_id % 20 = 0) AS v
+      FROM events GROUP BY ts
+      HAVING count(*) FILTER (user_id % 20 = 0) > 0)
+WINDOW w2 AS (ORDER BY ts
+              RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
+              AND CURRENT ROW)
 UNION ALL
 SELECT epoch_us(g.bkt), 'rs6h_' || u.k,
        coalesce(a.n, 0), round(u.v, 4)
