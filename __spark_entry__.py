@@ -2223,36 +2223,31 @@ def _events_window(spark, sf):
     per = per_all.where(F.col("c") > 0).select("ts", "av", "v", "c")
     bd = bl.DataFrame.from_spark(per).sort_values("ts") \
         .set_index("ts")
-    # FRAME face: both columns (v totals, c row counts) share ONE
-    # prefix pass and ONE as-of join (_time_roll_multi)
-    tr = bd.rolling("2h", min_periods=1).sum().reset_index() \
-        .to_spark()
+    # r10: the sums AND the new pairwise corr share ONE prefix pass
+    # + ONE as-of lookup via the fused engine extension
+    # (_FrameTimeRolling.agg_pairs) — a second pandas-shaped
+    # .corr() call would pay the whole two-pass scheme again (~13
+    # scheduling-bound driver jobs at sf0.1, measured). The corr
+    # (per-stamp global mean vs the 1-in-20-user sums) rides
+    # Series.rolling('2h').corr's exact formula; DuckDB replays it
+    # with corr() OVER the RANGE frame (the sample/population
+    # ratios cancel identically).
+    tr = bd.rolling("2h", min_periods=1).agg_pairs({
+        "v": ("sum", "v"), "c": ("sum", "c"),
+        "cv": ("corr", "av", "v")}).reset_index().to_spark()
+    usm = (F.unix_micros(F.col("ts").cast("timestamp"))
+           .cast(out.schema["window_start"].dataType))
     time_leg = tr.select(
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        .cast(out.schema["window_start"].dataType)
-        .alias("window_start"),
+        usm.alias("window_start"),
         F.lit("time_roll_2h").alias("event_type"),
         F.col("c").cast("long").alias("n_events"),
         F.round("v", 4).alias("sum_value"))
-    out = out.unionByName(time_leg)
-
-    # r10 'tr_corr_2h' leg: time-offset rolling CORR
-    # (Series.rolling('2h').corr — the pair stat on the SAME
-    # prefix-difference + as-of pass as sum, core/series
-    # _TimeRolling._pair) between the per-stamp global mean and the
-    # 1-in-20-user sums, off the same checkpointed table. DuckDB
-    # replays with corr() OVER the RANGE frame (pairwise n and the
-    # sample/population ratio cancel identically).
-    cr = bd["av"].rolling("2h", min_periods=1).corr(bd["v"]) \
-        .rename("cv").to_frame().reset_index().to_spark()
-    corr_leg = cr.select(
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        .cast(out.schema["window_start"].dataType)
-        .alias("window_start"),
+    corr_leg = tr.select(
+        usm.alias("window_start"),
         F.lit("tr_corr_2h").alias("event_type"),
         F.lit(None).cast("long").alias("n_events"),
         F.round("cv", 4).alias("sum_value"))
-    out = out.unionByName(corr_leg)
+    out = out.unionByName(time_leg).unionByName(corr_leg)
 
     # r8 'rs6h_*' leg: resample('6h').ohlc() + bucket size under the
     # oracle — per-stamp mean first (ohlc ties on duplicate stamps

@@ -1508,3 +1508,41 @@ def test_frame_time_offset_rolling_new_stats_r10(bl):
         np.testing.assert_allclose(
             got[["v", "u"]].to_numpy(), want[["v", "u"]].to_numpy(),
             atol=1e-9, equal_nan=True, err_msg=stat)
+
+
+def test_time_rolling_agg_pairs_fused_r10(bl):
+    """r10 ENGINE EXTENSION: _FrameTimeRolling.agg_pairs — every
+    requested per-column sum/mean/count and pairwise cov/corr in
+    ONE prefix pass + ONE as-of lookup. Values must equal the
+    one-stat-per-call faces (which each pay a full two-pass scheme)
+    and pandas."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(91)
+    n = 220
+    secs = np.sort(rng.integers(0, 30000, n))
+    secs[40] = secs[39]
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    x = rng.normal(size=n)
+    y = 0.3 * x + rng.normal(size=n)
+    x[rng.random(n) < 0.1] = np.nan
+    d = bl.DataFrame({"ts": ts.to_numpy(), "x": x, "y": y}) \
+        .set_index("ts")
+    got = d.rolling("40min", min_periods=1).agg_pairs({
+        "sx": ("sum", "x"), "mx": ("mean", "x"),
+        "nx": ("count", "x"), "cxy": ("corr", "x", "y"),
+        "vxy": ("cov", "x", "y")}).to_pandas()
+    px = pd.Series(x, index=ts)
+    py = pd.Series(y, index=ts)
+    r = px.rolling("40min", min_periods=1)
+    for name, want in (("sx", r.sum()), ("mx", r.mean()),
+                       ("nx", r.count()), ("cxy", r.corr(py)),
+                       ("vxy", r.cov(py))):
+        np.testing.assert_allclose(
+            got[name].to_numpy(), want.to_numpy(), atol=1e-8,
+            equal_nan=True, err_msg=name)
+    with pytest.raises(ValueError, match="unknown statistic"):
+        d.rolling("40min").agg_pairs({"z": ("median", "x")})
+    with pytest.raises(KeyError):
+        d.rolling("40min").agg_pairs({"z": ("sum", "nope")})
