@@ -5468,6 +5468,15 @@ class _FrameLoc:
             if c in df._index_cols:
                 raise KeyError(
                     f"{c!r} is an index level, not a data column")
+        if isinstance(value, (list, tuple, np.ndarray)):
+            # pandas aligns a list value positionally over the
+            # SELECTED rows only; the staging machinery aligns over
+            # ALL rows — silently wrong for any proper subset, so
+            # refuse with the unambiguous spelling named
+            raise NotImplementedError(
+                "loc assignment from a list/array is positional "
+                "over the SELECTED rows in pandas; pass a Series "
+                "with explicit index labels instead")
         work = df._shallow()
         work["__lv__"] = value
         sdf, cond, helpers = self._row_cond(work, rows)
