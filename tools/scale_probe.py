@@ -181,6 +181,49 @@ def main():
               "driver carry is n_partitions tuples regardless of "
               "rows_", ""]
 
+    # r10: fused multi-stat time rolling (agg_pairs). Rebuilt inside
+    # the loop like ewm — the prefix layout localCheckpoints eagerly
+    # at construction. Replicated stamps are perturbed so stamp
+    # density (not the duplicate-tie path) is what scales; 4x/16x
+    # exceed the 200k broadcast cap, exercising the union-carry
+    # as-of face (the 100 TB shape).
+    lines += ["## fused time-roll agg_pairs (sum+count+corr, '2h')",
+              ""]
+    import baloo_spark as _bl
+    ev_p = spark.read.parquet(f"{sf}/events.parquet") \
+        .select("ts", "value", "user_id")
+    for mult in (1, 4, 16):
+        w = replicate(ev_p, mult)
+        w = w.withColumn(
+            "ts", F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                + (F.monotonically_increasing_id() % 997))) \
+            .withColumn("v2",
+                        F.col("value") * 0.5 + F.col("user_id")) \
+            .localCheckpoint()
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            d = _bl.DataFrame.from_spark(w).sort_values("ts") \
+                .set_index("ts")
+            out = d.rolling("2h", min_periods=1).agg_pairs({
+                "sv": ("sum", "value"), "nv": ("count", "value"),
+                "cv": ("corr", "value", "v2")}).to_spark()
+            out.write.format("noop").mode("overwrite").save()
+            dt = min(dt, time.perf_counter() - t0)
+        lines.append(f"- {mult}x: {dt:.2f}s (full operator incl. "
+                     "eager layout construction)")
+        print("agg_pairs", lines[-1])
+    lines += ["", "_every requested sum/mean/count/cov/corr from ONE "
+              "prefix pass + ONE as-of lookup; each additional stat "
+              "adds prefix specs to the same two passes instead of a "
+              "new two-pass scheme (one pandas-shaped .corr() call "
+              "costs ~13 scheduling-bound driver jobs at sf0.1 — "
+              "fixed per CALL, so fusing removes whole passes, not "
+              "just jobs). Above the 200k-row broadcast cap the "
+              "subtrahend lookup is the partition-safe union-carry "
+              "as-of join_", ""]
+
     # r6: the two new ewm scans share the identical two-pass shape —
     # probe that the extra carried state (affine-map coefficients for
     # adjust=False; the q/d2 sums for var) doesn't change the scaling.
