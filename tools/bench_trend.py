@@ -97,10 +97,24 @@ SCOPE_NOTES = {
                      "r8 warm number is 0.17 -> 3.27s, a RECURRING "
                      "scope cost, not one-time (the r8 prose "
                      "mis-stated this; corrected r9, see the r9 "
+                     "note); r10: adds the tr_corr_2h leg (rows "
+                     "9123 -> 14165 at sf0.1) — time-offset rolling "
+                     "CORR fused into the SAME prefix pass + as-of "
+                     "lookup as the existing sums via agg_pairs "
+                     "(slot A/B: unfused corr would have cost "
+                     "7.2-8.4s warm; fused lands 4.6s, see the r10 "
                      "note)",
     # r9: no slot scope changes; events_window internals trimmed
     # (shared checkpointed per-stamp projection), scope constant
+    "filter_assign_pipeline": "r10: adds col5 — the loc-ASSIGNMENT "
+                              "conditional write (df.loc[mask, col] "
+                              "= value), one extra when/otherwise "
+                              "projection column replayed by the "
+                              "oracle as CASE WHEN",
 }
+SCOPE_NOTES["groupby_stats"] += (
+    "; r10: adds the 'xs' part (104 -> 109 rows) — xs(key, level=) "
+    "on the grouped MultiIndex, one extra filtered hash-agg branch")
 
 # flags checked by hand: re-timed solo and plan-audited, not a
 # regression (kept out of the suspects list with the evidence named)
@@ -206,6 +220,44 @@ across code-UNCHANGED slots (+10-30%% each, no single slot
 dominating) with mc_pre reading 0.439 (>12%% over quiet) — the
 host-settling pattern documented in the r7 calibration note below;
 per-slot deltas from this run are adjudicated against the flag.
+"""
+
+R10_BENCH_NOTE = """## r10 bench note (snapshot conditions + the
+broadcast-face adjudication VERDICT r9 Next #6)
+
+Snapshot: BENCH_r10_local is the best of three full runs this round
+(mc 0.486/0.450 — still over the 0.38 quiet baseline, so flagged;
+the other two runs read mc 0.45-0.56 with co-tenant bursts and
+totals 84-89s cold). r9's only unpolluted window (mc 0.418/0.400)
+was cleaner — r10 never got one, so every r10 delta carries ~10-20%%
+of machine tax.
+
+The r9 broadcast-face win (expected −0.7s on events_window warm)
+CANNOT be isolated in this snapshot because the slot's scope
+widened the same round: the r10 tr_corr_2h leg adds a pairwise CORR
+output (rows 9123 -> 14165). The honest chain of same-session A/Bs
+(R5-precedent method): r9-quiet 3.35s warm (pre-broadcast-face,
+old scope) -> r10 slot WITHOUT the corr leg 4.2-5.0s under co-tenant
+load ~4 (the broadcast face is inside this number) -> corr leg
+added NAIVELY (second prefix+as-of pass) 7.2-8.4s -> corr leg FUSED
+into the existing pass via agg_pairs 4.6-4.8s. The fused marginal
+cost of the corr output is ~0.2-0.4s; the remaining r9->r10 warm
+delta (3.35 -> 4.94 in-bench) is machine tax plus that marginal
+scope. The fusion itself is the r10 engine lesson: one
+pandas-shaped time-roll call costs ~13 scheduling-bound driver jobs
+at sf0.1 REGARDLESS of data size (measured via statusTracker), so
+multi-stat windows should ride ONE pass — agg_pairs (engine
+extension) computes every requested sum/mean/count/cov/corr from
+one prefix pass + one as-of lookup, pinned vs the one-stat-per-call
+faces and pandas in test_time_rolling_agg_pairs_fused_r10.
+
+Other >20%% warm deltas vs BENCH_r09_local, all scope-widened and
+machine-visible: filter_assign_pipeline +24%% (col5 loc-assignment
+column), groupby_stats +22%% (the 'xs' part, 104 -> 109 oracle
+rows). q2_q16_q21_supplier_shapes read 2.48s warm (+31%%,
+code-untouched) — inside its historical band (2.57s in the r9
+driver run, 1.90s in the r9 quiet local); adjudicated as the
+machine tax this snapshot carries.
 """
 
 R9_BENCH_NOTE = """## r9 events_window trim (VERDICT r8 Next #4)
@@ -487,6 +539,7 @@ def main(paths):
     if POLLUTION_NOTES:
         lines += ["", "## Machine-flagged polluted runs "
                   "(host_speed.mc calibration)", ""] + POLLUTION_NOTES
+    lines += ["", R10_BENCH_NOTE]
     lines += ["", R9_BENCH_NOTE]
     lines += ["", R8_BENCH_NOTE]
     lines += ["", R7_BENCH_NOTE]
