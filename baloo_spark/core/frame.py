@@ -5512,6 +5512,17 @@ class _FrameAt:
                            f"{len(vals)} rows; need exactly 1")
         return vals[0]
 
+    def __setitem__(self, key, value):
+        """``df.at[label, col] = value`` — the scalar face of loc
+        assignment (same existence gate: pandas' enlargement is
+        refused)."""
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("at takes df.at[label, column]")
+        label, col = key
+        if not isinstance(col, str):
+            raise TypeError("at needs a single column name")
+        _FrameLoc(self._df)[label, col] = value
+
 
 def _py(v):
     """numpy scalar -> python scalar for F.lit."""

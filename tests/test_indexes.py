@@ -451,3 +451,22 @@ def test_loc_assignment_r10(bl):
     pdf.loc[pdf["a"] > 1, "b"] = 2.0
     pdf["c"] = pdf["a"] + pdf["b"]
     pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+
+
+def test_at_assignment_r10(bl):
+    """r10: df.at[label, col] = value — the scalar face of loc
+    assignment (same enlargement refusal)."""
+    import pandas as pd
+    import pytest
+    pdf = pd.DataFrame({"a": [1.0, 2, 3]},
+                       index=pd.Index([10, 20, 30], name="i"))
+    d = bl.DataFrame({"i": [10, 20, 30], "a": [1.0, 2, 3]}) \
+        .set_index("i")
+    pdf.at[20, "a"] = 9.5
+    d.at[20, "a"] = 9.5
+    pd.testing.assert_frame_equal(d.to_pandas(), pdf)
+    assert d.at[20, "a"] == 9.5
+    with pytest.raises(NotImplementedError, match="concat"):
+        d.at[99, "a"] = 1.0
+    with pytest.raises(TypeError):
+        d.at[20] = 1.0
