@@ -112,6 +112,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     troll = (evs.rolling("6h", min_periods=1).mean().tail(1)
              .to_pandas().iloc[0] if len(feats) else None)
 
+    # 11. r10: MULTI-stat time window in ONE pass — each
+    #     pandas-shaped call above pays its own prefix + as-of
+    #     scheme; agg_pairs (engine extension) computes every
+    #     requested sum/mean/count/cov/corr from one shared pass.
+    #     Here: 6h rolling mean+count of value AND its rolling corr
+    #     with the hour-of-day signal, one prefix pass total.
+    evf = ev[["ts", "value"]].sort_values("ts")
+    evf["hod"] = evf["ts"].dt.hour().astype("float64")
+    fused = (evf.set_index("ts").rolling("6h", min_periods=1)
+             .agg_pairs({"m6": ("mean", "value"),
+                         "n6": ("count", "value"),
+                         "c6": ("corr", "value", "hod")})
+             .tail(1).to_pandas())
+    fused_corr = (float(fused["c6"].iloc[0])
+                  if len(fused) and fused["c6"].notna().all()
+                  else None)
+
     out = enriched.to_pandas()
     summary = {
         "events": int(len(out)),
@@ -132,6 +149,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
                          else round(float(tdecay), 6),
         "troll_6h_mean": None if troll is None or troll != troll
                          else round(float(troll), 6),
+        "fused_corr_6h": None if fused_corr is None
+                         else round(fused_corr, 6),
     }
     print(json.dumps(summary))
     return summary
