@@ -3509,6 +3509,158 @@ class _TimeRolling:
     def corr(self, other: "Series") -> "Series":
         return self._pair(other, "corr")
 
+    _MOMENT_STATS = ("sum", "mean", "count", "var", "std", "sem")
+
+    def agg(self, func):
+        """pandas ``.agg``. When EVERY requested statistic is in the
+        moment family (sum/mean/count/var/std/sem — all derived from
+        the same Σv, Σv², n, rows prefix columns), the whole request
+        runs as ONE prefix pass + ONE as-of lookup instead of one
+        full two-pass scheme per statistic (each call costs ~13
+        scheduling-bound driver jobs at small inputs and a full
+        extra scan at scale — the r10 fusion lesson). Order
+        statistics fall back to the per-statistic dispatch."""
+        if isinstance(func, str):
+            return getattr(self, func)()
+        try:
+            items = (list(func.items()) if isinstance(func, dict)
+                     else [(f, f) for f in func])
+        except AttributeError:
+            return _window_agg(self, func)
+        if not all(isinstance(st, str) and st in self._MOMENT_STATS
+                   for _, st in items):
+            # a requested ORDER statistic: ONE budgeted
+            # single-partition pandas pass computes EVERY requested
+            # column (pandas' own .agg aligns per ROW — the
+            # one-column-bind-per-stat shape _window_agg uses joins
+            # by index label, which mis-aligns and dedupes on
+            # duplicate stamps; found by probe r10)
+            return self._agg_order(items)
+        from ..plans.ordinal import ORD_COL
+        sr = self._sr
+        sdf = sr._sdf
+        tcol = _dt_index_col(sr._index_cols, sdf)
+        if tcol is None:
+            raise TypeError(
+                "rolling with a time offset needs a datetime index "
+                f"level; index levels are {list(sr._index_cols)!r}")
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(tcol).asc()] + order
+        j, _, helpers = _time_roll_multi(
+            sdf, tcol, order, {"v": sr._colexpr}, self._us,
+            lambda s, c, q: s, 0, True, False)
+
+        def D(k, zero=0.0):
+            return F.col(k) - F.coalesce(F.col(f"{k}_right"),
+                                         F.lit(zero))
+
+        s = D("__ps_v__")
+        c = D("__pc_v__", 0).cast("long")
+        q = D("__pq_v__")
+        rows = D("__pr__", 0).cast("long")
+        mp = self._mp
+        num = F.greatest(q - s * s / c, F.lit(0.0))
+        builders = {
+            "sum": (s, mp, c),
+            "mean": (s / c, max(mp, 1), c),
+            "count": (c, mp, rows),
+            "var": (F.when(c > 1, num / (c - 1)), max(mp, 2), c),
+            "std": (F.when(c > 1, F.sqrt(num / (c - 1))),
+                    max(mp, 2), c),
+            "sem": (F.when(c > 1, F.sqrt(num / (c - 1))
+                           / F.sqrt(c - 1)), max(mp, 2), c),
+        }
+        outs = []
+        for name, st in items:
+            e, m, gate = builders[st]
+            e = F.when(gate >= m if m > 0 else F.lit(True), e)
+            outs.append(e.cast("double").alias(str(name)))
+        keep = [cc for cc in j.columns
+                if cc not in helpers
+                and (cc in sr._index_cols
+                     or cc in [o for o, _ in (sr._order or [])])
+                and cc not in {str(n) for n, _ in items}]
+        from .frame import DataFrame
+        return DataFrame._make(j.select(*keep, *outs),
+                               list(sr._index_cols),
+                               [str(n) for n, _ in items],
+                               sr._order)
+
+    aggregate = agg
+
+    def _agg_order(self, items, max_rows: int | None = None):
+        """Mixed/order-stat ``.agg``: the budgeted single-partition
+        pandas pass (same gate as :meth:`_order_stat`) emitting ONE
+        column per requested statistic from one kernel call —
+        pandas' own ``rolling.agg`` supplies per-row alignment, so
+        duplicate stamps bind correctly."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        sr = self._sr
+        sdf = sr._sdf
+        tcol = _dt_index_col(sr._index_cols, sdf)
+        if tcol is None:
+            raise TypeError(
+                "rolling with a time offset needs a datetime index "
+                f"level; index levels are {list(sr._index_cols)!r}")
+        for _, st in items:
+            if not isinstance(st, str):
+                raise TypeError(
+                    f".agg statistics must be names, got {st!r}")
+        budget = (int(max_rows) if max_rows is not None
+                  else _EXPANDING_STAT_MAX_ROWS)
+        n = sdf.count()
+        if n > budget:
+            raise ValueError(
+                f"time-offset rolling agg with order statistics "
+                f"runs as a budgeted single-partition pandas pass: "
+                f"{n} rows exceed max_rows={budget}. Raise "
+                f"max_rows=, request only "
+                f"{'/'.join(self._MOMENT_STATS)} (the fused "
+                "prefix-pass family), or use "
+                "groupby(...).rolling(...)")
+        order = order_exprs(sr._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        order = [F.col(tcol).asc()] + order
+        lay = (sdf.select("*", sr._colexpr.cast("double")
+                          .alias("__ev__"))
+               .repartition(1).sortWithinPartitions(*order))
+        mp = max(self._mp, 1)
+        us = self._us
+        names = [str(nm) for nm, _ in items]
+        stats = [st for _, st in items]
+        keep_cols = [c for c in lay.columns
+                     if c != "__ev__" and c not in names]
+        out_schema = T.StructType(
+            [f for f in lay.schema.fields
+             if f.name in keep_cols]
+            + [T.StructField(nm, T.DoubleType()) for nm in names])
+
+        def gen(batches):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            allb = pd.concat(chunks, ignore_index=True)
+            s = pd.Series(
+                allb["__ev__"].to_numpy(),
+                index=pd.DatetimeIndex(pd.to_datetime(allb[tcol])))
+            r = s.rolling(pd.Timedelta(us, unit="us"),
+                          min_periods=mp)
+            res = allb[keep_cols].copy()
+            for nm, st in zip(names, stats):
+                res[nm] = getattr(r, st)().to_numpy()
+            yield res
+
+        out = lay.mapInPandas(gen, out_schema)
+        from .frame import DataFrame
+        return DataFrame._make(out, list(sr._index_cols), names,
+                               sr._order)
+
     def _order_stat(self, stat: str, max_rows: int | None, **kw):
         """Time-window order statistics do NOT decompose into
         prefix + as-of (unlike sum/mean/var, window_agg(i) is not a
@@ -4143,5 +4295,6 @@ class _SeriesLoc:
 
 _Rolling.agg = _Rolling.aggregate = _window_agg
 _Expanding.agg = _Expanding.aggregate = _window_agg
-_TimeRolling.agg = _TimeRolling.aggregate = _window_agg
+# _TimeRolling defines its own fused agg (moment family in one
+# prefix pass); _window_agg remains its order-stat fallback inside
 _EWM.agg = _EWM.aggregate = _window_agg

@@ -1546,3 +1546,52 @@ def test_time_rolling_agg_pairs_fused_r10(bl):
         d.rolling("40min").agg_pairs({"z": ("median", "x")})
     with pytest.raises(KeyError):
         d.rolling("40min").agg_pairs({"z": ("sum", "nope")})
+
+
+def test_time_rolling_agg_fused_and_mixed_r10(bl):
+    """r10: _TimeRolling.agg — the moment family
+    (sum/mean/count/var/std/sem) fuses into ONE prefix pass + ONE
+    as-of lookup; any ORDER statistic in the request routes the
+    WHOLE request through one budgeted pandas pass (pandas' own
+    .agg supplies per-row alignment). The old one-column-bind-per-
+    stat shape joined by index label, which mis-aligned and deduped
+    on duplicate stamps — found by probe this round, pinned here."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(5)
+    n = 200
+    secs = np.sort(rng.integers(0, 30000, n))
+    secs[50] = secs[49]
+    secs[51] = secs[49]        # duplicate stamps: the old bind broke
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.1] = np.nan
+    d = bl.DataFrame({"ts": ts.to_numpy(), "v": v}).set_index("ts")
+    ps = pd.Series(v, index=ts)
+    # fused moment family, list + min_periods
+    got = d["v"].rolling("40min", min_periods=2) \
+        .agg(["sum", "mean", "count", "var", "std", "sem"]) \
+        .to_pandas()
+    pr = ps.rolling("40min", min_periods=2)
+    for st in ("sum", "mean", "count", "var", "std", "sem"):
+        np.testing.assert_allclose(
+            got[st].to_numpy(), getattr(pr, st)().to_numpy(),
+            atol=1e-9, equal_nan=True, err_msg=st)
+    # mixed dict with order stats: one pandas pass, dup stamps exact
+    got2 = d["v"].rolling("40min") \
+        .agg({"a": "sum", "b": "median", "c": "rank"}).to_pandas()
+    pr1 = ps.rolling("40min")
+    np.testing.assert_allclose(got2["a"].to_numpy(),
+                               pr1.sum().to_numpy(), atol=1e-9,
+                               equal_nan=True)
+    np.testing.assert_allclose(got2["b"].to_numpy(),
+                               pr1.median().to_numpy(), atol=1e-9,
+                               equal_nan=True)
+    np.testing.assert_allclose(got2["c"].to_numpy(),
+                               pr1.rank().to_numpy(), atol=1e-9,
+                               equal_nan=True)
+    # str delegate unchanged
+    np.testing.assert_allclose(
+        d["v"].rolling("40min").agg("sum").to_pandas().to_numpy(),
+        pr1.sum().to_numpy(), atol=1e-9, equal_nan=True)
