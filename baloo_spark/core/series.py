@@ -2930,16 +2930,30 @@ def _window_agg(self, func):
     """pandas ``.agg`` on a window object: a str delegates to the
     named statistic; a list/dict builds a DataFrame column-binding
     one statistic per output column (each statistic is its own pass
-    — the convenience face, not a fused plan)."""
+    — the convenience face, not a fused plan). The bind is
+    POSITIONAL — fresh dense positions on each output's own order
+    (every output of one window shares the source row order by
+    construction); binding by index label, the previous shape,
+    silently mis-aligned and deduped on duplicate-label indexes
+    (probe r10 — the time-rolling face hit it first)."""
     if isinstance(func, str):
         return getattr(self, func)()
     items = (list(func.items()) if isinstance(func, dict)
              else [(f, f) for f in func])
+    from ..plans.ordinal import POS_COL
+    from .frame import DataFrame
     name0, stat0 = items[0]
-    out = getattr(self, stat0)().rename(name0).to_frame()
+    s0 = getattr(self, stat0)()
+    out, _ = s0._ordered_sdf(str(name0))
     for name, stat in items[1:]:
-        out[name] = getattr(self, stat)()
-    return out
+        r, _ = getattr(self, stat)()._ordered_sdf("__wa_tmp__")
+        out = out.join(
+            r.select(POS_COL,
+                     F.col("__wa_tmp__").alias(str(name))),
+            POS_COL, "left")
+    idx = [c for c in s0._index_cols if c in out.columns]
+    return DataFrame._make(out, idx, [str(n) for n, _ in items],
+                           [(POS_COL, True)])
 
 
 class _Rolling:

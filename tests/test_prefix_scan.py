@@ -1595,3 +1595,36 @@ def test_time_rolling_agg_fused_and_mixed_r10(bl):
     np.testing.assert_allclose(
         d["v"].rolling("40min").agg("sum").to_pandas().to_numpy(),
         pr1.sum().to_numpy(), atol=1e-9, equal_nan=True)
+
+
+def test_fixed_window_agg_dup_label_index_r10(bl):
+    """r10: _window_agg binds POSITIONALLY — the previous
+    index-label bind silently mis-aligned and deduped window .agg
+    columns on duplicate-label indexes (fixed rolling + expanding
+    faces; the time-rolling face hit the same seam first)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(6)
+    n = 120
+    lab = np.sort(rng.integers(0, 40, n))   # duplicate labels
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.1] = np.nan
+    d = bl.DataFrame({"i": lab, "v": v}).set_index("i")
+    ps = pd.Series(v, index=lab)
+    got = d["v"].rolling(5, min_periods=2) \
+        .agg(["sum", "median"]).to_pandas()
+    pr = ps.rolling(5, min_periods=2)
+    np.testing.assert_allclose(got["sum"].to_numpy(),
+                               pr.sum().to_numpy(), atol=1e-9,
+                               equal_nan=True)
+    np.testing.assert_allclose(got["median"].to_numpy(),
+                               pr.median().to_numpy(), atol=1e-9,
+                               equal_nan=True)
+    assert got.index.tolist() == lab.tolist()
+    got2 = d["v"].expanding(2) \
+        .agg({"s": "sum", "m": "median", "r": "rank"}).to_pandas()
+    pe = ps.expanding(2)
+    for nm, st in (("s", "sum"), ("m", "median"), ("r", "rank")):
+        np.testing.assert_allclose(
+            got2[nm].to_numpy(), getattr(pe, st)().to_numpy(),
+            atol=1e-9, equal_nan=True, err_msg=nm)
