@@ -5581,6 +5581,26 @@ class _FrameILoc:
         raise TypeError(f"unsupported iloc key: {type(key)}")
 
 
+def _bind_positional(pairs):
+    """Column-bind (name, Series) outputs POSITIONALLY — fresh
+    dense positions on each output's own order, joined on position.
+    Window outputs of one frame share source row order by
+    construction; binding by index label (the previous shape)
+    silently mis-aligned and deduped on duplicate-label indexes
+    (probe r10)."""
+    from ..plans.ordinal import POS_COL
+    name0, s0 = pairs[0]
+    out, _ = s0._ordered_sdf(str(name0))
+    for name, sr in pairs[1:]:
+        r, _ = sr._ordered_sdf("__wa_tmp__")
+        out = out.join(
+            r.select(POS_COL, F.col("__wa_tmp__").alias(str(name))),
+            POS_COL, "left")
+    idx = [c for c in s0._index_cols if c in out.columns]
+    return DataFrame._make(out, idx, [str(n) for n, _ in pairs],
+                           [(POS_COL, True)])
+
+
 def _frame_window_agg(self, func):
     """pandas ``.agg`` on a FRAME window object (probe wave 20
     found the face missing): a str delegates to the named statistic
@@ -5590,7 +5610,8 @@ def _frame_window_agg(self, func):
     (col, stat) MultiIndex columns flattened to their string
     spelling ``str((col, stat))``, col-major, the same convention
     as the multi-column unstack. Each DISTINCT statistic is one
-    frame-wide pass (the convenience face, not a fused plan)."""
+    frame-wide pass (the convenience face, not a fused plan); the
+    bind is positional (:func:`_bind_positional`)."""
     if isinstance(func, str):
         return getattr(self, func)()
     if isinstance(func, dict):
@@ -5606,22 +5627,13 @@ def _frame_window_agg(self, func):
         for _, st in items:
             if st not in stats:
                 stats[st] = getattr(self, st)()
-        c0, s0 = items[0]
-        out = stats[s0][c0].rename(c0).to_frame()
-        for c, st in items[1:]:
-            out[c] = stats[st][c]
-        return out
+        return _bind_positional(
+            [(c, stats[st][c]) for c, st in items])
     results = [(st, getattr(self, st)()) for st in func]
     cols = list(results[0][1]._data_cols)
-    out = None
-    for c in cols:
-        for st, res in results:
-            name = str((c, st))
-            if out is None:
-                out = res[c].rename(name).to_frame()
-            else:
-                out[name] = res[c]
-    return out
+    return _bind_positional(
+        [(str((c, st)), res[c])
+         for c in cols for st, res in results])
 
 
 _FrameRolling.agg = _FrameRolling.aggregate = _frame_window_agg

@@ -1628,3 +1628,34 @@ def test_fixed_window_agg_dup_label_index_r10(bl):
         np.testing.assert_allclose(
             got2[nm].to_numpy(), getattr(pe, st)().to_numpy(),
             atol=1e-9, equal_nan=True, err_msg=nm)
+
+
+def test_frame_window_agg_dup_label_index_r10(bl):
+    """r10: the FRAME window .agg binder is positional too
+    (_bind_positional) — dict and flattened-list faces exact on a
+    duplicate-label index."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    n = 100
+    lab = np.sort(rng.integers(0, 30, n))
+    x = rng.normal(size=n)
+    y = rng.normal(size=n)
+    d = bl.DataFrame({"i": lab, "x": x, "y": y}).set_index("i")
+    pdf = pd.DataFrame({"x": x, "y": y}, index=lab)
+    got = d.rolling(4, min_periods=2) \
+        .agg({"x": "sum", "y": "median"}).to_pandas()
+    want = pd.DataFrame(
+        {"x": pdf["x"].rolling(4, min_periods=2).sum(),
+         "y": pdf["y"].rolling(4, min_periods=2).median()})
+    np.testing.assert_allclose(got[["x", "y"]].to_numpy(),
+                               want.to_numpy(), atol=1e-9,
+                               equal_nan=True)
+    assert got.index.tolist() == lab.tolist()
+    got2 = d.rolling(4, min_periods=2).agg(["mean", "std"]) \
+        .to_pandas()
+    want2 = pdf.rolling(4, min_periods=2).agg(["mean", "std"])
+    cols = [str(c) for c in want2.columns]
+    np.testing.assert_allclose(got2[cols].to_numpy(),
+                               want2.to_numpy(), atol=1e-9,
+                               equal_nan=True)
