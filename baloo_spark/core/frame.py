@@ -5589,6 +5589,12 @@ def _bind_positional(pairs):
     silently mis-aligned and deduped on duplicate-label indexes
     (probe r10)."""
     from ..plans.ordinal import POS_COL
+    if not pairs:
+        raise ValueError("no results")       # pandas' empty-agg error
+    if len({str(n) for n, _ in pairs}) < len(pairs):
+        raise ValueError(
+            "duplicate output names in .agg; engine columns are "
+            "uniquely named — use a dict to alias each statistic")
     name0, s0 = pairs[0]
     out, _ = s0._ordered_sdf(str(name0))
     for name, sr in pairs[1:]:

@@ -2940,6 +2940,12 @@ def _window_agg(self, func):
         return getattr(self, func)()
     items = (list(func.items()) if isinstance(func, dict)
              else [(f, f) for f in func])
+    if not items:
+        raise ValueError("no results")       # pandas' empty-agg error
+    if len({str(n) for n, _ in items}) < len(items):
+        raise ValueError(
+            "duplicate output names in .agg; engine columns are "
+            "uniquely named — use a dict to alias each statistic")
     from ..plans.ordinal import POS_COL
     from .frame import DataFrame
     name0, stat0 = items[0]
@@ -3541,6 +3547,13 @@ class _TimeRolling:
                      else [(f, f) for f in func])
         except AttributeError:
             return _window_agg(self, func)
+        if not items:
+            raise ValueError("no results")
+        if len({str(n) for n, _ in items}) < len(items):
+            raise ValueError(
+                "duplicate output names in .agg; engine columns "
+                "are uniquely named — use a dict to alias each "
+                "statistic")
         if not all(isinstance(st, str) and st in self._MOMENT_STATS
                    for _, st in items):
             # a requested ORDER statistic: ONE budgeted
