@@ -4441,6 +4441,74 @@ class _FrameRolling:
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
+    def sem(self, ddof: int = 1) -> DataFrame:
+        """r10: pandas' window sem = SAMPLE-std / sqrt(n - ddof)
+        (the numerator stays ddof=1 regardless — probed); rides the
+        shared prefix pass on both the rolling and expanding
+        faces."""
+        if self._center and self._window is not None:
+            return self._local("sem", ddof=ddof)
+
+        def build(s, c, q):
+            num = F.greatest(q - s * s / c, F.lit(0.0))
+            return F.when((c > 1) & (c > ddof),
+                          F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+        return self._emit(build, max(self._mp, 2), need_sq=True)
+
+    def skew(self, max_rows: int | None = None) -> DataFrame:
+        if self._window is None:
+            return self._expanding_order_stat("skew", max_rows)
+        return self._local("skew")
+
+    def kurt(self, max_rows: int | None = None) -> DataFrame:
+        if self._window is None:
+            return self._expanding_order_stat("kurt", max_rows)
+        return self._local("kurt")
+
+    kurtosis = kurt
+
+    def rank(self, method: str = "average", pct: bool = False,
+             max_rows: int | None = None) -> DataFrame:
+        if self._window is None:
+            return self._expanding_order_stat("rank", max_rows,
+                                              method=method, pct=pct)
+        if self._center:
+            # shifted trailing rank + constant carried tail — the
+            # closed form of pandas' center-rank kernel (see the
+            # Series face); per-column tails fetched in one bounded
+            # job
+            h2 = (self._window - 1) // 2
+            base = _FrameRolling(self._df, self._window, self._mp,
+                                 center=False).rank(method=method,
+                                                    pct=pct)
+            if not h2:
+                return base
+            shifted = base.shift(-h2)
+            from ..plans.ordinal import POS_COL
+            n = len(self._df)
+            tails = (base.tail(1).to_pandas().iloc[0].to_dict()
+                     if n else {})
+            sdf = shifted._ordered_sdf()
+            for c in shifted._data_cols:
+                tv = tails.get(c)
+                lit_tail = (F.lit(None).cast("double")
+                            if tv is None or tv != tv
+                            else F.lit(float(tv)))
+                sdf = sdf.withColumn(
+                    c, F.when(F.col(POS_COL) >= F.lit(n - h2),
+                              lit_tail).otherwise(F.col(c)))
+            return DataFrame._make(sdf, shifted._index_cols,
+                                   shifted._data_cols,
+                                   [(POS_COL, True)])
+        return self._local("rank", method=method, pct=pct)
+
+    def apply(self, func, raw: bool = False,
+              max_rows: int | None = None) -> DataFrame:
+        if self._window is None:
+            return self._expanding_order_stat("apply", max_rows,
+                                              func=func, raw=raw)
+        return self._local("apply", func=func, raw=raw)
+
 
 class _FrameTimeEwm:
     """Frame face of the time-decay EWM mean: every numeric column

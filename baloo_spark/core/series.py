@@ -3101,6 +3101,38 @@ class _Rolling:
 
     def rank(self, method: str = "average",
              pct: bool = False) -> "Series":
+        if self._center:
+            # pandas' center "rank" IS the shifted trailing rank:
+            # center only moves the window bounds and the kernel
+            # always ranks the window's END element, so output[i] =
+            # trailing_rank[i + h2]; once the source exhausts the
+            # kernel CARRIES its last value, so the final h2
+            # positions all equal trailing_rank[n-1] (probed r10
+            # across methods/pct/w>n — 6/6 exact). Reproducing that
+            # via the partition-local kernel was LAYOUT-DEPENDENT in
+            # the carry zone; this closed form is deterministic and
+            # pandas-exact everywhere: one shift pass + two bounded
+            # scalar jobs (count + last-value fetch).
+            h2 = (self._window - 1) // 2
+            base = _Rolling(self._sr, self._window, self._mp,
+                            center=False).rank(method=method,
+                                               pct=pct)
+            if not h2:
+                return base
+            shifted = base.shift(-h2)
+            from ..plans.ordinal import POS_COL
+            n = len(self._sr)
+            tail = base.iloc[-1] if n else None
+            lit_tail = (F.lit(None).cast("double")
+                        if tail is None or tail != tail
+                        else F.lit(float(tail)))
+            sdf, a = shifted._ordered_sdf("__cr__")
+            out = sdf.withColumn(
+                a, F.when(F.col(POS_COL) >= F.lit(n - h2),
+                          lit_tail).otherwise(F.col(a)))
+            return Series._make(out, F.col(a),
+                                shifted._index_cols, shifted.name,
+                                [(POS_COL, True)])
         return self._local("rank", method=method, pct=pct)
 
     def apply(self, func, raw: bool = False, args=(),
@@ -4055,18 +4087,21 @@ class _Expanding:
 
     def sem(self, ddof: int = 1) -> "Series":
         """Standard error over the growing window — same prefix
-        sums. pandas' WINDOW sem is std/sqrt(n - ddof) (unlike the
+        sums. pandas' WINDOW sem is SAMPLE-std / sqrt(n - ddof):
+        the numerator stays ddof=1 regardless of the ddof argument
+        (probed r10 on expanding AND rolling — the old
+        std(ddof)/sqrt(n-ddof) form diverged for ddof=0; unlike the
         scalar Series.sem, which is std/sqrt(n))."""
         def build():
             s, c = F.col("__ps__"), F.col("__pc__")
             num = F.greatest(F.col("__pq__") - s * s / c, F.lit(0.0))
-            return F.when(c > ddof,
-                          F.sqrt(num / (c - ddof))
+            return F.when((c > 1) & (c > ddof),
+                          F.sqrt(num / (c - 1))
                           / F.sqrt(c - ddof))
         v = self._v()
         return self._emit({"__ps__": (v, "sum"),
                            "__pq__": (v * v, "sum")},
-                          build, max(self._mp, ddof + 1))
+                          build, max(self._mp, 2))
 
     def _center(self):
         """Global mean of the series (one tiny agg job): skew/kurt

@@ -1659,3 +1659,42 @@ def test_frame_window_agg_dup_label_index_r10(bl):
     np.testing.assert_allclose(got2[cols].to_numpy(),
                                want2.to_numpy(), atol=1e-9,
                                equal_nan=True)
+
+
+def test_center_rank_closed_form_r10(bl):
+    """r10: center=True rank is pandas' SHIFTED TRAILING rank with
+    the final h2 positions carrying trailing_rank[n-1] (the kernel
+    ranks each window's END element and carries its last value once
+    the source exhausts — probed across methods/pct/w>n). The
+    closed form (trailing rank + shift + constant tail) is
+    deterministic; reproducing it through partition-local kernels
+    gave LAYOUT-DEPENDENT values in the carry zone — this test uses
+    a frame-built (multi-partition) source, the shape that exposed
+    it."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    n = 150
+    x = rng.normal(size=n)
+    y = rng.normal(size=n) * 2
+    x[rng.random(n) < 0.12] = np.nan
+    d = bl.DataFrame({"x": x, "y": y})
+    ps = pd.Series(x)
+    for w, mp, meth, pct in ((5, 2, "average", False),
+                             (8, 1, "min", False),
+                             (400, 1, "average", True),
+                             (4, 2, "average", False)):
+        got = d["x"].rolling(w, min_periods=mp, center=True) \
+            .rank(method=meth, pct=pct).to_pandas().to_numpy()
+        want = ps.rolling(w, min_periods=mp, center=True) \
+            .rank(method=meth, pct=pct).to_numpy()
+        np.testing.assert_allclose(
+            got, want, atol=1e-9, equal_nan=True,
+            err_msg=f"center rank w={w} {meth} pct={pct}")
+    gotf = d.rolling(5, min_periods=2, center=True).rank() \
+        .to_pandas()
+    wantf = pd.DataFrame({"x": x, "y": y}) \
+        .rolling(5, min_periods=2, center=True).rank()
+    np.testing.assert_allclose(gotf[["x", "y"]].to_numpy(),
+                               wantf[["x", "y"]].to_numpy(),
+                               atol=1e-9, equal_nan=True)
