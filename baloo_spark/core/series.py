@@ -4356,7 +4356,88 @@ class _SeriesLoc:
 
 
 _Rolling.agg = _Rolling.aggregate = _window_agg
-_Expanding.agg = _Expanding.aggregate = _window_agg
+
+
+def _expanding_agg(self, func):
+    """pandas ``.agg`` on an expanding window. The moment family —
+    sum/mean/count/min/max/var/std/sem, ALL prefix-decomposable for
+    growing windows — fuses into ONE with_prefix_aggs pass (the
+    r10 fusion lesson: each separate call pays its own
+    layout+carry scheme). Order statistics fall back to the
+    positional per-stat binder."""
+    _MOMENT = ("sum", "mean", "count", "min", "max", "var", "std",
+               "sem")
+    if isinstance(func, str):
+        return getattr(self, func)()
+    try:
+        items = (list(func.items()) if isinstance(func, dict)
+                 else [(f, f) for f in func])
+    except AttributeError:
+        return _window_agg(self, func)
+    if not items:
+        raise ValueError("no results")
+    if len({str(n) for n, _ in items}) < len(items):
+        raise ValueError(
+            "duplicate output names in .agg; engine columns are "
+            "uniquely named — use a dict to alias each statistic")
+    if not all(isinstance(st, str) and st in _MOMENT
+               for _, st in items):
+        return _window_agg(self, func)
+    from ..plans.ordinal import ORD_COL, with_prefix_aggs
+    from .frame import DataFrame
+    sr = self._sr
+    sdf = sr._sdf
+    order = order_exprs(sr._order or [], sdf.columns)
+    if not order and ORD_COL in sdf.columns:
+        order = [F.col(ORD_COL).asc()]
+    stats = {st for _, st in items}
+    v = sr._colexpr.cast("double")
+    specs = {"__pc__": (sr._colexpr, "count"),
+             "__pr__": (F.lit(1), "count")}
+    if stats & {"sum", "mean", "var", "std", "sem"}:
+        specs["__ps__"] = (v, "sum")
+    if stats & {"var", "std", "sem"}:
+        specs["__pq__"] = (v * v, "sum")
+    if "min" in stats:
+        specs["__pmin__"] = (sr._colexpr, "min")
+    if "max" in stats:
+        specs["__pmax__"] = (sr._colexpr, "max")
+    out = with_prefix_aggs(sdf, specs, order or None)
+    s, c = F.col("__ps__"), F.col("__pc__")
+    num = F.greatest(F.col("__pq__") - s * s / c, F.lit(0.0))
+    mp = self._mp
+
+    def gated(e, m, rows_gate=False):
+        gate = F.col("__pr__") if rows_gate else c
+        return (F.when(gate >= m, e) if m > 0 else e)
+
+    builders = {
+        "sum": lambda: gated(F.coalesce(s, F.lit(0.0)), mp),
+        "mean": lambda: gated(s / c, max(mp, 1)),
+        "count": lambda: gated(c, mp, rows_gate=True),
+        "min": lambda: gated(F.col("__pmin__"), max(mp, 1)),
+        "max": lambda: gated(F.col("__pmax__"), max(mp, 1)),
+        "var": lambda: gated(F.when(c > 1, num / (c - 1)),
+                             max(mp, 2)),
+        "std": lambda: gated(F.when(c > 1, F.sqrt(num / (c - 1))),
+                             max(mp, 2)),
+        "sem": lambda: gated(F.when(c > 1, F.sqrt(num / (c - 1))
+                                    / F.sqrt(c - 1)), max(mp, 2)),
+    }
+    outs = [builders[st]().cast("double").alias(str(nm))
+            for nm, st in items]
+    keep = [cc for cc in out.columns
+            if cc not in specs
+            and (cc in sr._index_cols
+                 or cc in [o for o, _ in (sr._order or [])]
+                 or cc == ORD_COL)
+            and cc not in {str(nm) for nm, _ in items}]
+    return DataFrame._make(out.select(*keep, *outs),
+                           list(sr._index_cols),
+                           [str(nm) for nm, _ in items], sr._order)
+
+
+_Expanding.agg = _Expanding.aggregate = _expanding_agg
 # _TimeRolling defines its own fused agg (moment family in one
 # prefix pass); _window_agg remains its order-stat fallback inside
 _EWM.agg = _EWM.aggregate = _window_agg

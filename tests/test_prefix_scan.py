@@ -1698,3 +1698,41 @@ def test_center_rank_closed_form_r10(bl):
     np.testing.assert_allclose(gotf[["x", "y"]].to_numpy(),
                                wantf[["x", "y"]].to_numpy(),
                                atol=1e-9, equal_nan=True)
+
+
+def test_expanding_agg_fused_r10(bl):
+    """r10: _Expanding.agg fuses the full moment family —
+    sum/mean/count/min/max/var/std/sem, ALL prefix-decomposable for
+    growing windows — into ONE with_prefix_aggs pass (previously
+    one layout+carry scheme per statistic); order-stat mixes fall
+    back to the positional binder."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(13)
+    n = 160
+    x = rng.normal(size=n)
+    x[rng.random(n) < 0.12] = np.nan
+    lab = np.sort(rng.integers(0, 40, n))
+    d = bl.DataFrame({"i": lab, "v": x}).set_index("i")
+    ps = pd.Series(x, index=lab)
+    for mp in (1, 3):
+        got = d["v"].expanding(mp).agg(
+            ["sum", "mean", "count", "min", "max", "var", "std",
+             "sem"]).to_pandas()
+        pe = ps.expanding(mp)
+        for st in ("sum", "mean", "count", "min", "max", "var",
+                   "std", "sem"):
+            np.testing.assert_allclose(
+                got[st].to_numpy(), getattr(pe, st)().to_numpy(),
+                atol=1e-9, equal_nan=True, err_msg=f"{st} mp={mp}")
+    got2 = d["v"].expanding(2).agg({"s": "sum", "m": "median"}) \
+        .to_pandas()
+    np.testing.assert_allclose(got2["s"].to_numpy(),
+                               ps.expanding(2).sum().to_numpy(),
+                               atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(got2["m"].to_numpy(),
+                               ps.expanding(2).median().to_numpy(),
+                               atol=1e-9, equal_nan=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        d["v"].expanding(1).agg(["sum", "sum"])
