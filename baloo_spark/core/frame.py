@@ -4445,14 +4445,18 @@ class _FrameRolling:
         """r10: pandas' window sem = SAMPLE-std / sqrt(n - ddof)
         (the numerator stays ddof=1 regardless — probed); rides the
         shared prefix pass on both the rolling and expanding
-        faces."""
+        faces. At n == ddof pandas divides a finite sample std by
+        sqrt(0): +inf when the window varies, NaN when constant
+        (r11 fix — old gate c > ddof suppressed the inf row)."""
         if self._center and self._window is not None:
             return self._local("sem", ddof=ddof)
 
         def build(s, c, q):
             num = F.greatest(q - s * s / c, F.lit(0.0))
-            return F.when((c > 1) & (c > ddof),
-                          F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+            return (F.when((c > 1) & (c > ddof),
+                           F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+                     .when((c > 1) & (c == ddof) & (num > 0),
+                           F.lit(float("inf"))))
         return self._emit(build, max(self._mp, 2), need_sq=True)
 
     def skew(self, max_rows: int | None = None) -> DataFrame:
@@ -4473,10 +4477,14 @@ class _FrameRolling:
             return self._expanding_order_stat("rank", max_rows,
                                               method=method, pct=pct)
         if self._center:
-            # shifted trailing rank + constant carried tail — the
-            # closed form of pandas' center-rank kernel (see the
-            # Series face); per-column tails fetched in one bounded
-            # job
+            # shifted trailing rank + carried RAW rank per tail row,
+            # min_periods-gated on the TRUNCATED window's valid
+            # count and pct-renormalized by it (r11 fix — see the
+            # Series face / _center_rank_tail). Per-column tails +
+            # validity fetched in two bounded jobs (≤ w rows,
+            # skipped when mp ≥ w — covers the default mp = window,
+            # where every truncated row is NaN).
+            from .series import _center_rank_tail, _tail_fill_expr
             h2 = (self._window - 1) // 2
             base = _FrameRolling(self._df, self._window, self._mp,
                                  center=False).rank(method=method,
@@ -4486,17 +4494,30 @@ class _FrameRolling:
             shifted = base.shift(-h2)
             from ..plans.ordinal import POS_COL
             n = len(self._df)
-            tails = (base.tail(1).to_pandas().iloc[0].to_dict()
-                     if n else {})
+            w, mp = self._window, self._mp
+            zone_lo = max(0, n - h2)
+            if not n or mp > w - 1:
+                col_vals = {c: [None] * (n - zone_lo)
+                            for c in shifted._data_cols}
+            else:
+                src_tail = self._df.tail(min(w, n)).to_pandas()
+                tails = base.tail(1).to_pandas().iloc[0].to_dict()
+                col_vals = {}
+                for c in shifted._data_cols:
+                    valid = src_tail[c].notna().to_numpy()
+                    tv = tails.get(c)
+                    raw = (None if tv is None or tv != tv
+                           else (round(float(tv) * int(valid.sum())
+                                       * 2) / 2 if pct
+                                 else float(tv)))
+                    col_vals[c] = _center_rank_tail(
+                        n, w, mp, valid, raw, pct)
             sdf = shifted._ordered_sdf()
             for c in shifted._data_cols:
-                tv = tails.get(c)
-                lit_tail = (F.lit(None).cast("double")
-                            if tv is None or tv != tv
-                            else F.lit(float(tv)))
+                fill = _tail_fill_expr(col_vals[c], zone_lo)
                 sdf = sdf.withColumn(
-                    c, F.when(F.col(POS_COL) >= F.lit(n - h2),
-                              lit_tail).otherwise(F.col(c)))
+                    c, F.when(F.col(POS_COL) >= F.lit(zone_lo),
+                              fill).otherwise(F.col(c)))
             return DataFrame._make(sdf, shifted._index_cols,
                                    shifted._data_cols,
                                    [(POS_COL, True)])
@@ -4721,11 +4742,14 @@ class _FrameTimeRolling:
     def sem(self, ddof: int = 1) -> DataFrame:
         """pandas' window sem = sample-std / sqrt(n - ddof) (the
         numerator stays ddof=1 — see the Series face), so it rides
-        the shared prefix pass, no budget."""
+        the shared prefix pass, no budget. n == ddof boundary:
+        +inf when the window varies, NaN when constant (r11)."""
         def build(s, c, q):
             num = F.greatest(q - s * s / c, F.lit(0.0))
-            return F.when((c > 1) & (c > ddof),
-                          F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+            return (F.when((c > 1) & (c > ddof),
+                           F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+                     .when((c > 1) & (c == ddof) & (num > 0),
+                           F.lit(float("inf"))))
         return self._emit(build, max(self._mp, 2), need_sq=True)
 
     def min(self, max_rows: int | None = None) -> DataFrame:

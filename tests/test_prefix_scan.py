@@ -1383,6 +1383,56 @@ def test_time_offset_rolling_order_stats_r10(bl):
         d["v"].rolling("30min").apply(lambda x: x.sum(), max_rows=2)
 
 
+def test_sem_n_eq_ddof_boundary_r11(bl):
+    """r11: at the n == ddof row pandas divides a finite SAMPLE std
+    by sqrt(n - ddof) = 0 and emits +inf — unless the window is
+    constant, where 0/0 stays NaN. The r10 gate (c > ddof)
+    suppressed the inf row on every prefix-decomposed face
+    (expanding / fixed rolling / time-offset rolling, Series and
+    frame); probed vs pandas across ddof in {0,1,2,3}."""
+    import numpy as np
+    import pandas as pd
+    vary = [1.0, 2.0, 4.0, 8.0, 16.0]
+    const = [5.0] * 5
+    for data in (vary, const):
+        ps = pd.Series(data)
+        bs = bl.Series(np.array(data))
+        for ddof in (0, 1, 2, 3):
+            np.testing.assert_allclose(
+                bs.expanding(1).sem(ddof=ddof).to_pandas()
+                .to_numpy(),
+                ps.expanding(1).sem(ddof=ddof).to_numpy(),
+                atol=1e-9, equal_nan=True,
+                err_msg=f"expanding sem ddof={ddof} {data[:2]}")
+            np.testing.assert_allclose(
+                bs.rolling(3, min_periods=1).sem(ddof=ddof)
+                .to_pandas().to_numpy(),
+                ps.rolling(3, min_periods=1).sem(ddof=ddof)
+                .to_numpy(),
+                atol=1e-9, equal_nan=True,
+                err_msg=f"rolling sem ddof={ddof} {data[:2]}")
+    # frame + time-offset faces at the boundary
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [0, 10, 20, 90, 100], "min")
+    d = bl.DataFrame({"t": ts.to_numpy(),
+                      "a": np.array(vary),
+                      "b": np.array(const)}).set_index("t")
+    pf = pd.DataFrame({"a": vary, "b": const}, index=ts)
+    for ddof in (2, 3):
+        got = d.expanding(1).sem(ddof=ddof).to_pandas()
+        want = pf.expanding(1).sem(ddof=ddof)
+        np.testing.assert_allclose(
+            got[["a", "b"]].to_numpy(), want[["a", "b"]].to_numpy(),
+            atol=1e-9, equal_nan=True,
+            err_msg=f"frame expanding sem ddof={ddof}")
+        np.testing.assert_allclose(
+            d["a"].rolling("30min").sem(ddof=ddof).to_pandas()
+            .to_numpy(),
+            pf["a"].rolling("30min").sem(ddof=ddof).to_numpy(),
+            atol=1e-9, equal_nan=True,
+            err_msg=f"time rolling sem ddof={ddof}")
+
+
 def test_ewm_times_accepts_same_frame_series_r10(bl):
     """r10: ewm(times=df["t"]) — the natural pandas spelling — is
     the string spelling; a foreign Series raises a TypeError that
@@ -1662,15 +1712,17 @@ def test_frame_window_agg_dup_label_index_r10(bl):
 
 
 def test_center_rank_closed_form_r10(bl):
-    """r10: center=True rank is pandas' SHIFTED TRAILING rank with
-    the final h2 positions carrying trailing_rank[n-1] (the kernel
-    ranks each window's END element and carries its last value once
-    the source exhausts — probed across methods/pct/w>n). The
-    closed form (trailing rank + shift + constant tail) is
-    deterministic; reproducing it through partition-local kernels
-    gave LAYOUT-DEPENDENT values in the carry zone — this test uses
-    a frame-built (multi-partition) source, the shape that exposed
-    it."""
+    """r10/r11: center=True rank is pandas' SHIFTED TRAILING rank
+    with the final h2 positions carrying the last trailing RAW rank
+    — each carried row re-gated on the TRUNCATED window
+    [i + h2 - w + 1, n-1]'s valid count vs min_periods (r11 fix:
+    default mp = window means every truncated row is NaN; the r10
+    form skipped the gate) and pct-renormalized by that shrinking
+    count (tail pct values may exceed 1.0 — pandas parity,
+    fuzz-verified 2000/2000 in r11). The closed form is
+    deterministic; partition-local kernels gave LAYOUT-DEPENDENT
+    carry-zone values — this test uses a frame-built
+    (multi-partition) source, the shape that exposed it."""
     import numpy as np
     import pandas as pd
     rng = np.random.default_rng(11)
@@ -1678,12 +1730,18 @@ def test_center_rank_closed_form_r10(bl):
     x = rng.normal(size=n)
     y = rng.normal(size=n) * 2
     x[rng.random(n) < 0.12] = np.nan
+    x[-3:] = [np.nan, 1.0, np.nan]   # NaN run crossing the h2 tail
     d = bl.DataFrame({"x": x, "y": y})
     ps = pd.Series(x)
     for w, mp, meth, pct in ((5, 2, "average", False),
                              (8, 1, "min", False),
                              (400, 1, "average", True),
-                             (4, 2, "average", False)):
+                             (4, 2, "average", False),
+                             (5, None, "average", False),   # default mp
+                             (6, None, "min", False),       # even w
+                             (5, 2, "max", True),           # pct tail
+                             (7, 3, "average", True),
+                             (6, 4, "min", True)):
         got = d["x"].rolling(w, min_periods=mp, center=True) \
             .rank(method=meth, pct=pct).to_pandas().to_numpy()
         want = ps.rolling(w, min_periods=mp, center=True) \

@@ -1,0 +1,158 @@
+"""Adversarial pandas-parity probe wave 25 — the r11 fix surface:
+
+1. center-rank carried tail min_periods gate (r10 verdict bug #1):
+   rolling(w, center=True).rank() must NaN-gate every carried tail
+   row on the TRUNCATED window [i-h2, n-1]'s valid count vs
+   min_periods — default mp = window means every truncated row is
+   NaN. Probed across (w, mp) incl. default mp, NaN runs crossing
+   the h2 boundary, w > n, even windows, frame face.
+2. sem at the n == ddof boundary (r10 verdict bug #2): pandas emits
+   +inf (finite sample std / sqrt(0)) unless the window is constant
+   (0/0 -> NaN). Probed ddof in {0,1,2,3} on expanding, fixed
+   rolling, and time-offset rolling faces, Series and frame.
+3. loc gates: null label present in the index (eqNullSafe parity),
+   empty-list row selector as a no-op write, xs drop_level on the
+   scalar path.
+4. (appended as r11 lands them) grouped window .agg faces.
+
+Run: python tools/probe_wave25.py — grep for 'PROBE DIFF'.
+"""
+import os
+import sys
+import warnings
+
+sys.path.insert(0, ".")
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+warnings.filterwarnings("ignore")
+
+import numpy as np
+import pandas as pd
+
+import baloo_spark as bl
+
+
+def eq(a, b):
+    if isinstance(a, list) and isinstance(b, list):
+        return (len(a) == len(b)
+                and all(eq(x, y) for x, y in zip(a, b)))
+    if isinstance(a, float) and isinstance(b, float):
+        if a != a and b != b:
+            return True
+        if np.isinf(a) or np.isinf(b):
+            return a == b
+        return abs(a - b) < 1e-8
+    return a == b
+
+
+def check(tag, ours, theirs):
+    try:
+        o, oerr = ours(), None
+    except Exception as e:  # noqa: BLE001
+        o, oerr = None, f"{type(e).__name__}: {e}"
+    try:
+        t, terr = theirs(), None
+    except Exception as e:  # noqa: BLE001
+        t, terr = None, f"{type(e).__name__}: {e}"
+    if oerr or terr:
+        if bool(oerr) != bool(terr):
+            print(f"PROBE DIFF [{tag}] ours={oerr or o!r} "
+                  f"pandas={terr or t!r}")
+        return
+    if not eq(o, t):
+        print(f"PROBE DIFF [{tag}] ours={o!r} pandas={t!r}")
+
+
+fl = lambda s: [float(x) for x in np.asarray(s, dtype=float)]
+
+# ---- 1. center-rank tail gate -------------------------------------
+datasets = {
+    "plain": [3., 1., 4., 1., 5., 9., 2.],
+    "nan_tail": [3., 1., 4., np.nan, 5., 9., np.nan],
+    "nan_run_h2": [3., 1., 4., 1., np.nan, np.nan, 2.],
+    "all_nan_tail": [3., 1., 4., np.nan, np.nan, np.nan, np.nan],
+    "short": [1., 2.],
+}
+faces = [(3, None), (5, None), (4, None), (6, None), (5, 2),
+         (3, 1), (5, 4), (9, 3), (2, None)]
+for dname, data in datasets.items():
+    for w, mp in faces:
+        s = bl.Series(np.array(data))
+        p = pd.Series(data)
+        check(f"center-rank {dname} w={w} mp={mp}",
+              lambda s=s, w=w, mp=mp: fl(
+                  s.rolling(w, min_periods=mp, center=True).rank()
+                  .to_pandas()),
+              lambda p=p, w=w, mp=mp: fl(
+                  p.rolling(w, min_periods=mp, center=True).rank()))
+        check(f"center-rank pct {dname} w={w} mp={mp}",
+              lambda s=s, w=w, mp=mp: fl(
+                  s.rolling(w, min_periods=mp, center=True)
+                  .rank(method="min", pct=True).to_pandas()),
+              lambda p=p, w=w, mp=mp: fl(
+                  p.rolling(w, min_periods=mp, center=True)
+                  .rank(method="min", pct=True)))
+
+# frame face: two columns with DIFFERENT NaN tails -> per-col cutoffs
+fx = [3., 1., 4., 1., 5., 9., 2.]
+fy = [3., 1., 4., 1., np.nan, np.nan, np.nan]
+for w, mp in ((3, None), (5, 2), (4, None), (5, 3)):
+    bf = bl.DataFrame({"x": np.array(fx), "y": np.array(fy)})
+    pf = pd.DataFrame({"x": fx, "y": fy})
+    got = bf.rolling(w, min_periods=mp, center=True).rank() \
+        .to_pandas()
+    exp = pf.rolling(w, min_periods=mp, center=True).rank()
+    for c in ("x", "y"):
+        check(f"frame center-rank {c} w={w} mp={mp}",
+              lambda g=got, c=c: fl(g[c]),
+              lambda e=exp, c=c: fl(e[c]))
+
+# ---- 2. sem n == ddof boundary ------------------------------------
+sem_data = {
+    "vary": [1., 2., 4., 8., 16.],
+    "const": [5., 5., 5., 5., 5.],
+    "nan_mix": [1., np.nan, 2., np.nan, 4.],
+}
+for dname, data in sem_data.items():
+    for ddof in (0, 1, 2, 3):
+        s = bl.Series(np.array(data))
+        p = pd.Series(data)
+        check(f"expanding sem {dname} ddof={ddof}",
+              lambda s=s, d=ddof: fl(
+                  s.expanding(1).sem(ddof=d).to_pandas()),
+              lambda p=p, d=ddof: fl(
+                  p.expanding(1).sem(ddof=d)))
+        check(f"rolling sem {dname} ddof={ddof}",
+              lambda s=s, d=ddof: fl(
+                  s.rolling(3, min_periods=1).sem(ddof=d)
+                  .to_pandas()),
+              lambda p=p, d=ddof: fl(
+                  p.rolling(3, min_periods=1).sem(ddof=d)))
+    ts = pd.to_datetime("2024-01-01") \
+        + pd.to_timedelta([0, 10, 20, 90, 100], "min")
+    dt = bl.DataFrame({"t": ts.to_numpy(),
+                       "v": np.array(data)}).set_index("t")
+    pt = pd.Series(data, index=ts)
+    for ddof in (0, 2, 3):
+        check(f"troll sem {dname} ddof={ddof}",
+              lambda dt=dt, d=ddof: fl(
+                  dt["v"].rolling("30min").sem(ddof=d).to_pandas()),
+              lambda pt=pt, d=ddof: fl(
+                  pt.rolling("30min").sem(ddof=d)))
+
+# frame faces
+ff = bl.DataFrame({"a": np.array([1., 2., 4.]),
+                   "b": np.array([7., 7., 7.])})
+pff = pd.DataFrame({"a": [1., 2., 4.], "b": [7., 7., 7.]})
+for ddof in (2, 3):
+    ge = ff.expanding(1).sem(ddof=ddof).to_pandas()
+    pe = pff.expanding(1).sem(ddof=ddof)
+    gr = ff.rolling(2, min_periods=1).sem(ddof=ddof).to_pandas()
+    pr = pff.rolling(2, min_periods=1).sem(ddof=ddof)
+    for c in ("a", "b"):
+        check(f"frame expanding sem {c} ddof={ddof}",
+              lambda g=ge, c=c: fl(g[c]), lambda e=pe, c=c: fl(e[c]))
+        check(f"frame rolling sem {c} ddof={ddof}",
+              lambda g=gr, c=c: fl(g[c]), lambda e=pr, c=c: fl(e[c]))
+
+print("wave25 part 1-2 done")
