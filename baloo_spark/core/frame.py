@@ -3911,12 +3911,17 @@ class DataFrame:
 
     def xs(self, key, level=None, drop_level: bool = True):
         """Cross-section at index label ``key`` (pandas ``xs``).
-        Without ``level``: the matching ROW as a pandas Series — an
-        explicit driver-side fetch like ``iloc`` scalars; duplicate
-        labels return a frame instead. With ``level=`` (name or int
-        position): a DISTRIBUTED filter on that index level, the
-        level dropped from the result index (pandas shape: always a
-        frame, even for a single match) — no collect, stays a plan."""
+        Without ``level`` on a FLAT index: the matching ROW as a
+        pandas Series — an explicit driver-side fetch like ``iloc``
+        scalars; duplicate labels return a frame instead
+        (``drop_level`` is a no-op here, pandas parity — probed
+        r11). Without ``level`` on a MULTIINDEX: pandas consumes
+        the first ``len(key)`` levels (scalar key = level 0) —
+        routed through the level path below, ``drop_level``
+        honored. With ``level=`` (name or int position): a
+        DISTRIBUTED filter on that index level, the level dropped
+        from the result index (pandas shape: always a frame, even
+        for a single match) — no collect, stays a plan."""
         import pandas as pd
         if not self._index_cols:
             raise ValueError("xs needs an index")
@@ -3966,6 +3971,12 @@ class DataFrame:
                      if c not in ks]
             return DataFrame._make(sel.drop(*ks), remaining,
                                    self._data_cols, order)
+        if len(self._index_cols) > 1:
+            keys = list(key) if isinstance(key, tuple) else [key]
+            return self.xs(
+                tuple(keys) if len(keys) > 1 else keys[0],
+                level=list(range(len(keys))),
+                drop_level=drop_level)
         k = self._index_cols[0]
         sel = self._sdf.where(F.col(k) == F.lit(key))
         rows = sel.select(*self._data_cols).limit(2).collect()
@@ -5215,9 +5226,13 @@ def _loc_label_series(df: "DataFrame", labels):
     key = idx[0]
     wsdf, _ = labels._ordered_sdf("__wlbl__")
     want = wsdf.select(F.col(POS_COL).alias("__wpos__"), "__wlbl__")
+    # null-SAFE miss gate (r11): the gather join below matches null
+    # labels with eqNullSafe, so the KeyError gate must agree — a
+    # null requested label that IS in the index is a hit, not a miss
     miss = (want.join(
-        df._sdf.select(F.col(key).alias("__wlbl__")).distinct(),
-        "__wlbl__", "left_anti")
+        df._sdf.select(F.col(key).alias("__hlbl__")).distinct(),
+        F.col("__wlbl__").eqNullSafe(F.col("__hlbl__")),
+        "left_anti")
         .select("__wlbl__").limit(5).collect())
     if miss:
         raise KeyError(
@@ -5461,9 +5476,12 @@ class _FrameLoc:
             wsdf, _ = rows._ordered_sdf("__wlbl__")
             want = wsdf.select("__wlbl__").distinct() \
                 .withColumn("__whit__", F.lit(True))
+            # null-SAFE enlargement gate (r11) — must agree with
+            # the eqNullSafe mark join below
             miss = (want.join(
-                sdf.select(F.col(key).alias("__wlbl__")).distinct(),
-                "__wlbl__", "left_anti").limit(1).count())
+                sdf.select(F.col(key).alias("__hlbl__")).distinct(),
+                F.col("__wlbl__").eqNullSafe(F.col("__hlbl__")),
+                "left_anti").limit(1).count())
             if miss:
                 raise NotImplementedError(
                     "loc assignment at labels not in the index is "
@@ -5477,6 +5495,11 @@ class _FrameLoc:
                     ["__wl2__", "__whit__"])
         if isinstance(rows, (list, np.ndarray)):
             vals = list(rows)
+            if not vals:
+                # pandas: an empty selection is a no-op write (r11;
+                # previously fell through to a zero-row
+                # createDataFrame, which cannot infer a schema)
+                return sdf, F.lit(False), []
             if vals and all(isinstance(_py(v), bool) for v in vals):
                 n = len(self._df)
                 if len(vals) != n:
@@ -5514,19 +5537,29 @@ class _FrameLoc:
                     "loc assignment at labels not in the index is "
                     "pandas' enlargement face (it appends rows); "
                     "use concat instead")
-            return sdf, F.col(key).isin(labels), []
+            cond = F.col(key).isin([l for l in labels
+                                    if l is not None])
+            if any(l is None for l in labels):
+                # isin is null-unsafe; a None label must still
+                # select null index rows (r11, matches the
+                # eqNullSafe gate above)
+                cond = cond | F.col(key).isNull()
+            return sdf, cond, []
         # scalar label
         if not idx:
             raise ValueError("loc needs an index; this scan-backed "
                              "frame has none (set_index first)")
         key = idx[0]
         lit = F.lit(_py(rows))
-        if sdf.filter(F.col(key) == lit).limit(1).count() == 0:
+        # eqNullSafe: a None scalar label selecting a null index
+        # row is a hit, not enlargement (r11)
+        if sdf.filter(F.col(key).eqNullSafe(lit)).limit(1) \
+                .count() == 0:
             raise NotImplementedError(
                 "loc assignment at labels not in the index is "
                 "pandas' enlargement face (it appends rows); use "
                 "concat instead")
-        return sdf, F.col(key) == lit, []
+        return sdf, F.col(key).eqNullSafe(lit), []
 
     def __setitem__(self, key, value):
         """pandas' conditional-assignment face:

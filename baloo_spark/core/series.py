@@ -1417,17 +1417,22 @@ class Series:
 
     def xs(self, key, level=None, drop_level: bool = True):
         """Cross-section at index label ``key`` (pandas
-        ``Series.xs``). Without ``level``: the matching VALUE, an
-        explicit driver-side fetch like ``iloc`` scalars; duplicate
-        labels return a Series. With ``level=``: a distributed
-        filter on that index level with the level dropped — always
-        a Series (pandas shape). Delegates to :meth:`DataFrame.xs`."""
+        ``Series.xs``). Without ``level`` on a flat index: the
+        matching VALUE, an explicit driver-side fetch like ``iloc``
+        scalars; duplicate labels return a Series (``drop_level``
+        is a no-op here — pandas parity, probed r11). Without
+        ``level`` on a MultiIndex: the first ``len(key)`` levels
+        are consumed, ``drop_level`` honored — a distributed
+        filter. With ``level=``: a distributed filter on that index
+        level with the level dropped — always a Series (pandas
+        shape). Delegates to :meth:`DataFrame.xs`."""
         vname = self.name or _VAL
         if level is not None:
             fr = self._to_frame_ordered().xs(key, level=level,
                                              drop_level=drop_level)
             return fr[vname]
-        got = self._to_frame_for_io().xs(key)
+        got = self._to_frame_for_io().xs(key,
+                                         drop_level=drop_level)
         if isinstance(got, Series):  # pragma: no cover - defensive
             return got
         from .frame import DataFrame

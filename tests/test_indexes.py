@@ -470,3 +470,53 @@ def test_at_assignment_r10(bl):
         d.at[99, "a"] = 1.0
     with pytest.raises(TypeError):
         d.at[20] = 1.0
+
+
+def test_loc_null_label_gates_r11(bl):
+    """r11: the loc miss/enlargement gates are null-SAFE, agreeing
+    with the eqNullSafe gather/mark joins — a None label PRESENT in
+    the index is a hit (gather returns the row, assignment writes
+    it), not a KeyError/enlargement refusal; an empty list selector
+    is a no-op write (pandas parity)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    idx = np.array(["a", "b", None, "d"], dtype=object)
+
+    def mk():
+        pdf = pd.DataFrame({"v": [1.0, 2, 3, 4]},
+                           index=["a", "b", None, "d"])
+        d = bl.DataFrame({"i": idx,
+                          "v": np.array([1.0, 2, 3, 4])}) \
+            .set_index("i")
+        return pdf, d
+
+    # label-Series gather with a null label present in the index
+    pdf, d = mk()
+    lab = bl.Series(np.array(["d", None, "a"], dtype=object))
+    got = d.loc[lab]["v"].to_pandas().tolist()
+    assert got == pdf.loc[pd.Series(["d", None, "a"])]["v"].tolist()
+    with pytest.raises(KeyError):
+        d.loc[bl.Series(np.array(["zz"], dtype=object))]
+
+    # scalar-None and list-with-None assignment hit the null row
+    pdf, d = mk()
+    d.loc[None, "v"] = 9.0
+    pdf.loc[[None], "v"] = 9.0
+    assert d["v"].to_pandas().tolist() == pdf["v"].tolist()
+    pdf, d = mk()
+    d.loc[[None, "a"], "v"] = 7.0
+    pdf.loc[[None, "a"], "v"] = 7.0
+    assert d["v"].to_pandas().tolist() == pdf["v"].tolist()
+
+    # empty-list selector: a no-op write, not a schema error
+    pdf, d = mk()
+    d.loc[[], "v"] = 99.0
+    pdf.loc[[], "v"] = 99.0
+    assert d["v"].to_pandas().tolist() == pdf["v"].tolist()
+
+    # missing labels still refuse enlargement
+    pdf, d = mk()
+    with pytest.raises(NotImplementedError, match="concat"):
+        d.loc[["zz"], "v"] = 1.0

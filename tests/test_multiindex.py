@@ -266,3 +266,43 @@ def test_xs_level_list_matches_pandas(bl):
         d.xs(("a",), level=["y", "x"])
     with pytest.raises(KeyError):
         d.xs(("zz", 1), level=["y", "x"])
+
+
+def test_xs_no_level_multiindex_r11(bl):
+    """r11: xs WITHOUT level= on a MultiIndex consumes the first
+    len(key) levels (scalar key = level 0) through the distributed
+    level path — drop_level honored, full-consumption keeps the
+    whole index, KeyError on a miss; on a FLAT index drop_level is
+    a pandas no-op (probed) and the row-fetch shape stands."""
+    import pandas as pd
+    import pytest
+    mi = pd.MultiIndex.from_tuples(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 2)], names=["u", "w"])
+    pdf = pd.DataFrame({"x": [1.0, 2, 3, 4]}, index=mi)
+    d = bl.DataFrame({"u": list("aabb"), "w": [1, 2, 2, 2],
+                      "x": [1.0, 2, 3, 4]}).set_index(["u", "w"])
+    pd.testing.assert_frame_equal(d.xs("a").to_pandas(),
+                                  pdf.xs("a"))
+    pd.testing.assert_frame_equal(
+        d.xs("a", drop_level=False).to_pandas(),
+        pdf.xs("a", drop_level=False))
+    pd.testing.assert_frame_equal(d.xs(("a", 1)).to_pandas(),
+                                  pdf.xs(("a", 1)))
+    pd.testing.assert_frame_equal(d.xs(("b", 2)).to_pandas(),
+                                  pdf.xs(("b", 2)))
+    # Series face
+    pd.testing.assert_series_equal(d["x"].xs("a").to_pandas(),
+                                   pdf["x"].xs("a"))
+    pd.testing.assert_series_equal(
+        d["x"].xs(("a", 1), drop_level=False).to_pandas(),
+        pdf["x"].xs(("a", 1), drop_level=False))
+    with pytest.raises(KeyError):
+        d.xs("zz")
+    # flat index: drop_level is a no-op, scalar/row fetch stands
+    pflat = pd.DataFrame({"x": [1.0, 2]}, index=["a", "b"])
+    bflat = bl.DataFrame({"i": ["a", "b"], "x": [1.0, 2]}) \
+        .set_index("i")
+    assert (bflat.xs("b", drop_level=False)["x"]
+            == pflat.xs("b", drop_level=False)["x"])
+    assert (bflat["x"].xs("b", drop_level=False)
+            == pflat["x"].xs("b", drop_level=False))

@@ -156,3 +156,101 @@ for ddof in (2, 3):
               lambda g=gr, c=c: fl(g[c]), lambda e=pr, c=c: fl(e[c]))
 
 print("wave25 part 1-2 done")
+
+# ---- 3. loc null-label gates, empty-list write, xs MultiIndex -----
+idx = np.array(["a", "b", None, "d"], dtype=object)
+bd = bl.DataFrame({"i": idx, "v": np.array([1., 2., 3., 4.])}) \
+    .set_index("i")
+pdf = pd.DataFrame({"v": [1., 2., 3., 4.]},
+                   index=["a", "b", None, "d"])
+
+# label-Series gather with a null label PRESENT in the index
+lab = bl.Series(np.array(["d", None, "a"], dtype=object))
+check("loc series null label gather",
+      lambda: fl(bd.loc[lab]["v"].to_pandas()),
+      lambda: fl(pdf.loc[pd.Series(["d", None, "a"])]["v"]))
+# a genuinely missing label still raises
+check("loc series missing label",
+      lambda: fl(bd.loc[bl.Series(np.array(["zz"], dtype=object))]
+                 ["v"].to_pandas()),
+      lambda: fl(pdf.loc[pd.Series(["zz"])]["v"]))
+
+# scalar None loc assignment hits the null index row
+def _set_none_ours():
+    d2 = bl.DataFrame({"i": idx, "v": np.array([1., 2., 3., 4.])}) \
+        .set_index("i")
+    d2.loc[None, "v"] = 9.0
+    return fl(d2["v"].to_pandas())
+def _set_none_pandas():
+    p2 = pdf.copy()
+    p2.loc[[None], "v"] = 9.0   # pandas scalar-None spelling quirk
+    return fl(p2["v"])
+check("loc set scalar None label", _set_none_ours, _set_none_pandas)
+
+# list-with-None loc assignment
+def _set_list_ours():
+    d2 = bl.DataFrame({"i": idx, "v": np.array([1., 2., 3., 4.])}) \
+        .set_index("i")
+    d2.loc[[None, "a"], "v"] = 7.0
+    return fl(d2["v"].to_pandas())
+def _set_list_pandas():
+    p2 = pdf.copy()
+    p2.loc[[None, "a"], "v"] = 7.0
+    return fl(p2["v"])
+check("loc set list None label", _set_list_ours, _set_list_pandas)
+
+# empty-list selector is a no-op write
+def _set_empty_ours():
+    d2 = bl.DataFrame({"i": idx, "v": np.array([1., 2., 3., 4.])}) \
+        .set_index("i")
+    d2.loc[[], "v"] = 99.0
+    return fl(d2["v"].to_pandas())
+def _set_empty_pandas():
+    p2 = pdf.copy()
+    p2.loc[[], "v"] = 99.0
+    return fl(p2["v"])
+check("loc set empty list no-op", _set_empty_ours, _set_empty_pandas)
+
+# xs on a MultiIndex without level=
+mi = pd.MultiIndex.from_tuples(
+    [("a", 1), ("a", 2), ("b", 2), ("b", 2)], names=["u", "w"])
+pmi = pd.DataFrame({"x": [1., 2., 3., 4.]}, index=mi)
+bmi = bl.DataFrame({"u": np.array(["a", "a", "b", "b"]),
+                    "w": np.array([1, 2, 2, 2]),
+                    "x": np.array([1., 2., 3., 4.])}) \
+    .set_index(["u", "w"])
+check("xs mi partial scalar",
+      lambda: fl(bmi.xs("a")["x"].to_pandas()),
+      lambda: fl(pmi.xs("a")["x"]))
+check("xs mi partial keep",
+      lambda: sorted(bmi.xs("a", drop_level=False).to_pandas()
+                     .index.tolist()),
+      lambda: sorted(pmi.xs("a", drop_level=False).index.tolist()))
+check("xs mi full tuple",
+      lambda: fl(bmi.xs(("a", 1))["x"].to_pandas()),
+      lambda: fl(pmi.xs(("a", 1))["x"]))
+check("xs mi full tuple dup",
+      lambda: fl(bmi.xs(("b", 2))["x"].to_pandas()),
+      lambda: fl(pmi.xs(("b", 2))["x"]))
+check("xs mi miss",
+      lambda: fl(bmi.xs("zz")["x"].to_pandas()),
+      lambda: fl(pmi.xs("zz")["x"]))
+check("xs mi series partial",
+      lambda: fl(bmi["x"].xs("a").to_pandas()),
+      lambda: fl(pmi["x"].xs("a")))
+check("xs mi series full keep",
+      lambda: fl(bmi["x"].xs(("a", 1), drop_level=False)
+                 .to_pandas()),
+      lambda: fl(pmi["x"].xs(("a", 1), drop_level=False)))
+# flat index: drop_level is a pandas no-op — engine must agree
+pflat = pd.DataFrame({"x": [1., 2.]}, index=["a", "b"])
+bflat = bl.DataFrame({"i": np.array(["a", "b"]),
+                      "x": np.array([1., 2.])}).set_index("i")
+check("xs flat drop_level=False row",
+      lambda: fl([bflat.xs("b", drop_level=False)["x"]]),
+      lambda: fl([pflat.xs("b", drop_level=False)["x"]]))
+check("xs flat series drop_level=False scalar",
+      lambda: float(bflat["x"].xs("b", drop_level=False)),
+      lambda: float(pflat["x"].xs("b", drop_level=False)))
+
+print("wave25 part 3 done")
