@@ -3918,7 +3918,12 @@ class DataFrame:
         r11). Without ``level`` on a MULTIINDEX: pandas consumes
         the first ``len(key)`` levels (scalar key = level 0) —
         routed through the level path below, ``drop_level``
-        honored. With ``level=`` (name or int position): a
+        honored. PINNED divergence: when the tuple consumes EVERY
+        level, pandas returns a row Series iff the whole index is
+        unique; deciding that needs a global-uniqueness job, so the
+        engine always returns the level-path shape (a frame keeping
+        the full index — exactly pandas' own non-unique-index and
+        ``level=``-face shape). Spell ``.loc[key]`` for the row. With ``level=`` (name or int position): a
         DISTRIBUTED filter on that index level, the level dropped
         from the result index (pandas shape: always a frame, even
         for a single match) — no collect, stays a plan."""

@@ -298,6 +298,15 @@ def test_xs_no_level_multiindex_r11(bl):
         pdf["x"].xs(("a", 1), drop_level=False))
     with pytest.raises(KeyError):
         d.xs("zz")
+    # PINNED: full-tuple xs on a globally-UNIQUE MultiIndex keeps
+    # the level-path frame shape (pandas returns a row Series
+    # there, but deciding uniqueness is a global job — the frame
+    # shape is pandas' own non-unique and level=-face behavior)
+    du = bl.DataFrame({"u": list("abcd"), "w": [1, 2, 3, 4],
+                       "x": [1.0, 2, 3, 4]}).set_index(["u", "w"])
+    got = du.xs(("a", 1)).to_pandas()
+    assert list(got.index.names) == ["u", "w"]   # full index kept
+    assert got["x"].tolist() == [1.0]
     # flat index: drop_level is a no-op, scalar/row fetch stands
     pflat = pd.DataFrame({"x": [1.0, 2]}, index=["a", "b"])
     bflat = bl.DataFrame({"i": ["a", "b"], "x": [1.0, 2]}) \
