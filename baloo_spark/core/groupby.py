@@ -1194,11 +1194,15 @@ class _GroupRolling:
             min_periods = 1 if window is None else window
         self._mp = min_periods
 
-    def _agg(self, name: str):
+    def _wspec(self):
+        """The shared per-group Window spec (rows / range / time
+        frame) — ONE spec serves every statistic of a fused
+        ``.agg``/``agg_pairs`` request, so Catalyst plans a single
+        Window node: one group-key shuffle + one sort regardless of
+        statistic count."""
         from pyspark.sql import Window
 
         from ..plans.ordinal import ORD_COL
-        from .frame import DataFrame
         from .ordering import order_exprs
         gb = self._gb
         sdf = gb._df._sdf
@@ -1224,43 +1228,51 @@ class _GroupRolling:
                     "a time-offset grouped rolling needs the frame "
                     "sorted by a datetime column (sort_values first)")
             micros = F.unix_micros(F.col(tcol).cast("timestamp"))
-            w = (Window.partitionBy(*gb._by).orderBy(micros)
-                 .rangeBetween(-(self._time_us - 1), 0))
-        elif self._window is None:
-            w = (Window.partitionBy(*gb._by).orderBy(*order)
-                 .rowsBetween(Window.unboundedPreceding, 0))
+            return (Window.partitionBy(*gb._by).orderBy(micros)
+                    .rangeBetween(-(self._time_us - 1), 0))
+        if self._window is None:
+            return (Window.partitionBy(*gb._by).orderBy(*order)
+                    .rowsBetween(Window.unboundedPreceding, 0))
+        if self._center:
+            hi = (self._window - 1) // 2
+            lo = -(self._window // 2)
         else:
-            if self._center:
-                hi = (self._window - 1) // 2
-                lo = -(self._window // 2)
-            else:
-                lo, hi = -(self._window - 1), 0
-            w = (Window.partitionBy(*gb._by).orderBy(*order)
-                 .rowsBetween(lo, hi))
+            lo, hi = -(self._window - 1), 0
+        return (Window.partitionBy(*gb._by).orderBy(*order)
+                .rowsBetween(lo, hi))
+
+    def _jvm_expr(self, name: str, c: str, w):
+        """One statistic of one column over the shared Window spec —
+        the building block of both the single-stat faces and the
+        fused ``.agg``."""
+        v = F.col(c).cast("double")
+        if name == "count":
+            base = F.count(F.col(c)).over(w).cast("double")
+            gate = F.count(F.lit(1)).over(w)
+        elif name in ("var", "std"):
+            n = F.count(F.col(c)).over(w)
+            s = F.sum(v).over(w)
+            q = F.sum(v * v).over(w)
+            num = F.greatest(q - s * s / n, F.lit(0.0))
+            base = F.when(n > 1, num / (n - 1))
+            if name == "std":
+                base = F.sqrt(base)
+            gate = n
+        else:
+            base = _AGG_FNS[name](v).over(w)
+            gate = F.count(F.col(c)).over(w)
+        mp = max(self._mp, 2) if name in ("var", "std") else self._mp
+        return (F.when(gate >= mp, base) if mp > 0
+                else base).cast("double")
+
+    def _agg(self, name: str):
+        from .frame import DataFrame
+        gb = self._gb
+        sdf = gb._df._sdf
+        w = self._wspec()
         cols = gb._value_cols()
-        exprs = {}
-        for c in cols:
-            v = F.col(c).cast("double")
-            if name == "count":
-                base = F.count(F.col(c)).over(w).cast("double")
-                gate = F.count(F.lit(1)).over(w)
-            elif name in ("var", "std"):
-                n = F.count(F.col(c)).over(w)
-                s = F.sum(v).over(w)
-                q = F.sum(v * v).over(w)
-                num = F.greatest(q - s * s / n, F.lit(0.0))
-                base = F.when(n > 1, num / (n - 1))
-                if name == "std":
-                    base = F.sqrt(base)
-                gate = n
-            else:
-                base = _AGG_FNS[name](v).over(w)
-                gate = F.count(F.col(c)).over(w)
-            mp = max(self._mp, 2) if name in ("var", "std") else self._mp
-            exprs[c] = (F.when(gate >= mp, base) if mp > 0
-                        else base).cast("double")
         sel = [F.col(cc) for cc in sdf.columns if cc not in cols] + \
-            [exprs[c].alias(c) for c in cols]
+            [self._jvm_expr(name, c, w).alias(c) for c in cols]
         out = sdf.select(*sel)
         return DataFrame._make(out, gb._df._index_cols,
                                gb._df._data_cols, gb._df._order)
@@ -1369,6 +1381,247 @@ class _GroupRolling:
 
     def rank(self, method: str = "average", pct: bool = False):
         return self._local("rank", method=method, pct=pct)
+
+    _JVM_STATS = ("sum", "mean", "count", "min", "max", "var",
+                  "std")
+    _ORDER_STATS = ("median", "skew", "kurt", "sem", "rank")
+
+    def agg(self, func):
+        """pandas ``.agg`` on the grouped window faces (r11 — the
+        last missing window ``.agg``): a str delegates; a dict
+        {col: stat} column-binds one statistic per named value
+        column (flat names, the bound columns replace the value
+        columns); a list emits flat stat names for a single value
+        column (pandas' Series-face shape) or ``str((col, stat))``
+        col-major for several. When every requested statistic is
+        JVM-frameable (sum/mean/count/min/max/var/std) the WHOLE
+        request is one select over ONE shared Window spec — a
+        single Window node, so one group-key shuffle + one sort
+        regardless of statistic count (the grouped fusion shape; at
+        scale each extra statistic is a free expression, not an
+        extra scan). Any order statistic routes the whole request
+        through ONE batched mapInPandas pass — pandas' own grouped
+        kernels compute every column per row, positionally aligned
+        by construction. ``quantile`` needs its ``q`` — call it
+        directly, like pandas' own ``.agg(['quantile'])`` refusal."""
+        if isinstance(func, str):
+            return getattr(self, func)()
+        gb = self._gb
+        vcols = gb._value_cols()
+        if isinstance(func, dict):
+            items = []
+            for c, st in func.items():
+                if not isinstance(st, str):
+                    raise ValueError(
+                        "grouped window .agg dict values must be "
+                        "single statistic names (a list per column "
+                        "would need MultiIndex columns); got "
+                        f"{st!r} for {c!r}")
+                if c not in vcols:
+                    raise KeyError(c)
+                items.append((str(c), c, st))
+        else:
+            stats = list(func)
+            if len(vcols) == 1:
+                items = [(str(st), vcols[0], st) for st in stats]
+            else:
+                items = [(str((c, st)), c, st)
+                         for c in vcols for st in stats]
+        if not items:
+            raise ValueError("no results")
+        names = [n for n, _, _ in items]
+        if len(set(names)) < len(items):
+            raise ValueError(
+                "duplicate output names in .agg; engine columns "
+                "are uniquely named — use a dict to alias each "
+                "statistic")
+        allowed = set(self._JVM_STATS) | set(self._ORDER_STATS)
+        for _, _, st in items:
+            if not isinstance(st, str) or st not in allowed:
+                raise ValueError(
+                    f"unknown grouped window statistic {st!r}; "
+                    f"expected one of {sorted(allowed)} (quantile "
+                    "needs q= — call it directly)")
+        sdf = gb._df._sdf
+        kept_sdf = [c for c in sdf.columns if c not in vcols]
+        for n in names:
+            if n in kept_sdf:
+                raise ValueError(
+                    f"output {n!r} collides with a kept column")
+        kept_data = [c for c in gb._df._data_cols
+                     if c not in vcols]
+        if all(st in self._JVM_STATS for _, _, st in items):
+            w = self._wspec()
+            sel = [F.col(cc) for cc in kept_sdf] + \
+                [self._jvm_expr(st, c, w).alias(n)
+                 for n, c, st in items]
+            from .frame import DataFrame
+            return DataFrame._make(sdf.select(*sel),
+                                   gb._df._index_cols,
+                                   kept_data + names,
+                                   gb._df._order)
+        return self._local_agg(items, kept_sdf, kept_data)
+
+    aggregate = agg
+
+    def _local_agg(self, items, kept_sdf, kept_data):
+        """Order-stat (or mixed) grouped ``.agg``: ONE batched
+        mapInPandas pass computes every requested column — one
+        pandas kernel call per DISTINCT statistic inside the batch,
+        rows already group-contiguous and order-sorted so the
+        grouped outputs align positionally."""
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        from .frame import DataFrame
+        gb = self._gb
+        if self._time_us is not None and self._center:
+            raise ValueError(
+                "time-offset grouped rolling has no center=")
+        sdf, _ = gb._gorder()
+        vcols = gb._value_cols()
+        by = list(gb._by)
+        ocols = [c for c, _ in (gb._df._order or [])
+                 if c in sdf.columns]
+        if not ocols and ORD_COL in sdf.columns:
+            ocols = [ORD_COL]
+        asc = [a for c, a in (gb._df._order or [(ORD_COL, True)])
+               if c in sdf.columns] or [True]
+        src_fields = {f.name: f for f in sdf.schema.fields}
+        names = [n for n, _, _ in items]
+        schema = T.StructType(
+            [src_fields[c] for c in kept_sdf]
+            + [T.StructField(n, T.DoubleType(), True)
+               for n in names])
+        window, mp, center = self._window, self._mp, self._center
+        time_us = self._time_us
+        tcol = None
+        if time_us is not None:
+            sch = {f.name: f.dataType.typeName()
+                   for f in sdf.schema.fields}
+            tcol = next(
+                (c for c, _ in (gb._df._order or [])
+                 if sch.get(c) in ("timestamp", "timestamp_ntz",
+                                   "date")), None)
+            if tcol is None:
+                raise TypeError(
+                    "a time-offset grouped rolling needs the frame "
+                    "sorted by a datetime column (sort_values "
+                    "first)")
+        out_cols = list(kept_sdf)
+        req = list(items)
+
+        def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            fv = pdf[vcols].astype("float64")
+            fv[by] = pdf[by]
+            if time_us is not None:
+                fv.index = pd.DatetimeIndex(
+                    pd.to_datetime(pdf[tcol]))
+            g = fv.groupby(by, sort=False, dropna=False)[vcols]
+            if time_us is not None:
+                roll = g.rolling(pd.Timedelta(time_us, unit="us"),
+                                 min_periods=mp)
+            elif window is not None:
+                roll = g.rolling(window, min_periods=mp,
+                                 center=center)
+            else:
+                roll = g.expanding(mp)
+            res = {st: getattr(roll, st)()
+                   for st in {st for _, _, st in req}}
+            out = pdf[[c for c in out_cols]].copy()
+            for n, c, st in req:
+                out[n] = res[st][c].to_numpy()
+            return out
+
+        gen = _batched_group_gen(by, _run)
+        oexprs = [F.col(c).asc() if a else F.col(c).desc()
+                  for c, a in zip(ocols, asc)]
+        src = (gb._cluster_for_python(sdf, by)
+               .sortWithinPartitions(*[F.col(b) for b in by],
+                                     *oexprs))
+        out = src.mapInPandas(gen, schema)
+        return DataFrame._make(out, gb._df._index_cols,
+                               kept_data + names, gb._df._order)
+
+    def agg_pairs(self, specs: dict, ddof: int = 1):
+        """ENGINE EXTENSION — the GROUPED face of
+        :meth:`_FrameTimeRolling.agg_pairs` (r11): every requested
+        per-column sum/mean/count AND pairwise cov/corr over the
+        per-group window in ONE select over ONE shared Window spec.
+        A single Window node = one group-key shuffle + one sort
+        total; each extra statistic is one more JVM expression on
+        the same frame, not an extra scan — the shape multi-stat
+        grouped feature pipelines want at 100 TB. Works on all
+        three grouped frames (fixed rows, expanding, time offset;
+        the time face carries the grouped RANGE frame's documented
+        same-stamp divergence). Pair stats use pandas'
+        pairwise-complete masking and the zero-variance NaN pin.
+
+        ``specs``: {out_name: ('sum'|'mean'|'count', col)
+                    | ('cov'|'corr', xcol, ycol)}."""
+        from .frame import DataFrame
+        gb = self._gb
+        df = gb._df
+        sdf = df._sdf
+        if self._center:
+            raise ValueError("agg_pairs has no center= face")
+        w = self._wspec()
+        mp = self._mp
+        used, outs = set(), []
+        for out, spec in specs.items():
+            kind = spec[0]
+            if kind in ("sum", "mean", "count"):
+                c = spec[1]
+                df._check_cols([c])
+                used.add(c)
+                v = F.col(c).cast("double")
+                cnt = F.count(F.col(c)).over(w)
+                if kind == "sum":
+                    e, gate = F.sum(v).over(w), cnt
+                elif kind == "mean":
+                    e, gate = F.sum(v).over(w) / cnt, cnt
+                else:
+                    e, gate = (cnt.cast("double"),
+                               F.count(F.lit(1)).over(w))
+                e = F.when(gate >= mp, e) if mp > 0 else e
+            elif kind in ("cov", "corr"):
+                x, y = spec[1], spec[2]
+                df._check_cols([x, y])
+                used.update((x, y))
+                both = (F.col(x).isNotNull()
+                        & F.col(y).isNotNull())
+                mx = F.when(both, F.col(x).cast("double"))
+                my = F.when(both, F.col(y).cast("double"))
+                n = F.count(mx).over(w).cast("double")
+                sx, sy = F.sum(mx).over(w), F.sum(my).over(w)
+                sxy = F.sum(mx * my).over(w)
+                if kind == "cov":
+                    e = F.when(n > ddof,
+                               (sxy - sx * sy / n) / (n - ddof))
+                else:
+                    vx = F.sum(mx * mx).over(w) - sx * sx / n
+                    vy = F.sum(my * my).over(w) - sy * sy / n
+                    e = F.when((n > 1) & (vx > 0) & (vy > 0),
+                               (sxy - sx * sy / n)
+                               / F.sqrt(vx * vy))
+                e = F.when(n >= max(mp, 1), e)
+            else:
+                raise ValueError(
+                    f"unknown statistic {kind!r}; pass "
+                    "'sum'/'mean'/'count' or 'cov'/'corr'")
+            outs.append(e.cast("double").alias(out))
+        vcols = set(gb._value_cols())
+        kept_sdf = [c for c in sdf.columns if c not in vcols]
+        for out in specs:
+            if out in kept_sdf:
+                raise ValueError(
+                    f"output {out!r} collides with a kept column")
+        kept_data = [c for c in df._data_cols if c not in vcols]
+        sel = [F.col(cc) for cc in kept_sdf] + outs
+        return DataFrame._make(sdf.select(*sel), df._index_cols,
+                               kept_data + list(specs),
+                               df._order)
 
 
 class _NoIndexGroupBy:
@@ -1546,6 +1799,122 @@ class _GroupEwm:
 
     def std(self):
         return self._stat("std")
+
+    _EWM_STATS = ("mean", "sum", "var", "std")
+
+    def agg(self, func):
+        """pandas ``.agg`` on the grouped ewm face (r11): same
+        naming rules as :meth:`_GroupRolling.agg` (str delegates;
+        dict {col: stat} flat; list → flat stat names for one value
+        column, ``str((col, stat))`` col-major for several). ONE
+        batched mapInPandas pass runs every requested statistic —
+        one pandas grouped-ewm kernel call per DISTINCT statistic
+        inside each batch, one shuffle total."""
+        if isinstance(func, str):
+            return getattr(self, func)()
+        gb = self._gb
+        vcols = gb._value_cols()
+        if self._times is not None:
+            vcols = [c for c in vcols if c != self._times]
+        if isinstance(func, dict):
+            items = []
+            for c, st in func.items():
+                if not isinstance(st, str):
+                    raise ValueError(
+                        "grouped ewm .agg dict values must be "
+                        "single statistic names; got "
+                        f"{st!r} for {c!r}")
+                if c not in vcols:
+                    raise KeyError(c)
+                items.append((str(c), c, st))
+        elif len(vcols) == 1:
+            items = [(str(st), vcols[0], st) for st in func]
+        else:
+            items = [(str((c, st)), c, st)
+                     for c in vcols for st in func]
+        if not items:
+            raise ValueError("no results")
+        names = [n for n, _, _ in items]
+        if len(set(names)) < len(items):
+            raise ValueError(
+                "duplicate output names in .agg; engine columns "
+                "are uniquely named — use a dict to alias each "
+                "statistic")
+        for _, _, st in items:
+            if not isinstance(st, str) or st not in self._EWM_STATS:
+                raise ValueError(
+                    f"unknown grouped ewm statistic {st!r}; "
+                    f"expected one of {list(self._EWM_STATS)}")
+            if self._times is not None and st != "mean":
+                raise NotImplementedError(
+                    f"ewm(times=...).{st}() is not supported "
+                    "(pandas only defines mean)")
+            if st == "sum" and not self._adjust:
+                raise NotImplementedError(
+                    "ewm(adjust=False).sum() is not supported "
+                    "(pandas refuses it too); use adjust=True")
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import types as T
+
+        from ..plans.ordinal import ORD_COL
+        from .frame import DataFrame
+        sdf, _ = gb._gorder()
+        by = list(gb._by)
+        ocols = [c for c, _ in (gb._df._order or [])
+                 if c in sdf.columns]
+        if not ocols and ORD_COL in sdf.columns:
+            ocols = [ORD_COL]
+        asc = [a for c, a in (gb._df._order or [(ORD_COL, True)])
+               if c in sdf.columns] or [True]
+        kept_sdf = [c for c in sdf.columns if c not in vcols]
+        for n in names:
+            if n in kept_sdf:
+                raise ValueError(
+                    f"output {n!r} collides with a kept column")
+        src_fields = {f.name: f for f in sdf.schema.fields}
+        schema = T.StructType(
+            [src_fields[c] for c in kept_sdf]
+            + [T.StructField(n, T.DoubleType(), True)
+               for n in names])
+        times, halflife = self._times, self._halflife
+        if times is not None:
+            kw = dict(halflife=halflife,
+                      ignore_na=self._ignore_na, adjust=True)
+        else:
+            kw = dict(alpha=self._alpha,
+                      ignore_na=self._ignore_na,
+                      adjust=self._adjust)
+        req, out_cols = list(items), list(kept_sdf)
+
+        def _run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            fv = pdf[vcols].astype("float64")
+            fv[by] = pdf[by]
+            k = dict(kw)
+            if times is not None:
+                k["times"] = pd.to_datetime(pdf[times]) \
+                    .astype("datetime64[ns]").to_numpy()
+            ew = fv.groupby(by, sort=False,
+                            dropna=False)[vcols].ewm(**k)
+            res = {st: getattr(ew, st)()
+                   for st in {st for _, _, st in req}}
+            out = pdf[out_cols].copy()
+            for n, c, st in req:
+                out[n] = res[st][c].to_numpy()
+            return out
+
+        gen = _batched_group_gen(by, _run)
+        oexprs = [F.col(c).asc() if a else F.col(c).desc()
+                  for c, a in zip(ocols, asc)]
+        src = (gb._cluster_for_python(sdf, by)
+               .sortWithinPartitions(*[F.col(b) for b in by],
+                                     *oexprs))
+        out = src.mapInPandas(gen, schema)
+        kept_data = [c for c in gb._df._data_cols
+                     if c not in vcols]
+        return DataFrame._make(out, gb._df._index_cols,
+                               kept_data + names, gb._df._order)
+
+    aggregate = agg
 
 
 class _GroupResampler:

@@ -779,3 +779,118 @@ def test_grouped_window_layout_pin_r10(bl):
                                want["v"].to_numpy(), atol=1e-9,
                                equal_nan=True)
     assert out["g"].tolist() == want["g"].tolist()
+
+
+def test_grouped_window_agg_faces_r11(bl):
+    """r11: .agg on the grouped window faces (the round-10
+    verdict's loudest asymmetry). JVM-frameable statistic sets fuse
+    into ONE select over ONE shared Window spec (single Window node
+    — asserted on the plan); any order statistic routes the whole
+    request through ONE batched mapInPandas pass. Naming: dict
+    {col: stat} flat, list -> flat stat names (one value column) or
+    str((col, stat)) col-major (several). agg_pairs gains its
+    grouped face: per-column sum/mean/count + pairwise cov/corr,
+    one Window node."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(42)
+    n = 90
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.15] = np.nan
+    u = rng.normal(size=n)
+    pdf = pd.DataFrame({"g": g, "v": v, "u": u})
+    d = bl.DataFrame({"g": g, "v": v, "u": u})
+
+    def psrc(res):
+        return res.reset_index(level=0, drop=True).sort_index()
+
+    # fused JVM list face — values + single-Window plan
+    out = d.groupby("g").rolling(4, min_periods=2) \
+        .agg(["sum", "mean", "var"])
+    want = psrc(pdf.groupby("g")[["v", "u"]]
+                .rolling(4, min_periods=2)
+                .agg(["sum", "mean", "var"]))
+    got = out.to_pandas()
+    for c in ("v", "u"):
+        for st in ("sum", "mean", "var"):
+            np.testing.assert_allclose(
+                got[str((c, st))].to_numpy(),
+                want[(c, st)].to_numpy(),
+                atol=1e-9, equal_nan=True, err_msg=f"{c}/{st}")
+    plan = out.to_spark()._jdf.queryExecution().executedPlan() \
+        .toString()
+    stat_windows = [ln for ln in plan.splitlines()
+                    if "Window [" in ln and "row_number" not in ln]
+    assert len(stat_windows) == 1, "stats must share ONE Window"
+
+    # mixed order-stat request: one pandas pass, pandas-exact
+    gotm = d.groupby("g")["v"].rolling(5, min_periods=2) \
+        .agg(["mean", "median"]).to_pandas()
+    pr = pdf.groupby("g")["v"].rolling(5, min_periods=2)
+    np.testing.assert_allclose(gotm["mean"].to_numpy(),
+                               psrc(pr.mean()).to_numpy(),
+                               atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(gotm["median"].to_numpy(),
+                               psrc(pr.median()).to_numpy(),
+                               atol=1e-9, equal_nan=True)
+
+    # dict face replaces the named value columns in place
+    gotd = d.groupby("g").expanding(2) \
+        .agg({"v": "sum", "u": "skew"}).to_pandas()
+    pe = pdf.groupby("g")[["v", "u"]].expanding(2)
+    np.testing.assert_allclose(gotd["v"].to_numpy(),
+                               psrc(pe.sum())["v"].to_numpy(),
+                               atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(gotd["u"].to_numpy(),
+                               psrc(pe.skew())["u"].to_numpy(),
+                               atol=1e-9, equal_nan=True)
+
+    # grouped ewm agg
+    gotw = d.groupby("g")["v"].ewm(alpha=0.4).agg(["mean", "std"]) \
+        .to_pandas()
+    pw = pdf.groupby("g")["v"].ewm(alpha=0.4)
+    np.testing.assert_allclose(gotw["mean"].to_numpy(),
+                               psrc(pw.mean()).to_numpy(),
+                               atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(gotw["std"].to_numpy(),
+                               psrc(pw.std()).to_numpy(),
+                               atol=1e-9, equal_nan=True)
+
+    # agg_pairs grouped face — values + single-Window plan
+    pairs = d.groupby("g").rolling(4, min_periods=2).agg_pairs(
+        {"sv": ("sum", "v"), "cvu": ("cov", "v", "u"),
+         "rvu": ("corr", "v", "u")})
+    gp = pairs.to_pandas()
+    np.testing.assert_allclose(
+        gp["sv"].to_numpy(),
+        psrc(pdf.groupby("g")["v"].rolling(4, min_periods=2).sum())
+        .to_numpy(), atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(
+        gp["cvu"].to_numpy(),
+        psrc(pdf.groupby("g")[["v", "u"]]
+             .rolling(4, min_periods=2).cov().unstack()[("v", "u")])
+        .to_numpy(), atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(
+        gp["rvu"].to_numpy(),
+        psrc(pdf.groupby("g")[["v", "u"]]
+             .rolling(4, min_periods=2).corr().unstack()[("v", "u")])
+        .to_numpy(), atol=1e-9, equal_nan=True)
+    plan2 = pairs.to_spark()._jdf.queryExecution().executedPlan() \
+        .toString()
+    stat_windows2 = [ln for ln in plan2.splitlines()
+                     if "Window [" in ln and "row_number" not in ln]
+    assert len(stat_windows2) == 1
+
+    # gates
+    with pytest.raises(ValueError, match="no results"):
+        d.groupby("g").rolling(3).agg([])
+    with pytest.raises(ValueError, match="duplicate"):
+        d.groupby("g")["v"].rolling(3).agg(["sum", "sum"])
+    with pytest.raises(ValueError, match="quantile"):
+        d.groupby("g").rolling(3).agg(["quantile"])
+    with pytest.raises(KeyError):
+        d.groupby("g").rolling(3).agg({"zz": "sum"})
+    with pytest.raises(ValueError, match="cov"):
+        d.groupby("g").rolling(3).agg_pairs({"o": ("mad", "v")})

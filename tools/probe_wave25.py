@@ -254,3 +254,146 @@ check("xs flat series drop_level=False scalar",
       lambda: float(pflat["x"].xs("b", drop_level=False)))
 
 print("wave25 part 3 done")
+
+# ---- 4. grouped window .agg faces (r11) ---------------------------
+rng = np.random.default_rng(25)
+n = 160
+g = rng.choice(["a", "b", "c"], n)
+v = rng.normal(size=n)
+v[rng.random(n) < 0.12] = np.nan
+u = rng.normal(size=n) * 2
+pg = pd.DataFrame({"g": g, "v": v, "u": u})
+bg = bl.DataFrame({"g": g, "v": v, "u": u})
+
+def psrc(res):
+    return res.reset_index(level=0, drop=True).sort_index()
+
+# JVM-fused list face, multi value cols -> str((col, stat)) col-major
+got = bg.groupby("g").rolling(4, min_periods=2) \
+    .agg(["sum", "mean", "var"]).to_pandas()
+want = psrc(pg.groupby("g")[["v", "u"]]
+            .rolling(4, min_periods=2).agg(["sum", "mean", "var"]))
+for c in ("v", "u"):
+    for st in ("sum", "mean", "var"):
+        check(f"group roll agg jvm {c} {st}",
+              lambda c=c, st=st: fl(got[str((c, st))]),
+              lambda c=c, st=st: fl(want[(c, st)]))
+
+# single value col -> flat stat names
+got1 = bg.groupby("g")["v"].rolling(3, min_periods=1) \
+    .agg(["sum", "max"]).to_pandas()
+want1 = psrc(pg.groupby("g")["v"]
+             .rolling(3, min_periods=1).agg(["sum", "max"]))
+for st in ("sum", "max"):
+    check(f"group roll agg single {st}",
+          lambda st=st: fl(got1[st]), lambda st=st: fl(want1[st]))
+
+# dict face replaces columns in place
+gotd = bg.groupby("g").rolling(4, min_periods=2) \
+    .agg({"v": "sum", "u": "median"}).to_pandas()
+check("group roll agg dict v",
+      lambda: fl(gotd["v"]),
+      lambda: fl(psrc(pg.groupby("g")["v"]
+                      .rolling(4, min_periods=2).sum())))
+check("group roll agg dict u median (order path)",
+      lambda: fl(gotd["u"]),
+      lambda: fl(psrc(pg.groupby("g")["u"]
+                      .rolling(4, min_periods=2).median())))
+
+# mixed order+jvm via one pandas pass
+gotm = bg.groupby("g")["v"].rolling(5, min_periods=2) \
+    .agg(["mean", "median", "rank"]).to_pandas()
+pr = pg.groupby("g")["v"].rolling(5, min_periods=2)
+for st in ("mean", "median", "rank"):
+    check(f"group roll agg mixed {st}",
+          lambda st=st: fl(gotm[st]),
+          lambda st=st: fl(psrc(getattr(pr, st)())))
+
+# expanding face
+gote = bg.groupby("g").expanding(2).agg(["sum", "skew"]).to_pandas()
+pe = pg.groupby("g")[["v", "u"]].expanding(2)
+for c in ("v", "u"):
+    for st in ("sum", "skew"):
+        check(f"group expanding agg {c} {st}",
+              lambda c=c, st=st: fl(gote[str((c, st))]),
+              lambda c=c, st=st: fl(psrc(getattr(pe, st)())[c]))
+
+# time-offset face (unique stamps: JVM range == pandas)
+secs = np.sort(rng.choice(np.arange(0, 90000, 7), n, replace=False))
+ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, "s")
+pt = pd.DataFrame({"g": g, "v": v, "u": u}, index=ts)
+bt = bl.DataFrame({"t": ts.to_numpy(), "g": g, "v": v, "u": u}) \
+    .sort_values("t")
+gott = bt.groupby("g").rolling("30min").agg(["sum", "count"]) \
+    .to_pandas()
+ptr = pt.groupby("g")[["v", "u"]].rolling("30min")
+for c in ("v", "u"):
+    for st in ("sum", "count"):
+        want_t = psrc(getattr(ptr, st)())[c].to_numpy()
+        check(f"group time agg {c} {st}",
+              lambda c=c, st=st: fl(gott[str((c, st))]),
+              lambda w=want_t: fl(w))
+# time-offset order stat through the pandas kernel
+gott2 = bt.groupby("g")["v"].rolling("1h").agg(["median", "sem"]) \
+    .to_pandas()
+ptr2 = pt.groupby("g")["v"].rolling("1h")
+for st in ("median", "sem"):
+    check(f"group time agg order {st}",
+          lambda st=st: fl(gott2[st]),
+          lambda st=st: fl(psrc(getattr(ptr2, st)())))
+
+# grouped ewm agg
+gotw = bg.groupby("g").ewm(alpha=0.3).agg(["mean", "std"]) \
+    .to_pandas()
+pw = pg.groupby("g")[["v", "u"]].ewm(alpha=0.3)
+for c in ("v", "u"):
+    for st in ("mean", "std"):
+        check(f"group ewm agg {c} {st}",
+              lambda c=c, st=st: fl(gotw[str((c, st))]),
+              lambda c=c, st=st: fl(psrc(getattr(pw, st)())[c]))
+
+# agg_pairs grouped face vs pandas per-group windows
+gp = bg.groupby("g").rolling(4, min_periods=2).agg_pairs(
+    {"sv": ("sum", "v"), "cvu": ("cov", "v", "u"),
+     "rvu": ("corr", "v", "u")}).to_pandas()
+check("group agg_pairs sum",
+      lambda: fl(gp["sv"]),
+      lambda: fl(psrc(pg.groupby("g")["v"]
+                      .rolling(4, min_periods=2).sum())))
+check("group agg_pairs cov",
+      lambda: fl(gp["cvu"]),
+      lambda: fl(psrc(pg.groupby("g")[["v", "u"]]
+                      .rolling(4, min_periods=2).cov()
+                      .unstack()[("v", "u")])))
+check("group agg_pairs corr",
+      lambda: fl(gp["rvu"]),
+      lambda: fl(psrc(pg.groupby("g")[["v", "u"]]
+                      .rolling(4, min_periods=2).corr()
+                      .unstack()[("v", "u")])))
+
+# gates
+def _expect_err(tag, fn, etype):
+    try:
+        fn()
+        print(f"PROBE DIFF [{tag}] no error raised")
+    except etype:
+        pass
+    except Exception as e:  # noqa: BLE001
+        print(f"PROBE DIFF [{tag}] wrong error {type(e).__name__}: {e}")
+
+_expect_err("group agg empty",
+            lambda: bg.groupby("g").rolling(3).agg([]), ValueError)
+_expect_err("group agg dup",
+            lambda: bg.groupby("g")["v"].rolling(3)
+            .agg(["sum", "sum"]), ValueError)
+_expect_err("group agg unknown",
+            lambda: bg.groupby("g").rolling(3).agg(["quantile"]),
+            ValueError)
+_expect_err("group agg bad col",
+            lambda: bg.groupby("g").rolling(3).agg({"zz": "sum"}),
+            KeyError)
+_expect_err("group agg_pairs unknown",
+            lambda: bg.groupby("g").rolling(3).agg_pairs(
+                {"o": ("madness", "v")}), ValueError)
+
+print("wave25 part 4 done")
