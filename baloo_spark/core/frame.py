@@ -5610,20 +5610,27 @@ class _FrameLoc:
         work = df._shallow()
         work["__lv__"] = value
         sdf, cond, helpers = self._row_cond(work, rows)
-        # stage the condition BEFORE the column loop — cond may
-        # reference columns the loop itself overwrites
-        sdf = sdf.withColumn("__lc__", cond)
-        for c in cols:
-            base = (F.col(c) if c in work._sdf.columns
-                    else F.lit(None))
-            sdf = sdf.withColumn(
-                c, F.when(F.col("__lc__"),
-                          F.col("__lv__")).otherwise(base))
-        sdf = sdf.drop("__lv__", "__lc__", *helpers)
-        new = [c for c in cols if c not in df._data_cols]
-        df._sdf = sdf
-        df._data_cols = df._data_cols + new
-        df._lineage.add(id(sdf))
+        _finish_cond_set(df, work, sdf, cond, helpers, cols)
+
+
+def _finish_cond_set(df, work, sdf, cond, helpers, cols):
+    """Shared tail of conditional assignment (loc / iloc setters):
+    stage the condition ONCE before the column loop — it may
+    reference columns the loop itself overwrites — then each target
+    column becomes ``when(cond, staged).otherwise(old)``, a single
+    projection per column, no collect."""
+    sdf = sdf.withColumn("__lc__", cond)
+    for c in cols:
+        base = (F.col(c) if c in work._sdf.columns
+                else F.lit(None))
+        sdf = sdf.withColumn(
+            c, F.when(F.col("__lc__"),
+                      F.col("__lv__")).otherwise(base))
+    sdf = sdf.drop("__lv__", "__lc__", *helpers)
+    new = [c for c in cols if c not in df._data_cols]
+    df._sdf = sdf
+    df._data_cols = df._data_cols + new
+    df._lineage.add(id(sdf))
 
 
 class _FrameAt:
@@ -5673,6 +5680,17 @@ class _FrameIAt:
         cols = self._df._data_cols
         return self._df[cols[int(j)]].iloc[int(i)]
 
+    def __setitem__(self, key, value):
+        """``df.iat[i, j] = value`` — the scalar face of iloc
+        assignment (r11)."""
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("iat needs a (row, column) position pair")
+        i, j = key
+        if not isinstance(i, (int, np.integer)) \
+                or not isinstance(j, (int, np.integer)):
+            raise TypeError("iat needs integer positions")
+        _FrameILoc(self._df)[int(i), int(j)] = value
+
 
 class _FrameILoc:
     """Positional row selection on frames (core/indexing.py)."""
@@ -5709,6 +5727,106 @@ class _FrameILoc:
             return DataFrame._make(out, self._df._index_cols,
                                    self._df._data_cols, [(ORD_COL, True)])
         raise TypeError(f"unsupported iloc key: {type(key)}")
+
+    def __setitem__(self, key, value):
+        """``df.iloc[rows, cols] = value`` (r11 — the positional
+        write face): positions resolve to ORDINAL conditions
+        (``POS_COL == i`` / ``isin`` / slice-range arithmetic — all
+        JVM expressions, no collect) and the write rides the same
+        ``when(cond, staged).otherwise(old)`` projection as loc
+        assignment. Rows: int / list of ints / slice / boolean
+        list-array (the positional mask, shared with loc). Cols:
+        int / list of ints / slice over the data columns —
+        positional, so out-of-bounds is an IndexError, never
+        enlargement. Values: a scalar, or a same-frame Series —
+        an ENGINE EXTENSION written row-for-row at the selected
+        rows (pandas raises a shape mismatch there, so no
+        pandas-legal program silently diverges); a foreign Series
+        or list/array is refused with the loc spelling named
+        (pandas aligns those positionally over the SELECTED rows —
+        silently wrong through the index-alignment stager)."""
+        from ..plans.ordinal import POS_COL
+        from .series import Series, _norm_pos
+        df = self._df
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, csel = key
+        else:
+            rows, csel = key, slice(None)
+        data = list(df._data_cols)
+
+        def _col_at(j):
+            j = int(j)
+            if not -len(data) <= j < len(data):
+                raise IndexError(
+                    f"index {j} is out of bounds for axis 1 with "
+                    f"size {len(data)}")
+            return data[j]
+
+        if isinstance(csel, slice):
+            cols = data[csel]
+        elif isinstance(csel, (int, np.integer)):
+            cols = [_col_at(csel)]
+        elif isinstance(csel, (list, np.ndarray)):
+            cols = [_col_at(j) for j in csel]
+        else:
+            raise TypeError(
+                "iloc column keys are positional integers; use "
+                "loc for label-based assignment")
+        if isinstance(value, (list, tuple, np.ndarray)):
+            raise NotImplementedError(
+                "iloc assignment from a list/array is positional "
+                "over the SELECTED rows in pandas; pass a scalar, "
+                "or use loc with a labeled Series")
+        if isinstance(value, Series) and not (
+                value._sdf is df._sdf
+                or id(value._sdf) in df._lineage):
+            raise NotImplementedError(
+                "iloc assignment from a foreign Series would need "
+                "positional alignment over the selected rows; use "
+                "loc with a labeled Series")
+        work = df._shallow()
+        work["__lv__"] = value
+        n = len(df)
+
+        def _pos(i):
+            i = int(i)
+            if not -n <= i < n:
+                raise IndexError(
+                    "single positional indexer is out-of-bounds")
+            return _norm_pos(i, n) if i < 0 else i
+
+        if isinstance(rows, (list, np.ndarray)) and len(rows) \
+                and all(isinstance(_py(v), bool) for v in rows):
+            # positional boolean mask — exactly loc's boolean-list
+            # branch (length-checked, broadcast position join)
+            sdf, cond, helpers = _FrameLoc(df)._row_cond(
+                work, list(rows))
+        else:
+            had_pos = POS_COL in work._sdf.columns
+            sdf = work._ordered_sdf()
+            helpers = [] if had_pos else [POS_COL]
+            if isinstance(rows, (int, np.integer)):
+                cond = F.col(POS_COL) == F.lit(_pos(rows))
+            elif isinstance(rows, (list, np.ndarray)):
+                if not len(rows):
+                    cond = F.lit(False)
+                else:
+                    cond = F.col(POS_COL).isin(
+                        [_pos(i) for i in rows])
+            elif isinstance(rows, slice):
+                start, stop, step = rows.indices(n)
+                p = F.col(POS_COL)
+                if step > 0:
+                    cond = (p >= start) & (p < stop)
+                    if step != 1:
+                        cond = cond & ((p - start) % step == 0)
+                else:
+                    cond = (p <= start) & (p > stop) \
+                        & ((F.lit(start) - p) % (-step) == 0)
+            else:
+                raise TypeError(
+                    f"unsupported iloc row key: {type(rows)}")
+        _finish_cond_set(df, work, sdf, cond, helpers, cols)
 
 
 def _bind_positional(pairs):

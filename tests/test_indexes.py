@@ -520,3 +520,67 @@ def test_loc_null_label_gates_r11(bl):
     pdf, d = mk()
     with pytest.raises(NotImplementedError, match="concat"):
         d.loc[["zz"], "v"] = 1.0
+
+
+def test_iloc_iat_assignment_r11(bl):
+    """r11: the positional write faces — df.iloc[rows, cols] = v
+    and df.iat[i, j] = v — compose over the loc-set projection via
+    ordinal conditions (POS == i / isin / slice arithmetic, all JVM
+    expressions, no collect). Rows: int/list/slice/boolean mask;
+    cols: positional ints/slices (out-of-bounds IndexError, never
+    enlargement). Same-frame Series values are a documented
+    extension (row-for-row; pandas raises a shape mismatch);
+    foreign Series and list values are refused with the loc
+    spelling named."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    def mk():
+        p = pd.DataFrame({"a": [1.0, 2, 3, 4, 5],
+                          "b": [10.0, 20, 30, 40, 50]},
+                         index=pd.Index(list("vwxyz"), name="i"))
+        d = bl.DataFrame({"i": list("vwxyz"),
+                          "a": [1.0, 2, 3, 4, 5],
+                          "b": [10.0, 20, 30, 40, 50]}) \
+            .set_index("i")
+        return p, d
+
+    cases = [
+        ("int", lambda d: d.iloc.__setitem__((1, 0), 9.0)),
+        ("neg", lambda d: d.iloc.__setitem__((-1, 1), 0.5)),
+        ("iat", lambda d: d.iat.__setitem__((2, 1), -7.0)),
+        ("list", lambda d: d.iloc.__setitem__(([0, 2], 1), 6.0)),
+        ("slice", lambda d: d.iloc.__setitem__((slice(1, 3), 0),
+                                               2.5)),
+        ("step", lambda d: d.iloc.__setitem__(
+            (slice(None, None, 2), 0), 3.5)),
+        ("negstep", lambda d: d.iloc.__setitem__(
+            (slice(None, None, -2), 1), 4.5)),
+        ("mask", lambda d: d.iloc.__setitem__(
+            ([True, False, True, False, True], 0), 8.0)),
+        ("row", lambda d: d.iloc.__setitem__(2, 0.0)),
+        ("empty", lambda d: d.iloc.__setitem__(([], 0), 77.0)),
+    ]
+    for tag, fn in cases:
+        p, d = mk()
+        fn(p); fn(d)
+        pd.testing.assert_frame_equal(d.to_pandas(), p,
+                                      obj=f"iloc set {tag}")
+
+    # extension: same-frame Series value writes row-for-row
+    _, d = mk()
+    d.iloc[[0, 3], 0] = d["b"]
+    assert d["a"].to_pandas().tolist() == [10.0, 2, 3, 40, 5]
+
+    _, d = mk()
+    with pytest.raises(IndexError):
+        d.iloc[9, 0] = 1.0
+    with pytest.raises(IndexError):
+        d.iloc[0, 9] = 1.0
+    with pytest.raises(NotImplementedError, match="loc"):
+        d.iloc[[0, 1], 0] = [1.0, 2.0]
+    with pytest.raises(NotImplementedError, match="loc"):
+        d.iloc[[0, 1], 0] = bl.Series(np.array([1.0, 2.0]))
+    with pytest.raises(TypeError):
+        d.iloc[0, "a"] = 1.0

@@ -397,3 +397,68 @@ _expect_err("group agg_pairs unknown",
                 {"o": ("madness", "v")}), ValueError)
 
 print("wave25 part 4 done")
+
+# ---- 5. iloc/iat assignment (r11) ---------------------------------
+def mk_pair():
+    p = pd.DataFrame({"a": [1., 2., 3., 4., 5.],
+                      "b": [10., 20., 30., 40., 50.]},
+                     index=["v", "w", "x", "y", "z"])
+    b = bl.DataFrame({"i": np.array(list("vwxyz")),
+                      "a": np.array([1., 2., 3., 4., 5.]),
+                      "b": np.array([10., 20., 30., 40., 50.])}) \
+        .set_index("i")
+    return p, b
+
+def setter_case(tag, fn):
+    p, b = mk_pair()
+    fn(p); fn(b)
+    check(f"iloc set {tag} a", lambda: fl(b["a"].to_pandas()),
+          lambda: fl(p["a"]))
+    check(f"iloc set {tag} b", lambda: fl(b["b"].to_pandas()),
+          lambda: fl(p["b"]))
+
+setter_case("int", lambda d: d.iloc.__setitem__((1, 0), 9.0))
+setter_case("neg int", lambda d: d.iloc.__setitem__((-1, 1), 0.5))
+setter_case("iat", lambda d: d.iat.__setitem__((2, 1), -7.0))
+setter_case("list rows", lambda d: d.iloc.__setitem__(([0, 2], 1), 6.0))
+setter_case("neg list", lambda d: d.iloc.__setitem__(([-2, 0], 0), 1.5))
+setter_case("slice", lambda d: d.iloc.__setitem__((slice(1, 3), 0), 2.5))
+setter_case("step slice", lambda d: d.iloc.__setitem__((slice(None, None, 2), 0), 3.5))
+setter_case("neg step", lambda d: d.iloc.__setitem__((slice(None, None, -2), 1), 4.5))
+setter_case("bool mask", lambda d: d.iloc.__setitem__(([True, False, True, False, True], 0), 8.0))
+setter_case("whole row", lambda d: d.iloc.__setitem__(2, 0.0))
+setter_case("col slice", lambda d: d.iloc.__setitem__((0, slice(None)), -1.0))
+setter_case("empty list rows", lambda d: d.iloc.__setitem__(([], 0), 77.0))
+
+# same-frame Series value: ENGINE EXTENSION (row-for-row at the
+# selected rows). pandas raises a shape mismatch here (its iloc-set
+# is positional over the selection), so no pandas-legal program is
+# silently diverged.
+p, b = mk_pair()
+try:
+    p.iloc[[0, 3], 0] = p["b"]
+    print("PROBE DIFF [iloc series value] pandas did NOT raise")
+except ValueError:
+    pass
+b.iloc[[0, 3], 0] = b["b"]
+check("iloc set series value (extension)",
+      lambda: fl(b["a"].to_pandas()),
+      lambda: [10.0, 2.0, 3.0, 40.0, 5.0])
+
+# error gates
+_, b = mk_pair()
+_expect_err("iloc set oob row",
+            lambda: b.iloc.__setitem__((9, 0), 1.0), IndexError)
+_expect_err("iloc set oob col",
+            lambda: b.iloc.__setitem__((0, 9), 1.0), IndexError)
+_expect_err("iloc set list value",
+            lambda: b.iloc.__setitem__(([0, 1], 0), [1.0, 2.0]),
+            NotImplementedError)
+_expect_err("iloc set foreign series",
+            lambda: b.iloc.__setitem__(
+                ([0, 1], 0), bl.Series(np.array([1.0, 2.0]))),
+            NotImplementedError)
+_expect_err("iloc set str col",
+            lambda: b.iloc.__setitem__((0, "a"), 1.0), TypeError)
+
+print("wave25 part 5 done")
