@@ -3507,6 +3507,19 @@ class _TimeRolling:
             return F.when(c > ddof, F.sqrt(num / (c - ddof)))
         return self._emit(build, max(self._mp, ddof + 1), need_sq=True)
 
+    def agg_pairs(self, specs=None, ddof: int = 1):
+        """Deliberate gate (r11): pair statistics need TWO columns,
+        which a single Series cannot name — use the frame face
+        (``df.rolling('2h').agg_pairs({...: ('corr', x, y)})``) or
+        the grouped face (``df.groupby(k).rolling('2h')
+        .agg_pairs``); single-column moment fusion is ``.agg``."""
+        raise NotImplementedError(
+            "agg_pairs needs column NAMES for its pair statistics; "
+            "use the frame face df.rolling(offset).agg_pairs({...}) "
+            "or df.groupby(k).rolling(...).agg_pairs({...}) — for "
+            "single-column moment fusion use .agg(['sum','mean',...])"
+        )
+
     def sem(self, ddof: int = 1) -> "Series":
         """pandas' WINDOW sem is sample-std / sqrt(n - ddof) — the
         numerator stays ddof=1 regardless (probe:

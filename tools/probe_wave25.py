@@ -462,3 +462,67 @@ _expect_err("iloc set str col",
             lambda: b.iloc.__setitem__((0, "a"), 1.0), TypeError)
 
 print("wave25 part 5 done")
+
+# ---- 6. verdict-listed residuals ----------------------------------
+# loc-set where the mask references the column being written
+def _self_ref_ours():
+    d2 = bl.DataFrame({"a": np.array([1., 3., 5., 2.]),
+                       "k": np.array([0, 1, 2, 3])}).set_index("k")
+    d2.loc[d2["a"] > 2, "a"] = -1.0
+    return fl(d2["a"].to_pandas())
+def _self_ref_pandas():
+    p2 = pd.DataFrame({"a": [1., 3., 5., 2.]},
+                      index=pd.Index([0, 1, 2, 3], name="k"))
+    p2.loc[p2["a"] > 2, "a"] = -1.0
+    return fl(p2["a"])
+check("loc set self-referencing mask", _self_ref_ours,
+      _self_ref_pandas)
+
+# frame agg_pairs with min_periods exceeding every window's contents
+ts6 = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+    [0, 240, 480, 720], "min")   # 4h apart; 1h windows hold 1 row
+bp = bl.DataFrame({"t": ts6.to_numpy(),
+                   "x": np.array([1., 2., 3., 4.]),
+                   "y": np.array([2., 1., 4., 3.])}).set_index("t")
+gp6 = bp.rolling("1h", min_periods=3).agg_pairs(
+    {"sx": ("sum", "x"), "cxy": ("corr", "x", "y")}).to_pandas()
+check("agg_pairs mp>window contents sum",
+      lambda: fl(gp6["sx"]), lambda: [float("nan")] * 4)
+check("agg_pairs mp>window contents corr",
+      lambda: fl(gp6["cxy"]), lambda: [float("nan")] * 4)
+# grouped agg_pairs same starvation
+bg7 = bl.DataFrame({"t": ts6.to_numpy(), "g": np.array(["a"] * 4),
+                    "x": np.array([1., 2., 3., 4.]),
+                    "y": np.array([2., 1., 4., 3.])}).sort_values("t")
+gp7 = bg7.groupby("g").rolling("1h", min_periods=3).agg_pairs(
+    {"sx": ("sum", "x"), "cxy": ("corr", "x", "y")}).to_pandas()
+check("grouped agg_pairs starved sum",
+      lambda: fl(gp7["sx"]), lambda: [float("nan")] * 4)
+check("grouped agg_pairs starved corr",
+      lambda: fl(gp7["cxy"]), lambda: [float("nan")] * 4)
+
+# xs(level=) consuming all levels of a 2-level index, drop_level
+mi6 = pd.MultiIndex.from_tuples([("a", 1), ("b", 2)],
+                                names=["u", "w"])
+pm6 = pd.DataFrame({"x": [1., 2.]}, index=mi6)
+bm6 = bl.DataFrame({"u": np.array(["a", "b"]),
+                    "w": np.array([1, 2]),
+                    "x": np.array([1., 2.])}).set_index(["u", "w"])
+check("xs level all-consumed keep",
+      lambda: fl(bm6.xs(("a", 1), level=["u", "w"],
+                        drop_level=False)["x"].to_pandas()),
+      lambda: fl(pm6.xs(("a", 1), level=["u", "w"],
+                        drop_level=False)["x"]))
+
+# Series agg_pairs gate names the frame spelling
+try:
+    bt2 = bl.DataFrame({"t": ts6.to_numpy(),
+                        "v": np.array([1., 2., 3., 4.])}) \
+        .set_index("t")
+    bt2["v"].rolling("1h").agg_pairs({"o": ("sum", "v")})
+    print("PROBE DIFF [series agg_pairs gate] no error")
+except NotImplementedError as e:
+    if "frame face" not in str(e) and "agg_pairs" not in str(e):
+        print(f"PROBE DIFF [series agg_pairs gate] message: {e}")
+
+print("wave25 part 6 done")
