@@ -2249,6 +2249,35 @@ def _events_window(spark, sf):
         F.round("cv", 4).alias("sum_value"))
     out = out.unionByName(time_leg).unionByName(corr_leg)
 
+    # r11 'g2h*' legs: the GROUPED fused face —
+    # groupby(event_type).rolling('2h').agg_pairs — count, sum AND
+    # pairwise corr all ride ONE Window node (one event_type
+    # shuffle + one sort total; three pandas-shaped grouped calls
+    # would pay the batched kernel three times). Pre-aggregating to
+    # distinct (event_type, ts) stamps makes pandas' positional tie
+    # rule and the RANGE-peers rule coincide, so DuckDB replays it
+    # with PARTITION BY ... RANGE BETWEEN INTERVAL. The 1-in-7-user
+    # subset bounds the evidence extract while keeping stamp gaps.
+    per_g = (ev.where(F.col("user_id") % 7 == 0)
+             .groupBy("event_type", "ts")
+             .agg(F.avg("value").alias("av"),
+                  F.sum("value").alias("v")))
+    bgt = bl.DataFrame.from_spark(per_g).sort_values("ts")
+    gr = bgt.groupby("event_type").rolling("2h", min_periods=1) \
+        .agg_pairs({"cnt": ("count", "v"), "sv": ("sum", "v"),
+                    "cv": ("corr", "av", "v")}).to_spark()
+    usg = (F.unix_micros(F.col("ts").cast("timestamp"))
+           .cast(out.schema["window_start"].dataType))
+    g_leg = (gr.select(
+        usg.alias("window_start"),
+        F.col("cnt").cast("long").alias("n_events"),
+        F.expr("stack(2, concat('g2hsum_', event_type), "
+               "round(sv, 4), concat('g2hcorr_', event_type), "
+               "round(cv, 4)) AS (event_type, sum_value)"))
+        .select("window_start", "event_type", "n_events",
+                "sum_value"))
+    out = out.unionByName(g_leg)
+
     # r8 'rs6h_*' leg: resample('6h').ohlc() + bucket size under the
     # oracle — per-stamp mean first (ohlc ties on duplicate stamps
     # are otherwise resolver-dependent on both engines), then the
@@ -2314,6 +2343,24 @@ FROM (SELECT ts, avg(value) AS av,
       FROM events GROUP BY ts
       HAVING count(*) FILTER (user_id % 20 = 0) > 0)
 WINDOW w2 AS (ORDER BY ts
+              RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
+              AND CURRENT ROW)
+UNION ALL
+SELECT epoch_us(ts), 'g2hsum_' || event_type,
+       CAST(count(v) OVER w3 AS BIGINT),
+       round(sum(v) OVER w3, 4)
+FROM (SELECT event_type, ts, avg(value) AS av, sum(value) AS v
+      FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2)
+WINDOW w3 AS (PARTITION BY event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
+              AND CURRENT ROW)
+UNION ALL
+SELECT epoch_us(ts), 'g2hcorr_' || event_type,
+       CAST(count(v) OVER w4 AS BIGINT),
+       round(corr(av, v) OVER w4, 4)
+FROM (SELECT event_type, ts, avg(value) AS av, sum(value) AS v
+      FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2)
+WINDOW w4 AS (PARTITION BY event_type ORDER BY ts
               RANGE BETWEEN INTERVAL '1:59:59.999999' PRECEDING
               AND CURRENT ROW)
 UNION ALL
