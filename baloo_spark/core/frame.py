@@ -4336,6 +4336,123 @@ class _FrameRolling:
         return self._emit(lambda s, c, q: c, self._mp,
                           gate_on_rows=True)
 
+    def agg_pairs(self, specs: dict, ddof: int = 1) -> DataFrame:
+        """ENGINE EXTENSION (r11) — the fixed-window/expanding face
+        of :meth:`_FrameTimeRolling.agg_pairs`: every requested
+        per-column sum/mean/count AND pairwise cov/corr from ONE
+        prefix pass (+ ONE shared boundary shift for the fixed
+        window) — 2 layout jobs total regardless of statistic
+        count, the same fusion the time face ships. Pair statistics
+        use pandas' pairwise-complete masking and the zero-variance
+        NaN pin. No center= face (the trailing decomposition is the
+        point). Completes the agg_pairs family: time/fixed/
+        expanding on the frame, all three grouped frames; the
+        Series face deliberately gates to here (pairs need column
+        NAMES).
+
+        ``specs``: {out_name: ('sum'|'mean'|'count', col)
+                    | ('cov'|'corr', xcol, ycol)}."""
+        from ..plans.ordinal import (ORD_COL, with_boundary_shifts,
+                                     with_prefix_aggs)
+        if self._center:
+            raise ValueError("agg_pairs has no center= face")
+        df = self._df
+        sdf = df._sdf
+        num = set(df._numeric_cols())
+        vals, plans = {}, []
+        need_rows = False
+        for name, spec in specs.items():
+            if name in df._index_cols:
+                raise ValueError(
+                    f"output {name!r} collides with an index level")
+            kind = spec[0]
+            if kind in ("sum", "mean", "count"):
+                c = spec[1]
+                df._check_cols([c])
+                v = F.col(c).cast("double")
+                vals.setdefault(f"__ps_c_{c}__", (v, "sum"))
+                vals.setdefault(f"__pc_c_{c}__", (F.col(c), "count"))
+                if kind == "count":
+                    need_rows = True
+                plans.append((name, kind, f"c_{c}"))
+            elif kind in ("cov", "corr"):
+                x, y = spec[1], spec[2]
+                df._check_cols([x, y])
+                t = f"p_{x}_{y}"
+                if f"__pc_{t}x__" not in vals:
+                    both = (F.col(x).isNotNull()
+                            & F.col(y).isNotNull())
+                    mx = F.when(both, F.col(x).cast("double"))
+                    my = F.when(both, F.col(y).cast("double"))
+                    vals[f"__pc_{t}x__"] = (mx, "count")
+                    vals[f"__ps_{t}x__"] = (mx, "sum")
+                    vals[f"__ps_{t}y__"] = (my, "sum")
+                    vals[f"__ps_{t}xy__"] = (mx * my, "sum")
+                    vals[f"__pq_{t}x__"] = (mx * mx, "sum")
+                    vals[f"__pq_{t}y__"] = (my * my, "sum")
+                plans.append((name, kind, t))
+            else:
+                raise ValueError(
+                    f"unknown statistic {kind!r}; pass "
+                    "'sum'/'mean'/'count' or 'cov'/'corr'")
+        if need_rows:
+            vals["__pr__"] = (F.lit(1), "count")
+        order = order_exprs(df._order or [], sdf.columns)
+        if not order and ORD_COL in sdf.columns:
+            order = [F.col(ORD_COL).asc()]
+        out_sdf = with_prefix_aggs(sdf, vals, order or None)
+        helpers = list(vals)
+        if self._window is not None:
+            shifts = {o[:-2] + "w__": F.col(o) for o in vals}
+            out_sdf = with_boundary_shifts(out_sdf, shifts,
+                                           self._window,
+                                           order_by=order or None)
+            helpers += list(shifts)
+
+            def S(o, zero=0.0):
+                return F.col(o) - F.coalesce(
+                    F.col(o[:-2] + "w__"), F.lit(zero))
+        else:
+            def S(o, zero=0.0):
+                return F.col(o)
+        mp = self._mp
+        outs = []
+        for name, kind, tag in plans:
+            if kind in ("sum", "mean", "count"):
+                s = S(f"__ps_{tag}__")
+                c = S(f"__pc_{tag}__", 0).cast("long")
+                gate = (S("__pr__", 0).cast("long")
+                        if kind == "count" else c)
+                if kind == "sum":
+                    e = s
+                elif kind == "mean":
+                    e = s / c
+                else:
+                    e = c.cast("double")
+                e = F.when(gate >= mp, e) if mp > 0 else e
+            else:
+                n = S(f"__pc_{tag}x__", 0).cast("double")
+                sx, sy = S(f"__ps_{tag}x__"), S(f"__ps_{tag}y__")
+                sxy = S(f"__ps_{tag}xy__")
+                if kind == "cov":
+                    e = F.when(n > ddof,
+                               (sxy - sx * sy / n) / (n - ddof))
+                else:
+                    vx = S(f"__pq_{tag}x__") - sx * sx / n
+                    vy = S(f"__pq_{tag}y__") - sy * sy / n
+                    e = F.when((n > 1) & (vx > 0) & (vy > 0),
+                               (sxy - sx * sy / n)
+                               / F.sqrt(vx * vy))
+                e = F.when(n >= max(mp, 1), e)
+            outs.append(e.cast("double").alias(name))
+        keep = [cc for cc in out_sdf.columns
+                if cc not in helpers and cc not in num
+                and cc not in specs]
+        kept_data = [c for c in df._data_cols if c not in num]
+        return DataFrame._make(out_sdf.select(*keep, *outs),
+                               df._index_cols,
+                               kept_data + list(specs), df._order)
+
     def _local(self, stat: str, **kw) -> DataFrame:
         """Fixed-window order statistics (min/max/median/quantile)
         do not decompose into prefix scans; every numeric column

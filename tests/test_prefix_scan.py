@@ -1794,3 +1794,48 @@ def test_expanding_agg_fused_r10(bl):
                                atol=1e-9, equal_nan=True)
     with pytest.raises(ValueError, match="duplicate"):
         d["v"].expanding(1).agg(["sum", "sum"])
+
+
+def test_frame_agg_pairs_fixed_expanding_r11(bl):
+    """r11: agg_pairs gains its fixed-window and expanding frame
+    faces — every per-column sum/mean/count and pairwise cov/corr
+    from ONE prefix pass (+ one shared boundary shift for the fixed
+    window), completing the family (time/fixed/expanding global,
+    all three grouped frames; the Series face gates to here).
+    pandas pairwise-complete masking, zero-variance NaN pin."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    rng = np.random.default_rng(111)
+    n = 120
+    x = rng.normal(size=n); x[rng.random(n) < 0.12] = np.nan
+    y = rng.normal(size=n); y[rng.random(n) < 0.12] = np.nan
+    d = bl.DataFrame({"x": x, "y": y})
+    p = pd.DataFrame({"x": x, "y": y})
+    for face, mb, mp_ in (
+            ("fixed", lambda: d.rolling(6, min_periods=2),
+             lambda: p.rolling(6, min_periods=2)),
+            ("expanding", lambda: d.expanding(2),
+             lambda: p.expanding(2))):
+        got = mb().agg_pairs({"sx": ("sum", "x"),
+                              "cxy": ("cov", "x", "y"),
+                              "rxy": ("corr", "x", "y")}).to_pandas()
+        np.testing.assert_allclose(
+            got["sx"].to_numpy(), mp_()["x"].sum().to_numpy(),
+            atol=1e-9, equal_nan=True, err_msg=f"{face} sum")
+        np.testing.assert_allclose(
+            got["cxy"].to_numpy(),
+            mp_().cov().unstack()[("x", "y")].to_numpy(),
+            atol=1e-9, equal_nan=True, err_msg=f"{face} cov")
+        np.testing.assert_allclose(
+            got["rxy"].to_numpy(),
+            mp_().corr().unstack()[("x", "y")].to_numpy(),
+            atol=1e-9, equal_nan=True, err_msg=f"{face} corr")
+    with pytest.raises(ValueError, match="center"):
+        d.rolling(4, center=True).agg_pairs({"s": ("sum", "x")})
+    with pytest.raises(NotImplementedError, match="frame face"):
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            range(4), "h")
+        bl.DataFrame({"t": ts.to_numpy(),
+                      "v": np.arange(4.0)}).set_index("t")["v"] \
+            .rolling("2h").agg_pairs({"o": ("sum", "v")})

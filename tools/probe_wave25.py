@@ -526,3 +526,51 @@ except NotImplementedError as e:
         print(f"PROBE DIFF [series agg_pairs gate] message: {e}")
 
 print("wave25 part 6 done")
+
+# ---- 7. fixed/expanding agg_pairs faces (global + grouped) --------
+rng7 = np.random.default_rng(77)
+n7 = 140
+x7 = rng7.normal(size=n7); x7[rng7.random(n7) < 0.1] = np.nan
+y7 = rng7.normal(size=n7); y7[rng7.random(n7) < 0.1] = np.nan
+bf7 = bl.DataFrame({"x": x7, "y": y7})
+pf7 = pd.DataFrame({"x": x7, "y": y7})
+for face, mk_b, mk_p in (
+        ("fixed", lambda: bf7.rolling(6, min_periods=2),
+         lambda: pf7.rolling(6, min_periods=2)),
+        ("expanding", lambda: bf7.expanding(2),
+         lambda: pf7.expanding(2))):
+    gp = mk_b().agg_pairs({"sx": ("sum", "x"), "mx": ("mean", "x"),
+                           "nx": ("count", "x"),
+                           "cxy": ("cov", "x", "y"),
+                           "rxy": ("corr", "x", "y")}).to_pandas()
+    check(f"{face} agg_pairs sum",
+          lambda g=gp: fl(g["sx"]),
+          lambda p=mk_p(): fl(p["x"].sum()))
+    check(f"{face} agg_pairs mean",
+          lambda g=gp: fl(g["mx"]),
+          lambda p=mk_p(): fl(p["x"].mean()))
+    check(f"{face} agg_pairs count",
+          lambda g=gp: fl(g["nx"]),
+          lambda p=mk_p(): fl(p["x"].count()))
+    check(f"{face} agg_pairs cov",
+          lambda g=gp: fl(g["cxy"]),
+          lambda p=mk_p(): fl(p.cov().unstack()[("x", "y")]))
+    check(f"{face} agg_pairs corr",
+          lambda g=gp: fl(g["rxy"]),
+          lambda p=mk_p(): fl(p.corr().unstack()[("x", "y")]))
+# grouped EXPANDING agg_pairs (the frame not probed in part 4)
+g7 = rng7.choice(["a", "b"], n7)
+bg7b = bl.DataFrame({"g": g7, "x": x7, "y": y7})
+pg7 = pd.DataFrame({"g": g7, "x": x7, "y": y7})
+gpe = bg7b.groupby("g").expanding(2).agg_pairs(
+    {"rxy": ("corr", "x", "y")}).to_pandas()
+check("grouped expanding agg_pairs corr",
+      lambda: fl(gpe["rxy"]),
+      lambda: fl(pg7.groupby("g")[["x", "y"]].expanding(2).corr()
+                 .unstack()[("x", "y")]
+                 .reset_index(level=0, drop=True).sort_index()))
+_expect_err("agg_pairs center gate",
+            lambda: bf7.rolling(4, center=True).agg_pairs(
+                {"s": ("sum", "x")}), ValueError)
+
+print("wave25 part 7 done")
