@@ -150,6 +150,16 @@ class Series:
         return Series._make(self._sdf, col, self._index_cols,
                             name if name is not None else self.name, self._order)
 
+    def _swap_in(self, new: "Series"):
+        """In-place adoption hook for the setter faces (r11): the
+        Series takes over the written column's plan. pandas
+        copy-on-write semantics — writing a Series never writes
+        back into a frame it was selected from."""
+        self._sdf = new._sdf
+        self._colexpr = new._colexpr
+        self._index_cols = list(new._index_cols)
+        self._order = new._order
+
     def _select(self, alias=None):
         """Project index cols + the value expression as a Spark DF."""
         alias = alias or self.name or _VAL
@@ -673,6 +683,18 @@ class Series:
         if isinstance(key, slice):
             return self._slice(key)
         raise TypeError(f"unsupported key: {type(key)}")
+
+    def __setitem__(self, key, value):
+        """``sr[key] = value`` (r11): boolean masks (Series or
+        list) and labels ride the loc face; slices are positional
+        (the iloc face). A default-constructed Series carries
+        RangeIndex LABELS, so integer keys hit rows by label, like
+        pandas. Copy-on-write: the write never propagates to a
+        frame this Series was selected from."""
+        if isinstance(key, slice):
+            self.iloc[key] = value
+        else:
+            self.loc[key] = value
 
     def filter(self, mask: "Series") -> "Series":
         return self[mask]
@@ -4360,6 +4382,18 @@ class _SeriesILoc:
                                 self._sr.name, [(ORD_COL, True)])
         raise TypeError(f"unsupported iloc key: {type(key)}")
 
+    def __setitem__(self, key, value):
+        """``sr.iloc[rows] = value`` / ``sr.iat[i] = value`` (r11):
+        the positional write — lifts through the one-column frame's
+        iloc face (ordinal conditions, no collect) and adopts the
+        result in place (copy-on-write: no parent-frame
+        write-back)."""
+        sr = self._sr
+        vname = sr.name or _VAL
+        fr = sr._to_frame_ordered()
+        fr.iloc[key, 0] = value
+        sr._swap_in(fr[vname])
+
 
 class _SeriesLoc:
     """Label indexer behind :attr:`Series.loc`."""
@@ -4443,6 +4477,28 @@ class _SeriesLoc:
         if got is sentinel:
             raise KeyError(key)
         return got
+
+    def __setitem__(self, key, value):
+        """``sr.loc[rows] = value`` / ``sr.at[label] = value``
+        (r11): lifts through the one-column frame and rides the
+        frame loc-set projection — same gates (enlargement refused
+        with the concat alternative named, null-safe label hits,
+        boolean lists positional, foreign boolean Series
+        label-aligned) — then adopts the result in place.
+        Copy-on-write: the write never propagates to a frame this
+        Series was selected from. Tuple keys (MultiIndex label
+        writes) are refused — spell them on the frame face."""
+        if isinstance(key, tuple):
+            raise NotImplementedError(
+                "MultiIndex label writes are not supported on the "
+                "Series face (a tuple key is ambiguous with the "
+                "frame's (rows, col) spelling); use "
+                "df.loc[labels, col] = value on the owning frame")
+        sr = self._sr
+        vname = sr.name or _VAL
+        fr = sr._to_frame_ordered()
+        fr.loc[key, vname] = value
+        sr._swap_in(fr[vname])
 
 
 _Rolling.agg = _Rolling.aggregate = _window_agg

@@ -839,3 +839,62 @@ def test_window_agg_faces(bl):
     want = pdf.ewm(alpha=0.4).agg("mean")
     np.testing.assert_allclose(got[["x", "y"]].to_numpy(),
                                want.to_numpy(), equal_nan=True)
+
+
+def test_series_setter_faces_r11(bl):
+    """r11: Series gains its write faces — sr[key]=v, sr.loc/at
+    (labels, masks), sr.iloc/iat (positions, slices) — each lifting
+    through the one-column frame's conditional-write projection
+    (ordinal/label conditions, no collect) and adopting the result
+    in place. Copy-on-write pinned: writing a Series selected from
+    a frame never writes back into the frame (pandas CoW).
+    Enlargement and MultiIndex tuple keys are refused with the
+    alternative named."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    def mk():
+        p = pd.Series([1.0, 2, 3, 4], index=["a", "b", "c", "d"],
+                      name="v")
+        s = bl.Series(np.array([1.0, 2, 3, 4]),
+                      index=np.array(list("abcd"), dtype=object),
+                      name="v")
+        return p, s
+
+    cases = [
+        ("loc scalar", lambda s: s.loc.__setitem__("b", 9.0)),
+        ("at", lambda s: s.at.__setitem__("c", -1.0)),
+        ("loc list", lambda s: s.loc.__setitem__(["a", "d"], 5.0)),
+        ("label", lambda s: s.__setitem__("a", 7.5)),
+        ("mask list", lambda s: s.__setitem__(
+            [True, False, True, False], 0.0)),
+        ("iloc", lambda s: s.iloc.__setitem__(1, 4.5)),
+        ("iat neg", lambda s: s.iat.__setitem__(-1, 2.5)),
+        ("slice", lambda s: s.__setitem__(slice(0, 2), 6.0)),
+    ]
+    for tag, fn in cases:
+        p, s = mk()
+        fn(p); fn(s)
+        assert s.to_pandas().tolist() == p.tolist(), tag
+
+    # self-mask conditional write
+    p, s = mk()
+    p[p > 2.0] = 0.0
+    s[s > 2.0] = 0.0
+    assert s.to_pandas().tolist() == p.tolist()
+
+    # copy-on-write: parent frame untouched, child written
+    fr = bl.DataFrame({"a": np.array([1.0, 2, 3])})
+    col = fr["a"]
+    col.iloc[0] = 99.0
+    assert fr["a"].to_pandas().tolist() == [1.0, 2, 3]
+    assert col.to_pandas().tolist() == [99.0, 2, 3]
+
+    _, s = mk()
+    with pytest.raises(NotImplementedError, match="concat"):
+        s.loc["zz"] = 1.0
+    with pytest.raises(NotImplementedError, match="frame"):
+        s.loc[("a", 1)] = 1.0
+    with pytest.raises(IndexError):
+        s.iloc[9] = 1.0

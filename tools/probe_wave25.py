@@ -574,3 +574,65 @@ _expect_err("agg_pairs center gate",
                 {"s": ("sum", "x")}), ValueError)
 
 print("wave25 part 7 done")
+
+# ---- 8. Series setter faces (r11) ---------------------------------
+def smk():
+    p = pd.Series([1., 2., 3., 4.], index=["a", "b", "c", "d"],
+                  name="v")
+    b_ = bl.Series(np.array([1., 2., 3., 4.]),
+                   index=np.array(["a", "b", "c", "d"], dtype=object),
+                   name="v")
+    return p, b_
+
+def s_case(tag, fn):
+    p, b_ = smk()
+    fn(p); fn(b_)
+    check(f"series set {tag}", lambda: fl(b_.to_pandas()),
+          lambda: fl(p))
+
+s_case("loc scalar", lambda s: s.loc.__setitem__("b", 9.0))
+s_case("at scalar", lambda s: s.at.__setitem__("c", -1.0))
+s_case("loc list", lambda s: s.loc.__setitem__(["a", "d"], 5.0))
+s_case("getitem label", lambda s: s.__setitem__("a", 7.5))
+s_case("getitem mask list",
+       lambda s: s.__setitem__([True, False, True, False], 0.0))
+s_case("iloc int", lambda s: s.iloc.__setitem__(1, 4.5))
+s_case("iat int", lambda s: s.iat.__setitem__(-1, 2.5))
+s_case("iloc slice", lambda s: s.iloc.__setitem__(slice(1, 3), 8.0))
+s_case("getitem slice", lambda s: s.__setitem__(slice(0, 2), 6.0))
+
+# mask Series: engine same-Series mask == pandas
+p, b_ = smk()
+p[p > 2.0] = 0.0
+b_[b_ > 2.0] = 0.0
+check("series set self mask", lambda: fl(b_.to_pandas()),
+      lambda: fl(p))
+
+# default RangeIndex: integer keys are labels (== positions)
+pr = pd.Series([1., 2., 3.])
+br = bl.Series(np.array([1., 2., 3.]))
+pr[1] = 9.0; br[1] = 9.0
+check("series set rangeindex int", lambda: fl(br.to_pandas()),
+      lambda: fl(pr))
+
+# copy-on-write: the parent frame is untouched
+bfr = bl.DataFrame({"a": np.array([1., 2., 3.])})
+col = bfr["a"]
+col.iloc[0] = 99.0
+check("series set CoW parent untouched",
+      lambda: fl(bfr["a"].to_pandas()), lambda: [1., 2., 3.])
+check("series set CoW child written",
+      lambda: fl(col.to_pandas()), lambda: [99., 2., 3.])
+
+# gates: enlargement, multiindex tuple
+p, b_ = smk()
+_expect_err("series loc set enlargement",
+            lambda: b_.loc.__setitem__("zz", 1.0),
+            NotImplementedError)
+_expect_err("series loc set tuple",
+            lambda: b_.loc.__setitem__(("a", 1), 1.0),
+            NotImplementedError)
+_expect_err("series iloc set oob",
+            lambda: b_.iloc.__setitem__(9, 1.0), IndexError)
+
+print("wave25 part 8 done")
