@@ -909,7 +909,8 @@ class DataFrame:
             sdf = (sdf_l.join(right, POS_COL, "left").drop(POS_COL)
                    .withColumnRenamed("__new_val__", key))
         else:
-            sdf = self._sdf.withColumn(key, F.lit(value))
+            from .utils import nan_safe_lit
+            sdf = self._sdf.withColumn(key, nan_safe_lit(value))
         data_cols = self._data_cols + ([key] if key not in self._data_cols else [])
         self._sdf = sdf
         self._data_cols = data_cols
@@ -1143,9 +1144,11 @@ class DataFrame:
         # ONE select, not sequential withColumn: the gate references
         # source columns, so rewriting them one at a time would feed
         # later columns an already-masked gate input
+        from .utils import nan_safe_lit
         data = set(self._data_cols)
         sdf = sdf.select(*[
-            (F.when(g, F.col(c)).otherwise(F.lit(other)).alias(c)
+            (F.when(g, F.col(c)).otherwise(nan_safe_lit(other))
+             .alias(c)
              if c in data else F.col(c)) for c in sdf.columns])
         return self._replace_sdf(sdf)
 
@@ -1162,10 +1165,12 @@ class DataFrame:
                 and id(cond._sdf) not in self._lineage:
             raise ValueError(
                 "where/mask cond must derive from this frame")
+        from .utils import nan_safe_lit
         g = cond._colexpr
         data = set(self._data_cols)
         sdf = self._sdf.select(*[
-            (F.when(g, F.lit(other)).otherwise(F.col(c)).alias(c)
+            (F.when(g, nan_safe_lit(other)).otherwise(F.col(c))
+             .alias(c)
              if c in data else F.col(c)) for c in self._sdf.columns])
         return self._replace_sdf(sdf)
 

@@ -624,7 +624,8 @@ class Series:
             out = packed._lift(other, pick)
             out.name = self.name
             return out
-        repl = F.lit(other)
+        from .utils import nan_safe_lit
+        repl = nan_safe_lit(other)
         gate = ((lambda a, c: F.when(c, a).otherwise(repl))
                 if keep_when else
                 (lambda a, c: F.when(c, repl).otherwise(a)))
@@ -655,7 +656,12 @@ class Series:
     notnull = notna
 
     def fillna(self, value) -> "Series":
-        return self._with_col(F.coalesce(self._colexpr, F.lit(value)))
+        from .utils import nan_safe_lit
+        # a NaN fill value is a no-op under the NaN == NULL pin
+        # (nan_safe_lit -> NULL -> coalesce keeps the column),
+        # matching pandas' fillna(nan)
+        return self._with_col(F.coalesce(self._colexpr,
+                                         nan_safe_lit(value)))
 
     def dropna(self) -> "Series":
         sdf, alias = self._select()

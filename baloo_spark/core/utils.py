@@ -86,3 +86,17 @@ def spark_df_from_pandas(spark, pdf):
     fields = [T.StructField(str(c), _t(pdf[c].to_numpy().dtype))
               for c in pdf.columns]
     return spark.createDataFrame([], T.StructType(fields))
+
+
+def nan_safe_lit(v):
+    """``F.lit`` that maps a float NaN to a typed NULL — the
+    engine's missing convention (the NaN == NULL pin): a NaN
+    DOUBLE literal entering a plan would POISON JVM sums/means/
+    prefix scans (NaN propagates through arithmetic) instead of
+    being skipped like missing data is everywhere else. Found by
+    probe wave 25: ``sr.iloc[2] = np.nan`` then ``rolling().mean()``
+    returned NaN for every later window."""
+    from pyspark.sql import functions as F
+    if isinstance(v, float) and v != v:
+        return F.lit(None).cast("double")
+    return F.lit(v)

@@ -898,3 +898,31 @@ def test_series_setter_faces_r11(bl):
         s.loc[("a", 1)] = 1.0
     with pytest.raises(IndexError):
         s.iloc[9] = 1.0
+
+
+def test_nan_literal_staging_r11(bl):
+    """r11 (probe wave 25 find): a float-NaN SCALAR entering a plan
+    through the write faces / where / mask / fillna must become a
+    typed NULL — the engine's missing convention (NaN == NULL pin).
+    A NaN double literal would poison every downstream JVM
+    sum/mean/prefix scan (NaN propagates through arithmetic)
+    instead of being skipped: sr.iloc[2] = np.nan then
+    rolling(3).mean() returned NaN for every later window."""
+    import numpy as np
+    import pandas as pd
+    s = bl.Series(np.array([1.0, 2, 3, 4, 5, 6]))
+    s.iloc[2] = np.nan
+    p = pd.Series([1.0, 2, 3, 4, 5, 6])
+    p.iloc[2] = np.nan
+    np.testing.assert_allclose(
+        s.rolling(3, min_periods=2).mean().to_pandas().to_numpy(),
+        p.rolling(3, min_periods=2).mean().to_numpy(),
+        atol=1e-9, equal_nan=True)
+    assert s.sum() == p.sum()
+    d = bl.DataFrame({"k": [0, 1, 2, 3],
+                      "v": [1.0, 2, 3, 4]}).set_index("k")
+    d.loc[d["v"] > 2.0, "v"] = np.nan
+    assert d["v"].sum() == 3.0
+    assert float(d["v"].mask(d["v"] < 2.0, np.nan).sum()) == 2.0
+    assert bl.Series(np.array([1.0, np.nan, 3.0])).fillna(
+        np.nan).to_pandas().fillna(-9).tolist() == [1.0, -9, 3.0]

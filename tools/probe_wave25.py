@@ -636,3 +636,101 @@ _expect_err("series iloc set oob",
             lambda: b_.iloc.__setitem__(9, 1.0), IndexError)
 
 print("wave25 part 8 done")
+
+# ---- 9. write-face interactions + grouped center .agg -------------
+# setters compose with downstream groupby/window/merge
+def _compose_ours():
+    d = bl.DataFrame({"g": np.array(["a", "b", "a", "b", "a"]),
+                      "v": np.array([1., 2., 3., 4., 5.])})
+    d.iloc[0, 1] = 10.0
+    d.iloc[[2, 4], 1] = 0.0
+    out = d.groupby("g").sum().to_pandas().sort_index()
+    return fl(out["v"])
+def _compose_pandas():
+    p = pd.DataFrame({"g": ["a", "b", "a", "b", "a"],
+                      "v": [1., 2., 3., 4., 5.]})
+    p.iloc[0, 1] = 10.0
+    p.iloc[[2, 4], 1] = 0.0
+    return fl(p.groupby("g").sum().sort_index()["v"])
+check("iloc-set then groupby", _compose_ours, _compose_pandas)
+
+def _sr_window_ours():
+    s = bl.Series(np.array([1., 2., 3., 4., 5., 6.]))
+    s.iloc[2] = np.nan
+    return fl(s.rolling(3, min_periods=2).mean().to_pandas())
+def _sr_window_pandas():
+    s = pd.Series([1., 2., 3., 4., 5., 6.])
+    s.iloc[2] = np.nan
+    return fl(s.rolling(3, min_periods=2).mean())
+check("series-set then rolling", _sr_window_ours, _sr_window_pandas)
+
+# grouped CENTER rolling: single stats and fused .agg, odd + even w
+rng9 = np.random.default_rng(9)
+n9 = 80
+g9 = rng9.choice(["a", "b", "c"], n9)
+v9 = rng9.normal(size=n9); v9[rng9.random(n9) < 0.15] = np.nan
+pg9 = pd.DataFrame({"g": g9, "v": v9})
+bg9 = bl.DataFrame({"g": g9, "v": v9})
+for w, mp in ((3, 2), (4, 2), (5, None), (4, None), (6, 3)):
+    got = bg9.groupby("g")["v"].rolling(w, min_periods=mp,
+                                        center=True) \
+        .agg(["sum", "mean", "count"]).to_pandas()
+    pr9 = pg9.groupby("g")["v"].rolling(w, min_periods=mp,
+                                        center=True)
+    for st in ("sum", "mean", "count"):
+        check(f"grouped center agg w={w} mp={mp} {st}",
+              lambda st=st, g=got: fl(g[st]),
+              lambda st=st, p=pr9: fl(
+                  getattr(p, st)().reset_index(level=0, drop=True)
+                  .sort_index()))
+    # order stat through the pandas kernel with center
+    gotr = bg9.groupby("g")["v"].rolling(w, min_periods=mp,
+                                         center=True) \
+        .agg(["median", "rank"]).to_pandas()
+    for st in ("median", "rank"):
+        check(f"grouped center order w={w} mp={mp} {st}",
+              lambda st=st, g=gotr: fl(g[st]),
+              lambda st=st, p=pr9: fl(
+                  getattr(p, st)().reset_index(level=0, drop=True)
+                  .sort_index()))
+
+print("wave25 part 9 done")
+
+# ---- 10. NaN literal staging (found by part 9) --------------------
+def _nanset_ours():
+    s = bl.Series(np.array([1., 2., 3., 4., 5., 6.]))
+    s.iloc[2] = np.nan
+    return fl(s.rolling(3, min_periods=2).mean().to_pandas())
+def _nanset_pandas():
+    s = pd.Series([1., 2., 3., 4., 5., 6.])
+    s.iloc[2] = np.nan
+    return fl(s.rolling(3, min_periods=2).mean())
+check("nan-set then rolling mean", _nanset_ours, _nanset_pandas)
+
+def _nanloc_ours():
+    d = bl.DataFrame({"k": np.array([0, 1, 2, 3]),
+                      "v": np.array([1., 2., 3., 4.])}).set_index("k")
+    d.loc[d["v"] > 2.0, "v"] = np.nan
+    return float(d["v"].sum())
+def _nanloc_pandas():
+    p = pd.DataFrame({"v": [1., 2., 3., 4.]},
+                     index=pd.Index([0, 1, 2, 3], name="k"))
+    p.loc[p["v"] > 2.0, "v"] = np.nan
+    return float(p["v"].sum())
+check("nan loc-set then sum", _nanloc_ours, _nanloc_pandas)
+
+# where/mask with a NaN other must stay skippable
+bw = bl.DataFrame({"v": np.array([1., 2., 3., 4.])})
+pw_ = pd.DataFrame({"v": [1., 2., 3., 4.]})
+check("where other=nan then mean",
+      lambda: float(bw.where(bw["v"] > 2.0, np.nan)["v"].mean()),
+      lambda: float(pw_.where(pw_["v"] > 2.0, np.nan)["v"].mean()))
+check("series mask other=nan then sum",
+      lambda: float(bw["v"].mask(bw["v"] > 2.0, np.nan).sum()),
+      lambda: float(pw_["v"].mask(pw_["v"] > 2.0, np.nan).sum()))
+check("fillna(nan) no-op",
+      lambda: fl(bl.Series(np.array([1., np.nan, 3.]))
+                 .fillna(np.nan).to_pandas()),
+      lambda: fl(pd.Series([1., np.nan, 3.]).fillna(np.nan)
+                 if True else None))
+print("wave25 part 10 done")
