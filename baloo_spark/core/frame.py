@@ -2390,10 +2390,16 @@ class DataFrame:
                 return isinstance(dt, T.StringType)
             return False
 
+        def _k(v):
+            # NaN keys/values mean NULL under the engine's codec
+            # (same as the Series face; r11 — a raw NaN literal
+            # would poison downstream JVM aggregates)
+            return None if isinstance(v, float) and v != v else v
+
         sch = {f.name: f.dataType for f in self._sdf.schema.fields}
         out = self._sdf
         for c in self._data_cols:
-            pairs = [(o, v) for o, v in mapping.items()
+            pairs = [(_k(o), _k(v)) for o, v in mapping.items()
                      if compat(sch[c], o) and compat(sch[c], v)]
             if not pairs:
                 continue

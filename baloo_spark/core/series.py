@@ -1590,18 +1590,28 @@ class Series:
         if not isinstance(mapping, dict):
             raise TypeError("map expects a dict; for callables use "
                             "apply()")
+
+        def _k(v):
+            # NaN keys/values mean NULL under the engine's codec
+            # (r11 — a raw NaN literal would poison downstream JVM
+            # aggregates; a NaN KEY must match the NULL rows that
+            # represent NaN, like pandas' s.map({nan: ...}))
+            return None if isinstance(v, float) and v != v else v
+
         if len(mapping) <= 64:
             expr = (F.lit(default) if default is not None
                     else F.lit(None))
             for k, v in mapping.items():
-                expr = F.when(self._colexpr == F.lit(k), F.lit(v)) \
-                    .otherwise(expr)
+                expr = F.when(
+                    self._colexpr.eqNullSafe(F.lit(_k(k))),
+                    F.lit(_k(v))).otherwise(expr)
             return self._with_col(expr, self.name)
         spark = self._sdf.sparkSession
-        items = list(mapping.items())
+        items = [(_k(k), _k(v)) for k, v in mapping.items()]
         lut = spark.createDataFrame(items, ["__mk__", "__mv__"])
         joined = self._sdf.join(
-            F.broadcast(lut), self._colexpr == F.col("__mk__"), "left")
+            F.broadcast(lut),
+            self._colexpr.eqNullSafe(F.col("__mk__")), "left")
         val = (F.coalesce(F.col("__mv__"), F.lit(default))
                if default is not None else F.col("__mv__"))
         out = joined.withColumn("__mapped__", val).drop("__mk__", "__mv__")
@@ -1645,6 +1655,13 @@ class Series:
         def gate(fn):
             return lambda a, b: F.when(a.isNull(), F.lit(None)) \
                 .otherwise(fn(a, b))
+        # a scalar NaN bound is NO bound (pandas) — left as a raw
+        # literal it would win every greatest/least (NaN sorts
+        # greatest in Spark) and clamp the whole column (r11)
+        if isinstance(lower, float) and lower != lower:
+            lower = None
+        if isinstance(upper, float) and upper != upper:
+            upper = None
         out = self
         if lower is not None:
             out = out._lift(lower, gate(F.greatest))

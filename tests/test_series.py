@@ -926,3 +926,31 @@ def test_nan_literal_staging_r11(bl):
     assert float(d["v"].mask(d["v"] < 2.0, np.nan).sum()) == 2.0
     assert bl.Series(np.array([1.0, np.nan, 3.0])).fillna(
         np.nan).to_pandas().fillna(-9).tolist() == [1.0, -9, 3.0]
+
+
+def test_nan_through_replace_map_clip_r11(bl):
+    """r11: NaN as a replacement/mapping VALUE becomes NULL (codec;
+    a raw NaN literal poisons JVM aggregates), a NaN KEY matches
+    the NULL rows that represent NaN (both map paths — CASE chain
+    and the >64-entry broadcast lookup), and a scalar NaN clip
+    bound is NO bound (raw, it would win every greatest/least since
+    NaN sorts greatest in Spark)."""
+    import numpy as np
+    import pandas as pd
+    s = bl.Series(np.array([0.0, 1, 2, np.nan]))
+    p = pd.Series([0.0, 1, 2, np.nan])
+    assert s.replace(0.0, np.nan).sum() == p.replace(
+        0.0, np.nan).sum()
+    d = bl.DataFrame({"a": np.array([0.0, 1, 2])})
+    assert d.replace(0.0, np.nan)["a"].sum() == 3.0
+    got = s.map({np.nan: 99.0, 1.0: np.nan}).to_pandas()
+    want = p.map({np.nan: 99.0, 1.0: np.nan})
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
+    big = {float(i): float(i) * 2 for i in range(70)}
+    big[np.nan] = -5.0
+    assert s.map(big).to_pandas().fillna(-9).tolist() == \
+        p.map(big).fillna(-9).tolist()
+    np.testing.assert_allclose(
+        s.clip(lower=np.nan, upper=1.5).to_pandas().to_numpy(),
+        p.clip(lower=np.nan, upper=1.5).to_numpy(),
+        atol=1e-12, equal_nan=True)

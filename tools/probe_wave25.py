@@ -734,3 +734,37 @@ check("fillna(nan) no-op",
       lambda: fl(pd.Series([1., np.nan, 3.]).fillna(np.nan)
                  if True else None))
 print("wave25 part 10 done")
+
+# ---- 11. NaN through replace / map / clip -------------------------
+sN = bl.Series(np.array([0., 1., 2., np.nan]))
+pN = pd.Series([0., 1., 2., np.nan])
+check("replace 0 -> nan then sum",
+      lambda: float(sN.replace(0.0, np.nan).sum()),
+      lambda: float(pN.replace(0.0, np.nan).sum()))
+dN = bl.DataFrame({"a": np.array([0., 1., 2.])})
+pdN = pd.DataFrame({"a": [0., 1., 2.]})
+check("frame replace 0 -> nan then sum",
+      lambda: float(dN.replace(0.0, np.nan)["a"].sum()),
+      lambda: float(pdN.replace(0.0, np.nan)["a"].sum()))
+check("map value nan then sum",
+      lambda: float(sN.map({0.0: np.nan, 1.0: 10.0,
+                            2.0: 2.0}).sum()),
+      lambda: float(pN.map({0.0: np.nan, 1.0: 10.0,
+                            2.0: 2.0}).sum()))
+check("map nan key",
+      lambda: fl(sN.map({np.nan: 99.0, 1.0: 10.0}).to_pandas()),
+      lambda: fl(pN.map({np.nan: 99.0, 1.0: 10.0})))
+# big-dict path (>64) with nan key + value
+big = {float(i): float(i) * 2 for i in range(70)}
+big[np.nan] = -5.0
+big[1.0] = np.nan
+check("map big dict nan key/value",
+      lambda: fl(sN.map(big).to_pandas()),
+      lambda: fl(pN.map(big)))
+check("clip nan upper",
+      lambda: fl(sN.clip(upper=np.nan).to_pandas()),
+      lambda: fl(pN.clip(upper=np.nan)))
+check("clip nan lower",
+      lambda: fl(sN.clip(lower=np.nan, upper=1.5).to_pandas()),
+      lambda: fl(pN.clip(lower=np.nan, upper=1.5)))
+print("wave25 part 11 done")
