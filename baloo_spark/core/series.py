@@ -277,7 +277,13 @@ class Series:
                                 self.name, self._order)
         if isinstance(other, (list, np.ndarray)):
             return self._lift(Series(np.asarray(other)), op)
-        return self._with_col(op(self._colexpr, F.lit(other)))
+        from .utils import nan_safe_lit
+        # a NaN scalar operand becomes a typed NULL (the codec):
+        # comparisons go NULL (falsy in filters — the engine's
+        # missing-comparison pin; raw NaN inverts them, NaN sorts
+        # GREATEST in Spark so x < NaN was true) and arithmetic
+        # yields NULL = the engine's NaN (r11)
+        return self._with_col(op(self._colexpr, nan_safe_lit(other)))
 
     # ----------------------------------------------------------- operators
 

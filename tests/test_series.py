@@ -954,3 +954,17 @@ def test_nan_through_replace_map_clip_r11(bl):
         s.clip(lower=np.nan, upper=1.5).to_pandas().to_numpy(),
         p.clip(lower=np.nan, upper=1.5).to_numpy(),
         atol=1e-12, equal_nan=True)
+
+
+def test_nan_scalar_operands_r11(bl):
+    """r11: a NaN SCALAR operand in comparisons/arithmetic becomes
+    a typed NULL (the codec). Raw, Spark's total order (NaN sorts
+    GREATEST) inverted comparisons — s < np.nan selected every row
+    where pandas selects none — and arithmetic produced a poison
+    NaN instead of the engine's NULL missing value."""
+    import numpy as np
+    s = bl.Series(np.array([1.0, 2, 3]))
+    assert len(s[s < np.nan]) == 0
+    assert len(s[s >= np.nan]) == 0
+    assert (s + np.nan).sum() == 0.0     # all-missing sum identity
+    assert (s * np.nan).count() == 0

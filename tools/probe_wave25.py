@@ -768,3 +768,19 @@ check("clip nan lower",
       lambda: fl(sN.clip(lower=np.nan, upper=1.5).to_pandas()),
       lambda: fl(pN.clip(lower=np.nan, upper=1.5)))
 print("wave25 part 11 done")
+
+# ---- 12. NaN scalar operands in comparisons / arithmetic ----------
+sO = bl.Series(np.array([1., 2., 3.]))
+pO = pd.Series([1., 2., 3.])
+# filters: pandas all-False selection == engine NULL-dropped rows
+check("filter s < nan", lambda: int(len(sO[sO < np.nan])),
+      lambda: int((pO < np.nan).sum()))
+check("filter s >= nan", lambda: int(len(sO[sO >= np.nan])),
+      lambda: int((pO >= np.nan).sum()))
+check("arith s + nan then sum (codec: NULL == NaN)",
+      lambda: float((sO + np.nan).sum()),
+      lambda: float((pO + np.nan).sum()))
+check("arith s * nan count",
+      lambda: int((sO * np.nan).count()),
+      lambda: int((pO * np.nan).count()))
+print("wave25 part 12 done")
