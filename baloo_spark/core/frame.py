@@ -929,11 +929,14 @@ class DataFrame:
 
     def _elementwise(self, other, op):
         """Apply op to every numeric column, dropping string columns
-        (reference `_drop_str_columns`, frame.py:1309-1323)."""
+        (reference `_drop_str_columns`, frame.py:1309-1323). NaN
+        scalars become typed NULLs (the codec, r11)."""
+        from .utils import nan_safe_lit
         num = self._numeric_cols()
         sdf = self._sdf
+        lit = nan_safe_lit(other)
         for c in num:
-            sdf = sdf.withColumn(c, op(F.col(c), F.lit(other)))
+            sdf = sdf.withColumn(c, op(F.col(c), lit))
         return self._replace_sdf(sdf, data_cols=num)
 
     def __add__(self, o): return self._elementwise(o, lambda a, b: a + b)
@@ -1893,12 +1896,25 @@ class DataFrame:
 
     # -------------------------------------------------------- aggregations
 
+    @staticmethod
+    def _agg_identity(name, e):
+        """All-NULL columns keep pandas' empty-agg identities
+        (sum -> 0, prod -> 1, min_count=0 — the Series faces and
+        the reference's merger already do; r11 closes the frame
+        column-agg row)."""
+        if name == "sum":
+            return F.coalesce(e, F.lit(0.0))
+        if name == "prod":
+            return F.coalesce(e, F.lit(1.0))
+        return e
+
     def _agg_exprs(self, aggregations, cols):
         exprs = []
         for a in aggregations:
             for c in cols:
                 e = _AGG_FNS[a](F.col(c).cast("double") if a != "count" else F.col(c))
-                exprs.append(e.cast("double").alias(f"{a}__{c}"))
+                exprs.append(self._agg_identity(a, e)
+                             .cast("double").alias(f"{a}__{c}"))
         return exprs
 
     def agg(self, aggregations: list) -> "DataFrame":
@@ -1921,8 +1937,11 @@ class DataFrame:
         """Per-column scalar agg combined into one Series indexed by
         column name (frame.py:594-639 / weld_combine_scalars)."""
         cols = self._numeric_cols(include_bool=True)
-        exprs = [(_AGG_FNS[name](F.col(c).cast("double") if name != "count"
-                                 else F.col(c))).cast("double").alias(c)
+        exprs = [self._agg_identity(
+                     name,
+                     _AGG_FNS[name](F.col(c).cast("double")
+                                    if name != "count" else F.col(c)))
+                 .cast("double").alias(c)
                  for c in cols]
         row_df = self._sdf.agg(*exprs)
         pairs = ", ".join(f"'{c}', `{c}`" for c in cols)

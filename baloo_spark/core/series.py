@@ -597,15 +597,17 @@ class Series:
         """Boundary test (pandas ``Series.between``): ``inclusive``
         takes the pandas 2.x strings 'both'/'neither'/'left'/'right'
         plus the legacy booleans (True='both', False='neither')."""
+        from .utils import nan_safe_lit
         mode = {True: "both", False: "neither"}.get(inclusive, inclusive)
-        ops = {"both": (self._colexpr >= F.lit(lower),
-                        self._colexpr <= F.lit(upper)),
-               "neither": (self._colexpr > F.lit(lower),
-                           self._colexpr < F.lit(upper)),
-               "left": (self._colexpr >= F.lit(lower),
-                        self._colexpr < F.lit(upper)),
-               "right": (self._colexpr > F.lit(lower),
-                         self._colexpr <= F.lit(upper))}
+        llit, ulit = nan_safe_lit(lower), nan_safe_lit(upper)
+        ops = {"both": (self._colexpr >= llit,
+                        self._colexpr <= ulit),
+               "neither": (self._colexpr > llit,
+                           self._colexpr < ulit),
+               "left": (self._colexpr >= llit,
+                        self._colexpr < ulit),
+               "right": (self._colexpr > llit,
+                         self._colexpr <= ulit)}
         if mode not in ops:
             raise ValueError(
                 "inclusive must be 'both', 'neither', 'left', "

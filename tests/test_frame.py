@@ -1596,3 +1596,22 @@ def test_session4_integration_chain(bl):
             .stack().rename("v").reset_index()
             .groupby("bucket")["v"].sum().sort_index())
     np.testing.assert_allclose(got.to_numpy(), want.to_numpy())
+
+
+def test_frame_agg_row_identities_r11(bl):
+    """r11: the frame column-agg row keeps pandas' empty-agg
+    identities for all-NULL columns — sum -> 0.0, prod -> 1.0
+    (min_count=0), like the Series faces and the reference's
+    scalar merger already did; mean/min/max stay missing."""
+    import numpy as np
+    d = bl.DataFrame({"a": np.array([1.0, 2.0]),
+                      "b": np.array([np.nan, np.nan])})
+    s = d.sum().to_pandas()
+    assert s["a"] == 3.0 and s["b"] == 0.0
+    p = d.prod().to_pandas()
+    assert p["a"] == 2.0 and p["b"] == 1.0
+    m = d.mean().to_pandas()
+    assert m["a"] == 1.5 and m["b"] != m["b"]
+    g = d.agg(["sum", "mean"]).to_pandas()
+    assert g.loc["sum", "b"] == 0.0
+    assert g.loc["mean", "b"] != g.loc["mean", "b"]

@@ -784,3 +784,15 @@ check("arith s * nan count",
       lambda: int((sO * np.nan).count()),
       lambda: int((pO * np.nan).count()))
 print("wave25 part 12 done")
+
+# ---- 13. NaN scalar in frame arithmetic / between -----------------
+dF = bl.DataFrame({"a": np.array([1., 2.]), "b": np.array([3., 4.])})
+pF = pd.DataFrame({"a": [1., 2.], "b": [3., 4.]})
+check("frame + nan then sum",
+      lambda: fl((dF + np.nan).sum()["a":"b"].to_pandas()
+                 if False else (dF + np.nan).sum().to_pandas()),
+      lambda: fl((pF + np.nan).sum()))
+check("between nan bound count",
+      lambda: int(sO.between(np.nan, 2.0).to_pandas().fillna(False).sum()),
+      lambda: int(pO.between(np.nan, 2.0).sum()))
+print("wave25 part 13 done")
