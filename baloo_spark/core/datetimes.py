@@ -6,6 +6,12 @@ pandas ``.dt`` namespace over Spark TimestampType/DateType columns so
 calendar extraction stays inside whole-stage codegen (the same ops
 the ``extract_ops`` driver slot proves via SQL templates).
 
+r11: pandas-PROPERTY fields (year/month/.../is_*) are properties here too,
+returning a CallableSeries so the engine's historical method spelling
+(``sr.dt.year()``) keeps working; genuine pandas METHODS (day_name,
+month_name, normalize, floor/ceil/round, strftime, isocalendar,
+total_seconds) remain methods.
+
 Pandas semantic notes handled here:
 - ``dayofweek``: Monday=0 (Spark's ``dayofweek`` is Sunday=1).
 - ``week``: ISO week of year.
@@ -23,84 +29,109 @@ class DatetimeMethods:
         self._sr = sr
 
     def _map(self, fn, name=None):
-        return self._sr._with_col(fn(self._sr._colexpr), name)
+        from .series import CallableSeries
+        out = self._sr._with_col(fn(self._sr._colexpr), name)
+        return CallableSeries._make(out._sdf, out._colexpr,
+                                    out._index_cols, out.name,
+                                    out._order)
 
+    @property
     def year(self):
         return self._map(F.year)
 
+    @property
     def month(self):
         return self._map(F.month)
 
+    @property
     def day(self):
         return self._map(F.dayofmonth)
 
+    @property
     def hour(self):
         return self._map(F.hour)
 
+    @property
     def minute(self):
         return self._map(F.minute)
 
+    @property
     def second(self):
         return self._map(F.second)
 
+    @property
     def dayofweek(self):
         # pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
         return self._map(lambda c: (F.dayofweek(c) + 5) % 7)
 
+    @property
     def dayofyear(self):
         return self._map(F.dayofyear)
 
+    @property
     def week(self):
         return self._map(F.weekofyear)
 
+    @property
     def quarter(self):
         return self._map(F.quarter)
 
+    @property
     def date(self):
         return self._map(F.to_date)
 
+    @property
     def microsecond(self):
         """Sub-second microseconds (pandas ``dt.microsecond``) —
         integer epoch-microsecond remainder, codegen-side."""
         return self._map(lambda c: (F.unix_micros(
             c.cast("timestamp")) % 1_000_000).cast("int"))
 
+    @property
     def millisecond(self):
         return self._map(lambda c: ((F.unix_micros(
             c.cast("timestamp")) % 1_000_000) / 1000).cast("int"))
 
+    @property
     def days_in_month(self):
         """Days in the value's month (pandas ``dt.days_in_month``)."""
         return self._map(lambda c: F.dayofmonth(F.last_day(c)))
 
+    @property
     def is_month_start(self):
         return self._map(lambda c: F.when(c.isNotNull(),
                                           F.dayofmonth(c) == 1))
 
+    @property
     def is_month_end(self):
         return self._map(lambda c: F.when(
             c.isNotNull(),
             F.to_date(c) == F.last_day(c)))
 
+    @property
     def is_quarter_start(self):
         return self._map(lambda c: F.when(
             c.isNotNull(),
             (F.dayofmonth(c) == 1) & (F.month(c) % 3 == 1)))
 
+    @property
     def is_quarter_end(self):
         return self._map(lambda c: F.when(
             c.isNotNull(),
             (F.to_date(c) == F.last_day(c)) & (F.month(c) % 3 == 0)))
 
+    @property
     def is_year_start(self):
         return self._map(lambda c: F.when(c.isNotNull(),
                                           F.dayofyear(c) == 1))
 
+    @property
     def is_year_end(self):
         return self._map(lambda c: F.when(
             c.isNotNull(),
             (F.month(c) == 12) & (F.dayofmonth(c) == 31)))
 
+    @property
     def is_leap_year(self):
         return self._map(lambda c: F.when(
             c.isNotNull(),
@@ -186,22 +217,28 @@ class DatetimeMethods:
                 f"multiple like '15min'")
         return self._map(lambda c: F.date_trunc(unit, c))
 
+    @property
     def weekday(self):
         """Monday=0 like pandas (alias of dayofweek)."""
-        return self.dayofweek()
+        return self.dayofweek
 
+    @property
     def day_of_week(self):
-        return self.dayofweek()
+        return self.dayofweek
 
+    @property
     def day_of_year(self):
-        return self.dayofyear()
+        return self.dayofyear
 
+    @property
     def daysinmonth(self):
-        return self.days_in_month()
+        return self.days_in_month
 
+    @property
     def weekofyear(self):
-        return self.week()
+        return self.week
 
+    @property
     def time(self):
         """Time-of-day as a 'HH:mm:ss[.ffffff]' string (Spark has no
         standalone time type; pandas returns datetime.time objects —
@@ -239,6 +276,7 @@ class DatetimeMethods:
         epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
         return lambda c: F.unix_micros(epoch + c)
 
+    @property
     def days(self):
         """Whole-day component of a timedelta (pandas ``dt.days``:
         floor division, negative intervals round toward -inf)."""
@@ -246,6 +284,7 @@ class DatetimeMethods:
         day = 86_400_000_000
         return self._map(lambda c: F.floor(us(c) / day).cast("long"))
 
+    @property
     def seconds(self):
         """Seconds within the day component (pandas: always in
         [0, 86400))."""
@@ -255,6 +294,7 @@ class DatetimeMethods:
             ((F.floor(us(c) / 1_000_000)
               % 86_400) + 86_400) % 86_400).cast("long"))
 
+    @property
     def microseconds(self):
         """Microseconds within the second component (pandas:
         [0, 1e6))."""

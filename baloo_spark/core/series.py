@@ -4376,6 +4376,18 @@ def _norm_pos(i: int, n: int) -> int:
     return i
 
 
+class CallableSeries(Series):
+    """A Series that is ALSO a no-arg callable returning itself —
+    the compatibility shim behind the ``.dt`` accessor (r11):
+    pandas spells calendar fields as PROPERTIES (``sr.dt.year``)
+    while the engine historically spelled them as methods
+    (``sr.dt.year()``); the accessor now returns this type so both
+    spellings work."""
+
+    def __call__(self):
+        return self
+
+
 class _SeriesILoc:
     """Positional lookup (core/indexing.py:9-54)."""
 

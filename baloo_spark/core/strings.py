@@ -119,15 +119,45 @@ class StringMethods:
             return F.array_join(F.reverse(kept), "")
         return self._map(fn)
 
-    def contains(self, pat: str):
-        """Literal substring test (strings.py:95-109) — no regex."""
-        return self._map(lambda c: c.contains(pat))
+    def contains(self, pat: str, case: bool = True, na=None,
+                 regex: bool = True):
+        """pandas ``str.contains``: REGEX by default, unanchored
+        (``re.search``). r11 fix — the face previously followed the
+        reference's literal-substring semantics (strings.py:95-109),
+        silently diverging on metacharacter patterns;
+        ``regex=False`` is that literal face. ``case=False``
+        case-folds; ``na=`` fills results for missing inputs
+        (pandas default propagates missing). Java regex dialect —
+        documented, not translated."""
+        def fn(c):
+            if regex:
+                out = c.rlike(f"(?i){pat}" if not case else pat)
+            else:
+                out = (F.lower(c).contains(pat.lower())
+                       if not case else c.contains(pat))
+            if na is not None:
+                out = F.when(c.isNull(),
+                             F.lit(bool(na))).otherwise(out)
+            return out
+        return self._map(fn)
 
-    def startswith(self, pat: str):
-        return self._map(lambda c: c.startswith(pat))
+    def startswith(self, pat: str, na=None):
+        def fn(c):
+            out = c.startswith(pat)
+            if na is not None:
+                out = F.when(c.isNull(),
+                             F.lit(bool(na))).otherwise(out)
+            return out
+        return self._map(fn)
 
-    def endswith(self, pat: str):
-        return self._map(lambda c: c.endswith(pat))
+    def endswith(self, pat: str, na=None):
+        def fn(c):
+            out = c.endswith(pat)
+            if na is not None:
+                out = F.when(c.isNull(),
+                             F.lit(bool(na))).otherwise(out)
+            return out
+        return self._map(fn)
 
     def join(self, sep: str):
         """Join array-of-strings elements (pandas ``str.join`` on a

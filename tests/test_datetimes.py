@@ -483,3 +483,27 @@ def test_expanding_rank_apply_and_groupby_attr(bl):
         .tolist() == pdf.groupby("g").v.sum().sort_index().tolist()
     with pytest.raises(AttributeError):
         d.groupby("g").nope
+
+
+def test_dt_property_spelling_r11(bl):
+    """r11: pandas-PROPERTY calendar fields are properties on the
+    engine's .dt too (sr.dt.month, not just sr.dt.month()) — the
+    accessor returns a CallableSeries so BOTH spellings work, and
+    the returned object composes like any Series."""
+    import pandas as pd
+    ts = pd.to_datetime(["2024-02-29 23:59:59",
+                         "2023-12-31 00:00:01"])
+    s = bl.DataFrame({"t": ts.to_numpy()})["t"]
+    p = pd.Series(ts)
+    for acc in ("year", "month", "day", "hour", "minute", "second",
+                "dayofweek", "dayofyear", "quarter", "weekday",
+                "day_of_week", "day_of_year", "daysinmonth",
+                "is_leap_year", "is_month_end", "is_year_start"):
+        got = getattr(s.dt, acc)           # property spelling
+        assert got.to_pandas().tolist() == \
+            getattr(p.dt, acc).tolist(), acc
+        assert got().to_pandas().tolist() == \
+            getattr(p.dt, acc).tolist(), acc   # legacy () spelling
+    # property result composes like a Series
+    assert (s.dt.month + 1).to_pandas().tolist() == \
+        (p.dt.month + 1).tolist()

@@ -355,3 +355,28 @@ def test_r8_str_sweep(bl):
     se = bl.Series(np.array(["héllo", "x"], dtype=object))
     assert vals(se.str.encode("utf-8").str.decode("utf-8")) == \
         ["héllo", "x"]
+
+
+def test_str_contains_regex_default_r11(bl):
+    """r11: str.contains is REGEX by default (pandas re.search
+    semantics; previously the reference's literal-substring face,
+    which silently diverged on metacharacter patterns).
+    regex=False is the literal face; case=False case-folds; na=
+    fills missing results. startswith/endswith gain na= too."""
+    import numpy as np
+    import pandas as pd
+    s = bl.Series(np.array(["a.b", "acb", None], dtype=object))
+    p = pd.Series(["a.b", "acb", None])
+
+    def tri(x):
+        return [None if v is None or v != v else bool(v)
+                for v in x]
+
+    for kw in ({}, {"regex": False}, {"case": False},
+               {"na": False}, {"regex": False, "na": True}):
+        assert tri(s.str.contains("a.b", **kw).to_pandas()) == \
+            tri(p.str.contains("a.b", **kw)), kw
+    assert tri(s.str.startswith("a", na=True).to_pandas()) == \
+        tri(p.str.startswith("a", na=True))
+    assert tri(s.str.endswith("b", na=False).to_pandas()) == \
+        tri(p.str.endswith("b", na=False))

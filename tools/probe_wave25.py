@@ -796,3 +796,58 @@ check("between nan bound count",
       lambda: int(sO.between(np.nan, 2.0).to_pandas().fillna(False).sum()),
       lambda: int(pO.between(np.nan, 2.0).sum()))
 print("wave25 part 13 done")
+
+# ---- 14. astype / str / dt seams ----------------------------------
+sA = bl.Series(np.array([1.5, 2.7, np.nan]))
+pA = pd.Series([1.5, 2.7, np.nan])
+# float -> int with NaN: PINNED divergence (astype docstring) —
+# missing stays NULL instead of pandas' IntCastingNaNError
+check("astype int with nan keeps NULL (pin)",
+      lambda: fl(sA.astype("int64").to_pandas()),
+      lambda: [1.0, 2.0, float("nan")])
+# float -> int truncation parity (no NaN)
+sB = bl.Series(np.array([1.9, -2.7, 3.0]))
+pB = pd.Series([1.9, -2.7, 3.0])
+check("astype int truncates toward zero",
+      lambda: list(sB.astype("int64").to_pandas()),
+      lambda: list(pB.astype("int64")))
+# negative float -> bool
+check("astype bool",
+      lambda: list(sB.astype("bool").to_pandas()),
+      lambda: list(pB.astype("bool")))
+# str.contains with regex chars, na handling
+sS = bl.Series(np.array(["a.b", "acb", None], dtype=object))
+pS = pd.Series(["a.b", "acb", None])
+def _tri(x):
+    return [None if v is None or v != v else bool(v) for v in x]
+check("str.contains regex default",
+      lambda: _tri(sS.str.contains("a.b").to_pandas()),
+      lambda: _tri(pS.str.contains("a.b")))
+check("str.contains regex=False literal",
+      lambda: _tri(sS.str.contains("a.b", regex=False).to_pandas()),
+      lambda: _tri(pS.str.contains("a.b", regex=False)))
+check("str.contains case=False",
+      lambda: _tri(sS.str.contains("A.B", case=False).to_pandas()),
+      lambda: _tri(pS.str.contains("A.B", case=False)))
+check("str.contains na=False",
+      lambda: _tri(sS.str.contains("acb", na=False).to_pandas()),
+      lambda: _tri(pS.str.contains("acb", na=False)))
+check("str.startswith na=True",
+      lambda: _tri(sS.str.startswith("a", na=True).to_pandas()),
+      lambda: _tri(pS.str.startswith("a", na=True)))
+# str.replace first-occurrence semantics with regex chars
+sR = bl.Series(np.array(["a.a.a", "xyx"], dtype=object))
+pR = pd.Series(["a.a.a", "xyx"])
+check("str.replace literal dot",
+      lambda: list(sR.str.replace(".", "-").to_pandas()),
+      lambda: list(pR.str.replace(".", "-", n=1, regex=False)))
+# dt accessors around DST-free UTC boundaries
+ts14 = pd.to_datetime(["2024-02-29 23:59:59", "2023-12-31 00:00:01"])
+sD = bl.DataFrame({"t": ts14.to_numpy()})["t"]
+pD = pd.Series(ts14)
+for acc in ("year", "month", "day", "hour", "dayofweek",
+            "dayofyear", "quarter", "is_leap_year"):
+    check(f"dt.{acc}",
+          lambda a=acc: list(getattr(sD.dt, a).to_pandas()),
+          lambda a=acc: list(getattr(pD.dt, a)))
+print("wave25 part 14 done")
