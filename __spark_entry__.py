@@ -271,7 +271,11 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 UNION ALL
 SELECT 'q19_revenue',
-       round(sum(l_extendedprice * (1 - l_discount)), 2)
+       -- coalesce: pandas' empty-sum identity is 0.0 (the engine's
+       -- frame agg row keeps it as of r11); plain SQL sum of zero
+       -- rows is NULL
+       round(coalesce(sum(l_extendedprice * (1 - l_discount)),
+                      0.0), 2)
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
        AND p_size BETWEEN 1 AND 5)
