@@ -2634,15 +2634,23 @@ class Series:
                              f"{len(labels)}")
         c = self._colexpr.cast("double")
         codes = labels is False
+        # pandas prints INTEGER bin edges without decimals
+        # ('(0, 1]' for bins=[0,1], '(0.0, 1.0]' for [0.0, 1.0]) —
+        # the label dtype follows the edges the caller passed (r11)
+        int_edges = all(isinstance(b, (int, np.integer))
+                        and not isinstance(b, bool) for b in bins)
+
+        def _e(v):
+            return str(int(v)) if int_edges else str(float(v))
         expr = F.lit(None).cast("double" if codes else "string")
         for i in range(len(bins) - 1):
             lo, hi = float(bins[i]), float(bins[i + 1])
             if right:
                 cond = (c > lo) & (c <= hi)
-                dflt = f"({lo}, {hi}]"
+                dflt = f"({_e(lo)}, {_e(hi)}]"
             else:
                 cond = (c >= lo) & (c < hi)
-                dflt = f"[{lo}, {hi})"
+                dflt = f"[{_e(lo)}, {_e(hi)})"
             lab = (F.lit(float(i)) if codes
                    else F.lit(labels[i] if labels else dflt))
             expr = F.when(cond, lab).otherwise(expr)

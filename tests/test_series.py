@@ -968,3 +968,19 @@ def test_nan_scalar_operands_r11(bl):
     assert len(s[s >= np.nan]) == 0
     assert (s + np.nan).sum() == 0.0     # all-missing sum identity
     assert (s * np.nan).count() == 0
+
+
+def test_cut_integer_edge_labels_r11(bl):
+    """r11: interval labels print integer bin edges without
+    decimals, following the dtype of the edges the caller passed
+    (pandas: cut(x, [0, 1, 3]) -> '(0, 1]'; [0.0, 1.0, 3.0] ->
+    '(0.0, 1.0]')."""
+    import numpy as np
+    import pandas as pd
+    v = np.array([0.5, 1.0, 2.5, 7.0, -1.0])
+    s = bl.Series(v)
+    for bins in ([0, 1, 3, 5], [0.0, 1.0, 3.0, 5.0]):
+        got = [x if x is not None else "nan"
+               for x in s.cut(bins).to_pandas()]
+        want = pd.cut(pd.Series(v), bins).astype(str).tolist()
+        assert got == want, bins

@@ -851,3 +851,73 @@ for acc in ("year", "month", "day", "hour", "dayofweek",
           lambda a=acc: list(getattr(sD.dt, a).to_pandas()),
           lambda a=acc: list(getattr(pD.dt, a)))
 print("wave25 part 14 done")
+
+# ---- 15. reshape seams: pivot_table / stack / cut / dummies -------
+rng15 = np.random.default_rng(15)
+n15 = 60
+pR = pd.DataFrame({
+    "r": rng15.choice(["x", "y", "z"], n15),
+    "c": rng15.choice(["p", "q"], n15),
+    "v": rng15.normal(size=n15).round(3),
+})
+bR = bl.DataFrame({k: pR[k].to_numpy() for k in pR})
+# pivot_table mean with missing combos
+try:
+    gpt = bR.pivot_table(index="r", columns="c", values="v",
+                         aggfunc="mean").to_pandas().sort_index()
+    ppt = pR.pivot_table(index="r", columns="c", values="v",
+                         aggfunc="mean").sort_index()
+    for c in ("p", "q"):
+        check(f"pivot_table mean {c}",
+              lambda c=c: fl(gpt[c]), lambda c=c: fl(ppt[c]))
+except Exception as e:  # noqa: BLE001
+    print(f"PROBE DIFF [pivot_table] ours error {type(e).__name__}: {e}")
+
+# cut: right-closed default, labels, out-of-range -> NaN
+vals = np.array([0.5, 1.0, 2.5, 7.0, -1.0])
+try:
+    gc = bl.cut(bl.Series(vals), bins=[0, 1, 3, 5]).to_pandas()
+    pc = pd.cut(pd.Series(vals), bins=[0, 1, 3, 5]) \
+        .astype(str).replace("nan", None)
+    check("cut interval labels",
+          lambda: [None if v is None else str(v) for v in gc],
+          lambda: [None if v is None or v == "None" else str(v)
+                   for v in pc])
+except Exception as e:  # noqa: BLE001
+    print(f"PROBE DIFF [cut] ours error {type(e).__name__}: {e}")
+
+# qcut quartile bucket counts
+try:
+    data15 = rng15.normal(size=200)
+    gq = bl.qcut(bl.Series(data15), 4).to_pandas().value_counts()
+    pq = pd.qcut(pd.Series(data15), 4).astype(str).value_counts()
+    check("qcut bucket sizes", lambda: sorted(gq.tolist()),
+          lambda: sorted(pq.tolist()))
+except Exception as e:  # noqa: BLE001
+    print(f"PROBE DIFF [qcut] ours error {type(e).__name__}: {e}")
+
+# get_dummies column set + values
+try:
+    gd = bl.get_dummies(bR[["r"]]).to_pandas()
+    pdm = pd.get_dummies(pR[["r"]])
+    check("get_dummies cols", lambda: sorted(gd.columns),
+          lambda: sorted(pdm.columns))
+    check("get_dummies sums",
+          lambda: sorted(int(gd[c].sum()) for c in gd.columns),
+          lambda: sorted(int(pdm[c].sum()) for c in pdm.columns))
+except Exception as e:  # noqa: BLE001
+    print(f"PROBE DIFF [get_dummies] ours error {type(e).__name__}: {e}")
+
+# stack/unstack round trip
+try:
+    pu = pR.groupby(["r", "c"])["v"].mean().unstack()
+    bu = bR.groupby(["r", "c"]).mean().unstack()
+    gu = bu.to_pandas().sort_index()
+    pu = pu.sort_index()
+    check("unstack grid",
+          lambda: fl(np.nan_to_num(gu.to_numpy(), nan=-9).ravel()),
+          lambda: fl(np.nan_to_num(pu.to_numpy(), nan=-9).ravel()))
+except Exception as e:  # noqa: BLE001
+    print(f"PROBE DIFF [unstack] ours error {type(e).__name__}: {e}")
+
+print("wave25 part 15 done")
