@@ -796,6 +796,73 @@ def main():
         spark.sql("DROP TABLE IF EXISTS li16_bkt")
         spark.sql("DROP TABLE IF EXISTS or16_bkt")
 
+    # ---- grouped window fusion: .agg / agg_pairs on ONE Window
+    # node (r11) ----------------------------------------------------
+    import baloo_spark as bl
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    per_g = (ev.where(F.col("user_id") % 7 == 0)
+             .groupBy("event_type", "ts")
+             .agg(F.avg("value").alias("av"),
+                  F.sum("value").alias("v"))
+             .localCheckpoint())
+    n_pg = per_g.count()
+    bgt = bl.DataFrame.from_spark(per_g).sort_values("ts")
+
+    def _groll():
+        return bgt.groupby("event_type").rolling("2h",
+                                                 min_periods=1)
+
+    def run_fused():
+        return _groll().agg_pairs(
+            {"cnt": ("count", "v"), "sv": ("sum", "v"),
+             "cv": ("corr", "av", "v")}).to_spark().count()
+
+    def run_unfused():
+        return (_groll().count().to_spark().count()
+                + _groll().sum().to_spark().count()
+                + _groll().agg_pairs(
+                    {"cv": ("corr", "av", "v")}).to_spark().count())
+
+    tf = tu = float("inf")
+    for _ in range(3):
+        t0 = time.time(); run_fused(); tf = min(tf, time.time() - t0)
+        t0 = time.time(); run_unfused(); tu = min(tu, time.time() - t0)
+    plan_f = (_groll().agg_pairs(
+        {"cnt": ("count", "v"), "sv": ("sum", "v"),
+         "cv": ("corr", "av", "v")})
+        .to_spark()._jdf.queryExecution().executedPlan().toString())
+    n_win = sum(1 for ln in plan_f.splitlines()
+                if "Window [" in ln and "row_number" not in ln)
+    lines += [
+        "## grouped window fusion: .agg / agg_pairs ride ONE "
+        "Window node (r11)", "",
+        f"groupby(event_type).rolling('2h') over the "
+        f"{n_pg:,}-row distinct-stamp pre-agg (sf0.1 events, "
+        "1-in-7 users), three statistics (count, sum, pairwise "
+        "corr), best-of-3 warm:", "",
+        f"- fused `agg_pairs({{cnt, sv, cv}})`: {tf:.2f}s — "
+        f"{n_win} stats Window node in the executed plan; every "
+        "statistic is an extra expression on the same frame "
+        "(plan-asserted in tests/test_group.py::"
+        "test_grouped_window_agg_faces_r11)",
+        f"- unfused (count() + sum() + corr-only agg_pairs, three "
+        f"calls): {tu:.2f}s — three full group-key shuffle+sort "
+        "passes", "",
+        "_Locally the gap is scheduling/sort overhead; at cluster "
+        "scale the structural difference dominates: each unfused "
+        "statistic re-shuffles the WHOLE table on the group key, "
+        "so a k-statistic feature pipeline pays k table-wide "
+        "exchanges where the fused face pays one. The JVM "
+        "`.agg(['sum','mean','var',...])` face fuses the same way "
+        "(Catalyst folds every moment into one "
+        "windowspecdefinition); order statistics "
+        "(median/rank/skew/...) route the whole request through "
+        "ONE batched mapInPandas pass — one kernel call per "
+        "DISTINCT statistic inside each Arrow batch, still one "
+        "shuffle total._", ""]
+    print("grouped fusion probe:", round(tf, 2), "vs", round(tu, 2),
+          "windows", n_win)
+
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
