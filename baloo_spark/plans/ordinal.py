@@ -82,8 +82,13 @@ def with_boundary_shifts(sdf: DataFrame, cols: dict, periods: int,
         return out
     k = abs(periods)
     if order_by:
-        n = max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
-        sdf = (sdf.repartitionByRange(n, *order_by)
+        # no explicit partition count (r11): REPARTITION_BY_COL is
+        # AQE-coalescible, so a kilobyte-sized input lands in one
+        # partition (one task per two-pass job instead of 32) while
+        # large inputs keep spark.sql.shuffle.partitions — the
+        # scale-adaptive layout; an explicit n is exempt from AQE
+        # coalescing and pinned 32 tasks on every tiny window table.
+        sdf = (sdf.repartitionByRange(*order_by)
                .sortWithinPartitions(*order_by))
     sdf = (sdf.select("*", *[c.alias(f"__sv_{o}__")
                              for o, c in prepared.items()])
@@ -159,8 +164,8 @@ def with_dense_ordinal(sdf: DataFrame, order_by: list | None = None,
     the global order; None = current ingest/partition order.
     """
     if order_by:
-        n = max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
-        sdf = sdf.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
+        # AQE-coalescible range layout (see with_boundary_shifts)
+        sdf = sdf.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
 
     sdf = sdf.withColumn("__mid__", F.monotonically_increasing_id())
     sdf = sdf.withColumn("__pid__", F.spark_partition_id())
@@ -206,8 +211,8 @@ def _range_layout(sdf: DataFrame, order_by: list | None) -> DataFrame:
     see identical partitioning; see with_dense_ordinal's note on
     checkpoint-vs-persist)."""
     if order_by:
-        n = max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
-        sdf = (sdf.repartitionByRange(n, *order_by)
+        # AQE-coalescible range layout (see with_boundary_shifts)
+        sdf = (sdf.repartitionByRange(*order_by)
                .sortWithinPartitions(*order_by))
     return (sdf.withColumn("__mid__", F.monotonically_increasing_id())
             .withColumn("__pid__", F.spark_partition_id())

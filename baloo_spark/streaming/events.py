@@ -26,6 +26,9 @@ EVENTS_SCHEMA = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
 _RAW_SCHEMA = ("event_id LONG, ts LONG, user_id LONG, "
                "event_type STRING, value DOUBLE, props STRING")
 
+# session-constant schema memo for load_events (see docstring)
+_LOAD_EVENTS_SCHEMA: dict = {}
+
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table, normalizing ``ts`` to a microsecond
@@ -42,7 +45,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    # schema memo (r11): a bare read pays a footer schema-inference
+    # job per call; the schema is session-constant metadata, so cache
+    # it and skip the job on re-reads (data is still scanned fresh)
+    key = (id(spark), path)
+    sch = _LOAD_EVENTS_SCHEMA.get(key)
+    if sch is not None:
+        raw = spark.read.schema(sch).parquet(path)
+    else:
+        raw = spark.read.parquet(path)
+        _LOAD_EVENTS_SCHEMA[key] = raw.schema
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         return raw.withColumn(
