@@ -3530,7 +3530,6 @@ def _text_metrics(spark, sf):
     from baloo_spark.plans.layout import spread
     docs = spread(_t(spark, sf, "documents").select("doc_id", "text")) \
         .localCheckpoint()
-    prof = text_profile(docs, include_repetition=True)
     bench = docs.where(F.col("doc_id") % 20 == 0)
     cont = contamination_check(docs, bench, n=5, threshold=0.2)
 
@@ -3539,30 +3538,52 @@ def _text_metrics(spark, sf):
     # 30th doc gets a deterministic menu suffix and every 25th a
     # deterministic contact line (both replayed verbatim by the
     # oracle). The operators then do their real work on varied input.
+    #
+    # r11: the profile / boilerplate / PII branches are all per-row
+    # projections that PRESERVE their input columns, so they CHAIN
+    # over one scan of the checkpoint instead of being computed
+    # separately and joined back on doc_id — 3 of the 4 corpus
+    # passes and 2 of the 3 doc_id-keyed join shuffles removed
+    # (guide §2.4); only the contamination branch keeps its join
+    # (its per-doc overlap needs the explode+agg pass). Identical
+    # rows/columns: the seeded texts ride as extra columns.
     menu = F.concat(F.col("text"),
                     F.lit("\nHome\nAbout\nContact Us\nLogin"))
-    seeded_bp = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 30 == 0, menu)
-        .otherwise(F.col("text")).alias("text"))
-    bp = boilerplate_scores(seeded_bp).select(
-        "doc_id", F.col("n_lines").alias("bp_n_lines"),
-        "avg_line_len", "short_line_frac", "stop_end_frac",
-        "caps_start_frac", "boilerplate_score")
-
     contact = F.concat(
         F.col("text"),
         F.lit(" contact john@example.com or call 555-123-4567"))
-    seeded_pii = docs.select(
-        "doc_id",
+    seeded = docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 30 == 0, menu)
+        .otherwise(F.col("text")).alias("__bp_text__"),
         F.when(F.col("doc_id") % 25 == 0, contact)
-        .otherwise(F.col("text")).alias("text"))
-    pii = pii_redact(seeded_pii).select(
-        "doc_id", "n_email", "n_ipv4", "n_card", "n_phone",
-        "n_pii_total", F.md5(F.col("text")).alias("pii_md5"))
+        .otherwise(F.col("text")).alias("__pii_text__"))
+    bp = boilerplate_scores(seeded, text_col="__bp_text__") \
+        .withColumnRenamed("n_lines", "bp_n_lines") \
+        .drop("__bp_text__")
+    pii = pii_redact(bp, text_col="__pii_text__")
+    carry = ("bp_n_lines", "avg_line_len", "short_line_frac",
+             "stop_end_frac", "caps_start_frac", "boilerplate_score",
+             "n_email", "n_ipv4", "n_card", "n_phone", "n_pii_total",
+             "__pii_text__")
+    prof = text_profile(pii, include_repetition=True, keep_cols=carry)
 
-    return (prof.join(cont, "doc_id").join(bp, "doc_id")
-            .join(pii, "doc_id"))
+    return prof.join(cont, "doc_id").select(
+        "doc_id",
+        # profile family
+        "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio",
+        "upper_ratio", "quality_score", "lang_pred", "lang_hits",
+        "n_subtokens", "n_chars_measured", "fingerprint", "norm_len",
+        "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_5gram_char_frac", "top_2gram_char_frac",
+        # contamination family (the one remaining join)
+        "n_grams", "n_overlap", "overlap_frac", "is_contaminated",
+        # boilerplate family
+        "bp_n_lines", "avg_line_len", "short_line_frac",
+        "stop_end_frac", "caps_start_frac", "boilerplate_score",
+        # PII family
+        "n_email", "n_ipv4", "n_card", "n_phone", "n_pii_total",
+        F.md5(F.col("__pii_text__")).alias("pii_md5"))
 
 
 _TEXT_METRICS_SQL_QUALITY = """

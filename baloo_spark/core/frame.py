@@ -5160,7 +5160,6 @@ class _Resampler:
         return DataFrame._make(out, [on], num, [(on, True)])
 
     def _agg(self, name: str):
-        import pandas as pd
 
         if self._cal:
             return self._agg_calendar(name)
@@ -5176,17 +5175,22 @@ class _Resampler:
                            *num)
                 .groupBy("__bkt__").agg(*aggs))
         num = ocols
-        rng = aggd.agg(F.min("__bkt__").alias("mn"),
-                       F.max("__bkt__").alias("mx")).first()
-        if rng["mn"] is None:
-            out = aggd.withColumnRenamed("__bkt__", on)
-            return DataFrame._make(out, [on], num, None)
-        mn_us = pd.Timestamp(rng["mn"]).value // 1000
-        mx_us = pd.Timestamp(rng["mx"]).value // 1000
-        nb = (mx_us - mn_us) // us + 1
-        grid = sdf.sparkSession.range(int(nb)).select(
-            F.timestamp_micros(F.lit(mn_us) + F.col("id") * F.lit(us))
-            .alias("__bkt__"))
+        # LAZY gap-bucket grid (r11): explode(sequence(min, max)) over
+        # a scalar re-aggregation of the SAME bucket aggregate — the
+        # bucket exchange is deduped by ReuseExchange, so the input is
+        # scanned once and the old eager min/max `.first()` (one extra
+        # driver job AND a second full input pass per invocation) is
+        # gone. A null min (empty input) makes sequence NULL, explode
+        # yields zero grid rows, and the left join is empty — the same
+        # rows the eager empty-input short-circuit produced.
+        rngdf = aggd.agg(
+            F.unix_micros(F.min("__bkt__")).alias("__mn__"),
+            F.unix_micros(F.max("__bkt__")).alias("__mx__"))
+        grid = rngdf.select(
+            F.explode(F.sequence(F.col("__mn__"), F.col("__mx__"),
+                                 F.lit(int(us)))).alias("__gus__")) \
+            .select(F.timestamp_micros(F.col("__gus__"))
+                    .alias("__bkt__"))
         out = grid.join(aggd, "__bkt__", "left")
         if name in ("sum", "count", "size", "nunique", "prod"):
             # pandas fills these gap buckets with the agg identity

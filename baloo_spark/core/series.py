@@ -3375,6 +3375,108 @@ class _Rolling:
 _TR_BROADCAST_MAX_ROWS = 200_000
 
 
+def _tr_driver_prefix_face(sdf, tcol, vals: dict, window_us: int,
+                           need_sq: bool):
+    """ONE-JOB fast face of :func:`_time_roll_multi` for bounded
+    DISTINCT-STAMP inputs: collect (t, values) once (bounded by
+    ``_TR_BROADCAST_MAX_ROWS`` via limit), compute every prefix
+    column AND its as-of ``_right`` twin with numpy on the driver
+    (sequential float64 cumsum — the same accumulation order as the
+    single-slice running window), broadcast the per-stamp arrays,
+    and attach them in one mapInPandas keyed by the stamp.
+
+    Replaces the general scheme's ~8 scheduling-bound driver jobs
+    (range-layout sampling + checkpoint + totals collect + prefix
+    window + broadcast-lookup collect) with ONE bounded collect —
+    measured 2.5s -> sub-second on the events_window per-stamp legs
+    at sf0.1. Returns the joined-equivalent frame (same helper
+    column names/types as the general path: ``__pr__``/``__pc_*__``
+    LONG, ``__ps_*__``/``__pq_*__`` nullable DOUBLE, all ``_right``
+    twins nullable DOUBLE) or ``None`` when a precondition fails —
+    more rows than the budget, a NULL stamp, or duplicate stamps
+    (whose positional tie rule needs the general scheme). The input
+    plan is evaluated twice (bounded collect + the exec pass); the
+    callers feed pre-aggregated, checkpoint-backed tables where
+    that re-evaluation is a cheap cached read."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    budget = _TR_BROADCAST_MAX_ROWS
+    micros = F.unix_micros(F.col(tcol).cast("timestamp"))
+    sel = [micros.alias("__t__")] + [
+        c.cast("double").alias(f"__v_{t}__") for t, c in vals.items()]
+    rows = sdf.select(sel).limit(budget + 1).collect()
+    n = len(rows)
+    if n == 0 or n > budget:
+        return None
+    t_list = [r["__t__"] for r in rows]
+    if any(t is None for t in t_list):
+        return None
+    t_arr = np.array(t_list, dtype=np.int64)
+    order = np.argsort(t_arr, kind="stable")
+    t_sorted = t_arr[order]
+    if n > 1 and bool(np.any(t_sorted[1:] <= t_sorted[:-1])):
+        return None  # duplicate stamps: positional tie rule
+    prefixes: dict = {"__pr__": (np.arange(1, n + 1, dtype=np.int64),
+                                 "long")}
+    for t in vals:
+        v = np.array([np.nan if r[f"__v_{t}__"] is None
+                      else r[f"__v_{t}__"] for r in rows],
+                     dtype=np.float64)[order]
+        valid = ~np.isnan(v)
+        pc = np.cumsum(valid).astype(np.int64)
+        # running SUM skips NULLs and is NULL until the first
+        # non-null (general-face parity): adding 0.0 for a null row
+        # is exact, the mask reproduces the NULL head
+        ps = np.where(pc > 0, np.cumsum(np.where(valid, v, 0.0)),
+                      np.nan)
+        prefixes[f"__ps_{t}__"] = (ps, "double")
+        prefixes[f"__pc_{t}__"] = (pc, "long")
+        if need_sq:
+            pq = np.where(pc > 0,
+                          np.cumsum(np.where(valid, v * v, 0.0)),
+                          np.nan)
+            prefixes[f"__pq_{t}__"] = (pq, "double")
+    # as-of subtrahend: last stamp <= t - offset (window open-left)
+    ix = np.searchsorted(t_sorted, t_sorted - int(window_us),
+                         side="right") - 1
+    miss = ix < 0
+    safe = np.clip(ix, 0, None)
+    rights = {}
+    for k, (arr, _) in prefixes.items():
+        rv = arr[safe].astype(np.float64)
+        rv[miss] = np.nan
+        rights[f"{k}_right"] = rv
+    bcast = sdf.sparkSession.sparkContext.broadcast(
+        (t_sorted, prefixes, rights))
+    left = sdf.withColumn("__t__", micros)
+    fields = list(left.schema.fields)
+    for k, (_, kind) in prefixes.items():
+        fields.append(T.StructField(
+            k, T.LongType() if kind == "long" else T.DoubleType()))
+    for k in rights:
+        fields.append(T.StructField(k, T.DoubleType()))
+    out_schema = T.StructType(fields)
+
+    def gen(batches):
+        b_t, b_p, b_r = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = np.searchsorted(b_t,
+                                  pdf["__t__"].to_numpy(dtype=np.int64))
+            for k, (arr, kind) in b_p.items():
+                col = arr[pos]
+                pdf[k] = col if kind == "long" \
+                    else pd.array(col, dtype="Float64")
+            for k, rv in b_r.items():
+                pdf[k] = pd.array(rv[pos], dtype="Float64")
+            yield pdf
+
+    return left.mapInPandas(gen, out_schema)
+
+
 def _tr_broadcast_lookup(left, out, micros, keys: list):
     """Broadcast face of the time-roll as-of subtrahend (see
     :func:`_time_roll_multi`): collect the positionally-last prefix
@@ -3455,21 +3557,31 @@ def _time_roll_multi(sdf, tcol, order, vals: dict, window_us: int,
         specs[f"__pc_{t}__"] = (col, "count")
         if need_sq:
             specs[f"__pq_{t}__"] = (v * v, "sum")
-    out, totals = with_prefix_aggs(sdf, specs, order,
-                                   return_stats=True)
-    n_rows = int(totals.get("__pr__") or 0)
-    micros = F.unix_micros(F.col(tcol).cast("timestamp"))
-    left = out.withColumn("__tw__", micros - F.lit(int(window_us)))
-    if n_rows <= _TR_BROADCAST_MAX_ROWS:
-        j = _tr_broadcast_lookup(left, out, micros, list(specs))
-    else:
-        right = (out.groupBy(micros.alias("__tw__"))
-                 .agg(F.max_by(F.struct(*[F.col(k) for k in specs]),
-                               F.col("__pr__")).alias("__s__"))
-                 .select("__tw__", *[F.col(f"__s__.{k}").alias(k)
-                                     for k in specs]))
-        j = asof_join(left, right, on="__tw__",
-                      right_cols=list(specs))
+    # r11 driver fast face: bounded distinct-stamp inputs skip the
+    # whole distributed prefix scheme (one bounded collect instead
+    # of ~8 layout/collect jobs) — see _tr_driver_prefix_face; a
+    # None return (too many rows / duplicate stamps / null stamps)
+    # falls through to the partition-safe general machinery below.
+    j = _tr_driver_prefix_face(sdf, tcol, vals, window_us, need_sq)
+    if j is None:
+        out, totals = with_prefix_aggs(sdf, specs, order,
+                                       return_stats=True)
+        n_rows = int(totals.get("__pr__") or 0)
+        micros = F.unix_micros(F.col(tcol).cast("timestamp"))
+        left = out.withColumn("__tw__",
+                              micros - F.lit(int(window_us)))
+        if n_rows <= _TR_BROADCAST_MAX_ROWS:
+            j = _tr_broadcast_lookup(left, out, micros, list(specs))
+        else:
+            right = (out.groupBy(micros.alias("__tw__"))
+                     .agg(F.max_by(F.struct(*[F.col(k)
+                                              for k in specs]),
+                                   F.col("__pr__")).alias("__s__"))
+                     .select("__tw__",
+                             *[F.col(f"__s__.{k}").alias(k)
+                               for k in specs]))
+            j = asof_join(left, right, on="__tw__",
+                          right_cols=list(specs))
 
     def S(o, zero=0.0):
         return F.col(o) - F.coalesce(F.col(f"{o}_right"), F.lit(zero))
@@ -3483,7 +3595,7 @@ def _time_roll_multi(sdf, tcol, order, vals: dict, window_us: int,
         gate = rrows if gate_on_rows else rcnt
         exprs[t] = F.when(gate >= mp if mp > 0 else F.lit(True),
                           builder(rsum, rcnt, rsq)).cast("double")
-    helpers = (["__tw__", "matched___tw__"] + list(specs)
+    helpers = (["__tw__", "matched___tw__", "__t__"] + list(specs)
                + [f"{k}_right" for k in specs])
     return j, exprs, helpers
 
