@@ -164,6 +164,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     h = xxhash64. Entirely array expressions — one narrow map stage.
     """
     shdf = _shingled(_parallelize(df), text_col, id_col, n, shingle)
+    return _minhash_sigs_from_shingles(shdf, id_col, k)
+
+
+def _minhash_sigs_from_shingles(shdf: DataFrame, id_col: str,
+                                k: int) -> DataFrame:
+    """Signature fold over an existing (id, shingle-array) table —
+    split out (r11) so minhash_lsh_pairs can feed the SAME
+    checkpointed shingle table to the fold and to both verify joins
+    instead of re-shingling the corpus three times."""
     # reduce shingle hashes to 31 bits: (31b a) * (31b h) + (31b b)
     # stays under 2^63, overflow-safe under ANSI mode. The hash array
     # is materialized as its own projection: lambda subtrees defeat
@@ -203,7 +212,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     shingle Jaccard for candidates and filters by ``threshold``.
     """
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, n, shingle)
+    # ONE shingle pass (r11): the signature fold and the two verify
+    # joins used to build three separate _shingled plan instances —
+    # Spark will not collapse them (no ReusedExchange across
+    # instances under AQE), so the tokenize+shingle pipeline ran 3x
+    # per invocation. One lazily-checkpointed shingle table feeds
+    # all three (guide §2.4; the same trade ngram_jaccard_pairs
+    # already makes for its four instances).
+    sh = _shingled(_parallelize(df), text_col, id_col, n, shingle) \
+        .localCheckpoint(eager=False)
+    sigs = _minhash_sigs_from_shingles(sh, id_col, k)
     # band key = xxhash64 over the band's r signature slots directly
     # (multi-arg xxhash64 mixes natively — no per-band string concat/
     # allocation, which halved banding cost vs concat_ws)
@@ -239,7 +257,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     if not verify:
         return cand
 
-    sh = _shingled(df, text_col, id_col, n, shingle)
     out = (cand
            .join(sh.withColumnRenamed(id_col, "id_a")
                  .withColumnRenamed("sh", "sh_a"), "id_a")

@@ -62,11 +62,24 @@ class BigramLM:
     ``bigrams``: (w1, w2, c12) — distinct observed pairs only.
     ``unigrams``: (w1, c1) — context counts (all positions but the
     last of each doc, so sum(c12 | w1) == c1 exactly).
-    ``vocab_size``: distinct tokens (eager int — one tiny job).
+    ``vocab``: LAZY 1-row (__v__ BIGINT) distinct-token count — r11:
+    the count used to run as an eager full-corpus job at train time;
+    keeping it lazy lets :func:`perplexity` fold the pass into the
+    scoring query (broadcast cross-join), where it overlaps the other
+    stages instead of blocking plan construction (guide §2.6).
+    ``vocab_size`` still reads as an int (cached on first access) for
+    callers that need the scalar.
     """
     bigrams: DataFrame
     unigrams: DataFrame
-    vocab_size: int
+    vocab: DataFrame
+    _vocab_size: int | None = None
+
+    @property
+    def vocab_size(self) -> int:
+        if self._vocab_size is None:
+            self._vocab_size = int(self.vocab.first()["__v__"])
+        return self._vocab_size
 
 
 def train_bigram_lm(df: DataFrame, text_col: str = "text",
@@ -97,9 +110,8 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
     unigrams = bigrams.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"))
     vocab = pre.select(F.explode("__t__").alias("w")) \
-        .agg(F.count_distinct("w").alias("v")).first()["v"]
-    return BigramLM(bigrams=bigrams, unigrams=unigrams,
-                    vocab_size=int(vocab))
+        .agg(F.count_distinct("w").alias("__v__"))
+    return BigramLM(bigrams=bigrams, unigrams=unigrams, vocab=vocab)
 
 
 def perplexity(df: DataFrame, lm: BigramLM, text_col: str = "text",
@@ -121,17 +133,21 @@ def perplexity(df: DataFrame, lm: BigramLM, text_col: str = "text",
     LEFT join context counts on w1 (broadcast: vocab-sized) -> one
     groupBy(id_col). No correlated work, no Python.
     """
-    v = int(lm.vocab_size)
     tk = (F.col(tokens_col) if tokens_col is not None
           else _toks(text_col))
     pre = spread(df).select(F.col(id_col), tk.alias("__t__"))
     rows = pre.select(id_col, F.explode_outer(_pairs("__t__")).alias("p")) \
         .select(id_col, "p.w1", "p.w2")
+    # the vocab scalar rides as a broadcast 1-row cross join (r11) so
+    # the distinct-token pass is part of THIS query — overlapped with
+    # the explode/join stages — instead of an eager train-time job
     scored = (rows
               .join(lm.bigrams, ["w1", "w2"], "left")
-              .join(F.broadcast(lm.unigrams), ["w1"], "left"))
+              .join(F.broadcast(lm.unigrams), ["w1"], "left")
+              .crossJoin(F.broadcast(lm.vocab)))
     logp = F.log((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
-                 / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * v)))
+                 / (F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(alpha) * F.col("__v__")))
     per_doc = (scored
                .withColumn("__lp__",
                            F.when(F.col("w1").isNull(), None)
