@@ -1806,15 +1806,20 @@ def _running_totals(spark, sf):
     o2 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
-    s = o2["o_totalprice"]
-    o2["price_diff"] = s.diff()
-    o2["prev_price"] = s.shift(1)
+    # r11: each op re-selects the value column from the CURRENT
+    # frame, so every assignment rides the __setitem__ adopt fast
+    # path (row-preserving tagged ops; frame.py) — a captured Series
+    # pins the ops to a stale sdf and each assignment pays the
+    # ~12-job positional re-alignment instead. Identical values: the
+    # value column is never overwritten.
+    o2["price_diff"] = o2["o_totalprice"].diff()
+    o2["prev_price"] = o2["o_totalprice"].shift(1)
     # r8: fixed-window order statistics through the local-carry pass
     # (plans/ordinal.with_rolling_locals — pandas C kernels over one
     # frozen range layout), replayed by DuckDB median()/min() window
     # frames with the min_periods count gate
-    o2["roll5_med"] = s.rolling(5).median()
-    o2["roll5_min"] = s.rolling(5, min_periods=2).min()
+    o2["roll5_med"] = o2["o_totalprice"].rolling(5).median()
+    o2["roll5_min"] = o2["o_totalprice"].rolling(5, min_periods=2).min()
     # r9: GLOBAL expanding median — the budgeted single-partition
     # pandas pass (core/series._Expanding._order_stat), replayed by
     # DuckDB's median() over ROWS UNBOUNDED PRECEDING. Both sides
@@ -1822,7 +1827,7 @@ def _running_totals(spark, sf):
     # the average of two of them — exactly X.XX5 — and round(.., 2)
     # of a midpoint is a half-even-vs-half-up coin flip across
     # engines; the doubled value is exactly 2-decimal, no midpoint.
-    o2["exp_med"] = s.expanding(1).median() * 2.0
+    o2["exp_med"] = o2["o_totalprice"].expanding(1).median() * 2.0
     o2r = o2.with_rolling("o_totalprice", 3, order_by="o_orderkey",
                           agg="sum", name="roll3_sum")
     diff = o2r.to_spark().select(
@@ -1891,12 +1896,12 @@ def _running_totals(spark, sf):
     o4 = o[o["o_orderkey"] < 2000][["o_custkey", "o_orderkey",
                                     "o_totalprice"]] \
         .sort_values("o_orderkey")
-    s4 = o4["o_totalprice"]
-    o4["ewm_adj"] = s4.ewm(alpha=0.5).mean()
-    o4["ewm_rec"] = s4.ewm(alpha=0.5, adjust=False).mean()
-    o4["roll3m"] = s4.rolling(3).mean()
-    o4["ewm_var"] = s4.ewm(alpha=0.5).var()
-    o4["ewm_var_rec"] = s4.ewm(alpha=0.5, adjust=False).var()
+    # re-select per op: adopt fast path, see the 'diff' leg note
+    o4["ewm_adj"] = o4["o_totalprice"].ewm(alpha=0.5).mean()
+    o4["ewm_rec"] = o4["o_totalprice"].ewm(alpha=0.5, adjust=False).mean()
+    o4["roll3m"] = o4["o_totalprice"].rolling(3).mean()
+    o4["ewm_var"] = o4["o_totalprice"].ewm(alpha=0.5).var()
+    o4["ewm_var_rec"] = o4["o_totalprice"].ewm(alpha=0.5, adjust=False).var()
     ewm_leg = o4.to_spark().select(
         F.lit("ewm").alias("part"),
         "o_custkey", "o_orderkey",

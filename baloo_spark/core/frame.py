@@ -248,7 +248,15 @@ class DataFrame:
                                    [c for c in _sdf.columns
                                     if c not in self._index_cols and c not in _RESERVED])
             self._order = _order
-            self._lineage = {id(_sdf)}
+            # mutation lineage: maps id(sdf) -> sdf for every plan this
+            # frame has owned. The VALUES are strong references on
+            # purpose — a bare id-set lets CPython recycle a dead
+            # plan's address for a brand-new unrelated DataFrame, and
+            # `id(x) in lineage` then mis-resolves foreign column
+            # expressions (observed: a rolling helper plan allocated
+            # at a dead frame sdf's address made __setitem__ take the
+            # withColumn branch and fail analysis on __roll__).
+            self._lineage = {id(_sdf): _sdf}
             return
         import pandas as pd
 
@@ -295,7 +303,7 @@ class DataFrame:
         self._index_cols = index_cols or [ORD_COL]
         self._data_cols = [c for c in pdf.columns if c not in index_cols]
         self._order = [(ORD_COL, True)]
-        self._lineage = {id(sdf)}
+        self._lineage = {id(sdf): sdf}  # see the ctor note: strong refs
 
     # ---------------------------------------------------------------- infra
 
@@ -878,6 +886,24 @@ class DataFrame:
         if isinstance(value, Series):
             if value._sdf is self._sdf or id(value._sdf) in self._lineage:
                 sdf = self._sdf.withColumn(key, value._colexpr)
+            elif (getattr(value, "_rowpar_src", None) is self._sdf
+                  and all(c in value._sdf.columns
+                          for c in self._sdf.columns)):
+                # r11 adopt fast path: the Series is a ROW-PRESERVING
+                # derivation of THIS frame's current sdf that kept
+                # every frame column (shift/diff/cumsum/rolling/
+                # expanding/ewm op faces tag themselves via
+                # _rowpar_src). Each output row carries the op value
+                # computed FOR that row, so assignment is a plain
+                # projection — no dense-ordinal layout, no positional
+                # join, zero eager jobs (the general path below pays
+                # ~12 layout/carry jobs per assignment, measured at
+                # sf0.1).
+                sel = [value._colexpr.alias(key) if c == key
+                       else F.col(c) for c in self._sdf.columns]
+                if key not in self._sdf.columns:
+                    sel.append(value._colexpr.alias(key))
+                sdf = value._sdf.select(*sel)
             else:
                 right, alias = value._select("__new_val__")
                 on = [c for c in self._index_cols if c in right.columns]
@@ -914,7 +940,7 @@ class DataFrame:
         data_cols = self._data_cols + ([key] if key not in self._data_cols else [])
         self._sdf = sdf
         self._data_cols = data_cols
-        self._lineage.add(id(sdf))
+        self._lineage[id(sdf)] = sdf
 
     # ----------------------------------------------------- arithmetic (all cols)
 
@@ -5781,7 +5807,7 @@ def _finish_cond_set(df, work, sdf, cond, helpers, cols):
     new = [c for c in cols if c not in df._data_cols]
     df._sdf = sdf
     df._data_cols = df._data_cols + new
-    df._lineage.add(id(sdf))
+    df._lineage[id(sdf)] = sdf
 
 
 class _FrameAt:

@@ -146,9 +146,29 @@ class Series:
         return cls(_sdf=sdf, _col=col, _index_cols=index_cols, name=name,
                    _order=order)
 
+    # r11: the source frame sdf when this Series' own sdf is a
+    # ROW-PRESERVING derivation of it that retains every source column
+    # (the ordinal-machinery op faces: shift/diff/cumsum/rank/rolling/
+    # expanding/ewm). DataFrame.__setitem__ uses it to adopt the op's
+    # output with a plain projection instead of re-running the dense-
+    # ordinal layout on both sides for a positional join (guide §1.2:
+    # the jobs the layout pays exist to align two UNRELATED plans;
+    # a same-plan derivation needs none of them). Held as a strong
+    # reference (not an id): id() of a collected sdf can be reused by
+    # a later allocation, which would mis-fire the adopt onto an
+    # unrelated frame.
+    _rowpar_src = None
+
+    def _tag_rowpar(self, src_sdf) -> "Series":
+        self._rowpar_src = src_sdf
+        return self
+
     def _with_col(self, col: Column, name=None) -> "Series":
-        return Series._make(self._sdf, col, self._index_cols,
-                            name if name is not None else self.name, self._order)
+        out = Series._make(self._sdf, col, self._index_cols,
+                           name if name is not None else self.name,
+                           self._order)
+        out._rowpar_src = self._rowpar_src  # same sdf => same ancestry
+        return out
 
     def _swap_in(self, new: "Series"):
         """In-place adoption hook for the setter faces (r11): the
@@ -2256,7 +2276,7 @@ class Series:
                 F.when(F.col("__smk__").isNull(), F.lit(fill_value))
                 .otherwise(F.col("__shift__"))).drop("__smk__")
         return Series._make(out, F.col("__shift__"), self._index_cols,
-                            self.name, self._order)
+                            self.name, self._order)._tag_rowpar(sdf)
 
     def diff(self, periods: int = 1) -> "Series":
         """self - self.shift(periods) in one window pass."""
@@ -2279,7 +2299,7 @@ class Series:
         cum = F.when(self._colexpr.isNull(), F.lit(None)) \
             .otherwise(F.col("__cum__"))
         return Series._make(out, cum, self._index_cols,
-                            self.name, self._order)
+                            self.name, self._order)._tag_rowpar(sdf)
 
     def cumsum(self) -> "Series":
         """Cumulative sum along the logical order (pandas flavor;
@@ -2509,7 +2529,7 @@ class Series:
                 (F.col("__rank__") / F.col("__nn__")).cast("double")) \
                 .drop("__nn__")
         return Series._make(out, F.col("__rank__"), self._index_cols,
-                            self.name, self._order)
+                            self.name, self._order)._tag_rowpar(self._sdf)
 
     def quantile(self, q, approx: bool = False,
                  accuracy: int = 10000,
@@ -3137,7 +3157,7 @@ class _Rolling:
             .drop(*helpers)
         sr = self._sr
         return Series._make(out, F.col("__roll__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sr._sdf)
 
     def sum(self) -> "Series":
         if self._center:
@@ -3191,7 +3211,7 @@ class _Rolling:
                                   self._window, stat, order or None,
                                   self._mp, center=self._center, **kw)
         return Series._make(out, F.col("__roll__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sdf)
 
     def min(self) -> "Series":
         return self._local("min")
@@ -4079,7 +4099,7 @@ class _TimeEWM:
         out = with_ewm_mean_times(sdf, sr._colexpr, times, self._us,
                                   order, self._mp)
         return Series._make(out, F.col("__ewm__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sdf)
 
 
 class _EWM:
@@ -4105,7 +4125,7 @@ class _EWM:
         out = scan(sdf, sr._colexpr, self._alpha,
                    order or None, self._mp, self._ignore_na)
         return Series._make(out, F.col("__ewm__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sdf)
 
     def _stat(self, stat: str, bias: bool = False) -> "Series":
         """sum/var/std. adjust=True rides the four-decayed-sums scan
@@ -4216,7 +4236,7 @@ class _Expanding:
         out = out.withColumn("__exp__", expr.cast("double")) \
             .drop(*specs)
         return Series._make(out, F.col("__exp__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sdf)
 
     def _v(self):
         return self._sr._colexpr.cast("double")
