@@ -263,7 +263,16 @@ def test_frame_ewm_single_range_layout(spark, bl, monkeypatch):
     interpolate: 3 layouts -> 1 cut 16x-scale time 30s -> 11s). The
     layout's checkpoint hides its Exchange from the final plan, so
     the invariant is pinned at the _range_layout call site; the
-    emitted plan must also stay free of single-partition collapses."""
+    emitted plan must also stay free of single-partition collapses.
+
+    r11 update: the layout dropped its explicit partition count so
+    AQE sizes the range exchange (kilobyte inputs coalesce to 1
+    partition, large inputs keep spark.sql.shuffle.partitions). A
+    coalesced-to-1 tiny layout is therefore EXPECTED here; the
+    scale invariant is pinned by (a) no forced Exchange
+    SinglePartition in the plan and (b) the same layout distributing
+    across spark.sql.shuffle.partitions when AQE coalescing is
+    disabled — i.e. the count is AQE-derived, not hard-coded."""
     from baloo_spark.plans import ordinal
 
     calls = {"n": 0}
@@ -291,4 +300,14 @@ def test_frame_ewm_single_range_layout(spark, bl, monkeypatch):
             "for 3 columns — the fused scan must build exactly one"
         p = plan_of(sdf)
         assert "Exchange SinglePartition" not in p
+        assert sdf.rdd.getNumPartitions() >= 1
+    # scale-adaptivity: with AQE coalescing off, the SAME build must
+    # honor spark.sql.shuffle.partitions (no hard-coded count)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        sdf = three.ewm(alpha=0.4).mean().to_spark()
         assert sdf.rdd.getNumPartitions() > 1
+    finally:
+        spark.conf.set(key, old)
