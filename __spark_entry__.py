@@ -626,64 +626,82 @@ def _q11_q20_value_share(spark, sf):
     shuffle once on l_partkey; the scalar total is a 1-row job."""
     import baloo_spark as bl
     li = _bl(spark, sf, "lineitem")
-    n = _bl(spark, sf, "nation")
-    r = _bl(spark, sf, "region")
-    # ---- Q11 leg
-    nasia = n.merge(r[r["r_name"] == "ASIA"][["r_regionkey"]],
-                    how="semi", left_on="n_regionkey",
-                    right_on="r_regionkey", broadcast_other=True) \
-        .reset_index()
-    sasia = _bl(spark, sf, "supplier")[["s_suppkey", "s_nationkey"]] \
-        .merge(nasia[["n_nationkey"]], how="semi",
-               left_on="s_nationkey", right_on="n_nationkey",
-               broadcast_other=True).reset_index()
-    li11 = li[["l_partkey", "l_suppkey", "l_quantity"]] \
-        .merge(sasia[["s_suppkey"]], how="semi", left_on="l_suppkey",
-               right_on="s_suppkey", broadcast_other=True).reset_index()
-    pv = li11.groupby("l_partkey").agg({"l_quantity": ["sum"]}) \
-        .reset_index().rename({"l_quantity_sum": "value"})
-    # r11: the global total is the SUM OF THE PER-PART SUMS (exact:
-    # integer-valued quantities), so derive it from a checkpointed
-    # part-cardinality aggregate instead of a second full
-    # lineitem pass — 2 fact scans -> 1 (guide §1.2); the eager
-    # scalar job now reads the tiny cached aggregate.
-    pv = bl.DataFrame.from_spark(pv.to_spark().localCheckpoint())
-    total = pv["value"].sum()  # eager scalar (exact: int-valued)
-    imp = pv[pv["value"] > total * 0.002]
-    q11 = imp.to_spark().select(
-        F.lit("q11").alias("kind"),
-        F.col("l_partkey").cast("long").alias("key"),
-        F.lit(None).cast("string").alias("name"),
-        F.round("value", 2).alias("value"))
-    # ---- Q20 leg
-    p = _bl(spark, sf, "part")
-    pred = p[p["p_name"].str.contains("red")][["p_partkey"]]
-    lir = li[["l_partkey", "l_suppkey", "l_quantity"]] \
-        .merge(pred, how="semi", left_on="l_partkey",
-               right_on="p_partkey", broadcast_other=True).reset_index()
-    bysupp = lir.groupby(["l_partkey", "l_suppkey"]) \
-        .agg({"l_quantity": ["sum"]}).reset_index() \
-        .rename({"l_quantity_sum": "supp_qty"})
-    # r11: per-part totals are the ROLLUP of the per-(part,supp) sums
-    # (exact: integer-valued quantities) — derive bypart from the
-    # checkpointed pair-cardinality aggregate instead of a second
-    # semi-joined lineitem pass (2 fact scans -> 1, guide §1.2)
-    bysupp = bl.DataFrame.from_spark(bysupp.to_spark().localCheckpoint())
-    bypart = bysupp[["l_partkey", "supp_qty"]].groupby("l_partkey") \
-        .agg({"supp_qty": ["sum"]}) \
-        .reset_index().rename({"supp_qty_sum": "part_qty"})
-    m = bysupp.merge(bypart, how="inner", on="l_partkey").reset_index()
-    big = m[m["supp_qty"] > m["part_qty"] * 0.15][["l_suppkey"]] \
-        .drop_duplicates(keep="any").reset_index()
-    sup = big.merge(_bl(spark, sf, "supplier")[["s_suppkey", "s_name"]],
-                    how="inner", left_on="l_suppkey",
-                    right_on="s_suppkey", broadcast_other=True) \
-        .reset_index()
-    q20 = sup.to_spark().select(
-        F.lit("q20").alias("kind"),
-        F.col("l_suppkey").cast("long").alias("key"),
-        F.col("s_name").alias("name"),
-        F.lit(None).cast("double").alias("value"))
+
+    def _q11_leg():
+        n = _bl(spark, sf, "nation")
+        r = _bl(spark, sf, "region")
+        nasia = n.merge(r[r["r_name"] == "ASIA"][["r_regionkey"]],
+                        how="semi", left_on="n_regionkey",
+                        right_on="r_regionkey", broadcast_other=True) \
+            .reset_index()
+        sasia = _bl(spark, sf, "supplier")[["s_suppkey", "s_nationkey"]] \
+            .merge(nasia[["n_nationkey"]], how="semi",
+                   left_on="s_nationkey", right_on="n_nationkey",
+                   broadcast_other=True).reset_index()
+        li11 = li[["l_partkey", "l_suppkey", "l_quantity"]] \
+            .merge(sasia[["s_suppkey"]], how="semi", left_on="l_suppkey",
+                   right_on="s_suppkey", broadcast_other=True).reset_index()
+        pv = li11.groupby("l_partkey").agg({"l_quantity": ["sum"]}) \
+            .reset_index().rename({"l_quantity_sum": "value"})
+        # r11 derived the global total (sum of the per-part sums —
+        # exact: integer-valued quantities) from an EAGER checkpoint
+        # + an eager scalar job; r12 defers the checkpoint
+        # (eager=False) and makes the threshold a LAZY 1-row sum over
+        # it, broadcast cross-joined back as the filter bound — no
+        # eager scalar job, and both consumers read the same
+        # persisted blocks, so the fact scan stays single at any
+        # scale. (ReuseExchange was tried instead of the checkpoint
+        # and does NOT fire under AQE for this shape — it duplicated
+        # the fact scan — so the checkpoint stays the sharing
+        # mechanism.)
+        pv_s = pv.to_spark().localCheckpoint(eager=False)
+        tot11 = pv_s.agg(F.sum("value").alias("__tot__"))
+        return (pv_s.join(F.broadcast(tot11))
+                .where(F.col("value") > F.col("__tot__") * 0.002)
+                .select(
+                    F.lit("q11").alias("kind"),
+                    F.col("l_partkey").cast("long").alias("key"),
+                    F.lit(None).cast("string").alias("name"),
+                    F.round("value", 2).alias("value")))
+
+    def _q20_leg():
+        p = _bl(spark, sf, "part")
+        pred = p[p["p_name"].str.contains("red")][["p_partkey"]]
+        lir = li[["l_partkey", "l_suppkey", "l_quantity"]] \
+            .merge(pred, how="semi", left_on="l_partkey",
+                   right_on="p_partkey", broadcast_other=True).reset_index()
+        bysupp = lir.groupby(["l_partkey", "l_suppkey"]) \
+            .agg({"l_quantity": ["sum"]}).reset_index() \
+            .rename({"l_quantity_sum": "supp_qty"})
+        # r11 checkpointed the per-(part,supp) aggregate EAGERLY so
+        # the per-part rollup would not re-scan lineitem; r12 defers
+        # the same checkpoint (eager=False). Per-part totals stay the
+        # exact rollup of the per-(part,supp) sums (integer-valued
+        # quantities).
+        bysupp2 = bl.DataFrame.from_spark(
+            bysupp.to_spark().localCheckpoint(eager=False))
+        bypart = bysupp2[["l_partkey", "supp_qty"]].groupby("l_partkey") \
+            .agg({"supp_qty": ["sum"]}) \
+            .reset_index().rename({"supp_qty_sum": "part_qty"})
+        m = bysupp2.merge(bypart, how="inner", on="l_partkey").reset_index()
+        big = m[m["supp_qty"] > m["part_qty"] * 0.15][["l_suppkey"]] \
+            .drop_duplicates(keep="any").reset_index()
+        sup = big.merge(
+            _bl(spark, sf, "supplier")[["s_suppkey", "s_name"]],
+            how="inner", left_on="l_suppkey",
+            right_on="s_suppkey", broadcast_other=True).reset_index()
+        return sup.to_spark().select(
+            F.lit("q20").alias("kind"),
+            F.col("l_suppkey").cast("long").alias("key"),
+            F.col("s_name").alias("name"),
+            F.lit(None).cast("double").alias("value"))
+
+    # the two legs' only build jobs are their checkpoints' stage
+    # materialization — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f11, f20 = pool.submit(_q11_leg), pool.submit(_q20_leg)
+        q11, q20 = f11.result(), f20.result()
     return q11.unionByName(q20)
 
 
@@ -742,18 +760,21 @@ def _q15_q17_thresholds(spark, sf):
     li15["rev"] = li15["l_extendedprice"] * (1 - li15["l_discount"])
     bysupp = li15.groupby("l_suppkey").agg({"rev": ["sum"]}) \
         .reset_index().rename({"rev_sum": "total_rev"})
-    # r11: checkpoint the supplier-cardinality aggregate so the eager
-    # max scalar AND the == filter read the same materialized rows —
-    # one filtered lineitem pass instead of two (guide §1.2), and the
-    # max-vs-filter comparison is against frozen doubles.
-    import baloo_spark as bl
-    bysupp = bl.DataFrame.from_spark(bysupp.to_spark().localCheckpoint())
-    mx = bysupp["total_rev"].max()  # eager scalar max (tiny job)
-    top = bysupp[bysupp["total_rev"] == mx]
-    q15 = top.to_spark().select(
-        F.lit("q15").alias("kind"),
-        F.col("l_suppkey").cast("long").alias("key"),
-        F.round("total_rev", 2).alias("value"))
+    # r11 checkpointed the supplier aggregate EAGERLY so the eager
+    # max scalar and the == filter read one materialization; r12
+    # defers the checkpoint (eager=False) and makes the max LAZY — a
+    # 1-row max over the checkpoint, broadcast cross-joined back as
+    # the == bound. Zero build jobs, still one filtered lineitem
+    # pass (both consumers read the persisted blocks), and the ==
+    # compares doubles produced by the SAME materialized rows.
+    bysupp_s = bysupp.to_spark().localCheckpoint(eager=False)
+    mx15 = bysupp_s.agg(F.max("total_rev").alias("__mx__"))
+    q15 = (bysupp_s.join(F.broadcast(mx15))
+           .where(F.col("total_rev") == F.col("__mx__"))
+           .select(
+               F.lit("q15").alias("kind"),
+               F.col("l_suppkey").cast("long").alias("key"),
+               F.round("total_rev", 2).alias("value")))
     # ---- Q17 leg
     p = _bl(spark, sf, "part")
     pb = p[p["p_brand"] == "Brand#23"][["p_partkey"]]
@@ -763,8 +784,13 @@ def _q15_q17_thresholds(spark, sf):
     # r11: the Brand#23 subset (3 narrow cols, ~1/25 of lineitem) is
     # read twice (per-part averages, then the join-back filter) —
     # checkpoint the decision-sized projection once so the fact table
-    # is scanned once (guide §8's lightweight-proxy rule).
-    lib = bl.DataFrame.from_spark(lib.to_spark().localCheckpoint())
+    # is scanned once (guide §8's lightweight-proxy rule). r12 defers
+    # the materialization (eager=False: it happens inside the single
+    # timed action; both consumers read the persisted blocks), so the
+    # build phase runs zero jobs.
+    import baloo_spark as bl
+    lib = bl.DataFrame.from_spark(
+        lib.to_spark().localCheckpoint(eager=False))
     avgq = lib.groupby("l_partkey").agg({"l_quantity": ["mean"]}) \
         .reset_index().rename({"l_quantity_mean": "avg_qty"})
     m = lib.merge(avgq, how="inner", on="l_partkey",
@@ -867,8 +893,17 @@ def _q22_inactive_customers(spark, sf):
     1999 — every customer has some lifetime order in this testdata,
     so Q22's 'no orders at all' would be empty)."""
     c = _bl(spark, sf, "customer")
-    avg_pos = c[c["c_acctbal"] > 0]["c_acctbal"].mean()  # eager scalar
-    rich = c[c["c_acctbal"] > avg_pos]
+    # r12: the avg-positive-balance threshold is LAZY — a 1-row avg
+    # broadcast cross-joined back as the filter bound (was an eager
+    # scalar job; guide §2.4/§5 — no driver-side scalar on the build
+    # path). Same Spark avg aggregate over the same rows either way.
+    c_s = c.to_spark()
+    avg_pos = (c_s.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__avg__")))
+    import baloo_spark as bl
+    rich = bl.DataFrame.from_spark(
+        c_s.join(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("__avg__")).drop("__avg__"))
     o = _bl(spark, sf, "orders")
     o = o[o["o_orderdate"] >= "1999-01-01"][["o_custkey"]]
     idle = rich.merge(o, how="anti", left_on="c_custkey",
@@ -2781,20 +2816,29 @@ def _describe(spark, sf):
         F.concat(F.lit("q_"), F.col("__index__")).alias("statistic"),
         F.round("qv", 4).alias("l_quantity"),
         F.round("l_discount", 4).alias("l_discount"))
-    # Series.corr / Series.cov (r3 extension) — eager scalar pairwise
-    # aggregates vs l_extendedprice, one row each. r5: the four
-    # library calls (and the three approx-verification collects
-    # below) are independent jobs over the same cached checkpoint, so
-    # they submit from a thread pool — Spark's scheduler runs
-    # concurrent jobs fine, and the slot pays max() not sum() of the
-    # per-job latencies (the standard many-small-jobs driver pattern).
+    # corr/cov vs l_extendedprice, one row each. r5 ran the four
+    # Series.corr/.cov library calls as four thread-pooled scalar
+    # jobs; r12 fuses them into ONE four-expression aggregate over
+    # the same checkpoint (guide §1.2: four identical passes with
+    # different agg expressions are one pass — each scalar job also
+    # paid AQE's two-job executeTake, so this is 8 jobs -> ~2).
+    # Identical values: F.corr/F.covar_samp are exactly the JVM
+    # aggregates Series.corr/Series.cov dispatch to (series.py
+    # _pairwise); the Series faces keep their own coverage in
+    # tests/test_series.py. The remaining library faces under test
+    # (describe(approx), groupby quantile) still submit from the
+    # pool so the slot pays max() not sum() of the job latencies
+    # (guide §2.6).
     from concurrent.futures import ThreadPoolExecutor
-    price = li["l_extendedprice"]
     pool = ThreadPoolExecutor(max_workers=7)
-    f_corr_q = pool.submit(li["l_quantity"].corr, price)
-    f_corr_d = pool.submit(li["l_discount"].corr, price)
-    f_cov_q = pool.submit(li["l_quantity"].cov, price)
-    f_cov_d = pool.submit(li["l_discount"].cov, price)
+    _li_sdf = li.to_spark()
+    f_cc = pool.submit(
+        lambda: _li_sdf.agg(
+            F.corr("l_quantity", "l_extendedprice").alias("cq"),
+            F.corr("l_discount", "l_extendedprice").alias("cd"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("vq"),
+            F.covar_samp("l_discount", "l_extendedprice").alias("vd"),
+        ).collect()[0])
 
     # r4: the APPROX quantile path (describe(approx=True) -> GK
     # sketch / percentile_approx — the 100 TB face, since the exact
@@ -2840,11 +2884,10 @@ def _describe(spark, sf):
                  .quantile(0.5, cols=cols, approx=True, accuracy=1000)
                  .to_spark(include_index=True).collect()})
 
+    _cc = f_cc.result()
     cc = spark.createDataFrame(
-        [("corr_vs_price", round(f_corr_q.result(), 6),
-          round(f_corr_d.result(), 6)),
-         ("cov_vs_price", round(f_cov_q.result(), 4),
-          round(f_cov_d.result(), 4))],
+        [("corr_vs_price", round(_cc["cq"], 6), round(_cc["cd"], 6)),
+         ("cov_vs_price", round(_cc["vq"], 4), round(_cc["vd"], 4))],
         "statistic STRING, l_quantity DOUBLE, l_discount DOUBLE")
     da = f_da.result()
     roll = f_roll.result()
@@ -3960,15 +4003,26 @@ def _q11_q15_q17_q20_q22_thresholds(spark, sf):
     HAVING ('q11'/'q20'), scalar-max and correlated-average
     thresholds ('q15'/'q17'), anti-join + scalar-avg ('q22' — key
     carries numcust, value carries the segment balance total)."""
-    base = _q11_q20_value_share(spark, sf)
-    t = _q15_q17_thresholds(spark, sf).select(
-        "kind", "key", F.lit(None).cast("string").alias("name"),
-        "value")
-    q22 = _q22_inactive_customers(spark, sf).select(
-        F.lit("q22").alias("kind"),
-        F.col("numcust").cast("long").alias("key"),
-        F.col("segment").alias("name"),
-        F.col("totacctbal").alias("value"))
+    # r12: the five threshold legs are independent chains whose only
+    # remaining build cost is their checkpoints' stage
+    # materialization — submit the leg constructions from a thread
+    # pool so those jobs overlap (guide §2.6: independent jobs from
+    # a small pool back-fill each other's tails) and the slot pays
+    # ~max() of the leg build times instead of their sum.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_base = pool.submit(_q11_q20_value_share, spark, sf)
+        f_t = pool.submit(_q15_q17_thresholds, spark, sf)
+        f_q22 = pool.submit(_q22_inactive_customers, spark, sf)
+        base = f_base.result()
+        t = f_t.result().select(
+            "kind", "key", F.lit(None).cast("string").alias("name"),
+            "value")
+        q22 = f_q22.result().select(
+            F.lit("q22").alias("kind"),
+            F.col("numcust").cast("long").alias("key"),
+            F.col("segment").alias("name"),
+            F.col("totacctbal").alias("value"))
     return base.unionByName(t).unionByName(q22)
 
 
