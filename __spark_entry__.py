@@ -2300,12 +2300,16 @@ def _events_window(spark, sf):
     # invocation so the rolling prefix+as-of passes, the resample
     # grid jobs, and the bucket count all read cached partitions
     # instead of re-aggregating events.
+    # r12: eager=False — the checkpoint materializes inside the fast
+    # face's bounded collect (the first consumer) instead of as its
+    # own eager build job; every later leg reads the same persisted
+    # blocks, so events is still aggregated exactly once.
     sub = F.col("user_id") % 20 == 0
     per_all = (ev.groupBy("ts")
                .agg(F.avg("value").alias("av"),
                     F.sum(F.when(sub, F.col("value"))).alias("v"),
                     F.count(F.when(sub, F.lit(1))).alias("c"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     per = per_all.where(F.col("c") > 0).select("ts", "av", "v", "c")
     bd = bl.DataFrame.from_spark(per).sort_values("ts") \
         .set_index("ts")
@@ -2514,12 +2518,17 @@ def _asof_join(spark, sf):
     ev = load_events(spark, sf)
     # dedupe right to one row per (user, ts) so ties are unambiguous.
     # r5: both sides checkpoint once — the three direction legs used
-    # to re-scan events and re-run the clicks aggregation each
+    # to re-scan events and re-run the clicks aggregation each.
+    # r12: defer both materializations (eager=False) — they happen
+    # inside the single timed action instead of as eager build jobs;
+    # all three legs still read the same persisted blocks, so events
+    # is scanned once and the clicks aggregation runs once.
     clicks = (ev.filter("event_type = 'click'")
               .groupBy("user_id", "ts").agg(F.max("value").alias("click_value"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     purchases = ev.filter("event_type = 'purchase'") \
-        .select("event_id", "user_id", "ts", "value").localCheckpoint()
+        .select("event_id", "user_id", "ts", "value") \
+        .localCheckpoint(eager=False)
 
     def leg(direction, tag):
         out = asof_join(purchases, clicks, on="ts", by="user_id",
@@ -3191,7 +3200,10 @@ def _embedding_near_pairs(spark, sf):
     from baloo_spark.operators.dedup import embedding_near_pairs
     emb = _t(spark, sf, "embeddings").filter("vec_id < 300")
     exact = embedding_near_pairs(emb, threshold=0.2, block=False)
-    keys = exact.select("id_a", "id_b").localCheckpoint()
+    # r12: eager=False — both anti-join consumers sit in the single
+    # returned plan; the exact-pairs pass materializes once inside
+    # the timed action instead of as an eager build job
+    keys = exact.select("id_a", "id_b").localCheckpoint(eager=False)
     b0 = embedding_near_pairs(emb, threshold=0.2, block=True,
                               seeds=[0]).select("id_a", "id_b")
     b01 = embedding_near_pairs(emb, threshold=0.2, block=True,
@@ -3576,8 +3588,9 @@ def _text_metrics(spark, sf):
     # boilerplate, PII) all read the cached (doc_id, text) blocks,
     # spread pre-checkpoint so the one-file scan widens exactly once
     from baloo_spark.plans.layout import spread
+    # (r12: eager=False — first consumer materializes it in-action)
     docs = spread(_t(spark, sf, "documents").select("doc_id", "text")) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     bench = docs.where(F.col("doc_id") % 20 == 0)
     cont = contamination_check(docs, bench, n=5, threshold=0.2)
 
@@ -4045,8 +4058,10 @@ def _dedup_jaccard_minhash(spark, sf):
     # but the parquet scan happens once (spread pre-checkpoint: one
     # widening shuffle instead of one per leg)
     from baloo_spark.plans.layout import spread
+    # (r12: eager=False — the legs' first shingle materialization
+    # pipelines the corpus checkpoint into its own job)
     docs_cp = spread(_t(spark, sf, "documents")
-                     .select("doc_id", "text")).localCheckpoint()
+                     .select("doc_id", "text")).localCheckpoint(eager=False)
     pp = _dedup_jaccard(spark, sf, docs_cp) \
         .select(F.lit("ppjoin").alias("kind"), "*")
     lsh = _dedup_minhash(spark, sf, docs_cp) \
@@ -4163,9 +4178,10 @@ def _doc_pipeline_stats(spark, sf):
     # layout would single-thread the tokenize AND make every leg's
     # internal spread() re-shuffle the corpus. Spread once, checkpoint
     # 32 partitions, every downstream spread() no-ops (layout.py r5)
+    # (r12: eager=False — the first consumer materializes it in-action)
     docs_cp = spread(_t(spark, sf, "documents")
                      .select("doc_id", "text", _tkl.alias("tkl"))) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     ch = _doc_chunks(spark, sf, docs_cp).select(
         F.lit("chunk").alias("kind"),
         F.col("doc_id").alias("id"),
