@@ -90,11 +90,15 @@ def with_boundary_shifts(sdf: DataFrame, cols: dict, periods: int,
         # coalescing and pinned 32 tasks on every tiny window table.
         sdf = (sdf.repartitionByRange(*order_by)
                .sortWithinPartitions(*order_by))
+    # eager=False (r12): the donor collect below is always the first
+    # consumer, so the checkpoint materializes inside that job —
+    # same frozen layout for both passes, one fewer eager job and
+    # one fewer full pass per shift
     sdf = (sdf.select("*", *[c.alias(f"__sv_{o}__")
                              for o, c in prepared.items()])
            .withColumn("__mid__", F.monotonically_increasing_id())
            .withColumn("__pid__", F.spark_partition_id())
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
 
     fwd = periods > 0
     w_in = Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
@@ -169,14 +173,17 @@ def with_dense_ordinal(sdf: DataFrame, order_by: list | None = None,
 
     sdf = sdf.withColumn("__mid__", F.monotonically_increasing_id())
     sdf = sdf.withColumn("__pid__", F.spark_partition_id())
-    # localCheckpoint (eager) freezes the partition layout both passes
-    # must agree on, WITHOUT registering a CacheManager entry: persist()
+    # localCheckpoint freezes the partition layout both passes must
+    # agree on, WITHOUT registering a CacheManager entry: persist()
     # here leaked one cached plan per positional op for the session's
     # lifetime (never unpersisted), while checkpoint blocks are freed by
     # the ContextCleaner when the DataFrame is garbage-collected. Not
     # fault-tolerant to executor loss — an ephemeral positional op
     # re-runs from source on failure, which is the right trade.
-    sdf = sdf.localCheckpoint()
+    # eager=False (r12): pass 1's count-collect below is the first
+    # consumer and materializes the blocks inside its own job — same
+    # frozen layout, one fewer eager job/pass per ordinal
+    sdf = sdf.localCheckpoint(eager=False)
 
     # Pass 1: per-partition counts -> cumulative offsets (tiny driver-side list).
     rows = sdf.groupBy("__pid__").count().collect()
@@ -214,9 +221,13 @@ def _range_layout(sdf: DataFrame, order_by: list | None) -> DataFrame:
         # AQE-coalescible range layout (see with_boundary_shifts)
         sdf = (sdf.repartitionByRange(*order_by)
                .sortWithinPartitions(*order_by))
+    # eager=False (r12): every caller's pass 1 (totals/donors/ends
+    # collect) is the first consumer and materializes the blocks in
+    # its own job — same frozen layout for both passes, one fewer
+    # eager job/pass per scheme
     return (sdf.withColumn("__mid__", F.monotonically_increasing_id())
             .withColumn("__pid__", F.spark_partition_id())
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
 
 
 # associative merge for driver-side prefix combining; identity is None
