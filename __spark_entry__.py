@@ -44,17 +44,19 @@ def _conf(spark: SparkSession) -> None:
 # the (session-constant) schema skips the job entirely: 10 re-reads
 # 0.93s/10 jobs -> 0.22s/0 jobs. This memoizes METADATA only — every
 # execution still scans the parquet from disk (guide §6's listing-
-# cache pattern, not result caching).
-_T_SCHEMA_CACHE: dict = {}
+# cache pattern, not result caching). r12: the memo hangs OFF the
+# session object itself instead of keying a module dict by
+# id(spark) — a stopped session's recycled id could have served a
+# stale schema if the file was rewritten between sessions.
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    key = (id(spark), path)
-    sch = _T_SCHEMA_CACHE.get(key)
+    memo = spark.__dict__.setdefault("_baloo_t_schemas", {})
+    sch = memo.get(path)
     if sch is None:
         df = spark.read.parquet(path)
-        _T_SCHEMA_CACHE[key] = df.schema
+        memo[path] = df.schema
         return df
     return spark.read.schema(sch).parquet(path)
 

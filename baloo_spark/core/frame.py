@@ -422,6 +422,13 @@ class DataFrame:
         lengths to skip lazy len, series.py:98-99, frame.py:1214-1239)."""
         if getattr(self, "_len_cache", None) is None:
             self._len_cache = self._sdf.count()
+            # best-effort row-count hint for budget-gated faces
+            # (e.g. the time-roll driver face skips its bounded
+            # probe when the hint says over-budget)
+            try:
+                self._sdf._baloo_nrows = self._len_cache
+            except Exception:
+                pass
         return self._len_cache
 
     @property
@@ -2912,19 +2919,15 @@ class DataFrame:
                 f"global rolling '{agg}' does not decompose into "
                 f"prefix scans; use partition_by=... (per-group "
                 f"frames) for rolling {agg}")
-        from ..plans.ordinal import with_boundary_shifts, with_prefix_aggs
+        from ..plans.ordinal import with_prefix_aggs_shifted
         v = F.col(col).cast("double")
-        sdf = with_prefix_aggs(self._sdf,
-                               {"__ps__": (v, "sum"),
-                                "__pc__": (F.col(col), "count")},
-                               order_by)
-        # the SAME global order; BOTH prefix columns shift in one
-        # shared layout/carry pass
-        ob = [F.col(c).asc() if isinstance(c, str) else c
-              for c in order_by]
-        sdf = with_boundary_shifts(sdf, {"__psw__": F.col("__ps__"),
-                                         "__pcw__": F.col("__pc__")},
-                                   window, order_by=ob)
+        # r12: prefixes AND their window-ago twins from ONE fused
+        # layout + collect (the two-op composition paid a second
+        # repartitionByRange + checkpoint + collect for the shift)
+        sdf = with_prefix_aggs_shifted(self._sdf,
+                                       {"__ps__": (v, "sum"),
+                                        "__pc__": (F.col(col), "count")},
+                                       window, order_by)
         rsum = F.col("__ps__") - F.coalesce(F.col("__psw__"), F.lit(0.0))
         rcnt = F.col("__pc__") - F.coalesce(F.col("__pcw__"), F.lit(0))
         expr = {"sum": rsum, "count": rcnt,
@@ -5212,11 +5215,33 @@ class _Resampler:
         rngdf = aggd.agg(
             F.unix_micros(F.min("__bkt__")).alias("__mn__"),
             F.unix_micros(F.max("__bkt__")).alias("__mx__"))
-        grid = rngdf.select(
-            F.explode(F.sequence(F.col("__mn__"), F.col("__mx__"),
-                                 F.lit(int(us)))).alias("__gus__")) \
-            .select(F.timestamp_micros(F.col("__gus__"))
-                    .alias("__bkt__"))
+        # r12 (scale guard): a single sequence(min, max) builds the
+        # WHOLE grid as one array on one row — Spark caps sequence at
+        # ~2^31 elements and a wide span over a small bucket (second
+        # buckets across years ~ 1e8) is a multi-GB single-task
+        # array. Two-level lazy grid instead: an outer chunk-index
+        # explode (span/2^20 rows, one per ~1M-bucket chunk),
+        # redistributed, then a bounded per-chunk sequence — the grid
+        # is built across the cluster and each task holds <= 2^20
+        # elements. NULL min/max (empty input) still explodes to zero
+        # rows at the outer level.
+        _CH = 1 << 20
+        mn, mx = F.col("__mn__"), F.col("__mx__")
+        span = F.lit(int(us)) * _CH
+        chunks = rngdf.select(
+            "__mn__", "__mx__",
+            F.explode(F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((mx - mn) / span).cast("long")))
+            .alias("__ci__"))
+        c_lo = mn + F.col("__ci__") * span
+        c_hi = F.least(mx, c_lo + span - F.lit(int(us)))
+        grid = (chunks.repartition(F.col("__ci__"))
+                .select(F.explode(F.sequence(c_lo, c_hi,
+                                             F.lit(int(us))))
+                        .alias("__gus__"))
+                .select(F.timestamp_micros(F.col("__gus__"))
+                        .alias("__bkt__")))
         out = grid.join(aggd, "__bkt__", "left")
         if name in ("sum", "count", "size", "nunique", "prod"):
             # pandas fills these gap buckets with the agg identity

@@ -3115,8 +3115,7 @@ class _Rolling:
         self._center = bool(center)
 
     def _compute(self, need_sq: bool, need_rows: bool):
-        from ..plans.ordinal import (ORD_COL, with_boundary_shifts,
-                                     with_prefix_aggs)
+        from ..plans.ordinal import ORD_COL, with_prefix_aggs_shifted
         sr = self._sr
         sdf = sr._sdf
         order = order_exprs(sr._order or [], sdf.columns)
@@ -3128,11 +3127,13 @@ class _Rolling:
             specs["__pq__"] = (v * v, "sum")
         if need_rows:
             specs["__pr__"] = (F.lit(1), "count")
-        out = with_prefix_aggs(sdf, specs, order or None)
+        # r12: prefixes AND their window-ago twins from ONE fused
+        # layout + collect (the with_prefix_aggs +
+        # with_boundary_shifts composition paid a second
+        # repartitionByRange + checkpoint + collect for the shift)
         shifts = {f"{o[:-2]}w__": F.col(o) for o in specs}
-        # all prefixes shift together: one layout + carry pass
-        out = with_boundary_shifts(out, shifts, self._window,
-                                   order_by=order or None)
+        out = with_prefix_aggs_shifted(sdf, specs, self._window,
+                                       order or None)
         rsum = F.col("__ps__") - F.coalesce(F.col("__psw__"), F.lit(0.0))
         rcnt = (F.col("__pc__")
                 - F.coalesce(F.col("__pcw__"), F.lit(0))).cast("long")
@@ -3423,6 +3424,13 @@ def _tr_driver_prefix_face(sdf, tcol, vals: dict, window_us: int,
     from pyspark.sql import types as T
 
     budget = _TR_BROADCAST_MAX_ROWS
+    # free probe at scale (r12): when the plan carries a row-count
+    # hint (stamped by faces that already counted, e.g. __len__) and
+    # it exceeds the budget, skip the bounded collect entirely — on
+    # an over-budget input the probe is one wasted job per call
+    hint = getattr(sdf, "_baloo_nrows", None)
+    if hint is not None and hint > budget:
+        return None
     micros = F.unix_micros(F.col(tcol).cast("timestamp"))
     sel = [micros.alias("__t__")] + [
         c.cast("double").alias(f"__v_{t}__") for t, c in vals.items()]
@@ -3438,60 +3446,75 @@ def _tr_driver_prefix_face(sdf, tcol, vals: dict, window_us: int,
     t_sorted = t_arr[order]
     if n > 1 and bool(np.any(t_sorted[1:] <= t_sorted[:-1])):
         return None  # duplicate stamps: positional tie rule
+    # doubles carry (values, null_mask) so genuine NaN data stays NaN
+    # (F.sum PROPAGATES NaN but SKIPS NULL — r12 aligns the numpy
+    # replay with the JVM aggregates: null rows add 0 and don't
+    # count, NaN rows poison the running sum and DO count, and the
+    # pre-first-observation head is NULL, not NaN)
     prefixes: dict = {"__pr__": (np.arange(1, n + 1, dtype=np.int64),
-                                 "long")}
+                                 None)}
     for t in vals:
-        v = np.array([np.nan if r[f"__v_{t}__"] is None
-                      else r[f"__v_{t}__"] for r in rows],
+        raw = [r[f"__v_{t}__"] for r in rows]
+        isnull = np.array([x is None for x in raw])[order]
+        v = np.array([0.0 if x is None else x for x in raw],
                      dtype=np.float64)[order]
-        valid = ~np.isnan(v)
+        valid = ~isnull
         pc = np.cumsum(valid).astype(np.int64)
-        # running SUM skips NULLs and is NULL until the first
-        # non-null (general-face parity): adding 0.0 for a null row
-        # is exact, the mask reproduces the NULL head
-        ps = np.where(pc > 0, np.cumsum(np.where(valid, v, 0.0)),
-                      np.nan)
-        prefixes[f"__ps_{t}__"] = (ps, "double")
-        prefixes[f"__pc_{t}__"] = (pc, "long")
+        ps = np.cumsum(np.where(valid, v, 0.0))
+        prefixes[f"__ps_{t}__"] = (ps, pc == 0)
+        prefixes[f"__pc_{t}__"] = (pc, None)
         if need_sq:
-            pq = np.where(pc > 0,
-                          np.cumsum(np.where(valid, v * v, 0.0)),
-                          np.nan)
-            prefixes[f"__pq_{t}__"] = (pq, "double")
+            pq = np.cumsum(np.where(valid, v * v, 0.0))
+            prefixes[f"__pq_{t}__"] = (pq, pc == 0)
     # as-of subtrahend: last stamp <= t - offset (window open-left)
     ix = np.searchsorted(t_sorted, t_sorted - int(window_us),
                          side="right") - 1
     miss = ix < 0
     safe = np.clip(ix, 0, None)
     rights = {}
-    for k, (arr, _) in prefixes.items():
+    for k, (arr, msk) in prefixes.items():
         rv = arr[safe].astype(np.float64)
-        rv[miss] = np.nan
-        rights[f"{k}_right"] = rv
+        rmask = miss.copy() if msk is None else (miss | msk[safe])
+        rights[f"{k}_right"] = (rv, rmask)
     bcast = sdf.sparkSession.sparkContext.broadcast(
         (t_sorted, prefixes, rights))
     left = sdf.withColumn("__t__", micros)
     fields = list(left.schema.fields)
-    for k, (_, kind) in prefixes.items():
+    for k, (_, msk) in prefixes.items():
         fields.append(T.StructField(
-            k, T.LongType() if kind == "long" else T.DoubleType()))
+            k, T.DoubleType() if msk is not None else T.LongType()))
     for k in rights:
         fields.append(T.StructField(k, T.DoubleType()))
     out_schema = T.StructType(fields)
 
     def gen(batches):
         b_t, b_p, b_r = bcast.value
+        nn = len(b_t)
         for pdf in batches:
             if not len(pdf):
                 continue
-            pos = np.searchsorted(b_t,
-                                  pdf["__t__"].to_numpy(dtype=np.int64))
-            for k, (arr, kind) in b_p.items():
+            probe = pdf["__t__"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(b_t, probe)
+            # the exec pass re-evaluates the input plan; a stamp the
+            # bounded collect never saw (non-deterministic source)
+            # would silently read an adjacent row's prefix — validate
+            # instead of corrupting (r12, clip guards pos == n too)
+            pos = np.clip(pos, 0, nn - 1)
+            if not bool(np.all(b_t[pos] == probe)):
+                raise RuntimeError(
+                    "time-roll driver face: executor saw a stamp the "
+                    "bounded collect did not — non-deterministic "
+                    "input plan; use a checkpointed source")
+            for k, (arr, msk) in b_p.items():
                 col = arr[pos]
-                pdf[k] = col if kind == "long" \
-                    else pd.array(col, dtype="Float64")
-            for k, rv in b_r.items():
-                pdf[k] = pd.array(rv[pos], dtype="Float64")
+                if msk is None:
+                    pdf[k] = col
+                else:
+                    pdf[k] = pd.arrays.FloatingArray(
+                        col.astype(np.float64), msk[pos])
+            for k, (rv, rmask) in b_r.items():
+                pdf[k] = pd.arrays.FloatingArray(rv[pos].copy(),
+                                                 rmask[pos])
             yield pdf
 
     return left.mapInPandas(gen, out_schema)
@@ -3675,8 +3698,10 @@ class _TimeRolling:
         keep = [c for c in j.columns if c not in helpers]
         out = j.withColumn("__roll__", exprs["v"]) \
             .select(*keep, "__roll__")
+        # one output row per input row (per-stamp lookup attach) ->
+        # adopt-eligible (r12)
         return Series._make(out, F.col("__roll__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sdf)
 
     def sum(self) -> "Series":
         return self._emit(lambda s, c, q: s, self._mp)
@@ -4058,8 +4083,9 @@ class _TimeRolling:
             yield allb
 
         out = lay.mapInPandas(gen, out_schema).drop("__ev__")
+        # row-preserving over sdf -> adopt-eligible (r12)
         return Series._make(out, F.col("__roll__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sdf)
 
 
 class _TimeEWM:
@@ -4151,14 +4177,19 @@ class _EWM:
                 sdf, {"v": (sr._colexpr, sr._colexpr, (stat,))},
                 self._alpha, order or None, self._mp,
                 self._ignore_na, bias=bias)
+            # row-preserving over sdf -> adopt-eligible (r12; the
+            # mean face already tagged, var/std had been missed and
+            # every assignment paid the ~8-job positional join)
             return Series._make(out, F.col(f"__ewmna_{stat}_v__"),
-                                sr._index_cols, sr.name, sr._order)
+                                sr._index_cols, sr.name,
+                                sr._order)._tag_rowpar(sdf)
         out = with_ewm_stats(sdf, sr._colexpr, self._alpha,
                              order or None, self._mp,
                              self._ignore_na, bias=bias,
                              stats=(stat,))
         return Series._make(out, F.col(f"__ewm_{stat}__"),
-                            sr._index_cols, sr.name, sr._order)
+                            sr._index_cols, sr.name,
+                            sr._order)._tag_rowpar(sdf)
 
     def sum(self) -> "Series":
         return self._stat("sum")
@@ -4341,8 +4372,9 @@ class _Expanding:
             yield allb
 
         out = lay.mapInPandas(gen, out_schema).drop("__ev__")
+        # row-preserving over sdf -> adopt-eligible (r12)
         return Series._make(out, F.col("__exp__"), sr._index_cols,
-                            sr.name, sr._order)
+                            sr.name, sr._order)._tag_rowpar(sdf)
 
     def var(self, ddof: int = 1) -> "Series":
         def build():

@@ -332,6 +332,161 @@ def with_prefix_aggs(sdf: DataFrame, specs: dict, order_by: list | None,
     return out
 
 
+def with_prefix_aggs_shifted(sdf: DataFrame, specs: dict, window: int,
+                             order_by: list | None) -> DataFrame:
+    """Fused GLOBAL prefix aggregates PLUS their ``window``-row-ago
+    twins — the building blocks of a trailing rolling window
+    (rolling(i) = prefix(i) - prefix(i - window)) — from ONE range
+    layout and ONE donor collect.
+
+    ``specs`` is :func:`with_prefix_aggs`'s mapping restricted to the
+    kinds a rolling difference needs ({'sum', 'count'} — min/max do
+    not decompose and go through :func:`with_rolling_locals`). Each
+    ``out_name`` gains a sibling ``out_name[:-2] + 'w__'`` holding
+    the merged prefix ``window`` rows earlier in the global order
+    (NULL before the global edge), exactly what the old composition
+    ``with_boundary_shifts(with_prefix_aggs(...), window)`` produced
+    while paying a SECOND repartitionByRange + sort + checkpoint of
+    the whole table and a second driver collect.
+
+    One collect serves both passes: the donor query evaluates the
+    partition-LOCAL prefix windows for the last ``window`` rows of
+    every partition; the drn==1 row's local prefix IS the partition
+    total, so the driver derives the cross-partition offsets from the
+    same rows, merges donors to GLOBAL prefixes with the identical
+    null rules pass 2 uses (IEEE double adds match the JVM's), and
+    walks the boundary carry exactly like with_boundary_shifts.
+    """
+    from pyspark.sql import types as T
+
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    prepared = {}
+    for out_name, (col, kind) in specs.items():
+        if kind not in ("sum", "count"):
+            raise ValueError(
+                f"with_prefix_aggs_shifted supports sum/count, got "
+                f"{kind!r} (min/max do not decompose; use "
+                f"with_rolling_locals)")
+        prepared[out_name] = (F.col(col) if isinstance(col, str)
+                              else col, kind)
+
+    sdf = _range_layout(
+        sdf.select("*", *[c.alias(f"__v_{o}__")
+                          for o, (c, _) in prepared.items()]),
+        order_by)
+
+    w = (Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+
+    def _loc(o):
+        loc = _PREFIX_LOCAL[prepared[o][1]](F.col(f"__v_{o}__")).over(w)
+        return loc.cast("long") if prepared[o][1] == "count" else loc
+
+    # ONE collect: local prefixes at each partition's last `window`
+    # rows (drn==1 == the partition total)
+    desc_w = Window.partitionBy("__pid__").orderBy(
+        F.col("__mid__").desc())
+    donors = (sdf.select("__pid__", "__mid__",
+                         *[_loc(o).alias(f"__lp_{o}__")
+                           for o in prepared])
+              .withColumn("__drn__", F.row_number().over(desc_w))
+              .where(F.col("__drn__") <= window)
+              .select("__pid__", "__drn__",
+                      *[f"__lp_{o}__" for o in prepared]).collect())
+    tail_by_pid: dict = {}
+    for r in donors:
+        tail_by_pid.setdefault(r["__pid__"], {})[r["__drn__"]] = tuple(
+            r[f"__lp_{o}__"] for o in prepared)
+
+    # offsets: exclusive prefix-combine of the partition totals
+    # (= each pid's drn==1 local prefix), same None-skip rule as
+    # with_prefix_aggs
+    offsets, acc = {}, {o: None for o in prepared}
+    for pid in sorted(tail_by_pid):
+        offsets[pid] = dict(acc)
+        for i, (o, (_, kind)) in enumerate(prepared.items()):
+            t = tail_by_pid[pid][1][i]
+            if t is not None:
+                acc[o] = t if acc[o] is None else \
+                    _PREFIX_MERGE[kind](acc[o], t)
+
+    def _merge_py(kind, off, lp):
+        """Driver replica of pass 2's merge expression."""
+        if kind == "count":
+            return int(lp or 0) + int(off or 0)
+        if off is None:
+            return lp
+        if lp is None:
+            return off
+        return lp + off  # IEEE double add == the JVM's
+
+    # carry walk (with_boundary_shifts' fwd scheme, k = window):
+    # donor value for the r-th edge row of pid = merged global
+    # prefix window-r+1 positions before the partition start
+    carry_rows = []
+    run: list = []
+    for pid in sorted(tail_by_pid):
+        m = len(run)
+        for r in range(1, window + 1):
+            i = m - (window - r + 1)
+            if i >= 0:
+                carry_rows.append((int(pid), r, *run[i]))
+        part = tail_by_pid[pid]
+        off = offsets[pid]
+        vals = [tuple(_merge_py(prepared[o][1], off[o], part[d][i])
+                      for i, o in enumerate(prepared))
+                for d in sorted(part, reverse=True)]
+        run = (run + vals)[-window:]
+
+    def _dt(o):
+        return (T.LongType() if prepared[o][1] == "count"
+                else sdf.schema[f"__v_{o}__"].dataType)
+
+    off_df = sdf.sparkSession.createDataFrame(
+        [(int(p), *[v[o] for o in prepared])
+         for p, v in offsets.items()],
+        T.StructType([T.StructField("__pid__", T.IntegerType())]
+                     + [T.StructField(f"__p_{o}__", _dt(o))
+                        for o in prepared]))
+    carry_df = sdf.sparkSession.createDataFrame(
+        carry_rows,
+        T.StructType([T.StructField("__pid__", T.IntegerType()),
+                      T.StructField("__ern__", T.IntegerType())]
+                     + [T.StructField(f"__cv_{o}__", _dt(o))
+                        for o in prepared]))
+
+    w_asc = Window.partitionBy("__pid__").orderBy(F.col("__mid__").asc())
+    out = (sdf.withColumn("__ern__", F.row_number().over(w_asc))
+           .join(F.broadcast(off_df), "__pid__", "left")
+           .join(F.broadcast(carry_df), ["__pid__", "__ern__"], "left"))
+    # merged prefixes first (a later select may lag a plain column,
+    # never a window expression)
+    merged_sel = ["*"]
+    for o, (_, kind) in prepared.items():
+        loc = _loc(o)
+        pre = F.col(f"__p_{o}__")
+        if kind == "count":
+            merged = loc + F.coalesce(pre, F.lit(0))
+        else:
+            merged = F.when(pre.isNull(), loc).otherwise(
+                F.when(loc.isNull(), pre)
+                .otherwise(_PREFIX_COMBINE[kind](loc, pre)))
+        merged_sel.append(merged.alias(o))
+    out = out.select(*merged_sel)
+    for o in prepared:
+        local_lag = F.lag(F.col(o), window).over(w_asc)
+        out = out.withColumn(
+            o[:-2] + "w__",
+            F.when(F.col("__ern__") <= window, F.col(f"__cv_{o}__"))
+            .otherwise(local_lag))
+    drop = (["__pid__", "__mid__", "__ern__"]
+            + [f"__v_{o}__" for o in prepared]
+            + [f"__p_{o}__" for o in prepared]
+            + [f"__cv_{o}__" for o in prepared])
+    return out.drop(*drop)
+
+
 def with_last_non_null(sdf: DataFrame, exprs: dict,
                        order_by: list | None) -> DataFrame:
     """Partition-safe GLOBAL carry-forward: for each {out_name: expr},

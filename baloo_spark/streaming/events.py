@@ -27,7 +27,6 @@ _RAW_SCHEMA = ("event_id LONG, ts LONG, user_id LONG, "
                "event_type STRING, value DOUBLE, props STRING")
 
 # session-constant schema memo for load_events (see docstring)
-_LOAD_EVENTS_SCHEMA: dict = {}
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,14 +47,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     # schema memo (r11): a bare read pays a footer schema-inference
     # job per call; the schema is session-constant metadata, so cache
-    # it and skip the job on re-reads (data is still scanned fresh)
-    key = (id(spark), path)
-    sch = _LOAD_EVENTS_SCHEMA.get(key)
+    # it and skip the job on re-reads (data is still scanned fresh).
+    # r12: the memo hangs off the session object (an id(spark) key
+    # could be recycled by a later session and serve a stale schema)
+    memo = spark.__dict__.setdefault("_baloo_events_schemas", {})
+    sch = memo.get(path)
     if sch is not None:
         raw = spark.read.schema(sch).parquet(path)
     else:
         raw = spark.read.parquet(path)
-        _LOAD_EVENTS_SCHEMA[key] = raw.schema
+        memo[path] = raw.schema
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         return raw.withColumn(

@@ -119,3 +119,68 @@ def test_overwriting_value_column_still_correct(bl):
     exp["d"] = exp["v"].diff()
     pd.testing.assert_frame_equal(
         df.to_pandas(), exp, check_dtype=False, check_names=False)
+
+
+def test_r12_newly_tagged_faces_adopt_zero_jobs(bl, spark):
+    """r12 extended the tag to the faces r11 missed — ewm var/std
+    (both adjust flavors) and the budgeted expanding order stats —
+    each of which previously paid the ~8-job positional join on
+    every assignment."""
+    df = _mkframe(bl).sort_values("k")
+    cases = [
+        ("ev", lambda s: s.ewm(alpha=0.5).var()),
+        ("es", lambda s: s.ewm(alpha=0.5).std()),
+        ("evr", lambda s: s.ewm(alpha=0.5, adjust=False).var()),
+        ("em", lambda s: s.expanding(1).median()),
+    ]
+    for name, op in cases:
+        s = op(df["v"])
+        assert s._rowpar_src is df._sdf, f"{name} face lost the tag"
+        before = _njobs(spark)
+        df[name] = s
+        assert _njobs(spark) == before, \
+            f"{name} assignment must adopt (zero jobs)"
+    got = df.to_pandas().sort_values("k", kind="stable")
+    exp = _pd().sort_values("k", kind="stable")
+    exp["ev"] = exp["v"].ewm(alpha=0.5).var()
+    exp["es"] = exp["v"].ewm(alpha=0.5).std()
+    exp["evr"] = exp["v"].ewm(alpha=0.5, adjust=False).var()
+    exp["em"] = exp["v"].expanding(1).median()
+    for c in ("ev", "es", "evr", "em"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), exp[c].to_numpy(dtype=float),
+            rtol=1e-9, atol=1e-12, equal_nan=True, err_msg=c)
+
+
+def test_r12_fused_rolling_single_layout(bl, spark, monkeypatch):
+    """rolling sum/count/mean build their prefixes AND the window-ago
+    twins from ONE fused range layout (with_prefix_aggs_shifted) —
+    the old composition paid a second repartitionByRange + checkpoint
+    + collect. Pins the single-layout property and pandas parity
+    across partition boundaries (nulls included)."""
+    from baloo_spark.plans import ordinal
+
+    real = ordinal._range_layout
+    calls = {"n": 0}
+
+    def counting(sdf, order_by):
+        calls["n"] += 1
+        return real(sdf, order_by)
+
+    n = 57
+    vals = np.array([float(i * 3 % 11) for i in range(n)])
+    vals[::7] = np.nan
+    df = bl.DataFrame(
+        {"k": np.arange(n, dtype=np.int64), "v": vals},
+        index=np.arange(n, dtype=np.int64)).sort_values("k")
+    monkeypatch.setattr(ordinal, "_range_layout", counting)
+    try:
+        s = df["v"].rolling(5, min_periods=2).mean()
+        df["r"] = s
+    finally:
+        monkeypatch.setattr(ordinal, "_range_layout", real)
+    assert calls["n"] == 1, \
+        f"fused rolling built {calls['n']} layouts, expected 1"
+    got = df.to_pandas()["r"].to_numpy(dtype=float)
+    exp = pd.Series(vals).rolling(5, min_periods=2).mean().to_numpy()
+    np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)
