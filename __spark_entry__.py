@@ -3012,7 +3012,9 @@ def _dedup_jaccard(spark, sf, docs=None):
     # filter degenerates (310k candidates at sf0.1); 5-gram shingles
     # restore selectivity (candidates == the 256 true pairs) while the
     # near-dup pair set itself is unchanged at threshold 0.5
-    return ngram_jaccard_pairs(docs, n=5, threshold=0.5, shingle="word")
+    tcol = "tk" if "tk" in docs.columns else "text"
+    return ngram_jaccard_pairs(docs, text_col=tcol, n=5,
+                               threshold=0.5, shingle="word")
 
 
 def _dedup_jaccard_sql(n: int) -> str:
@@ -3110,7 +3112,9 @@ def _dedup_minhash(spark, sf, docs=None):
     from baloo_spark.operators.dedup import minhash_lsh_pairs
     if docs is None:
         docs = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(docs, k=64, bands=32, threshold=0.5)
+    tcol = "tk" if "tk" in docs.columns else "text"
+    return minhash_lsh_pairs(docs, text_col=tcol, k=64, bands=32,
+                             threshold=0.5)
 
 
 def _dedup_simhash(spark, sf):
@@ -4061,9 +4065,16 @@ def _dedup_jaccard_minhash(spark, sf):
     # widening shuffle instead of one per leg)
     from baloo_spark.plans.layout import spread
     # (r12: eager=False — the legs' first shingle materialization
-    # pipelines the corpus checkpoint into its own job)
+    # pipelines the corpus checkpoint into its own job. The corpus is
+    # checkpointed PRE-TOKENIZED (tk): both legs shingle the bound
+    # token arrays directly, so the regex-split pass over every
+    # document runs once per invocation instead of once per shingle
+    # width — same tokens the operators' own split produces.)
+    _tk = F.filter(F.split(F.trim(F.col("text")), "\\s+"),
+                   lambda x: x != F.lit(""))
     docs_cp = spread(_t(spark, sf, "documents")
-                     .select("doc_id", "text")).localCheckpoint(eager=False)
+                     .select("doc_id", _tk.alias("tk"))) \
+        .localCheckpoint(eager=False)
     pp = _dedup_jaccard(spark, sf, docs_cp) \
         .select(F.lit("ppjoin").alias("kind"), "*")
     lsh = _dedup_minhash(spark, sf, docs_cp) \

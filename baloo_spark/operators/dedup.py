@@ -76,11 +76,22 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int,
     projection first: referencing the split inside the per-shingle
     lambda would re-tokenize the text for EVERY shingle index
     (O(words^2) per doc). Slicing a bound array attribute is O(n).
+
+    r12: ``text_col`` may already BE a token array (ArrayType) — a
+    caller running several shingle widths over one corpus tokenizes
+    once, checkpoints the arrays, and each width shingles the bound
+    attribute directly (one regex-split pass over the corpus instead
+    of one per width).
     """
     if shingle == "word":
-        toks = F.filter(F.split(F.trim(F.col(text_col)), "\\s+"),
-                        lambda x: x != F.lit(""))
-        t = df.select(F.col(id_col), toks.alias("__tok__"))
+        from pyspark.sql.types import ArrayType
+        dt = {f.name: f.dataType for f in df.schema.fields}.get(text_col)
+        if isinstance(dt, ArrayType):
+            t = df.select(F.col(id_col), F.col(text_col).alias("__tok__"))
+        else:
+            toks = F.filter(F.split(F.trim(F.col(text_col)), "\\s+"),
+                            lambda x: x != F.lit(""))
+            t = df.select(F.col(id_col), toks.alias("__tok__"))
         sh = F.array_distinct(F.expr(
             f"transform(sequence(0, greatest(size(__tok__) - {n}, 0)), "
             f"i -> concat_ws(' ', slice(__tok__, i + 1, {n})))"))
