@@ -41,6 +41,14 @@ _DEFAULTS = {
     # relative to fact tables at every SF.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # generated-class cache (default 100 entries): a many-query
+    # session (the 29-slot bench sweep, the test suite, any real
+    # multi-query workload) compiles several codegen units per query
+    # and evicts earlier entries before their plans re-run — warm
+    # re-executions then pay Janino again. 1000 entries keeps every
+    # unit of a session resident (~MBs of classes); workload-generic,
+    # not a local[32] constant.
+    "spark.sql.codegen.cache.maxEntries": "1000",
     # the events testdata carries TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as long and convert (streaming/events.py)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
