@@ -617,7 +617,7 @@ def _q11_q20_value_share(spark, sf):
     """Fraction-of-global-total HAVING shapes. 'q11' (TPC-H-Q11-
     flavored): parts whose shipped-quantity volume from ASIA-region
     suppliers exceeds 0.2% of the global such volume — the threshold
-    is an eager scalar aggregate (one tiny job), then a lazy filter.
+    is a lazy 1-row aggregate broadcast cross-joined back (r12).
     'q20' (TPC-H-Q20-flavored): suppliers who shipped more than 15%
     of some 'red' part's total shipped quantity (availqty surrogate).
 
@@ -625,7 +625,8 @@ def _q11_q20_value_share(spark, sf):
     is EXACT in IEEE arithmetic — the comparisons are bit-stable
     against the DuckDB oracle by construction. Scale shape: semi-join
     pushes the supplier/part restriction into the scan; partial aggs
-    shuffle once on l_partkey; the scalar total is a 1-row job."""
+    shuffle once on l_partkey; the threshold reads the same deferred
+    checkpoint the filter reads (one fact scan, zero eager jobs)."""
     import baloo_spark as bl
     li = _bl(spark, sf, "lineitem")
 
